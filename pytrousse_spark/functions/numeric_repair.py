@@ -1,0 +1,110 @@
+"""Typo-repair expression cascade.
+
+Re-expresses the reference's per-row Python repair
+(``RowFix._convert_to_float_value``, row_fix.py:137-190, with settings.py
+CHAR_REPLACE_DICT / WHOLE_WORD_REPLACE_DICT / ±2% out-of-scale rule) as ONE
+whole-stage-codegen'd column expression — no Python in the hot path.
+
+Cascade order (must match row_fix.py:148-190 exactly):
+1. value already parses as a number → parsed value;
+2. char replacements ('°'→'', ','→'.') then parse (row_fix.py:157-161);
+3. contains '%'  → NULL (percentage has no absolute value, row_fix.py:163-166);
+4. contains '>'  → parse(remainder) · (1+p)  (out-of-scale, row_fix.py:167-169);
+5. contains '<'  → parse(remainder) · (1−p)  (row_fix.py:170-171);
+6. whole (stripped) word in replacement map → mapped value (all defaults → NULL);
+7. else unfixable.
+
+Deviation (documented, SURVEY.md §2.7 R2): the reference keeps the unfixable
+string in the column, producing a mixed-type pandas column. Spark columns are
+homogeneously typed, so the repaired column is DOUBLE with NULL for unfixable
+values, and the error census (R6) is a separate aggregation
+(:func:`error_census`). The reference's int-vs-float cosmetic normalization
+(`_convert_to_float_or_int`, row_fix.py:56-67) is a display concern with no
+double-typed equivalent.
+
+The identical cascade is emitted as ANSI SQL (:func:`repair_sql`) so the
+DuckDB oracle can verify value-level parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: settings.py:40
+CHAR_REPLACE = {"°": "", ",": "."}
+#: settings.py:25-37 — all map to None → NULL.
+WHOLE_WORD_NULL = (
+    "---", ".", "ASSENTI", "PRESENTI", "non disponibile", "NV", "-",
+    "Error", "None", "NAN",
+)
+#: settings.py:19
+OUT_OF_SCALE_PCT = 0.02
+
+
+def _char_fixed(s: Column) -> Column:
+    out = s
+    for old, new in CHAR_REPLACE.items():
+        out = F.replace(out, F.lit(old), F.lit(new))
+    return out
+
+
+def repair_expr(col: Column, pct: float = OUT_OF_SCALE_PCT) -> Column:
+    """Repaired DOUBLE value of a dirty numeric-ish column (NULL = unfixable)."""
+    s = col.cast("string")
+    s2 = _char_fixed(s)
+    direct = s.try_cast("double")
+    fixed = s2.try_cast("double")
+    gt = F.replace(s2, F.lit(">"), F.lit("")).try_cast("double") * (1.0 + pct)
+    lt = F.replace(s2, F.lit("<"), F.lit("")).try_cast("double") * (1.0 - pct)
+    return (
+        F.when(col.isNull(), F.lit(None).cast("double"))
+        .when(direct.isNotNull(), direct)
+        .when(fixed.isNotNull(), fixed)
+        .when(s2.contains("%"), F.lit(None).cast("double"))
+        .when(s2.contains(">"), gt)
+        .when(s2.contains("<"), lt)
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def unfixable_expr(col: Column) -> Column:
+    """TRUE where the cascade gives up (error census predicate, row_fix.py:182-187).
+
+    A value is an *error* (not a legit NULL/whole-word-null) when it is
+    non-null, unparseable through steps 1-5, and not in the whole-word map.
+    """
+    s = col.cast("string")
+    s2 = _char_fixed(s)
+    return (
+        col.isNotNull()
+        & s.try_cast("double").isNull()
+        & s2.try_cast("double").isNull()
+        & ~s2.contains("%")
+        & F.replace(s2, F.lit(">"), F.lit("")).try_cast("double").isNull()
+        & F.replace(s2, F.lit("<"), F.lit("")).try_cast("double").isNull()
+        & ~F.trim(s2).isin(*WHOLE_WORD_NULL)
+    )
+
+
+def _sql_char_fixed(expr: str) -> str:
+    out = f"CAST({expr} AS VARCHAR)"
+    for old, new in CHAR_REPLACE.items():
+        out = f"replace({out}, '{old}', '{new}')"
+    return out
+
+
+def repair_sql(expr: str, pct: float = OUT_OF_SCALE_PCT) -> str:
+    """DuckDB SQL emitting the exact cascade of :func:`repair_expr`."""
+    s = f"CAST({expr} AS VARCHAR)"
+    s2 = _sql_char_fixed(expr)
+    words = ", ".join(f"'{w}'" for w in WHOLE_WORD_NULL)
+    return f"""CASE
+      WHEN {expr} IS NULL THEN NULL
+      WHEN try_cast({s} AS DOUBLE) IS NOT NULL THEN try_cast({s} AS DOUBLE)
+      WHEN try_cast({s2} AS DOUBLE) IS NOT NULL THEN try_cast({s2} AS DOUBLE)
+      WHEN contains({s2}, '%') THEN NULL
+      WHEN contains({s2}, '>') THEN try_cast(replace({s2}, '>', '') AS DOUBLE) * {1.0 + pct}
+      WHEN contains({s2}, '<') THEN try_cast(replace({s2}, '<', '') AS DOUBLE) * {1.0 - pct}
+      ELSE NULL
+    END"""  # noqa: S608 — static template, values from module constants

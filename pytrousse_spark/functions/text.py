@@ -1,0 +1,162 @@
+"""Text-analysis column expressions (beyond-reference, BASELINE.json north
+star: language-ID, quality scoring, token counting, fingerprinting).
+
+All pure JVM column expressions — designed so the identical computation can be
+emitted as DuckDB SQL for the correctness oracle. Regexes stick to explicit
+ASCII classes that behave identically under Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import h60, h60_sql
+
+#: tiny per-language stopword lists for the n-gram/stopword language heuristic.
+#: Ordered dict — ties resolve to the earlier language (deterministic).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "es": ("el", "la", "los", "las", "es", "y", "en", "que", "un", "una"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"),
+}
+
+#: BPE-ish token pattern: word pieces OR single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty strings dropped)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex(lower({expr}), '\\s+'), tok -> tok <> '')"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: alnum runs + individual symbols."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{TOKEN_REGEX}')) AS BIGINT)"
+
+
+def _member_of(sw: tuple[str, ...]):
+    return lambda t: t.isin(*sw)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Stopword-hit count per language over the token stream."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, _member_of(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword hits; ties → earlier language in
+    LANG_STOPWORDS order; zero hits everywhere → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    langs = list(LANG_STOPWORDS)
+    expr = F.lit("und")
+    # Build from the last language backwards so earlier languages win ties.
+    best = None
+    for lang in langs:
+        best = scores[lang] if best is None else F.greatest(best, scores[lang])
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    score = {
+        lang: f"len(list_filter({toks}, tok2 -> tok2 IN ({', '.join(repr(w) for w in sw)})))"
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    best = score[langs[0]]
+    for lang in langs[1:]:
+        best = f"greatest({best}, {score[lang]})"
+    inner = "'und'"
+    for lang in reversed(langs):
+        inner = f"CASE WHEN {score[lang]} = best THEN '{lang}' ELSE {inner} END"
+    return (
+        f"(SELECT CASE WHEN best > 0 THEN {inner} ELSE 'und' END "
+        f"FROM (SELECT {best} AS best))"
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: penalize too-short/too-long docs,
+    high symbol ratio, and low mean word length. Deterministic arithmetic —
+    mirrored by :func:`quality_score_sql`."""
+    n_chars = F.length(col).cast("double")
+    n_tok = token_count(col).cast("double")
+    n_alnum = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", "")).cast("double")
+    alnum_ratio = F.when(n_chars > 0, n_alnum / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    mean_word = F.when(n_tok > 0, n_alnum / n_tok).otherwise(F.lit(0.0))
+    word_score = F.least(mean_word / F.lit(4.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.3 * alnum_ratio + 0.3 * word_score, 6
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    n_chars = f"CAST(length({expr}) AS DOUBLE)"
+    n_tok = f"CAST(len({tokens_sql(expr)}) AS DOUBLE)"
+    n_alnum = f"CAST(length(regexp_replace({expr}, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)"
+    return (
+        "round(0.4 * least({t} / 20.0, 1.0)"
+        " + 0.3 * (CASE WHEN {c} > 0 THEN {a} / {c} ELSE 0.0 END)"
+        " + 0.3 * least((CASE WHEN {t} > 0 THEN {a} / {t} ELSE 0.0 END) / 4.0, 1.0)"
+        ", 6)"
+    ).format(c=n_chars, t=n_tok, a=n_alnum)
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of word n-gram strings (space-joined); docs shorter than n words
+    yield a single shingle of the whole text."""
+    toks = tokens(col)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(k <= n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def word_shingles_sql(expr: str, n: int = 3) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"(SELECT CASE WHEN len(__toks) <= {n} THEN [array_to_string(__toks, ' ')] "
+        f"ELSE list_transform(range(1, len(__toks) - {n} + 2), "
+        f"i -> array_to_string(__toks[i:i+{n}-1], ' ')) END "
+        f"FROM (SELECT {toks} AS __toks))"
+    )
+
+
+def fingerprint(col: Column, n: int = 3) -> Column:
+    """Document fingerprint: min 60-bit hash over word n-gram shingles
+    (winnowing-style rolling min; public technique — Schleimer et al. 2003)."""
+    return F.array_min(F.transform(word_shingles(col, n), h60))
+
+
+def fingerprint_sql(expr: str, n: int = 3) -> str:
+    return (
+        f"list_min(list_transform({word_shingles_sql(expr, n)}, "
+        f"s -> {h60_sql('s')}))"
+    )

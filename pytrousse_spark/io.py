@@ -1,0 +1,146 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S6).
+
+Replaces the reference's ``shelve`` persistence (dataset.py:668-704, 756-807)
+with Parquet + a JSON sidecar carrying roles, derived columns and the full
+operation history — portable and distributed-write friendly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dataset import Dataset
+from .exceptions import DatasetSidecarError
+from .operations import OperationsList
+
+SIDECAR_NAME = "_pytrousse_sidecar.json"
+
+
+# ---- S1/S2: sources ---------------------------------------------------------
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    metadata_cols: tuple[str, ...] = (),
+    header: bool = True,
+    infer_schema: bool = False,
+) -> Dataset:
+    """CSV scan (reference ``get_df_from_csv``, dataset.py:28-49).
+
+    Unlike the reference we raise on a missing path instead of returning
+    None — silent None propagates badly through a lazy pipeline.
+
+    Scale note: ``infer_schema`` forces an extra pass over the file; at 100 TB
+    pass an explicit ``schema``. By default everything is read as strings
+    (pandas-``object``-like) and the profiler decides what is numeric,
+    mirroring the reference's value-inspected typing (dataset.py:56-101).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", str(infer_schema).lower())
+    return Dataset(reader.csv(path), metadata_cols=frozenset(metadata_cols))
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
+    (``spark.sql.legacy.parquet.nanosAsLong``). Footer-only check via pyarrow."""
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            inner = [p for p in os.listdir(path) if p.endswith(".parquet")]
+            if not inner:
+                return []
+            target = os.path.join(path, inner[0])
+        schema = pq.read_schema(target)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def read_parquet_df(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with TIMESTAMP(NANOS) columns restored to TimestampType.
+
+    Nanos→micros truncates; sub-microsecond precision is not representable in
+    Spark SQL at all, and the conversion keeps oracle (DuckDB) comparisons on
+    instants rather than raw nano longs.
+    """
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    return df
+
+
+def read_parquet(
+    spark: SparkSession, path: str, metadata_cols: tuple[str, ...] = ()
+) -> Dataset:
+    return Dataset(read_parquet_df(spark, path), metadata_cols=frozenset(metadata_cols))
+
+
+def from_df(df: DataFrame, metadata_cols: tuple[str, ...] = ()) -> Dataset:
+    return Dataset(df, metadata_cols=frozenset(metadata_cols))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables (TESTDATA.md)."""
+    return {
+        n: read_parquet_df(spark, os.path.join(sf_dir, f"{n}.parquet")) for n in names
+    }
+
+
+# ---- S3/S4: dataset persistence --------------------------------------------
+def write_dataset(dataset: Dataset, path: str, mode: str = "error") -> None:
+    """Parquet + JSON sidecar (replaces shelve sink, dataset.py:668-704).
+
+    ``mode="error"`` mirrors the reference's overwrite=False default
+    (dataset.py:692-698).
+    """
+    dataset.df.write.mode(mode).parquet(path)
+    sidecar = {
+        "format_version": 1,
+        "metadata_cols": sorted(dataset.metadata_cols),
+        "feature_cols": sorted(dataset._feature_cols) if dataset._feature_cols is not None else None,
+        "derived_columns": sorted(dataset.derived_columns),
+        "history": json.loads(dataset.history.to_json()),
+    }
+    with open(os.path.join(path, SIDECAR_NAME), "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+
+
+def read_dataset(spark: SparkSession, path: str) -> Dataset:
+    """Read Parquet + sidecar back (replaces shelve source, dataset.py:756-807)."""
+    sidecar_path = os.path.join(path, SIDECAR_NAME)
+    if not os.path.exists(sidecar_path):
+        raise DatasetSidecarError(f"No {SIDECAR_NAME} found in {path}")
+    try:
+        with open(sidecar_path) as fh:
+            sidecar = json.load(fh)
+    except (OSError, json.JSONDecodeError) as exc:
+        raise DatasetSidecarError(f"Invalid sidecar at {sidecar_path}: {exc}") from exc
+    if sidecar.get("format_version") != 1:
+        raise DatasetSidecarError(
+            f"Unsupported sidecar version {sidecar.get('format_version')!r}"
+        )
+    df = spark.read.parquet(path)
+    feats = sidecar.get("feature_cols")
+    return Dataset(
+        df,
+        metadata_cols=frozenset(sidecar.get("metadata_cols", ())),
+        feature_cols=frozenset(feats) if feats is not None else None,
+        derived_columns=frozenset(sidecar.get("derived_columns", ())),
+        history=OperationsList.from_json(json.dumps(sidecar.get("history", []))),
+    )
+
+
+# ---- S5: CSV sink -----------------------------------------------------------
+def write_csv(df: DataFrame, path: str, mode: str = "error") -> None:
+    """CSV sink (anonymize_database.py:197-204)."""
+    df.write.mode(mode).option("header", "true").csv(path)

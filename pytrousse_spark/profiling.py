@@ -1,0 +1,254 @@
+"""Single-pass column profiler.
+
+Replaces the reference's per-column eager scans (`_find_single_column_type`,
+dataset.py:56-101; `_columns_type`, dataset.py:287-372; `_ColumnListByType`,
+dataset.py:104-135) with ONE wide Spark aggregation over the table. Every
+profile-derived Dataset property (SURVEY.md §2.10) reads the cached result.
+
+Scale notes (100 TB):
+- one full scan, all statistics computed as partial aggregates (map-side
+  combine) — no per-column jobs, no driver-side value loops;
+- distinct counts use HyperLogLog (`approx_count_distinct`, exact for tiny
+  cardinalities which is all the classification rules need); the only exact
+  rule, "constant column", is decided from min==max plus null presence;
+- numeric-parsability of string columns uses `try_cast` ratios
+  (row_fix.py:20-53 semantics) — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: reference settings.py:9 — categorical when nunique < 7 or
+#: nunique < notna_count // CATEG_COL_THRESHOLD.
+CATEG_COL_THRESHOLD = 300
+#: reference settings.py:18 — string column "is numeric" parse-ratio gate.
+NOT_NA_STRING_COL_THRESHOLD = 0.4
+#: reference dataset.py:271-285 — trivial = nan_columns(0.999) | constant.
+TRIVIAL_NAN_RATIO = 0.999
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_OTHER_TYPES = (T.TimestampType, T.DateType, T.BinaryType, T.TimestampNTZType)
+
+
+@dataclass(frozen=True)
+class ColumnStats:
+    """Per-column statistics from the single profiling pass."""
+
+    name: str
+    spark_type: str
+    is_numeric: bool        # numeric Spark type (int/float/decimal families)
+    count: int              # non-null rows
+    nulls: int
+    distinct: int           # approx, excludes NULL
+    has_null: bool
+    min_num: float | None
+    max_num: float | None
+    non_integer: bool       # any non-null numeric value with a fractional part
+    parse_ratio: float | None  # strings: parseable-to-double share of non-null
+
+    @property
+    def total(self) -> int:
+        return self.count + self.nulls
+
+    @property
+    def distinct_with_null(self) -> int:
+        """pandas ``nunique(dropna=False)`` semantics (dataset.py:267-269)."""
+        return self.distinct + (1 if self.has_null else 0)
+
+
+@dataclass(frozen=True)
+class ColumnProfile:
+    """Classified column sets derived from one aggregation pass.
+
+    Classification parity (reference dataset.py:287-372 + PD_INFER_TYPE_MAP
+    dataset.py:316-337, expectations tests/integration/test_dataset.py:156-285):
+
+    - bool columns: BooleanType, or numeric with values ⊆ {0,1} and ≤2
+      distincts (dataset.py:90);
+    - numerical: numeric Spark types ∪ bool ∪ interval-structs, plus string
+      columns that FULLY parse as numbers (CSV-origin columns pandas would
+      have inferred numeric);
+    - mixed: string columns that PARTIALLY parse (0 < ratio < 1) — Spark
+      columns are homogeneously typed so "mixed types" surfaces only as
+      partially-numeric text (SURVEY.md §1.3);
+    - other: timestamp/date/binary (dataset.py:326-332);
+    - categorical: nunique < 7 or nunique < notna//300 (dataset.py:493-535);
+    - constant: one distinct value counting NULL as a value (dataset.py:258-269);
+    - trivial: nan_columns(0.999) ∪ constant (dataset.py:271-285).
+    """
+
+    stats: dict[str, ColumnStats]
+    metadata_cols: frozenset[str]
+
+    # ---- raw type sets -----------------------------------------------------
+    def _is_interval(self, s: ColumnStats) -> bool:
+        return s.spark_type.startswith("struct<lower")
+
+    @property
+    def bool_cols(self) -> frozenset[str]:
+        out = set()
+        for s in self.stats.values():
+            if s.spark_type == "boolean":
+                out.add(s.name)
+            elif s.is_numeric and s.count > 0:
+                if (
+                    s.distinct <= 2
+                    and s.min_num is not None
+                    and s.min_num >= 0
+                    and s.max_num <= 1
+                    and not s.non_integer
+                ):
+                    out.add(s.name)
+        return frozenset(out)
+
+    @property
+    def mixed_type_cols(self) -> frozenset[str]:
+        return frozenset(
+            s.name
+            for s in self.stats.values()
+            if s.spark_type == "string"
+            and s.parse_ratio is not None
+            and 0.0 < s.parse_ratio < 1.0
+        )
+
+    @property
+    def numerical_cols(self) -> frozenset[str]:
+        out = set()
+        for s in self.stats.values():
+            if s.is_numeric or s.spark_type == "boolean":
+                out.add(s.name)
+            elif self._is_interval(s):
+                out.add(s.name)  # pandas Interval → numerical (dataset.py:334)
+            elif s.spark_type == "string" and s.parse_ratio == 1.0 and s.count > 0:
+                out.add(s.name)
+        return frozenset(out)
+
+    @property
+    def str_cols(self) -> frozenset[str]:
+        return frozenset(
+            s.name
+            for s in self.stats.values()
+            if s.spark_type == "string"
+            and s.name not in self.mixed_type_cols
+            and s.name not in self.numerical_cols
+        )
+
+    @property
+    def other_type_cols(self) -> frozenset[str]:
+        known = (
+            self.numerical_cols | self.str_cols | self.mixed_type_cols
+        )
+        return frozenset(
+            s.name for s in self.stats.values() if s.name not in known
+        )
+
+    # ---- derived classes ---------------------------------------------------
+    def nan_cols(self, nan_ratio: float) -> frozenset[str]:
+        """Columns whose NULL count exceeds ratio·rows (dataset.py:232-256)."""
+        return frozenset(
+            s.name for s in self.stats.values() if s.nulls > nan_ratio * s.total
+        )
+
+    @property
+    def constant_cols(self) -> frozenset[str]:
+        return frozenset(
+            s.name
+            for s in self.stats.values()
+            if s.distinct_with_null == 1 or s.total == 0
+        )
+
+    @property
+    def trivial_cols(self) -> frozenset[str]:
+        return self.nan_cols(TRIVIAL_NAN_RATIO) | self.constant_cols
+
+    def _is_categorical(self, s: ColumnStats) -> bool:
+        return s.distinct < 7 or s.distinct < s.count // CATEG_COL_THRESHOLD
+
+    @property
+    def str_categorical_cols(self) -> frozenset[str]:
+        return frozenset(
+            c for c in self.str_cols if self._is_categorical(self.stats[c])
+        )
+
+    @property
+    def num_categorical_cols(self) -> frozenset[str]:
+        return frozenset(
+            c
+            for c in self.numerical_cols
+            if self.stats[c].spark_type != "boolean"
+            and not self._is_interval(self.stats[c])
+            and self._is_categorical(self.stats[c])
+        )
+
+    @property
+    def med_exam_col_list(self) -> frozenset[str]:
+        """Documented intent of dataset.py:356-360: (numerical ∪ bool) −
+        constant − metadata. (The reference's actual expression has an
+        operator-precedence bug keeping metadata numericals — SURVEY.md §1.2;
+        we implement the intent and pin it with tests.)"""
+        return (self.numerical_cols | self.bool_cols) - self.constant_cols - self.metadata_cols
+
+    @property
+    def to_be_fixed_cols(self) -> frozenset[str]:
+        """Mixed-type columns (dataset.py:537-547)."""
+        return self.mixed_type_cols
+
+
+def _is_numeric_type(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC_TYPES)
+
+
+def profile(df: DataFrame, metadata_cols: frozenset[str] = frozenset()) -> ColumnProfile:
+    """Run the single-pass profile aggregation and classify columns."""
+    exprs: list = [F.count(F.lit(1)).alias("__total")]
+    for f_ in df.schema.fields:
+        c, dt = f_.name, f_.dataType
+        col = F.col(f"`{c}`")
+        exprs.append(F.count(col).alias(f"{c}__cnt"))
+        exprs.append(F.approx_count_distinct(col, 0.01).alias(f"{c}__dst"))
+        if _is_numeric_type(dt):
+            d = col.cast("double")
+            exprs.append(F.min(d).alias(f"{c}__min"))
+            exprs.append(F.max(d).alias(f"{c}__max"))
+            exprs.append(
+                F.max((d != F.floor(d)).cast("int")).alias(f"{c}__frac")
+            )
+        elif isinstance(dt, T.StringType):
+            parsed = col.try_cast("double")
+            exprs.append(
+                F.avg(
+                    F.when(col.isNotNull(), parsed.isNotNull().cast("double"))
+                ).alias(f"{c}__pr")
+            )
+    row = df.agg(*exprs).collect()[0].asDict()
+    total = row["__total"]
+
+    stats: dict[str, ColumnStats] = {}
+    for f_ in df.schema.fields:
+        c, dt = f_.name, f_.dataType
+        cnt = row[f"{c}__cnt"]
+        distinct = row[f"{c}__dst"]
+        # HLL can report 1 for an all-null column; clamp to non-null reality.
+        distinct = min(distinct, cnt) if cnt > 0 else 0
+        stats[c] = ColumnStats(
+            name=c,
+            spark_type=dt.simpleString(),
+            is_numeric=_is_numeric_type(dt),
+            count=cnt,
+            nulls=total - cnt,
+            distinct=distinct,
+            has_null=cnt < total,
+            min_num=row.get(f"{c}__min"),
+            max_num=row.get(f"{c}__max"),
+            non_integer=bool(row.get(f"{c}__frac") or 0),
+            parse_ratio=row.get(f"{c}__pr"),
+        )
+    return ColumnProfile(stats=stats, metadata_cols=metadata_cols)

@@ -1,0 +1,59 @@
+"""SparkSession bootstrap for pytrousse-spark.
+
+Single place where the engine's Spark tuning lives so tests, bench and the
+driver entry all agree. Designed for a real cluster (AQE, skew-join handling,
+broadcast thresholds); tests run it on ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pytrousse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    Defaults are chosen for scale-out behavior:
+
+    - AQE on (runtime coalescing of shuffle partitions, skew-join splitting);
+      at 100 TB the static ``shuffle.partitions`` is only an upper bound.
+    - Arrow on, so the few pandas-UDF escape hatches batch via Arrow.
+    - Session timezone pinned to UTC so results are reproducible and match
+      external oracles (DuckDB) regardless of host timezone.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet pushdown/pruning are on by default; pin them anyway so a
+        # misconfigured cluster profile cannot silently disable them.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no nanos
+        # type); io.read_parquet converts them back to timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # local mode starts faster with the driver host pinned.
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
