@@ -57,7 +57,7 @@ def repair_expr(col: Column, pct: float = OUT_OF_SCALE_PCT) -> Column:
     fixed = s2.try_cast("double")
     gt = F.replace(s2, F.lit(">"), F.lit("")).try_cast("double") * (1.0 + pct)
     lt = F.replace(s2, F.lit("<"), F.lit("")).try_cast("double") * (1.0 - pct)
-    return (
+    out = (
         F.when(col.isNull(), F.lit(None).cast("double"))
         .when(direct.isNotNull(), direct)
         .when(fixed.isNotNull(), fixed)
@@ -66,6 +66,9 @@ def repair_expr(col: Column, pct: float = OUT_OF_SCALE_PCT) -> Column:
         .when(s2.contains("<"), lt)
         .otherwise(F.lit(None).cast("double"))
     )
+    # 'NAN'-like strings parse to float NaN (exactly as Python float() in
+    # row_fix.py:150); pandas treats NaN as missing, so normalize NaN → NULL.
+    return F.when(F.isnan(out), F.lit(None).cast("double")).otherwise(out)
 
 
 def unfixable_expr(col: Column) -> Column:
@@ -98,8 +101,7 @@ def repair_sql(expr: str, pct: float = OUT_OF_SCALE_PCT) -> str:
     """DuckDB SQL emitting the exact cascade of :func:`repair_expr`."""
     s = f"CAST({expr} AS VARCHAR)"
     s2 = _sql_char_fixed(expr)
-    words = ", ".join(f"'{w}'" for w in WHOLE_WORD_NULL)
-    return f"""CASE
+    case = f"""CASE
       WHEN {expr} IS NULL THEN NULL
       WHEN try_cast({s} AS DOUBLE) IS NOT NULL THEN try_cast({s} AS DOUBLE)
       WHEN try_cast({s2} AS DOUBLE) IS NOT NULL THEN try_cast({s2} AS DOUBLE)
@@ -107,4 +109,6 @@ def repair_sql(expr: str, pct: float = OUT_OF_SCALE_PCT) -> str:
       WHEN contains({s2}, '>') THEN try_cast(replace({s2}, '>', '') AS DOUBLE) * {1.0 + pct}
       WHEN contains({s2}, '<') THEN try_cast(replace({s2}, '<', '') AS DOUBLE) * {1.0 - pct}
       ELSE NULL
-    END"""  # noqa: S608 — static template, values from module constants
+    END"""
+    # NaN → NULL normalization, mirroring repair_expr.
+    return f"(SELECT CASE WHEN isnan(__r) THEN NULL ELSE __r END FROM (SELECT ({case}) AS __r))"

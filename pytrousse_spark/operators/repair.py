@@ -1,0 +1,198 @@
+"""Dirty-data repair operators (SURVEY.md §2.7, R1-R6; row_fix.py parity).
+
+The reference runs TWO full row-wise Python ``.apply`` passes per column
+(row_fix.py:219-226). Here: pass 1 is one aggregation (parse ratios + error
+census), the driver picks targets, pass 2 is a single ``withColumns``
+expression cascade — all JVM-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dataset import Dataset
+from ..operations import OpRecord
+from ..profiling import NOT_NA_STRING_COL_THRESHOLD
+from ..functions.numeric_repair import repair_expr, unfixable_expr
+
+
+# ---------------------------------------------------------------------------
+# R1 — numeric-convertibility check (row_fix.py:20-53)
+# ---------------------------------------------------------------------------
+def check_numeric_cols(
+    dataset: Dataset,
+    col_list: tuple[str, ...] | None = None,
+    threshold: float = NOT_NA_STRING_COL_THRESHOLD,
+) -> list[str]:
+    """String columns whose non-null values parse to numbers at a ratio above
+    ``threshold`` (0.4, settings.py:18). One aggregation for ALL candidates.
+    """
+    if col_list is None:
+        col_list = tuple(sorted(dataset.profile.str_cols))
+    if not col_list:
+        return []
+    exprs = []
+    for c in col_list:
+        col = F.col(c)
+        exprs.append(
+            F.avg(
+                F.when(col.isNotNull(), col.try_cast("double").isNotNull().cast("double"))
+            ).alias(c)
+        )
+    row = dataset.df.agg(*exprs).collect()[0].asDict()
+    return [c for c in col_list if (row[c] or 0.0) > threshold]
+
+
+# ---------------------------------------------------------------------------
+# R6 — error census (row_fix.py:99-115, 311-338)
+# ---------------------------------------------------------------------------
+@dataclass
+class ErrorReport:
+    """Counts + distinct unconvertible values per column, before/after fix.
+
+    Replaces the reference's side-effect dicts (which cannot distribute) with
+    an explicit aggregation result (SURVEY.md §2.4 A6).
+    """
+
+    before_count: dict[str, int] = field(default_factory=dict)
+    before_values: dict[str, list] = field(default_factory=dict)
+    after_count: dict[str, int] = field(default_factory=dict)
+
+    def total_before(self) -> int:
+        return sum(self.before_count.values())
+
+    def total_after(self) -> int:
+        return sum(self.after_count.values())
+
+
+def error_census(
+    df: DataFrame, columns: tuple[str, ...], max_values_per_col: int = 1000
+) -> tuple[dict[str, int], dict[str, list]]:
+    """Count + collect distinct non-float-convertible values per column.
+
+    One aggregation for counts; one bounded distinct-collect for the value
+    sets (census parity with row_fix.py:99-115 where every error value is
+    appended to a driver list — unbounded; we cap and record the cap).
+    """
+    if not columns:
+        return {}, {}
+    count_row = df.agg(
+        *[
+            F.sum(unfixable_expr(F.col(c)).cast("long")).alias(c)
+            for c in columns
+        ]
+    ).collect()[0].asDict()
+    counts = {c: int(count_row[c] or 0) for c in columns}
+    values: dict[str, list] = {}
+    for c in columns:
+        if counts[c] == 0:
+            values[c] = []
+            continue
+        rows = (
+            df.where(unfixable_expr(F.col(c)))
+            .select(F.col(c).cast("string").alias("v"))
+            .distinct()
+            .orderBy("v")
+            .limit(max_values_per_col)
+            .collect()
+        )
+        values[c] = [r["v"] for r in rows]
+    return counts, values
+
+
+class RowFix:
+    """Typo-fix orchestrator (row_fix.py:70-309).
+
+    Holds the error reports of the last run (census parity with the
+    reference's ``errors_before/after_correction_dict``).
+    """
+
+    def __init__(self, percentage_to_add_out_of_scale: float = 0.02):
+        self.pct = percentage_to_add_out_of_scale
+        self.report = ErrorReport()
+
+    # ---- R3 (row_fix.py:192-233) ------------------------------------------
+    def fix_typos(
+        self, dataset: Dataset, column_list: tuple[str, ...] = ()
+    ) -> Dataset:
+        """Apply the repair cascade to ``column_list`` (default: the profiler's
+        to-be-fixed mixed-type columns). Output columns become DOUBLE
+        (documented deviation — see functions/numeric_repair.py)."""
+        if column_list == ():
+            column_list = tuple(sorted(dataset.to_be_fixed_cols))
+        if not column_list:
+            return dataset
+        before_counts, before_values = error_census(dataset.df, column_list)
+        self.report.before_count.update(before_counts)
+        self.report.before_values.update(before_values)
+        # After the cascade every unfixable value is NULL: remaining "errors"
+        # per reference semantics = values the cascade could not convert.
+        self.report.after_count.update({c: 0 for c in column_list})
+
+        df = dataset.df.withColumns(
+            {c: repair_expr(F.col(c), self.pct) for c in column_list}
+        )
+        return dataset.evolve(
+            df=df,
+            record=OpRecord(
+                name="fix_typos",
+                columns=tuple(column_list),
+                details={
+                    "errors_before": before_counts,
+                    "error_values": before_values,
+                },
+            ),
+        )
+
+    # ---- R4 (row_fix.py:235-267) ------------------------------------------
+    def cols_to_correct_dtype(self, dataset: Dataset) -> Dataset:
+        """Normalize dtypes from the profile: {0,1}/bool → boolean; integral
+        numerics → int (nullable Int32 parity); fractional → double."""
+        p = dataset.profile
+        casts = {}
+        for c in sorted(p.numerical_cols):
+            s = p.stats[c]
+            if s.spark_type == "boolean":
+                continue
+            if c in p.bool_cols:
+                casts[c] = F.col(c).cast("boolean")
+            elif s.spark_type == "string":
+                casts[c] = F.col(c).try_cast("double")
+            elif not s.non_integer and s.spark_type in ("double", "float"):
+                casts[c] = F.col(c).cast("int")
+        if not casts:
+            return dataset
+        df = dataset.df.withColumns(casts)
+        return dataset.evolve(
+            df=df,
+            record=OpRecord(
+                name="cols_to_correct_dtype",
+                columns=tuple(casts),
+                details={"casts": {c: str(e) for c, e in casts.items()}},
+            ),
+        )
+
+    # ---- R5 (row_fix.py:269-309) ------------------------------------------
+    def fix_common_errors(
+        self, dataset: Dataset, set_to_correct_dtype: bool = True
+    ) -> Dataset:
+        """Mixed-type columns ∪ numeric-ish string columns → fix → optional
+        dtype normalization (row_fix.py:296-308)."""
+        p = dataset.profile
+        num_cols = check_numeric_cols(dataset, tuple(sorted(p.str_cols)))
+        targets = tuple(sorted(p.mixed_type_cols | set(num_cols)))
+        out = self.fix_typos(dataset, targets)
+        if set_to_correct_dtype:
+            out = self.cols_to_correct_dtype(out)
+        return out
+
+    # ---- R6 reporting (row_fix.py:311-338) --------------------------------
+    def count_errors(self) -> dict[str, int]:
+        return {
+            "rows_with_initial_mistakes": self.report.total_before(),
+            "errors_before": self.report.total_before(),
+            "errors_after": self.report.total_after(),
+        }

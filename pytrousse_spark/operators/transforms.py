@@ -1,0 +1,197 @@
+"""Live-API transform operators (SURVEY.md §2.5, T1-T5).
+
+Each re-expresses a reference pandas operator as lazy column expressions;
+encoders stage one bounded distinct-collect (cardinality-guarded) before
+planning, mirroring the reference's data-dependent control flow
+(SURVEY.md §3 E2) without ever collecting row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dataset import Dataset
+from .base import FeatureOperation
+
+#: Collect-guard: encoders refuse to materialize vocabularies larger than
+#: this (the reference would happily OOM; at 100 TB a guard is mandatory).
+MAX_ENCODER_CATEGORIES = 10_000
+
+#: Below this vocabulary size encoders compile to a WHEN chain (no join, no
+#: shuffle, stays inside whole-stage codegen); above it they broadcast-join a
+#: code table (SURVEY.md §4 "small-table attachment" heuristic).
+WHEN_CHAIN_MAX = 64
+
+
+def sorted_distinct(df: DataFrame, column: str, cap: int = MAX_ENCODER_CATEGORIES) -> list:
+    """Deterministic (ascending, NULL-free) distinct values of a column.
+
+    The single collect action an encoder is allowed; guarded so a mistyped
+    high-cardinality column fails fast instead of flooding the driver.
+    """
+    rows = (
+        df.select(column)
+        .where(F.col(column).isNotNull())
+        .distinct()
+        .orderBy(column)
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"Column {column!r} has more than {cap} distinct values; "
+            "refusing to encode (raise cap explicitly if intended)"
+        )
+    return [r[0] for r in rows]
+
+
+class FillNA(FeatureOperation):
+    """Fill NULLs with a constant (reference feature_operations.py:141-250).
+
+    Spark: ``coalesce(col, lit(value))`` — in place or into a derived column.
+    """
+
+    def __init__(self, columns, value, derived_columns=None):
+        super().__init__(columns, derived_columns)
+        self.value = value
+
+    def _eq_fields(self):
+        return (*super()._eq_fields(), self.value)
+
+    def _apply(self, dataset: Dataset) -> tuple[DataFrame, dict]:
+        col = self.columns[0]
+        target = self.derived_columns[0] if self.derived_columns else col
+        filled = F.coalesce(F.col(col), F.lit(self.value))
+        return dataset.df.withColumn(target, filled), {"value": self.value}
+
+
+class ReplaceSubstrings(FeatureOperation):
+    """Sequential substring replacement (feature_operations.py:253-398).
+
+    Pairs cascade in insertion order in BOTH modes. Documented deviation
+    (SURVEY.md §2.5 T2): the reference's derived-column mode re-reads the
+    original column per pair so only the last pair survives
+    (feature_operations.py:317-324) — a WIP artifact its own tests never
+    exercise (only 1-entry maps); we cascade consistently.
+
+    Patterns are literal strings (pandas ``str.replace`` pre-1.x semantics of
+    the reference), so ``F.replace`` not ``regexp_replace``.
+    """
+
+    def __init__(self, columns, replacement_map: dict[str, str], derived_columns=None):
+        super().__init__(columns, derived_columns)
+        if not replacement_map:
+            raise ValueError("replacement_map must not be empty")
+        self.replacement_map = dict(replacement_map)
+
+    def _eq_fields(self):
+        return (*super()._eq_fields(), tuple(self.replacement_map.items()))
+
+    def _apply(self, dataset: Dataset) -> tuple[DataFrame, dict]:
+        col = self.columns[0]
+        target = self.derived_columns[0] if self.derived_columns else col
+        expr = F.col(col)
+        for old, new in self.replacement_map.items():
+            expr = F.replace(expr, F.lit(old), F.lit(new))
+        return dataset.df.withColumn(target, expr), {
+            "replacement_map": dict(self.replacement_map)
+        }
+
+
+class ReplaceStrings(ReplaceSubstrings):
+    """Whole-value replacement (feature_operations.py:401-508).
+
+    pandas ``Series.replace(dict)`` exact-match semantics → WHEN chain.
+    """
+
+    def _apply(self, dataset: Dataset) -> tuple[DataFrame, dict]:
+        col = self.columns[0]
+        target = self.derived_columns[0] if self.derived_columns else col
+        expr = F.col(col)
+        for old, new in self.replacement_map.items():
+            expr = F.when(F.col(col) == F.lit(old), F.lit(new)).otherwise(expr)
+        return dataset.df.withColumn(target, expr), {
+            "replacement_map": dict(self.replacement_map)
+        }
+
+
+class OneHotEncoder(FeatureOperation):
+    """One column → K nullable-boolean columns (feature_operations.py:511-683).
+
+    Parity points:
+    - derived names ``{col}_{category}{suffix}`` with lexicographically sorted
+      categories (sklearn ``categories_`` order);
+    - NULL input row → NULL in ALL K outputs (null-mask,
+      feature_operations.py:637-656);
+    - the NULL category itself is dropped (feature_operations.py:579-610).
+
+    One bounded distinct-collect stages the plan; the encode itself is a
+    WHEN-free boolean projection — no shuffle, no join.
+    """
+
+    def __init__(self, columns, derived_column_suffix: str = "_enc"):
+        super().__init__(columns, None)
+        self.derived_column_suffix = derived_column_suffix
+
+    def _eq_fields(self):
+        return (*super()._eq_fields(), self.derived_column_suffix)
+
+    def _apply(self, dataset: Dataset) -> tuple[DataFrame, dict]:
+        col = self.columns[0]
+        categories = sorted_distinct(dataset.df, col)
+        src = F.col(col)
+        outputs = {
+            f"{col}_{cat}{self.derived_column_suffix}": F.when(
+                src.isNull(), F.lit(None).cast("boolean")
+            ).otherwise(src == F.lit(cat))
+            for cat in categories
+        }
+        # withColumns: single projection node for all K outputs.
+        self.derived_columns = tuple(outputs)
+        return dataset.df.withColumns(outputs), {
+            "categories": categories,
+            "derived_column_suffix": self.derived_column_suffix,
+        }
+
+
+class OrdinalEncoder(FeatureOperation):
+    """Category → integer code by ascending sort (feature_operations.py:686-780).
+
+    NOT Spark ML's ``StringIndexer`` (frequency order) — codes follow the
+    sorted distinct values so abc→0, abr→1 matches the reference goldens
+    (tests/expectations/csv/generic-ordinal-encoded-col3-inplace.csv).
+    Small vocabularies compile to a WHEN chain; larger ones broadcast-join a
+    driver-built code table. NULL → NULL either way.
+    """
+
+    def __init__(self, columns, derived_columns=None):
+        super().__init__(columns, derived_columns)
+
+    def _apply(self, dataset: Dataset) -> tuple[DataFrame, dict]:
+        col = self.columns[0]
+        target = self.derived_columns[0] if self.derived_columns else col
+        categories = sorted_distinct(dataset.df, col)
+        mapping = {cat: i for i, cat in enumerate(categories)}
+        details = {"encoded_values_map": {i: c for i, c in enumerate(categories)}}
+
+        if len(categories) <= WHEN_CHAIN_MAX:
+            expr = F.lit(None).cast("long")
+            for cat, code in mapping.items():
+                expr = F.when(F.col(col) == F.lit(cat), F.lit(code).cast("long")).otherwise(expr)
+            return dataset.df.withColumn(target, expr), details
+
+        spark = dataset.df.sparkSession
+        code_df = spark.createDataFrame(
+            [(c, i) for c, i in mapping.items()], ["__cat_value", "__cat_code"]
+        )
+        joined = (
+            dataset.df.join(
+                F.broadcast(code_df),
+                on=F.col(col) == F.col("__cat_value"),
+                how="left",
+            )
+            .withColumn(target, F.col("__cat_code"))
+            .drop("__cat_value", "__cat_code")
+        )
+        return joined, details

@@ -45,6 +45,7 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # local mode starts faster with the driver host pinned.
         .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

@@ -1,0 +1,104 @@
+"""Profile-surface tests, porting the reference's df_multi_type expectations
+(tests/integration/test_dataset.py:156-285 via FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from pytrousse_spark import from_df
+
+
+def _multi_type_ds(spark, n=20):
+    """FIXTURES.md df_multi_type analog (Spark-typed where possible)."""
+    rows = []
+    for i in range(n):
+        rows.append(
+            Row(
+                metadata_num_col=i,
+                bool_col=i % 5 < 3,
+                string_col=f"value_{i}",
+                str_categorical_col=f"category_{i % 5}",
+                int_categorical_col=i % 5,
+                float_col=0.05 * i,
+                int_col=i,
+                datetime_col=datetime.date(2000 + i % 30, 8, 1),
+                mixed_type_col=str(i) if i < n // 2 else f"value_{i}",
+                same_col=2,
+                nan_col=3.0 if i == 0 else None,
+            )
+        )
+    return from_df(spark.createDataFrame(rows), metadata_cols=("metadata_num_col",))
+
+
+def test_multi_type_classification(spark):
+    ds = _multi_type_ds(spark)
+    assert ds.mixed_type_columns == {"mixed_type_col"}
+    assert ds.constant_cols == {"same_col"}
+    assert "bool_col" in ds.bool_columns
+    assert {"int_col", "float_col", "int_categorical_col", "nan_col"} <= ds.numerical_columns
+    assert "bool_col" in ds.numerical_columns  # FIXTURES.md expected profile
+    assert ds.str_columns == {"string_col", "str_categorical_col"}
+    assert ds.str_categorical_columns == {"str_categorical_col"}
+    assert {"int_categorical_col", "nan_col"} <= ds.num_categorical_columns
+    assert "datetime_col" in ds.other_type_columns
+
+
+def test_med_exam_col_list_excludes_metadata_and_constant(spark):
+    ds = _multi_type_ds(spark)
+    med = ds.med_exam_col_list
+    assert "metadata_num_col" not in med
+    assert "same_col" not in med
+    assert {"int_col", "float_col", "bool_col", "nan_col"} <= med
+
+
+def test_nan_and_trivial_columns(spark):
+    df = spark.createDataFrame(
+        [(None, 1.0, 4.0), (None, None, 4.0), (None, 1.0, 4.0), (None, 1.0, 4.0)],
+        "all_nan double, some_nan double, const double",
+    )
+    ds = from_df(df)
+    assert ds.nan_columns(0.9) == {"all_nan"}
+    assert ds.nan_columns(0.2) == {"all_nan", "some_nan"}
+    assert ds.constant_cols == {"all_nan", "const"}
+    assert ds.trivial_columns == {"all_nan", "const"}
+
+
+def test_categorical_heuristic_thresholds(spark):
+    # nunique<7 always categorical; at 3000 rows, 8 distinct < 3000//300=10.
+    rows = [(f"v{i % 8}",) for i in range(3000)]
+    ds = from_df(spark.createDataFrame(rows, "c8 string"))
+    assert ds.str_categorical_columns == {"c8"}
+    rows = [(f"v{i % 8}",) for i in range(100)]  # 8 >= 7 and 8 >= 100//300
+    ds = from_df(spark.createDataFrame(rows, "c8 string"))
+    assert ds.str_categorical_columns == frozenset()
+
+
+def test_bool01_detection(spark):
+    df = spark.createDataFrame([(0,), (1,), (0,), (1,)], "b01 int")
+    ds = from_df(df)
+    assert ds.bool_columns == {"b01"}
+    assert "b01" in ds.numerical_columns
+
+
+def test_duplicated_columns_check(spark):
+    from pytrousse_spark.exceptions import DuplicatedColumnError
+
+    df = spark.createDataFrame([(1, 2)], ["a", "b"]).toDF("x", "x")
+    ds = from_df(df)
+    with pytest.raises(DuplicatedColumnError):
+        ds.check_duplicated_features()
+
+
+def test_mixed_detection_on_real_strings(spark):
+    df = spark.createDataFrame(
+        [("1",), ("2",), ("x",), ("4",)], "m string"
+    )
+    ds = from_df(df)
+    assert ds.mixed_type_columns == {"m"}
+    assert ds.to_be_fixed_cols == {"m"}
+    # fully-numeric strings classify as numerical, not mixed
+    df2 = spark.createDataFrame([("1",), ("2.5",)], "n string")
+    assert from_df(df2).numerical_columns == {"n"}

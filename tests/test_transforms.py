@@ -1,0 +1,149 @@
+"""Golden tests for T1-T6, mirroring the reference's expectation CSVs
+(FIXTURES.md §1: generic / generic-na fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pytrousse_spark import from_df
+from pytrousse_spark.operators.base import Pipeline
+from pytrousse_spark.operators.transforms import (
+    FillNA,
+    OneHotEncoder,
+    OrdinalEncoder,
+    ReplaceStrings,
+    ReplaceSubstrings,
+)
+
+
+@pytest.fixture
+def generic(spark):
+    return from_df(
+        spark.createDataFrame(
+            [
+                ("c", "b", "e", "abc"),
+                ("d", "b", "c", "abc"),
+                ("d", "b", "c", "abr"),
+                ("a", "b", "c", "abc"),
+            ],
+            ["col0", "col1", "col2", "col3"],
+        )
+    )
+
+
+@pytest.fixture
+def generic_na(spark):
+    return from_df(
+        spark.createDataFrame(
+            [("a", "a"), ("d", "a"), (None, None), ("e", "e")], ["col4", "col5"]
+        )
+    )
+
+
+def test_replace_strings_in_place(generic):
+    out = ReplaceStrings(["col0"], {"d": "a"})(generic)
+    assert [r["col0"] for r in out.df.collect()] == ["c", "a", "a", "a"]
+
+
+def test_replace_strings_derived(generic):
+    out = ReplaceStrings(["col0"], {"d": "a"}, derived_columns=["col4"])(generic)
+    rows = out.df.collect()
+    assert [r["col0"] for r in rows] == ["c", "d", "d", "a"]
+    assert [r["col4"] for r in rows] == ["c", "a", "a", "a"]
+    assert out.derived_columns == {"col4"}
+
+
+def test_replace_substrings(generic):
+    out = ReplaceSubstrings(["col3"], {"r": "c"})(generic)
+    assert [r["col3"] for r in out.df.collect()] == ["abc", "abc", "abc", "abc"]
+
+
+def test_replace_substrings_cascade(spark):
+    ds = from_df(spark.createDataFrame([("aab",)], ["c"]))
+    out = ReplaceSubstrings(["c"], {"a": "b", "b": "z"})(ds)
+    # sequential cascade: aab -> bbb -> zzz (documented spec, SURVEY §2.5 T2)
+    assert out.df.collect()[0]["c"] == "zzz"
+
+
+def test_ordinal_encoder_golden(generic):
+    # golden: abc→0, abr→1 (generic-ordinal-encoded-col3-inplace.csv)
+    out = OrdinalEncoder(["col3"], derived_columns=["col3_enc"])(generic)
+    got = [(r["col3"], r["col3_enc"]) for r in out.df.collect()]
+    assert got == [("abc", 0), ("abc", 0), ("abr", 1), ("abc", 0)]
+
+
+def test_ordinal_encoder_null(spark):
+    ds = from_df(spark.createDataFrame([("b",), (None,), ("a",)], ["c"]))
+    out = OrdinalEncoder(["c"], derived_columns=["e"])(ds)
+    assert [(r["c"], r["e"]) for r in out.df.collect()] == [
+        ("b", 1), (None, None), ("a", 0),
+    ]
+
+
+def test_one_hot_golden(generic):
+    out = OneHotEncoder(["col3"])(generic)
+    assert set(out.derived_columns) == {"col3_abc_enc", "col3_abr_enc"}
+    got = [(r["col3_abc_enc"], r["col3_abr_enc"]) for r in out.df.collect()]
+    assert got == [(True, False), (True, False), (False, True), (True, False)]
+
+
+def test_one_hot_null_row_all_null(generic_na):
+    # golden: generic-na-one-hot-encoded-col4-enc.csv — NULL row → NULL in all
+    out = OneHotEncoder(["col4"])(generic_na)
+    assert set(out.derived_columns) == {
+        "col4_a_enc", "col4_d_enc", "col4_e_enc",
+    }
+    null_row = [r for r in out.df.collect() if r["col4"] is None][0]
+    assert null_row["col4_a_enc"] is None
+    assert null_row["col4_d_enc"] is None
+    assert null_row["col4_e_enc"] is None
+
+
+def test_fillna_in_place_and_derived(generic_na):
+    out = FillNA(["col4"], "filled")(generic_na)
+    assert [r["col4"] for r in out.df.collect()] == ["a", "d", "filled", "e"]
+    out2 = FillNA(["col4"], "x", derived_columns=["col6"])(generic_na)
+    rows = out2.df.collect()
+    assert [r["col4"] for r in rows] == ["a", "d", None, "e"]
+    assert [r["col6"] for r in rows] == ["a", "d", "x", "e"]
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError):
+        FillNA(["a", "b"], 0)
+    with pytest.raises(ValueError):
+        FillNA(["a"], 0, derived_columns=["x", "y"])
+    with pytest.raises(ValueError):
+        ReplaceStrings(["a"], {})
+
+
+def test_pipeline_composes_one_plan(generic):
+    pipe = Pipeline(
+        ReplaceStrings(["col0"], {"d": "a"}),
+        OrdinalEncoder(["col0"], derived_columns=["col0_enc"]),
+        FillNA(["col2"], "zz"),
+    )
+    out = pipe(generic)
+    assert [op.name for op in out.history] == [
+        "ReplaceStrings", "OrdinalEncoder", "FillNA",
+    ]
+    assert [r["col0_enc"] for r in out.df.collect()] == [1, 0, 0, 0]
+
+
+def test_operator_equality():
+    assert FillNA(["a"], 0) == FillNA(["a"], 0)
+    assert FillNA(["a"], 0) != FillNA(["a"], 1)
+    assert ReplaceStrings(["a"], {"x": "y"}) == ReplaceStrings(["a"], {"x": "y"})
+    assert OrdinalEncoder(["a"]) != OneHotEncoder(["a"])
+
+
+def test_history_metadata_propagation(spark):
+    ds = from_df(
+        spark.createDataFrame([("a", 1)], ["meta", "feat"]),
+        metadata_cols=("meta",),
+    )
+    out = FillNA(["meta"], "x", derived_columns=["meta2"])(ds)
+    # derived col of all-metadata parents becomes metadata (dataset.py:642-666)
+    assert "meta2" in out.metadata_cols
+    out2 = FillNA(["feat"], 0, derived_columns=["feat2"])(ds)
+    assert "feat2" not in out2.metadata_cols
