@@ -1,38 +1,922 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exercises the engine's operator inventory (SURVEY.md §2 plus
+the beyond-reference LLM-pipeline operators); ``oracle_sql()`` carries the
+DuckDB-equivalent SQL for every query whose semantics are SQL-expressible.
+Column names/aliases are kept identical on both sides; every double output is
+rounded identically on both sides (float-sum order differs between engines).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pytrousse_spark import from_df, read_parquet_df
+from pytrousse_spark.functions import text as tx
+from pytrousse_spark.functions.numeric_repair import repair_expr, repair_sql
+from pytrousse_spark.operators import dedup as dd
+from pytrousse_spark.operators import similarity as sim
+from pytrousse_spark.operators.anonymize import anonymize_data, id_owner_sql
+from pytrousse_spark.operators.binning import (
+    add_group_specific_bin_id,
+    combine_categorical_columns_to_one,
+    split_continuous_column_into_bins,
+)
+from pytrousse_spark.operators.transforms import (
+    FillNA,
+    OneHotEncoder,
+    OrdinalEncoder,
+    ReplaceStrings,
+    ReplaceSubstrings,
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    if key not in _table_cache:
+        _table_cache[key] = read_parquet_df(
+            spark, os.path.join(sf_dir, f"{name}.parquet")
+        )
+    return _table_cache[key]
+
+
+# ===========================================================================
+# Relational passthrough queries (SURVEY.md §2.2-2.4, §2.11; Phase 4)
+# ===========================================================================
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → groupBy → multi-agg.
+
+    Scale notes: predicate + column pruning reach the parquet scan; partial
+    aggregation map-side; two grouping keys of tiny cardinality → no skew.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _sql_q01() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + group + deterministic top-10 (broadcastable dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed top-k);
+    # a global row_number window would funnel everything to one partition.
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "c_name", "revenue")
+    )
+
+
+def _sql_q02() -> str:
+    return """
+    WITH rev AS (
+        SELECT o_orderkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_orderkey, c_name
+    )
+    SELECT o_orderkey, c_name, revenue FROM rev
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """
+
+
+def q03_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style snowflake join: region→nation→customer→orders→lineitem."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _sql_q03() -> str:
+    return """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """
+
+
+def q04_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style single-table filtered aggregate (pushdown showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _sql_q04() -> str:
+    return """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """
+
+
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having at least one high-discount lineitem."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hot = li.where(F.col("l_discount") >= 0.09)
+    return (
+        o.join(hot, o["o_orderkey"] == hot["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _sql_q05() -> str:
+    return """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_discount >= 0.09
+    )
+    GROUP BY o_orderpriority
+    """
+
+
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order above 300k total price."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 300_000)
+    return (
+        c.join(big, c["c_custkey"] == big["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def _sql_q06() -> str:
+    return """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 300000
+    )
+    GROUP BY c_mktsegment
+    """
+
+
+def q07_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price (ranking window)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk")
+    )
+
+
+def _sql_q07() -> str:
+    return """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS BIGINT) AS rnk
+    FROM orders
+    QUALIFY rnk <= 3
+    """
+
+
+def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/intersect/except over nation keys of customers vs suppliers."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("src", F.lit("cust_only"))  # set EXCEPT
+    return both.unionByName(cust_only)
+
+
+def _sql_q08() -> str:
+    return """
+    WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+         s AS (SELECT s_nationkey AS nationkey FROM supplier),
+         both_k AS (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s),
+         conly  AS (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+    SELECT nationkey, 'both' AS src FROM both_k
+    UNION ALL
+    SELECT nationkey, 'cust_only' AS src FROM conly
+    """
+
+
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def _sql_q09() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
+def q10_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch aggregation on the events stream table (batch
+    twin of streaming.windowed_event_counts)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _sql_q10() -> str:
+    return """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + running sum — the batch
+    twin of streaming session windows, expressed identically in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(w_order)
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def _sql_q11() -> str:
+    return """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """
+
+
+# ===========================================================================
+# pytrousse operator surface (SURVEY.md §2.5-2.8)
+# ===========================================================================
+def q20_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling as a query: null count + exact distinct per column of
+    documents (A1/A2 exact flavor; the engine's profiler uses HLL at scale)."""
+    d = _t(spark, sf_dir, "documents")
+    total = F.count(F.lit(1))
+    aggs = []
+    for c in d.columns:
+        aggs.append((total - F.count(F.col(c))).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    row = d.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            )
+            for c in d.columns
+        ]
+    )
+    return row.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def _sql_q20() -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, count(*) - count({c}) AS n_nulls, "
+        f"count(DISTINCT {c}) AS n_distinct FROM documents"
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q21_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 FillNA through the operator API (nulls synthesized via nullif)."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "seg_gap", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    )
+    ds = from_df(c)
+    out = FillNA(["seg_gap"], "FILLED", derived_columns=["seg_filled"])(ds)
+    return out.df.select("c_custkey", "seg_gap", "seg_filled")
+
+
+def _sql_q21() -> str:
+    return """
+    SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_gap,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'FILLED') AS seg_filled
+    FROM customer
+    """
+
+
+def q22_replace_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 whole-value replacement on l_returnflag."""
+    ds = from_df(_t(spark, sf_dir, "lineitem"))
+    out = ReplaceStrings(["l_returnflag"], {"N": "NONE", "R": "RET"})(ds)
+    return out.df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sql_q22() -> str:
+    return """
+    SELECT CASE l_returnflag WHEN 'N' THEN 'NONE' WHEN 'R' THEN 'RET'
+                ELSE l_returnflag END AS l_returnflag,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """
+
+
+def q23_replace_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 substring cascade on p_type (two sequential pairs)."""
+    ds = from_df(_t(spark, sf_dir, "part"))
+    out = ReplaceSubstrings(["p_type"], {"PROMO": "PM", " ": "_"})(ds)
+    return out.df.select("p_partkey", "p_type")
+
+
+def _sql_q23() -> str:
+    return """
+    SELECT p_partkey,
+           replace(replace(p_type, 'PROMO', 'PM'), ' ', '_') AS p_type
+    FROM part
+    """
+
+
+def q24_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 one-hot on o_orderstatus (categories F/O/P at this SF)."""
+    ds = from_df(_t(spark, sf_dir, "orders"))
+    out = OneHotEncoder(["o_orderstatus"])(ds)
+    return out.df.select(
+        "o_orderkey", "o_orderstatus_F_enc", "o_orderstatus_O_enc", "o_orderstatus_P_enc"
+    )
+
+
+def _sql_q24() -> str:
+    return """
+    SELECT o_orderkey,
+           o_orderstatus = 'F' AS o_orderstatus_F_enc,
+           o_orderstatus = 'O' AS o_orderstatus_O_enc,
+           o_orderstatus = 'P' AS o_orderstatus_P_enc
+    FROM orders
+    """
+
+
+def q25_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 ordinal encoding of c_mktsegment (sorted-vocabulary codes)."""
+    ds = from_df(_t(spark, sf_dir, "customer"))
+    out = OrdinalEncoder(["c_mktsegment"], derived_columns=["seg_code"])(ds)
+    return out.df.select("c_custkey", "c_mktsegment", "seg_code")
+
+
+def _sql_q25() -> str:
+    return """
+    WITH codes AS (
+        SELECT c_mktsegment AS v,
+               CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS code
+        FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)
+    )
+    SELECT c_custkey, c_mktsegment, codes.code AS seg_code
+    FROM customer LEFT JOIN codes ON c_mktsegment = codes.v
+    """
+
+
+def q26_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 threshold binning of l_quantity (thresholds land in higher bin)."""
+    ds = from_df(_t(spark, sf_dir, "lineitem"))
+    out = split_continuous_column_into_bins(ds, "l_quantity", [10, 25, 40])
+    return out.df.groupBy("l_quantity_bin_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_quantity"), 2).alias("min_q"),
+        F.round(F.max("l_quantity"), 2).alias("max_q"),
+    )
+
+
+def _sql_q26() -> str:
+    return """
+    WITH b AS (
+        SELECT l_quantity,
+               CAST(CASE WHEN l_quantity IS NOT NULL
+                          AND l_quantity >= (SELECT min(l_quantity) - 1 FROM lineitem)
+                          AND l_quantity <= (SELECT max(l_quantity) FROM lineitem)
+                    THEN (CASE WHEN l_quantity >= 10 THEN 1 ELSE 0 END
+                        + CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+                        + CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END)
+                    END AS SMALLINT) AS l_quantity_bin_id
+        FROM lineitem
+    )
+    SELECT l_quantity_bin_id, count(*) AS n,
+           round(min(l_quantity), 2) AS min_q, round(max(l_quantity), 2) AS max_q
+    FROM b GROUP BY 1
+    """
+
+
+def q27_combo_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 categorical-combination id over (l_returnflag, l_linestatus)."""
+    ds = from_df(_t(spark, sf_dir, "lineitem"))
+    out, name = combine_categorical_columns_to_one(
+        ds, ("l_returnflag", "l_linestatus")
+    )
+    return out.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col(name).alias("combo_id"),
+    )
+
+
+def _sql_q27() -> str:
+    return """
+    WITH v1 AS (
+        SELECT l_returnflag AS v,
+               row_number() OVER (ORDER BY l_returnflag) - 1 AS c
+        FROM (SELECT DISTINCT l_returnflag FROM lineitem WHERE l_returnflag IS NOT NULL)
+    ), v2 AS (
+        SELECT l_linestatus AS v,
+               row_number() OVER (ORDER BY l_linestatus) - 1 AS c
+        FROM (SELECT DISTINCT l_linestatus FROM lineitem WHERE l_linestatus IS NOT NULL)
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(v1.c * (SELECT count(*) FROM v2) + v2.c AS SMALLINT) AS combo_id
+    FROM lineitem
+    LEFT JOIN v1 ON l_returnflag = v1.v
+    LEFT JOIN v2 ON l_linestatus = v2.v
+    """
+
+
+def q28_group_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 per-group binning of p_retailprice by p_brand (uniform bins,
+    fallback group Brand#4 for brands under 70 samples)."""
+    ds = from_df(_t(spark, sf_dir, "part"))
+    out, _ = add_group_specific_bin_id(
+        ds,
+        "p_retailprice",
+        "p_brand",
+        "Brand#4",
+        new_column_name="price_bin",
+        bin_thresh_increase=1,
+        bin_count=5,
+        sample_count_threshold=70,
+    )
+    return out.df.select("p_partkey", "p_brand", "price_bin")
+
+
+def _sql_q28() -> str:
+    return """
+    WITH gs AS (
+        SELECT p_brand AS g, min(p_retailprice) AS mn, max(p_retailprice) AS mx,
+               count(p_retailprice) AS cnt
+        FROM part GROUP BY 1
+    ), fb AS (SELECT mn, mx FROM gs WHERE g = 'Brand#4'),
+    eff AS (
+        SELECT gs.g,
+               CASE WHEN gs.cnt < 70 THEN fb.mn ELSE gs.mn END AS mn,
+               CASE WHEN gs.cnt < 70 THEN fb.mx ELSE gs.mx END AS mx
+        FROM gs, fb
+    )
+    SELECT p_partkey, p_brand,
+           CAST(CASE WHEN p_retailprice IS NOT NULL
+                      AND p_retailprice >= eff.mn - eff.mn * 1e-10
+                      AND p_retailprice <= eff.mx + 1
+                THEN least(
+                    (CASE WHEN p_retailprice >= (eff.mx - eff.mn)/5*1 + eff.mn THEN 1 ELSE 0 END
+                   + CASE WHEN p_retailprice >= (eff.mx - eff.mn)/5*2 + eff.mn THEN 1 ELSE 0 END
+                   + CASE WHEN p_retailprice >= (eff.mx - eff.mn)/5*3 + eff.mn THEN 1 ELSE 0 END
+                   + CASE WHEN p_retailprice >= (eff.mx - eff.mn)/5*4 + eff.mn THEN 1 ELSE 0 END), 4)
+                END AS SMALLINT) AS price_bin
+    FROM part JOIN eff ON p_brand = eff.g
+    """
+
+
+def q29_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/R3 typo-repair cascade over synthesized dirty numerics (decimal
+    commas, degree suffixes, out-of-scale markers, junk words)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("string")
+    dirty = (
+        F.when(F.col("l_orderkey") % 11 == 0, F.lit("---"))
+        .when(F.col("l_orderkey") % 7 == 0, F.concat(F.lit(">"), qty))
+        .when(F.col("l_orderkey") % 5 == 0, F.concat(qty, F.lit("°")))
+        .when(F.col("l_orderkey") % 3 == 0, F.replace(qty, F.lit("."), F.lit(",")))
+        .otherwise(qty)
+    )
+    df = li.select("l_orderkey", "l_linenumber", dirty.alias("dirty"))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "dirty",
+        F.round(repair_expr(F.col("dirty")), 6).alias("fixed"),
+    )
+
+
+def _sql_q29() -> str:
+    dirty = """
+        CASE WHEN l_orderkey % 11 = 0 THEN '---'
+             WHEN l_orderkey % 7 = 0 THEN '>' || CAST(l_quantity AS VARCHAR)
+             WHEN l_orderkey % 5 = 0 THEN CAST(l_quantity AS VARCHAR) || '°'
+             WHEN l_orderkey % 3 = 0 THEN replace(CAST(l_quantity AS VARCHAR), '.', ',')
+             ELSE CAST(l_quantity AS VARCHAR) END
+    """
+    return f"""
+    WITH d AS (
+        SELECT l_orderkey, l_linenumber, {dirty} AS dirty FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, dirty,
+           round({repair_sql('dirty')}, 6) AS fixed
+    FROM d
+    """
+
+
+def q30_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2-N4 anonymization of customer names (deterministic salted scheme)."""
+    ds = from_df(_t(spark, sf_dir, "customer"))
+    out, _priv = anonymize_data(ds, ["c_name"], ["c_name"], salt="graft")
+    return out.df.select(
+        "c_custkey", "ID_OWNER", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
+def _sql_q30() -> str:
+    return f"""
+    SELECT c_custkey, {id_owner_sql(['c_name'], 'graft')} AS ID_OWNER,
+           round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    """
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (dedup / similarity / text / multimodal)
+# ===========================================================================
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per (lang, source) group."""
+    d = _t(spark, sf_dir, "documents")
+    out = dd.exact_dedup(d, ["lang", "source"], "doc_id")
+    return out.select("lang", "source", "doc_id", "n_chars")
+
+
+def _sql_q40() -> str:
+    return """
+    SELECT lang, source,
+           arg_min(doc_id, doc_id) AS doc_id,
+           arg_min(n_chars, doc_id) AS n_chars
+    FROM documents GROUP BY lang, source
+    """
+
+
+def q41_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group census on the exact-dedup key."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.duplicate_groups(d, ["lang", "source"])
+
+
+def _sql_q41() -> str:
+    return """
+    SELECT lang, source, count(*) AS dup_count
+    FROM documents GROUP BY lang, source HAVING count(*) > 1
+    """
+
+
+def q42_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms over word 3-shingles, portable hash)."""
+    d = _t(spark, sf_dir, "documents")
+    staged = dd.with_minhash_signature(d, "text", num_perm=8)
+    cols = [
+        F.element_at(F.col("__sig"), i + 1).alias(f"sig_{i}") for i in range(8)
+    ]
+    return staged.select("doc_id", *cols)
+
+
+def _sql_q42() -> str:
+    sig = dd.minhash_signature_sql("text", num_perm=8)
+    cols = ", ".join(f"__sig[{i + 1}] AS sig_{i}" for i in range(8))
+    return f"SELECT doc_id, {cols} FROM (SELECT doc_id, {sig} AS __sig FROM documents)"
+
+
+def q43_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 perms, 4 bands)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(d, "text", "doc_id", num_perm=8, bands=4)
+
+
+def _sql_q43() -> str:
+    sig = dd.minhash_signature_sql("text", num_perm=8)
+    return f"""
+    WITH sigs AS (SELECT doc_id, {sig} AS s FROM documents),
+    banded AS (
+        SELECT doc_id, unnest([
+            '0_' || s[1] || '_' || s[2],
+            '1_' || s[3] || '_' || s[4],
+            '2_' || s[5] || '_' || s[6],
+            '3_' || s[7] || '_' || s[8]
+        ]) AS band
+        FROM sigs
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r USING (band)
+    WHERE l.doc_id < r.doc_id
+    """
+
+
+def q44_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.2 (inverted-index join)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+
+
+def _sql_q44() -> str:
+    return dd.ngram_jaccard_pairs_sql("documents", "text", "doc_id", 3, 0.2)
+
+
+def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dd.simhash(F.col("text")).alias("simhash16"))
+
+
+def _sql_q45() -> str:
+    return f"SELECT doc_id, {dd.simhash_sql('text')} AS simhash16 FROM documents"
+
+
+def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.3)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.3)
+
+
+def _sql_q46() -> str:
+    from pytrousse_spark.functions.vectors import cosine_sql
+
+    cs = cosine_sql("a.embedding", "b.embedding", 64)
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cs}, 6) AS cos
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND round({cs}, 6) >= 0.3
+    """
+
+
+def q47_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for queries vec_id < 10."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(e, e.where("vec_id < 10"), 5)
+
+
+def _sql_q47() -> str:
+    return sim.cosine_topk_sql("embeddings", 5, 64, query_filter="q.vec_id < 10")
+
+
+def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, language-id, quality, fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.bpe_ish_token_count(t).alias("n_subtokens"),
+        tx.lang_id(t).alias("lang_guess"),
+        tx.quality_score(t).alias("quality"),
+        tx.fingerprint(t).alias("fingerprint"),
+    )
+
+
+def _sql_q48() -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(len({tx.tokens_sql('text')}) AS BIGINT) AS n_tokens,
+           {tx.bpe_ish_token_count_sql('text')} AS n_subtokens,
+           {tx.lang_id_sql('text')} AS lang_guess,
+           {tx.quality_score_sql('text')} AS quality,
+           {tx.fingerprint_sql('text')} AS fingerprint
+    FROM documents
+    """
+
+
+def q49_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata struct."""
+    from pytrousse_spark.operators.multimodal import attach_media_column
+
+    d = _t(spark, sf_dir, "documents")
+    m = attach_media_column(d, "text")
+    return m.select(
+        "doc_id",
+        F.col("media_meta.byte_size").alias("byte_size"),
+        F.col("media_meta.sha256").alias("payload_sha256"),
+    )
+
+
+def _sql_q49() -> str:
+    return """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_size,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_revenue_orders": q02_top_revenue_orders,
+        "q03_nation_volume": q03_nation_volume,
+        "q04_filter_agg": q04_filter_agg,
+        "q05_semi_join": q05_semi_join,
+        "q06_anti_join": q06_anti_join,
+        "q07_window_rank": q07_window_rank,
+        "q08_set_ops": q08_set_ops,
+        "q09_rollup": q09_rollup,
+        "q10_events_hourly": q10_events_hourly,
+        "q11_sessionize": q11_sessionize,
+        "q20_profile": q20_profile,
+        "q21_fillna": q21_fillna,
+        "q22_replace_strings": q22_replace_strings,
+        "q23_replace_substrings": q23_replace_substrings,
+        "q24_onehot": q24_onehot,
+        "q25_ordinal": q25_ordinal,
+        "q26_binning": q26_binning,
+        "q27_combo_encoding": q27_combo_encoding,
+        "q28_group_binning": q28_group_binning,
+        "q29_repair": q29_repair,
+        "q30_anonymize": q30_anonymize,
+        "q40_dedup_exact": q40_dedup_exact,
+        "q41_dup_census": q41_dup_census,
+        "q42_minhash": q42_minhash,
+        "q43_lsh_pairs": q43_lsh_pairs,
+        "q44_jaccard_pairs": q44_jaccard_pairs,
+        "q45_simhash": q45_simhash,
+        "q46_embedding_neardup": q46_embedding_neardup,
+        "q47_cosine_topk": q47_cosine_topk,
+        "q48_text_stats": q48_text_stats,
+        "q49_media_meta": q49_media_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _sql_q01(),
+        "q02_top_revenue_orders": _sql_q02(),
+        "q03_nation_volume": _sql_q03(),
+        "q04_filter_agg": _sql_q04(),
+        "q05_semi_join": _sql_q05(),
+        "q06_anti_join": _sql_q06(),
+        "q07_window_rank": _sql_q07(),
+        "q08_set_ops": _sql_q08(),
+        "q09_rollup": _sql_q09(),
+        "q10_events_hourly": _sql_q10(),
+        "q11_sessionize": _sql_q11(),
+        "q20_profile": _sql_q20(),
+        "q21_fillna": _sql_q21(),
+        "q22_replace_strings": _sql_q22(),
+        "q23_replace_substrings": _sql_q23(),
+        "q24_onehot": _sql_q24(),
+        "q25_ordinal": _sql_q25(),
+        "q26_binning": _sql_q26(),
+        "q27_combo_encoding": _sql_q27(),
+        "q28_group_binning": _sql_q28(),
+        "q29_repair": _sql_q29(),
+        "q30_anonymize": _sql_q30(),
+        "q40_dedup_exact": _sql_q40(),
+        "q41_dup_census": _sql_q41(),
+        "q42_minhash": _sql_q42(),
+        "q43_lsh_pairs": _sql_q43(),
+        "q44_jaccard_pairs": _sql_q44(),
+        "q45_simhash": _sql_q45(),
+        "q46_embedding_neardup": _sql_q46(),
+        "q47_cosine_topk": _sql_q47(),
+        "q48_text_stats": _sql_q48(),
+        "q49_media_meta": _sql_q49(),
+    }

@@ -1,0 +1,315 @@
+"""Deduplication operators for large-scale training-data pipelines
+(beyond-reference; BASELINE.json north star).
+
+All public-knowledge techniques: exact hash dedup, MinHash+LSH (Broder 1997;
+banding per Mining of Massive Datasets ch.3), SimHash (Charikar 2002),
+inverted-index n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design:
+- signatures/fingerprints are per-row expressions (one scan, no Python);
+- candidate generation is an equi-join on (band, band-hash) or shingle —
+  shuffles only ids+signatures, never full documents;
+- every operator has a ``hash_fn`` switch: ``"md5"`` = portable 60-bit base
+  (DuckDB-verifiable, used by the correctness gate), ``"xxhash64"`` = fast
+  JVM path for production runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60_seeded_sql, hash_expr
+from ..functions.text import tokens, word_shingles, word_shingles_sql
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per distinct ``key_cols`` — the one with the min (or max)
+    ``id_col``, so the survivor is deterministic (unlike ``dropDuplicates``,
+    whose survivor depends on partitioning).
+
+    Implemented as a single hash-aggregation keyed on ``key_cols`` via
+    ``min_by`` (no window, no sort — one shuffle).
+    """
+    agg = F.min_by if keep == "min" else F.max_by
+    others = [c for c in df.columns if c not in key_cols]
+    return df.groupBy(*key_cols).agg(
+        *[agg(F.col(c), F.col(id_col)).alias(c) for c in others]
+    )
+
+
+def duplicate_groups(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Groups with >1 occurrence: key + count (exact dedup census)."""
+    return df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("dup_count")).where(
+        F.col("dup_count") > 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    text: Column, num_perm: int = 16, shingle_n: int = 3, hash_fn: str = "md5"
+) -> Column:
+    """Array of ``num_perm`` minhash values over word shingles.
+
+    Independent hash functions come from seeded payload prefixes (no 64-bit
+    multiply — portable across engines; see functions/hashing.py).
+    """
+    sh = word_shingles(text, shingle_n)
+    return _sig_from_shingles(sh, num_perm, hash_fn)
+
+
+def _sig_from_shingles(sh: Column, num_perm: int, hash_fn: str) -> Column:
+    def seeded(p: int):
+        return lambda s: hash_expr(s, p, hash_fn)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, seeded(p))) for p in range(num_perm)]
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "__sig",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Staged variant: materializes the shingle array in its own projection so
+    tokenization/shingling runs ONCE per row instead of once per permutation
+    (Catalyst's CollapseProject would otherwise inline the shingle expression
+    ``num_perm`` times — measured ~10× slowdown)."""
+    return (
+        df.withColumn("__sh", word_shingles(F.col(text_col), shingle_n))
+        .withColumn(out_col, _sig_from_shingles(F.col("__sh"), num_perm, hash_fn))
+        .drop("__sh")
+    )
+
+
+def minhash_signature_sql(expr: str, num_perm: int = 16, shingle_n: int = 3) -> str:
+    """DuckDB twin of :func:`minhash_signature` (md5 mode)."""
+    sh = word_shingles_sql(expr, shingle_n)
+    mins = ", ".join(
+        f"list_min(list_transform({sh}, s -> {h60_seeded_sql('s', p)}))"
+        for p in range(num_perm)
+    )
+    return f"[{mins}]"
+
+
+def _band_key(sig_col: Column, band: int, rows_per_band: int) -> Column:
+    """Stable string key for one LSH band of the signature."""
+    return F.concat_ws(
+        "_",
+        F.lit(band),
+        *[
+            F.element_at(sig_col, band * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ],
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) whose signatures collide
+    in at least one LSH band.
+
+    Plan: one scan computes signatures → explode only ``bands`` small rows
+    per doc (band key + id) → self-equi-join on the band key → distinct
+    pairs. Documents never shuffle; only (band_key, id).
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rpb = num_perm // bands
+    keyed = with_minhash_signature(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col)),
+        text_col,
+        num_perm=num_perm,
+        shingle_n=shingle_n,
+        hash_fn=hash_fn,
+    ).select(
+        "__id",
+        F.explode(
+            F.array(*[_band_key(F.col("__sig"), b, rpb) for b in range(bands)])
+        ).alias("__band"),
+    )
+    left = keyed.alias("l")
+    right = keyed.alias("r")
+    return (
+        left.join(right, on="__band")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted index)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for every pair sharing at
+    least one n-gram; keeps pairs with similarity >= threshold.
+
+    Inverted-index join: explode distinct shingles → self-join on shingle →
+    count common → combine with per-doc sizes. Exact but quadratic in
+    worst-case posting lists — at scale run AFTER minhash_lsh_pairs as the
+    verification stage.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("__sh"),
+    )
+    sizes = shingled.groupBy("__id").agg(F.count(F.lit(1)).alias("__size"))
+    l, r = shingled.alias("l"), shingled.alias("r")
+    common = (
+        l.join(r, on="__sh")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__sb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__common")
+                / (F.col("__sa") + F.col("__sb") - F.col("__common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs`."""
+    sh = word_shingles_sql(text_col, n)
+    return f"""
+    WITH shingled AS (
+        SELECT {id_col} AS __id, unnest(list_distinct({sh})) AS __sh FROM {table}
+    ), sizes AS (
+        SELECT __id, count(*) AS __size FROM shingled GROUP BY __id
+    ), common AS (
+        SELECT l.__id AS id_a, r.__id AS id_b, count(*) AS __common
+        FROM shingled l JOIN shingled r USING (__sh)
+        WHERE l.__id < r.__id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(__common / (sa.__size + sb.__size - __common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.__id = id_a
+    JOIN sizes sb ON sb.__id = id_b
+    WHERE round(__common / (sa.__size + sb.__size - __common), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(text: Column, bits: int = 16, hash_fn: str = "md5") -> Column:
+    """``bits``-bit SimHash over whitespace tokens (Charikar 2002): bit j is
+    the sign of the sum over tokens of ±1 from the token hash's bit j.
+    Pure array-expression — no explode, no shuffle."""
+    hs = F.transform(tokens(text), lambda t: hash_expr(t, None, hash_fn))
+
+    def bit_sum(j: int):
+        return lambda acc, x: acc + (
+            F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    bit_cols = []
+    for j in range(bits):
+        s = F.aggregate(hs, F.lit(0), bit_sum(j))
+        bit_cols.append(F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for b in bit_cols[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def simhash_sql(expr: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`simhash` (md5 mode)."""
+    from ..functions.text import tokens_sql
+    from ..functions.hashing import h60_sql
+
+    hs = f"list_transform({tokens_sql(expr)}, t -> {h60_sql('t')})"
+    parts = []
+    for j in range(bits):
+        s = f"list_sum(list_transform({hs}, x -> CAST(((x >> {j}) & 1) * 2 - 1 AS INT)))"
+        parts.append(f"(CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END)")
+    return f"CAST(({' + '.join(parts)}) AS BIGINT)"
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
+    """Popcount of XOR via bit_count (JVM built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine similarity >= threshold.
+
+    Brute-force O(n²) — correct baseline for the oracle; at scale gate with
+    similarity.hyperplane_lsh buckets first (see similarity.py).
+    """
+    from ..functions.vectors import dot, norm
+
+    # Pre-compute norms per row (O(n)) so the O(n²) pair stage only does one
+    # dot product per pair instead of three.
+    l = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    r = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+    )
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cos, 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

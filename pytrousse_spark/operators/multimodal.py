@@ -1,0 +1,118 @@
+"""Multimodal column plumbing (beyond-reference).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct. The Spark-side plumbing — schema, partition-friendly batch shape,
+Arrow-batched ``mapInPandas`` signatures — is real and tested; the actual
+codec step is STUBBED (decode libraries are not in this container): pass
+``decoder="fake"`` for a deterministic stand-in, or get a clear
+``NotImplementedError`` naming the missing dependency.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct attached next to every media column.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_size", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def attach_media_column(
+    df: DataFrame, source_col: str, media_col: str = "media", media_type: str = "image"
+) -> DataFrame:
+    """Wrap a column's bytes as an opaque media column + metadata struct.
+
+    (Test data has no real binaries, so ``source_col`` text is encoded as the
+    payload; with real data this is the ingestion point for raw bytes.)
+    """
+    payload = F.encode(F.col(source_col).cast("string"), "utf-8")
+    return df.withColumn(media_col, payload).withColumn(
+        f"{media_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(payload).cast("long").alias("byte_size"),
+            F.sha2(payload, 256).alias("sha256"),
+        ),
+    )
+
+
+def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for an image decoder: derives a plausible
+    (width, height) from the payload bytes. Keeps the Arrow batch shape and
+    output schema identical to a real decoder."""
+    sizes = batch["media"].map(len)
+    width = (sizes % 640 + 1).astype("int32")
+    height = (sizes % 480 + 1).astype("int32")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "width": width,
+            "height": height,
+            "n_pixels": (width * height).astype("int64"),
+            "checksum": batch["media"].map(
+                lambda b: __import__("hashlib").sha256(b).hexdigest()[:16]
+            ),
+        }
+    )
+
+
+def decode_images(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decoder: str = "pillow",
+) -> DataFrame:
+    """Decode media payloads into per-item dimensions via ``mapInPandas``.
+
+    Real decoding needs an image library not present in this container —
+    requesting ``decoder="pillow"`` raises ``NotImplementedError`` at plan
+    time. ``decoder="fake"`` runs the deterministic stub through the real
+    distributed plumbing (Arrow batches, per-partition map, typed schema).
+    """
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r} requires an image codec library (e.g. Pillow) "
+            "which is not available in this environment; use decoder='fake' "
+            "to exercise the pipeline with the deterministic stub"
+        )
+
+    cols = [id_col, media_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = _fake_decode(batch.rename(columns={media_col: "media", id_col: "doc_id"}))
+            yield out
+
+    return df.select(*cols).mapInPandas(run, schema=DECODED_IMAGE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, media_col: str = "media", every_nth: int = 30
+) -> DataFrame:
+    """Video frame-sampling plumbing: emits (doc, frame_index) rows without
+    decoding — the downstream decoder consumes the exploded plan. Frame count
+    is stubbed from byte_size (a real demuxer would read container headers).
+    """
+    est_frames = (F.col(f"{media_col}_meta.byte_size") / 100 + 1).cast("int")
+    idx = F.sequence(F.lit(0), est_frames - 1, F.lit(every_nth))
+    return df.withColumn("frame_index", F.explode(idx))

@@ -56,14 +56,15 @@ def assert_df_matches_sql(spark_df, duck_con, sql, float_round=6):
             return tuple(norm(x) for x in v)
         return v
 
-    def key(row_dict):
-        return tuple(norm(row_dict[c]) for c in scols)
+    def key(values):
+        # None-safe, type-stable sort key
+        return tuple((v is None, str(type(v).__name__), v if v is not None else 0) for v in values)
 
-    srows = sorted(key(r.asDict()) for r in sdata)
+    snorm = [tuple(norm(r.asDict()[c]) for c in scols) for r in sdata]
     dname = duck_rel.columns
-    drows = sorted(
-        tuple(norm(dict(zip(dname, r))[c]) for c in scols) for r in ddata
-    )
+    dnorm = [tuple(norm(dict(zip(dname, r))[c]) for c in scols) for r in ddata]
+    srows = sorted(snorm, key=key)
+    drows = sorted(dnorm, key=key)
     assert srows == drows, (
         f"values differ; first spark={srows[:3]} duck={drows[:3]}"
     )

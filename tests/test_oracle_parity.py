@@ -1,0 +1,44 @@
+"""Driver-gate rehearsal: run every __spark_entry__ query at sf0.01 and
+compare against its DuckDB oracle (row count + columns + order-insensitive
+values) — the same check CORRECTNESS_r{N}.json records."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import assert_df_matches_sql
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duckdb.connect()
+    for name in entrymod.TABLES:
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{SF01}/{name}.parquet'")
+    yield con
+    con.close()
+
+
+_QUERIES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_query_matches_oracle(spark, duck01, name):
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    assert sql is not None, f"{name} lacks an oracle"
+    df = fn(spark, SF01)
+    assert_df_matches_sql(df, duck01, sql)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == [
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "avg_qty", "avg_disc", "count_order",
+    ]

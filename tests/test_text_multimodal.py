@@ -1,0 +1,83 @@
+"""Text-analysis functions + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pytrousse_spark.functions import text as tx
+from pytrousse_spark.operators import multimodal as mm
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42",)], ["t"])
+    r = df.select(
+        tx.token_count(F.col("t")).alias("tc"),
+        tx.bpe_ish_token_count(F.col("t")).alias("btc"),
+    ).collect()[0]
+    assert r["tc"] == 3           # whitespace tokens
+    assert r["btc"] == 5          # hello , world ! 42
+
+
+def test_lang_id_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house",),
+            ("der Hund ist nicht ein Tier und das Haus",),
+            ("el perro es un animal y la casa es grande",),
+            ("xyzzy plugh qwerty",),
+        ],
+        ["t"],
+    )
+    got = [r[0] for r in df.select(tx.lang_id(F.col("t"))).collect()]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame([("",), ("short",), ("a decent length sentence with reasonable words " * 3,)], ["t"])
+    got = [r[0] for r in df.select(tx.quality_score(F.col("t"))).collect()]
+    assert all(0.0 <= q <= 1.0 for q in got)
+    assert got[0] < got[2]
+
+
+def test_word_shingles_and_fingerprint(spark):
+    df = spark.createDataFrame([("a b c d",), ("ab",)], ["t"])
+    rows = df.select(
+        tx.word_shingles(F.col("t"), 3).alias("sh"),
+        tx.fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    assert rows[0]["sh"] == ["a b c", "b c d"]
+    assert rows[1]["sh"] == ["ab"]          # shorter than n → whole text
+    assert isinstance(rows[0]["fp"], int)
+    # fingerprint is stable
+    again = df.select(tx.fingerprint(F.col("t")).alias("fp")).collect()
+    assert [r["fp"] for r in again] == [r["fp"] for r in rows]
+
+
+def test_attach_media_and_decode_stub(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world!")], ["doc_id", "text"])
+    m = mm.attach_media_column(df, "text")
+    metas = {r["doc_id"]: r["media_meta"] for r in m.collect()}
+    assert metas[1]["byte_size"] == 5
+    assert metas[1]["media_type"] == "image"
+    assert len(metas[1]["sha256"]) == 64
+
+    decoded = mm.decode_images(m, decoder="fake")
+    assert decoded.columns == ["doc_id", "width", "height", "n_pixels", "checksum"]
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    assert rows[1]["n_pixels"] == rows[1]["width"] * rows[1]["height"]
+    # deterministic
+    again = {r["doc_id"]: r for r in mm.decode_images(m, decoder="fake").collect()}
+    assert again[1] == rows[1]
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_images(m)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, "x" * 5000)], ["doc_id", "text"])
+    m = mm.attach_media_column(df, "text", media_type="video")
+    frames = mm.frame_sample_plan(m, every_nth=10)
+    idx = sorted(r["frame_index"] for r in frames.collect())
+    assert idx[0] == 0 and len(idx) > 1
+    assert all(i % 10 == 0 for i in idx)
