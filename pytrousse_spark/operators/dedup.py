@@ -82,14 +82,17 @@ def with_minhash_signature(
     shingle_n: int = 3,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Staged variant: materializes the shingle array in its own projection so
-    tokenization/shingling runs ONCE per row instead of once per permutation
-    (Catalyst's CollapseProject would otherwise inline the shingle expression
-    ``num_perm`` times — measured ~10× slowdown)."""
+    """Staged variant: tokens and shingles each materialize in their own
+    projection so they run ONCE per row instead of once per permutation /
+    once per array element (expressions inside higher-order lambdas re-run
+    per element — measured ~10× slowdown; see functions/text.py)."""
+    from ..functions.text import shingles_from_tokens, tokens
+
     return (
-        df.withColumn("__sh", word_shingles(F.col(text_col), shingle_n))
+        df.withColumn("__tk", tokens(F.col(text_col)))
+        .withColumn("__sh", shingles_from_tokens(F.col("__tk"), shingle_n))
         .withColumn(out_col, _sig_from_shingles(F.col("__sh"), num_perm, hash_fn))
-        .drop("__sh")
+        .drop("__tk", "__sh")
     )
 
 
@@ -176,11 +179,17 @@ def ngram_jaccard_pairs(
     worst-case posting lists — at scale run AFTER minhash_lsh_pairs as the
     verification stage.
     """
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), n))
-        ).alias("__sh"),
+    from ..functions.text import shingles_from_tokens, tokens
+
+    shingled = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
+            ).alias("__sh"),
+        )
     )
     sizes = shingled.groupBy("__id").agg(F.count(F.lit(1)).alias("__size"))
     l, r = shingled.alias("l"), shingled.alias("r")
@@ -241,7 +250,10 @@ def simhash(text: Column, bits: int = 16, hash_fn: str = "md5") -> Column:
     the sign of the sum over tokens of ±1 from the token hash's bit j.
     Pure array-expression — no explode, no shuffle."""
     hs = F.transform(tokens(text), lambda t: hash_expr(t, None, hash_fn))
+    return _simhash_from_hashes(hs, bits)
 
+
+def _simhash_from_hashes(hs: Column, bits: int) -> Column:
     def bit_sum(j: int):
         return lambda acc, x: acc + (
             F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1
@@ -255,6 +267,28 @@ def simhash(text: Column, bits: int = 16, hash_fn: str = "md5") -> Column:
     for b in bit_cols[1:]:
         out = out + b
     return out.cast("long")
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash16",
+    bits: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Staged SimHash: token hashes materialize once, then ``bits`` aggregates
+    read the hash array column instead of re-hashing per bit."""
+    from ..functions.text import tokens
+
+    def tok_hash(t):
+        return hash_expr(t, None, hash_fn)
+
+    return (
+        df.withColumn("__tk", tokens(F.col(text_col)))
+        .withColumn("__hs", F.transform(F.col("__tk"), tok_hash))
+        .withColumn(out_col, _simhash_from_hashes(F.col("__hs"), bits))
+        .drop("__tk", "__hs")
+    )
 
 
 def simhash_sql(expr: str, bits: int = 16) -> str:
@@ -283,12 +317,31 @@ def embedding_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    method: str = "expr",
+    max_broadcast: int = 200_000,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine similarity >= threshold.
 
-    Brute-force O(n²) — correct baseline for the oracle; at scale gate with
-    similarity.hyperplane_lsh buckets first (see similarity.py).
+    ``method="expr"``: pure JVM expression fold — exact left-to-right double
+    arithmetic, bit-reproducible by the DuckDB oracle. O(n²) pair evaluations.
+
+    ``method="exact_np"``: Arrow-batched ``mapInPandas`` computing the SAME
+    left-to-right fold via ``np.add.accumulate`` (strictly sequential), with
+    rounding done Spark-side — bit-identical to ``expr`` (verified) at ~10×
+    the speed. Default for the oracle-checked query.
+
+    ``method="blas"``: one BLAS matmul per batch — fastest, but float-sum
+    order differs from the fold in the last ulp (fine for production dedup,
+    not for bit-exact oracle comparison).
+
+    Both numpy methods broadcast the corpus matrix (capped at
+    ``max_broadcast`` vectors); beyond that, pre-bucket with
+    similarity.ann_topk_lsh.
     """
+    if method == "blas":
+        return _neardup_blas(df, vec_col, id_col, threshold, max_broadcast)
+    if method == "exact_np":
+        return _neardup_exact_np(df, vec_col, id_col, threshold, max_broadcast)
     from ..functions.vectors import dot, norm
 
     # Pre-compute norms per row (O(n)) so the O(n²) pair stage only does one
@@ -313,3 +366,108 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def _collect_corpus(df: DataFrame, vec_col: str, id_col: str, max_broadcast: int):
+    import numpy as np
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n = src.count()
+    if n > max_broadcast:
+        raise ValueError(
+            f"corpus has {n} vectors (> {max_broadcast}); pre-bucket with LSH"
+        )
+    rows = src.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    return src, ids, mat
+
+
+def _neardup_exact_np(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, max_broadcast: int
+) -> DataFrame:
+    """Sequential-fold numpy pair stage: ``np.add.accumulate`` reproduces the
+    expression fold's addition order exactly, so raw cosines are bit-identical
+    to the JVM/DuckDB computation; rounding + final threshold run Spark-side.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    src, ids, mat = _collect_corpus(df, vec_col, id_col, max_broadcast)
+    norms = np.sqrt(np.add.accumulate(mat * mat, axis=1)[:, -1])
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((ids, mat, norms))
+    margin = threshold - 1e-6  # rounding moves a value by < 5e-7
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat, all_norms = b.value
+        for batch in batches:
+            qids = batch["id"].to_numpy()
+            qmat = np.array(batch["v"].tolist(), dtype=np.float64)
+            qnorms = np.sqrt(np.add.accumulate(qmat * qmat, axis=1)[:, -1])
+            for lo in range(0, len(qids), 64):  # bound prods tensor memory
+                qs, qv, qn = qids[lo:lo + 64], qmat[lo:lo + 64], qnorms[lo:lo + 64]
+                prods = qv[:, None, :] * all_mat[None, :, :]
+                dots = np.add.accumulate(prods, axis=2)[:, :, -1]
+                denom = qn[:, None] * all_norms[None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dots / denom
+                mask = (all_ids[None, :] > qs[:, None]) & (denom > 0) & (cos >= margin)
+                qi, cj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"id_a": qs[qi], "id_b": all_ids[cj], "raw": cos[qi, cj]}
+                )
+
+    raw = src.mapInPandas(run, schema="id_a long, id_b long, raw double")
+    return (
+        raw.withColumn("cos", F.round(F.col("raw"), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _neardup_blas(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, max_broadcast: int
+) -> DataFrame:
+    """Broadcast-matrix near-dup: each Arrow batch does one matmul against
+    the full corpus matrix (executors share the broadcast copy)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n = src.count()
+    if n > max_broadcast:
+        raise ValueError(
+            f"corpus has {n} vectors (> {max_broadcast}); pre-bucket with LSH"
+        )
+    rows = src.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.inf  # zero vectors never match
+    unit = mat / norms[:, None]
+    sc = df.sparkSession.sparkContext
+    b_ids, b_unit = sc.broadcast(ids), sc.broadcast(unit)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_unit = b_ids.value, b_unit.value
+        for batch in batches:
+            q = np.array(batch["v"].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = np.inf
+            sims = (q / qn[:, None]) @ all_unit.T
+            qids = batch["id"].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for i, qid in enumerate(qids):
+                mask = (all_ids > qid) & (np.round(sims[i], 6) >= threshold)
+                js = np.nonzero(mask)[0]
+                out_a.extend([qid] * len(js))
+                out_b.extend(all_ids[js])
+                out_c.extend(np.round(sims[i, js], 6))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+
+    return src.mapInPandas(run, schema="id_a long, id_b long, cos double")

@@ -143,3 +143,25 @@ def test_hyperplane_signature_deterministic(emb):
     s2 = emb.select(sim.hyperplane_signature(F.col("embedding"), planes).alias("b")).collect()
     assert [r["b"] for r in s1] == [r["b"] for r in s2]
     assert all(0 <= r["b"] < 16 for r in s1)
+
+
+def test_blas_neardup_agrees_with_expr(emb):
+    """The BLAS scale path must produce the same pairs as the exact fold."""
+    expr_pairs = {
+        (r["id_a"], r["id_b"], round(r["cos"], 4))
+        for r in dd.embedding_neardup_pairs(emb, "embedding", "vec_id", 0.3).collect()
+    }
+    blas_pairs = {
+        (r["id_a"], r["id_b"], round(r["cos"], 4))
+        for r in dd.embedding_neardup_pairs(
+            emb, "embedding", "vec_id", 0.3, method="blas"
+        ).collect()
+    }
+    assert expr_pairs == blas_pairs
+
+
+def test_blas_neardup_corpus_cap(emb):
+    with pytest.raises(ValueError):
+        dd.embedding_neardup_pairs(
+            emb, "embedding", "vec_id", 0.3, method="blas", max_broadcast=10
+        )
