@@ -389,6 +389,109 @@ def _sql_q11() -> str:
     """
 
 
+def q12_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function surface: extract, trunc, datediff."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),  # 0=Sunday
+            F.to_date(F.col("ts")).alias("day"),
+            F.datediff(F.col("ts"), F.lit("2024-01-01")).cast("long").alias(
+                "days_since"
+            ),
+        )
+    )
+
+
+def _sql_q12() -> str:
+    return """
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(date_part('dow', ts) AS BIGINT) AS dow,
+           CAST(ts AS DATE) AS day,
+           CAST(datediff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS days_since
+    FROM events
+    """
+
+
+def q13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface: case, trim, substr, split, regexp,
+    pad, reverse, concat."""
+    p = _t(spark, sf_dir, "part")
+    t = F.col("p_type")
+    return p.select(
+        "p_partkey",
+        F.upper(t).alias("up"),
+        F.lower(t).alias("lo"),
+        F.substring(t, 1, 5).alias("sub5"),
+        F.length(t).cast("long").alias("len"),
+        F.split(t, " ").getItem(0).alias("first_word"),
+        F.regexp_extract(t, r"([A-Z]+)$", 1).alias("last_caps"),
+        F.lpad(F.col("p_brand"), 12, "#").alias("padded"),
+        F.reverse(t).alias("rev"),
+        F.concat_ws("|", F.col("p_brand"), t).alias("joined"),
+    )
+
+
+def _sql_q13() -> str:
+    return """
+    SELECT p_partkey,
+           upper(p_type) AS up,
+           lower(p_type) AS lo,
+           substr(p_type, 1, 5) AS sub5,
+           CAST(length(p_type) AS BIGINT) AS len,
+           string_split(p_type, ' ')[1] AS first_word,
+           coalesce(regexp_extract(p_type, '([A-Z]+)$', 1), '') AS last_caps,
+           lpad(p_brand, 12, '#') AS padded,
+           reverse(p_type) AS rev,
+           concat_ws('|', p_brand, p_type) AS joined
+    FROM part
+    """
+
+
+def q14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.count_distinct(F.col("l_partkey")).alias("n_part"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _sql_q14() -> str:
+    return """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def q15_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the global average account balance."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+def _sql_q15() -> str:
+    return """
+    SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """
+
+
 # ===========================================================================
 # pytrousse operator surface (SURVEY.md §2.5-2.8)
 # ===========================================================================
@@ -884,6 +987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_rollup": q09_rollup,
         "q10_events_hourly": q10_events_hourly,
         "q11_sessionize": q11_sessionize,
+        "q12_date_functions": q12_date_functions,
+        "q13_string_functions": q13_string_functions,
+        "q14_distinct_agg": q14_distinct_agg,
+        "q15_scalar_subquery": q15_scalar_subquery,
         "q20_profile": q20_profile,
         "q21_fillna": q21_fillna,
         "q22_replace_strings": q22_replace_strings,
@@ -922,6 +1029,10 @@ def oracle_sql() -> dict[str, str]:
         "q09_rollup": _sql_q09(),
         "q10_events_hourly": _sql_q10(),
         "q11_sessionize": _sql_q11(),
+        "q12_date_functions": _sql_q12(),
+        "q13_string_functions": _sql_q13(),
+        "q14_distinct_agg": _sql_q14(),
+        "q15_scalar_subquery": _sql_q15(),
         "q20_profile": _sql_q20(),
         "q21_fillna": _sql_q21(),
         "q22_replace_strings": _sql_q22(),

@@ -1,0 +1,64 @@
+"""S1 CSV ingestion → profile → repair → encode: the reference's primary
+end-to-end flow (SURVEY.md §3 E1-E3) on a Sani-15300-shaped CSV
+(FIXTURES.md §5: typo'd numeric exam columns + categorical metadata)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pytrousse_spark import read_csv
+from pytrousse_spark.operators.encoding import encode_multi_categorical_columns
+from pytrousse_spark.operators.repair import RowFix
+
+
+@pytest.fixture(scope="module")
+def vet_csv(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csv")
+    p = d / "vet.csv"
+    rows = ["BREED,SEX,AGE,TEMP,NOTES"]
+    breeds = ["MONGREL"] * 30 + ["POODLE"] * 6
+    for i, b in enumerate(breeds):
+        temp = f"{38 + i % 3}.{i % 10}"
+        if i % 7 == 0:
+            # decimal-comma typo — quoted so it survives CSV parsing
+            temp = '"' + temp.replace(".", ",") + '"'
+        elif i % 11 == 0:
+            temp = "---"                        # junk word
+        elif i % 13 == 0:
+            temp = f">{temp}"                   # out-of-scale
+        rows.append(f"{b},{'M' if i % 2 else 'F'},{i % 15},{temp},note_{i}")
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+def test_csv_profile_repair_encode(spark, vet_csv):
+    ds = read_csv(spark, vet_csv, metadata_cols=("NOTES",))
+    # all-strings ingestion: the profiler decides types from values
+    prof = ds.profile
+    assert "AGE" in prof.numerical_cols          # fully parseable strings
+    assert "TEMP" in prof.mixed_type_cols        # partially parseable → fix me
+    assert "BREED" in prof.str_categorical_cols
+    assert "SEX" in prof.str_categorical_cols
+    assert "NOTES" in prof.str_cols and "NOTES" not in prof.str_categorical_cols
+
+    fix = RowFix()
+    fixed = fix.fix_common_errors(ds)
+    temps = [r["TEMP"] for r in fixed.df.collect()]
+    assert all(t is None or isinstance(t, float) for t in temps)
+    # decimal-comma and out-of-scale variants repaired, junk → NULL
+    assert any(t is not None and t > 38 for t in temps)
+    assert fix.report.before_count["TEMP"] == 0  # every typo fixable
+
+    encoded = encode_multi_categorical_columns(fixed, columns=("BREED", "SEX"))
+    assert {"BREED_enc", "SEX_enc"} <= set(encoded.columns)
+    codes = {r["BREED"]: r["BREED_enc"] for r in encoded.df.collect()}
+    assert codes["MONGREL"] != codes["POODLE"]
+    names = [op.name for op in encoded.history]
+    assert "fix_typos" in names and "encode_single_categorical_column" in names
+
+
+def test_csv_missing_file_raises(spark):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        read_csv(spark, "/nonexistent/nope.csv").df.collect()
