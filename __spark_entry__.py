@@ -966,6 +966,50 @@ def _sql_q49() -> str:
     """
 
 
+def q31_overlap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 overlapping-bin row duplication on l_quantity ([0,25] and [20,50]
+    overlap in 20-25; values there appear in both bins)."""
+    from pytrousse_spark.operators.binning import explode_overlapping_bins
+
+    ds = from_df(_t(spark, sf_dir, "lineitem"))
+    out = explode_overlapping_bins(ds, "l_quantity", [(0, 25), (20, 50)], "qbin")
+    return out.df.select("l_orderkey", "l_linenumber", "qbin")
+
+
+def _sql_q31() -> str:
+    return """
+    SELECT l_orderkey, l_linenumber, CAST(0 AS SMALLINT) AS qbin
+    FROM lineitem WHERE l_quantity BETWEEN 0 AND 25
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, CAST(1 AS SMALLINT) AS qbin
+    FROM lineitem WHERE l_quantity BETWEEN 20 AND 50
+    """
+
+
+def q50_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan: every 30th estimated frame per doc."""
+    from pytrousse_spark.operators.multimodal import (
+        attach_media_column,
+        frame_sample_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m = attach_media_column(d, "text", media_type="video")
+    return frame_sample_plan(m, every_nth=30).select("doc_id", "frame_index")
+
+
+def _sql_q50() -> str:
+    return """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(floor(CAST(strlen(text) AS BIGINT) / 100) + 1 AS INT) AS est
+        FROM documents
+    )
+    SELECT doc_id, CAST(unnest(range(0, est, 30)) AS BIGINT) AS frame_index
+    FROM m
+    """
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -1002,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_group_binning": q28_group_binning,
         "q29_repair": q29_repair,
         "q30_anonymize": q30_anonymize,
+        "q31_overlap_bins": q31_overlap_bins,
         "q40_dedup_exact": q40_dedup_exact,
         "q41_dup_census": q41_dup_census,
         "q42_minhash": q42_minhash,
@@ -1013,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_cosine_topk": q47_cosine_topk,
         "q48_text_stats": q48_text_stats,
         "q49_media_meta": q49_media_meta,
+        "q50_frame_sample": q50_frame_sample,
     }
 
 
@@ -1044,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "q28_group_binning": _sql_q28(),
         "q29_repair": _sql_q29(),
         "q30_anonymize": _sql_q30(),
+        "q31_overlap_bins": _sql_q31(),
         "q40_dedup_exact": _sql_q40(),
         "q41_dup_census": _sql_q41(),
         "q42_minhash": _sql_q42(),
@@ -1054,4 +1101,5 @@ def oracle_sql() -> dict[str, str]:
         "q47_cosine_topk": _sql_q47(),
         "q48_text_stats": _sql_q48(),
         "q49_media_meta": _sql_q49(),
+        "q50_frame_sample": _sql_q50(),
     }

@@ -113,6 +113,10 @@ def frame_sample_plan(
     decoding — the downstream decoder consumes the exploded plan. Frame count
     is stubbed from byte_size (a real demuxer would read container headers).
     """
-    est_frames = (F.col(f"{media_col}_meta.byte_size") / 100 + 1).cast("int")
-    idx = F.sequence(F.lit(0), est_frames - 1, F.lit(every_nth))
+    # floor-division keeps the arithmetic portable (double->int casts round
+    # in DuckDB but truncate in Spark)
+    est_frames = (
+        F.floor(F.col(f"{media_col}_meta.byte_size") / 100) + 1
+    ).cast("int")
+    idx = F.sequence(F.lit(0).cast("long"), (est_frames - 1).cast("long"), F.lit(every_nth).cast("long"))
     return df.withColumn("frame_index", F.explode(idx))

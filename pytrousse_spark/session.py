@@ -46,6 +46,8 @@ def get_spark(
         # local mode starts faster with the driver host pinned.
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed-table warehouse outside the repo (bucketed-table support)
+        .config("spark.sql.warehouse.dir", "/tmp/pytrousse_warehouse")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

@@ -88,14 +88,18 @@ def sessionize(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> None:
     """Drain a stream into an in-memory table with availableNow (test/verify
-    harness; production would write a real sink)."""
+    harness; production would write a real sink). ``output_mode`` must match
+    the plan ("complete" for aggregations, "update" for stateful maps)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
