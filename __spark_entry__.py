@@ -492,6 +492,113 @@ def _sql_q15() -> str:
     """
 
 
+
+def q16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (profiling-adjacent agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+    )
+
+
+def _sql_q16() -> str:
+    return """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def q17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_num"),
+    ).where(F.col("k_num") > 50)
+
+
+def _sql_q17() -> str:
+    return """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """
+
+
+def q18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+def _sql_q18() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+
+
+def q19_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Trousse pipeline in ONE Catalyst plan (SURVEY §3 E2):
+    synthesize NULLs -> FillNA -> ReplaceStrings -> OrdinalEncoder -> bin."""
+    from pytrousse_spark.operators.base import Pipeline
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "seg", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    )
+    pipe = Pipeline(
+        FillNA(["seg"], "FILLED"),
+        ReplaceStrings(["seg"], {"MACHINERY": "MACH"}),
+        OrdinalEncoder(["seg"], derived_columns=["seg_code"]),
+    )
+    out = pipe(from_df(c))
+    binned = split_continuous_column_into_bins(out, "c_acctbal", [0, 5000])
+    return binned.df.select(
+        "c_custkey", "seg", "seg_code", "c_acctbal_bin_id"
+    )
+
+
+def _sql_q19() -> str:
+    return """
+    WITH t AS (
+        SELECT c_custkey, c_acctbal,
+               CASE WHEN coalesce(nullif(c_mktsegment, 'BUILDING'), 'FILLED')
+                         = 'MACHINERY'
+                    THEN 'MACH'
+                    ELSE coalesce(nullif(c_mktsegment, 'BUILDING'), 'FILLED')
+               END AS seg
+        FROM customer
+    ), codes AS (
+        SELECT seg AS v,
+               CAST(row_number() OVER (ORDER BY seg) - 1 AS BIGINT) AS code
+        FROM (SELECT DISTINCT seg FROM t WHERE seg IS NOT NULL)
+    ), bounds AS (
+        SELECT min(c_acctbal) - 1 AS lo, max(c_acctbal) AS hi FROM t
+    )
+    SELECT c_custkey, seg, codes.code AS seg_code,
+           CAST(CASE WHEN c_acctbal >= (SELECT lo FROM bounds)
+                      AND c_acctbal <= (SELECT hi FROM bounds)
+                THEN (CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END
+                    + CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END)
+                END AS SMALLINT) AS c_acctbal_bin_id
+    FROM t LEFT JOIN codes ON t.seg = codes.v
+    """
+
+
 # ===========================================================================
 # pytrousse operator surface (SURVEY.md §2.5-2.8)
 # ===========================================================================
@@ -1035,6 +1142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_string_functions": q13_string_functions,
         "q14_distinct_agg": q14_distinct_agg,
         "q15_scalar_subquery": q15_scalar_subquery,
+        "q16_percentiles": q16_percentiles,
+        "q17_json_extract": q17_json_extract,
+        "q18_cube": q18_cube,
+        "q19_pipeline": q19_pipeline,
         "q20_profile": q20_profile,
         "q21_fillna": q21_fillna,
         "q22_replace_strings": q22_replace_strings,
@@ -1079,6 +1190,10 @@ def oracle_sql() -> dict[str, str]:
         "q13_string_functions": _sql_q13(),
         "q14_distinct_agg": _sql_q14(),
         "q15_scalar_subquery": _sql_q15(),
+        "q16_percentiles": _sql_q16(),
+        "q17_json_extract": _sql_q17(),
+        "q18_cube": _sql_q18(),
+        "q19_pipeline": _sql_q19(),
         "q20_profile": _sql_q20(),
         "q21_fillna": _sql_q21(),
         "q22_replace_strings": _sql_q22(),

@@ -167,8 +167,13 @@ class Dataset:
         (dataset.py:549-570)."""
         encoded: set[str] = set()
         for op in self._history:
-            if op.name in ("OneHotEncoder", "OrdinalEncoder"):
+            if op.name in (
+                "OneHotEncoder",
+                "OrdinalEncoder",
+                "encode_single_categorical_column",
+            ):
                 encoded.update(op.columns)
+                encoded.update(op.derived_columns)  # code columns aren't inputs
         return (
             self.profile.str_categorical_cols | self.profile.num_categorical_cols
         ) - encoded
