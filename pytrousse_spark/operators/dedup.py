@@ -131,8 +131,8 @@ def minhash_lsh_pairs(
     in at least one LSH band.
 
     Plan: one scan computes signatures → explode only ``bands`` small rows
-    per doc (band key + id) → self-equi-join on the band key → distinct
-    pairs. Documents never shuffle; only (band_key, id).
+    per doc (band key + id) → group ids per bucket → in-bucket pairs →
+    distinct. Documents never shuffle; only (band_key, id).
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -149,16 +149,33 @@ def minhash_lsh_pairs(
             F.array(*[_band_key(F.col("__sig"), b, rpb) for b in range(bands)])
         ).alias("__band"),
     )
-    left = keyed.alias("l")
-    right = keyed.alias("r")
+    # Group ids per band bucket and emit in-bucket pairs — ONE pass over the
+    # signature subtree (a self-join would execute it twice) and one shuffle
+    # keyed by band. Bucket sizes are naturally small for near-dup workloads;
+    # a pathological all-duplicates corpus concentrates in one bucket, which
+    # is inherent to LSH banding (cap upstream if that is a concern).
     return (
-        left.join(right, on="__band")
-        .where(F.col("l.__id") < F.col("r.__id"))
-        .select(
-            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
-        )
+        keyed.groupBy("__band")
+        .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.explode(_pairs_within("__ids")).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .distinct()
     )
+
+
+def _pairs_within(ids_col: str):
+    """All ordered pairs (a < b) within a sorted id array, as an array of
+    structs — pure expression, no join."""
+    ids = F.col(ids_col)
+
+    def outer(x, i):
+        return F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        )
+
+    return F.flatten(F.transform(ids, outer))
 
 
 # ---------------------------------------------------------------------------
