@@ -45,6 +45,9 @@ _table_cache: dict[tuple[int, str, str], DataFrame] = {}
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     if key not in _table_cache:
+        # the driver's session may not have been built by get_spark(); pin
+        # the timezone so timestamp results match the UTC-naive oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         _table_cache[key] = read_parquet_df(
             spark, os.path.join(sf_dir, f"{name}.parquet")
         )

@@ -178,6 +178,11 @@ class Dataset:
             self.profile.str_categorical_cols | self.profile.num_categorical_cols
         ) - encoded
 
+    def column_names_by_index(self, indices: list[int]) -> list[str]:
+        """Column id → name lookup (dataset.py:576-593), driver-side."""
+        cols = self._df.columns
+        return [cols[i] for i in indices]
+
     def check_duplicated_features(self) -> bool:
         """True if column names are unique; raise otherwise (dataset.py:595-613)."""
         seen: set[str] = set()

@@ -73,8 +73,13 @@ def read_parquet_df(spark: SparkSession, path: str) -> DataFrame:
     Spark SQL at all, and the conversion keeps oracle (DuckDB) comparisons on
     instants rather than raw nano longs.
     """
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # runtime-settable SQL conf; required when the caller's session was
+        # not built by pytrousse_spark.session.get_spark (e.g. the driver's)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
+    for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
     return df
 

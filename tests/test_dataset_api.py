@@ -93,3 +93,7 @@ def test_convert_maps_from_tuple_to_str():
     assert convert_maps_from_tuple_to_str({0: ("a", "b"), 1: (1, 2)}) == {
         0: "a-b", 1: "1-2",
     }
+
+
+def test_column_names_by_index(ds):
+    assert ds.column_names_by_index([0, 2]) == ["k", "tag"]
