@@ -1120,6 +1120,50 @@ def _sql_q50() -> str:
     """
 
 
+
+def q51_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): each purchase event gets
+    the user's most recent preceding view event. Right side deduplicated per
+    (user, ts) so tie survivors are deterministic in both engines."""
+    from pytrousse_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_right").alias("view_event_id"),
+        F.col("ts_right").alias("view_ts"),
+    )
+
+
+def _sql_q51() -> str:
+    return """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS view_event_id, v.ts AS view_ts
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -1173,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_text_stats": q48_text_stats,
         "q49_media_meta": q49_media_meta,
         "q50_frame_sample": q50_frame_sample,
+        "q51_asof_join": q51_asof_join,
     }
 
 
@@ -1220,4 +1265,5 @@ def oracle_sql() -> dict[str, str]:
         "q48_text_stats": _sql_q48(),
         "q49_media_meta": _sql_q49(),
         "q50_frame_sample": _sql_q50(),
+        "q51_asof_join": _sql_q51(),
     }

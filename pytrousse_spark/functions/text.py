@@ -26,6 +26,12 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 #: BPE-ish token pattern: word pieces OR single non-space symbols.
 TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
+#: ASCII case folding: full Unicode lowercasing differs between engines
+#: (JVM vs utf8proc tables — e.g. 'İ' lowers to 1 char in DuckDB, 2 on the
+#: JVM), so tokenization folds A-Z only. Non-ASCII case is preserved.
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
 
 def tokens(col: Column) -> Column:
     """Whitespace tokens of lowercased text (empty strings dropped).
@@ -36,11 +42,13 @@ def tokens(col: Column) -> Column:
     projected column and pass the column reference to the ``*_from_tokens``
     variants below.
     """
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
+    lowered = F.translate(col, _UPPER, _LOWER)
+    return F.filter(F.split(lowered, r"\s+"), lambda t: t != F.lit(""))
 
 
 def tokens_sql(expr: str) -> str:
-    return f"list_filter(string_split_regex(lower({expr}), '\\s+'), tok -> tok <> '')"
+    lowered = f"translate({expr}, '{_UPPER}', '{_LOWER}')"
+    return f"list_filter(string_split_regex({lowered}, '\\s+'), tok -> tok <> '')"
 
 
 def token_count(col: Column) -> Column:
@@ -168,7 +176,8 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
 def word_shingles_sql(expr: str, n: int = 3) -> str:
     toks = tokens_sql(expr)
     return (
-        f"(SELECT CASE WHEN len(__toks) <= {n} THEN [array_to_string(__toks, ' ')] "
+        # coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+        f"(SELECT CASE WHEN len(__toks) <= {n} THEN [coalesce(array_to_string(__toks, ' '), '')] "
         f"ELSE list_transform(range(1, len(__toks) - {n} + 2), "
         f"i -> array_to_string(__toks[i:i+{n}-1], ' ')) END "
         f"FROM (SELECT {toks} AS __toks))"

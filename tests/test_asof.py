@@ -1,0 +1,53 @@
+"""As-of join semantics (backward, inclusive, per-key)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pytrousse_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00")),
+            (2, "u1", _ts("2024-01-01 12:00")),
+            (3, "u2", _ts("2024-01-01 11:00")),
+            (4, "u3", _ts("2024-01-01 09:00")),
+        ],
+        "event_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u1", _ts("2024-01-01 09:30")),
+            (101, "u1", _ts("2024-01-01 11:00")),
+            (102, "u2", _ts("2024-01-01 11:00")),   # exactly simultaneous
+            (103, "u3", _ts("2024-01-01 10:00")),   # after left → no match
+        ],
+        "rid long, user string, rts timestamp",
+    )
+    out = asof_join(left, right, on="user", left_time="ts", right_time="rts")
+    got = {r["event_id"]: r["rid_right"] for r in out.collect()}
+    assert got[1] == 100          # only 09:30 precedes 10:00
+    assert got[2] == 101          # latest preceding
+    assert got[3] == 102          # equal timestamp matches (inclusive)
+    assert got[4] is None         # nothing precedes → NULL
+
+
+def test_asof_preserves_left_rows(spark):
+    left = spark.createDataFrame(
+        [(i, "u", _ts(f"2024-01-01 0{i}:00")) for i in range(1, 6)],
+        "event_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(9, "other_user", _ts("2024-01-01 00:00"))],
+        "rid long, user string, rts timestamp",
+    )
+    out = asof_join(left, right, on="user", left_time="ts", right_time="rts")
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["rid_right"] is None for r in rows)
