@@ -1164,6 +1164,36 @@ def _sql_q51() -> str:
     """
 
 
+
+def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (bucketed equi-join strategy): events matched to value
+    bands. Both sides shuffle only on bucket ids — no nested loop."""
+    from pytrousse_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 20.0, 60.0), ("high", 55.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    out = range_join(ev, bands, "value", "lo", "hi", bucket_width=10.0,
+                     max_buckets_per_range=10**9)
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _sql_q52() -> str:
+    return """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 25.0), ('mid', 20.0, 60.0), ('high', 55.0, 1e9)
+    )
+    SELECT band, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events JOIN bands ON value >= lo AND value <= hi
+    GROUP BY band
+    """
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -1218,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_media_meta": q49_media_meta,
         "q50_frame_sample": q50_frame_sample,
         "q51_asof_join": q51_asof_join,
+        "q52_range_join": q52_range_join,
     }
 
 
@@ -1266,4 +1297,5 @@ def oracle_sql() -> dict[str, str]:
         "q49_media_meta": _sql_q49(),
         "q50_frame_sample": _sql_q50(),
         "q51_asof_join": _sql_q51(),
+        "q52_range_join": _sql_q52(),
     }

@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
 
 from .exceptions import DuplicatedColumnError
 from .operations import OperationsList, OpRecord
