@@ -1195,6 +1195,32 @@ def _sql_q52() -> str:
     """
 
 
+
+def q53_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization: z-score of extendedprice within returnflag
+    (aggregate window functions avg/stddev_samp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    mu = F.avg("l_extendedprice").over(w)
+    sd = F.stddev_samp("l_extendedprice").over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round((F.col("l_extendedprice") - mu) / sd, 4).alias("z"),
+    )
+
+
+def _sql_q53() -> str:
+    return """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round((l_extendedprice - avg(l_extendedprice) OVER w)
+                 / stddev_samp(l_extendedprice) OVER w, 4) AS z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -1250,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_frame_sample": q50_frame_sample,
         "q51_asof_join": q51_asof_join,
         "q52_range_join": q52_range_join,
+        "q53_group_zscore": q53_group_zscore,
     }
 
 
@@ -1299,4 +1326,5 @@ def oracle_sql() -> dict[str, str]:
         "q50_frame_sample": _sql_q50(),
         "q51_asof_join": _sql_q51(),
         "q52_range_join": _sql_q52(),
+        "q53_group_zscore": _sql_q53(),
     }
