@@ -43,7 +43,9 @@ _table_cache: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    # applicationId (not id(spark)): a recycled object address must not alias
+    # DataFrames of a stopped session
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _table_cache:
         # the driver's session may not have been built by get_spark(); pin
         # the timezone so timestamp results match the UTC-naive oracle

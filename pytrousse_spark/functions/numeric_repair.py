@@ -41,6 +41,14 @@ WHOLE_WORD_NULL = (
 #: settings.py:19
 OUT_OF_SCALE_PCT = 0.02
 
+#: Explicit numeric grammar for the parse steps. Engine cast parsers differ
+#: on junk edge cases (DuckDB accepts '+-0' as -0.0; Python/Spark reject), so
+#: BOTH the Spark expression and the SQL twin gate try_cast behind this
+#: pattern (applied to the trimmed string). Deliberately excludes
+#: inf/infinity — the reference would crash on them (int(float('inf')) raises
+#: OverflowError, uncaught at row_fix.py:61) — and 'nan' (NULL either way).
+NUMERIC_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
 
 def _char_fixed(s: Column) -> Column:
     out = s
@@ -60,15 +68,20 @@ def repair_expr(col: Column, pct: float = OUT_OF_SCALE_PCT) -> Column:
     return repair_from_parts(col, _char_fixed(s), pct)
 
 
+def _guarded_parse(s: Column) -> Column:
+    """try_cast gated by the explicit numeric grammar (cross-engine-stable)."""
+    return F.when(F.trim(s).rlike(NUMERIC_RE), s.try_cast("double"))
+
+
 def repair_from_parts(
     col: Column, s2: Column, pct: float = OUT_OF_SCALE_PCT
 ) -> Column:
     """The cascade with the char-fixed string supplied (possibly staged)."""
     s = col.cast("string")
-    direct = s.try_cast("double")
-    fixed = s2.try_cast("double")
-    gt = F.replace(s2, F.lit(">"), F.lit("")).try_cast("double") * (1.0 + pct)
-    lt = F.replace(s2, F.lit("<"), F.lit("")).try_cast("double") * (1.0 - pct)
+    direct = _guarded_parse(s)
+    fixed = _guarded_parse(s2)
+    gt = _guarded_parse(F.replace(s2, F.lit(">"), F.lit(""))) * (1.0 + pct)
+    lt = _guarded_parse(F.replace(s2, F.lit("<"), F.lit(""))) * (1.0 - pct)
     out = (
         F.when(col.isNull(), F.lit(None).cast("double"))
         .when(direct.isNotNull(), direct)
@@ -104,11 +117,11 @@ def unfixable_expr(col: Column) -> Column:
     s2 = _char_fixed(s)
     return (
         col.isNotNull()
-        & s.try_cast("double").isNull()
-        & s2.try_cast("double").isNull()
+        & _guarded_parse(s).isNull()
+        & _guarded_parse(s2).isNull()
         & ~s2.contains("%")
-        & F.replace(s2, F.lit(">"), F.lit("")).try_cast("double").isNull()
-        & F.replace(s2, F.lit("<"), F.lit("")).try_cast("double").isNull()
+        & _guarded_parse(F.replace(s2, F.lit(">"), F.lit(""))).isNull()
+        & _guarded_parse(F.replace(s2, F.lit("<"), F.lit(""))).isNull()
         & ~F.trim(s2).isin(*WHOLE_WORD_NULL)
     )
 
@@ -124,13 +137,20 @@ def repair_sql(expr: str, pct: float = OUT_OF_SCALE_PCT) -> str:
     """DuckDB SQL emitting the exact cascade of :func:`repair_expr`."""
     s = f"CAST({expr} AS VARCHAR)"
     s2 = _sql_char_fixed(expr)
+
+    def parse(e: str) -> str:
+        return (
+            f"(CASE WHEN regexp_matches(trim({e}), '{NUMERIC_RE}') "
+            f"THEN try_cast({e} AS DOUBLE) END)"
+        )
+
     case = f"""CASE
       WHEN {expr} IS NULL THEN NULL
-      WHEN try_cast({s} AS DOUBLE) IS NOT NULL THEN try_cast({s} AS DOUBLE)
-      WHEN try_cast({s2} AS DOUBLE) IS NOT NULL THEN try_cast({s2} AS DOUBLE)
+      WHEN {parse(s)} IS NOT NULL THEN {parse(s)}
+      WHEN {parse(s2)} IS NOT NULL THEN {parse(s2)}
       WHEN contains({s2}, '%') THEN NULL
-      WHEN contains({s2}, '>') THEN try_cast(replace({s2}, '>', '') AS DOUBLE) * {1.0 + pct}
-      WHEN contains({s2}, '<') THEN try_cast(replace({s2}, '<', '') AS DOUBLE) * {1.0 - pct}
+      WHEN contains({s2}, '>') THEN {parse(f"replace({s2}, '>', '')")} * {1.0 + pct}
+      WHEN contains({s2}, '<') THEN {parse(f"replace({s2}, '<', '')")} * {1.0 - pct}
       ELSE NULL
     END"""
     # NaN → NULL normalization, mirroring repair_expr.

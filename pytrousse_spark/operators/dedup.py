@@ -427,7 +427,10 @@ def _neardup_exact_np(
             for lo in range(0, len(qids), 64):  # bound prods tensor memory
                 qs, qv, qn = qids[lo:lo + 64], qmat[lo:lo + 64], qnorms[lo:lo + 64]
                 prods = qv[:, None, :] * all_mat[None, :, :]
-                dots = np.add.accumulate(prods, axis=2)[:, :, -1]
+                # in-place sequential accumulate: same fold order, half the
+                # allocations of a fresh output tensor
+                np.add.accumulate(prods, axis=2, out=prods)
+                dots = prods[:, :, -1]
                 denom = qn[:, None] * all_norms[None, :]
                 with np.errstate(invalid="ignore", divide="ignore"):
                     cos = dots / denom
