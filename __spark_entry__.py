@@ -354,11 +354,14 @@ def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of streaming session windows, expressed identically in SQL."""
     ev = _t(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds on BOTH engines: Spark ts is nanos→micros truncated
+    # at read (io.py), so second-truncated gaps flip the 30-min boundary vs an
+    # oracle computing fractional epoch over TIMESTAMP(NANOS) data
     gap = (
-        F.col("ts").cast("long")
-        - F.lag(F.col("ts").cast("long")).over(w_order)
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts"))).over(w_order)
     )
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         ev.withColumn("new_sess", new_sess)
@@ -374,12 +377,17 @@ def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_q11() -> str:
     return """
-    WITH flagged AS (
+    WITH base AS (
+        -- Spark truncates the parquet TIMESTAMP(NANOS) to micros at read;
+        -- mirror that before any gap/order logic so both engines sessionize
+        -- over identical instants
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
         SELECT user_id, event_id, ts,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_sess
-        FROM events
+        FROM base
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT *, sum(new_sess) OVER (
