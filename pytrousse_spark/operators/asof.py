@@ -39,19 +39,26 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
 
-    l_tag = left.withColumn("__t", F.col(left_time)).withColumn(
-        "__is_left", F.lit(1)
-    )
-    for c in right_cols:
-        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None))
-    l_tag = l_tag.withColumn(f"{right_time}{suffix}", F.lit(None).cast("timestamp"))
-
+    # The whole matched right row travels as ONE struct so the backfill is
+    # atomic: a NULL field in the most recent right row stays NULL in the
+    # output instead of being filled from an older right row (which per-column
+    # last(ignorenulls) would silently mix).
+    fields = [f"{right_time}{suffix}", *[f"{c}{suffix}" for c in right_cols]]
     r_tag = right.select(
         F.col(on),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.col(right_time).alias(f"{right_time}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            F.col(right_time).alias(f"{right_time}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        ).alias("__r"),
+    )
+    row_type = r_tag.schema["__r"].dataType
+
+    l_tag = (
+        left.withColumn("__t", F.col(left_time))
+        .withColumn("__is_left", F.lit(1))
+        .withColumn("__r", F.lit(None).cast(row_type))
     )
     for c in left.columns:
         if c not in r_tag.columns:
@@ -66,10 +73,7 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = union.withColumns(
-        {
-            f"{c}{suffix}": F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-            for c in [*right_cols, right_time]
-        }
-    )
-    return filled.where(F.col("__is_left") == 1).drop("__t", "__is_left")
+    filled = union.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    out = filled.where(F.col("__is_left") == 1)
+    out = out.withColumns({f: F.col("__r").getField(f) for f in fields})
+    return out.drop("__t", "__is_left", "__r")

@@ -43,14 +43,22 @@ def range_join(
         return left.join(F.broadcast(right), cond, how)
 
     w = float(bucket_width)
-    lb = F.floor(F.col(point_col) / w)
-    l_b = left.withColumn("__bucket", lb.cast("long"))
+    l_src = left
+    if how == "left":
+        # row id so unmatched points re-attach exactly once per input row even
+        # when the left side holds duplicate rows (a whole-row exceptAll would
+        # be wrong on multiplicity and shuffles the full row width).
+        # monotonically_increasing_id is (partition, offset)-deterministic, so
+        # the two plan branches below recompute identical ids as long as
+        # ``left`` is itself deterministic (scan/projection — the normal case).
+        l_src = left.withColumn("__lid", F.monotonically_increasing_id())
+    l_b = l_src.withColumn("__bucket", F.floor(F.col(point_col) / w).cast("long"))
     n_buckets = (
         F.floor(F.col(hi_col) / w) - F.floor(F.col(lo_col) / w) + 1
     ).cast("int")
-    r_b = (
-        right.withColumn("__nb", n_buckets)
-        .where(F.col("__nb") <= max_buckets_per_range)  # guard BEFORE explode
+    r_nb = right.withColumn("__nb", n_buckets)
+    r_small = (
+        r_nb.where(F.col("__nb") <= max_buckets_per_range)  # guard BEFORE explode
         .withColumn(
             "__bucket",
             F.explode(
@@ -62,12 +70,21 @@ def range_join(
         )
         .drop("__nb")
     )
-    joined = l_b.join(r_b, on="__bucket", how="inner").where(cond).drop("__bucket")
+    # intervals spanning more buckets than the explode guard allows are NOT
+    # dropped: they take the broadcast nested-loop path and union back in
+    # (an interval that wide matches a huge point fraction anyway, so a
+    # broadcast range predicate is the right plan for it).
+    r_wide = r_nb.where(F.col("__nb") > max_buckets_per_range).drop("__nb")
+    bucketed = (
+        l_b.join(r_small, on="__bucket", how="inner").where(cond).drop("__bucket")
+    )
+    wide = l_b.drop("__bucket").join(F.broadcast(r_wide), cond, "inner")
+    joined = bucketed.unionByName(wide)
     if how == "inner":
         return joined
-    # left join: re-attach unmatched points
-    matched_keys = joined.select(*left.columns)
-    unmatched = l_b.drop("__bucket").exceptAll(matched_keys)
+    # left join: re-attach unmatched points via anti-join on the row id
+    matched = joined.select("__lid").distinct()
+    unmatched = l_b.drop("__bucket").join(matched, on="__lid", how="left_anti")
     for c in right.columns:
-        unmatched = unmatched.withColumn(c, F.lit(None))
-    return joined.unionByName(unmatched)
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    return joined.unionByName(unmatched).drop("__lid")

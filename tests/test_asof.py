@@ -38,6 +38,28 @@ def test_asof_backward_inclusive(spark):
     assert got[4] is None         # nothing precedes → NULL
 
 
+def test_asof_attaches_whole_row_with_nulls(spark):
+    """A NULL field in the most recent matching right row must stay NULL —
+    not be backfilled from an older right row (atomic-row semantics, matching
+    pandas merge_asof / DuckDB ASOF JOIN)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 12:00"))],
+        "event_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u1", _ts("2024-01-01 10:00"), 5.0, "old"),
+            (101, "u1", _ts("2024-01-01 11:00"), None, "new"),
+        ],
+        "rid long, user string, rts timestamp, score double, tag string",
+    )
+    out = asof_join(left, right, on="user", left_time="ts", right_time="rts")
+    row = out.collect()[0]
+    assert row["rid_right"] == 101
+    assert row["tag_right"] == "new"
+    assert row["score_right"] is None      # NOT 5.0 from the older row
+
+
 def test_asof_preserves_left_rows(spark):
     left = spark.createDataFrame(
         [(i, "u", _ts(f"2024-01-01 0{i}:00")) for i in range(1, 6)],

@@ -44,8 +44,35 @@ def test_left_join_keeps_unmatched(points, ranges):
     assert sorted(r["pid"] for r in rows if r["name"] is not None and r["pid"] == 7) == [7, 7]
 
 
-def test_guard_drops_oversized_ranges(spark, points):
+def test_wide_ranges_route_through_broadcast_not_dropped(spark, points):
+    """Intervals wider than the explode guard must still match (broadcast
+    nested-loop path), never be silently dropped."""
     huge = spark.createDataFrame([("x", 0.0, 1e9)], ["name", "lo", "hi"])
     out = range_join(points, huge, "v", "lo", "hi", bucket_width=1.0,
                      max_buckets_per_range=100)
-    assert out.count() == 0  # range excluded by the guard, not exploded
+    assert out.count() == 50  # every point is inside [0, 1e9]
+
+
+def test_mixed_small_and_wide_ranges(spark, points, ranges):
+    wide = spark.createDataFrame([("w", -1.0, 1e9)], ["name", "lo", "hi"])
+    both = ranges.unionByName(wide)
+    out = range_join(points, both, "v", "lo", "hi", bucket_width=3.0,
+                     max_buckets_per_range=50)
+    ref = range_join(points, both, "v", "lo", "hi")  # broadcast NL oracle
+    assert _pairs(out) == _pairs(ref)
+    assert sum(1 for p in _pairs(out) if p[1] == "w") == 50
+
+
+def test_left_join_duplicate_left_rows(spark, ranges):
+    """Duplicate left rows must each re-attach independently — a whole-row
+    exceptAll would collapse multiplicity."""
+    pts = spark.createDataFrame(
+        [(1, 7.0), (1, 7.0), (2, 30.0), (2, 30.0)], ["pid", "v"]
+    )
+    out = range_join(pts, ranges, "v", "lo", "hi", how="left", bucket_width=5.0)
+    rows = out.collect()
+    # each 7.0 copy matches ranges a and b → 4 matched rows
+    assert sum(1 for r in rows if r["pid"] == 1 and r["name"] is not None) == 4
+    # each 30.0 copy is unmatched → exactly 2 NULL rows, not 1
+    assert sum(1 for r in rows if r["pid"] == 2) == 2
+    assert all(r["name"] is None for r in rows if r["pid"] == 2)
