@@ -107,6 +107,15 @@ def with_repaired(df, columns: tuple[str, ...], pct: float = OUT_OF_SCALE_PCT):
     return repaired.drop(*[f"__s2_{c}" for c in columns])
 
 
+def nonparseable_expr(col: Column) -> Column:
+    """TRUE where the RAW value fails a direct numeric parse (non-null and
+    float() would raise) — the reference's ``errors_before`` predicate
+    (row_fix.py:148-156), which counts every non-convertible value
+    INCLUDING fixable typos like '12,5', '>30', '---'."""
+    s = col.cast("string")
+    return col.isNotNull() & _guarded_parse(s).isNull()
+
+
 def unfixable_expr(col: Column) -> Column:
     """TRUE where the cascade gives up (error census predicate, row_fix.py:182-187).
 

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from ..dataset import Dataset
 from ..operations import OpRecord
 from ..profiling import NOT_NA_STRING_COL_THRESHOLD
-from ..functions.numeric_repair import repair_expr, unfixable_expr, with_repaired
+from ..functions.numeric_repair import (
+    nonparseable_expr,
+    repair_expr,
+    unfixable_expr,
+    with_repaired,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -70,29 +75,38 @@ class ErrorReport:
 
 def error_census(
     df: DataFrame, columns: tuple[str, ...], max_values_per_col: int = 1000
-) -> tuple[dict[str, int], dict[str, list]]:
-    """Count + collect distinct non-float-convertible values per column.
+) -> tuple[dict[str, int], dict[str, list], dict[str, int]]:
+    """Per-column error counts before/after the cascade + error value sets.
 
-    One aggregation for counts; one bounded distinct-collect for the value
-    sets (census parity with row_fix.py:99-115 where every error value is
-    appended to a driver list — unbounded; we cap and record the cap).
+    ``before`` counts every non-float-convertible value — INCLUDING fixable
+    typos ('12,5', '>30', '---') — matching the reference's
+    ``errors_before_correction`` (row_fix.py:99-115, float() failure).
+    ``after`` counts values still unconvertible after the full cascade
+    (``errors_after_correction``). ONE aggregation for both count sets; one
+    bounded distinct-collect per erroring column for the value sets (the
+    reference appends every error value to a driver list — unbounded; we cap).
     """
     if not columns:
-        return {}, {}
+        return {}, {}, {}
     count_row = df.agg(
         *[
-            F.sum(unfixable_expr(F.col(c)).cast("long")).alias(c)
+            F.sum(nonparseable_expr(F.col(c)).cast("long")).alias(f"__b_{c}")
             for c in columns
-        ]
+        ],
+        *[
+            F.sum(unfixable_expr(F.col(c)).cast("long")).alias(f"__a_{c}")
+            for c in columns
+        ],
     ).collect()[0].asDict()
-    counts = {c: int(count_row[c] or 0) for c in columns}
+    before = {c: int(count_row[f"__b_{c}"] or 0) for c in columns}
+    after = {c: int(count_row[f"__a_{c}"] or 0) for c in columns}
     values: dict[str, list] = {}
     for c in columns:
-        if counts[c] == 0:
+        if before[c] == 0:
             values[c] = []
             continue
         rows = (
-            df.where(unfixable_expr(F.col(c)))
+            df.where(nonparseable_expr(F.col(c)))
             .select(F.col(c).cast("string").alias("v"))
             .distinct()
             .orderBy("v")
@@ -100,7 +114,7 @@ def error_census(
             .collect()
         )
         values[c] = [r["v"] for r in rows]
-    return counts, values
+    return before, values, after
 
 
 class RowFix:
@@ -125,12 +139,12 @@ class RowFix:
             column_list = tuple(sorted(dataset.to_be_fixed_cols))
         if not column_list:
             return dataset
-        before_counts, before_values = error_census(dataset.df, column_list)
+        before_counts, before_values, after_counts = error_census(
+            dataset.df, column_list
+        )
         self.report.before_count.update(before_counts)
         self.report.before_values.update(before_values)
-        # After the cascade every unfixable value is NULL: remaining "errors"
-        # per reference semantics = values the cascade could not convert.
-        self.report.after_count.update({c: 0 for c in column_list})
+        self.report.after_count.update(after_counts)
 
         df = with_repaired(dataset.df, column_list, self.pct)
         return dataset.evolve(
@@ -140,6 +154,7 @@ class RowFix:
                 columns=tuple(column_list),
                 details={
                     "errors_before": before_counts,
+                    "errors_after": after_counts,
                     "error_values": before_values,
                 },
             ),

@@ -61,8 +61,8 @@ def test_injection_roundtrip(spark, col_id):
             assert got[i] is None, f"idx {i}: expected NULL, got {got[i]}"
         else:
             assert got[i] == pytest.approx(exp), f"idx {i}"
-    # no unfixable errors in this corpus
-    assert fix.report.before_count["v"] == 0
+    # no unfixable errors in this corpus: every injected typo is repaired
+    assert fix.report.after_count["v"] == 0
 
 
 def test_injection_stride_rule():

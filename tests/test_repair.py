@@ -60,11 +60,15 @@ def test_check_numeric_cols_threshold(spark):
 
 def test_error_census(spark):
     df = spark.createDataFrame(
-        [("1",), ("oops",), ("zap",), ("oops",), ("NV",)], "c string"
+        [("1",), ("oops",), ("zap",), ("oops",), ("NV",), ("2,5",)], "c string"
     )
-    counts, values = error_census(df, ("c",))
-    assert counts["c"] == 3          # NV is whole-word-mapped, not an error
-    assert values["c"] == ["oops", "oops", "zap"] or values["c"] == ["oops", "zap"]
+    before, values, after = error_census(df, ("c",))
+    # errors_before: every non-float-convertible value, INCLUDING the fixable
+    # typo '2,5' and the whole-word-mapped 'NV' (reference float() failure)
+    assert before["c"] == 5
+    assert values["c"] == ["2,5", "NV", "oops", "zap"]
+    # errors_after: only values the full cascade cannot convert
+    assert after["c"] == 3
 
 
 def test_fix_common_errors_end_to_end(spark):
@@ -83,7 +87,11 @@ def test_fix_common_errors_end_to_end(spark):
     expect[10] = None
     expect[15] = 15 * 1.02
     assert got == [pytest.approx(e) if e is not None else None for e in expect]
-    assert fix.report.before_count["num"] == 0  # all injected values fixable
+    # all four injected typos count as errors BEFORE correction...
+    assert fix.report.before_count["num"] == 4
+    # ...and the cascade fixes every one of them
+    assert fix.report.after_count["num"] == 0
+    assert fix.count_errors()["errors_after"] == 0
 
 
 def test_cols_to_correct_dtype(spark):
