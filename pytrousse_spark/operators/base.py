@@ -47,22 +47,26 @@ class FeatureOperation(ABC):
 
     @abstractmethod
     def _apply(self, dataset: Dataset) -> tuple[DataFrame, dict]:
-        """Return (new DataFrame, operation details for the history record)."""
+        """Return (new DataFrame, operation details for the history record).
 
-    def _record(self, details: dict) -> OpRecord:
-        return OpRecord(
-            name=type(self).__name__,
-            columns=self.columns,
-            derived_columns=self.derived_columns or (),
-            details=details,
-        )
+        Operators whose derived names are data-dependent (e.g. one-hot: one
+        column per observed category) report them under the reserved
+        ``"__derived__"`` details key instead of mutating instance state —
+        operator instances stay immutable and reusable across datasets.
+        """
 
     def __call__(self, dataset: Dataset) -> Dataset:
         new_df, details = self._apply(dataset)
+        derived = tuple(details.pop("__derived__", self.derived_columns or ()))
         out = dataset.evolve(
             df=new_df,
-            record=self._record(details),
-            new_derived=self.derived_columns or (),
+            record=OpRecord(
+                name=type(self).__name__,
+                columns=self.columns,
+                derived_columns=derived,
+                details=details,
+            ),
+            new_derived=derived,
         )
         return out
 

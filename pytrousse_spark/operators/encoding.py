@@ -65,12 +65,15 @@ def encode_single_categorical_column(
     elif encoding.upper() == "ONEHOT":
         enc = OneHotEncoder(columns=["__prep"], derived_column_suffix="_enc")
         encoded = enc(work)
+        onehot_rec = [
+            op for op in encoded.history if op.name == "OneHotEncoder"
+        ][-1]
         # rename __prep_... outputs to {col}_... and drop the Nan-category
         # column (feature_fix.py:259-262: NAN_CATEGORY col dropped)
         renames: dict[str, F.Column] = {}
         drops = ["__prep"]
         new_cols = []
-        for dc in enc.derived_columns:
+        for dc in onehot_rec.derived_columns:
             cat = dc[len("__prep_") : -len("_enc")]
             drops.append(dc)
             if cat == NAN_CATEGORY:
@@ -81,9 +84,7 @@ def encode_single_categorical_column(
             ).otherwise(F.col(dc))
             new_cols.append(name)
         df = encoded.df.withColumns(renames).drop(*drops)
-        details = [
-            op.details for op in encoded.history if op.name == "OneHotEncoder"
-        ][-1]
+        details = onehot_rec.details
         return dataset.evolve(
             df=df,
             record=OpRecord(

@@ -147,11 +147,13 @@ class OneHotEncoder(FeatureOperation):
             ).otherwise(src == F.lit(cat))
             for cat in categories
         }
-        # withColumns: single projection node for all K outputs.
-        self.derived_columns = tuple(outputs)
+        # withColumns: single projection node for all K outputs. Derived
+        # names are data-dependent → reported via "__derived__", never
+        # written to instance state (the operator stays reusable).
         return dataset.df.withColumns(outputs), {
             "categories": categories,
             "derived_column_suffix": self.derived_column_suffix,
+            "__derived__": tuple(outputs),
         }
 
 

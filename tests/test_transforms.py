@@ -99,6 +99,21 @@ def test_one_hot_null_row_all_null(generic_na):
     assert null_row["col4_e_enc"] is None
 
 
+def test_one_hot_instance_reusable_across_datasets(spark, generic):
+    """Applying an encoder must not mutate the instance: identity/_eq_fields
+    stay stable and a second dataset with different categories encodes
+    correctly with the SAME operator object."""
+    enc = OneHotEncoder(["col3"])
+    fields_before = enc._eq_fields()
+    out1 = enc(generic)
+    assert enc._eq_fields() == fields_before
+    assert enc.derived_columns is None          # no state written by _apply
+    ds2 = from_df(spark.createDataFrame([("x",), ("y",)], ["col3"]))
+    out2 = enc(ds2)
+    assert set(out2.derived_columns) == {"col3_x_enc", "col3_y_enc"}
+    assert set(out1.derived_columns) == {"col3_abc_enc", "col3_abr_enc"}
+
+
 def test_fillna_in_place_and_derived(generic_na):
     out = FillNA(["col4"], "filled")(generic_na)
     assert [r["col4"] for r in out.df.collect()] == ["a", "d", "filled", "e"]
