@@ -1107,6 +1107,141 @@ def _sql_q31() -> str:
     """
 
 
+def q32_multi_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 prefix combinations (feature_fix.py:425-455): combo id for
+    (l_returnflag) then (l_returnflag, l_linestatus), both in one lazy plan."""
+    from pytrousse_spark.operators.binning import (
+        make_categorical_columns_multiple_combinations,
+    )
+
+    ds = from_df(_t(spark, sf_dir, "lineitem"))
+    out, combo_cols = make_categorical_columns_multiple_combinations(
+        ds, ["l_returnflag", "l_linestatus"]
+    )
+    return out.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col(combo_cols[0]).alias("combo_rf"),
+        F.col(combo_cols[1]).alias("combo_rf_ls"),
+    )
+
+
+def _sql_q32() -> str:
+    return """
+    WITH v1 AS (
+        SELECT l_returnflag AS v,
+               row_number() OVER (ORDER BY l_returnflag) - 1 AS c
+        FROM (SELECT DISTINCT l_returnflag FROM lineitem WHERE l_returnflag IS NOT NULL)
+    ), v2 AS (
+        SELECT l_linestatus AS v,
+               row_number() OVER (ORDER BY l_linestatus) - 1 AS c
+        FROM (SELECT DISTINCT l_linestatus FROM lineitem WHERE l_linestatus IS NOT NULL)
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(v1.c AS SMALLINT) AS combo_rf,
+           CAST(v1.c * (SELECT count(*) FROM v2) + v2.c AS SMALLINT) AS combo_rf_ls
+    FROM lineitem
+    LEFT JOIN v1 ON l_returnflag = v1.v
+    LEFT JOIN v2 ON l_linestatus = v2.v
+    """
+
+
+def q33_encode_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 orchestrated single-column encode (feature_fix.py:242-349): NULLs
+    route through the 'Nan' placeholder category and case variants fold via
+    initcap(lower(x)); the encoded output restores NULL for NULL inputs."""
+    from pytrousse_spark.operators.encoding import (
+        encode_single_categorical_column,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    seg = (
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .when(F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment")))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    ds = from_df(c.select("c_custkey", seg.alias("seg")))
+    out = encode_single_categorical_column(ds, "seg", encoding="ORDINAL")
+    return out.df.select("c_custkey", "seg", "seg_enc")
+
+
+def _sql_q33() -> str:
+    # DuckDB v1.0 has no initcap; c_mktsegment values are single words, so
+    # upper-first-char over lower() is an exact twin of initcap(lower(x)).
+    return """
+    WITH base AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    ), prep AS (
+        SELECT c_custkey, seg,
+               CASE WHEN seg IS NULL THEN 'Nan'
+                    ELSE upper(substr(lower(seg), 1, 1)) || substr(lower(seg), 2)
+               END AS p
+        FROM base
+    ), vocab AS (
+        SELECT p AS v, CAST(row_number() OVER (ORDER BY p) - 1 AS BIGINT) AS code
+        FROM (SELECT DISTINCT p FROM prep)
+    )
+    SELECT c_custkey, seg,
+           CASE WHEN seg IS NULL THEN NULL ELSE code END AS seg_enc
+    FROM prep JOIN vocab ON p = v
+    """
+
+
+def q34_encode_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 multi-column ONEHOT encode (feature_fix.py:352-397): per column the
+    B6 flow — Nan placeholder for NULLs (its category column dropped), NULL
+    row → NULL in all K outputs, data-dependent derived column names."""
+    from pytrousse_spark.operators.encoding import (
+        encode_multi_categorical_columns,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    status = F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    prio = F.concat(F.lit("p"), F.substring("o_orderpriority", 1, 1))
+    ds = from_df(
+        o.select("o_orderkey", status.alias("status"), prio.alias("prio"))
+    )
+    out = encode_multi_categorical_columns(
+        ds, ("prio", "status"), encoding="ONEHOT"
+    )
+    return out.df.select(
+        "o_orderkey",
+        *[f"prio_P{i}_enc" for i in range(1, 6)],
+        "status_F_enc",
+        "status_O_enc",
+        "status_P_enc",
+    )
+
+
+def _sql_q34() -> str:
+    prio_cols = ",\n           ".join(
+        f"prio = 'p{i}' AS prio_P{i}_enc" for i in range(1, 6)
+    )
+    status_cols = ",\n           ".join(
+        f"CASE WHEN status IS NULL THEN NULL ELSE status = '{s}' END"
+        f" AS status_{s}_enc"
+        for s in ("F", "O", "P")
+    )
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS status,
+               'p' || substr(o_orderpriority, 1, 1) AS prio
+        FROM orders
+    )
+    SELECT o_orderkey,
+           {prio_cols},
+           {status_cols}
+    FROM base
+    """
+
+
 def q50_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plan: every 30th estimated frame per doc."""
     from pytrousse_spark.operators.multimodal import (
@@ -1272,6 +1407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_repair": q29_repair,
         "q30_anonymize": q30_anonymize,
         "q31_overlap_bins": q31_overlap_bins,
+        "q32_multi_combo": q32_multi_combo,
+        "q33_encode_single": q33_encode_single,
+        "q34_encode_multi": q34_encode_multi,
         "q40_dedup_exact": q40_dedup_exact,
         "q41_dup_census": q41_dup_census,
         "q42_minhash": q42_minhash,
@@ -1323,6 +1461,9 @@ def oracle_sql() -> dict[str, str]:
         "q29_repair": _sql_q29(),
         "q30_anonymize": _sql_q30(),
         "q31_overlap_bins": _sql_q31(),
+        "q32_multi_combo": _sql_q32(),
+        "q33_encode_single": _sql_q33(),
+        "q34_encode_multi": _sql_q34(),
         "q40_dedup_exact": _sql_q40(),
         "q41_dup_census": _sql_q41(),
         "q42_minhash": _sql_q42(),
