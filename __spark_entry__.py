@@ -980,6 +980,40 @@ def _sql_q44() -> str:
     return dd.ngram_jaccard_pairs_sql("documents", "text", "doc_id", 3, 0.2)
 
 
+def q54_near_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed production near-dedup: LSH candidates (8 perms, 4 bands) →
+    exact n-gram Jaccard >= 0.2 computed only for candidates."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.near_dedup_pairs(
+        d, "text", "doc_id", num_perm=8, bands=4, threshold=0.2
+    )
+
+
+def _sql_q54() -> str:
+    return dd.near_dedup_pairs_sql(
+        "documents", "text", "doc_id", num_perm=8, bands=4, threshold=0.2
+    )
+
+
+def q55_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving doc ids after composed near-dedup (greedy min-id survivor)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dd.near_dedup(
+        d, "text", "doc_id", num_perm=8, bands=4, threshold=0.2
+    )
+    return out.select("doc_id")
+
+
+def _sql_q55() -> str:
+    pairs = dd.near_dedup_pairs_sql(
+        "documents", "text", "doc_id", num_perm=8, bands=4, threshold=0.2
+    )
+    return f"""
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM ({pairs}))
+    """
+
+
 def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (staged token-hash array)."""
     d = _t(spark, sf_dir, "documents")
@@ -1425,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_asof_join": q51_asof_join,
         "q52_range_join": q52_range_join,
         "q53_group_zscore": q53_group_zscore,
+        "q54_near_dedup_pairs": q54_near_dedup_pairs,
+        "q55_near_dedup": q55_near_dedup,
     }
 
 
@@ -1478,4 +1514,6 @@ def oracle_sql() -> dict[str, str]:
         "q51_asof_join": _sql_q51(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
+        "q54_near_dedup_pairs": _sql_q54(),
+        "q55_near_dedup": _sql_q55(),
     }

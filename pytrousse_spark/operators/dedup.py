@@ -260,6 +260,142 @@ def ngram_jaccard_pairs_sql(
 
 
 # ---------------------------------------------------------------------------
+# composed production near-dedup: LSH candidates → exact Jaccard verify
+# ---------------------------------------------------------------------------
+def near_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Verified near-duplicate pairs: MinHash-LSH candidate generation
+    (:func:`minhash_lsh_pairs`) followed by exact n-gram Jaccard computed
+    ONLY for candidate pairs — the composition a 100 TB user actually runs.
+
+    Unlike standalone :func:`ngram_jaccard_pairs` (inverted-index self-join,
+    quadratic in worst-case posting lists), the verify stage here joins the
+    candidate pair list against per-doc distinct-shingle arrays and scores
+    each pair with one ``array_intersect`` expression: work is
+    O(corpus + candidates·doc_len), never O(n²). Jaccard semantics are
+    identical to :func:`ngram_jaccard_pairs` (distinct word n-grams,
+    ``common / (|a| + |b| - common)``, rounded to 6).
+    """
+    from ..functions.text import shingles_from_tokens, tokens
+
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn,
+    )
+    sets_df = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .select(
+            "__id",
+            F.array_distinct(
+                shingles_from_tokens(F.col("__tk"), shingle_n)
+            ).alias("__set"),
+        )
+        .withColumn("__size", F.size("__set"))
+    )
+    a = sets_df.select(
+        F.col("__id").alias("id_a"),
+        F.col("__set").alias("__seta"),
+        F.col("__size").alias("__sa"),
+    )
+    b = sets_df.select(
+        F.col("__id").alias("id_b"),
+        F.col("__set").alias("__setb"),
+        F.col("__size").alias("__sb"),
+    )
+    common = F.size(F.array_intersect(F.col("__seta"), F.col("__setb")))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__common", common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__common")
+                / (F.col("__sa") + F.col("__sb") - F.col("__common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus with verified near-duplicates removed: a document is dropped
+    when it has a verified near-duplicate with a SMALLER id (greedy min-id
+    survivor — deterministic and single-pass, the standard large-scale
+    approximation of transitive-closure clustering; documents only connected
+    through a removed intermediate are both kept).
+    """
+    pairs = near_dedup_pairs(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, hash_fn=hash_fn,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def near_dedup_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`near_dedup_pairs` (md5 mode)."""
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rpb = num_perm // bands
+    sig = minhash_signature_sql(text_col, num_perm=num_perm, shingle_n=shingle_n)
+    band_keys = ", ".join(
+        "'{b}_' || ".format(b=b)
+        + " || '_' || ".join(f"s[{b * rpb + r + 1}]" for r in range(rpb))
+        for b in range(bands)
+    )
+    sh = word_shingles_sql(text_col, shingle_n)
+    jac = (
+        "round(len(list_intersect(sa.st, sb.st)) / "
+        "(len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))), 6)"
+    )
+    return f"""
+    WITH sigs AS (SELECT {id_col} AS __id, {sig} AS s FROM {table}),
+    banded AS (SELECT __id, unnest([{band_keys}]) AS band FROM sigs),
+    cands AS (
+        SELECT DISTINCT l.__id AS id_a, r.__id AS id_b
+        FROM banded l JOIN banded r USING (band)
+        WHERE l.__id < r.__id
+    ),
+    sets AS (SELECT {id_col} AS __id, list_distinct({sh}) AS st FROM {table})
+    SELECT id_a, id_b, {jac} AS jaccard
+    FROM cands
+    JOIN sets sa ON sa.__id = id_a
+    JOIN sets sb ON sb.__id = id_b
+    WHERE {jac} >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash(text: Column, bits: int = 16, hash_fn: str = "md5") -> Column:

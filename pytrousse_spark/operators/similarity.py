@@ -119,6 +119,20 @@ def hyperplane_signature(
     return out.cast("int")
 
 
+def _probe_masks(num_planes: int, radius: int) -> list[int]:
+    """All bit masks of popcount <= radius (multi-probe neighborhood)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(num_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,34 +142,98 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 42,
+    num_tables: int = 1,
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucket join, exact cosine re-rank inside
-    the bucket. At 100 TB the bucket join replaces the full cross product;
-    recall is tunable via ``num_planes`` (fewer planes → bigger buckets).
+    """Approximate top-k: hyperplane-bucket join, exact cosine re-rank over
+    the candidate set. At 100 TB the bucket join replaces the full cross
+    product. Recall knobs (standard LSH constructions, cf. Indyk-Motwani;
+    multi-probe per Lv et al. 2007):
+
+    - ``num_planes``: fewer planes → bigger buckets → higher recall;
+    - ``num_tables``: independent hash tables (seeded ``seed+t``); candidates
+      are unioned, recall ≈ 1-(1-p)^L for per-table collision rate p;
+    - ``probe_hamming``: queries also probe corpus buckets within this
+      Hamming distance of their own signature (recall without re-hashing the
+      corpus — corpus rows still emit exactly ``num_tables`` bucket entries).
+
+    Cost model: corpus explodes to ``num_tables`` rows; queries to
+    ``num_tables · C(num_planes, <=probe_hamming)``; the candidate set is
+    deduped before scoring so each (query, neighbor) is scored once.
     """
     from ..functions.vectors import dot, norm
 
-    planes = _deterministic_planes(num_planes, dim, seed)
-    sig = hyperplane_signature(F.col(vec_col), planes)
-    c = corpus.select(
+    tables = [
+        _deterministic_planes(num_planes, dim, seed + t)
+        for t in range(num_tables)
+    ]
+    masks = _probe_masks(num_planes, probe_hamming)
+
+    # Stage each table's signature as its own projected column BEFORE building
+    # the probe arrays — array elements would otherwise each recompute the
+    # full num_planes-aggregate signature (the HOF re-evaluation pitfall;
+    # measured ~mask-count× slowdown at probe_hamming=2).
+    def with_sigs(df: DataFrame, key: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(key), F.col(vec_col))
+        return out.withColumns(
+            {
+                f"__sig{t}": hyperplane_signature(F.col(vec_col), tables[t])
+                for t in range(num_tables)
+            }
+        )
+
+    # corpus: one (table, bucket) entry per table
+    c_keys = with_sigs(corpus, "neighbor_id").select(
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.lit(t), F.col(f"__sig{t}"))
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("__tb"),
+    )
+    # queries: probe every bucket within Hamming <= probe_hamming, per table
+    q_keys = with_sigs(queries, "query_id").select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(t),
+                        F.col(f"__sig{t}").bitwiseXOR(F.lit(m)).cast("int"),
+                    )
+                    for t in range(num_tables)
+                    for m in masks
+                ]
+            )
+        ).alias("__tb"),
+    )
+    candidates = (
+        c_keys.join(F.broadcast(q_keys), on="__tb")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         norm(F.col(vec_col)).alias("__cn"),
-        sig.alias("__bucket"),
     )
-    q = queries.select(
+    q_vec = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(F.col(vec_col)).alias("__qn"),
-        sig.alias("__bucket"),
     )
     cos = F.when(
         (F.col("__qn") > 0) & (F.col("__cn") > 0),
         dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
     )
     scored = (
-        c.join(F.broadcast(q), on="__bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        candidates.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
         .withColumn("cos", F.round(cos, 6))
         .where(F.col("cos").isNotNull())
     )
