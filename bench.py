@@ -27,7 +27,9 @@ def main() -> None:
     spark = get_spark(app_name="pytrousse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # production-path variants (xxhash tier, raw BLAS) — timed, no oracle
+    qs.update(entrymod.bench_extras())
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footers once with the cheapest query.
     entrymod.q04_filter_agg(spark, sf_dir).write.format("noop").mode(
