@@ -1370,8 +1370,11 @@ def _sql_q51() -> str:
 
 
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join (bucketed equi-join strategy): events matched to value
-    bands. Both sides shuffle only on bucket ids — no nested loop."""
+    """Range join, hybrid strategy: narrow bands take the bucketed equi-join
+    (shuffle on bucket ids only); the open-ended 'high' band spans ~1e8
+    buckets, so it routes through the broadcast nested-loop path instead of
+    exploding (was the dominant cost of this query: a 100M-element sequence
+    explode for one interval row)."""
     from pytrousse_spark.operators.rangejoin import range_join
 
     ev = _t(spark, sf_dir, "events")
@@ -1380,7 +1383,7 @@ def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["band", "lo", "hi"],
     )
     out = range_join(ev, bands, "value", "lo", "hi", bucket_width=10.0,
-                     max_buckets_per_range=10**9)
+                     max_buckets_per_range=1000)
     return out.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),

@@ -183,6 +183,56 @@ def make_categorical_columns_multiple_combinations(
     return dataset, combination_columns
 
 
+def interval_expr(lower, upper) -> Column:
+    """``struct<lower double, upper double>`` interval value — the Spark
+    representation of pandas ``Interval`` columns, which the reference
+    classifies as *numerical* (dataset.py:334; profiler parity in
+    profiling.ColumnProfile._is_interval)."""
+    lo = lower if isinstance(lower, Column) else F.lit(float(lower))
+    hi = upper if isinstance(upper, Column) else F.lit(float(upper))
+    return F.struct(
+        lo.cast("double").alias("lower"), hi.cast("double").alias("upper")
+    )
+
+
+def attach_bin_intervals(
+    dataset: Dataset, bin_col: str, new_column_name: str | None = None
+) -> Dataset:
+    """Materialize each bin id's ``[lo, hi]`` range as an interval-struct
+    column, read from the bin operator's history record (the
+    ``encoded_values_map`` written by :func:`split_continuous_column_into_bins`
+    / :func:`add_group_specific_bin_id`). Pure WHEN-chain expression — the
+    ingestion side of the reference's Interval columns."""
+    new_col = new_column_name or f"{bin_col}_interval"
+    recs = [
+        op
+        for op in dataset.history
+        if bin_col in op.derived_columns and "encoded_values_map" in op.details
+    ]
+    if not recs:
+        raise ValueError(
+            f"no binning history record with an encoded_values_map derives "
+            f"{bin_col!r}"
+        )
+    mapping = recs[-1].details["encoded_values_map"]
+    expr = F.lit(None).cast("struct<lower:double,upper:double>")
+    for bin_id, (lo, hi) in mapping.items():
+        expr = F.when(
+            F.col(bin_col) == F.lit(int(bin_id)), interval_expr(lo, hi)
+        ).otherwise(expr)
+    df = dataset.df.withColumn(new_col, expr)
+    return dataset.evolve(
+        df=df,
+        record=OpRecord(
+            name="attach_bin_intervals",
+            columns=(bin_col,),
+            derived_columns=(new_col,),
+            details={"encoded_values_map": mapping},
+        ),
+        new_derived=(new_col,),
+    )
+
+
 def convert_maps_from_tuple_to_str(group_id_to_tuple_map: dict) -> dict:
     """Tuple combo values → 'a-b' strings (feature_fix.py:19-30)."""
     return {

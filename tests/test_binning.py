@@ -3,14 +3,17 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pytrousse_spark import from_df
 from pytrousse_spark.operators.binning import (
     add_group_specific_bin_id,
+    attach_bin_intervals,
     bins_from_thresholds,
     combine_categorical_columns_to_one,
     explode_overlapping_bins,
     increasing_thresholds,
+    interval_expr,
     make_categorical_columns_multiple_combinations,
     split_continuous_column_into_bins,
 )
@@ -29,6 +32,29 @@ def test_b1_threshold_binning(spark):
     m = out.history[-1].details["encoded_values_map"]
     assert m[0] == [-1.0, 3.0] and m[1] == [3.0, 6.0] and m[2] == [6.0, 9.0]
     assert dict(out.df.dtypes)["x_bin_id"] == "smallint"  # Int16 parity
+
+
+def test_interval_struct_ingestion(spark):
+    """Interval columns (pandas Interval parity): constructed as
+    struct<lower,upper>, classified numerical by the profiler, and
+    materializable from a binning history record."""
+    ds = from_df(
+        spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    )
+    binned = split_continuous_column_into_bins(ds, "x", [3, 6])
+    out = attach_bin_intervals(binned, "x_bin_id")
+    rows = {r["x"]: r["x_bin_id_interval"] for r in out.df.collect()}
+    assert rows[2.0].asDict() == {"lower": -1.0, "upper": 3.0}
+    assert rows[5.0].asDict() == {"lower": 3.0, "upper": 6.0}
+    assert rows[9.0].asDict() == {"lower": 6.0, "upper": 9.0}
+    # profiler parity: interval structs are numerical (dataset.py:334)
+    assert "x_bin_id_interval" in out.profile.numerical_cols
+    # raw constructor accepts columns or literals
+    lit_df = ds.df.withColumn("iv", interval_expr(0, F.col("x")))
+    got = lit_df.collect()[3]["iv"].asDict()
+    assert got == {"lower": 0.0, "upper": 3.0}
+    with pytest.raises(ValueError):
+        attach_bin_intervals(ds, "x")  # no binning history for this column
 
 
 def test_b2_combo_encoding(spark):

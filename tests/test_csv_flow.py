@@ -47,7 +47,7 @@ def test_csv_profile_repair_encode(spark, vet_csv):
     assert all(t is None or isinstance(t, float) for t in temps)
     # decimal-comma and out-of-scale variants repaired, junk → NULL
     assert any(t is not None and t > 38 for t in temps)
-    assert fix.report.before_count["TEMP"] == 0  # every typo fixable
+    assert fix.report.after_count["TEMP"] == 0  # every typo fixable
 
     encoded = encode_multi_categorical_columns(fixed, columns=("BREED", "SEX"))
     assert {"BREED_enc", "SEX_enc"} <= set(encoded.columns)
