@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..dataset import Dataset
 from ..operations import OpRecord
@@ -10,6 +11,37 @@ from .transforms import OneHotEncoder, OrdinalEncoder
 
 #: feature_fix.py:15
 NAN_CATEGORY = "Nan"
+
+
+def _is_numerical_column(dataset: Dataset, col_name: str) -> bool:
+    """The profiler's ``numerical_cols`` classification for ONE column.
+
+    The skip-if-numeric gate only needs a single column's class; computing
+    ``dataset.profile`` here would run the full-width profile aggregation per
+    encode call — O(width²) total for ``encode_multi_categorical_columns``.
+    A cached profile is reused when present; otherwise a numeric/bool/interval
+    type answers from the schema alone, and only a string column costs one
+    narrow parse-ratio aggregation.
+    """
+    if dataset._profile is not None:
+        return col_name in dataset._profile.numerical_cols
+    from ..profiling import _is_numeric_type
+
+    dt = dataset.df.schema[col_name].dataType
+    if _is_numeric_type(dt) or isinstance(dt, T.BooleanType):
+        return True
+    if dt.simpleString().startswith("struct<lower"):
+        return True  # interval struct → numerical (dataset.py:334)
+    if isinstance(dt, T.StringType):
+        col = F.col(f"`{col_name}`")
+        row = dataset.df.agg(
+            F.count(col).alias("cnt"),
+            F.avg(
+                F.when(col.isNotNull(), col.try_cast("double").isNotNull().cast("double"))
+            ).alias("pr"),
+        ).collect()[0]
+        return row["cnt"] > 0 and row["pr"] == 1.0
+    return False
 
 
 def encode_single_categorical_column(
@@ -43,7 +75,7 @@ def encode_single_categorical_column(
     if not force:
         if already:
             return dataset
-        if col_name in dataset.profile.numerical_cols:
+        if _is_numerical_column(dataset, col_name):
             return dataset
 
     work = dataset
