@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h60_seeded_sql, hash_expr
+from ..functions.hashing import h60_seeded_sql, h60_sql, hash_expr
 from ..functions.text import tokens, word_shingles, word_shingles_sql
 
 
@@ -53,25 +53,60 @@ def duplicate_groups(df: DataFrame, key_cols: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+#: Carter-Wegman universal hashing (MMDS ch.3 practice): permutation p's hash
+#: is g_p(x) = (a_p·x + b_p) mod M31 over ONE md5 base hash per shingle,
+#: instead of num_perm seeded md5 calls — 16× fewer md5 at 16 perms. With
+#: M31 = 2^31−1 both factors stay below 2^31, so every intermediate fits a
+#: signed 64-bit integer: identical overflow-free BIGINT arithmetic on both
+#: engines. (A Kirsch-Mitzenmacher h1+p·h2 variant was tried first and
+#: rejected: for small sequential p the argmin shingle barely changes across
+#: permutations, so signature slots are order-correlated and LSH banding
+#: misses true near-duplicates.)
+_MASK60 = (1 << 60) - 1
+_M31 = (1 << 31) - 1
+
+
+def _mh_coeff(p: int) -> tuple[int, int]:
+    """Fixed (a_p, b_p) for permutation p — derived from md5 so Python,
+    the Spark literals, and the generated oracle SQL all agree."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a-{p}".encode()).hexdigest()[:15], 16) % (_M31 - 1) + 1
+    b = int(hashlib.md5(f"mh-b-{p}".encode()).hexdigest()[:15], 16) % _M31
+    return a, b
+
+
 def minhash_signature(
     text: Column, num_perm: int = 16, shingle_n: int = 3, hash_fn: str = "md5"
 ) -> Column:
     """Array of ``num_perm`` minhash values over word shingles.
 
-    Independent hash functions come from seeded payload prefixes (no 64-bit
-    multiply — portable across engines; see functions/hashing.py).
+    Self-contained form; prefer :func:`with_minhash_signature`, which stages
+    the base-hash array so md5 runs once per shingle total rather than once
+    per permutation.
     """
     sh = word_shingles(text, shingle_n)
-    return _sig_from_shingles(sh, num_perm, hash_fn)
+    return _sig_from_base(_base_hashes(sh, hash_fn), num_perm)
 
 
-def _sig_from_shingles(sh: Column, num_perm: int, hash_fn: str) -> Column:
-    def seeded(p: int):
-        return lambda s: hash_expr(s, p, hash_fn)
-
-    return F.array(
-        *[F.array_min(F.transform(sh, seeded(p))) for p in range(num_perm)]
+def _base_hashes(sh: Column, hash_fn: str) -> Column:
+    # mask-then-mod: the mask is a no-op for md5 (< 2^60 already) and makes
+    # the signed xxhash64 fast path non-negative before the mod.
+    return F.transform(
+        sh,
+        lambda s: hash_expr(s, None, hash_fn).bitwiseAND(F.lit(_MASK60))
+        % F.lit(_M31),
     )
+
+
+def _sig_from_base(h: Column, num_perm: int) -> Column:
+    def perm(p: int) -> Column:
+        a, b = _mh_coeff(p)
+        return F.array_min(
+            F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_M31))
+        )
+
+    return F.array(*[perm(p) for p in range(num_perm)])
 
 
 def with_minhash_signature(
@@ -82,26 +117,33 @@ def with_minhash_signature(
     shingle_n: int = 3,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Staged variant: tokens and shingles each materialize in their own
-    projection so they run ONCE per row instead of once per permutation /
-    once per array element (expressions inside higher-order lambdas re-run
-    per element — measured ~10× slowdown; see functions/text.py)."""
+    """Staged variant: tokens, shingles, and the base-hash array each
+    materialize in their own projection so they run ONCE per row instead of
+    once per permutation / once per array element (expressions inside
+    higher-order lambdas re-run per element — measured ~10× slowdown; see
+    functions/text.py)."""
     from ..functions.text import shingles_from_tokens, tokens
 
     return (
         df.withColumn("__tk", tokens(F.col(text_col)))
         .withColumn("__sh", shingles_from_tokens(F.col("__tk"), shingle_n))
-        .withColumn(out_col, _sig_from_shingles(F.col("__sh"), num_perm, hash_fn))
-        .drop("__tk", "__sh")
+        .withColumn("__h0", _base_hashes(F.col("__sh"), hash_fn))
+        .withColumn(out_col, _sig_from_base(F.col("__h0"), num_perm))
+        .drop("__tk", "__sh", "__h0")
     )
 
 
 def minhash_signature_sql(expr: str, num_perm: int = 16, shingle_n: int = 3) -> str:
-    """DuckDB twin of :func:`minhash_signature` (md5 mode)."""
+    """DuckDB twin of :func:`minhash_signature` (md5 mode, same universal
+    family). The oracle recomputes the base hash per permutation — fine at
+    oracle scale; the Spark side stages it."""
     sh = word_shingles_sql(expr, shingle_n)
+    base = f"({h60_sql('s')} % {_M31})"
     mins = ", ".join(
-        f"list_min(list_transform({sh}, s -> {h60_seeded_sql('s', p)}))"
-        for p in range(num_perm)
+        "list_min(list_transform({sh}, s -> (({a} * {base} + {b}) % {m})))".format(
+            sh=sh, a=a, base=base, b=b, m=_M31
+        )
+        for a, b in (_mh_coeff(p) for p in range(num_perm))
     )
     return f"[{mins}]"
 
