@@ -1014,6 +1014,19 @@ def _sql_q55() -> str:
     """
 
 
+def q56_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-composed production path: hyperplane-bucket
+    candidate pairs → exact-fold cosine verify (cos >= 0.4). Nothing
+    quadratic, nothing collected — the path a 100 TB corpus runs (the exact
+    sweep q46 is the oracle baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_lsh(e, "embedding", "vec_id", dim=64)
+
+
+def _sql_q56() -> str:
+    return dd.embedding_neardup_lsh_sql("embeddings", "embedding", "vec_id", dim=64)
+
+
 def q45_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (staged token-hash array)."""
     d = _t(spark, sf_dir, "documents")
@@ -1488,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_group_zscore": q53_group_zscore,
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         "q55_near_dedup": q55_near_dedup,
+        "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
     }
 
 
@@ -1599,4 +1613,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),
         "q55_near_dedup": _sql_q55(),
+        "q56_embedding_neardup_lsh": _sql_q56(),
     }

@@ -669,3 +669,144 @@ def _neardup_blas(
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
 
     return src.mapInPandas(run, schema="id_a long, id_b long, cos double")
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, LSH-composed (the production path at scale)
+# ---------------------------------------------------------------------------
+def embedding_neardup_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.4,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, cos >= threshold) found via
+    random-hyperplane LSH buckets, then exact-cosine verified.
+
+    This is the operator a 100 TB user calls for embedding dedup: unlike
+    :func:`embedding_neardup_pairs` (O(n²) exact sweep, or broadcast-capped
+    numpy tiers), nothing here is quadratic in the corpus and nothing is
+    collected to the driver. Plan: one scan computes ``num_tables``
+    sign-bit signatures per row (hyperplanes are driver-generated literals,
+    cf. Charikar 2002 / Indyk-Motwani) → explode only (table_bucket, id) →
+    per-bucket pair emission (documents never shuffle; same shape as
+    :func:`minhash_lsh_pairs`) → candidates join back to vectors for the
+    exact fold-order cosine. Recall is tunable: fewer planes or more tables
+    raise it (measured in tests/test_dedup_similarity.py); at higher corpus
+    scale raise ``num_planes`` to keep buckets bounded.
+
+    Output is a strict subset of the exact sweep at the same threshold —
+    pairs whose signatures never collide are missed by design (that is the
+    recall/cost trade every LSH dedup makes; cf. MMDS ch.3).
+    """
+    from ..functions.vectors import dot, norm
+    from .similarity import _deterministic_planes, hyperplane_signature
+
+    tables = [
+        _deterministic_planes(num_planes, dim, seed + t)
+        for t in range(num_tables)
+    ]
+    # Stage each signature as its own projected column before the explode —
+    # array elements would otherwise recompute the full aggregate per element
+    # (the HOF re-evaluation pitfall; see functions/text.py).
+    keyed = df.select(F.col(id_col).alias("__id"), F.col(vec_col)).withColumns(
+        {
+            f"__sig{t}": hyperplane_signature(F.col(vec_col), tables[t])
+            for t in range(num_tables)
+        }
+    )
+    buckets = keyed.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.lit(t), F.col(f"__sig{t}"))
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("__tb"),
+    )
+    cand = (
+        buckets.groupBy("__tb")
+        .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.explode(_pairs_within("__ids")).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
+        .distinct()
+    )
+    l = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    r = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+    )
+    return (
+        cand.join(l, "id_a")
+        .join(r, "id_b")
+        .withColumn("cos", F.round(cos, 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_neardup_lsh_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.4,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of :func:`embedding_neardup_lsh`: identical plane
+    literals, identical index-order double fold for both the sign bits and
+    the verifying cosine, so bucket membership and scores hash-match."""
+    from ..functions.vectors import cosine_sql
+    from .similarity import _deterministic_planes
+
+    def sig_sql(planes: list[list[float]]) -> str:
+        terms = []
+        for j, plane in enumerate(planes):
+            lits = "[" + ", ".join(repr(p) for p in plane) + "]"
+            d = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> CAST({vec_col}[i] AS DOUBLE) * ({lits})[i]))"
+            )
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(terms)
+
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT {id_col} AS vid, {t} AS t, {sig_sql(planes)} AS sig"
+        f" FROM {table}"
+        for t, planes in enumerate(
+            _deterministic_planes(num_planes, dim, seed + t)
+            for t in range(num_tables)
+        )
+    )
+    cos = cosine_sql(f"ea.{vec_col}", f"eb.{vec_col}", dim)
+    return f"""
+    WITH sigs AS (
+      {per_table}
+    ), cand AS (
+      SELECT DISTINCT a.vid AS ia, b.vid AS ib
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vid < b.vid
+    )
+    SELECT c.ia AS id_a, c.ib AS id_b, round({cos}, 6) AS cos
+    FROM cand c
+    JOIN {table} ea ON ea.{id_col} = c.ia
+    JOIN {table} eb ON eb.{id_col} = c.ib
+    WHERE round({cos}, 6) >= {threshold}
+    """

@@ -238,3 +238,51 @@ def test_blas_neardup_corpus_cap(emb):
         dd.embedding_neardup_pairs(
             emb, "embedding", "vec_id", 0.3, method="blas", max_broadcast=10
         )
+
+
+def test_embedding_lsh_recovers_planted_neardups(spark, emb):
+    """Production-path recall: plant a jittered copy (cos ~0.9998) of 30
+    vectors; the LSH-composed dedup must recover nearly all planted pairs
+    (expected per-table collision ~0.96 at 6 planes, ~1.0 over 4 tables)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = emb.limit(30).collect()
+    jittered = []
+    for r in base:
+        v = np.array(r["embedding"], dtype=np.float64)
+        jit = v + rng.normal(0.0, 0.02 * np.linalg.norm(v) / 8.0, v.shape)
+        jittered.append((int(r["vec_id"]) + 100_000, [float(x) for x in jit]))
+    dup = spark.createDataFrame(jittered, "vec_id long, embedding array<float>")
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    out = dd.embedding_neardup_lsh(
+        corpus, "embedding", "vec_id", dim=64, threshold=0.9
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(int(r["vec_id"]), int(r["vec_id"]) + 100_000) for r in base}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9
+
+
+def test_embedding_lsh_subset_and_candidate_bound(emb):
+    """Verified output is a strict subset of the exact sweep, and the
+    candidate set (threshold=-1 accepts every verified candidate) stays far
+    below the n²/2 pairs the exact sweep scores."""
+    n = emb.count()
+    out = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in dd.embedding_neardup_lsh(
+            emb, "embedding", "vec_id", dim=64, threshold=0.4
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in dd.embedding_neardup_pairs(
+            emb, "embedding", "vec_id", 0.4, method="exact_np"
+        ).collect()
+    }
+    assert out <= exact
+    candidates = dd.embedding_neardup_lsh(
+        emb, "embedding", "vec_id", dim=64, threshold=-1.0
+    ).count()
+    assert candidates < 0.15 * n * (n - 1) / 2
