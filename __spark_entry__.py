@@ -1105,6 +1105,18 @@ def _sql_q47() -> str:
     return sim.cosine_topk_sql("embeddings", 5, 64, query_filter="q.vec_id < 10")
 
 
+def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5 for queries vec_id < 40: hash-picked
+    coarse centroids, map-side cell assignment (no shuffle), nprobe=4 probe
+    + exact re-rank over co-located candidates only."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, e.where("vec_id < 40"), 5)
+
+
+def _sql_q57() -> str:
+    return sim.ivf_topk_sql("embeddings", 5, 64, query_filter="e.vec_id < 40")
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -1502,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         "q55_near_dedup": q55_near_dedup,
         "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
+        "q57_ivf_topk": q57_ivf_topk,
     }
 
 
@@ -1614,4 +1627,5 @@ def oracle_sql() -> dict[str, str]:
         "q54_near_dedup_pairs": _sql_q54(),
         "q55_near_dedup": _sql_q55(),
         "q56_embedding_neardup_lsh": _sql_q56(),
+        "q57_ivf_topk": _sql_q57(),
     }

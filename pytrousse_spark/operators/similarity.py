@@ -245,3 +245,196 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN (coarse cells + probe; the other classic scale path)
+# ---------------------------------------------------------------------------
+def _ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, num_cells: int
+) -> list[tuple[int, list[float]]]:
+    """The ``num_cells`` corpus rows with smallest portable hash of their id
+    — a deterministic pseudo-random coarse quantizer both engines can
+    recompute (no k-means iterations to replay). Returns [(1-based cell
+    index, vector), ...] ordered by (hash, id)."""
+    from ..functions.hashing import h60
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            h60(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "id")
+        .limit(num_cells)
+        .collect()
+    )
+    return [(i + 1, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+
+
+def _cell_rank_array(
+    vec_col: str, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """Array of struct(neg_score, cell) per centroid, sorted — natural
+    ascending struct order = score desc, cell index asc, NULL scores (zero
+    norms) coalesced past every real score. Pure map-side expression: cell
+    assignment costs num_cells dot products per row and NO shuffle. Assumes
+    a staged ``__n`` row-norm column (HOF re-evaluation pitfall)."""
+    items = []
+    for idx, cv in cents:
+        lit = F.array(*[F.lit(x) for x in cv])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cn = F.sqrt(
+            F.aggregate(
+                F.transform(lit, lambda p: p * p), F.lit(0.0), lambda a, v: a + v
+            )
+        )
+        s = F.when((F.col("__n") > 0) & (cn > 0), d / (F.col("__n") * cn))
+        items.append(
+            F.struct(
+                F.coalesce(-F.round(s, 6), F.lit(2.0)).alias("ns"),
+                F.lit(idx).alias("cell"),
+            )
+        )
+    return F.array_sort(F.array(*items))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF-flat (inverted-file) search: every corpus
+    row is assigned to its nearest coarse centroid's cell, queries probe
+    their ``nprobe`` nearest cells, and only co-located candidates get the
+    exact cosine re-rank (cf. Sivic-Zisserman inverted files; IVF-flat as
+    popularized by FAISS).
+
+    Scale shape: assignment is a map-side expression against centroid
+    literals (no shuffle); the only shuffle is the candidate join keyed by
+    cell. Each corpus row lands in EXACTLY one cell, so candidates need no
+    dedup (unlike multi-table LSH). At real corpus sizes raise ``num_cells``
+    (cells ≈ √n keeps cell size and probe cost balanced); recall rises with
+    ``nprobe`` (measured in tests/test_dedup_similarity.py)."""
+    cents = _ivf_centroids(corpus, id_col, vec_col, num_cells)
+
+    from ..functions.vectors import dot, norm
+
+    c_cells = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .withColumn("__n", norm(F.col(vec_col)))
+        .withColumn("__ranked", _cell_rank_array(vec_col, cents))
+        .select("neighbor_id", F.col("__ranked")[0]["cell"].alias("__cell"))
+    )
+    q_cells = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .withColumn("__n", norm(F.col(vec_col)))
+        .withColumn("__ranked", _cell_rank_array(vec_col, cents))
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cell"]
+                )
+            ).alias("__cell"),
+        )
+    )
+    candidates = (
+        c_cells.join(F.broadcast(q_cells), on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
+    cos = F.when(
+        (F.col("__qn") > 0) & (F.col("__cn") > 0),
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
+    scored = (
+        candidates.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn("cos", F.round(cos, 6))
+        .where(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk_sql(
+    corpus: str,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    query_filter: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` (queries = corpus rows matching
+    ``query_filter``). Centroid pick, cell assignment (score desc, cell asc,
+    NULL scores last via the same -2.0 coalesce) and re-rank all replay the
+    identical fold-order math."""
+    from ..functions.hashing import h60_sql
+
+    h = h60_sql(f"CAST({id_col} AS VARCHAR)")
+    ccos = cosine_sql(f"e.{vec_col}", "c.cv", dim)
+    vcos = cosine_sql(f"q.{vec_col}", f"n.{vec_col}", dim)
+    return f"""
+    WITH cent AS (
+      SELECT {id_col} AS cid, {vec_col} AS cv,
+             row_number() OVER (ORDER BY {h}, {id_col}) AS cidx
+      FROM {corpus}
+      ORDER BY {h}, {id_col} LIMIT {num_cells}
+    ), cscore AS (
+      SELECT e.{id_col} AS rid, c.cidx,
+             coalesce(round({ccos}, 6), -2.0) AS s
+      FROM {corpus} e CROSS JOIN cent c
+    ), assign AS (
+      SELECT rid, cidx AS cell FROM (
+        SELECT rid, cidx,
+               row_number() OVER (PARTITION BY rid ORDER BY s DESC, cidx) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT rid AS qid, cidx AS cell FROM (
+        SELECT cs.rid, cs.cidx,
+               row_number() OVER (PARTITION BY cs.rid ORDER BY cs.s DESC, cs.cidx) AS rn
+        FROM cscore cs JOIN {corpus} e ON e.{id_col} = cs.rid
+        WHERE ({query_filter})
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT p.qid AS query_id, a.rid AS neighbor_id, round({vcos}, 6) AS cos
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.rid <> p.qid
+      JOIN {corpus} q ON q.{id_col} = p.qid
+      JOIN {corpus} n ON n.{id_col} = a.rid
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rank
+      FROM scored WHERE cos IS NOT NULL
+    ) WHERE rank <= {k}
+    """

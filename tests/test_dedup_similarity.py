@@ -286,3 +286,30 @@ def test_embedding_lsh_subset_and_candidate_bound(emb):
         emb, "embedding", "vec_id", dim=64, threshold=-1.0
     ).count()
     assert candidates < 0.15 * n * (n - 1) / 2
+
+
+def test_ivf_recall_rises_with_nprobe(emb):
+    """IVF-flat recall@5 against exact cosine_topk: monotone-ish in nprobe
+    (more cells probed → more candidates), pinned at the q57 config."""
+    exact = sim.cosine_topk(emb, emb.where("vec_id < 40"), 5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    def recall(nprobe):
+        got = sim.ivf_topk(emb, emb.where("vec_id < 40"), 5, nprobe=nprobe)
+        got_set = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        return len(exact_set & got_set) / len(exact_set)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    print("ivf recall@5 nprobe 1/4/16:", r1, r4, r16)
+    assert r1 <= r4 <= r16
+    assert r16 == 1.0          # probing every cell == exhaustive search
+    assert r4 >= 0.5           # measured on this corpus; pinned
+
+
+def test_ivf_each_corpus_row_one_cell(emb):
+    """Candidate sets need no dedup: with nprobe=num_cells every query sees
+    every other row exactly once."""
+    out = sim.ivf_topk(emb.limit(50), emb.limit(50).where("vec_id < 3"), 1000,
+                       num_cells=4, nprobe=4)
+    counts = out.groupBy("query_id", "neighbor_id").count().where("count > 1")
+    assert counts.count() == 0
