@@ -104,3 +104,25 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on ``key_cols`` — the ingestion-time guard an
+    LLM-data pipeline puts in front of every sink.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` after a watermark on ``ts``,
+    so dedup state EXPIRES with the watermark instead of growing without
+    bound (the plain ``dropDuplicates`` keeps every key forever — a
+    scale-killer on an unbounded stream). Duplicates arriving within the
+    watermark horizon are suppressed; older re-arrivals are by contract
+    late data. Batch twin: plain ``dropDuplicates`` (exact).
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))

@@ -55,3 +55,60 @@ def test_stream_sessionize_runs(spark, events_stream_dir):
     assert len(rows) > 0
     assert all(r["session_end"] >= r["session_start"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stream_dedup_suppresses_cross_file_duplicates(
+    spark, events_batch, tmp_path_factory
+):
+    """Same parquet file delivered twice (two triggers) — the watermarked
+    streaming dedup must emit each event_id once, matching the batch twin."""
+    import shutil
+
+    from pytrousse_spark.streaming.events import dedup_events_stream
+
+    d = tmp_path_factory.mktemp("events_dup_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-001.parquet")
+
+    stream = read_events_stream(spark, str(d))
+    deduped = dedup_events_stream(stream).select("event_id")
+    run_stream_to_memory(deduped, "dedup_stream", output_mode="append")
+    got = spark.table("dedup_stream").collect()
+
+    expected = dedup_events_stream(events_batch).count()
+    assert len(got) == expected
+    assert len({r["event_id"] for r in got}) == len(got)
+
+
+def test_stream_runs_stateless_text_operators(spark, tmp_path_factory):
+    """Expression-compiled operators (minhash signatures, quality scores)
+    apply to a stream unchanged — no batch-only constructs in the hot path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pytrousse_spark.functions.text import quality_score
+    from pytrousse_spark.operators.dedup import with_minhash_signature
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-000.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    docs = spark.readStream.schema(schema).parquet(str(d))
+
+    out = with_minhash_signature(docs, "text", num_perm=8).withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    run_stream_to_memory(
+        out.select("doc_id", "__sig", "quality"), "docs_stream",
+        output_mode="append",
+    )
+    got = {r["doc_id"]: (tuple(r["__sig"]), r["quality"])
+           for r in spark.table("docs_stream").collect()}
+
+    batch = with_minhash_signature(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), "text", num_perm=8
+    ).withColumn("quality", quality_score(F.col("text")))
+    want = {r["doc_id"]: (tuple(r["__sig"]), r["quality"])
+            for r in batch.select("doc_id", "__sig", "quality").collect()}
+    assert got == want
