@@ -1105,6 +1105,18 @@ def _sql_q47() -> str:
     return sim.cosine_topk_sql("embeddings", 5, 64, query_filter="q.vec_id < 10")
 
 
+def q58_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL pairs at simhash-Hamming <= 3 over 32-bit fingerprints — exact
+    result at bucket-join cost via the Manku-Jain-Das Sarma pigeonhole band
+    trick (4 bands of 8 bits; any <=3-bit difference matches one band)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash_pairs(d, "text", "doc_id", bits=32)
+
+
+def _sql_q58() -> str:
+    return dd.simhash_pairs_sql("documents", "text", "doc_id", bits=32)
+
+
 def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-5 for queries vec_id < 40: hash-picked
     coarse centroids, map-side cell assignment (no shuffle), nprobe=4 probe
@@ -1515,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_near_dedup": q55_near_dedup,
         "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
         "q57_ivf_topk": q57_ivf_topk,
+        "q58_simhash_pairs": q58_simhash_pairs,
     }
 
 
@@ -1628,4 +1641,5 @@ def oracle_sql() -> dict[str, str]:
         "q55_near_dedup": _sql_q55(),
         "q56_embedding_neardup_lsh": _sql_q56(),
         "q57_ivf_topk": _sql_q57(),
+        "q58_simhash_pairs": _sql_q58(),
     }

@@ -504,6 +504,114 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """ALL pairs (id_a < id_b) with simhash Hamming distance <= max_hamming
+    — exact result at bucket-join cost, via the pigeonhole band trick of
+    Manku-Jain-Das Sarma 2007 (Google's web near-dup detector): split the
+    fingerprint into ``bands`` bit-blocks; any pair differing in at most
+    ``max_hamming < bands`` bits matches exactly on at least one block, so
+    candidates = same-block collisions are a SUPERSET of true pairs and the
+    cheap popcount verify makes the output exact, never all-pairs.
+
+    Same scale shape as :func:`minhash_lsh_pairs`: one scan computes
+    fingerprints, only (band_key, id) explodes, per-bucket pair emission,
+    verify joins two 1-column sides.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    w = bits // bands
+    mask = (1 << w) - 1
+    sigs = with_simhash(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col)),
+        text_col,
+        out_col="__sh",
+        bits=bits,
+        hash_fn=hash_fn,
+    ).select("__id", "__sh")
+    keyed = sigs.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        F.shiftright(F.col("__sh"), b * w).bitwiseAND(F.lit(mask)),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    )
+    cand = (
+        keyed.groupBy("__band")
+        .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.explode(_pairs_within("__ids")).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sigs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "hamming",
+            hamming_distance(F.col("__sa"), F.col("__sb"), bits).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+) -> str:
+    """DuckDB twin of :func:`simhash_pairs` (md5 mode)."""
+    w = bits // bands
+    mask = (1 << w) - 1
+    sig = simhash_sql(text_col, bits=bits)
+    per_band = "\n      UNION ALL ".join(
+        f"SELECT vid, {b} AS b, (sig >> {b * w}) & {mask} AS bk FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT {id_col} AS vid, {sig} AS sig FROM {table}
+    ), bk AS (
+      {per_band}
+    ), cand AS (
+      SELECT DISTINCT a.vid AS ia, b.vid AS ib
+      FROM bk a JOIN bk b ON a.b = b.b AND a.bk = b.bk AND a.vid < b.vid
+    )
+    SELECT c.ia AS id_a, c.ib AS id_b,
+           CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+    FROM cand c
+    JOIN sigs sa ON sa.vid = c.ia
+    JOIN sigs sb ON sb.vid = c.ib
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
+    """
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

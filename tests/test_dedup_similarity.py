@@ -313,3 +313,31 @@ def test_ivf_each_corpus_row_one_cell(emb):
                        num_cells=4, nprobe=4)
     counts = out.groupBy("query_id", "neighbor_id").count().where("count > 1")
     assert counts.count() == 0
+
+
+def test_simhash_pairs_exact_vs_bruteforce(docs):
+    """The band-bucketed pair search must equal brute-force Hamming over all
+    pairs (pigeonhole completeness) — exact, not approximate."""
+    import itertools
+
+    sub = docs.limit(120)
+    got = sorted(
+        map(tuple, dd.simhash_pairs(sub, "text", "doc_id", bits=32).collect())
+    )
+    sigs = dd.with_simhash(sub, "text", out_col="simhash32", bits=32).select(
+        "doc_id", "simhash32"
+    ).collect()
+    brute = sorted(
+        (min(x["doc_id"], y["doc_id"]), max(x["doc_id"], y["doc_id"]),
+         bin(x["simhash32"] ^ y["simhash32"]).count("1"))
+        for x, y in itertools.combinations(sigs, 2)
+        if bin(x["simhash32"] ^ y["simhash32"]).count("1") <= 3
+    )
+    assert got == brute
+
+
+def test_simhash_pairs_guards(docs):
+    with pytest.raises(ValueError):
+        dd.simhash_pairs(docs, "text", "doc_id", max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        dd.simhash_pairs(docs, "text", "doc_id", bits=30, bands=4)
