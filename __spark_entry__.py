@@ -1105,6 +1105,22 @@ def _sql_q47() -> str:
     return sim.cosine_topk_sql("embeddings", 5, 64, query_filter="q.vec_id < 10")
 
 
+def q59_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-corpus prep: language/quality/length gates → exact
+    fingerprint dedup → verified near-dedup (min-id survivors). The whole
+    pre-training cleaning flow as one pipeline."""
+    from pytrousse_spark.operators import corpus as cp
+
+    d = _t(spark, sf_dir, "documents")
+    return cp.clean_corpus(d)
+
+
+def _sql_q59() -> str:
+    from pytrousse_spark.operators import corpus as cp
+
+    return cp.clean_corpus_sql("documents")
+
+
 def q58_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL pairs at simhash-Hamming <= 3 over 32-bit fingerprints — exact
     result at bucket-join cost via the Manku-Jain-Das Sarma pigeonhole band
@@ -1528,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
         "q57_ivf_topk": q57_ivf_topk,
         "q58_simhash_pairs": q58_simhash_pairs,
+        "q59_clean_corpus": q59_clean_corpus,
     }
 
 
@@ -1642,4 +1659,5 @@ def oracle_sql() -> dict[str, str]:
         "q56_embedding_neardup_lsh": _sql_q56(),
         "q57_ivf_topk": _sql_q57(),
         "q58_simhash_pairs": _sql_q58(),
+        "q59_clean_corpus": _sql_q59(),
     }

@@ -341,3 +341,18 @@ def test_simhash_pairs_guards(docs):
         dd.simhash_pairs(docs, "text", "doc_id", max_hamming=4, bands=4)
     with pytest.raises(ValueError):
         dd.simhash_pairs(docs, "text", "doc_id", bits=30, bands=4)
+
+
+def test_clean_corpus_invariant_to_planted_duplicates(docs):
+    """Planting exact copies (higher ids) of surviving documents must not
+    change the cleaned corpus: the copies fall to the same fingerprint and
+    the min-id survivor rule keeps the originals."""
+    from pytrousse_spark.operators import corpus as cp
+
+    base = sorted(map(tuple, cp.clean_corpus(docs).collect()))
+    dup = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).limit(50)
+    planted = docs.select("doc_id", "text").unionByName(dup)
+    got = sorted(map(tuple, cp.clean_corpus(planted).collect()))
+    assert got == base
