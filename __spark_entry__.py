@@ -1594,12 +1594,37 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hash_fn="xxhash64",
         )
 
+    def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # q16's exact percentile holds all group values; this is the
+        # fixed-memory sketch tier (single aggregation, mergeable state)
+        # a 100 TB profile run uses instead.
+        li = _t(spark, sf_dir, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.round(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4
+            ).alias("p50"),
+            F.round(
+                F.expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4
+            ).alias("p90"),
+            F.round(
+                F.expr("approx_percentile(l_quantity, 0.25, 10000)"), 4
+            ).alias("q25"),
+        )
+
+    def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        return dd.simhash_pairs(
+            d, "text", "doc_id", bits=32, hash_fn="xxhash64"
+        )
+
     return {
+        "x16_percentiles_sketch": x16,
         "x42_minhash_xxhash64": x42,
         "x43_lsh_pairs_xxhash64": x43,
         "x45_simhash_xxhash64": x45,
         "x46_neardup_blas_raw": x46,
         "x54_near_dedup_xxhash64": x54,
+        "x58_simhash_pairs_xxhash64": x58,
     }
 
 
