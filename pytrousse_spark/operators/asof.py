@@ -1,22 +1,29 @@
 """As-of (most-recent-match) join — an operator Spark lacks natively.
 
 Composed from built-in DataFrame ops (SURVEY.md custom-operator policy (a)):
-union the two sides tagged, sort within each key group by time, backward-fill
-the right side's values with ``last(ignorenulls=True)``, keep left rows. One
-shuffle on the key — the same cost profile as a regular sort-merge join, no
-Python, no per-row loops.
+union the two sides tagged, sort within each key group by time, fill the
+right side's row-struct across the frame, keep left rows. One shuffle on the
+key — the same cost profile as a regular sort-merge join, no Python, no
+per-row loops.
 
-Semantics: for each left row, attach the right row with the greatest
-``right_time <= left_time`` in the same key group (``direction="backward"``;
-ties on equal timestamps match). Public construction — the standard
-union+window formulation of time-series as-of joins (cf. pandas
-``merge_asof``, DuckDB ``ASOF JOIN``, which is also the correctness oracle in
-__spark_entry__.q51).
+Semantics (cf. pandas ``merge_asof``, DuckDB ``ASOF JOIN`` — the latter is
+the correctness oracle in __spark_entry__.q51):
+
+- ``direction="backward"``: greatest ``right_time <= left_time``;
+- ``direction="forward"``: smallest ``right_time >= left_time``;
+- ``direction="nearest"``: whichever of the two is closer in time, ties to
+  the backward match (pandas tie rule);
+- ``tolerance``: matches farther than this from the left time are dropped
+  (NULLs attached). Units: seconds for timestamp time columns, plain column
+  units for numerics.
+
+Public construction — the standard union+window formulation of time-series
+as-of joins.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -28,28 +35,34 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join of ``left`` with ``right`` on key ``on``.
+    """As-of join of ``left`` with ``right`` on key ``on``.
 
     ``right_cols`` (default: all non-key, non-time right columns) appear in
-    the output suffixed; rows with no prior right match keep NULLs.
-    Right-side ties on (key, time) resolve to the row latest in the sort —
-    callers needing a specific survivor should pre-deduplicate.
+    the output suffixed; rows with no match in ``direction`` (and within
+    ``tolerance``, if given) keep NULLs. Right-side ties on (key, time)
+    resolve to the row latest in the sort — callers needing a specific
+    survivor should pre-deduplicate.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
 
-    # The whole matched right row travels as ONE struct so the backfill is
-    # atomic: a NULL field in the most recent right row stays NULL in the
-    # output instead of being filled from an older right row (which per-column
-    # last(ignorenulls) would silently mix).
-    fields = [f"{right_time}{suffix}", *[f"{c}{suffix}" for c in right_cols]]
+    # The whole matched right row travels as ONE struct so the fill is
+    # atomic: a NULL field in the matched right row stays NULL in the
+    # output instead of being filled from another right row (which
+    # per-column last(ignorenulls) would silently mix).
+    t_field = f"{right_time}{suffix}"
+    fields = [t_field, *[f"{c}{suffix}" for c in right_cols]]
     r_tag = right.select(
         F.col(on),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.struct(
-            F.col(right_time).alias(f"{right_time}{suffix}"),
+            F.col(right_time).alias(t_field),
             *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
         ).alias("__r"),
     )
@@ -66,14 +79,55 @@ def asof_join(
 
     union = l_tag.unionByName(r_tag.select(*l_tag.columns))
 
-    # right rows (__is_left=0) sort before left rows at equal timestamps, so
-    # an exactly-simultaneous right row IS matched (backward-inclusive).
-    w = (
+    # Backward: right rows (__is_left=0) sort BEFORE left rows at equal
+    # timestamps, so an exactly-simultaneous right row IS matched
+    # (inclusive). Forward mirrors it: left first, right after, first() over
+    # the following frame. Both windows share one partitioning → one shuffle
+    # even when "nearest" computes both.
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = union.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
-    out = filled.where(F.col("__is_left") == 1)
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    filled = union
+    if direction in ("backward", "nearest"):
+        filled = filled.withColumn(
+            "__rb", F.last("__r", ignorenulls=True).over(w_back)
+        )
+    if direction in ("forward", "nearest"):
+        filled = filled.withColumn(
+            "__rf", F.first("__r", ignorenulls=True).over(w_fwd)
+        )
+
+    def dist(matched: Column) -> Column:
+        return F.abs(
+            F.col("__t").cast("double") - matched[t_field].cast("double")
+        )
+
+    if direction == "backward":
+        picked = F.col("__rb")
+    elif direction == "forward":
+        picked = F.col("__rf")
+    else:
+        b, f_ = F.col("__rb"), F.col("__rf")
+        picked = (
+            F.when(b.isNull(), f_)
+            .when(f_.isNull(), b)
+            .when(dist(f_) < dist(b), f_)   # ties go backward (pandas rule)
+            .otherwise(b)
+        )
+
+    out = filled.withColumn("__r", picked).where(F.col("__is_left") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__r",
+            F.when(dist(F.col("__r")) <= F.lit(float(tolerance)), F.col("__r")),
+        )
     out = out.withColumns({f: F.col("__r").getField(f) for f in fields})
-    return out.drop("__t", "__is_left", "__r")
+    return out.drop("__t", "__is_left", "__rb", "__rf", "__r")

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pytrousse_spark.operators.asof import asof_join
 
 
@@ -73,3 +75,43 @@ def test_asof_preserves_left_rows(spark):
     rows = out.collect()
     assert len(rows) == 5
     assert all(r["rid_right"] is None for r in rows)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 90.0])
+def test_asof_matches_pandas_merge_asof(spark, direction, tolerance):
+    """pandas.merge_asof is the reference semantics for every direction and
+    tolerance — randomized keys/times, deterministic seed, unique right
+    (key, time) pairs (both engines' tie rule then coincide)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 120, 80
+    lpd = pd.DataFrame({
+        "k": rng.integers(0, 4, n_l).astype("int64"),
+        "t": rng.integers(0, 3000, n_l).astype("int64"),
+        "lv": np.arange(n_l, dtype="int64"),
+    })
+    rpd = pd.DataFrame({
+        "k": rng.integers(0, 4, n_r).astype("int64"),
+        "rt": rng.integers(0, 3000, n_r).astype("int64"),
+        "rv": np.arange(n_r, dtype="int64"),
+    }).drop_duplicates(["k", "rt"])
+
+    kw = dict(tolerance=int(tolerance)) if tolerance is not None else {}
+    want = pd.merge_asof(
+        lpd.sort_values("t"), rpd.sort_values("rt"),
+        left_on="t", right_on="rt", by="k", direction=direction, **kw,
+    ).sort_values("lv")
+
+    out = asof_join(
+        spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+        on="k", left_time="t", right_time="rt",
+        direction=direction, tolerance=tolerance,
+    ).toPandas().sort_values("lv")
+
+    got = out["rv_right"].astype("float64").to_numpy()
+    exp = want["rv"].astype("float64").to_numpy()
+    assert len(got) == len(exp)
+    assert ((got == exp) | (np.isnan(got) & np.isnan(exp))).all()
