@@ -1105,6 +1105,65 @@ def _sql_q47() -> str:
     return sim.cosine_topk_sql("embeddings", 5, 64, query_filter="q.vec_id < 10")
 
 
+def q60_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (bucketed, canonical-bucket dedup — no
+    distinct): shipments in transit [shipdate, shipdate + qty%14 days]
+    overlapped against a 52-week 1994 calendar; per-week transit census."""
+    from pytrousse_spark.operators.rangejoin import interval_join
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1994-01-01", "1994-12-31")
+    )
+    day0 = F.lit("1970-01-01")
+    lo = F.datediff(F.col("l_shipdate"), day0)
+    l = li.select(
+        lo.cast("double").alias("l_lo"),
+        (lo + F.col("l_quantity").cast("int") % 14).cast("double").alias("l_hi"),
+        "l_quantity",
+    )
+    wk = spark.range(52).select(
+        (F.lit(8766) + F.col("id") * 7).cast("double").alias("r_lo"),
+        (F.lit(8766) + F.col("id") * 7 + 6).cast("double").alias("r_hi"),
+    )
+    out = interval_join(
+        l, wk, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=7.0
+    )
+    return (
+        out.groupBy("r_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_transit"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("r_lo").cast("int"))
+            .alias("week_start"),
+            "n_transit",
+            "sum_qty",
+        )
+    )
+
+
+def _sql_q60() -> str:
+    return """
+    WITH li AS (
+      SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS l_lo,
+             (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+               + (CAST(l_quantity AS INT) % 14) AS l_hi,
+             l_quantity
+      FROM lineitem
+      WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+    ), wk AS (
+      SELECT 8766 + 7 * k AS r_lo, 8766 + 7 * k + 6 AS r_hi
+      FROM (SELECT unnest(range(0, 52)) AS k)
+    )
+    SELECT DATE '1970-01-01' + CAST(r_lo AS INT) AS week_start,
+           count(*) AS n_transit,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM li JOIN wk ON l_lo <= r_hi AND r_lo <= l_hi
+    GROUP BY r_lo
+    """
+
+
 def q59_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-corpus prep: language/quality/length gates → exact
     fingerprint dedup → verified near-dedup (min-id survivors). The whole
@@ -1545,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_ivf_topk": q57_ivf_topk,
         "q58_simhash_pairs": q58_simhash_pairs,
         "q59_clean_corpus": q59_clean_corpus,
+        "q60_interval_join": q60_interval_join,
     }
 
 
@@ -1685,4 +1745,5 @@ def oracle_sql() -> dict[str, str]:
         "q57_ivf_topk": _sql_q57(),
         "q58_simhash_pairs": _sql_q58(),
         "q59_clean_corpus": _sql_q59(),
+        "q60_interval_join": _sql_q60(),
     }

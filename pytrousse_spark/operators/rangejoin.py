@@ -88,3 +88,87 @@ def range_join(
     for c in right.columns:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     return joined.unionByName(unmatched).drop("__lid")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    how: str = "inner",
+    bucket_width: float | None = None,
+    max_buckets_per_range: int = 10_000,
+) -> DataFrame:
+    """Interval-overlap join: ``left_lo <= right_hi AND right_lo <= left_hi``
+    (closed intervals; the temporal/genomic overlap-join predicate).
+
+    ``bucket_width=None`` → broadcast nested-loop (small right side). With a
+    width, BOTH sides explode to their covered buckets and equi-join on the
+    bucket id; an overlapping pair shares every bucket their intersection
+    covers, so to emit it exactly once WITHOUT a distinct shuffle the match
+    is kept only in its canonical bucket — the one containing
+    ``greatest(left_lo, right_lo)``, the start of the intersection (standard
+    partitioned interval-join trick, e.g. GenomicsDB/spatial joins).
+
+    Rows whose interval spans more than ``max_buckets_per_range`` buckets on
+    either side skip the explode and take a broadcast nested-loop path,
+    unioned back in (never silently dropped; assumed rare — pick a width
+    that keeps typical intervals narrow).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("interval_join supports how='inner' or 'left'")
+    cond = (F.col(left_lo) <= F.col(right_hi)) & (
+        F.col(right_lo) <= F.col(left_hi)
+    )
+    if bucket_width is None:
+        return left.join(F.broadcast(right), cond, how)
+
+    w = float(bucket_width)
+
+    def bucketize(df: DataFrame, lo: str, hi: str):
+        nb = (F.floor(F.col(hi) / w) - F.floor(F.col(lo) / w) + 1).cast("int")
+        tagged = df.withColumn("__nb", nb)
+        narrow = tagged.where(F.col("__nb") <= max_buckets_per_range).drop("__nb")
+        wide = tagged.where(F.col("__nb") > max_buckets_per_range).drop("__nb")
+        exploded = narrow.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w).cast("long"),
+                    F.floor(F.col(hi) / w).cast("long"),
+                )
+            ),
+        )
+        return narrow, wide, exploded
+
+    l_src = left
+    if how == "left":
+        # see range_join: row id so unmatched rows re-attach exactly once
+        l_src = left.withColumn("__lid", F.monotonically_increasing_id())
+    l_narrow, l_wide, l_expl = bucketize(l_src, left_lo, left_hi)
+    r_narrow, r_wide, r_expl = bucketize(right, right_lo, right_hi)
+
+    canonical = F.col("__bucket") == F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / w
+    ).cast("long")
+    bucketed = (
+        l_expl.join(r_expl, on="__bucket", how="inner")
+        .where(cond & canonical)
+        .drop("__bucket")
+    )
+    # wide-row recovery: wide-left x all-right, narrow-left x wide-right —
+    # together with narrow x narrow above this partitions all pairs exactly.
+    wide_l = l_wide.join(F.broadcast(right), cond, "inner").drop("__nb")
+    narrow_l_wide_r = l_narrow.join(F.broadcast(r_wide), cond, "inner")
+    joined = bucketed.unionByName(wide_l).unionByName(narrow_l_wide_r)
+    if how == "inner":
+        return joined
+    matched = joined.select("__lid").distinct()
+    unmatched = l_src.join(matched, on="__lid", how="left_anti")
+    for c in right.columns:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(right.schema[c].dataType)
+        )
+    return joined.unionByName(unmatched).drop("__lid")

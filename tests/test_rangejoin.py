@@ -76,3 +76,60 @@ def test_left_join_duplicate_left_rows(spark, ranges):
     # each 30.0 copy is unmatched → exactly 2 NULL rows, not 1
     assert sum(1 for r in rows if r["pid"] == 2) == 2
     assert all(r["name"] is None for r in rows if r["pid"] == 2)
+
+
+def test_interval_join_matches_nested_loop(spark):
+    """Bucketed interval-overlap join must equal the broadcast nested-loop
+    ground truth — randomized intervals, widths that force both the
+    canonical-bucket dedup and the wide-interval recovery paths."""
+    import numpy as np
+
+    from pytrousse_spark.operators.rangejoin import interval_join
+
+    rng = np.random.default_rng(11)
+    lrows = [
+        (int(i), float(lo), float(lo + ln))
+        for i, (lo, ln) in enumerate(
+            zip(rng.uniform(0, 1000, 150), rng.uniform(0, 80, 150))
+        )
+    ]
+    # a few very wide left and right intervals to exercise the guard
+    lrows += [(900, 0.0, 990.0), (901, 10.0, 999.0)]
+    rrows = [
+        (int(1000 + i), float(lo), float(lo + ln))
+        for i, (lo, ln) in enumerate(
+            zip(rng.uniform(0, 1000, 100), rng.uniform(0, 60, 100))
+        )
+    ]
+    rrows += [(1900, 5.0, 980.0)]
+    l = spark.createDataFrame(lrows, "lid long, l_lo double, l_hi double")
+    r = spark.createDataFrame(rrows, "rid long, r_lo double, r_hi double")
+
+    truth = sorted(
+        (row["lid"], row["rid"])
+        for row in interval_join(
+            l, r, "l_lo", "l_hi", "r_lo", "r_hi"
+        ).collect()
+    )
+    for width, guard in ((10.0, 10_000), (10.0, 20), (37.0, 5)):
+        got = sorted(
+            (row["lid"], row["rid"])
+            for row in interval_join(
+                l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+                bucket_width=width, max_buckets_per_range=guard,
+            ).collect()
+        )
+        assert got == truth, (width, guard)
+
+    # left mode: every left row appears; matched multiplicity preserved
+    left_out = interval_join(
+        l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+        how="left", bucket_width=10.0, max_buckets_per_range=20,
+    ).collect()
+    n_matches = len(truth)
+    matched_left = {a for a, _ in truth}
+    unmatched = [row for row in left_out if row["rid"] is None]
+    assert len(left_out) == n_matches + len(unmatched)
+    assert {row["lid"] for row in unmatched} == (
+        {row["lid"] for row in l.collect()} - matched_left
+    )
