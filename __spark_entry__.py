@@ -1105,6 +1105,57 @@ def _sql_q47() -> str:
     return sim.cosine_topk_sql("embeddings", 5, 64, query_filter="q.vec_id < 10")
 
 
+def q61_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by salted content hash (the
+    hash-mod split of large-scale pipelines — stable across engines, runs,
+    and repartitioning, unlike randomSplit) + per-split census."""
+    from pytrousse_spark.operators import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    out = sp.hash_split(d, "doc_id")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+    )
+
+
+def _sql_q61() -> str:
+    from pytrousse_spark.operators import sampling as sp
+
+    case = sp.hash_split_sql("doc_id")
+    return f"""
+    SELECT {case} AS split, count(*) AS n_docs,
+           round(avg(length(text)), 4) AS avg_len
+    FROM documents GROUP BY 1
+    """
+
+
+def q62_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-docs-per-language downsample (min salted hash, ties
+    by id) — reproducible stratified sampling, one window shuffle."""
+    from pytrousse_spark.functions import text as tx
+    from pytrousse_spark.operators import sampling as sp
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang_guess", tx.lang_id(F.col("text"))
+    )
+    out = sp.hash_topk_per_group(d, ["lang_guess"], 10, "doc_id")
+    return out.select("lang_guess", "doc_id")
+
+
+def _sql_q62() -> str:
+    from pytrousse_spark.functions import text as tx
+    from pytrousse_spark.operators import sampling as sp
+
+    inner = sp.hash_topk_per_group_sql(
+        "(SELECT doc_id, " + tx.lang_id_sql("text") + " AS lang_guess FROM documents) s",
+        ["lang_guess"],
+        10,
+        "doc_id",
+    )
+    return f"SELECT lang_guess, doc_id FROM ({inner})"
+
+
 def q60_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (bucketed, canonical-bucket dedup — no
     distinct): shipments in transit [shipdate, shipdate + qty%14 days]
@@ -1605,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_simhash_pairs": q58_simhash_pairs,
         "q59_clean_corpus": q59_clean_corpus,
         "q60_interval_join": q60_interval_join,
+        "q61_hash_split": q61_hash_split,
+        "q62_group_sample": q62_group_sample,
     }
 
 
@@ -1746,4 +1799,6 @@ def oracle_sql() -> dict[str, str]:
         "q58_simhash_pairs": _sql_q58(),
         "q59_clean_corpus": _sql_q59(),
         "q60_interval_join": _sql_q60(),
+        "q61_hash_split": _sql_q61(),
+        "q62_group_sample": _sql_q62(),
     }

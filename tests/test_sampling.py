@@ -1,0 +1,71 @@
+"""Deterministic sampling/splitting semantics (reproducibility guarantees)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pytrousse_spark import read_parquet_df
+from pytrousse_spark.operators import sampling as sp
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_parquet_df(spark, f"{SF_DIR}/documents.parquet")
+
+
+def test_hash_sample_stable_under_repartition(docs):
+    a = {r["doc_id"] for r in sp.hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in sp.hash_sample(docs.repartition(13), "doc_id", 0.3).collect()
+    }
+    assert a == b
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n   # ~fraction, not exact
+
+
+def test_hash_sample_salts_decorrelated(docs):
+    a = {r["doc_id"] for r in sp.hash_sample(docs, "doc_id", 0.5, salt="a").collect()}
+    b = {r["doc_id"] for r in sp.hash_sample(docs, "doc_id", 0.5, salt="b").collect()}
+    assert a != b
+    n = docs.count()
+    # independent halves overlap ~25% of the corpus
+    assert 0.15 * n < len(a & b) < 0.35 * n
+
+
+def test_hash_split_partitions_every_row_once(docs):
+    out = sp.hash_split(docs, "doc_id")
+    assert out.count() == docs.count()
+    per = {r["split"]: r["n"] for r in out.groupBy("split").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert set(per) == {"train", "val", "test"}
+    n = docs.count()
+    assert per["train"] > 0.8 * n
+    # appending a split at the end keeps earlier assignments stable
+    out4 = sp.hash_split(
+        docs, "doc_id",
+        weights={"train": 0.9, "val": 0.05, "test": 0.04, "extra": 0.01},
+    )
+    moved = (
+        out.select("doc_id", "split")
+        .join(out4.select("doc_id", out4["split"].alias("s4")), "doc_id")
+        .where("split != s4")
+    )
+    # only rows in the old last range can change (into the appended split)
+    assert moved.where("s4 != 'extra'").count() == 0
+
+
+def test_hash_split_weights_validated(docs):
+    with pytest.raises(ValueError):
+        sp.hash_split(docs, "doc_id", weights={"a": 0.5, "b": 0.4})
+
+
+def test_hash_topk_per_group_deterministic(docs):
+    df = docs.withColumn("g", (docs["doc_id"] % 3).cast("int"))
+    a = sorted(r["doc_id"] for r in sp.hash_topk_per_group(df, ["g"], 5, "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sp.hash_topk_per_group(df.repartition(7), ["g"], 5, "doc_id").collect()
+    )
+    assert a == b and len(a) == 15
