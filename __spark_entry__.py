@@ -1105,6 +1105,20 @@ def _sql_q47() -> str:
     return sim.cosine_topk_sql("embeddings", 5, 64, query_filter="q.vec_id < 10")
 
 
+def q63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap (32/8): the pre-training
+    chunk step as a pure expression pipeline — tokens staged once, chunk
+    starts from a sequence explode, linear fan-out."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(d, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+
+def _sql_q63() -> str:
+    return tx.chunk_documents_sql(
+        "documents", "text", "doc_id", chunk_tokens=32, overlap=8
+    )
+
+
 def q61_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test assignment by salted content hash (the
     hash-mod split of large-scale pipelines — stable across engines, runs,
@@ -1658,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_interval_join": q60_interval_join,
         "q61_hash_split": q61_hash_split,
         "q62_group_sample": q62_group_sample,
+        "q63_chunk_documents": q63_chunk_documents,
     }
 
 
@@ -1801,4 +1816,5 @@ def oracle_sql() -> dict[str, str]:
         "q60_interval_join": _sql_q60(),
         "q61_hash_split": _sql_q61(),
         "q62_group_sample": _sql_q62(),
+        "q63_chunk_documents": _sql_q63(),
     }

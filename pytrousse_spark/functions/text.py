@@ -199,3 +199,80 @@ def fingerprint_sql(expr: str, n: int = 3) -> str:
         f"list_min(list_transform({word_shingles_sql(expr, n)}, "
         f"s -> {h60_sql('s')}))"
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-training chunking step. Output: one row per chunk with
+    (id_col, chunk_id, chunk_text, n_tokens).
+
+    Pure expression pipeline: tokens stage once per row, chunk starts come
+    from a ``sequence`` explode (stride = chunk_tokens - overlap), each
+    chunk re-joins its token slice. Nothing leaves the row until the
+    explode, whose fan-out is ceil(n/stride) — linear in corpus token
+    count, embarrassingly parallel.
+
+    The final partial window is kept (a trailing chunk shorter than
+    ``chunk_tokens``); empty documents produce zero chunks.
+    """
+    from pyspark.sql import functions as F
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    staged = (
+        df.select(id_col, text_col)
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .withColumn("__n", F.size("__tk"))
+        .where(F.col("__n") > 0)
+    )
+    # chunk start offsets 0, stride, 2*stride, ... < n (1-based slice later)
+    starts = F.sequence(
+        F.lit(0),
+        ((F.col("__n") - 1) / stride).cast("long") * stride,
+        F.lit(stride),
+    )
+    out = staged.withColumn("__start", F.explode(starts))
+    piece = F.slice(F.col("__tk"), F.col("__start") + 1, chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+def chunk_documents_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based list slicing via
+    ``list_slice``; same stride/partial-window semantics)."""
+    stride = chunk_tokens - overlap
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH staged AS (
+      SELECT {id_col}, {toks} AS tk, len({toks}) AS n FROM {table}
+    ), exploded AS (
+      SELECT {id_col}, tk,
+             unnest(range(0, ((n - 1) // {stride}) * {stride} + 1,
+                          {stride})) AS s
+      FROM staged WHERE n > 0
+    )
+    SELECT {id_col},
+           CAST(s / {stride} AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(tk, s + 1, s + {chunk_tokens}), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(tk, s + 1, s + {chunk_tokens})) AS BIGINT)
+             AS n_tokens
+    FROM exploded
+    """

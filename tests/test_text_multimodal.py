@@ -9,6 +9,14 @@ from pytrousse_spark.functions import text as tx
 from pytrousse_spark.operators import multimodal as mm
 
 
+@pytest.fixture(scope="module")
+def docs(spark):
+    from pytrousse_spark import read_parquet_df
+    from tests.conftest import SF_DIR
+
+    return read_parquet_df(spark, f"{SF_DIR}/documents.parquet")
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([("Hello, world! 42",)], ["t"])
     r = df.select(
@@ -81,3 +89,36 @@ def test_frame_sample_plan(spark):
     idx = sorted(r["frame_index"] for r in frames.collect())
     assert idx[0] == 0 and len(idx) > 1
     assert all(i % 10 == 0 for i in idx)
+
+
+def test_chunk_documents_reconstructs_corpus(docs):
+    """Chunks at zero overlap concatenate back to the tokenized documents;
+    with overlap, consecutive chunks share exactly `overlap` tokens."""
+    from pytrousse_spark.functions.text import chunk_documents
+
+    sub = docs.limit(40)
+    flat = chunk_documents(sub, "text", "doc_id", chunk_tokens=16, overlap=0)
+    rebuilt = {}
+    for r in sorted(flat.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])):
+        rebuilt.setdefault(r["doc_id"], []).extend(r["chunk_text"].split(" "))
+    from pytrousse_spark.functions.text import tokens
+    want = {
+        r["doc_id"]: r["tk"]
+        for r in sub.select("doc_id", tokens(F.col("text")).alias("tk")).collect()
+        if r["tk"]
+    }
+    assert rebuilt == want
+
+    ov = chunk_documents(sub, "text", "doc_id", chunk_tokens=16, overlap=4)
+    by_doc = {}
+    for r in sorted(ov.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"].split(" "))
+    for chunks in by_doc.values():
+        for a, b in zip(chunks, chunks[1:]):
+            # tokens past the stride boundary are the overlap both share
+            # (either side may be truncated at the end of the document)
+            shared = a[12:]
+            assert shared == b[: len(shared)]
+
+    with pytest.raises(ValueError):
+        chunk_documents(sub, "text", "doc_id", chunk_tokens=8, overlap=8)
