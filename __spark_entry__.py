@@ -1105,6 +1105,31 @@ def _sql_q47() -> str:
     return sim.cosine_topk_sql("embeddings", 5, 64, query_filter="q.vec_id < 10")
 
 
+def q64_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check over the q61 hash split: training documents
+    containing >=30% of a test document's distinct 3-grams (containment
+    |A∩B|/|B| — a long train doc embedding a short benchmark item still
+    scores high). Bench side broadcasts; the corpus never shuffles."""
+    from pytrousse_spark.operators import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    split = sp.hash_split(d, "doc_id")
+    train = split.where("split = 'train'").select("doc_id", "text")
+    test = split.where("split = 'test'").select("doc_id", "text")
+    return dd.contamination_pairs(train, test, min_containment=0.3)
+
+
+def _sql_q64() -> str:
+    from pytrousse_spark.operators import sampling as sp
+
+    case = sp.hash_split_sql("doc_id")
+    return dd.contamination_pairs_sql(
+        f"(SELECT doc_id, text FROM documents WHERE {case} = 'train') tr",
+        f"(SELECT doc_id, text FROM documents WHERE {case} = 'test') te",
+        min_containment=0.3,
+    )
+
+
 def q63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-window chunking with overlap (32/8): the pre-training
     chunk step as a pure expression pipeline — tokens staged once, chunk
@@ -1673,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_hash_split": q61_hash_split,
         "q62_group_sample": q62_group_sample,
         "q63_chunk_documents": q63_chunk_documents,
+        "q64_contamination": q64_contamination,
     }
 
 
@@ -1817,4 +1843,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_hash_split": _sql_q61(),
         "q62_group_sample": _sql_q62(),
         "q63_chunk_documents": _sql_q63(),
+        "q64_contamination": _sql_q64(),
     }

@@ -918,3 +918,89 @@ def embedding_neardup_lsh_sql(
     JOIN {table} eb ON eb.{id_col} = c.ib
     WHERE round({cos}, 6) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus contamination (decontamination check)
+# ---------------------------------------------------------------------------
+def contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """(corpus_id, bench_id, containment) for training documents that
+    contain >= ``min_containment`` of a benchmark document's distinct word
+    n-grams — the standard pre-training decontamination check (containment
+    |A∩B|/|B| rather than Jaccard, so a long training doc embedding a short
+    benchmark item still scores high; cf. the n-gram-overlap
+    decontamination described in public LM reports).
+
+    Scale shape: the benchmark side is small by nature and BROADCASTS, so
+    the corpus never shuffles — each corpus partition joins its shingles
+    against the broadcast bench index; only (corpus_id, bench_id) partial
+    counts move in the final aggregation.
+    """
+    from ..functions.text import shingles_from_tokens, tokens
+
+    def shingled(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(text_col))
+            .withColumn("__tk", tokens(F.col(text_col)))
+            .select(
+                out_id,
+                F.explode(
+                    F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
+                ).alias("__sh"),
+            )
+        )
+
+    c_sh = shingled(corpus, "corpus_id")
+    b_sh = shingled(bench, "bench_id")
+    b_sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("__bsize"))
+    common = (
+        c_sh.join(F.broadcast(b_sh), on="__sh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    return (
+        common.join(F.broadcast(b_sizes), "bench_id")
+        .withColumn(
+            "containment", F.round(F.col("__common") / F.col("__bsize"), 6)
+        )
+        .where(F.col("containment") >= min_containment)
+        .select("corpus_id", "bench_id", "containment")
+    )
+
+
+def contamination_pairs_sql(
+    corpus_table: str,
+    bench_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`contamination_pairs`."""
+    sh = word_shingles_sql(text_col, n)
+    cont = "round(__common / bs.__bsize, 6)"
+    return f"""
+    WITH c_sh AS (
+      SELECT {id_col} AS corpus_id, unnest(list_distinct({sh})) AS __sh
+      FROM {corpus_table}
+    ), b_sh AS (
+      SELECT {id_col} AS bench_id, unnest(list_distinct({sh})) AS __sh
+      FROM {bench_table}
+    ), b_sizes AS (
+      SELECT bench_id, count(*) AS __bsize FROM b_sh GROUP BY bench_id
+    ), common AS (
+      SELECT corpus_id, bench_id, count(*) AS __common
+      FROM c_sh JOIN b_sh USING (__sh)
+      GROUP BY 1, 2
+    )
+    SELECT corpus_id, bench_id, {cont} AS containment
+    FROM common JOIN b_sizes bs USING (bench_id)
+    WHERE {cont} >= {min_containment}
+    """

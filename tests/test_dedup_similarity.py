@@ -356,3 +356,20 @@ def test_clean_corpus_invariant_to_planted_duplicates(docs):
     planted = docs.select("doc_id", "text").unionByName(dup)
     got = sorted(map(tuple, cp.clean_corpus(planted).collect()))
     assert got == base
+
+
+def test_contamination_detects_planted_benchmark_copy(spark, docs):
+    """A training doc that embeds a benchmark doc verbatim must score
+    containment 1.0; unrelated docs stay below threshold."""
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [(10, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix words"),
+         (11, "totally unrelated content having nothing shared at all here")],
+        ["doc_id", "text"],
+    )
+    out = {(r["corpus_id"], r["bench_id"]): r["containment"]
+           for r in dd.contamination_pairs(train, bench, min_containment=0.5).collect()}
+    assert out == {(10, 1): 1.0}
