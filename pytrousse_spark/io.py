@@ -84,6 +84,26 @@ def read_parquet_df(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def rebalance_undersplit(df: DataFrame) -> DataFrame:
+    """Spread an under-split input across the cluster before heavy per-row
+    work (signatures, repair cascades, chunking).
+
+    Parquet only splits at row-group boundaries, so a small single-row-group
+    file yields ONE partition and serializes every downstream expression on
+    one core. This helper round-robins such inputs to ``defaultParallelism``;
+    it is a NO-OP whenever the input already has enough splits (any real
+    cluster-scale table), so callers on the 100 TB path pay nothing.
+    Measured trade: a blanket rebalance at read time slowed the scan-light
+    majority of the query battery by the cost of the extra exchange, so it
+    is opt-in where compute-per-row justifies the shuffle. Predicate
+    pushdown and pruning traverse Repartition nodes.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_parquet(
     spark: SparkSession, path: str, metadata_cols: tuple[str, ...] = ()
 ) -> Dataset:

@@ -448,20 +448,45 @@ def simhash(text: Column, bits: int = 16, hash_fn: str = "md5") -> Column:
     return _simhash_from_hashes(hs, bits)
 
 
-def _simhash_from_hashes(hs: Column, bits: int) -> Column:
-    def bit_sum(j: int):
-        return lambda acc, x: acc + (
-            F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("int")
+def _bit_counts(hs: Column, bits: int) -> Column:
+    """ONE fold with an array-of-counters accumulator instead of ``bits``
+    separate aggregates: each token contributes its bit vector via a
+    zip_with add. Same integer arithmetic as per-bit sums (the DuckDB
+    twin's list_sums agree), but the generated code is one aggregate block
+    instead of ``bits`` — measured ~3× on 32-bit fingerprints."""
+    return F.aggregate(
+        hs,
+        F.array(*[F.lit(0)] * bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(
+                *[F.shiftright(x, j).bitwiseAND(F.lit(1)).cast("int")
+                  for j in range(bits)]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
 
-    bit_cols = []
+
+def _sig_from_counts(ones: Column, n: Column, bits: int) -> Column:
+    """Fingerprint from a STAGED bit-count array (``ones`` must be a plain
+    column reference — element_at per bit would otherwise re-run the whole
+    fold; the HOF re-evaluation pitfall).
+
+    bit j set when the ±1 sum is positive: ones[j] - zeros[j] > 0
+    <=> 2·ones[j] > n.
+    """
+    out = F.lit(0)
     for j in range(bits):
-        s = F.aggregate(hs, F.lit(0), bit_sum(j))
-        bit_cols.append(F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bit_cols[0]
-    for b in bit_cols[1:]:
-        out = out + b
+        out = out + F.when(
+            F.element_at(ones, j + 1) * 2 > n, F.lit(1 << j)
+        ).otherwise(F.lit(0))
     return out.cast("long")
+
+
+def _simhash_from_hashes(hs: Column, bits: int) -> Column:
+    # self-contained (unstaged) form — prefer with_simhash for hot paths
+    return _sig_from_counts(_bit_counts(hs, bits), F.size(hs), bits)
 
 
 def with_simhash(
@@ -481,8 +506,12 @@ def with_simhash(
     return (
         df.withColumn("__tk", tokens(F.col(text_col)))
         .withColumn("__hs", F.transform(F.col("__tk"), tok_hash))
-        .withColumn(out_col, _simhash_from_hashes(F.col("__hs"), bits))
-        .drop("__tk", "__hs")
+        .withColumn("__ones", _bit_counts(F.col("__hs"), bits))
+        .withColumn(
+            out_col,
+            _sig_from_counts(F.col("__ones"), F.size(F.col("__hs")), bits),
+        )
+        .drop("__tk", "__hs", "__ones")
     )
 
 
@@ -541,8 +570,14 @@ def simhash_pairs(
         bits=bits,
         hash_fn=hash_fn,
     ).select("__id", "__sh")
+    # The 8-byte fingerprint travels WITH the id through the bucket stage
+    # (struct elements in collect_set), so the verify is a pure expression
+    # on the emitted pair — no join back, and the signature subtree runs
+    # ONCE instead of three times (bucket + two verify sides). collect_set
+    # sorts by the full struct, but __id is unique so order is by id, as
+    # _pairs_within requires.
     keyed = sigs.select(
-        "__id",
+        F.struct(F.col("__id"), F.col("__sh")).alias("__e"),
         F.explode(
             F.array(
                 *[
@@ -556,26 +591,21 @@ def simhash_pairs(
             )
         ).alias("__band"),
     )
-    cand = (
+    pairs = (
         keyed.groupBy("__band")
-        .agg(F.array_sort(F.collect_set("__id")).alias("__ids"))
+        .agg(F.array_sort(F.collect_set("__e")).alias("__ids"))
         .where(F.size("__ids") > 1)
         .select(F.explode(_pairs_within("__ids")).alias("__p"))
-        .select(F.col("__p.id_a"), F.col("__p.id_b"))
+        .select(
+            F.col("__p.id_a.__id").alias("id_a"),
+            F.col("__p.id_b.__id").alias("id_b"),
+            hamming_distance(
+                F.col("__p.id_a.__sh"), F.col("__p.id_b.__sh"), bits
+            ).cast("int").alias("hamming"),
+        )
         .distinct()
     )
-    a = sigs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
-    b = sigs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "hamming",
-            hamming_distance(F.col("__sa"), F.col("__sb"), bits).cast("int"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 def simhash_pairs_sql(

@@ -280,6 +280,8 @@ def _cell_rank_array(
     norms) coalesced past every real score. Pure map-side expression: cell
     assignment costs num_cells dot products per row and NO shuffle. Assumes
     a staged ``__n`` row-norm column (HOF re-evaluation pitfall)."""
+    import math
+
     items = []
     for idx, cv in cents:
         lit = F.array(*[F.lit(x) for x in cv])
@@ -288,11 +290,15 @@ def _cell_rank_array(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        cn = F.sqrt(
-            F.aggregate(
-                F.transform(lit, lambda p: p * p), F.lit(0.0), lambda a, v: a + v
-            )
-        )
+        # centroid norm precomputed on the driver with the SAME sequential
+        # double fold the engines use (plain += loop == left fold in IEEE
+        # arithmetic), so scores stay bit-identical to the DuckDB twin while
+        # the per-row expression halves.
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        cn_val = math.sqrt(acc)
+        cn = F.lit(cn_val)
         s = F.when((F.col("__n") > 0) & (cn > 0), d / (F.col("__n") * cn))
         items.append(
             F.struct(
@@ -328,11 +334,20 @@ def ivf_topk(
 
     from ..functions.vectors import dot, norm
 
+    # Vectors and norms RIDE ALONG both sides of the cell join (the inverted
+    # file's payload), so scoring is a pure expression on the joined row —
+    # no join back to the corpus; the signature/assignment subtree runs once
+    # per side.
     c_cells = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
         .withColumn("__n", norm(F.col(vec_col)))
         .withColumn("__ranked", _cell_rank_array(vec_col, cents))
-        .select("neighbor_id", F.col("__ranked")[0]["cell"].alias("__cell"))
+        .select(
+            "neighbor_id",
+            F.col(vec_col).alias("__cv"),
+            F.col("__n").alias("__cn"),
+            F.col("__ranked")[0]["cell"].alias("__cell"),
+        )
     )
     q_cells = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
@@ -340,6 +355,8 @@ def ivf_topk(
         .withColumn("__ranked", _cell_rank_array(vec_col, cents))
         .select(
             "query_id",
+            F.col(vec_col).alias("__qv"),
+            F.col("__n").alias("__qn"),
             F.explode(
                 F.transform(
                     F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cell"]
@@ -347,28 +364,13 @@ def ivf_topk(
             ).alias("__cell"),
         )
     )
-    candidates = (
-        c_cells.join(F.broadcast(q_cells), on="__cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
-    c_vec = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        norm(F.col(vec_col)).alias("__cn"),
-    )
-    q_vec = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        norm(F.col(vec_col)).alias("__qn"),
-    )
     cos = F.when(
         (F.col("__qn") > 0) & (F.col("__cn") > 0),
         dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
     )
     scored = (
-        candidates.join(c_vec, "neighbor_id")
-        .join(F.broadcast(q_vec), "query_id")
+        c_cells.join(F.broadcast(q_cells), on="__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cos, 6))
         .where(F.col("cos").isNotNull())
     )

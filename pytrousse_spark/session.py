@@ -43,6 +43,12 @@ def get_spark(
         # type); io.read_parquet converts them back to timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Split even small files into >= cores partitions: a single small
+        # parquet file otherwise yields ONE input split, serializing every
+        # per-row expression (signatures, repair cascades) on one core. At
+        # real scale inputs have plenty of splits, so a minimum is free;
+        # AQE re-coalesces after shuffles either way.
+        .config("spark.sql.files.minPartitionNum", cpus)
         # local mode starts faster with the driver host pinned.
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
