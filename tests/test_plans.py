@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the scale properties PLANS.md documents
+must survive refactors — pushdown reaching scans, broadcasts on small sides,
+top-k without global windows, no cartesian products outside declared
+baselines."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q02_topk_without_global_window(spark):
+    plan = _plan(spark, "q02_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_q28_fact_table_never_shuffles(spark):
+    plan = _plan(spark, "q28_group_binning")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q64_corpus_side_broadcast_free(spark):
+    plan = _plan(spark, "q64_contamination")
+    # the benchmark index broadcasts; the corpus must NOT be broadcast-joined
+    # the other way around, and no cartesian product may appear
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_outside_declared_baselines(spark):
+    declared = {
+        # O(n^2) exact baselines by design (oracle anchors)
+        "q46_embedding_neardup", "q46b_neardup_blas", "q47_cosine_topk",
+        # broadcast nested-loop range predicates (small dim side)
+        "q52_range_join", "q15_scalar_subquery",
+    }
+    for name, fn in entrymod.queries().items():
+        if name in declared:
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "q04_filter_agg")
+    # ReadSchema shows only the columns the query touches, not the table
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(cols) <= 5, cols
