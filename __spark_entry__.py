@@ -1144,6 +1144,37 @@ def _sql_q63() -> str:
     )
 
 
+def q65_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components over the verified
+    near-dup pair graph (iterative min-label propagation — one shuffle per
+    round, rounds = graph diameter). Oracle replays the closure with a
+    recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.near_dedup_pairs(
+        d, "text", "doc_id", num_perm=8, bands=4, threshold=0.2
+    )
+    return dd.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )
+
+
+def _sql_q65() -> str:
+    pairs = dd.near_dedup_pairs_sql(
+        "documents", "text", "doc_id", num_perm=8, bands=4, threshold=0.2
+    )
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT id_a AS src, id_b AS dst FROM ({pairs})
+      UNION SELECT id_b, id_a FROM ({pairs})
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
 def q61_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test assignment by salted content hash (the
     hash-mod split of large-scale pipelines — stable across engines, runs,
@@ -1699,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_group_sample": q62_group_sample,
         "q63_chunk_documents": q63_chunk_documents,
         "q64_contamination": q64_contamination,
+        "q65_dup_clusters": q65_dup_clusters,
     }
 
 
@@ -1844,4 +1876,5 @@ def oracle_sql() -> dict[str, str]:
         "q62_group_sample": _sql_q62(),
         "q63_chunk_documents": _sql_q63(),
         "q64_contamination": _sql_q64(),
+        "q65_dup_clusters": _sql_q65(),
     }

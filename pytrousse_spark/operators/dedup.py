@@ -1034,3 +1034,96 @@ def contamination_pairs_sql(
     FROM common JOIN b_sizes bs USING (bench_id)
     WHERE {cont} >= {min_containment}
     """
+
+
+# ---------------------------------------------------------------------------
+# transitive duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every id in ``pairs`` (id_a, id_b), where
+    component = min id reachable through the pair graph — exact transitive
+    closure, unlike the single-hop greedy rule.
+
+    Iterative min-label propagation (the standard distributed-CC loop, cf.
+    large-star/small-star of Kiveris et al. 2014; plain propagation is used
+    here because dedup graphs have tiny diameters — duplicate cliques and
+    short chains): each round joins labels across edges and keeps the min;
+    stops when no label changes. Each round is one shuffle keyed by id;
+    rounds needed = graph diameter (checked against ``max_iter``).
+
+    Iteration requires an action per round (the convergence test), so this
+    operator is NOT one lazy plan — by design, like every iterative graph
+    algorithm on Spark.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("id", "dst").withColumnRenamed(
+                    "component", "__nc"
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__nc").alias("__nmin"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("__nmin"), F.col("component")) < F.col("component"))
+                .alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate the iterative lineage
+        n_changed = updated.where("__changed").count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter larger than max_iter)"
+    )
+
+
+def near_dedup_transitive(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus with whole duplicate CLUSTERS collapsed to their min-id member
+    — exact transitive semantics (a-b, b-c ⇒ drop b AND c even though a,c
+    were never compared). Contrast :func:`near_dedup`, whose greedy one-hop
+    rule keeps documents connected only through a removed intermediate.
+    """
+    pairs = near_dedup_pairs(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, hash_fn=hash_fn,
+    )
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

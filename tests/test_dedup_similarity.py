@@ -373,3 +373,54 @@ def test_contamination_detects_planted_benchmark_copy(spark, docs):
     out = {(r["corpus_id"], r["bench_id"]): r["containment"]
            for r in dd.contamination_pairs(train, bench, min_containment=0.5).collect()}
     assert out == {(10, 1): 1.0}
+
+
+def test_connected_components_exact_vs_python(spark):
+    """Min-label propagation must equal a Python union-find ground truth on
+    a graph with chains, cliques, and singleton-free edges."""
+    import itertools
+
+    edges = [(1, 2), (2, 3), (3, 4),          # chain -> all label 1
+             (10, 11), (11, 12), (10, 12),    # triangle -> label 10
+             (20, 21),                        # pair
+             (30, 31), (32, 33), (31, 32)]    # two pairs joined -> label 30
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dd.connected_components(pairs).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_near_dedup_transitive_collapses_star(spark):
+    """1~3 and 2~3 with 1,2 dissimilar: transitively 1,2,3 are one cluster
+    (keep [1]); the greedy one-hop rule only drops pair id_b's (keep [1,2]).
+    """
+    a_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    b_txt = "lambda mu nu xi omicron pi rho sigma tau upsilon " * 2
+    df = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt), (3, a_txt + b_txt)], ["doc_id", "text"]
+    )
+    kw = dict(num_perm=16, bands=8, threshold=0.3)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dd.near_dedup_pairs(df, "text", "doc_id", **kw).collect()}
+    assert pairs == {(1, 3), (2, 3)}          # 1~2 share nothing
+    trans = sorted(r["doc_id"] for r in
+                   dd.near_dedup_transitive(df, "text", "doc_id", **kw).collect())
+    greedy = sorted(r["doc_id"] for r in
+                    dd.near_dedup(df, "text", "doc_id", **kw).collect())
+    assert trans == [1]
+    assert greedy == [1, 2]
