@@ -1144,6 +1144,28 @@ def _sql_q63() -> str:
     )
 
 
+def q66_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies (min 5 occurrences) —
+    one explode + one aggregation, scan-bound at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.vocabulary(d, "text", "doc_id", min_count=5)
+
+
+def _sql_q66() -> str:
+    return tx.vocabulary_sql("documents", "text", "doc_id", min_count=5)
+
+
+def q67_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf · ln(N/df), rounded tie-break on
+    token) — the classic relevance ranking as explode + two aggs + window."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
+def _sql_q67() -> str:
+    return tx.tfidf_top_terms_sql("documents", "text", "doc_id", k=3)
+
+
 def q65_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: connected components over the verified
     near-dup pair graph (iterative min-label propagation — one shuffle per
@@ -1731,6 +1753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_chunk_documents": q63_chunk_documents,
         "q64_contamination": q64_contamination,
         "q65_dup_clusters": q65_dup_clusters,
+        "q66_vocabulary": q66_vocabulary,
+        "q67_tfidf": q67_tfidf,
     }
 
 
@@ -1877,4 +1901,6 @@ def oracle_sql() -> dict[str, str]:
         "q63_chunk_documents": _sql_q63(),
         "q64_contamination": _sql_q64(),
         "q65_dup_clusters": _sql_q65(),
+        "q66_vocabulary": _sql_q66(),
+        "q67_tfidf": _sql_q67(),
     }

@@ -276,3 +276,96 @@ def chunk_documents_sql(
              AS n_tokens
     FROM exploded
     """
+
+
+def vocabulary(df, text_col: str, id_col: str, min_count: int = 1):
+    """Corpus vocabulary: (token, n_docs, n_occurrences) for tokens
+    appearing at least ``min_count`` times — one explode + one aggregation
+    (map-side partials make this scan-bound at any corpus size)."""
+    from pyspark.sql import functions as F
+
+    tok = (
+        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"))
+        .select("__id", F.explode("__tk").alias("token"))
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("__id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def vocabulary_sql(table: str, text_col: str, id_col: str, min_count: int = 1) -> str:
+    """DuckDB twin of :func:`vocabulary`."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS __id, unnest({toks}) AS token FROM {table}
+    )
+    SELECT token, count(DISTINCT __id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM tok GROUP BY token HAVING count(*) >= {min_count}
+    """
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
+    """Top-``k`` TF-IDF terms per document (tf · ln(N/df_t), raw counts,
+    ties broken by token ascending on the rounded score).
+
+    Plan: explode → (doc, token) counts → join token document-frequencies →
+    per-doc top-k window. The N scalar comes from one count aggregation
+    broadcast into the expression.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    n_docs = base.count()  # one scalar action; the plan below embeds it
+    tok = base.select("__id", F.explode("__tk").alias("token"))
+    tf = tok.groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tok.groupBy("token").agg(F.countDistinct("__id").alias("df_t"))
+    scored = tf.join(dft, "token").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 6),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col), "token", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def tfidf_top_terms_sql(table: str, text_col: str, id_col: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` (same raw-count formula,
+    same rounded-score tie-break)."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS __id, unnest({toks}) AS token FROM {table}
+    ), tf AS (
+      SELECT __id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dft AS (
+      SELECT token, count(DISTINCT __id) AS df_t FROM tok GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {table}
+    ), scored AS (
+      SELECT __id, tf.token, round(tf * ln(n.n_docs / df_t), 6) AS score
+      FROM tf JOIN dft USING (token) CROSS JOIN n
+    )
+    SELECT __id AS {id_col}, token, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY __id ORDER BY score DESC, token ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
