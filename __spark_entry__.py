@@ -1251,11 +1251,11 @@ def _sql_q62() -> str:
 def q60_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (bucketed, canonical-bucket dedup — no
     distinct): shipments in transit [shipdate, shipdate + qty%14 days]
-    overlapped against a 52-week 1994 calendar; per-week transit census."""
+    overlapped against a 52-week 1996 calendar; per-week transit census."""
     from pytrousse_spark.operators.rangejoin import interval_join
 
     li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").between("1994-01-01", "1994-12-31")
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
     )
     day0 = F.lit("1970-01-01")
     lo = F.datediff(F.col("l_shipdate"), day0)
@@ -1264,9 +1264,10 @@ def q60_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lo + F.col("l_quantity").cast("int") % 14).cast("double").alias("l_hi"),
         "l_quantity",
     )
+    # 9496 = day number of 1996-01-01
     wk = spark.range(52).select(
-        (F.lit(8766) + F.col("id") * 7).cast("double").alias("r_lo"),
-        (F.lit(8766) + F.col("id") * 7 + 6).cast("double").alias("r_hi"),
+        (F.lit(9496) + F.col("id") * 7).cast("double").alias("r_lo"),
+        (F.lit(9496) + F.col("id") * 7 + 6).cast("double").alias("r_hi"),
     )
     out = interval_join(
         l, wk, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=7.0
@@ -1294,9 +1295,9 @@ def _sql_q60() -> str:
                + (CAST(l_quantity AS INT) % 14) AS l_hi,
              l_quantity
       FROM lineitem
-      WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+      WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
     ), wk AS (
-      SELECT 8766 + 7 * k AS r_lo, 8766 + 7 * k + 6 AS r_hi
+      SELECT 9496 + 7 * k AS r_lo, 9496 + 7 * k + 6 AS r_hi
       FROM (SELECT unnest(range(0, 52)) AS k)
     )
     SELECT DATE '1970-01-01' + CAST(r_lo AS INT) AS week_start,

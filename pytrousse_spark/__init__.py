@@ -18,6 +18,7 @@ from .io import (
     read_parquet,
     read_parquet_df,
     read_tables,
+    rebalance_undersplit,
     write_csv,
     write_dataset,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "read_parquet",
     "read_parquet_df",
     "read_tables",
+    "rebalance_undersplit",
     "write_csv",
     "write_dataset",
     "__version__",

@@ -232,12 +232,15 @@ def chunk_documents(
         .withColumn("__n", F.size("__tk"))
         .where(F.col("__n") > 0)
     )
-    # chunk start offsets 0, stride, 2*stride, ... < n (1-based slice later)
-    starts = F.sequence(
+    # chunk start offsets 0, stride, 2*stride, ...; a non-zero start must
+    # satisfy start < n - overlap, else its chunk is entirely contained in
+    # the previous one (the first `overlap` tokens of every chunk repeat by
+    # construction) and would duplicate training text.
+    max_start = F.greatest(
+        ((F.col("__n") - overlap - 1) / stride).cast("long") * stride,
         F.lit(0),
-        ((F.col("__n") - 1) / stride).cast("long") * stride,
-        F.lit(stride),
     )
+    starts = F.sequence(F.lit(0), max_start, F.lit(stride))
     out = staged.withColumn("__start", F.explode(starts))
     piece = F.slice(F.col("__tk"), F.col("__start") + 1, chunk_tokens)
     return out.select(
@@ -264,7 +267,7 @@ def chunk_documents_sql(
       SELECT {id_col}, {toks} AS tk, len({toks}) AS n FROM {table}
     ), exploded AS (
       SELECT {id_col}, tk,
-             unnest(range(0, ((n - 1) // {stride}) * {stride} + 1,
+             unnest(range(0, greatest(((n - {overlap} - 1) // {stride}) * {stride}, 0) + 1,
                           {stride})) AS s
       FROM staged WHERE n > 0
     )

@@ -105,10 +105,17 @@ def asof_join(
             "__rf", F.first("__r", ignorenulls=True).over(w_fwd)
         )
 
+    # DateType cannot cast to double directly; route date/timestamp through
+    # timestamp (epoch seconds), numerics straight to double.
+    t_dtype = dict(left.dtypes)[left_time]
+
+    def seconds(c: Column) -> Column:
+        if t_dtype in ("date", "timestamp", "timestamp_ntz"):
+            return c.cast("timestamp").cast("double")
+        return c.cast("double")
+
     def dist(matched: Column) -> Column:
-        return F.abs(
-            F.col("__t").cast("double") - matched[t_field].cast("double")
-        )
+        return F.abs(seconds(F.col("__t")) - seconds(matched[t_field]))
 
     if direction == "backward":
         picked = F.col("__rb")

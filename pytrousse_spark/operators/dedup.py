@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import h60_seeded_sql, h60_sql, hash_expr
+from ..functions.hashing import h60_sql, hash_expr
 from ..functions.text import tokens, word_shingles, word_shingles_sql
 
 
@@ -617,6 +617,13 @@ def simhash_pairs_sql(
     bands: int = 4,
 ) -> str:
     """DuckDB twin of :func:`simhash_pairs` (md5 mode)."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
     w = bits // bands
     mask = (1 << w) - 1
     sig = simhash_sql(text_col, bits=bits)
@@ -1064,6 +1071,10 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        # materialize ONCE: edges are re-joined every round, and without
+        # this the whole upstream pair-generation pipeline (LSH + verify)
+        # would re-execute per round
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")

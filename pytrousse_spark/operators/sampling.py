@@ -36,7 +36,9 @@ def hash_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, decided per-row by the salted id hash —
-    stable under reruns and repartitioning, disjoint across salts."""
+    stable under reruns and repartitioning. Different salts give
+    INDEPENDENT (decorrelated, overlapping) samples; for disjoint subsets
+    use :func:`hash_split`, whose bucket ranges partition the id space."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     return df.where(_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))

@@ -115,3 +115,25 @@ def test_asof_matches_pandas_merge_asof(spark, direction, tolerance):
     exp = want["rv"].astype("float64").to_numpy()
     assert len(got) == len(exp)
     assert ((got == exp) | (np.isnan(got) & np.isnan(exp))).all()
+
+
+def test_asof_nearest_on_dates(spark):
+    """direction='nearest' and tolerance must work on DateType time columns
+    (dates route through timestamp for the distance arithmetic)."""
+    left = spark.createDataFrame(
+        [(1, "u", dt.date(2024, 1, 10))], "id long, user string, d date"
+    )
+    right = spark.createDataFrame(
+        [(100, "u", dt.date(2024, 1, 7)), (200, "u", dt.date(2024, 1, 12))],
+        "rid long, user string, rd date",
+    )
+    row = asof_join(
+        left, right, on="user", left_time="d", right_time="rd",
+        direction="nearest",
+    ).collect()[0]
+    assert row["rid_right"] == 200      # 2 days away beats 3 days
+    row2 = asof_join(
+        left, right, on="user", left_time="d", right_time="rd",
+        direction="nearest", tolerance=86400.0,   # 1 day: neither qualifies
+    ).collect()[0]
+    assert row2["rid_right"] is None
