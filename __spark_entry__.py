@@ -1166,6 +1166,22 @@ def _sql_q67() -> str:
     return tx.tfidf_top_terms_sql("documents", "text", "doc_id", k=3)
 
 
+def q68_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-split sequence packing (256-token budget,
+    8 hash shards): per document, the packed sequence it starts in and its
+    offset — windowed cumulative sums within shards, no global order."""
+    from pytrousse_spark.operators import packing as pk
+
+    d = _t(spark, sf_dir, "documents")
+    return pk.pack_documents(d, "text", "doc_id")
+
+
+def _sql_q68() -> str:
+    from pytrousse_spark.operators import packing as pk
+
+    return pk.pack_documents_sql("documents", "text", "doc_id")
+
+
 def q65_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: connected components over the verified
     near-dup pair graph (iterative min-label propagation — one shuffle per
@@ -1756,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_dup_clusters": q65_dup_clusters,
         "q66_vocabulary": q66_vocabulary,
         "q67_tfidf": q67_tfidf,
+        "q68_pack_sequences": q68_pack_sequences,
     }
 
 
@@ -1904,4 +1921,5 @@ def oracle_sql() -> dict[str, str]:
         "q65_dup_clusters": _sql_q65(),
         "q66_vocabulary": _sql_q66(),
         "q67_tfidf": _sql_q67(),
+        "q68_pack_sequences": _sql_q68(),
     }
