@@ -60,6 +60,16 @@ def clean_corpus(
         & F.col("n_tokens").between(min_tokens, max_tokens)
     ).select(id_col, text_col, "n_tokens", "quality", "__fp")
     exact = dd.exact_dedup(kept, ["__fp"], id_col)
+    # The near-dedup stage consumes `exact` three times (signatures,
+    # shingle sets, survivor anti-join) with different column prunings, so
+    # the exchanges are not canonically equal and AQE cannot reuse them —
+    # without persistence the full gate+dedup aggregation would execute
+    # three times. Spill-safe persist; unpersisted by the caller's session
+    # teardown (the frame is the filtered, deduped corpus — far smaller
+    # than the input).
+    from pyspark import StorageLevel
+
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     survivors = dd.near_dedup(
         exact,
         text_col,
