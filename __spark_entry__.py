@@ -1166,6 +1166,38 @@ def _sql_q67() -> str:
     return tx.tfidf_top_terms_sql("documents", "text", "doc_id", k=3)
 
 
+def q69_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-metadata decode: synthesize a valid RIFF/WAVE payload per
+    document (parameters derived from doc_id + token count), then recover
+    the parameters from the BYTES ALONE by walking the chunk list — the
+    oracle predicts the same values by formula, so a decoder bug breaks the
+    hash match."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_wav_meta,
+        synthesize_wav_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    wav = synthesize_wav_column(d)
+    return decode_wav_meta(wav)
+
+
+def _sql_q69() -> str:
+    toks = tx.tokens_sql("text")
+    return f"""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           16 AS bit_depth,
+           CAST(len({toks}) * 10 AS BIGINT) AS n_samples,
+           round(len({toks}) * 10 * 1000.0
+                 / (8000 + (doc_id % 3) * 4000), 3) AS duration_ms
+    FROM documents
+    """
+
+
 def q68_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concatenate-and-split sequence packing (256-token budget,
     8 hash shards): per document, the packed sequence it starts in and its
@@ -1773,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_vocabulary": q66_vocabulary,
         "q67_tfidf": q67_tfidf,
         "q68_pack_sequences": q68_pack_sequences,
+        "q69_wav_decode": q69_wav_decode,
     }
 
 
@@ -1922,4 +1955,5 @@ def oracle_sql() -> dict[str, str]:
         "q66_vocabulary": _sql_q66(),
         "q67_tfidf": _sql_q67(),
         "q68_pack_sequences": _sql_q68(),
+        "q69_wav_decode": _sql_q69(),
     }

@@ -122,3 +122,40 @@ def test_chunk_documents_reconstructs_corpus(docs):
 
     with pytest.raises(ValueError):
         chunk_documents(sub, "text", "doc_id", chunk_tokens=8, overlap=8)
+
+
+def test_wav_roundtrip_and_python_wave_agrees(spark):
+    """The chunk-walking decoder must agree with Python's stdlib `wave`
+    module on the same bytes — an independent reference decoder."""
+    import io
+    import wave
+
+    from pytrousse_spark.operators.multimodal import (
+        decode_wav_meta,
+        synthesize_wav_column,
+    )
+
+    d = spark.createDataFrame(
+        [(1, 20), (2, 7), (5, 33)], "doc_id long, n_tokens long"
+    )
+    wav = synthesize_wav_column(d)
+    got = {r["doc_id"]: r for r in decode_wav_meta(wav).collect()}
+
+    for row in wav.collect():
+        with wave.open(io.BytesIO(bytes(row["media"]))) as w:
+            g = got[row["doc_id"]]
+            assert g["sample_rate"] == w.getframerate()
+            assert g["channels"] == w.getnchannels()
+            assert g["bit_depth"] == w.getsampwidth() * 8
+            assert g["n_samples"] == w.getnframes() * 1  # frames == samples/ch
+            assert g["n_samples"] == w.getnframes()
+
+
+def test_wav_decoder_rejects_garbage(spark):
+    from pytrousse_spark.operators.multimodal import decode_wav_meta
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a wav file at all"))], "doc_id long, media binary"
+    )
+    with pytest.raises(Exception):
+        decode_wav_meta(bad).collect()
