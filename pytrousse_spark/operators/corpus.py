@@ -64,9 +64,12 @@ def clean_corpus(
     # shingle sets, survivor anti-join) with different column prunings, so
     # the exchanges are not canonically equal and AQE cannot reuse them —
     # without persistence the full gate+dedup aggregation would execute
-    # three times. Spill-safe persist; unpersisted by the caller's session
-    # teardown (the frame is the filtered, deduped corpus — far smaller
-    # than the input).
+    # three times. Spill-safe persist, released below: the survivors are
+    # eagerly materialized via localCheckpoint (they are the filtered,
+    # deduped corpus — far smaller than the input) so the cached
+    # exact-dedup partitions can be unpersisted before returning, and
+    # repeated clean_corpus calls in one long session do not accumulate
+    # cached partitions.
     from pyspark import StorageLevel
 
     exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
@@ -80,7 +83,11 @@ def clean_corpus(
         threshold=threshold,
         hash_fn=hash_fn,
     )
-    return survivors.select(id_col, "n_tokens", "quality")
+    out = survivors.select(id_col, "n_tokens", "quality").localCheckpoint(
+        eager=True
+    )
+    exact.unpersist()
+    return out
 
 
 def clean_corpus_sql(

@@ -177,9 +177,16 @@ def decode_wav_meta(
     stubbed). Malformed payloads raise rather than return garbage."""
     import struct as st
 
+    # output id column follows id_col (schema rebuilt below), so callers
+    # with a differently-named id keep their label instead of "doc_id"
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + [f for f in WAV_META_SCHEMA.fields[1:]]
+    )
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = {k: [] for k in ("doc_id", "sample_rate", "channels",
+            out = {k: [] for k in (id_col, "sample_rate", "channels",
                                    "bit_depth", "n_samples", "duration_ms")}
             for did, blob in zip(batch[id_col], batch[media_col]):
                 b = bytes(blob)
@@ -198,7 +205,7 @@ def decode_wav_meta(
                     raise ValueError(f"doc {did}: missing fmt/data chunk")
                 _audio_fmt, ch, rate, _brate, _align, bits = fmt
                 n_samp = data_size // (ch * (bits // 8))
-                out["doc_id"].append(did)
+                out[id_col].append(did)
                 out["sample_rate"].append(rate)
                 out["channels"].append(ch)
                 out["bit_depth"].append(bits)
@@ -206,4 +213,4 @@ def decode_wav_meta(
                 out["duration_ms"].append(round(n_samp * 1000.0 / rate, 3))
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(parse, schema=WAV_META_SCHEMA)
+    return df.mapInPandas(parse, schema=out_schema)
