@@ -19,6 +19,89 @@ from pytrousse_spark.session import get_spark
 import __spark_entry__ as entrymod
 
 
+def _headroom_10x(spark, sf_dir: str) -> dict:
+    """Scale-factor headroom evidence (round-2 VERDICT item 7): materialize a
+    10x scale-up of documents/embeddings and time the three shuffle-heaviest
+    queries against it, so linear-scaling claims are recorded as numbers in
+    BENCH_r{N}.json rather than prose.
+
+    Replica construction: copy 0 is the original; copies 1-9 shift ids by a
+    stride and suffix every 2nd token with a copy marker, which drops
+    cross-copy 3-gram Jaccard to ~0.07 — BELOW the 0.2 near-dup threshold —
+    so the corpus grows 10x in genuinely distinct documents instead of
+    manufacturing quadratic duplicate cliques (that pathological variant is
+    exercised separately; see PLANS.md). Embedding copies jitter each
+    component by a deterministic +-0.03 so cell populations grow but planted
+    neighborhoods survive.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.io import read_parquet_df
+
+    tmp = tempfile.mkdtemp(prefix="pytrousse_headroom_")
+    out: dict[str, float] = {}
+    try:
+        docs = read_parquet_df(spark, f"{sf_dir}/documents.parquet")
+        emb = read_parquet_df(spark, f"{sf_dir}/embeddings.parquet")
+        d_stride = docs.agg(F.max("doc_id")).first()[0] + 1
+        e_stride = emb.agg(F.max("vec_id")).first()[0] + 1
+
+        d_parts = [docs]
+        for i in range(1, 10):
+            mut = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w, j: F.when(
+                        j % 2 == 0, F.concat(w, F.lit(f"~{i}"))
+                    ).otherwise(w),
+                ),
+                " ",
+            )
+            d_parts.append(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_stride))
+                .withColumn("text", mut)
+            )
+        big_docs = d_parts[0]
+        for p in d_parts[1:]:
+            big_docs = big_docs.unionByName(p)
+        big_docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        e_parts = [emb]
+        for i in range(1, 10):
+            jit = F.transform(
+                F.col("embedding"),
+                lambda x, j: (
+                    x
+                    + ((F.col("vec_id") % 13 + F.lit(i) + j) % 7 - 3)
+                    * F.lit(0.01)
+                ).cast("float"),
+            )
+            e_parts.append(
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * e_stride))
+                .withColumn("embedding", jit)
+            )
+        big_emb = e_parts[0]
+        for p in e_parts[1:]:
+            big_emb = big_emb.unionByName(p)
+        big_emb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+        for name in ("q59_clean_corpus", "q65_dup_clusters", "q57_ivf_topk"):
+            fn = getattr(entrymod, name)
+            t0 = time.perf_counter()
+            try:
+                fn(spark, tmp).write.format("noop").mode("overwrite").save()
+                out[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                out[name] = -1.0
+                print(f"bench headroom: {name} failed: {exc}", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -47,6 +130,13 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
 
+    # 10x scale-up timings for the shuffle-heaviest queries; kept OUTSIDE
+    # the headline total so round-over-round comparisons stay apples-to-
+    # apples with BENCH_r01/r02. Skippable for quick local iteration.
+    headroom: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_HEADROOM") != "1":
+        headroom = _headroom_10x(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -54,6 +144,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "headroom_10x": headroom,
                 "sf": sf,
             }
         )
