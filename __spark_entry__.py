@@ -1839,6 +1839,116 @@ def _sql_q71() -> str:
 
 
 
+def q72_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction census: plant synthetic PII (email/phone/IP/SSN/card)
+    into a deterministic subset of documents, then count matches per type
+    and measure the scrubbed text — the redaction pass of a pre-training
+    pipeline, entirely regexp expressions (scan-bound at 100 TB)."""
+    from pytrousse_spark.functions.pii import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "__t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" contact alice.smith@example.com now"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" call 555-123-4567 from 10.0.0.1"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" ssn 123-45-6789 card 4111-1111-1111-1111"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    counts = pii_counts(F.col("__t"))
+    return planted.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        F.length(scrub_pii(F.col("__t"))).cast("long").alias("scrubbed_len"),
+    )
+
+
+def _sql_q72() -> str:
+    from pytrousse_spark.functions.pii import pii_counts_sql, scrub_pii_sql
+
+    planted = (
+        "text || (CASE WHEN doc_id % 5 = 0 "
+        "THEN ' contact alice.smith@example.com now' ELSE '' END)"
+        " || (CASE WHEN doc_id % 7 = 0 "
+        "THEN ' call 555-123-4567 from 10.0.0.1' ELSE '' END)"
+        " || (CASE WHEN doc_id % 11 = 0 "
+        "THEN ' ssn 123-45-6789 card 4111-1111-1111-1111' ELSE '' END)"
+    )
+    counts = ",\n           ".join(
+        f"{sql} AS {name}" for name, sql in pii_counts_sql("__t").items()
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, {planted} AS __t FROM documents)
+    SELECT doc_id,
+           {counts},
+           CAST(length({scrub_pii_sql('__t')}) AS BIGINT) AS scrubbed_len
+    FROM p
+    """
+
+
+def q73_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio,
+    most-frequent-token share, most-frequent-bigram share."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.repetition_stats(d, "text", "doc_id")
+
+
+def _sql_q73() -> str:
+    return tx.repetition_stats_sql("documents", "text", "doc_id")
+
+
+def q74_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free perplexity filter: mean unigram surprisal per document
+    under the corpus's own unigram distribution."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.unigram_surprisal(d, "text", "doc_id")
+
+
+def _sql_q74() -> str:
+    return tx.unigram_surprisal_sql("documents", "text", "doc_id")
+
+
+def q75_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup: incoming (test-split) documents that survive
+    exact-fingerprint AND verified near-dup matching against the reference
+    (train-split) corpus — 'is this new crawl novel vs my training set'.
+    Only cross-side candidate pairs materialize."""
+    from pytrousse_spark.operators import sampling as sp
+
+    d = _t(spark, sf_dir, "documents")
+    split = sp.hash_split(d, "doc_id")
+    incoming = split.where("split = 'test'").select("doc_id", "text", "n_chars")
+    reference = split.where("split = 'train'").select("doc_id", "text")
+    out = dd.cross_dedup(
+        incoming, reference, "text", "doc_id",
+        num_perm=8, bands=4, threshold=0.2,
+    )
+    return out.select("doc_id", "n_chars")
+
+
+def _sql_q75() -> str:
+    from pytrousse_spark.operators.sampling import hash_split_sql
+
+    lbl = hash_split_sql("doc_id")
+    inc = f"(SELECT doc_id, text, n_chars FROM documents WHERE {lbl} = 'test')"
+    ref = f"(SELECT doc_id, text FROM documents WHERE {lbl} = 'train')"
+    inner = dd.cross_dedup_sql(
+        inc, ref, "text", "doc_id", num_perm=8, bands=4, threshold=0.2
+    )
+    return f"SELECT doc_id, n_chars FROM ({inner})"
+
+
+
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, hybrid strategy: narrow bands take the bucketed equi-join
     (shuffle on bucket ids only); the open-ended 'high' band spans ~1e8
@@ -1945,11 +2055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_events_hourly": q10_events_hourly,
         "q19_pipeline": q19_pipeline,
         "q20_profile": q20_profile,
-        "q21_fillna": q21_fillna,
-        "q22_replace_strings": q22_replace_strings,
-        "q23_replace_substrings": q23_replace_substrings,
+        "q72_pii_scrub": q72_pii_scrub,
+        "q73_repetition": q73_repetition,
+        "q74_surprisal": q74_surprisal,
+        "q75_cross_dedup": q75_cross_dedup,
         "q24_onehot": q24_onehot,
-        "q25_ordinal": q25_ordinal,
         "q26_binning": q26_binning,
         "q27_combo_encoding": q27_combo_encoding,
         "q28_group_binning": q28_group_binning,
@@ -1979,6 +2089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_rollup": q09_rollup,
         "q12_date_functions": q12_date_functions,
         "q13_string_functions": q13_string_functions,
+        "q21_fillna": q21_fillna,
+        "q22_replace_strings": q22_replace_strings,
+        "q23_replace_substrings": q23_replace_substrings,
+        "q25_ordinal": q25_ordinal,
         "q14_distinct_agg": q14_distinct_agg,
         "q15_scalar_subquery": q15_scalar_subquery,
         "q16_percentiles": q16_percentiles,
@@ -2125,6 +2239,10 @@ def oracle_sql() -> dict[str, str]:
         "q51b_asof_forward": _sql_q51b(),
         "q70_stream_dedup_batch": _sql_q70(),
         "q71_interval_roundtrip": _sql_q71(),
+        "q72_pii_scrub": _sql_q72(),
+        "q73_repetition": _sql_q73(),
+        "q74_surprisal": _sql_q74(),
+        "q75_cross_dedup": _sql_q75(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -349,6 +349,143 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
     )
 
 
+def repetition_stats(df, text_col: str, id_col: str, ngram: int = 2):
+    """Per-document repetition signals (the Gopher/RefinedWeb-style quality
+    rules a pre-training filter runs): distinct-token ratio, most-frequent-
+    token share, and most-frequent-``ngram`` share.
+
+    Plan: one explode per granularity → two-level hash aggregation
+    ((doc, term) counts, then per-doc max/sum with map-side partials) →
+    broadcast-free join of the two per-doc aggregates on ``id_col``. Work is
+    linear in token count; no window, no collect.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    tok = base.select("__id", F.explode("__tk").alias("t"))
+    tok_stats = (
+        tok.groupBy("__id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_c"),
+        )
+    )
+    ng = base.select(
+        "__id",
+        F.explode(shingles_from_tokens(F.col("__tk"), ngram)).alias("g"),
+    )
+    ng_stats = (
+        ng.groupBy("__id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(
+            F.sum("c").cast("long").alias("n_ngrams"),
+            F.max("c").cast("long").alias("top_gc"),
+        )
+    )
+    return (
+        tok_stats.join(ng_stats, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias(
+                "top_token_share"
+            ),
+            F.round(F.col("top_gc") / F.col("n_ngrams"), 6).alias(
+                "top_ngram_share"
+            ),
+        )
+    )
+
+
+def repetition_stats_sql(
+    table: str, text_col: str, id_col: str, ngram: int = 2
+) -> str:
+    """DuckDB twin of :func:`repetition_stats`."""
+    toks = tokens_sql(text_col)
+    sh = word_shingles_sql(text_col, ngram)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS __id, unnest({toks}) AS t FROM {table}
+    ), tc AS (
+      SELECT __id, t, count(*) AS c FROM tok GROUP BY 1, 2
+    ), ts AS (
+      SELECT __id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+      FROM tc GROUP BY __id
+    ), ng AS (
+      SELECT {id_col} AS __id, unnest({sh}) AS g FROM {table}
+    ), gc AS (
+      SELECT __id, g, count(*) AS c FROM ng GROUP BY 1, 2
+    ), gs AS (
+      SELECT __id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+             CAST(max(c) AS BIGINT) AS top_gc
+      FROM gc GROUP BY __id
+    )
+    SELECT ts.__id AS {id_col}, ts.n_tokens,
+           round(ts.n_distinct / ts.n_tokens, 6) AS distinct_ratio,
+           round(ts.top_c / ts.n_tokens, 6) AS top_token_share,
+           round(gs.top_gc / gs.n_ngrams, 6) AS top_ngram_share
+    FROM ts LEFT JOIN gs USING (__id)
+    """
+
+
+def unigram_surprisal(df, text_col: str, id_col: str):
+    """Per-document mean unigram surprisal −ln p(t) under the corpus's own
+    unigram distribution — the cheap, model-free cousin of perplexity
+    filtering (low surprisal ⇒ repetitive/templated text, high ⇒ noise).
+
+    Plan: explode → corpus unigram counts (one hash agg) → broadcast-join
+    the (small) vocabulary back onto the token stream → per-doc average.
+    The corpus total rides along as a window-free scalar column inside the
+    vocabulary frame, so the whole thing is two aggregations and one
+    broadcast join.
+    """
+    from pyspark.sql import functions as F
+
+    tok = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    ).select("__id", F.explode("__tk").alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c")).first()[0]
+    scored = tok.join(F.broadcast(vocab), "t").withColumn(
+        "__s", F.round(-F.log(F.col("c") / F.lit(float(total))), 6)
+    )
+    return scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("__s"), 4).alias("mean_surprisal"),
+    ).select(F.col("__id").alias(id_col), "n_tokens", "mean_surprisal")
+
+
+def unigram_surprisal_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin of :func:`unigram_surprisal` (identical per-token
+    rounding before the average, so float summation agrees)."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS __id, unnest({toks}) AS t FROM {table}
+    ), vocab AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t
+    ), n AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab
+    ), scored AS (
+      SELECT __id, round(-ln(c / n.total), 6) AS s
+      FROM tok JOIN vocab USING (t) CROSS JOIN n
+    )
+    SELECT __id AS {id_col}, count(*) AS n_tokens,
+           round(avg(s), 4) AS mean_surprisal
+    FROM scored GROUP BY __id
+    """
+
+
 def tfidf_top_terms_sql(table: str, text_col: str, id_col: str, k: int = 3) -> str:
     """DuckDB twin of :func:`tfidf_top_terms` (same raw-count formula,
     same rounded-score tie-break)."""

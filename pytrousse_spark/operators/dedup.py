@@ -396,6 +396,212 @@ def near_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def cross_near_dedup_pairs(
+    incoming: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Verified near-duplicate pairs ACROSS two corpora: (incoming_id,
+    reference_id, jaccard) for incoming documents whose Jaccard with some
+    reference document meets ``threshold`` — the "does this new crawl
+    overlap my training set" primitive. Same LSH-then-verify shape as
+    :func:`near_dedup_pairs`, but buckets keep the two sides apart and only
+    cross-side pairs are emitted (incoming-incoming and reference-reference
+    pairs never materialize, so a heavily self-duplicated reference corpus
+    cannot blow up the candidate set).
+
+    Ids may overlap between the two corpora; sides are tracked by a tag
+    column, never by id arithmetic.
+    """
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        if num_perm % bands != 0:
+            raise ValueError("num_perm must be divisible by bands")
+        rpb = num_perm // bands
+        return with_minhash_signature(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col)),
+            text_col,
+            num_perm=num_perm,
+            shingle_n=shingle_n,
+            hash_fn=hash_fn,
+        ).select(
+            "__id",
+            F.lit(side).alias("__side"),
+            F.explode(
+                F.array(
+                    *[_band_key(F.col("__sig"), b, num_perm // bands)
+                      for b in range(bands)]
+                )
+            ).alias("__band"),
+        )
+
+    both = banded(incoming, "i").unionByName(banded(reference, "r"))
+    grouped = (
+        both.groupBy("__band")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("__side") == "i", F.col("__id")))
+            ).alias("__ia"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("__side") == "r", F.col("__id")))
+            ).alias("__ib"),
+        )
+        .where((F.size("__ia") > 0) & (F.size("__ib") > 0))
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("__ia"),
+            lambda x: F.transform(
+                F.col("__ib"),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cands = (
+        grouped.select(F.explode(cross).alias("__p"))
+        .select(F.col("__p.id_a"), F.col("__p.id_b"))
+        .distinct()
+    )
+
+    def sets_of(df: DataFrame, a: str, b: str, c: str) -> DataFrame:
+        from ..functions.text import shingles_from_tokens, tokens
+
+        return (
+            df.select(F.col(id_col).alias(a), F.col(text_col))
+            .withColumn("__tk", tokens(F.col(text_col)))
+            .select(
+                a,
+                F.array_distinct(
+                    shingles_from_tokens(F.col("__tk"), shingle_n)
+                ).alias(b),
+            )
+            .withColumn(c, F.size(b))
+        )
+
+    sa = sets_of(incoming, "id_a", "__seta", "__sa")
+    sb = sets_of(reference, "id_b", "__setb", "__sb")
+    common = F.size(F.array_intersect(F.col("__seta"), F.col("__setb")))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__common", common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__common")
+                / (F.col("__sa") + F.col("__sb") - F.col("__common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cross_dedup(
+    incoming: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incoming rows that survive deduplication AGAINST the reference
+    corpus: exact content-fingerprint matches are dropped first (one
+    broadcast-friendly anti-join on the fingerprint), then incoming rows
+    with a verified cross-corpus near-duplicate are dropped. The reference
+    corpus is never mutated and never shuffles whole — only its
+    fingerprints, band keys and shingle sets travel."""
+    from ..functions.text import fingerprint
+
+    inc_fp = incoming.withColumn("__fp", fingerprint(F.col(text_col), shingle_n))
+    ref_fp = reference.select(
+        fingerprint(F.col(text_col), shingle_n).alias("__fp")
+    ).distinct()
+    stage1 = inc_fp.join(ref_fp, "__fp", "left_anti").drop("__fp")
+    near = cross_near_dedup_pairs(
+        stage1, reference, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, hash_fn=hash_fn,
+    )
+    losers = near.select(F.col("id_a").alias(id_col)).distinct()
+    return stage1.join(losers, id_col, "left_anti")
+
+
+def cross_dedup_sql(
+    incoming: str,
+    reference: str,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`cross_dedup` (md5 mode). ``incoming`` and
+    ``reference`` are table expressions (views or parenthesized SELECTs)."""
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rpb = num_perm // bands
+    from ..functions.text import fingerprint_sql, word_shingles_sql
+
+    sig = minhash_signature_sql(text_col, num_perm=num_perm, shingle_n=shingle_n)
+    band_keys = ", ".join(
+        "'{b}_' || ".format(b=b)
+        + " || '_' || ".join(f"s[{b * rpb + r + 1}]" for r in range(rpb))
+        for b in range(bands)
+    )
+    fp_i = fingerprint_sql(f"i.{text_col}", shingle_n)
+    fp_r = fingerprint_sql(f"r.{text_col}", shingle_n)
+    sh = word_shingles_sql(text_col, shingle_n)
+    jac = (
+        "round(len(list_intersect(sa.st, sb.st)) / "
+        "(len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))), 6)"
+    )
+    # NOT EXISTS, not NOT IN: a NULL fingerprint (doc shorter than one
+    # shingle) must be KEPT, matching Spark's null-dropping anti-join.
+    return f"""
+    WITH stage1 AS (
+        SELECT i.* FROM {incoming} i
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {reference} r WHERE {fp_r} = {fp_i}
+        )
+    ),
+    bi AS (
+        SELECT {id_col} AS __id, unnest([{band_keys}]) AS band
+        FROM (SELECT {id_col}, {sig} AS s FROM stage1)
+    ),
+    br AS (
+        SELECT {id_col} AS __id, unnest([{band_keys}]) AS band
+        FROM (SELECT {id_col}, {sig} AS s FROM {reference})
+    ),
+    cands AS (
+        SELECT DISTINCT bi.__id AS id_a, br.__id AS id_b
+        FROM bi JOIN br USING (band)
+    ),
+    seti AS (SELECT {id_col} AS __id, list_distinct({sh}) AS st FROM stage1),
+    setr AS (
+        SELECT {id_col} AS __id, list_distinct({sh}) AS st FROM {reference}
+    ),
+    losers AS (
+        SELECT DISTINCT id_a FROM cands
+        JOIN seti sa ON sa.__id = id_a
+        JOIN setr sb ON sb.__id = id_b
+        WHERE {jac} >= {threshold}
+    )
+    SELECT * FROM stage1 WHERE {id_col} NOT IN (SELECT id_a FROM losers)
+    """
+
+
 def near_dedup_pairs_sql(
     table: str,
     text_col: str,

@@ -1,0 +1,112 @@
+"""PII scrubbing, repetition signals, unigram surprisal, cross-corpus dedup
+— semantics pinned on hand-computable frames (the DuckDB parity for the
+driver queries q72-q75 lives in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pytrousse_spark.functions import text as tx
+from pytrousse_spark.functions.pii import pii_counts, scrub_pii
+from pytrousse_spark.operators import dedup as dd
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_scrub_pii_all_types(spark):
+    raw = (
+        "mail bob@site.org ip 192.168.0.1 ssn 123-45-6789 "
+        "card 4111-1111-1111-1111 phone 555-123-4567 clean end"
+    )
+    df = spark.createDataFrame([(raw,)], ["t"])
+    got = _one(df.select(scrub_pii(F.col("t")).alias("s")))["s"]
+    assert got == (
+        "mail <EMAIL> ip <IP> ssn <SSN> card <CARD> phone <PHONE> clean end"
+    )
+
+
+def test_pii_counts_independent_and_card_not_eaten_by_phone(spark):
+    raw = "a@b.co c@d.io 4111-1111-1111-1111 call 555-123-4567"
+    df = spark.createDataFrame([(raw,)], ["t"])
+    row = _one(df.select(*[v.alias(k) for k, v in pii_counts(F.col("t")).items()]))
+    assert row["n_email"] == 2
+    assert row["n_card"] == 1
+    assert row["n_phone"] == 1  # the card's digit runs must not count
+    assert row["n_ssn"] == 0 and row["n_ip"] == 0
+
+
+def test_scrub_pii_leaves_clean_text_alone(spark):
+    raw = "nothing sensitive here just words and 42 numbers"
+    df = spark.createDataFrame([(raw,)], ["t"])
+    assert _one(df.select(scrub_pii(F.col("t")).alias("s")))["s"] == raw
+
+
+def test_repetition_stats_known_values(spark):
+    # doc 1: tokens [a a a b] -> distinct 2/4, top token 3/4;
+    # bigrams [a a, a a, a b] -> top share 2/3
+    df = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    row = _one(tx.repetition_stats(df, "text", "doc_id"))
+    assert row["n_tokens"] == 4
+    assert row["distinct_ratio"] == 0.5
+    assert row["top_token_share"] == 0.75
+    assert row["top_ngram_share"] == round(2 / 3, 6)
+
+
+def test_unigram_surprisal_known_values(spark):
+    # corpus tokens: a a b -> p(a)=2/3, p(b)=1/3
+    df = spark.createDataFrame([(1, "a a"), (2, "b")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["mean_surprisal"]
+        for r in tx.unigram_surprisal(df, "text", "doc_id").collect()
+    }
+    assert got[1] == round(round(-math.log(2 / 3), 6), 4)
+    assert got[2] == round(round(-math.log(1 / 3), 6), 4)
+
+
+_REF_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+
+
+def test_cross_dedup_drops_exact_and_near_keeps_novel(spark):
+    near = _REF_TEXT.replace("theta", "thetaX", 1)
+    novel = "entirely different material with no overlap at all in any shingle here"
+    incoming = spark.createDataFrame(
+        [(10, _REF_TEXT), (11, near), (12, novel)], ["doc_id", "text"]
+    )
+    reference = spark.createDataFrame([(1, _REF_TEXT)], ["doc_id", "text"])
+    out = dd.cross_dedup(
+        incoming, reference, "text", "doc_id",
+        num_perm=8, bands=4, threshold=0.5,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {12}
+
+
+def test_cross_dedup_keeps_short_null_fingerprint_doc(spark):
+    # fewer tokens than shingle_n -> NULL fingerprint; must be KEPT, not
+    # collapsed into the reference by a null-equality accident
+    incoming = spark.createDataFrame([(10, "so short")], ["doc_id", "text"])
+    reference = spark.createDataFrame([(1, "an other")], ["doc_id", "text"])
+    out = dd.cross_dedup(incoming, reference, "text", "doc_id")
+    assert {r["doc_id"] for r in out.collect()} == {10}
+
+
+def test_cross_near_dedup_pairs_only_cross_side(spark):
+    # incoming contains an internal duplicate pair (10, 11) - it must NOT
+    # appear; only incoming-vs-reference pairs may
+    incoming = spark.createDataFrame(
+        [(10, _REF_TEXT), (11, _REF_TEXT)], ["doc_id", "text"]
+    )
+    reference = spark.createDataFrame([(10, _REF_TEXT)], ["doc_id", "text"])
+    pairs = dd.cross_near_dedup_pairs(
+        incoming, reference, "text", "doc_id",
+        num_perm=8, bands=4, threshold=0.5,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # id 10 exists on BOTH sides with the same text: the pair (10, 10) is a
+    # legitimate cross-side match, proving sides are tracked by tag, not id
+    assert got == {(10, 10), (11, 10)}
