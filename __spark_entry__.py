@@ -50,9 +50,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the driver's session may not have been built by get_spark(); pin
         # the timezone so timestamp results match the UTC-naive oracle
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _table_cache[key] = read_parquet_df(
-            spark, os.path.join(sf_dir, f"{name}.parquet")
-        )
+        df = read_parquet_df(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        if name in ("documents", "embeddings"):
+            # these two tables feed expression-heavy per-row work (md5
+            # shingle hashing, 64-dim fold cosines) but arrive as ONE
+            # parquet split at bench scale, serializing everything on one
+            # core; round-robin to full parallelism. No-op at real scale
+            # (any 100 TB table already has >= parallelism splits) and
+            # deliberately NOT applied to the scan-light relational tables,
+            # where the extra exchange measured as a net loss (io.py).
+            from pytrousse_spark.io import rebalance_undersplit
+
+            df = rebalance_undersplit(df)
+        _table_cache[key] = df
     return _table_cache[key]
 
 

@@ -169,3 +169,31 @@ def read_dataset(spark: SparkSession, path: str) -> Dataset:
 def write_csv(df: DataFrame, path: str, mode: str = "error") -> None:
     """CSV sink (anonymize_database.py:197-204)."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+# ---- JSONL source/sink (beyond-reference: the LLM-corpus interchange format)
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    metadata_cols: tuple[str, ...] = (),
+) -> Dataset:
+    """JSON-lines scan — the de-facto interchange format of LLM training
+    corpora (one document object per line).
+
+    Scale notes: without ``schema`` Spark samples the files to infer one (an
+    extra pass — always pass a schema at 100 TB); with a schema the scan is
+    single-pass and splittable per file. Corrupt lines land in the standard
+    ``_corrupt_record`` column under the default PERMISSIVE mode rather than
+    failing the job, so a bad crawl shard cannot kill a whole ingest.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return Dataset(reader.json(path), metadata_cols=frozenset(metadata_cols))
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
+    """JSON-lines sink (one object per line, one file per partition —
+    writer parallelism is the partition count, as for every other sink)."""
+    df.write.mode(mode).json(path)

@@ -521,13 +521,34 @@ def cross_dedup(
     with a verified cross-corpus near-duplicate are dropped. The reference
     corpus is never mutated and never shuffles whole — only its
     fingerprints, band keys and shingle sets travel."""
-    from ..functions.text import fingerprint
+    from ..functions.text import (
+        fingerprint_from_shingles,
+        shingles_from_tokens,
+        tokens,
+    )
 
-    inc_fp = incoming.withColumn("__fp", fingerprint(F.col(text_col), shingle_n))
-    ref_fp = reference.select(
-        fingerprint(F.col(text_col), shingle_n).alias("__fp")
-    ).distinct()
+    def with_fp(df: DataFrame) -> DataFrame:
+        # tokens/shingles staged as projected columns: computing the
+        # fingerprint straight from text puts the token expression inside a
+        # higher-order-function lambda, which re-evaluates it PER ELEMENT
+        # (the PLANS.md 11x pitfall — measured 12.8s -> 0.9s on this very
+        # anti-join at sf0.1)
+        return (
+            df.withColumn("__tk", tokens(F.col(text_col)))
+            .withColumn("__sh", shingles_from_tokens(F.col("__tk"), shingle_n))
+            .withColumn("__fp", fingerprint_from_shingles(F.col("__sh")))
+            .drop("__tk", "__sh")
+        )
+
+    inc_fp = with_fp(incoming)
+    ref_fp = with_fp(reference).select("__fp").distinct()
     stage1 = inc_fp.join(ref_fp, "__fp", "left_anti").drop("__fp")
+    # stage1 feeds three consumers (band keys, shingle sets, the final
+    # anti-join) with different prunings — without materialization the whole
+    # fingerprint anti-join subtree (including the reference fingerprint
+    # scan) executes three times. Lazy localCheckpoint: computed once at the
+    # first action, then read back; the incoming side is the small one.
+    stage1 = stage1.localCheckpoint(eager=False)
     near = cross_near_dedup_pairs(
         stage1, reference, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,

@@ -62,3 +62,35 @@ def test_csv_missing_file_raises(spark):
 
     with pytest.raises(AnalysisException):
         read_csv(spark, "/nonexistent/nope.csv").df.collect()
+
+
+def test_jsonl_round_trip(spark, tmp_path_factory):
+    """JSONL source/sink: write a corpus shard, read it back (schema'd and
+    inferred), verify values and corrupt-line tolerance."""
+    import json
+
+    from pytrousse_spark.io import read_jsonl, write_jsonl
+
+    d = tmp_path_factory.mktemp("jsonl")
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    out = str(d / "shard")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema="doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.df.collect()}
+    assert got == {1: ("alpha beta", "en"), 2: ("gamma delta", "de")}
+
+    # inferred-schema read of a hand-written shard with one corrupt line:
+    # PERMISSIVE mode must keep the good rows and not fail the scan
+    p = d / "raw" ; p.mkdir()
+    with open(p / "part-0.jsonl", "w") as fh:
+        fh.write(json.dumps({"doc_id": 3, "text": "ok"}) + "\n")
+        fh.write("{not valid json\n")
+        fh.write(json.dumps({"doc_id": 4, "text": "fine"}) + "\n")
+    loose = read_jsonl(spark, str(p))
+    rows = loose.df.collect()
+    good = {r["doc_id"] for r in rows if r["doc_id"] is not None}
+    assert good == {3, 4}
+    assert "_corrupt_record" in loose.df.columns
