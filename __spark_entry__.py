@@ -1958,6 +1958,48 @@ def _sql_q75() -> str:
     return f"SELECT doc_id, n_chars FROM ({inner})"
 
 
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.2}
+
+
+def q76_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix downsampling: per-language targets derived from the
+    binding group (min n_g/w_g), selection by salted content hash — the
+    deterministic '40% en / 20% de / 20% fr / 20% zh' mixing step; 'es' is
+    deliberately outside the weights and must drop entirely."""
+    from pytrousse_spark.operators.sampling import target_mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = target_mix_sample(d, "lang", _MIX_WEIGHTS, "doc_id")
+    return out.select("doc_id", "lang")
+
+
+def _sql_q76() -> str:
+    from pytrousse_spark.operators.sampling import target_mix_sample_sql
+
+    inner = target_mix_sample_sql("documents", "lang", _MIX_WEIGHTS, "doc_id")
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
+def q77_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dedup with the keep-longest survivor policy: each
+    duplicate cluster keeps its highest-n_chars member (ties to smaller id)
+    instead of min-id — one max_by hash agg per component, no window."""
+    d = _t(spark, sf_dir, "documents")
+    out = dd.near_dedup_keep_best(
+        d, "text", "doc_id", "n_chars",
+        num_perm=8, bands=4, threshold=0.2,
+    )
+    return out.select("doc_id", "n_chars")
+
+
+def _sql_q77() -> str:
+    inner = dd.near_dedup_keep_best_sql(
+        "documents", "text", "doc_id", "n_chars",
+        num_perm=8, bands=4, threshold=0.2,
+    )
+    return f"SELECT doc_id, n_chars FROM ({inner})"
+
+
 
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, hybrid strategy: narrow bands take the bucketed equi-join
@@ -2069,8 +2111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_repetition": q73_repetition,
         "q74_surprisal": q74_surprisal,
         "q75_cross_dedup": q75_cross_dedup,
-        "q24_onehot": q24_onehot,
-        "q26_binning": q26_binning,
+        "q76_target_mix": q76_target_mix,
+        "q77_dedup_keep_best": q77_dedup_keep_best,
         "q27_combo_encoding": q27_combo_encoding,
         "q28_group_binning": q28_group_binning,
         "q29_repair": q29_repair,
@@ -2102,7 +2144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_fillna": q21_fillna,
         "q22_replace_strings": q22_replace_strings,
         "q23_replace_substrings": q23_replace_substrings,
+        "q24_onehot": q24_onehot,
         "q25_ordinal": q25_ordinal,
+        "q26_binning": q26_binning,
         "q14_distinct_agg": q14_distinct_agg,
         "q15_scalar_subquery": q15_scalar_subquery,
         "q16_percentiles": q16_percentiles,
@@ -2186,6 +2230,25 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, "text", "doc_id", bits=32, hash_fn="xxhash64"
         )
 
+    def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pytrousse_spark.operators import sampling as sp
+
+        d = _t(spark, sf_dir, "documents")
+        split = sp.hash_split(d, "doc_id")
+        return dd.cross_dedup(
+            split.where("split = 'test'").select("doc_id", "text"),
+            split.where("split = 'train'").select("doc_id", "text"),
+            "text", "doc_id", num_perm=8, bands=4, threshold=0.2,
+            hash_fn="xxhash64",
+        )
+
+    def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        return dd.near_dedup_keep_best(
+            d, "text", "doc_id", "n_chars",
+            num_perm=8, bands=4, threshold=0.2, hash_fn="xxhash64",
+        )
+
     return {
         "x16_percentiles_sketch": x16,
         "x42_minhash_xxhash64": x42,
@@ -2194,6 +2257,8 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x46_neardup_blas_raw": x46,
         "x54_near_dedup_xxhash64": x54,
         "x58_simhash_pairs_xxhash64": x58,
+        "x75_cross_dedup_xxhash64": x75,
+        "x77_keep_best_xxhash64": x77,
     }
 
 
@@ -2253,6 +2318,8 @@ def oracle_sql() -> dict[str, str]:
         "q73_repetition": _sql_q73(),
         "q74_surprisal": _sql_q74(),
         "q75_cross_dedup": _sql_q75(),
+        "q76_target_mix": _sql_q76(),
+        "q77_dedup_keep_best": _sql_q77(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -17,6 +17,40 @@ from ..functions import text as tx
 from . import dedup as dd
 
 
+def gate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.9,
+    min_tokens: int = 12,
+    max_tokens: int = 5000,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The language/quality/length gate stage alone: rows passing all three
+    filters, with (n_tokens, lang_guess, quality, __fp) attached. Pure
+    stateless expressions — works identically on a BATCH frame and on a
+    STRUCTURED STREAM (it is the ingestion-time filter in front of a
+    streaming sink; the dedup stages below are batch-only because they
+    aggregate across documents). Staging per functions/text.py HOF rules."""
+    t = F.col(text_col)
+    toks = F.col("__tk")
+    staged = (
+        df.select(id_col, text_col)
+        .withColumn("__tk", tx.tokens(t))
+        .withColumn("__sh", tx.shingles_from_tokens(toks, shingle_n))
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("lang_guess", tx.lang_id_from_tokens(toks))
+        .withColumn("quality", tx.quality_score_from_tokens(t, toks))
+        .withColumn("__fp", tx.fingerprint_from_shingles(F.col("__sh")))
+    )
+    return staged.where(
+        (F.col("lang_guess") == lang)
+        & (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    ).select(id_col, text_col, "n_tokens", "quality", "__fp")
+
+
 def clean_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -43,22 +77,11 @@ def clean_corpus(
     """
     if min_tokens < shingle_n:
         raise ValueError("min_tokens must be >= shingle_n")
-    t = F.col(text_col)
-    toks = F.col("__tk")
-    staged = (
-        df.select(id_col, text_col)
-        .withColumn("__tk", tx.tokens(t))
-        .withColumn("__sh", tx.shingles_from_tokens(toks, shingle_n))
-        .withColumn("n_tokens", F.size(toks).cast("long"))
-        .withColumn("lang_guess", tx.lang_id_from_tokens(toks))
-        .withColumn("quality", tx.quality_score_from_tokens(t, toks))
-        .withColumn("__fp", tx.fingerprint_from_shingles(F.col("__sh")))
+    kept = gate_documents(
+        df, text_col, id_col,
+        lang=lang, min_quality=min_quality,
+        min_tokens=min_tokens, max_tokens=max_tokens, shingle_n=shingle_n,
     )
-    kept = staged.where(
-        (F.col("lang_guess") == lang)
-        & (F.col("quality") >= min_quality)
-        & F.col("n_tokens").between(min_tokens, max_tokens)
-    ).select(id_col, text_col, "n_tokens", "quality", "__fp")
     exact = dd.exact_dedup(kept, ["__fp"], id_col)
     # The near-dedup stage consumes `exact` three times (signatures,
     # shingle sets, survivor anti-join) with different column prunings, so

@@ -1365,3 +1365,82 @@ def near_dedup_transitive(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Transitive near-dedup keeping the BEST-scoring member of each
+    duplicate cluster (highest ``score_col``, ties to the smaller id) —
+    the "keep the longest / highest-quality copy" survivor policy of
+    production pipelines, instead of min-id.
+
+    Plan: verified pairs → connected components → one ``max_by`` hash
+    aggregation per component picks the winner (no window), then rows not
+    in any cluster union the winners back. ``id_col`` must be numeric
+    (the tie-break negates it)."""
+    pairs = near_dedup_pairs(
+        df, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, hash_fn=hash_fn,
+    )
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    member = df.join(comp, id_col, "inner")
+    winners = member.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("__negid")),
+        ).alias(id_col)
+    ).select(id_col)
+    nondup = df.join(comp.select(id_col), id_col, "left_anti")
+    return nondup.unionByName(df.join(winners, id_col, "inner"))
+
+
+def near_dedup_keep_best_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`near_dedup_keep_best` (recursive-CTE closure,
+    window arg-max with the same score-desc/id-asc tie-break)."""
+    pairs = near_dedup_pairs_sql(
+        table, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT id_a AS src, id_b AS dst FROM ({pairs})
+      UNION SELECT id_b, id_a FROM ({pairs})
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ), comp AS (
+      SELECT id AS {id_col}, min(r) AS component FROM reach GROUP BY id
+    ), winners AS (
+      SELECT {id_col} FROM (
+        SELECT m.{id_col}, row_number() OVER (
+          PARTITION BY c.component
+          ORDER BY m.{score_col} DESC, m.{id_col} ASC
+        ) AS rn
+        FROM {table} m JOIN comp c USING ({id_col})
+      ) WHERE rn = 1
+    )
+    SELECT d.* FROM {table} d
+    WHERE d.{id_col} NOT IN (SELECT {id_col} FROM comp)
+       OR d.{id_col} IN (SELECT {id_col} FROM winners)
+    """

@@ -92,6 +92,84 @@ def hash_split_sql(
     return f"(CASE {' '.join(parts)} ELSE '{names[-1]}' END)"
 
 
+def target_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample per group so the output's group shares approximate
+    ``weights`` (the domain-mixing step of training-data pipelines: "60%
+    web, 20% code, 20% books") while keeping as much data as possible.
+
+    The binding group sets the scale: ``scale = min_g(n_g / w_g)`` over
+    groups named in ``weights`` (others are dropped), each group's target is
+    ``floor(scale · w_g)``, and a row survives iff
+    ``bucket(id) · n_g < target_g · 1e6`` — the same salted-hash bucket as
+    :func:`hash_sample`, so selection is deterministic under reruns and
+    repartitioning, and the comparison is integer-exact across engines.
+
+    Plan: one tiny per-group count aggregation, a broadcast of the
+    (groups × targets) dim back onto the fact table, then a map-side
+    filter — the fact table never shuffles. Lazy end-to-end: the scale
+    scalar rides in via a broadcast cross join, not a collect.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    wcol = F.lit(None).cast("double")
+    for g, w in weights.items():
+        wcol = F.when(F.col(group_col) == g, F.lit(float(w))).otherwise(wcol)
+    cw = counts.withColumn("__w", wcol).where(
+        F.col("__w").isNotNull() & (F.col("__w") > 0)
+    )
+    scale = cw.agg(F.min(F.col("__n") / F.col("__w")).alias("__scale"))
+    targets = (
+        cw.crossJoin(F.broadcast(scale))
+        .withColumn(
+            "__target", F.floor(F.col("__scale") * F.col("__w")).cast("long")
+        )
+        .select(group_col, "__n", "__target")
+    )
+    keep = _bucket(id_col, salt) * F.col("__n") < F.col("__target") * F.lit(
+        _BUCKETS
+    )
+    return (
+        df.join(F.broadcast(targets), group_col)
+        .where(keep)
+        .drop("__n", "__target")
+    )
+
+
+def target_mix_sample_sql(
+    table: str,
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    salt: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`target_mix_sample` (identical integer keep
+    rule; float scale/floor use the same IEEE double ops in both engines)."""
+    vals = ", ".join(f"('{g}', {float(w)})" for g, w in weights.items())
+    b = _bucket_sql(f"d.{id_col}", salt)
+    return f"""
+    WITH counts AS (
+        SELECT {group_col} AS grp, count(*) AS n FROM {table} GROUP BY 1
+    ), w(grp, wt) AS (VALUES {vals}),
+    cw AS (
+        SELECT counts.grp, n, wt FROM counts JOIN w USING (grp) WHERE wt > 0
+    ), s AS (SELECT min(n / wt) AS scale FROM cw),
+    t AS (
+        SELECT grp, n, CAST(floor(scale * wt) AS BIGINT) AS target
+        FROM cw CROSS JOIN s
+    )
+    SELECT d.*
+    FROM {table} d JOIN t ON d.{group_col} = t.grp
+    WHERE {b} * t.n < t.target * {_BUCKETS}
+    """
+
+
 def hash_topk_per_group(
     df: DataFrame, group_cols: list[str], k: int, id_col: str
 ) -> DataFrame:

@@ -424,3 +424,30 @@ def test_near_dedup_transitive_collapses_star(spark):
                     dd.near_dedup(df, "text", "doc_id", **kw).collect())
     assert trans == [1]
     assert greedy == [1, 2]
+
+
+def test_near_dedup_keep_best_prefers_high_score(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near1 = base.replace("theta", "thetaX", 1)      # cluster {1,2,3}
+    near2 = base.replace("iota", "iotaY", 1)
+    other = "entirely different material with no overlap at all in any shingle here"
+    df = spark.createDataFrame(
+        [(1, base, 10), (2, near1, 99), (3, near2, 50), (4, other, 7)],
+        ["doc_id", "text", "score"],
+    )
+    out = dd.near_dedup_keep_best(
+        df, "text", "doc_id", "score", num_perm=8, bands=4, threshold=0.5
+    )
+    # survivor of the cluster is id 2 (score 99), NOT min-id 1; unique doc 4 kept
+    assert {r["doc_id"] for r in out.collect()} == {2, 4}
+
+
+def test_near_dedup_keep_best_tie_breaks_to_smaller_id(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [(5, base, 7), (9, base, 7)], ["doc_id", "text", "score"]
+    )
+    out = dd.near_dedup_keep_best(
+        df, "text", "doc_id", "score", num_perm=8, bands=4, threshold=0.5
+    )
+    assert {r["doc_id"] for r in out.collect()} == {5}

@@ -69,3 +69,25 @@ def test_hash_topk_per_group_deterministic(docs):
         for r in sp.hash_topk_per_group(df.repartition(7), ["g"], 5, "doc_id").collect()
     )
     assert a == b and len(a) == 15
+
+
+def test_target_mix_sample_proportions_and_drops(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.sampling import target_mix_sample
+
+    rows = [(i, "en") for i in range(400)] + [(i + 1000, "de") for i in range(100)] \
+        + [(i + 2000, "es") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = target_mix_sample(df, "lang", {"en": 0.8, "de": 0.2}, "doc_id")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # binding group: de (100 / 0.2 = 500 <= 400 / 0.8) -> targets en=400, de=100
+    # hash selection keeps ~target (within sampling tolerance of the bucket hash)
+    assert "es" not in got                      # unweighted group drops entirely
+    assert got["de"] == 100                     # binding group kept in full... 
+    assert 360 <= got["en"] <= 400              # ~400 target, hash-thinned
+    # determinism under repartition
+    out2 = target_mix_sample(df.repartition(7), "lang", {"en": 0.8, "de": 0.2}, "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in out2.collect())

@@ -112,3 +112,24 @@ def test_stream_runs_stateless_text_operators(spark, tmp_path_factory):
     want = {r["doc_id"]: (tuple(r["__sig"]), r["quality"])
             for r in batch.select("doc_id", "__sig", "quality").collect()}
     assert got == want
+
+
+def test_stream_gate_documents_matches_batch(spark, tmp_path_factory):
+    """The corpus gates (lang/quality/length) are stateless expressions, so
+    the SAME operator runs on a document stream — the ingestion-time filter
+    in front of a streaming sink. Stream drain must equal the batch twin."""
+    import shutil
+
+    from pytrousse_spark.operators.corpus import gate_documents
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-000.parquet")
+    batch = read_parquet_df(spark, f"{SF_DIR}/documents.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    assert stream.isStreaming
+    gated = gate_documents(stream).drop("__fp")
+    run_stream_to_memory(gated, "gated_docs", output_mode="append")
+    got = spark.sql("SELECT * FROM gated_docs").collect()
+    expect = gate_documents(batch).drop("__fp").collect()
+    assert _normalize(got) == _normalize(expect)
+    assert len(got) > 0
