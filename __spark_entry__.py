@@ -50,19 +50,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the driver's session may not have been built by get_spark(); pin
         # the timezone so timestamp results match the UTC-naive oracle
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = read_parquet_df(spark, os.path.join(sf_dir, f"{name}.parquet"))
-        if name in ("documents", "embeddings"):
-            # these two tables feed expression-heavy per-row work (md5
-            # shingle hashing, 64-dim fold cosines) but arrive as ONE
-            # parquet split at bench scale, serializing everything on one
-            # core; round-robin to full parallelism. No-op at real scale
-            # (any 100 TB table already has >= parallelism splits) and
-            # deliberately NOT applied to the scan-light relational tables,
-            # where the extra exchange measured as a net loss (io.py).
-            from pytrousse_spark.io import rebalance_undersplit
-
-            df = rebalance_undersplit(df)
-        _table_cache[key] = df
+        # NOTE: no blanket rebalance here — a round-3 experiment rebalanced
+        # documents/embeddings at the scan and the md5-heavy dedup family
+        # got ~1.45x faster, but every scan-light documents query paid the
+        # full-text exchange (q61 0.15->1.4s, q69 0.3->6.2s, q63/q60/q62
+        # similar). rebalance_undersplit now lives INSIDE the hash-heavy
+        # operators (minhash/simhash/fingerprint staging), where the
+        # compute-per-row justifies it and it remains a no-op at real scale.
+        _table_cache[key] = read_parquet_df(
+            spark, os.path.join(sf_dir, f"{name}.parquet")
+        )
     return _table_cache[key]
 
 

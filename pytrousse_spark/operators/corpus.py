@@ -33,6 +33,11 @@ def gate_documents(
     STRUCTURED STREAM (it is the ingestion-time filter in front of a
     streaming sink; the dedup stages below are batch-only because they
     aggregate across documents). Staging per functions/text.py HOF rules."""
+    if not df.isStreaming:
+        # md5 fingerprint per row; no-op at real scale or on a stream
+        from ..io import rebalance_undersplit
+
+        df = rebalance_undersplit(df)
     t = F.col(text_col)
     toks = F.col("__tk")
     staged = (

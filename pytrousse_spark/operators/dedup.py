@@ -121,9 +121,18 @@ def with_minhash_signature(
     materialize in their own projection so they run ONCE per row instead of
     once per permutation / once per array element (expressions inside
     higher-order lambdas re-run per element — measured ~10× slowdown; see
-    functions/text.py)."""
-    from ..functions.text import shingles_from_tokens, tokens
+    functions/text.py).
 
+    The input is rebalanced first: per-row md5/xxhash shingle hashing is
+    exactly the compute-per-row that justifies spreading an under-split
+    scan (io.rebalance_undersplit is a no-op when splits >= parallelism,
+    i.e. on any real-scale table). Measured ~1.45× on the near-dedup
+    pipeline at bench scale; NOT applied at the scan in _t because
+    scan-light document queries then pay a full-text exchange for nothing."""
+    from ..functions.text import shingles_from_tokens, tokens
+    from ..io import rebalance_undersplit
+
+    df = rebalance_undersplit(df)
     return (
         df.withColumn("__tk", tokens(F.col(text_col)))
         .withColumn("__sh", shingles_from_tokens(F.col("__tk"), shingle_n))
@@ -327,7 +336,11 @@ def near_dedup_pairs(
     ``common / (|a| + |b| - common)``, rounded to 6).
     """
     from ..functions.text import shingles_from_tokens, tokens
+    from ..io import rebalance_undersplit
 
+    # both the signature and the shingle-set branch re-scan df; rebalance
+    # once here (no-op at real scale, see with_minhash_signature)
+    df = rebalance_undersplit(df)
     cands = minhash_lsh_pairs(
         df, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn,
@@ -419,6 +432,10 @@ def cross_near_dedup_pairs(
     Ids may overlap between the two corpora; sides are tracked by a tag
     column, never by id arithmetic.
     """
+    from ..io import rebalance_undersplit
+
+    incoming = rebalance_undersplit(incoming)
+    reference = rebalance_undersplit(reference)
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         if num_perm % bands != 0:
@@ -526,6 +543,11 @@ def cross_dedup(
         shingles_from_tokens,
         tokens,
     )
+    from ..io import rebalance_undersplit
+
+    # md5-per-shingle work on both sides — see with_minhash_signature
+    incoming = rebalance_undersplit(incoming)
+    reference = rebalance_undersplit(reference)
 
     def with_fp(df: DataFrame) -> DataFrame:
         # tokens/shingles staged as projected columns: computing the
@@ -726,6 +748,9 @@ def with_simhash(
     """Staged SimHash: token hashes materialize once, then ``bits`` aggregates
     read the hash array column instead of re-hashing per bit."""
     from ..functions.text import tokens
+    from ..io import rebalance_undersplit
+
+    df = rebalance_undersplit(df)  # hash-per-token; see with_minhash_signature
 
     def tok_hash(t):
         return hash_expr(t, None, hash_fn)
