@@ -1998,6 +1998,42 @@ def _sql_q77() -> str:
 
 
 
+def q78_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table: deterministic hash-picked
+    init, 2 iterations, map-side assignment vs broadcast centroid literals
+    (vectors never shuffle; update shuffles only (cluster, pos) hash-agg
+    partials). Oracle = the same loop unrolled into CTEs."""
+    from pytrousse_spark.operators.clustering import kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans(e, "vec_id", "embedding", k=8, iters=2)
+
+
+def _sql_q78() -> str:
+    from pytrousse_spark.operators.clustering import kmeans_sql
+
+    return kmeans_sql("embeddings", 8, 64, iters=2)
+
+
+def q79_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cells, then cosine pairs ONLY
+    within a cell; drop the greater id of any pair with cos >= tau. The
+    cell-keyed self-join is the only shuffle; cross-cell pairs are never
+    formed."""
+    from pytrousse_spark.operators.clustering import semantic_dedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        e, "vec_id", "embedding", k=8, iters=2, tau=0.2
+    )
+
+
+def _sql_q79() -> str:
+    from pytrousse_spark.operators.clustering import semantic_dedup_pairs_sql
+
+    return semantic_dedup_pairs_sql("embeddings", 8, 64, iters=2, tau=0.2)
+
+
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, hybrid strategy: narrow bands take the bucketed equi-join
     (shuffle on bucket ids only); the open-ended 'high' band spans ~1e8
@@ -2096,11 +2132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51b_asof_forward": q51b_asof_forward,
         "q70_stream_dedup_batch": q70_stream_dedup_batch,
         "q71_interval_roundtrip": q71_interval_roundtrip,
+        "q78_kmeans": q78_kmeans,
+        "q79_semantic_dedup": q79_semantic_dedup,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
-        "q04_filter_agg": q04_filter_agg,
-        "q07_window_rank": q07_window_rank,
         "q10_events_hourly": q10_events_hourly,
         "q19_pipeline": q19_pipeline,
         "q20_profile": q20_profile,
@@ -2132,6 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (position >50): two rounds of green driver history --------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
+        "q04_filter_agg": q04_filter_agg,
+        "q07_window_rank": q07_window_rank,
         "q05_semi_join": q05_semi_join,
         "q06_anti_join": q06_anti_join,
         "q08_set_ops": q08_set_ops,
@@ -2317,6 +2355,8 @@ def oracle_sql() -> dict[str, str]:
         "q75_cross_dedup": _sql_q75(),
         "q76_target_mix": _sql_q76(),
         "q77_dedup_keep_best": _sql_q77(),
+        "q78_kmeans": _sql_q78(),
+        "q79_semantic_dedup": _sql_q79(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1,0 +1,318 @@
+"""Embedding clustering: Lloyd's k-means and SemDeDup-style semantic dedup.
+
+Beyond-reference LLM-pipeline operators (the reference has no vector
+surface; cf. BASELINE.json north star).  Both engines replay identical
+math so the DuckDB oracle hash-matches:
+
+- init is deterministic — the ``k`` corpus rows with smallest portable
+  hash of their id (same coarse-quantizer trick as ``similarity.ivf_topk``;
+  no RNG to replay),
+- distances are index-ordered double folds (``functions.vectors`` rules),
+  rounded to 6 with ties broken by ascending cluster index,
+- updated centroid components are per-(cluster, position) averages rounded
+  to 6 BEFORE the next assignment, so both engines feed iteration *t+1*
+  the exact same literals.
+
+Scale shape (100 TB): per iteration the vectors NEVER shuffle — assignment
+is a map-side expression against k broadcast centroid literals, and the
+update shuffles only hash-agg partials of (cluster, position) pairs
+(k·dim rows per map partition after map-side combine).  The only
+driver-side collect is the k·dim centroid matrix per iteration — Spark
+MLlib's own KMeans makes the same reduce-to-driver trade.  ``iters`` is a
+small constant, not data-dependent.
+
+Semantic dedup follows SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+cluster the embeddings, compare pairs ONLY within a cluster, and drop all
+but the lowest id of any pair with cosine >= tau.  The pairwise stage is
+quadratic only within a cell — at real scale k grows with n (cells ≈ √n,
+as for IVF) so cells stay bounded and the cell-keyed self-join is the only
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60, h60_sql
+from ..functions.vectors import cosine, cosine_sql
+
+
+# ---------------------------------------------------------------------------
+# distance expressions (index-ordered folds; see functions/vectors.py)
+# ---------------------------------------------------------------------------
+def _sqdist(vec_col: str, cent: list[float]) -> Column:
+    """Σ (v[i] − c[i])² in double precision, index order, vs a literal."""
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            lit,
+            lambda x, p: (x.cast("double") - p) * (x.cast("double") - p),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sqdist_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _assign_expr(vec_col: str, cents: list[list[float]]) -> Column:
+    """struct(dist, cluster) of the nearest centroid — array_sort of
+    struct(round(dist,6), idx): ascending struct order = dist asc, idx asc.
+    Pure map-side; k folds per row, no shuffle."""
+    items = [
+        F.struct(
+            F.round(_sqdist(vec_col, cv), 6).alias("d"),
+            F.lit(i + 1).alias("cluster"),
+        )
+        for i, cv in enumerate(cents)
+    ]
+    return F.array_sort(F.array(*items))[0]
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+def _init_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[list[float]]:
+    """Deterministic seed: the k rows with smallest (h60(id), id) — both
+    engines recompute the same pick; components rounded like every later
+    iteration so iteration 1 sees identical literals."""
+    rows = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            h60(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "id")
+        .limit(k)
+        .collect()
+    )
+    return [[round(float(x), 6) for x in r["v"]] for r in rows]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Run ``iters`` Lloyd iterations; return the final centroid matrix
+    (k lists of rounded doubles).  A cluster that captures no rows keeps
+    its previous centroid (classic empty-cell rule, mirrored in the SQL
+    twin via a left join back to the prior centroids)."""
+    src = df.where(F.col(vec_col).isNotNull())
+    cents = _init_centroids(src, id_col, vec_col, k)
+    for _ in range(iters):
+        assigned = src.select(
+            _assign_expr(vec_col, cents)["cluster"].alias("cluster"),
+            F.col(vec_col).alias("v"),
+        )
+        # update: hash-agg partials shuffle only (cluster, pos) pairs
+        rows = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        nxt = []
+        for i, prev in enumerate(cents):
+            got = by_cluster.get(i + 1)
+            if got is None:
+                nxt.append(prev)  # empty cell keeps its centroid
+            else:
+                nxt.append(
+                    [round(got[p], 6) for p in range(len(prev))]
+                )
+        cents = nxt
+    return cents
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """(id, cluster, dist) after ``iters`` Lloyd iterations.  ``dist`` is
+    the rounded squared Euclidean distance to the final centroid."""
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    a = _assign_expr(vec_col, cents)
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            a["cluster"].alias("cluster"),
+            a["d"].alias("dist"),
+        )
+    )
+
+
+def _assign_sql(
+    corpus: str, cent_cte: str, dim: int, id_col: str, vec_col: str
+) -> str:
+    """SELECT producing (rid, cluster) of nearest centroid from a CTE with
+    columns (cidx, cv)."""
+    d = _sqdist_sql(f"e.{vec_col}", "c.cv", dim)
+    return f"""
+      SELECT rid, cidx AS cluster, d FROM (
+        SELECT e.{id_col} AS rid, c.cidx, round({d}, 6) AS d,
+               row_number() OVER (
+                 PARTITION BY e.{id_col}
+                 ORDER BY round({d}, 6), c.cidx
+               ) AS rn
+        FROM {corpus} e CROSS JOIN {cent_cte} c
+        WHERE e.{vec_col} IS NOT NULL
+      ) WHERE rn = 1
+    """
+
+
+def kmeans_sql(
+    corpus: str,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`kmeans`: the iteration loop unrolled into
+    ``iters`` (assign, update) CTE pairs replaying the identical fold
+    order, rounding, and empty-cell rule."""
+    h = h60_sql(f"CAST({id_col} AS VARCHAR)")
+    parts = [
+        f"""cent0 AS (
+      SELECT row_number() OVER (ORDER BY {h}, {id_col}) AS cidx,
+             list_transform({vec_col}, x -> round(CAST(x AS DOUBLE), 6)) AS cv
+      FROM {corpus} WHERE {vec_col} IS NOT NULL
+      ORDER BY {h}, {id_col} LIMIT {k}
+    )"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""assign{t} AS (
+      {_assign_sql(corpus, f'cent{t}', dim, id_col, vec_col)}
+    )"""
+        )
+        # per-(cluster, position) mean, rounded; empty cells keep cent{t}
+        parts.append(
+            f"""mean{t} AS (
+      SELECT a.cluster, u.ord,
+             round(avg(CAST(e.{vec_col}[u.ord] AS DOUBLE)), 6) AS m
+      FROM assign{t} a
+      JOIN {corpus} e ON e.{id_col} = a.rid,
+      range(1, {dim + 1}) AS u(ord)
+      GROUP BY a.cluster, u.ord
+    ), cent{t + 1} AS (
+      SELECT p.cidx,
+             coalesce(
+               (SELECT array_agg(m.m ORDER BY m.ord) FROM mean{t} m
+                WHERE m.cluster = p.cidx),
+               p.cv
+             ) AS cv
+      FROM cent{t} p
+    )"""
+        )
+    final = _assign_sql(corpus, f"cent{iters}", dim, id_col, vec_col)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT rid AS {id_col}, CAST(cluster AS INT) AS cluster, d AS dist
+    FROM ({final})
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: within-cluster cosine prune
+# ---------------------------------------------------------------------------
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, cluster, cos) for every within-cluster pair with
+    cosine >= tau (id_a < id_b).  Vectors ride along the cluster-keyed
+    self-join (the only shuffle); cross-cluster pairs are never formed —
+    that is SemDeDup's whole trade: recall bounded by the clustering,
+    cost bounded by the cell size."""
+    assigned = kmeans(df, id_col, vec_col, k, iters).select(
+        F.col(id_col).alias("id"), "cluster"
+    )
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    side = assigned.join(vecs, "id")
+    a = side.select(
+        F.col("id").alias("id_a"), F.col("cluster"), F.col("v").alias("va")
+    )
+    b = side.select(
+        F.col("id").alias("id_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= tau)
+        .select("id_a", "id_b", "cluster", "cos")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+) -> DataFrame:
+    """Survivors: drop every id that appears as the GREATER side of a
+    qualifying pair (keep-lowest-id rule, matching ``dedup.near_dedup``)."""
+    pairs = semantic_dedup_pairs(df, id_col, vec_col, k, iters, tau)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+def semantic_dedup_pairs_sql(
+    corpus: str,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    km = kmeans_sql(corpus, k, dim, iters, id_col, vec_col)
+    cos = cosine_sql(f"x.{vec_col}", f"y.{vec_col}", dim)
+    return f"""
+    WITH km AS ({km})
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           CAST(a.cluster AS INT) AS cluster, round({cos}, 6) AS cos
+    FROM km a
+    JOIN km b ON a.cluster = b.cluster AND a.{id_col} < b.{id_col}
+    JOIN {corpus} x ON x.{id_col} = a.{id_col}
+    JOIN {corpus} y ON y.{id_col} = b.{id_col}
+    WHERE round({cos}, 6) >= {tau}
+    """
