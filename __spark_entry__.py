@@ -2034,6 +2034,52 @@ def _sql_q79() -> str:
     return semantic_dedup_pairs_sql("embeddings", 8, 64, iters=2, tau=0.2)
 
 
+def q80_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (Lee et al. 2022): per-document
+    share of 3-gram positions whose 3-gram occurs in >=2 distinct docs —
+    catches boilerplate stitching that document-level fingerprints miss."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.duplicated_ngram_stats(d, "text", "doc_id", n=3, min_docs=2)
+
+
+def _sql_q80() -> str:
+    return tx.duplicated_ngram_stats_sql(
+        "documents", "text", "doc_id", n=3, min_docs=2
+    )
+
+
+def q81_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log p_target/p_source per
+    document under add-one-smoothed unigram LMs, target = the English
+    subset — the 'select web data that looks like my target domain' step."""
+    from pytrousse_spark.operators.sampling import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, "text", "doc_id", "lang = 'en'")
+
+
+def _sql_q81() -> str:
+    from pytrousse_spark.operators.sampling import dsir_importance_sql
+
+    return dsir_importance_sql("documents", "text", "doc_id", "lang = 'en'")
+
+
+def q82_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversification (cluster-then-cap): k-means cells,
+    then at most 40 vectors per cell by salted id hash — caps over-dense
+    embedding regions; map-side assignment, one k-keyed window shuffle."""
+    from pytrousse_spark.operators.clustering import cluster_cap_sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cluster_cap_sample(e, "vec_id", "embedding", k=8, iters=2, cap=40)
+
+
+def _sql_q82() -> str:
+    from pytrousse_spark.operators.clustering import cluster_cap_sample_sql
+
+    return cluster_cap_sample_sql("embeddings", 8, 64, iters=2, cap=40)
+
+
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, hybrid strategy: narrow bands take the bucketed equi-join
     (shuffle on bucket ids only); the open-ended 'high' band spans ~1e8
@@ -2134,6 +2180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_interval_roundtrip": q71_interval_roundtrip,
         "q78_kmeans": q78_kmeans,
         "q79_semantic_dedup": q79_semantic_dedup,
+        "q80_dup_ngrams": q80_dup_ngrams,
+        "q81_dsir": q81_dsir,
+        "q82_cluster_cap": q82_cluster_cap,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2357,6 +2406,9 @@ def oracle_sql() -> dict[str, str]:
         "q77_dedup_keep_best": _sql_q77(),
         "q78_kmeans": _sql_q78(),
         "q79_semantic_dedup": _sql_q79(),
+        "q80_dup_ngrams": _sql_q80(),
+        "q81_dsir": _sql_q81(),
+        "q82_cluster_cap": _sql_q82(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -509,3 +509,96 @@ def tfidf_top_terms_sql(table: str, text_col: str, id_col: str, k: int = 3) -> s
       ) AS rank FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def duplicated_ngram_stats(
+    df, text_col: str, id_col: str, n: int = 3, min_docs: int = 2
+):
+    """Cross-document duplicated n-gram fraction — the substring-level
+    duplication signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", public paper): for each document, the
+    share of its n-gram positions whose n-gram also occurs in at least
+    ``min_docs`` distinct documents (i.e. in >= ``min_docs - 1`` OTHERS).
+    Complements the *within*-doc repetition signals of
+    :func:`repetition_stats` and whole/near-doc dedup: it catches documents
+    stitched together from boilerplate that no document-level fingerprint
+    sees.
+
+    Plan: staged tokens -> strict n-gram array (docs shorter than ``n``
+    contribute nothing; Spark's explode and DuckDB's unnest both drop the
+    NULL array) -> one DISTINCT (doc, gram) projection feeds the gram
+    doc-frequency hash agg -> the exploded stream joins the frequent-gram
+    set keyed by gram only -> left join restores zero-gram docs. Nothing
+    collects; both shuffles are keyed by gram / doc id, never by text, so
+    the plan survives a 100 TB corpus (AQE handles hot boilerplate grams
+    via skew-join splitting).
+    """
+    from pyspark.sql import functions as F
+
+    grams_arr = F.when(
+        F.size("__tk") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__tk") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, n)),
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    ).select(
+        "__id",
+        F.greatest(F.size("__tk") - (n - 1), F.lit(0))
+        .cast("long")
+        .alias("__total"),
+        grams_arr.alias("__g"),
+    )
+    exploded = base.select("__id", F.explode("__g").alias("g"))
+    frequent = (
+        exploded.select("__id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("g")
+    )
+    per_doc = exploded.join(frequent, "g").groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__dup")
+    )
+    out = base.select("__id", "__total").join(per_doc, "__id", "left")
+    dup = F.coalesce(F.col("__dup"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__total").alias("total_ngrams"),
+        dup.alias("dup_ngrams"),
+        F.when(
+            F.col("__total") > 0, F.round(dup / F.col("__total"), 4)
+        ).alias("dup_ratio"),
+    )
+
+
+def duplicated_ngram_stats_sql(
+    table: str, text_col: str, id_col: str, n: int = 3, min_docs: int = 2
+) -> str:
+    """DuckDB twin of :func:`duplicated_ngram_stats` (same strict n-gram
+    rule, same doc-frequency threshold, same NULL ratio for gramless docs)."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS __id, {toks} AS t FROM {table}
+    ), g AS (
+      SELECT __id, array_to_string(t[i:i+{n - 1}], ' ') AS g
+      FROM tok, UNNEST(range(1, len(t) - {n} + 2)) AS u(i)
+      WHERE len(t) >= {n}
+    ), freq AS (
+      SELECT g FROM (SELECT DISTINCT __id, g FROM g)
+      GROUP BY g HAVING count(*) >= {min_docs}
+    ), per AS (
+      SELECT __id, count(*) AS dup FROM g JOIN freq USING (g) GROUP BY __id
+    )
+    SELECT tok.__id AS {id_col},
+           CAST(greatest(len(tok.t) - {n - 1}, 0) AS BIGINT) AS total_ngrams,
+           CAST(coalesce(per.dup, 0) AS BIGINT) AS dup_ngrams,
+           round(coalesce(per.dup, 0) * 1.0
+                 / nullif(greatest(len(tok.t) - {n - 1}, 0), 0),
+                 4) AS dup_ratio
+    FROM tok LEFT JOIN per ON per.__id = tok.__id
+    """

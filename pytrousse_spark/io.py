@@ -98,6 +98,10 @@ def rebalance_undersplit(df: DataFrame) -> DataFrame:
     is opt-in where compute-per-row justifies the shuffle. Predicate
     pushdown and pruning traverse Repartition nodes.
     """
+    if df.isStreaming:
+        # partition introspection (df.rdd) is illegal on a stream, and
+        # micro-batch sizing is the source's job (maxFilesPerTrigger etc.)
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -316,3 +316,45 @@ def semantic_dedup_pairs_sql(
     JOIN {corpus} y ON y.{id_col} = b.{id_col}
     WHERE round({cos}, 6) >= {tau}
     """
+
+
+def cluster_cap_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    cap: int = 40,
+) -> DataFrame:
+    """Cluster-balanced corpus diversification — the cluster-then-cap step
+    of SemDeDup/DataComp-style pipelines (Abbas et al. 2023; Gadre et al.
+    2023, both public papers): k-means cells over the embedding space, then
+    keep at most ``cap`` vectors per cell, chosen by salted id hash (ties
+    by id). Caps over-dense regions (near-duplicate template clusters)
+    while leaving sparse regions untouched.
+
+    Scale: assignment is a map-side expression against broadcast centroid
+    literals (vectors never shuffle to be assigned); the cap is one window
+    shuffle keyed by cluster — bounded at ``k`` keys, and each group's
+    window only ranks ids, never vectors.
+    """
+    from .sampling import hash_topk_per_group
+
+    assigned = kmeans(df, id_col, vec_col, k, iters)
+    return hash_topk_per_group(assigned, ["cluster"], cap, id_col)
+
+
+def cluster_cap_sample_sql(
+    corpus: str,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    cap: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`cluster_cap_sample`."""
+    from .sampling import hash_topk_per_group_sql
+
+    inner = kmeans_sql(corpus, k, dim, iters, id_col, vec_col)
+    return hash_topk_per_group_sql(f"({inner})", ["cluster"], cap, id_col)

@@ -203,3 +203,94 @@ def hash_topk_per_group_sql(
       FROM {table}
     ) WHERE __rn <= {k}
     """
+
+
+def dsir_importance(
+    df: DataFrame, text_col: str, id_col: str, target_cond: str
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169 — public paper), unigram instantiation: per-document
+    log importance weight ``ln(p_target(doc) / p_source(doc))`` under
+    add-one-smoothed unigram LMs, where the target LM is estimated from
+    the subset of ``df`` satisfying ``target_cond`` (a SQL boolean
+    expression over the document's columns) and the source LM from the
+    whole corpus. Documents resembling the target domain score high;
+    downstream selection is ``ORDER BY log_weight`` or a weighted
+    hash-sample.
+
+    Plan: ONE token explode feeds both LMs (the target flag rides along
+    each token), one hash agg builds the joint (source_count, target_count)
+    vocabulary, one single-row scalar collect (S, T, V), then the rounded
+    per-token log-ratio joins back onto the token stream and aggregates per
+    doc. Both shuffles are keyed by token / doc id; the vocabulary join is
+    left to Catalyst (broadcast when small, shuffle + AQE skew-splitting on
+    hot stopword tokens at corpus scale).
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.expr(target_cond), F.lit(False))
+        .cast("long")
+        .alias("__tgt"),
+        tokens(F.col(text_col)).alias("__tk"),
+    ).select("__id", "__tgt", F.explode("__tk").alias("t"))
+    vocab = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_s"), F.sum("__tgt").alias("c_t")
+    )
+    s_tot, t_tot, v_size = vocab.agg(
+        F.sum("c_s"), F.sum("c_t"), F.count(F.lit(1))
+    ).first()
+    # Per-token log-ratio in integer MICRO-units: rounding to 6 decimals then
+    # scaling to a long makes the per-doc sum exact and fold-order-free —
+    # a double sum rounded to 4 decimals can flip its last digit between
+    # engines when a doc's true sum sits on a .00005 knife edge (observed).
+    lr = F.log((F.col("c_t") + 1) / F.lit(float(t_tot + v_size))) - F.log(
+        (F.col("c_s") + 1) / F.lit(float(s_tot + v_size))
+    )
+    ratio = vocab.select(
+        "t", F.round(F.round(lr, 6) * 1e6).cast("long").alias("__r")
+    )
+    return (
+        tok.join(ratio, "t")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("__r") / F.lit(1e6), 4).alias("log_weight"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "log_weight")
+    )
+
+
+def dsir_importance_sql(
+    table: str, text_col: str, id_col: str, target_cond: str
+) -> str:
+    """DuckDB twin of :func:`dsir_importance` (identical smoothing and
+    per-token rounding so the float sums agree)."""
+    from ..functions.text import tokens_sql
+
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS __id,
+             CAST(coalesce({target_cond}, false) AS BIGINT) AS __tgt,
+             unnest({toks}) AS t
+      FROM {table}
+    ), vocab AS (
+      SELECT t, count(*) AS c_s, sum(__tgt) AS c_t FROM tok GROUP BY t
+    ), tot AS (
+      SELECT CAST(sum(c_s) AS DOUBLE) AS s,
+             CAST(sum(c_t) AS DOUBLE) AS tt,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM vocab
+    ), ratio AS (
+      -- integer micro-units: exact, fold-order-free per-doc sums
+      SELECT t, CAST(round(round(ln((c_t + 1) / (tot.tt + tot.v))
+                                 - ln((c_s + 1) / (tot.s + tot.v)), 6)
+                           * 1000000) AS BIGINT) AS r
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT __id AS {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(r) AS DOUBLE) / 1000000, 4) AS log_weight
+    FROM tok JOIN ratio USING (t) GROUP BY __id
+    """

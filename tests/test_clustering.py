@@ -102,3 +102,22 @@ def test_k_bounds(spark, k):
     rows = kmeans(df, k=k, iters=1).collect()
     assert len(rows) == 7
     assert all(1 <= r["cluster"] <= k for r in rows)
+
+
+def test_cluster_cap_sample_caps_and_is_deterministic(spark):
+    from pytrousse_spark.operators.clustering import cluster_cap_sample
+
+    df = _toy(spark)
+    out = cluster_cap_sample(df, k=2, iters=2, cap=2)
+    rows = out.collect()
+    ids = {r["vec_id"] for r in rows}
+    assert ids <= {1, 2, 3, 4, 5, 6, 7}
+    by_cluster: dict[int, int] = {}
+    for r in rows:
+        by_cluster[r["cluster"]] = by_cluster.get(r["cluster"], 0) + 1
+    assert all(n <= 2 for n in by_cluster.values())
+    # dense planted clusters are actually trimmed
+    assert len(ids) < 7
+    again = {r["vec_id"] for r in
+             cluster_cap_sample(df.repartition(5), k=2, iters=2, cap=2).collect()}
+    assert ids == again

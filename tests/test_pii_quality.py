@@ -110,3 +110,20 @@ def test_cross_near_dedup_pairs_only_cross_side(spark):
     # id 10 exists on BOTH sides with the same text: the pair (10, 10) is a
     # legitimate cross-side match, proving sides are tracked by tag, not id
     assert got == {(10, 10), (11, 10)}
+
+
+def test_duplicated_ngram_stats_planted(spark):
+    from pytrousse_spark.functions.text import duplicated_ngram_stats
+
+    rows = [
+        (1, "a b c d e"),          # exact twin of 2 -> every 3-gram shared
+        (2, "a b c d e"),
+        (3, "p q r s t"),          # unique -> zero shared
+        (4, "x y"),                # shorter than n -> zero grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicated_ngram_stats(df, "text", "doc_id", n=3).collect()}
+    assert out[1]["total_ngrams"] == 3 and out[1]["dup_ratio"] == 1.0
+    assert out[3]["dup_ngrams"] == 0 and out[3]["dup_ratio"] == 0.0
+    assert out[4]["total_ngrams"] == 0 and out[4]["dup_ratio"] is None

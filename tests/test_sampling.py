@@ -91,3 +91,31 @@ def test_target_mix_sample_proportions_and_drops(spark):
     out2 = target_mix_sample(df.repartition(7), "lang", {"en": 0.8, "de": 0.2}, "doc_id")
     assert sorted(r["doc_id"] for r in out.collect()) == \
         sorted(r["doc_id"] for r in out2.collect())
+
+
+def test_dsir_importance_separates_domains(spark):
+    # target docs speak "aaa", the rest speak "zzz"; a target-looking doc
+    # must out-weigh a source-only-looking one
+    rows = [
+        (1, "aaa aaa aaa aaa", "tgt"),
+        (2, "aaa aaa aaa", "tgt"),
+        (3, "zzz zzz zzz zzz", "web"),
+        (4, "zzz zzz zzz", "web"),
+        (5, "aaa zzz", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, domain string")
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in sp.dsir_importance(df, "text", "doc_id", "domain = 'tgt'").collect()
+    }
+    assert out[1] > out[5] > out[3]
+    assert out[1] > 0 and out[3] < 0
+
+
+def test_dsir_importance_stable_under_repartition(docs):
+    a = {(r["doc_id"], r["log_weight"])
+         for r in sp.dsir_importance(docs, "text", "doc_id", "lang = 'en'").collect()}
+    b = {(r["doc_id"], r["log_weight"])
+         for r in sp.dsir_importance(
+             docs.repartition(17), "text", "doc_id", "lang = 'en'").collect()}
+    assert a == b
