@@ -253,28 +253,51 @@ def semantic_dedup_pairs(
     self-join (the only shuffle); cross-cluster pairs are never formed —
     that is SemDeDup's whole trade: recall bounded by the clustering,
     cost bounded by the cell size."""
+    from ..functions.vectors import dot, norm
+
     assigned = kmeans(df, id_col, vec_col, k, iters).select(
         F.col(id_col).alias("id"), "cluster"
     )
     vecs = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
-    side = assigned.join(vecs, "id")
+    # norms staged ONCE per row below the join: cos(a,b) = dot/(na*nb)
+    # evaluates the same doubles, but the two norm folds run n times
+    # instead of once per PAIR (3x fewer array folds in the pair stage)
+    side = assigned.join(vecs, "id").withColumn("nv", norm(F.col("v")))
+    # salt the cell-keyed self-join: with small k the plain cluster join
+    # has only k reduce keys, serializing the quadratic pair stage onto k
+    # tasks (measured 18s at sf0.1 with k=8). Side b derives a salt from
+    # its id map-side; side a replicates across all salts — join keys go
+    # k -> k*S while every (a, b) pair still meets exactly once. Harmless
+    # at real scale (k grows as sqrt(n)), decisive at small k.
+    nsalt = df.sparkSession.sparkContext.defaultParallelism
     a = side.select(
-        F.col("id").alias("id_a"), F.col("cluster"), F.col("v").alias("va")
+        F.col("id").alias("id_a"),
+        F.col("cluster"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+        F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))).alias("__salt"),
     )
     b = side.select(
         F.col("id").alias("id_b"),
         F.col("cluster").alias("cluster_b"),
         F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+        F.pmod(F.xxhash64("id"), F.lit(nsalt)).cast("int").alias("__salt_b"),
+    )
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
     )
     return (
         a.join(
             b,
             (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("__salt") == F.col("__salt_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(cos, 6))
         .where(F.col("cos") >= tau)
         .select("id_a", "id_b", "cluster", "cos")
     )
