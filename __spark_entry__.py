@@ -2080,6 +2080,31 @@ def _sql_q82() -> str:
     return cluster_cap_sample_sql("embeddings", 8, 64, iters=2, cap=40)
 
 
+def q83_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup transform (Lee et al. 2022): strip every token
+    covered by a 3-gram occurring in >=2 docs, reassemble the survivors —
+    the cleaning step whose census q80 reports."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.remove_duplicated_ngrams(d, "text", "doc_id", n=3, min_docs=2)
+
+
+def _sql_q83() -> str:
+    return tx.remove_duplicated_ngrams_sql(
+        "documents", "text", "doc_id", n=3, min_docs=2
+    )
+
+
+def q84_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: top-50 adjacent bigrams by PMI with support
+    >=5 (Church & Hanks 1990) — phrase mining / boilerplate spotting."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.pmi_collocations(d, "text", top_k=50, min_count=5)
+
+
+def _sql_q84() -> str:
+    return tx.pmi_collocations_sql("documents", "text", top_k=50, min_count=5)
+
+
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, hybrid strategy: narrow bands take the bucketed equi-join
     (shuffle on bucket ids only); the open-ended 'high' band spans ~1e8
@@ -2183,6 +2208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_dup_ngrams": q80_dup_ngrams,
         "q81_dsir": q81_dsir,
         "q82_cluster_cap": q82_cluster_cap,
+        "q83_remove_dup_spans": q83_remove_dup_spans,
+        "q84_collocations": q84_collocations,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2409,6 +2436,8 @@ def oracle_sql() -> dict[str, str]:
         "q80_dup_ngrams": _sql_q80(),
         "q81_dsir": _sql_q81(),
         "q82_cluster_cap": _sql_q82(),
+        "q83_remove_dup_spans": _sql_q83(),
+        "q84_collocations": _sql_q84(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -611,3 +611,220 @@ def duplicated_ngram_stats_sql(
                  4) AS dup_ratio
     FROM tok LEFT JOIN per ON per.__id = tok.__id
     """
+
+
+def remove_duplicated_ngrams(
+    df, text_col: str, id_col: str, n: int = 3, min_docs: int = 2
+):
+    """The cleaning TRANSFORM companion of :func:`duplicated_ngram_stats`
+    (Lee et al. 2022 span-level dedup): drop every token position covered
+    by an n-gram that occurs in >= ``min_docs`` distinct documents, and
+    re-join the survivors. ``clean_text`` is the LOWERCASED whitespace
+    token stream minus the removed spans — tokenization folds ASCII case,
+    a documented deviation from byte-level span removal (the reference
+    surface has no text operators at all; this is beyond-reference).
+
+    Plan: same gram census as the stats operator, then covered positions =
+    frequent-gram starts exploded to their n token slots (one DISTINCT
+    keyed by (doc, pos)), survivors = positional tokens anti-joined on
+    (doc, pos), reassembled with an in-group sort — no window, no collect.
+    All shuffles keyed by gram, (doc, pos), or doc id.
+    """
+    from pyspark.sql import functions as F
+
+    from ..io import rebalance_undersplit
+
+    grams_arr = F.when(
+        F.size("__tk") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__tk") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, n)),
+        ),
+    )
+    base = rebalance_undersplit(df).select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    ).select("__id", "__tk", grams_arr.alias("__g"))
+    # posexplode_outer for the same inferred-filter reason as the stats op
+    grams = base.select(
+        "__id", F.posexplode_outer("__g").alias("s", "g")
+    ).where(F.col("g").isNotNull())
+    frequent = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("__id").alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        grams.join(frequent, "g")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "__id", F.posexplode_outer("__tk").alias("pos", "tok")
+    ).where(F.col("tok").isNotNull())
+    agg = (
+        toks.join(covered, ["__id", "pos"], "left_anti")
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda st: st["tok"],
+                ),
+                " ",
+            ).alias("__clean"),
+            F.count(F.lit(1)).alias("__kept"),
+        )
+    )
+    out = base.select(
+        "__id", F.size("__tk").cast("long").alias("__ntok")
+    ).join(agg, "__id", "left")
+    kept = F.coalesce(F.col("__kept"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
+        kept.alias("n_kept"),
+        (F.col("__ntok") - kept).cast("long").alias("n_removed"),
+    )
+
+
+def remove_duplicated_ngrams_sql(
+    table: str, text_col: str, id_col: str, n: int = 3, min_docs: int = 2
+) -> str:
+    """DuckDB twin of :func:`remove_duplicated_ngrams`."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS __id, {toks} AS t FROM {table}
+    ), g AS (
+      SELECT __id, i - 1 AS s, array_to_string(t[i:i+{n - 1}], ' ') AS g
+      FROM tok, UNNEST(range(1, len(t) - {n} + 2)) AS u(i)
+      WHERE len(t) >= {n}
+    ), freq AS (
+      SELECT g FROM g GROUP BY g HAVING count(DISTINCT __id) >= {min_docs}
+    ), cov AS (
+      SELECT DISTINCT __id, s + d.d AS pos
+      FROM g JOIN freq USING (g), UNNEST(range(0, {n})) AS d(d)
+    ), toklist AS (
+      SELECT __id, i - 1 AS pos, t[i] AS tok
+      FROM tok, UNNEST(range(1, len(t) + 1)) AS r(i)
+    ), kept AS (
+      SELECT toklist.* FROM toklist
+      ANTI JOIN cov ON cov.__id = toklist.__id AND cov.pos = toklist.pos
+    ), agg AS (
+      SELECT __id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+             count(*) AS kept
+      FROM kept GROUP BY __id
+    )
+    SELECT tok.__id AS {id_col},
+           coalesce(agg.clean, '') AS clean_text,
+           CAST(coalesce(agg.kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(tok.t) - coalesce(agg.kept, 0) AS BIGINT) AS n_removed
+    FROM tok LEFT JOIN agg ON agg.__id = tok.__id
+    """
+
+
+def pmi_collocations(
+    df, text_col: str, top_k: int = 50, min_count: int = 5
+):
+    """Corpus-level collocation mining: top adjacent-bigram pairs by
+    pointwise mutual information (Church & Hanks 1990 — public technique),
+    ``pmi = ln((c12/B) / ((c1/N)(c2/N)))`` with a ``min_count`` support
+    gate against noise. Useful for phrase-aware tokenization and for
+    spotting templated/boilerplate constructions in a crawl.
+
+    Plan: staged tokens -> bigram explode -> one bigram hash agg + one
+    unigram hash agg + a single-row scalar collect (N, B) -> two keyed
+    joins of the (small, min_count-gated) bigram census against the
+    unigram census -> top-k via orderBy/limit (TakeOrdered, no global
+    window). Shuffles are keyed by token / bigram only.
+    """
+    from pyspark.sql import functions as F
+
+    from ..io import rebalance_undersplit
+
+    base = rebalance_undersplit(df).select(
+        tokens(F.col(text_col)).alias("__tk")
+    )
+    bigrams_arr = F.when(
+        F.size("__tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__tk") - 2),
+            lambda i: F.struct(
+                F.element_at("__tk", i + 1).alias("w1"),
+                F.element_at("__tk", i + 2).alias("w2"),
+            ),
+        ),
+    )
+    uni = base.select(F.explode_outer("__tk").alias("w")).where(
+        F.col("w").isNotNull()
+    )
+    unigrams = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = unigrams.agg(F.sum("c")).first()[0]
+    bi = base.select(
+        F.explode_outer(bigrams_arr).alias("b")
+    ).where(F.col("b").isNotNull()).select("b.w1", "b.w2")
+    pairs = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    n_bi = bi.count()
+    c1 = unigrams.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+    c2 = unigrams.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count") / F.lit(float(n_bi)))
+            / (
+                (F.col("__c1") / F.lit(float(n_tok)))
+                * (F.col("__c2") / F.lit(float(n_tok)))
+            )
+        ),
+        6,
+    )
+    return (
+        pairs.join(c1, "w1")
+        .join(c2, "w2")
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def pmi_collocations_sql(
+    table: str, text_col: str, top_k: int = 50, min_count: int = 5
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations`."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {toks} AS t FROM {table}
+    ), uni AS (
+      SELECT u.w, count(*) AS c
+      FROM tok, UNNEST(t) AS u(w) GROUP BY u.w
+    ), n AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni
+    ), bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM tok, UNNEST(range(1, len(t))) AS r(i)
+    ), nb AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_bi FROM bi
+    ), pairs AS (
+      SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY w1, w2
+      HAVING count(*) >= {min_count}
+    )
+    SELECT p.w1, p.w2, CAST(p.pair_count AS BIGINT) AS pair_count,
+           round(ln((p.pair_count / nb.n_bi)
+                    / ((u1.c / n.n_tok) * (u2.c / n.n_tok))), 6) AS pmi
+    FROM pairs p
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2
+    CROSS JOIN n CROSS JOIN nb
+    ORDER BY pmi DESC, p.w1, p.w2
+    LIMIT {top_k}
+    """

@@ -127,3 +127,32 @@ def test_duplicated_ngram_stats_planted(spark):
     assert out[1]["total_ngrams"] == 3 and out[1]["dup_ratio"] == 1.0
     assert out[3]["dup_ngrams"] == 0 and out[3]["dup_ratio"] == 0.0
     assert out[4]["total_ngrams"] == 0 and out[4]["dup_ratio"] is None
+
+
+def test_remove_duplicated_ngrams_planted(spark):
+    from pytrousse_spark.functions.text import remove_duplicated_ngrams
+
+    rows = [
+        (1, "a b c d e"),          # twin of 2: every position covered
+        (2, "a b c d e"),
+        (3, "p q r s t"),          # untouched
+        (4, "x y"),                # too short for grams: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_ngrams(df, "text", "doc_id", n=3).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 5
+    assert out[3]["clean_text"] == "p q r s t" and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "x y" and out[4]["n_kept"] == 2
+
+
+def test_pmi_collocations_finds_planted_phrase(spark):
+    from pytrousse_spark.functions.text import pmi_collocations
+
+    # "new york" always adjacent; filler tokens independent
+    docs = [(i, f"new york t{i} u{i} v{i} w{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pmi_collocations(df, "text", top_k=5, min_count=5).collect()
+    assert rows, "min_count gate must keep the planted phrase"
+    assert (rows[0]["w1"], rows[0]["w2"]) == ("new", "york")
+    assert rows[0]["pair_count"] == 10 and rows[0]["pmi"] > 0
