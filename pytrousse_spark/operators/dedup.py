@@ -419,6 +419,8 @@ def cross_near_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    incoming_shingles: DataFrame | None = None,
+    reference_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-duplicate pairs ACROSS two corpora: (incoming_id,
     reference_id, jaccard) for incoming documents whose Jaccard with some
@@ -431,34 +433,63 @@ def cross_near_dedup_pairs(
 
     Ids may overlap between the two corpora; sides are tracked by a tag
     column, never by id arithmetic.
+
+    ``incoming_shingles`` / ``reference_shingles`` optionally supply a
+    pre-staged ``(id_col, __sh)`` frame for a side (the signature-store
+    pattern): callers that also need fingerprints or verify sets of the
+    same corpus — :func:`cross_dedup` — derive everything from ONE
+    materialized shingle frame instead of re-tokenizing the corpus per
+    consumer.
     """
     from ..io import rebalance_undersplit
+
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
 
     incoming = rebalance_undersplit(incoming)
     reference = rebalance_undersplit(reference)
 
-    def banded(df: DataFrame, side: str) -> DataFrame:
-        if num_perm % bands != 0:
-            raise ValueError("num_perm must be divisible by bands")
-        rpb = num_perm // bands
-        return with_minhash_signature(
-            df.select(F.col(id_col).alias("__id"), F.col(text_col)),
-            text_col,
-            num_perm=num_perm,
-            shingle_n=shingle_n,
-            hash_fn=hash_fn,
-        ).select(
-            "__id",
-            F.lit(side).alias("__side"),
-            F.explode(
-                F.array(
-                    *[_band_key(F.col("__sig"), b, num_perm // bands)
-                      for b in range(bands)]
-                )
-            ).alias("__band"),
+    def shingle_frame(df: DataFrame) -> DataFrame:
+        from ..functions.text import shingles_from_tokens, tokens
+
+        return (
+            df.select(F.col(id_col), F.col(text_col))
+            .withColumn("__tk", tokens(F.col(text_col)))
+            .select(
+                id_col,
+                shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh"),
+            )
         )
 
-    both = banded(incoming, "i").unionByName(banded(reference, "r"))
+    inc_sh = (
+        incoming_shingles
+        if incoming_shingles is not None
+        else shingle_frame(incoming)
+    )
+    ref_sh = (
+        reference_shingles
+        if reference_shingles is not None
+        else shingle_frame(reference)
+    )
+
+    def banded(sh_df: DataFrame, side: str) -> DataFrame:
+        return (
+            sh_df.select(F.col(id_col).alias("__id"), "__sh")
+            .withColumn("__h0", _base_hashes(F.col("__sh"), hash_fn))
+            .withColumn("__sig", _sig_from_base(F.col("__h0"), num_perm))
+            .select(
+                "__id",
+                F.lit(side).alias("__side"),
+                F.explode(
+                    F.array(
+                        *[_band_key(F.col("__sig"), b, num_perm // bands)
+                          for b in range(bands)]
+                    )
+                ).alias("__band"),
+            )
+        )
+
+    both = banded(inc_sh, "i").unionByName(banded(ref_sh, "r"))
     grouped = (
         both.groupBy("__band")
         .agg(
@@ -486,23 +517,14 @@ def cross_near_dedup_pairs(
         .distinct()
     )
 
-    def sets_of(df: DataFrame, a: str, b: str, c: str) -> DataFrame:
-        from ..functions.text import shingles_from_tokens, tokens
+    def sets_of(sh_df: DataFrame, a: str, b: str, c: str) -> DataFrame:
+        return sh_df.select(
+            F.col(id_col).alias(a),
+            F.array_distinct(F.col("__sh")).alias(b),
+        ).withColumn(c, F.size(b))
 
-        return (
-            df.select(F.col(id_col).alias(a), F.col(text_col))
-            .withColumn("__tk", tokens(F.col(text_col)))
-            .select(
-                a,
-                F.array_distinct(
-                    shingles_from_tokens(F.col("__tk"), shingle_n)
-                ).alias(b),
-            )
-            .withColumn(c, F.size(b))
-        )
-
-    sa = sets_of(incoming, "id_a", "__seta", "__sa")
-    sb = sets_of(reference, "id_b", "__setb", "__sb")
+    sa = sets_of(inc_sh, "id_a", "__seta", "__sa")
+    sb = sets_of(ref_sh, "id_b", "__setb", "__sb")
     common = F.size(F.array_intersect(F.col("__seta"), F.col("__setb")))
     return (
         cands.join(sa, "id_a")
@@ -562,9 +584,24 @@ def cross_dedup(
             .drop("__tk", "__sh")
         )
 
-    inc_fp = with_fp(incoming)
-    ref_fp = with_fp(reference).select("__fp").distinct()
-    stage1 = inc_fp.join(ref_fp, "__fp", "left_anti").drop("__fp")
+    # Signature-store pattern: the reference corpus has THREE consumers
+    # (fingerprints, band keys, verify sets). One lazily-materialized
+    # shingle frame feeds all three, so the reference is tokenized once
+    # instead of three times (measured ~2x on q75 at sf0.1). The frame
+    # carries only (id, shingles) — the reference text itself still never
+    # shuffles or materializes.
+    ref_sh = (
+        reference.withColumn("__tk", tokens(F.col(text_col)))
+        .select(
+            id_col,
+            shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ref_fp = ref_sh.select(
+        fingerprint_from_shingles(F.col("__sh")).alias("__fp")
+    ).distinct()
+    stage1 = with_fp(incoming).join(ref_fp, "__fp", "left_anti").drop("__fp")
     # stage1 feeds three consumers (band keys, shingle sets, the final
     # anti-join) with different prunings — without materialization the whole
     # fingerprint anti-join subtree (including the reference fingerprint
@@ -575,6 +612,7 @@ def cross_dedup(
         stage1, reference, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
         threshold=threshold, hash_fn=hash_fn,
+        reference_shingles=ref_sh,
     )
     losers = near.select(F.col("id_a").alias(id_col)).distinct()
     return stage1.join(losers, id_col, "left_anti")
