@@ -177,6 +177,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) whose signatures collide
     in at least one LSH band.
@@ -184,21 +185,39 @@ def minhash_lsh_pairs(
     Plan: one scan computes signatures → explode only ``bands`` small rows
     per doc (band key + id) → group ids per bucket → in-bucket pairs →
     distinct. Documents never shuffle; only (band_key, id).
+
+    ``shingles`` optionally supplies a pre-staged ``(id_col, __sh)`` frame
+    (signature-store pattern — see :func:`near_dedup_pairs`).
     """
+    from ..functions.text import shingles_from_tokens, tokens
+    from ..io import rebalance_undersplit
+
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rpb = num_perm // bands
-    keyed = with_minhash_signature(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col)),
-        text_col,
-        num_perm=num_perm,
-        shingle_n=shingle_n,
-        hash_fn=hash_fn,
-    ).select(
-        "__id",
-        F.explode(
-            F.array(*[_band_key(F.col("__sig"), b, rpb) for b in range(bands)])
-        ).alias("__band"),
+    if shingles is None:
+        base = (
+            rebalance_undersplit(df)
+            .select(F.col(id_col).alias("__id"), F.col(text_col))
+            .withColumn("__tk", tokens(F.col(text_col)))
+            .select(
+                "__id",
+                shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh"),
+            )
+        )
+    else:
+        base = shingles.select(F.col(id_col).alias("__id"), "__sh")
+    keyed = (
+        base.withColumn("__h0", _base_hashes(F.col("__sh"), hash_fn))
+        .withColumn("__sig", _sig_from_base(F.col("__h0"), num_perm))
+        .select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[_band_key(F.col("__sig"), b, rpb) for b in range(bands)]
+                )
+            ).alias("__band"),
+        )
     )
     # Group ids per band bucket and emit in-bucket pairs — ONE pass over the
     # signature subtree (a self-join would execute it twice) and one shuffle
@@ -338,21 +357,29 @@ def near_dedup_pairs(
     from ..functions.text import shingles_from_tokens, tokens
     from ..io import rebalance_undersplit
 
-    # both the signature and the shingle-set branch re-scan df; rebalance
-    # once here (no-op at real scale, see with_minhash_signature)
-    df = rebalance_undersplit(df)
+    # Signature-store pattern: the banding branch and BOTH verify sides
+    # would otherwise re-tokenize the corpus (3 executions of the shingle
+    # subtree). One lazily-materialized (id, shingles) frame feeds all
+    # three; the text column itself is never materialized or shuffled.
+    sh = (
+        rebalance_undersplit(df)
+        .select(F.col(id_col), F.col(text_col))
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .select(
+            id_col,
+            shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
     cands = minhash_lsh_pairs(
         df, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn,
+        shingles=sh,
     )
     sets_df = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col))
-        .withColumn("__tk", tokens(F.col(text_col)))
-        .select(
-            "__id",
-            F.array_distinct(
-                shingles_from_tokens(F.col("__tk"), shingle_n)
-            ).alias("__set"),
+        sh.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(F.col("__sh")).alias("__set"),
         )
         .withColumn("__size", F.size("__set"))
     )
