@@ -2105,6 +2105,67 @@ def _sql_q84() -> str:
     return tx.pmi_collocations_sql("documents", "text", top_k=50, min_count=5)
 
 
+def q85_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour mean/count of
+    `value` — the frame is time-based (RANGE over epoch micros), not
+    row-based, so sparse and dense users get the same semantics."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+        F.round(F.avg("value").over(w), 4).alias("roll_avg"),
+    )
+
+
+def _sql_q85() -> str:
+    return """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n,
+           round(avg(value) OVER w, 4) AS roll_avg
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """
+
+
+def q86_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality tiering: NTILE(4) buckets over per-doc unigram
+    surprisal (tier 1 = most templated, 4 = noisiest); unique doc_id
+    tie-break keeps the bucketing engine-deterministic.
+
+    SCALE NOTE: the global ORDER BY window is the oracle-exact form and
+    single-partitions the tier pass. At corpus scale swap it for
+    percentile_approx(mean_surprisal, [.25,.5,.75]) thresholds broadcast
+    into a map-side CASE — same tiers up to sketch error, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    s = tx.unigram_surprisal(d, "text", "doc_id")
+    w = Window.orderBy("mean_surprisal", "doc_id")
+    return s.select(
+        "doc_id",
+        "mean_surprisal",
+        F.ntile(4).over(w).cast("int").alias("tier"),
+    )
+
+
+def _sql_q86() -> str:
+    inner = tx.unigram_surprisal_sql("documents", "text", "doc_id")
+    return f"""
+    SELECT doc_id, mean_surprisal,
+           CAST(ntile(4) OVER (ORDER BY mean_surprisal, doc_id) AS INT)
+             AS tier
+    FROM ({inner})
+    """
+
+
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, hybrid strategy: narrow bands take the bucketed equi-join
     (shuffle on bucket ids only); the open-ended 'high' band spans ~1e8
@@ -2210,6 +2271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_cluster_cap": q82_cluster_cap,
         "q83_remove_dup_spans": q83_remove_dup_spans,
         "q84_collocations": q84_collocations,
+        "q85_rolling_window": q85_rolling_window,
+        "q86_quality_tiers": q86_quality_tiers,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2438,6 +2501,8 @@ def oracle_sql() -> dict[str, str]:
         "q82_cluster_cap": _sql_q82(),
         "q83_remove_dup_spans": _sql_q83(),
         "q84_collocations": _sql_q84(),
+        "q85_rolling_window": _sql_q85(),
+        "q86_quality_tiers": _sql_q86(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),
