@@ -81,6 +81,14 @@ def read_parquet_df(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    # Parquet timestamps written without isAdjustedToUTC surface as
+    # TIMESTAMP_NTZ; normalize to TimestampType so downstream epoch math
+    # (unix_micros) resolves and results serialize exactly like the oracle's
+    # naive TIMESTAMP. Sessions are pinned to UTC, so the cast is a
+    # wall-clock identity.
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
