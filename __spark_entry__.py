@@ -2166,6 +2166,93 @@ def _sql_q86() -> str:
     """
 
 
+_BLOOM_SRC = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q87_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom contamination pre-screen: per probe document, how many of its
+    word 3-shingles are *probably* present in the build-half corpus.
+
+    Production path under test: the build shingles collapse into a 64
+    Kibit Bloom sketch (one DISTINCT-positions shuffle bounded by m; 8 KiB
+    bitset broadcast), and every probe document is screened entirely
+    map-side — shingle positions are computed JVM-side, one vectorized
+    Arrow bit test + reduceat segment-sum per batch. Zero-hit documents are
+    GUARANTEED clean (Bloom has no false negatives), so at 100 TB this
+    gates the exact contamination join (q64) down to the suspicious tail
+    without ever shuffling the probe corpus. Oracle reproduces the sketch
+    bit-for-bit via the portable h60 family.
+    """
+    from pytrousse_spark.operators.bloom import (
+        bloom_positions,
+        bloom_shingle_screen,
+    )
+    from pytrousse_spark.functions.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    build = d.where(F.col("source").isin(*_BLOOM_SRC) & F.col("text").isNotNull())
+    probe = d.where(
+        (~F.col("source").isin(*_BLOOM_SRC)) & F.col("text").isNotNull()
+    )
+    build_sh = build.select(
+        F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    pos = bloom_positions(build_sh, "sh", m=1 << 16, k=3)
+    out = bloom_shingle_screen(
+        probe, word_shingles(F.col("text"), 3), pos, m=1 << 16, k=3
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias("hit_frac"),
+    )
+
+
+def _sql_q87() -> str:
+    from pytrousse_spark.functions.text import word_shingles_sql
+
+    src = ", ".join(f"'{s}'" for s in _BLOOM_SRC)
+    sh_sql = word_shingles_sql("text", 3)
+    # generate_series alias is gi, not i: word_shingles_sql's internal
+    # lambda binds i, and DuckDB lambda vars must not collide with columns
+    h = "(('0x' || substr(md5('bloom' || g.gi || '|' || sh), 1, 15))::BIGINT) % 65536"
+    return f"""
+    WITH pos AS (
+        SELECT DISTINCT {h} AS pos
+        FROM (SELECT unnest({sh_sql}) AS sh
+              FROM documents WHERE source IN ({src}) AND text IS NOT NULL) b
+        CROSS JOIN generate_series(0, 2) AS g(gi)
+    ),
+    probe AS (
+        SELECT doc_id, {sh_sql} AS sh
+        FROM documents WHERE source NOT IN ({src}) AND text IS NOT NULL
+    ),
+    psh AS (SELECT doc_id, unnest(sh) AS sh FROM probe),
+    occ AS (SELECT doc_id, sh, count(*) AS n_occ FROM psh GROUP BY doc_id, sh),
+    shp AS (
+        SELECT doc_id, sh, {h} AS pos
+        FROM occ CROSS JOIN generate_series(0, 2) AS g(gi)
+    ),
+    msh AS (
+        SELECT doc_id, sh, count(*) AS got
+        FROM shp JOIN pos USING (pos) GROUP BY doc_id, sh
+    ),
+    hits AS (
+        SELECT o.doc_id,
+               SUM(CASE WHEN m.got = 3 THEN o.n_occ ELSE 0 END) AS n_hits
+        FROM occ o LEFT JOIN msh m ON o.doc_id = m.doc_id AND o.sh = m.sh
+        GROUP BY o.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(len(p.sh) AS INT) AS n_shingles,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(p.sh), 4)
+             AS hit_frac
+    FROM probe p LEFT JOIN hits h USING (doc_id)
+    """
+
+
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, hybrid strategy: narrow bands take the bucketed equi-join
     (shuffle on bucket ids only); the open-ended 'high' band spans ~1e8
@@ -2273,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_collocations": q84_collocations,
         "q85_rolling_window": q85_rolling_window,
         "q86_quality_tiers": q86_quality_tiers,
+        "q87_bloom_contamination": q87_bloom_contamination,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2503,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         "q84_collocations": _sql_q84(),
         "q85_rolling_window": _sql_q85(),
         "q86_quality_tiers": _sql_q86(),
+        "q87_bloom_contamination": _sql_q87(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

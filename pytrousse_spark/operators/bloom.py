@@ -1,0 +1,231 @@
+"""Bloom-filter membership sketch for map-side (shuffle-free) semi-joins.
+
+At 100 TB the standard way to filter a huge probe corpus against a large
+build set WITHOUT shuffling the probe side is a Bloom filter: hash every
+build key to ``k`` positions in an ``m``-bit array, broadcast the (m/8)-byte
+array, and test membership map-side. A Bloom negative is a guaranteed
+non-member (no false negatives), so the sketch is safe for "skip documents
+we have certainly seen" pipelines; positives are re-checked exactly only
+when the pipeline needs precision (same verify-on-candidates discipline as
+the LSH near-dedup family in ``dedup.py``).
+
+Spark's own ``DataFrameStatFunctions.bloomFilter`` builds the same sketch
+JVM-side but with engine-private hashing, which the external DuckDB oracle
+cannot reproduce. This implementation hashes with the portable ``h60``
+family (functions/hashing.py) so the sketch is reproducible bit-for-bit in
+ANSI SQL, and offers the fast ``xxhash64`` tier for pure-Spark hot paths.
+
+Scale design:
+
+- **build**: ``bloom_positions`` explodes each key to ``k`` positions and
+  takes DISTINCT — the only shuffle, bounded by ``m`` rows no matter how
+  large the build corpus is.
+- **probe (production)**: ``bloom_probe_bitset`` collects the <= m distinct
+  positions into an ``m/8``-byte numpy bitset (m = 2^20 -> 128 KiB),
+  broadcasts it, and tests membership with a vectorized Arrow pandas UDF.
+  Hashing stays JVM-side (the UDF receives the k precomputed positions);
+  the probe corpus is never shuffled.
+- **probe (oracle twin)**: ``bloom_probe_join`` broadcast-joins the probe
+  positions against the position table and requires all ``k`` hits. One
+  keyed shuffle on the probe id; exists so the result is expressible in
+  ANSI SQL for the correctness gate. Parity between the two probe paths is
+  pinned in tests.
+
+Reference parity: the reference engine has no sketch module; this is part of
+the beyond-reference LLM-pipeline layer (cross-corpus membership mirrors
+``contamination_pairs`` / ``cross_dedup`` with O(m) broadcast state instead
+of an exact broadcast shingle index). Bloom (1970) is the public source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import hash_expr
+
+#: collect guard: refuse to collect a positions table wider than 2^27 bits
+#: (16 MiB bitset) — above that, raise and point at the join path.
+MAX_COLLECT_BITS = 1 << 27
+
+
+def _position_cols(col: Column, m: int, k: int, hash_fn: str) -> list[Column]:
+    """k independent bit positions for one key, as JVM column expressions."""
+    return [
+        F.pmod(hash_expr(col, f"bloom{i}", hash_fn), F.lit(m)).cast("long")
+        for i in range(k)
+    ]
+
+
+def bloom_positions(
+    df: DataFrame, col: str, m: int = 1 << 20, k: int = 5, hash_fn: str = "md5"
+) -> DataFrame:
+    """Distinct bit positions set by the build keys (the Bloom filter).
+
+    One shuffle, output bounded by ``m`` rows regardless of input size.
+    NULL keys set no bits (SQL semantics: NULL is never a member).
+    """
+    pos = F.explode(F.array(*_position_cols(F.col(col), m, k, hash_fn)))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe_join(
+    probe: DataFrame,
+    col: str,
+    positions: DataFrame,
+    m: int = 1 << 20,
+    k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Oracle-twin probe: broadcast-join positions, require all k hits.
+
+    Adds boolean ``bloom_member``. Duplicate positions for one key (seed
+    collisions) are counted per-occurrence on both sides of the parity, so
+    ``count == k`` is exact membership of all k (with multiplicity).
+    """
+    probe_pos = probe.select(
+        "*",
+        F.posexplode(F.array(*_position_cols(F.col(col), m, k, hash_fn))).alias(
+            "__i", "__pos"
+        ),
+    )
+    hits = (
+        probe_pos.join(
+            F.broadcast(positions.withColumnRenamed("pos", "__pos").withColumn("__hit", F.lit(1))),
+            "__pos",
+            "left",
+        )
+        .groupBy(*probe.columns)
+        .agg((F.count("__hit") == k).alias("bloom_member"))
+    )
+    return hits
+
+
+def bitset_from_positions(positions: DataFrame, m: int) -> bytes:
+    """Collect the distinct-position table into an m-bit numpy bitset."""
+    if m > MAX_COLLECT_BITS:
+        raise ValueError(
+            f"m={m} exceeds the {MAX_COLLECT_BITS}-bit collect guard; "
+            "use bloom_probe_join (broadcast position table) instead"
+        )
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    pos = np.fromiter(
+        (r[0] for r in positions.collect()), dtype=np.int64
+    )
+    if pos.size:
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits.tobytes()
+
+
+def bloom_probe_bitset(
+    probe: DataFrame,
+    col: str,
+    positions: DataFrame,
+    m: int = 1 << 20,
+    k: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Production probe: broadcast bitset + vectorized Arrow bit test.
+
+    Zero shuffle: hashing happens JVM-side (k position columns), the pandas
+    UDF only indexes the broadcast bitset. Adds boolean ``bloom_member``.
+    """
+    spark = probe.sparkSession
+    bitset = bitset_from_positions(positions, m)
+    bc = spark.sparkContext.broadcast(bitset)
+
+    @F.pandas_udf("boolean")
+    def _member(pos_arr: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        out = np.ones(len(pos_arr), dtype=bool)
+        arr = np.stack(pos_arr.to_numpy()) if len(pos_arr) else np.zeros((0, 1), np.int64)
+        for j in range(arr.shape[1]):
+            p = arr[:, j].astype(np.int64)
+            out &= ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).astype(bool)
+        return pd.Series(out)
+
+    pos_array = F.array(*_position_cols(F.col(col), m, k, hash_fn))
+    return probe.withColumn("bloom_member", _member(pos_array))
+
+
+def bloom_shingle_screen(
+    probe: DataFrame,
+    shingles_col: Column,
+    positions: DataFrame,
+    m: int = 1 << 16,
+    k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Contamination pre-screen: per-document count of shingles probably
+    present in the build corpus's Bloom filter.
+
+    ``shingles_col`` is an ``array<string>`` column expression (e.g.
+    ``word_shingles(F.col("text"), 3)``). All hashing happens JVM-side: each
+    shingle expands to its k bit positions, flattened to one ``array<long>``
+    per document; the Arrow UDF does a single vectorized bit test over the
+    whole batch and segment-sums per document with ``np.add.reduceat``. Zero
+    shuffle, zero per-row Python. Adds ``n_shingles`` (int) and ``n_hits``
+    (long; shingle occurrences counted with multiplicity).
+
+    A zero-hit document is GUARANTEED to share no build-side shingle (Bloom
+    has no false negatives), which is what makes this a safe cheap gate in
+    front of the exact contamination check (dedup.contamination_pairs).
+    """
+    spark = probe.sparkSession
+    bitset = bitset_from_positions(positions, m)
+    bc = spark.sparkContext.broadcast(bitset)
+
+    def _positions_of(s: Column) -> Column:
+        return F.array(*_position_cols(s, m, k, hash_fn))
+
+    @F.pandas_udf("long")
+    def _hits(flat: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        sh_counts = flat.map(len).to_numpy(np.int64) // k
+        total = int(sh_counts.sum())
+        if total == 0:
+            return pd.Series(np.zeros(len(flat), dtype=np.int64))
+        allpos = np.concatenate([np.asarray(x, dtype=np.int64) for x in flat])
+        member = (
+            ((bits[allpos >> 3] >> (allpos & 7).astype(np.uint8)) & 1)
+            .astype(bool)
+            .reshape(-1, k)
+            .all(axis=1)
+            .astype(np.int64)
+        )
+        offsets = np.zeros(len(flat), dtype=np.int64)
+        np.cumsum(sh_counts[:-1], out=offsets[1:])
+        hits = np.add.reduceat(member, offsets)
+        hits[sh_counts == 0] = 0  # reduceat reads past empty segments
+        return pd.Series(hits)
+
+    staged = probe.withColumn("__sh", shingles_col)
+    return (
+        staged.withColumn("n_shingles", F.size("__sh"))
+        .withColumn(
+            "n_hits",
+            _hits(F.flatten(F.transform(F.col("__sh"), _positions_of))),
+        )
+        .drop("__sh")
+    )
+
+
+def bloom_positions_sql(build_subquery: str, key_expr: str, m: int, k: int) -> str:
+    """DuckDB SQL computing the same distinct-positions table.
+
+    ``build_subquery`` must select the build rows; ``key_expr`` is the key
+    expression within it.
+    """
+    return f"""
+        SELECT DISTINCT
+            (('0x' || substr(md5('bloom' || g.i || '|' || {key_expr}), 1, 15))::BIGINT) % {m} AS pos
+        FROM ({build_subquery}) b
+        CROSS JOIN generate_series(0, {k - 1}) AS g(i)
+        WHERE {key_expr} IS NOT NULL
+    """

@@ -12,32 +12,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
-    The nanos timestamp arrives as long (session sets ``nanosAsLong``); it is
-    converted to a proper timestamp exactly like the batch reader.
+    Mirrors the batch reader's timestamp normalization (io.read_parquet_df):
+    TIMESTAMP(NANOS) files arrive as long (session sets ``nanosAsLong``) and
+    are truncated to micros; TIMESTAMP(MICROS)-without-UTC files arrive as
+    TIMESTAMP_NTZ and are cast (wall-clock identity, sessions pinned UTC).
     """
+    from ..io import _nanos_timestamp_cols
+
+    nanos = "ts" in _nanos_timestamp_cols(path_dir)
+    ts_type = T.LongType() if nanos else T.TimestampNTZType()
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .parquet(path_dir)
     )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    if nanos:
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
