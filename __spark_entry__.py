@@ -2253,6 +2253,73 @@ def _sql_q87() -> str:
     """
 
 
+def q88_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch vs ground truth: estimate the frequencies of the 50
+    most common tokens from a 4x16384 counter grid.
+
+    Scale story: the grid build is the ONLY shuffle and carries at most
+    d*w = 64k cells no matter how many trillions of tokens stream through
+    (map-side partial aggregation absorbs the volume); estimation is a
+    broadcast join against the grid. The estimate never undercounts —
+    ``overcount`` is provably >= 0, which the oracle reproduces exactly via
+    the portable h60 cell hashes.
+    """
+    from pytrousse_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from pytrousse_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    sketch = count_min_build(toks, "token", w=1 << 14, d=4)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(50)
+    )
+    est = count_min_estimate(top, "token", sketch, w=1 << 14, d=4)
+    return est.select(
+        "token",
+        "exact_n",
+        F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        (F.col("cm_estimate") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+def _sql_q88() -> str:
+    from pytrousse_spark.functions.text import tokens_sql
+    from pytrousse_spark.operators.sketch import count_min_build_sql
+
+    cm = count_min_build_sql("SELECT token FROM tok", "token", w=1 << 14, d=4)
+    h = "(('0x' || substr(md5('cm' || g.gi || '|' || t.token), 1, 15))::BIGINT) % 16384"
+    return f"""
+    WITH tok AS (
+        SELECT unnest({tokens_sql('text')}) AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cm AS ({cm}),
+    top AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+        FROM tok GROUP BY token ORDER BY exact_n DESC, token LIMIT 50
+    ),
+    pp AS (
+        SELECT t.token, t.exact_n, g.gi AS j, {h} AS pos
+        FROM top t CROSS JOIN generate_series(0, 3) AS g(gi)
+    ),
+    est AS (
+        SELECT token, exact_n, min(COALESCE(c, 0)) AS cm_estimate
+        FROM pp LEFT JOIN cm USING (j, pos) GROUP BY token, exact_n
+    )
+    SELECT token, exact_n, CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(cm_estimate - exact_n AS BIGINT) AS overcount
+    FROM est
+    """
+
+
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, hybrid strategy: narrow bands take the bucketed equi-join
     (shuffle on bucket ids only); the open-ended 'high' band spans ~1e8
@@ -2361,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_rolling_window": q85_rolling_window,
         "q86_quality_tiers": q86_quality_tiers,
         "q87_bloom_contamination": q87_bloom_contamination,
+        "q88_count_min": q88_count_min,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2592,6 +2660,7 @@ def oracle_sql() -> dict[str, str]:
         "q85_rolling_window": _sql_q85(),
         "q86_quality_tiers": _sql_q86(),
         "q87_bloom_contamination": _sql_q87(),
+        "q88_count_min": _sql_q88(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),
