@@ -2320,6 +2320,62 @@ def _sql_q88() -> str:
     """
 
 
+def q89_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark session windows (30-min gap) per user — the built-in
+    operator equivalent of q11's hand-rolled lag/cumsum sessionization, and
+    the exact batch twin of the streaming session aggregation
+    (streaming/events.py sessionized_event_stream; availableNow parity
+    pinned in tests).
+
+    SCALE NOTE: session_window aggregates shuffle once on user_id and merge
+    per-key locally (no global sort); in streaming mode state is
+    watermark-bounded. Boundary semantics verified: an event exactly at
+    gap distance MERGES (new session iff gap > 30 min), end = last + gap.
+    """
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def _sql_q89() -> str:
+    return """
+    WITH base AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *, CAST(sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """
+
+
 def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join, hybrid strategy: narrow bands take the bucketed equi-join
     (shuffle on bucket ids only); the open-ended 'high' band spans ~1e8
@@ -2429,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_quality_tiers": q86_quality_tiers,
         "q87_bloom_contamination": q87_bloom_contamination,
         "q88_count_min": q88_count_min,
+        "q89_session_window": q89_session_window,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2661,6 +2718,7 @@ def oracle_sql() -> dict[str, str]:
         "q86_quality_tiers": _sql_q86(),
         "q87_bloom_contamination": _sql_q87(),
         "q88_count_min": _sql_q88(),
+        "q89_session_window": _sql_q89(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

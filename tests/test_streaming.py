@@ -47,6 +47,19 @@ def test_stream_matches_batch_windowed_counts(spark, events_batch, events_stream
     assert len(got) > 0
 
 
+def test_stream_sessionize_matches_batch(spark, events_batch, events_stream_dir):
+    """The availableNow session-window drain equals the batch twin — and the
+    batch twin is the oracle-gated q89, so the stream sits transitively
+    behind the DuckDB hash gate."""
+    stream = read_events_stream(spark, events_stream_dir)
+    sess = sessionize(stream, gap="30 minutes")
+    run_stream_to_memory(sess, "sessions_parity")
+    got = spark.sql("SELECT * FROM sessions_parity").collect()
+    expect = sessionize(events_batch, gap="30 minutes").collect()
+    assert _normalize(got) == _normalize(expect)
+    assert len(got) > 0
+
+
 def test_stream_sessionize_runs(spark, events_stream_dir):
     stream = read_events_stream(spark, events_stream_dir)
     sess = sessionize(stream, gap="30 minutes")
