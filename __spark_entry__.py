@@ -1419,6 +1419,34 @@ def _sql_q57() -> str:
     return sim.ivf_topk_sql("embeddings", 5, 64, query_filter="e.vec_id < 40")
 
 
+def q90_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search for queries vec_id < 40: 64-dim float32
+    vectors compress to 8 k-means-trained codes (map-side expression
+    encode — no shuffle, no Python); ADC scores pairs with 8 broadcast-LUT
+    lookups, the top-100 candidates re-rank exactly. Completes the
+    similarity ladder: exact (q47) → LSH → IVF (q57) → PQ (IVF-PQ at
+    scale = this encode inside q57's cells).
+    """
+    from pytrousse_spark.operators import quantization as pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq.pq_codebooks_kmeans(
+        e, "vec_id", "embedding", num_sub=8, num_cent=16, dim=64, iters=2
+    )
+    return pq.pq_adc_topk(
+        e, e.where("vec_id < 40"), "vec_id", "embedding", books, k=5, rerank=100
+    )
+
+
+def _sql_q90() -> str:
+    from pytrousse_spark.operators.quantization import pq_adc_topk_sql
+
+    return pq_adc_topk_sql(
+        "embeddings", 5, 64, num_sub=8, num_cent=16, iters=2, rerank=100,
+        query_filter="q.vec_id < 40",
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2486,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_bloom_contamination": q87_bloom_contamination,
         "q88_count_min": q88_count_min,
         "q89_session_window": q89_session_window,
+        "q90_pq_adc": q90_pq_adc,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2719,6 +2748,7 @@ def oracle_sql() -> dict[str, str]:
         "q87_bloom_contamination": _sql_q87(),
         "q88_count_min": _sql_q88(),
         "q89_session_window": _sql_q89(),
+        "q90_pq_adc": _sql_q90(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -181,6 +181,56 @@ def _assign_sql(
     """
 
 
+def kmeans_cent_ctes(
+    corpus: str,
+    k: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix: str = "",
+) -> tuple[list[str], str]:
+    """The unrolled (init, assign, update) CTE chain that materializes the
+    final centroid table. Returns (cte_strings, final_cent_cte_name) with
+    columns (cidx, cv); ``prefix`` namespaces the CTEs so several chains
+    (e.g. one per PQ subspace) compose in one WITH."""
+    h = h60_sql(f"CAST({id_col} AS VARCHAR)")
+    parts = [
+        f"""{prefix}cent0 AS (
+      SELECT row_number() OVER (ORDER BY {h}, {id_col}) AS cidx,
+             list_transform({vec_col}, x -> round(CAST(x AS DOUBLE), 6)) AS cv
+      FROM {corpus} WHERE {vec_col} IS NOT NULL
+      ORDER BY {h}, {id_col} LIMIT {k}
+    )"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""{prefix}assign{t} AS (
+      {_assign_sql(corpus, f'{prefix}cent{t}', dim, id_col, vec_col)}
+    )"""
+        )
+        # per-(cluster, position) mean, rounded; empty cells keep cent{t}
+        parts.append(
+            f"""{prefix}mean{t} AS (
+      SELECT a.cluster, u.ord,
+             round(avg(CAST(e.{vec_col}[u.ord] AS DOUBLE)), 6) AS m
+      FROM {prefix}assign{t} a
+      JOIN {corpus} e ON e.{id_col} = a.rid,
+      range(1, {dim + 1}) AS u(ord)
+      GROUP BY a.cluster, u.ord
+    ), {prefix}cent{t + 1} AS (
+      SELECT p.cidx,
+             coalesce(
+               (SELECT array_agg(m.m ORDER BY m.ord) FROM {prefix}mean{t} m
+                WHERE m.cluster = p.cidx),
+               p.cv
+             ) AS cv
+      FROM {prefix}cent{t} p
+    )"""
+        )
+    return parts, f"{prefix}cent{iters}"
+
+
 def kmeans_sql(
     corpus: str,
     k: int,
@@ -192,41 +242,8 @@ def kmeans_sql(
     """DuckDB twin of :func:`kmeans`: the iteration loop unrolled into
     ``iters`` (assign, update) CTE pairs replaying the identical fold
     order, rounding, and empty-cell rule."""
-    h = h60_sql(f"CAST({id_col} AS VARCHAR)")
-    parts = [
-        f"""cent0 AS (
-      SELECT row_number() OVER (ORDER BY {h}, {id_col}) AS cidx,
-             list_transform({vec_col}, x -> round(CAST(x AS DOUBLE), 6)) AS cv
-      FROM {corpus} WHERE {vec_col} IS NOT NULL
-      ORDER BY {h}, {id_col} LIMIT {k}
-    )"""
-    ]
-    for t in range(iters):
-        parts.append(
-            f"""assign{t} AS (
-      {_assign_sql(corpus, f'cent{t}', dim, id_col, vec_col)}
-    )"""
-        )
-        # per-(cluster, position) mean, rounded; empty cells keep cent{t}
-        parts.append(
-            f"""mean{t} AS (
-      SELECT a.cluster, u.ord,
-             round(avg(CAST(e.{vec_col}[u.ord] AS DOUBLE)), 6) AS m
-      FROM assign{t} a
-      JOIN {corpus} e ON e.{id_col} = a.rid,
-      range(1, {dim + 1}) AS u(ord)
-      GROUP BY a.cluster, u.ord
-    ), cent{t + 1} AS (
-      SELECT p.cidx,
-             coalesce(
-               (SELECT array_agg(m.m ORDER BY m.ord) FROM mean{t} m
-                WHERE m.cluster = p.cidx),
-               p.cv
-             ) AS cv
-      FROM cent{t} p
-    )"""
-        )
-    final = _assign_sql(corpus, f"cent{iters}", dim, id_col, vec_col)
+    parts, final_cent = kmeans_cent_ctes(corpus, k, dim, iters, id_col, vec_col)
+    final = _assign_sql(corpus, final_cent, dim, id_col, vec_col)
     return (
         "WITH "
         + ",\n    ".join(parts)
