@@ -209,3 +209,50 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
     """JSON-lines sink (one object per line, one file per partition —
     writer parallelism is the partition count, as for every other sink)."""
     df.write.mode(mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, metadata_cols: tuple[str, ...] = ()
+) -> Dataset:
+    """ORC scan (built-in vectorized reader). Same pushdown properties as
+    parquet: predicate pushdown to stripe/row-group level, column pruning,
+    and splittable stripes — a drop-in columnar alternative where the lake
+    standardized on ORC."""
+    return Dataset(spark.read.orc(path), metadata_cols=frozenset(metadata_cols))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    """ORC sink (snappy by default, one file per partition)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    id_from_file: bool = True,
+) -> DataFrame:
+    """Raw-text ingestion: one row per line with its source file — the
+    lowest-common-denominator crawl format.
+
+    Returns (text, source_file[, doc_id]); ``doc_id`` is a deterministic
+    portable hash of (file, text) so re-ingesting the same shards yields
+    the same ids (no monotonically_increasing_id, whose values depend on
+    partition layout). Identical lines within one file intentionally share
+    an id — they are exact duplicates and collapse at the first dedup.
+    Scale: line-splittable, no parsing pass; pair with functions.text
+    gates + dedup for the cleaning pipeline.
+    """
+    from .functions.hashing import h60
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.text(path)
+        .withColumn("source_file", F.input_file_name())
+        .withColumnRenamed("value", "text")
+    )
+    if id_from_file:
+        df = df.withColumn(
+            "doc_id",
+            h60(F.concat_ws("|", F.col("source_file"), F.col("text"))),
+        )
+    return df

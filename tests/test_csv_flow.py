@@ -94,3 +94,40 @@ def test_jsonl_round_trip(spark, tmp_path_factory):
     good = {r["doc_id"] for r in rows if r["doc_id"] is not None}
     assert good == {3, 4}
     assert "_corrupt_record" in loose.df.columns
+
+
+def test_orc_round_trip(spark, tmp_path_factory):
+    """ORC source/sink: columnar round trip preserves values and schema."""
+    from pytrousse_spark.io import read_orc, write_orc
+
+    d = tmp_path_factory.mktemp("orc")
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -0.25)], ["id", "name", "score"]
+    )
+    out = str(d / "t.orc")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert dict(back.df.dtypes) == dict(df.dtypes)
+    got = sorted((r["id"], r["name"], r["score"]) for r in back.df.collect())
+    assert got == [(1, "alpha", 1.5), (2, "beta", -0.25)]
+
+
+def test_text_corpus_ids_stable_and_line_faithful(spark, tmp_path_factory):
+    """Raw-text reader: every line one row, ids deterministic across
+    re-ingests, duplicate lines share an id (exact-dup collapse)."""
+    from pytrousse_spark.io import read_text_corpus
+
+    d = tmp_path_factory.mktemp("rawtext")
+    (d / "a.txt").write_text("first line\nsecond line\nfirst line\n")
+    (d / "b.txt").write_text("first line\n")
+    df = read_text_corpus(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 4
+    by_text = {}
+    for r in rows:
+        by_text.setdefault((r["text"], r["source_file"].rsplit("/", 1)[-1]), set()).add(r["doc_id"])
+    # same (file, text) -> same id; different file -> different id
+    assert len(by_text[("first line", "a.txt")]) == 1
+    assert by_text[("first line", "a.txt")] != by_text[("first line", "b.txt")]
+    again = {r["doc_id"] for r in read_text_corpus(spark, str(d)).collect()}
+    assert again == {r["doc_id"] for r in rows}
