@@ -1447,6 +1447,58 @@ def _sql_q90() -> str:
     )
 
 
+def q91_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample: 100 documents drawn
+    proportionally to n_chars, deterministic given the salt. Map-side key
+    expression + TakeOrderedAndProject — the non-sampled mass never
+    shuffles."""
+    from pytrousse_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        d.select("doc_id", "n_chars"), "doc_id", "n_chars", k=100
+    )
+    return out.select("doc_id", "n_chars", "es_key")
+
+
+def _sql_q91() -> str:
+    from pytrousse_spark.operators.sampling import weighted_sample_sql
+
+    return weighted_sample_sql(
+        "documents", "doc_id", "n_chars", k=100,
+        select_cols="doc_id, n_chars",
+    )
+
+
+def q92_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused equi-join behind the oracle gate: lineitem salted
+    across 16 buckets joins the orders dim exploded 16x, so a hot orderkey
+    spreads over 16 tasks instead of one straggler. The result is
+    salt-invariant, so the oracle is the plain join — this pins that
+    salting changes the distribution, never the answer."""
+    from pytrousse_spark.operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, od, on="l_orderkey", salt_buckets=16)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+    )
+
+
+def _sql_q92() -> str:
+    return """
+    SELECT o_orderpriority, count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2515,6 +2567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_count_min": q88_count_min,
         "q89_session_window": q89_session_window,
         "q90_pq_adc": q90_pq_adc,
+        "q91_weighted_sample": q91_weighted_sample,
+        "q92_salted_join": q92_salted_join,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2749,6 +2803,8 @@ def oracle_sql() -> dict[str, str]:
         "q88_count_min": _sql_q88(),
         "q89_session_window": _sql_q89(),
         "q90_pq_adc": _sql_q90(),
+        "q91_weighted_sample": _sql_q91(),
+        "q92_salted_join": _sql_q92(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -44,6 +44,57 @@ def hash_sample(
     return df.where(_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))
 
 
+#: 2^60 — the h60 hash space, for uniform-in-(0,1] conversion
+_H60_SPACE_F = float(1 << 60)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-ES key (2006, public): key = -ln(u)/w with u hash-uniform in (0,1];
+    the k smallest keys are the sample, so inclusion probability tracks
+    weight exactly and the draw is deterministic given the salt.
+
+    Scale: the key is a pure map-side expression; selection is a global
+    top-k (TakeOrderedAndProject — no full sort, no shuffle of the
+    non-sampled mass). Rows with NULL or non-positive weight are excluded
+    (they would get infinite keys anyway). The rounded key is exposed as
+    ``es_key`` so the oracle can replay the exact ordering; ties (only
+    possible through rounding) break by id.
+    """
+    u = (h60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))) + 1) / F.lit(
+        _H60_SPACE_F
+    )
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("es_key", key)
+        .orderBy("es_key", id_col)
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table: str, id_col: str, weight_col: str, k: int, salt: str = "wsample",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (same hash → uniform → key)."""
+    h = h60_sql(f"'{salt}|' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT {select_cols},
+           round(-ln(({h} + 1) / {_H60_SPACE_F:.1f})
+                 / CAST({weight_col} AS DOUBLE), 6) AS es_key
+    FROM {table}
+    WHERE CAST({weight_col} AS DOUBLE) > 0
+    ORDER BY es_key, {id_col} LIMIT {k}
+    """
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -119,3 +119,33 @@ def test_dsir_importance_stable_under_repartition(docs):
          for r in sp.dsir_importance(
              docs.repartition(17), "text", "doc_id", "lang = 'en'").collect()}
     assert a == b
+
+
+def test_weighted_sample_biases_to_heavy_rows(docs):
+    out = sp.weighted_sample(docs, "doc_id", "n_chars", k=50)
+    rows = out.collect()
+    assert len(rows) == 50
+    sampled_mean = sum(r["n_chars"] for r in rows) / 50
+    corpus = docs.select("n_chars").collect()
+    corpus_mean = sum(r["n_chars"] for r in corpus) / len(corpus)
+    assert sampled_mean > corpus_mean  # inclusion tracks weight
+
+
+def test_weighted_sample_deterministic_and_repartition_stable(docs):
+    a = {r["doc_id"] for r in sp.weighted_sample(docs, "doc_id", "n_chars", 40).collect()}
+    b = {
+        r["doc_id"]
+        for r in sp.weighted_sample(docs.repartition(17), "doc_id", "n_chars", 40).collect()
+    }
+    assert a == b
+    c = {r["doc_id"] for r in sp.weighted_sample(docs, "doc_id", "n_chars", 40, salt="other").collect()}
+    assert a != c  # different salt, different draw
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -5.0), (4, None), (5, 2.0)],
+        ["id", "w"],
+    )
+    got = {r["id"] for r in sp.weighted_sample(df, "id", "w", k=10).collect()}
+    assert got == {1, 5}
