@@ -1499,6 +1499,19 @@ def _sql_q92() -> str:
     """
 
 
+def q93_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained add-one bigram LM, per-document NLL — the model-based
+    quality gate one step past q74's unigram surprisal (CCNet's KenLM
+    filter, engine-native). Token-keyed shuffles only; exact micro-unit
+    sums keep the per-doc fold engine-portable."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.bigram_nll(d, "text", "doc_id")
+
+
+def _sql_q93() -> str:
+    return tx.bigram_nll_sql("documents", "text", "doc_id")
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2569,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_pq_adc": q90_pq_adc,
         "q91_weighted_sample": q91_weighted_sample,
         "q92_salted_join": q92_salted_join,
+        "q93_bigram_lm": q93_bigram_lm,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2805,6 +2819,7 @@ def oracle_sql() -> dict[str, str]:
         "q90_pq_adc": _sql_q90(),
         "q91_weighted_sample": _sql_q91(),
         "q92_salted_join": _sql_q92(),
+        "q93_bigram_lm": _sql_q93(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

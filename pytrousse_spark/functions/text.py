@@ -828,3 +828,107 @@ def pmi_collocations_sql(
     ORDER BY pmi DESC, p.w1, p.w2
     LIMIT {top_k}
     """
+
+
+def bigram_nll(df, text_col: str, id_col: str):
+    """Per-document negative log-likelihood under an add-one-smoothed
+    BIGRAM LM estimated from the corpus itself — the model-based quality
+    filter one step up from :func:`unigram_surprisal` (CCNet famously uses
+    a KenLM n-gram model for exactly this gate; a self-trained bigram LM is
+    the engine-native, dependency-free variant).
+
+    ``nll = mean over bigram positions of -ln p(w2|w1)``,
+    ``p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)``. Templated/boilerplate text
+    scores low, noise scores high.
+
+    Plan: staged tokens feed one bigram explode + one unigram hash agg; the
+    conditional-probability table joins bigram counts to left-context
+    counts (token-keyed shuffles only, broadcast when small) and the rounded
+    per-bigram term rides back onto the bigram stream in integer MICRO-units
+    so the per-doc sum is exact and fold-order-free (same discipline as
+    sampling.dsir_importance). Documents with fewer than two tokens have no
+    bigram positions and drop out (mirrored in the SQL twin).
+    """
+    from pyspark.sql import functions as F
+
+    from ..io import rebalance_undersplit
+
+    base = rebalance_undersplit(df).select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    bigrams_arr = F.when(
+        F.size("__tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__tk") - 2),
+            lambda i: F.struct(
+                F.element_at("__tk", i + 1).alias("w1"),
+                F.element_at("__tk", i + 2).alias("w2"),
+            ),
+        ),
+    )
+    uni = base.select(F.explode_outer("__tk").alias("w")).where(
+        F.col("w").isNotNull()
+    )
+    unigrams = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    v_size = unigrams.count()
+    bi = (
+        base.select("__id", F.explode_outer(bigrams_arr).alias("b"))
+        .where(F.col("b").isNotNull())
+        .select("__id", "b.w1", "b.w2")
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    term = -(
+        F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.lit(float(v_size)))
+    )
+    ratio = (
+        big.join(unigrams.withColumnRenamed("w", "w1"), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.round(F.round(term, 6) * 1e6).cast("long").alias("__r"),
+        )
+    )
+    return (
+        bi.join(ratio, ["w1", "w2"])
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum("__r") / F.lit(1e6) / F.count(F.lit(1)), 4).alias(
+                "nll"
+            ),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", "nll")
+    )
+
+
+def bigram_nll_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin of :func:`bigram_nll` (identical smoothing, rounding,
+    micro-unit summation)."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tk AS (
+      SELECT {id_col} AS __id, {toks} AS t FROM {table}
+      WHERE {text_col} IS NOT NULL
+    ), uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w
+    ), v AS (
+      SELECT count(*) AS v_size FROM uni
+    ), bi AS (
+      SELECT __id, t[i] AS w1, t[i + 1] AS w2
+      FROM tk, UNNEST(range(1, len(t))) AS r(i)
+    ), big AS (
+      SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+    ), ratio AS (
+      SELECT b.w1, b.w2,
+             CAST(round(round(-(ln(b.c12 + 1)
+                               - ln(u.c1 + (SELECT CAST(v_size AS DOUBLE) FROM v))), 6)
+                        * 1e6) AS BIGINT) AS rr
+      FROM big b JOIN uni u ON u.w = b.w1
+    )
+    SELECT bi.__id AS {id_col},
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(rr) / 1e6 / count(*), 4) AS nll
+    FROM bi JOIN ratio ON ratio.w1 = bi.w1 AND ratio.w2 = bi.w2
+    GROUP BY bi.__id
+    """

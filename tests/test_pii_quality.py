@@ -156,3 +156,28 @@ def test_pmi_collocations_finds_planted_phrase(spark):
     assert rows, "min_count gate must keep the planted phrase"
     assert (rows[0]["w1"], rows[0]["w2"]) == ("new", "york")
     assert rows[0]["pair_count"] == 10 and rows[0]["pmi"] > 0
+
+
+def test_bigram_nll_known_values(spark):
+    # corpus: "a b a b" + "c" -> bigrams: (a,b)x2, (b,a)x1; V=3
+    # c(a)=2, c(b)=2, c(c)=1
+    # p(b|a) = (2+1)/(2+3) = 0.6 ; p(a|b) = (1+1)/(2+3) = 0.4
+    import math
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "c")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in tx.bigram_nll(df, "text", "doc_id").collect()}
+    assert 2 not in rows  # single-token doc has no bigram positions
+    r1 = rows[1]
+    assert r1["n_bigrams"] == 3
+    t_ab = round(round(-math.log(3 / 5), 6) * 1e6)
+    t_ba = round(round(-math.log(2 / 5), 6) * 1e6)
+    assert r1["nll"] == round((2 * t_ab + t_ba) / 1e6 / 3, 4)
+
+
+def test_bigram_nll_flags_noise_over_template(spark):
+    template = "the quick brown fox jumps over the lazy dog " * 5
+    noise = "qq zz kx vw jj pq xr tz wq kk mn bv cx zl pr ts wd fh gj kl"
+    corpus = [(i, template) for i in range(8)] + [(100, noise)]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r["doc_id"]: r["nll"] for r in tx.bigram_nll(df, "text", "doc_id").collect()}
+    assert got[100] > got[0]  # unseen bigrams cost more than templated ones
