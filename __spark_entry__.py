@@ -1512,6 +1512,34 @@ def _sql_q93() -> str:
     return tx.bigram_nll_sql("documents", "text", "doc_id")
 
 
+def q94_stream_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (streaming/events.py
+    enrich_events_stream; availableNow parity pinned in tests): events
+    broadcast-join a synthetic user-segment dim, aggregate per segment."""
+    from pytrousse_spark.streaming.events import enrich_events_stream
+
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(i, "heavy" if i % 3 == 0 else "light") for i in range(200)],
+        ["user_id", "segment"],
+    )
+    return enrich_events_stream(ev, dim)
+
+
+def _sql_q94() -> str:
+    return """
+    WITH dim AS (
+        SELECT i AS user_id,
+               CASE WHEN i % 3 = 0 THEN 'heavy' ELSE 'light' END AS segment
+        FROM generate_series(0, 199) AS g(i)
+    )
+    SELECT segment, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events JOIN dim USING (user_id)
+    GROUP BY segment
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2583,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_weighted_sample": q91_weighted_sample,
         "q92_salted_join": q92_salted_join,
         "q93_bigram_lm": q93_bigram_lm,
+        "q94_stream_enrich_batch": q94_stream_enrich_batch,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2820,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
         "q91_weighted_sample": _sql_q91(),
         "q92_salted_join": _sql_q92(),
         "q93_bigram_lm": _sql_q93(),
+        "q94_stream_enrich_batch": _sql_q94(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

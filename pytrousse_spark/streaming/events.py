@@ -135,3 +135,20 @@ def dedup_events_stream(
             list(key_cols)
         )
     return events.dropDuplicates(list(key_cols))
+
+
+def enrich_events_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension (user attributes), then aggregate per enrichment key.
+
+    The static side re-resolves per micro-batch and broadcasts (standard
+    stream-static join — no state, no watermark needed for inner joins);
+    at scale the dim is the small side by construction, so the stream
+    never shuffles for the join itself, only for the aggregation. Works
+    identically on a batch frame (the oracle-checked twin).
+    """
+    joined = events.join(F.broadcast(user_dim), "user_id")
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -146,3 +146,22 @@ def test_stream_gate_documents_matches_batch(spark, tmp_path_factory):
     expect = gate_documents(batch).drop("__fp").collect()
     assert _normalize(got) == _normalize(expect)
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_batch, events_stream_dir):
+    """Stream-static broadcast join + agg drains to the same result as the
+    batch twin."""
+    from pyspark.sql import functions as F
+    from pytrousse_spark.streaming.events import enrich_events_stream
+
+    dim = spark.createDataFrame(
+        [(i, "heavy" if i % 3 == 0 else "light") for i in range(200)],
+        ["user_id", "segment"],
+    )
+    stream = read_events_stream(spark, events_stream_dir)
+    agg = enrich_events_stream(stream, dim)
+    run_stream_to_memory(agg, "enriched")
+    got = spark.sql("SELECT * FROM enriched").collect()
+    expect = enrich_events_stream(events_batch, dim).collect()
+    assert _normalize(got) == _normalize(expect)
+    assert {r["segment"] for r in got} == {"heavy", "light"}
