@@ -1540,6 +1540,38 @@ def _sql_q94() -> str:
     """
 
 
+def q95_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round trip, oracle-certified: each document id
+    becomes a genuine 24x16 grayscale PNG (zlib IDAT, scanline filters
+    cycling through all five standard types), decoded back by the
+    pure-stdlib chunk-walk/inflate/unfilter path; the decoded pixel
+    checksum must equal the oracle's closed form over the generating
+    formula. Upgrades the round-2 'image decode honestly stubbed' caveat
+    to a tested codec for the PNG/gray8 subset."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta,
+        synthesize_png_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(200)
+    media = synthesize_png_column(d, "doc_id", width=24, height=16)
+    return decode_png_meta(media, "media", "doc_id")
+
+
+def _sql_q95() -> str:
+    return """
+    SELECT doc_id,
+           CAST(24 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(0 AS INT) AS color_type,
+           CAST((SELECT SUM((doc_id * 7 + 3 * x.i + 5 * y.j) % 256)
+                 FROM generate_series(0, 23) AS x(i),
+                      generate_series(0, 15) AS y(j)) AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2612,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_salted_join": q92_salted_join,
         "q93_bigram_lm": q93_bigram_lm,
         "q94_stream_enrich_batch": q94_stream_enrich_batch,
+        "q95_png_roundtrip": q95_png_roundtrip,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2850,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
         "q92_salted_join": _sql_q92(),
         "q93_bigram_lm": _sql_q93(),
         "q94_stream_enrich_batch": _sql_q94(),
+        "q95_png_roundtrip": _sql_q95(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -2,8 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side plumbing — schema, partition-friendly batch shape,
-Arrow-batched ``mapInPandas`` signatures — is real and tested; the actual
-codec step is STUBBED (decode libraries are not in this container): pass
+Arrow-batched ``mapInPandas`` signatures — is real and tested. Codec
+status: WAV (``decode_wav_meta``) and 8-bit grayscale PNG
+(``decode_png``/``decode_png_meta`` — chunk walk, IDAT inflate, all five
+scanline filters) are REAL pure-stdlib decoders; general image formats and
+video remain STUBBED (codec libraries are not in this container): pass
 ``decoder="fake"`` for a deterministic stand-in, or get a clear
 ``NotImplementedError`` naming the missing dependency.
 """
@@ -211,6 +214,204 @@ def decode_wav_meta(
                 out["bit_depth"].append(bits)
                 out["n_samples"].append(n_samp)
                 out["duration_ms"].append(round(n_samp * 1000.0 / rate, 3))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(parse, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# PNG: real stdlib codec (zlib + struct + crc32 — no external image library)
+# ---------------------------------------------------------------------------
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("color_type", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct as st
+    import zlib
+
+    return (
+        st.pack(">I", len(body))
+        + ctype
+        + body
+        + st.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(rows: list[list[int]]) -> bytes:
+    """A REAL, viewer-openable 8-bit grayscale PNG from a pixel matrix.
+
+    Scanline filters cycle 0..4 (None/Sub/Up/Average/Paeth) so a decoder
+    must implement ALL standard filters to reconstruct the image — that is
+    deliberate: the round-trip checksum then certifies the full unfilter
+    path, not just the trivial one.
+    """
+    import struct as st
+    import zlib
+
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    raw = bytearray()
+    prior = bytes(w)
+    for r, row in enumerate(rows):
+        f = r % 5
+        cur = bytes(row)
+        raw.append(f)
+        if f == 0:
+            raw += cur
+        elif f == 1:  # Sub
+            raw += bytes((cur[i] - (cur[i - 1] if i else 0)) & 0xFF for i in range(w))
+        elif f == 2:  # Up
+            raw += bytes((cur[i] - prior[i]) & 0xFF for i in range(w))
+        elif f == 3:  # Average
+            raw += bytes(
+                (cur[i] - (((cur[i - 1] if i else 0) + prior[i]) >> 1)) & 0xFF
+                for i in range(w)
+            )
+        else:  # Paeth
+            out = []
+            for i in range(w):
+                a = cur[i - 1] if i else 0
+                b = prior[i]
+                c = prior[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((cur[i] - pred) & 0xFF)
+            raw += bytes(out)
+        prior = cur
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> dict:
+    """REAL PNG decoding from bytes alone: chunk walk, IHDR parse, IDAT
+    inflate, and full scanline unfiltering (all five standard filters) for
+    8-bit grayscale. Non-grayscale payloads return metadata with
+    ``pixels=None`` (honest partial support); malformed payloads raise.
+    """
+    import struct as st
+    import zlib
+
+    if b[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(PNG_SIG), None, bytearray()
+    while pos + 8 <= len(b):
+        size = st.unpack(">I", b[pos : pos + 4])[0]
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = st.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, _inter = ihdr
+    meta = {"width": w, "height": h, "bit_depth": bit_depth,
+            "color_type": color_type, "pixels": None}
+    if color_type != 0 or bit_depth != 8:
+        return meta
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("IDAT length mismatch")
+    pixels: list[int] = []
+    prior = bytes(w)
+    for r in range(h):
+        f = raw[r * (w + 1)]
+        line = raw[r * (w + 1) + 1 : (r + 1) * (w + 1)]
+        cur = bytearray(w)
+        for i in range(w):
+            x = line[i]
+            a = cur[i - 1] if i else 0
+            bb = prior[i]
+            c = prior[i - 1] if i else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x + a
+            elif f == 2:
+                v = x + bb
+            elif f == 3:
+                v = x + ((a + bb) >> 1)
+            elif f == 4:
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                v = x + pred
+            else:
+                raise ValueError(f"unknown filter {f}")
+            cur[i] = v & 0xFF
+        pixels.extend(cur)
+        prior = bytes(cur)
+    meta["pixels"] = pixels
+    return meta
+
+
+def synthesize_png_column(
+    df: DataFrame, id_col: str = "doc_id", width: int = 24, height: int = 16
+) -> DataFrame:
+    """(id, media) with a REAL grayscale PNG per row; pixel(x, y) =
+    (id*7 + 3x + 5y) mod 256, so an external oracle can predict the decoded
+    checksum in closed form. Arrow-batched generation."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for did in batch[id_col]:
+                i = int(did)
+                rows = [
+                    [(i * 7 + 3 * x + 5 * y) % 256 for x in range(width)]
+                    for y in range(height)
+                ]
+                payloads.append(encode_png_gray(rows))
+            yield pd.DataFrame({id_col: batch[id_col], "media": payloads})
+
+    return df.select(id_col).mapInPandas(gen, schema=f"{id_col} long, media binary")
+
+
+def decode_png_meta(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distributed PNG decode via mapInPandas: dimensions + the decoded
+    pixel checksum (NULL for color types the pure-stdlib path does not
+    reconstruct)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + [f for f in PNG_META_SCHEMA.fields[1:]]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in (id_col, "width", "height", "bit_depth",
+                                   "color_type", "pixel_sum")}
+            for did, blob in zip(batch[id_col], batch[media_col]):
+                m = decode_png(bytes(blob))
+                out[id_col].append(did)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["bit_depth"].append(m["bit_depth"])
+                out["color_type"].append(m["color_type"])
+                out["pixel_sum"].append(
+                    sum(m["pixels"]) if m["pixels"] is not None else None
+                )
             yield pd.DataFrame(out)
 
     return df.mapInPandas(parse, schema=out_schema)

@@ -159,3 +159,55 @@ def test_wav_decoder_rejects_garbage(spark):
     )
     with pytest.raises(Exception):
         decode_wav_meta(bad).collect()
+
+
+def test_png_roundtrip_exact_pixels(spark):
+    """Encode → decode recovers every pixel exactly; filters cycle 0-4 so
+    all five unfilter paths are exercised."""
+    from pytrousse_spark.operators.multimodal import decode_png, encode_png_gray
+
+    rows = [[(r * 31 + c * 7) % 256 for c in range(13)] for r in range(11)]
+    png = encode_png_gray(rows)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    m = decode_png(png)
+    assert (m["width"], m["height"], m["bit_depth"], m["color_type"]) == (13, 11, 8, 0)
+    got = [m["pixels"][r * 13 : (r + 1) * 13] for r in range(11)]
+    assert got == rows
+
+
+def test_png_malformed_raises(spark):
+    from pytrousse_spark.operators.multimodal import decode_png
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNKJUNKJUNK")
+
+
+def test_png_non_gray_returns_metadata_only(spark):
+    import struct as st
+    import zlib
+
+    from pytrousse_spark.operators.multimodal import PNG_SIG, _png_chunk, decode_png
+
+    ihdr = st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # color_type 2 = RGB
+    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    m = decode_png(png)
+    assert m["color_type"] == 2 and m["pixels"] is None
+
+
+def test_png_distributed_decode(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta,
+        synthesize_png_column,
+    )
+
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    media = synthesize_png_column(ids, "doc_id", width=10, height=6)
+    got = {r["doc_id"]: r for r in decode_png_meta(media, "media", "doc_id").collect()}
+    assert len(got) == 20
+    for did, r in got.items():
+        want = sum((did * 7 + 3 * x + 5 * y) % 256 for x in range(10) for y in range(6))
+        assert (r["width"], r["height"], r["pixel_sum"]) == (10, 6, want)
