@@ -1572,6 +1572,39 @@ def _sql_q95() -> str:
     """
 
 
+def q96_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (n_chars, doc_id mod 2^16): the
+    sort key that clusters rows close in BOTH dimensions into the same
+    files so min/max statistics prune scans on either predicate
+    (OPTIMIZE ZORDER in lakehouse engines). Bit-exact integer expression;
+    top-200 by key via TakeOrderedAndProject."""
+    from pytrousse_spark.operators.relational import zorder_key
+
+    d = _t(spark, sf_dir, "documents")
+    a = F.pmod(F.col("n_chars"), F.lit(1 << 16))
+    b = F.pmod(F.col("doc_id"), F.lit(1 << 16))
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            zorder_key(a, b, bits=16).alias("zkey"),
+        )
+        .orderBy("zkey", "doc_id")
+        .limit(200)
+    )
+
+
+def _sql_q96() -> str:
+    from pytrousse_spark.operators.relational import zorder_key_sql
+
+    z = zorder_key_sql("(n_chars % 65536)", "(doc_id % 65536)", bits=16)
+    return f"""
+    SELECT doc_id, n_chars, CAST({z} AS BIGINT) AS zkey
+    FROM documents
+    ORDER BY zkey, doc_id LIMIT 200
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2645,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_bigram_lm": q93_bigram_lm,
         "q94_stream_enrich_batch": q94_stream_enrich_batch,
         "q95_png_roundtrip": q95_png_roundtrip,
+        "q96_zorder": q96_zorder,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2884,6 +2918,7 @@ def oracle_sql() -> dict[str, str]:
         "q93_bigram_lm": _sql_q93(),
         "q94_stream_enrich_batch": _sql_q94(),
         "q95_png_roundtrip": _sql_q95(),
+        "q96_zorder": _sql_q96(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

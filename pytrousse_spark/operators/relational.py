@@ -73,3 +73,36 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.saveAsTable(table_name, format="parquet")
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer columns:
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
+
+    Why it matters at 100 TB: sorting (or range-partitioning) a table by a
+    Z-order key before writing clusters rows that are close in BOTH
+    dimensions into the same files, so min/max file statistics prune scans
+    for predicates on either column — the layout trick behind
+    OPTIMIZE ZORDER in lakehouse engines. Pure integer expression (sum of
+    masked shifts), bit-exact in any engine.
+
+    Callers must pre-reduce inputs into [0, 2^bits) — e.g. ``pmod(col, lit(
+    1 << bits))`` — or high bits are silently ignored.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftleft((F.shiftright(a.cast("long"), i) % 2), 2 * i)
+        bbit = F.shiftleft((F.shiftright(b.cast("long"), i) % 2), 2 * i + 1)
+        key = key + abit + bbit
+    return key
+
+
+def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` (same masked-shift sum)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -88,3 +88,58 @@ def test_stateful_running_stats_stream_vs_batch(spark, tmp_path_factory):
         assert got[u][0] == expect[u][0]
         assert got[u][1] == pytest.approx(expect[u][1], abs=1e-3)
         assert got[u][2] == pytest.approx(expect[u][2])
+
+
+def test_zorder_key_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.relational import zorder_key
+
+    def z_ref(a, b, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    cases = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 1), (3, 3), (255, 7),
+             (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(cases, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    for a, b in cases:
+        assert got[(a, b)] == z_ref(a, b), (a, b)
+    # interleave basics: z(1,0)=1, z(0,1)=2, z(1,1)=3
+    assert got[(1, 0)] == 1 and got[(0, 1)] == 2 and got[(1, 1)] == 3
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    """Rows adjacent in z-order are near in BOTH coordinates on average —
+    the property that makes the key useful for file clustering."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.relational import zorder_key
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    rows = (
+        df.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=5).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    # mean Chebyshev distance between z-adjacent points must beat the
+    # row-major layout's (which teleports across a full row at wraps)
+    zd = sum(
+        max(abs(rows[i]["x"] - rows[i + 1]["x"]), abs(rows[i]["y"] - rows[i + 1]["y"]))
+        for i in range(len(rows) - 1)
+    ) / (len(rows) - 1)
+    rm = sorted(pts)
+    rd = sum(
+        max(abs(rm[i][0] - rm[i + 1][0]), abs(rm[i][1] - rm[i + 1][1]))
+        for i in range(len(rm) - 1)
+    ) / (len(rm) - 1)
+    assert zd < rd
