@@ -1605,6 +1605,39 @@ def _sql_q96() -> str:
     """
 
 
+def q97_band_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING near-dup alert operator
+    (streaming/neardup.py — per-band state, one id per band): every doc
+    sharing an LSH band with the band's first doc raises
+    (band, first_doc, dup_doc). The stream's availableNow drain is pinned
+    equal to this plan in tests, so the streaming path sits transitively
+    behind this oracle row."""
+    from pytrousse_spark.streaming.neardup import near_dup_band_alerts
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_band_alerts(d, "text", "doc_id", num_perm=8, bands=4)
+
+
+def _sql_q97() -> str:
+    sig = dd.minhash_signature_sql("text", num_perm=8)
+    return f"""
+    WITH sigs AS (SELECT doc_id, {sig} AS s FROM documents),
+    banded AS (
+        SELECT doc_id, unnest([
+            '0_' || s[1] || '_' || s[2],
+            '1_' || s[3] || '_' || s[4],
+            '2_' || s[5] || '_' || s[6],
+            '3_' || s[7] || '_' || s[8]
+        ]) AS band
+        FROM sigs
+    ),
+    firsts AS (SELECT band, min(doc_id) AS first_doc FROM banded GROUP BY band)
+    SELECT b.band, f.first_doc, b.doc_id AS dup_doc
+    FROM banded b JOIN firsts f USING (band)
+    WHERE b.doc_id <> f.first_doc
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2679,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_stream_enrich_batch": q94_stream_enrich_batch,
         "q95_png_roundtrip": q95_png_roundtrip,
         "q96_zorder": q96_zorder,
+        "q97_band_alerts": q97_band_alerts,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2919,6 +2953,7 @@ def oracle_sql() -> dict[str, str]:
         "q94_stream_enrich_batch": _sql_q94(),
         "q95_png_roundtrip": _sql_q95(),
         "q96_zorder": _sql_q96(),
+        "q97_band_alerts": _sql_q97(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

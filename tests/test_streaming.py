@@ -165,3 +165,37 @@ def test_stream_static_enrichment_matches_batch(spark, events_batch, events_stre
     expect = enrich_events_stream(events_batch, dim).collect()
     assert _normalize(got) == _normalize(expect)
     assert {r["segment"] for r in got} == {"heavy", "light"}
+
+
+def test_stream_near_dup_alerts_match_batch(spark, tmp_path_factory):
+    """Streaming LSH band alerts (per-band state) drain to exactly the
+    batch twin's result when docs arrive in id order across two files."""
+    from pytrousse_spark.streaming.neardup import near_dup_band_alerts
+
+    batch = read_parquet_df(spark, f"{SF_DIR}/documents.parquet")
+    med = batch.approxQuantile("doc_id", [0.5], 0.0)[0]
+    d = tmp_path_factory.mktemp("docs_neardup_stream")
+    batch.where(f"doc_id <= {med}").coalesce(1).write.parquet(str(d / "p0"))
+    batch.where(f"doc_id > {med}").coalesce(1).write.parquet(str(d / "p1"))
+    import glob, shutil
+
+    files = sorted(glob.glob(str(d / "p*" ) + "/part-*.parquet"))
+    sdir = tmp_path_factory.mktemp("docs_neardup_feed")
+    for i, f in enumerate(files):
+        shutil.copy(f, sdir / f"part-{i:03d}.parquet")
+
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(sdir))
+    alerts = near_dup_band_alerts(stream, "text", "doc_id", num_perm=8, bands=4)
+    run_stream_to_memory(alerts, "band_alerts", output_mode="update")
+    got = {
+        (r["band"], r["first_doc"], r["dup_doc"])
+        for r in spark.table("band_alerts").collect()
+    }
+    want = {
+        (r["band"], r["first_doc"], r["dup_doc"])
+        for r in near_dup_band_alerts(batch, "text", "doc_id", num_perm=8, bands=4).collect()
+    }
+    assert got == want
+    assert len(got) > 0
