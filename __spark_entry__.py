@@ -1638,6 +1638,42 @@ def _sql_q97() -> str:
     """
 
 
+def q98_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation surface: confusion matrix of the stopword
+    language-ID against the labeled lang column, plus per-cell share of
+    the labeled language's row total. One scan + one (label, predicted)
+    hash agg + a broadcast-sized row-total window."""
+    d = _t(spark, sf_dir, "documents")
+    cm = (
+        d.where(F.col("text").isNotNull())
+        .select(F.col("lang").alias("label"), tx.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("label")
+    return cm.select(
+        "label",
+        "predicted",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("row_share"),
+    )
+
+
+def _sql_q98() -> str:
+    pred = tx.lang_id_sql("text")
+    return f"""
+    WITH cm AS (
+        SELECT lang AS label, {pred} AS predicted, count(*) AS n
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY label, predicted
+    )
+    SELECT label, predicted, n,
+           round(n / (CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE)), 4)
+             AS row_share
+    FROM cm
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2713,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_png_roundtrip": q95_png_roundtrip,
         "q96_zorder": q96_zorder,
         "q97_band_alerts": q97_band_alerts,
+        "q98_langid_confusion": q98_langid_confusion,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2954,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "q95_png_roundtrip": _sql_q95(),
         "q96_zorder": _sql_q96(),
         "q97_band_alerts": _sql_q97(),
+        "q98_langid_confusion": _sql_q98(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),
