@@ -2467,11 +2467,13 @@ def q87_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_q87() -> str:
     from pytrousse_spark.functions.text import word_shingles_sql
 
+    from pytrousse_spark.operators.bloom import bloom_position_sql_expr
+
     src = ", ".join(f"'{s}'" for s in _BLOOM_SRC)
     sh_sql = word_shingles_sql("text", 3)
     # generate_series alias is gi, not i: word_shingles_sql's internal
     # lambda binds i, and DuckDB lambda vars must not collide with columns
-    h = "(('0x' || substr(md5('bloom' || g.gi || '|' || sh), 1, 15))::BIGINT) % 65536"
+    h = bloom_position_sql_expr("sh", 1 << 16, "g.gi")
     return f"""
     WITH pos AS (
         SELECT DISTINCT {h} AS pos
