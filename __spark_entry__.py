@@ -1674,6 +1674,51 @@ def _sql_q98() -> str:
     """
 
 
+def q99_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog: estimate the number of distinct word
+    3-shingles in the corpus from 2^12 registers, vs the exact count.
+    Registers use pure integer rank math (no float log), so the sketch is
+    bit-for-bit reproducible by the oracle — the third sketch in the
+    family (Bloom q87, Count-Min q88); Spark's approx_count_distinct is
+    the same idea with engine-private hashing. One bounded hash-agg
+    shuffle; the registers collect is 4096 small ints."""
+    from pytrousse_spark.operators.sketch import hll_estimate_row, hll_registers
+    from pytrousse_spark.functions.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    keys = d.select(F.explode(word_shingles(F.col("text"), 3)).alias("k"))
+    regs = hll_registers(keys, "k", p=12)
+    est = hll_estimate_row(
+        [(r["bucket"], r["r"]) for r in regs.collect()], p=12
+    )
+    exact = keys.distinct().count()
+    rel = round(abs(est["estimate"] - exact) / exact, 4)
+    return spark.createDataFrame(
+        [(est["estimate"], est["zero_registers"], exact, rel)],
+        "estimate double, zero_registers long, exact_distinct long, rel_err double",
+    )
+
+
+def _sql_q99() -> str:
+    from pytrousse_spark.operators.sketch import hll_sql
+    from pytrousse_spark.functions.text import word_shingles_sql
+
+    inner = hll_sql("SELECT k FROM keys", "k", p=12)
+    return f"""
+    WITH keys AS (
+        SELECT unnest({word_shingles_sql('text', 3)}) AS k
+        FROM documents WHERE text IS NOT NULL
+    ), hll AS ({inner}),
+    ex AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct FROM keys)
+    SELECT hll.estimate,
+           CAST(hll.zero_registers AS BIGINT) AS zero_registers,
+           ex.exact_distinct,
+           round(abs(hll.estimate - ex.exact_distinct) / ex.exact_distinct, 4)
+             AS rel_err
+    FROM hll, ex
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2752,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_zorder": q96_zorder,
         "q97_band_alerts": q97_band_alerts,
         "q98_langid_confusion": q98_langid_confusion,
+        "q99_hll_distinct": q99_hll_distinct,
         "q11_sessionize": q11_sessionize,
         # -- head: one green row per operator family ------------------------
         "q01_pricing_summary": q01_pricing_summary,
@@ -2994,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "q96_zorder": _sql_q96(),
         "q97_band_alerts": _sql_q97(),
         "q98_langid_confusion": _sql_q98(),
+        "q99_hll_distinct": _sql_q99(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -85,3 +85,107 @@ def count_min_build_sql(rows_subquery: str, key_expr: str, w: int, d: int) -> st
         WHERE {key_expr} IS NOT NULL
         GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) with portable, engine-exact registers
+# ---------------------------------------------------------------------------
+def hll_registers(
+    df: DataFrame, col: str, p: int = 12, hash_fn: str = "md5"
+) -> DataFrame:
+    """The 2^p HLL registers for a column: (bucket, r) with r = max over
+    rows of (leading-zero rank of the hash suffix). Mergeable by max, the
+    whole sketch is 2^p small ints — the classic bounded-memory distinct
+    counter (Spark's own approx_count_distinct runs HLL++ JVM-side with
+    engine-private hashing; this one is oracle-reproducible).
+
+    Portability: the rank uses NO floating log — bit length is a sum of
+    integer comparisons (rest >= 2^i), so registers are bit-for-bit
+    identical in any engine. One hash-agg shuffle bounded by 2^p.
+    """
+    w = 60 - p  # suffix width under the 60-bit portable hash
+    h = hash_expr(F.col(col), "hll", hash_fn)
+    stage = df.where(F.col(col).isNotNull()).select(
+        F.pmod(h, F.lit(1 << p)).alias("bucket"),
+        F.shiftright(h, p).bitwiseAND(F.lit((1 << w) - 1)).alias("__rest"),
+    )
+    nbits = None
+    for i in range(w):
+        t = (F.col("__rest") >= F.lit(1 << i)).cast("int")
+        nbits = t if nbits is None else nbits + t
+    return (
+        stage.withColumn("r", (F.lit(w) - nbits) + 1)
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate_row(registers: list[tuple[int, int]], p: int) -> dict:
+    """Distinct-count estimate from collected registers (2^p of them at
+    most; absent buckets are zero). The harmonic mean's power sum is
+    computed as an EXACT integer (sum of 2^(max_r - r_j)) so the estimate
+    is deterministic — no float fold-order dependence; the only float ops
+    are one division and (in the small range) one ln, identical libm
+    on both engines and rounded in the output.
+    """
+    import math
+
+    m = 1 << p
+    reg = {b: 0 for b in range(m)}
+    for b, r in registers:
+        reg[int(b)] = max(reg[int(b)], int(r))
+    max_r = max(reg.values())
+    t_int = sum(1 << (max_r - r) for r in reg.values())  # exact integer
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m * (1 << max_r) / t_int
+    v = sum(1 for r in reg.values() if r == 0)
+    if v > 0 and raw <= 2.5 * m:
+        est = m * math.log(m / v)
+    else:
+        est = raw
+    return {"estimate": round(est, 2), "zero_registers": v}
+
+
+def hll_sql(
+    table_expr: str, key_expr: str, p: int = 12
+) -> str:
+    """DuckDB twin: identical bucket/rank integer math, identical exact
+    power sum, identical branch and rounding."""
+    w = 60 - p
+    m = 1 << p
+    h = f"(('0x' || substr(md5('hll|' || {key_expr}), 1, 15))::BIGINT)"
+    nbits = " + ".join(
+        f"(CASE WHEN rest >= {1 << i} THEN 1 ELSE 0 END)" for i in range(w)
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT ({h} % {m}) AS bucket,
+               (({h} >> {p}) & {(1 << w) - 1}) AS rest
+        FROM ({table_expr}) WHERE {key_expr} IS NOT NULL
+    ), ranked AS (
+        SELECT bucket, ({w} - ({nbits})) + 1 AS r FROM hashed
+    ), regs AS (
+        SELECT g.i AS bucket, COALESCE(mx.r, 0) AS r
+        FROM generate_series(0, {m - 1}) AS g(i)
+        LEFT JOIN (SELECT bucket, max(r) AS r FROM ranked GROUP BY bucket) mx
+               ON mx.bucket = g.i
+    ), agg AS (
+        SELECT max(r) AS max_r,
+               CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM regs
+    ), t AS (
+        SELECT CAST(sum(1::BIGINT << ((SELECT max_r FROM agg) - r)) AS BIGINT)
+               AS t_int
+        FROM regs
+    )
+    SELECT round(
+      CASE WHEN (SELECT v FROM agg) > 0
+            AND (0.7213 / (1 + 1.079 / {m})) * {m}::DOUBLE * {m}
+                * (1::BIGINT << (SELECT max_r FROM agg)) / (SELECT t_int FROM t)
+                <= 2.5 * {m}
+           THEN {m} * ln({m}::DOUBLE / (SELECT v FROM agg))
+           ELSE (0.7213 / (1 + 1.079 / {m})) * {m}::DOUBLE * {m}
+                * (1::BIGINT << (SELECT max_r FROM agg)) / (SELECT t_int FROM t)
+      END, 2) AS estimate,
+      (SELECT v FROM agg) AS zero_registers
+    """

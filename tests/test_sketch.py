@@ -80,3 +80,53 @@ def test_xxhash_tier_runs(toks):
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n")).limit(20)
     est = sk.count_min_estimate(exact, "token", grid, w=W, d=D, hash_fn="xxhash64")
     assert est.where(F.col("cm_estimate") < F.col("exact_n")).count() == 0
+
+
+def test_hll_estimate_accuracy(spark):
+    """HLL at p=12 must land within a few percent on a multi-thousand
+    distinct set (theoretical rse ~1.6%)."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.sketch import hll_estimate_row, hll_registers
+
+    df = spark.range(0, 20000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    regs = hll_registers(df, "k", p=12)
+    est = hll_estimate_row([(r["bucket"], r["r"]) for r in regs.collect()], p=12)
+    assert abs(est["estimate"] - 20000) / 20000 < 0.05
+
+
+def test_hll_registers_merge_by_max(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.sketch import hll_registers
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    a = df.where("id % 2 = 0")
+    b = df.where("id % 2 = 1")
+    ra = hll_registers(a, "k", p=8)
+    rb = hll_registers(b, "k", p=8)
+    merged = (
+        ra.unionByName(rb).groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+    whole = hll_registers(df, "k", p=8)
+    got = {(r["bucket"], r["r"]) for r in merged.collect()}
+    want = {(r["bucket"], r["r"]) for r in whole.collect()}
+    assert got == want
+
+
+def test_hll_insensitive_to_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.sketch import hll_estimate_row, hll_registers
+
+    base = spark.range(0, 1000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("k")
+    )
+    dup = base.unionByName(base).unionByName(base)
+    r1 = hll_registers(base, "k", p=10).collect()
+    r3 = hll_registers(dup, "k", p=10).collect()
+    assert {(r["bucket"], r["r"]) for r in r1} == {(r["bucket"], r["r"]) for r in r3}
