@@ -1719,6 +1719,65 @@ def _sql_q99() -> str:
     """
 
 
+_HISTQ = (0.25, 0.5, 0.75, 0.95)
+
+
+def q100_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch vs exact percentiles: l_extendedprice
+    quantiles from a 4096-bin equi-width histogram (fixed-size hash agg —
+    no sort, shuffle bounded by B) with the exact interpolated percentile
+    and relative error alongside. Completes the sketch family:
+    membership (q87), frequency (q88), distinct (q99), quantiles."""
+    from pytrousse_spark.operators.sketch import histogram_quantile_estimates
+
+    li = _t(spark, sf_dir, "lineitem")
+    ests = histogram_quantile_estimates(
+        li, "l_extendedprice", list(_HISTQ), num_bins=4096
+    )
+    est_df = spark.createDataFrame(
+        [(e["q"], e["estimate"]) for e in ests], "q double, estimate double"
+    )
+    exact_row = li.agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(f"e{i}")
+            for i, q in enumerate(_HISTQ)
+        ]
+    ).first()
+    ex_df = spark.createDataFrame(
+        [(q, float(exact_row[i])) for i, q in enumerate(_HISTQ)],
+        "q double, exact double",
+    )
+    return est_df.join(ex_df, "q").select(
+        "q",
+        "estimate",
+        "exact",
+        F.round(F.abs(F.col("estimate") - F.col("exact")) / F.col("exact"), 6)
+        .alias("rel_err"),
+    )
+
+
+def _sql_q100() -> str:
+    from pytrousse_spark.operators.sketch import histogram_quantiles_sql
+
+    inner = histogram_quantiles_sql(
+        "lineitem", "l_extendedprice", list(_HISTQ), num_bins=4096
+    )
+    ex_rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"round(quantile_cont(l_extendedprice, {q}), 4) AS exact FROM lineitem"
+        for q in _HISTQ
+    )
+    return f"""
+    WITH est AS ({inner}),
+    ex AS (
+      {ex_rows}
+    )
+    SELECT est.q, est.estimate, ex.exact,
+           round(abs(est.estimate - ex.exact) / ex.exact, 6) AS rel_err
+    FROM est JOIN ex USING (q)
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2798,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_band_alerts": q97_band_alerts,
         "q98_langid_confusion": q98_langid_confusion,
         "q99_hll_distinct": q99_hll_distinct,
+        "q100_histogram_quantiles": q100_histogram_quantiles,
         "q11_sessionize": q11_sessionize,
         "q72_pii_scrub": q72_pii_scrub,
         "q73_repetition": q73_repetition,
@@ -3042,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_band_alerts": _sql_q97(),
         "q98_langid_confusion": _sql_q98(),
         "q99_hll_distinct": _sql_q99(),
+        "q100_histogram_quantiles": _sql_q100(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -130,3 +130,23 @@ def test_hll_insensitive_to_duplicates(spark):
     r1 = hll_registers(base, "k", p=10).collect()
     r3 = hll_registers(dup, "k", p=10).collect()
     assert {(r["bucket"], r["r"]) for r in r1} == {(r["bucket"], r["r"]) for r in r3}
+
+
+def test_histogram_quantiles_close_to_exact(spark):
+    from pytrousse_spark.operators.sketch import histogram_quantile_estimates
+
+    df = spark.range(0, 50000).select((F.col("id") * 3.5 + 7.0).alias("x"))
+    ests = {e["q"]: e["estimate"] for e in histogram_quantile_estimates(df, "x", [0.1, 0.5, 0.9], 4096)}
+    exact = df.selectExpr(
+        "percentile(x, 0.1) p10", "percentile(x, 0.5) p50", "percentile(x, 0.9) p90"
+    ).first()
+    for q, ex in [(0.1, exact["p10"]), (0.5, exact["p50"]), (0.9, exact["p90"])]:
+        assert abs(ests[q] - ex) / ex < 0.01, (q, ests[q], ex)
+
+
+def test_histogram_quantiles_constant_column(spark):
+    from pytrousse_spark.operators.sketch import histogram_quantile_estimates
+
+    df = spark.range(0, 100).select(F.lit(42.0).alias("x"))
+    ests = histogram_quantile_estimates(df, "x", [0.5])
+    assert ests == [{"q": 0.5, "estimate": 42.0}]
