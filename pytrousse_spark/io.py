@@ -235,14 +235,15 @@ def read_text_corpus(
     lowest-common-denominator crawl format.
 
     Returns (text, source_file[, doc_id]); ``doc_id`` is a deterministic
-    portable hash of (file, text) so re-ingesting the same shards yields
-    the same ids (no monotonically_increasing_id, whose values depend on
-    partition layout). Identical lines within one file intentionally share
-    an id — they are exact duplicates and collapse at the first dedup.
-    Scale: line-splittable, no parsing pass; pair with functions.text
-    gates + dedup for the cleaning pipeline.
+    128-bit content hash (md5 hex of file|text) so re-ingesting the same
+    shards yields the same ids (no monotonically_increasing_id, whose
+    values depend on partition layout), and birthday collisions stay
+    negligible at crawl scale (~1e-19 at 1e10 lines, vs ~50% for a 60-bit
+    id at ~1.3e9 lines). Identical lines within one file intentionally
+    share an id — they are exact duplicates and collapse at the first
+    dedup. Scale: line-splittable, no parsing pass; pair with
+    functions.text gates + dedup for the cleaning pipeline.
     """
-    from .functions.hashing import h60
     from pyspark.sql import functions as F
 
     df = (
@@ -253,6 +254,6 @@ def read_text_corpus(
     if id_from_file:
         df = df.withColumn(
             "doc_id",
-            h60(F.concat_ws("|", F.col("source_file"), F.col("text"))),
+            F.md5(F.concat_ws("|", F.col("source_file"), F.col("text"))),
         )
     return df

@@ -107,9 +107,12 @@ def bloom_probe_join(
 ) -> DataFrame:
     """Oracle-twin probe: broadcast-join positions, require all k hits.
 
-    Adds boolean ``bloom_member``. Duplicate positions for one key (seed
-    collisions) are counted per-occurrence on both sides of the parity, so
-    ``count == k`` is exact membership of all k (with multiplicity).
+    Adds boolean ``bloom_member``, one row per DISTINCT probe row.
+    Membership = all k seed positions hit, checked as a distinct count over
+    the seed index ``__i`` — duplicate probe rows (which collapse into one
+    group) therefore cannot inflate the hit count past k, and a seed
+    collision (two seeds, one position) still counts both seeds because
+    each keeps its own ``__i``.
     """
     probe_pos = probe.select(
         "*",
@@ -124,7 +127,14 @@ def bloom_probe_join(
             "left",
         )
         .groupBy(*probe.columns)
-        .agg((F.count("__hit") == k).alias("bloom_member"))
+        .agg(
+            (
+                F.countDistinct(
+                    F.when(F.col("__hit").isNotNull(), F.col("__i"))
+                )
+                == k
+            ).alias("bloom_member")
+        )
     )
     return hits
 

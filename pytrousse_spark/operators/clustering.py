@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60, h60_sql
+from ..functions.rounding import round_half_away
 from ..functions.vectors import cosine, cosine_sql
 
 
@@ -97,7 +98,7 @@ def _init_centroids(
         .limit(k)
         .collect()
     )
-    return [[round(float(x), 6) for x in r["v"]] for r in rows]
+    return [[round_half_away(float(x), 6) for x in r["v"]] for r in rows]
 
 
 def kmeans_fit(
@@ -135,7 +136,7 @@ def kmeans_fit(
                 nxt.append(prev)  # empty cell keeps its centroid
             else:
                 nxt.append(
-                    [round(got[p], 6) for p in range(len(prev))]
+                    [round_half_away(got[p], 6) for p in range(len(prev))]
                 )
         cents = nxt
     return cents

@@ -91,7 +91,7 @@ def pack_documents_sql(
       FROM staged
     )
     SELECT {id_col}, shard, n_tokens,
-           (start // {budget}) AS seq_id,
-           (start % {budget}) AS offset
+           CAST((start // {budget}) AS BIGINT) AS seq_id,
+           CAST((start % {budget}) AS BIGINT) AS offset
     FROM cum
     """

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.rounding import round_half_away
+
 #: refuse to collect more query vectors than this for LUT precompute
 MAX_QUERY_COLLECT = 10_000
 
@@ -181,7 +183,7 @@ def pq_codebooks_kmeans(
     )
     books: list[list[list[float]]] = [
         [
-            [round(float(x), 6) for x in r["v"][s * sub : (s + 1) * sub]]
+            [round_half_away(float(x), 6) for x in r["v"][s * sub : (s + 1) * sub]]
             for r in seed_rows
         ]
         for s in range(num_sub)
@@ -231,7 +233,7 @@ def pq_codebooks_kmeans(
         for s in range(num_sub):
             books[s] = [
                 [
-                    round(got[(s + 1, c + 1)][p], 6)
+                    round_half_away(got[(s + 1, c + 1)][p], 6)
                     for p in range(sub)
                 ]
                 if (s + 1, c + 1) in got
@@ -329,6 +331,278 @@ def pq_adc_topk(
     return (
         rr.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """IVF-PQ: the similarity ladder's stated end state — PQ codes scored
+    INSIDE IVF cells (Jégou et al. 2011's full layout; q57 x q90).
+
+    Pipeline: corpus rows get a coarse cell (map-side argmax against
+    centroid literals, similarity._cell_rank_array) AND a PQ code (map-side
+    argmin encode) in one pass; queries probe their ``nprobe`` nearest
+    cells; co-located candidates are scored by ADC (S broadcast-LUT lookups
+    per pair instead of D multiplications); only the top ``rerank`` ADC
+    candidates per query get the exact cosine, and the top ``k`` survive.
+
+    Scale shape vs the parents: q57 exact-scores EVERY co-located candidate
+    (D mults each); q90 ADC-scores the WHOLE corpus. Here the cell join
+    bounds the candidate set (nprobe/num_cells of the corpus) and ADC
+    bounds the exact work (rerank rows per query) — both knobs fixed, so
+    scored work per query is constant as the corpus grows. The only
+    shuffles are the (cell) candidate join and the (qid, rid) ADC
+    aggregation; vectors ride the join exactly once for the re-rank.
+    """
+    from .similarity import _cell_rank_array, _ivf_centroids
+    from ..functions.vectors import cosine, norm
+
+    spark = corpus.sparkSession
+    num_sub = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    cents = _ivf_centroids(corpus, id_col, vec_col, num_cells)
+
+    # one map-side pass: cell assignment + PQ encode, vectors ride along
+    enc = pq_encode(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, codebooks
+    )
+    c_cells = (
+        enc.withColumn("__n", norm(F.col(vec_col)))
+        .withColumn("__ranked", _cell_rank_array(vec_col, cents))
+        .select(
+            F.col(id_col).alias("rid"),
+            F.col(vec_col).alias("__cv"),
+            F.col("__n").alias("__cn"),
+            F.col("pq_code"),
+            F.col("__ranked")[0]["cell"].alias("__cell"),
+        )
+    )
+    q_cells = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col))
+        .withColumn("__n", norm(F.col(vec_col)))
+        .withColumn("__ranked", _cell_rank_array(vec_col, cents))
+        .select(
+            "qid",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__ranked"), 1, nprobe), lambda s: s["cell"]
+                )
+            ).alias("__cell"),
+        )
+    )
+
+    # driver-side ADC LUTs, same sequential fold as pq_adc_topk
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    if len(qrows) > MAX_QUERY_COLLECT:
+        raise ValueError(
+            f"{len(qrows)} query vectors exceed the LUT collect guard "
+            f"({MAX_QUERY_COLLECT}); batch the queries"
+        )
+    lut_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        for s in range(num_sub):
+            for code, cv in codebooks[s]:
+                acc = 0.0
+                for i in range(sub):
+                    acc += qv[s * sub + i] * cv[i]
+                lut_rows.append((int(r["qid"]), s + 1, code, acc))
+    lut = spark.createDataFrame(lut_rows, ["qid", "s", "code", "v"])
+
+    # candidates: each corpus row lives in EXACTLY one cell, so the cell
+    # join yields each (qid, rid) pair at most once — no dedup needed
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "__cell")
+        .where(F.col("qid") != F.col("rid"))
+        .select("qid", "rid", "pq_code")
+    )
+    exploded = cand.select(
+        "qid", "rid", F.posexplode("pq_code").alias("s0", "code")
+    ).withColumn("s", F.col("s0") + 1)
+    partials = [
+        F.sum(F.when(F.col("s") == s, F.col("v"))).alias(f"l{s}")
+        for s in range(1, num_sub + 1)
+    ]
+    score = F.col("l1")
+    for s in range(2, num_sub + 1):
+        score = score + F.col(f"l{s}")
+    pair = (
+        exploded.join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "rid")
+        .agg(*partials)
+        .select("qid", "rid", F.round(score, 6).alias("adc_dot"))
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.desc("adc_dot"), F.col("rid"))
+    adctop = (
+        pair.withColumn("arn", F.row_number().over(w_adc))
+        .where(F.col("arn") <= rerank)
+        .select("qid", "rid")
+    )
+
+    # exact cosine re-rank (metric parity with q57's ladder)
+    nb = corpus.select(
+        F.col(id_col).alias("rid"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+    )
+    qf = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cos = F.when(
+        (F.col("qn") > 0) & (F.col("nn") > 0),
+        cosine(F.col("qv"), F.col("nv")),
+    )
+    rr = (
+        adctop.join(nb, "rid")
+        .join(F.broadcast(qf), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rid").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .where(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk_sql(
+    corpus: str,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_sub: int = 8,
+    num_cent: int = 16,
+    iters: int = 2,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    rerank: int = 100,
+    query_filter: str = "TRUE",
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk`: the q57 twin's centroid-pick /
+    assign / probes CTEs composed with the q90 twin's kmeans-codebook /
+    encode / LUT / fixed-order ADC recombination, candidate join restricted
+    to co-located cells, exact cosine re-rank."""
+    from ..functions.hashing import h60_sql
+    from ..functions.vectors import cosine_sql
+    from .clustering import kmeans_cent_ctes
+
+    sub = dim // num_sub
+    all_parts: list[str] = []
+    cb_selects = []
+    for s in range(1, num_sub + 1):
+        lo, hi = (s - 1) * sub + 1, s * sub
+        sliced = (
+            f"(SELECT {id_col}, {vec_col}[{lo}:{hi}] AS sub FROM {corpus})"
+        )
+        parts, fin = kmeans_cent_ctes(
+            sliced, num_cent, sub, iters, id_col, "sub", prefix=f"s{s}_"
+        )
+        all_parts.extend(parts)
+        cb_selects.append(f"SELECT {s} AS s, cidx AS code, cv FROM {fin}")
+    cb_union = "\n      UNION ALL ".join(cb_selects)
+
+    h = h60_sql(f"CAST({id_col} AS VARCHAR)")
+    ccos = cosine_sql(f"e.{vec_col}", "c.cv", dim)
+    vcos = cosine_sql(f"q.{vec_col}", f"n.{vec_col}", dim)
+    d2 = (
+        f"round(list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"(CAST(e.{vec_col}[(b.s-1)*{sub}+i] AS DOUBLE) - CAST(b.cv[i] AS DOUBLE))"
+        f" * (CAST(e.{vec_col}[(b.s-1)*{sub}+i] AS DOUBLE) - CAST(b.cv[i] AS DOUBLE)))), 6)"
+    )
+    lutv = (
+        f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+        f"CAST(q.{vec_col}[(b.s-1)*{sub}+i] AS DOUBLE) * CAST(b.cv[i] AS DOUBLE)))"
+    )
+    recomb = " + ".join(
+        f"SUM(CASE WHEN l.s = {s} THEN l.v END)" for s in range(1, num_sub + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(all_parts)
+        + f""", cb AS (
+      {cb_union}
+    ), ivfcent AS (
+      SELECT {id_col} AS cid, {vec_col} AS cv,
+             row_number() OVER (ORDER BY {h}, {id_col}) AS cidx
+      FROM {corpus}
+      ORDER BY {h}, {id_col} LIMIT {num_cells}
+    ), cscore AS (
+      SELECT e.{id_col} AS rid, c.cidx,
+             coalesce(round({ccos}, 6), -2.0) AS s
+      FROM {corpus} e CROSS JOIN ivfcent c
+    ), assign AS (
+      SELECT rid, cidx AS cell FROM (
+        SELECT rid, cidx,
+               row_number() OVER (PARTITION BY rid ORDER BY s DESC, cidx) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT rid AS qid, cidx AS cell FROM (
+        SELECT cs.rid, cs.cidx,
+               row_number() OVER (PARTITION BY cs.rid ORDER BY cs.s DESC, cs.cidx) AS rn
+        FROM cscore cs JOIN {corpus} e ON e.{id_col} = cs.rid
+        WHERE ({query_filter})
+      ) WHERE rn <= {nprobe}
+    ), enc AS (
+      SELECT e.{id_col} AS rid, b.s, b.code, {d2} AS d2
+      FROM {corpus} e CROSS JOIN cb b
+    ), codes AS (
+      SELECT rid, s, code FROM (
+        SELECT rid, s, code,
+               row_number() OVER (PARTITION BY rid, s ORDER BY d2, code) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT q.{id_col} AS qid, b.s, b.code, {lutv} AS v
+      FROM {corpus} q CROSS JOIN cb b
+      WHERE ({query_filter})
+    ), pair AS (
+      SELECT p.qid, a.rid, round({recomb}, 6) AS adc_dot
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.rid <> p.qid
+      JOIN codes c ON c.rid = a.rid
+      JOIN lut l ON l.qid = p.qid AND l.s = c.s AND l.code = c.code
+      GROUP BY p.qid, a.rid
+    ), adctop AS (
+      SELECT qid, rid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY adc_dot DESC, rid
+        ) AS arn FROM pair
+      ) WHERE arn <= {rerank}
+    ), rr AS (
+      SELECT a.qid AS query_id, a.rid AS neighbor_id,
+             round({vcos}, 6) AS cos
+      FROM adctop a
+      JOIN {corpus} q ON q.{id_col} = a.qid
+      JOIN {corpus} n ON n.{id_col} = a.rid
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rank
+      FROM rr WHERE cos IS NOT NULL
+    ) WHERE rank <= {k}
+    """
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.hashing import hash_expr
+from ..functions.rounding import round_half_away
 
 
 def _cell_cols(col: Column, w: int, d: int, hash_fn: str) -> Column:
@@ -143,7 +144,7 @@ def hll_estimate_row(registers: list[tuple[int, int]], p: int) -> dict:
         est = m * math.log(m / v)
     else:
         est = raw
-    return {"estimate": round(est, 2), "zero_registers": v}
+    return {"estimate": round_half_away(est, 2), "zero_registers": v}
 
 
 def hll_sql(
@@ -210,12 +211,14 @@ def histogram_quantile_estimates(
     cumulative crossing, interpolation) is replayed term-for-term by the
     DuckDB twin.
     """
-    stats = df.agg(
+    # lo/hi/n over the NULL-filtered frame so n matches the histogram mass
+    # (min/max already ignore NULLs; count(1) would not).
+    stats = df.where(F.col(col).isNotNull()).agg(
         F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(F.lit(1)).alias("n")
     ).first()
     lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
     if hi == lo:
-        return [{"q": q, "estimate": round(lo, 4)} for q in quantiles]
+        return [{"q": q, "estimate": round_half_away(lo, 4)} for q in quantiles]
     bucket = F.least(
         F.floor(((F.col(col) - F.lit(lo)) / F.lit(hi - lo)) * num_bins).cast("long"),
         F.lit(num_bins - 1),
@@ -239,7 +242,7 @@ def histogram_quantile_estimates(
             if cum >= target:
                 est = lo + (b + (target - prev) / c) * ((hi - lo) / num_bins)
                 break
-        out.append({"q": q, "estimate": round(est, 4)})
+        out.append({"q": q, "estimate": round_half_away(est, 4)})
     return out
 
 
@@ -256,8 +259,9 @@ def histogram_quantiles_sql(
                CAST(count(*) AS BIGINT) AS n
         FROM {table} WHERE {col} IS NOT NULL
     ), b AS (
-        SELECT LEAST(CAST(floor((({col} - s.lo) / (s.hi - s.lo)) * {num_bins})
-                          AS BIGINT), {num_bins - 1}) AS bucket
+        SELECT CASE WHEN s.hi = s.lo THEN 0
+                    ELSE LEAST(CAST(floor((({col} - s.lo) / (s.hi - s.lo)) * {num_bins})
+                               AS BIGINT), {num_bins - 1}) END AS bucket
         FROM {table}, s WHERE {col} IS NOT NULL
     ), h AS (
         SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bucket
@@ -273,8 +277,9 @@ def histogram_quantiles_sql(
         GROUP BY qs.q
     )
     SELECT CAST(p.q AS DOUBLE) AS q,
-           round(s.lo + (p.bucket + (CAST(p.q AS DOUBLE) * s.n - (c2.cum - c2.c)) / c2.c)
-                 * ((s.hi - s.lo) / {num_bins}), 4) AS estimate
+           CASE WHEN s.hi = s.lo THEN round(s.lo, 4)
+                ELSE round(s.lo + (p.bucket + (CAST(p.q AS DOUBLE) * s.n - (c2.cum - c2.c)) / c2.c)
+                     * ((s.hi - s.lo) / {num_bins}), 4) END AS estimate
     FROM pick p
     JOIN cum c2 ON c2.bucket = p.bucket
     CROSS JOIN s

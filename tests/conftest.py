@@ -32,11 +32,71 @@ def duck():
     con.close()
 
 
-def assert_df_matches_sql(spark_df, duck_con, sql, float_round=6):
+def _duck_type_to_spark(t: str) -> str:
+    """Normalize a DuckDB declared type to Spark's simpleString form.
+
+    HUGEINT deliberately maps to a non-Spark marker: DuckDB widens integer
+    window/aggregate sums to INT128, which serializes differently from
+    Spark's LONG at the driver even when values are equal (the q11/q68 bug
+    class) — any oracle emitting it must CAST to BIGINT."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"array<{_duck_type_to_spark(t[:-2])}>"
+    m = {
+        "TINYINT": "tinyint",
+        "SMALLINT": "smallint",
+        "INTEGER": "int",
+        "BIGINT": "bigint",
+        "HUGEINT": "hugeint!cast-oracle-to-BIGINT",
+        "UTINYINT": "hugeint!cast-oracle-to-BIGINT",
+        "USMALLINT": "hugeint!cast-oracle-to-BIGINT",
+        "UINTEGER": "hugeint!cast-oracle-to-BIGINT",
+        "UBIGINT": "hugeint!cast-oracle-to-BIGINT",
+        "FLOAT": "float",
+        "REAL": "float",
+        "DOUBLE": "double",
+        "VARCHAR": "string",
+        "BOOLEAN": "boolean",
+        "DATE": "date",
+        "TIMESTAMP": "timestamp",
+        "TIMESTAMP WITH TIME ZONE": "timestamp",
+        "BLOB": "binary",
+    }
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return m.get(t, t.lower())
+
+
+def assert_types_match_sql(spark_df, duck_con, sql):
+    """Declared-type parity: every output column must have the SAME type in
+    Spark and in the DuckDB oracle. Values-only comparison let two HUGEINT
+    widenings (q11 r1-r2, q68 r3) pass locally and hash-red at the driver;
+    this closes that gap for good."""
+    duck_rel = duck_con.sql(sql)
+    dtypes = {
+        c: _duck_type_to_spark(str(t))
+        for c, t in zip(duck_rel.columns, duck_rel.types)
+    }
+    stypes = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    mismatches = {
+        c: (stypes.get(c), dtypes.get(c))
+        for c in set(stypes) | set(dtypes)
+        if stypes.get(c) != dtypes.get(c)
+    }
+    assert not mismatches, (
+        "oracle/spark declared types differ (spark, duckdb): " + repr(mismatches)
+    )
+
+
+def assert_df_matches_sql(spark_df, duck_con, sql, float_round=6, check_types=True):
     """Order-insensitive comparison of a Spark DataFrame vs DuckDB SQL result,
-    mirroring the driver's row-count + schema + value-hash check."""
+    mirroring the driver's row-count + schema + value-hash check, plus a
+    declared-type parity check (serialization-faithful, see
+    assert_types_match_sql)."""
     import math
 
+    if check_types:
+        assert_types_match_sql(spark_df, duck_con, sql)
     sdata = spark_df.collect()
     scols = sorted(spark_df.columns)
     duck_rel = duck_con.sql(sql)
