@@ -29,6 +29,7 @@ def read_csv(
     metadata_cols: tuple[str, ...] = (),
     header: bool = True,
     infer_schema: bool = False,
+    options: dict[str, str] | None = None,
 ) -> Dataset:
     """CSV scan (reference ``get_df_from_csv``, dataset.py:28-49).
 
@@ -39,12 +40,17 @@ def read_csv(
     pass an explicit ``schema``. By default everything is read as strings
     (pandas-``object``-like) and the profiler decides what is numeric,
     mirroring the reference's value-inspected typing (dataset.py:56-101).
+    ``options`` passes extra DataFrameReader options through (e.g.
+    ``multiLine``/``escape`` for quoted embedded newlines, ``mode`` for
+    corrupt-line policy).
     """
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", str(infer_schema).lower())
+    for key, val in (options or {}).items():
+        reader = reader.option(key, val)
     return Dataset(reader.csv(path), metadata_cols=frozenset(metadata_cols))
 
 

@@ -131,3 +131,45 @@ def test_text_corpus_ids_stable_and_line_faithful(spark, tmp_path_factory):
     assert by_text[("first line", "a.txt")] != by_text[("first line", "b.txt")]
     again = {r["doc_id"] for r in read_text_corpus(spark, str(d)).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_csv_roundtrip_hostile_content(spark, tmp_path_factory):
+    """q102's write/read option set must survive embedded newlines, quotes,
+    commas and NULLs — content the benign driver tables never exercise."""
+    from pyspark.sql import types as T
+
+    from pytrousse_spark.io import read_csv
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, 'plain'),
+        (2, 'comma, separated'),
+        (3, 'quote " inside'),
+        (4, 'line\nbreak\r\nand another'),
+        (5, None),
+        (6, ''),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path_factory.mktemp("csv_hostile") / "out")
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(d)
+    )
+    back = read_csv(
+        spark, d, schema=schema,
+        options={"multiLine": "true", "escape": '"'},
+    ).df
+    got = {r["id"]: r["text"] for r in back.collect()}
+    want = dict(rows)
+    # Spark's CSV sink writes both NULL and '' as empty; the reader maps
+    # empty back to NULL — the lossy corner is pinned here so q102's
+    # signature columns (which hash only non-null text) stay faithful.
+    want[6] = None
+    assert got == want

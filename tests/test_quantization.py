@@ -145,3 +145,72 @@ def test_kmeans_books_reduce_error_vs_hash_pick(emb):
 def test_dim_divisibility_guard(emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq.pq_codebooks(emb, "vec_id", "embedding", num_sub=5, num_cent=C, dim=DIM)
+
+
+def test_ivf_pq_recall_matches_ivf_at_equal_nprobe(emb, spark):
+    """IVF-PQ (q101) probes the SAME cells as IVF-flat (q57); with rerank
+    covering the candidate sets, its exact-cosine re-rank must recover at
+    least IVF's recall@5 vs exhaustive cosine — the ADC stage may only
+    drop candidates when rerank binds, never add noise past the re-rank."""
+    from pytrousse_spark.operators import similarity as sim
+
+    queries = emb.where("vec_id < 20")
+    kbooks = pq.pq_codebooks_kmeans(
+        emb, "vec_id", "embedding", num_sub=8, num_cent=16, dim=DIM, iters=1
+    )
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topsets(sim.cosine_topk(emb, queries, K))
+    ivf = topsets(sim.ivf_topk(emb, queries, K, num_cells=16, nprobe=4))
+    ivfpq = topsets(
+        pq.ivf_pq_topk(
+            emb, queries, "vec_id", "embedding", kbooks,
+            k=K, num_cells=16, nprobe=4, rerank=100,
+        )
+    )
+
+    def recall(approx):
+        vals = [
+            len(approx.get(q, set()) & exact[q]) / K for q in exact
+        ]
+        return sum(vals) / len(vals)
+
+    r_ivf, r_ivfpq = recall(ivf), recall(ivfpq)
+    assert r_ivfpq >= r_ivf, f"IVF-PQ recall {r_ivfpq} < IVF {r_ivf}"
+    # measured 0.5 for BOTH at num_cells=16/nprobe=4 on the 150-vector
+    # sf0.001 corpus (probing 1/4 of the cells bounds recall; rerank=100
+    # covers every candidate, so the two paths coincide exactly here)
+    assert r_ivfpq >= 0.4, f"IVF-PQ recall collapsed: {r_ivfpq}"
+
+
+def test_ivf_pq_rerank_caps_exact_work(emb):
+    """The rerank knob must bound the exact-scored rows per query — the
+    'less scored work' contract vs q57 (which exact-scores every
+    co-located candidate)."""
+    kbooks = pq.pq_codebooks_kmeans(
+        emb, "vec_id", "embedding", num_sub=8, num_cent=16, dim=DIM, iters=0
+    )
+    queries = emb.where("vec_id < 10")
+    out = pq.ivf_pq_topk(
+        emb, queries, "vec_id", "embedding", kbooks,
+        k=3, num_cells=4, nprobe=2, rerank=7,
+    )
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v <= 3 for v in per_q.values())
+    # with rerank < k the output itself must shrink to rerank
+    out2 = pq.ivf_pq_topk(
+        emb, queries, "vec_id", "embedding", kbooks,
+        k=5, num_cells=4, nprobe=2, rerank=2,
+    )
+    per_q2 = {}
+    for r in out2.collect():
+        per_q2[r["query_id"]] = per_q2.get(r["query_id"], 0) + 1
+    assert all(v <= 2 for v in per_q2.values())
