@@ -63,6 +63,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _table_cache[key]
 
 
+_books_cache: dict[tuple[str, str], list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> list:
+    """Trained PQ codebooks shared by q90 and q101 (identical params, fully
+    deterministic Lloyd training — hash-picked seeds, round-6 means), so
+    the ~10-job training runs once per (session, sf_dir) instead of once
+    per consumer. Exactly the serving architecture PQ assumes: codebooks
+    are a trained ARTIFACT reused across queries, like the table cache;
+    each gate query still trains standalone in a fresh session, and the
+    oracle replays the identical training chain either way."""
+    from pytrousse_spark.operators import quantization as pq
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _books_cache:
+        e = _t(spark, sf_dir, "embeddings")
+        _books_cache[key] = pq.pq_codebooks_kmeans(
+            e, "vec_id", "embedding", num_sub=8, num_cent=16, dim=64, iters=2
+        )
+    return _books_cache[key]
+
+
 # ===========================================================================
 # Relational passthrough queries (SURVEY.md §2.2-2.4, §2.11; Phase 4)
 # ===========================================================================
@@ -1430,9 +1452,7 @@ def q90_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pytrousse_spark.operators import quantization as pq
 
     e = _t(spark, sf_dir, "embeddings")
-    books = pq.pq_codebooks_kmeans(
-        e, "vec_id", "embedding", num_sub=8, num_cent=16, dim=64, iters=2
-    )
+    books = _pq_books(spark, sf_dir)
     return pq.pq_adc_topk(
         e, e.where("vec_id < 40"), "vec_id", "embedding", books, k=5, rerank=100
     )
@@ -1769,9 +1789,7 @@ def q101_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pytrousse_spark.operators import quantization as pq
 
     e = _t(spark, sf_dir, "embeddings")
-    books = pq.pq_codebooks_kmeans(
-        e, "vec_id", "embedding", num_sub=8, num_cent=16, dim=64, iters=2
-    )
+    books = _pq_books(spark, sf_dir)
     return pq.ivf_pq_topk(
         e, e.where("vec_id < 40"), "vec_id", "embedding", books,
         k=5, num_cells=16, nprobe=4, rerank=100,
@@ -1857,6 +1875,63 @@ def _sql_q102() -> str:
     FROM documents
     GROUP BY source
     """
+
+
+def q103_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability behind the hash gate — the sharded-build layout a
+    100 TB profile run uses: per-source register sets built in ONE
+    (group, bucket)-keyed aggregation (shuffle bounded by groups x 2^p),
+    then the corpus-wide sketch obtained by bucket-wise max — NO re-scan
+    of the data. The ALL row's estimate is bit-for-bit the whole-corpus
+    q99 estimate (max is associative/commutative/idempotent), which is the
+    mergeability law itself, oracle-checked."""
+    from pytrousse_spark.functions.text import word_shingles
+    from pytrousse_spark.io import rebalance_undersplit
+    from pytrousse_spark.operators.sketch import (
+        hll_estimate_row,
+        hll_merge_registers,
+        hll_registers_grouped,
+    )
+
+    d = rebalance_undersplit(_t(spark, sf_dir, "documents")).where(
+        F.col("text").isNotNull()
+    )
+    keyed = d.select(
+        F.col("source"), F.explode(word_shingles(F.col("text"), 3)).alias("k")
+    )
+    # register-store: the grouped build feeds BOTH the per-source collect
+    # and the DataFrame merge; checkpoint the (tiny, groups x 2^p) register
+    # table so the md5/shingle scan runs once (signature-store pattern)
+    regs = hll_registers_grouped(keyed, "source", "k", p=12).localCheckpoint()
+    by_grp: dict[str, list[tuple[int, int]]] = {}
+    for r in regs.collect():  # bounded: sources x 2^12 rows
+        by_grp.setdefault(r["grp"], []).append((r["bucket"], r["r"]))
+    out = []
+    for g in sorted(by_grp):
+        e = hll_estimate_row(by_grp[g], p=12)
+        out.append((g, e["estimate"], e["zero_registers"]))
+    merged = hll_merge_registers(regs)
+    e = hll_estimate_row(
+        [(r["bucket"], r["r"]) for r in merged.collect()], p=12
+    )
+    out.append(("ALL", e["estimate"], e["zero_registers"]))
+    return spark.createDataFrame(
+        out, "source string, estimate double, zero_registers long"
+    )
+
+
+def _sql_q103() -> str:
+    from pytrousse_spark.functions.text import word_shingles_sql
+    from pytrousse_spark.operators.sketch import hll_grouped_sql
+
+    inner = (
+        f"SELECT source, unnest({word_shingles_sql('text', 3)}) AS k "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+    return hll_grouped_sql(
+        inner, "source", "k", p=12, merged_label="ALL",
+        out_group_col="source",
+    )
 
 
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2903,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_pack_sequences": q68_pack_sequences,
         "q101_ivf_pq": q101_ivf_pq,
         "q102_csv_roundtrip": q102_csv_roundtrip,
+        "q103_hll_merge": q103_hll_merge,
         # -- head 4-50: r2-only evidence, oldest families first ------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3278,6 +3354,7 @@ def oracle_sql() -> dict[str, str]:
         "q100_histogram_quantiles": _sql_q100(),
         "q101_ivf_pq": _sql_q101(),
         "q102_csv_roundtrip": _sql_q102(),
+        "q103_hll_merge": _sql_q103(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -192,6 +192,106 @@ def hll_sql(
     """
 
 
+def hll_registers_grouped(
+    df: DataFrame, group_col: str, col: str, p: int = 12, hash_fn: str = "md5"
+) -> DataFrame:
+    """Per-group HLL registers: (group, bucket, r) — one sketch per group
+    built in ONE hash aggregation whose shuffle is bounded by
+    groups x 2^p. This is the sharded-build layout a 100 TB profile run
+    uses: each shard/partition/day builds its own registers, and the
+    corpus-wide sketch is their bucket-wise max (see
+    :func:`hll_merge_registers`) — no re-scan, no re-shuffle of data.
+    """
+    w = 60 - p
+    h = hash_expr(F.col(col), "hll", hash_fn)
+    stage = df.where(F.col(col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.pmod(h, F.lit(1 << p)).alias("bucket"),
+        F.shiftright(h, p).bitwiseAND(F.lit((1 << w) - 1)).alias("__rest"),
+    )
+    nbits = None
+    for i in range(w):
+        t = (F.col("__rest") >= F.lit(1 << i)).cast("int")
+        nbits = t if nbits is None else nbits + t
+    return (
+        stage.withColumn("r", (F.lit(w) - nbits) + 1)
+        .groupBy("grp", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge_registers(regs: DataFrame) -> DataFrame:
+    """Merge per-group sketches into one: bucket-wise max over all groups.
+
+    THE mergeability law of HLL — merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B) exactly (max is associative/commutative/idempotent), so
+    per-shard registers combine into the corpus-wide sketch with a
+    groups x 2^p -> 2^p aggregation and zero data re-reads. The law is
+    pinned under the oracle gate by q103 (merged estimate == the
+    whole-corpus q99 estimate, bit for bit).
+    """
+    return regs.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
+def hll_grouped_sql(
+    table_expr: str, group_expr: str, key_expr: str, p: int = 12,
+    merged_label: str = "ALL", out_group_col: str = "grp",
+) -> str:
+    """DuckDB twin of per-group registers + merge + per-group estimates:
+    identical bucket/rank integer math and estimate branch as
+    :func:`hll_sql`, computed per group plus a ``merged_label`` row whose
+    registers are the bucket-wise max over every group."""
+    w = 60 - p
+    m = 1 << p
+    h = f"(('0x' || substr(md5('hll|' || {key_expr}), 1, 15))::BIGINT)"
+    nbits = " + ".join(
+        f"(CASE WHEN rest >= {1 << i} THEN 1 ELSE 0 END)" for i in range(w)
+    )
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+    raw = (
+        f"{alpha} * {m}::DOUBLE * {m} * (1::BIGINT << a.max_r) / t.t_int"
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT {group_expr} AS grp,
+               ({h} % {m}) AS bucket,
+               (({h} >> {p}) & {(1 << w) - 1}) AS rest
+        FROM ({table_expr}) WHERE {key_expr} IS NOT NULL
+    ), ranked AS (
+        SELECT grp, bucket, ({w} - ({nbits})) + 1 AS r FROM hashed
+    ), maxr AS (
+        SELECT grp, bucket, max(r) AS r FROM ranked GROUP BY grp, bucket
+        UNION ALL
+        SELECT '{merged_label}' AS grp, bucket, max(r) AS r
+        FROM ranked GROUP BY bucket
+    ), grps AS (
+        SELECT DISTINCT grp FROM maxr
+    ), regs AS (
+        SELECT g.grp, gs.i AS bucket, COALESCE(mx.r, 0) AS r
+        FROM grps g
+        CROSS JOIN generate_series(0, {m - 1}) AS gs(i)
+        LEFT JOIN maxr mx ON mx.grp = g.grp AND mx.bucket = gs.i
+    ), a AS (
+        SELECT grp, max(r) AS max_r,
+               CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM regs GROUP BY grp
+    ), t AS (
+        SELECT regs.grp,
+               CAST(sum(1::BIGINT << (a.max_r - regs.r)) AS BIGINT) AS t_int
+        FROM regs JOIN a ON a.grp = regs.grp
+        GROUP BY regs.grp
+    )
+    SELECT a.grp AS {out_group_col},
+           round(
+             CASE WHEN a.v > 0 AND {raw} <= 2.5 * {m}
+                  THEN {m} * ln({m}::DOUBLE / a.v)
+                  ELSE {raw}
+             END, 2) AS estimate,
+           a.v AS zero_registers
+    FROM a JOIN t ON t.grp = a.grp
+    """
+
+
 # ---------------------------------------------------------------------------
 # Histogram quantile sketch (equi-width bins + linear interpolation)
 # ---------------------------------------------------------------------------

@@ -150,3 +150,48 @@ def test_histogram_quantiles_constant_column(spark):
     df = spark.range(0, 100).select(F.lit(42.0).alias("x"))
     ests = histogram_quantile_estimates(df, "x", [0.5])
     assert ests == [{"q": 0.5, "estimate": 42.0}]
+
+
+def test_hll_merge_equals_whole_corpus_sketch(spark):
+    """Mergeability law: bucket-wise max of per-group registers must equal
+    the registers built over the whole corpus in one pass — merge(sketch(A),
+    sketch(B)) == sketch(A ∪ B), the property that lets a 100 TB run build
+    registers per shard and combine them without re-reading data."""
+    from pytrousse_spark.operators.sketch import (
+        hll_estimate_row,
+        hll_merge_registers,
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("k"), (F.col("id") % 700)).alias("k"),
+    )
+    grouped = hll_registers_grouped(df, "g", "k", p=10)
+    merged = {
+        (r["bucket"], r["r"]) for r in hll_merge_registers(grouped).collect()
+    }
+    direct = {
+        (r["bucket"], r["r"]) for r in hll_registers(df, "k", p=10).collect()
+    }
+    assert merged == direct
+    e_m = hll_estimate_row(sorted(merged), p=10)
+    e_d = hll_estimate_row(sorted(direct), p=10)
+    assert e_m == e_d
+
+
+def test_histogram_quantiles_null_rows_excluded(spark):
+    """ADVICE r3: NULL rows must not inflate the quantile target n — the
+    estimate over a column with NULLs equals the estimate over the
+    pre-filtered column."""
+    from pytrousse_spark.operators.sketch import histogram_quantile_estimates
+
+    clean = spark.range(0, 5000).select((F.col("id") * 1.0).alias("x"))
+    dirty = spark.range(0, 5000).select(
+        F.when(F.col("id") % 5 != 0, F.col("id") * 1.0).alias("x")
+    )
+    clean_only = clean.where("x % 5 != 0")
+    e_dirty = histogram_quantile_estimates(dirty, "x", [0.5, 0.9], 1024)
+    e_clean = histogram_quantile_estimates(clean_only, "x", [0.5, 0.9], 1024)
+    assert e_dirty == e_clean
