@@ -45,3 +45,19 @@ def test_entry_smoke(spark):
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
         "sum_disc_price", "avg_qty", "avg_disc", "count_order",
     ]
+
+
+def test_type_gate_rejects_hugeint(spark, duck01):
+    """The declared-type gate itself: an oracle whose integer column
+    widens to HUGEINT (DuckDB windowed/aggregate sum) must FAIL parity
+    even when every value matches — the q11/q68 bug class."""
+    import pytest as _pytest
+
+    from tests.conftest import assert_df_matches_sql
+
+    df = spark.range(1).selectExpr("CAST(3 AS BIGINT) AS s")
+    good = "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT 3::INTEGER AS x)"
+    bad = "SELECT sum(x) AS s FROM (SELECT 3::INTEGER AS x)"
+    assert_df_matches_sql(df, duck01, good)
+    with _pytest.raises(AssertionError, match="hugeint"):
+        assert_df_matches_sql(df, duck01, bad)

@@ -199,3 +199,73 @@ def test_stream_near_dup_alerts_match_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_watermark_bounds_state(spark, tmp_path_factory):
+    """Watermark law as Spark 4 actually guarantees it: the watermark is a
+    STATE bound, not an input filter — a straggler arriving 10 hours late
+    is still emitted once (update mode) but its window state is evicted in
+    the very batch it arrives, and the final state holds exactly the
+    windows still inside the watermark horizon. This is the contract that
+    keeps a 100 TB stream's aggregation state finite."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("late_events")
+
+    def write(path, rows):
+        t0 = 1767225600_000_000_000  # 2026-01-01 00:00 UTC in ns
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [t0 + int(r[1] * 3600 * 1e9) for r in rows],
+                    pa.timestamp("ns"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(table, path)
+
+    # batch 0: fresh events to T0+3h -> watermark T0+2h after the batch
+    write(d / "a.parquet", [(1, 0.0), (2, 0.5), (3, 2.0), (4, 3.0)])
+    # batch 1: one event 10h BEFORE T0 (far past watermark) + one fresh
+    write(d / "b.parquet", [(5, -10.0), (6, 4.0)])
+    now = _time.time()
+    os.utime(d / "a.parquet", (now - 300, now - 300))
+    os.utime(d / "b.parquet", (now, now))
+
+    stream = read_events_stream(spark, str(d))
+    agg = windowed_event_counts(stream, "1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    progress = {p["batchId"]: p for p in q.recentProgress}
+    # batch 1 runs with the watermark advanced by batch 0 (T0+2h)
+    assert progress[1]["eventTime"]["watermark"].startswith("2026-01-01T02")
+    # the straggler is emitted once but NEVER retained: batch 1 evicts the
+    # closed T0 window AND the late window (created then dropped in-batch)
+    assert progress[1]["stateOperators"][0]["numRowsRemoved"] == 2
+    # final state = exactly the windows whose end is past the final
+    # watermark (T0+3h): the T0+3h and T0+4h windows
+    final = max(progress)
+    assert progress[final]["eventTime"]["watermark"].startswith("2026-01-01T03")
+    assert progress[final]["stateOperators"][0]["numRowsTotal"] == 2
+
+    # batch twin (no watermark) still counts ALL six events
+    batch = read_parquet_df(spark, str(d))
+    twin = windowed_event_counts(batch, "1 hour")
+    assert twin.agg({"n_events": "sum"}).first()[0] == 6
+    assert len(twin.collect()) == 5  # events at T0 and T0+30m share a window
