@@ -3218,6 +3218,22 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rerank=100,
         )
 
+    def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # q101's serving tier: IVF-PQ search with pre-trained (seed-only)
+        # codebooks — brackets the serving cost the same way x90 does for
+        # flat ADC, isolating cell-join + LUT-score + re-rank from the
+        # shared k-means training q101 pays when it runs first.
+        from pytrousse_spark.operators import quantization as pq
+
+        e = _t(spark, sf_dir, "embeddings")
+        books = pq.pq_codebooks_kmeans(
+            e, "vec_id", "embedding", num_sub=8, num_cent=16, dim=64, iters=0
+        )
+        return pq.ivf_pq_topk(
+            e, e.where("vec_id < 40"), "vec_id", "embedding", books,
+            k=5, num_cells=16, nprobe=4, rerank=100,
+        )
+
     def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The exact-percentile comparison leg q100 carried through r3:
         # percentile() buffers every value in one final aggregation (8.0s
@@ -3268,6 +3284,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x87_bloom_xxhash64": x87,
         "x90_pq_adc_pretrained": x90,
         "x100_quantiles_exact_baseline": x100,
+        "x101_ivf_pq_pretrained": x101,
     }
 
 

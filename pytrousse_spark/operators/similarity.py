@@ -279,34 +279,46 @@ def _cell_rank_array(
     ascending struct order = score desc, cell index asc, NULL scores (zero
     norms) coalesced past every real score. Pure map-side expression: cell
     assignment costs num_cells dot products per row and NO shuffle. Assumes
-    a staged ``__n`` row-norm column (HOF re-evaluation pitfall)."""
+    a staged ``__n`` row-norm column (HOF re-evaluation pitfall).
+
+    PLAN-SIZE NOTE (same pitfall as quantization._nearest_code): the
+    centroid matrix is ONE nested literal and the dot product ONE fold
+    shared by all cells via an indexed transform lambda — the naive
+    per-centroid-literal expansion built num_cells separate fold trees and
+    its Catalyst analysis + codegen dominated cold runs (x101 16.8s cold /
+    7.1s warm measured before this form; identical values either way).
+    Centroid norms are precomputed on the driver with the engines' own
+    sequential fold and shipped as a second literal array, so scores stay
+    bit-identical to the DuckDB twin while the per-row expression halves.
+    """
     import math
 
-    items = []
-    for idx, cv in cents:
-        lit = F.array(*[F.lit(x) for x in cv])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        # centroid norm precomputed on the driver with the SAME sequential
-        # double fold the engines use (plain += loop == left fold in IEEE
-        # arithmetic), so scores stay bit-identical to the DuckDB twin while
-        # the per-row expression halves.
+    cb_lit = F.array(*[F.array(*[F.lit(x) for x in cv]) for _, cv in cents])
+    norms = []
+    for _, cv in cents:
         acc = 0.0
         for x in cv:
             acc += x * x
-        cn_val = math.sqrt(acc)
-        cn = F.lit(cn_val)
-        s = F.when((F.col("__n") > 0) & (cn > 0), d / (F.col("__n") * cn))
-        items.append(
-            F.struct(
-                F.coalesce(-F.round(s, 6), F.lit(2.0)).alias("ns"),
-                F.lit(idx).alias("cell"),
-            )
+        norms.append(math.sqrt(acc))
+    cn_lit = F.array(*[F.lit(v) for v in norms])
+    # cents are ordered with idx == position + 1 (both builders emit them
+    # that way); the transform index therefore reconstructs the cell id
+    assert [idx for idx, _ in cents] == list(range(1, len(cents) + 1))
+
+    def entry(cv: Column, i: Column) -> Column:
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), cv, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-    return F.array_sort(F.array(*items))
+        cn = F.element_at(cn_lit, i + 1)
+        s = F.when((F.col("__n") > 0) & (cn > 0), d / (F.col("__n") * cn))
+        return F.struct(
+            F.coalesce(-F.round(s, 6), F.lit(2.0)).alias("ns"),
+            (i + 1).cast("int").alias("cell"),
+        )
+
+    return F.array_sort(F.transform(cb_lit, entry))
 
 
 def ivf_topk(

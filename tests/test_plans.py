@@ -64,3 +64,35 @@ def test_column_pruning_reaches_scan(spark):
     assert m, "no ReadSchema in plan"
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert len(cols) <= 5, cols
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """write_partitioned's layout must make a partition-column filter prune
+    at the SCAN (PartitionFilters), not post-scan — the property that lets
+    a 100 TB lake skip whole directories."""
+    from pytrousse_spark import read_parquet_df
+    from pytrousse_spark.operators.relational import write_partitioned
+
+    li = read_parquet_df(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    d = str(tmp_path_factory.mktemp("part") / "li")
+    write_partitioned(
+        li.select("l_orderkey", "l_quantity", "l_returnflag"),
+        d,
+        ["l_returnflag"],
+    )
+    back = spark.read.parquet(d).where("l_returnflag = 'A'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "l_returnflag" in plan.split("PartitionFilters", 1)[1].split("]")[0]
+    # pruning is real: only the A partition's rows are read
+    a_rows = li.where("l_returnflag = 'A'").count()
+    assert back.count() == a_rows
+
+
+def test_q101_corpus_single_pass_and_broadcasts(spark):
+    """q101's scale contract: the corpus side computes cell + PQ code in
+    one projection pass (no self-join back to the corpus for scoring
+    metadata), and the query-side tables (cells, LUT) broadcast."""
+    plan = _plan(spark, "q101_ivf_pq")
+    assert plan.count("BroadcastExchange") >= 2  # q_cells + LUT + re-rank qf
+    assert "CartesianProduct" not in plan
