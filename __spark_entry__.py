@@ -1824,9 +1824,16 @@ def q102_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pytrousse_spark.functions.hashing import h60
 
     d = _t(spark, sf_dir, "documents")
+    # per-session path: the result is collected lazily AFTER this function
+    # returns, so the directory must outlive the call; keying it by
+    # applicationId keeps concurrent harnesses (driver battery, bench,
+    # pytest) from clobbering each other's files mid-read. On a real
+    # cluster this would be shared storage, not driver-local tmp.
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        f"pytrousse_q102_csv_{os.path.basename(os.path.normpath(sf_dir))}",
+        "pytrousse_q102_csv_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
     )
     (
         d.write.mode("overwrite")

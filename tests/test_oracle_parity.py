@@ -61,3 +61,22 @@ def test_type_gate_rejects_hugeint(spark, duck01):
     assert_df_matches_sql(df, duck01, good)
     with _pytest.raises(AssertionError, match="hugeint"):
         assert_df_matches_sql(df, duck01, bad)
+
+
+def test_registry_head_carries_the_round4_evidence_plan():
+    """The driver checks exactly the first 50 registered queries; pin the
+    round-4 head so a refactor can't silently reorder evidence: the fixed
+    q68, the three new queries, then only r2-evidence queries — nothing
+    with a fresh r3 row may occupy a head slot."""
+    names = list(entrymod.queries())
+    head = names[:50]
+    assert head[0] == "q68_pack_sequences"
+    assert "q101_ivf_pq" in head[:4]
+    assert "q102_csv_roundtrip" in head[:4]
+    assert "q103_hll_merge" in head[:4]
+    r3_green = {
+        "q01_pricing_summary", "q10_events_hourly", "q11_sessionize",
+        "q51b_asof_forward",
+    } | {n for n in names if n[1:3].isdigit() and 55 <= int(n[1:3]) <= 99}
+    overlap = r3_green & set(head) - {"q68_pack_sequences"}
+    assert not overlap, f"r3-green queries occupy head slots: {sorted(overlap)}"
