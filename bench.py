@@ -85,7 +85,12 @@ def _headroom_10x(spark, big_dir: str) -> dict:
     three shuffle-heaviest queries against the 10x corpus, so linear-scaling
     claims are recorded as numbers in BENCH_r{N}.json rather than prose."""
     out: dict[str, float] = {}
-    for name in ("q59_clean_corpus", "q65_dup_clusters", "q57_ivf_topk"):
+    for name in (
+        "q59_clean_corpus",
+        "q65_dup_clusters",
+        "q57_ivf_topk",
+        "q101_ivf_pq",
+    ):
         fn = getattr(entrymod, name)
         t0 = time.perf_counter()
         try:
