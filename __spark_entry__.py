@@ -1941,6 +1941,33 @@ def _sql_q103() -> str:
     )
 
 
+def q104_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning profile: l_extendedprice cut into 4
+    equal-frequency buckets whose boundaries come from the histogram
+    quantile sketch (one fixed-size hash agg — no sort, the scale path an
+    exact qcut can't take), assignment via B1's later-wins closed form as
+    a map-side literal-array expression. Extends the reference's binning
+    family (B1 user thresholds, B4 per-group geometric) with the
+    data-driven variant every preprocessing pipeline needs."""
+    from pytrousse_spark.operators.binning import quantile_bins
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    binned, _ = quantile_bins(li, "l_extendedprice", num_bins=4)
+    return binned.groupBy(F.col("__qbin").alias("bin_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(F.col("l_extendedprice").cast("double")), 4).alias("lo"),
+        F.round(F.max(F.col("l_extendedprice").cast("double")), 4).alias("hi"),
+    )
+
+
+def _sql_q104() -> str:
+    from pytrousse_spark.operators.binning import quantile_bins_profile_sql
+
+    return quantile_bins_profile_sql("lineitem", "l_extendedprice", num_bins=4)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -2986,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_ivf_pq": q101_ivf_pq,
         "q102_csv_roundtrip": q102_csv_roundtrip,
         "q103_hll_merge": q103_hll_merge,
+        "q104_quantile_bins": q104_quantile_bins,
         # -- head 4-50: r2-only evidence, oldest families first ------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3379,6 +3407,7 @@ def oracle_sql() -> dict[str, str]:
         "q101_ivf_pq": _sql_q101(),
         "q102_csv_roundtrip": _sql_q102(),
         "q103_hll_merge": _sql_q103(),
+        "q104_quantile_bins": _sql_q104(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

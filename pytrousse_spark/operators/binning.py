@@ -427,3 +427,67 @@ def explode_overlapping_bins(
         ),
         new_derived=(new_column_name,),
     )
+
+
+# ---------------------------------------------------------------------------
+# B+ — equi-depth (quantile) binning on sketch boundaries (beyond-reference)
+# ---------------------------------------------------------------------------
+def quantile_bins(df, col: str, num_bins: int = 4, num_hist_bins: int = 4096):
+    """Equi-depth binning: ``__qbin`` = which of ``num_bins``
+    equal-frequency buckets the value falls in — the data-driven sibling
+    of B1's user-supplied thresholds (pandas ``qcut`` in the reference's
+    world, absent there because its datasets fit in RAM).
+
+    Scale design: boundaries come from the histogram quantile sketch
+    (operators/sketch.py) — ONE fixed-size hash aggregation bounded by
+    ``num_hist_bins`` cells instead of the full sort an exact qcut needs,
+    deterministic and replayed bit-for-bit by the DuckDB twin. Assignment
+    reuses B1's later-wins closed form (#{thresholds <= x}) as a pure
+    map-side expression over a literal array; NULL stays NULL.
+
+    Returns (df + __qbin int column, boundaries list).
+    """
+    from .sketch import histogram_quantile_estimates
+
+    qs = [i / num_bins for i in range(1, num_bins)]
+    ests = histogram_quantile_estimates(df, col, qs, num_hist_bins)
+    thresholds = [e["estimate"] for e in ests]
+    x = F.col(col).cast("double")
+    arr = F.array(*[F.lit(float(t)) for t in thresholds])
+    bin_expr = (
+        F.when(
+            x.isNotNull(),
+            F.size(F.filter(arr, lambda t: x >= t)),
+        )
+        .otherwise(F.lit(None))
+        .cast("int")
+    )
+    return df.withColumn("__qbin", bin_expr), thresholds
+
+
+def quantile_bins_profile_sql(
+    table: str, col: str, num_bins: int = 4, num_hist_bins: int = 4096
+) -> str:
+    """DuckDB twin of the per-bin profile over :func:`quantile_bins`:
+    recomputes the sketch boundaries with the identical bucket/crossing/
+    interpolation math (histogram_quantiles_sql), assigns bins with the
+    same #{thresholds <= x} rule, and aggregates count/min/max per bin."""
+    from .sketch import histogram_quantiles_sql
+
+    qs = [i / num_bins for i in range(1, num_bins)]
+    inner = histogram_quantiles_sql(table, col, qs, num_hist_bins)
+    return f"""
+    WITH bnd AS ({inner}),
+    assigned AS (
+        SELECT {col} AS x,
+               CAST((SELECT count(*) FROM bnd b WHERE {col} >= b.estimate)
+                    AS INT) AS bin_id
+        FROM {table} WHERE {col} IS NOT NULL
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(x), 4) AS lo,
+           round(max(x), 4) AS hi
+    FROM assigned
+    GROUP BY bin_id
+    """

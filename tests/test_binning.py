@@ -139,3 +139,28 @@ def test_b5_overlapping_bins_explode(spark):
     got = sorted((r["x"], r["bin"]) for r in out.df.collect())
     # 4.5 matches both bins → duplicated; 99 matches none → dropped
     assert got == [(1.0, 0), (4.5, 0), (4.5, 1), (9.0, 1)]
+
+
+def test_quantile_bins_equi_depth(spark):
+    """Equi-depth contract: sketch-boundary bins hold near-equal mass
+    (within the histogram's bin-width error), NULLs stay NULL, and bin
+    ids cover exactly 0..num_bins-1."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.binning import quantile_bins
+
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 100 != 0, (F.col("id") * 7.3) % 1000.0)
+        .alias("x")
+    )
+    binned, thresholds = quantile_bins(df, "x", num_bins=4)
+    assert len(thresholds) == 3 and thresholds == sorted(thresholds)
+    counts = {
+        r["__qbin"]: r["c"]
+        for r in binned.groupBy("__qbin").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert counts.pop(None) == 200  # NULL input -> NULL bin
+    assert set(counts) == {0, 1, 2, 3}
+    n = sum(counts.values())
+    for b, c in counts.items():
+        assert abs(c - n / 4) / (n / 4) < 0.05, (b, c, n)

@@ -71,9 +71,10 @@ def test_registry_head_carries_the_round4_evidence_plan():
     names = list(entrymod.queries())
     head = names[:50]
     assert head[0] == "q68_pack_sequences"
-    assert "q101_ivf_pq" in head[:4]
-    assert "q102_csv_roundtrip" in head[:4]
-    assert "q103_hll_merge" in head[:4]
+    assert "q101_ivf_pq" in head[:5]
+    assert "q102_csv_roundtrip" in head[:5]
+    assert "q103_hll_merge" in head[:5]
+    assert "q104_quantile_bins" in head[:5]
     r3_green = {
         "q01_pricing_summary", "q10_events_hourly", "q11_sessionize",
         "q51b_asof_forward",
