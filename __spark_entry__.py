@@ -1968,6 +1968,19 @@ def _sql_q104() -> str:
     return quantile_bins_profile_sql("lineitem", "l_extendedprice", num_bins=4)
 
 
+def q105_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-quality power law: slope/intercept/r² of ln(freq)~ln(rank)
+    over the top-500 tokens (Zipf's law; natural text ≈ −1), plus whole
+    vocabulary mass and the modal token. Shuffle bounded by vocabulary;
+    rank via TakeOrderedAndProject (never a global sort); the regression
+    runs over 500 staged log points the oracle replays exactly."""
+    return tx.zipf_fit(_t(spark, sf_dir, "documents"), "text", "doc_id", top_r=500)
+
+
+def _sql_q105() -> str:
+    return tx.zipf_fit_sql("documents", "text", "doc_id", top_r=500)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3014,7 +3027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_csv_roundtrip": q102_csv_roundtrip,
         "q103_hll_merge": q103_hll_merge,
         "q104_quantile_bins": q104_quantile_bins,
-        # -- head 4-50: r2-only evidence, oldest families first ------------
+        "q105_zipf_fit": q105_zipf_fit,
+        # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
         "q04_filter_agg": q04_filter_agg,
@@ -3408,6 +3422,7 @@ def oracle_sql() -> dict[str, str]:
         "q102_csv_roundtrip": _sql_q102(),
         "q103_hll_merge": _sql_q103(),
         "q104_quantile_bins": _sql_q104(),
+        "q105_zipf_fit": _sql_q105(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

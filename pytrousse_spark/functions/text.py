@@ -932,3 +932,99 @@ def bigram_nll_sql(table: str, text_col: str, id_col: str) -> str:
     FROM bi JOIN ratio ON ratio.w1 = bi.w1 AND ratio.w2 = bi.w2
     GROUP BY bi.__id
     """
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law fit (corpus-level frequency diagnostics)
+# ---------------------------------------------------------------------------
+def zipf_fit(df, text_col: str, id_col: str, top_r: int = 1000):
+    """Fit the corpus token-frequency distribution to a power law:
+    slope / intercept / r² of ``ln(freq) ~ ln(rank)`` over the ``top_r``
+    most frequent tokens, plus the whole-vocabulary mass (n_types,
+    n_tokens) and the modal token. A natural-language corpus lands near
+    slope ≈ −1 (Zipf 1949); a corpus of boilerplate, spam, or generated
+    junk visibly deviates — making the exponent a one-row corpus-quality
+    gate alongside the per-document signals (repetition_stats,
+    unigram_surprisal).
+
+    Scale: one explode + one token-keyed aggregation (map-side partials;
+    shuffle bounded by vocabulary, not corpus), materialized once via the
+    signature-store pattern and consumed by BOTH the totals and the
+    regression. The rank join is ``orderBy().limit(top_r)`` — a
+    TakeOrderedAndProject, never a global sort — and the row_number
+    window then runs over only ``top_r`` rows. The regression itself is
+    one aggregation over ``top_r`` points staged as rounded logs so the
+    DuckDB twin replays it term-for-term.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    freq = (
+        df.select(tokens(F.col(text_col)).alias("__tk"))
+        .select(F.explode("__tk").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    topr = (
+        freq.orderBy(F.col("c").desc(), F.col("token"))
+        .limit(top_r)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("token"))
+            ),
+        )
+    )
+    pts = topr.select(
+        F.round(F.log(F.col("r").cast("double")), 6).alias("lr"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("lf"),
+        F.when(F.col("r") == 1, F.col("token")).alias("__top"),
+    )
+    fit = pts.agg(
+        F.round(F.regr_slope(F.col("lf"), F.col("lr")), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("lf"), F.col("lr")), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("lf"), F.col("lr")), 4).alias("r2"),
+        F.max("__top").alias("top_token"),
+    )
+    return fit.crossJoin(totals).select(
+        "slope", "intercept", "r2", "n_types", "n_tokens", "top_token"
+    )
+
+
+def zipf_fit_sql(table: str, text_col: str, id_col: str, top_r: int = 1000) -> str:
+    """DuckDB twin of :func:`zipf_fit` — identical tokenization, rank
+    tie-break, staged rounded logs, and regression aggregates."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH tok AS (
+      SELECT unnest({toks}) AS token FROM {table}
+    ), freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM freq
+    ), topr AS (
+      SELECT token, c,
+             row_number() OVER (ORDER BY c DESC, token) AS r
+      FROM freq QUALIFY r <= {top_r}
+    ), pts AS (
+      SELECT round(ln(CAST(r AS DOUBLE)), 6) AS lr,
+             round(ln(CAST(c AS DOUBLE)), 6) AS lf,
+             CASE WHEN r = 1 THEN token END AS __top
+      FROM topr
+    ), fit AS (
+      SELECT round(regr_slope(lf, lr), 4) AS slope,
+             round(regr_intercept(lf, lr), 4) AS intercept,
+             round(regr_r2(lf, lr), 4) AS r2,
+             max(__top) AS top_token
+      FROM pts
+    )
+    SELECT slope, intercept, r2, n_types, n_tokens, top_token
+    FROM fit CROSS JOIN tot
+    """

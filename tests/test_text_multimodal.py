@@ -211,3 +211,23 @@ def test_png_distributed_decode(spark):
     for did, r in got.items():
         want = sum((did * 7 + 3 * x + 5 * y) % 256 for x in range(10) for y in range(6))
         assert (r["width"], r["height"], r["pixel_sum"]) == (10, 6, want)
+
+
+def test_zipf_fit_recovers_the_exponent(spark):
+    """A corpus built with freq(token_r) = 2000//r (an exact power law,
+    exponent -1) must fit slope ~ -1 with near-perfect r2; top_token and
+    the vocabulary mass are exact."""
+    from pytrousse_spark.functions.text import zipf_fit
+
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * (2000 // r)
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::10])) for i in range(10)], ["doc_id", "text"]
+    )
+    row = zipf_fit(docs, "text", "doc_id", top_r=40).first()
+    assert row["top_token"] == "w01"
+    assert row["n_types"] == 40
+    assert row["n_tokens"] == sum(2000 // r for r in range(1, 41))
+    assert -1.05 < row["slope"] < -0.95
+    assert row["r2"] > 0.99
