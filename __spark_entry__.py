@@ -1981,6 +1981,98 @@ def _sql_q105() -> str:
     return tx.zipf_fit_sql("documents", "text", "doc_id", top_r=500)
 
 
+#: deterministic snapshot-B mutation for q106: keys hash-mod 10 → 0 deleted,
+#: 1 repriced (+7.25, exact in binary), 2 cloned as inserts (+1e9 key, +1.5).
+_CDC_SEED = "cdc"
+
+
+def _q106_snapshots(spark: SparkSession, sf_dir: str):
+    from pytrousse_spark.functions.hashing import h60_seeded
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    base = o.withColumn(
+        "m", h60_seeded(F.col("o_orderkey").cast("string"), _CDC_SEED) % 10
+    )
+    price = F.col("o_totalprice")
+    b = (
+        base.where(F.col("m") != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("m") == 1, price + 7.25)
+            .otherwise(price)
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            base.where(F.col("m") == 2).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_orderstatus",
+                (price + 1.5).alias("o_totalprice"),
+                "o_orderpriority",
+            )
+        )
+    )
+    return o, b
+
+
+def q106_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance: CDC change set between two order snapshots
+    (B = A with a deterministic hash-keyed delete/reprice/insert mix),
+    classified by one co-partitioned full-outer join over map-side row
+    fingerprints (operators/cdc.py — at rest, bucket both snapshots by the
+    key and this diff is exchange-free). The round-trip law
+    merge_apply(A, diff) == B is pinned in tests/test_cdc.py."""
+    from pytrousse_spark.operators.cdc import snapshot_diff
+
+    a, b = _q106_snapshots(spark, sf_dir)
+    diff = snapshot_diff(
+        a, b, ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+            "sum_new_price"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("old_o_totalprice"), F.lit(0.0))), 2
+        ).alias("sum_old_price"),
+    )
+
+
+def _sql_q106() -> str:
+    from pytrousse_spark.functions.hashing import h60_seeded_sql
+    from pytrousse_spark.operators.cdc import snapshot_diff_sql
+
+    m = f"({h60_seeded_sql('CAST(o_orderkey AS VARCHAR)', _CDC_SEED)} % 10)"
+    cols = "o_orderkey, o_orderstatus, o_totalprice, o_orderpriority"
+    a_sub = f"SELECT {cols} FROM orders"
+    b_sub = f"""
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN {m} = 1 THEN o_totalprice + 7.25
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE {m} <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice + 1.5,
+             o_orderpriority
+      FROM orders WHERE {m} = 2
+    """
+    diff = snapshot_diff_sql(
+        a_sub, b_sub, ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    return f"""
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(coalesce(o_totalprice, 0.0)), 2) AS sum_new_price,
+           round(sum(coalesce(old_o_totalprice, 0.0)), 2) AS sum_old_price
+    FROM ({diff}) GROUP BY change_type
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3028,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_hll_merge": q103_hll_merge,
         "q104_quantile_bins": q104_quantile_bins,
         "q105_zipf_fit": q105_zipf_fit,
+        "q106_snapshot_diff": q106_snapshot_diff,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3423,6 +3516,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_hll_merge": _sql_q103(),
         "q104_quantile_bins": _sql_q104(),
         "q105_zipf_fit": _sql_q105(),
+        "q106_snapshot_diff": _sql_q106(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),
