@@ -2073,6 +2073,67 @@ def _sql_q106() -> str:
     """
 
 
+#: q107 projection shape: 64-dim embeddings down 4x to 16.
+_RP_IN, _RP_OUT, _RP_SALT = 64, 16, "q107"
+
+
+def q107_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection 64→16 over the embeddings table — the
+    map-side pre-reduction that shrinks every downstream index (LSH/IVF/
+    PQ) and its build shuffle by 4x. Sign matrix derived from the portable
+    hash (never stored), projection = 16 index-ordered JVM folds, ZERO
+    shuffles; emits the first 4 components and the norm-distortion ratio
+    the JL lemma bounds (law pinned in tests/test_projection.py)."""
+    from pytrousse_spark.operators.projection import random_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_project(
+        emb, "embedding", _RP_IN, _RP_OUT, salt=_RP_SALT
+    )
+    p = F.col("projected")
+    sq = F.aggregate(
+        p, F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    osq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    return proj.select(
+        "vec_id",
+        *[F.round(p[j], 6).alias(f"p{j}") for j in range(4)],
+        F.round(F.sqrt(sq) / F.sqrt(osq), 4).alias("norm_ratio"),
+    )
+
+
+def _sql_q107() -> str:
+    from pytrousse_spark.operators.projection import (
+        rp_component_sql,
+        rp_signs,
+    )
+
+    signs = rp_signs(_RP_IN, _RP_OUT, _RP_SALT)
+    comps = ", ".join(
+        rp_component_sql("embedding", signs[j], _RP_IN, _RP_OUT)
+        for j in range(_RP_OUT)
+    )
+    ps = ", ".join(f"round(proj[{j + 1}], 6) AS p{j}" for j in range(4))
+    osq = (
+        f"list_sum(list_transform(range(1, {_RP_IN + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+    WITH pr AS (
+      SELECT vec_id, [{comps}] AS proj, {osq} AS osq
+      FROM embeddings
+    )
+    SELECT vec_id, {ps},
+           round(sqrt(list_sum(list_transform(range(1, {_RP_OUT + 1}),
+                 i -> proj[i] * proj[i]))) / sqrt(osq), 4) AS norm_ratio
+    FROM pr
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3121,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_quantile_bins": q104_quantile_bins,
         "q105_zipf_fit": q105_zipf_fit,
         "q106_snapshot_diff": q106_snapshot_diff,
+        "q107_random_projection": q107_random_projection,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3517,6 +3579,7 @@ def oracle_sql() -> dict[str, str]:
         "q104_quantile_bins": _sql_q104(),
         "q105_zipf_fit": _sql_q105(),
         "q106_snapshot_diff": _sql_q106(),
+        "q107_random_projection": _sql_q107(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),
