@@ -2134,6 +2134,59 @@ def _sql_q107() -> str:
     """
 
 
+def q108_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing (the prompt's scale lever made a gate
+    query): orders and lineitem are written as managed tables bucketed AND
+    sorted by the join key, so the fact-fact SortMergeJoin reads both sides
+    with ZERO Exchange and ZERO Sort — the shuffle is pre-paid once at
+    write time and every later join/diff/rollup on the key rides free
+    (plan law pinned in tests/test_plans.py). The aggregate is computed
+    ONLY from the bucketed tables; the oracle joins the original parquet —
+    any row lost or duplicated by the bucketed write flips the hash."""
+    import re as _re
+
+    from pytrousse_spark.operators.relational import write_bucketed
+
+    tag = (
+        _re.sub(r"\W", "_", spark.sparkContext.applicationId)
+        + "_"
+        + _re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS pytrousse_buckets")
+    ot, lt = f"pytrousse_buckets.orders_{tag}", f"pytrousse_buckets.li_{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders"), ot, "o_orderkey", 8,
+        sort_by="o_orderkey", single_file_per_bucket=True,
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem"), lt, "l_orderkey", 8,
+        sort_by="l_orderkey", single_file_per_bucket=True,
+    )
+    ob, lb = spark.table(ot), spark.table(lt)
+    return (
+        lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def _sql_q108() -> str:
+    return """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3183,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_zipf_fit": q105_zipf_fit,
         "q106_snapshot_diff": q106_snapshot_diff,
         "q107_random_projection": q107_random_projection,
+        "q108_bucketed_join": q108_bucketed_join,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3580,6 +3634,7 @@ def oracle_sql() -> dict[str, str]:
         "q105_zipf_fit": _sql_q105(),
         "q106_snapshot_diff": _sql_q106(),
         "q107_random_projection": _sql_q107(),
+        "q108_bucketed_join": _sql_q108(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

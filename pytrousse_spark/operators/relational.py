@@ -65,10 +65,22 @@ def write_bucketed(
     num_buckets: int,
     sort_by: str | None = None,
     mode: str = "overwrite",
+    single_file_per_bucket: bool = False,
 ) -> None:
     """Bucketed managed table: co-locates join keys so later joins on
     ``bucket_by`` skip the shuffle entirely (SortMergeJoin with no Exchange).
+
+    With ``sort_by`` AND ``single_file_per_bucket`` the scan also reports
+    its ordering, so the join's per-side Sort disappears too: Spark only
+    trusts a bucket's sortedness when the bucket is ONE file (multiple
+    writer tasks each emit their own sorted file per bucket, which is not
+    globally sorted). The pre-shuffle uses the same hash Spark's bucket
+    router uses, so each task owns exactly one bucket. Size buckets so one
+    file per bucket stays manageable — at 100 TB that means thousands of
+    buckets, not 8.
     """
+    if single_file_per_bucket:
+        df = df.repartition(num_buckets, F.col(bucket_by))
     writer = df.write.mode(mode).bucketBy(num_buckets, bucket_by)
     if sort_by:
         writer = writer.sortBy(sort_by)

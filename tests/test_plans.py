@@ -96,3 +96,41 @@ def test_q101_corpus_single_pass_and_broadcasts(spark):
     plan = _plan(spark, "q101_ivf_pq")
     assert plan.count("BroadcastExchange") >= 2  # q_cells + LUT + re-rank qf
     assert "CartesianProduct" not in plan
+
+
+def test_q108_bucketed_join_is_exchange_and_sort_free(spark):
+    """The bucketed-join law: with broadcast disabled, the fact-fact join
+    over the bucketed tables is a SortMergeJoin whose BOTH inputs come
+    straight from bucketed scans — no Exchange; and with the sorted-scan
+    ordering enabled (safe here: single_file_per_bucket=True) no Sort
+    either — the shuffle AND the sort were pre-paid at write time."""
+    import re
+
+    # build the tables via the gate query once
+    entrymod.queries()["q108_bucketed_join"](spark, SF_DIR)
+    tag = re.sub(r"\W", "_", spark.sparkContext.applicationId) + "_sf0_01"
+    ob = spark.table(f"pytrousse_buckets.orders_{tag}")
+    lb = spark.table(f"pytrousse_buckets.li_{tag}")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Spark only trusts bucket sortedness for one-file buckets; the gate
+    # writes them that way, so the ordering flag is sound.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    try:
+        j = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"]).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Sort" not in join_part.replace("SortMergeJoin", "")
