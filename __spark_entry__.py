@@ -2187,6 +2187,28 @@ def _sql_q108() -> str:
     """
 
 
+def q109_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sampling at scale: per-source
+    counts broadcast a map-side hash threshold that cuts every stratum to
+    O(k) rows BEFORE the ranking shuffle, then exact row_number — equal
+    row-for-row to the naive whole-stratum window (law in
+    tests/test_sampling.py) without its giant-stratum pathology. The
+    balanced-subset primitive behind eval-set construction and per-domain
+    caps in corpus curation."""
+    from pytrousse_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    samp = stratified_sample(d, ["source"], 30, "doc_id")
+    return samp.select("source", "doc_id", "n_chars")
+
+
+def _sql_q109() -> str:
+    from pytrousse_spark.operators.sampling import stratified_sample_sql
+
+    inner = stratified_sample_sql("documents", ["source"], 30, "doc_id")
+    return f"SELECT source, doc_id, n_chars FROM ({inner})"
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3237,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_snapshot_diff": q106_snapshot_diff,
         "q107_random_projection": q107_random_projection,
         "q108_bucketed_join": q108_bucketed_join,
+        "q109_stratified_sample": q109_stratified_sample,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3635,6 +3658,7 @@ def oracle_sql() -> dict[str, str]:
         "q106_snapshot_diff": _sql_q106(),
         "q107_random_projection": _sql_q107(),
         "q108_bucketed_join": _sql_q108(),
+        "q109_stratified_sample": _sql_q109(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -345,3 +345,83 @@ def dsir_importance_sql(
            round(CAST(sum(r) AS DOUBLE) / 1000000, 4) AS log_weight
     FROM tok JOIN ratio USING (t) GROUP BY __id
     """
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_cols: list[str],
+    k: int,
+    id_col: str,
+    oversample: float = 2.5,
+    salt: str = "topk",
+) -> DataFrame:
+    """Scale-hardened :func:`hash_topk_per_group`: exact k rows per
+    stratum, chosen by the same salted hash order, WITHOUT ever feeding a
+    whole stratum through one window partition.
+
+    Two stages: (1) per-stratum counts broadcast back onto the frame set a
+    map-side hash threshold keeping ~``oversample``·k rows per stratum —
+    a giant stratum (the window scale-killer) is cut to O(k) BEFORE any
+    shuffle; (2) exact row_number over the survivors. The k smallest
+    hashes survive stage 1 unless the k-th order statistic of n uniform
+    draws exceeds ``oversample``·k/n — vanishing by Chernoff for
+    oversample ≥ 2 — so the result provably equals the direct one-stage
+    sample (law pinned in tests/test_sampling.py; parity would still hold
+    regardless, since the oracle replays both stages).
+
+    Both stages shuffle only O(strata · k) rows; counts aggregate
+    map-side. ``salt`` defaults to hash_topk_per_group's so the two are
+    interchangeable row-for-row.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*stratum_cols).agg(F.count(F.lit(1)).alias("__n"))
+    b = _bucket(id_col, salt)
+    thresh = F.least(
+        F.lit(_BUCKETS).cast("long"),
+        F.floor(
+            F.lit(float(oversample * k * _BUCKETS)) / F.col("__n")
+        ).cast("long")
+        + 1,
+    )
+    pre = df.join(F.broadcast(counts), stratum_cols).where(b < thresh)
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        b.asc(), F.col(id_col).asc()
+    )
+    return (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__n")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    stratum_cols: list[str],
+    k: int,
+    id_col: str,
+    oversample: float = 2.5,
+    salt: str = "topk",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` — identical threshold
+    arithmetic and both stages replayed."""
+    g = ", ".join(stratum_cols)
+    b = _bucket_sql(id_col, salt)
+    return f"""
+    WITH counts AS (
+      SELECT {g}, CAST(count(*) AS BIGINT) AS __n FROM {table} GROUP BY {g}
+    ), pre AS (
+      SELECT t.*
+      FROM {table} t JOIN counts USING ({g})
+      WHERE {b} < least(
+        CAST({_BUCKETS} AS BIGINT),
+        CAST(floor({float(oversample * k * _BUCKETS)} / __n) AS BIGINT) + 1
+      )
+    )
+    SELECT * EXCLUDE (__rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {g} ORDER BY {b}, {id_col}
+      ) AS __rn
+      FROM pre
+    ) WHERE __rn <= {k}
+    """

@@ -149,3 +149,45 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r["id"] for r in sp.weighted_sample(df, "id", "w", k=10).collect()}
     assert got == {1, 5}
+
+
+def test_stratified_sample_equals_naive_window(spark):
+    """The scale path (count-broadcast prefilter + rank over survivors)
+    returns row-for-row the same sample as the whole-stratum window, and
+    exactly k per stratum when strata are big enough."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.sampling import (
+        hash_topk_per_group,
+        stratified_sample,
+    )
+
+    d = read_parquet_df(spark, "/root/testdata/sf0.01/documents.parquet")
+    fast = stratified_sample(d, ["source"], 12, "doc_id")
+    naive = hash_topk_per_group(d, ["source"], 12, "doc_id")
+    key = lambda df: sorted((r["source"], r["doc_id"]) for r in df.collect())
+    assert key(fast) == key(naive)
+    from collections import Counter
+
+    per = Counter(s for s, _ in key(fast))
+    from pyspark.sql import functions as F
+
+    sizes = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for s, n in sizes.items():
+        assert per[s] == min(12, n)
+
+
+def test_stratified_sample_prefilter_bounds_window_input(spark):
+    """The pre-filter is real: the plan filters on the hash bucket BELOW
+    the window, and survivors are a small multiple of k per stratum."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.sampling import stratified_sample
+
+    d = read_parquet_df(spark, "/root/testdata/sf0.01/documents.parquet")
+    samp = stratified_sample(d, ["source"], 5, "doc_id")
+    plan = samp._jdf.queryExecution().optimizedPlan().toString()
+    # the threshold comparison must sit below the Window node
+    below_window = plan.split("Window", 1)[1] if "Window" in plan else plan
+    assert "conv" in below_window  # h60 bucket filter pushed under the rank
