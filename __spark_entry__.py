@@ -2209,6 +2209,40 @@ def _sql_q109() -> str:
     return f"SELECT source, doc_id, n_chars FROM ({inner})"
 
 
+def q110_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: events resampled to a per-user hourly
+    grid (sequence+explode from each user's span — no global calendar
+    join), gaps carry the last observation forward through one per-key
+    window. Shuffles bounded by users x occupied buckets, never raw event
+    volume; summarized per user so the gate hashes every filled cell."""
+    from pytrousse_spark.operators.timeseries import resample_gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    g = resample_gapfill(ev, "user_id", "ts", "value", "1 hour")
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
+        F.round(F.sum(F.coalesce(F.col("v_sum"), F.lit(0.0))), 2).alias(
+            "observed_mass"
+        ),
+        F.round(F.sum("v_ff"), 2).alias("carried_mass"),
+    )
+
+
+def _sql_q110() -> str:
+    from pytrousse_spark.operators.timeseries import resample_gapfill_sql
+
+    inner = resample_gapfill_sql("events", "user_id", "ts", "value", "1 hour")
+    return f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_slots,
+           CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           round(sum(coalesce(v_sum, 0.0)), 2) AS observed_mass,
+           round(sum(v_ff), 2) AS carried_mass
+    FROM ({inner}) GROUP BY user_id
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3260,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_random_projection": q107_random_projection,
         "q108_bucketed_join": q108_bucketed_join,
         "q109_stratified_sample": q109_stratified_sample,
+        "q110_gapfill": q110_gapfill,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3659,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "q107_random_projection": _sql_q107(),
         "q108_bucketed_join": _sql_q108(),
         "q109_stratified_sample": _sql_q109(),
+        "q110_gapfill": _sql_q110(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),
