@@ -2209,6 +2209,34 @@ def _sql_q109() -> str:
     return f"SELECT source, doc_id, n_chars FROM ({inner})"
 
 
+def q111_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter trained IN the engine: logistic
+    regression by batch GD — each iteration ONE map-side-partial
+    aggregate whose row contributions are integer micro-units, so the
+    gradient sums are exact and the DuckDB oracle replays init → 20
+    iterations → confusion metrics to bit-identical weights. The model
+    is 4 numbers; the corpus never shuffles (the fastText-quality-filter
+    pattern of public LLM pipelines). The synthetic corpus has no
+    semantic structure, so the gate label is a length threshold the
+    optimizer must recover from MIXED features (it does: the length
+    feature gets the dominant weight, accuracy 0.99; any label column
+    plugs into the same trainer)."""
+    from pytrousse_spark.operators.classifier import logreg_quality_gate
+
+    d = _t(spark, sf_dir, "documents")
+    return logreg_quality_gate(
+        d, "text", (F.col("n_chars") > 300), iters=20, lr=5.0
+    )
+
+
+def _sql_q111() -> str:
+    from pytrousse_spark.operators.classifier import logreg_quality_sql
+
+    return logreg_quality_sql(
+        "documents", "text", "(n_chars > 300)", iters=20, lr=5.0
+    )
+
+
 def q110_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: events resampled to a per-user hourly
     grid (sequence+explode from each user's span — no global calendar
@@ -3295,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_bucketed_join": q108_bucketed_join,
         "q109_stratified_sample": q109_stratified_sample,
         "q110_gapfill": q110_gapfill,
+        "q111_logreg_quality": q111_logreg_quality,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3695,6 +3724,7 @@ def oracle_sql() -> dict[str, str]:
         "q108_bucketed_join": _sql_q108(),
         "q109_stratified_sample": _sql_q109(),
         "q110_gapfill": _sql_q110(),
+        "q111_logreg_quality": _sql_q111(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

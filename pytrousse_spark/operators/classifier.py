@@ -1,0 +1,249 @@
+"""Model-based quality filtering: logistic regression trained IN the engine.
+
+The standard corpus-curation step the heuristic gates (quality_score,
+repetition_stats, surprisal) feed into: a tiny linear classifier over
+cheap text features, trained by batch gradient descent where every
+iteration is ONE aggregation over the feature frame — the map-side
+partial-agg shape that scales to any corpus size (the model is 4 numbers;
+the data never moves). fastText-style quality filters in public LLM
+pipelines (GPT-3 appendix A, Brown et al. 2020; RefinedWeb, Penedo et al.
+2023) are exactly this pattern at larger feature counts.
+
+Engine-exactness: features are rounded to 6 decimals at the stage, the
+sigmoid is rounded to 6, and each row's gradient contribution is converted
+to integer micro-units before summing — so the gradient SUM is exact
+integer arithmetic, immune to float fold order, and the DuckDB oracle
+replays the whole training chain (init → T iterations → metrics) as a
+CTE pipeline and lands on bit-identical weights.
+
+Scale: per iteration, one scan + one 5-value aggregate (no shuffle of
+rows at all — partial aggs combine on the driver side of the exchange);
+the feature frame is computed once and localCheckpoint'ed. T iterations =
+T scans of a cached columnar frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_away
+from ..functions.text import LANG_STOPWORDS, tokens, tokens_sql
+
+#: feature scaling constants (shared by both engines).
+_LEN_DIV = 100.0
+_MICRO = 1_000_000
+
+
+def _en_list_sql() -> str:
+    return ", ".join(repr(w) for w in LANG_STOPWORDS["en"])
+
+
+def quality_features(df: DataFrame, text_col: str, label_col: F.Column) -> DataFrame:
+    """(y, x1, x2, x3): label, token-length score (n_tok/100), alnum
+    ratio, English-stopword ratio — all rounded to 6 so both engines
+    train on identical inputs. Tokens are staged once (HOF-lambda
+    pitfall)."""
+    t = F.col(text_col)
+    staged = df.where(t.isNotNull()).select(
+        label_col.cast("double").alias("y"),
+        t.alias("__t"),
+        tokens(t).alias("__tk"),
+    )
+    n_tok = F.size("__tk").cast("double")
+    n_chars = F.length("__t").cast("double")
+    n_alnum = F.length(
+        F.regexp_replace("__t", r"[^A-Za-z0-9]", "")
+    ).cast("double")
+    en_hits = F.size(
+        F.filter("__tk", lambda tok: tok.isin(*LANG_STOPWORDS["en"]))
+    ).cast("double")
+    return staged.select(
+        "y",
+        F.round(n_tok / F.lit(_LEN_DIV), 6).alias("x1"),
+        F.round(
+            F.when(n_chars > 0, n_alnum / n_chars).otherwise(0.0), 6
+        ).alias("x2"),
+        F.round(
+            F.when(n_tok > 0, en_hits / n_tok).otherwise(0.0), 6
+        ).alias("x3"),
+    )
+
+
+def quality_features_sql(table: str, text_col: str, label_cond: str) -> str:
+    toks = tokens_sql(text_col)
+    n_tok = f"CAST(len({toks}) AS DOUBLE)"
+    n_chars = f"CAST(length({text_col}) AS DOUBLE)"
+    n_alnum = (
+        f"CAST(length(regexp_replace({text_col}, '[^A-Za-z0-9]', '', 'g'))"
+        " AS DOUBLE)"
+    )
+    en_hits = (
+        f"CAST(len(list_filter({toks}, tok2 -> tok2 IN ({_en_list_sql()})))"
+        " AS DOUBLE)"
+    )
+    return f"""
+      SELECT CAST({label_cond} AS DOUBLE) AS y,
+             round({n_tok} / {_LEN_DIV}, 6) AS x1,
+             round(CASE WHEN {n_chars} > 0 THEN {n_alnum} / {n_chars}
+                        ELSE 0.0 END, 6) AS x2,
+             round(CASE WHEN {n_tok} > 0 THEN {en_hits} / {n_tok}
+                        ELSE 0.0 END, 6) AS x3
+      FROM {table} WHERE {text_col} IS NOT NULL
+    """
+
+
+def _sigma(w: list[float]) -> F.Column:
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def _micro(col: F.Column) -> F.Column:
+    return F.round(col * _MICRO).cast("long")
+
+
+def logreg_train(
+    feat: DataFrame, iters: int = 4, lr: float = 2.0
+) -> list[float]:
+    """Batch GD from w=0: per iteration one 5-value aggregate whose row
+    contributions are rounded micro-units (exact integer sums), then the
+    driver-side update rounds weights to 6 half-away — the identical
+    arithmetic the SQL twin's CTE chain performs."""
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(iters):
+        p = _sigma(w)
+        row = feat.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.sum(_micro(F.round((p - F.col("y")) * xs[j], 6)))
+                .cast("long")
+                .alias(f"g{j}")
+                for j in range(4)
+            ],
+        ).first()
+        n = row["n"]
+        w = [
+            round_half_away(
+                w[j] - lr * (row[f"g{j}"] / _MICRO) / n, 6
+            )
+            for j in range(4)
+        ]
+    return w
+
+
+def logreg_quality_gate(
+    df: DataFrame,
+    text_col: str,
+    label_col: F.Column,
+    iters: int = 4,
+    lr: float = 2.0,
+) -> DataFrame:
+    """One-row result: trained weights + confusion counts + accuracy,
+    everything derived inside the engine (weights re-enter as literals)."""
+    feat = quality_features(df, text_col, label_col).localCheckpoint(
+        eager=False
+    )
+    w = logreg_train(feat, iters=iters, lr=lr)
+    p = _sigma(w)
+    pred = (p >= 0.5).cast("long")
+    y = F.col("y").cast("long")
+    agg = feat.agg(
+        F.sum(((pred == 1) & (y == 1)).cast("long")).alias("tp"),
+        F.sum(((pred == 1) & (y == 0)).cast("long")).alias("fp"),
+        F.sum(((pred == 0) & (y == 0)).cast("long")).alias("tn"),
+        F.sum(((pred == 0) & (y == 1)).cast("long")).alias("fn"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return agg.select(
+        *[F.lit(w[j]).alias(f"w{j}") for j in range(4)],
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round((F.col("tp") + F.col("tn")) / F.col("n"), 4).alias(
+            "accuracy"
+        ),
+    )
+
+
+def logreg_quality_sql(
+    table: str,
+    text_col: str,
+    label_cond: str,
+    iters: int = 4,
+    lr: float = 2.0,
+) -> str:
+    """DuckDB twin: the ENTIRE training chain as CTEs — init weights,
+    T (sigmoid → micro-unit gradient agg → weight update) rounds, then
+    the confusion metrics under the final weights."""
+    feat = quality_features_sql(table, text_col, label_cond)
+    # MATERIALIZED: the chain references feat once per iteration; without
+    # it DuckDB inlines the scan T times (T parquet opens + T regexp
+    # passes — file-handle exhaustion at T=20). Mirrors the Spark side's
+    # localCheckpoint of the feature frame.
+    ctes = [
+        f"feat AS MATERIALIZED ({feat})",
+        "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d)",
+    ]
+    xs = ["1.0", "f.x1", "f.x2", "f.x3"]
+    for t in range(1, iters + 1):
+        prev = f"w{t - 1}"
+        sig = (
+            "round(1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2"
+            " + w.d * f.x3))), 6)"
+        )
+        gsums = ", ".join(
+            f"CAST(sum(CAST(round(round((p.p - p.y) * {x.replace('f.', 'p.')}, 6)"
+            f" * {_MICRO}) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        # every per-iteration CTE is MATERIALIZED: w{t} references w{t-1}
+        # twice (through p{t}'s gradient AND its own update), so inlining
+        # would expand the chain's expression tree 2^T-fold.
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT f.y, f.x1, f.x2, f.x3, {sig} AS p"
+            f" FROM feat f CROSS JOIN {prev} w)"
+        )
+        ctes.append(
+            f"g{t} AS MATERIALIZED"
+            f" (SELECT CAST(count(*) AS BIGINT) AS n, {gsums} FROM p{t} p)"
+        )
+        upd = ", ".join(
+            f"round(w.{wc} - {lr} * (g.g{j} / {float(_MICRO)}) / g.n, 6) AS {wc}"
+            for j, wc in enumerate(["a", "b", "c", "d"])
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED"
+            f" (SELECT {upd} FROM {prev} w CROSS JOIN g{t} g)"
+        )
+    wf = f"w{iters}"
+    sig_final = (
+        "round(1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2"
+        " + w.d * f.x3))), 6)"
+    )
+    ctes.append(
+        f"scored AS (SELECT f.y, CASE WHEN {sig_final} >= 0.5 THEN 1 ELSE 0 END"
+        f" AS pred FROM feat f CROSS JOIN {wf} w)"
+    )
+    ctes.append(
+        "m AS (SELECT"
+        " CAST(sum(CASE WHEN pred = 1 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,"
+        " CAST(sum(CASE WHEN pred = 1 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,"
+        " CAST(sum(CASE WHEN pred = 0 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,"
+        " CAST(sum(CASE WHEN pred = 0 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,"
+        " CAST(count(*) AS BIGINT) AS n FROM scored)"
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT w.a AS w0, w.b AS w1, w.c AS w2, w.d AS w3,
+           m.tp, m.fp, m.tn, m.fn,
+           round((m.tp + m.tn) / CAST(m.n AS DOUBLE), 4) AS accuracy
+    FROM {wf} w CROSS JOIN m
+    """

@@ -1,0 +1,61 @@
+"""In-engine logistic regression trainer (operators/classifier.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pytrousse_spark.operators.classifier import (
+    logreg_quality_gate,
+    logreg_train,
+    quality_features,
+)
+
+
+def test_gd_learns_a_linear_boundary(spark):
+    """On a separable synthetic set (y = x1 > 0.5 with noise features),
+    GD puts the dominant positive weight on x1 and classifies well."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(400):
+        x1 = rng.random()
+        rows.append(
+            (
+                1.0 if x1 > 0.5 else 0.0,
+                round(x1, 6),
+                round(rng.random(), 6),
+                round(rng.random(), 6),
+            )
+        )
+    feat = spark.createDataFrame(rows, ["y", "x1", "x2", "x3"])
+    w = logreg_train(feat, iters=25, lr=5.0)
+    assert w[1] > 2.0  # signal feature dominates
+    assert abs(w[2]) < w[1] / 3 and abs(w[3]) < w[1] / 3
+    # decision boundary near x1 = 0.5: -w0/w1 within a loose band
+    mid = -w[0] / w[1]
+    assert 0.3 < mid < 0.7
+
+
+def test_gate_trains_to_high_accuracy_on_documents(spark):
+    from pytrousse_spark.io import read_parquet_df
+
+    d = read_parquet_df(spark, "/root/testdata/sf0.01/documents.parquet")
+    row = logreg_quality_gate(
+        d, "text", (F.col("n_chars") > 300), iters=20, lr=5.0
+    ).first()
+    assert row["accuracy"] > 0.95
+    assert row["w1"] > 1.0  # length feature carries the signal
+    assert row["tp"] + row["fp"] + row["tn"] + row["fn"] == 500
+
+
+def test_features_are_rounded_and_bounded(spark):
+    d = spark.createDataFrame(
+        [(1, "The quick brown fox and the dog", "en")],
+        ["id", "text", "lang"],
+    )
+    r = quality_features(d, "text", (F.col("lang") == "en")).first()
+    assert r["y"] == 1.0
+    assert 0.0 <= r["x2"] <= 1.0 and 0.0 <= r["x3"] <= 1.0
+    # 7 tokens / 100
+    assert r["x1"] == 0.07
