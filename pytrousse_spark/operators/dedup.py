@@ -330,6 +330,196 @@ def ngram_jaccard_pairs_sql(
 
 
 # ---------------------------------------------------------------------------
+# prefix-filtered exact similarity join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join with prefix filtering — every pair with
+    distinct-n-gram Jaccard >= ``threshold``, no false negatives, without the
+    full inverted-index self-join of :func:`ngram_jaccard_pairs`.
+
+    Prefix-filter principle (Chaudhuri/Ganti/Kaushik ICDE 2006; Bayardo
+    WWW 2007 AllPairs; Xiao WWW 2008 PPJoin): order every document's shingle
+    set by a single global total order — ascending document frequency,
+    ties by shingle — and keep only the first
+    ``p = |s| - ceil(t*|s|) + 1`` shingles as its *prefix*. Any pair with
+    Jaccard >= t must share at least one prefix shingle, so the candidate
+    join runs over prefix postings only. Because the global order puts the
+    RAREST shingles first, prefixes are dominated by low-frequency shingles
+    and posting lists stay short — the quadratic blow-up of frequent
+    shingles is filtered out by construction, not sampled away. The length
+    filter ``min(|a|,|b|) >= t*max(|a|,|b|)`` prunes candidates before
+    verification.
+
+    Contrast with the MinHash path (:func:`near_dedup_pairs`): LSH is
+    probabilistic (recall < 1) with corpus-size-independent signatures;
+    prefix filtering is exact with data-dependent postings. At 100 TB the
+    shuffles are (a) shingle-keyed df counts (bounded by shingle vocab),
+    (b) id-keyed per-doc array build (linear), (c) the prefix-posting
+    self-join (bounded by rare-shingle postings), (d) candidate-keyed
+    verify. Documents never shuffle; only ids + shingle arrays do.
+
+    Semantics match :func:`ngram_jaccard_pairs` exactly (distinct word
+    n-grams, ``common/(|a|+|b|-common)`` rounded to 6) — pinned in
+    tests/test_dedup_similarity.py.
+    """
+    from ..functions.text import shingles_from_tokens, tokens
+    from ..io import rebalance_undersplit
+
+    # EAGER checkpoints here, unlike the lazy signature-store in
+    # near_dedup_pairs: `docs` feeds FOUR branches, three of them broadcast
+    # builds whose jobs launch concurrently — with a lazy checkpoint they
+    # race cache population and each recomputes the tokenize+df-join
+    # subtree (measured 2.5x the whole-operator wall at sf0.1).
+    shingled = (
+        rebalance_undersplit(df)
+        .select(F.col(id_col).alias("__id"), F.col(text_col))
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .select(
+            "__id",
+            F.explode_outer(
+                F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
+            ).alias("__sh"),
+        )
+        .where(F.col("__sh").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    dfc = shingled.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc shingle array in global (df asc, shingle asc) order + size;
+    # one frame feeds BOTH the prefix explode and both verify sides.
+    docs = (
+        shingled.join(dfc, "__sh")
+        .groupBy("__id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(__df, __sh))), x -> x.__sh)").alias("__arr"),
+            F.count(F.lit(1)).alias("__sz"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prefix = docs.select(
+        "__id",
+        "__sz",
+        F.posexplode(
+            F.slice(
+                F.col("__arr"),
+                F.lit(1),
+                (F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1).cast("int"),
+            )
+        ).alias("__p0", "__sh"),
+    ).select("__id", "__sz", (F.col("__p0") + 1).alias("__pos"), "__sh")
+    l, r = prefix.alias("l"), prefix.alias("r")
+    # positional filter (PPJoin): a shared prefix token at 1-based positions
+    # (pa, pb) bounds the overlap by 1 + min(|a|-pa, |b|-pb); Jaccard >= t
+    # needs overlap >= ceil(t/(1+t)·(|a|+|b|)), so most same-boilerplate
+    # candidates die IN the posting join, before the distinct shuffle.
+    t_over = threshold / (1.0 + threshold)
+    ubound = F.lit(1) + F.least(
+        F.col("l.__sz") - F.col("l.__pos"), F.col("r.__sz") - F.col("r.__pos")
+    )
+    alpha = F.ceil(F.lit(t_over) * (F.col("l.__sz") + F.col("r.__sz")))
+    cands = (
+        l.join(r, "__sh")
+        .where(
+            (F.col("l.__id") < F.col("r.__id"))
+            & (
+                F.least(F.col("l.__sz"), F.col("r.__sz"))
+                >= F.lit(threshold) * F.greatest(F.col("l.__sz"), F.col("r.__sz"))
+            )
+            & (ubound >= alpha)
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+        # AQE coalesces the tiny distinct output (ids only) to ~1 partition,
+        # which would serialize the verify stage's array_intersect work on
+        # one core; pin the fan-out (explicit N is exempt from coalescing).
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    a = docs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__arr").alias("__seta"),
+        F.col("__sz").alias("__sa"),
+    )
+    b = docs.select(
+        F.col("__id").alias("id_b"),
+        F.col("__arr").alias("__setb"),
+        F.col("__sz").alias("__sb"),
+    )
+    common = F.size(F.array_intersect(F.col("__seta"), F.col("__setb")))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__common", common)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__common")
+                / (F.col("__sa") + F.col("__sb") - F.col("__common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_jaccard_pairs_sql(
+    table: str, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`prefix_jaccard_pairs` — replays the prefix
+    construction (df-ordered lists, slice, posting join, length filter)
+    term for term, so the oracle certifies the FILTER, not only the final
+    Jaccard values."""
+    sh = word_shingles_sql(text_col, n)
+    t_over = threshold / (1.0 + threshold)
+    return f"""
+    WITH shingled AS (
+        SELECT {id_col} AS __id, unnest(list_distinct({sh})) AS __sh FROM {table}
+    ), dfc AS (
+        SELECT __sh, count(*) AS __df FROM shingled GROUP BY __sh
+    ), docs AS (
+        SELECT s.__id,
+               list(s.__sh ORDER BY d.__df, s.__sh) AS __arr,
+               count(*) AS __sz
+        FROM shingled s JOIN dfc d USING (__sh)
+        GROUP BY s.__id
+    ), sliced AS (
+        SELECT __id, __sz,
+               CAST(__sz - ceil({threshold} * __sz) + 1 AS BIGINT) AS __p
+        FROM docs
+    ), pref AS (
+        SELECT s.__id, s.__sz, u[1] AS __sh, u[2] AS __pos
+        FROM (
+            SELECT sliced.__id, sliced.__sz,
+                   unnest(list_zip(d.__arr[1 : __p], range(1, __p + 1))) AS u
+            FROM sliced JOIN docs d USING (__id)
+        ) s(__id, __sz, u)
+    ), cand AS (
+        SELECT DISTINCT l.__id AS id_a, r.__id AS id_b
+        FROM pref l JOIN pref r USING (__sh)
+        WHERE l.__id < r.__id
+          AND least(l.__sz, r.__sz) >= {threshold} * greatest(l.__sz, r.__sz)
+          AND 1 + least(l.__sz - l.__pos, r.__sz - r.__pos)
+              >= ceil({t_over} * (l.__sz + r.__sz))
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(a.__arr, b.__arr))
+                 / (a.__sz + b.__sz - len(list_intersect(a.__arr, b.__arr))), 6)
+               AS jaccard
+    FROM cand
+    JOIN docs a ON a.__id = id_a
+    JOIN docs b ON b.__id = id_b
+    WHERE round(len(list_intersect(a.__arr, b.__arr))
+                / (a.__sz + b.__sz - len(list_intersect(a.__arr, b.__arr))), 6)
+          >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
 # composed production near-dedup: LSH candidates → exact Jaccard verify
 # ---------------------------------------------------------------------------
 def near_dedup_pairs(

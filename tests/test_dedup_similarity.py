@@ -451,3 +451,44 @@ def test_near_dedup_keep_best_tie_breaks_to_smaller_id(spark):
         df, "text", "doc_id", "score", num_perm=8, bands=4, threshold=0.5
     )
     assert {r["doc_id"] for r in out.collect()} == {5}
+
+
+def test_prefix_jaccard_equals_brute_force(docs):
+    """Exactness law of the prefix filter (Chaudhuri 2006): the
+    prefix-posting candidate join loses NO pair above the threshold, so
+    the output equals the full inverted-index join row for row."""
+    for t in (0.2, 0.5):
+        fast = sorted(
+            tuple(r)
+            for r in dd.prefix_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=t
+            ).collect()
+        )
+        brute = sorted(
+            tuple(r)
+            for r in dd.ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=t
+            ).collect()
+        )
+        assert fast == brute and len(fast) > 0
+
+
+def test_prefix_jaccard_handles_hostile_rows(spark):
+    """Short docs (< n tokens → no shingles), exact clones, and disjoint
+    docs: clones pair at 1.0, shingle-less docs drop out, no crash."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "one two"),
+            (4, "totally different words in this row here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.prefix_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
