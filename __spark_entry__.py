@@ -2288,6 +2288,51 @@ def _sql_q112() -> str:
     return dd.prefix_jaccard_pairs_sql("documents", "text", "doc_id", 3, 0.4)
 
 
+def q113_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics cohort retention: users bucketed by the day of
+    their first event; per (cohort, day offset) the active fraction.
+    Events are reduced to DISTINCT (user, day) and one first-event agg
+    BEFORE any join — the matrix shuffle is bounded by users x active
+    days, never event volume; cohort sizes broadcast."""
+    from pytrousse_spark.operators.cohort import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="day")
+
+
+def _sql_q113() -> str:
+    from pytrousse_spark.operators.cohort import cohort_retention_sql
+
+    return cohort_retention_sql("events", "user_id", "ts", period="day")
+
+
+def q114_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase over the first two
+    days (narrow window so each step discriminates): step k counts users
+    with a step-k event at-or-after their step-(k-1) conversion time,
+    conversion = earliest qualifying event. Each step is one filtered
+    user-keyed min-agg joined to the previous step frame — shuffle
+    bounded by that type's events, never total volume."""
+    from pytrousse_spark.operators.cohort import funnel_steps
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts") < F.lit("2024-01-03"))
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def _sql_q114() -> str:
+    from pytrousse_spark.operators.cohort import funnel_steps_sql
+
+    return funnel_steps_sql(
+        "(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03')",
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3343,6 +3388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_gapfill": q110_gapfill,
         "q111_logreg_quality": q111_logreg_quality,
         "q112_prefix_jaccard": q112_prefix_jaccard,
+        "q113_cohort_retention": q113_cohort_retention,
+        "q114_funnel": q114_funnel,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3745,6 +3792,8 @@ def oracle_sql() -> dict[str, str]:
         "q110_gapfill": _sql_q110(),
         "q111_logreg_quality": _sql_q111(),
         "q112_prefix_jaccard": _sql_q112(),
+        "q113_cohort_retention": _sql_q113(),
+        "q114_funnel": _sql_q114(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1,0 +1,234 @@
+"""Cohort retention and funnel analysis over event streams
+(beyond-reference; the product-analytics queries every event pipeline
+runs — same family as the reference's group statistics, re-expressed for
+append-only event tables at scale).
+
+Scale design:
+- cohort assignment is one user-keyed aggregation (min event time), never
+  a window over raw events;
+- activity reduces to DISTINCT (user, period-bucket) BEFORE any join, so
+  the retention matrix shuffle is bounded by users x active periods, not
+  event volume;
+- funnel steps chain user-keyed joins of per-step min-times — each step
+  touches only the events of its own type, and conversion ordering is a
+  per-user timestamp comparison, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PERIOD_DAYS = {"day": 1, "week": 7}
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by the period of
+    their FIRST event; for each (cohort, period offset) the fraction of
+    the cohort active in that period.
+
+    Returns ``(cohort, period_offset, n_active, cohort_size, retention)``
+    with retention rounded to 6. ``period_offset`` 0 always has
+    retention 1.0 (the defining law, pinned in tests/test_cohort.py).
+
+    Shuffle budget at 100 TB: one user-keyed agg over events (first
+    event), one (user, bucket) DISTINCT (map-side partials collapse
+    repeat activity before the exchange), one user-keyed join of the two
+    reduced frames, one (cohort, offset) agg over users x periods rows.
+    Raw events are never joined or windowed.
+    """
+    if period not in _PERIOD_DAYS:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_DAYS)}")
+    div = _PERIOD_DAYS[period]
+    first = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc(period, F.min(ts_col)).cast("date").alias("cohort")
+    )
+    act = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("__bucket"),
+    ).distinct()
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    grid = (
+        act.join(first, "__u")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(F.col("__bucket"), F.col("cohort")) / div
+            ).cast("bigint").alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        grid.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "period_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+def cohort_retention_sql(
+    table: str, user_col: str, ts_col: str, period: str = "week"
+) -> str:
+    """DuckDB twin of :func:`cohort_retention`."""
+    div = _PERIOD_DAYS[period]
+    return f"""
+    WITH first AS (
+        SELECT {user_col} AS __u,
+               CAST(date_trunc('{period}', min(CAST({ts_col} AS TIMESTAMP))) AS DATE) AS cohort
+        FROM {table} GROUP BY 1
+    ), act AS (
+        SELECT DISTINCT {user_col} AS __u,
+               CAST(date_trunc('{period}', CAST({ts_col} AS TIMESTAMP)) AS DATE) AS __bucket
+        FROM {table}
+    ), sizes AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY 1
+    ), grid AS (
+        SELECT f.cohort,
+               CAST(datediff('day', f.cohort, a.__bucket) // {div} AS BIGINT)
+                   AS period_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM act a JOIN first f USING (__u)
+        GROUP BY 1, 2
+    )
+    SELECT g.cohort, g.period_offset, g.n_active, s.cohort_size,
+           round(g.n_active / s.cohort_size, 6) AS retention
+    FROM grid g JOIN sizes s USING (cohort)
+    """
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered conversion funnel: a user converts step k only with an
+    event of ``steps[k]`` at-or-after their step k-1 conversion time
+    (each conversion time = the EARLIEST qualifying event, so the funnel
+    is greedy-deterministic).
+
+    Returns one row per step: ``(step_idx, step, n_users, pct_of_first,
+    pct_of_prev)`` — counts monotonically non-increasing (law pinned in
+    tests/test_cohort.py).
+
+    Each step is one filtered user-keyed min-aggregation joined to the
+    previous step's (user, time) frame — step k's shuffle is bounded by
+    the events OF THAT TYPE plus converted users, never total volume.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    prev: DataFrame | None = None
+    counts = []
+    for k, step in enumerate(steps):
+        ev = df.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(prev.select("__u", F.col("__t").alias("__pt")), "__u")
+                .where(F.col("__ts") >= F.col("__pt"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        # each step frame has two consumers (the next step's broadcast
+        # build and its own count) whose jobs can launch concurrently —
+        # eager checkpoint, or they race the cache and recompute the chain
+        # (the q112 lesson, PLANS.md round-4)
+        cur = cur.localCheckpoint(eager=True)
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(k + 1).cast("bigint").alias("step_idx"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # pct columns via a lag/first window over the <= len(steps) result
+    # rows — a single-partition window over a step-count frame, never
+    # over data
+    from pyspark.sql import Window
+
+    w = Window.orderBy("step_idx")
+    out = (
+        out.withColumn("__n1", F.first("n_users").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .withColumn("__np", F.lag("n_users").over(w))
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.when(
+                F.col("__n1") > 0,
+                F.round(F.col("n_users") / F.col("__n1"), 6),
+            ).alias("pct_of_first"),
+            F.when(
+                F.coalesce(F.col("__np"), F.col("n_users")) > 0,
+                F.round(
+                    F.col("n_users")
+                    / F.coalesce(F.col("__np"), F.col("n_users")),
+                    6,
+                ),
+            ).alias("pct_of_prev"),
+        )
+    )
+    return out
+
+
+def funnel_steps_sql(
+    table: str, user_col: str, ts_col: str, type_col: str, steps: list[str]
+) -> str:
+    """DuckDB twin of :func:`funnel_steps`. Step CTEs are MATERIALIZED:
+    step k is referenced by both step k+1 and its own count, and an
+    inlined chain re-evaluates step 1 2^k-fold (the q111 lesson)."""
+    ctes = []
+    for k, step in enumerate(steps):
+        if k == 0:
+            body = f"""
+        SELECT {user_col} AS __u, min(CAST({ts_col} AS TIMESTAMP)) AS __t
+        FROM {table} WHERE {type_col} = '{step}' GROUP BY 1"""
+        else:
+            body = f"""
+        SELECT e.{user_col} AS __u, min(CAST(e.{ts_col} AS TIMESTAMP)) AS __t
+        FROM {table} e JOIN s{k} p ON e.{user_col} = p.__u
+        WHERE e.{type_col} = '{step}' AND CAST(e.{ts_col} AS TIMESTAMP) >= p.__t
+        GROUP BY 1"""
+        ctes.append(f"s{k + 1} AS MATERIALIZED ({body}\n    )")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS step_idx, '{s}' AS step, "
+        f"CAST((SELECT count(*) FROM s{k + 1}) AS BIGINT) AS n_users"
+        for k, s in enumerate(steps)
+    )
+    return f"""
+    WITH {", ".join(ctes)},
+    counts AS (
+        {unions}
+    )
+    SELECT step_idx, step, n_users,
+           CASE WHEN first_value(n_users) OVER w > 0
+                THEN round(n_users / first_value(n_users) OVER w, 6) END
+               AS pct_of_first,
+           CASE WHEN coalesce(lag(n_users) OVER w, n_users) > 0
+                THEN round(n_users / coalesce(lag(n_users) OVER w, n_users), 6)
+           END AS pct_of_prev
+    FROM counts
+    WINDOW w AS (ORDER BY step_idx)
+    """

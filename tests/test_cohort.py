@@ -1,0 +1,89 @@
+"""Cohort retention + funnel laws (operators/cohort.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pytrousse_spark.io import read_parquet_df
+from pytrousse_spark.operators.cohort import cohort_retention, funnel_steps
+from tests.conftest import SF_DIR
+
+
+def test_retention_offset_zero_is_one(spark):
+    """Defining law: every user is active in their own first period, so
+    offset 0 has n_active == cohort_size and retention 1.0."""
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    rows = cohort_retention(ev, "user_id", "ts", period="day").collect()
+    zero = [r for r in rows if r["period_offset"] == 0]
+    assert zero and all(
+        r["n_active"] == r["cohort_size"] and r["retention"] == 1.0
+        for r in zero
+    )
+    # every cell: 0 < n_active <= cohort_size, offsets non-negative
+    assert all(
+        0 < r["n_active"] <= r["cohort_size"] and r["period_offset"] >= 0
+        for r in rows
+    )
+
+
+def test_retention_handcrafted_week(spark):
+    ts = datetime
+    df = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1)),   # week of Jan 1 (Monday)
+            (1, ts(2024, 1, 10)),  # active week 1
+            (2, ts(2024, 1, 2)),   # same cohort, never returns
+            (3, ts(2024, 1, 9)),   # cohort week of Jan 8
+        ],
+        ["user_id", "ts"],
+    )
+    got = {
+        (str(r["cohort"]), r["period_offset"]): (r["n_active"], r["retention"])
+        for r in cohort_retention(df, "user_id", "ts", "week").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-08", 0): (1, 1.0),
+    }
+
+
+def test_funnel_monotone_and_ordered(spark):
+    """Counts never increase step to step, and an out-of-order event
+    (click BEFORE the user's first view) does not convert."""
+    ts = datetime
+    df = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1, 10), "view"),
+            (1, ts(2024, 1, 1, 11), "click"),   # converts
+            (2, ts(2024, 1, 1, 9), "click"),    # click before any view
+            (2, ts(2024, 1, 1, 10), "view"),
+            (3, ts(2024, 1, 1, 8), "view"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    rows = {
+        r["step"]: r
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type", ["view", "click"]
+        ).collect()
+    }
+    assert rows["view"]["n_users"] == 3
+    assert rows["click"]["n_users"] == 1  # only user 1 clicks after viewing
+    assert rows["click"]["pct_of_first"] == round(1 / 3, 6)
+    assert rows["view"]["pct_of_prev"] == 1.0
+
+
+def test_funnel_same_timestamp_counts(spark):
+    """A step event AT the previous conversion time converts (>= not >)."""
+    t = datetime(2024, 1, 1, 12)
+    df = spark.createDataFrame(
+        [(1, t, "view"), (1, t, "click")], ["user_id", "ts", "event_type"]
+    )
+    rows = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(
+            df, "user_id", "ts", "event_type", ["view", "click"]
+        ).collect()
+    }
+    assert rows == {"view": 1, "click": 1}
