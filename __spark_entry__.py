@@ -2043,14 +2043,15 @@ def q106_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_q106() -> str:
+def _q106_old_sql() -> str:
+    return "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders"
+
+
+def _q106_new_sql() -> str:
     from pytrousse_spark.functions.hashing import h60_seeded_sql
-    from pytrousse_spark.operators.cdc import snapshot_diff_sql
 
     m = f"({h60_seeded_sql('CAST(o_orderkey AS VARCHAR)', _CDC_SEED)} % 10)"
-    cols = "o_orderkey, o_orderstatus, o_totalprice, o_orderpriority"
-    a_sub = f"SELECT {cols} FROM orders"
-    b_sub = f"""
+    return f"""
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN {m} = 1 THEN o_totalprice + 7.25
                   ELSE o_totalprice END AS o_totalprice,
@@ -2061,6 +2062,13 @@ def _sql_q106() -> str:
              o_orderpriority
       FROM orders WHERE {m} = 2
     """
+
+
+def _sql_q106() -> str:
+    from pytrousse_spark.operators.cdc import snapshot_diff_sql
+
+    a_sub = _q106_old_sql()
+    b_sub = _q106_new_sql()
     diff = snapshot_diff_sql(
         a_sub, b_sub, ["o_orderkey"],
         ["o_orderstatus", "o_totalprice", "o_orderpriority"],
@@ -2330,6 +2338,67 @@ def _sql_q114() -> str:
         "ts",
         "event_type",
         ["view", "click", "purchase"],
+    )
+
+
+def q115_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-aggregate maintenance without rescanning history: orders
+    split at 2001-01-01 into base (history) and delta (new arrivals);
+    each side reduces to mergeable partials (count / micro-unit sum /
+    min / max) and the merge shuffles only group rows. Sums ride integer
+    micro-units so merge == direct recompute BIT-exactly (law pinned in
+    tests/test_incremental.py) — the algebraic-aggregate twin of q103's
+    HLL register merge."""
+    from pytrousse_spark.operators.incremental import (
+        merge_rollups,
+        partial_rollup,
+        rollup_view,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("2001-01-01").cast("timestamp")
+    keys = ["o_orderpriority", "o_orderstatus"]
+    base = partial_rollup(o.where(F.col("o_orderdate") < cut), keys, "o_totalprice")
+    delta = partial_rollup(
+        o.where(F.col("o_orderdate") >= cut), keys, "o_totalprice"
+    )
+    return rollup_view(merge_rollups([base, delta], keys), keys)
+
+
+def _sql_q115() -> str:
+    from pytrousse_spark.operators.incremental import incremental_rollup_sql
+
+    return incremental_rollup_sql(
+        "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'",
+        "SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'",
+        ["o_orderpriority", "o_orderstatus"],
+        "o_totalprice",
+    )
+
+
+def q116_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 over the q106 snapshot pair: one
+    map-side-fingerprint full-outer join emits the versioned history
+    (t0 versions closed when deleted/changed, open t1 versions for
+    inserts/changes). Unchanged keys cost one hash equality; bucketed
+    snapshots make the join exchange-free at rest. Laws (current rows ==
+    new snapshot; <=1 open version per key) pinned in tests/test_cdc.py."""
+    from pytrousse_spark.operators.cdc import scd2_history
+
+    o, b = _q106_snapshots(spark, sf_dir)
+    return scd2_history(o, b, ["o_orderkey"], "2024-01-01", "2024-02-01")
+
+
+def _sql_q116() -> str:
+    from pytrousse_spark.operators.cdc import scd2_history_sql
+
+    return scd2_history_sql(
+        _q106_old_sql(),
+        _q106_new_sql(),
+        ["o_orderkey"],
+        "2024-01-01",
+        "2024-02-01",
+        ["o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
 
 
@@ -3390,6 +3459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_prefix_jaccard": q112_prefix_jaccard,
         "q113_cohort_retention": q113_cohort_retention,
         "q114_funnel": q114_funnel,
+        "q115_incremental_rollup": q115_incremental_rollup,
+        "q116_scd2_history": q116_scd2_history,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3794,6 +3865,8 @@ def oracle_sql() -> dict[str, str]:
         "q112_prefix_jaccard": _sql_q112(),
         "q113_cohort_retention": _sql_q113(),
         "q114_funnel": _sql_q114(),
+        "q115_incremental_rollup": _sql_q115(),
+        "q116_scd2_history": _sql_q116(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -162,3 +162,125 @@ def snapshot_diff_sql(
     WHERE a.{key_cols[0]} IS NULL OR b.{key_cols[0]} IS NULL
        OR {fp('a')} <> {fp('b')}
     """
+
+
+def scd2_history(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    t0: str,
+    t1: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: build the versioned history of a
+    dimension from two snapshots (valid at ``t0`` and ``t1``, ISO dates).
+
+    Every key in the old snapshot yields its t0 version — closed at t1
+    (``valid_to = t1, is_current = false``) when the key was deleted or
+    its payload changed, open otherwise; every inserted or changed key
+    yields an open t1 version. The classification is the same map-side
+    fingerprint + one co-partitioned full-outer join as
+    :func:`snapshot_diff` — unchanged keys (the steady-state 99%) cost
+    one hash equality; at rest, bucket both snapshots by the key and the
+    join is exchange-free (q108). Laws pinned in tests/test_cdc.py:
+    current rows reproduce the new snapshot exactly, and each key has at
+    most one open version.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    payload = compare_cols
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *[F.col(k).alias(f"{tag}_{k}") for k in key_cols],
+            row_fingerprint(payload).alias(f"{tag}_fp"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in payload],
+        )
+
+    a, b = _side(old, "a"), _side(new, "b")
+    cond = None
+    for k in key_cols:
+        eq = a[f"a_{k}"] == b[f"b_{k}"]
+        cond = eq if cond is None else cond & eq
+    j = a.join(b, cond, "full_outer")
+    a0, b0 = F.col(f"a_{key_cols[0]}"), F.col(f"b_{key_cols[0]}")
+    changed = b0.isNull() | (F.col("a_fp") != F.col("b_fp"))
+    d0, d1 = F.lit(t0).cast("date"), F.lit(t1).cast("date")
+    old_rows = j.where(a0.isNotNull()).select(
+        *[F.col(f"a_{k}").alias(k) for k in key_cols],
+        *[F.col(f"a_{c}").alias(c) for c in payload],
+        d0.alias("valid_from"),
+        F.when(changed, d1).alias("valid_to"),
+        (~changed).alias("is_current"),
+    )
+    new_rows = j.where(
+        b0.isNotNull() & (a0.isNull() | (F.col("a_fp") != F.col("b_fp")))
+    ).select(
+        *[F.col(f"b_{k}").alias(k) for k in key_cols],
+        *[F.col(f"b_{c}").alias(c) for c in payload],
+        d1.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return old_rows.unionByName(new_rows)
+
+
+def scd2_history_sql(
+    old_subquery: str,
+    new_subquery: str,
+    key_cols: list[str],
+    t0: str,
+    t1: str,
+    compare_cols: list[str],
+) -> str:
+    """DuckDB twin of :func:`scd2_history` — same fingerprint, same
+    full-outer join, same two-arm union."""
+
+    def fp(tag: str) -> str:
+        parts = ", ".join(
+            f"coalesce(CAST({tag}.{c} AS VARCHAR), chr(0))" for c in compare_cols
+        )
+        return f"md5(concat_ws(chr(31), {parts}))"
+
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    aside = ", ".join(
+        [f"{k} AS __k_{k}" for k in key_cols]
+        + [f"{c} AS __p_{c}" for c in compare_cols]
+    )
+    aksel = ", ".join(f"a.__k_{k} AS a_{k}" for k in key_cols)
+    bksel = ", ".join(f"b.__k_{k} AS b_{k}" for k in key_cols)
+    apsel = ", ".join(f"a.__p_{c} AS a_{c}" for c in compare_cols)
+    bpsel = ", ".join(f"b.__p_{c} AS b_{c}" for c in compare_cols)
+    on2 = " AND ".join(f"a.__k_{k} = b.__k_{k}" for k in key_cols)
+    fpa = "md5(concat_ws(chr(31), " + ", ".join(
+        f"coalesce(CAST(a.__p_{c} AS VARCHAR), chr(0))" for c in compare_cols
+    ) + "))"
+    fpb = "md5(concat_ws(chr(31), " + ", ".join(
+        f"coalesce(CAST(b.__p_{c} AS VARCHAR), chr(0))" for c in compare_cols
+    ) + "))"
+    out_keys_a = ", ".join(f"a_{k} AS {k}" for k in key_cols)
+    out_pay_a = ", ".join(f"a_{c} AS {c}" for c in compare_cols)
+    out_keys_b = ", ".join(f"b_{k} AS {k}" for k in key_cols)
+    out_pay_b = ", ".join(f"b_{c} AS {c}" for c in compare_cols)
+    changed = f"(b_{key_cols[0]} IS NULL OR a_fp <> b_fp)"
+    return f"""
+    WITH j AS MATERIALIZED (
+        SELECT {aksel}, {bksel}, {apsel}, {bpsel},
+               {fpa} AS a_fp, {fpb} AS b_fp
+        FROM (SELECT {aside} FROM ({old_subquery})) a
+        FULL OUTER JOIN (SELECT {aside} FROM ({new_subquery})) b ON {on2}
+    )
+    SELECT {out_keys_a}, {out_pay_a},
+           DATE '{t0}' AS valid_from,
+           CASE WHEN {changed} THEN DATE '{t1}' END AS valid_to,
+           NOT {changed} AS is_current
+    FROM j WHERE a_{key_cols[0]} IS NOT NULL
+    UNION ALL
+    SELECT {out_keys_b}, {out_pay_b},
+           DATE '{t1}' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to,
+           TRUE AS is_current
+    FROM j
+    WHERE b_{key_cols[0]} IS NOT NULL
+      AND (a_{key_cols[0]} IS NULL OR a_fp <> b_fp)
+    """

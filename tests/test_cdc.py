@@ -74,3 +74,36 @@ def test_merge_apply_round_trip_law(spark):
     )
     assert empty.count() == 0
     assert _rows(merge_apply(a, empty, ["k"])) == _rows(a)
+
+
+def test_scd2_history_laws(spark):
+    """Current rows reproduce the new snapshot exactly; each key has at
+    most one open version; changed/deleted keys carry a closed t0 row."""
+    from pytrousse_spark.operators.cdc import scd2_history
+
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)], ["k", "s", "v"]
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 20.0), (3, "z", 99.0), (4, "w", 40.0)], ["k", "s", "v"]
+    )
+    h = scd2_history(a, b, ["k"], "2024-01-01", "2024-02-01")
+    rows = h.collect()
+    # law 1: current rows == new snapshot
+    cur = sorted((r["k"], r["s"], r["v"]) for r in rows if r["is_current"])
+    assert cur == _rows(b)
+    # law 2: at most one open version per key
+    open_per_key = {}
+    for r in rows:
+        if r["valid_to"] is None:
+            open_per_key[r["k"]] = open_per_key.get(r["k"], 0) + 1
+    assert all(v == 1 for v in open_per_key.values())
+    # law 3: closed t0 versions for deleted (1) and updated (3) keys
+    closed = {r["k"]: r for r in rows if r["valid_to"] is not None}
+    assert set(closed) == {1, 3}
+    assert str(closed[1]["valid_from"]) == "2024-01-01"
+    assert str(closed[3]["valid_to"]) == "2024-02-01"
+    assert closed[3]["v"] == 30.0  # the superseded payload
+    # unchanged key 2: single open row from t0
+    k2 = [r for r in rows if r["k"] == 2]
+    assert len(k2) == 1 and str(k2[0]["valid_from"]) == "2024-01-01"
