@@ -2402,6 +2402,84 @@ def _sql_q116() -> str:
     )
 
 
+def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine PageRank over the customer↔supplier trade graph (edges =
+    distinct (customer, supplier) pairs from orders⋈lineitem, both
+    directions). 8 Pregel-style iterations, each ONE edge⋈rank join + one
+    dst-keyed agg; ranks are integer micro-units (contributions = one
+    IEEE division + half-away round each) so the DuckDB oracle replays
+    the full chain to BIT-identical ranks — the q111 exact-replay pattern
+    applied to an iterative graph algorithm."""
+    from pytrousse_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return pagerank(edges, "src", "dst", iters=8)
+
+
+def _sql_q117() -> str:
+    from pytrousse_spark.operators.graph import pagerank_sql
+
+    sub = """
+    SELECT a AS src, b AS dst FROM (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    UNION ALL
+    SELECT b, a FROM (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    """
+    return pagerank_sql(sub, "src", "dst", iters=8)
+
+
+#: q118 pivot columns — pinned so the output schema is deterministic and
+#: the scan never pays a distinct-values pre-pass.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q118_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily activity matrix: pivot event_type into per-type count
+    columns with an explicit value list (no distinct pre-scan, stable
+    schema — the only pivot shape that works unattended at 100 TB).
+    One (day)-keyed hash aggregation with map-side partials; round-trip
+    back through unpivot is pinned in tests/test_graph.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+        )
+    )
+
+
+def _sql_q118() -> str:
+    cols = ",\n           ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {cols}
+    FROM events GROUP BY 1
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3461,6 +3539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_funnel": q114_funnel,
         "q115_incremental_rollup": q115_incremental_rollup,
         "q116_scd2_history": q116_scd2_history,
+        "q117_pagerank": q117_pagerank,
+        "q118_pivot": q118_pivot,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3867,6 +3947,8 @@ def oracle_sql() -> dict[str, str]:
         "q114_funnel": _sql_q114(),
         "q115_incremental_rollup": _sql_q115(),
         "q116_scd2_history": _sql_q116(),
+        "q117_pagerank": _sql_q117(),
+        "q118_pivot": _sql_q118(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1,0 +1,65 @@
+"""PageRank laws (operators/graph.py) + pivot round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pytrousse_spark.operators.graph import pagerank
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    """Teleport mass is conserved (sum ≈ N·1e6 up to per-node rounding)
+    and symmetric nodes get identical ranks."""
+    # 4-cycle: perfectly symmetric -> all ranks equal
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    rows = pagerank(edges, "src", "dst", iters=10).collect()
+    ranks = {r["node"]: r["rank_micro"] for r in rows}
+    assert len(set(ranks.values())) == 1
+    assert abs(sum(ranks.values()) - 4_000_000) <= 4 * 10
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """Star graph: the hub, pointed at by every leaf, outranks them."""
+    leaves = list(range(2, 8))
+    edges = spark.createDataFrame(
+        [(i, 1) for i in leaves] + [(1, i) for i in leaves], ["src", "dst"]
+    )
+    ranks = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, "src", "dst", iters=10).collect()
+    }
+    assert all(ranks[1] > ranks[i] for i in leaves)
+    leaf_ranks = {ranks[i] for i in leaves}
+    assert len(leaf_ranks) == 1  # leaves are symmetric
+
+
+def test_pagerank_dangling_node_keeps_teleport(spark):
+    """A node with no outgoing edges still holds >= teleport mass and
+    contributes nothing (its rank never flows on)."""
+    edges = spark.createDataFrame([(1, 2), (3, 2)], ["src", "dst"])
+    ranks = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, "src", "dst", iters=5, damping=0.85).collect()
+    }
+    assert ranks[2] > ranks[1] == ranks[3] == 150_000  # pure teleport
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """unpivot(pivot(x)) reproduces the original (day, type, count)."""
+    from pytrousse_spark.io import read_parquet_df
+    from tests.conftest import SF_DIR
+    import __spark_entry__ as e
+
+    wide = e.queries()["q118_pivot"](spark, SF_DIR)
+    long = wide.unpivot(
+        ["day"], e._EVENT_TYPES, "event_type", "n"
+    ).where(F.col("n") > 0)
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    direct = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, long.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
