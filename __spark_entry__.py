@@ -2480,6 +2480,57 @@ def _sql_q118() -> str:
     """
 
 
+def q119_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (daily active + cumulative unique users) WITHOUT
+    a distinct-over-window: first-seen period per user is one entity-keyed
+    min-agg, actives reuse the DISTINCT (user, day) reduction, and the
+    running total is a window over the 30-row day axis — the shape that
+    replaces the unscalable count(DISTINCT) OVER (ORDER BY day)."""
+    from pytrousse_spark.operators.timeseries import cumulative_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return cumulative_distinct(ev, "user_id", "ts", period="day")
+
+
+def _sql_q119() -> str:
+    from pytrousse_spark.operators.timeseries import cumulative_distinct_sql
+
+    return cumulative_distinct_sql("events", "user_id", "ts", period="day")
+
+
+def q120_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (decay 1/2, 16-observation window) over event
+    values — BIT-exact across engines: micro-unit values, exact
+    power-of-two integer weights, integer weighted sums; the only floats
+    are one final division pair. One per-key ROWS-frame window, no
+    self-join; summarized per user so the gate hashes every smoothed
+    point."""
+    from pytrousse_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    e = ewma(ev, "user_id", "ts", "value", "event_id", window=16)
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("ewma"), 4).alias("ewma_mass"),
+        F.round(F.min("ewma"), 6).alias("ewma_min"),
+        F.round(F.max("ewma"), 6).alias("ewma_max"),
+    )
+
+
+def _sql_q120() -> str:
+    from pytrousse_spark.operators.timeseries import ewma_sql
+
+    inner = ewma_sql("events", "user_id", "ts", "value", "event_id", 16)
+    return f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(sum(ewma), 4) AS ewma_mass,
+           round(min(ewma), 6) AS ewma_min,
+           round(max(ewma), 6) AS ewma_max
+    FROM ({inner}) GROUP BY user_id
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3541,6 +3592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_scd2_history": q116_scd2_history,
         "q117_pagerank": q117_pagerank,
         "q118_pivot": q118_pivot,
+        "q119_cumulative_distinct": q119_cumulative_distinct,
+        "q120_ewma": q120_ewma,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -3949,6 +4002,8 @@ def oracle_sql() -> dict[str, str]:
         "q116_scd2_history": _sql_q116(),
         "q117_pagerank": _sql_q117(),
         "q118_pivot": _sql_q118(),
+        "q119_cumulative_distinct": _sql_q119(),
+        "q120_ewma": _sql_q120(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

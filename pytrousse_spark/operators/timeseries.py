@@ -111,3 +111,178 @@ def resample_gapfill_sql(
            n_obs IS NULL AS is_gap
     FROM filled
     """
+
+
+# ---------------------------------------------------------------------------
+# exact windowed EWMA (dyadic decay) + cumulative distinct
+# ---------------------------------------------------------------------------
+_EWMA_MICRO = 1_000_000
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with decay 1/2 over
+    the last ``window`` observations — BIT-exact and cross-engine
+    replayable.
+
+    Float EWMA recursions drift across engines (every step rounds), so
+    this computes the truncated closed form in INTEGERS: values become
+    micro-units, the weight of the observation j steps back is the exact
+    integer ``2^(window-1-j)``, and the weighted sum is an integer sum —
+    immune to fold order. The emitted average divides by the integer
+    weight mass ``2^window - 2^(window-len)`` (normalized, so a constant
+    series yields exactly that constant). One per-key window with a
+    ROWS frame; the frame list is bounded by ``window``, the shuffle by
+    rows — the standard scalable window shape, no self-join.
+
+    ``order_col`` breaks timestamp ties so the frame order is total.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    micro = F.round(F.col(value_col) * _EWMA_MICRO, 0).cast("bigint")
+    lst = F.collect_list(micro).over(w)
+    staged = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(order_col),
+        F.col(value_col),
+        lst.alias("__lst"),
+    )
+    # element i (0-based, oldest first) sits j = size-1-i steps back:
+    # weight 2^(window-1-j) = 2^(window-size+i)
+    wsum = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {window}) - "
+        f"shiftleft(CAST(1 AS BIGINT), {window} - size(__lst)) AS BIGINT)"
+    )
+    isum = F.expr(
+        f"aggregate(transform(__lst, (x, i) -> "
+        f"x * shiftleft(CAST(1 AS BIGINT), {window} - size(__lst) + i)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return staged.select(
+        key_col,
+        ts_col,
+        order_col,
+        value_col,
+        F.round(isum / wsum / F.lit(float(_EWMA_MICRO)), 6).alias("ewma"),
+    )
+
+
+def ewma_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    window: int = 16,
+) -> str:
+    """DuckDB twin of :func:`ewma` — same micro-units, same integer
+    weights (DuckDB lambda index is 1-based: j = size - i)."""
+    return f"""
+    WITH staged AS (
+        SELECT {key_col}, CAST({ts_col} AS TIMESTAMP) AS {ts_col}, {order_col},
+               {value_col},
+               list(CAST(round({value_col} * {_EWMA_MICRO}, 0) AS BIGINT)) OVER (
+                   PARTITION BY {key_col}
+                   ORDER BY CAST({ts_col} AS TIMESTAMP), {order_col}
+                   ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+               ) AS __lst
+        FROM {table}
+    )
+    SELECT {key_col}, {ts_col}, {order_col}, {value_col},
+           round(
+               CAST(list_sum(list_transform(__lst, (x, i) ->
+                   x * ((CAST(1 AS BIGINT) << ({window} - len(__lst) + i - 1))))) AS BIGINT)
+               / CAST((CAST(1 AS BIGINT) << {window}) -
+                      (CAST(1 AS BIGINT) << ({window} - len(__lst))) AS BIGINT)
+               / CAST({_EWMA_MICRO} AS DOUBLE), 6) AS ewma
+    FROM staged
+    """
+
+
+def cumulative_distinct(
+    df: DataFrame, entity_col: str, ts_col: str, period: str = "day"
+) -> DataFrame:
+    """Per-period new / active / cumulative-distinct entity counts — the
+    growth-accounting query (DAU + cumulative uniques) computed WITHOUT a
+    distinct-over-window.
+
+    A ``count(DISTINCT x) OVER (ORDER BY day)`` buffers every entity per
+    frame and cannot scale; instead: each entity's FIRST period is one
+    entity-keyed min-agg, new-per-period is a count over that, and the
+    cumulative count is a running sum over the tiny period axis. Active
+    counts come from the same DISTINCT (entity, period) reduction as
+    cohort retention. Shuffles bounded by entities and entities x active
+    periods; the only window runs over periods.
+    """
+    from pyspark.sql import Window
+
+    first = (
+        df.groupBy(F.col(entity_col).alias("__e"))
+        .agg(F.date_trunc(period, F.min(ts_col)).cast("date").alias("period"))
+        .groupBy("period")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    active = (
+        df.select(
+            F.col(entity_col).alias("__e"),
+            F.date_trunc(period, F.col(ts_col)).cast("date").alias("period"),
+        )
+        .distinct()
+        .groupBy("period")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    w = Window.orderBy("period").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(first, "period", "left")
+        .select(
+            "period",
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_distinct", F.sum("n_new").over(w))
+    )
+
+
+def cumulative_distinct_sql(
+    table: str, entity_col: str, ts_col: str, period: str = "day"
+) -> str:
+    """DuckDB twin of :func:`cumulative_distinct` (running sum cast to
+    BIGINT — the q11/q68 HUGEINT class)."""
+    return f"""
+    WITH first AS (
+        SELECT CAST(date_trunc('{period}', __ts) AS DATE) AS period,
+               CAST(count(*) AS BIGINT) AS n_new
+        FROM (
+            SELECT {entity_col} AS __e,
+                   min(CAST({ts_col} AS TIMESTAMP)) AS __ts
+            FROM {table} GROUP BY 1
+        ) GROUP BY 1
+    ), active AS (
+        SELECT period, CAST(count(*) AS BIGINT) AS n_active
+        FROM (
+            SELECT DISTINCT {entity_col} AS __e,
+                   CAST(date_trunc('{period}', CAST({ts_col} AS TIMESTAMP)) AS DATE)
+                       AS period
+            FROM {table}
+        ) GROUP BY 1
+    )
+    SELECT a.period, a.n_active,
+           coalesce(f.n_new, 0) AS n_new,
+           CAST(sum(coalesce(f.n_new, 0)) OVER (
+               ORDER BY a.period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_distinct
+    FROM active a LEFT JOIN first f USING (period)
+    """

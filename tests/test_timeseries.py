@@ -48,3 +48,52 @@ def test_gapfill_grid_never_crosses_keys(spark):
         per_key.setdefault(r["user_id"], []).append(r["bucket"].hour)
     assert sorted(per_key[1]) == [0, 1, 2]
     assert per_key[2] == [20]
+
+
+def test_ewma_constant_series_is_exact(spark):
+    """Normalized dyadic EWMA of a constant series is that constant
+    EXACTLY (integer weights sum to the divisor)."""
+    from pytrousse_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, i, 7.5, i) for i in range(10)], ["k", "t", "v", "i"]
+    )
+    rows = ewma(df, "k", "t", "v", "i", window=4).collect()
+    assert all(r["ewma"] == 7.5 for r in rows)
+
+
+def test_ewma_weights_recent_more(spark):
+    """A step up makes the EWMA rise toward the new level but stay below
+    it; the latest observation carries weight ~1/2."""
+    from pytrousse_spark.operators.timeseries import ewma
+
+    vals = [0.0] * 8 + [10.0]
+    df = spark.createDataFrame(
+        [(1, i, v, i) for i, v in enumerate(vals)], ["k", "t", "v", "i"]
+    )
+    last = (
+        ewma(df, "k", "t", "v", "i", window=8)
+        .where("t = 8").first()["ewma"]
+    )
+    assert 4.9 < last < 5.2  # 10 * (2^7/(2^8-1)) ≈ 5.02
+
+
+def test_cumulative_distinct_laws(spark):
+    """cum_distinct is non-decreasing, ends at the total distinct count,
+    and n_new sums to it; n_active <= cum_distinct per period."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.timeseries import cumulative_distinct
+    from tests.conftest import SF_DIR
+
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    rows = sorted(
+        cumulative_distinct(ev, "user_id", "ts", "day").collect(),
+        key=lambda r: r["period"],
+    )
+    total = ev.select("user_id").distinct().count()
+    assert rows[-1]["cum_distinct"] == total
+    assert sum(r["n_new"] for r in rows) == total
+    assert all(
+        a["cum_distinct"] <= b["cum_distinct"] for a, b in zip(rows, rows[1:])
+    )
+    assert all(r["n_active"] <= r["cum_distinct"] for r in rows)
