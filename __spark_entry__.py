@@ -2531,6 +2531,60 @@ def _sql_q120() -> str:
     """
 
 
+def q121_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly census: values beyond 3·1.4826·MAD from
+    the per-user median (Hampel's rule). Two exact per-key percentile
+    aggs + broadcast stat joins; exact group percentiles buffer one
+    USER's values (bounded by per-key activity — the unbounded-history
+    alternative is the q100 histogram sketch)."""
+    from pytrousse_spark.operators.timeseries import mad_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_anomalies(ev, "user_id", "value", k=3.0)
+
+
+def _sql_q121() -> str:
+    from pytrousse_spark.operators.timeseries import mad_anomalies_sql
+
+    return mad_anomalies_sql("events", "user_id", "value", k=3.0)
+
+
+def q122_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind q09's rollup and
+    q18's cube): per (flag,status), per flag, and grand-total aggregates
+    in ONE pass with a grouping_id disambiguator — Catalyst expands the
+    sets into a single Expand+hash-agg, no per-set rescans."""
+    ev = _t(spark, sf_dir, "lineitem")
+    ev.createOrReplaceTempView("__q122_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM __q122_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+def _sql_q122() -> str:
+    return """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3594,6 +3648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_pivot": q118_pivot,
         "q119_cumulative_distinct": q119_cumulative_distinct,
         "q120_ewma": q120_ewma,
+        "q121_mad_anomalies": q121_mad_anomalies,
+        "q122_grouping_sets": q122_grouping_sets,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -4004,6 +4060,8 @@ def oracle_sql() -> dict[str, str]:
         "q118_pivot": _sql_q118(),
         "q119_cumulative_distinct": _sql_q119(),
         "q120_ewma": _sql_q120(),
+        "q121_mad_anomalies": _sql_q121(),
+        "q122_grouping_sets": _sql_q122(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -286,3 +286,77 @@ def cumulative_distinct_sql(
            ) AS BIGINT) AS cum_distinct
     FROM active a LEFT JOIN first f USING (period)
     """
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-key anomaly census: flag values farther than
+    ``k * 1.4826 * MAD`` from the per-key median (the classic
+    median-absolute-deviation rule; 1.4826 scales MAD to sigma under
+    normality — Hampel 1974). Returns per-key
+    ``(key, n_events, n_anomalies, med, mad)``.
+
+    Two exact per-key percentile aggregations (median, then MAD) plus
+    one broadcast join of the tiny per-key stats back onto the rows.
+    Exact group percentiles buffer one GROUP's values — bounded by
+    per-key activity, not table size; for keys with unbounded history
+    swap the median legs for the q100 histogram-sketch estimates (same
+    interface, fixed memory).
+    """
+    v = F.col(value_col)
+    med = df.where(v.isNotNull()).groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.where(v.isNotNull()).join(F.broadcast(med), key_col)
+    mad = dev.groupBy(key_col).agg(
+        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+    )
+    flagged = dev.join(F.broadcast(mad), key_col).select(
+        key_col,
+        v.alias("__v"),
+        "__med",
+        "__mad",
+        (F.abs(v - F.col("__med")) > F.lit(k * 1.4826) * F.col("__mad")).alias(
+            "__is_anom"
+        ),
+    )
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("__is_anom").cast("bigint")).alias("n_anomalies"),
+        F.round(F.first("__med"), 6).alias("med"),
+        F.round(F.first("__mad"), 6).alias("mad"),
+    )
+
+
+def mad_anomalies_sql(
+    table: str, key_col: str, value_col: str, k: float = 3.0
+) -> str:
+    """DuckDB twin of :func:`mad_anomalies` (quantile_cont == Spark's
+    interpolating percentile; sum of flags cast to BIGINT)."""
+    return f"""
+    WITH base AS (
+        SELECT {key_col}, {value_col} FROM {table}
+        WHERE {value_col} IS NOT NULL
+    ), med AS (
+        SELECT {key_col}, quantile_cont({value_col}, 0.5) AS __med
+        FROM base GROUP BY 1
+    ), mad AS (
+        SELECT b.{key_col},
+               quantile_cont(abs(b.{value_col} - m.__med), 0.5) AS __mad
+        FROM base b JOIN med m USING ({key_col})
+        GROUP BY 1
+    )
+    SELECT b.{key_col},
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN abs(b.{value_col} - m.__med)
+                              > {k * 1.4826} * d.__mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(min(m.__med), 6) AS med,
+           round(min(d.__mad), 6) AS mad
+    FROM base b JOIN med m USING ({key_col}) JOIN mad d USING ({key_col})
+    GROUP BY 1
+    """

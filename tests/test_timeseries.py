@@ -97,3 +97,18 @@ def test_cumulative_distinct_laws(spark):
         a["cum_distinct"] <= b["cum_distinct"] for a, b in zip(rows, rows[1:])
     )
     assert all(r["n_active"] <= r["cum_distinct"] for r in rows)
+
+
+def test_mad_anomalies_flags_planted_outlier(spark):
+    """A planted extreme value is the only anomaly; a clean constant-ish
+    key has zero (MAD robustness: one outlier cannot inflate the scale
+    estimate the way a stddev rule would)."""
+    from pytrousse_spark.operators.timeseries import mad_anomalies
+
+    rows = [(1, float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 500]]
+    rows += [(2, 5.0), (2, 5.1), (2, 4.9), (2, 5.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r["k"]: r for r in mad_anomalies(df, "k", "v", k=3.0).collect()}
+    assert got[1]["n_anomalies"] == 1 and got[1]["n_events"] == 8
+    assert got[2]["n_anomalies"] == 0
+    assert abs(got[1]["med"] - 10.5) < 1e-9
