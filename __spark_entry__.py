@@ -2585,6 +2585,68 @@ def _sql_q122() -> str:
     """
 
 
+def q123_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip to the [p05, p95] band) before any
+    mean-based statistic — heavy-tail damage control without dropping
+    rows. One exact per-group percentile agg broadcast back; the fact
+    table never shuffles. Summarized per group so the gate hashes every
+    clip decision."""
+    from pytrousse_spark.operators.repair import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_returnflag", "l_extendedprice", 0.05, 0.95)
+    v, vw = F.col("l_extendedprice"), F.col("l_extendedprice_w")
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((v < vw).cast("bigint")).alias("n_clip_lo"),
+        F.sum((v > vw).cast("bigint")).alias("n_clip_hi"),
+        F.round(F.sum(v), 2).alias("sum_raw"),
+        F.round(F.sum(vw), 2).alias("sum_winsorized"),
+    )
+
+
+def _sql_q123() -> str:
+    from pytrousse_spark.operators.repair import winsorize_summary_sql
+
+    return winsorize_summary_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", 0.05, 0.95
+    )
+
+
+def q124_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over part names: edit-distance <= 2 pairs,
+    candidate-bounded by a declared blocking key (the head noun — the
+    Fellegi–Sunter blocking practice; recall is the key's recall by
+    contract, not silently). Linkage runs over DISTINCT values with a
+    min-key representative — the entity-resolution reduction that keeps
+    clone-heavy tables (thousands of rows per name here) from exploding
+    the pair space quadratically; levenshtein verifies JVM-side inside
+    the block join, no cross product anywhere."""
+    from pytrousse_spark.operators.relational import fuzzy_join_blocked
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+    )
+    return fuzzy_join_blocked(
+        p, p, "p_partkey", "p_name", "split(p_name, ' ')[1]", max_dist=2
+    )
+
+
+def _sql_q124() -> str:
+    from pytrousse_spark.operators.relational import fuzzy_join_blocked_sql
+
+    return fuzzy_join_blocked_sql(
+        "(SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS p_partkey"
+        " FROM part GROUP BY p_name)",
+        "p_partkey",
+        "p_name",
+        "split_part(p_name, ' ', 2)",
+        2,
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3650,6 +3712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_ewma": q120_ewma,
         "q121_mad_anomalies": q121_mad_anomalies,
         "q122_grouping_sets": q122_grouping_sets,
+        "q123_winsorize": q123_winsorize,
+        "q124_fuzzy_join": q124_fuzzy_join,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -4062,6 +4126,8 @@ def oracle_sql() -> dict[str, str]:
         "q120_ewma": _sql_q120(),
         "q121_mad_anomalies": _sql_q121(),
         "q122_grouping_sets": _sql_q122(),
+        "q123_winsorize": _sql_q123(),
+        "q124_fuzzy_join": _sql_q124(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

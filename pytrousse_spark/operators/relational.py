@@ -118,3 +118,69 @@ def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
         terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def fuzzy_join_blocked(
+    df_a,
+    df_b,
+    id_col: str,
+    text_col: str,
+    block_expr: str,
+    max_dist: int = 2,
+):
+    """Record linkage: pairs whose ``text_col`` edit distance is
+    <= ``max_dist``, candidate-bounded by a declared BLOCKING key.
+
+    Blocking (Fellegi–Sunter practice) replaces the O(n²) cross product
+    with an equi-join on ``block_expr`` (a SQL expression over each
+    side's columns — e.g. a domain key like the head noun, a phonetic
+    code, or a length band); ``levenshtein`` then verifies candidates
+    JVM-side. Recall is exactly the blocking key's recall — declared,
+    not silent: pairs in different blocks are out of scope by contract.
+    The exact-prefix alternative for set similarity is q112; for edit
+    distance the published exact filter is Gravano 2001 character
+    q-grams, which composes with this verify unchanged.
+
+    Self-join callers pass the same frame twice; ``id_a < id_b``
+    deduplicates unordered pairs.
+    """
+    from pyspark.sql import functions as F
+
+    a = df_a.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        F.expr(block_expr).alias("__blk"),
+    )
+    b = df_b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        F.expr(block_expr).alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "text_a", "text_b", "dist")
+    )
+
+
+def fuzzy_join_blocked_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    block_expr: str,
+    max_dist: int = 2,
+) -> str:
+    """DuckDB twin of the self-join form of :func:`fuzzy_join_blocked`."""
+    return f"""
+    WITH s AS (
+        SELECT {id_col} AS id, {text_col} AS text, {block_expr} AS blk
+        FROM {table}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.text AS text_a, b.text AS text_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+    FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.text, b.text) <= {max_dist}
+    """

@@ -209,3 +209,69 @@ class RowFix:
             "errors_before": self.report.total_before(),
             "errors_after": self.report.total_after(),
         }
+
+
+def winsorize(
+    df, key_col: str, value_col: str, lo: float = 0.05, hi: float = 0.95
+):
+    """Per-group winsorization: clip ``value_col`` to that group's
+    [lo, hi] percentile band — the robust-tail cleaning step before any
+    mean-based feature (heavy-tail damage control without dropping rows).
+
+    Returns the input rows plus ``<value>_w`` (clipped value). One exact
+    per-group percentile agg (buffers ONE group's values — bounded by
+    group size; swap in the q100 histogram sketch for unbounded groups)
+    broadcast back onto the rows; the fact table never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col)
+    bounds = df.where(v.isNotNull()).groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), key_col, "left")
+        .withColumn(
+            f"{value_col}_w",
+            F.when(v < F.col("__lo"), F.col("__lo"))
+            .when(v > F.col("__hi"), F.col("__hi"))
+            .otherwise(v),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def winsorize_summary_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> str:
+    """DuckDB twin of the q123 gate: winsorize then summarize per group
+    (quantile_cont == Spark's interpolating percentile)."""
+    return f"""
+    WITH bounds AS (
+        SELECT {key_col},
+               quantile_cont({value_col}, {lo}) AS __lo,
+               quantile_cont({value_col}, {hi}) AS __hi
+        FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+    ), w AS (
+        SELECT t.{key_col}, t.{value_col},
+               CASE WHEN t.{value_col} < b.__lo THEN b.__lo
+                    WHEN t.{value_col} > b.__hi THEN b.__hi
+                    ELSE t.{value_col} END AS __w,
+               b.__lo, b.__hi
+        FROM {table} t LEFT JOIN bounds b USING ({key_col})
+    )
+    SELECT {key_col},
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN {value_col} < __lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_lo,
+           CAST(sum(CASE WHEN {value_col} > __hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_hi,
+           round(sum({value_col}), 2) AS sum_raw,
+           round(sum(__w), 2) AS sum_winsorized
+    FROM w GROUP BY 1
+    """

@@ -143,3 +143,24 @@ def test_zorder_clusters_both_dimensions(spark):
         for i in range(len(rm) - 1)
     ) / (len(rm) - 1)
     assert zd < rd
+
+
+def test_fuzzy_join_blocked_finds_known_pairs(spark):
+    from pytrousse_spark.operators.relational import fuzzy_join_blocked
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "ted widget"),    # dist 1, same block
+            (3, "red gadget"),    # different noun -> different block
+            (4, "blue widget"),   # dist 3 from red widget -> filtered
+        ],
+        ["id", "name"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_join_blocked(
+            df, df, "id", "name", "split(name, ' ')[1]", max_dist=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1}

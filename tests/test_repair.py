@@ -105,3 +105,20 @@ def test_cols_to_correct_dtype(spark):
     assert types["int_like"] == "int"      # integral doubles → int (Int32 parity)
     assert types["b01"] == "boolean"       # {0,1} → bool
     assert types["frac"] == "double"
+
+
+def test_winsorize_clips_only_tails(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.repair import winsorize
+
+    vals = [float(v) for v in range(1, 21)] + [1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    out = winsorize(df, "k", "v", 0.05, 0.95).collect()
+    by_v = {r["v"]: r["v_w"] for r in out}
+    assert by_v[1000.0] < 1000.0      # upper tail clipped
+    assert by_v[10.0] == 10.0         # interior untouched
+    assert by_v[1.0] > 1.0            # lower tail clipped
+    # clipped column is monotone in the raw column
+    s = sorted(out, key=lambda r: r["v"])
+    assert all(a["v_w"] <= b["v_w"] for a, b in zip(s, s[1:]))
