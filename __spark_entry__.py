@@ -2647,6 +2647,26 @@ def _sql_q124() -> str:
     )
 
 
+def q125_hll_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day from MERGED daily HLL
+    sketches — the metric exact count(DISTINCT) OVER a sliding RANGE
+    cannot compute at scale (distinct does not decompose over sliding
+    windows; the exact form buffers every key per frame). Data scanned
+    ONCE into per-day registers; the window merges days x 2^9 register
+    rows by bucket-wise max (HLL mergeability), the q99 estimator runs
+    per day. Accuracy vs exact pinned in tests/test_sketch.py."""
+    from pytrousse_spark.operators.sketch import hll_trailing_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_trailing_distinct(ev, "ts", "user_id", window_days=7, p=9)
+
+
+def _sql_q125() -> str:
+    from pytrousse_spark.operators.sketch import hll_trailing_sql
+
+    return hll_trailing_sql("SELECT * FROM events", "ts", "user_id", 7, 9)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3714,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_grouping_sets": q122_grouping_sets,
         "q123_winsorize": q123_winsorize,
         "q124_fuzzy_join": q124_fuzzy_join,
+        "q125_hll_trailing": q125_hll_trailing,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -4128,6 +4149,7 @@ def oracle_sql() -> dict[str, str]:
         "q122_grouping_sets": _sql_q122(),
         "q123_winsorize": _sql_q123(),
         "q124_fuzzy_join": _sql_q124(),
+        "q125_hll_trailing": _sql_q125(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -384,3 +384,165 @@ def histogram_quantiles_sql(
     JOIN cum c2 ON c2.bucket = p.bucket
     CROSS JOIN s
     """
+
+
+def hll_trailing_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+    p: int = 9,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Trailing-window distinct counts from MERGED daily HLL sketches:
+    for every day, the estimated distinct ``key_col`` over the last
+    ``window_days`` days — the rolling-uniques metric that an exact
+    ``count(DISTINCT) OVER (RANGE 6 PRECEDING)`` cannot compute at scale
+    (it buffers every key per frame, and distinct does not decompose
+    over sliding windows).
+
+    Composition of pinned pieces: per-day registers
+    (:func:`hll_registers_grouped` — one (day, bucket)-keyed agg, shuffle
+    bounded by days x 2^p), a dense day x bucket grid, one RANGE window
+    per bucket taking the frame-wise register max (HLL's mergeability law:
+    max over days == sketch of the union), then the q99 estimator per
+    day — exact integer power sums, one float division + ln, identical
+    in the DuckDB replay. Data is scanned ONCE regardless of window
+    length; the window runs over days x 2^p register rows only.
+
+    Returns ``(day, estimate, zero_registers)``.
+    """
+    from pyspark.sql import Window
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    regs = hll_registers_grouped(
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("__day"),
+            F.col(key_col),
+        ),
+        "__day",
+        key_col,
+        p=p,
+        hash_fn=hash_fn,
+    ).select(F.col("grp").alias("__day"), "bucket", "r")
+    days = regs.select("__day").distinct()
+    grid = days.select(
+        "__day", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket")
+    )
+    dense = (
+        grid.join(regs, ["__day", "bucket"], "left")
+        .select(
+            "__day",
+            "bucket",
+            F.coalesce(F.col("r"), F.lit(0)).alias("r"),
+            F.datediff(F.col("__day"), F.lit("1970-01-01").cast("date")).alias(
+                "__dn"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__dn")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    rolled = dense.select(
+        "__day", "bucket", F.max("r").over(w).alias("r")
+    )
+    heads = rolled.groupBy("__day").agg(
+        F.max("r").alias("__max_r"),
+        F.sum((F.col("r") == 0).cast("bigint")).alias("zero_registers"),
+    )
+    t_int = rolled.join(F.broadcast(heads), "__day").groupBy("__day").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), __max_r - r)")
+        ).alias("__t")
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(m)
+        * F.expr("shiftleft(CAST(1 AS BIGINT), __max_r)")
+        / F.col("__t")
+    )
+    v = F.col("zero_registers")
+    est = F.when(
+        (v > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(m) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return (
+        heads.join(t_int, "__day")
+        .select(
+            F.col("__day").alias("day"),
+            F.round(est, 2).alias("estimate"),
+            "zero_registers",
+        )
+    )
+
+
+def hll_trailing_sql(
+    table_expr: str,
+    ts_expr: str,
+    key_expr: str,
+    window_days: int = 7,
+    p: int = 9,
+) -> str:
+    """DuckDB twin of :func:`hll_trailing_distinct` — identical register
+    math, identical dense grid, identical RANGE merge and estimator."""
+    w_bits = 60 - p
+    m = 1 << p
+    h = f"(('0x' || substr(md5('hll|' || {key_expr}), 1, 15))::BIGINT)"
+    nbits = " + ".join(
+        f"(CASE WHEN rest >= {1 << i} THEN 1 ELSE 0 END)"
+        for i in range(w_bits)
+    )
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+    return f"""
+    WITH hashed AS (
+        SELECT CAST(date_trunc('day', CAST({ts_expr} AS TIMESTAMP)) AS DATE)
+                   AS d,
+               ({h} % {m}) AS bucket,
+               (({h} >> {p}) & {(1 << w_bits) - 1}) AS rest
+        FROM ({table_expr}) WHERE {key_expr} IS NOT NULL
+    ), maxr AS (
+        SELECT d, bucket, max(({w_bits} - ({nbits})) + 1) AS r
+        FROM hashed GROUP BY d, bucket
+    ), days AS (
+        SELECT DISTINCT d FROM maxr
+    ), dense AS (
+        SELECT days.d, gs.i AS bucket, COALESCE(mx.r, 0) AS r,
+               datediff('day', DATE '1970-01-01', days.d) AS dn
+        FROM days
+        CROSS JOIN generate_series(0, {m - 1}) AS gs(i)
+        LEFT JOIN maxr mx ON mx.d = days.d AND mx.bucket = gs.i
+    ), rolled AS (
+        SELECT d, bucket,
+               max(r) OVER (
+                   PARTITION BY bucket ORDER BY dn
+                   RANGE BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW
+               ) AS r
+        FROM dense
+    ), heads AS (
+        SELECT d, max(r) AS max_r,
+               CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_registers
+        FROM rolled GROUP BY d
+    ), t AS (
+        SELECT rolled.d,
+               CAST(sum(1::BIGINT << (heads.max_r - rolled.r)) AS BIGINT)
+                   AS t_int
+        FROM rolled JOIN heads ON heads.d = rolled.d
+        GROUP BY rolled.d
+    )
+    SELECT heads.d AS day,
+           round(CASE WHEN heads.zero_registers > 0
+                       AND {alpha} * {m}::DOUBLE * {m}
+                           * (1::BIGINT << heads.max_r) / t.t_int
+                           <= 2.5 * {m}
+                      THEN {m} * ln({m}::DOUBLE / heads.zero_registers)
+                      ELSE {alpha} * {m}::DOUBLE * {m}
+                           * (1::BIGINT << heads.max_r) / t.t_int
+                 END, 2) AS estimate,
+           heads.zero_registers
+    FROM heads JOIN t ON t.d = heads.d
+    """

@@ -195,3 +195,49 @@ def test_histogram_quantiles_null_rows_excluded(spark):
     e_dirty = histogram_quantile_estimates(dirty, "x", [0.5, 0.9], 1024)
     e_clean = histogram_quantile_estimates(clean_only, "x", [0.5, 0.9], 1024)
     assert e_dirty == e_clean
+
+
+def test_hll_trailing_accuracy_and_totalwindow(spark):
+    """Trailing-window HLL: every day's estimate within 10% of the exact
+    trailing distinct, and a window covering all days reproduces a
+    whole-corpus single sketch (mergeability across the time axis)."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.sketch import (
+        hll_estimate_row,
+        hll_registers,
+        hll_trailing_distinct,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    rows = hll_trailing_distinct(ev, "ts", "user_id", 7, p=9).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            f"""
+            WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                       AS day FROM '{SF_DIR}/events.parquet')
+            SELECT d.day, count(DISTINCT e.user_id)
+            FROM d JOIN '{SF_DIR}/events.parquet' e
+              ON CAST(date_trunc('day', e.ts) AS DATE)
+                 BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+            """
+        ).fetchall()
+    )
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert abs(r["estimate"] - exact[r["day"]]) / exact[r["day"]] < 0.10
+    # all-days window == one whole-corpus sketch, day by day for the
+    # final day (the union of everything)
+    wide = {
+        r["day"]: r["estimate"]
+        for r in hll_trailing_distinct(ev, "ts", "user_id", 365, p=9).collect()
+    }
+    whole = hll_estimate_row(
+        [(r["bucket"], r["r"]) for r in hll_registers(ev, "user_id", p=9).collect()],
+        p=9,
+    )["estimate"]
+    assert wide[max(wide)] == whole
