@@ -263,3 +263,57 @@ def read_text_corpus(
             F.md5(F.concat_ws("|", F.col("source_file"), F.col("text"))),
         )
     return df
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Table maintenance: rewrite a parquet directory into files of
+    ~``target_bytes`` — the small-files compaction every long-lived
+    100 TB table needs (streaming sinks and incremental appends produce
+    thousands of KB-sized files; scan planning, footer reads, and the
+    driver's split enumeration all degrade linearly in file count).
+
+    File count = ceil(on-disk bytes / target); the rewrite is ONE
+    repartition (or a sorted repartitionByRange when ``sort_cols`` is
+    given, which also restores clustering for min-max pruning — pair
+    with relational.zorder_key for two-dimensional locality). Writes to
+    a sibling temp dir then atomically swaps, so readers never see a
+    half-compacted table. Returns {files_before, files_after,
+    bytes_total} for the maintenance log.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / target_bytes))
+    df = read_parquet_df(spark, path)
+    out = df.repartitionByRange(n, *sort_cols) if sort_cols else df.repartition(n)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{tmp}__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes_total": total,
+    }

@@ -173,3 +173,41 @@ def test_csv_roundtrip_hostile_content(spark, tmp_path_factory):
     # signature columns (which hash only non-null text) stay faithful.
     want[6] = None
     assert got == want
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Many tiny files -> few target-sized files; rows and values are
+    preserved; the source dir is swapped atomically (no temp leftovers)."""
+    import os
+
+    from pytrousse_spark.io import compact_parquet, read_parquet_df
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 10000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(p)
+    before = sorted(r[0] for r in read_parquet_df(spark, p).collect())
+    stats = compact_parquet(spark, p, target_bytes=10**9)
+    assert stats["files_before"] >= 64 and stats["files_after"] == 1
+    after = sorted(r[0] for r in read_parquet_df(spark, p).collect())
+    assert before == after
+    assert not [d for d in os.listdir(tmp_path) if "compact" in d]
+
+
+def test_compact_parquet_sorted_restores_clustering(spark, tmp_path):
+    from pytrousse_spark.io import compact_parquet, read_parquet_df
+
+    p = str(tmp_path / "t2")
+    spark.range(0, 5000).selectExpr("id", "id % 3 AS k").repartition(16).write.parquet(p)
+    stats = compact_parquet(spark, p, target_bytes=15_000, sort_cols=["id"])
+    assert stats["files_after"] > 1
+    # range-partitioned output: per-file id ranges are disjoint
+    import pyspark.sql.functions as F
+
+    meta = (
+        read_parquet_df(spark, p)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in meta)
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
