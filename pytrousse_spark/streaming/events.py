@@ -152,3 +152,41 @@ def enrich_events_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+def rollup_events_stream(
+    events: DataFrame,
+    keys: list[str],
+    value_col: str,
+    partials_path: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming maintenance of a standing aggregate: each micro-batch
+    reduces to MERGEABLE partials (operators/incremental.py) appended to
+    a partials store; readers get the current rollup by merging —
+    ``merge(partials) == partial(all data so far)`` bit-exactly, because
+    sums ride integer micro-units (the q115 law, now held incrementally).
+
+    This is the streaming form of incremental rollup maintenance: no
+    micro-batch ever re-reads history, the store grows by groups-per-batch
+    rows, and a periodic :func:`~pytrousse_spark.io.compact_parquet` +
+    merge rewrite keeps it bounded. foreachBatch is the documented Spark
+    pattern for sinks with merge semantics.
+    """
+    from ..operators.incremental import partial_rollup
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            partial_rollup(batch_df, keys, value_col)
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_path)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", partials_path + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(120)

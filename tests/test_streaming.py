@@ -269,3 +269,46 @@ def test_stream_watermark_bounds_state(spark, tmp_path_factory):
     twin = windowed_event_counts(batch, "1 hour")
     assert twin.agg({"n_events": "sum"}).first()[0] == 6
     assert len(twin.collect()) == 5  # events at T0 and T0+30m share a window
+
+
+def test_stream_rollup_partials_merge_equals_direct(spark, tmp_path_factory):
+    """Streaming incremental maintenance: per-micro-batch partials
+    appended by foreachBatch merge to EXACTLY the direct rollup over all
+    data (the q115 law held incrementally — no batch re-reads history)."""
+    import shutil
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.incremental import (
+        merge_rollups,
+        partial_rollup,
+    )
+    from pytrousse_spark.streaming.events import rollup_events_stream
+
+    d = tmp_path_factory.mktemp("ev_rollup")
+    batch = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    a = batch.where("user_id % 2 = 0")
+    b = batch.where("user_id % 2 = 1")
+    a.write.mode("overwrite").parquet(str(d / "f1.parquet"))
+    b.write.mode("overwrite").parquet(str(d / "f2.parquet"))
+    src = tmp_path_factory.mktemp("ev_rollup_src")
+    for i, sub in enumerate(("f1.parquet", "f2.parquet")):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.copy(f, src / f"batch{i}-{f.name}")
+    # the rewritten shards carry plain timestamps (not the raw nanos
+    # layout read_events_stream normalizes), so stream with their schema
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path_factory.mktemp("partials") / "store")
+    rollup_events_stream(stream, ["event_type"], "value", store)
+    partials = read_parquet_df(spark, store).drop("__batch")
+    merged = merge_rollups([partials], ["event_type"])
+    direct = partial_rollup(batch, ["event_type"], "value")
+    norm = lambda df: sorted(tuple(r) for r in df.collect())
+    assert norm(merged) == norm(direct)
+    # more than one micro-batch actually ran
+    nb = read_parquet_df(spark, store).select("__batch").distinct().count()
+    assert nb >= 2
