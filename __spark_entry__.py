@@ -2667,6 +2667,50 @@ def _sql_q125() -> str:
     return hll_trailing_sql("SELECT * FROM events", "ts", "user_id", 7, 9)
 
 
+def q126_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join pricing: self-join cardinality (F2 = Σ n_k²) of
+    lineitem on l_partkey estimated from the Count-Min grid's inner
+    product with itself (AGMS-style) — never underestimates, costs d×w
+    cells regardless of key cardinality. The gate emits the exact F2
+    alongside (feasible here; at 100 TB distinct keys outgrow the exact
+    path and the sketch is the only pricer)."""
+    from pytrousse_spark.operators.sketch import count_min_self_join_size
+
+    li = _t(spark, sf_dir, "lineitem")
+    return count_min_self_join_size(li, "l_partkey", w=1 << 14, d=4)
+
+
+def _sql_q126() -> str:
+    from pytrousse_spark.operators.sketch import count_min_self_join_size_sql
+
+    return count_min_self_join_size_sql("lineitem", "l_partkey", 1 << 14, 4)
+
+
+def q127_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP p50/p95 from equi-width histogram sketches, fully
+    engine-side (no driver collect — works for millions of groups):
+    per-group stats broadcast, one (group, bin)-keyed agg bounded by
+    groups x B, per-group running-sum window over bins, crossing-bin
+    interpolation as expressions. The swap-in for exact per-group
+    percentile that q121/q123 point at; <0.03% vs exact at B=1024 here."""
+    from pytrousse_spark.operators.sketch import histogram_quantiles_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_quantiles_grouped(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.95], num_bins=1024
+    )
+
+
+def _sql_q127() -> str:
+    from pytrousse_spark.operators.sketch import (
+        histogram_quantiles_grouped_sql,
+    )
+
+    return histogram_quantiles_grouped_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", [0.5, 0.95], 1024
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3735,6 +3779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_winsorize": q123_winsorize,
         "q124_fuzzy_join": q124_fuzzy_join,
         "q125_hll_trailing": q125_hll_trailing,
+        "q126_join_size_estimate": q126_join_size_estimate,
+        "q127_grouped_quantiles": q127_grouped_quantiles,
         # -- head: r2-only evidence, oldest families first -----------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
@@ -4150,6 +4196,8 @@ def oracle_sql() -> dict[str, str]:
         "q123_winsorize": _sql_q123(),
         "q124_fuzzy_join": _sql_q124(),
         "q125_hll_trailing": _sql_q125(),
+        "q126_join_size_estimate": _sql_q126(),
+        "q127_grouped_quantiles": _sql_q127(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -546,3 +546,208 @@ def hll_trailing_sql(
            heads.zero_registers
     FROM heads JOIN t ON t.d = heads.d
     """
+
+
+def histogram_quantiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    quantiles: list[float],
+    num_bins: int = 1024,
+) -> DataFrame:
+    """PER-GROUP approximate quantiles from equi-width histograms — the
+    swap-in for exact per-group ``percentile`` that q121/q123 docstrings
+    point at when groups have unbounded history.
+
+    Fully engine-side (no driver collect, unlike the single-column
+    :func:`histogram_quantile_estimates` whose B-row collect is fine for
+    one histogram but not for millions of groups): per-group (lo, hi, n)
+    stats broadcast back, ONE (group, bin)-keyed histogram agg — shuffle
+    bounded by groups x B — a per-group running-sum window over bins, and
+    the crossing-bin interpolation as expressions. Identical arithmetic
+    to the single-column sketch; constant groups (hi == lo) estimate lo.
+
+    Returns ``(group, q, estimate)`` rounded to 4.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(col)
+    stats = (
+        df.where(v.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.min(col).alias("__lo"),
+            F.max(col).alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    span = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(1.0)
+    ).otherwise(F.col("__hi") - F.col("__lo"))
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("__lo")) / span * num_bins).cast("long"),
+            F.lit(num_bins - 1),
+        )
+    )
+    hist = (
+        df.where(v.isNotNull())
+        .select(F.col(group_col).alias("__g"), v.alias(col))
+        .join(F.broadcast(stats), "__g")
+        .select("__g", bucket.alias("__b"))
+        .groupBy("__g", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("__g").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    qrows = stats.select(
+        "__g",
+        "__lo",
+        "__hi",
+        "__n",
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q"),
+    )
+    crossed = (
+        qrows.join(cum, "__g")
+        .where(F.col("__cum") >= F.col("q") * F.col("__n"))
+        .groupBy("__g", "q")
+        .agg(
+            F.min_by(
+                F.struct("__b", "__c", "__cum"), F.col("__b")
+            ).alias("__s"),
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+            F.first("__n").alias("__n"),
+        )
+    )
+    span2 = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(1.0)
+    ).otherwise(F.col("__hi") - F.col("__lo"))
+    est = F.when(F.col("__hi") == F.col("__lo"), F.round("__lo", 4)).otherwise(
+        F.round(
+            F.col("__lo")
+            + (
+                F.col("__s.__b")
+                + (
+                    F.col("q") * F.col("__n")
+                    - (F.col("__s.__cum") - F.col("__s.__c"))
+                )
+                / F.col("__s.__c")
+            )
+            * (span2 / num_bins),
+            4,
+        )
+    )
+    return crossed.select(
+        F.col("__g").alias(group_col), "q", est.alias("estimate")
+    )
+
+
+def histogram_quantiles_grouped_sql(
+    table: str,
+    group_col: str,
+    col: str,
+    quantiles: list[float],
+    num_bins: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles_grouped`."""
+    qvals = ", ".join(f"({float(q)})" for q in quantiles)
+    return f"""
+    WITH s AS (
+        SELECT {group_col} AS g, min({col}) AS lo, max({col}) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
+    ), b AS (
+        SELECT t.{group_col} AS g,
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE LEAST(CAST(floor((({col} - s.lo) / (s.hi - s.lo))
+                                    * {num_bins}) AS BIGINT),
+                               {num_bins - 1}) END AS bucket
+        FROM {table} t JOIN s ON s.g = t.{group_col}
+        WHERE {col} IS NOT NULL
+    ), h AS (
+        SELECT g, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM b GROUP BY 1, 2
+    ), cum AS (
+        SELECT g, bucket, c,
+               CAST(sum(c) OVER (
+                   PARTITION BY g ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM h
+    ), qs(q) AS (VALUES {qvals}),
+    pick AS (
+        SELECT cum.g, qs.q, min(cum.bucket) AS bucket
+        FROM qs, cum JOIN s ON s.g = cum.g
+        WHERE cum.cum >= CAST(qs.q AS DOUBLE) * s.n
+        GROUP BY 1, 2
+    )
+    SELECT p.g AS {group_col}, CAST(p.q AS DOUBLE) AS q,
+           CASE WHEN s.hi = s.lo THEN round(s.lo, 4)
+                ELSE round(s.lo + (p.bucket
+                     + (CAST(p.q AS DOUBLE) * s.n - (c2.cum - c2.c)) / c2.c)
+                     * ((s.hi - s.lo) / {num_bins}), 4) END AS estimate
+    FROM pick p
+    JOIN cum c2 ON c2.g = p.g AND c2.bucket = p.bucket
+    JOIN s ON s.g = p.g
+    """
+
+
+def count_min_self_join_size(
+    df: DataFrame, col: str, w: int = 1 << 12, d: int = 4, hash_fn: str = "md5"
+) -> DataFrame:
+    """Self-join cardinality (second frequency moment F2 = Σ n_k²)
+    estimated from the Count-Min grid's inner product with itself
+    (Cormode & Muthukrishnan 2005; the AGMS-style join-size estimator) —
+    the pre-flight skew diagnostic that prices a join BEFORE shuffling
+    it. Never underestimates (cell sums only merge mass); the oracle
+    replays grid and estimate exactly and the gate emits the true F2
+    alongside (exact needs a keys-bounded groupBy — feasible here,
+    impossible when distinct keys outgrow memory; the sketch is d x w
+    cells regardless).
+
+    Returns one row: ``(cm_estimate, exact_f2, ratio)``.
+    """
+    cm = count_min_build(df.select(col), col, w=w, d=d, hash_fn=hash_fn)
+    est = (
+        cm.groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("__ip"))
+        .agg(F.min("__ip").alias("cm_estimate"))
+    )
+    exact = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum(F.col("__n") * F.col("__n")).alias("exact_f2"))
+    )
+    return est.crossJoin(exact).select(
+        "cm_estimate",
+        "exact_f2",
+        F.round(F.col("cm_estimate") / F.col("exact_f2"), 6).alias("ratio"),
+    )
+
+
+def count_min_self_join_size_sql(
+    table: str, key_expr: str, w: int = 1 << 12, d: int = 4
+) -> str:
+    """DuckDB twin of :func:`count_min_self_join_size`."""
+    build = count_min_build_sql(f"SELECT {key_expr} FROM {table}", key_expr, w, d)
+    return f"""
+    WITH cm AS ({build}),
+    est AS (
+        SELECT CAST(min(ip) AS BIGINT) AS cm_estimate FROM (
+            SELECT j, sum(c * c) AS ip FROM cm GROUP BY j
+        )
+    ),
+    exact AS (
+        SELECT CAST(sum(n * n) AS BIGINT) AS exact_f2 FROM (
+            SELECT {key_expr} AS k, count(*) AS n FROM {table}
+            WHERE {key_expr} IS NOT NULL GROUP BY 1
+        )
+    )
+    SELECT e.cm_estimate, x.exact_f2,
+           round(e.cm_estimate / x.exact_f2, 6) AS ratio
+    FROM est e CROSS JOIN exact x
+    """

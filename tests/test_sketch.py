@@ -241,3 +241,55 @@ def test_hll_trailing_accuracy_and_totalwindow(spark):
         p=9,
     )["estimate"]
     assert wide[max(wide)] == whole
+
+
+def test_cm_join_size_never_undercounts(spark):
+    """CM inner-product join-size estimate >= exact F2, and tightens as
+    the grid widens (fewer collisions)."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.sketch import count_min_self_join_size
+    from tests.conftest import SF_DIR
+
+    li = read_parquet_df(spark, f"{SF_DIR}/lineitem.parquet")
+    narrow = count_min_self_join_size(li, "l_partkey", w=1 << 10).first()
+    wide = count_min_self_join_size(li, "l_partkey", w=1 << 14).first()
+    assert narrow["cm_estimate"] >= narrow["exact_f2"]
+    assert wide["cm_estimate"] >= wide["exact_f2"]
+    assert wide["ratio"] <= narrow["ratio"]
+    assert wide["ratio"] < 1.2
+
+
+def test_grouped_quantiles_accuracy_and_constant_group(spark):
+    """Grouped histogram quantiles within 1% of exact per group; a
+    constant group estimates its constant exactly."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.sketch import histogram_quantiles_grouped
+    from tests.conftest import SF_DIR
+
+    li = read_parquet_df(spark, f"{SF_DIR}/lineitem.parquet")
+    got = {
+        (r["l_returnflag"], r["q"]): r["estimate"]
+        for r in histogram_quantiles_grouped(
+            li, "l_returnflag", "l_extendedprice", [0.5, 0.95], 1024
+        ).collect()
+    }
+    exact = {
+        (r["l_returnflag"], q): r["e"]
+        for q in (0.5, 0.95)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, {q})").alias("e"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        assert abs(got[k] - exact[k]) / exact[k] < 0.01
+    cdf = spark.createDataFrame(
+        [("c", 5.0)] * 10 + [("v", 1.0), ("v", 2.0), ("v", 3.0)], ["g", "x"]
+    )
+    cg = {
+        (r["g"], r["q"]): r["estimate"]
+        for r in histogram_quantiles_grouped(cdf, "g", "x", [0.5], 64).collect()
+    }
+    assert cg[("c", 0.5)] == 5.0
