@@ -2711,6 +2711,28 @@ def _sql_q127() -> str:
     )
 
 
+def q128_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution for funnel completers
+    (view→click→purchase, whole-month window): minutes from first to
+    final conversion, bucketed by a literal CASE ladder. One user-keyed
+    join of two already-reduced step frames — the distribution shuffle is
+    bounded by completers."""
+    from pytrousse_spark.operators.cohort import time_to_convert
+
+    ev = _t(spark, sf_dir, "events")
+    return time_to_convert(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def _sql_q128() -> str:
+    from pytrousse_spark.operators.cohort import time_to_convert_sql
+
+    return time_to_convert_sql(
+        "events", "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3741,14 +3763,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness battery processes the registry in order with a 50-row
     budget (CORRECTNESS_r02/r03 cover exactly the first 50 entries).
 
-    Round-4 head (50 = 13 + 37): the re-proof of q68 (oracle HUGEINT cast
-    fixed this round), the TWELVE new round-4 queries (q101-q112), then
-    the oldest-evidence r2 families — the evidence-rotation VERDICT r3
-    item 4 asked for; each new query displaces one rotation slot, a
-    deliberate trade (new operators need first-contact evidence more than
-    pytest-green r2 families need a third row). The tail holds every
-    query with a fresh green r3 row (q55-q100 families, q01, q10, q11,
-    q51b) plus the r2 entries that no longer fit the budget. Every entry, head or tail, runs the identical
+    Round-4 head (50 = 28 + 22): the re-proof of q68 (oracle HUGEINT cast
+    fixed this round), the TWENTY-SEVEN new round-4 queries (q101-q127),
+    then the oldest-evidence r2 families — the evidence-rotation VERDICT
+    r3 item 4 asked for; each new query displaces one rotation slot, a
+    deliberate trade (new operators need first-contact driver evidence
+    more than pytest-green r2 families need a third row). The tail holds
+    every query with a fresh green r3 row (q55-q100 families, q01, q10,
+    q11, q51b) plus the r2 entries that no longer fit the budget. Every entry, head or tail, runs the identical
     DuckDB-parity check in tests/test_oracle_parity.py regardless of
     driver budget."""
     return {
@@ -3880,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_langid_confusion": q98_langid_confusion,
         "q99_hll_distinct": q99_hll_distinct,
         "q100_histogram_quantiles": q100_histogram_quantiles,
+        "q128_time_to_convert": q128_time_to_convert,
     }
 
 
@@ -4198,6 +4221,7 @@ def oracle_sql() -> dict[str, str]:
         "q125_hll_trailing": _sql_q125(),
         "q126_join_size_estimate": _sql_q126(),
         "q127_grouped_quantiles": _sql_q127(),
+        "q128_time_to_convert": _sql_q128(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -108,6 +108,39 @@ def cohort_retention_sql(
     """
 
 
+def _funnel_step_frames(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> list[DataFrame]:
+    """Per-step (``__u``, ``__t``) conversion frames: step k's earliest
+    qualifying event at-or-after the user's step k-1 time. Each frame is
+    an EAGER checkpoint — two consumers each (the next step's broadcast
+    build and the caller's aggregate) whose jobs launch concurrently and
+    would race a lazy cache (the q112 lesson, PLANS.md round-4)."""
+    frames: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for step in steps:
+        ev = df.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(prev.select("__u", F.col("__t").alias("__pt")), "__u")
+                .where(F.col("__ts") >= F.col("__pt"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        cur = cur.localCheckpoint(eager=True)
+        frames.append(cur)
+        prev = cur
+    return frames
+
+
 def funnel_steps(
     df: DataFrame,
     user_col: str,
@@ -130,26 +163,10 @@ def funnel_steps(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    prev: DataFrame | None = None
     counts = []
-    for k, step in enumerate(steps):
-        ev = df.where(F.col(type_col) == step).select(
-            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
-        )
-        if prev is None:
-            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
-        else:
-            cur = (
-                ev.join(prev.select("__u", F.col("__t").alias("__pt")), "__u")
-                .where(F.col("__ts") >= F.col("__pt"))
-                .groupBy("__u")
-                .agg(F.min("__ts").alias("__t"))
-            )
-        # each step frame has two consumers (the next step's broadcast
-        # build and its own count) whose jobs can launch concurrently —
-        # eager checkpoint, or they race the cache and recompute the chain
-        # (the q112 lesson, PLANS.md round-4)
-        cur = cur.localCheckpoint(eager=True)
+    for k, (step, cur) in enumerate(
+        zip(steps, _funnel_step_frames(df, user_col, ts_col, type_col, steps))
+    ):
         counts.append(
             cur.agg(F.count(F.lit(1)).alias("n_users")).select(
                 F.lit(k + 1).cast("bigint").alias("step_idx"),
@@ -157,7 +174,6 @@ def funnel_steps(
                 "n_users",
             )
         )
-        prev = cur
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
@@ -231,4 +247,88 @@ def funnel_steps_sql(
            END AS pct_of_prev
     FROM counts
     WINDOW w AS (ORDER BY step_idx)
+    """
+
+
+def time_to_convert(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    bucket_minutes: list[int] = (30, 60, 180, 720),
+) -> DataFrame:
+    """Conversion-latency distribution: for users completing the whole
+    funnel, minutes from first-step to final-step conversion, bucketed
+    into ``<=b0, <=b1, ..., > b_last`` bands.
+
+    One user-keyed join of the first and last step frames (both already
+    reduced to one row per user), then a literal CASE ladder — the
+    distribution shuffle is bounded by funnel completers x 1. Returns
+    ``(bucket, lo_minutes, n_users)`` with ``lo_minutes`` as sort key.
+    """
+    frames = _funnel_step_frames(df, user_col, ts_col, type_col, steps)
+    first = frames[0].select("__u", F.col("__t").alias("__t0"))
+    last = frames[-1].select("__u", F.col("__t").alias("__t1"))
+    mins = (
+        (F.unix_timestamp("__t1") - F.unix_timestamp("__t0")) / 60.0
+    ).alias("__m")
+    j = first.join(last, "__u").select(mins)
+    edges = list(bucket_minutes)
+    label = F.when(F.col("__m") <= edges[0], F.lit(f"<= {edges[0]}m"))
+    lo = F.when(F.col("__m") <= edges[0], F.lit(0))
+    for a, b in zip(edges, edges[1:]):
+        label = label.when(F.col("__m") <= b, F.lit(f"{a}-{b}m"))
+        lo = lo.when(F.col("__m") <= b, F.lit(a))
+    label = label.otherwise(F.lit(f"> {edges[-1]}m"))
+    lo = lo.otherwise(F.lit(edges[-1])).cast("bigint")
+    return (
+        j.select(label.alias("bucket"), lo.alias("lo_minutes"))
+        .groupBy("bucket", "lo_minutes")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def time_to_convert_sql(
+    table: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    bucket_minutes: list[int] = (30, 60, 180, 720),
+) -> str:
+    """DuckDB twin of :func:`time_to_convert` — same MATERIALIZED step
+    chain as :func:`funnel_steps_sql`, same CASE ladder."""
+    ctes = []
+    for k, step in enumerate(steps):
+        if k == 0:
+            body = f"""
+        SELECT {user_col} AS __u, min(CAST({ts_col} AS TIMESTAMP)) AS __t
+        FROM {table} WHERE {type_col} = '{step}' GROUP BY 1"""
+        else:
+            body = f"""
+        SELECT e.{user_col} AS __u, min(CAST(e.{ts_col} AS TIMESTAMP)) AS __t
+        FROM {table} e JOIN s{k} p ON e.{user_col} = p.__u
+        WHERE e.{type_col} = '{step}' AND CAST(e.{ts_col} AS TIMESTAMP) >= p.__t
+        GROUP BY 1"""
+        ctes.append(f"s{k + 1} AS MATERIALIZED ({body}\n    )")
+    edges = list(bucket_minutes)
+    lbl = f"CASE WHEN __m <= {edges[0]} THEN '<= {edges[0]}m'"
+    lov = f"CASE WHEN __m <= {edges[0]} THEN 0"
+    for a, b in zip(edges, edges[1:]):
+        lbl += f" WHEN __m <= {b} THEN '{a}-{b}m'"
+        lov += f" WHEN __m <= {b} THEN {a}"
+    lbl += f" ELSE '> {edges[-1]}m' END"
+    lov += f" ELSE {edges[-1]} END"
+    n = len(steps)
+    return f"""
+    WITH {", ".join(ctes)},
+    m AS (
+        SELECT epoch(s{n}.__t - s1.__t) / 60.0 AS __m
+        FROM s1 JOIN s{n} USING (__u)
+    )
+    SELECT {lbl} AS bucket,
+           CAST({lov} AS BIGINT) AS lo_minutes,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM m GROUP BY 1, 2
     """

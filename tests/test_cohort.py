@@ -87,3 +87,28 @@ def test_funnel_same_timestamp_counts(spark):
         ).collect()
     }
     assert rows == {"view": 1, "click": 1}
+
+
+def test_time_to_convert_buckets(spark):
+    from datetime import datetime
+
+    from pytrousse_spark.operators.cohort import time_to_convert
+
+    ts = datetime
+    df = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1, 10, 0), "view"),
+            (1, ts(2024, 1, 1, 10, 10), "buy"),   # 10 min -> <=30m
+            (2, ts(2024, 1, 1, 9, 0), "view"),
+            (2, ts(2024, 1, 1, 11, 0), "buy"),    # 120 min -> 60-180m
+            (3, ts(2024, 1, 1, 9, 0), "view"),    # never buys
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    got = {
+        r["bucket"]: r["n_users"]
+        for r in time_to_convert(
+            df, "user_id", "ts", "event_type", ["view", "buy"]
+        ).collect()
+    }
+    assert got == {"<= 30m": 1, "60-180m": 1}
