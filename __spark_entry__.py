@@ -2733,6 +2733,26 @@ def _sql_q128() -> str:
     )
 
 
+def q129_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search ('merge' AND 'window' AND 'shuffle')
+    with TF-IDF ranking: posting rows filter to the literal term list
+    BEFORE any shuffle, per-term dfs broadcast back, top-20 via
+    TakeOrderedAndProject with id tiebreak — the corpus query path; a
+    token-bucketed posting table makes it exchange-free at rest."""
+    from pytrousse_spark.functions.text import search_docs
+
+    d = _t(spark, sf_dir, "documents")
+    return search_docs(d, "text", "doc_id", ["merge", "window", "shuffle"], k=20)
+
+
+def _sql_q129() -> str:
+    from pytrousse_spark.functions.text import search_docs_sql
+
+    return search_docs_sql(
+        "documents", "text", "doc_id", ["merge", "window", "shuffle"], 20
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3903,6 +3923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_hll_distinct": q99_hll_distinct,
         "q100_histogram_quantiles": q100_histogram_quantiles,
         "q128_time_to_convert": q128_time_to_convert,
+        "q129_keyword_search": q129_keyword_search,
     }
 
 
@@ -4222,6 +4243,7 @@ def oracle_sql() -> dict[str, str]:
         "q126_join_size_estimate": _sql_q126(),
         "q127_grouped_quantiles": _sql_q127(),
         "q128_time_to_convert": _sql_q128(),
+        "q129_keyword_search": _sql_q129(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1028,3 +1028,87 @@ def zipf_fit_sql(table: str, text_col: str, id_col: str, top_r: int = 1000) -> s
     SELECT slope, intercept, r2, n_types, n_tokens, top_token
     FROM fit CROSS JOIN tot
     """
+
+
+def search_docs(df, text_col: str, id_col: str, terms: list[str], k: int = 20):
+    """Conjunctive keyword search with TF-IDF ranking — the inverted-index
+    query path of the corpus engine.
+
+    A document matches when its token multiset contains EVERY term;
+    matches rank by summed tf·ln(N/df) over the query terms (same idf
+    convention as :func:`tfidf_top_terms`), ties to the smaller id.
+
+    Scale shape: the posting scan filters to query-term rows BEFORE any
+    shuffle (the term list is a literal `isin`), so the aggregation is
+    bounded by docs containing at least one term; per-term document
+    frequencies come from the same filtered scan and broadcast back as a
+    tiny dim. Top-k via orderBy().limit() — TakeOrderedAndProject, no
+    global window. At rest, a materialized (token, id, tf) posting table
+    bucketed by token makes this exchange-free (q108).
+
+    Returns ``(doc_id, score)`` rounded to 6.
+    """
+    from pyspark.sql import functions as F
+
+    n_terms = len(set(terms))
+    n_docs = df.where(F.col(text_col).isNotNull()).count()
+    post = (
+        df.select(
+            F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+        )
+        .select("__id", F.explode("__tk").alias("__t"))
+        .where(F.col("__t").isin(list(set(terms))))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = post.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        post.join(F.broadcast(dfreq), "__t")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__hit"),
+            F.round(
+                F.sum(
+                    F.col("__tf") * F.log(F.lit(float(n_docs)) / F.col("__df"))
+                ),
+                6,
+            ).alias("score"),
+        )
+        .where(F.col("__hit") == n_terms)
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("__id"))
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "score")
+    )
+
+
+def search_docs_sql(
+    table: str, text_col: str, id_col: str, terms: list[str], k: int = 20
+) -> str:
+    """DuckDB twin of :func:`search_docs`."""
+    uniq = sorted(set(terms))
+    lits = ", ".join(f"'{t}'" for t in uniq)
+    tok = tokens_sql(text_col)
+    return f"""
+    WITH post AS (
+        SELECT {id_col} AS __id, __t, CAST(count(*) AS BIGINT) AS __tf
+        FROM (
+            SELECT {id_col}, unnest({tok}) AS __t FROM {table}
+        ) WHERE __t IN ({lits})
+        GROUP BY 1, 2
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {table}
+        WHERE {text_col} IS NOT NULL
+    ), dfreq AS (
+        SELECT __t, CAST(count(*) AS BIGINT) AS __df FROM post GROUP BY 1
+    )
+    SELECT p.__id AS {id_col},
+           round(sum(p.__tf * ln((SELECT n_docs FROM n)::DOUBLE / d.__df)), 6)
+               AS score
+    FROM post p JOIN dfreq d USING (__t)
+    GROUP BY p.__id
+    HAVING count(*) = {len(uniq)}
+    ORDER BY score DESC, p.__id
+    LIMIT {k}
+    """

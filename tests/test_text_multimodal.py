@@ -231,3 +231,22 @@ def test_zipf_fit_recovers_the_exponent(spark):
     assert row["n_tokens"] == sum(2000 // r for r in range(1, 41))
     assert -1.05 < row["slope"] < -0.95
     assert row["r2"] > 0.99
+
+
+def test_search_docs_conjunctive_and_ranked(spark):
+    from pytrousse_spark.functions.text import search_docs
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark merge window merge"),   # both terms, tf(merge)=2
+            (2, "merge only here"),            # missing 'window'
+            (3, "window and merge appear"),    # both, tf=1 each
+            (4, "nothing relevant"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = search_docs(df, "text", "doc_id", ["merge", "window"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert set(ids) == {1, 3}          # conjunctive: doc 2 and 4 excluded
+    assert ids[0] == 1                 # higher tf ranks first
+    assert rows[0]["score"] > rows[1]["score"] > 0
