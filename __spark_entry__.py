@@ -2753,6 +2753,28 @@ def _sql_q129() -> str:
     )
 
 
+def q130_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDA correlation matrix over lineitem's four numeric measures in
+    ONE aggregation pass (K + K(K+1)/2 sums with map-side partials —
+    single-row shuffle regardless of table size). Sums accumulate as
+    DECIMAL so they are exact and fold-order-free in both engines; only
+    the final corr formula runs in doubles."""
+    from pytrousse_spark.profiling import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _sql_q130() -> str:
+    from pytrousse_spark.profiling import correlation_matrix_sql
+
+    return correlation_matrix_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3924,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_histogram_quantiles": q100_histogram_quantiles,
         "q128_time_to_convert": q128_time_to_convert,
         "q129_keyword_search": q129_keyword_search,
+        "q130_correlation_matrix": q130_correlation_matrix,
     }
 
 
@@ -4244,6 +4267,7 @@ def oracle_sql() -> dict[str, str]:
         "q127_grouped_quantiles": _sql_q127(),
         "q128_time_to_convert": _sql_q128(),
         "q129_keyword_search": _sql_q129(),
+        "q130_correlation_matrix": _sql_q130(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

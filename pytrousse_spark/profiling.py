@@ -252,3 +252,91 @@ def profile(df: DataFrame, metadata_cols: frozenset[str] = frozenset()) -> Colum
             parse_ratio=row.get(f"{c}__pr"),
         )
     return ColumnProfile(stats=stats, metadata_cols=metadata_cols)
+
+
+def correlation_matrix(df, cols: list[str]) -> "DataFrame":
+    """Pairwise Pearson correlations of numeric columns in ONE aggregation
+    pass — the EDA correlation matrix over K columns costs one scan and a
+    single-row shuffle regardless of table size (K + K(K+1)/2 sum
+    expressions with map-side partials).
+
+    Exactness across engines: float sums are fold-order-dependent, so
+    every Σx, Σx², Σxy accumulates as DECIMAL — exact, associative,
+    bit-identical in the DuckDB replay (operands cast to DECIMAL(18,4),
+    products DECIMAL(38,8)) — and only the FINAL corr formula runs in
+    doubles (one conversion + identical IEEE arithmetic per engine).
+
+    Returns ``(col_a, col_b, corr, n)`` for the upper triangle, corr
+    rounded to 6; constant columns yield NULL (zero variance).
+    """
+    from pyspark.sql import functions as F
+
+    def dec(c: str):
+        return F.col(c).cast("decimal(18,4)")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"ss_{c}_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(dec(a) * dec(b)).alias(f"ss_{a}_{b}"))
+    one = df.agg(*aggs)
+    pieces = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n = F.col("n").cast("double")
+            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+            sab = F.col(f"ss_{a}_{b}").cast("double")
+            saa = F.col(f"ss_{a}_{a}").cast("double")
+            sbb = F.col(f"ss_{b}_{b}").cast("double")
+            va = n * saa - sa * sa
+            vb = n * sbb - sb * sb
+            corr = F.when(
+                (va > 0) & (vb > 0),
+                F.round((n * sab - sa * sb) / F.sqrt(va * vb), 6),
+            )
+            pieces.append(
+                one.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    corr.alias("corr"),
+                    F.col("n").alias("n"),
+                )
+            )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def correlation_matrix_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`correlation_matrix` — identical decimal
+    accumulation and final double formula."""
+
+    def dec(c: str) -> str:
+        return f"CAST({c} AS DECIMAL(28,4))"
+
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        sums.append(f"sum({dec(c)}) AS s_{c}")
+        sums.append(f"sum({dec(c)} * {dec(c)}) AS ss_{c}_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sums.append(f"sum({dec(a)} * {dec(b)}) AS ss_{a}_{b}")
+    arms = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            va = f"(n::DOUBLE * ss_{a}_{a}::DOUBLE - s_{a}::DOUBLE * s_{a}::DOUBLE)"
+            vb = f"(n::DOUBLE * ss_{b}_{b}::DOUBLE - s_{b}::DOUBLE * s_{b}::DOUBLE)"
+            num = f"(n::DOUBLE * ss_{a}_{b}::DOUBLE - s_{a}::DOUBLE * s_{b}::DOUBLE)"
+            arms.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"CASE WHEN {va} > 0 AND {vb} > 0 "
+                f"THEN round({num} / sqrt({va} * {vb}), 6) END AS corr, "
+                f"n FROM agg"
+            )
+    return (
+        f"WITH agg AS MATERIALIZED (SELECT {', '.join(sums)} FROM {table})\n"
+        + "\n    UNION ALL ".join(arms)
+    )

@@ -102,3 +102,36 @@ def test_mixed_detection_on_real_strings(spark):
     # fully-numeric strings classify as numerical, not mixed
     df2 = spark.createDataFrame([("1",), ("2.5",)], "n string")
     assert from_df(df2).numerical_columns == {"n"}
+
+
+def test_correlation_matrix_laws(spark):
+    """Perfect linear relation -> 1.0; sign flip -> -1.0; constant
+    column -> NULL; values match numpy to 1e-6."""
+    from pytrousse_spark.profiling import correlation_matrix
+
+    rows = [(float(i), 2.0 * i + 3, -1.0 * i, 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "c"])
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z", "c"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("x", "c")] is None  # zero variance
+    import numpy as np
+
+    from pytrousse_spark.io import read_parquet_df
+    from tests.conftest import SF_DIR
+
+    li = read_parquet_df(spark, f"{SF_DIR}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    pdf = li.select(cols).toPandas()
+    ref = np.corrcoef(pdf.values.T)
+    got2 = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(li, cols).collect()
+    }
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            if i < j:
+                assert abs(got2[(a, b)] - ref[i, j]) < 1e-6
