@@ -2775,6 +2775,27 @@ def _sql_q130() -> str:
     )
 
 
+def q131_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear regression l_extendedprice ~ quantity +
+    discount: the 2x2 normal-equation solve over ONE-pass DECIMAL
+    sufficient statistics (no iterations — the linear-model companion to
+    q111's gradient-descent trainer). One scan, single-row shuffle, any
+    table size; recovery of a planted linear law pinned in
+    tests/test_classifier.py."""
+    from pytrousse_spark.operators.classifier import ols_two_feature
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_two_feature(li, "l_extendedprice", "l_quantity", "l_discount")
+
+
+def _sql_q131() -> str:
+    from pytrousse_spark.operators.classifier import ols_two_feature_sql
+
+    return ols_two_feature_sql(
+        "lineitem", "l_extendedprice", "l_quantity", "l_discount"
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3947,6 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_time_to_convert": q128_time_to_convert,
         "q129_keyword_search": q129_keyword_search,
         "q130_correlation_matrix": q130_correlation_matrix,
+        "q131_ols": q131_ols,
     }
 
 
@@ -4268,6 +4290,7 @@ def oracle_sql() -> dict[str, str]:
         "q128_time_to_convert": _sql_q128(),
         "q129_keyword_search": _sql_q129(),
         "q130_correlation_matrix": _sql_q130(),
+        "q131_ols": _sql_q131(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

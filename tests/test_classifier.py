@@ -59,3 +59,20 @@ def test_features_are_rounded_and_bounded(spark):
     assert 0.0 <= r["x2"] <= 1.0 and 0.0 <= r["x3"] <= 1.0
     # 7 tokens / 100
     assert r["x1"] == 0.07
+
+
+def test_ols_recovers_planted_linear_law(spark):
+    """y = 3 + 2*x1 - 0.5*x2 exactly -> coefficients recovered, r2 = 1."""
+    from pytrousse_spark.operators.classifier import ols_two_feature
+
+    rows = [
+        (float(i % 13), float((i * 7) % 11), 3.0 + 2.0 * (i % 13) - 0.5 * ((i * 7) % 11))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    r = ols_two_feature(df, "y", "x1", "x2").first()
+    assert abs(r["b0"] - 3.0) < 1e-6
+    assert abs(r["b1"] - 2.0) < 1e-6
+    assert abs(r["b2"] + 0.5) < 1e-6
+    assert r["r2"] == 1.0
+    assert r["n"] == 200
