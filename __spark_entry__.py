@@ -3833,7 +3833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deliberate trade (new operators need first-contact driver evidence
     more than pytest-green r2 families need a third row). The tail holds
     every query with a fresh green r3 row (q55-q100 families, q01, q10,
-    q11, q51b) plus the r2 entries that no longer fit the budget. Every entry, head or tail, runs the identical
+    q11, q51b), the r2 entries that no longer fit the budget, and the
+    late round-4 additions q128-q131 (registered BELOW the head so they
+    do not displace further rotations; the identical DuckDB-parity check
+    in tests/test_oracle_parity.py covers them). Every entry, head or tail, runs the identical
     DuckDB-parity check in tests/test_oracle_parity.py regardless of
     driver budget."""
     return {
