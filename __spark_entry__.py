@@ -2796,6 +2796,47 @@ def _sql_q131() -> str:
     )
 
 
+def q132_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rules over order baskets (parts co-purchased in one
+    order), top-50 by lift: pair space from a basket-keyed self-join
+    bounded by per-basket size (declared cap excludes pathological
+    baskets), item counts broadcast, lift from exact integer
+    cross-multiplication so both engines divide the same two BIGINTs."""
+    from pytrousse_spark.operators.mining import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, top_k=50
+    )
+
+
+def _sql_q132() -> str:
+    from pytrousse_spark.operators.mining import association_rules_sql
+
+    return association_rules_sql(
+        "lineitem", "l_orderkey", "l_partkey", min_pair_count=2, top_k=50
+    )
+
+
+def q133_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (event_id tiebreak pins equal-timestamp order): ONE
+    entity-keyed shuffle for the lag window, then state-pair hash aggs —
+    the clickstream 'what happens after X' query."""
+    from pytrousse_spark.operators.mining import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def _sql_q133() -> str:
+    from pytrousse_spark.operators.mining import event_transitions_sql
+
+    return event_transitions_sql(
+        "events", "user_id", "ts", "event_type", "event_id"
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -3972,6 +4013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_keyword_search": q129_keyword_search,
         "q130_correlation_matrix": q130_correlation_matrix,
         "q131_ols": q131_ols,
+        "q132_association_rules": q132_association_rules,
+        "q133_event_transitions": q133_event_transitions,
     }
 
 
@@ -4294,6 +4337,8 @@ def oracle_sql() -> dict[str, str]:
         "q129_keyword_search": _sql_q129(),
         "q130_correlation_matrix": _sql_q130(),
         "q131_ols": _sql_q131(),
+        "q132_association_rules": _sql_q132(),
+        "q133_event_transitions": _sql_q133(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

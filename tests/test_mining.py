@@ -1,0 +1,111 @@
+"""Laws for the pattern-mining operators (operators/mining.py):
+association rules and event transitions. The DuckDB parity of the gate
+queries (q132/q133) runs in test_oracle_parity; these pin the algebraic
+laws on hand-built data where the right answer is computable by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pytrousse_spark.operators.mining import (
+    association_rules,
+    event_transitions,
+)
+
+
+@pytest.fixture(scope="module")
+def baskets(spark):
+    # basket 1: {a,b,c}; 2: {a,b}; 3: {a,c}; 4: {b}; 5: {a,b} (dup rows
+    # collapse); b appears with a 3x, with c 1x.
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+        (5, "a"), (5, "b"), (5, "b"),
+    ]
+    return spark.createDataFrame(rows, "basket bigint, item string")
+
+
+def test_rules_counts_and_lift(spark, baskets):
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            baskets, "basket", "item", min_pair_count=1, top_k=100
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["pair_count"] == 3
+    assert ab["antecedent_count"] == 4
+    assert ab["consequent_count"] == 4
+    assert ab["n_baskets"] == 5
+    assert ab["support"] == pytest.approx(3 / 5, abs=1e-6)
+    assert ab["confidence"] == pytest.approx(3 / 4, abs=1e-6)
+    assert ab["lift"] == pytest.approx(15 / 16, abs=1e-6)
+    # support is symmetric; confidence is directional
+    ba = out[("b", "a")]
+    assert ba["support"] == ab["support"]
+    assert ba["pair_count"] == ab["pair_count"]
+    assert ba["lift"] == ab["lift"]
+
+
+def test_rules_basket_cap_excludes(spark, baskets):
+    # cap 2 removes basket 1 (3 items) entirely: (a,c) then co-occurs
+    # only in basket 3, (b,c) never.
+    out = {
+        (r["antecedent"], r["consequent"]): r["pair_count"]
+        for r in association_rules(
+            baskets, "basket", "item",
+            min_pair_count=1, max_basket_size=2, top_k=100,
+        ).collect()
+    }
+    assert out[("a", "c")] == 1
+    assert ("b", "c") not in out
+    assert ("c", "b") not in out
+
+
+def test_rules_min_pair_count_filters(spark, baskets):
+    out = association_rules(
+        baskets, "basket", "item", min_pair_count=2, top_k=100
+    )
+    pairs = {(r["antecedent"], r["consequent"]) for r in out.collect()}
+    assert pairs == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")}
+
+
+def test_transitions_probabilities_sum_to_one(spark):
+    rows = [
+        (1, 1, 10, "x"), (1, 2, 20, "y"), (1, 3, 30, "x"),
+        (2, 4, 10, "x"), (2, 5, 20, "x"),
+        (3, 6, 10, "y"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "user bigint, eid bigint, ts bigint, state string"
+    )
+    out = event_transitions(df, "user", "ts", "state", "eid")
+    sums = (
+        out.groupBy("prev_state")
+        .agg(F.round(F.sum("probability"), 4).alias("s"))
+        .collect()
+    )
+    assert all(r["s"] == pytest.approx(1.0, abs=1e-3) for r in sums)
+    got = {
+        (r["prev_state"], r["next_state"]): r["n_transitions"]
+        for r in out.collect()
+    }
+    assert got == {("x", "y"): 1, ("y", "x"): 1, ("x", "x"): 1}
+
+
+def test_transitions_tiebreak_is_deterministic(spark):
+    # two events at the SAME timestamp: order pinned by eid, so the
+    # sequence is a(1) -> b(2) -> c(3), never a -> c -> b.
+    rows = [(1, 1, 10, "a"), (1, 2, 10, "b"), (1, 3, 10, "c")]
+    df = spark.createDataFrame(
+        rows, "user bigint, eid bigint, ts bigint, state string"
+    )
+    got = {
+        (r["prev_state"], r["next_state"])
+        for r in event_transitions(df, "user", "ts", "state", "eid").collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}
