@@ -2837,6 +2837,98 @@ def _sql_q133() -> str:
     )
 
 
+def q134_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square keyword triage: top-30 tokens by dependence with the
+    lang='en' label — exact BIGINT contingency cells from one
+    (doc, token) DISTINCT + one token agg; the statistic evaluates in
+    doubles with the identical expression shape in both engines."""
+    from pytrousse_spark.operators.classifier import chi2_feature_selection
+
+    d = _t(spark, sf_dir, "documents")
+    return chi2_feature_selection(
+        d, "text", "doc_id", F.col("lang") == "en", top_k=30, min_docs=5
+    )
+
+
+def _sql_q134() -> str:
+    from pytrousse_spark.operators.classifier import chi2_feature_selection_sql
+
+    return chi2_feature_selection_sql(
+        "documents", "text", "doc_id", "lang = 'en'", top_k=30, min_docs=5
+    )
+
+
+def q135_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (parts co-occurring in
+    >= 2 order baskets): degree-ordered orientation bounds the wedge
+    join by sum out_deg^2 — the hub-safe exact triangle count, plus the
+    global clustering coefficient."""
+    from pytrousse_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("__i")
+    ).distinct()
+    edges = (
+        items.join(items.withColumnRenamed("__i", "__j"), "__b")
+        .where(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    return triangle_count(edges, "__i", "__j")
+
+
+def _sql_q135() -> str:
+    from pytrousse_spark.operators.graph import triangle_count_sql
+
+    edges = """
+        SELECT a.__i AS __i, b.__i AS __j
+        FROM (SELECT DISTINCT l_orderkey AS __b, l_partkey AS __i
+              FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey AS __b, l_partkey AS __i
+              FROM lineitem) b USING (__b)
+        WHERE a.__i < b.__i
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+    return triangle_count_sql(edges, "__i", "__j")
+
+
+def q136_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between the English and German sub-corpora
+    from HLL sketches: |A|, |B|, |A∪B| (bucket-wise register max) and
+    |A∩B| by inclusion–exclusion — the cross-corpus overlap question
+    exact COUNT(DISTINCT) cannot answer at scale without co-shuffling
+    both corpora on the token key; here the sides never meet, only two
+    2^10-register sketches do."""
+    from pytrousse_spark.functions.text import tokens
+    from pytrousse_spark.operators.sketch import hll_set_ops
+
+    d = _t(spark, sf_dir, "documents")
+
+    def toks(lang: str) -> DataFrame:
+        return (
+            d.where(F.col("lang") == lang)
+            .select(tokens(F.col("text")).alias("__tk"))
+            .select(F.explode_outer("__tk").alias("token"))
+        )
+
+    return hll_set_ops(toks("en"), toks("de"), "token", p=10)
+
+
+def _sql_q136() -> str:
+    from pytrousse_spark.functions.text import tokens_sql
+    from pytrousse_spark.operators.sketch import hll_set_ops_sql
+
+    def sub(lang: str) -> str:
+        return (
+            f"SELECT unnest({tokens_sql('text')}) AS token "
+            f"FROM documents WHERE lang = '{lang}'"
+        )
+
+    return hll_set_ops_sql(sub("en"), sub("de"), "token", p=10)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4015,6 +4107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_ols": q131_ols,
         "q132_association_rules": q132_association_rules,
         "q133_event_transitions": q133_event_transitions,
+        "q134_chi2_features": q134_chi2_features,
+        "q135_triangles": q135_triangles,
+        "q136_hll_overlap": q136_hll_overlap,
     }
 
 
@@ -4339,6 +4434,9 @@ def oracle_sql() -> dict[str, str]:
         "q131_ols": _sql_q131(),
         "q132_association_rules": _sql_q132(),
         "q133_event_transitions": _sql_q133(),
+        "q134_chi2_features": _sql_q134(),
+        "q135_triangles": _sql_q135(),
+        "q136_hll_overlap": _sql_q136(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -343,3 +343,138 @@ def ols_two_feature_sql(
            n
     FROM b
     """
+
+
+def chi2_feature_selection(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: F.Column,
+    top_k: int = 30,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Chi-square feature selection: rank tokens by dependence between
+    per-document presence and a binary label — the classic pre-training
+    feature/keyword triage step (Yang & Pedersen 1997; sklearn's
+    ``chi2`` runs the same 2x2-contingency statistic).
+
+    Returns top-``top_k`` ``(token, n_docs, n_pos, chi2)`` by chi2 desc
+    (token ascending tiebreak); tokens present in fewer than ``min_docs``
+    documents are dropped (rare-token chi2 is noise).
+
+    Exactness: the contingency cells are exact BIGINT counts in both
+    engines; chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) is evaluated in
+    doubles with the IDENTICAL expression shape in the DuckDB twin, so
+    both engines perform the same IEEE operations; rounded to 4.
+
+    Shuffle budget at 100 TB: one (doc, token) DISTINCT with map-side
+    partials, one token-keyed agg; the (N, N_pos) totals are a one-row
+    frame cross-joined in. Documents never self-join.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.col(text_col)).alias("__tk"),
+        # CASE-shaped so a NULL label counts as negative in BOTH engines
+        F.when(label_col, F.lit(1)).otherwise(F.lit(0)).alias("__y"),
+    )
+    pres = (
+        base.select("__id", "__y", F.explode_outer("__tk").alias("token"))
+        .where(F.col("token").isNotNull())
+        .distinct()
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__n1"),
+    )
+    tok = (
+        pres.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__y").cast("bigint").alias("n_pos"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    j = tok.crossJoin(F.broadcast(totals))
+    a = F.col("n_pos").cast("double")                      # token & pos
+    b = (F.col("n_docs") - F.col("n_pos")).cast("double")  # token & neg
+    c = (F.col("__n1") - F.col("n_pos")).cast("double")    # no token & pos
+    d = (
+        (F.col("__n") - F.col("__n1"))
+        - (F.col("n_docs") - F.col("n_pos"))
+    ).cast("double")                                       # no token & neg
+    n = F.col("__n").cast("double")
+    det = a * d - b * c
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = F.when(denom > 0, n * det * det / denom).otherwise(F.lit(0.0))
+    return (
+        j.select(
+            "token",
+            "n_docs",
+            "n_pos",
+            F.round(chi2, 4).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "token")
+        .limit(top_k)
+    )
+
+
+def chi2_feature_selection_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    label_cond: str,
+    top_k: int = 30,
+    min_docs: int = 5,
+) -> str:
+    """DuckDB twin of :func:`chi2_feature_selection` — identical
+    contingency counts and the identical double expression shape."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {id_col} AS __id,
+               CASE WHEN {label_cond} THEN 1 ELSE 0 END AS __y,
+               unnest({toks}) AS token
+        FROM {table}
+    ), pres AS MATERIALIZED (
+        SELECT DISTINCT __id, __y, token FROM base WHERE token IS NOT NULL
+    ), totals AS (
+        -- over ALL rows of the table (token-less documents included),
+        -- matching the Spark side's pre-explode aggregate
+        SELECT CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(CASE WHEN {label_cond} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS __n1
+        FROM {table}
+    ), tok AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(__y) AS BIGINT) AS n_pos
+        FROM pres GROUP BY token HAVING count(*) >= {min_docs}
+    )
+    SELECT token, n_docs, n_pos,
+           round(
+             CASE WHEN (CAST(n_pos AS DOUBLE) + CAST(n_docs - n_pos AS DOUBLE))
+                     * (CAST(__n1 - n_pos AS DOUBLE)
+                        + CAST((__n - __n1) - (n_docs - n_pos) AS DOUBLE))
+                     * (CAST(n_pos AS DOUBLE) + CAST(__n1 - n_pos AS DOUBLE))
+                     * (CAST(n_docs - n_pos AS DOUBLE)
+                        + CAST((__n - __n1) - (n_docs - n_pos) AS DOUBLE)) > 0
+                  THEN CAST(__n AS DOUBLE)
+                     * (CAST(n_pos AS DOUBLE)
+                          * CAST((__n - __n1) - (n_docs - n_pos) AS DOUBLE)
+                        - CAST(n_docs - n_pos AS DOUBLE)
+                          * CAST(__n1 - n_pos AS DOUBLE))
+                     * (CAST(n_pos AS DOUBLE)
+                          * CAST((__n - __n1) - (n_docs - n_pos) AS DOUBLE)
+                        - CAST(n_docs - n_pos AS DOUBLE)
+                          * CAST(__n1 - n_pos AS DOUBLE))
+                     / ((CAST(n_pos AS DOUBLE) + CAST(n_docs - n_pos AS DOUBLE))
+                        * (CAST(__n1 - n_pos AS DOUBLE)
+                           + CAST((__n - __n1) - (n_docs - n_pos) AS DOUBLE))
+                        * (CAST(n_pos AS DOUBLE) + CAST(__n1 - n_pos AS DOUBLE))
+                        * (CAST(n_docs - n_pos AS DOUBLE)
+                           + CAST((__n - __n1) - (n_docs - n_pos) AS DOUBLE)))
+                  ELSE 0.0 END, 4) AS chi2
+    FROM tok CROSS JOIN totals
+    ORDER BY chi2 DESC, token
+    LIMIT {top_k}
+    """

@@ -137,3 +137,132 @@ def pagerank_sql(
         + ",\n    ".join(ctes)
         + f"\n    SELECT node, r AS rank_micro FROM r{iters}"
     )
+
+
+def triangle_count(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient via
+    DEGREE-ORDERED orientation (Chiba–Nishizeki / the standard
+    MapReduce-era trick, Suri & Vassilvitskii 2011): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher,
+    so each wedge is generated at its lowest-order apex — per-vertex
+    out-degree is O(sqrt(m)) and the wedge join is bounded by
+    sum out_deg(v)^2, not sum deg(v)^2 (the hub-explosion killer on
+    power-law graphs).
+
+    Input may contain duplicates, self-loops and both directions; it is
+    canonicalized first. Returns ONE row ``(n_vertices, n_edges,
+    n_wedges, n_triangles, global_clustering)`` where ``n_wedges`` is
+    the unordered path-of-length-2 count (sum deg choose 2) and
+    ``global_clustering = 3 * triangles / wedges`` rounded to 6.
+
+    Shuffle budget at 100 TB: one edge DISTINCT, one vertex-keyed degree
+    agg joined back twice (vertex-keyed, never broadcast — degree tables
+    scale with vertices), the apex-keyed wedge self-join, and one
+    (v, w)-keyed closing join against the oriented edge list.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("__a"), F.greatest(a, b).alias("__b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("__a").alias("__v"))
+        .unionAll(und.select(F.col("__b").alias("__v")))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .localCheckpoint(eager=False)
+    )
+    withdeg = (
+        und.join(deg.withColumnRenamed("__v", "__a").withColumnRenamed("__d", "__da"), "__a")
+        .join(deg.withColumnRenamed("__v", "__b").withColumnRenamed("__d", "__db"), "__b")
+    )
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("__a")).otherwise(F.col("__b")).alias("u"),
+        F.when(lower_first, F.col("__b")).otherwise(F.col("__a")).alias("v"),
+        F.when(lower_first, F.col("__db")).otherwise(F.col("__da")).alias("dv"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tri = wedges.join(
+        oriented.select(
+            F.col("u").alias("v1"), F.col("v").alias("v2")
+        ),
+        ["v1", "v2"],
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum(
+                (F.col("__d") * (F.col("__d") - 1) / 2).cast("bigint")
+            ).alias("n_wedges"),
+        )
+    )
+    return (
+        stats.crossJoin(tri)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    3 * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
+            ).otherwise(F.lit(0.0)).alias("global_clustering"),
+        )
+    )
+
+
+def triangle_count_sql(edges_subquery: str, src_col: str, dst_col: str) -> str:
+    """DuckDB twin of :func:`triangle_count` — identical canonicalization,
+    orientation and joins."""
+    return f"""
+    WITH und AS MATERIALIZED (
+        SELECT DISTINCT least({src_col}, {dst_col}) AS __a,
+                        greatest({src_col}, {dst_col}) AS __b
+        FROM ({edges_subquery}) WHERE {src_col} <> {dst_col}
+    ), deg AS MATERIALIZED (
+        SELECT __v, CAST(count(*) AS BIGINT) AS __d
+        FROM (SELECT __a AS __v FROM und
+              UNION ALL SELECT __b AS __v FROM und)
+        GROUP BY 1
+    ), oriented AS MATERIALIZED (
+        SELECT CASE WHEN (da.__d, u.__a) < (db.__d, u.__b)
+                    THEN u.__a ELSE u.__b END AS u,
+               CASE WHEN (da.__d, u.__a) < (db.__d, u.__b)
+                    THEN u.__b ELSE u.__a END AS v,
+               CASE WHEN (da.__d, u.__a) < (db.__d, u.__b)
+                    THEN db.__d ELSE da.__d END AS dv
+        FROM und u
+        JOIN deg da ON da.__v = u.__a
+        JOIN deg db ON db.__v = u.__b
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.u = e2.u
+                        AND (e1.dv, e1.v) < (e2.dv, e2.v)
+        JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+               (SELECT CAST(sum(CAST(__d * (__d - 1) / 2 AS BIGINT))
+                            AS BIGINT) FROM deg) AS n_wedges
+    )
+    SELECT n_vertices, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN round(3 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS global_clustering
+    FROM stats CROSS JOIN tri
+    """

@@ -751,3 +751,162 @@ def count_min_self_join_size_sql(
            round(e.cm_estimate / x.exact_f2, 6) AS ratio
     FROM est e CROSS JOIN exact x
     """
+
+
+def hll_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    p: int = 12,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Distinct-set algebra from HLL sketches: |A|, |B|, |A∪B| (union =
+    bucket-wise register max, the HLL mergeability law) and |A∩B| by
+    inclusion–exclusion — the audience-overlap / cross-period-cohort
+    question exact COUNT(DISTINCT) cannot answer at 100 TB without
+    co-shuffling both sides on the key (here: two bounded sketches and
+    registers-only math; the sides never meet on the raw key).
+
+    Returns ONE row ``(est_a, est_b, est_union, est_intersection)``,
+    estimates rounded to 2; the intersection is clamped at 0 (I-E can go
+    negative within sketch error). Accuracy vs exact overlap is pinned
+    in tests/test_sketch.py; the estimator is the q99 integer-exact one.
+
+    Shuffle budget: each side is one hash-agg bounded by 2^p; everything
+    after runs over 3 x 2^p register rows.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    ra = hll_registers(df_a, col, p=p, hash_fn=hash_fn).select(
+        F.lit("a").alias("lbl"), "bucket", "r"
+    )
+    rb = hll_registers(df_b, col, p=p, hash_fn=hash_fn).select(
+        F.lit("b").alias("lbl"), "bucket", "r"
+    )
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("u").alias("lbl"), "bucket", "r")
+    )
+    regs = ra.unionByName(rb).unionByName(ru)
+    spark = df_a.sparkSession
+    grid = (
+        spark.createDataFrame([("a",), ("b",), ("u",)], "lbl string")
+        .select(
+            "lbl",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"),
+        )
+    )
+    dense = grid.join(regs, ["lbl", "bucket"], "left").select(
+        "lbl", "bucket", F.coalesce(F.col("r"), F.lit(0)).alias("r")
+    )
+    heads = dense.groupBy("lbl").agg(
+        F.max("r").alias("__max_r"),
+        F.sum((F.col("r") == 0).cast("bigint")).alias("__v"),
+    )
+    t_int = dense.join(F.broadcast(heads), "lbl").groupBy("lbl").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), __max_r - r)")
+        ).alias("__t")
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(m)
+        * F.expr("shiftleft(CAST(1 AS BIGINT), __max_r)")
+        / F.col("__t")
+    )
+    v = F.col("__v")
+    est = F.when(
+        (v > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(m) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    ests = heads.join(t_int, "lbl").select("lbl", est.alias("__e"))
+    one = ests.groupBy().agg(
+        F.max(F.when(F.col("lbl") == "a", F.col("__e"))).alias("__ea"),
+        F.max(F.when(F.col("lbl") == "b", F.col("__e"))).alias("__eb"),
+        F.max(F.when(F.col("lbl") == "u", F.col("__e"))).alias("__eu"),
+    )
+    return one.select(
+        F.round(F.col("__ea"), 2).alias("est_a"),
+        F.round(F.col("__eb"), 2).alias("est_b"),
+        F.round(F.col("__eu"), 2).alias("est_union"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), F.col("__ea") + F.col("__eb") - F.col("__eu")
+            ),
+            2,
+        ).alias("est_intersection"),
+    )
+
+
+def hll_set_ops_sql(
+    sub_a: str, sub_b: str, key_expr: str, p: int = 12
+) -> str:
+    """DuckDB twin of :func:`hll_set_ops` — identical register math,
+    bucket-wise-max union, estimator branch and inclusion–exclusion."""
+    w_bits = 60 - p
+    m = 1 << p
+    h = f"(('0x' || substr(md5('hll|' || {key_expr}), 1, 15))::BIGINT)"
+    nbits = " + ".join(
+        f"(CASE WHEN rest >= {1 << i} THEN 1 ELSE 0 END)"
+        for i in range(w_bits)
+    )
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+
+    def hashed(sub: str, lbl: str) -> str:
+        return f"""
+        SELECT '{lbl}' AS lbl, ({h} % {m}) AS bucket,
+               max(({w_bits} - ({nbits})) + 1) AS r
+        FROM (
+            SELECT (({h} >> {p}) & {(1 << w_bits) - 1}) AS rest, {key_expr}
+            FROM ({sub}) WHERE {key_expr} IS NOT NULL
+        ) GROUP BY 2"""
+
+    return f"""
+    WITH ra AS MATERIALIZED ({hashed(sub_a, "a")}
+    ), rb AS MATERIALIZED ({hashed(sub_b, "b")}
+    ), regs AS MATERIALIZED (
+        SELECT * FROM ra
+        UNION ALL SELECT * FROM rb
+        UNION ALL
+        SELECT 'u' AS lbl, bucket, max(r) AS r
+        FROM (SELECT bucket, r FROM ra UNION ALL SELECT bucket, r FROM rb)
+        GROUP BY 2
+    ), dense AS MATERIALIZED (
+        SELECT l.lbl, gs.i AS bucket, COALESCE(regs.r, 0) AS r
+        FROM (VALUES ('a'), ('b'), ('u')) AS l(lbl)
+        CROSS JOIN generate_series(0, {m - 1}) AS gs(i)
+        LEFT JOIN regs ON regs.lbl = l.lbl AND regs.bucket = gs.i
+    ), heads AS (
+        SELECT lbl, max(r) AS max_r,
+               CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM dense GROUP BY 1
+    ), t AS (
+        SELECT dense.lbl,
+               CAST(sum(1::BIGINT << (heads.max_r - dense.r)) AS BIGINT)
+                   AS t_int
+        FROM dense JOIN heads ON heads.lbl = dense.lbl
+        GROUP BY 1
+    ), ests AS (
+        SELECT heads.lbl,
+               CASE WHEN heads.v > 0
+                     AND {alpha} * {m}::DOUBLE * {m}
+                         * (1::BIGINT << heads.max_r) / t.t_int <= 2.5 * {m}
+                    THEN {m} * ln({m}::DOUBLE / heads.v)
+                    ELSE {alpha} * {m}::DOUBLE * {m}
+                         * (1::BIGINT << heads.max_r) / t.t_int
+               END AS e
+        FROM heads JOIN t ON t.lbl = heads.lbl
+    ), one AS (
+        SELECT max(CASE WHEN lbl = 'a' THEN e END) AS ea,
+               max(CASE WHEN lbl = 'b' THEN e END) AS eb,
+               max(CASE WHEN lbl = 'u' THEN e END) AS eu
+        FROM ests
+    )
+    SELECT round(ea, 2) AS est_a, round(eb, 2) AS est_b,
+           round(eu, 2) AS est_union,
+           round(greatest(0.0, ea + eb - eu), 2) AS est_intersection
+    FROM one
+    """

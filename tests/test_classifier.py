@@ -76,3 +76,41 @@ def test_ols_recovers_planted_linear_law(spark):
     assert abs(r["b2"] + 0.5) < 1e-6
     assert r["r2"] == 1.0
     assert r["n"] == 200
+
+
+def test_chi2_hand_computed(spark):
+    from pytrousse_spark.operators.classifier import chi2_feature_selection
+    from pyspark.sql import functions as F
+
+    # 4 docs; token "hit" in both positives only; "both" in one of each;
+    # N=4, N1=2. For "hit": a=2 b=0 c=0 d=2 -> chi2 = 4*(4-0)^2/16 = 4.
+    rows = [
+        (1, "hit both", "pos"),
+        (2, "hit", "pos"),
+        (3, "both miss", "neg"),
+        (4, "miss", "neg"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string, cls string")
+    out = {
+        r["token"]: r
+        for r in chi2_feature_selection(
+            df, "text", "id", F.col("cls") == "pos", top_k=10, min_docs=1
+        ).collect()
+    }
+    assert out["hit"]["chi2"] == 4.0
+    assert out["hit"]["n_docs"] == 2 and out["hit"]["n_pos"] == 2
+    # "both": a=1 b=1 c=1 d=1 -> det 0 -> chi2 0 (independence law)
+    assert out["both"]["chi2"] == 0.0
+
+
+def test_chi2_null_label_counts_negative(spark):
+    from pytrousse_spark.operators.classifier import chi2_feature_selection
+    from pyspark.sql import functions as F
+
+    rows = [(1, "tok", "pos"), (2, "tok", None)]
+    df = spark.createDataFrame(rows, "id bigint, text string, cls string")
+    out = chi2_feature_selection(
+        df, "text", "id", F.col("cls") == "pos", top_k=10, min_docs=1
+    ).collect()
+    (r,) = out
+    assert r["n_docs"] == 2 and r["n_pos"] == 1  # NULL label -> negative

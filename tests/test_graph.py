@@ -63,3 +63,30 @@ def test_pivot_unpivot_roundtrip(spark):
     assert sorted(map(tuple, long.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_triangle_count_known_graphs(spark):
+    from pytrousse_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles, 6 edges, wedges = 4 * C(3,2) = 12, C = 3*4/12 = 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "s bigint, d bigint")
+    (r,) = triangle_count(df, "s", "d").collect()
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["n_wedges"] == 12 and r["global_clustering"] == 1.0
+
+    # path a-b-c: one wedge, no triangle
+    p = spark.createDataFrame([(1, 2), (2, 3)], "s bigint, d bigint")
+    (r,) = triangle_count(p, "s", "d").collect()
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 1
+    assert r["global_clustering"] == 0.0
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    from pytrousse_spark.operators.graph import triangle_count
+
+    # triangle given with duplicates, reversed edges and a self-loop
+    rows = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    df = spark.createDataFrame(rows, "s bigint, d bigint")
+    (r,) = triangle_count(df, "s", "d").collect()
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)

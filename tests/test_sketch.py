@@ -293,3 +293,26 @@ def test_grouped_quantiles_accuracy_and_constant_group(spark):
         for r in histogram_quantiles_grouped(cdf, "g", "x", [0.5], 64).collect()
     }
     assert cg[("c", 0.5)] == 5.0
+
+
+def test_hll_set_ops_accuracy(spark):
+    from pytrousse_spark.operators.sketch import hll_set_ops
+
+    a = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(500, 1500).selectExpr("CAST(id AS STRING) AS k")
+    (r,) = hll_set_ops(a, b, "k", p=10).collect()
+    # p=10 -> ~3.25% std err per sketch; generous 10% bands, I-E wider
+    assert abs(r["est_a"] - 1000) / 1000 < 0.10
+    assert abs(r["est_b"] - 1000) / 1000 < 0.10
+    assert abs(r["est_union"] - 1500) / 1500 < 0.10
+    assert abs(r["est_intersection"] - 500) / 500 < 0.30
+
+
+def test_hll_set_ops_disjoint_clamps_at_zero(spark):
+    from pytrousse_spark.operators.sketch import hll_set_ops
+
+    a = spark.range(0, 300).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(10_000, 10_300).selectExpr("CAST(id AS STRING) AS k")
+    (r,) = hll_set_ops(a, b, "k", p=10).collect()
+    assert r["est_intersection"] >= 0.0
+    assert r["est_intersection"] < 0.15 * 300
