@@ -2929,6 +2929,66 @@ def _sql_q136() -> str:
     return hll_set_ops_sql(sub("en"), sub("de"), "token", p=10)
 
 
+def q137_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of orders maximizing (o_totalprice, o_orderdate) — the
+    'biggest AND most recent' Pareto set. The Spark plan prunes the
+    interior mass with a bucketed broadcast suffix-max BEFORE the exact
+    sweep (sweep input ~frontier-sized); the oracle computes the same
+    skyline from the mathematical definition — an independent-derivation
+    parity check."""
+    from pytrousse_spark.operators.relational import pareto_frontier
+
+    o = _t(spark, sf_dir, "orders")
+    return pareto_frontier(o, "o_totalprice", "o_orderdate")
+
+
+def _sql_q137() -> str:
+    from pytrousse_spark.operators.relational import pareto_frontier_sql
+
+    return pareto_frontier_sql(
+        "SELECT * FROM orders", "o_totalprice", "o_orderdate"
+    )
+
+
+def q138_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over lineitem: six expectations
+    (+ a composite-key uniqueness rule) checked in ONE aggregation over
+    one scan — rule count never adds passes; the census the repair
+    cascade (q29) acts on, generalized Great-Expectations-style."""
+    from pytrousse_spark.operators.quality import expect
+
+    li = _t(spark, sf_dir, "lineitem")
+    return expect(
+        li,
+        {
+            "quantity_in_range": "l_quantity BETWEEN 1 AND 50",
+            "discount_in_band": "l_discount BETWEEN 0.0 AND 0.10",
+            "price_positive": "l_extendedprice > 0",
+            "shipdate_not_null": "l_shipdate IS NOT NULL",
+            "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+            "tax_nonnegative": "l_tax >= 0",
+        },
+        unique={"order_line_unique": ["l_orderkey", "l_linenumber"]},
+    )
+
+
+def _sql_q138() -> str:
+    from pytrousse_spark.operators.quality import expect_sql
+
+    return expect_sql(
+        "SELECT * FROM lineitem",
+        {
+            "quantity_in_range": "l_quantity BETWEEN 1 AND 50",
+            "discount_in_band": "l_discount BETWEEN 0.0 AND 0.10",
+            "price_positive": "l_extendedprice > 0",
+            "shipdate_not_null": "l_shipdate IS NOT NULL",
+            "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+            "tax_nonnegative": "l_tax >= 0",
+        },
+        unique={"order_line_unique": ["l_orderkey", "l_linenumber"]},
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4110,6 +4170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_chi2_features": q134_chi2_features,
         "q135_triangles": q135_triangles,
         "q136_hll_overlap": q136_hll_overlap,
+        "q137_pareto_frontier": q137_pareto_frontier,
+        "q138_expectations": q138_expectations,
     }
 
 
@@ -4437,6 +4499,8 @@ def oracle_sql() -> dict[str, str]:
         "q134_chi2_features": _sql_q134(),
         "q135_triangles": _sql_q135(),
         "q136_hll_overlap": _sql_q136(),
+        "q137_pareto_frontier": _sql_q137(),
+        "q138_expectations": _sql_q138(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -184,3 +184,121 @@ def fuzzy_join_blocked_sql(
     FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
     WHERE levenshtein(a.text, b.text) <= {max_dist}
     """
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline, both dimensions maximized): the
+    distinct ``(x, y)`` points not dominated by any other point
+    (dominated = some point with x' >= x, y' >= y, strictly better in at
+    least one), with ``n_rows`` = how many input rows sit exactly on each
+    frontier point (Börzsönyi et al. 2001, the SKYLINE operator).
+
+    Scale shape: the final sweep is a single-partition window — safe ONLY
+    because two pruning stages run first, both distributed:
+    (1) map-side x-range bucketing + a broadcast suffix-max table M(b) =
+        max y over all strictly-higher buckets (rows there have strictly
+        greater x, so any row with y <= M(bucket) is dominated) — this
+        discards the interior mass; survivors are bounded by the frontier
+        plus one bucket's worth of stragglers per bucket;
+    (2) per-x reduction to the max-y point (same-x lower-y points are
+        dominated), shuffle bounded by surviving distinct x.
+    The sweep window then orders the pruned point set by x desc and keeps
+    points whose y strictly exceeds the running max — |candidates| rows,
+    not |input|.
+    """
+    xs, ys = F.col(x_col), F.col(y_col)
+    base = df.where(xs.isNotNull() & ys.isNotNull()).select(
+        xs.alias("__x"), ys.alias("__y")
+    )
+    rng = base.agg(
+        F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+    )
+    b = base.crossJoin(F.broadcast(rng)).select(
+        "__x",
+        "__y",
+        F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.lit(num_buckets - 1),
+                F.floor(
+                    (F.col("__x") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * num_buckets
+                ).cast("int"),
+            )
+        )
+        .alias("__b"),
+    )
+    from pyspark.sql.window import Window
+
+    bmax = b.groupBy("__b").agg(F.max("__y").alias("__bm"))
+    wsuf = (
+        Window.orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suffix = bmax.select(
+        "__b", F.max("__bm").over(wsuf).alias("__m")
+    )
+    pruned = (
+        b.join(F.broadcast(suffix), "__b")
+        .where(F.col("__m").isNull() | (F.col("__y") > F.col("__m")))
+    )
+    pts = pruned.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    wx = Window.partitionBy("__x")
+    perx = pts.withColumn("__ymax", F.max("__y").over(wx)).where(
+        F.col("__y") == F.col("__ymax")
+    )
+    wsweep = (
+        Window.orderBy(F.col("__x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        perx.withColumn("__prev", F.max("__y").over(wsweep))
+        .where(F.col("__prev").isNull() | (F.col("__y") > F.col("__prev")))
+        .select(
+            F.col("__x").alias(x_col),
+            F.col("__y").alias(y_col),
+            "n_rows",
+        )
+    )
+    return out
+
+
+def pareto_frontier_sql(
+    table_expr: str, x_col: str, y_col: str
+) -> str:
+    """DuckDB twin of :func:`pareto_frontier` — the pruning stages are a
+    Spark-side physical optimization, so the twin runs the direct
+    per-x-max + strict-running-max sweep (same mathematical definition,
+    independently derivable: a stronger parity check than replaying the
+    plan)."""
+    return f"""
+    WITH pts AS (
+        SELECT {x_col} AS x, {y_col} AS y, CAST(count(*) AS BIGINT) AS n_rows
+        FROM ({table_expr})
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), perx AS (
+        SELECT * FROM (
+            SELECT pts.*, max(y) OVER (PARTITION BY x) AS ymax FROM pts
+        ) WHERE y = ymax
+    ), sweep AS (
+        SELECT perx.*,
+               max(y) OVER (
+                   ORDER BY x DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev
+        FROM perx
+    )
+    SELECT x AS {x_col}, y AS {y_col}, n_rows
+    FROM sweep WHERE prev IS NULL OR y > prev
+    """

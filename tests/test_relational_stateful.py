@@ -164,3 +164,35 @@ def test_fuzzy_join_blocked_finds_known_pairs(spark):
         ).collect()
     }
     assert got == {(1, 2): 1}
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    import random
+
+    from pytrousse_spark.operators.relational import pareto_frontier
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = {(r["x"], r["y"]) for r in pareto_frontier(df, "x", "y").collect()}
+    pts = set(rows)
+    expect = {
+        (x, y)
+        for (x, y) in pts
+        if not any(
+            (a >= x and b >= y and (a > x or b > y)) for (a, b) in pts
+        )
+    }
+    assert got == expect
+
+
+def test_pareto_frontier_counts_and_duplicates(spark):
+    from pytrousse_spark.operators.relational import pareto_frontier
+
+    rows = [(10, 1), (10, 1), (5, 5), (1, 10), (5, 4), (0, 0)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["n_rows"]
+        for r in pareto_frontier(df, "x", "y").collect()
+    }
+    assert got == {(10, 1): 2, (5, 5): 1, (1, 10): 1}
