@@ -2989,6 +2989,106 @@ def _sql_q138() -> str:
     )
 
 
+def q139_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series
+    (period 7): centered moving-average trend, per-weekday-position
+    seasonal index, residual — DECIMAL-exact sums under every division,
+    so both engines emit identical doubles. The raw events table reduces
+    to the day series BEFORE any window."""
+    from pytrousse_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("value"), 4).cast("decimal(18,4)")
+        ).alias("revenue")
+    )
+    return seasonal_decompose(series, "day", "revenue", period=7)
+
+
+def _sql_q139() -> str:
+    from pytrousse_spark.operators.timeseries import seasonal_decompose_sql
+
+    series = """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS revenue
+        FROM events GROUP BY 1
+    """
+    return seasonal_decompose_sql(series, "day", "revenue", period=7)
+
+
+def q140_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the most recent preceding 'view' by the same user within 3 days —
+    an as-of backward join (q51's operator) feeding a campaign-keyed
+    rollup. Unattributed purchases surface as campaign NULL instead of
+    silently dropping."""
+    from pytrousse_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value"), 4).cast("decimal(18,4)").alias("p_val"),
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("v_ts"),
+            F.get_json_object("props", "$.k").cast("long").alias("campaign"),
+        )
+        # (user, ts) dedup pins the as-of survivor (q51b convention)
+        .groupBy("user_id", "v_ts")
+        .agg(F.max("campaign").alias("campaign"))
+    )
+    j = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="p_ts",
+        right_time="v_ts",
+        direction="backward",
+        tolerance=3 * 86400,
+    )
+    return (
+        j.groupBy(F.col("campaign_right").alias("campaign"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("p_val").cast("double").alias("revenue"),
+        )
+    )
+
+
+def _sql_q140() -> str:
+    return """
+    WITH purchases AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+               CAST(round(value, 4) AS DECIMAL(18,4)) AS p_val
+        FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS campaign
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2
+    ), j AS (
+        SELECT p.user_id, p.p_val,
+               (SELECT v.campaign FROM views v
+                WHERE v.user_id = p.user_id
+                  AND v.v_ts <= p.p_ts
+                  AND epoch(p.p_ts - v.v_ts) <= 3 * 86400
+                ORDER BY v.v_ts DESC LIMIT 1) AS campaign
+        FROM purchases p
+    )
+    SELECT campaign, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(p_val) AS DOUBLE) AS revenue
+    FROM j GROUP BY 1
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4172,6 +4272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_hll_overlap": q136_hll_overlap,
         "q137_pareto_frontier": q137_pareto_frontier,
         "q138_expectations": q138_expectations,
+        "q139_seasonal_decompose": q139_seasonal_decompose,
+        "q140_attribution": q140_attribution,
     }
 
 
@@ -4501,6 +4603,8 @@ def oracle_sql() -> dict[str, str]:
         "q136_hll_overlap": _sql_q136(),
         "q137_pareto_frontier": _sql_q137(),
         "q138_expectations": _sql_q138(),
+        "q139_seasonal_decompose": _sql_q139(),
+        "q140_attribution": _sql_q140(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

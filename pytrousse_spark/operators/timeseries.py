@@ -360,3 +360,127 @@ def mad_anomalies_sql(
     FROM base b JOIN med m USING ({key_col}) JOIN mad d USING ({key_col})
     GROUP BY 1
     """
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition of a REGULAR series (one row per
+    bucket — compose with :func:`resample_gapfill` first):
+    ``value = trend + seasonal + residual`` by classical moving
+    averages (the STL-lite every monitoring pipeline runs):
+
+    * trend: centered ``period``-point moving average, NULL at the edges
+      (incomplete windows);
+    * seasonal: per period-position mean of the detrended values (NOT
+      mean-centered — centering only shifts a constant between seasonal
+      and trend, and would cost a cross-engine float fold);
+    * residual: the remainder, NULL where trend is NULL.
+
+    Exactness: values round to 4 and accumulate as DECIMAL, so every
+    SUM is exact in both engines; ``trend``/``seasonal`` divide those
+    exact sums in doubles once; the detrended numerator is the exact
+    decimal ``value*period - trend_sum`` so the per-position mean is
+    one division too. All emitted floats round to 6.
+
+    Scale: the input is an already-aggregated series (buckets, not raw
+    events), so the single-partition centered window is bounded by the
+    series length — the raw table never windows. The per-position table
+    is ``period`` rows, broadcast back.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    half = period // 2
+    vd = F.round(F.col(value_col), 4).cast("decimal(18,4)")
+    dn = F.datediff(
+        F.col(ts_col), F.lit("1970-01-01").cast("date")
+    )
+    base = df.select(
+        F.col(ts_col).alias("__day"),
+        vd.alias("__v"),
+        dn.alias("__dn"),
+        F.pmod(dn, F.lit(period)).alias("__pos"),
+    )
+    w = Window.orderBy("__dn").rowsBetween(-half, half)
+    staged = base.select(
+        "__day",
+        "__v",
+        "__pos",
+        F.sum("__v").over(w).alias("__tsum"),
+        F.count(F.lit(1)).over(w).alias("__tcnt"),
+    )
+    complete = F.col("__tcnt") == period
+    sb = F.col("__v") * period - F.col("__tsum")  # exact decimal
+    pos_tab = (
+        staged.where(complete)
+        .select("__pos", sb.alias("__sb"))
+        .groupBy("__pos")
+        .agg(
+            F.sum("__sb").alias("__spos"),
+            F.count(F.lit(1)).alias("__npos"),
+        )
+    )
+    trend = F.when(
+        complete, F.col("__tsum").cast("double") / period
+    )
+    seasonal = F.col("__spos").cast("double") / (
+        F.col("__npos") * period
+    )
+    return (
+        staged.join(F.broadcast(pos_tab), "__pos", "left")
+        .select(
+            F.col("__day").alias(ts_col),
+            F.col("__v").cast("double").alias(value_col),
+            F.round(trend, 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(
+                F.col("__v").cast("double") - trend - seasonal, 6
+            ).alias("residual"),
+        )
+    )
+
+
+def seasonal_decompose_sql(
+    series_subquery: str, ts_col: str, value_col: str, period: int = 7
+) -> str:
+    """DuckDB twin of :func:`seasonal_decompose` — identical decimal
+    accumulation, window frame, and division shapes."""
+    half = period // 2
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {ts_col} AS __day,
+               CAST(round({value_col}, 4) AS DECIMAL(18,4)) AS __v,
+               datediff('day', DATE '1970-01-01', {ts_col}) AS __dn,
+               ((datediff('day', DATE '1970-01-01', {ts_col}) % {period})
+                + {period}) % {period} AS __pos
+        FROM ({series_subquery})
+    ), staged AS MATERIALIZED (
+        SELECT __day, __v, __pos,
+               sum(__v) OVER w AS __tsum,
+               CAST(count(*) OVER w AS BIGINT) AS __tcnt
+        FROM base
+        WINDOW w AS (ORDER BY __dn
+                     ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+    ), pos_tab AS (
+        SELECT __pos, sum(__v * {period} - __tsum) AS __spos,
+               CAST(count(*) AS BIGINT) AS __npos
+        FROM staged WHERE __tcnt = {period}
+        GROUP BY 1
+    )
+    SELECT s.__day AS {ts_col},
+           CAST(s.__v AS DOUBLE) AS {value_col},
+           round(CASE WHEN s.__tcnt = {period}
+                      THEN CAST(s.__tsum AS DOUBLE) / {period} END, 6)
+               AS trend,
+           round(CAST(p.__spos AS DOUBLE) / (p.__npos * {period}), 6)
+               AS seasonal,
+           round(CAST(s.__v AS DOUBLE)
+                 - (CASE WHEN s.__tcnt = {period}
+                         THEN CAST(s.__tsum AS DOUBLE) / {period} END)
+                 - (CAST(p.__spos AS DOUBLE) / (p.__npos * {period})), 6)
+               AS residual
+    FROM staged s LEFT JOIN pos_tab p ON p.__pos = s.__pos
+    """

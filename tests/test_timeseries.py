@@ -112,3 +112,45 @@ def test_mad_anomalies_flags_planted_outlier(spark):
     assert got[1]["n_anomalies"] == 1 and got[1]["n_events"] == 8
     assert got[2]["n_anomalies"] == 0
     assert abs(got[1]["med"] - 10.5) < 1e-9
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    import datetime as dt
+
+    from pytrousse_spark.operators.timeseries import seasonal_decompose
+
+    # constant level 100 + weekly pattern keyed by (epoch-day % 7):
+    # every complete centered window holds each position exactly once, so
+    # trend == 100 + mean(pattern), seasonal == pattern - mean(pattern),
+    # residual == 0 on every interior row.
+    pattern = [0.0, 3.0, -2.0, 5.0, -1.0, -4.0, -1.0]  # mean 0
+    start = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(28):
+        d = start + dt.timedelta(days=i)
+        pos = (d - dt.date(1970, 1, 1)).days % 7
+        rows.append((d, 100.0 + pattern[pos]))
+    df = spark.createDataFrame(rows, "day date, v double")
+    out = seasonal_decompose(df, "day", "v", period=7).collect()
+    assert len(out) == 28
+    interior = [r for r in out if r["trend"] is not None]
+    assert len(interior) == 22
+    for r in interior:
+        assert r["trend"] == 100.0
+        pos = (r["day"] - dt.date(1970, 1, 1)).days % 7
+        assert r["seasonal"] == pattern[pos]
+        assert r["residual"] == 0.0
+    # edge rows: trend/residual NULL, seasonal still defined
+    edge = [r for r in out if r["trend"] is None]
+    assert all(r["residual"] is None and r["seasonal"] is not None
+               for r in edge)
+
+
+def test_seasonal_decompose_rejects_bad_period(spark):
+    import pytest as _pytest
+
+    from pytrousse_spark.operators.timeseries import seasonal_decompose
+
+    df = spark.createDataFrame([], "day date, v double")
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, "day", "v", period=1)
