@@ -3089,6 +3089,70 @@ def _sql_q140() -> str:
     """
 
 
+def q141_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: TF-IDF keyword ranking (q129's path) fused with
+    the cosine ranking against doc 0's stored embedding by Reciprocal
+    Rank Fusion — no score calibration, only (id, rank) cross the fuse,
+    so the vector side swaps to ANN (q57/q90/q101) unchanged at scale."""
+    from pytrousse_spark.operators.similarity import hybrid_search_rrf
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return hybrid_search_rrf(
+        d,
+        e,
+        "text",
+        "doc_id",
+        "embedding",
+        "vec_id",
+        ["merge", "window"],
+        query_vec_id=0,
+        k=20,
+    )
+
+
+def _sql_q141() -> str:
+    from pytrousse_spark.operators.similarity import hybrid_search_rrf_sql
+
+    return hybrid_search_rrf_sql(
+        "documents",
+        "embeddings",
+        "text",
+        "doc_id",
+        "embedding",
+        "vec_id",
+        ["merge", "window"],
+        query_vec_id=0,
+        dim=64,
+        k=20,
+    )
+
+
+def q142_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of three lineitem measures, early-month
+    shipments (reference) vs late-month (current): pooled-edge equal
+    width bins, eps-floored proportions, nano-unit integer fold — the
+    deployed-model drift alarm as one melt + one hash-agg."""
+    from pytrousse_spark.profiling import psi_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.where(F.dayofmonth("l_shipdate") <= 15)
+    cur = li.where(F.dayofmonth("l_shipdate") > 15)
+    return psi_drift(
+        ref, cur, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+def _sql_q142() -> str:
+    from pytrousse_spark.profiling import psi_drift_sql
+
+    return psi_drift_sql(
+        "SELECT * FROM lineitem WHERE day(CAST(l_shipdate AS TIMESTAMP)) <= 15",
+        "SELECT * FROM lineitem WHERE day(CAST(l_shipdate AS TIMESTAMP)) > 15",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4173,6 +4237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_expectations": q138_expectations,
         "q139_seasonal_decompose": q139_seasonal_decompose,
         "q140_attribution": q140_attribution,
+        "q141_hybrid_search": q141_hybrid_search,
+        "q142_psi_drift": q142_psi_drift,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage) -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4604,6 +4670,8 @@ def oracle_sql() -> dict[str, str]:
         "q138_expectations": _sql_q138(),
         "q139_seasonal_decompose": _sql_q139(),
         "q140_attribution": _sql_q140(),
+        "q141_hybrid_search": _sql_q141(),
+        "q142_psi_drift": _sql_q142(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -452,3 +452,141 @@ def ivf_topk_sql(
       FROM scored WHERE cos IS NOT NULL
     ) WHERE rank <= {k}
     """
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embs: DataFrame,
+    text_col: str,
+    id_col: str,
+    vec_col: str,
+    vec_id_col: str,
+    terms: list[str],
+    query_vec_id: int,
+    k: int = 20,
+    k_each: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al., SIGIR
+    2009 — the standard way production search fuses BM25/TF-IDF and
+    vector rankings without score calibration): run the keyword ranking
+    (:func:`~pytrousse_spark.functions.text.search_docs`) and the
+    brute-force cosine ranking against the stored embedding of
+    ``query_vec_id``, take each side's top ``k_each``, and fuse with
+    ``sum(1 / (rrf_k + rank))`` over the lists a document appears in.
+
+    Returns top-``k`` ``(doc_id, kw_rank, vec_rank, rrf_score)`` —
+    absent-side ranks NULL, score rounded to 6, ties to the smaller id.
+
+    Scale: both sides end in TakeOrderedAndProject (k_each rows); the
+    fusion join and rank windows run over 2·k_each rows, not the corpus.
+    The vector side here is the exact baseline — swap in ann_topk_lsh /
+    ivf/pq for the production path; RRF only consumes (id, rank).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import search_docs
+    from ..functions.vectors import cosine
+
+    kw = search_docs(docs, text_col, id_col, terms, k=k_each).select(
+        F.col(id_col).alias("__id"), F.col("score").alias("__kw_score")
+    )
+    wk = Window.orderBy(F.col("__kw_score").desc(), F.col("__id"))
+    kwr = kw.select("__id", F.row_number().over(wk).alias("kw_rank"))
+
+    qv = embs.where(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    cos = F.round(cosine(F.col("__qv"), F.col(vec_col)), 6)
+    scored = (
+        embs.crossJoin(F.broadcast(qv))
+        .select(F.col(vec_id_col).alias("__id"), cos.alias("__cos"))
+        .where(F.col("__cos").isNotNull())
+        .orderBy(F.col("__cos").desc(), F.col("__id"))
+        .limit(k_each)
+    )
+    wv = Window.orderBy(F.col("__cos").desc(), F.col("__id"))
+    vecr = scored.select("__id", F.row_number().over(wv).alias("vec_rank"))
+
+    fused = kwr.join(vecr, "__id", "full").select(
+        "__id",
+        "kw_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)
+            )
+        ).alias("__rrf"),
+    )
+    return (
+        fused.orderBy(F.col("__rrf").desc(), F.col("__id"))
+        .limit(k)
+        .select(
+            F.col("__id").alias("doc_id"),
+            "kw_rank",
+            "vec_rank",
+            F.round(F.col("__rrf"), 6).alias("rrf_score"),
+        )
+    )
+
+
+def hybrid_search_rrf_sql(
+    docs_table: str,
+    embs_table: str,
+    text_col: str,
+    id_col: str,
+    vec_col: str,
+    vec_id_col: str,
+    terms: list[str],
+    query_vec_id: int,
+    dim: int,
+    k: int = 20,
+    k_each: int = 50,
+    rrf_k: int = 60,
+) -> str:
+    """DuckDB twin of :func:`hybrid_search_rrf` — identical rankings,
+    tiebreaks and fusion arithmetic."""
+    from ..functions.text import search_docs_sql
+    from ..functions.vectors import cosine_sql
+
+    kw_sub = search_docs_sql(docs_table, text_col, id_col, terms, k_each)
+    # the query vector joins in as a plain column: DuckDB rejects scalar
+    # subqueries inside list-lambda expressions
+    cs = cosine_sql("__qv", vec_col, dim)
+    return f"""
+    WITH kw AS MATERIALIZED ({kw_sub}
+    ), kwr AS (
+        SELECT {id_col} AS __id,
+               CAST(row_number() OVER (ORDER BY score DESC, {id_col})
+                    AS INT) AS kw_rank
+        FROM kw
+    ), qv AS (
+        SELECT {vec_col} AS __qv FROM {embs_table}
+        WHERE {vec_id_col} = {query_vec_id}
+    ), vec_top AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT {vec_id_col} AS __id, round({cs}, 6) AS __cos
+            FROM {embs_table} CROSS JOIN qv
+        ) WHERE __cos IS NOT NULL
+        ORDER BY __cos DESC, __id LIMIT {k_each}
+    ), vecr AS (
+        SELECT __id,
+               CAST(row_number() OVER (ORDER BY __cos DESC, __id) AS INT)
+                   AS vec_rank
+        FROM vec_top
+    ), fused AS (
+        SELECT COALESCE(kwr.__id, vecr.__id) AS __id,
+               kwr.kw_rank, vecr.vec_rank,
+               -- CAST to DOUBLE: a bare 1.0 literal is DECIMAL in DuckDB
+               -- and decimal division would not match Spark's doubles
+               COALESCE(CAST(1 AS DOUBLE) / ({rrf_k} + kwr.kw_rank), 0.0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({rrf_k} + vecr.vec_rank), 0.0)
+                   AS __rrf
+        FROM kwr FULL JOIN vecr ON kwr.__id = vecr.__id
+    )
+    SELECT __id AS doc_id, kw_rank, vec_rank,
+           round(__rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY __rrf DESC, __id LIMIT {k}
+    """

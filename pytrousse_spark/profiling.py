@@ -340,3 +340,164 @@ def correlation_matrix_sql(table: str, cols: list[str]) -> str:
         f"WITH agg AS MATERIALIZED (SELECT {', '.join(sums)} FROM {table})\n"
         + "\n    UNION ALL ".join(arms)
     )
+
+
+def psi_drift(
+    ref: "DataFrame",
+    cur: "DataFrame",
+    cols: list[str],
+    num_bins: int = 10,
+    eps: float = 1e-6,
+) -> "DataFrame":
+    """Population Stability Index between a reference and a current
+    sample for each numeric feature — THE deployed-model drift check
+    (credit-scoring practice; PSI > 0.2 is the conventional 'significant
+    shift' alarm): ``PSI = Σ_bins (p - q) · ln(p / q)`` over shared
+    equal-width bins (edges from the pooled min/max so both sides bin
+    identically; NULLs get their own bin; empty-bin proportions floor at
+    ``eps``).
+
+    Returns one row per feature: ``(feature, psi, drifted, n_ref,
+    n_cur)`` with psi rounded to 6 and ``drifted = psi > 0.2``.
+
+    Exactness: bin counts are exact BIGINTs; each bin's contribution is
+    one double expression converted to nano-units and summed as
+    INTEGERS (the q93 fold convention — a float sum over bins would be
+    fold-order-dependent across engines).
+
+    Scale: both tables melt to (feature, value) ONCE — one union scan,
+    one (feature, side, bin) hash-agg bounded by features x bins; the
+    pooled min/max and side totals are tiny broadcast frames. Adding
+    features adds no passes.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+
+    def melt(df: "DataFrame", side: str) -> "DataFrame":
+        pieces = ", ".join(
+            f"'{c}', CAST({c} AS DOUBLE)" for c in cols
+        )
+        return df.selectExpr(
+            f"stack({len(cols)}, {pieces}) AS (feature, __v)"
+        ).select(F.lit(side).alias("__side"), "feature", "__v")
+
+    m = melt(ref, "ref").unionByName(melt(cur, "cur"))
+    stats = m.groupBy("feature").agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    width_ok = F.col("__hi") > F.col("__lo")
+    binned = m.join(F.broadcast(stats), "feature").select(
+        "__side",
+        "feature",
+        F.when(F.col("__v").isNull(), F.lit(-1))
+        .when(~width_ok, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(num_bins - 1),
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * num_bins
+                ).cast("int"),
+            )
+        )
+        .alias("__bin"),
+    )
+    counts = binned.groupBy("feature", "__bin").agg(
+        F.sum(F.when(F.col("__side") == "ref", 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cr"),
+        F.sum(F.when(F.col("__side") == "cur", 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cc"),
+    )
+    totals = counts.groupBy("feature").agg(
+        F.sum("__cr").alias("__nr"), F.sum("__cc").alias("__nc")
+    )
+    j = counts.join(F.broadcast(totals), "feature")
+    p = F.greatest(F.col("__cr") / F.col("__nr"), F.lit(eps))
+    q = F.greatest(F.col("__cc") / F.col("__nc"), F.lit(eps))
+    contrib = (p - q) * F.log(p / q)
+    nano = F.round(contrib * F.lit(1e9), 0).cast("bigint")
+    out = (
+        j.select("feature", "__nr", "__nc", nano.alias("__nano"))
+        .groupBy("feature")
+        .agg(
+            F.round(F.sum("__nano") / F.lit(1e9), 6).alias("psi"),
+            F.max("__nr").alias("n_ref"),
+            F.max("__nc").alias("n_cur"),
+        )
+    )
+    return out.select(
+        "feature",
+        "psi",
+        (F.col("psi") > 0.2).alias("drifted"),
+        "n_ref",
+        "n_cur",
+    )
+
+
+def psi_drift_sql(
+    ref_subquery: str,
+    cur_subquery: str,
+    cols: list[str],
+    num_bins: int = 10,
+    eps: float = 1e-6,
+) -> str:
+    """DuckDB twin of :func:`psi_drift` — identical binning, epsilon
+    floors, ln shape and nano-unit integer fold."""
+
+    def melt(sub: str, side: str) -> str:
+        arms = " UNION ALL ".join(
+            f"SELECT '{side}' AS __side, '{c}' AS feature,"
+            f" CAST({c} AS DOUBLE) AS __v FROM ({sub})"
+            for c in cols
+        )
+        return arms
+
+    return f"""
+    WITH m AS MATERIALIZED (
+        {melt(ref_subquery, "ref")}
+        UNION ALL {melt(cur_subquery, "cur")}
+    ), stats AS (
+        SELECT feature, min(__v) AS __lo, max(__v) AS __hi
+        FROM m GROUP BY 1
+    ), binned AS (
+        SELECT m.__side, m.feature,
+               CASE WHEN m.__v IS NULL THEN -1
+                    WHEN NOT (s.__hi > s.__lo) THEN 0
+                    ELSE CAST(least({num_bins - 1},
+                         floor((m.__v - s.__lo) / (s.__hi - s.__lo)
+                               * {num_bins})) AS INT)
+               END AS __bin
+        FROM m JOIN stats s ON s.feature = m.feature
+    ), counts AS (
+        SELECT feature, __bin,
+               CAST(sum(CASE WHEN __side = 'ref' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS __cr,
+               CAST(sum(CASE WHEN __side = 'cur' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS __cc
+        FROM binned GROUP BY 1, 2
+    ), totals AS (
+        SELECT feature, CAST(sum(__cr) AS BIGINT) AS __nr,
+               CAST(sum(__cc) AS BIGINT) AS __nc
+        FROM counts GROUP BY 1
+    ), contrib AS (
+        SELECT c.feature, t.__nr, t.__nc,
+               CAST(round(
+                   (greatest(c.__cr / t.__nr, {eps})
+                    - greatest(c.__cc / t.__nc, {eps}))
+                   * ln(greatest(c.__cr / t.__nr, {eps})
+                        / greatest(c.__cc / t.__nc, {eps}))
+                   * 1e9, 0) AS BIGINT) AS __nano
+        FROM counts c JOIN totals t ON t.feature = c.feature
+    )
+    SELECT feature,
+           round(sum(__nano) / 1e9, 6) AS psi,
+           round(sum(__nano) / 1e9, 6) > 0.2 AS drifted,
+           max(__nr) AS n_ref,
+           max(__nc) AS n_cur
+    FROM contrib GROUP BY feature
+    """

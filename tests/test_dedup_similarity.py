@@ -492,3 +492,45 @@ def test_prefix_jaccard_handles_hostile_rows(spark):
         ).collect()
     }
     assert got == {(1, 2): 1.0}
+
+
+def test_hybrid_search_rrf_fusion_math(spark):
+    from pytrousse_spark.operators.similarity import hybrid_search_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query anchor text"),
+            (1, "alpha alpha beta"),
+            (2, "alpha beta"),
+            (3, "gamma delta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.8, 0.2]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = hybrid_search_rrf(
+        docs, embs, "text", "doc_id", "embedding", "vec_id",
+        ["alpha", "beta"], query_vec_id=0, k=10, k_each=10, rrf_k=60,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # keyword side matches docs 1 (tf 3) and 2 (tf 2) only
+    assert rows[1]["kw_rank"] == 1 and rows[2]["kw_rank"] == 2
+    assert rows[0]["kw_rank"] is None and rows[3]["kw_rank"] is None
+    # vector side ranks by cosine to vec 0: 0 (self), then 1, 3, 2
+    assert rows[0]["vec_rank"] == 1
+    assert rows[1]["vec_rank"] == 2 and rows[3]["vec_rank"] == 3
+    # doc 1 is in BOTH lists -> top fused score
+    import pytest as _pytest
+
+    assert rows[1]["rrf_score"] == _pytest.approx(
+        1 / 61 + 1 / 62, abs=1e-6
+    )
+    best = max(rows.values(), key=lambda r: r["rrf_score"])
+    assert best["doc_id"] == 1

@@ -135,3 +135,36 @@ def test_correlation_matrix_laws(spark):
         for j, b in enumerate(cols):
             if i < j:
                 assert abs(got2[(a, b)] - ref[i, j]) < 1e-6
+
+
+def test_psi_identical_distribution_is_zero(spark):
+    from pytrousse_spark.profiling import psi_drift
+
+    df = spark.range(0, 1000).selectExpr("CAST(id % 10 AS DOUBLE) AS x")
+    out = {r["feature"]: r for r in psi_drift(df, df, ["x"]).collect()}
+    assert out["x"]["psi"] == 0.0
+    assert out["x"]["drifted"] is False
+    assert out["x"]["n_ref"] == 1000 and out["x"]["n_cur"] == 1000
+
+
+def test_psi_shifted_distribution_alarms(spark):
+    from pytrousse_spark.profiling import psi_drift
+
+    ref = spark.range(0, 1000).selectExpr("CAST(id % 10 AS DOUBLE) AS x")
+    cur = spark.range(0, 1000).selectExpr(
+        "CAST(5 + (id % 5) AS DOUBLE) AS x"  # mass collapses to upper half
+    )
+    out = {r["feature"]: r for r in psi_drift(ref, cur, ["x"]).collect()}
+    assert out["x"]["psi"] > 0.2
+    assert out["x"]["drifted"] is True
+
+
+def test_psi_null_bin_counts(spark):
+    from pytrousse_spark.profiling import psi_drift
+
+    ref = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+    cur = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "x double")
+    out = {r["feature"]: r for r in psi_drift(ref, cur, ["x"]).collect()}
+    # NULLs participate (own bin): totals count all rows
+    assert out["x"]["n_ref"] == 3 and out["x"]["n_cur"] == 3
+    assert out["x"]["psi"] > 0.0
