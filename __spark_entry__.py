@@ -3153,6 +3153,36 @@ def _sql_q142() -> str:
     )
 
 
+def q143_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming/events.py:view_purchase_stream_join): views pair with
+    same-user purchases within 30 minutes after. The streaming plan
+    takes the IDENTICAL join expression with watermarks bounding the
+    join state; availableNow parity vs this twin is pinned in
+    tests/test_streaming.py (the q70/q94 convention)."""
+    from pytrousse_spark.streaming.events import view_purchase_stream_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return view_purchase_stream_join(views, purchases, max_gap_minutes=30)
+
+
+def _sql_q143() -> str:
+    return """
+    SELECT v.user_id, v.ts AS v_ts, p.ts AS p_ts,
+           CAST(floor(epoch(p.ts) - epoch(v.ts)) AS BIGINT) AS gap_sec,
+           round(p.value, 4) AS p_val
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4239,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_attribution": q140_attribution,
         "q141_hybrid_search": q141_hybrid_search,
         "q142_psi_drift": q142_psi_drift,
+        "q143_stream_join_batch": q143_stream_join_batch,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage) -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4672,6 +4703,7 @@ def oracle_sql() -> dict[str, str]:
         "q140_attribution": _sql_q140(),
         "q141_hybrid_search": _sql_q141(),
         "q142_psi_drift": _sql_q142(),
+        "q143_stream_join_batch": _sql_q143(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

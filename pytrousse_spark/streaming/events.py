@@ -190,3 +190,58 @@ def rollup_events_stream(
         .start()
     )
     q.awaitTermination(120)
+
+
+def view_purchase_stream_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each view pairs with every purchase
+    by the same user within ``max_gap_minutes`` AFTER it — the
+    conversion-path join, streaming edition of the q60 interval join.
+
+    Streaming semantics: BOTH sides carry a watermark and the join
+    condition bounds event time on both ends, so Spark can size the join
+    state to the watermark+gap horizon and expire it (an unbounded
+    stream-stream join without the time bound accumulates both sides
+    forever — the scale-killer Structured Streaming refuses outright for
+    outer joins and silently pays for inner ones). Batch frames take the
+    IDENTICAL join expression — the oracle-checked twin (q143).
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value"), 4).alias("p_val"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    # gap floors the EXACT microsecond-precision difference — seconds
+    # since epoch in µs fit a double exactly (< 2^53), so both engines
+    # subtract the same doubles; unix_timestamp() would truncate each
+    # operand FIRST and drift ±1s vs the oracle's epoch() difference
+    gap = F.floor(
+        F.col("p_ts").cast("double") - F.col("v_ts").cast("double")
+    ).cast("bigint")
+    return v.join(p, cond, "inner").select(
+        "user_id",
+        "v_ts",
+        "p_ts",
+        gap.alias("gap_sec"),
+        "p_val",
+    )

@@ -312,3 +312,26 @@ def test_stream_rollup_partials_merge_equals_direct(spark, tmp_path_factory):
     # more than one micro-batch actually ran
     nb = read_parquet_df(spark, store).select("__batch").distinct().count()
     assert nb >= 2
+
+
+def test_stream_stream_join_matches_batch(spark, events_batch, events_stream_dir):
+    """The watermarked stream-stream interval join (availableNow drain)
+    equals its batch twin — and the batch twin is the oracle-gated q143,
+    so the streaming plan sits transitively under the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.streaming.events import view_purchase_stream_join
+
+    stream = read_events_stream(spark, events_stream_dir)
+    sv = stream.where(F.col("event_type") == "view")
+    sp = stream.where(F.col("event_type") == "purchase")
+    joined = view_purchase_stream_join(sv, sp, max_gap_minutes=30)
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "ss_join", output_mode="append")
+    got = spark.sql("SELECT * FROM ss_join").collect()
+
+    bv = events_batch.where(F.col("event_type") == "view")
+    bp = events_batch.where(F.col("event_type") == "purchase")
+    want = view_purchase_stream_join(bv, bp, max_gap_minutes=30).collect()
+    assert len(got) == len(want) > 0
+    assert _normalize(got) == _normalize(want)
