@@ -3183,6 +3183,28 @@ def _sql_q143() -> str:
     """
 
 
+def q144_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search ('value table') over positional
+    postings: posting rows filter to the phrase's terms BEFORE any
+    shuffle, adjacency resolves by (id, pos+i) keyed joins bounded by
+    term posting sizes — the exact-phrase path q129's conjunctive
+    search cannot express."""
+    from pytrousse_spark.functions.text import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(
+        d, "text", "doc_id", ["value", "table"], k=20
+    )
+
+
+def _sql_q144() -> str:
+    from pytrousse_spark.functions.text import phrase_search_sql
+
+    return phrase_search_sql(
+        "documents", "text", "doc_id", ["value", "table"], 20
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4270,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_hybrid_search": q141_hybrid_search,
         "q142_psi_drift": q142_psi_drift,
         "q143_stream_join_batch": q143_stream_join_batch,
+        "q144_phrase_search": q144_phrase_search,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage) -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4704,6 +4727,7 @@ def oracle_sql() -> dict[str, str]:
         "q141_hybrid_search": _sql_q141(),
         "q142_psi_drift": _sql_q142(),
         "q143_stream_join_batch": _sql_q143(),
+        "q144_phrase_search": _sql_q144(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1112,3 +1112,83 @@ def search_docs_sql(
     ORDER BY score DESC, p.__id
     LIMIT {k}
     """
+
+
+def phrase_search(df, text_col: str, id_col: str, phrase: list[str], k: int = 20):
+    """Exact phrase search over positional postings: documents whose
+    token sequence contains ``phrase`` contiguously, ranked by
+    occurrence count (ties to the smaller id) — the quoted-query path
+    the conjunctive :func:`search_docs` cannot answer (it ignores
+    order/adjacency).
+
+    Plan: tokens stage as a projected column (the 11x HOF rule), then
+    posexplode to (id, pos, token) rows FILTERED to the phrase's terms
+    before any shuffle; term i of the phrase joins on (id, pos + i) —
+    each join is keyed and bounded by the phrase terms' posting sizes,
+    never the corpus; occurrences then hash-agg per doc and top-k is
+    TakeOrderedAndProject. A token-bucketed posting table at rest makes
+    the scan exchange-free (q108).
+
+    Returns ``(doc_id, n_occurrences)``.
+    """
+    from pyspark.sql import functions as F
+
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    post = (
+        base.select("__id", F.posexplode_outer("__tk").alias("__pos", "__t"))
+        .where(F.col("__t").isin(list(set(phrase))))
+    )
+    cur = post.where(F.col("__t") == phrase[0]).select(
+        "__id", F.col("__pos").alias("__p0")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = post.where(F.col("__t") == term).select(
+            "__id", (F.col("__pos") - i).alias("__p0")
+        )
+        cur = cur.join(nxt, ["__id", "__p0"])
+    return (
+        cur.groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("__id"))
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "n_occurrences")
+    )
+
+
+def phrase_search_sql(
+    table: str, text_col: str, id_col: str, phrase: list[str], k: int = 20
+) -> str:
+    """DuckDB twin of :func:`phrase_search` — identical positional-join
+    logic (DuckDB positions are 1-based; only relative offsets matter)."""
+    toks = tokens_sql(text_col)
+    uniq = sorted(set(phrase))
+    lits = ", ".join(f"'{t}'" for t in uniq)
+    joins = []
+    for i, term in enumerate(phrase[1:], start=1):
+        joins.append(
+            f"JOIN (SELECT __id, __pos - {i} AS __p0 FROM post"
+            f" WHERE __t = '{term}') p{i} USING (__id, __p0)"
+        )
+    join_sql = "\n        ".join(joins)
+    return f"""
+    WITH tok AS (
+        SELECT {id_col} AS __id, {toks} AS __tk FROM {table}
+    ), post AS MATERIALIZED (
+        SELECT __id, i.i AS __pos, __tk[i.i] AS __t
+        FROM tok, unnest(range(1, len(__tk) + 1)) AS i(i)
+        WHERE __tk[i.i] IN ({lits})
+    ), starts AS (
+        SELECT p0.__id, p0.__p0 FROM
+        (SELECT __id, __pos AS __p0 FROM post
+         WHERE __t = '{phrase[0]}') p0
+        {join_sql}
+    )
+    SELECT __id AS {id_col}, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM starts GROUP BY 1
+    ORDER BY n_occurrences DESC, __id
+    LIMIT {k}
+    """

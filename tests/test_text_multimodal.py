@@ -250,3 +250,42 @@ def test_search_docs_conjunctive_and_ranked(spark):
     assert set(ids) == {1, 3}          # conjunctive: doc 2 and 4 excluded
     assert ids[0] == 1                 # higher tf ranks first
     assert rows[0]["score"] > rows[1]["score"] > 0
+
+
+def test_phrase_search_overlaps_and_order(spark):
+    from pytrousse_spark.functions.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # "a b" twice, "b a" twice
+            (2, "a a a"),       # "a a" twice (overlapping starts)
+            (3, "b a b"),       # "a b" once
+            (4, "c c"),
+        ],
+        "id bigint, text string",
+    )
+    ab = {
+        r["id"]: r["n_occurrences"]
+        for r in phrase_search(df, "text", "id", ["a", "b"], k=10).collect()
+    }
+    assert ab == {1: 2, 3: 1}
+    aa = {
+        r["id"]: r["n_occurrences"]
+        for r in phrase_search(df, "text", "id", ["a", "a"], k=10).collect()
+    }
+    assert aa == {2: 2}  # overlapping starts both count
+    aba = {
+        r["id"]: r["n_occurrences"]
+        for r in phrase_search(df, "text", "id", ["a", "b", "a"], k=10).collect()
+    }
+    assert aba == {1: 2}
+
+
+def test_phrase_search_rejects_empty(spark):
+    import pytest as _pytest
+
+    from pytrousse_spark.functions.text import phrase_search
+
+    df = spark.createDataFrame([(1, "x")], "id bigint, text string")
+    with _pytest.raises(ValueError):
+        phrase_search(df, "text", "id", [])
