@@ -3205,6 +3205,29 @@ def _sql_q144() -> str:
     )
 
 
+def q145_ols_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment closed-form OLS (price ~ quantity + discount per
+    return flag): thousands of models from ONE grouped aggregation of
+    DECIMAL sufficient statistics — the model-per-entity pattern an
+    iterate-per-model trainer cannot scale to; degenerate groups emit
+    NULLs, not Infs."""
+    from pytrousse_spark.operators.classifier import ols_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_grouped(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+    )
+
+
+def _sql_q145() -> str:
+    from pytrousse_spark.operators.classifier import ols_grouped_sql
+
+    return ols_grouped_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", "l_quantity",
+        "l_discount",
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4293,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_psi_drift": q142_psi_drift,
         "q143_stream_join_batch": q143_stream_join_batch,
         "q144_phrase_search": q144_phrase_search,
+        "q145_ols_grouped": q145_ols_grouped,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage) -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4728,6 +4752,7 @@ def oracle_sql() -> dict[str, str]:
         "q142_psi_drift": _sql_q142(),
         "q143_stream_join_batch": _sql_q143(),
         "q144_phrase_search": _sql_q144(),
+        "q145_ols_grouped": _sql_q145(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -478,3 +478,119 @@ def chi2_feature_selection_sql(
     ORDER BY chi2 DESC, token
     LIMIT {top_k}
     """
+
+
+def ols_grouped(
+    df: DataFrame, group_col: str, y_col: str, x1_col: str, x2_col: str
+) -> DataFrame:
+    """Per-group closed-form OLS ``y ~ b0 + b1·x1 + b2·x2`` — thousands
+    (or millions) of segment models from ONE aggregation pass: the q131
+    normal-equation solve with a GROUP BY, the 'model per entity'
+    pattern (per-store demand curves, per-tenant trends) that an
+    iterate-per-model trainer cannot scale to.
+
+    Sufficient statistics accumulate as DECIMAL per group (fold-order
+    free); the 2x2 solve runs in doubles per group row. Degenerate
+    groups (singular normal matrix — collinear or constant features)
+    emit NULL coefficients instead of Infs; r2 is NULL when y is
+    constant. Returns ``(group, b0, b1, b2, r2, n)`` rounded 6.
+
+    Shuffle: one (group)-keyed hash agg with map-side partials — model
+    count adds zero passes.
+    """
+
+    def dec(c: str):
+        return F.col(c).cast("decimal(18,4)")
+
+    y, x1, x2 = dec(y_col), dec(x1_col), dec(x2_col)
+    s = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    d = {k: F.col(k).cast("double") for k in
+         ("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")}
+    c11 = n * d["s11"] - d["s1"] * d["s1"]
+    c22 = n * d["s22"] - d["s2"] * d["s2"]
+    c12 = n * d["s12"] - d["s1"] * d["s2"]
+    c1y = n * d["s1y"] - d["s1"] * d["sy"]
+    c2y = n * d["s2y"] - d["s2"] * d["sy"]
+    cyy = n * d["syy"] - d["sy"] * d["sy"]
+    det = c11 * c22 - c12 * c12
+    ok = det != 0
+    b1 = F.when(ok, (c1y * c22 - c2y * c12) / det)
+    b2 = F.when(ok, (c2y * c11 - c1y * c12) / det)
+    b0 = F.when(ok, (d["sy"] - b1 * d["s1"] - b2 * d["s2"]) / n)
+    r2 = F.when(ok & (cyy > 0), (b1 * c1y + b2 * c2y) / cyy)
+    return s.select(
+        "grp",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+        "n",
+    )
+
+
+def ols_grouped_sql(
+    table: str, group_col: str, y_col: str, x1_col: str, x2_col: str
+) -> str:
+    """DuckDB twin of :func:`ols_grouped` — identical decimal sums,
+    guards and double shapes. DECIMAL(28,4): DuckDB multiplies 18-digit
+    decimals in int64 and overflows on squared prices (the q131 twin's
+    width); sums are exact either way so values still match Spark's
+    auto-widened decimal(18,4) products."""
+
+    def dec(c: str) -> str:
+        return f"CAST({c} AS DECIMAL(28,4))"
+
+    y, x1, x2 = dec(y_col), dec(x1_col), dec(x2_col)
+    return f"""
+    WITH s AS MATERIALIZED (
+        SELECT {group_col} AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               sum({x1}) AS s1, sum({x2}) AS s2, sum({y}) AS sy,
+               sum({x1} * {x1}) AS s11, sum({x2} * {x2}) AS s22,
+               sum({x1} * {x2}) AS s12, sum({x1} * {y}) AS s1y,
+               sum({x2} * {y}) AS s2y, sum({y} * {y}) AS syy
+        FROM {table} GROUP BY 1
+    ), c AS MATERIALIZED (
+        SELECT grp, n,
+               n::DOUBLE * s11::DOUBLE - s1::DOUBLE * s1::DOUBLE AS c11,
+               n::DOUBLE * s22::DOUBLE - s2::DOUBLE * s2::DOUBLE AS c22,
+               n::DOUBLE * s12::DOUBLE - s1::DOUBLE * s2::DOUBLE AS c12,
+               n::DOUBLE * s1y::DOUBLE - s1::DOUBLE * sy::DOUBLE AS c1y,
+               n::DOUBLE * s2y::DOUBLE - s2::DOUBLE * sy::DOUBLE AS c2y,
+               n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS cyy,
+               s1::DOUBLE AS s1d, s2::DOUBLE AS s2d, sy::DOUBLE AS syd
+        FROM s
+    ), b AS MATERIALIZED (
+        SELECT grp, n, c1y, c2y, cyy, s1d, s2d, syd,
+               c11 * c22 - c12 * c12 AS det,
+               CASE WHEN c11 * c22 - c12 * c12 <> 0
+                    THEN (c1y * c22 - c2y * c12)
+                         / (c11 * c22 - c12 * c12) END AS b1,
+               CASE WHEN c11 * c22 - c12 * c12 <> 0
+                    THEN (c2y * c11 - c1y * c12)
+                         / (c11 * c22 - c12 * c12) END AS b2
+        FROM c
+    )
+    SELECT grp,
+           round(CASE WHEN det <> 0
+                      THEN (syd - b1 * s1d - b2 * s2d) / n::DOUBLE END, 6)
+               AS b0,
+           round(b1, 6) AS b1,
+           round(b2, 6) AS b2,
+           round(CASE WHEN det <> 0 AND cyy > 0
+                      THEN (b1 * c1y + b2 * c2y) / cyy END, 6) AS r2,
+           n
+    FROM b
+    """

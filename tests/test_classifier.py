@@ -114,3 +114,24 @@ def test_chi2_null_label_counts_negative(spark):
     ).collect()
     (r,) = out
     assert r["n_docs"] == 2 and r["n_pos"] == 1  # NULL label -> negative
+
+
+def test_ols_grouped_recovers_per_group_laws(spark):
+    from pytrousse_spark.operators.classifier import ols_grouped
+
+    rows = []
+    # group A: y = 1 + 2*x1 + 3*x2 exactly; group B: y = -1 + 0.5*x1
+    for i in range(30):
+        x1, x2 = float(i % 7), float((i * 3) % 5)
+        rows.append(("A", 1 + 2 * x1 + 3 * x2, x1, x2))
+        rows.append(("B", -1 + 0.5 * x1 + 0.0 * x2, x1, x2))
+    # group C: constant x1 (collinear with intercept) -> singular -> NULLs
+    for i in range(5):
+        rows.append(("C", float(i), 1.0, float(i)))
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = {r["grp"]: r for r in ols_grouped(df, "g", "y", "x1", "x2").collect()}
+    a, b, c = out["A"], out["B"], out["C"]
+    assert (a["b0"], a["b1"], a["b2"], a["r2"]) == (1.0, 2.0, 3.0, 1.0)
+    assert (b["b0"], b["b1"], b["b2"], b["r2"]) == (-1.0, 0.5, 0.0, 1.0)
+    assert c["b0"] is None and c["b1"] is None and c["b2"] is None
+    assert a["n"] == 30 and c["n"] == 5
