@@ -3228,6 +3228,46 @@ def _sql_q145() -> str:
     )
 
 
+def q146_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session entry paths (first 3 event types per 30-min-gap
+    session): q11's sessionization feeding a per-position MAX path
+    assembly — never collect_list, whose intra-group order is
+    engine-dependent. One entity-keyed Exchange serves both windows."""
+    from pytrousse_spark.operators.mining import session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(
+        ev, "user_id", "ts", "event_type", "event_id",
+        gap_minutes=30, depth=3, top_k=10,
+    )
+
+
+def _sql_q146() -> str:
+    from pytrousse_spark.operators.mining import session_paths_sql
+
+    return session_paths_sql(
+        "events", "user_id", "ts", "event_type", "event_id",
+        gap_minutes=30, depth=3, top_k=10,
+    )
+
+
+def q147_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence test lang x source over documents: R x C chi-square
+    + Cramér's V from ONE cell aggregation — marginals reduce from the
+    cell frame, absent cells enter as zero observed, contributions fold
+    as nano-unit integers."""
+    from pytrousse_spark.profiling import contingency_chi2
+
+    d = _t(spark, sf_dir, "documents")
+    return contingency_chi2(d, "lang", "source")
+
+
+def _sql_q147() -> str:
+    from pytrousse_spark.profiling import contingency_chi2_sql
+
+    return contingency_chi2_sql("SELECT * FROM documents", "lang", "source")
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4317,6 +4357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_stream_join_batch": q143_stream_join_batch,
         "q144_phrase_search": q144_phrase_search,
         "q145_ols_grouped": q145_ols_grouped,
+        "q146_session_paths": q146_session_paths,
+        "q147_contingency_chi2": q147_contingency_chi2,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage) -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4753,6 +4795,8 @@ def oracle_sql() -> dict[str, str]:
         "q143_stream_join_batch": _sql_q143(),
         "q144_phrase_search": _sql_q144(),
         "q145_ols_grouped": _sql_q145(),
+        "q146_session_paths": _sql_q146(),
+        "q147_contingency_chi2": _sql_q147(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

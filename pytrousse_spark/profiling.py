@@ -501,3 +501,116 @@ def psi_drift_sql(
            max(__nc) AS n_cur
     FROM contrib GROUP BY feature
     """
+
+
+def contingency_chi2(df: "DataFrame", col_a: str, col_b: str) -> "DataFrame":
+    """Chi-square test of independence for two categorical columns (the
+    R x C generalization of q134's 2x2 feature score) plus Cramér's V —
+    the 'are these columns related' EDA question as ONE pass over the
+    table.
+
+    Rows with a NULL in either column are excluded (no category).
+    Returns ONE row ``(chi2, dof, n, cramers_v)``; chi2/V rounded to 6.
+
+    Exactness: observed counts are exact BIGINTs; expected counts are
+    ``(row_total * col_total) / n`` — one BIGINT product per cell, one
+    double division; per-cell contributions fold as nano-unit INTEGERS
+    (the PSI convention) so the cell-sum is fold-order-free.
+
+    Scale: one (a, b) hash agg; marginals reduce FROM the cell frame
+    (not the table); the dense cell grid is |A| x |B| — categorical
+    domains, broadcast-sized by definition; absent cells join in as
+    zero observed (they still contribute e to chi2).
+    """
+    from pyspark.sql import functions as F
+
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .localCheckpoint(eager=False)
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    nn = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.countDistinct("__a").alias("__r"),
+        F.countDistinct("__b").alias("__c"),
+    )
+    grid = ra.crossJoin(cb).join(cells, ["__a", "__b"], "left").select(
+        "__a",
+        "__b",
+        "__ra",
+        "__cb",
+        F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
+    )
+    e = (F.col("__ra") * F.col("__cb")).cast("double") / F.col("__n")
+    o = F.col("__o").cast("double")
+    contrib = (o - e) * (o - e) / e
+    nano = F.round(contrib * F.lit(1e9), 0).cast("bigint")
+    total = (
+        grid.crossJoin(F.broadcast(nn))
+        .select(nano.alias("__nano"), "__n", "__r", "__c")
+        .groupBy("__n", "__r", "__c")
+        .agg(F.sum("__nano").alias("__s"))
+    )
+    chi2 = F.col("__s") / F.lit(1e9)
+    dof = ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("bigint")
+    denom = F.col("__n").cast("double") * F.least(
+        F.col("__r") - 1, F.col("__c") - 1
+    ).cast("double")
+    v = F.when(denom > 0, F.sqrt(chi2 / denom))
+    return total.select(
+        F.round(chi2, 6).alias("chi2"),
+        dof.alias("dof"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def contingency_chi2_sql(table_expr: str, col_a: str, col_b: str) -> str:
+    """DuckDB twin of :func:`contingency_chi2` — identical cells, dense
+    grid, double shapes and nano fold."""
+    return f"""
+    WITH cells AS MATERIALIZED (
+        SELECT {col_a} AS __a, {col_b} AS __b,
+               CAST(count(*) AS BIGINT) AS __o
+        FROM ({table_expr})
+        WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+        GROUP BY 1, 2
+    ), ra AS (
+        SELECT __a, CAST(sum(__o) AS BIGINT) AS __ra FROM cells GROUP BY 1
+    ), cb AS (
+        SELECT __b, CAST(sum(__o) AS BIGINT) AS __cb FROM cells GROUP BY 1
+    ), nn AS (
+        SELECT CAST(sum(__o) AS BIGINT) AS __n,
+               CAST(count(DISTINCT __a) AS BIGINT) AS __r,
+               CAST(count(DISTINCT __b) AS BIGINT) AS __c
+        FROM cells
+    ), grid AS (
+        SELECT ra.__a, cb.__b, ra.__ra, cb.__cb,
+               COALESCE(cells.__o, 0) AS __o
+        FROM ra CROSS JOIN cb
+        LEFT JOIN cells ON cells.__a = ra.__a AND cells.__b = cb.__b
+    ), folded AS (
+        SELECT CAST(sum(CAST(round(
+                   (CAST(__o AS DOUBLE)
+                    - CAST(__ra * __cb AS DOUBLE) / (SELECT __n FROM nn))
+                   * (CAST(__o AS DOUBLE)
+                      - CAST(__ra * __cb AS DOUBLE) / (SELECT __n FROM nn))
+                   / (CAST(__ra * __cb AS DOUBLE) / (SELECT __n FROM nn))
+                   * 1e9, 0) AS BIGINT)) AS BIGINT) AS __s
+        FROM grid
+    )
+    SELECT round(__s / 1e9, 6) AS chi2,
+           CAST((nn.__r - 1) * (nn.__c - 1) AS BIGINT) AS dof,
+           nn.__n AS n,
+           round(CASE WHEN CAST(nn.__n AS DOUBLE)
+                           * CAST(least(nn.__r - 1, nn.__c - 1) AS DOUBLE) > 0
+                      THEN sqrt((__s / 1e9)
+                           / (CAST(nn.__n AS DOUBLE)
+                              * CAST(least(nn.__r - 1, nn.__c - 1)
+                                     AS DOUBLE)))
+                 END, 6) AS cramers_v
+    FROM folded CROSS JOIN nn
+    """

@@ -109,3 +109,41 @@ def test_transitions_tiebreak_is_deterministic(spark):
         for r in event_transitions(df, "user", "ts", "state", "eid").collect()
     }
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_session_paths_splits_and_orders(spark):
+    import datetime as dt
+
+    from pytrousse_spark.operators.mining import session_paths
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1, session 1: a,b,c,d (only first 3 kept)
+        (1, 1, ts(0), "a"), (1, 2, ts(1), "b"),
+        (1, 3, ts(2), "c"), (1, 4, ts(3), "d"),
+        # user 1, session 2 after 40-min gap: a,b
+        (1, 5, ts(43), "a"), (1, 6, ts(44), "b"),
+        # user 2, one single-event session
+        (2, 7, ts(0), "a"),
+        # user 2, same-timestamp tie broken by event id: x(8) then y(9)
+        (2, 8, ts(60), "x"), (2, 9, ts(60), "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user bigint, eid bigint, ts timestamp, state string"
+    )
+    out = {
+        r["path"]: (r["depth_reached"], r["n_sessions"])
+        for r in session_paths(
+            df, "user", "ts", "state", "eid", gap_minutes=30, depth=3
+        ).collect()
+    }
+    assert out == {
+        "a>b>c": (3, 1),
+        "a>b": (2, 1),
+        "a": (1, 1),
+        "x>y": (2, 1),
+    }

@@ -168,3 +168,44 @@ def test_psi_null_bin_counts(spark):
     # NULLs participate (own bin): totals count all rows
     assert out["x"]["n_ref"] == 3 and out["x"]["n_cur"] == 3
     assert out["x"]["psi"] > 0.0
+
+
+def test_contingency_chi2_independent_and_dependent(spark):
+    import pytest as _pytest
+
+    from pytrousse_spark.profiling import contingency_chi2
+
+    # perfectly independent 2x2: equal cell counts -> chi2 == 0
+    rows = [("x", "p")] * 10 + [("x", "q")] * 10 \
+        + [("y", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    (r,) = contingency_chi2(df, "a", "b").collect()
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n"] == 40
+    assert r["cramers_v"] == 0.0
+
+    # perfect association: a determines b -> chi2 == n, V == 1
+    rows = [("x", "p")] * 15 + [("y", "q")] * 15
+    df = spark.createDataFrame(rows, "a string, b string")
+    (r,) = contingency_chi2(df, "a", "b").collect()
+    assert r["chi2"] == _pytest.approx(30.0, abs=1e-6)
+    assert r["cramers_v"] == _pytest.approx(1.0, abs=1e-6)
+
+
+def test_contingency_chi2_absent_cells_contribute(spark):
+    from pytrousse_spark.profiling import contingency_chi2
+
+    # (y, q) never observed: its expected count still enters chi2
+    rows = [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    (r,) = contingency_chi2(df, "a", "b").collect()
+    # manual: n=15, ra(x)=10, ra(y)=5, cb(p)=10, cb(q)=5
+    # e(x,p)=6.667 e(x,q)=3.333 e(y,p)=3.333 e(y,q)=1.667
+    expect = (
+        (5 - 20 / 3) ** 2 / (20 / 3)
+        + (5 - 10 / 3) ** 2 / (10 / 3)
+        + (5 - 10 / 3) ** 2 / (10 / 3)
+        + (0 - 5 / 3) ** 2 / (5 / 3)
+    )
+    import pytest as _pytest
+
+    assert r["chi2"] == _pytest.approx(expect, abs=1e-5)
