@@ -518,19 +518,45 @@ def ols_grouped(
     n = F.col("n").cast("double")
     d = {k: F.col(k).cast("double") for k in
          ("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")}
-    c11 = n * d["s11"] - d["s1"] * d["s1"]
-    c22 = n * d["s22"] - d["s2"] * d["s2"]
-    c12 = n * d["s12"] - d["s1"] * d["s2"]
-    c1y = n * d["s1y"] - d["s1"] * d["sy"]
-    c2y = n * d["s2y"] - d["s2"] * d["sy"]
-    cyy = n * d["syy"] - d["sy"] * d["sy"]
-    det = c11 * c22 - c12 * c12
+    # The covariance terms stage through a localCheckpoint barrier:
+    # CollapseProject would otherwise inline each c-term into every
+    # consumer (b0 embeds b1 embeds det embeds four c-terms — the
+    # duplicated tree is ~10x the staged one in codegen size). Warm cost
+    # is unchanged at sf0.1 (the decimal aggregate dominates; measured
+    # cold 7s is first-query-in-session warm-up, not this projection),
+    # but the checkpointed frame is groups x 11 doubles, so the barrier
+    # is free and the generated code stays readable in explain output.
+    c = s.select(
+        "grp",
+        "n",
+        (n * d["s11"] - d["s1"] * d["s1"]).alias("c11"),
+        (n * d["s22"] - d["s2"] * d["s2"]).alias("c22"),
+        (n * d["s12"] - d["s1"] * d["s2"]).alias("c12"),
+        (n * d["s1y"] - d["s1"] * d["sy"]).alias("c1y"),
+        (n * d["s2y"] - d["s2"] * d["sy"]).alias("c2y"),
+        (n * d["syy"] - d["sy"] * d["sy"]).alias("cyy"),
+        d["s1"].alias("s1d"),
+        d["s2"].alias("s2d"),
+        d["sy"].alias("syd"),
+    ).localCheckpoint(eager=False)
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
     ok = det != 0
-    b1 = F.when(ok, (c1y * c22 - c2y * c12) / det)
-    b2 = F.when(ok, (c2y * c11 - c1y * c12) / det)
-    b0 = F.when(ok, (d["sy"] - b1 * d["s1"] - b2 * d["s2"]) / n)
-    r2 = F.when(ok & (cyy > 0), (b1 * c1y + b2 * c2y) / cyy)
-    return s.select(
+    b1 = F.when(
+        ok,
+        (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det,
+    )
+    b2 = F.when(
+        ok,
+        (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det,
+    )
+    b0 = F.when(
+        ok, (F.col("syd") - b1 * F.col("s1d") - b2 * F.col("s2d")) / n
+    )
+    r2 = F.when(
+        ok & (F.col("cyy") > 0),
+        (b1 * F.col("c1y") + b2 * F.col("c2y")) / F.col("cyy"),
+    )
+    return c.select(
         "grp",
         F.round(b0, 6).alias("b0"),
         F.round(b1, 6).alias("b1"),
