@@ -110,3 +110,24 @@ def test_xxhash_tier_runs(halves):
     pos = bloom.bloom_positions(build, "text", m=M, k=K, hash_fn="xxhash64")
     got = bloom.bloom_probe_bitset(probe, "text", pos, m=M, k=K, hash_fn="xxhash64")
     assert got.where("bloom_member").count() > 0
+
+
+def test_probe_join_duplicate_rows_not_false_negative(spark):
+    """ADVICE r3 regression: fully-duplicate probe rows used to collapse
+    into one group whose hit count reached 2k and failed the == k test —
+    genuine members reported bloom_member=false."""
+    build = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                                  "doc_id bigint, text string")
+    probe = spark.createDataFrame(
+        [(10, "alpha"), (10, "alpha"), (11, "gamma"), (11, "gamma")],
+        "doc_id bigint, text string",
+    )
+    pos = bloom.bloom_positions(build, "text", m=M, k=K)
+    got = bloom.bloom_probe_join(probe, "text", pos, m=M, k=K).collect()
+    by_text = {}
+    for r in got:
+        by_text.setdefault(r["text"], []).append(r["bloom_member"])
+    assert all(by_text["alpha"]), "duplicate member rows must stay members"
+    assert not any(by_text["gamma"])
+    # one row per distinct probe row is the documented contract
+    assert len(got) == 2
