@@ -79,6 +79,21 @@ def _build_10x_corpus(spark, sf_dir: str, tmp: str) -> None:
         big_emb = big_emb.unionByName(p)
     big_emb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
 
+    # lineitem 10x for the mining-family headroom row (q132): baskets
+    # replicate under shifted order keys while the part catalog stays
+    # fixed — the pair space grows linearly with baskets, which is the
+    # claim under test (basket-keyed self-join, not |items|^2)
+    li = read_parquet_df(spark, f"{sf_dir}/lineitem.parquet")
+    l_stride = li.agg(F.max("l_orderkey")).first()[0] + 1
+    l_parts = [li] + [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * l_stride))
+        for i in range(1, 10)
+    ]
+    big_li = l_parts[0]
+    for p in l_parts[1:]:
+        big_li = big_li.unionByName(p)
+    big_li.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+
 
 def _headroom_10x(spark, big_dir: str) -> dict:
     """Scale-factor headroom evidence (round-2 VERDICT item 7): time the
@@ -90,6 +105,7 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q65_dup_clusters",
         "q57_ivf_topk",
         "q101_ivf_pq",
+        "q132_association_rules",
     ):
         fn = getattr(entrymod, name)
         t0 = time.perf_counter()

@@ -86,6 +86,12 @@ def read_parquet_df(spark: SparkSession, path: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
+        # guard on the dtype actually read: Spark's own parquet writer can
+        # store TIMESTAMP(NANOS) metadata (footer says timestamp[ns]) for
+        # columns it still reads back as TimestampType — only raw-long
+        # columns need the nanos->micros restore
+        if df.schema[c].dataType.typeName() != "long":
+            continue
         df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
     # Parquet timestamps written without isAdjustedToUTC surface as
     # TIMESTAMP_NTZ; normalize to TimestampType so downstream epoch math
