@@ -53,7 +53,9 @@ def expect(
         aggs.append(
             F.countDistinct(*[F.col(c) for c in cols]).alias(f"__d{i}")
         )
-    one = df.agg(*aggs)
+    # ONE row; checkpointed because every unpivot arm below consumes it —
+    # without the barrier each rule re-runs the whole aggregation scan
+    one = df.agg(*aggs).localCheckpoint(eager=False)
     pieces = []
     for i, name in enumerate(rules):
         pieces.append(

@@ -777,11 +777,19 @@ def hll_set_ops(
     """
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
-    ra = hll_registers(df_a, col, p=p, hash_fn=hash_fn).select(
-        F.lit("a").alias("lbl"), "bucket", "r"
+    # each side's registers checkpoint once (2^p rows): ra/rb feed BOTH
+    # the union sketch and the labeled frame, and the dense grid below
+    # has two consumers — without the barriers every consumer re-scans
+    # and re-tokenizes the source (12 parquet scans measured; 2 after)
+    ra = (
+        hll_registers(df_a, col, p=p, hash_fn=hash_fn)
+        .select(F.lit("a").alias("lbl"), "bucket", "r")
+        .localCheckpoint(eager=False)
     )
-    rb = hll_registers(df_b, col, p=p, hash_fn=hash_fn).select(
-        F.lit("b").alias("lbl"), "bucket", "r"
+    rb = (
+        hll_registers(df_b, col, p=p, hash_fn=hash_fn)
+        .select(F.lit("b").alias("lbl"), "bucket", "r")
+        .localCheckpoint(eager=False)
     )
     ru = (
         ra.unionByName(rb)
@@ -798,8 +806,12 @@ def hll_set_ops(
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"),
         )
     )
-    dense = grid.join(regs, ["lbl", "bucket"], "left").select(
-        "lbl", "bucket", F.coalesce(F.col("r"), F.lit(0)).alias("r")
+    dense = (
+        grid.join(regs, ["lbl", "bucket"], "left")
+        .select(
+            "lbl", "bucket", F.coalesce(F.col("r"), F.lit(0)).alias("r")
+        )
+        .localCheckpoint(eager=False)
     )
     heads = dense.groupBy("lbl").agg(
         F.max("r").alias("__max_r"),

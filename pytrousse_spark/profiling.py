@@ -405,6 +405,10 @@ def psi_drift(
         )
         .alias("__bin"),
     )
+    # features x bins rows; checkpointed because totals AND the psi join
+    # both consume it — without the barrier each consumer re-melts and
+    # re-bins both tables (8 scans measured; 4 after, the min/max pass
+    # and the binning pass per side, which are inherently two passes)
     counts = binned.groupBy("feature", "__bin").agg(
         F.sum(F.when(F.col("__side") == "ref", 1).otherwise(0))
         .cast("bigint")
@@ -412,7 +416,7 @@ def psi_drift(
         F.sum(F.when(F.col("__side") == "cur", 1).otherwise(0))
         .cast("bigint")
         .alias("__cc"),
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("feature").agg(
         F.sum("__cr").alias("__nr"), F.sum("__cc").alias("__nc")
     )
