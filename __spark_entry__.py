@@ -3268,6 +3268,28 @@ def _sql_q147() -> str:
     return contingency_chi2_sql("SELECT * FROM documents", "lang", "source")
 
 
+def q148_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two arms by the portable
+    md5 hash (q61's splitter — bit-identical in the oracle), conversion
+    = any purchase at-or-after first view, pooled two-proportion z
+    statistic with |z| > 1.96 significance — the q114 funnel shape plus
+    a map-side arm label."""
+    from pytrousse_spark.operators.cohort import ab_test_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test_conversion(
+        ev, "user_id", "event_type", "view", "purchase"
+    )
+
+
+def _sql_q148() -> str:
+    from pytrousse_spark.operators.cohort import ab_test_conversion_sql
+
+    return ab_test_conversion_sql(
+        "events", "user_id", "event_type", "view", "purchase"
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4359,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_ols_grouped": q145_ols_grouped,
         "q146_session_paths": q146_session_paths,
         "q147_contingency_chi2": q147_contingency_chi2,
+        "q148_ab_test": q148_ab_test,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage) -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4797,6 +4820,7 @@ def oracle_sql() -> dict[str, str]:
         "q145_ols_grouped": _sql_q145(),
         "q146_session_paths": _sql_q146(),
         "q147_contingency_chi2": _sql_q147(),
+        "q148_ab_test": _sql_q148(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

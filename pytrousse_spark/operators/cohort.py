@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import h60, h60_sql
+
 _PERIOD_DAYS = {"day": 1, "week": 7}
 
 
@@ -331,4 +333,162 @@ def time_to_convert_sql(
            CAST({lov} AS BIGINT) AS lo_minutes,
            CAST(count(*) AS BIGINT) AS n_users
     FROM m GROUP BY 1, 2
+    """
+
+
+def ab_test_conversion(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    exposure_event: str,
+    conversion_event: str,
+    salt: str = "ab",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Two-proportion A/B test over an event stream: users are assigned
+    to arms by a deterministic hash split (the q61 splitter — stable
+    across reruns and engines, no RNG), conversion = any
+    ``conversion_event`` at-or-after the user's first
+    ``exposure_event``, and the arms compare by the classic pooled
+    two-proportion z statistic (the experimentation readout every
+    product pipeline runs). Arm assignment uses the portable 60-bit md5
+    bucket (the q61 splitter), so the DuckDB twin replays it
+    bit-identically.
+
+    Returns ONE row ``(n_a, conv_a, rate_a, n_b, conv_b, rate_b, z,
+    significant)`` — rates and z rounded to 6, ``significant`` =
+    |z| > z_crit. The z computation divides and square-roots exact
+    BIGINT-derived doubles with the identical expression shape in the
+    SQL twin; no erf tables needed for the gate (the threshold IS the
+    decision procedure).
+
+    Shuffle budget: one user-keyed min-agg per event type, one
+    user-keyed join, one global agg — the q114 funnel shape plus a
+    map-side hash-bucket arm label; raw events never shuffle twice.
+    """
+    exp = (
+        df.where(F.col(type_col) == exposure_event)
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min("ts").alias("__t0"))
+        .withColumn(
+            "__arm",
+            h60(
+                F.concat(F.lit(f"{salt}|"), F.col("__u").cast("string"))
+            )
+            % 2,
+        )
+    )
+    conv = (
+        df.where(F.col(type_col) == conversion_event)
+        .select(F.col(user_col).alias("__u"), F.col("ts").alias("__tc"))
+    )
+    per_user = (
+        exp.join(conv, "__u", "left")
+        .groupBy("__u", "__arm")
+        .agg(
+            F.max(
+                (F.col("__tc") >= F.col("__t0")).cast("int")
+            ).alias("__c")
+        )
+        .select(
+            "__arm", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    p1 = ca / na
+    p2 = cb / nb
+    pp = (ca + cb) / (na + nb)
+    se = F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    z = F.when((na > 0) & (nb > 0) & (se > 0), (p1 - p2) / se)
+    return agg.select(
+        "n_a",
+        "conv_a",
+        F.round(p1, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(p2, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > z_crit).alias("significant"),
+    )
+
+
+def ab_test_conversion_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    exposure_event: str,
+    conversion_event: str,
+    salt: str = "ab",
+    z_crit: float = 1.96,
+) -> str:
+    """DuckDB twin of :func:`ab_test_conversion` — identical portable
+    md5 arm hash, conversion rule, and z expression shapes."""
+    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    return f"""
+    WITH exp AS MATERIALIZED (
+        SELECT {user_col} AS __u,
+               min(CAST(ts AS TIMESTAMP)) AS __t0
+        FROM {table} WHERE {type_col} = '{exposure_event}'
+        GROUP BY 1
+    ), armed AS (
+        SELECT __u, __t0, ({h} % 2) AS __arm FROM exp
+    ), conv AS (
+        SELECT {user_col} AS __u, CAST(ts AS TIMESTAMP) AS __tc
+        FROM {table} WHERE {type_col} = '{conversion_event}'
+    ), per_user AS (
+        SELECT a.__arm,
+               COALESCE(max(CASE WHEN c.__tc >= a.__t0 THEN 1 ELSE 0 END), 0)
+                   AS __c
+        FROM armed a LEFT JOIN conv c ON c.__u = a.__u
+        GROUP BY a.__u, a.__arm
+    ), agg AS (
+        SELECT CAST(sum(CASE WHEN __arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN __arm = 0 THEN __c ELSE 0 END) AS BIGINT)
+                   AS conv_a,
+               CAST(sum(CASE WHEN __arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(sum(CASE WHEN __arm = 1 THEN __c ELSE 0 END) AS BIGINT)
+                   AS conv_b
+        FROM per_user
+    ), zc AS (
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+               CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+               (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        FROM agg
+    ), zz AS (
+        SELECT *,
+               CASE WHEN n_a > 0 AND n_b > 0
+                     AND sqrt(pp * (1 - pp)
+                              * (1 / CAST(n_a AS DOUBLE)
+                                 + 1 / CAST(n_b AS DOUBLE))) > 0
+                    THEN (p1 - p2)
+                         / sqrt(pp * (1 - pp)
+                                * (1 / CAST(n_a AS DOUBLE)
+                                   + 1 / CAST(n_b AS DOUBLE)))
+               END AS z
+        FROM zc
+    )
+    SELECT n_a, conv_a, round(p1, 6) AS rate_a,
+           n_b, conv_b, round(p2, 6) AS rate_b,
+           round(z, 6) AS z,
+           abs(z) > {z_crit} AS significant
+    FROM zz
     """

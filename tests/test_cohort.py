@@ -112,3 +112,60 @@ def test_time_to_convert_buckets(spark):
         ).collect()
     }
     assert got == {"<= 30m": 1, "60-180m": 1}
+
+
+def test_ab_test_known_rates(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import ab_test_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(200):
+        rows.append((u, t0, "view"))
+        # every 2nd user converts AFTER exposure; every 40th converted
+        # BEFORE exposure only (must not count)
+        if u % 2 == 0:
+            rows.append((u, t0 + dt.timedelta(hours=1), "purchase"))
+        elif u % 40 == 1:
+            rows.append((u, t0 - dt.timedelta(hours=1), "purchase"))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    (r,) = ab_test_conversion(
+        df, "user_id", "event_type", "view", "purchase"
+    ).collect()
+    assert r["n_a"] + r["n_b"] == 200
+    assert r["conv_a"] + r["conv_b"] == 100  # pre-exposure purchases excluded
+    # arms are hash-balanced-ish and both rates near 0.5 -> insignificant
+    assert abs(r["rate_a"] - 0.5) < 0.2 and abs(r["rate_b"] - 0.5) < 0.2
+    assert r["significant"] in (True, False)
+
+
+def test_ab_test_detects_planted_effect(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import ab_test_conversion
+    from pytrousse_spark.functions.hashing import h60
+
+    t0 = dt.datetime(2024, 1, 1)
+    # plant the effect USING the same arm hash the operator uses:
+    # arm 0 converts 90%, arm 1 converts 10%
+    base = spark.range(0, 400).select(F.col("id").alias("user_id"))
+    arm = (h60(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))) % 2)
+    users = base.select("user_id", arm.alias("arm")).collect()
+    rows = []
+    for r in users:
+        u, a = r["user_id"], r["arm"]
+        rows.append((u, t0, "view"))
+        if (a == 0 and u % 10 != 0) or (a == 1 and u % 10 == 0):
+            rows.append((u, t0 + dt.timedelta(hours=2), "purchase"))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    (out,) = ab_test_conversion(
+        df, "user_id", "event_type", "view", "purchase"
+    ).collect()
+    assert out["significant"] is True
+    assert abs(out["z"]) > 10
