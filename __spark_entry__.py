@@ -3290,6 +3290,33 @@ def _sql_q148() -> str:
     )
 
 
+def q149_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: Gini coefficient of per-customer order
+    totals from the histogram sketch (exact Gini needs a global sort;
+    the sketch is one bin-keyed agg + a B-row window at any scale;
+    accuracy vs the exact rank formula pinned in tests)."""
+    from pytrousse_spark.profiling import gini_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice"), 4).cast("decimal(28,4)")
+        ).cast("double").alias("revenue")
+    )
+    return gini_sketch(per_cust, "revenue", num_bins=1024)
+
+
+def _sql_q149() -> str:
+    from pytrousse_spark.profiling import gini_sketch_sql
+
+    sub = """
+        SELECT CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4)))
+                    AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey
+    """
+    return gini_sketch_sql(sub, "revenue", num_bins=1024)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4382,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_session_paths": q146_session_paths,
         "q147_contingency_chi2": q147_contingency_chi2,
         "q148_ab_test": q148_ab_test,
+        "q149_gini": q149_gini,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage) -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4821,6 +4849,7 @@ def oracle_sql() -> dict[str, str]:
         "q146_session_paths": _sql_q146(),
         "q147_contingency_chi2": _sql_q147(),
         "q148_ab_test": _sql_q148(),
+        "q149_gini": _sql_q149(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -618,3 +618,161 @@ def contingency_chi2_sql(table_expr: str, col_a: str, col_b: str) -> str:
                  END, 6) AS cramers_v
     FROM folded CROSS JOIN nn
     """
+
+
+def gini_sketch(
+    df: "DataFrame",
+    value_col: str,
+    num_bins: int = 1024,
+) -> "DataFrame":
+    """Gini coefficient of a non-negative value distribution from an
+    equal-width histogram sketch — revenue/token/activity concentration
+    ('what share of mass sits in the top tail'), the inequality metric
+    next to PSI's drift. Exact Gini needs a GLOBAL sort (rank window —
+    the single-partition funnel); the sketch path is one (bin) hash-agg
+    plus a B-row window, any table size. Accuracy vs the exact
+    rank-formula Gini is pinned in tests (<1% at B=1024 here).
+
+    Method: LOG-spaced bins (bin width is a constant ratio
+    ``(hi/lo_pos)^(1/B)``, so within-bin inequality — which the
+    boundary trapezoid ignores and which equal-width bins get badly
+    wrong on heavy tails (10% low on Pareto-1.5 measured) — is bounded
+    by that tiny ratio; zeros get their own exactly-representable flat
+    Lorenz step), per-bin counts and DECIMAL-exact value sums, Lorenz at
+    bin boundaries from two running sums, Gini = 1 - Σ Δpop·(L_i-1+L_i)
+    (trapezoid) folded as nano-unit integers.
+
+    Returns ONE row ``(gini, n, total, bins_used)`` — gini rounded 6,
+    total rounded 4. NULLs are excluded. Caller contract: values must be
+    non-negative (the Lorenz curve is undefined below zero; feed
+    per-entity totals, not signed deltas).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    base = df.where(v.isNotNull()).select(
+        v.cast("double").alias("__v"),
+        F.round(v, 4).cast("decimal(28,4)").alias("__vd"),
+    )
+    rng = base.agg(
+        F.min(F.when(F.col("__v") > 0, F.col("__v"))).alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__vd").alias("__tot"),
+    )
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("__v") <= 0, F.lit(-1))
+        .when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.lit(num_bins - 1),
+                F.floor(
+                    F.log(F.col("__v") / F.col("__lo"))
+                    / F.log(F.col("__hi") / F.col("__lo"))
+                    * num_bins
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("__bin"),
+        "__vd",
+    )
+    cells = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("__vd").alias("__s")
+    )
+    w = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wprev = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cells.crossJoin(F.broadcast(rng)).select(
+        "__bin",
+        "__c",
+        (F.sum("__c").over(w) / F.col("__n")).alias("__p1"),
+        (F.coalesce(F.sum("__c").over(wprev), F.lit(0)) / F.col("__n")).alias(
+            "__p0"
+        ),
+        (
+            F.sum("__s").over(w).cast("double")
+            / F.col("__tot").cast("double")
+        ).alias("__l1"),
+        (
+            F.coalesce(
+                F.sum("__s").over(wprev), F.lit(0).cast("decimal(38,4)")
+            ).cast("double")
+            / F.col("__tot").cast("double")
+        ).alias("__l0"),
+        F.col("__n"),
+        F.col("__tot"),
+    )
+    term = (F.col("__p1") - F.col("__p0")) * (F.col("__l0") + F.col("__l1"))
+    nano = F.round(term * F.lit(1e9), 0).cast("bigint")
+    out = cum.select(
+        nano.alias("__nano"), "__n", "__tot"
+    ).groupBy("__n", "__tot").agg(
+        F.sum("__nano").alias("__s"),
+        F.count(F.lit(1)).alias("bins_used"),
+    )
+    return out.select(
+        F.round(1.0 - F.col("__s") / F.lit(1e9), 6).alias("gini"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(F.col("__tot").cast("double"), 4).alias("total"),
+        F.col("bins_used").cast("bigint").alias("bins_used"),
+    )
+
+
+def gini_sketch_sql(
+    table_expr: str, value_col: str, num_bins: int = 1024
+) -> str:
+    """DuckDB twin of :func:`gini_sketch` — identical binning, decimal
+    sums, trapezoid and nano fold."""
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT CAST({value_col} AS DOUBLE) AS __v,
+               CAST(round({value_col}, 4) AS DECIMAL(28,4)) AS __vd
+        FROM ({table_expr}) WHERE {value_col} IS NOT NULL
+    ), rng AS (
+        SELECT min(CASE WHEN __v > 0 THEN __v END) AS __lo,
+               max(__v) AS __hi,
+               CAST(count(*) AS BIGINT) AS __n,
+               sum(__vd) AS __tot
+        FROM base
+    ), cells AS MATERIALIZED (
+        SELECT CASE WHEN b.__v <= 0 THEN -1
+                    WHEN r.__hi > r.__lo
+                    THEN CAST(least({num_bins - 1},
+                         floor(ln(b.__v / r.__lo) / ln(r.__hi / r.__lo)
+                               * {num_bins})) AS INT)
+                    ELSE 0 END AS __bin,
+               CAST(count(*) AS BIGINT) AS __c,
+               sum(b.__vd) AS __s
+        FROM base b CROSS JOIN rng r
+        GROUP BY 1
+    ), cum AS (
+        SELECT __bin, __c,
+               sum(__c) OVER w / (SELECT __n FROM rng) AS __p1,
+               COALESCE(sum(__c) OVER wp, 0) / (SELECT __n FROM rng) AS __p0,
+               CAST(sum(__s) OVER w AS DOUBLE)
+                   / CAST((SELECT __tot FROM rng) AS DOUBLE) AS __l1,
+               CAST(COALESCE(sum(__s) OVER wp, 0) AS DOUBLE)
+                   / CAST((SELECT __tot FROM rng) AS DOUBLE) AS __l0
+        FROM cells
+        WINDOW w AS (ORDER BY __bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wp AS (ORDER BY __bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), folded AS (
+        SELECT CAST(sum(CAST(round(
+                   (__p1 - __p0) * (__l0 + __l1) * 1e9, 0) AS BIGINT))
+               AS BIGINT) AS __s,
+               CAST(count(*) AS BIGINT) AS bins_used
+        FROM cum
+    )
+    SELECT round(1.0 - __s / 1e9, 6) AS gini,
+           (SELECT __n FROM rng) AS n,
+           round(CAST((SELECT __tot FROM rng) AS DOUBLE), 4) AS total,
+           bins_used
+    FROM folded
+    """

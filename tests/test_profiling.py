@@ -209,3 +209,42 @@ def test_contingency_chi2_absent_cells_contribute(spark):
     import pytest as _pytest
 
     assert r["chi2"] == _pytest.approx(expect, abs=1e-5)
+
+
+def test_gini_sketch_vs_exact_rank_formula(spark):
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.profiling import gini_sketch
+
+    rng = random.Random(11)
+    vals = [rng.paretovariate(1.5) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    (r,) = gini_sketch(df, "v", num_bins=1024).collect()
+    # exact Gini by the rank formula: G = (2*sum(i*x_i))/(n*sum x) - (n+1)/n
+    xs = sorted(vals)
+    n = len(xs)
+    exact = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (
+        n * sum(xs)
+    ) - (n + 1) / n
+    assert r["n"] == n
+    assert r["gini"] == _pytest.approx(exact, abs=0.01)
+
+
+def test_gini_sketch_extremes(spark):
+    import pytest as _pytest
+
+    from pytrousse_spark.profiling import gini_sketch
+
+    # perfect equality -> 0
+    eq = spark.createDataFrame([(10.0,)] * 100, "v double")
+    (r,) = gini_sketch(eq, "v").collect()
+    assert r["gini"] == 0.0
+    # extreme concentration: one holder of all mass -> ~1
+    conc = spark.createDataFrame(
+        [(0.0,)] * 999 + [(1000.0,)], "v double"
+    )
+    (r,) = gini_sketch(conc, "v").collect()
+    assert r["gini"] == _pytest.approx(0.999, abs=0.01)
