@@ -3317,6 +3317,45 @@ def _sql_q149() -> str:
     return gini_sketch_sql(sub, "revenue", num_bins=1024)
 
 
+def q150_unordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-order milestone funnel: users by number of distinct step
+    types touched (view/click/signup/purchase), plus completers whose
+    whole set fits in 72 hours — the checklist complement of the
+    ORDERED funnel q114."""
+    from pytrousse_spark.operators.cohort import unordered_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return unordered_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "signup", "purchase"], window_hours=72,
+    )
+
+
+def _sql_q150() -> str:
+    from pytrousse_spark.operators.cohort import unordered_funnel_sql
+
+    return unordered_funnel_sql(
+        "events", "user_id", "ts", "event_type",
+        ["view", "click", "signup", "purchase"], window_hours=72,
+    )
+
+
+def q151_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals: observed vs
+    log10(1 + 1/d) shares with per-digit and total chi-square — the
+    forensic-analytics census as one scan + one 9-cell agg."""
+    from pytrousse_spark.profiling import benford_test
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_test(o, "o_totalprice")
+
+
+def _sql_q151() -> str:
+    from pytrousse_spark.profiling import benford_test_sql
+
+    return benford_test_sql("SELECT * FROM orders", "o_totalprice")
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4510,6 +4549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_langid_confusion": q98_langid_confusion,
         "q99_hll_distinct": q99_hll_distinct,
         "q100_histogram_quantiles": q100_histogram_quantiles,
+        # late round-4 additions past the 50-row budget: identical pytest
+        # parity; first driver contact next round
+        "q150_unordered_funnel": q150_unordered_funnel,
+        "q151_benford": q151_benford,
     }
 
 
@@ -4850,6 +4893,8 @@ def oracle_sql() -> dict[str, str]:
         "q147_contingency_chi2": _sql_q147(),
         "q148_ab_test": _sql_q148(),
         "q149_gini": _sql_q149(),
+        "q150_unordered_funnel": _sql_q150(),
+        "q151_benford": _sql_q151(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

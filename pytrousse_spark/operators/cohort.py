@@ -492,3 +492,108 @@ def ab_test_conversion_sql(
            abs(z) > {z_crit} AS significant
     FROM zz
     """
+
+
+def unordered_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_hours: int | None = None,
+) -> DataFrame:
+    """Any-order funnel: how many users touched k of the ``steps``
+    (1..N), and how many completed ALL of them within
+    ``window_hours`` of their first step touch — the checklist /
+    activation-milestones complement of the ORDERED funnel (q114),
+    where sequence does not matter but co-occurrence in a window does.
+
+    Returns ``(n_steps_present, n_users, n_within_window)``;
+    ``n_within_window`` is NULL except on the all-steps row (the window
+    question is only defined for completers) and equals ``n_users``
+    there when ``window_hours`` is None.
+
+    Shuffle budget: one filtered (user, step) min-ts agg (map-side
+    partials), one user-keyed rollup of the already-reduced frame, one
+    tiny histogram agg. Raw events shuffle once.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    uniq = list(dict.fromkeys(steps))
+    per = (
+        df.where(F.col(type_col).isin(uniq))
+        .groupBy(F.col(user_col).alias("__u"), F.col(type_col).alias("__s"))
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    spans = per.groupBy("__u").agg(
+        F.countDistinct("__s").alias("__k"),
+        (
+            F.max(F.col("__t").cast("double"))
+            - F.min(F.col("__t").cast("double"))
+        ).alias("__span"),
+    )
+    n_steps = len(uniq)
+    return (
+        spans.groupBy(F.col("__k").alias("n_steps_present"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("__span")
+                    <= F.lit(
+                        float(window_hours * 3600)
+                        if window_hours is not None
+                        else float("inf")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("__w"),
+        )
+        .select(
+            "n_steps_present",
+            "n_users",
+            F.when(
+                F.col("n_steps_present") == n_steps, F.col("__w")
+            ).alias("n_within_window"),
+        )
+    )
+
+
+def unordered_funnel_sql(
+    table: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_hours: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`unordered_funnel`."""
+    uniq = list(dict.fromkeys(steps))
+    lits = ", ".join(f"'{s}'" for s in uniq)
+    limit = (
+        float(window_hours * 3600)
+        if window_hours is not None
+        else "CAST('inf' AS DOUBLE)"
+    )
+    return f"""
+    WITH per AS (
+        SELECT {user_col} AS __u, {type_col} AS __s,
+               min(CAST({ts_col} AS TIMESTAMP)) AS __t
+        FROM {table} WHERE {type_col} IN ({lits})
+        GROUP BY 1, 2
+    ), spans AS (
+        SELECT __u, CAST(count(DISTINCT __s) AS BIGINT) AS __k,
+               max(epoch(__t)) - min(epoch(__t)) AS __span
+        FROM per GROUP BY 1
+    ), hist AS (
+        SELECT __k AS n_steps_present,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN __span <= {limit} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS __w
+        FROM spans GROUP BY 1
+    )
+    SELECT n_steps_present, n_users,
+           CASE WHEN n_steps_present = {len(uniq)} THEN __w END
+               AS n_within_window
+    FROM hist
+    """

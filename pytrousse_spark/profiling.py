@@ -776,3 +776,110 @@ def gini_sketch_sql(
            bins_used
     FROM folded
     """
+
+
+def benford_test(df: "DataFrame", value_col: str) -> "DataFrame":
+    """Benford's-law first-significant-digit census (Benford 1938;
+    Nigrini's fraud-screening practice): observed share of leading
+    digits 1-9 of positive values vs the law ``log10(1 + 1/d)``, with a
+    per-digit chi-square contribution and the total statistic — the
+    forensic-analytics screen over any monetary column.
+
+    Returns 9 rows ``(digit, n, observed, expected, chi2_part)`` plus
+    the total via ``chi2_total`` repeated per row (so a single frame
+    carries both granularities); shares rounded 6, chi2 parts 4.
+
+    Exactness: the leading digit is ``floor(v / 10^floor(log10(v)))``
+    — log10/floor of identical doubles, deterministic in both engines;
+    counts are exact BIGINTs; expected shares are double literals of the
+    same expression shape; the chi2 total folds per-digit parts as
+    nano-unit integers.
+
+    Scale: one scan, one 9-cell hash agg. Non-positive and NULL values
+    are excluded (Benford is defined on positive magnitudes).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    pos = df.where(v.isNotNull() & (v > 0)).select(v.alias("__v"))
+    digit = F.floor(
+        F.col("__v") / F.pow(F.lit(10.0), F.floor(F.log10("__v")))
+    ).cast("int")
+    counts = pos.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    dense = digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    tot = dense.agg(F.sum("__c").alias("__n"))
+    j = dense.crossJoin(F.broadcast(tot))
+    # F.log10, not F.log(10, x): the latter computes ln(x)/ln(10) which
+    # can differ from DuckDB's dedicated log10 in the last ulp
+    expected = F.log10(1 + 1 / F.col("digit").cast("double"))
+    observed = F.col("__c") / F.col("__n")
+    part = (
+        (observed - expected) * (observed - expected) / expected
+    ) * F.col("__n")
+    staged = j.select(
+        "digit",
+        F.col("__c").cast("bigint").alias("n"),
+        F.round(observed, 6).alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(part, 4).alias("chi2_part"),
+        F.round(part * F.lit(1e9), 0).cast("bigint").alias("__nano"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return staged.select(
+        "digit",
+        "n",
+        "observed",
+        "expected",
+        "chi2_part",
+        F.round(F.sum("__nano").over(w) / F.lit(1e9), 4).alias(
+            "chi2_total"
+        ),
+    ).orderBy("digit")
+
+
+def benford_test_sql(table_expr: str, value_col: str) -> str:
+    """DuckDB twin of :func:`benford_test` — identical digit extraction,
+    dense digit frame, expression shapes and nano fold."""
+    return f"""
+    WITH pos AS MATERIALIZED (
+        SELECT CAST({value_col} AS DOUBLE) AS __v
+        FROM ({table_expr})
+        WHERE {value_col} IS NOT NULL AND CAST({value_col} AS DOUBLE) > 0
+    ), counts AS (
+        SELECT CAST(floor(__v / pow(10.0, floor(log10(__v)))) AS INT)
+                   AS digit,
+               CAST(count(*) AS BIGINT) AS __c
+        FROM pos GROUP BY 1
+    ), dense AS (
+        SELECT CAST(g.d AS INT) AS digit, COALESCE(counts.__c, 0) AS __c
+        FROM generate_series(1, 9) AS g(d)
+        LEFT JOIN counts ON counts.digit = g.d
+    ), tot AS (
+        SELECT CAST(sum(__c) AS BIGINT) AS __n FROM dense
+    ), staged AS (
+        SELECT digit, CAST(__c AS BIGINT) AS n,
+               round(__c / __n, 6) AS observed,
+               round(log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS expected,
+               round((__c / __n - log10(1 + 1 / CAST(digit AS DOUBLE)))
+                     * (__c / __n - log10(1 + 1 / CAST(digit AS DOUBLE)))
+                     / log10(1 + 1 / CAST(digit AS DOUBLE)) * __n, 4)
+                   AS chi2_part,
+               CAST(round((__c / __n - log10(1 + 1 / CAST(digit AS DOUBLE)))
+                     * (__c / __n - log10(1 + 1 / CAST(digit AS DOUBLE)))
+                     / log10(1 + 1 / CAST(digit AS DOUBLE)) * __n * 1e9, 0)
+                    AS BIGINT) AS __nano
+        FROM dense CROSS JOIN tot
+    )
+    SELECT digit, n, observed, expected, chi2_part,
+           round(sum(__nano) OVER () / 1e9, 4) AS chi2_total
+    FROM staged ORDER BY digit
+    """

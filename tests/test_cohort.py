@@ -169,3 +169,65 @@ def test_ab_test_detects_planted_effect(spark):
     ).collect()
     assert out["significant"] is True
     assert abs(out["z"]) > 10
+
+
+def test_unordered_funnel_histogram_and_window(spark):
+    import datetime as dt
+
+    from pytrousse_spark.operators.cohort import unordered_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: all three steps within 1h (order scrambled!)
+        (1, t0, "b"), (1, t0 + dt.timedelta(minutes=10), "a"),
+        (1, t0 + dt.timedelta(minutes=20), "c"),
+        # user 2: all three but spread over 5 days
+        (2, t0, "a"), (2, t0 + dt.timedelta(days=5), "b"),
+        (2, t0 + dt.timedelta(days=5, minutes=1), "c"),
+        # user 3: two steps
+        (3, t0, "a"), (3, t0, "c"),
+        # user 4: one step, repeated (dedup to 1)
+        (4, t0, "b"), (4, t0 + dt.timedelta(hours=1), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    out = {
+        r["n_steps_present"]: r
+        for r in unordered_funnel(
+            df, "user_id", "ts", "event_type", ["a", "b", "c"],
+            window_hours=24,
+        ).collect()
+    }
+    assert out[3]["n_users"] == 2
+    assert out[3]["n_within_window"] == 1  # user 2 exceeds the 24h window
+    assert out[2]["n_users"] == 1 and out[2]["n_within_window"] is None
+    assert out[1]["n_users"] == 1
+
+
+def test_benford_conforming_and_total(spark):
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from pytrousse_spark.profiling import benford_test
+
+    # log-uniform magnitudes follow Benford closely
+    rng = random.Random(3)
+    vals = [10 ** rng.uniform(0, 5) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = benford_test(df, "v").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["n"] for r in rows) == 20000
+    for r in rows:
+        assert r["expected"] == _pytest.approx(
+            math.log10(1 + 1 / r["digit"]), abs=1e-6
+        )
+        assert abs(r["observed"] - r["expected"]) < 0.01
+    # conforming data: total chi2 stays small (9 dof; 21.7 is p=0.01)
+    assert rows[0]["chi2_total"] < 22
+    # non-positive and NULL values excluded
+    df2 = spark.createDataFrame(
+        [(100.0,), (-5.0,), (0.0,), (None,)], "v double"
+    )
+    rows2 = benford_test(df2, "v").collect()
+    assert sum(r["n"] for r in rows2) == 1
