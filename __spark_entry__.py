@@ -3356,6 +3356,82 @@ def _sql_q151() -> str:
     return benford_test_sql("SELECT * FROM orders", "o_totalprice")
 
 
+def q152_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distance: Jensen–Shannon divergence (nats) between the
+    English and German sub-corpora's token distributions — the
+    domain-mixing / shift metric; PSI (q142) is its binned numeric
+    sibling. Vocab-keyed join of two token aggs, pico-unit integer
+    fold."""
+    from pytrousse_spark.functions.text import js_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return js_divergence(
+        d.where(F.col("lang") == "en"),
+        d.where(F.col("lang") == "de"),
+        "text",
+        min_count=2,
+    )
+
+
+def _sql_q152() -> str:
+    from pytrousse_spark.functions.text import js_divergence_sql
+
+    return js_divergence_sql(
+        "SELECT * FROM documents WHERE lang = 'en'",
+        "SELECT * FROM documents WHERE lang = 'de'",
+        "text",
+        min_count=2,
+    )
+
+
+def q153_rank_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile normalization: percent_rank of price within
+    each return flag, summarized into deciles (count + DECIMAL-exact
+    mean price per cell) — the transform's near-uniform decile counts
+    ARE the property under test."""
+    from pytrousse_spark.operators.transforms import percent_rank_transform
+
+    li = _t(spark, sf_dir, "lineitem")
+    r = percent_rank_transform(li, "l_returnflag", "l_extendedprice")
+    decile = F.least(F.lit(9), F.floor(F.col("pct_rank") * 10).cast("int"))
+    return (
+        r.select(
+            "l_returnflag",
+            decile.alias("decile"),
+            F.round(F.col("l_extendedprice"), 4)
+            .cast("decimal(28,4)")
+            .alias("__p"),
+        )
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # cast the DECIMAL sum to double BEFORE dividing: decimal
+            # division precision/scale rules differ across engines
+            F.round(
+                F.sum("__p").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_price"),
+        )
+    )
+
+
+def _sql_q153() -> str:
+    return """
+    WITH ranked AS (
+        SELECT l_returnflag,
+               round(percent_rank() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ), 6) AS pct_rank,
+               CAST(round(l_extendedprice, 4) AS DECIMAL(28,4)) AS __p
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT l_returnflag,
+           CAST(least(9, floor(pct_rank * 10)) AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(__p) AS DOUBLE) / count(*), 4) AS mean_price
+    FROM ranked GROUP BY 1, 2
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4553,6 +4629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity; first driver contact next round
         "q150_unordered_funnel": q150_unordered_funnel,
         "q151_benford": q151_benford,
+        "q152_js_divergence": q152_js_divergence,
+        "q153_rank_transform": q153_rank_transform,
     }
 
 
@@ -4895,6 +4973,8 @@ def oracle_sql() -> dict[str, str]:
         "q149_gini": _sql_q149(),
         "q150_unordered_funnel": _sql_q150(),
         "q151_benford": _sql_q151(),
+        "q152_js_divergence": _sql_q152(),
+        "q153_rank_transform": _sql_q153(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

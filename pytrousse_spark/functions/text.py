@@ -1192,3 +1192,128 @@ def phrase_search_sql(
     ORDER BY n_occurrences DESC, __id
     LIMIT {k}
     """
+
+
+def js_divergence(
+    df_a, df_b, text_col: str, min_count: int = 2
+):
+    """Jensen–Shannon divergence (in nats) between two corpora's token
+    distributions — the bounded, symmetric corpus-distance behind
+    domain-mixing weights (DoReMi, Xie et al. 2023 uses this family) and
+    train/eval shift checks; PSI (profiling.psi_drift) is its binned
+    numeric sibling.
+
+    Tokens under ``min_count`` occurrences in BOTH corpora are dropped
+    (declared vocabulary gate — the long tail otherwise dominates cost,
+    not signal); zero-vs-nonzero tokens contribute through the mixture
+    naturally (p·ln(p/m) with p=0 contributes 0).
+
+    Returns ONE row ``(js_nats, vocab_size, n_tokens_a, n_tokens_b)``,
+    js rounded 6. Per-token contributions fold as PICO-unit integers
+    (1e12 — token terms are ~1e-7; a float sum over the vocab would be
+    fold-order-dependent).
+
+    Scale: each side is one token hash-agg; the join is vocab-keyed;
+    totals broadcast. Corpora never co-shuffle raw text.
+    """
+    from pyspark.sql import functions as F
+
+    def counts(df, side):
+        return (
+            df.select(tokens(F.col(text_col)).alias("__tk"))
+            .select(F.explode_outer("__tk").alias("token"))
+            .where(F.col("token").isNotNull())
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(f"__c{side}"))
+        )
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    j = (
+        ca.join(cb, "token", "full")
+        .select(
+            "token",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+        .where(
+            (F.col("__ca") >= min_count) | (F.col("__cb") >= min_count)
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = j.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    t = j.crossJoin(F.broadcast(tot))
+    p = F.col("__ca").cast("double") / F.col("__na")
+    q = F.col("__cb").cast("double") / F.col("__nb")
+    m = (p + q) / 2
+    term = (
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    pico = F.round(term * F.lit(1e12), 0).cast("bigint")
+    return (
+        t.select(pico.alias("__p"), "__na", "__nb", "__v")
+        .groupBy("__na", "__nb", "__v")
+        .agg(F.sum("__p").alias("__s"))
+        .select(
+            F.round(F.col("__s") / F.lit(1e12), 6).alias("js_nats"),
+            F.col("__v").cast("bigint").alias("vocab_size"),
+            F.col("__na").cast("bigint").alias("n_tokens_a"),
+            F.col("__nb").cast("bigint").alias("n_tokens_b"),
+        )
+    )
+
+
+def js_divergence_sql(
+    sub_a: str, sub_b: str, text_col: str, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`js_divergence` — identical counts, gate,
+    expression shapes and pico fold."""
+    toks = tokens_sql(text_col)
+
+    def counts(sub: str, side: str) -> str:
+        return f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS __c{side}
+        FROM (SELECT unnest({toks}) AS token FROM ({sub}))
+        WHERE token IS NOT NULL GROUP BY 1"""
+
+    return f"""
+    WITH ca AS MATERIALIZED ({counts(sub_a, "a")}
+    ), cb AS MATERIALIZED ({counts(sub_b, "b")}
+    ), j AS MATERIALIZED (
+        SELECT COALESCE(ca.token, cb.token) AS token,
+               COALESCE(ca.__ca, 0) AS __ca,
+               COALESCE(cb.__cb, 0) AS __cb
+        FROM ca FULL JOIN cb ON ca.token = cb.token
+        WHERE COALESCE(ca.__ca, 0) >= {min_count}
+           OR COALESCE(cb.__cb, 0) >= {min_count}
+    ), tot AS (
+        SELECT CAST(sum(__ca) AS BIGINT) AS __na,
+               CAST(sum(__cb) AS BIGINT) AS __nb,
+               CAST(count(*) AS BIGINT) AS __v
+        FROM j
+    ), terms AS (
+        SELECT CAST(round(
+            (CASE WHEN CAST(__ca AS DOUBLE) / __na > 0
+                  THEN 0.5 * (CAST(__ca AS DOUBLE) / __na)
+                       * ln((CAST(__ca AS DOUBLE) / __na)
+                            / ((CAST(__ca AS DOUBLE) / __na
+                                + CAST(__cb AS DOUBLE) / __nb) / 2))
+                  ELSE 0.0 END
+             + CASE WHEN CAST(__cb AS DOUBLE) / __nb > 0
+                    THEN 0.5 * (CAST(__cb AS DOUBLE) / __nb)
+                         * ln((CAST(__cb AS DOUBLE) / __nb)
+                              / ((CAST(__ca AS DOUBLE) / __na
+                                  + CAST(__cb AS DOUBLE) / __nb) / 2))
+                    ELSE 0.0 END) * 1e12, 0) AS BIGINT) AS __p,
+               __na, __nb, __v
+        FROM j CROSS JOIN tot
+    )
+    SELECT round(sum(__p) / 1e12, 6) AS js_nats,
+           max(__v) AS vocab_size,
+           max(__na) AS n_tokens_a,
+           max(__nb) AS n_tokens_b
+    FROM terms
+    """

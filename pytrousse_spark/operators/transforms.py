@@ -197,3 +197,35 @@ class OrdinalEncoder(FeatureOperation):
             .drop("__cat_value", "__cat_code")
         )
         return joined, details
+
+
+def percent_rank_transform(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "pct_rank"
+) -> DataFrame:
+    """Per-group rank / quantile-normalization of a numeric feature
+    (``percent_rank`` within each group) — the heavy-tail-robust feature
+    scaling (rank transforms are immune to outliers and monotone
+    re-parameterizations; the nonparametric sibling of the z-score q53).
+
+    Ties share a rank (SQL ``percent_rank`` semantics — deterministic in
+    both engines, no row_number tie hazard); NULL values pass through
+    with a NULL rank AND are excluded from the window entirely (engines
+    disagree on NULL sort position — Spark NULLS FIRST, DuckDB NULLS
+    LAST — so a NULL inside the frame would shift every other row's
+    rank engine-dependently). One group-partitioned window: shuffle
+    bounded by rows, no global ordering — groups with pathological
+    cardinality are the caller's skew knob (salt or pre-aggregate).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    nn = df.where(v.isNotNull())
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = nn.withColumn(
+        out_col, F.round(F.percent_rank().over(w), 6)
+    )
+    nulls = df.where(v.isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return ranked.unionByName(nulls)

@@ -289,3 +289,26 @@ def test_phrase_search_rejects_empty(spark):
     df = spark.createDataFrame([(1, "x")], "id bigint, text string")
     with _pytest.raises(ValueError):
         phrase_search(df, "text", "id", [])
+
+
+def test_js_divergence_laws(spark):
+    import math
+
+    import pytest as _pytest
+
+    from pytrousse_spark.functions.text import js_divergence
+
+    a = spark.createDataFrame(
+        [("x x y",), ("x y z",)], "text string"
+    )
+    # identical corpora -> 0
+    (r,) = js_divergence(a, a, "text", min_count=1).collect()
+    assert r["js_nats"] == 0.0
+    # disjoint vocabularies -> ln(2) (the JS upper bound)
+    b = spark.createDataFrame([("p q r p",)], "text string")
+    (r,) = js_divergence(a, b, "text", min_count=1).collect()
+    assert r["js_nats"] == _pytest.approx(math.log(2), abs=1e-5)
+    assert r["n_tokens_a"] == 6 and r["n_tokens_b"] == 4
+    # symmetry
+    (r2,) = js_divergence(b, a, "text", min_count=1).collect()
+    assert r2["js_nats"] == r["js_nats"]

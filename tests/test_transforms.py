@@ -162,3 +162,25 @@ def test_history_metadata_propagation(spark):
     assert "meta2" in out.metadata_cols
     out2 = FillNA(["feat"], 0, derived_columns=["feat2"])(ds)
     assert "feat2" not in out2.metadata_cols
+
+
+def test_percent_rank_transform_laws(spark):
+    from pytrousse_spark.operators.transforms import percent_rank_transform
+
+    rows = [
+        ("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 30.0), ("g", None),
+        ("h", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = percent_rank_transform(df, "grp", "v").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["grp"], []).append((r["v"], r["pct_rank"]))
+    g = dict((v, p) for v, p in got["g"])
+    # 4 non-null values: ranks 0, 1/3 (tie), 1/3 (tie), 1
+    assert g[10.0] == 0.0
+    assert g[20.0] == round(1 / 3, 6)
+    assert g[30.0] == 1.0
+    assert g[None] is None        # NULL passes through, excluded from frame
+    # singleton group ranks 0
+    assert got["h"] == [(5.0, 0.0)]
