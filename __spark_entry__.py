@@ -3432,6 +3432,41 @@ def _sql_q153() -> str:
     """
 
 
+def q154_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style α=0.75 smoothed sampling distribution over the
+    corpus unigram counts (top-50 by weight): exact micro-unit
+    normalizer, uplift column shows the tail upsampling — the
+    negative-sampling / domain-mixture reweighting primitive."""
+    from pytrousse_spark.functions.text import (
+        smoothed_sampling_weights,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(tokens(F.col("text")).alias("__tk"))
+        .select(F.explode_outer("__tk").alias("token"))
+        .where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return smoothed_sampling_weights(counts, "token", "n", alpha=0.75, k=50)
+
+
+def _sql_q154() -> str:
+    from pytrousse_spark.functions.text import (
+        smoothed_sampling_weights_sql,
+        tokens_sql,
+    )
+
+    counts = (
+        f"SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+        f"SELECT unnest({tokens_sql('text')}) AS token FROM documents"
+        f") WHERE token IS NOT NULL GROUP BY 1"
+    )
+    return smoothed_sampling_weights_sql(counts, "token", "n", 0.75, 50)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4631,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_benford": q151_benford,
         "q152_js_divergence": q152_js_divergence,
         "q153_rank_transform": q153_rank_transform,
+        "q154_sampling_weights": q154_sampling_weights,
     }
 
 
@@ -4975,6 +5011,7 @@ def oracle_sql() -> dict[str, str]:
         "q151_benford": _sql_q151(),
         "q152_js_divergence": _sql_q152(),
         "q153_rank_transform": _sql_q153(),
+        "q154_sampling_weights": _sql_q154(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

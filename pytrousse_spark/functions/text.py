@@ -1317,3 +1317,84 @@ def js_divergence_sql(
            max(__nb) AS n_tokens_b
     FROM terms
     """
+
+
+def smoothed_sampling_weights(
+    df, key_col: str, count_col: str, alpha: float = 0.75, k: int = 50
+):
+    """Temperature-smoothed sampling distribution ``P(i) ∝ count_i^α``
+    over pre-aggregated counts — word2vec's negative-sampling unigram
+    (α=0.75, Mikolov et al. 2013) and the multilingual/domain mixture
+    reweighting (α<1 upsamples the tail) in one operator.
+
+    Returns top-``k`` rows by weight ``(key, count, weight, uplift)``
+    (ties to the smaller key) — weight rounded 6; ``uplift`` =
+    weight / raw_share (how much smoothing up- or down-samples the key,
+    rounded 4).
+
+    Exactness: each ``count^α`` is one pow of a BIGINT-derived double
+    (identical in both engines) scaled to MICRO-unit integers; the
+    normalizer is the exact integer sum of those — a float normalizer
+    would be fold-order-dependent. Weights divide the two integers in
+    doubles.
+
+    Scale: input is an already-aggregated count frame; one micro-sum
+    (map-side partials) broadcast back; top-k via
+    TakeOrderedAndProject.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(count_col).cast("double")
+    base = df.where(F.col(count_col) > 0).select(
+        F.col(key_col).alias("key"),
+        F.col(count_col).cast("bigint").alias("count"),
+        F.round(F.pow(c, F.lit(float(alpha))) * F.lit(1e6), 0)
+        .cast("bigint")
+        .alias("__m"),
+    ).localCheckpoint(eager=False)
+    tot = base.agg(
+        F.sum("__m").alias("__tm"), F.sum("count").alias("__tc")
+    )
+    t = base.crossJoin(F.broadcast(tot))
+    weight = F.col("__m").cast("double") / F.col("__tm")
+    raw = F.col("count").cast("double") / F.col("__tc")
+    return (
+        t.select(
+            "key",
+            "count",
+            F.round(weight, 6).alias("weight"),
+            F.round(weight / raw, 4).alias("uplift"),
+        )
+        .orderBy(F.col("weight").desc(), "key")
+        .limit(k)
+    )
+
+
+def smoothed_sampling_weights_sql(
+    counts_subquery: str,
+    key_col: str,
+    count_col: str,
+    alpha: float = 0.75,
+    k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`smoothed_sampling_weights`."""
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {key_col} AS key,
+               CAST({count_col} AS BIGINT) AS count,
+               CAST(round(pow(CAST({count_col} AS DOUBLE), {alpha}) * 1e6,
+                          0) AS BIGINT) AS __m
+        FROM ({counts_subquery}) WHERE {count_col} > 0
+    ), tot AS (
+        SELECT CAST(sum(__m) AS BIGINT) AS __tm,
+               CAST(sum(count) AS BIGINT) AS __tc
+        FROM base
+    )
+    SELECT key, count,
+           round(CAST(__m AS DOUBLE) / __tm, 6) AS weight,
+           round((CAST(__m AS DOUBLE) / __tm)
+                 / (CAST(count AS DOUBLE) / __tc), 4) AS uplift
+    FROM base CROSS JOIN tot
+    ORDER BY weight DESC, key
+    LIMIT {k}
+    """

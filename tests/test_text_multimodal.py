@@ -312,3 +312,31 @@ def test_js_divergence_laws(spark):
     # symmetry
     (r2,) = js_divergence(b, a, "text", min_count=1).collect()
     assert r2["js_nats"] == r["js_nats"]
+
+
+def test_smoothed_sampling_weights_laws(spark):
+    import pytest as _pytest
+
+    from pytrousse_spark.functions.text import smoothed_sampling_weights
+
+    counts = spark.createDataFrame(
+        [("big", 81), ("mid", 16), ("small", 1), ("zero", 0)],
+        "key string, n bigint",
+    )
+    out = {
+        r["key"]: r
+        for r in smoothed_sampling_weights(
+            counts, "key", "n", alpha=0.75, k=10
+        ).collect()
+    }
+    assert "zero" not in out            # zero counts excluded
+    # alpha=0.75: 81^.75=27, 16^.75=8, 1^.75=1 -> weights 27/36, 8/36, 1/36
+    assert out["big"]["weight"] == _pytest.approx(27 / 36, abs=1e-6)
+    assert out["mid"]["weight"] == _pytest.approx(8 / 36, abs=1e-6)
+    assert out["small"]["weight"] == _pytest.approx(1 / 36, abs=1e-6)
+    # smoothing upsamples the tail, downsamples the head
+    assert out["small"]["uplift"] > 1 > out["big"]["uplift"]
+    # weights sum to 1
+    assert sum(r["weight"] for r in out.values()) == _pytest.approx(
+        1.0, abs=1e-5
+    )
