@@ -3467,6 +3467,25 @@ def _sql_q154() -> str:
     return smoothed_sampling_weights_sql(counts, "token", "n", 0.75, 50)
 
 
+def q155_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy census of documents' categorical columns (lang,
+    source): ONE melted hash-agg for all columns, nano-unit folds —
+    the information-theoretic row of the profiler (low normalized
+    entropy flags skew the cardinality classes miss)."""
+    from pytrousse_spark.profiling import entropy_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return entropy_profile(d, ["lang", "source"])
+
+
+def _sql_q155() -> str:
+    from pytrousse_spark.profiling import entropy_profile_sql
+
+    return entropy_profile_sql(
+        "SELECT * FROM documents", ["lang", "source"]
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4667,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_js_divergence": q152_js_divergence,
         "q153_rank_transform": q153_rank_transform,
         "q154_sampling_weights": q154_sampling_weights,
+        "q155_entropy_profile": q155_entropy_profile,
     }
 
 
@@ -5012,6 +5032,7 @@ def oracle_sql() -> dict[str, str]:
         "q152_js_divergence": _sql_q152(),
         "q153_rank_transform": _sql_q153(),
         "q154_sampling_weights": _sql_q154(),
+        "q155_entropy_profile": _sql_q155(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

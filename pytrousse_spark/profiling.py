@@ -883,3 +883,97 @@ def benford_test_sql(table_expr: str, value_col: str) -> str:
            round(sum(__nano) OVER () / 1e9, 4) AS chi2_total
     FROM staged ORDER BY digit
     """
+
+
+def entropy_profile(df: "DataFrame", cols: list[str]) -> "DataFrame":
+    """Shannon entropy census of categorical columns — the
+    information-theoretic EDA row next to the profiler's cardinality
+    classes: low normalized entropy flags near-constant or heavily
+    skewed columns (candidates for the trivial/constant gates) even
+    when nunique is high.
+
+    Returns one row per column: ``(feature, n, n_distinct,
+    entropy_nats, norm_entropy)`` — entropy of the value distribution
+    (NULL is a category), ``norm_entropy = H / ln(n_distinct)`` in
+    [0, 1] (NULL when a column is constant); both rounded 6.
+
+    Exactness: value counts are exact BIGINTs from ONE melted hash-agg
+    (adding columns adds no passes — the PSI melt); per-value
+    ``-p·ln p`` terms fold as nano-unit integers.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pieces = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in cols
+    )
+    m = df.selectExpr(
+        f"stack({len(cols)}, {pieces}) AS (feature, __v)"
+    )
+    counts = m.groupBy("feature", "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tot = counts.groupBy("feature").agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    j = counts.join(F.broadcast(tot), "feature")
+    p = F.col("__c").cast("double") / F.col("__n")
+    nano = F.round(-p * F.log(p) * F.lit(1e9), 0).cast("bigint")
+    ent = (
+        j.select("feature", nano.alias("__nano"), "__n", "n_distinct")
+        .groupBy("feature", "__n", "n_distinct")
+        .agg(F.sum("__nano").alias("__s"))
+    )
+    h = F.col("__s") / F.lit(1e9)
+    return ent.select(
+        "feature",
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(
+            F.when(
+                F.col("n_distinct") > 1,
+                h / F.log(F.col("n_distinct").cast("double")),
+            ),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
+def entropy_profile_sql(table_expr: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`entropy_profile` — identical melt, counts,
+    expression shapes and nano fold."""
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, CAST({c} AS VARCHAR) AS __v"
+        f" FROM ({table_expr})"
+        for c in cols
+    )
+    return f"""
+    WITH m AS MATERIALIZED (
+        {arms}
+    ), counts AS (
+        SELECT feature, __v, CAST(count(*) AS BIGINT) AS __c
+        FROM m GROUP BY 1, 2
+    ), tot AS (
+        SELECT feature, CAST(sum(__c) AS BIGINT) AS __n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM counts GROUP BY 1
+    ), folded AS (
+        SELECT c.feature, t.__n, t.n_distinct,
+               CAST(sum(CAST(round(
+                   -(CAST(c.__c AS DOUBLE) / t.__n)
+                   * ln(CAST(c.__c AS DOUBLE) / t.__n) * 1e9, 0)
+                   AS BIGINT)) AS BIGINT) AS __s
+        FROM counts c JOIN tot t ON t.feature = c.feature
+        GROUP BY 1, 2, 3
+    )
+    SELECT feature, __n AS n, n_distinct,
+           round(__s / 1e9, 6) AS entropy_nats,
+           round(CASE WHEN n_distinct > 1
+                      THEN (__s / 1e9)
+                           / ln(CAST(n_distinct AS DOUBLE)) END, 6)
+               AS norm_entropy
+    FROM folded
+    """

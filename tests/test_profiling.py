@@ -248,3 +248,30 @@ def test_gini_sketch_extremes(spark):
     )
     (r,) = gini_sketch(conc, "v").collect()
     assert r["gini"] == _pytest.approx(0.999, abs=0.01)
+
+
+def test_entropy_profile_laws(spark):
+    import math
+
+    import pytest as _pytest
+
+    from pytrousse_spark.profiling import entropy_profile
+
+    rows = [("a", "u", None)] * 4 + [("b", "u", None)] * 4 \
+        + [("c", "u", None)] * 4 + [("d", "u", None)] * 4
+    df = spark.createDataFrame(rows, "uniform string, constant string, nul string")
+    out = {
+        r["feature"]: r
+        for r in entropy_profile(df, ["uniform", "constant", "nul"]).collect()
+    }
+    # uniform over 4 values: H = ln 4, normalized 1
+    assert out["uniform"]["entropy_nats"] == _pytest.approx(
+        math.log(4), abs=1e-5
+    )
+    assert out["uniform"]["norm_entropy"] == _pytest.approx(1.0, abs=1e-5)
+    # constant column: H = 0, normalized NULL
+    assert out["constant"]["entropy_nats"] == 0.0
+    assert out["constant"]["norm_entropy"] is None
+    # all-NULL column: NULL is one category -> constant
+    assert out["nul"]["n_distinct"] == 1
+    assert out["nul"]["entropy_nats"] == 0.0
