@@ -287,9 +287,19 @@ def compact_parquet(
     repartition (or a sorted repartitionByRange when ``sort_cols`` is
     given, which also restores clustering for min-max pruning — pair
     with relational.zorder_key for two-dimensional locality). Writes to
-    a sibling temp dir then atomically swaps, so readers never see a
-    half-compacted table. Returns {files_before, files_after,
-    bytes_total} for the maintenance log.
+    a sibling temp dir then swaps via two renames. Returns
+    {files_before, files_after, bytes_total} for the maintenance log.
+
+    Swap semantics (round-5 ADVICE): the two os.rename calls are NOT one
+    atomic operation — a reader between them sees no table for a
+    microsecond-scale window, and a crash between them leaves the data
+    intact but stranded at ``<path>__compact_<id>__old`` (recover by
+    renaming it back). Both renames are same-directory (the temp dir is
+    a sibling of ``path``), so cross-filesystem EXDEV cannot occur. On a
+    real cluster this path maps to a HDFS/S3 committer or a table format
+    (Delta/Iceberg) whose metadata swap IS atomic; the local swap is the
+    single-node stand-in, and the old dir is removed only LAST, after
+    the new dir is fully in place, so no crash point loses data.
     """
     import math
     import os
@@ -308,6 +318,8 @@ def compact_parquet(
     out = df.repartitionByRange(n, *sort_cols) if sort_cols else df.repartition(n)
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
+    # swap only after the new dir is FULLY written; crash between the
+    # renames strands (not loses) the old data — see docstring
     old = f"{tmp}__old"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -290,10 +290,14 @@ def ols_two_feature(
     c2y = n * d["s2y"] - d["s2"] * d["sy"]
     cyy = n * d["syy"] - d["sy"] * d["sy"]
     det = c11 * c22 - c12 * c12
-    b1 = (c1y * c22 - c2y * c12) / det
-    b2 = (c2y * c11 - c1y * c12) / det
-    b0 = (d["sy"] - b1 * d["s1"] - b2 * d["s2"]) / n
-    r2 = (b1 * c1y + b2 * c2y) / cyy
+    # singular-matrix guard (constant/collinear features): same CASE
+    # shape as ols_grouped so both engines emit NULL rather than Spark's
+    # non-ANSI NULL vs DuckDB's IEEE Inf/NaN diverging (round-5 ADVICE)
+    ok = det != 0
+    b1 = F.when(ok, (c1y * c22 - c2y * c12) / det)
+    b2 = F.when(ok, (c2y * c11 - c1y * c12) / det)
+    b0 = F.when(ok, (d["sy"] - b1 * d["s1"] - b2 * d["s2"]) / n)
+    r2 = F.when(ok & (cyy > 0), (b1 * c1y + b2 * c2y) / cyy)
     return s.select(
         F.round(b0, 6).alias("b0"),
         F.round(b1, 6).alias("b1"),
@@ -332,14 +336,22 @@ def ols_two_feature_sql(
         FROM s
     ), b AS MATERIALIZED (
         SELECT n, c1y, c2y, cyy, s1d, s2d, syd,
-               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
-               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+               c11 * c22 - c12 * c12 AS det,
+               CASE WHEN c11 * c22 - c12 * c12 <> 0
+                    THEN (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12)
+               END AS b1,
+               CASE WHEN c11 * c22 - c12 * c12 <> 0
+                    THEN (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12)
+               END AS b2
         FROM c
     )
-    SELECT round((syd - b1 * s1d - b2 * s2d) / n::DOUBLE, 6) AS b0,
+    SELECT round(CASE WHEN det <> 0
+                      THEN (syd - b1 * s1d - b2 * s2d) / n::DOUBLE
+                 END, 6) AS b0,
            round(b1, 6) AS b1,
            round(b2, 6) AS b2,
-           round((b1 * c1y + b2 * c2y) / cyy, 6) AS r2,
+           round(CASE WHEN det <> 0 AND cyy > 0
+                      THEN (b1 * c1y + b2 * c2y) / cyy END, 6) AS r2,
            n
     FROM b
     """

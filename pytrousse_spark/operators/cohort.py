@@ -344,6 +344,7 @@ def ab_test_conversion(
     conversion_event: str,
     salt: str = "ab",
     z_crit: float = 1.96,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Two-proportion A/B test over an event stream: users are assigned
     to arms by a deterministic hash split (the q61 splitter — stable
@@ -369,7 +370,7 @@ def ab_test_conversion(
     exp = (
         df.where(F.col(type_col) == exposure_event)
         .groupBy(F.col(user_col).alias("__u"))
-        .agg(F.min("ts").alias("__t0"))
+        .agg(F.min(ts_col).alias("__t0"))
         .withColumn(
             "__arm",
             h60(
@@ -380,7 +381,7 @@ def ab_test_conversion(
     )
     conv = (
         df.where(F.col(type_col) == conversion_event)
-        .select(F.col(user_col).alias("__u"), F.col("ts").alias("__tc"))
+        .select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__tc"))
     )
     per_user = (
         exp.join(conv, "__u", "left")
@@ -435,6 +436,7 @@ def ab_test_conversion_sql(
     conversion_event: str,
     salt: str = "ab",
     z_crit: float = 1.96,
+    ts_col: str = "ts",
 ) -> str:
     """DuckDB twin of :func:`ab_test_conversion` — identical portable
     md5 arm hash, conversion rule, and z expression shapes."""
@@ -442,13 +444,13 @@ def ab_test_conversion_sql(
     return f"""
     WITH exp AS MATERIALIZED (
         SELECT {user_col} AS __u,
-               min(CAST(ts AS TIMESTAMP)) AS __t0
+               min(CAST({ts_col} AS TIMESTAMP)) AS __t0
         FROM {table} WHERE {type_col} = '{exposure_event}'
         GROUP BY 1
     ), armed AS (
         SELECT __u, __t0, ({h} % 2) AS __arm FROM exp
     ), conv AS (
-        SELECT {user_col} AS __u, CAST(ts AS TIMESTAMP) AS __tc
+        SELECT {user_col} AS __u, CAST({ts_col} AS TIMESTAMP) AS __tc
         FROM {table} WHERE {type_col} = '{conversion_event}'
     ), per_user AS (
         SELECT a.__arm,

@@ -28,6 +28,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# fixed-length units where "N <unit>" flooring is well defined in epoch
+# seconds; month/year buckets are calendar-shaped and only support N == 1
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _parse_interval(interval: str) -> tuple[int, str]:
+    """Validate ``'N unit'`` and return ``(N, singular_unit)``.
+
+    Multi-count intervals over calendar units (month/year) have no
+    epoch-aligned floor, so they raise instead of silently dropping
+    off-step observations (the pre-round-5 bug: date_trunc bucketed by
+    the single unit while the grid stepped by the full interval, so
+    observations in off-step buckets never joined the grid).
+    """
+    parts = interval.split()
+    if len(parts) != 2:
+        raise ValueError(f"interval must be 'N unit', got {interval!r}")
+    n = int(parts[0])
+    unit = parts[1].rstrip("s")
+    if n < 1:
+        raise ValueError(f"interval count must be >= 1, got {interval!r}")
+    if n > 1 and unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"multi-count '{unit}' intervals have no epoch-aligned floor; "
+            "use '1 month'/'1 year' or a fixed-length unit"
+        )
+    if n == 1 and unit not in _UNIT_SECONDS and unit not in ("month", "year"):
+        raise ValueError(f"unsupported interval unit {unit!r}")
+    return n, unit
+
 
 def resample_gapfill(
     df: DataFrame,
@@ -43,9 +79,22 @@ def resample_gapfill(
     the bucket's observed mass (NULL on gaps), ``v_ff`` the carry-forward
     value, ``is_gap`` whether the bucket had no events. The first bucket
     of each key is by construction observed, so ``v_ff`` is never NULL.
+
+    Buckets floor to the FULL interval: ``'1 <unit>'`` keeps the
+    calendar-aware ``date_trunc`` (so ``'1 week'`` stays Monday-aligned
+    and ``'1 month'``/``'1 year'`` work), while ``'N <unit>'`` for
+    fixed-length units floors the epoch to a multiple of the interval's
+    seconds so buckets and grid steps always align — every observation
+    lands on a grid row (the observed-mass invariant, pinned in
+    tests/test_timeseries.py).
     """
-    unit = interval.split()[1].rstrip("s")
-    h = F.date_trunc(unit, F.col(ts_col))
+    n, unit = _parse_interval(interval)
+    if n == 1:
+        h = F.date_trunc(unit, F.col(ts_col))
+    else:
+        step = n * _UNIT_SECONDS[unit]
+        e = F.unix_timestamp(F.col(ts_col))
+        h = F.timestamp_seconds(e - ((e % step) + step) % step)
     obs = (
         df.groupBy(F.col(key_col).alias("k"), h.alias("h"))
         .agg(
@@ -87,10 +136,21 @@ def resample_gapfill_sql(
 ) -> str:
     """DuckDB twin of :func:`resample_gapfill` — generate_series grid,
     identical bucket rule and carry-forward window."""
-    unit = interval.split()[1].rstrip("s")
+    n, unit = _parse_interval(interval)
+    if n == 1:
+        bucket = f"date_trunc('{unit}', {ts_col})"
+    else:
+        step = n * _UNIT_SECONDS[unit]
+        # floor(epoch) truncates DuckDB's fractional seconds the way
+        # Spark's unix_timestamp does ([[driver-contract-gotchas]])
+        e = f"CAST(floor(epoch({ts_col})) AS BIGINT)"
+        bucket = (
+            f"CAST(to_timestamp(({e}) - ((({e}) % {step}) + {step}) % {step})"
+            " AS TIMESTAMP)"
+        )
     return f"""
     WITH obs AS (
-      SELECT {key_col} AS k, date_trunc('{unit}', {ts_col}) AS h,
+      SELECT {key_col} AS k, {bucket} AS h,
              CAST(count(*) AS BIGINT) AS n_obs, sum({value_col}) AS v_sum
       FROM {table} GROUP BY 1, 2
     ), spans AS (

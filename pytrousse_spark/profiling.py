@@ -281,7 +281,11 @@ def correlation_matrix(df, cols: list[str]) -> "DataFrame":
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
             aggs.append(F.sum(dec(a) * dec(b)).alias(f"ss_{a}_{b}"))
-    one = df.agg(*aggs)
+    # one-pass guarantee: the K(K-1)/2 union arms below each reference this
+    # single-row aggregate; without a barrier, each arm can re-run the whole
+    # scan when exchange reuse doesn't kick in (same shape as quality.expect
+    # — lazy localCheckpoint pins the aggregate to ONE execution)
+    one = df.agg(*aggs).localCheckpoint(eager=False)
     pieces = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:

@@ -78,6 +78,32 @@ def test_ols_recovers_planted_linear_law(spark):
     assert r["n"] == 200
 
 
+def test_ols_singular_matrix_yields_nulls_on_both_engines(spark):
+    """Round-5 ADVICE fix: constant/collinear features (det == 0) emit
+    NULL coefficients — matching ols_grouped — instead of Spark-NULL vs
+    DuckDB-Inf divergence."""
+    import duckdb
+
+    from pytrousse_spark.operators.classifier import (
+        ols_two_feature,
+        ols_two_feature_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    # x2 = 2*x1 -> perfectly collinear -> singular normal matrix
+    rows = [(float(i % 7), 2.0 * (i % 7), float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    got = ols_two_feature(df, "y", "x1", "x2")
+    r = got.first()
+    assert r["b0"] is None and r["b1"] is None and r["b2"] is None
+    assert r["r2"] is None and r["n"] == 50
+    pdf = df.toPandas()  # noqa: F841 — registered by name below
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM pdf")
+    assert_df_matches_sql(got, con, ols_two_feature_sql("t", "y", "x1", "x2"))
+    con.close()
+
+
 def test_chi2_hand_computed(spark):
     from pytrousse_spark.operators.classifier import chi2_feature_selection
     from pyspark.sql import functions as F

@@ -143,6 +143,43 @@ def test_ab_test_known_rates(spark):
     assert r["significant"] in (True, False)
 
 
+def test_ab_test_honors_ts_col(spark):
+    """Round-5 ADVICE fix: the event-timestamp column is a parameter
+    (both engines), not a hardcoded 'ts'."""
+    import datetime as dt
+
+    import duckdb
+
+    from pytrousse_spark.operators.cohort import (
+        ab_test_conversion,
+        ab_test_conversion_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(60):
+        rows.append((u, t0, "view"))
+        if u % 3 == 0:
+            rows.append((u, t0 + dt.timedelta(hours=1), "purchase"))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_time timestamp, event_type string"
+    )
+    got = ab_test_conversion(
+        df, "user_id", "event_type", "view", "purchase", ts_col="event_time"
+    )
+    (r,) = got.collect()
+    assert r["n_a"] + r["n_b"] == 60 and r["conv_a"] + r["conv_b"] == 20
+    pdf = df.toPandas()  # noqa: F841 — registered by name below
+    con = duckdb.connect()
+    con.sql("CREATE TABLE ev AS SELECT * FROM pdf")
+    sql = ab_test_conversion_sql(
+        "ev", "user_id", "event_type", "view", "purchase", ts_col="event_time"
+    )
+    assert_df_matches_sql(got, con, sql)
+    con.close()
+
+
 def test_ab_test_detects_planted_effect(spark):
     import datetime as dt
 

@@ -50,6 +50,64 @@ def test_gapfill_grid_never_crosses_keys(spark):
     assert per_key[2] == [20]
 
 
+def test_gapfill_multi_count_interval_keeps_observed_mass(spark):
+    """The round-5 ADVICE bug: with '2 hours' / '15 minutes' intervals,
+    observations in off-step buckets used to vanish (date_trunc bucketed
+    by the single unit while the grid stepped by the full interval).
+    Epoch-floored buckets keep the observed-mass invariant for any N."""
+    rows = [
+        (1, _ts(0, 5), 10.0),
+        (1, _ts(1, 30), 2.0),   # off-step hour for '2 hours'
+        (1, _ts(3, 7), 5.0),    # off-step hour again
+        (1, _ts(6, 59), 7.0),
+        (2, _ts(9, 44), 1.0),   # off-step quarter for '15 minutes'
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    for interval in ("2 hours", "15 minutes", "90 seconds", "3 days"):
+        out = resample_gapfill(df, "user_id", "ts", "value", interval).collect()
+        assert sum(r["v_sum"] or 0.0 for r in out) == 25.0, interval
+        assert sum(r["n_obs"] for r in out) == 5, interval
+    # '2 hours' bucket layout: user 1 hours {0,1}->0, {3}->2, {6}->6
+    out = {
+        (r["user_id"], r["bucket"].hour): r
+        for r in resample_gapfill(df, "user_id", "ts", "value", "2 hours").collect()
+    }
+    assert out[(1, 0)]["v_sum"] == 12.0
+    assert out[(1, 2)]["v_sum"] == 5.0
+    assert out[(1, 4)]["is_gap"] and out[(1, 4)]["v_ff"] == 5.0
+    assert out[(1, 6)]["v_sum"] == 7.0
+
+
+def test_gapfill_multi_count_matches_duckdb_twin(spark):
+    """Cross-engine parity of the epoch-floored bucket rule."""
+    import duckdb
+
+    from pytrousse_spark.operators.timeseries import resample_gapfill_sql
+    from tests.conftest import assert_df_matches_sql
+
+    rows = [
+        (1, _ts(0, 5), 10.0), (1, _ts(1, 30), 2.0), (1, _ts(3, 7), 5.0),
+        (1, _ts(6, 59), 7.0), (2, _ts(9, 44), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    pdf = df.toPandas()  # noqa: F841 — registered by name below
+    con = duckdb.connect()
+    con.sql("CREATE TABLE ev AS SELECT * FROM pdf")
+    got = resample_gapfill(df, "user_id", "ts", "value", "2 hours")
+    sql = resample_gapfill_sql("ev", "user_id", "ts", "value", "2 hours")
+    assert_df_matches_sql(got, con, sql)
+    con.close()
+
+
+def test_gapfill_rejects_unfloorable_intervals(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, _ts(0), 1.0)], ["user_id", "ts", "value"])
+    for bad in ("2 months", "3 years", "0 hours", "hourly"):
+        with pytest.raises(ValueError):
+            resample_gapfill(df, "user_id", "ts", "value", bad)
+
+
 def test_ewma_constant_series_is_exact(spark):
     """Normalized dyadic EWMA of a constant series is that constant
     EXACTLY (integer weights sum to the divisor)."""
