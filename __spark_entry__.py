@@ -649,34 +649,134 @@ def _sql_q19() -> str:
 # pytrousse operator surface (SURVEY.md §2.5-2.8)
 # ===========================================================================
 def q20_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiling as a query: null count + exact distinct per column of
-    documents (A1/A2 exact flavor; the engine's profiler uses HLL at scale)."""
+    """FULL property census of the profiler (§2.10, widened round 5 per
+    the r4 verdict so ONE green row re-certifies the whole surface each
+    round): per column — null count/ratio, exact distinct (gate flavor;
+    the engine profiler swaps in HLL at scale), numeric-parse ratio
+    (A5), and the classification booleans exactly as
+    pytrousse_spark.profiling.ColumnProfile derives them
+    (reference dataset.py:232-372,493-535): is_categorical
+    (distinct < 7 or distinct < count//300), is_constant
+    (distinct-with-null == 1), is_trivial (null_ratio > 0.999 or
+    constant), col_class (numerical / string / mixed / other, strings
+    reclassified by parse ratio). One aggregation pass, one row per
+    column."""
     d = _t(spark, sf_dir, "documents")
     total = F.count(F.lit(1))
-    aggs = []
+    aggs = [total.alias("__total")]
+    string_cols = {
+        f.name for f in d.schema.fields if f.dataType.simpleString() == "string"
+    }
+    numeric_cols = {
+        f.name
+        for f in d.schema.fields
+        if f.dataType.simpleString() in
+        ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or f.dataType.simpleString().startswith("decimal")
+    }
     for c in d.columns:
         aggs.append((total - F.count(F.col(c))).alias(f"{c}__nulls"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
-    row = d.agg(*aggs)
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
-                F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+        if c in string_cols:
+            parsed = F.col(c).try_cast("double")
+            aggs.append(
+                F.avg(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        parsed.isNotNull().cast("double"),
+                    )
+                ).alias(f"{c}__pr")
             )
-            for c in d.columns
-        ]
-    )
+    row = d.agg(*aggs)
+
+    def census(c: str):
+        nulls = F.col(f"{c}__nulls").cast("long")
+        dst = F.col(f"{c}__distinct").cast("long")
+        tot = F.col("__total").cast("long")
+        cnt = tot - nulls
+        pr = (
+            F.round(F.col(f"{c}__pr"), 6)
+            if c in string_cols
+            else F.lit(None).cast("double")
+        )
+        categ = (dst < 7) | (dst < F.floor(cnt / 300).cast("long"))
+        constant = (dst + (nulls > 0).cast("long") == 1) | (tot == 0)
+        trivial = (nulls.cast("double") > 0.999 * tot.cast("double")) | constant
+        if c in numeric_cols:
+            klass = F.lit("numerical")
+        elif c in string_cols:
+            klass = (
+                F.when((F.col(f"{c}__pr") == 1.0) & (cnt > 0), "numerical")
+                .when(
+                    (F.col(f"{c}__pr") > 0.0) & (F.col(f"{c}__pr") < 1.0),
+                    "mixed",
+                )
+                .otherwise("string")
+            )
+        else:
+            klass = F.lit("other")
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            nulls.alias("n_nulls"),
+            dst.alias("n_distinct"),
+            F.round(nulls.cast("double") / tot.cast("double"), 6).alias(
+                "null_ratio"
+            ),
+            pr.alias("parse_ratio"),
+            categ.alias("is_categorical"),
+            constant.alias("is_constant"),
+            trivial.alias("is_trivial"),
+            klass.alias("col_class"),
+        )
+
+    structs = F.array(*[census(c) for c in d.columns])
     return row.select(F.explode(structs).alias("s")).select("s.*")
 
 
 def _sql_q20() -> str:
-    parts = [
-        f"SELECT '{c}' AS col_name, count(*) - count({c}) AS n_nulls, "
-        f"count(DISTINCT {c}) AS n_distinct FROM documents"
-        for c in ("doc_id", "text", "lang", "source", "n_chars")
-    ]
+    string_cols = {"text", "lang", "source"}
+    numeric_cols = {"doc_id", "n_chars"}
+    parts = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        if c in string_cols:
+            pr = (
+                f"round(avg(CASE WHEN {c} IS NOT NULL THEN CASE WHEN "
+                f"TRY_CAST({c} AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 "
+                f"END END), 6)"
+            )
+            prraw = (
+                f"avg(CASE WHEN {c} IS NOT NULL THEN CASE WHEN "
+                f"TRY_CAST({c} AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 "
+                f"END END)"
+            )
+            klass = (
+                f"CASE WHEN {prraw} = 1.0 AND count({c}) > 0 "
+                f"THEN 'numerical' WHEN {prraw} > 0.0 AND {prraw} < 1.0 "
+                f"THEN 'mixed' ELSE 'string' END"
+            )
+        else:
+            pr = "CAST(NULL AS DOUBLE)"
+            klass = "'numerical'" if c in numeric_cols else "'other'"
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               round(CAST(count(*) - count({c}) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS null_ratio,
+               {pr} AS parse_ratio,
+               (count(DISTINCT {c}) < 7 OR count(DISTINCT {c})
+                < CAST(floor(CAST(count({c}) AS DOUBLE) / 300) AS BIGINT))
+                   AS is_categorical,
+               (count(DISTINCT {c})
+                + CASE WHEN count(*) - count({c}) > 0 THEN 1 ELSE 0 END = 1
+                OR count(*) = 0) AS is_constant,
+               (CAST(count(*) - count({c}) AS DOUBLE)
+                > 0.999 * CAST(count(*) AS DOUBLE)
+                OR count(DISTINCT {c})
+                   + CASE WHEN count(*) - count({c}) > 0 THEN 1 ELSE 0 END = 1
+                OR count(*) = 0) AS is_trivial,
+               {klass} AS col_class
+        FROM documents""")
     return " UNION ALL ".join(parts)
 
 
@@ -3486,6 +3586,63 @@ def _sql_q155() -> str:
     )
 
 
+def q156_rank_transform_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe rank transform (the round-4 verdict's one perf-weak
+    item closed): q153's quantile normalization re-run through the
+    histogram-CDF approximation — NO per-group global sort, so a
+    3-value group key (the exact window's single-task funnel) is safe
+    at any scale. Same decile summarization as q153; the near-uniform
+    decile counts certify the CDF mapping. Max |approx - exact| rank
+    error is pinned <= 1e-3 at B=4096 in tests/test_transforms.py
+    (measured 2.45e-4 on this gate's column at sf0.01)."""
+    from pytrousse_spark.operators.transforms import (
+        percent_rank_transform_approx,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    r = percent_rank_transform_approx(li, "l_returnflag", "l_extendedprice")
+    decile = F.least(F.lit(9), F.floor(F.col("pct_rank") * 10).cast("int"))
+    return (
+        r.select(
+            "l_returnflag",
+            decile.alias("decile"),
+            F.round(F.col("l_extendedprice"), 4)
+            .cast("decimal(28,4)")
+            .alias("__p"),
+        )
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("__p").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_price"),
+        )
+    )
+
+
+def _sql_q156() -> str:
+    from pytrousse_spark.operators.transforms import (
+        percent_rank_transform_approx_sql,
+    )
+
+    inner = percent_rank_transform_approx_sql(
+        "(SELECT l_returnflag, l_extendedprice FROM lineitem) li",
+        "l_returnflag",
+        "l_extendedprice",
+    )
+    return f"""
+    WITH ranked AS ({inner})
+    SELECT l_returnflag,
+           CAST(least(9, floor(pct_rank * 10)) AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4)))
+                      AS DOUBLE) / count(*), 4) AS mean_price
+    FROM ranked GROUP BY 1, 2
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4514,71 +4671,28 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is DELIBERATE, not numeric: the driver's
     correctness battery processes the registry in order with a 50-row
-    budget (CORRECTNESS_r02/r03 cover exactly the first 50 entries).
+    budget (CORRECTNESS_r02-r04 cover exactly the first 50 entries).
 
-    Round-4 head: the re-proof of q68 (oracle HUGEINT cast fixed this
-    round), then EVERY new round-4 query (q101 onward) — no registered
-    query should finish the round without first-contact driver evidence
-    (the r3 VERDICT's own rationale: new operators need a driver row
-    more than pytest-green r2 families need a third one). Whatever head
-    room remains under the 50-row budget goes to the oldest-evidence r2
-    rotation families (VERDICT r3 item 4). The tail holds every query
-    with a fresh green r3 row (q55-q100 families, q01, q10, q11, q51b)
-    and the r2 entries that no longer fit the budget. Every entry, head
-    or tail, runs the identical DuckDB-parity check in
+    Round-5 head (the r4 VERDICT's item 1, enforced by the freshness
+    self-check in tests/test_oracle_parity.py): first every query with
+    NO driver row in any CORRECTNESS_r*.json — the six late round-4
+    registrations (q150-q155) plus the new q156 — then the remaining
+    ~43 slots go to the queries whose newest driver evidence is OLDEST
+    (the q02-q54 families, last checked round 2). Four of the five
+    declared-quadratic r2 baselines (q44/q46/q46b/q47) fall just past
+    the budget and rotate in next round. The tail holds fresh r3/r4
+    evidence, newest last. Every entry, head or tail, runs the
+    identical type-faithful DuckDB-parity check in
     tests/test_oracle_parity.py regardless of driver budget."""
     return {
-        # -- head 1-3: new evidence needed this round ----------------------
-        "q68_pack_sequences": q68_pack_sequences,
-        "q101_ivf_pq": q101_ivf_pq,
-        "q102_csv_roundtrip": q102_csv_roundtrip,
-        "q103_hll_merge": q103_hll_merge,
-        "q104_quantile_bins": q104_quantile_bins,
-        "q105_zipf_fit": q105_zipf_fit,
-        "q106_snapshot_diff": q106_snapshot_diff,
-        "q107_random_projection": q107_random_projection,
-        "q108_bucketed_join": q108_bucketed_join,
-        "q109_stratified_sample": q109_stratified_sample,
-        "q110_gapfill": q110_gapfill,
-        "q111_logreg_quality": q111_logreg_quality,
-        "q112_prefix_jaccard": q112_prefix_jaccard,
-        "q113_cohort_retention": q113_cohort_retention,
-        "q114_funnel": q114_funnel,
-        "q115_incremental_rollup": q115_incremental_rollup,
-        "q116_scd2_history": q116_scd2_history,
-        "q117_pagerank": q117_pagerank,
-        "q118_pivot": q118_pivot,
-        "q119_cumulative_distinct": q119_cumulative_distinct,
-        "q120_ewma": q120_ewma,
-        "q121_mad_anomalies": q121_mad_anomalies,
-        "q122_grouping_sets": q122_grouping_sets,
-        "q123_winsorize": q123_winsorize,
-        "q124_fuzzy_join": q124_fuzzy_join,
-        "q125_hll_trailing": q125_hll_trailing,
-        "q126_join_size_estimate": q126_join_size_estimate,
-        "q127_grouped_quantiles": q127_grouped_quantiles,
-        "q128_time_to_convert": q128_time_to_convert,
-        "q129_keyword_search": q129_keyword_search,
-        "q130_correlation_matrix": q130_correlation_matrix,
-        "q131_ols": q131_ols,
-        "q132_association_rules": q132_association_rules,
-        "q133_event_transitions": q133_event_transitions,
-        "q134_chi2_features": q134_chi2_features,
-        "q135_triangles": q135_triangles,
-        "q136_hll_overlap": q136_hll_overlap,
-        "q137_pareto_frontier": q137_pareto_frontier,
-        "q138_expectations": q138_expectations,
-        "q139_seasonal_decompose": q139_seasonal_decompose,
-        "q140_attribution": q140_attribution,
-        "q141_hybrid_search": q141_hybrid_search,
-        "q142_psi_drift": q142_psi_drift,
-        "q143_stream_join_batch": q143_stream_join_batch,
-        "q144_phrase_search": q144_phrase_search,
-        "q145_ols_grouped": q145_ols_grouped,
-        "q146_session_paths": q146_session_paths,
-        "q147_contingency_chi2": q147_contingency_chi2,
-        "q148_ab_test": q148_ab_test,
-        "q149_gini": q149_gini,
+        # -- head: zero driver evidence (late-r4 + new this round) ---------
+        "q150_unordered_funnel": q150_unordered_funnel,
+        "q151_benford": q151_benford,
+        "q152_js_divergence": q152_js_divergence,
+        "q153_rank_transform": q153_rank_transform,
+        "q154_sampling_weights": q154_sampling_weights,
+        "q155_entropy_profile": q155_entropy_profile,
+        "q156_rank_transform_sketch": q156_rank_transform_sketch,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage) -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -4679,14 +4793,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_langid_confusion": q98_langid_confusion,
         "q99_hll_distinct": q99_hll_distinct,
         "q100_histogram_quantiles": q100_histogram_quantiles,
-        # late round-4 additions past the 50-row budget: identical pytest
-        # parity; first driver contact next round
-        "q150_unordered_funnel": q150_unordered_funnel,
-        "q151_benford": q151_benford,
-        "q152_js_divergence": q152_js_divergence,
-        "q153_rank_transform": q153_rank_transform,
-        "q154_sampling_weights": q154_sampling_weights,
-        "q155_entropy_profile": q155_entropy_profile,
+        # -- tail: fresh green r4 driver rows (newest evidence, last) ------
+        "q68_pack_sequences": q68_pack_sequences,
+        "q101_ivf_pq": q101_ivf_pq,
+        "q102_csv_roundtrip": q102_csv_roundtrip,
+        "q103_hll_merge": q103_hll_merge,
+        "q104_quantile_bins": q104_quantile_bins,
+        "q105_zipf_fit": q105_zipf_fit,
+        "q106_snapshot_diff": q106_snapshot_diff,
+        "q107_random_projection": q107_random_projection,
+        "q108_bucketed_join": q108_bucketed_join,
+        "q109_stratified_sample": q109_stratified_sample,
+        "q110_gapfill": q110_gapfill,
+        "q111_logreg_quality": q111_logreg_quality,
+        "q112_prefix_jaccard": q112_prefix_jaccard,
+        "q113_cohort_retention": q113_cohort_retention,
+        "q114_funnel": q114_funnel,
+        "q115_incremental_rollup": q115_incremental_rollup,
+        "q116_scd2_history": q116_scd2_history,
+        "q117_pagerank": q117_pagerank,
+        "q118_pivot": q118_pivot,
+        "q119_cumulative_distinct": q119_cumulative_distinct,
+        "q120_ewma": q120_ewma,
+        "q121_mad_anomalies": q121_mad_anomalies,
+        "q122_grouping_sets": q122_grouping_sets,
+        "q123_winsorize": q123_winsorize,
+        "q124_fuzzy_join": q124_fuzzy_join,
+        "q125_hll_trailing": q125_hll_trailing,
+        "q126_join_size_estimate": q126_join_size_estimate,
+        "q127_grouped_quantiles": q127_grouped_quantiles,
+        "q128_time_to_convert": q128_time_to_convert,
+        "q129_keyword_search": q129_keyword_search,
+        "q130_correlation_matrix": q130_correlation_matrix,
+        "q131_ols": q131_ols,
+        "q132_association_rules": q132_association_rules,
+        "q133_event_transitions": q133_event_transitions,
+        "q134_chi2_features": q134_chi2_features,
+        "q135_triangles": q135_triangles,
+        "q136_hll_overlap": q136_hll_overlap,
+        "q137_pareto_frontier": q137_pareto_frontier,
+        "q138_expectations": q138_expectations,
+        "q139_seasonal_decompose": q139_seasonal_decompose,
+        "q140_attribution": q140_attribution,
+        "q141_hybrid_search": q141_hybrid_search,
+        "q142_psi_drift": q142_psi_drift,
+        "q143_stream_join_batch": q143_stream_join_batch,
+        "q144_phrase_search": q144_phrase_search,
+        "q145_ols_grouped": q145_ols_grouped,
+        "q146_session_paths": q146_session_paths,
+        "q147_contingency_chi2": q147_contingency_chi2,
+        "q148_ab_test": q148_ab_test,
+        "q149_gini": q149_gini,
     }
 
 
@@ -5033,6 +5190,7 @@ def oracle_sql() -> dict[str, str]:
         "q153_rank_transform": _sql_q153(),
         "q154_sampling_weights": _sql_q154(),
         "q155_entropy_profile": _sql_q155(),
+        "q156_rank_transform_sketch": _sql_q156(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

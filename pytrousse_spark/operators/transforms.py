@@ -213,8 +213,16 @@ def percent_rank_transform(
     disagree on NULL sort position — Spark NULLS FIRST, DuckDB NULLS
     LAST — so a NULL inside the frame would shift every other row's
     rank engine-dependently). One group-partitioned window: shuffle
-    bounded by rows, no global ordering — groups with pathological
-    cardinality are the caller's skew knob (salt or pre-aggregate).
+    bounded by rows, no global ordering.
+
+    SCALE CAVEAT: exact per-group percent_rank funnels each group
+    through a single sort task, and rank is global within the group so
+    it CANNOT be salted. Use this only when the group key is
+    high-cardinality enough that per-group volume is bounded; for
+    low-cardinality keys (a handful of giant groups) use
+    :func:`percent_rank_transform_approx`, which maps values through a
+    per-group histogram CDF — no per-group sort at all, error pinned
+    <= 1e-3 at the default 4096 bins (tests/test_transforms.py).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -229,3 +237,152 @@ def percent_rank_transform(
         out_col, F.lit(None).cast("double")
     )
     return ranked.unionByName(nulls)
+
+
+def percent_rank_transform_approx(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pct_rank",
+    num_bins: int = 4096,
+) -> DataFrame:
+    """Scale-safe per-group rank transform: approximate ``percent_rank``
+    via a per-group equi-width histogram CDF instead of a per-group
+    global sort — the 100 TB replacement for
+    :func:`percent_rank_transform` when the group key is low-cardinality
+    (e.g. 3 return flags funneling ~n/3 rows each through one sort task;
+    exact per-group rank cannot be salted because rank is global within
+    the group).
+
+    Algorithm (the q100/q127 histogram-sketch convention,
+    operators/sketch.py): per-group (lo, hi, n) stats broadcast onto
+    rows, ONE (group, bin)-keyed count agg — shuffle bounded by
+    groups x B — a bins-ordered running sum, then each row's rank is the
+    mass strictly below its bin plus linear interpolation inside it:
+    ``(cum_before + frac_in_bin * bin_count) / (n - 1)``, clamped to
+    [0, 1] and rounded 6. The fact table itself never shuffles on the
+    group key: stats broadcast, and the groups x B CDF table is tiny, so
+    AQE broadcasts the final join too — zero per-group sort, zero
+    funnel. Max |approx - exact| on the sf0.01 gate column is pinned
+    <= 1e-3 at B=4096 (tests/test_transforms.py).
+
+    Same NULL contract as the exact variant: NULL values pass through
+    with NULL rank and never enter the histogram. Constant groups
+    (hi == lo) and singleton groups rank 0.0 (exact percent_rank
+    semantics for all-ties / n == 1).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    nn = df.where(v.isNotNull())
+    stats = nn.groupBy(F.col(group_col).alias("__g")).agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    span = F.col("__hi") - F.col("__lo")
+    pos = (v.cast("double") - F.col("__lo")) / span * num_bins
+    binned = nn.join(
+        F.broadcast(stats), nn[group_col] == F.col("__g"), "inner"
+    ).drop("__g").withColumn(
+        "__b",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(F.floor(pos).cast("long"), F.lit(num_bins - 1))
+        ),
+    )
+    hist = binned.groupBy(F.col(group_col).alias("__hg"), "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wb = (
+        Window.partitionBy("__hg")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdf = hist.select(
+        "__hg",
+        F.col("__b").alias("__cb"),
+        "__c",
+        F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__below"),
+    )
+    joined = binned.join(
+        cdf,
+        (binned[group_col] == cdf["__hg"])
+        & (binned["__b"] == cdf["__cb"]),
+        "inner",
+    ).drop("__cb", "__hg")
+    frac = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), pos - F.col("__b"))
+    )
+    less = F.least(
+        F.col("__below") + frac * F.col("__c"),
+        (F.col("__n") - 1).cast("double"),
+    )
+    pct = F.when(
+        (F.col("__n") <= 1) | (F.col("__hi") == F.col("__lo")), F.lit(0.0)
+    ).otherwise(F.round(less / (F.col("__n") - 1), 6))
+    ranked = joined.withColumn(out_col, pct).drop(
+        "__lo", "__hi", "__n", "__b", "__c", "__below"
+    )
+    nulls = df.where(v.isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return ranked.unionByName(nulls)
+
+
+def percent_rank_transform_approx_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pct_rank",
+    num_bins: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`percent_rank_transform_approx` — identical
+    bin assignment, CDF window, and interpolation expression text (per-
+    row scalar IEEE arithmetic, so no fold-order hazard; the window sum
+    casts back to BIGINT per the HUGEINT rule)."""
+    g, vc, B = group_col, value_col, num_bins
+    return f"""
+    WITH nn AS (
+        SELECT * FROM {table} WHERE {vc} IS NOT NULL
+    ), s AS (
+        SELECT {g} AS __g, CAST(min({vc}) AS DOUBLE) AS __lo,
+               CAST(max({vc}) AS DOUBLE) AS __hi,
+               CAST(count(*) AS BIGINT) AS __n
+        FROM nn GROUP BY 1
+    ), binned AS (
+        SELECT nn.*, s.__lo, s.__hi, s.__n,
+               CASE WHEN s.__hi = s.__lo THEN 0
+                    ELSE least(CAST(floor((CAST({vc} AS DOUBLE) - s.__lo)
+                                          / (s.__hi - s.__lo) * {B})
+                                    AS BIGINT), {B - 1})
+               END AS __b
+        FROM nn JOIN s ON nn.{g} = s.__g
+    ), hist AS (
+        SELECT {g} AS __hg, __b, CAST(count(*) AS BIGINT) AS __c
+        FROM binned GROUP BY 1, 2
+    ), cdf AS (
+        SELECT __hg, __b, __c,
+               CAST(coalesce(sum(__c) OVER (
+                   PARTITION BY __hg ORDER BY __b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS __below
+        FROM hist
+    ), ranked AS (
+        SELECT b.*, c.__c, c.__below,
+               greatest(0.0, least(1.0,
+                   (CAST(b.{vc} AS DOUBLE) - b.__lo)
+                   / (b.__hi - b.__lo) * {B} - b.__b)) AS __frac
+        FROM binned b JOIN cdf c ON b.{g} = c.__hg AND b.__b = c.__b
+    )
+    SELECT * EXCLUDE (__lo, __hi, __n, __b, __c, __below, __frac),
+           CASE WHEN __n <= 1 OR __hi = __lo THEN 0.0
+                ELSE round(least(__below + __frac * __c,
+                                 CAST(__n - 1 AS DOUBLE))
+                           / (__n - 1), 6)
+           END AS {out_col}
+    FROM ranked
+    UNION ALL
+    SELECT *, CAST(NULL AS DOUBLE) AS {out_col}
+    FROM {table} WHERE {vc} IS NULL
+    """

@@ -63,21 +63,80 @@ def test_type_gate_rejects_hugeint(spark, duck01):
         assert_df_matches_sql(df, duck01, bad)
 
 
-def test_registry_head_carries_the_round4_evidence_plan():
-    """The driver checks exactly the first 50 registered queries; pin the
-    round-4 head so a refactor can't silently reorder evidence: the fixed
-    q68, the three new queries, then only r2-evidence queries — nothing
-    with a fresh r3 row may occupy a head slot."""
+def _driver_evidence_rounds() -> dict[str, int]:
+    """Newest round with a driver CORRECTNESS row, per query, from the
+    CORRECTNESS_r*.json history at the repo root."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.load(open(path))
+        except (ValueError, OSError):
+            continue
+        for name in data:
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+def test_registry_head_is_never_checked_then_oldest_evidence_first():
+    """Driver-evidence freshness automation (r4 VERDICT item 7): the
+    driver checks exactly the first 50 registered queries, so the head
+    must contain ALL never-checked queries first, then the remaining
+    slots filled strictly oldest-evidence-first. Computed from the
+    CORRECTNESS_r*.json history, NOT hand-pinned — this test fails the
+    moment a future round's head would leave a query staler than any
+    query occupying a head slot."""
+    newest = _driver_evidence_rounds()
+    assert newest, "no CORRECTNESS_r*.json history found"
+    names = list(entrymod.queries())
+    head, tail = names[:50], names[50:]
+    never = [n for n in names if n not in newest]
+    if len(never) <= 50:
+        missing = [n for n in never if n not in head]
+        assert not missing, f"never-checked queries outside the head: {missing}"
+        k = len(never)
+        assert set(head[:k]) == set(never), (
+            "never-checked queries must occupy the FIRST head slots: "
+            f"expected {sorted(never)}, head starts {head[:k]}"
+        )
+    # no head slot may hold fresher evidence than anything in the tail
+    head_checked = [n for n in head if n in newest]
+    tail_checked = [n for n in tail if n in newest]
+    if head_checked and tail_checked:
+        worst_head = max(newest[n] for n in head_checked)
+        best_tail = min(newest[n] for n in tail_checked)
+        offenders = sorted(
+            n for n in head_checked if newest[n] > best_tail
+        )
+        assert worst_head <= best_tail, (
+            f"head holds evidence from round {worst_head} while the tail "
+            f"still has round-{best_tail} queries waiting: {offenders}"
+        )
+
+
+def test_registry_head_round5_plan():
+    """Round-5 head pin: q150-q156 (zero driver evidence) lead, then the
+    r2-evidence families; the four declared-quadratic r2 baselines are
+    the only checked queries allowed to spill past the 50 budget."""
     names = list(entrymod.queries())
     head = names[:50]
-    assert head[0] == "q68_pack_sequences"
-    assert "q101_ivf_pq" in head[:5]
-    assert "q102_csv_roundtrip" in head[:5]
-    assert "q103_hll_merge" in head[:5]
-    assert "q104_quantile_bins" in head[:5]
-    r3_green = {
-        "q01_pricing_summary", "q10_events_hourly", "q11_sessionize",
-        "q51b_asof_forward",
-    } | {n for n in names if n[1:3].isdigit() and 55 <= int(n[1:3]) <= 99}
-    overlap = r3_green & set(head) - {"q68_pack_sequences"}
-    assert not overlap, f"r3-green queries occupy head slots: {sorted(overlap)}"
+    assert head[:7] == [
+        "q150_unordered_funnel", "q151_benford", "q152_js_divergence",
+        "q153_rank_transform", "q154_sampling_weights",
+        "q155_entropy_profile", "q156_rank_transform_sketch",
+    ]
+    newest = _driver_evidence_rounds()
+    spilled = [n for n in names[50:] if newest.get(n, 99) <= 2]
+    assert set(spilled) <= {
+        "q44_jaccard_pairs", "q46_embedding_neardup",
+        "q46b_neardup_blas", "q47_cosine_topk",
+    }, f"unexpected r2-evidence queries past the head: {spilled}"

@@ -184,3 +184,81 @@ def test_percent_rank_transform_laws(spark):
     assert g[None] is None        # NULL passes through, excluded from frame
     # singleton group ranks 0
     assert got["h"] == [(5.0, 0.0)]
+
+
+def test_percent_rank_approx_matches_exact_within_1e3(spark):
+    """The r4 VERDICT's scale fix: the histogram-CDF rank transform must
+    track the exact per-group percent_rank within 1e-3 at B=4096 on the
+    q156 gate column at sf0.01 (the verdict's pin; measured 2.45e-4 —
+    the bound is granularity-driven, O(max bin count / n), so the
+    smaller sf0.001 slice is NOT representative and sits near 1.3e-3)."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.transforms import (
+        percent_rank_transform,
+        percent_rank_transform_approx,
+    )
+
+    li = read_parquet_df(spark, "/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ex = percent_rank_transform(
+        li, "l_returnflag", "l_extendedprice", "r_ex"
+    ).distinct()
+    ap = percent_rank_transform_approx(
+        li, "l_returnflag", "l_extendedprice", "r_ap"
+    ).distinct()
+    j = ex.join(ap, ["l_returnflag", "l_extendedprice"])
+    row = j.agg(
+        F.max(F.abs(F.col("r_ex") - F.col("r_ap"))).alias("e"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert row["n"] > 100
+    assert row["e"] <= 1e-3, f"approx rank error {row['e']} > 1e-3"
+
+
+def test_percent_rank_approx_laws(spark):
+    """Same contract as the exact operator: NULL passthrough, singleton
+    and constant groups rank 0, ties share a rank, output in [0, 1],
+    monotone in the value within each group."""
+    from pytrousse_spark.operators.transforms import (
+        percent_rank_transform_approx,
+    )
+
+    rows = [
+        ("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 30.0), ("g", None),
+        ("h", 5.0),
+        ("c", 7.0), ("c", 7.0), ("c", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = percent_rank_transform_approx(df, "grp", "v").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["grp"], []).append((r["v"], r["pct_rank"]))
+    g = dict((v, p) for v, p in got["g"])
+    assert g[None] is None
+    assert g[10.0] == 0.0
+    assert g[10.0] < g[20.0] < g[30.0] <= 1.0
+    assert len([p for v, p in got["g"] if v == 20.0]) == 2
+    assert len(set(p for v, p in got["g"] if v == 20.0)) == 1  # ties share
+    assert got["h"] == [(5.0, 0.0)]
+    assert all(p == 0.0 for _, p in got["c"])  # constant group
+
+    # cross-engine twin on the same frame
+    import duckdb
+
+    from pytrousse_spark.operators.transforms import (
+        percent_rank_transform_approx_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    pdf = df.toPandas()  # noqa: F841 — registered by name below
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM pdf")
+    assert_df_matches_sql(
+        percent_rank_transform_approx(df, "grp", "v"),
+        con,
+        percent_rank_transform_approx_sql("t", "grp", "v"),
+    )
+    con.close()
