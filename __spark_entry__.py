@@ -3643,6 +3643,39 @@ def _sql_q156() -> str:
     """
 
 
+def q157_rolling_window_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q85's per-user rolling 1-hour count/avg through the BUCKETED
+    PREFIX DECOMPOSITION (operators/timeseries.rolling_time_window) —
+    max task bounded by the densest single (user, hour) bucket instead
+    of the largest user's whole history (the round-5 skew battery
+    measured the plain window at 4.4x wall under 20% single-user skew;
+    this path is the fix). The oracle is DuckDB's plain RANGE window —
+    the decomposition must reproduce the exact frame semantics
+    bit-for-bit (value mass in integer micro-units)."""
+    from pytrousse_spark.operators.timeseries import rolling_time_window
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_time_window(ev, "user_id", "ts", "value", "1 hour")
+    return out.select("event_id", "user_id", "ts", "roll_n", "roll_avg")
+
+
+def _sql_q157() -> str:
+    return """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n,
+           CASE WHEN count(value) OVER w > 0 THEN
+             round((CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                         AS DOUBLE) / 1000000.0)
+                   / CAST(count(value) OVER w AS DOUBLE), 4)
+           END AS roll_avg
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4332,7 +4365,13 @@ def _sql_q84() -> str:
 def q85_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per-user rolling 1-hour mean/count of
     `value` — the frame is time-based (RANGE over epoch micros), not
-    row-based, so sparse and dense users get the same semantics."""
+    row-based, so sparse and dense users get the same semantics.
+
+    SCALE NOTE: the plain window funnels each user's history through one
+    task (4.4x wall under 20% single-user skew, bench.py skew battery).
+    q157 computes the IDENTICAL frame via the bucketed prefix
+    decomposition (timeseries.rolling_time_window) with max task bounded
+    by one (user, hour) bucket — use that path for skewed keys."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -4413,8 +4452,16 @@ def q87_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pytrousse_spark.functions.text import word_shingles
 
+    from pytrousse_spark.io import rebalance_undersplit
+
     d = _t(spark, sf_dir, "documents")
-    build = d.where(F.col("source").isin(*_BLOOM_SRC) & F.col("text").isNotNull())
+    # rebalance BEFORE shingling so the regex shingle explode and the md5
+    # both parallelize (documents is a single-row-group file locally; at
+    # real scale this is a no-op) — the r4 verdict's "bloom is slow"
+    # signal was this single-task build, not position codegen
+    build = rebalance_undersplit(
+        d.where(F.col("source").isin(*_BLOOM_SRC) & F.col("text").isNotNull())
+    )
     probe = d.where(
         (~F.col("source").isin(*_BLOOM_SRC)) & F.col("text").isNotNull()
     )
@@ -4676,11 +4723,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 head (the r4 VERDICT's item 1, enforced by the freshness
     self-check in tests/test_oracle_parity.py): first every query with
     NO driver row in any CORRECTNESS_r*.json — the six late round-4
-    registrations (q150-q155) plus the new q156 — then the remaining
-    ~43 slots go to the queries whose newest driver evidence is OLDEST
-    (the q02-q54 families, last checked round 2). Four of the five
-    declared-quadratic r2 baselines (q44/q46/q46b/q47) fall just past
-    the budget and rotate in next round. The tail holds fresh r3/r4
+    registrations (q150-q155) plus the new q156/q157 — then the
+    remaining ~42 slots go to the queries whose newest driver evidence
+    is OLDEST (the q02-q54 families, last checked round 2). The five
+    declared-quadratic r2 baselines (q41/q44/q46/q46b/q47) fall just
+    past the budget and rotate in next round. The tail holds fresh r3/r4
     evidence, newest last. Every entry, head or tail, runs the
     identical type-faithful DuckDB-parity check in
     tests/test_oracle_parity.py regardless of driver budget."""
@@ -4693,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_sampling_weights": q154_sampling_weights,
         "q155_entropy_profile": q155_entropy_profile,
         "q156_rank_transform_sketch": q156_rank_transform_sketch,
+        "q157_rolling_window_scalable": q157_rolling_window_scalable,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage) -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
@@ -5191,6 +5239,7 @@ def oracle_sql() -> dict[str, str]:
         "q154_sampling_weights": _sql_q154(),
         "q155_entropy_profile": _sql_q155(),
         "q156_rank_transform_sketch": _sql_q156(),
+        "q157_rolling_window_scalable": _sql_q157(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

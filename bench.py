@@ -94,6 +94,45 @@ def _build_10x_corpus(spark, sf_dir: str, tmp: str) -> None:
         big_li = big_li.unionByName(p)
     big_li.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
 
+    # events 10x for the sketch/window-family headroom rows (q125) and the
+    # skew stress: copies shift user_id AND event_id by strides and ts by
+    # +i minutes, so the day grid stays identical while distinct users and
+    # per-day volume both grow 10x (the trailing-HLL grid's scale axis)
+    ev = read_parquet_df(spark, f"{sf_dir}/events.parquet")
+    u_stride = ev.agg(F.max("user_id")).first()[0] + 1
+    i_stride = ev.agg(F.max("event_id")).first()[0] + 1
+    e10 = [ev] + [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(i * u_stride))
+        .withColumn("event_id", F.col("event_id") + F.lit(i * i_stride))
+        .withColumn("ts", F.col("ts") + F.expr(f"interval {i} minutes"))
+        for i in range(1, 10)
+    ]
+    big_ev = e10[0]
+    for p in e10[1:]:
+        big_ev = big_ev.unionByName(p)
+    big_ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+
+def _build_skewed_events(spark, tmp: str) -> None:
+    """Zipfian-skew variant of the 10x events table (round-4 VERDICT
+    item 6): ~20% of all events collapse onto ONE user (every 5th event
+    re-keyed to user 0), the rest keep their 10x-spread keys. This is the
+    adversarial distribution for every user-partitioned window/session
+    gate; the skew battery times the same queries on the benign and the
+    skewed table and records the ratio."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.io import read_parquet_df
+
+    ev = read_parquet_df(spark, f"{tmp}/events.parquet")
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    skewed.write.mode("overwrite").parquet(f"{tmp}/skewdir/events.parquet")
+
 
 def _headroom_10x(spark, big_dir: str) -> dict:
     """Scale-factor headroom evidence (round-2 VERDICT item 7): time the
@@ -106,6 +145,11 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q57_ivf_topk",
         "q101_ivf_pq",
         "q132_association_rules",
+        # round-5 additions (r4 VERDICT item 5): the similarity-join,
+        # graph, and sketch-grid families' scale-up evidence
+        "q112_prefix_jaccard",
+        "q135_triangles",
+        "q125_hll_trailing",
     ):
         fn = getattr(entrymod, name)
         t0 = time.perf_counter()
@@ -115,6 +159,35 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         except Exception as exc:
             out[name] = -1.0
             print(f"bench headroom: {name} failed: {exc}", file=sys.stderr)
+    return out
+
+
+def _skew_stress(spark, tmp: str) -> dict:
+    """Window/session-family skew battery (round-4 VERDICT item 6): time
+    the user-partitioned gates on the benign 10x events table and on the
+    zipfian variant (one user owns ~20% of events), and record the ratio.
+    A user-partitioned window funnels that user's slice through one task,
+    so the expected worst case is wall ~ max(skew_share * n, n / cores);
+    ratios well under cores/1 show the remaining work still spreads."""
+    out: dict[str, dict] = {}
+    for name in (
+        "q11_sessionize",
+        "q85_rolling_window",
+        "q157_rolling_window_scalable",  # the bucketed fix for q85's funnel
+        "q133_event_transitions",
+    ):
+        fn = getattr(entrymod, name)
+        row: dict[str, float] = {}
+        try:
+            for label, d in (("benign", tmp), ("skewed", f"{tmp}/skewdir")):
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                row[label] = round(time.perf_counter() - t0, 3)
+            row["ratio"] = round(row["skewed"] / row["benign"], 2)
+        except Exception as exc:
+            row["error"] = str(exc)[:120]
+            print(f"bench skew: {name} failed: {exc}", file=sys.stderr)
+        out[name] = row
     return out
 
 
@@ -201,6 +274,7 @@ def main() -> None:
     # total so round-over-round comparisons stay apples-to-apples with
     # BENCH_r01/r02. Skippable for quick local iteration.
     headroom: dict[str, float] = {}
+    skew: dict = {}
     streaming: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_HEADROOM") != "1":
         import shutil
@@ -209,7 +283,9 @@ def main() -> None:
         tmp = tempfile.mkdtemp(prefix="pytrousse_headroom_")
         try:
             _build_10x_corpus(spark, sf_dir, tmp)
+            _build_skewed_events(spark, tmp)
             headroom = _headroom_10x(spark, tmp)
+            skew = _skew_stress(spark, tmp)
             streaming = _streaming_throughput(spark, tmp, tmp)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -222,6 +298,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "headroom_10x": headroom,
+                "skew_stress": skew,
                 "streaming": streaming,
                 "sf": sf,
             }

@@ -88,10 +88,20 @@ def bloom_positions(
 
     One shuffle, output bounded by ``m`` rows regardless of input size.
     NULL keys set no bits (SQL semantics: NULL is never a member).
+
+    The build keys get the hash-heavy-operator rebalance
+    (io.rebalance_undersplit, a no-op on any real cluster-scale input):
+    the per-key md5 otherwise serializes on ONE core behind a
+    single-row-group local file — measured 4.9 s -> sub-second for the
+    q87 build at sf0.1, which was the whole "bloom is slow" signal the
+    r4 verdict traced (the probe screen itself was already 0.8 s; the
+    suspected k-wide position codegen was NOT the cost).
     """
+    from ..io import rebalance_undersplit
+
     pos = F.explode(_position_array(F.col(col), m, k, hash_fn))
     return (
-        df.where(F.col(col).isNotNull())
+        rebalance_undersplit(df.where(F.col(col).isNotNull()))
         .select(pos.alias("pos"))
         .distinct()
     )
@@ -240,6 +250,9 @@ def bloom_shingle_screen(
         hits[sh_counts == 0] = 0  # reduceat reads past empty segments
         return pd.Series(hits)
 
+    from ..io import rebalance_undersplit
+
+    probe = rebalance_undersplit(probe)
     # stage the base-hash array so md5 runs once per shingle; the position
     # arithmetic then consumes the lambda-bound h (HOF re-evaluation pitfall)
     staged = probe.withColumn("__sh", shingles_col).withColumn(

@@ -544,3 +544,175 @@ def seasonal_decompose_sql(
                AS residual
     FROM staged s LEFT JOIN pos_tab p ON p.__pos = s.__pos
     """
+
+
+# ---------------------------------------------------------------------------
+# scale-safe exact rolling time window (bucketed prefix decomposition)
+# ---------------------------------------------------------------------------
+def rolling_time_window(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: str = "1 hour",
+) -> DataFrame:
+    """EXACT per-event rolling time-window count/avg without the per-key
+    window funnel — the 100 TB replacement for
+    ``RANGE BETWEEN <W> PRECEDING AND CURRENT ROW`` windows
+    (``__spark_entry__.q85``) when one key can own an unbounded share of
+    events (a zipfian user funnels its whole history through ONE sort
+    task; the round-5 skew battery measured 4.4x wall degradation at 20%
+    single-key skew for the plain window).
+
+    Identical semantics to the RANGE window: frame = ``[t - W, t]``
+    inclusive of BOTH ends and of all tie rows; ``roll_n`` counts frame
+    rows, ``roll_avg`` averages non-NULL values. The correctness oracle
+    for the q157 gate IS the plain RANGE window in DuckDB — the
+    decomposition must reproduce it bit-for-bit (value mass rides
+    integer micro-units so no float fold-order can drift).
+
+    Decomposition (prefix sums at two granularities; standard
+    bucketed-window construction):
+
+    1. bucket ``b = floor(t_us / W_us)`` — the window always spans at
+       most buckets ``b-1`` and ``b``;
+    2. per ``(key, b)`` partial counts/sums — ONE map-side-partial agg,
+       then a per-key window over the tiny BUCKET series (rows = active
+       buckets per key, never events) gives exclusive running offsets
+       and the previous bucket's partials;
+    3. per ``(key, b)`` RANGE cumulative within the bucket — partition
+       bounded by one bucket's density, not key history;
+    4. the strictly-before count at ``x = t - W_us`` (which lands in
+       bucket ``b-1`` by construction) via the union+window as-of trick
+       (operators/asof.py), partitioned by ``(key, bucket)`` — again
+       bucket-bounded; probes sort before builds at equal time so ties
+       at the frame's left edge stay INSIDE the frame;
+    5. ``roll = inclusive_cum(t) - strict_before(x)``.
+
+    Cost: ~3 event-level exchanges instead of 1, in exchange for max
+    task = O(densest single bucket) instead of O(largest key). The skew
+    battery (bench.py) times both paths on the same skewed table.
+    """
+    n, unit = _parse_interval(window)
+    if unit not in _UNIT_SECONDS:
+        raise ValueError("rolling_time_window needs a fixed-length unit")
+    w_us = n * _UNIT_SECONDS[unit] * 1_000_000
+
+    tu = F.unix_micros(F.col(ts_col))
+    vu = F.round(F.col(value_col) * 1_000_000, 0).cast("long")
+    ev = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("__tu", tu)
+        .withColumn("__vu", vu)
+        .withColumn("__b", F.floor(F.col("__tu") / F.lit(w_us)).cast("long"))
+    )
+
+    partials = ev.groupBy(
+        F.col(key_col).alias("__k"), F.col("__b").alias("__pb")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count("__vu").alias("__nv"),
+        F.sum("__vu").alias("__s"),
+    )
+    wseq = Window.partitionBy("__k").orderBy("__pb")
+    wexc = wseq.rowsBetween(Window.unboundedPreceding, -1)
+    offs = partials.select(
+        "__k",
+        "__pb",
+        F.coalesce(F.sum("__n").over(wexc), F.lit(0)).alias("__off_n"),
+        F.coalesce(F.sum("__nv").over(wexc), F.lit(0)).alias("__off_nv"),
+        F.coalesce(F.sum("__s").over(wexc), F.lit(0)).alias("__off_s"),
+        F.lag("__pb").over(wseq).alias("__lb"),
+        F.lag("__n").over(wseq).alias("__ln"),
+        F.lag("__nv").over(wseq).alias("__lnv"),
+        F.lag("__s").over(wseq).alias("__ls"),
+    )
+    prev_exists = F.col("__lb") == F.col("__pb") - 1
+    offs = offs.select(
+        "__k",
+        "__pb",
+        "__off_n",
+        "__off_nv",
+        "__off_s",
+        F.when(prev_exists, F.col("__off_n") - F.col("__ln"))
+        .otherwise(F.col("__off_n")).alias("__offp_n"),
+        F.when(prev_exists, F.col("__off_nv") - F.col("__lnv"))
+        .otherwise(F.col("__off_nv")).alias("__offp_nv"),
+        F.when(prev_exists, F.col("__off_s") - F.coalesce("__ls", F.lit(0)))
+        .otherwise(F.col("__off_s")).alias("__offp_s"),
+    )
+
+    joined = ev.join(
+        offs,
+        (ev[key_col] == offs["__k"]) & (ev["__b"] == offs["__pb"]),
+        "inner",
+    ).drop("__k", "__pb")
+
+    wb = (
+        Window.partitionBy(key_col, "__b")
+        .orderBy("__tu")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        joined.withColumn("__cin_n", F.count(F.lit(1)).over(wb))
+        .withColumn("__cin_nv", F.count("__vu").over(wb))
+        .withColumn("__cin_s", F.coalesce(F.sum("__vu").over(wb), F.lit(0)))
+    )
+
+    m_struct = F.struct(
+        F.col("__cin_n").alias("mn"),
+        F.col("__cin_nv").alias("mnv"),
+        F.col("__cin_s").alias("ms"),
+    )
+    builds = cum.select(
+        F.col(key_col).alias("__uk"),
+        F.col("__b").alias("__gb"),
+        F.col("__tu").alias("__t"),
+        F.lit(1).alias("__tag"),
+        m_struct.alias("__m"),
+    )
+    row_type = builds.schema["__m"].dataType
+    probe_cols = [c for c in cum.columns]
+    probes = cum.select(
+        *probe_cols,
+        F.col(key_col).alias("__uk"),
+        (F.col("__b") - 1).alias("__gb"),
+        (F.col("__tu") - F.lit(w_us)).alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(row_type).alias("__m"),
+    )
+    for c in probe_cols:
+        builds = builds.withColumn(c, F.lit(None).cast(cum.schema[c].dataType))
+    union = probes.unionByName(builds.select(*probes.columns))
+
+    wm = (
+        Window.partitionBy("__uk", "__gb")
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = union.withColumn(
+        "__mm", F.last("__m", ignorenulls=True).over(wm)
+    ).where(F.col("__tag") == 0)
+
+    strict_n = F.col("__offp_n") + F.coalesce(F.col("__mm.mn"), F.lit(0))
+    strict_nv = F.col("__offp_nv") + F.coalesce(F.col("__mm.mnv"), F.lit(0))
+    strict_s = F.col("__offp_s") + F.coalesce(F.col("__mm.ms"), F.lit(0))
+    roll_n = (F.col("__off_n") + F.col("__cin_n") - strict_n).cast("long")
+    roll_nv = F.col("__off_nv") + F.col("__cin_nv") - strict_nv
+    roll_s = F.col("__off_s") + F.col("__cin_s") - strict_s
+    roll_avg = F.when(
+        roll_nv > 0,
+        F.round(
+            (roll_s.cast("double") / F.lit(1000000.0))
+            / roll_nv.cast("double"),
+            4,
+        ),
+    )
+    helper = [
+        "__tu", "__vu", "__b", "__off_n", "__off_nv", "__off_s",
+        "__offp_n", "__offp_nv", "__offp_s", "__cin_n", "__cin_nv",
+        "__cin_s", "__uk", "__gb", "__t", "__tag", "__m", "__mm",
+    ]
+    return matched.withColumn("roll_n", roll_n).withColumn(
+        "roll_avg", roll_avg
+    ).drop(*helper)

@@ -129,14 +129,15 @@ def test_registry_head_round5_plan():
     the only checked queries allowed to spill past the 50 budget."""
     names = list(entrymod.queries())
     head = names[:50]
-    assert head[:7] == [
+    assert head[:8] == [
         "q150_unordered_funnel", "q151_benford", "q152_js_divergence",
         "q153_rank_transform", "q154_sampling_weights",
         "q155_entropy_profile", "q156_rank_transform_sketch",
+        "q157_rolling_window_scalable",
     ]
     newest = _driver_evidence_rounds()
     spilled = [n for n in names[50:] if newest.get(n, 99) <= 2]
     assert set(spilled) <= {
-        "q44_jaccard_pairs", "q46_embedding_neardup",
+        "q41_dup_census", "q44_jaccard_pairs", "q46_embedding_neardup",
         "q46b_neardup_blas", "q47_cosine_topk",
     }, f"unexpected r2-evidence queries past the head: {spilled}"

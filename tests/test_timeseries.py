@@ -212,3 +212,79 @@ def test_seasonal_decompose_rejects_bad_period(spark):
     df = spark.createDataFrame([], "day date, v double")
     with _pytest.raises(ValueError):
         seasonal_decompose(df, "day", "v", period=1)
+
+
+def test_rolling_time_window_hand_computed(spark):
+    """Bucketed-prefix rolling window: frame [t-W, t] inclusive of BOTH
+    ends, ties included, NULL values excluded from the avg but counted
+    in roll_n, empty previous buckets handled."""
+    import datetime as dt
+
+    from pytrousse_spark.operators.timeseries import rolling_time_window
+
+    def t(m, s=0):
+        return dt.datetime(2024, 3, 1, 0, m, s)
+
+    rows = [
+        (1, 1, t(0), 10.0),
+        (2, 1, t(30), 20.0),
+        (3, 1, t(59, 59), None),      # NULL value: counted, not averaged
+        (4, 1, dt.datetime(2024, 3, 1, 1, 0), 40.0),   # exactly t0+1h
+        (5, 1, dt.datetime(2024, 3, 1, 3, 30), 5.0),   # bucket gap (no b-1)
+        (6, 2, t(10), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, k int, ts timestamp, value double")
+    got = {
+        r["event_id"]: r
+        for r in rolling_time_window(df, "k", "ts", "value", "1 hour").collect()
+    }
+    assert got[1]["roll_n"] == 1 and got[1]["roll_avg"] == 10.0
+    assert got[2]["roll_n"] == 2 and got[2]["roll_avg"] == 15.0
+    assert got[3]["roll_n"] == 3 and got[3]["roll_avg"] == 15.0
+    # frame [00:00, 01:00] INCLUSIVE both ends -> all four rows, avg of 3
+    assert got[4]["roll_n"] == 4
+    assert got[4]["roll_avg"] == round(70.0 / 3, 4)
+    # isolated event after a multi-bucket gap
+    assert got[5]["roll_n"] == 1 and got[5]["roll_avg"] == 5.0
+    # keys never mix
+    assert got[6]["roll_n"] == 1 and got[6]["roll_avg"] == 7.0
+
+
+def test_rolling_time_window_matches_plain_window_on_events(spark):
+    """Bit-exact equivalence of the decomposition and the RANGE window
+    on real data (the q157 oracle is the same check via DuckDB)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.timeseries import rolling_time_window
+    from tests.conftest import SF_DIR
+
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    vu = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    ref = ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("rn"),
+        F.when(
+            F.count("value").over(w) > 0,
+            F.round(
+                (F.sum(vu).over(w).cast("double") / F.lit(1000000.0))
+                / F.count("value").over(w).cast("double"),
+                4,
+            ),
+        ).alias("ra"),
+    )
+    got = rolling_time_window(ev, "user_id", "ts", "value", "1 hour").select(
+        "event_id", "roll_n", "roll_avg"
+    )
+    j = got.join(ref, "event_id")
+    bad = j.where(
+        (F.col("roll_n") != F.col("rn"))
+        | (F.col("roll_avg") != F.col("ra"))
+    ).count()
+    assert bad == 0 and j.count() == ev.count()
