@@ -134,3 +134,43 @@ def test_q108_bucketed_join_is_exchange_and_sort_free(spark):
     assert "Bucketed: true" in plan
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Sort" not in join_part.replace("SortMergeJoin", "")
+
+
+def test_q156_rank_sketch_has_no_sort_and_broadcasts(spark):
+    """The sketch rank transform's whole point: NO per-group sort (the
+    exact window's single-task funnel) — stats and the groups x B CDF
+    ride broadcast joins."""
+    plan = _plan(spark, "q156_rank_transform_sketch")
+    import re
+
+    # the only permitted Sort is the CDF window's, over the tiny
+    # (group, bin) histogram frame — never over fact rows or a bare
+    # group key (which would be the exact window's funnel)
+    sorts = re.findall(r"Sort \[([^\]]*)\]", plan)
+    for keys in sorts:
+        assert "__hg" in keys and ("__b" in keys or "__cb" in keys), (
+            f"Sort over something other than the (group, bin) CDF: {keys}"
+        )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q157_rolling_windows_are_bucket_partitioned(spark):
+    """Every event-level window in the decomposition must partition by
+    (key, bucket) — a window hash-partitioned on user_id ALONE would
+    reintroduce the per-key funnel. The only key-only window runs over
+    the bucket SERIES (rows = buckets per key, never events)."""
+    df = entrymod.queries()["q157_rolling_window_scalable"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every Window's partition spec: either [user_id..., __b/__gb...] or
+    # the bucket-series window keyed [__k]
+    specs = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no Window nodes found in the q157 plan"
+    for spec in specs:
+        cols = spec.split(",")[:2]
+        head = ",".join(cols)
+        assert (
+            "__b" in head or "__gb" in head or "__k#" in head
+        ), f"window partitioned on a bare key: {spec}"
