@@ -1421,7 +1421,9 @@ def q62_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pytrousse_spark.functions import text as tx
     from pytrousse_spark.operators import sampling as sp
 
-    d = _t(spark, sf_dir, "documents").withColumn(
+    from pytrousse_spark.io import rebalance_undersplit
+
+    d = rebalance_undersplit(_t(spark, sf_dir, "documents")).withColumn(
         "lang_guess", tx.lang_id(F.col("text"))
     )
     out = sp.hash_topk_per_group(d, ["lang_guess"], 10, "doc_id")
@@ -1763,7 +1765,9 @@ def q98_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     language-ID against the labeled lang column, plus per-cell share of
     the labeled language's row total. One scan + one (label, predicted)
     hash agg + a broadcast-sized row-total window."""
-    d = _t(spark, sf_dir, "documents")
+    from pytrousse_spark.io import rebalance_undersplit
+
+    d = rebalance_undersplit(_t(spark, sf_dir, "documents"))
     cm = (
         d.where(F.col("text").isNotNull())
         .select(F.col("lang").alias("label"), tx.lang_id(F.col("text")).alias("predicted"))
@@ -3679,7 +3683,9 @@ def _sql_q157() -> str:
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
-    d = _t(spark, sf_dir, "documents")
+    from pytrousse_spark.io import rebalance_undersplit
+
+    d = rebalance_undersplit(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     toks = F.col("__tk")
     return (
@@ -4163,7 +4169,9 @@ def _sql_q72() -> str:
 def q73_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: distinct-token ratio,
     most-frequent-token share, most-frequent-bigram share."""
-    d = _t(spark, sf_dir, "documents")
+    from pytrousse_spark.io import rebalance_undersplit
+
+    d = rebalance_undersplit(_t(spark, sf_dir, "documents"))
     return tx.repetition_stats(d, "text", "doc_id")
 
 
@@ -4542,8 +4550,9 @@ def q88_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_min_estimate,
     )
     from pytrousse_spark.functions.text import tokens
+    from pytrousse_spark.io import rebalance_undersplit
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = rebalance_undersplit(_t(spark, sf_dir, "documents"))
     toks = docs.where(F.col("text").isNotNull()).select(
         F.explode(tokens(F.col("text"))).alias("token")
     )

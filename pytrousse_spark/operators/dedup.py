@@ -1356,7 +1356,12 @@ def embedding_neardup_lsh(
     recall/cost trade every LSH dedup makes; cf. MMDS ch.3).
     """
     from ..functions.vectors import dot, norm
+    from ..io import rebalance_undersplit
     from .similarity import _deterministic_planes, hyperplane_signature
+
+    # num_tables x num_planes x D multiply-adds per row (signatures) plus
+    # the exact-cosine verify — rebalance (no-op at real scale)
+    df = rebalance_undersplit(df)
 
     tables = [
         _deterministic_planes(num_planes, dim, seed + t)

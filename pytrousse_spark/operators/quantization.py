@@ -290,7 +290,11 @@ def pq_adc_topk(
                 lut_rows.append((int(r["qid"]), s + 1, code, acc))
     lut = spark.createDataFrame(lut_rows, ["qid", "s", "code", "v"])
 
-    enc = pq_encode(corpus, vec_col, codebooks)
+    from ..io import rebalance_undersplit
+
+    # PQ encode is S x C x sub multiply-adds per row — rebalance the
+    # corpus so the argmin scan parallelizes (no-op at real scale)
+    enc = pq_encode(rebalance_undersplit(corpus), vec_col, codebooks)
     exploded = enc.select(
         F.col(id_col).alias("rid"),
         F.posexplode("pq_code").alias("s0", "code"),
@@ -366,9 +370,14 @@ def ivf_pq_topk(
     from .similarity import _cell_rank_array, _ivf_centroids
     from ..functions.vectors import cosine, norm
 
+    from ..io import rebalance_undersplit
+
     spark = corpus.sparkSession
     num_sub = len(codebooks)
     sub = len(codebooks[0][0][1])
+    # cell-rank + PQ encode are the wide multiply-add pass — rebalance
+    # the corpus so it parallelizes (no-op at real scale)
+    corpus = rebalance_undersplit(corpus)
     cents = _ivf_centroids(corpus, id_col, vec_col, num_cells)
 
     # one map-side pass: cell assignment + PQ encode, vectors ride along

@@ -342,6 +342,11 @@ def ivf_topk(
     dedup (unlike multi-table LSH). At real corpus sizes raise ``num_cells``
     (cells ≈ √n keeps cell size and probe cost balanced); recall rises with
     ``nprobe`` (measured in tests/test_dedup_similarity.py)."""
+    from ..io import rebalance_undersplit
+
+    # cell assignment is D x num_cells of multiply-adds per row — the
+    # hash-heavy-operator rebalance applies (no-op on real-scale inputs)
+    corpus = rebalance_undersplit(corpus)
     cents = _ivf_centroids(corpus, id_col, vec_col, num_cells)
 
     from ..functions.vectors import dot, norm
