@@ -3680,6 +3680,82 @@ def _sql_q157() -> str:
     """
 
 
+def q158_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over customer quasi-identifiers (nation,
+    market segment): per-threshold share of rows in equivalence classes
+    smaller than k, plus the anonymity level the table actually
+    satisfies — the release-side risk readout beside q30's identity
+    hashing. One QI hash agg + one conditional aggregate (see
+    operators/anonymize.k_anonymity_census)."""
+    from pytrousse_spark.operators.anonymize import k_anonymity_census
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_census(c, ["c_nationkey", "c_mktsegment"], [5, 10, 15, 25])
+
+
+def _sql_q158() -> str:
+    from pytrousse_spark.operators.anonymize import k_anonymity_census_sql
+
+    return k_anonymity_census_sql(
+        "SELECT * FROM customer", ["c_nationkey", "c_mktsegment"], [5, 10, 15, 25]
+    )
+
+
+def q159_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate clusters: documents sharing their first 256
+    characters but differing beyond — the near-dup class between exact
+    dedup (q40) and MinHash (q42), caught exactly for the price of ONE
+    hash agg on the prefix anchor (operators/dedup.prefix_dup_clusters)."""
+    from pytrousse_spark.operators.dedup import prefix_dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_dup_clusters(d, "text", "doc_id", 256, 2)
+
+
+def _sql_q159() -> str:
+    from pytrousse_spark.operators.dedup import prefix_dup_clusters_sql
+
+    return prefix_dup_clusters_sql("documents", "text", "doc_id", 256, 2)
+
+
+# q160's deterministic score: the rational "fast sigmoid"
+# 0.5 + z/(2(1+|z|)) of the standardized length feature — only
+# +,*,/,abs, so both engines produce bit-identical doubles (exp-based
+# logistic could differ in the last ulp between libm builds).
+_Q160_SCORE_SQL = (
+    "0.5 + ((CAST(n_chars AS DOUBLE) - 300.0) / 80.0)"
+    " / (2.0 * (1.0 + abs((CAST(n_chars AS DOUBLE) - 300.0) / 80.0)))"
+)
+
+
+def q160_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier score of a document-quality scorer
+    (fast-sigmoid of standardized length) against the lang='en' label:
+    per-bin mean prediction vs empirical rate, calibration gap, and the
+    corpus Brier — the readout before trusting a quality filter as a
+    sampling weight. Micro-unit integer folds; one 10-cell hash agg
+    (operators/classifier.calibration_bins)."""
+    from pytrousse_spark.operators.classifier import calibration_bins
+
+    d = _t(spark, sf_dir, "documents")
+    z = (F.col("n_chars").cast("double") - F.lit(300.0)) / F.lit(80.0)
+    p = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    scored = d.select(
+        p.alias("p"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return calibration_bins(scored, "p", "y", 10)
+
+
+def _sql_q160() -> str:
+    from pytrousse_spark.operators.classifier import calibration_bins_sql
+
+    inner = (
+        f"SELECT {_Q160_SCORE_SQL} AS p, CAST(lang = 'en' AS INT) AS y"
+        " FROM documents"
+    )
+    return calibration_bins_sql(inner, "p", "y", 10)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4750,8 +4826,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_entropy_profile": q155_entropy_profile,
         "q156_rank_transform_sketch": q156_rank_transform_sketch,
         "q157_rolling_window_scalable": q157_rolling_window_scalable,
+        "q158_k_anonymity": q158_k_anonymity,
+        "q159_prefix_dups": q159_prefix_dups,
+        "q160_calibration": q160_calibration,
         # -- head: r2-only evidence, oldest families first (entries past
-        # -- the 50-row budget fall through to pytest-only coverage) -------
+        # -- the 50-row budget fall through to pytest-only coverage; the
+        # -- three new-this-round gates above push q52/q53/q54 past the
+        # -- budget — their r2 rows stand and next round's freshness check
+        # -- rotates them in first) ----------------------------------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
         "q04_filter_agg": q04_filter_agg,
@@ -5249,6 +5331,9 @@ def oracle_sql() -> dict[str, str]:
         "q155_entropy_profile": _sql_q155(),
         "q156_rank_transform_sketch": _sql_q156(),
         "q157_rolling_window_scalable": _sql_q157(),
+        "q158_k_anonymity": _sql_q158(),
+        "q159_prefix_dups": _sql_q159(),
+        "q160_calibration": _sql_q160(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

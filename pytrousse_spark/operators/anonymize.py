@@ -104,3 +104,112 @@ def anonymize_data(
         new_derived=("ID_OWNER",),
     )
     return out, private_df
+
+
+def k_anonymity_census(
+    df: DataFrame, quasi_cols: list[str], thresholds: list[int]
+) -> DataFrame:
+    """Re-identification risk census over a quasi-identifier set — the
+    release-side complement of the reference's identity hashing
+    (anonymize_database.py's split removes direct identifiers; this
+    measures how identifying the REMAINING columns are, per Sweeney's
+    k-anonymity: a table is k-anonymous iff every quasi-identifier
+    combination occurs >= k times).
+
+    Returns one row per threshold ``k`` (ascending):
+    ``(k, groups_below, rows_below, rows_share, anonymity_level,
+    n_groups, n_rows)`` where ``groups_below``/``rows_below`` count the
+    equivalence classes (and their member rows) of size < k,
+    ``rows_share`` = rows_below / n_rows rounded 6, and
+    ``anonymity_level`` = the minimum class size (the k the table
+    actually satisfies), repeated per row.
+
+    Exactness: everything is BIGINT counts except ``rows_share``, a
+    single division of two exact BIGINTs rounded 6 — deterministic
+    cross-engine.
+
+    Scale: one hash agg on the quasi-identifier key (map-side combine)
+    reduces the table to its equivalence classes; the census is then ONE
+    conditional aggregate over the class-size frame unpivoted via
+    ``stack`` — no per-threshold rescan, no crossjoin against the class
+    frame. NULL quasi-identifier values form their own class (SQL
+    group-by semantics in both engines).
+    """
+    if not thresholds:
+        raise ValueError("k_anonymity_census: thresholds must be non-empty")
+    ks = sorted(set(int(k) for k in thresholds))
+    if ks[0] < 2:
+        raise ValueError("k_anonymity_census: thresholds must be >= 2")
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__c"))
+    aggs = [
+        F.min("__c").cast("bigint").alias("__lvl"),
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum("__c").cast("bigint").alias("__nr"),
+    ]
+    for i, k in enumerate(ks):
+        aggs.append(
+            F.count(F.when(F.col("__c") < k, 1)).cast("bigint").alias(f"__g{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("__c") < k, F.col("__c"))), F.lit(0)
+            ).cast("bigint").alias(f"__r{i}")
+        )
+    one = g.agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}, __g{i}, __r{i}" for i, k in enumerate(ks)
+    )
+    return (
+        one.selectExpr(
+            f"stack({len(ks)}, {stack_args}) AS (k, groups_below, rows_below)",
+            "__lvl", "__ng", "__nr",
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "groups_below",
+            "rows_below",
+            F.round(F.col("rows_below") / F.col("__nr"), 6).alias("rows_share"),
+            F.col("__lvl").alias("anonymity_level"),
+            F.col("__ng").alias("n_groups"),
+            F.col("__nr").alias("n_rows"),
+        )
+        .orderBy("k")
+    )
+
+
+def k_anonymity_census_sql(
+    table_expr: str, quasi_cols: list[str], thresholds: list[int]
+) -> str:
+    """DuckDB twin of :func:`k_anonymity_census` — identical class
+    reduction, conditional aggregate, and UNION-ALL unpivot over the
+    materialized one-row census."""
+    ks = sorted(set(int(k) for k in thresholds))
+    qi = ", ".join(quasi_cols)
+    cond = ",\n               ".join(
+        f"CAST(count(*) FILTER (WHERE __c < {k}) AS BIGINT) AS __g{i},\n"
+        f"               CAST(COALESCE(sum(__c) FILTER (WHERE __c < {k}), 0)"
+        f" AS BIGINT) AS __r{i}"
+        for i, k in enumerate(ks)
+    )
+    arms = "\n        UNION ALL ".join(
+        f"SELECT {k} AS k, __g{i} AS groups_below, __r{i} AS rows_below,"
+        f" __lvl, __ng, __nr FROM one"
+        for i, k in enumerate(ks)
+    )
+    return f"""
+    WITH g AS (
+        SELECT count(*) AS __c FROM ({table_expr}) GROUP BY {qi}
+    ), one AS MATERIALIZED (
+        SELECT CAST(min(__c) AS BIGINT) AS __lvl,
+               CAST(count(*) AS BIGINT) AS __ng,
+               CAST(sum(__c) AS BIGINT) AS __nr,
+               {cond}
+        FROM g
+    ), arms AS (
+        {arms}
+    )
+    SELECT CAST(k AS INT) AS k, groups_below, rows_below,
+           round(rows_below / CAST(__nr AS DOUBLE), 6) AS rows_share,
+           __lvl AS anonymity_level, __ng AS n_groups, __nr AS n_rows
+    FROM arms ORDER BY k
+    """

@@ -632,3 +632,129 @@ def ols_grouped_sql(
            n
     FROM b
     """
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    num_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Brier score for a probabilistic classifier
+    (Murphy 1973's decomposition practice; the standard readout before
+    trusting a quality-filter score as a sampling weight): bin predicted
+    probabilities into ``num_bins`` equal-width bins and compare each
+    bin's mean prediction against its empirical positive rate.
+
+    Returns one row per bin (dense 0..num_bins-1, empty bins n=0 with
+    NULL rates): ``(bin, n, mean_pred, pos_rate, gap, brier,
+    brier_total)`` where ``gap`` = mean_pred - pos_rate (the calibration
+    error the ECE sums), ``brier`` = the bin's mean squared error, and
+    ``brier_total`` = the corpus Brier score repeated per row.
+
+    Exactness: probabilities are micro-unit BIGINTs (round(p*1e6), ties
+    away from zero) so every sum — n, Σp, Σy, Σ(p−y)² — is an exact
+    integer fold, fold-order-free; the final rates are single divisions
+    of exact integers rounded 6. The bin index is pure integer
+    arithmetic (p_micro*B / 1e6, clamped), so a probability on a bin
+    edge lands identically in both engines.
+
+    Scale: one scan + one num_bins-cell hash agg (map-side combine) +
+    a broadcast dense-bin frame; nothing about the plan depends on row
+    count.
+    """
+    if num_bins < 2:
+        raise ValueError("calibration_bins: num_bins must be >= 2")
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    pm = F.round(p * F.lit(1_000_000), 0).cast("bigint")
+    bin_ = F.least(
+        F.floor(pm * num_bins / F.lit(1_000_000)).cast("int"),
+        F.lit(num_bins - 1),
+    )
+    staged = df.where(p.isNotNull() & y.isNotNull()).select(
+        bin_.alias("bin"), pm.alias("__pm"), y.alias("__y")
+    )
+    per = staged.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__pm").cast("bigint").alias("__sp"),
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum(
+            (F.col("__pm") - F.col("__y") * F.lit(1_000_000))
+            * (F.col("__pm") - F.col("__y") * F.lit(1_000_000))
+        ).cast("bigint").alias("__sq"),
+    )
+    spark = df.sparkSession
+    dense = (
+        spark.range(num_bins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .join(per, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            # __sp/__sy/__sq stay NULL for empty bins: NULL/0 is NULL in
+            # BOTH engines, while a coalesced 0/0.0 would be NULL in Spark
+            # but NaN in DuckDB; sum() skips NULLs identically in both
+            "__sp", "__sy", "__sq",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mean_pred = F.col("__sp") / (F.col("n") * F.lit(1e6))
+    pos_rate = F.col("__sy") / F.col("n")
+    return dense.select(
+        "bin",
+        "n",
+        F.round(mean_pred, 6).alias("mean_pred"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(mean_pred - pos_rate, 6).alias("gap"),
+        F.round(F.col("__sq") / (F.col("n") * F.lit(1e12)), 6).alias("brier"),
+        F.round(
+            F.sum("__sq").over(w) / (F.sum("n").over(w) * F.lit(1e12)), 6
+        ).alias("brier_total"),
+    ).orderBy("bin")
+
+
+def calibration_bins_sql(
+    table_expr: str, prob_col: str, label_col: str, num_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`calibration_bins` — identical micro-unit
+    staging, integer bin index, dense frame, and window fold."""
+    return f"""
+    WITH staged AS (
+        SELECT LEAST(CAST(floor(__pm * {num_bins} / 1000000) AS INT),
+                     {num_bins - 1}) AS bin,
+               __pm, __y
+        FROM (
+            SELECT CAST(round(CAST({prob_col} AS DOUBLE) * 1000000, 0)
+                        AS BIGINT) AS __pm,
+                   CAST({label_col} AS BIGINT) AS __y
+            FROM ({table_expr})
+            WHERE {prob_col} IS NOT NULL AND {label_col} IS NOT NULL
+        )
+    ), per AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(__pm) AS BIGINT) AS __sp,
+               CAST(sum(__y) AS BIGINT) AS __sy,
+               CAST(sum((__pm - __y * 1000000) * (__pm - __y * 1000000))
+                    AS BIGINT) AS __sq
+        FROM staged GROUP BY bin
+    ), dense AS (
+        SELECT CAST(g.b AS INT) AS bin,
+               CAST(COALESCE(per.n, 0) AS BIGINT) AS n,
+               per.__sp AS __sp, per.__sy AS __sy, per.__sq AS __sq
+        FROM generate_series(0, {num_bins - 1}) AS g(b)
+        LEFT JOIN per ON per.bin = g.b
+    )
+    SELECT bin, n,
+           round(__sp / (n * 1e6), 6) AS mean_pred,
+           round(__sy / CAST(n AS DOUBLE), 6) AS pos_rate,
+           round(__sp / (n * 1e6) - __sy / CAST(n AS DOUBLE), 6) AS gap,
+           round(__sq / (n * 1e12), 6) AS brier,
+           round(sum(__sq) OVER () / (sum(n) OVER () * 1e12), 6)
+               AS brier_total
+    FROM dense ORDER BY bin
+    """

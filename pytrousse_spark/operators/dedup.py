@@ -1729,3 +1729,83 @@ def near_dedup_keep_best_sql(
     WHERE d.{id_col} NOT IN (SELECT {id_col} FROM comp)
        OR d.{id_col} IN (SELECT {id_col} FROM winners)
     """
+
+
+def prefix_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 256,
+    min_cluster: int = 2,
+) -> DataFrame:
+    """Truncation-duplicate detection: cluster documents whose first
+    ``prefix_len`` characters are identical — the web-corpus pathology
+    (same page scraped at different truncation depths / pagination
+    tails) that exact-hash dedup misses because the FULL texts differ.
+    CCNet/RefinedWeb-style pipelines run this between exact and
+    MinHash dedup: it is exact (no false positives at the prefix
+    granularity) yet catches the most common near-dup class for the
+    price of one hash agg.
+
+    Returns one row per cluster of size >= ``min_cluster``:
+    ``(anchor, n_docs, distinct_texts, survivor_id, min_chars,
+    max_chars)`` where ``anchor`` = md5 of the prefix, ``survivor_id``
+    = the minimum id (the canonical keep under the min-id rule, as
+    dedup_exact), and ``distinct_texts`` counts full-text variants
+    inside the cluster (1 would mean the docs are exact dups too).
+
+    Exactness: md5/substring are character-identical cross-engine;
+    counts and char lengths are BIGINTs.
+
+    Scale: ONE hash agg keyed by the 32-hex anchor (map-side combine;
+    ``distinct_texts`` plans as the standard two-level distinct agg on
+    (anchor, text-hash)) — no pairing, no shuffle of text bodies beyond
+    the agg itself. Docs shorter than ``prefix_len`` anchor on their
+    whole text, so they only cluster with equal-length equal-text
+    prefixes (well-defined, no padding artifacts).
+    """
+    t = F.col(text_col)
+    anchor = F.md5(F.substring(t, 1, prefix_len))
+    return (
+        df.where(t.isNotNull())
+        .select(
+            anchor.alias("anchor"),
+            F.col(id_col).alias("__id"),
+            F.length(t).cast("bigint").alias("__len"),
+            F.md5(t).alias("__th"),
+        )
+        .groupBy("anchor")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("__th").cast("bigint").alias("distinct_texts"),
+            F.min("__id").alias("survivor_id"),
+            F.min("__len").alias("min_chars"),
+            F.max("__len").alias("max_chars"),
+        )
+        .where(F.col("n_docs") >= min_cluster)
+        .orderBy("anchor")
+    )
+
+
+def prefix_dup_clusters_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 256,
+    min_cluster: int = 2,
+) -> str:
+    """DuckDB twin of :func:`prefix_dup_clusters`."""
+    return f"""
+    SELECT md5(substr({text_col}, 1, {prefix_len})) AS anchor,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5({text_col})) AS BIGINT)
+               AS distinct_texts,
+           min({id_col}) AS survivor_id,
+           CAST(min(length({text_col})) AS BIGINT) AS min_chars,
+           CAST(max(length({text_col})) AS BIGINT) AS max_chars
+    FROM {table}
+    WHERE {text_col} IS NOT NULL
+    GROUP BY 1
+    HAVING count(*) >= {min_cluster}
+    ORDER BY anchor
+    """

@@ -70,3 +70,51 @@ def test_id_owner_sql_twin(spark, duck):
         ).fetchall()
     )
     assert [(d, i) for d, i in spark_ids] == duck_ids
+
+
+def test_k_anonymity_census_laws(spark):
+    from pytrousse_spark.operators.anonymize import k_anonymity_census
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("c", 6)]
+    df = spark.createDataFrame(rows, ["qi", "x"])
+    out = k_anonymity_census(df, ["qi"], [2, 3, 4]).collect()
+    by_k = {r["k"]: r for r in out}
+    # class sizes: a=3, b=2, c=1 -> anonymity level 1
+    assert all(r["anonymity_level"] == 1 for r in out)
+    assert all(r["n_groups"] == 3 and r["n_rows"] == 6 for r in out)
+    assert (by_k[2]["groups_below"], by_k[2]["rows_below"]) == (1, 1)
+    assert (by_k[3]["groups_below"], by_k[3]["rows_below"]) == (2, 3)
+    assert (by_k[4]["groups_below"], by_k[4]["rows_below"]) == (3, 6)
+    # monotone in k
+    ks = [r["k"] for r in out]
+    assert ks == sorted(ks)
+    rb = [r["rows_below"] for r in out]
+    assert rb == sorted(rb)
+
+
+def test_k_anonymity_census_suppression_fixpoint(spark):
+    """Suppressing the below-k classes yields a census that reports the
+    table as k-anonymous (the generalize/suppress loop's exit test)."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.anonymize import k_anonymity_census
+
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(2)] + [("c", 0)]
+    df = spark.createDataFrame(rows, ["qi", "x"])
+    sizes = df.groupBy("qi").count()
+    kept = df.join(sizes.where(F.col("count") >= 3).select("qi"), "qi", "semi")
+    out = k_anonymity_census(kept, ["qi"], [3]).collect()
+    assert out[0]["rows_below"] == 0
+    assert out[0]["anonymity_level"] >= 3
+
+
+def test_k_anonymity_census_rejects_bad_thresholds(spark):
+    import pytest as _pytest
+
+    from pytrousse_spark.operators.anonymize import k_anonymity_census
+
+    df = spark.createDataFrame([("a", 1)], ["qi", "x"])
+    with _pytest.raises(ValueError):
+        k_anonymity_census(df, ["qi"], [])
+    with _pytest.raises(ValueError):
+        k_anonymity_census(df, ["qi"], [1, 5])

@@ -161,3 +161,50 @@ def test_ols_grouped_recovers_per_group_laws(spark):
     assert (b["b0"], b["b1"], b["b2"], b["r2"]) == (-1.0, 0.5, 0.0, 1.0)
     assert c["b0"] is None and c["b1"] is None and c["b2"] is None
     assert a["n"] == 30 and c["n"] == 5
+
+
+def test_calibration_bins_perfect_and_constant(spark):
+    from pytrousse_spark.operators.classifier import calibration_bins
+
+    # perfect classifier: p == y -> brier 0, gap 0 in populated bins
+    rows = [(1.0, 1)] * 4 + [(0.0, 0)] * 6
+    df = spark.createDataFrame(rows, ["p", "y"])
+    out = calibration_bins(df, "p", "y", 10).collect()
+    assert all(r["brier_total"] == 0.0 for r in out)
+    pop = [r for r in out if r["n"] > 0]
+    assert {r["bin"] for r in pop} == {0, 9}
+    assert all(r["gap"] == 0.0 for r in pop)
+    # constant 0.5 scorer: mean_pred 0.5, pos_rate = base rate,
+    # brier = 0.25 everywhere
+    df2 = spark.createDataFrame([(0.5, 1)] * 3 + [(0.5, 0)] * 7, ["p", "y"])
+    out2 = [r for r in calibration_bins(df2, "p", "y", 10).collect() if r["n"] > 0]
+    assert len(out2) == 1 and out2[0]["bin"] == 5
+    assert out2[0]["mean_pred"] == 0.5
+    assert out2[0]["pos_rate"] == 0.3
+    assert out2[0]["brier"] == 0.25
+
+
+def test_calibration_bins_edges_and_dense_frame(spark):
+    from pytrousse_spark.operators.classifier import calibration_bins
+
+    # bin-edge probabilities use floor semantics; p=1.0 clamps to the
+    # last bin; empty bins present with n=0 and NULL rates
+    rows = [(0.1, 0), (0.2, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, ["p", "y"])
+    out = calibration_bins(df, "p", "y", 10).collect()
+    assert len(out) == 10
+    nz = {r["bin"]: r["n"] for r in out if r["n"] > 0}
+    assert nz == {1: 1, 2: 1, 9: 1}
+    empty = [r for r in out if r["n"] == 0]
+    assert all(r["mean_pred"] is None and r["brier"] is None for r in empty)
+    assert all(r["brier_total"] is not None for r in out)
+
+
+def test_calibration_bins_rejects_bad_bins(spark):
+    import pytest as _pytest
+
+    from pytrousse_spark.operators.classifier import calibration_bins
+
+    df = spark.createDataFrame([(0.5, 1)], ["p", "y"])
+    with _pytest.raises(ValueError):
+        calibration_bins(df, "p", "y", 1)

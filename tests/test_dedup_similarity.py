@@ -534,3 +534,38 @@ def test_hybrid_search_rrf_fusion_math(spark):
     )
     best = max(rows.values(), key=lambda r: r["rrf_score"])
     assert best["doc_id"] == 1
+
+
+def test_prefix_dup_clusters_laws(spark):
+    from pytrousse_spark.operators.dedup import prefix_dup_clusters
+
+    base = "x" * 300
+    rows = [
+        (1, base + " tail one"),     # clusters with 2 (same 256-prefix)
+        (2, base + " another tail"),
+        (3, "short doc"),            # shorter than prefix: whole text anchors
+        (4, "short doc"),            # exact dup of 3 -> clusters, 1 variant
+        (5, "unique " + "y" * 300),  # singleton: filtered by min_cluster
+        (6, None),                   # NULL text excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["survivor_id"]: r for r in prefix_dup_clusters(df, "text", "doc_id", 256, 2).collect()}
+    assert set(out) == {1, 3}
+    long_c = out[1]
+    assert (long_c["n_docs"], long_c["distinct_texts"]) == (2, 2)
+    assert long_c["min_chars"] == len(base + " tail one")
+    assert long_c["max_chars"] == len(base + " another tail")
+    short_c = out[3]
+    assert (short_c["n_docs"], short_c["distinct_texts"]) == (2, 1)
+
+
+def test_prefix_dup_clusters_prefix_len_granularity(spark):
+    """Docs diverging INSIDE the prefix never cluster; raising the
+    granularity (shorter prefix) merges them — the knob's contract."""
+    from pytrousse_spark.operators.dedup import prefix_dup_clusters
+
+    a = "common" * 10  # 60 chars
+    rows = [(1, a + "A" + "p" * 100), (2, a + "B" + "q" * 100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert prefix_dup_clusters(df, "text", "doc_id", 256, 2).count() == 0
+    assert prefix_dup_clusters(df, "text", "doc_id", 60, 2).count() == 1
