@@ -3756,6 +3756,29 @@ def _sql_q160() -> str:
     return calibration_bins_sql(inner, "p", "y", 10)
 
 
+def q161_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment join (doc-inside-doc): ordered pairs with
+    |A∩B|/|A| >= 0.8 over 3-gram shingle sets — the quoted-article /
+    pagination-superset near-dup class symmetric Jaccard (q112) misses.
+    Asymmetric prefix filter: contained-side rare-shingle prefixes join
+    container-side full postings (operators/dedup.containment_pairs_prefix)."""
+    from pytrousse_spark.operators.dedup import containment_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs_prefix(d, "text", "doc_id", 3, 0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _sql_q161() -> str:
+    from pytrousse_spark.operators.dedup import containment_pairs_prefix_sql
+
+    return (
+        containment_pairs_prefix_sql("documents", "text", "doc_id", 3, 0.8)
+        + " ORDER BY id_a, id_b"
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4829,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_k_anonymity": q158_k_anonymity,
         "q159_prefix_dups": q159_prefix_dups,
         "q160_calibration": q160_calibration,
+        "q161_containment": q161_containment,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage; the
         # -- three new-this-round gates above push q52/q53/q54 past the
@@ -5334,6 +5358,7 @@ def oracle_sql() -> dict[str, str]:
         "q158_k_anonymity": _sql_q158(),
         "q159_prefix_dups": _sql_q159(),
         "q160_calibration": _sql_q160(),
+        "q161_containment": _sql_q161(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

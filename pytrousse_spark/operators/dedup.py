@@ -332,6 +332,48 @@ def ngram_jaccard_pairs_sql(
 # ---------------------------------------------------------------------------
 # prefix-filtered exact similarity join (AllPairs/PPJoin family)
 # ---------------------------------------------------------------------------
+def _df_ordered_shingle_docs(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Per-doc distinct-shingle arrays in the global (document-frequency
+    asc, shingle asc) total order, plus set size — the shared frame under
+    every prefix-filtered similarity join (:func:`prefix_jaccard_pairs`,
+    :func:`containment_pairs_prefix`).
+
+    EAGER checkpoints, unlike the lazy signature-store in
+    near_dedup_pairs: the result feeds multiple branches, several of them
+    broadcast builds whose jobs launch concurrently — with a lazy
+    checkpoint they race cache population and each recomputes the
+    tokenize+df-join subtree (measured 2.5x the whole-operator wall at
+    sf0.1)."""
+    from ..functions.text import shingles_from_tokens, tokens
+    from ..io import rebalance_undersplit
+
+    shingled = (
+        rebalance_undersplit(df)
+        .select(F.col(id_col).alias("__id"), F.col(text_col))
+        .withColumn("__tk", tokens(F.col(text_col)))
+        .select(
+            "__id",
+            F.explode_outer(
+                F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
+            ).alias("__sh"),
+        )
+        .where(F.col("__sh").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    dfc = shingled.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        shingled.join(dfc, "__sh")
+        .groupBy("__id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(__df, __sh))), x -> x.__sh)").alias("__arr"),
+            F.count(F.lit(1)).alias("__sz"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -368,39 +410,7 @@ def prefix_jaccard_pairs(
     n-grams, ``common/(|a|+|b|-common)`` rounded to 6) — pinned in
     tests/test_dedup_similarity.py.
     """
-    from ..functions.text import shingles_from_tokens, tokens
-    from ..io import rebalance_undersplit
-
-    # EAGER checkpoints here, unlike the lazy signature-store in
-    # near_dedup_pairs: `docs` feeds FOUR branches, three of them broadcast
-    # builds whose jobs launch concurrently — with a lazy checkpoint they
-    # race cache population and each recomputes the tokenize+df-join
-    # subtree (measured 2.5x the whole-operator wall at sf0.1).
-    shingled = (
-        rebalance_undersplit(df)
-        .select(F.col(id_col).alias("__id"), F.col(text_col))
-        .withColumn("__tk", tokens(F.col(text_col)))
-        .select(
-            "__id",
-            F.explode_outer(
-                F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
-            ).alias("__sh"),
-        )
-        .where(F.col("__sh").isNotNull())
-        .localCheckpoint(eager=True)
-    )
-    dfc = shingled.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
-    # per-doc shingle array in global (df asc, shingle asc) order + size;
-    # one frame feeds BOTH the prefix explode and both verify sides.
-    docs = (
-        shingled.join(dfc, "__sh")
-        .groupBy("__id")
-        .agg(
-            F.expr("transform(sort_array(collect_list(struct(__df, __sh))), x -> x.__sh)").alias("__arr"),
-            F.count(F.lit(1)).alias("__sz"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    docs = _df_ordered_shingle_docs(df, text_col, id_col, n)
     prefix = docs.select(
         "__id",
         "__sz",
@@ -1808,4 +1818,146 @@ def prefix_dup_clusters_sql(
     GROUP BY 1
     HAVING count(*) >= {min_cluster}
     ORDER BY anchor
+    """
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT directional containment join: every ordered pair (a, b) with
+    ``|shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold`` — doc a
+    (near-)contained in doc b. The doc-inside-doc near-dup class
+    (quoted articles, pagination supersets, boilerplate-wrapped reposts)
+    that symmetric Jaccard misses: a 100-shingle doc fully inside a
+    1000-shingle doc has Jaccard 0.1 but containment 1.0.
+
+    Prefix filter, asymmetric form (Chaudhuri ICDE 2006 adapted to
+    overlap bound α = ceil(t·|a|)): containment needs overlap >= α, so if
+    b shares NONE of a's first ``|a| - α + 1`` rarest shingles the
+    overlap is at most α - 1 — a's prefix joins against b's FULL posting
+    list (the contained side prunes; the container side cannot). The
+    global rare-first order keeps prefixes on low-df shingles, so the
+    posting join's cardinality is Σ_prefix-shingles df(sh)² — bounded by
+    rare postings, never the frequent-shingle quadratic. Candidates then
+    pass the positional filter (overlap <= 1 + min(|a|-pa, |b|-pb)) and
+    the size filter |b| >= α before the exact ``array_intersect`` verify.
+
+    Returns ``(id_a, id_b, containment)`` — directional: both (a,b) and
+    (b,a) can appear. Scale shape matches :func:`prefix_jaccard_pairs`:
+    documents never shuffle, only ids + shingle arrays.
+    """
+    docs = _df_ordered_shingle_docs(df, text_col, id_col, n)
+    alpha = F.ceil(F.lit(threshold) * F.col("l.__sz"))
+    # contained side: prefix postings only
+    pref = docs.select(
+        "__id",
+        "__sz",
+        F.posexplode(
+            F.slice(
+                F.col("__arr"),
+                F.lit(1),
+                (F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1).cast("int"),
+            )
+        ).alias("__p0", "__sh"),
+    ).select("__id", "__sz", (F.col("__p0") + 1).alias("__pos"), "__sh")
+    # container side: FULL postings with positions
+    full = docs.select(
+        "__id",
+        "__sz",
+        F.posexplode(F.col("__arr")).alias("__p0", "__sh"),
+    ).select("__id", "__sz", (F.col("__p0") + 1).alias("__pos"), "__sh")
+    l, r = pref.alias("l"), full.alias("r")
+    ubound = F.lit(1) + F.least(
+        F.col("l.__sz") - F.col("l.__pos"), F.col("r.__sz") - F.col("r.__pos")
+    )
+    cands = (
+        l.join(r, "__sh")
+        .where(
+            (F.col("l.__id") != F.col("r.__id"))
+            & (F.col("r.__sz") >= alpha)
+            & (ubound >= alpha)
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+        # pin the verify fan-out (see prefix_jaccard_pairs)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    a = docs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__arr").alias("__seta"),
+        F.col("__sz").alias("__sa"),
+    )
+    b = docs.select(
+        F.col("__id").alias("id_b"), F.col("__arr").alias("__setb")
+    )
+    common = F.size(F.array_intersect(F.col("__seta"), F.col("__setb")))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment", F.round(common / F.col("__sa"), 6)
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def containment_pairs_prefix_sql(
+    table: str, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of :func:`containment_pairs_prefix` — replays the
+    asymmetric prefix construction (contained-side slice vs container-side
+    full postings, positional + size filters) term for term."""
+    from ..functions.text import word_shingles_sql
+
+    sh = word_shingles_sql(text_col, n)
+    return f"""
+    WITH shingled AS (
+        SELECT {id_col} AS __id, unnest(list_distinct({sh})) AS __sh FROM {table}
+    ), dfc AS (
+        SELECT __sh, count(*) AS __df FROM shingled GROUP BY __sh
+    ), docs AS (
+        SELECT s.__id,
+               list(s.__sh ORDER BY d.__df, s.__sh) AS __arr,
+               count(*) AS __sz
+        FROM shingled s JOIN dfc d USING (__sh)
+        GROUP BY s.__id
+    ), sliced AS (
+        SELECT __id, __sz,
+               CAST(__sz - ceil({threshold} * __sz) + 1 AS BIGINT) AS __p
+        FROM docs
+    ), pref AS (
+        SELECT s.__id, s.__sz, u[1] AS __sh, u[2] AS __pos
+        FROM (
+            SELECT sliced.__id, sliced.__sz,
+                   unnest(list_zip(d.__arr[1 : __p], range(1, __p + 1))) AS u
+            FROM sliced JOIN docs d USING (__id)
+        ) s(__id, __sz, u)
+    ), fullpost AS (
+        SELECT d.__id, d.__sz, u[1] AS __sh, u[2] AS __pos
+        FROM (
+            SELECT docs.__id, docs.__sz,
+                   unnest(list_zip(docs.__arr, range(1, __sz + 1))) AS u
+            FROM docs
+        ) d(__id, __sz, u)
+    ), cand AS (
+        SELECT DISTINCT l.__id AS id_a, r.__id AS id_b
+        FROM pref l JOIN fullpost r USING (__sh)
+        WHERE l.__id != r.__id
+          AND r.__sz >= ceil({threshold} * l.__sz)
+          AND 1 + least(l.__sz - l.__pos, r.__sz - r.__pos)
+              >= ceil({threshold} * l.__sz)
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(a.__arr, b.__arr))
+                 / CAST(a.__sz AS DOUBLE), 6) AS containment
+    FROM cand
+    JOIN docs a ON a.__id = id_a
+    JOIN docs b ON b.__id = id_b
+    WHERE round(len(list_intersect(a.__arr, b.__arr))
+                / CAST(a.__sz AS DOUBLE), 6) >= {threshold}
     """

@@ -569,3 +569,57 @@ def test_prefix_dup_clusters_prefix_len_granularity(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     assert prefix_dup_clusters(df, "text", "doc_id", 256, 2).count() == 0
     assert prefix_dup_clusters(df, "text", "doc_id", 60, 2).count() == 1
+
+
+def test_containment_pairs_directional(spark):
+    """A short doc inside a long doc: high containment A->B, low B->A,
+    and low symmetric Jaccard — the class the operator exists for."""
+    from pytrousse_spark.operators.dedup import (
+        containment_pairs_prefix,
+        prefix_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    short = " ".join(words[:20])
+    long_ = " ".join(words)  # contains every 3-shingle of `short`
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs_prefix(df, "text", "doc_id", 3, 0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # the same pair is invisible to symmetric Jaccard at the same bar
+    jac = prefix_jaccard_pairs(df, "text", "doc_id", 3, 0.8).collect()
+    assert jac == []
+
+
+def test_containment_pairs_no_false_negatives_brute(spark):
+    """Prefix+positional+size filters lose nothing: compare against the
+    O(n^2) set-arithmetic ground truth on a corpus slice."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.dedup import containment_pairs_prefix
+    import re
+
+    df = read_parquet_df(spark, "/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_prefix(df, "text", "doc_id", 3, 0.7).collect()
+    }
+    rows = df.select("doc_id", "text").where("text IS NOT NULL").collect()
+
+    def sh(t):
+        toks = re.findall(r"[0-9a-z]+", t.lower())
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {r["doc_id"]: sh(r["text"]) for r in rows}
+    truth = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b and sets[a]
+        and round(len(sets[a] & sets[b]) / len(sets[a]), 6) >= 0.7
+    }
+    assert truth <= got  # exactness: no false negatives
