@@ -3779,6 +3779,27 @@ def _sql_q161() -> str:
     )
 
 
+def q162_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity census over part quasi-identifiers (brand,
+    type) with p_size as the sensitive attribute: per-threshold share of
+    rows in classes with < l distinct sensitive values — the
+    homogeneity-attack readout k-anonymity (q158) cannot see. One
+    two-level distinct agg + one conditional aggregate
+    (operators/anonymize.l_diversity_census)."""
+    from pytrousse_spark.operators.anonymize import l_diversity_census
+
+    p = _t(spark, sf_dir, "part")
+    return l_diversity_census(p, ["p_brand", "p_type"], "p_size", [5, 8, 10, 12])
+
+
+def _sql_q162() -> str:
+    from pytrousse_spark.operators.anonymize import l_diversity_census_sql
+
+    return l_diversity_census_sql(
+        "SELECT * FROM part", ["p_brand", "p_type"], "p_size", [5, 8, 10, 12]
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4853,6 +4874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_prefix_dups": q159_prefix_dups,
         "q160_calibration": q160_calibration,
         "q161_containment": q161_containment,
+        "q162_l_diversity": q162_l_diversity,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage; the
         # -- three new-this-round gates above push q52/q53/q54 past the
@@ -5359,6 +5381,7 @@ def oracle_sql() -> dict[str, str]:
         "q159_prefix_dups": _sql_q159(),
         "q160_calibration": _sql_q160(),
         "q161_containment": _sql_q161(),
+        "q162_l_diversity": _sql_q162(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -213,3 +213,133 @@ def k_anonymity_census_sql(
            __lvl AS anonymity_level, __ng AS n_groups, __nr AS n_rows
     FROM arms ORDER BY k
     """
+
+
+def enforce_k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Suppression enforcement: drop every row whose quasi-identifier
+    equivalence class has fewer than ``k`` members, so the surviving
+    table IS k-anonymous (the fix :func:`k_anonymity_census` measures;
+    the census of the result reports rows_below = 0 at ``k`` — pinned in
+    tests/test_anonymize.py).
+
+    Scale: class sizes reduce map-side to one row per class; the fact
+    table then SEMI-joins the >= k classes on the same key — at 100 TB
+    the class frame is the small side (broadcast or co-partitioned),
+    the fact table shuffles at most once on the QI key, and AQE
+    broadcasts when the class frame fits.
+    """
+    if k < 2:
+        raise ValueError("enforce_k_anonymity: k must be >= 2")
+    big = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__c"))
+    keep = big.where(F.col("__c") >= k).drop("__c")
+    return df.join(keep, quasi_cols, "semi")
+
+
+def l_diversity_census(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    thresholds: list[int],
+) -> DataFrame:
+    """Distinct l-diversity census (Machanavajjhala 2006): k-anonymity
+    alone fails when an equivalence class is large but every member
+    shares the SAME sensitive value (the homogeneity attack — class
+    size 50, all '<disease X>' re-identifies perfectly). A class is
+    distinct-l-diverse iff it contains >= l distinct sensitive values.
+
+    Returns one row per threshold ``l`` (ascending):
+    ``(l, groups_below, rows_below, rows_share, diversity_level,
+    n_groups, n_rows)`` — the same shape as
+    :func:`k_anonymity_census` with class size replaced by the class's
+    distinct-sensitive-value count, so the two censuses read side by
+    side. NULL sensitive values count as one distinct value (SQL
+    count-distinct semantics drop NULLs; a class of only-NULLs has
+    diversity 0 in both engines).
+
+    Scale: one two-level distinct agg on (QI, sensitive) — map-side
+    dedup then per-class counts — followed by the same ONE conditional
+    aggregate + stack unpivot; no per-threshold rescan.
+    """
+    if not thresholds:
+        raise ValueError("l_diversity_census: thresholds must be non-empty")
+    ls = sorted(set(int(x) for x in thresholds))
+    if ls[0] < 2:
+        raise ValueError("l_diversity_census: thresholds must be >= 2")
+    g = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.countDistinct(sensitive_col).alias("__d"),
+    )
+    aggs = [
+        F.min("__d").cast("bigint").alias("__lvl"),
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum("__c").cast("bigint").alias("__nr"),
+    ]
+    for i, l in enumerate(ls):
+        aggs.append(
+            F.count(F.when(F.col("__d") < l, 1)).cast("bigint").alias(f"__g{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("__d") < l, F.col("__c"))), F.lit(0)
+            ).cast("bigint").alias(f"__r{i}")
+        )
+    one = g.agg(*aggs)
+    stack_args = ", ".join(f"{l}, __g{i}, __r{i}" for i, l in enumerate(ls))
+    return (
+        one.selectExpr(
+            f"stack({len(ls)}, {stack_args}) AS (l, groups_below, rows_below)",
+            "__lvl", "__ng", "__nr",
+        )
+        .select(
+            F.col("l").cast("int").alias("l"),
+            "groups_below",
+            "rows_below",
+            F.round(F.col("rows_below") / F.col("__nr"), 6).alias("rows_share"),
+            F.col("__lvl").alias("diversity_level"),
+            F.col("__ng").alias("n_groups"),
+            F.col("__nr").alias("n_rows"),
+        )
+        .orderBy("l")
+    )
+
+
+def l_diversity_census_sql(
+    table_expr: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    thresholds: list[int],
+) -> str:
+    """DuckDB twin of :func:`l_diversity_census`."""
+    ls = sorted(set(int(x) for x in thresholds))
+    qi = ", ".join(quasi_cols)
+    cond = ",\n               ".join(
+        f"CAST(count(*) FILTER (WHERE __d < {l}) AS BIGINT) AS __g{i},\n"
+        f"               CAST(COALESCE(sum(__c) FILTER (WHERE __d < {l}), 0)"
+        f" AS BIGINT) AS __r{i}"
+        for i, l in enumerate(ls)
+    )
+    arms = "\n        UNION ALL ".join(
+        f"SELECT {l} AS l, __g{i} AS groups_below, __r{i} AS rows_below,"
+        f" __lvl, __ng, __nr FROM one"
+        for i, l in enumerate(ls)
+    )
+    return f"""
+    WITH g AS (
+        SELECT count(*) AS __c, count(DISTINCT {sensitive_col}) AS __d
+        FROM ({table_expr}) GROUP BY {qi}
+    ), one AS MATERIALIZED (
+        SELECT CAST(min(__d) AS BIGINT) AS __lvl,
+               CAST(count(*) AS BIGINT) AS __ng,
+               CAST(sum(__c) AS BIGINT) AS __nr,
+               {cond}
+        FROM g
+    ), arms AS (
+        {arms}
+    )
+    SELECT CAST(l AS INT) AS l, groups_below, rows_below,
+           round(rows_below / CAST(__nr AS DOUBLE), 6) AS rows_share,
+           __lvl AS diversity_level, __ng AS n_groups, __nr AS n_rows
+    FROM arms ORDER BY l
+    """

@@ -118,3 +118,51 @@ def test_k_anonymity_census_rejects_bad_thresholds(spark):
         k_anonymity_census(df, ["qi"], [])
     with _pytest.raises(ValueError):
         k_anonymity_census(df, ["qi"], [1, 5])
+
+
+def test_enforce_k_anonymity_fixpoint(spark):
+    from pytrousse_spark.operators.anonymize import (
+        enforce_k_anonymity,
+        k_anonymity_census,
+    )
+
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(2)] + [("c", 0)]
+    df = spark.createDataFrame(rows, ["qi", "x"])
+    fixed = enforce_k_anonymity(df, ["qi"], 3)
+    assert fixed.count() == 5  # only class a survives
+    out = k_anonymity_census(fixed, ["qi"], [3]).collect()
+    assert out[0]["rows_below"] == 0 and out[0]["anonymity_level"] >= 3
+    # idempotent
+    assert enforce_k_anonymity(fixed, ["qi"], 3).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        enforce_k_anonymity(df, ["qi"], 1)
+
+
+def test_l_diversity_census_laws(spark):
+    from pytrousse_spark.operators.anonymize import l_diversity_census
+
+    rows = [
+        # class a: size 4, 1 distinct sensitive (homogeneous — the attack)
+        ("a", "flu"), ("a", "flu"), ("a", "flu"), ("a", "flu"),
+        # class b: size 3, 3 distinct
+        ("b", "flu"), ("b", "cold"), ("b", "cough"),
+        # class c: size 2, 2 distinct with a NULL (NULLs drop from
+        # count-distinct in both engines)
+        ("c", "flu"), ("c", None),
+    ]
+    df = spark.createDataFrame(rows, ["qi", "dx"])
+    out = {r["l"]: r for r in l_diversity_census(df, ["qi"], "dx", [2, 3]).collect()}
+    # diversity: a=1, b=3, c=1 (NULL dropped)
+    assert all(r["diversity_level"] == 1 for r in out.values())
+    assert (out[2]["groups_below"], out[2]["rows_below"]) == (2, 6)
+    # b is exactly 3-diverse, so it does NOT fall below l=3
+    assert (out[3]["groups_below"], out[3]["rows_below"]) == (2, 6)
+    assert out[2]["n_rows"] == 9
+    # a large-but-homogeneous class is invisible to k-anonymity at k<=4:
+    from pytrousse_spark.operators.anonymize import k_anonymity_census
+
+    k_out = k_anonymity_census(df, ["qi"], [3]).collect()[0]
+    assert k_out["rows_below"] == 2  # only class c (size 2) is below k=3
+    # ...class a (size 4) passes k-anonymity yet l-diversity flags it
