@@ -150,6 +150,9 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q112_prefix_jaccard",
         "q135_triangles",
         "q125_hll_trailing",
+        # round-5 addition: the asymmetric containment join (its risk is
+        # container-side full-posting growth, same axis as q112)
+        "q161_containment",
     ):
         fn = getattr(entrymod, name)
         t0 = time.perf_counter()
