@@ -3800,6 +3800,25 @@ def _sql_q162() -> str:
     )
 
 
+def q163_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style copy detection: doc pairs sharing >= 5 winnowed
+    k-gram fingerprints (Schleimer 2003 — any shared substring of
+    length >= k+w-1 guarantees a shared pick, at ~2/(w+1) storage).
+    Catches long verbatim spans that set-level Jaccard dilutes away.
+    Map-side winnowing + df-capped inverted-index self-join
+    (operators/dedup.winnow_overlap_pairs)."""
+    from pytrousse_spark.operators.dedup import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d, "text", "doc_id", 16, 8, 5, 50)
+
+
+def _sql_q163() -> str:
+    from pytrousse_spark.operators.dedup import winnow_overlap_pairs_sql
+
+    return winnow_overlap_pairs_sql("documents", "text", "doc_id", 16, 8, 5, 50)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4875,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_calibration": q160_calibration,
         "q161_containment": q161_containment,
         "q162_l_diversity": q162_l_diversity,
+        "q163_winnow_overlap": q163_winnow_overlap,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage; the
         # -- three new-this-round gates above push q52/q53/q54 past the
@@ -5382,6 +5402,7 @@ def oracle_sql() -> dict[str, str]:
         "q160_calibration": _sql_q160(),
         "q161_containment": _sql_q161(),
         "q162_l_diversity": _sql_q162(),
+        "q163_winnow_overlap": _sql_q163(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

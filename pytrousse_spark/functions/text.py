@@ -201,6 +201,119 @@ def fingerprint_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD
+    2003, the MOSS algorithm): hash every character ``k``-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum
+    (leftmost on ties — a fixed deterministic rule; the paper's
+    rightmost-rule density argument holds either way), and de-duplicate
+    consecutive picks. Guarantees: any shared substring of length
+    >= ``k + w - 1`` between two documents yields at least one shared
+    selected fingerprint, while only ~2/(w+1) of all k-grams are kept.
+
+    Returns ``array<struct<pos int, fp bigint>>`` of the selected
+    fingerprints with their 1-based character positions. Texts shorter
+    than ``k`` yield an empty array; with fewer than ``w`` k-grams the
+    whole gram list is one window (global min) — both engines truncate
+    the window slice identically.
+
+    Pure per-row JVM expression (h60 portable hashes inside HOF
+    lambdas): no shuffle, no UDF; cost is O(len) md5s + O(windows * w)
+    comparisons per row.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    return winnow_picks(kgram_hashes(col, k), w)
+
+
+def kgram_hashes(col: Column, k: int) -> Column:
+    """Portable 60-bit hash of every character ``k``-gram (HOF lambda —
+    ``Column.substr`` accepts a column start position inside transform).
+    NULL or shorter-than-k texts yield an empty array; the guard sits
+    BEFORE sequence() because Spark's ``sequence(1, n)`` with n < 1
+    DESCENDS instead of being empty.
+
+    STAGE THIS in a real column before calling :func:`winnow_picks`:
+    expression trees are re-inlined at every reference inside HOF
+    lambdas, so winnowing directly over this expression would recompute
+    every md5 per window (measured 80s vs 2s on 500 docs)."""
+    return F.when(
+        col.isNull() | (F.length(col) < k),
+        F.expr("array()").cast("array<bigint>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - F.lit(k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(col.substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+
+
+def winnow_picks(fps: Column, w: int) -> Column:
+    """Window-min selection over a STAGED k-gram hash array column (see
+    :func:`kgram_hashes`): each w-window's minimum with its leftmost
+    1-based gram position, consecutive duplicates dropped.
+
+    Consecutive-dedupe == full distinct under the leftmost-min rule: a
+    position dethroned by a later element can't be re-picked, because
+    the dethroner stays in every later window longer than it does — so
+    duplicate picks are always adjacent, and no struct-distinct is
+    needed (DuckDB's list_distinct can't do structs anyway)."""
+
+    def pick_pos(j):
+        return j - F.lit(1) + F.array_position(
+            F.slice(fps, j, w), F.array_min(F.slice(fps, j, w))
+        )
+
+    nw = F.greatest(F.size(fps) - F.lit(w - 1), F.lit(1))
+    wins = F.filter(
+        F.sequence(F.lit(1), nw),
+        lambda j: (j == F.lit(1)) | (pick_pos(j) != pick_pos(j - F.lit(1))),
+    )
+    picks = F.transform(
+        wins,
+        lambda j: F.struct(
+            pick_pos(j).cast("int").alias("pos"),
+            F.array_min(F.slice(fps, j, w)).alias("fp"),
+        ),
+    )
+    return F.when(
+        F.size(fps) == 0,
+        F.expr("array()").cast("array<struct<pos:int,fp:bigint>>"),
+    ).otherwise(picks)
+
+
+def winnow_fingerprints_sql(expr: str, k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` — identical k-gram
+    hash list, window min with leftmost-position rule, and the same
+    consecutive-window dedupe (list_filter on the window index)."""
+    fps = (
+        f"list_transform(range(1, length({expr}) - {k} + 2), "
+        f"i -> {h60_sql(f'substr({expr}, i, {k})')})"
+    )
+
+    def pick_pos(j: str) -> str:
+        sl = f"__wfps[{j} : {j} + {w} - 1]"
+        return f"({j} - 1 + list_position({sl}, list_min({sl})))"
+
+    wins = (
+        f"list_filter(range(1, greatest(len(__wfps) - {w} + 1, 1) + 1), "
+        f"j -> j = 1 OR {pick_pos('j')} != {pick_pos('(j - 1)')})"
+    )
+    picks = (
+        f"list_transform({wins}, "
+        f"j -> {{pos: CAST({pick_pos('j')} AS INT), "
+        f"fp: list_min(__wfps[j : j + {w} - 1])}})"
+    )
+    return (
+        f"(SELECT CASE WHEN {expr} IS NULL OR length({expr}) < {k} "
+        f"THEN CAST([] AS STRUCT(pos INT, fp BIGINT)[]) "
+        f"ELSE {picks} END "
+        f"FROM (SELECT {fps} AS __wfps))"
+    )
+
+
 def chunk_documents(
     df,
     text_col: str,

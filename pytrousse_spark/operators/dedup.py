@@ -1961,3 +1961,103 @@ def containment_pairs_prefix_sql(
     WHERE round(len(list_intersect(a.__arr, b.__arr))
                 / CAST(a.__sz AS DOUBLE), 6) >= {threshold}
     """
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 5,
+    max_df: int = 50,
+) -> DataFrame:
+    """MOSS-style local-fingerprint overlap detection (Schleimer 2003):
+    pairs of documents sharing >= ``min_shared`` winnowed fingerprints
+    — the copy-detection primitive that catches LONG VERBATIM SPANS
+    (any shared substring of length >= k+w-1 guarantees a shared
+    fingerprint) regardless of how different the rest of the documents
+    are, where set-level Jaccard/containment dilute local overlap away.
+
+    Returns ``(id_a, id_b, shared_fps)`` with id_a < id_b, descending
+    shared_fps then ascending ids.
+
+    Scale: winnowing keeps ~2/(w+1) of k-grams per doc as a pure
+    map-side expression; the pair search is an inverted-index self-join
+    on fingerprint keys whose postings are capped at ``max_df`` docs
+    (boilerplate fingerprints shared by more docs carry no pair signal
+    and are dropped BEFORE the join — the same frequent-key guard as
+    the prefix joins; dropped mass is recoverable by raising max_df).
+    Only (fp, id) pairs shuffle; text never moves past the first scan.
+    """
+    from ..functions.text import kgram_hashes, winnow_picks
+    from ..io import rebalance_undersplit
+
+    fp = (
+        rebalance_undersplit(df)
+        # the k-gram hash array MUST be a staged column: HOF lambdas
+        # re-inline expression trees at every reference, so winnowing
+        # straight over the hash expression recomputes every md5 per
+        # window (measured 80s vs ~2s on 500 docs)
+        .select(
+            F.col(id_col).alias("__id"),
+            kgram_hashes(F.col(text_col), k).alias("__kg"),
+        )
+        .select("__id", winnow_picks(F.col("__kg"), w).alias("__fps"))
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(F.expr("transform(__fps, x -> x.fp)"))
+            ).alias("__fp"),
+        )
+    )
+    dfc = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))
+    posting = fp.join(
+        F.broadcast(dfc.where(F.col("__df") <= max_df).select("__fp")),
+        "__fp",
+    )
+    l, r = posting.alias("l"), posting.alias("r")
+    return (
+        l.join(r, "__fp")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .groupBy(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+        .orderBy(F.desc("shared_fps"), "id_a", "id_b")
+    )
+
+
+def winnow_overlap_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 5,
+    max_df: int = 50,
+) -> str:
+    """DuckDB twin of :func:`winnow_overlap_pairs`."""
+    from ..functions.text import winnow_fingerprints_sql
+
+    wf = winnow_fingerprints_sql(text_col, k, w)
+    return f"""
+    WITH fp AS (
+        SELECT {id_col} AS __id,
+               unnest(list_distinct(list_transform({wf}, x -> x.fp)))
+                   AS __fp
+        FROM {table}
+    ), keep AS (
+        SELECT __fp FROM fp GROUP BY __fp HAVING count(*) <= {max_df}
+    ), posting AS (
+        SELECT fp.__id, fp.__fp FROM fp JOIN keep USING (__fp)
+    )
+    SELECT l.__id AS id_a, r.__id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM posting l JOIN posting r USING (__fp)
+    WHERE l.__id < r.__id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    ORDER BY shared_fps DESC, id_a, id_b
+    """

@@ -340,3 +340,71 @@ def test_smoothed_sampling_weights_laws(spark):
     assert sum(r["weight"] for r in out.values()) == _pytest.approx(
         1.0, abs=1e-5
     )
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer 2003 laws: (1) any shared substring of length >= k+w-1
+    yields >= 1 shared selected fingerprint; (2) selection keeps roughly
+    2/(w+1) of grams; (3) picks are position-ordered and deduped."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.functions.text import kgram_hashes, winnow_picks
+
+    k, w = 8, 4
+    shared = "the common span that both documents carry verbatim here"
+    a = "AAAA " + shared + " tail of a"
+    b = "completely different opening words " + shared + " and b's own end"
+    df = spark.createDataFrame([(1, a), (2, b)], ["id", "t"])
+    out = (
+        df.select("id", kgram_hashes(F.col("t"), k).alias("__kg"))
+        .select("id", winnow_picks(F.col("__kg"), w).alias("fps"))
+        .collect()
+    )
+    by = {r["id"]: [(p["pos"], p["fp"]) for p in r["fps"]] for r in out}
+    assert len(shared) >= k + w - 1
+    assert {fp for _, fp in by[1]} & {fp for _, fp in by[2]}
+    for picks in by.values():
+        poss = [p for p, _ in picks]
+        assert poss == sorted(poss)
+        assert len(set(picks)) == len(picks)  # no duplicate (pos, fp)
+    # density: n_grams/(w) >= picks >= n_grams/(w) * ~... loose bounds
+    n_grams = len(a) - k + 1
+    assert len(by[1]) <= n_grams
+    assert len(by[1]) >= n_grams // (w + 1)
+
+
+def test_winnowing_short_and_null_texts(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.functions.text import kgram_hashes, winnow_picks
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, "exactly8")], ["id", "t"]
+    )
+    out = (
+        df.select("id", kgram_hashes(F.col("t"), 8).alias("__kg"))
+        .select("id", winnow_picks(F.col("__kg"), 4).alias("fps"))
+        .collect()
+    )
+    by = {r["id"]: r["fps"] for r in out}
+    assert by[1] == [] and by[2] == []
+    assert len(by[3]) == 1 and by[3][0]["pos"] == 1
+
+
+def test_winnow_overlap_pairs_finds_plagiarism(spark):
+    """A verbatim span transplanted between otherwise-different docs is
+    found; unrelated docs are not paired."""
+    from pytrousse_spark.operators.dedup import winnow_overlap_pairs
+
+    # NON-periodic span: a repeated phrase would collapse to few distinct
+    # k-gram hashes and fall under min_shared by design
+    span = " ".join(f"verbatim{i} sentence{i*7%13}" for i in range(12))
+    rows = [
+        (1, "intro one. " + span + " closing remarks of one."),
+        (2, "a different beginning " + span + " unrelated finale."),
+        (3, "totally unrelated text about completely other things " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = winnow_overlap_pairs(df, "text", "doc_id", 16, 8, 5, 50).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["shared_fps"] >= 5
