@@ -3819,6 +3819,25 @@ def _sql_q163() -> str:
     return winnow_overlap_pairs_sql("documents", "text", "doc_id", 16, 8, 5, 50)
 
 
+def q164_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer training (Sennrich 2016): 10 merges
+    learned from the corpus word-frequency vocabulary — exact BIGINT
+    pair counts, lexicographic tie-break, greedy merge application via
+    sentinel-wrapped string replace. The oracle RE-DERIVES every merge
+    itself (unrolled training replay, operators/bpe.bpe_train_sql), so
+    the gate certifies the whole training chain, not just the artifact."""
+    from pytrousse_spark.operators.bpe import bpe_merge_table
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merge_table(d, "text", 10)
+
+
+def _sql_q164() -> str:
+    from pytrousse_spark.operators.bpe import bpe_train_sql
+
+    return bpe_train_sql("documents", "text", 10)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4895,6 +4914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_containment": q161_containment,
         "q162_l_diversity": q162_l_diversity,
         "q163_winnow_overlap": q163_winnow_overlap,
+        "q164_bpe_train": q164_bpe_train,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage; the
         # -- three new-this-round gates above push q52/q53/q54 past the
@@ -5403,6 +5423,7 @@ def oracle_sql() -> dict[str, str]:
         "q161_containment": _sql_q161(),
         "q162_l_diversity": _sql_q162(),
         "q163_winnow_overlap": _sql_q163(),
+        "q164_bpe_train": _sql_q164(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),
