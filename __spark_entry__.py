@@ -3838,6 +3838,65 @@ def _sql_q164() -> str:
     return bpe_train_sql("documents", "text", 10)
 
 
+def q165_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (Bolstad 2003 CDF matching): map each
+    return-flag group's price distribution onto the POOLED distribution
+    — per-group sketch rank (no per-group sort) + global-histogram
+    inverse CDF via a broadcast mass-range join. Summarized per (group,
+    decile of the normalized value) with micro-unit mean folds; after
+    normalization the per-group means align across groups — the
+    batch-effect-removal readout (operators/transforms.quantile_normalize)."""
+    from pytrousse_spark.operators.transforms import quantile_normalize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    qn = quantile_normalize(li, "l_returnflag", "l_extendedprice")
+    return (
+        qn.where(F.col("qn_value").isNotNull())
+        .select(
+            "l_returnflag",
+            F.least(
+                F.lit(9),
+                F.floor(F.col("qn_value") * 10 / F.lit(110000.0)).cast("int"),
+            ).alias("decile"),
+            F.round(F.col("qn_value") * F.lit(1e2), 0)
+            .cast("bigint")
+            .alias("__cents"),
+        )
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum("__cents") / (F.count(F.lit(1)) * F.lit(100.0)), 2
+            ).alias("mean_qn"),
+        )
+        .orderBy("l_returnflag", "decile")
+    )
+
+
+def _sql_q165() -> str:
+    from pytrousse_spark.operators.transforms import quantile_normalize_sql
+
+    inner = quantile_normalize_sql(
+        "(SELECT l_returnflag, l_extendedprice FROM lineitem) AS li0",
+        "l_returnflag",
+        "l_extendedprice",
+    )
+    return f"""
+    SELECT l_returnflag,
+           CAST(least(9, CAST(floor(qn_value * 10 / 110000.0) AS INT))
+                AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(qn_value * 1e2, 0) AS BIGINT))
+                      AS DOUBLE) / (count(*) * 100.0), 2) AS mean_qn
+    FROM ({inner})
+    WHERE qn_value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4915,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_l_diversity": q162_l_diversity,
         "q163_winnow_overlap": q163_winnow_overlap,
         "q164_bpe_train": q164_bpe_train,
+        "q165_quantile_normalize": q165_quantile_normalize,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage; the
         # -- three new-this-round gates above push q52/q53/q54 past the
@@ -5424,6 +5484,7 @@ def oracle_sql() -> dict[str, str]:
         "q162_l_diversity": _sql_q162(),
         "q163_winnow_overlap": _sql_q163(),
         "q164_bpe_train": _sql_q164(),
+        "q165_quantile_normalize": _sql_q165(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -386,3 +386,157 @@ def percent_rank_transform_approx_sql(
     SELECT *, CAST(NULL AS DOUBLE) AS {out_col}
     FROM {table} WHERE {vc} IS NULL
     """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "qn_value",
+    rank_bins: int = 4096,
+    value_bins: int = 256,
+) -> DataFrame:
+    """Quantile normalization / CDF matching (Bolstad 2003's microarray
+    practice; the batch-effect corrector for mixed-source features): map
+    every group's values onto the POOLED distribution, so after the
+    transform all groups share the global marginal — rank each value
+    within its group, then read the pooled inverse CDF at that rank.
+
+    Both stages are sketch-based and scale-safe: the per-group rank is
+    :func:`percent_rank_transform_approx` (histogram CDF, no per-group
+    sort), and the pooled inverse CDF is a ``value_bins``-row global
+    histogram the rank rows LEFT-join on a mass-range predicate — a
+    broadcast nested-loop against a tiny bin table (the q52 range-join
+    shape), never a sort or a fact-side shuffle. Each row's normalized
+    value interpolates linearly inside its target bin:
+    ``glo + (bin-1 + (m - cum_lo)/(cum_hi - cum_lo)) * span/B`` with
+    ``m = rank * n_global``; rank 0 lands on the global minimum via the
+    left-join coalesce. NULL values pass through with NULL output.
+
+    Output: the input columns plus ``out_col`` (rounded 6).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ranked = percent_rank_transform_approx(
+        df, group_col, value_col, "__qr", rank_bins
+    )
+    v = F.col(value_col)
+    nn = df.where(v.isNotNull())
+    gstats = nn.agg(
+        F.min(value_col).cast("double").alias("__glo"),
+        F.max(value_col).cast("double").alias("__ghi"),
+        F.count(F.lit(1)).cast("bigint").alias("__gn"),
+    )
+    span = F.col("__ghi") - F.col("__glo")
+    gpos = (v.cast("double") - F.col("__glo")) / span * value_bins
+    gbinned = nn.crossJoin(F.broadcast(gstats)).select(
+        F.when(F.col("__ghi") == F.col("__glo"), F.lit(0))
+        .otherwise(
+            F.least(F.floor(gpos).cast("long"), F.lit(value_bins - 1))
+        )
+        .alias("__gb")
+    )
+    wb = Window.orderBy("__gb").rowsBetween(Window.unboundedPreceding, -1)
+    gcdf = (
+        gbinned.groupBy("__gb")
+        .agg(F.count(F.lit(1)).alias("__gc"))
+        .select(
+            "__gb",
+            F.coalesce(F.sum("__gc").over(wb), F.lit(0)).alias("__cum_lo"),
+            (F.coalesce(F.sum("__gc").over(wb), F.lit(0)) + F.col("__gc"))
+            .alias("__cum_hi"),
+        )
+    )
+    m = F.col("__qr") * F.col("__gn")
+    joined = (
+        ranked.crossJoin(F.broadcast(gstats))
+        .join(
+            F.broadcast(gcdf),
+            (m > F.col("__cum_lo")) & (m <= F.col("__cum_hi")),
+            "left",
+        )
+    )
+    width = span / F.lit(value_bins)
+    interp = F.col("__glo") + (
+        (F.col("__gb") - F.lit(0))  # __gb is 0-based: bin b covers
+        + (m - F.col("__cum_lo"))   # [glo + b*width, glo + (b+1)*width)
+        / (F.col("__cum_hi") - F.col("__cum_lo"))
+    ) * width
+    clamped = F.greatest(
+        F.col("__glo"),
+        F.least(F.col("__ghi"), F.coalesce(interp, F.col("__glo"))),
+    )
+    # EXPLICIT scaled-multiply rounding in both engines: Spark's
+    # round(x, 6) is decimal-exact (BigDecimal of the double) while
+    # DuckDB's multiplies by 1e6 first — on a knife edge (x*1e6 landing
+    # exactly on .5 through float error) they disagree (measured: one
+    # row in 6000 at sf0.001). round(x*1e6, 0)/1e6 written out makes
+    # both engines round the SAME binary double, which provably agrees.
+    qn = F.when(
+        v.isNull() | F.col("__qr").isNull(), F.lit(None).cast("double")
+    ).otherwise(F.round(clamped * F.lit(1e6), 0) / F.lit(1e6))
+    return joined.withColumn(out_col, qn).drop(
+        "__qr", "__glo", "__ghi", "__gn", "__gb", "__cum_lo", "__cum_hi"
+    )
+
+
+def quantile_normalize_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    out_col: str = "qn_value",
+    rank_bins: int = 4096,
+    value_bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`quantile_normalize` — composes the rank
+    twin as a subquery, then the identical global histogram, mass-range
+    join, and interpolation expressions."""
+    prta = percent_rank_transform_approx_sql(
+        table, group_col, value_col, "__qr", rank_bins
+    )
+    vc, B = value_col, value_bins
+    return f"""
+    WITH ranked AS ({prta}
+    ), gnn AS (
+        SELECT * FROM {table} WHERE {vc} IS NOT NULL
+    ), gs AS MATERIALIZED (
+        SELECT CAST(min({vc}) AS DOUBLE) AS __glo,
+               CAST(max({vc}) AS DOUBLE) AS __ghi,
+               CAST(count(*) AS BIGINT) AS __gn
+        FROM gnn
+    ), gb AS (
+        SELECT CASE WHEN gs.__ghi = gs.__glo THEN 0
+                    ELSE least(CAST(floor((CAST({vc} AS DOUBLE) - gs.__glo)
+                                          / (gs.__ghi - gs.__glo) * {B})
+                                    AS BIGINT), {B - 1})
+               END AS __gb
+        FROM gnn CROSS JOIN gs
+    ), gcdf AS MATERIALIZED (
+        SELECT __gb,
+               CAST(coalesce(sum(__gc) OVER (
+                   ORDER BY __gb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS __cum_lo,
+               CAST(coalesce(sum(__gc) OVER (
+                   ORDER BY __gb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + __gc AS BIGINT) AS __cum_hi
+        FROM (SELECT __gb, CAST(count(*) AS BIGINT) AS __gc
+              FROM gb GROUP BY 1)
+    )
+    SELECT r.* EXCLUDE (__qr),
+           CASE WHEN r.__qr IS NULL THEN CAST(NULL AS DOUBLE)
+                ELSE round(greatest(gs.__glo, least(gs.__ghi,
+                    coalesce(gs.__glo + (c.__gb
+                        + (r.__qr * gs.__gn - c.__cum_lo)
+                          / (c.__cum_hi - c.__cum_lo))
+                      * ((gs.__ghi - gs.__glo) / {B}), gs.__glo)))
+                    * 1e6, 0) / 1e6
+           END AS {out_col}
+    FROM ranked r
+    CROSS JOIN gs
+    LEFT JOIN gcdf c
+      ON r.__qr * gs.__gn > c.__cum_lo
+     AND r.__qr * gs.__gn <= c.__cum_hi
+    """

@@ -262,3 +262,66 @@ def test_percent_rank_approx_laws(spark):
         percent_rank_transform_approx_sql("t", "grp", "v"),
     )
     con.close()
+
+
+def test_quantile_normalize_matches_pooled_distribution(spark):
+    """The point of the transform: after normalization every group's
+    quantiles approximate the POOLED originals — groups with shifted
+    distributions land on a common marginal."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.transforms import quantile_normalize
+
+    rng = random.Random(7)
+    rows = [("a", rng.uniform(0, 100)) for _ in range(800)] + [
+        ("b", rng.uniform(500, 600)) for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_normalize(df, "g", "v").collect()
+    by = {"a": [], "b": []}
+    for r in out:
+        by[r["g"]].append(r["qn_value"])
+    pooled = sorted(v for _, v in rows)
+    import bisect
+
+    def q(vals, p):
+        s = sorted(vals)
+        return s[int(p * (len(s) - 1))]
+
+    def pooled_rank(x):
+        return bisect.bisect_right(pooled, x) / len(pooled)
+
+    # compare in RANK space (value space is meaningless at CDF jumps —
+    # this pooled distribution has a [100, 500] gap where both edges are
+    # "the median"): each group's p-quantile must sit at pooled rank ~p
+    for p in (0.1, 0.25, 0.5, 0.75, 0.9):
+        for g in ("a", "b"):
+            assert abs(pooled_rank(q(by[g], p)) - p) < 0.03
+    # and both groups share a marginal: their deciles agree in rank
+    for p in (0.25, 0.5, 0.75):
+        assert (
+            abs(pooled_rank(q(by["a"], p)) - pooled_rank(q(by["b"], p)))
+            < 0.03
+        )
+
+
+def test_quantile_normalize_edges_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.transforms import quantile_normalize
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", None)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r["g"], r["v"]): r["qn_value"] for r in quantile_normalize(df, "g", "v").collect()}
+    # NULL passes through NULL
+    assert out[("b", None)] is None
+    # group minimum (rank 0) maps to the global minimum
+    assert out[("a", 1.0)] == 1.0
+    # singleton group b: rank 0 -> global minimum too
+    assert out[("b", 10.0)] == 1.0
+    # outputs stay inside the global range
+    assert all(
+        v is None or 1.0 <= v <= 10.0 for v in out.values()
+    )
