@@ -5322,6 +5322,17 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("rel_err"),
         )
 
+    def x163(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # q163's fast tier: winnowing over xxhash64 k-gram hashes — the
+        # md5 tier exists for DuckDB verifiability; production fingerprints
+        # use the JVM hash (~3s of the q163 headline is md5+conv).
+        from pytrousse_spark.operators.dedup import winnow_overlap_pairs
+
+        d = _t(spark, sf_dir, "documents")
+        return winnow_overlap_pairs(
+            d, "text", "doc_id", 16, 8, 5, 50, hash_fn="xxhash64"
+        )
+
     return {
         "x16_percentiles_sketch": x16,
         "x42_minhash_xxhash64": x42,
@@ -5336,6 +5347,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x90_pq_adc_pretrained": x90,
         "x100_quantiles_exact_baseline": x100,
         "x101_ivf_pq_pretrained": x101,
+        "x163_winnow_xxhash64": x163,
     }
 
 

@@ -1971,6 +1971,7 @@ def winnow_overlap_pairs(
     w: int = 8,
     min_shared: int = 5,
     max_df: int = 50,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MOSS-style local-fingerprint overlap detection (Schleimer 2003):
     pairs of documents sharing >= ``min_shared`` winnowed fingerprints
@@ -2001,7 +2002,7 @@ def winnow_overlap_pairs(
         # window (measured 80s vs ~2s on 500 docs)
         .select(
             F.col(id_col).alias("__id"),
-            kgram_hashes(F.col(text_col), k).alias("__kg"),
+            kgram_hashes(F.col(text_col), k, hash_fn).alias("__kg"),
         )
         .select("__id", winnow_picks(F.col("__kg"), w).alias("__fps"))
         .select(

@@ -408,3 +408,22 @@ def test_winnow_overlap_pairs_finds_plagiarism(spark):
     pairs = winnow_overlap_pairs(df, "text", "doc_id", 16, 8, 5, 50).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["shared_fps"] >= 5
+
+
+def test_winnow_overlap_pairs_xxhash64_tier(spark):
+    """The fast-hash tier finds the same planted overlap (pair sets can
+    differ at df-cap margins on real corpora; on this fixture they must
+    agree exactly)."""
+    from pytrousse_spark.operators.dedup import winnow_overlap_pairs
+
+    span = " ".join(f"verbatim{i} sentence{i*7%13}" for i in range(12))
+    rows = [
+        (1, "intro one. " + span + " closing remarks of one."),
+        (2, "a different beginning " + span + " unrelated finale."),
+        (3, "totally unrelated text about completely other things " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fast = winnow_overlap_pairs(
+        df, "text", "doc_id", 16, 8, 5, 50, hash_fn="xxhash64"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in fast] == [(1, 2)]
