@@ -3897,6 +3897,30 @@ def _sql_q165() -> str:
     """
 
 
+def q166_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection (Page 1954) per event type over the
+    daily value series: one-sided cumulative sums with slack k=2 and
+    threshold h=5, computed in CLOSED FORM as reflected random walks
+    (cumsum minus running-min) — two window folds over the calendar-
+    bounded bucket grid, exact micro-unit integers throughout
+    (operators/timeseries.cusum_changepoints). The drift detector with
+    memory beside q121's per-point MAD outliers."""
+    from pytrousse_spark.operators.timeseries import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoints(
+        ev, "ts", "value", "day", 2.0, 5.0, ["event_type"]
+    )
+
+
+def _sql_q166() -> str:
+    from pytrousse_spark.operators.timeseries import cusum_changepoints_sql
+
+    return cusum_changepoints_sql(
+        "events", "ts", "value", "day", 2.0, 5.0, ["event_type"]
+    )
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -4975,6 +4999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_winnow_overlap": q163_winnow_overlap,
         "q164_bpe_train": q164_bpe_train,
         "q165_quantile_normalize": q165_quantile_normalize,
+        "q166_cusum": q166_cusum,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage; the
         # -- three new-this-round gates above push q52/q53/q54 past the
@@ -5497,6 +5522,7 @@ def oracle_sql() -> dict[str, str]:
         "q163_winnow_overlap": _sql_q163(),
         "q164_bpe_train": _sql_q164(),
         "q165_quantile_normalize": _sql_q165(),
+        "q166_cusum": _sql_q166(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -716,3 +716,183 @@ def rolling_time_window(
     return matched.withColumn("roll_n", roll_n).withColumn(
         "roll_avg", roll_avg
     ).drop(*helper)
+
+
+def cusum_changepoints(
+    df: "DataFrame",
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+    k: float = 0.5,
+    h: float = 5.0,
+    group_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Tabular CUSUM mean-shift detection (Page 1954; the SPC control
+    chart): per time bucket, the one-sided cumulative sums
+    ``S+ = max(0, S+ + (x - mu0 - k))`` / ``S- = max(0, S- - (x - mu0 + k))``
+    with slack ``k`` and decision threshold ``h``; a bucket where either
+    side exceeds ``h`` flags a sustained mean shift — drift detection
+    with memory, where a per-bucket z-score only sees single outliers.
+
+    The recursion is computed in CLOSED FORM as a reflected random walk:
+    ``S+_t = W_t - min(0, min_{i<=t} W_i)`` with ``W`` the running sum
+    of ``(x - mu0 - k)`` (and symmetrically for ``S-``) — two plain
+    window folds, no iterative state.
+
+    Exactness: bucket means are micro-unit BIGINTs (scale-0 rounding of
+    an exact-integer division — the one rounding scale with no
+    cross-engine multiply hazard); mu0 is the mean of bucket means,
+    same staging; every cumulative fold is integer. Output values are
+    micro/1e6 re-roundings of integers — cross-engine identical.
+
+    Scale: ONE map-side bucket aggregation over the corpus; all windows
+    run on the (group x bucket) grid, which is calendar-bounded, never
+    event-bounded. ``mu0`` here is the all-time per-group mean (two
+    passes over the tiny bucket frame); streaming deployments would feed
+    a trained reference instead.
+
+    Returns per bucket: ``(group_cols..., bucket, n, mean_value, s_pos,
+    s_neg, is_shift)`` ordered by (group, bucket).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols or [])
+    k_micro = int(round(k * 1_000_000))
+    h_micro = int(round(h * 1_000_000))
+    b = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *gcols,
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.round(F.col(value_col).cast("double") * F.lit(1_000_000), 0)
+                .cast("bigint")
+            ).cast("bigint").alias("__sm"),
+        )
+        .withColumn(
+            "__mm", F.round(F.col("__sm") / F.col("n"), 0).cast("bigint")
+        )
+    )
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    mu0 = F.round(
+        F.sum("__mm").over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        / F.count(F.lit(1)).over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+        0,
+    ).cast("bigint")
+    b = b.withColumn("__mu0", mu0)
+    wcum = (
+        Window.partitionBy(*gcols).orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        if gcols
+        else Window.partitionBy().orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    # stage the random walks, THEN reflect: a window over a window
+    # must be two selects
+    walked = b.select(
+        *gcols,
+        "bucket",
+        "n",
+        "__mm",
+        F.sum(F.col("__mm") - F.col("__mu0") - F.lit(k_micro))
+        .over(wcum)
+        .cast("bigint")
+        .alias("__wp"),
+        F.sum(F.col("__mm") - F.col("__mu0") + F.lit(k_micro))
+        .over(wcum)
+        .cast("bigint")
+        .alias("__wn"),
+    )
+    s_pos = F.col("__wp") - F.least(
+        F.lit(0).cast("bigint"), F.min("__wp").over(wcum)
+    )
+    s_neg = (
+        F.greatest(F.lit(0).cast("bigint"), F.max("__wn").over(wcum))
+        - F.col("__wn")
+    )
+    staged = walked.select(
+        *gcols,
+        "bucket",
+        "n",
+        F.round(F.col("__mm") / F.lit(1e6), 6).alias("mean_value"),
+        s_pos.alias("__sp"),
+        s_neg.alias("__sn"),
+    )
+    return staged.select(
+        *gcols,
+        "bucket",
+        "n",
+        "mean_value",
+        F.round(F.col("__sp") / F.lit(1e6), 6).alias("s_pos"),
+        F.round(F.col("__sn") / F.lit(1e6), 6).alias("s_neg"),
+        (
+            (F.col("__sp") > F.lit(h_micro)) | (F.col("__sn") > F.lit(h_micro))
+        ).alias("is_shift"),
+    ).orderBy(*gcols, "bucket")
+
+
+def cusum_changepoints_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+    k: float = 0.5,
+    h: float = 5.0,
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`cusum_changepoints` — identical micro-unit
+    staging, scale-0 roundings, and the same two-stage reflected-walk
+    windows."""
+    gcols = list(group_cols or [])
+    km = int(round(k * 1_000_000))
+    hm = int(round(h * 1_000_000))
+    gsel = "".join(f"{c}, " for c in gcols)
+    gpart = ("PARTITION BY " + ", ".join(gcols)) if gcols else ""
+    return f"""
+    WITH b AS (
+        SELECT {gsel}CAST(date_trunc('{unit}', CAST({ts_col} AS TIMESTAMP))
+                          AS TIMESTAMP) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 1000000,
+                                   0) AS BIGINT)) AS BIGINT) AS __sm
+        FROM {table}
+        WHERE {value_col} IS NOT NULL
+        GROUP BY ALL
+    ), m AS (
+        SELECT *, CAST(round(__sm / n, 0) AS BIGINT) AS __mm FROM b
+    ), mu AS (
+        SELECT *,
+               CAST(round(CAST(sum(__mm) OVER ({gpart}) AS BIGINT)
+                          / count(*) OVER ({gpart}), 0) AS BIGINT) AS __mu0
+        FROM m
+    ), walked AS (
+        SELECT *,
+               CAST(sum(__mm - __mu0 - {km}) OVER w AS BIGINT) AS __wp,
+               CAST(sum(__mm - __mu0 + {km}) OVER w AS BIGINT) AS __wn
+        FROM mu
+        WINDOW w AS ({gpart} ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), refl AS (
+        SELECT *,
+               __wp - least(CAST(0 AS BIGINT),
+                            CAST(min(__wp) OVER w AS BIGINT)) AS __sp,
+               greatest(CAST(0 AS BIGINT),
+                        CAST(max(__wn) OVER w AS BIGINT)) - __wn AS __sn
+        FROM walked
+        WINDOW w AS ({gpart} ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT {gsel}bucket, n,
+           round(__mm / 1e6, 6) AS mean_value,
+           round(__sp / 1e6, 6) AS s_pos,
+           round(__sn / 1e6, 6) AS s_neg,
+           (__sp > {hm} OR __sn > {hm}) AS is_shift
+    FROM refl
+    ORDER BY {gsel}bucket
+    """

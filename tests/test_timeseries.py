@@ -288,3 +288,90 @@ def test_rolling_time_window_matches_plain_window_on_events(spark):
         | (F.col("roll_avg") != F.col("ra"))
     ).count()
     assert bad == 0 and j.count() == ev.count()
+
+
+def test_cusum_detects_planted_shift(spark):
+    """A series flat at 10 that jumps to 13 on day 11: S+ accumulates
+    (13 - mu0 - k) per day after the shift and crosses h; the flat
+    prefix never flags; S- stays at 0 after the shift."""
+    from datetime import datetime
+
+    from pytrousse_spark.operators.timeseries import cusum_changepoints
+
+    rows = []
+    for d in range(1, 21):
+        v = 10.0 if d <= 10 else 13.0
+        for i in range(5):
+            rows.append((datetime(2024, 1, d, i), v))
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = cusum_changepoints(df, "ts", "value", "day", 0.5, 3.0)
+    got = out.collect()
+    assert len(got) == 20
+    # mu0 = 11.5 (pooled): the LOW prefix is itself a negative shift
+    # from the pooled mean — S- accumulates 1.0/day and crosses h=3 on
+    # day 4, then drains 2.0/day after the jump; S+ accumulates 1.0/day
+    # from day 11 and crosses on day 14
+    by_day = {r["bucket"].day: r for r in got}
+    assert by_day[4]["is_shift"] and by_day[4]["s_neg"] == 4.0
+    assert by_day[14]["is_shift"] and by_day[14]["s_pos"] == 4.0
+    assert not by_day[3]["is_shift"]  # S- exactly 3, not yet > h
+    assert by_day[10]["s_neg"] == 10.0  # full prefix accumulation
+    assert by_day[12]["s_neg"] == 6.0   # draining 2/day after the jump
+    assert by_day[1]["s_pos"] == 0.0 and not by_day[1]["is_shift"]
+    # a genuinely single-regime series never flags
+    flat = spark.createDataFrame(
+        [(datetime(2024, 1, d), 10.0) for d in range(1, 21)],
+        ["ts", "value"],
+    )
+    flat_out = cusum_changepoints(flat, "ts", "value", "day", 0.5, 3.0)
+    assert all(not r["is_shift"] for r in flat_out.collect())
+
+
+def test_cusum_matches_recursive_reference(spark):
+    """The reflected-random-walk closed form equals the textbook
+    recursion max(0, S + dev) computed in Python."""
+    import random
+    from datetime import datetime
+
+    from pytrousse_spark.operators.timeseries import cusum_changepoints
+
+    rng = random.Random(3)
+    vals = [round(50 + rng.uniform(-8, 8), 3) for _ in range(25)]
+    rows = [(datetime(2024, 2, 1 + i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    k, h = 1.0, 4.0
+    got = cusum_changepoints(df, "ts", "value", "day", k, h).collect()
+    # reference recursion in exact micro-units (mirroring the operator's
+    # scale-0 rounded bucket means and mu0)
+    mm = [round(v * 1_000_000) for v in vals]
+    mu0 = round(sum(mm) / len(mm))
+    km = round(k * 1_000_000)
+    sp = sn = 0
+    for r, x in zip(got, mm):
+        sp = max(0, sp + (x - mu0 - km))
+        sn = max(0, sn - (x - mu0 + km))
+        assert r["s_pos"] == round(sp / 1e6, 6)
+        assert r["s_neg"] == round(sn / 1e6, 6)
+
+
+def test_cusum_grouped_independent_series(spark):
+    """Groups are independent: a shifted group flags, a flat one never
+    does, and each group's mu0 is its own."""
+    from datetime import datetime
+
+    from pytrousse_spark.operators.timeseries import cusum_changepoints
+
+    rows = []
+    for d in range(1, 15):
+        rows.append(("flat", datetime(2024, 3, d), 5.0))
+        rows.append(("shift", datetime(2024, 3, d), 5.0 if d <= 7 else 11.0))
+    df = spark.createDataFrame(rows, ["g", "ts", "value"])
+    out = cusum_changepoints(
+        df, "ts", "value", "day", 0.5, 4.0, ["g"]
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["g"], []).append(r)
+    assert all(not r["is_shift"] for r in by["flat"])
+    assert any(r["is_shift"] for r in by["shift"])
+    assert all(r["mean_value"] == 5.0 for r in by["flat"])
