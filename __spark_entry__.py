@@ -3921,6 +3921,50 @@ def _sql_q166() -> str:
     )
 
 
+def q167_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every view in the 3-day lookback
+    before a purchase shares the purchase value equally — exact integer
+    micro-unit credits with the division remainder pinned to the
+    earliest touch, so per-purchase credit conserves bit-for-bit
+    (operators/cohort.linear_attribution). The equal-credit sibling of
+    q140's last-touch as-of join."""
+    from pytrousse_spark.operators.cohort import linear_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.get_json_object("props", "$.k").cast("long").alias("campaign"),
+    )
+    return linear_attribution(
+        purchases, views,
+        user_col="user_id", purchase_id_col="event_id",
+        purchase_ts_col="ts", value_col="value",
+        touch_ts_col="v_ts", channel_col="campaign",
+    )
+
+
+def _sql_q167() -> str:
+    from pytrousse_spark.operators.cohort import linear_attribution_sql
+
+    p = """
+        SELECT user_id AS __u, event_id AS __pid,
+               CAST(ts AS TIMESTAMP) AS __pts,
+               CAST(round(CAST(value AS DOUBLE) * 1000000, 0) AS BIGINT)
+                   AS __vm
+        FROM events WHERE event_type = 'purchase'
+    """
+    t = """
+        SELECT user_id AS __u, CAST(ts AS TIMESTAMP) AS __tts,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS __ch
+        FROM events WHERE event_type = 'view'
+    """
+    return linear_attribution_sql(p, t)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -5000,6 +5044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_bpe_train": q164_bpe_train,
         "q165_quantile_normalize": q165_quantile_normalize,
         "q166_cusum": q166_cusum,
+        "q167_linear_attribution": q167_linear_attribution,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage; the
         # -- three new-this-round gates above push q52/q53/q54 past the
@@ -5523,6 +5568,7 @@ def oracle_sql() -> dict[str, str]:
         "q164_bpe_train": _sql_q164(),
         "q165_quantile_normalize": _sql_q165(),
         "q166_cusum": _sql_q166(),
+        "q167_linear_attribution": _sql_q167(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

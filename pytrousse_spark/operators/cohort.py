@@ -599,3 +599,137 @@ def unordered_funnel_sql(
                AS n_within_window
     FROM hist
     """
+
+
+def linear_attribution(
+    purchases: "DataFrame",
+    touches: "DataFrame",
+    user_col: str,
+    purchase_id_col: str,
+    purchase_ts_col: str,
+    value_col: str,
+    touch_ts_col: str,
+    channel_col: str,
+    window_seconds: int = 3 * 86400,
+) -> "DataFrame":
+    """Multi-touch LINEAR attribution: every touch in the lookback
+    window before a conversion shares the conversion's value EQUALLY —
+    the equal-credit sibling of last-touch (q140). Credit is computed in
+    exact integer micro-units with INTEGER division, and the division
+    remainder goes to the EARLIEST touch (ties: smallest channel), so
+    per-conversion credit conserves exactly: sum of credits == value,
+    bit-for-bit, with no floating-point fold anywhere.
+
+    Unattributed conversions (no touch in the window) surface as
+    channel NULL with full credit instead of silently dropping —
+    total credited value always equals total conversion value (pinned
+    law in tests/test_cohort.py).
+
+    Scale: ONE user-keyed equi-join with a time-range predicate
+    (co-partitioned on the user key; the window bound keeps matches
+    per conversion small), a per-conversion window over its touches
+    (bounded by touches-per-window, never corpus-sized), then a
+    channel-keyed rollup of exact BIGINT credits.
+
+    Returns ``(channel, n_conversions, n_touches, credit)`` where
+    ``credit`` is micro-units / 1e6 rounded 6.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    p = purchases.select(
+        F.col(user_col).alias("__u"),
+        F.col(purchase_id_col).alias("__pid"),
+        F.col(purchase_ts_col).alias("__pts"),
+        F.round(F.col(value_col).cast("double") * F.lit(1_000_000), 0)
+        .cast("bigint")
+        .alias("__vm"),
+    )
+    t = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(touch_ts_col).alias("__tts"),
+        F.col(channel_col).alias("__ch"),
+    )
+    j = p.join(
+        t,
+        (p["__u"] == t["__u"])
+        & (t["__tts"] <= p["__pts"])
+        & (
+            t["__tts"]
+            >= p["__pts"] - F.expr(f"INTERVAL {window_seconds} SECOND")
+        ),
+        "left",
+    ).drop(t["__u"])
+    wpid = Window.partitionBy("__pid")
+    worder = wpid.orderBy(
+        F.col("__tts").asc_nulls_last(), F.col("__ch").asc_nulls_last()
+    )
+    staged = j.select(
+        "__pid",
+        "__vm",
+        "__ch",
+        "__tts",
+        F.count("__tts").over(wpid).alias("__nt"),
+        F.row_number().over(worder).alias("__rn"),
+    )
+    credit = F.when(
+        F.col("__nt") == 0, F.col("__vm")  # unattributed: full credit
+    ).otherwise(
+        F.expr("__vm div __nt")
+        + F.when(
+            F.col("__rn") == 1, F.col("__vm") % F.col("__nt")
+        ).otherwise(F.lit(0))
+    )
+    return (
+        staged.withColumn("__cr", credit.cast("bigint"))
+        .groupBy(F.col("__ch").alias("channel"))
+        .agg(
+            F.countDistinct("__pid").cast("bigint").alias("n_conversions"),
+            F.count("__tts").cast("bigint").alias("n_touches"),
+            F.round(F.sum("__cr") / F.lit(1e6), 6).alias("credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+def linear_attribution_sql(
+    purchases_sql: str,
+    touches_sql: str,
+    window_seconds: int = 3 * 86400,
+) -> str:
+    """DuckDB twin of :func:`linear_attribution`. The two input
+    subqueries must project the staged names ``__u, __pid, __pts, __vm``
+    and ``__u, __tts, __ch`` respectively (micro-unit staging included),
+    mirroring the operator's internal frames."""
+    return f"""
+    WITH p AS ({purchases_sql}), t AS ({touches_sql}), j AS (
+        SELECT p.__pid, p.__vm, t.__ch, t.__tts
+        FROM p LEFT JOIN t
+          ON p.__u = t.__u
+         AND t.__tts <= p.__pts
+         AND t.__tts >= p.__pts - INTERVAL {window_seconds} SECOND
+    ), staged AS (
+        SELECT __pid, __vm, __ch, __tts,
+               CAST(count(__tts) OVER (PARTITION BY __pid) AS BIGINT)
+                   AS __nt,
+               row_number() OVER (
+                   PARTITION BY __pid
+                   ORDER BY __tts ASC NULLS LAST, __ch ASC NULLS LAST
+               ) AS __rn
+        FROM j
+    ), credited AS (
+        SELECT *,
+               CAST(CASE WHEN __nt = 0 THEN __vm
+                    ELSE __vm // __nt
+                         + CASE WHEN __rn = 1 THEN __vm % __nt ELSE 0 END
+               END AS BIGINT) AS __cr
+        FROM staged
+    )
+    SELECT __ch AS channel,
+           CAST(count(DISTINCT __pid) AS BIGINT) AS n_conversions,
+           CAST(count(__tts) AS BIGINT) AS n_touches,
+           round(CAST(sum(__cr) AS BIGINT) / 1e6, 6) AS credit
+    FROM credited
+    GROUP BY 1
+    ORDER BY 1
+    """

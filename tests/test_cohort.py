@@ -268,3 +268,50 @@ def test_benford_conforming_and_total(spark):
     )
     rows2 = benford_test(df2, "v").collect()
     assert sum(r["n"] for r in rows2) == 1
+
+
+def test_linear_attribution_conserves_credit(spark):
+    """The operator's core law: total credited value == total purchase
+    value EXACTLY (integer micro-units, remainder to earliest touch);
+    touchless purchases keep full credit under channel NULL."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import linear_attribution
+
+    d = datetime
+    purchases = spark.createDataFrame(
+        [
+            (1, 100, d(2024, 1, 10), 10.000001),  # 3 touches: 10.000001/3
+            (2, 200, d(2024, 1, 10), 7.5),        # 1 touch
+            (3, 300, d(2024, 1, 10), 4.25),       # no touches -> NULL
+        ],
+        ["user_id", "event_id", "ts", "value"],
+    )
+    touches = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 9), "a"),
+            (1, d(2024, 1, 9, 12), "b"),
+            (1, d(2024, 1, 10), "a"),
+            (2, d(2024, 1, 8), "c"),
+            (1, d(2023, 12, 1), "a"),  # outside the 3-day window
+        ],
+        ["user_id", "v_ts", "ch"],
+    )
+    out = linear_attribution(
+        purchases, touches,
+        user_col="user_id", purchase_id_col="event_id",
+        purchase_ts_col="ts", value_col="value",
+        touch_ts_col="v_ts", channel_col="ch",
+    ).collect()
+    by = {r["channel"]: r for r in out}
+    total = sum(r["credit"] for r in out)
+    assert round(total, 6) == round(10.000001 + 7.5 + 4.25, 6)
+    assert by[None]["credit"] == 4.25 and by[None]["n_touches"] == 0
+    assert by["c"]["credit"] == 7.5
+    # user 1: 10000001 micro / 3 = 3333333 r2; earliest touch (channel a
+    # at 1/9) takes the remainder: a = 3333333+2 + 3333333 = 6666668
+    assert by["a"]["credit"] == 6.666668
+    assert by["b"]["credit"] == 3.333333
+    assert by["a"]["n_touches"] == 2 and by["b"]["n_touches"] == 1

@@ -124,14 +124,14 @@ def test_registry_head_is_never_checked_then_oldest_evidence_first():
 
 
 def test_registry_head_round5_plan():
-    """Round-5 head pin: q150-q166 (zero driver evidence) lead, then the
+    """Round-5 head pin: q150-q167 (zero driver evidence) lead, then the
     r2-evidence families; past the 50 budget, only the declared-quadratic
-    r2 baselines plus the ten families the new q158-q166 gates pushed
-    out (q42, q43, q45, q48-q54 — r2 rows standing, first to rotate in next
+    r2 baselines plus the eleven families the new q158-q167 gates pushed
+    out (q40, q42, q43, q45, q48-q54 — r2 rows standing, first to rotate in next
     round) may hold checked queries."""
     names = list(entrymod.queries())
     head = names[:50]
-    assert head[:17] == [
+    assert head[:18] == [
         "q150_unordered_funnel", "q151_benford", "q152_js_divergence",
         "q153_rank_transform", "q154_sampling_weights",
         "q155_entropy_profile", "q156_rank_transform_sketch",
@@ -139,11 +139,12 @@ def test_registry_head_round5_plan():
         "q159_prefix_dups", "q160_calibration", "q161_containment",
         "q162_l_diversity", "q163_winnow_overlap", "q164_bpe_train",
         "q165_quantile_normalize", "q166_cusum",
+        "q167_linear_attribution",
     ]
     newest = _driver_evidence_rounds()
     spilled = [n for n in names[50:] if newest.get(n, 99) <= 2]
     assert set(spilled) <= {
-        "q41_dup_census", "q42_minhash", "q43_lsh_pairs", "q44_jaccard_pairs",
+        "q40_dedup_exact", "q41_dup_census", "q42_minhash", "q43_lsh_pairs", "q44_jaccard_pairs",
         "q45_simhash", "q46_embedding_neardup", "q46b_neardup_blas",
         "q47_cosine_topk", "q48_text_stats", "q49_media_meta",
         "q50_frame_sample", "q51_asof_join", "q52_range_join",
