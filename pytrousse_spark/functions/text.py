@@ -293,6 +293,56 @@ def winnow_picks(fps: Column, w: int) -> Column:
     ).otherwise(picks)
 
 
+def winnow_pick_positions(fps: Column, w: int) -> Column:
+    """Stage 1 of the two-stage winnowing fast path: the raw per-window
+    leftmost-min GRAM POSITIONS (1-based), un-deduped — one slice+min
+    pass per window instead of :func:`winnow_picks`'s ~6 (the filter
+    there re-evaluates the pick for j and j-1). STAGE the result as its
+    own column, then :func:`winnow_select` dedupes by O(1) array
+    lookups. Values are identical to winnow_picks (pinned in
+    tests/test_text_multimodal.py)."""
+    nw = F.greatest(F.size(fps) - F.lit(w - 1), F.lit(1))
+    return F.when(
+        F.size(fps) == 0, F.expr("array()").cast("array<int>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda j: (
+                j
+                - F.lit(1)
+                + F.array_position(
+                    F.slice(fps, j, w), F.array_min(F.slice(fps, j, w))
+                )
+            ).cast("int"),
+        )
+    )
+
+
+def winnow_select(fps: Column, pos_arr: Column) -> Column:
+    """Stage 2: consecutive-dedupe the staged position array and attach
+    each pick's fingerprint by direct element access — all O(1) lookups
+    on staged columns, no slices."""
+    idx = F.filter(
+        F.sequence(F.lit(1), F.size(pos_arr)),
+        lambda j: (j == F.lit(1))
+        | (
+            F.element_at(pos_arr, j)
+            != F.element_at(pos_arr, j - F.lit(1))
+        ),
+    )
+    picks = F.transform(
+        idx,
+        lambda j: F.struct(
+            F.element_at(pos_arr, j).alias("pos"),
+            F.element_at(fps, F.element_at(pos_arr, j)).alias("fp"),
+        ),
+    )
+    return F.when(
+        F.size(pos_arr) == 0,
+        F.expr("array()").cast("array<struct<pos:int,fp:bigint>>"),
+    ).otherwise(picks)
+
+
 def winnow_fingerprints_sql(expr: str, k: int = 8, w: int = 4) -> str:
     """DuckDB twin of :func:`winnow_fingerprints` — identical k-gram
     hash list, window min with leftmost-position rule, and the same

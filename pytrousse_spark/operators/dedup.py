@@ -1991,20 +1991,34 @@ def winnow_overlap_pairs(
     the prefix joins; dropped mass is recoverable by raising max_df).
     Only (fp, id) pairs shuffle; text never moves past the first scan.
     """
-    from ..functions.text import kgram_hashes, winnow_picks
+    from ..functions.text import (
+        kgram_hashes,
+        winnow_pick_positions,
+        winnow_select,
+    )
     from ..io import rebalance_undersplit
 
     fp = (
         rebalance_undersplit(df)
-        # the k-gram hash array MUST be a staged column: HOF lambdas
+        # every intermediate array MUST be a staged column: HOF lambdas
         # re-inline expression trees at every reference, so winnowing
         # straight over the hash expression recomputes every md5 per
-        # window (measured 80s vs ~2s on 500 docs)
+        # window (measured 80s vs ~2s on 500 docs); the two-stage
+        # positions+select path then replaces the ~6-slices-per-window
+        # single-expression form with one slice pass + O(1) lookups
         .select(
             F.col(id_col).alias("__id"),
             kgram_hashes(F.col(text_col), k, hash_fn).alias("__kg"),
         )
-        .select("__id", winnow_picks(F.col("__kg"), w).alias("__fps"))
+        .select(
+            "__id",
+            "__kg",
+            winnow_pick_positions(F.col("__kg"), w).alias("__wp"),
+        )
+        .select(
+            "__id",
+            winnow_select(F.col("__kg"), F.col("__wp")).alias("__fps"),
+        )
         .select(
             "__id",
             F.explode(
