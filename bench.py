@@ -150,9 +150,11 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q112_prefix_jaccard",
         "q135_triangles",
         "q125_hll_trailing",
-        # round-5 addition: the asymmetric containment join (its risk is
-        # container-side full-posting growth, same axis as q112)
+        # round-5 additions: the asymmetric containment join (its risk is
+        # container-side full-posting growth, same axis as q112) and the
+        # winnowing overlap join (fingerprint-posting growth)
         "q161_containment",
+        "q163_winnow_overlap",
     ):
         fn = getattr(entrymod, name)
         t0 = time.perf_counter()

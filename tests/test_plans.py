@@ -210,3 +210,20 @@ def test_q161_containment_no_cartesian_and_pinned_fanout(spark):
     plan = _plan(spark, "q161_containment")
     assert "CartesianProduct" not in plan
     assert "RoundRobinPartitioning" in plan
+
+
+def test_q166_cusum_windows_on_bucket_grid(spark):
+    """Every window/sort in the CUSUM plan runs AFTER the bucket
+    aggregation — fact rows never pass through a window."""
+    plan = _plan(spark, "q166_cusum")
+    assert "CartesianProduct" not in plan
+    # the plan's only exchanges: bucket hash agg + window partitioning
+    assert plan.count("Exchange") <= 4
+
+
+def test_q167_attribution_user_keyed_join(spark):
+    """The touch join must be keyed on the user column (equi-join with
+    range filters), never a cartesian/broadcast-nested-loop over facts."""
+    plan = _plan(spark, "q167_linear_attribution")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
