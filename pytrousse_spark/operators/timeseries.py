@@ -760,7 +760,26 @@ def cusum_changepoints(
     gcols = list(group_cols or [])
     k_micro = int(round(k * 1_000_000))
     h_micro = int(round(h * 1_000_000))
-    b = (
+    b = cusum_bucket_partials(df, ts_col, value_col, unit, gcols)
+    return _cusum_from_buckets(b, gcols, k_micro, h_micro)
+
+
+def cusum_bucket_partials(
+    df: "DataFrame",
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+    group_cols: list[str] | None = None,
+) -> "DataFrame":
+    """The MERGEABLE state under CUSUM: per (group, bucket) event count +
+    exact micro-unit value sum. Merging partials by summing (n, __sm)
+    reproduces the full-data frame bit-exactly, so the streaming
+    maintenance path (streaming/events.cusum_events_stream) appends
+    these per micro-batch and the readout equals the batch operator."""
+    from pyspark.sql import functions as F
+
+    gcols = list(group_cols or [])
+    return (
         df.where(F.col(value_col).isNotNull())
         .groupBy(
             *gcols,
@@ -773,9 +792,19 @@ def cusum_changepoints(
                 .cast("bigint")
             ).cast("bigint").alias("__sm"),
         )
-        .withColumn(
-            "__mm", F.round(F.col("__sm") / F.col("n"), 0).cast("bigint")
-        )
+    )
+
+
+def _cusum_from_buckets(
+    b: "DataFrame", gcols: list[str], k_micro: int, h_micro: int
+) -> "DataFrame":
+    """The reflected-walk readout over a (group, bucket, n, __sm) frame
+    — shared by the batch operator and the streaming-partials reader."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    b = b.withColumn(
+        "__mm", F.round(F.col("__sm") / F.col("n"), 0).cast("bigint")
     )
     wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
     mu0 = F.round(

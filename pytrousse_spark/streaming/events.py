@@ -245,3 +245,66 @@ def view_purchase_stream_join(
         gap.alias("gap_sec"),
         "p_val",
     )
+
+
+def cusum_events_stream(
+    events: DataFrame,
+    partials_path: str,
+    group_cols: list[str] | None = None,
+    unit: str = "day",
+) -> None:
+    """Streaming maintenance of the CUSUM drift monitor's state: each
+    micro-batch reduces to MERGEABLE (group, bucket, n, micro-sum)
+    partials (operators/timeseries.cusum_bucket_partials) appended to a
+    partials store — order-independent, so late or out-of-order events
+    just land in their bucket's partial; no watermark-finalization race.
+    The monitor readout (:func:`cusum_from_partials`) merges the store
+    and runs the reflected walk over the calendar-bounded bucket grid —
+    bit-equal to the batch operator over the same events (pinned in
+    tests/test_streaming.py). The same maintenance discipline as
+    :func:`rollup_events_stream`."""
+    from ..operators.timeseries import cusum_bucket_partials
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cusum_bucket_partials(
+                batch_df, "ts", "value", unit, group_cols
+            )
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_path)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", partials_path + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def cusum_from_partials(
+    spark,
+    partials_path: str,
+    group_cols: list[str] | None = None,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """CUSUM readout over the maintained partials store: merge the
+    per-batch (group, bucket) partials by summing (n, __sm) — exact
+    integer merge — then the batch operator's reflected walk."""
+    from ..operators.timeseries import _cusum_from_buckets
+
+    gcols = list(group_cols or [])
+    merged = (
+        spark.read.parquet(partials_path)
+        .groupBy(*gcols, "bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("__sm").cast("bigint").alias("__sm"),
+        )
+    )
+    return _cusum_from_buckets(
+        merged, gcols, int(round(k * 1_000_000)), int(round(h * 1_000_000))
+    )

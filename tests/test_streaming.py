@@ -335,3 +335,47 @@ def test_stream_stream_join_matches_batch(spark, events_batch, events_stream_dir
     want = view_purchase_stream_join(bv, bp, max_gap_minutes=30).collect()
     assert len(got) == len(want) > 0
     assert _normalize(got) == _normalize(want)
+
+
+def test_stream_cusum_partials_equal_batch_operator(spark, tmp_path_factory):
+    """Streaming CUSUM maintenance: out-of-order micro-batches append
+    mergeable bucket partials; the readout over the merged store is
+    BIT-equal to the batch operator over all events — including mu0,
+    which the readout re-derives from the merged buckets."""
+    import shutil
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.timeseries import cusum_changepoints
+    from pytrousse_spark.streaming.events import (
+        cusum_events_stream,
+        cusum_from_partials,
+    )
+
+    d = tmp_path_factory.mktemp("ev_cusum")
+    batch = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    # split ACROSS time so later micro-batches deliver EARLIER buckets
+    # (order-independence is the design claim)
+    a = batch.where("day(ts) >= 15")
+    b = batch.where("day(ts) < 15")
+    a.write.mode("overwrite").parquet(str(d / "f1.parquet"))
+    b.write.mode("overwrite").parquet(str(d / "f2.parquet"))
+    src = tmp_path_factory.mktemp("ev_cusum_src")
+    for i, sub in enumerate(("f1.parquet", "f2.parquet")):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.copy(f, src / f"batch{i}-{f.name}")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path_factory.mktemp("cusum_partials") / "store")
+    cusum_events_stream(stream, store, ["event_type"])
+    got = cusum_from_partials(spark, store, ["event_type"], k=2.0, h=5.0)
+    want = cusum_changepoints(
+        batch, "ts", "value", "day", 2.0, 5.0, ["event_type"]
+    )
+    norm = lambda df: sorted(tuple(r) for r in df.collect())
+    assert norm(got) == norm(want)
+    # more than one micro-batch actually ran
+    nb = read_parquet_df(spark, store).select("__batch").distinct().count()
+    assert nb >= 2
