@@ -3965,6 +3965,24 @@ def _sql_q167() -> str:
     return linear_attribution_sql(p, t)
 
 
+def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate over order totals (Hill 1975): alpha
+    from the top-200 order statistics via TakeOrderedAndProject + one
+    nano-unit fold — the tail-heaviness diagnostic beside the Zipf token
+    fit; alpha_hat recovers 1.54 on planted Pareto-1.5 (law test)
+    (profiling.hill_tail_index)."""
+    from pytrousse_spark.profiling import hill_tail_index
+
+    o = _t(spark, sf_dir, "orders")
+    return hill_tail_index(o, "o_totalprice", 200)
+
+
+def _sql_q168() -> str:
+    from pytrousse_spark.profiling import hill_tail_index_sql
+
+    return hill_tail_index_sql("SELECT * FROM orders", "o_totalprice", 200)
+
+
 def q48_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, language-id, quality, fingerprint —
     tokens/shingles staged once per row (see functions/text.py)."""
@@ -5045,6 +5063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_quantile_normalize": q165_quantile_normalize,
         "q166_cusum": q166_cusum,
         "q167_linear_attribution": q167_linear_attribution,
+        "q168_hill_tail": q168_hill_tail,
         # -- head: r2-only evidence, oldest families first (entries past
         # -- the 50-row budget fall through to pytest-only coverage; the
         # -- three new-this-round gates above push q52/q53/q54 past the
@@ -5569,6 +5588,7 @@ def oracle_sql() -> dict[str, str]:
         "q165_quantile_normalize": _sql_q165(),
         "q166_cusum": _sql_q166(),
         "q167_linear_attribution": _sql_q167(),
+        "q168_hill_tail": _sql_q168(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

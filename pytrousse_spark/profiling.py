@@ -981,3 +981,90 @@ def entropy_profile_sql(table_expr: str, cols: list[str]) -> str:
                AS norm_entropy
     FROM folded
     """
+
+
+def hill_tail_index(df: "DataFrame", value_col: str, k: int = 100) -> "DataFrame":
+    """Hill estimator of the power-law tail index (Hill 1975): over the
+    top ``k`` order statistics, ``alpha = k / sum(ln(x_i / x_(k+1)))`` —
+    the tail-heaviness diagnostic beside the Zipf token fit
+    (functions/text.zipf_fit): alpha < 2 means infinite variance (plan
+    for extreme skew), large alpha means a light tail.
+
+    Returns one row: ``(k, x_threshold, alpha, se)`` where
+    ``x_threshold`` is the (k+1)-th largest value and ``se`` the
+    asymptotic standard error ``alpha / sqrt(k)``.
+
+    Exactness: the top-(k+1) multiset is order-statistic-determined
+    (ties at the boundary contribute equal values either way); each
+    ``ln(x_i) - ln(x_thr)`` term is nano-unit-rounded to an integer
+    before summing, so the fold is order-free; the final divisions are
+    single IEEE ops on identical integers.
+
+    Scale: TakeOrderedAndProject (per-partition top-(k+1) merged at the
+    driver — no global sort), then one k-row aggregation. ``k`` is the
+    caller's bias/variance knob; non-positive values are excluded
+    (ln undefined).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("hill_tail_index: k must be >= 2")
+    v = F.col(value_col).cast("double")
+    top = (
+        df.where(v.isNotNull() & (v > 0))
+        .select(v.alias("__x"))
+        .orderBy(F.desc("__x"))
+        .limit(k + 1)
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = top.select(
+        "__x", F.min("__x").over(w).alias("__thr")
+    ).where(F.col("__x") > F.col("__thr"))
+    # NOTE: rows equal to the threshold drop out (ln ratio 0 anyway),
+    # so ties at the boundary contribute nothing — identical in both
+    # engines regardless of which tied rows the top-(k+1) kept
+    return ranked.select(
+        F.round(
+            (F.log("__x") - F.log("__thr")) * F.lit(1e9), 0
+        ).cast("bigint").alias("__t"),
+        "__thr",
+    ).agg(
+        F.lit(k).cast("int").alias("k"),
+        F.round(F.min("__thr"), 6).alias("x_threshold"),
+        F.round(
+            F.lit(k) / (F.sum("__t") / F.lit(1e9)), 6
+        ).alias("alpha"),
+        F.round(
+            F.lit(k) / (F.sum("__t") / F.lit(1e9)) / F.sqrt(F.lit(float(k))),
+            6,
+        ).alias("se"),
+    )
+
+
+def hill_tail_index_sql(table_expr: str, value_col: str, k: int = 100) -> str:
+    """DuckDB twin of :func:`hill_tail_index` — identical top-(k+1)
+    selection, threshold exclusion, nano fold, and division shapes."""
+    return f"""
+    WITH top AS (
+        SELECT CAST({value_col} AS DOUBLE) AS __x
+        FROM ({table_expr})
+        WHERE {value_col} IS NOT NULL AND CAST({value_col} AS DOUBLE) > 0
+        ORDER BY __x DESC LIMIT {k + 1}
+    ), thr AS (
+        SELECT __x, min(__x) OVER () AS __thr FROM top
+    ), terms AS (
+        SELECT CAST(round((ln(__x) - ln(__thr)) * 1e9, 0) AS BIGINT)
+                   AS __t,
+               __thr
+        FROM thr WHERE __x > __thr
+    )
+    SELECT CAST({k} AS INT) AS k,
+           round(min(__thr), 6) AS x_threshold,
+           round({k} / (CAST(sum(__t) AS BIGINT) / 1e9), 6) AS alpha,
+           round({k} / (CAST(sum(__t) AS BIGINT) / 1e9) / sqrt({k}.0), 6)
+               AS se
+    FROM terms
+    """

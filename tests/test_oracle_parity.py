@@ -124,14 +124,14 @@ def test_registry_head_is_never_checked_then_oldest_evidence_first():
 
 
 def test_registry_head_round5_plan():
-    """Round-5 head pin: q150-q167 (zero driver evidence) lead, then the
+    """Round-5 head pin: q150-q168 (zero driver evidence) lead, then the
     r2-evidence families; past the 50 budget, only the declared-quadratic
-    r2 baselines plus the eleven families the new q158-q167 gates pushed
-    out (q40, q42, q43, q45, q48-q54 — r2 rows standing, first to rotate in next
+    r2 baselines plus the twelve families the new q158-q168 gates pushed
+    out (q40-q54 — r2 rows standing, first to rotate in next
     round) may hold checked queries."""
     names = list(entrymod.queries())
     head = names[:50]
-    assert head[:18] == [
+    assert head[:19] == [
         "q150_unordered_funnel", "q151_benford", "q152_js_divergence",
         "q153_rank_transform", "q154_sampling_weights",
         "q155_entropy_profile", "q156_rank_transform_sketch",
@@ -139,7 +139,7 @@ def test_registry_head_round5_plan():
         "q159_prefix_dups", "q160_calibration", "q161_containment",
         "q162_l_diversity", "q163_winnow_overlap", "q164_bpe_train",
         "q165_quantile_normalize", "q166_cusum",
-        "q167_linear_attribution",
+        "q167_linear_attribution", "q168_hill_tail",
     ]
     newest = _driver_evidence_rounds()
     spilled = [n for n in names[50:] if newest.get(n, 99) <= 2]
