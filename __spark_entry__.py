@@ -699,7 +699,11 @@ def q20_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             if c in string_cols
             else F.lit(None).cast("double")
         )
-        categ = (dst < 7) | (dst < F.floor(cnt / 300).cast("long"))
+        # reference's len(Series.unique()) counts NaN as one extra value
+        # (dropna=False) — dataset.py:526 — so nulls add 1 to the unique
+        # count while the //300 denominator stays the non-null count()
+        uv = dst + (nulls > 0).cast("long")
+        categ = (uv < 7) | (uv < F.floor(cnt / 300).cast("long"))
         constant = (dst + (nulls > 0).cast("long") == 1) | (tot == 0)
         trivial = (nulls.cast("double") > 0.999 * tot.cast("double")) | constant
         if c in numeric_cols:
@@ -764,7 +768,10 @@ def _sql_q20() -> str:
                round(CAST(count(*) - count({c}) AS DOUBLE)
                      / CAST(count(*) AS DOUBLE), 6) AS null_ratio,
                {pr} AS parse_ratio,
-               (count(DISTINCT {c}) < 7 OR count(DISTINCT {c})
+               (count(DISTINCT {c})
+                  + CASE WHEN count(*) - count({c}) > 0 THEN 1 ELSE 0 END < 7
+                OR count(DISTINCT {c})
+                  + CASE WHEN count(*) - count({c}) > 0 THEN 1 ELSE 0 END
                 < CAST(floor(CAST(count({c}) AS DOUBLE) / 300) AS BIGINT))
                    AS is_categorical,
                (count(DISTINCT {c})
@@ -3664,6 +3671,11 @@ def q157_rolling_window_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_q157() -> str:
+    # NULL-ts rows pass through with NULL roll_n/roll_avg (the operator's
+    # documented contract — no defined [t-W, t] frame); NULL user_id is a
+    # real window partition in both engines. events carries no NULLs at
+    # any SF, so this arm is empty here, but the contract is pinned by
+    # tests/test_timeseries.py on a NULL-bearing frame.
     return """
     SELECT event_id, user_id, ts,
            CAST(count(*) OVER w AS BIGINT) AS roll_n,
@@ -3673,10 +3685,15 @@ def _sql_q157() -> str:
                    / CAST(count(value) OVER w AS DOUBLE), 4)
            END AS roll_avg
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (
       PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
     )
+    UNION ALL
+    SELECT event_id, user_id, ts,
+           CAST(NULL AS BIGINT) AS roll_n, CAST(NULL AS DOUBLE) AS roll_avg
+    FROM events WHERE ts IS NULL
     """
 
 

@@ -229,12 +229,24 @@ def enforce_k_anonymity(
     the class frame is the small side (broadcast or co-partitioned),
     the fact table shuffles at most once on the QI key, and AQE
     broadcasts when the class frame fits.
+
+    NULL quasi-identifier values form their own equivalence class —
+    exactly as :func:`k_anonymity_census` counts them — so a NULL class
+    with >= k members SURVIVES. The semi join therefore uses null-safe
+    equality (``<=>``) per QI column; Spark plans ``<=>`` as an ordinary
+    hash-join key, so the scale shape is unchanged.
     """
     if k < 2:
         raise ValueError("enforce_k_anonymity: k must be >= 2")
     big = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__c"))
-    keep = big.where(F.col("__c") >= k).drop("__c")
-    return df.join(keep, quasi_cols, "semi")
+    keep = big.where(F.col("__c") >= k).select(
+        *[F.col(c).alias(f"__q_{c}") for c in quasi_cols]
+    )
+    cond = None
+    for c in quasi_cols:
+        term = df[c].eqNullSafe(F.col(f"__q_{c}"))
+        cond = term if cond is None else (cond & term)
+    return df.join(keep, cond, "semi")
 
 
 def l_diversity_census(

@@ -592,6 +592,11 @@ def rolling_time_window(
     Cost: ~3 event-level exchanges instead of 1, in exchange for max
     task = O(densest single bucket) instead of O(largest key). The skew
     battery (bench.py) times both paths on the same skewed table.
+
+    NULL contract: NULL-KEY rows are a real partition (null-safe join
+    keys), exactly as the plain window treats them; NULL-TIMESTAMP rows
+    pass through with NULL roll_n/roll_avg (no defined frame). The q157
+    oracle SQL carries the identical passthrough arm.
     """
     n, unit = _parse_interval(window)
     if unit not in _UNIT_SECONDS:
@@ -642,9 +647,12 @@ def rolling_time_window(
         .otherwise(F.col("__off_s")).alias("__offp_s"),
     )
 
+    # null-safe key equality: a NULL key is ONE partition in the plain
+    # RANGE window this operator replaces, so the bucketed path must
+    # keep (and correctly frame) NULL-key rows too
     joined = ev.join(
         offs,
-        (ev[key_col] == offs["__k"]) & (ev["__b"] == offs["__pb"]),
+        ev[key_col].eqNullSafe(offs["__k"]) & (ev["__b"] == offs["__pb"]),
         "inner",
     ).drop("__k", "__pb")
 
@@ -713,9 +721,18 @@ def rolling_time_window(
         "__offp_n", "__offp_nv", "__offp_s", "__cin_n", "__cin_nv",
         "__cin_s", "__uk", "__gb", "__t", "__tag", "__m", "__mm",
     ]
-    return matched.withColumn("roll_n", roll_n).withColumn(
+    out = matched.withColumn("roll_n", roll_n).withColumn(
         "roll_avg", roll_avg
     ).drop(*helper)
+    # NULL-timestamp contract: a row with no event time cannot be
+    # bucketed (and has no well-defined [t - W, t] frame), so it passes
+    # through with NULL roll_n/roll_avg instead of being dropped — the
+    # q157 oracle SQL encodes the same passthrough, and NULL-KEY rows
+    # (handled exactly above) do NOT take this path
+    null_ts = df.where(F.col(ts_col).isNull()).withColumn(
+        "roll_n", F.lit(None).cast("long")
+    ).withColumn("roll_avg", F.lit(None).cast("double"))
+    return out.unionByName(null_ts)
 
 
 def cusum_changepoints(

@@ -267,9 +267,13 @@ def percent_rank_transform_approx(
     <= 1e-3 at B=4096 (tests/test_transforms.py).
 
     Same NULL contract as the exact variant: NULL values pass through
-    with NULL rank and never enter the histogram. Constant groups
-    (hi == lo) and singleton groups rank 0.0 (exact percent_rank
-    semantics for all-ties / n == 1).
+    with NULL rank and never enter the histogram, and a NULL GROUP KEY
+    is a group like any other (the exact window treats NULL as one
+    partition, so the stats/CDF joins here use null-safe equality —
+    ``<=>`` in Spark, ``IS NOT DISTINCT FROM`` in the DuckDB twin — to
+    keep those rows rather than silently dropping them). Constant
+    groups (hi == lo) and singleton groups rank 0.0 (exact
+    percent_rank semantics for all-ties / n == 1).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -284,7 +288,7 @@ def percent_rank_transform_approx(
     span = F.col("__hi") - F.col("__lo")
     pos = (v.cast("double") - F.col("__lo")) / span * num_bins
     binned = nn.join(
-        F.broadcast(stats), nn[group_col] == F.col("__g"), "inner"
+        F.broadcast(stats), nn[group_col].eqNullSafe(F.col("__g")), "inner"
     ).drop("__g").withColumn(
         "__b",
         F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
@@ -307,7 +311,7 @@ def percent_rank_transform_approx(
     )
     joined = binned.join(
         cdf,
-        (binned[group_col] == cdf["__hg"])
+        binned[group_col].eqNullSafe(cdf["__hg"])
         & (binned["__b"] == cdf["__cb"]),
         "inner",
     ).drop("__cb", "__hg")
@@ -357,7 +361,7 @@ def percent_rank_transform_approx_sql(
                                           / (s.__hi - s.__lo) * {B})
                                     AS BIGINT), {B - 1})
                END AS __b
-        FROM nn JOIN s ON nn.{g} = s.__g
+        FROM nn JOIN s ON nn.{g} IS NOT DISTINCT FROM s.__g
     ), hist AS (
         SELECT {g} AS __hg, __b, CAST(count(*) AS BIGINT) AS __c
         FROM binned GROUP BY 1, 2
@@ -373,7 +377,8 @@ def percent_rank_transform_approx_sql(
                greatest(0.0, least(1.0,
                    (CAST(b.{vc} AS DOUBLE) - b.__lo)
                    / (b.__hi - b.__lo) * {B} - b.__b)) AS __frac
-        FROM binned b JOIN cdf c ON b.{g} = c.__hg AND b.__b = c.__b
+        FROM binned b JOIN cdf c
+          ON b.{g} IS NOT DISTINCT FROM c.__hg AND b.__b = c.__b
     )
     SELECT * EXCLUDE (__lo, __hi, __n, __b, __c, __below, __frac),
            CASE WHEN __n <= 1 OR __hi = __lo THEN 0.0

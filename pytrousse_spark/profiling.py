@@ -1000,6 +1000,15 @@ def hill_tail_index(df: "DataFrame", value_col: str, k: int = 100) -> "DataFrame
     before summing, so the fold is order-free; the final divisions are
     single IEEE ops on identical integers.
 
+    Small-sample guard: when the table has only ``m < k + 1`` positive
+    values, the numerator is the EFFECTIVE order-statistic count
+    ``m - 1`` (the threshold is then the sample minimum and all other
+    rows are tail terms) — not the literal ``k``, which would overstate
+    alpha. With ``m >= k + 1`` the two coincide, and boundary ties
+    still contribute zero terms while keeping the numerator at ``k``
+    (the numerator counts fetched rows, not surviving terms). A column
+    with < 2 positive values yields NULL alpha/se.
+
     Scale: TakeOrderedAndProject (per-partition top-(k+1) merged at the
     driver — no global sort), then one k-row aggregation. ``k`` is the
     caller's bias/variance knob; non-positive values are excluded
@@ -1021,24 +1030,29 @@ def hill_tail_index(df: "DataFrame", value_col: str, k: int = 100) -> "DataFrame
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     ranked = top.select(
-        "__x", F.min("__x").over(w).alias("__thr")
+        "__x",
+        F.min("__x").over(w).alias("__thr"),
+        # fetched-row count m: numerator = m - 1 (= k when n >= k + 1)
+        F.count(F.lit(1)).over(w).alias("__m"),
     ).where(F.col("__x") > F.col("__thr"))
     # NOTE: rows equal to the threshold drop out (ln ratio 0 anyway),
     # so ties at the boundary contribute nothing — identical in both
     # engines regardless of which tied rows the top-(k+1) kept
+    keff = (F.max("__m") - F.lit(1)).cast("double")
     return ranked.select(
         F.round(
             (F.log("__x") - F.log("__thr")) * F.lit(1e9), 0
         ).cast("bigint").alias("__t"),
         "__thr",
+        "__m",
     ).agg(
         F.lit(k).cast("int").alias("k"),
         F.round(F.min("__thr"), 6).alias("x_threshold"),
         F.round(
-            F.lit(k) / (F.sum("__t") / F.lit(1e9)), 6
+            keff / (F.sum("__t") / F.lit(1e9)), 6
         ).alias("alpha"),
         F.round(
-            F.lit(k) / (F.sum("__t") / F.lit(1e9)) / F.sqrt(F.lit(float(k))),
+            keff / (F.sum("__t") / F.lit(1e9)) / F.sqrt(keff),
             6,
         ).alias("se"),
     )
@@ -1054,17 +1068,21 @@ def hill_tail_index_sql(table_expr: str, value_col: str, k: int = 100) -> str:
         WHERE {value_col} IS NOT NULL AND CAST({value_col} AS DOUBLE) > 0
         ORDER BY __x DESC LIMIT {k + 1}
     ), thr AS (
-        SELECT __x, min(__x) OVER () AS __thr FROM top
+        SELECT __x, min(__x) OVER () AS __thr,
+               count(*) OVER () AS __m
+        FROM top
     ), terms AS (
         SELECT CAST(round((ln(__x) - ln(__thr)) * 1e9, 0) AS BIGINT)
                    AS __t,
-               __thr
+               __thr, __m
         FROM thr WHERE __x > __thr
     )
     SELECT CAST({k} AS INT) AS k,
            round(min(__thr), 6) AS x_threshold,
-           round({k} / (CAST(sum(__t) AS BIGINT) / 1e9), 6) AS alpha,
-           round({k} / (CAST(sum(__t) AS BIGINT) / 1e9) / sqrt({k}.0), 6)
-               AS se
+           round(CAST(max(__m) - 1 AS DOUBLE)
+                 / (CAST(sum(__t) AS BIGINT) / 1e9), 6) AS alpha,
+           round(CAST(max(__m) - 1 AS DOUBLE)
+                 / (CAST(sum(__t) AS BIGINT) / 1e9)
+                 / sqrt(CAST(max(__m) - 1 AS DOUBLE)), 6) AS se
     FROM terms
     """

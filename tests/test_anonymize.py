@@ -166,3 +166,32 @@ def test_l_diversity_census_laws(spark):
     k_out = k_anonymity_census(df, ["qi"], [3]).collect()[0]
     assert k_out["rows_below"] == 2  # only class c (size 2) is below k=3
     # ...class a (size 4) passes k-anonymity yet l-diversity flags it
+
+
+def test_enforce_k_anonymity_null_qi_class_survives(spark):
+    """r5 ADVICE regression: NULL quasi-identifier values form their own
+    equivalence class (exactly as k_anonymity_census counts them), so a
+    NULL class with >= k members must SURVIVE enforcement — the old
+    null-rejecting semi join deleted it wholesale."""
+    from pytrousse_spark.operators.anonymize import (
+        enforce_k_anonymity,
+        k_anonymity_census,
+    )
+
+    rows = (
+        [(None, i) for i in range(5)]        # NULL class, size 5: kept
+        + [("a", i) for i in range(3)]        # size 3: kept
+        + [("b", 0)]                          # size 1: dropped
+    )
+    df = spark.createDataFrame(rows, "qi string, x int")
+    fixed = enforce_k_anonymity(df, ["qi"], 3)
+    got = sorted((r["qi"] or "", r["x"]) for r in fixed.collect())
+    assert len(got) == 8 and sum(1 for q, _ in got if q == "") == 5
+    out = k_anonymity_census(fixed, ["qi"], [3]).collect()
+    assert out[0]["rows_below"] == 0 and out[0]["anonymity_level"] >= 3
+
+    # multi-column QI with partial NULLs: (NULL, 'x') x4 kept, (NULL,
+    # 'y') x1 dropped — null-safe equality is per column
+    rows2 = [(None, "x", i) for i in range(4)] + [(None, "y", 9)]
+    df2 = spark.createDataFrame(rows2, "q1 string, q2 string, x int")
+    assert enforce_k_anonymity(df2, ["q1", "q2"], 3).count() == 4

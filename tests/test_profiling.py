@@ -310,3 +310,80 @@ def test_hill_tail_index_edges(spark):
     # non-positive and NULL excluded; k larger than the data still works
     out = hill_tail_index(df, "x", 10).collect()
     assert len(out) == 1 and out[0]["x_threshold"] == 1.0
+
+
+def test_hill_tail_index_small_sample_numerator(spark):
+    """r5 ADVICE regression: with m < k+1 positive values the numerator
+    is the EFFECTIVE count m-1, not the literal k. Hand check: values
+    {1,2,4,8}, k=10 -> threshold 1, terms ln2+ln4+ln8 = 6*ln2, alpha =
+    3 / (6 ln 2) ~ 0.721348."""
+    import math
+
+    import duckdb
+
+    from pytrousse_spark.profiling import hill_tail_index, hill_tail_index_sql
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (4.0,), (8.0,)], ["x"])
+    row = hill_tail_index(df, "x", 10).collect()[0]
+    assert row["x_threshold"] == 1.0
+    expected = 3.0 / (6.0 * math.log(2.0))
+    assert abs(row["alpha"] - expected) < 1e-5
+    assert abs(row["se"] - expected / math.sqrt(3.0)) < 1e-5
+
+    # twin agrees on the same frame
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM (VALUES (1.0),(2.0),(4.0),(8.0)) v(x)")
+    from tests.conftest import assert_df_matches_sql
+
+    assert_df_matches_sql(
+        hill_tail_index(df, "x", 10), con, hill_tail_index_sql("SELECT * FROM t", "x", 10)
+    )
+    con.close()
+
+    # boundary ties with n >= k+1 still use the literal k: {4,3,2,1,1,1},
+    # k=3 fetches top-4 = {4,3,2,1}, thr=1, terms ln4+ln3+ln2, alpha=3/sum
+    import math as _m
+
+    df2 = spark.createDataFrame(
+        [(4.0,), (3.0,), (2.0,), (1.0,), (1.0,), (1.0,)], ["x"]
+    )
+    r2 = hill_tail_index(df2, "x", 3).collect()[0]
+    exp2 = 3.0 / (_m.log(4.0) + _m.log(3.0) + _m.log(2.0))
+    assert abs(r2["alpha"] - exp2) < 1e-5
+
+
+def test_q20_categorical_counts_null_as_unique_value(spark, tmp_path):
+    """r5 ADVICE regression: the reference's _get_categorical_cols uses
+    len(Series.unique()) which counts NaN as one extra value
+    (reference dataset.py:526, dropna=False) — a column with 6 non-null
+    distincts PLUS nulls has unique count 7 and is NOT categorical.
+    Cross-checked against the pandas formula on a synthesized
+    documents table."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    n = 40
+    langs = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [f"t{i}" for i in range(n)],
+            # 6 non-null distincts + nulls -> unique()=7 -> NOT categorical
+            "lang": [
+                None if i % 10 == 0 else langs[i % 6] for i in range(n)
+            ],
+            "source": ["s" for _ in range(n)],  # 1 distinct -> categorical
+            "n_chars": [float(i) for i in range(n)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r["col_name"]: r["is_categorical"]
+        for r in entrymod.q20_profile(spark, str(tmp_path)).collect()
+    }
+    for c in ("lang", "source", "n_chars"):
+        uv = len(pdf[c].unique())
+        expect = uv < 7 or uv < pdf[c].count() // 300
+        assert out[c] == expect, (c, uv, out[c], expect)
+    assert out["lang"] is False and out["source"] is True

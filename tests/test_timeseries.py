@@ -375,3 +375,35 @@ def test_cusum_grouped_independent_series(spark):
     assert all(not r["is_shift"] for r in by["flat"])
     assert any(r["is_shift"] for r in by["shift"])
     assert all(r["mean_value"] == 5.0 for r in by["flat"])
+
+
+def test_rolling_time_window_null_key_and_ts(spark):
+    """r5 ADVICE regression: NULL-key rows are a real window partition
+    (null-safe join keys — exact frames, matching the plain window) and
+    NULL-ts rows pass through with NULL roll_n/roll_avg instead of
+    vanishing."""
+    from pytrousse_spark.operators.timeseries import rolling_time_window
+
+    rows = [
+        (None, "2024-01-01 00:00:00", 2.0),
+        (None, "2024-01-01 00:30:00", 4.0),
+        (None, "2024-01-01 02:00:00", 6.0),
+        ("u", "2024-01-01 00:10:00", 1.0),
+        ("u", None, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    out = rolling_time_window(df, "k", "ts", "value", "1 hour").collect()
+    assert len(out) == 5  # no row loss
+    null_ts = [r for r in out if r["ts"] is None]
+    assert len(null_ts) == 1
+    assert null_ts[0]["roll_n"] is None and null_ts[0]["roll_avg"] is None
+    nk = {
+        str(r["ts"]): (r["roll_n"], r["roll_avg"])
+        for r in out
+        if r["k"] is None
+    }
+    # NULL-key partition frames exactly like any other key
+    assert nk["2024-01-01 00:00:00"] == (1, 2.0)
+    assert nk["2024-01-01 00:30:00"] == (2, 3.0)
+    assert nk["2024-01-01 02:00:00"] == (1, 6.0)

@@ -325,3 +325,50 @@ def test_quantile_normalize_edges_and_nulls(spark):
     assert all(
         v is None or 1.0 <= v <= 10.0 for v in out.values()
     )
+
+
+def test_percent_rank_approx_keeps_null_groups(spark):
+    """r5 ADVICE regression: a NULL GROUP KEY is a partition in the
+    exact window, so the approx path must keep those rows too (the old
+    inner equality join silently dropped them: 5 rows in -> 3 out)."""
+    from pytrousse_spark.operators.transforms import (
+        percent_rank_transform,
+        percent_rank_transform_approx,
+        quantile_normalize,
+    )
+
+    rows = [(None, 1.0), (None, 2.0), (None, 3.0), ("g", 5.0), ("g", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = percent_rank_transform_approx(df, "grp", "v").collect()
+    assert len(out) == 5  # no row loss
+    nulls = sorted(
+        (r["v"], r["pct_rank"]) for r in out if r["grp"] is None
+    )
+    exact = percent_rank_transform(df, "grp", "v").collect()
+    exact_nulls = sorted(
+        (r["v"], r["pct_rank"]) for r in exact if r["grp"] is None
+    )
+    assert [v for v, _ in nulls] == [1.0, 2.0, 3.0]
+    # approx matches exact on the NULL group within sketch tolerance
+    for (v1, p1), (v2, p2) in zip(nulls, exact_nulls):
+        assert v1 == v2 and abs(p1 - p2) <= 1e-3
+    # quantile_normalize inherits the fix: row count preserved
+    assert quantile_normalize(df, "grp", "v").count() == 5
+
+    # cross-engine twin (IS NOT DISTINCT FROM) on the same frame
+    import duckdb
+
+    from pytrousse_spark.operators.transforms import (
+        percent_rank_transform_approx_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    pdf = df.toPandas()  # noqa: F841 — registered by name below
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM pdf")
+    assert_df_matches_sql(
+        percent_rank_transform_approx(df, "grp", "v"),
+        con,
+        percent_rank_transform_approx_sql("t", "grp", "v"),
+    )
+    con.close()
