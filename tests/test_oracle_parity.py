@@ -123,30 +123,27 @@ def test_registry_head_is_never_checked_then_oldest_evidence_first():
         )
 
 
-def test_registry_head_round5_plan():
-    """Round-5 head pin: q150-q168 (zero driver evidence) lead, then the
-    r2-evidence families; past the 50 budget, only the declared-quadratic
-    r2 baselines plus the twelve families the new q158-q168 gates pushed
-    out (q40-q54 — r2 rows standing, first to rotate in next
-    round) may hold checked queries."""
+def test_registry_head_round6_plan():
+    """Round-6 head pin (the r5 VERDICT's item 1): the four new gates
+    with zero driver evidence lead, then ALL sixteen r2-evidence
+    families q40-q54 (three rounds stale — the freshness alarm that was
+    deliberately red at round-5 judge time), then 30 oldest-r3
+    families. No r2-evidence query may remain past the head."""
     names = list(entrymod.queries())
     head = names[:50]
-    assert head[:19] == [
-        "q150_unordered_funnel", "q151_benford", "q152_js_divergence",
-        "q153_rank_transform", "q154_sampling_weights",
-        "q155_entropy_profile", "q156_rank_transform_sketch",
-        "q157_rolling_window_scalable", "q158_k_anonymity",
-        "q159_prefix_dups", "q160_calibration", "q161_containment",
-        "q162_l_diversity", "q163_winnow_overlap", "q164_bpe_train",
-        "q165_quantile_normalize", "q166_cusum",
-        "q167_linear_attribution", "q168_hill_tail",
+    assert head[:4] == [
+        "q169_dataset_roundtrip", "q170_rank_transform_auto",
+        "q171_png_rgb_roundtrip", "q172_k_anonymity_enforce",
     ]
+    r2 = {
+        "q40_dedup_exact", "q41_dup_census", "q42_minhash",
+        "q43_lsh_pairs", "q44_jaccard_pairs", "q45_simhash",
+        "q46_embedding_neardup", "q46b_neardup_blas", "q47_cosine_topk",
+        "q48_text_stats", "q49_media_meta", "q50_frame_sample",
+        "q51_asof_join", "q52_range_join", "q53_group_zscore",
+        "q54_near_dedup_pairs",
+    }
+    assert set(head[4:20]) == r2
     newest = _driver_evidence_rounds()
     spilled = [n for n in names[50:] if newest.get(n, 99) <= 2]
-    assert set(spilled) <= {
-        "q40_dedup_exact", "q41_dup_census", "q42_minhash", "q43_lsh_pairs", "q44_jaccard_pairs",
-        "q45_simhash", "q46_embedding_neardup", "q46b_neardup_blas",
-        "q47_cosine_topk", "q48_text_stats", "q49_media_meta",
-        "q50_frame_sample", "q51_asof_join", "q52_range_join",
-        "q53_group_zscore", "q54_near_dedup_pairs",
-    }, f"unexpected r2-evidence queries past the head: {spilled}"
+    assert not spilled, f"r2-evidence queries past the head: {spilled}"

@@ -184,16 +184,45 @@ def test_png_malformed_raises(spark):
         decode_png(b"JUNKJUNKJUNK")
 
 
-def test_png_non_gray_returns_metadata_only(spark):
+def test_png_unsupported_color_type_returns_metadata_only(spark):
     import struct as st
     import zlib
 
     from pytrousse_spark.operators.multimodal import PNG_SIG, _png_chunk, decode_png
 
-    ihdr = st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # color_type 2 = RGB
-    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    # color_type 3 (palette) and 6 (RGBA) stay honestly unsupported
+    for ct in (3, 6):
+        ihdr = st.pack(">IIBBBBB", 4, 4, 8, ct, 0, 0, 0)
+        png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+        m = decode_png(png)
+        assert m["color_type"] == ct and m["pixels"] is None
+
+
+def test_png_rgb_roundtrip_exact_channels(spark):
+    """RGB8 (color type 2) encode → decode recovers every channel byte
+    exactly; 11 rows cycle all five filters with 3-byte-pixel a/c
+    neighbors — the r5 VERDICT item-8 increment."""
+    from pytrousse_spark.operators.multimodal import decode_png, encode_png_rgb
+
+    rows = [
+        [
+            tuple((r * 31 + c * 7 + 11 * ch) % 256 for ch in range(3))
+            for c in range(13)
+        ]
+        for r in range(11)
+    ]
+    png = encode_png_rgb(rows)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
     m = decode_png(png)
-    assert m["color_type"] == 2 and m["pixels"] is None
+    assert (m["width"], m["height"], m["bit_depth"], m["color_type"]) == (13, 11, 8, 2)
+    flat = [ch for row in rows for px in row for ch in px]
+    assert m["pixels"] == flat
+    # gray path unchanged by the shared-filter refactor
+    from pytrousse_spark.operators.multimodal import encode_png_gray
+
+    grows = [[(r * 3 + c) % 256 for c in range(5)] for r in range(7)]
+    g = decode_png(encode_png_gray(grows))
+    assert [g["pixels"][r * 5 : (r + 1) * 5] for r in range(7)] == grows
 
 
 def test_png_distributed_decode(spark):

@@ -372,3 +372,57 @@ def test_percent_rank_approx_keeps_null_groups(spark):
         percent_rank_transform_approx_sql("t", "grp", "v"),
     )
     con.close()
+
+
+def test_percent_rank_auto_routing(spark):
+    """r5 VERDICT item 5: strategy='auto' profiles the largest group and
+    routes — a giant low-cardinality key takes the sketch path (no
+    per-group Sort over fact rows), a high-cardinality key takes the
+    exact window. Pinned via the physical plan."""
+    import pytest as _pytest
+
+    from pytrousse_spark.operators.transforms import percent_rank_transform
+
+    rows = [("g" if i % 3 else "h", float(i)) for i in range(300)]
+    low_card = spark.createDataFrame(rows, "grp string, v double")
+    # budget 50 < max group (200) -> sketch: no Window percent_rank,
+    # histogram helper columns appear in the plan
+    sk = percent_rank_transform(
+        low_card, "grp", "v", strategy="auto", exact_max_group_rows=50
+    )
+    plan_sk = sk._jdf.queryExecution().executedPlan().toString()
+    assert "percent_rank" not in plan_sk
+    # budget 1000 > max group -> exact window path
+    ex = percent_rank_transform(
+        low_card, "grp", "v", strategy="auto", exact_max_group_rows=1000
+    )
+    plan_ex = ex._jdf.queryExecution().executedPlan().toString()
+    assert "percent_rank" in plan_ex
+    # high-cardinality key (every group size 1) -> exact even at budget 50
+    uniq = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(200)], "grp string, v double"
+    )
+    ex2 = percent_rank_transform(
+        uniq, "grp", "v", strategy="auto", exact_max_group_rows=50
+    )
+    assert "percent_rank" in ex2._jdf.queryExecution().executedPlan().toString()
+    # explicit strategies still honored; junk rejected
+    assert "percent_rank" not in percent_rank_transform(
+        low_card, "grp", "v", strategy="sketch"
+    )._jdf.queryExecution().executedPlan().toString()
+    with _pytest.raises(ValueError):
+        percent_rank_transform(low_card, "grp", "v", strategy="nope")
+    # sketch route stays within its per-bin interpolation bound of the
+    # exact ranks: ~1/(min group n - 1) at this tiny n (the 1e-3 pin is
+    # the large-n gate column's, tests above)
+    got = {
+        (r["grp"], r["v"]): r["pct_rank"]
+        for r in percent_rank_transform(
+            low_card, "grp", "v", strategy="auto", exact_max_group_rows=50
+        ).collect()
+    }
+    exact = {
+        (r["grp"], r["v"]): r["pct_rank"]
+        for r in percent_rank_transform(low_card, "grp", "v").collect()
+    }
+    assert max(abs(got[k] - exact[k]) for k in exact) <= 1.5 / 99
