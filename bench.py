@@ -134,11 +134,45 @@ def _build_skewed_events(spark, tmp: str) -> None:
     skewed.write.mode("overwrite").parquet(f"{tmp}/skewdir/events.parquet")
 
 
+# Upper edge of each row's IDLE-HOST band (seconds at 10x), from the
+# PLANS.md / VERDICT r3-r5 idle re-measures. A reading more than 2x its
+# band is treated as host-load pollution (the r5 lesson: BENCH_r05's
+# q132 24.9s / anchor 0.97 were taken on a post-pytest warm host and
+# read as fake regressions until re-measured at 5.2-6.5s / 0.896): the
+# row re-runs ONCE after a cooldown and BOTH readings are recorded.
+_IDLE_BANDS_10X = {
+    "q59_clean_corpus": 15.0,
+    "q65_dup_clusters": 5.0,
+    "q57_ivf_topk": 4.0,
+    "q101_ivf_pq": 15.0,
+    "q132_association_rules": 8.0,
+    "q112_prefix_jaccard": 18.0,
+    "q135_triangles": 9.0,
+    "q125_hll_trailing": 6.5,
+    "q161_containment": 16.0,
+    "q163_winnow_overlap": 48.0,
+    # round-6 rows (r5 VERDICT item 4) — bands set from this round's
+    # idle measurements
+    "q164_bpe_train": 12.0,
+    "q165_quantile_normalize": 12.0,
+    "q157_rolling_window_scalable": 15.0,
+}
+
+
+def _timed_noop(fn, spark, d) -> float:
+    t0 = time.perf_counter()
+    fn(spark, d).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _headroom_10x(spark, big_dir: str) -> dict:
     """Scale-factor headroom evidence (round-2 VERDICT item 7): time the
-    three shuffle-heaviest queries against the 10x corpus, so linear-scaling
-    claims are recorded as numbers in BENCH_r{N}.json rather than prose."""
-    out: dict[str, float] = {}
+    shuffle-heaviest queries against the 10x corpus, so linear-scaling
+    claims are recorded as numbers in BENCH_r{N}.json rather than prose.
+    Load-guarded per _IDLE_BANDS_10X (r5 VERDICT item 2): a reading >2x
+    its idle band re-runs once after a 20 s cooldown and the row records
+    {"first": x, "rerun": y} instead of a scalar."""
+    out: dict = {}
     for name in (
         "q59_clean_corpus",
         "q65_dup_clusters",
@@ -155,16 +189,60 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         # winnowing overlap join (fingerprint-posting growth)
         "q161_containment",
         "q163_winnow_overlap",
+        # round-6 additions (r5 VERDICT item 4): BPE's one corpus-sized
+        # word-count agg (iterations are vocab-bounded -> expect ~flat),
+        # quantile-normalize (sketch + broadcast range join -> ~linear),
+        # and the bucketed rolling window (3 exchanges vs 1 -> constant
+        # factor should hold at 10x)
+        "q164_bpe_train",
+        "q165_quantile_normalize",
+        "q157_rolling_window_scalable",
     ):
         fn = getattr(entrymod, name)
-        t0 = time.perf_counter()
         try:
-            fn(spark, big_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.perf_counter() - t0, 3)
+            t = _timed_noop(fn, spark, big_dir)
+            band = _IDLE_BANDS_10X.get(name)
+            if band is not None and t > 2 * band:
+                print(
+                    f"bench headroom: {name} {t}s > 2x idle band {band}s; "
+                    "cooling down and re-running once",
+                    file=sys.stderr,
+                )
+                time.sleep(20)
+                out[name] = {"first": t, "rerun": _timed_noop(fn, spark, big_dir)}
+            else:
+                out[name] = t
         except Exception as exc:
             out[name] = -1.0
             print(f"bench headroom: {name} failed: {exc}", file=sys.stderr)
     return out
+
+
+# Expected idle-host skew RATIO per row (upper edge; q85's plain window
+# is the known funnel and gets the wide band). Same 2x re-run rule as
+# the headroom battery.
+_IDLE_SKEW_RATIOS = {
+    "q11_sessionize": 1.5,
+    "q85_rolling_window": 8.0,
+    "q157_rolling_window_scalable": 1.5,
+    "q133_event_transitions": 1.5,
+    # round-6 rows (r5 VERDICT item 7)
+    "q167_linear_attribution": 2.0,
+    "q157_rolling_window_1day": 2.5,
+}
+
+
+def _rolling_window_1day(spark, d):
+    """q157's operator at a 1-DAY window over the same skewed table —
+    more cross-bucket mass per event (r5 VERDICT item 7's second axis);
+    the bucket decomposition's max task is still one (user, day) bucket."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.timeseries import rolling_time_window
+
+    ev = read_parquet_df(spark, f"{d}/events.parquet")
+    return rolling_time_window(ev, "user_id", "ts", "value", "1 day").select(
+        "event_id", "user_id", "ts", "roll_n", "roll_avg"
+    )
 
 
 def _skew_stress(spark, tmp: str) -> dict:
@@ -173,39 +251,70 @@ def _skew_stress(spark, tmp: str) -> dict:
     zipfian variant (one user owns ~20% of events), and record the ratio.
     A user-partitioned window funnels that user's slice through one task,
     so the expected worst case is wall ~ max(skew_share * n, n / cores);
-    ratios well under cores/1 show the remaining work still spreads."""
-    out: dict[str, dict] = {}
-    for name in (
-        "q11_sessionize",
-        "q85_rolling_window",
-        "q157_rolling_window_scalable",  # the bucketed fix for q85's funnel
-        "q133_event_transitions",
-    ):
-        fn = getattr(entrymod, name)
+    ratios well under cores/1 show the remaining work still spreads.
+    Round 6 adds the user-keyed range join (q167 linear attribution) and
+    the 1-day-window variant of the bucketed rolling window; rows whose
+    ratio exceeds 2x the idle band re-run once after a cooldown."""
+    cases: dict = {
+        name: getattr(entrymod, name)
+        for name in (
+            "q11_sessionize",
+            "q85_rolling_window",
+            "q157_rolling_window_scalable",  # bucketed fix for q85's funnel
+            "q133_event_transitions",
+            "q167_linear_attribution",
+        )
+    }
+    cases["q157_rolling_window_1day"] = _rolling_window_1day
+
+    def _run(fn) -> dict:
         row: dict[str, float] = {}
+        for label, d in (("benign", tmp), ("skewed", f"{tmp}/skewdir")):
+            row[label] = _timed_noop(fn, spark, d)
+        row["ratio"] = round(row["skewed"] / row["benign"], 2)
+        return row
+
+    out: dict[str, dict] = {}
+    for name, fn in cases.items():
         try:
-            for label, d in (("benign", tmp), ("skewed", f"{tmp}/skewdir")):
-                t0 = time.perf_counter()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                row[label] = round(time.perf_counter() - t0, 3)
-            row["ratio"] = round(row["skewed"] / row["benign"], 2)
+            row = _run(fn)
+            band = _IDLE_SKEW_RATIOS.get(name)
+            if band is not None and row["ratio"] > 2 * band:
+                print(
+                    f"bench skew: {name} ratio {row['ratio']} > 2x idle "
+                    f"band {band}; cooling down and re-running once",
+                    file=sys.stderr,
+                )
+                time.sleep(20)
+                rerun = _run(fn)
+                row = {"first": row, **{f"{k}": v for k, v in rerun.items()}}
         except Exception as exc:
-            row["error"] = str(exc)[:120]
+            row = {"error": str(exc)[:120]}
             print(f"bench skew: {name} failed: {exc}", file=sys.stderr)
         out[name] = row
     return out
 
 
 def _streaming_throughput(spark, big_dir: str, tmp: str) -> dict:
-    """Stateful-streaming evidence (round-3 VERDICT item 7): drive
-    ``near_dup_band_alerts`` as a REAL stream over the 10x documents corpus
-    (8 files -> 8 micro-batches at maxFilesPerTrigger=1, availableNow) and
-    record rows/s plus the state-store row count — the number that grounds
-    the "state bounded by band count, not corpus size" claim.
+    """Stateful-streaming evidence (round-3 VERDICT item 7 + r5 item 6):
+    drive the three stateful sinks as REAL streams over the 10x corpus
+    (8 files -> 8 micro-batches at maxFilesPerTrigger=1, availableNow)
+    and record rows/s plus the state size — the numbers that ground the
+    "state bounded by bands / the bucket grid, not corpus size" claims:
+
+    - ``near_dup_band_alerts``: state-store rows (applyInPandasWithState);
+    - ``rollup_events_stream`` / ``cusum_events_stream``: the mergeable
+      partials stores' row counts (foreachBatch append sinks — their
+      "state" IS the store, bounded by groups/buckets per batch).
     """
     from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.streaming.events import (
+        cusum_events_stream,
+        rollup_events_stream,
+    )
     from pytrousse_spark.streaming.neardup import near_dup_band_alerts
 
+    out: dict[str, dict] = {}
     try:
         docs = read_parquet_df(spark, f"{big_dir}/documents.parquet")
         n = docs.count()
@@ -233,8 +342,7 @@ def _streaming_throughput(spark, big_dir: str, tmp: str) -> dict:
             batches += 1
             for op in prog.get("stateOperators") or []:
                 state_rows = max(state_rows, op.get("numRowsTotal") or 0)
-        return {
-            "query": "near_dup_band_alerts",
+        out["near_dup_band_alerts"] = {
             "input_rows": n,
             "micro_batches": batches,
             "wall_sec": round(wall, 3),
@@ -242,14 +350,66 @@ def _streaming_throughput(spark, big_dir: str, tmp: str) -> dict:
             "state_rows": state_rows,
         }
     except Exception as exc:
-        print(f"bench streaming: failed: {exc}", file=sys.stderr)
-        return {"query": "near_dup_band_alerts", "error": str(exc)[:200]}
+        print(f"bench streaming: near_dup failed: {exc}", file=sys.stderr)
+        out["near_dup_band_alerts"] = {"error": str(exc)[:200]}
+
+    try:
+        from pyspark.sql import functions as F
+
+        ev = read_parquet_df(spark, f"{big_dir}/events.parquet")
+        n_ev = ev.count()
+        ev.repartition(8).write.mode("overwrite").parquet(f"{tmp}/ev_stream_in")
+        ev_schema = spark.read.parquet(f"{tmp}/ev_stream_in").schema
+
+        def _ev_src():
+            return (
+                spark.readStream.schema(ev_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/ev_stream_in")
+            )
+
+        t0 = time.perf_counter()
+        rollup_events_stream(
+            _ev_src(), ["event_type"], "value", f"{tmp}/rollup_store"
+        )
+        wall = time.perf_counter() - t0
+        store = spark.read.parquet(f"{tmp}/rollup_store")
+        out["rollup_events_stream"] = {
+            "input_rows": n_ev,
+            "micro_batches": store.select("__batch").distinct().count(),
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_ev / wall, 1),
+            "state_rows": store.count(),
+        }
+
+        t0 = time.perf_counter()
+        cusum_events_stream(_ev_src(), f"{tmp}/cusum_store", ["event_type"])
+        wall = time.perf_counter() - t0
+        store = spark.read.parquet(f"{tmp}/cusum_store")
+        out["cusum_events_stream"] = {
+            "input_rows": n_ev,
+            "micro_batches": store.select("__batch").distinct().count(),
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_ev / wall, 1),
+            "state_rows": store.count(),
+        }
+    except Exception as exc:
+        print(f"bench streaming: maintenance sinks failed: {exc}", file=sys.stderr)
+        out.setdefault("rollup_events_stream", {"error": str(exc)[:200]})
+        out.setdefault("cusum_events_stream", {"error": str(exc)[:200]})
+    return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # host-load guard (r5 VERDICT item 2): BENCH_r05's recorded numbers
+    # were taken right after the 12-minute test suite and read as fake
+    # regressions; the archived JSON now carries the 1/5/15-minute load
+    # averages at start and end so a polluted run is self-identifying.
+    load_start = [round(x, 2) for x in os.getloadavg()]
 
     spark = get_spark(app_name="pytrousse-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -327,6 +487,10 @@ def main() -> None:
                 "n_failed": sum(1 for v in timings.values() if v < 0),
                 "anchor_r1_sum_sec": anchor_sum,
                 "anchor_r1_ratio": anchor_ratio,
+                # load fields sit in the TAIL so the driver's truncated
+                # recording always keeps them
+                "loadavg_start": load_start,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "value": total,
                 "sf": sf,
             }
