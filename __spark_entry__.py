@@ -4117,6 +4117,173 @@ def _sql_q171() -> str:
     """
 
 
+def q173_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census over customer quasi-identifiers (Li 2007) —
+    the third leg of the privacy trio (q158 k-anonymity, q162
+    l-diversity): per-threshold share of rows in equivalence classes
+    whose market-segment DISTRIBUTION strays more than t (total
+    variation) from the global one — the skewness-attack readout
+    l-diversity misses. Dense class x value grid, pico-unit integer
+    folds, integer threshold compares
+    (operators/anonymize.t_closeness_census)."""
+    from pytrousse_spark.operators.anonymize import t_closeness_census
+
+    c = _t(spark, sf_dir, "customer")
+    return t_closeness_census(
+        c, ["c_nationkey"], "c_mktsegment", [0.05, 0.1, 0.2]
+    )
+
+
+def _sql_q173() -> str:
+    from pytrousse_spark.operators.anonymize import t_closeness_census_sql
+
+    return t_closeness_census_sql(
+        "SELECT * FROM customer", ["c_nationkey"], "c_mktsegment",
+        [0.05, 0.1, 0.2],
+    )
+
+
+def q174_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially private event-type counts (Laplace mechanism,
+    Dwork 2006): count + Lap(1/eps) per group with the noise drawn from
+    a keyed PRF (salted portable hash -> inverse CDF) instead of an RNG
+    — reproducible, cross-engine-exact, eps-DP per release salt. The
+    release-side complement of the privacy censuses
+    (operators/anonymize.dp_noisy_counts)."""
+    from pytrousse_spark.operators.anonymize import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, ["event_type"], epsilon=1.0, salt="r6")
+
+
+def _sql_q174() -> str:
+    from pytrousse_spark.operators.anonymize import dp_noisy_counts_sql
+
+    return dp_noisy_counts_sql(
+        "SELECT * FROM events", ["event_type"], epsilon=1.0, salt="r6"
+    )
+
+
+def q175_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of order value as a predictor of urgent priority, via the
+    rank-sum identity over a 4096-bin score histogram — exact BIGINT
+    pair fold, ONE division, no global sort (the exact rank-sum's
+    funnel); in-bin rows are ties, error bounded by in-bin pair mass
+    and pinned vs exact pairwise AUC in tests
+    (operators/classifier.auc_binned)."""
+    from pytrousse_spark.operators.classifier import auc_binned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("is_urgent"),
+    )
+    return auc_binned(o, "o_totalprice", "is_urgent")
+
+
+def _sql_q175() -> str:
+    from pytrousse_spark.operators.classifier import auc_binned_sql
+
+    return auc_binned_sql(
+        "SELECT o_totalprice, CASE WHEN o_orderpriority IS NULL THEN NULL"
+        " WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+        " AS is_urgent FROM orders",
+        "o_totalprice",
+        "is_urgent",
+    )
+
+
+def _q176_frames(spark: SparkSession, sf_dir: str):
+    """Left = customer projections; right = the same entities with
+    deterministic field corruption (every 3rd balance bucket shifted,
+    every 5th segment rewritten) — the dirty-file half of the linkage
+    gate. Returned as (left, right)."""
+    c = _t(spark, sf_dir, "customer")
+    tail = F.expr("right(c_name, 4)")
+    bucket = F.floor(F.col("c_acctbal") / 100).cast("long")
+    left = c.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        bucket.alias("bal_bucket"), tail.alias("name_tail"),
+    )
+    right = c.select(
+        F.col("c_custkey").alias("r_id"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        (bucket + F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0))
+        .alias("bal_bucket"),
+        tail.alias("name_tail"),
+    )
+    return left, right
+
+
+_Q176_COMPARES = [
+    ("c_mktsegment", 0.9, 0.2),
+    ("bal_bucket", 0.9, 0.01),
+    ("name_tail", 0.99, 0.0001),
+]
+
+
+def q176_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969): customers
+    linked to a deterministically-corrupted copy of themselves — blocked
+    on nation (the candidate bound), per-field agreement weights
+    ln(m/u) / ln((1-m)/(1-u)) computed in PYTHON and injected as
+    literals (no engine ln — bit-identical scores), three-way
+    link/possible/non-link decision. Summarized as a per-decision
+    census with the same-entity count — the precision/recall readout
+    (operators/linkage.fs_link_pairs)."""
+    from pytrousse_spark.operators.linkage import fs_link_pairs
+
+    left, right = _q176_frames(spark, sf_dir)
+    pairs = fs_link_pairs(
+        left, right, "c_custkey", "r_id", ["c_nationkey"],
+        _Q176_COMPARES, lower=-1.0, upper=5.0,
+    )
+    return pairs.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("c_custkey") == F.col("r_id"), 1).otherwise(0)
+        ).cast("bigint").alias("n_same_entity"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+def _sql_q176() -> str:
+    from pytrousse_spark.operators.linkage import fs_link_pairs_sql
+
+    left = (
+        "SELECT c_custkey, c_nationkey, c_mktsegment,"
+        " CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,"
+        " right(c_name, 4) AS name_tail FROM customer"
+    )
+    right = (
+        "SELECT c_custkey AS r_id, c_nationkey,"
+        " CASE WHEN c_custkey % 5 = 0 THEN 'MACHINERY'"
+        " ELSE c_mktsegment END AS c_mktsegment,"
+        " CAST(floor(c_acctbal / 100) AS BIGINT)"
+        " + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS bal_bucket,"
+        " right(c_name, 4) AS name_tail FROM customer"
+    )
+    inner = fs_link_pairs_sql(
+        left, right, "c_custkey", "r_id", ["c_nationkey"],
+        _Q176_COMPARES, lower=-1.0, upper=5.0,
+    )
+    return f"""
+    WITH pairs AS ({inner})
+    SELECT decision,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c_custkey = r_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_entity,
+           min(score) AS min_score,
+           max(score) AS max_score
+    FROM pairs GROUP BY decision
+    """
+
+
 def q170_rank_transform_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-routed rank transform (r5 VERDICT item 5): ONE cheap
     group-profile aggregation (max per-group row count — map-side
@@ -5289,6 +5456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_rank_transform_auto": q170_rank_transform_auto,
         "q171_png_rgb_roundtrip": q171_png_rgb_roundtrip,
         "q172_k_anonymity_enforce": q172_k_anonymity_enforce,
+        "q173_t_closeness": q173_t_closeness,
+        "q174_dp_counts": q174_dp_counts,
+        "q175_auc": q175_auc,
+        "q176_record_linkage": q176_record_linkage,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -5334,12 +5505,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_cross_dedup": q75_cross_dedup,
         "q76_target_mix": q76_target_mix,
         "q77_dedup_keep_best": q77_dedup_keep_best,
+        # -- tail (position >50): r3 evidence (same round as the head's r3
+        # -- block — oldest-first invariant holds), then r4, then r5 --------
         "q78_kmeans": q78_kmeans,
         "q79_semantic_dedup": q79_semantic_dedup,
         "q80_dup_ngrams": q80_dup_ngrams,
         "q81_dsir": q81_dsir,
-        # -- tail (position >50): r3 evidence (same round as the head's r3
-        # -- block — oldest-first invariant holds), then r4, then r5 --------
         "q82_cluster_cap": q82_cluster_cap,
         "q83_remove_dup_spans": q83_remove_dup_spans,
         "q84_collocations": q84_collocations,
@@ -5836,6 +6007,10 @@ def oracle_sql() -> dict[str, str]:
         "q170_rank_transform_auto": _sql_q170(),
         "q171_png_rgb_roundtrip": _sql_q171(),
         "q172_k_anonymity_enforce": _sql_q172(),
+        "q173_t_closeness": _sql_q173(),
+        "q174_dp_counts": _sql_q174(),
+        "q175_auc": _sql_q175(),
+        "q176_record_linkage": _sql_q176(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

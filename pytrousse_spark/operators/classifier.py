@@ -758,3 +758,142 @@ def calibration_bins_sql(
                AS brier_total
     FROM dense ORDER BY bin
     """
+
+
+def auc_binned(
+    df: "DataFrame",
+    score_col: str,
+    label_col: str,
+    num_bins: int = 4096,
+) -> "DataFrame":
+    """ROC AUC via the rank-sum (Mann-Whitney) identity over a score
+    HISTOGRAM — the classifier-evaluation readout beside
+    :func:`calibration_bins`: AUC = P(score_pos > score_neg) +
+    0.5 * P(score_pos = score_neg), estimated exactly at bin
+    granularity (rows sharing a bin are ties — the only approximation;
+    max error is bounded by the in-bin pair mass, pinned vs the exact
+    pairwise AUC in tests).
+
+    Identity on the B-bin histogram with per-bin positive/negative
+    counts (P_i, N_i), ascending bins:
+    ``2 * numer = sum_i P_i * (2 * N_below_i + N_i)`` (an exact BIGINT
+    fold — pair counting, order-free) and ``auc = numer / (P * N)`` as
+    ONE IEEE division rounded 6, so both engines agree bit-for-bit.
+
+    Scale: ONE scan (min/max stats broadcast), ONE (bin)-keyed agg
+    bounded by B, a B-row window for the running negative mass — never
+    a global sort over rows (the exact rank-sum's funnel; DuckDB's
+    plain window IS the law-test oracle at small n). Rows with NULL
+    score or NULL label are excluded. Degenerate inputs (no positives
+    or no negatives) return NULL auc.
+
+    Output one row: ``(n_pos, n_neg, auc, gini)`` with
+    ``gini = 2 * auc - 1`` (the accuracy-ratio form).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    nn = df.where(s.isNotNull() & y.isNotNull())
+    stats = nn.agg(
+        F.min(s).alias("__lo"), F.max(s).alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    pos = (s - F.col("__lo")) / span * num_bins
+    binned = nn.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(F.floor(pos).cast("long"), F.lit(num_bins - 1))
+        )
+        .alias("__b"),
+        y.alias("__y"),
+    )
+    hist = binned.groupBy("__b").agg(
+        F.sum("__y").cast("bigint").alias("__p"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("__nneg"),
+    )
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "__b", "__p", "__nneg",
+        F.coalesce(F.sum("__nneg").over(wb), F.lit(0)).alias("__nbelow"),
+    )
+    two_numer = F.sum(
+        F.col("__p") * (2 * F.col("__nbelow") + F.col("__nneg"))
+    ).cast("bigint")
+    p_tot = F.sum("__p").cast("bigint")
+    n_tot = F.sum("__nneg").cast("bigint")
+    return cum.agg(
+        p_tot.alias("n_pos"),
+        n_tot.alias("n_neg"),
+        F.when(
+            (p_tot > 0) & (n_tot > 0),
+            F.round(
+                two_numer.cast("double")
+                / (2.0 * (p_tot * n_tot).cast("double")),
+                6,
+            ),
+        ).alias("auc"),
+        F.when(
+            (p_tot > 0) & (n_tot > 0),
+            F.round(
+                two_numer.cast("double")
+                / (p_tot * n_tot).cast("double") - 1.0,
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+def auc_binned_sql(
+    table_expr: str,
+    score_col: str,
+    label_expr: str,
+    num_bins: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`auc_binned` — identical binning, BIGINT
+    pair fold, and single-division rounding. ``label_expr`` is a SQL
+    expression yielding 0/1/NULL."""
+    B = num_bins
+    return f"""
+    WITH nn AS (
+        SELECT CAST({score_col} AS DOUBLE) AS __s,
+               CAST({label_expr} AS INT) AS __y
+        FROM ({table_expr})
+        WHERE {score_col} IS NOT NULL AND ({label_expr}) IS NOT NULL
+    ), st AS MATERIALIZED (
+        SELECT min(__s) AS __lo, max(__s) AS __hi FROM nn
+    ), binned AS (
+        SELECT CASE WHEN st.__hi = st.__lo THEN 0
+                    ELSE least(CAST(floor((__s - st.__lo)
+                                          / (st.__hi - st.__lo) * {B})
+                                    AS BIGINT), {B - 1})
+               END AS __b,
+               __y
+        FROM nn CROSS JOIN st
+    ), hist AS (
+        SELECT __b, CAST(sum(__y) AS BIGINT) AS __p,
+               CAST(sum(1 - __y) AS BIGINT) AS __nneg
+        FROM binned GROUP BY __b
+    ), cum AS (
+        SELECT __b, __p, __nneg,
+               CAST(coalesce(sum(__nneg) OVER (
+                   ORDER BY __b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS __nbelow
+        FROM hist
+    )
+    SELECT CAST(sum(__p) AS BIGINT) AS n_pos,
+           CAST(sum(__nneg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(__p) > 0 AND sum(__nneg) > 0 THEN
+             round(CAST(sum(__p * (2 * __nbelow + __nneg)) AS BIGINT)
+                   / (2.0 * CAST(sum(__p) AS BIGINT)
+                          * CAST(sum(__nneg) AS BIGINT)), 6)
+           END AS auc,
+           CASE WHEN sum(__p) > 0 AND sum(__nneg) > 0 THEN
+             round(CAST(sum(__p * (2 * __nbelow + __nneg)) AS BIGINT)
+                   / (CAST(sum(__p) AS BIGINT)
+                      * CAST(sum(__nneg) AS BIGINT)) - 1.0, 6)
+           END AS gini
+    FROM cum
+    """

@@ -352,8 +352,11 @@ def percent_rank_transform_approx(
         "__c",
         F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__below"),
     )
+    # explicit broadcast: the CDF frame is groups x B rows (tiny); without
+    # the hint the null-safe key rewrite (coalesce/isnull pair) makes the
+    # planner lose the broadcast and fall back to a fact-side SortMergeJoin
     joined = binned.join(
-        cdf,
+        F.broadcast(cdf),
         binned[group_col].eqNullSafe(cdf["__hg"])
         & (binned["__b"] == cdf["__cb"]),
         "inner",

@@ -195,3 +195,80 @@ def test_enforce_k_anonymity_null_qi_class_survives(spark):
     rows2 = [(None, "x", i) for i in range(4)] + [(None, "y", 9)]
     df2 = spark.createDataFrame(rows2, "q1 string, q2 string, x int")
     assert enforce_k_anonymity(df2, ["q1", "q2"], 3).count() == 4
+
+
+def test_t_closeness_census_laws(spark):
+    """A class whose sensitive distribution mirrors the global one is
+    0-close; a concentrated class reads ~TV distance; census counts and
+    monotonicity hold."""
+    from pytrousse_spark.operators.anonymize import t_closeness_census
+
+    # global: 50/50 over {x, y}. class a mirrors it (t=0);
+    # class b is all-x (TV = |1-0.5|/... = 0.5)
+    rows = (
+        [("a", "x")] * 4 + [("a", "y")] * 4
+        + [("b", "x")] * 4
+    )
+    # rebalance so global is 2/3 x, 1/3 y: a is (.5,.5) -> TV = 1/6
+    df = spark.createDataFrame(rows, ["qi", "dx"])
+    out = {r["t"]: r for r in t_closeness_census(
+        df, ["qi"], "dx", [0.1, 0.4]).collect()}
+    # a: 0.5*(|.5-2/3| + |.5-1/3|) = 1/6 ~ 0.1667; b: 0.5*(|1-2/3|+|0-1/3|) = 1/3
+    assert out[0.1]["groups_above"] == 2          # both exceed 0.1
+    assert out[0.4]["groups_above"] == 0          # neither exceeds 0.4
+    assert abs(out[0.1]["max_t"] - 1 / 3) < 1e-6
+    assert out[0.1]["n_groups"] == 2 and out[0.1]["n_rows"] == 12
+    ga = [r["groups_above"] for r in sorted(out.values(), key=lambda r: r["t"])]
+    assert ga == sorted(ga, reverse=True)  # monotone non-increasing in t
+
+    # single class == global distribution -> exactly 0-close
+    one = spark.createDataFrame([("a", "x"), ("a", "y")], ["qi", "dx"])
+    r = t_closeness_census(one, ["qi"], "dx", [0.05]).collect()[0]
+    assert r["max_t"] == 0.0 and r["groups_above"] == 0
+
+    # NULL sensitive is a value; NULL QI is a class
+    nulls = spark.createDataFrame(
+        [("a", None), ("a", "x"), (None, None), (None, None)], ["qi", "dx"]
+    )
+    rn = t_closeness_census(nulls, ["qi"], "dx", [0.1]).collect()[0]
+    assert rn["n_groups"] == 2 and rn["n_rows"] == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t_closeness_census(one, ["qi"], "dx", [])
+    with _pytest.raises(ValueError):
+        t_closeness_census(one, ["qi"], "dx", [1.5])
+
+
+def test_dp_noisy_counts_laws(spark):
+    """Keyed-PRF Laplace mechanism: deterministic per (salt, key), scale
+    tracks 1/eps, signs balance, and the empirical mean |noise| over many
+    groups approximates the Laplace mean absolute deviation b = 1/eps."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.anonymize import dp_noisy_counts
+
+    df = spark.range(10000).select(
+        (F.col("id") % 500).alias("g"), F.lit(1).alias("x")
+    )
+    out1 = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(df, ["g"], 1.0, "s").collect()}
+    out2 = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(df, ["g"], 1.0, "s").collect()}
+    assert out1 == out2  # deterministic
+    out3 = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(df, ["g"], 1.0, "t").collect()}
+    assert out1 != out3  # salt rotates the draw
+    noises = [v - 20.0 for v in out1.values()]  # true count is 20 per group
+    assert abs(sum(1 for n in noises if n > 0) - 250) < 60  # signs balance
+    mean_abs = sum(abs(n) for n in noises) / len(noises)
+    assert 0.7 < mean_abs < 1.4  # E|Lap(1)| = 1
+    # eps=10 -> 10x smaller scale
+    out10 = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(df, ["g"], 10.0, "s").collect()}
+    mean_abs10 = sum(abs(v - 20.0) for v in out10.values()) / len(out10)
+    assert mean_abs10 < mean_abs / 5
+    with _pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], 0.0)
+    # NULL key is a group, distinct from ''
+    nd = spark.createDataFrame([(None, 1), ("", 2), ("", 3)], "g string, x int")
+    rows = dp_noisy_counts(nd, ["g"], 1.0, "s").collect()
+    assert len(rows) == 2

@@ -208,3 +208,58 @@ def test_calibration_bins_rejects_bad_bins(spark):
     df = spark.createDataFrame([(0.5, 1)], ["p", "y"])
     with _pytest.raises(ValueError):
         calibration_bins(df, "p", "y", 1)
+
+
+def test_auc_binned_laws(spark):
+    """Rank-sum identity at bin granularity: perfect separation -> 1,
+    reversed -> 0, constant scores -> 0.5 (all ties), degenerate label
+    mix -> NULL, and the binned estimate tracks the exact pairwise AUC
+    within the in-bin tie mass."""
+    import random
+
+    from pytrousse_spark.operators.classifier import auc_binned
+
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)], ["s", "y"]
+    )
+    r = auc_binned(perfect, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"], r["gini"]) == (50, 50, 1.0, 1.0)
+    reverse = spark.createDataFrame(
+        [(float(-i), 1 if i >= 50 else 0) for i in range(100)], ["s", "y"]
+    )
+    assert auc_binned(reverse, "s", "y").collect()[0]["auc"] == 0.0
+    const = spark.createDataFrame(
+        [(7.0, i % 2) for i in range(100)], ["s", "y"]
+    )
+    assert auc_binned(const, "s", "y").collect()[0]["auc"] == 0.5
+    onesided = spark.createDataFrame([(1.0, 1), (2.0, 1)], ["s", "y"])
+    r1 = auc_binned(onesided, "s", "y").collect()[0]
+    assert r1["auc"] is None and r1["gini"] is None
+
+    # vs exact pairwise AUC on noisy data
+    rng = random.Random(7)
+    rows = [
+        (rng.gauss(1.0 if y else 0.0, 1.0), y)
+        for y in (rng.random() < 0.4 for _ in range(2000))
+    ]
+    rows = [(s, 1 if y else 0) for s, y in rows]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = auc_binned(df, "s", "y").collect()[0]["auc"]
+    pos = sorted(s for s, y in rows if y == 1)
+    neg = sorted(s for s, y in rows if y == 0)
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, s) for s in pos)
+    ties = sum(
+        bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s) for s in pos
+    )
+    exact = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got - exact) < 2e-3  # in-bin tie mass at B=4096
+
+    # NULL score / NULL label rows are excluded, not crashed on
+    nd = spark.createDataFrame(
+        [(None, 1), (1.0, None), (1.0, 1), (0.0, 0)],
+        "s double, y int",
+    )
+    rn = auc_binned(nd, "s", "y").collect()[0]
+    assert (rn["n_pos"], rn["n_neg"], rn["auc"]) == (1, 1, 1.0)
