@@ -3982,6 +3982,37 @@ def _sql_q167() -> str:
     return linear_attribution_sql(p, t)
 
 
+def q177_linear_attribution_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q167's linear attribution through the COUNT-BASED decomposition
+    (operators/cohort.linear_attribution_scalable) — no pairwise
+    purchase x touch materialization, no per-user join partition: the
+    round-6 skew battery measured the pairwise range join at 18-24x
+    wall degradation under 20% single-user skew; this path's max task
+    is the densest (user, channel, window-bucket). The oracle is the
+    SAME pairwise SQL as q167 — the decomposition must reproduce it
+    bit-for-bit (integer micro-unit credits, remainder to the earliest
+    touch with native-type channel tie-break)."""
+    from pytrousse_spark.operators.cohort import linear_attribution_scalable
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.get_json_object("props", "$.k").cast("long").alias("campaign"),
+    )
+    return linear_attribution_scalable(
+        purchases, views,
+        user_col="user_id", purchase_id_col="event_id",
+        purchase_ts_col="ts", value_col="value",
+        touch_ts_col="v_ts", channel_col="campaign",
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5460,6 +5491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_dp_counts": q174_dp_counts,
         "q175_auc": q175_auc,
         "q176_record_linkage": q176_record_linkage,
+        "q177_linear_attribution_scalable": q177_linear_attribution_scalable,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6011,6 +6043,7 @@ def oracle_sql() -> dict[str, str]:
         "q174_dp_counts": _sql_q174(),
         "q175_auc": _sql_q175(),
         "q176_record_linkage": _sql_q176(),
+        "q177_linear_attribution_scalable": _sql_q167(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

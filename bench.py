@@ -226,8 +226,12 @@ _IDLE_SKEW_RATIOS = {
     "q85_rolling_window": 8.0,
     "q157_rolling_window_scalable": 1.5,
     "q133_event_transitions": 1.5,
-    # round-6 rows (r5 VERDICT item 7)
-    "q167_linear_attribution": 2.0,
+    # round-6 finding: the pairwise range join IS quadratic in the hot
+    # user (measured 18.8 / 24.0 across cooldown re-runs — real, not
+    # load); it is now the declared funnel with q177 as the registered
+    # fix, so the band reflects the measured behavior
+    "q167_linear_attribution": 30.0,
+    "q177_linear_attribution_scalable": 2.0,
     "q157_rolling_window_1day": 2.5,
 }
 
@@ -263,6 +267,7 @@ def _skew_stress(spark, tmp: str) -> dict:
             "q157_rolling_window_scalable",  # bucketed fix for q85's funnel
             "q133_event_transitions",
             "q167_linear_attribution",
+            "q177_linear_attribution_scalable",
         )
     }
     cases["q157_rolling_window_1day"] = _rolling_window_1day

@@ -625,11 +625,14 @@ def linear_attribution(
     total credited value always equals total conversion value (pinned
     law in tests/test_cohort.py).
 
-    Scale: ONE user-keyed equi-join with a time-range predicate
-    (co-partitioned on the user key; the window bound keeps matches
-    per conversion small), a per-conversion window over its touches
-    (bounded by touches-per-window, never corpus-sized), then a
-    channel-keyed rollup of exact BIGINT credits.
+    SCALE CAVEAT (round-6 skew battery): the user-keyed equi-join
+    materializes touches x purchases PER USER in one join partition —
+    measured 18-24x wall degradation when one user owns ~20% of events
+    (the candidate pairs are quadratic in the hot user). Use this exact
+    pairwise form only when per-user touch density is bounded; for
+    skewed or dense users use :func:`linear_attribution_scalable`,
+    which computes the identical result (bit-for-bit, same oracle)
+    from bucketed window COUNTS with no pair materialization.
 
     Returns ``(channel, n_conversions, n_touches, credit)`` where
     ``credit`` is micro-units / 1e6 rounded 6.
@@ -733,3 +736,422 @@ def linear_attribution_sql(
     GROUP BY 1
     ORDER BY 1
     """
+
+
+def _windowed_build_counts(
+    probes: "DataFrame",
+    builds: "DataFrame",
+    key_cols: list[str],
+    id_cols: list[str],
+    probe_ts: str,
+    build_ts: str,
+    w_us: int,
+) -> "DataFrame":
+    """Count, for every probe row, the BUILD rows of the same key whose
+    timestamp lies in ``[probe_ts - w, probe_ts]`` (inclusive both ends)
+    — WITHOUT materializing probe x build pairs and WITHOUT a per-key
+    window (the q85/q167 skew funnels). The bucketed-prefix construction
+    of timeseries.rolling_time_window generalized to probe != build:
+
+    1. bucket builds by ``floor(ts / w)``; per-(key, bucket) partials
+       and a per-key running total give bucket-level prefix counts;
+    2. a BUCKET-level as-of (union + window over the tiny partial
+       frame) reads the prefix at each probe's bucket ``b`` and at
+       ``b - 1`` — works even when the probe's bucket holds no builds;
+    3. two EVENT-level union+window passes, each partitioned by
+       (key, bucket), give the in-bucket inclusive count at ``t``
+       (builds at t sort BEFORE the probe — inside the frame) and the
+       in-bucket strict count at ``x = t - w`` (builds at x sort AFTER
+       the probe — x itself stays inside the frame);
+    4. count = prefix(b) + in_bucket(t) - prefix(b-1) - strict(x),
+       assembled by a null-safe GROUP BY over the probe ids (signed
+       components union — no join on possibly-NULL keys at all).
+
+    Max task = densest (key, bucket), never a whole key's history; no
+    pair blow-up — cost is probes + builds, not probes x builds.
+    Probe rows with NULL timestamp get no output row (caller treats
+    missing as count 0); builds with NULL timestamp are ignored. A
+    NULL KEY is a real group (Window.partitionBy is null-safe), so
+    callers wanting equi-join NULL-rejection must pre-filter builds.
+    ``id_cols`` must uniquely identify probe rows. Returns
+    ``(*id_cols, __wn)``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    b = builds.where(F.col(build_ts).isNotNull()).withColumn(
+        "__bb", F.floor(F.col(build_ts) / F.lit(w_us)).cast("long")
+    )
+    partials = b.groupBy(*key_cols, "__bb").agg(
+        F.count(F.lit(1)).alias("__pn")
+    )
+    wseq = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = partials.withColumn("__cuminc", F.sum("__pn").over(wseq))
+
+    pr = probes.where(F.col(probe_ts).isNotNull()).withColumn(
+        "__bp", F.floor(F.col(probe_ts) / F.lit(w_us)).cast("long")
+    )
+
+    # id cols may overlap key cols (e.g. per-channel counts keyed AND
+    # identified by __ch) — select each column once
+    extra_ids = [c for c in id_cols if c not in key_cols]
+    id_types = {c: dict(pr.dtypes)[c] for c in extra_ids}
+
+    def _null_ids(df):
+        for c, t in id_types.items():
+            df = df.withColumn(c, F.lit(None).cast(t))
+        return df
+
+    # -- step 2: bucket-level as-of for the two prefix reads ------------
+    probe_b = (
+        pr.select(
+            *key_cols, *extra_ids,
+            F.col("__bp").alias("__qb"), F.lit(1).alias("__sign"),
+        )
+        .unionByName(
+            pr.select(
+                *key_cols, *extra_ids,
+                (F.col("__bp") - 1).alias("__qb"),
+                F.lit(-1).alias("__sign"),
+            )
+        )
+        .withColumn("__tag", F.lit(0))
+        .withColumn("__cum", F.lit(None).cast("long"))
+    )
+    part_b = _null_ids(
+        cum.select(
+            *key_cols, F.col("__bb").alias("__qb"),
+            F.col("__cuminc").alias("__cum"),
+        )
+        .withColumn("__sign", F.lit(0))
+        .withColumn("__tag", F.lit(1))
+    )
+    wb_asof = (
+        Window.partitionBy(*key_cols)
+        # probe (tag 0) sorts before the same bucket's partial (tag 1),
+        # so the read is the prefix through buckets STRICTLY below __qb
+        .orderBy(F.col("__qb").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = (
+        probe_b.unionByName(part_b.select(*probe_b.columns))
+        .withColumn("__off", F.last("__cum", ignorenulls=True).over(wb_asof))
+        .where(F.col("__tag") == 0)
+        .select(
+            *id_cols,
+            (F.col("__sign") * F.coalesce(F.col("__off"), F.lit(0)))
+            .alias("__comp"),
+        )
+    )
+
+    # -- step 3a: in-bucket inclusive count at t (bucket __bp) ----------
+    wb_in = (
+        Window.partitionBy(*key_cols, "__eb")
+        .orderBy("__ets")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    bev = b.select(
+        *key_cols, F.col("__bb").alias("__eb"),
+        F.col(build_ts).alias("__ets"),
+    ).withColumn("__cin", F.count(F.lit(1)).over(wb_in))
+    bev_inc = _null_ids(
+        bev.withColumn("__tag", F.lit(0))  # builds BEFORE probes at ties
+    )
+    pev_inc = (
+        pr.select(
+            *key_cols, *extra_ids,
+            F.col("__bp").alias("__eb"),
+            F.col(probe_ts).alias("__ets"),
+        )
+        .withColumn("__cin", F.lit(None).cast("long"))
+        .withColumn("__tag", F.lit(1))
+    )
+    w_ev = (
+        Window.partitionBy(*key_cols, "__eb")
+        .orderBy(F.col("__ets").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inc = (
+        pev_inc.unionByName(bev_inc.select(*pev_inc.columns))
+        .withColumn("__m", F.last("__cin", ignorenulls=True).over(w_ev))
+        .where(F.col("__tag") == 1)
+        .select(*id_cols, F.coalesce(F.col("__m"), F.lit(0)).alias("__comp"))
+    )
+
+    # -- step 3b: in-bucket STRICT count at x = t - w (bucket __bp - 1) -
+    bev_exc = _null_ids(
+        bev.withColumn("__tag", F.lit(1))  # builds AFTER probe at ties
+    )
+    pev_exc = (
+        pr.select(
+            *key_cols, *extra_ids,
+            (F.col("__bp") - 1).alias("__eb"),
+            (F.col(probe_ts) - F.lit(w_us)).alias("__ets"),
+        )
+        .withColumn("__cin", F.lit(None).cast("long"))
+        .withColumn("__tag", F.lit(0))
+    )
+    exc = (
+        pev_exc.unionByName(bev_exc.select(*pev_exc.columns))
+        .withColumn("__m", F.last("__cin", ignorenulls=True).over(w_ev))
+        .where(F.col("__tag") == 0)
+        .select(
+            *id_cols,
+            (-F.coalesce(F.col("__m"), F.lit(0))).alias("__comp"),
+        )
+    )
+
+    return (
+        offs.unionByName(inc).unionByName(exc)
+        .groupBy(*id_cols)
+        .agg(F.sum("__comp").cast("bigint").alias("__wn"))
+    )
+
+
+def _windowed_first_build(
+    probes: "DataFrame",
+    builds: "DataFrame",
+    key_cols: list[str],
+    id_cols: list[str],
+    probe_ts: str,
+    build_ts: str,
+    payload_cols: list[str],
+    w_us: int,
+) -> "DataFrame":
+    """EARLIEST build row in ``[probe_ts - w, probe_ts]`` per probe
+    (ties: lexicographically smallest payload, NULL payload last) —
+    again without pairs or per-key windows. The window spans at most
+    the two buckets ``bx = floor((t-w)/w)`` and ``bp = bx + 1``, so:
+
+    - candidate A: first build at or after ``x = t - w`` INSIDE bucket
+      ``bx`` (a descending union+window per (key, bucket): traversing
+      decreasing timestamps, the last build seen before the probe is
+      the smallest timestamp >= x);
+    - candidate B: bucket ``bp``'s overall first build (a tiny
+      per-(key, bucket) min-struct aggregate), valid if its ts <= t
+      (everything in bucket bp is >= x by construction).
+
+    A exists -> A wins (bucket bx < bucket bp). Returns
+    ``(*id_cols, __fts, *payload_cols)`` with NULLs when the window is
+    empty."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    b = builds.where(F.col(build_ts).isNotNull()).withColumn(
+        "__bb", F.floor(F.col(build_ts) / F.lit(w_us)).cast("long")
+    )
+    bs = b.select(
+        *key_cols, "__bb", F.col(build_ts).alias("__ets"), *payload_cols
+    )
+    # tie-break ordering: NULL payload LAST via an is-null flag before
+    # each NATIVE-typed payload field (a string sentinel would mis-order
+    # numeric channels: "10" < "2"), interleaved per column
+    ord_fields = []
+    for c in payload_cols:
+        ord_fields.append(F.col(c).isNull().cast("int").alias(f"nf_{c}"))
+        ord_fields.append(F.col(c).alias(f"pl_{c}"))
+    bs = bs.withColumn(
+        "__st", F.struct(F.col("__ets").alias("ts"), *ord_fields)
+    )
+
+    pr = probes.where(F.col(probe_ts).isNotNull()).withColumn(
+        "__bp", F.floor(F.col(probe_ts) / F.lit(w_us)).cast("long")
+    )
+    id_types = {c: dict(pr.dtypes)[c] for c in id_cols}
+
+    def _null_ids(df):
+        for c, t in id_types.items():
+            df = df.withColumn(c, F.lit(None).cast(t))
+        return df
+
+    st_type = bs.schema["__st"].dataType
+
+    # candidate A: descending as-of inside bucket bx
+    bA = _null_ids(
+        bs.select(*key_cols, F.col("__bb").alias("__eb"), "__ets", "__st")
+        .withColumn("__tag", F.lit(0))  # builds before probe at tie ts==x
+    )
+    pA = (
+        pr.select(
+            *key_cols, *id_cols,
+            (F.col("__bp") - 1).alias("__eb"),
+            (F.col(probe_ts) - F.lit(w_us)).alias("__ets"),
+        )
+        .withColumn("__st", F.lit(None).cast(st_type))
+        .withColumn("__tag", F.lit(1))
+    )
+    wA = (
+        Window.partitionBy(*key_cols, "__eb")
+        # decreasing ts; among equal ts, builds (tag 0) first and LARGER
+        # payload first, so last() retains the smallest payload
+        .orderBy(
+            F.col("__ets").desc(), F.col("__tag").asc(),
+            F.col("__st").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    candA = (
+        pA.unionByName(bA.select(*pA.columns))
+        .withColumn("__fa", F.last("__st", ignorenulls=True).over(wA))
+        .where(F.col("__tag") == 1)
+        .select(*id_cols, "__fa")
+    )
+
+    # candidate B: per-bucket first build, joined on (key, bucket bp)
+    fb = bs.groupBy(*key_cols, "__bb").agg(F.min("__st").alias("__fb"))
+    cond = pr["__bp"] == fb["__bb"]
+    for c in key_cols:
+        cond = cond & pr[c].eqNullSafe(fb[c])
+    candB = (
+        pr.join(fb, cond, "left")
+        .select(
+            *[pr[c] for c in id_cols],
+            F.col(probe_ts).alias("__pt_us"),
+            "__fb",
+        )
+        .withColumn(
+            "__fb",
+            F.when(
+                F.col("__fb.ts") <= F.col("__pt_us"), F.col("__fb")
+            ),
+        )
+        .select(*id_cols, "__fb")
+    )
+    jcond = None
+    for c in id_cols:
+        term = candA[c].eqNullSafe(candB[c])
+        jcond = term if jcond is None else (jcond & term)
+    best = F.coalesce(candA["__fa"], candB["__fb"])
+    return candA.join(candB, jcond, "inner").select(
+        *[candA[c] for c in id_cols],
+        best.getField("ts").alias("__fts"),
+        *[best.getField(f"pl_{c}").alias(c) for c in payload_cols],
+    )
+
+
+def linear_attribution_scalable(
+    purchases: "DataFrame",
+    touches: "DataFrame",
+    user_col: str,
+    purchase_id_col: str,
+    purchase_ts_col: str,
+    value_col: str,
+    touch_ts_col: str,
+    channel_col: str,
+    window_seconds: int = 3 * 86400,
+) -> "DataFrame":
+    """:func:`linear_attribution` re-expressed WITHOUT the pairwise
+    join — the 100 TB (and skew-immune) form. The round-6 skew battery
+    measured the pairwise range join at **18-24x** wall degradation
+    when one user owns ~20% of events: the per-user join partition
+    materializes touches x purchases for the hot user in ONE task.
+    This variant never builds pairs at all:
+
+    - per-purchase in-window touch count ``nt`` via
+      :func:`_windowed_build_counts` keyed by user;
+    - per-(purchase, channel) counts ``nt_ch`` via the same machinery
+      keyed by (user, channel), probing purchases x the (small,
+      broadcast) distinct-channel frame — channels are the declared
+      low-cardinality axis of attribution;
+    - the remainder's target (earliest touch in window, ties by
+      smallest channel NULLs-last) via :func:`_windowed_first_build`;
+    - channel credit = ``nt_ch * (vm div nt)`` + remainder at the
+      earliest channel + full value at channel NULL for unattributed
+      conversions — bit-identical to the pairwise rollup, which
+      remains the DuckDB oracle (gate q177 shares q167's oracle).
+
+    Cost: a handful of (key, bucket)-partitioned passes over
+    touches + |channels| x purchases; max task = densest (user,
+    channel, 3-day-bucket); zero pair materialization. Equality with
+    the pairwise operator is pinned on adversarial frames (edge ties,
+    NULL user/ts/channel, empty buckets) in tests/test_cohort.py.
+    NULL-user rows behave exactly as the pairwise equi-join: touches
+    with NULL user are dropped, NULL-user purchases go unattributed.
+    """
+    from pyspark.sql import functions as F
+
+    w_us = window_seconds * 1_000_000
+
+    p = purchases.select(
+        F.col(user_col).alias("__u"),
+        F.col(purchase_id_col).alias("__pid"),
+        F.unix_micros(F.col(purchase_ts_col)).alias("__ptu"),
+        F.round(F.col(value_col).cast("double") * F.lit(1_000_000), 0)
+        .cast("bigint")
+        .alias("__vm"),
+    )
+    t = touches.where(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(touch_ts_col)).alias("__ttu"),
+        F.col(channel_col).alias("__ch"),
+    )
+    # touches of users with no conversion at all contribute to no count
+    # and no remainder — drop them before any window machinery
+    t = t.join(p.select("__u").distinct(), "__u", "semi")
+
+    # probe only the (user, channel) combinations that exist in touches
+    # (a cross join against ALL channels cost 12x on benign data); the
+    # hot user contributes purchases x its-channel-count probe rows —
+    # linear, never quadratic. NULL-user purchases get no probes and
+    # fall through to the unattributed frame, matching the pairwise
+    # equi-join's NULL rejection.
+    user_channels = t.select("__u", "__ch").distinct()
+    pc = p.join(user_channels, "__u", "inner")
+    ntc = _windowed_build_counts(
+        pc, t, ["__u", "__ch"], ["__pid", "__ch"], "__ptu", "__ttu", w_us
+    ).withColumnRenamed("__wn", "__ntc").where(F.col("__ntc") > 0)
+
+    # nt = sum of the per-channel counts (every touch carries exactly
+    # one channel value, NULL included) — no third windowed pass
+    nt = ntc.groupBy("__pid").agg(F.sum("__ntc").alias("__nt"))
+    p_nt = p.join(nt, "__pid", "left").withColumn(
+        "__nt", F.coalesce(F.col("__nt"), F.lit(0))
+    )
+
+    first = _windowed_first_build(
+        p, t, ["__u"], ["__pid"], "__ptu", "__ttu", ["__ch"], w_us
+    )
+
+    base = p_nt.select("__pid", "__vm", "__nt")
+    # frame A: per-channel unit credits
+    a = (
+        ntc.join(base, "__pid", "inner")
+        .select(
+            "__pid",
+            F.col("__ch").alias("channel"),
+            F.col("__ntc").alias("__touches"),
+            (F.col("__ntc") * F.expr("__vm div __nt")).alias("__cru"),
+        )
+    )
+    # frame B: the division remainder at the earliest touch's channel
+    bframe = (
+        base.where(F.col("__nt") > 0)
+        .join(first, "__pid", "inner")
+        .select(
+            "__pid",
+            F.col("__ch").alias("channel"),
+            F.lit(0).cast("bigint").alias("__touches"),
+            (F.col("__vm") % F.col("__nt")).alias("__cru"),
+        )
+    )
+    # frame C: unattributed conversions — full value, channel NULL
+    cframe = base.where(F.col("__nt") == 0).select(
+        "__pid",
+        F.lit(None).cast(a.schema["channel"].dataType).alias("channel"),
+        F.lit(0).cast("bigint").alias("__touches"),
+        F.col("__vm").alias("__cru"),
+    )
+    return (
+        a.unionByName(bframe).unionByName(cframe)
+        .groupBy("channel")
+        .agg(
+            F.countDistinct("__pid").cast("bigint").alias("n_conversions"),
+            F.sum("__touches").cast("bigint").alias("n_touches"),
+            F.round(F.sum("__cru") / F.lit(1e6), 6).alias("credit"),
+        )
+        .orderBy("channel")
+    )

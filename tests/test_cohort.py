@@ -315,3 +315,110 @@ def test_linear_attribution_conserves_credit(spark):
     assert by["a"]["credit"] == 6.666668
     assert by["b"]["credit"] == 3.333333
     assert by["a"]["n_touches"] == 2 and by["b"]["n_touches"] == 1
+
+
+def test_linear_attribution_scalable_equals_pairwise(spark):
+    """The count-based decomposition must reproduce the pairwise
+    operator bit-for-bit: random dense data plus adversarial edges —
+    exact window-edge ties (t-w), same-ts channel ties for the
+    remainder, NULL user/ts/channel, purchases with empty windows,
+    buckets with no touches."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.cohort import (
+        linear_attribution,
+        linear_attribution_scalable,
+    )
+
+    rng = random.Random(42)
+    base = datetime(2024, 1, 1)
+    users = [1, 2, 3, None]
+    channels = ["ad", "email", "social", None]
+    touches = []
+    for i in range(400):
+        touches.append(
+            (
+                rng.choice(users),
+                base + timedelta(minutes=rng.randrange(0, 20000)),
+                rng.choice(channels),
+            )
+        )
+    purchases = []
+    for i in range(120):
+        ts = base + timedelta(minutes=rng.randrange(0, 20000))
+        purchases.append((rng.choice(users), i, ts, rng.uniform(1, 500)))
+    # adversarial: touch EXACTLY at t - w (must be inside the frame);
+    # two same-ts touches on different channels at the window start
+    w_sec = 6 * 3600
+    pts = base + timedelta(minutes=30000)
+    edge = pts - timedelta(seconds=w_sec)
+    purchases.append((7, 900, pts, 100.0))
+    touches += [(7, edge, "zz"), (7, edge, "aa"), (7, pts, "mm")]
+    # purchase with NULL ts; touch with NULL ts
+    purchases.append((1, 901, None, 50.0))
+    touches.append((1, None, "ad"))
+    # user with touches in a far bucket only (empty probe bucket)
+    purchases.append((8, 902, base + timedelta(days=40), 10.0))
+    touches.append((8, base + timedelta(days=1), "ad"))
+
+    pdf = spark.createDataFrame(
+        purchases, "user_id long, pid long, ts timestamp, value double"
+    )
+    tdf = spark.createDataFrame(
+        touches, "user_id long, ts timestamp, channel string"
+    )
+    kw = dict(
+        user_col="user_id", purchase_id_col="pid", purchase_ts_col="ts",
+        value_col="value", touch_ts_col="ts", channel_col="channel",
+        window_seconds=w_sec,
+    )
+    exact = {
+        r["channel"]: (r["n_conversions"], r["n_touches"], r["credit"])
+        for r in linear_attribution(pdf, tdf, **kw).collect()
+    }
+    fast = {
+        r["channel"]: (r["n_conversions"], r["n_touches"], r["credit"])
+        for r in linear_attribution_scalable(pdf, tdf, **kw).collect()
+    }
+    assert fast == exact
+
+
+def test_linear_attribution_scalable_numeric_channel_tie(spark):
+    """Remainder tie-break must use NATIVE channel ordering (2 < 10),
+    not string ordering ("10" < "2") — two same-ts touches at the
+    window edge on numeric channels."""
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.cohort import (
+        linear_attribution,
+        linear_attribution_scalable,
+    )
+
+    base = datetime(2024, 1, 1)
+    pts = base + timedelta(hours=10)
+    edge = pts - timedelta(seconds=3600)
+    pdf = spark.createDataFrame(
+        [(1, 1, pts, 100.000001)],
+        "user_id long, pid long, ts timestamp, value double",
+    )
+    tdf = spark.createDataFrame(
+        [(1, edge, 10), (1, edge, 2), (1, pts, None)],
+        "user_id long, ts timestamp, channel long",
+    )
+    kw = dict(
+        user_col="user_id", purchase_id_col="pid", purchase_ts_col="ts",
+        value_col="value", touch_ts_col="ts", channel_col="channel",
+        window_seconds=3600,
+    )
+    exact = {
+        r["channel"]: (r["n_touches"], r["credit"])
+        for r in linear_attribution(pdf, tdf, **kw).collect()
+    }
+    fast = {
+        r["channel"]: (r["n_touches"], r["credit"])
+        for r in linear_attribution_scalable(pdf, tdf, **kw).collect()
+    }
+    assert fast == exact
+    # the remainder (100000001 % 3 = 2 micro-units) went to channel 2
+    assert fast[2][1] > fast[10][1]
