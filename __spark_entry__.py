@@ -4013,6 +4013,108 @@ def q177_linear_attribution_scalable(
     )
 
 
+def q178_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-convert curve (Kaplan & Meier 1958): per
+    user, days from first view to first subsequent purchase; users who
+    never purchase are RIGHT-CENSORED at the observation end instead of
+    dropped — the estimator's whole point (a naive mean would bias
+    toward fast converters). Subjects reduce to one row each, then all
+    windows run over the distinct-duration frame
+    (operators/survival.kaplan_meier)."""
+    from pytrousse_spark.operators.survival import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "__fv"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__fp"),
+    )
+    obs_end = ev.agg(F.max("ts").alias("__end"))
+    subjects = (
+        per_user.where(F.col("__fv").isNotNull())
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("__fp").isNotNull() & (F.col("__fp") >= F.col("__fv")),
+                F.floor(
+                    (F.unix_micros("__fp") - F.unix_micros("__fv"))
+                    / F.lit(86_400_000_000)
+                ),
+            )
+            .otherwise(
+                F.floor(
+                    (F.unix_micros("__end") - F.unix_micros("__fv"))
+                    / F.lit(86_400_000_000)
+                )
+            )
+            .cast("double")
+            .alias("dur_days"),
+            (
+                F.col("__fp").isNotNull() & (F.col("__fp") >= F.col("__fv"))
+            ).cast("int").alias("converted"),
+        )
+    )
+    return kaplan_meier(subjects, "dur_days", "converted")
+
+
+def _sql_q178() -> str:
+    from pytrousse_spark.operators.survival import kaplan_meier_sql
+
+    subjects = """
+        WITH pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN CAST(ts AS TIMESTAMP) END) AS __fv,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS TIMESTAMP) END) AS __fp
+            FROM events GROUP BY user_id
+        ), oe AS (
+            SELECT max(CAST(ts AS TIMESTAMP)) AS __end FROM events
+        )
+        SELECT CAST(CASE WHEN __fp IS NOT NULL AND __fp >= __fv
+                    THEN floor(epoch_us(__fp - __fv) / 86400000000)
+                    ELSE floor(epoch_us(__end - __fv) / 86400000000)
+               END AS DOUBLE) AS dur_days,
+               CASE WHEN __fp IS NOT NULL AND __fp >= __fv
+                    THEN 1 ELSE 0 END AS converted
+        FROM pu CROSS JOIN oe WHERE __fv IS NOT NULL
+    """
+    return kaplan_meier_sql(subjects, "dur_days", "converted")
+
+
+def q179_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating points for order value predicting urgent priority
+    — q175's AUC unrolled into the (tpr, fpr, precision) sweep over a
+    256-bin score histogram: exact BIGINT cumulatives, the curve window
+    runs over the <= B-row histogram, never over orders
+    (operators/classifier.roc_curve_binned)."""
+    from pytrousse_spark.operators.classifier import roc_curve_binned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("is_urgent"),
+    )
+    return roc_curve_binned(o, "o_totalprice", "is_urgent")
+
+
+def _sql_q179() -> str:
+    from pytrousse_spark.operators.classifier import roc_curve_binned_sql
+
+    return roc_curve_binned_sql(
+        "SELECT o_totalprice, CASE WHEN o_orderpriority IS NULL THEN NULL"
+        " WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+        " AS is_urgent FROM orders",
+        "o_totalprice",
+        "is_urgent",
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5492,6 +5594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_auc": q175_auc,
         "q176_record_linkage": q176_record_linkage,
         "q177_linear_attribution_scalable": q177_linear_attribution_scalable,
+        "q178_kaplan_meier": q178_kaplan_meier,
+        "q179_roc_curve": q179_roc_curve,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -5535,10 +5639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_repetition": q73_repetition,
         "q74_surprisal": q74_surprisal,
         "q75_cross_dedup": q75_cross_dedup,
-        "q76_target_mix": q76_target_mix,
-        "q77_dedup_keep_best": q77_dedup_keep_best,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q76_target_mix": q76_target_mix,
+        "q77_dedup_keep_best": q77_dedup_keep_best,
         "q78_kmeans": q78_kmeans,
         "q79_semantic_dedup": q79_semantic_dedup,
         "q80_dup_ngrams": q80_dup_ngrams,
@@ -6044,6 +6148,8 @@ def oracle_sql() -> dict[str, str]:
         "q175_auc": _sql_q175(),
         "q176_record_linkage": _sql_q176(),
         "q177_linear_attribution_scalable": _sql_q167(),
+        "q178_kaplan_meier": _sql_q178(),
+        "q179_roc_curve": _sql_q179(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

