@@ -4367,7 +4367,11 @@ def q176_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals (no engine ln — bit-identical scores), three-way
     link/possible/non-link decision. Summarized as a per-decision
     census with the same-entity count — the precision/recall readout
-    (operators/linkage.fs_link_pairs)."""
+    (operators/linkage.fs_link_pairs). SCALE NOTE: nation is a
+    demo-scale blocking key (25 blocks -> n^2/625 candidate pairs); a
+    production linkage blocks on tighter keys (zip+year, phonetic name
+    codes) or multi-pass union-of-blockings — the operator takes any
+    key list, the quadratic bound is the caller's blocking choice."""
     from pytrousse_spark.operators.linkage import fs_link_pairs
 
     left, right = _q176_frames(spark, sf_dir)
