@@ -172,3 +172,66 @@ def fs_pattern_census(
         .groupBy(*[f"agree_{c}" for c in compare_cols])
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def fs_em_fit(
+    patterns: list[tuple[tuple[int, ...], int]],
+    n_fields: int,
+    p_match: float = 0.05,
+    m0: float = 0.8,
+    u0: float = 0.1,
+    iters: int = 200,
+    tol: float = 1e-9,
+) -> dict:
+    """Driver-side EM fit of the (m, u) probabilities from the
+    agreement-pattern census (Winkler 1988's unsupervised fit of the
+    Fellegi-Sunter model under conditional independence).
+
+    ``patterns`` is the collected output of :func:`fs_pattern_census`
+    — ``[(agreement_vector, n_pairs), ...]``, at most ``2**n_fields``
+    rows regardless of data size, which is why the fit lives on the
+    driver: the E-step posterior and M-step updates are scalar
+    arithmetic over this census; NO further pass over the data.
+
+    Returns ``{"m": [...], "u": [...], "p": float, "iters": k}``.
+    Pure python floats — this is a parameter ESTIMATOR feeding
+    :func:`fs_link_pairs`' declared weights, not a cross-engine-exact
+    operator (no oracle; laws in tests/test_linkage.py pin that it
+    recovers planted parameters and increases likelihood).
+    """
+    if not patterns:
+        raise ValueError("fs_em_fit: empty pattern census")
+    m = [m0] * n_fields
+    u = [u0] * n_fields
+    p = p_match
+    prev = None
+    it = 0
+    for it in range(1, iters + 1):
+        # E-step: posterior P(match | pattern) per census row
+        post = []
+        for vec, n in patterns:
+            pm, pu = p, 1.0 - p
+            for j in range(n_fields):
+                pm *= m[j] if vec[j] else (1.0 - m[j])
+                pu *= u[j] if vec[j] else (1.0 - u[j])
+            g = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+            post.append((vec, n, g))
+        # M-step
+        tot = sum(n for _, n, _ in post)
+        wm = sum(n * g for _, n, g in post)
+        wu = tot - wm
+        if wm <= 0 or wu <= 0:
+            break
+        p = wm / tot
+        eps = 1e-12
+        for j in range(n_fields):
+            am = sum(n * g for vec, n, g in post if vec[j])
+            au = sum(n * (1.0 - g) for vec, n, g in post if vec[j])
+            m[j] = min(1.0 - eps, max(eps, am / wm))
+            u[j] = min(1.0 - eps, max(eps, au / wu))
+        state = (round(p, 12), tuple(round(x, 12) for x in m),
+                 tuple(round(x, 12) for x in u))
+        if state == prev:
+            break
+        prev = state
+    return {"m": m, "u": u, "p": p, "iters": it}

@@ -105,3 +105,36 @@ def test_fs_pattern_census_is_sufficient_statistic(spark):
     # (1,102)->(0,0), (2,101)->(0,0), (2,102)->(0,1), (3,103)->(1,0)
     assert sum(pats.values()) == 5
     assert pats == {(1, 1): 1, (0, 0): 2, (1, 0): 1, (0, 1): 1}
+
+
+def test_fs_em_fit_recovers_planted_parameters(spark):
+    """EM over a census SYNTHESIZED from known (m, u, p) recovers them:
+    generate pattern counts from the exact mixture model (large-n
+    expectation — no sampling noise) and check the fit lands within a
+    small relative error; likelihood of the truth is a fixed point."""
+    import itertools
+
+    from pytrousse_spark.operators.linkage import fs_em_fit
+
+    true_m = [0.95, 0.85, 0.7]
+    true_u = [0.3, 0.05, 0.1]
+    true_p = 0.1
+    n_total = 10_000_000
+    patterns = []
+    for vec in itertools.product([0, 1], repeat=3):
+        pm = true_p
+        pu = 1 - true_p
+        for j, v in enumerate(vec):
+            pm *= true_m[j] if v else 1 - true_m[j]
+            pu *= true_u[j] if v else 1 - true_u[j]
+        patterns.append((vec, round(n_total * (pm + pu))))
+    fit = fs_em_fit(patterns, 3)
+    assert abs(fit["p"] - true_p) < 0.02
+    for j in range(3):
+        assert abs(fit["m"][j] - true_m[j]) < 0.05, (j, fit["m"])
+        assert abs(fit["u"][j] - true_u[j]) < 0.05, (j, fit["u"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fs_em_fit([], 2)
