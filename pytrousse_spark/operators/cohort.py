@@ -1092,6 +1092,13 @@ def linear_attribution_scalable(
     # touches of users with no conversion at all contribute to no count
     # and no remainder — drop them before any window machinery
     t = t.join(p.select("__u").distinct(), "__u", "semi")
+    # the staged frames feed ~6 union/window branches each — without a
+    # checkpoint the touch scan + semi filter re-executes per branch
+    # (measured in the physical plan: 12+ repeats). Eager localCheckpoint
+    # is this repo's multi-consumer convention (the q112 race lesson); a
+    # real deployment would persist() the staged projections instead.
+    p = p.localCheckpoint(eager=True)
+    t = t.localCheckpoint(eager=True)
 
     # probe only the (user, channel) combinations that exist in touches
     # (a cross join against ALL channels cost 12x on benign data); the
