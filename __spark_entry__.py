@@ -4115,6 +4115,66 @@ def _sql_q179() -> str:
     )
 
 
+def q180_auc_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ROC AUC (order status slicing the value->urgency
+    ranking): the fairness/regression readout a global AUC hides. Same
+    histogram rank-sum identity as q175, per group — (group, bin) agg
+    bounded by groups x B, fact table never sorts
+    (operators/classifier.auc_binned_grouped)."""
+    from pytrousse_spark.operators.classifier import auc_binned_grouped
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("is_urgent"),
+    )
+    return auc_binned_grouped(o, "o_orderstatus", "o_totalprice", "is_urgent")
+
+
+def _sql_q180() -> str:
+    from pytrousse_spark.operators.classifier import auc_binned_grouped_sql
+
+    return auc_binned_grouped_sql(
+        "SELECT o_orderstatus, o_totalprice,"
+        " CASE WHEN o_orderpriority IS NULL THEN NULL"
+        " WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+        " AS is_urgent FROM orders",
+        "o_orderstatus",
+        "o_totalprice",
+        "is_urgent",
+    )
+
+
+def q181_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap CI for the mean order value via the POISSON
+    bootstrap (Hanley 2006) with keyed-PRF weights — deterministic,
+    coordination-free resampling (each row contributes Poisson(1)
+    copies per replicate; no global with-replacement draw). Integer
+    micro-unit replicate folds, EXACT order-statistic bounds over the
+    R-replicate frame (operators/sampling.bootstrap_mean_ci)."""
+    from pytrousse_spark.operators.sampling import bootstrap_mean_ci
+
+    o = _t(spark, sf_dir, "orders")
+    return bootstrap_mean_ci(
+        o, "o_totalprice", "o_orderkey", n_replicates=100, salt="r6"
+    )
+
+
+def _sql_q181() -> str:
+    from pytrousse_spark.operators.sampling import bootstrap_mean_ci_sql
+
+    return bootstrap_mean_ci_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders",
+        "o_totalprice",
+        "o_orderkey",
+        n_replicates=100,
+        salt="r6",
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5600,6 +5660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_linear_attribution_scalable": q177_linear_attribution_scalable,
         "q178_kaplan_meier": q178_kaplan_meier,
         "q179_roc_curve": q179_roc_curve,
+        "q180_auc_grouped": q180_auc_grouped,
+        "q181_bootstrap_ci": q181_bootstrap_ci,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -5641,10 +5703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_interval_roundtrip": q71_interval_roundtrip,
         "q72_pii_scrub": q72_pii_scrub,
         "q73_repetition": q73_repetition,
-        "q74_surprisal": q74_surprisal,
-        "q75_cross_dedup": q75_cross_dedup,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q74_surprisal": q74_surprisal,
+        "q75_cross_dedup": q75_cross_dedup,
         "q76_target_mix": q76_target_mix,
         "q77_dedup_keep_best": q77_dedup_keep_best,
         "q78_kmeans": q78_kmeans,
@@ -6154,6 +6216,8 @@ def oracle_sql() -> dict[str, str]:
         "q177_linear_attribution_scalable": _sql_q167(),
         "q178_kaplan_meier": _sql_q178(),
         "q179_roc_curve": _sql_q179(),
+        "q180_auc_grouped": _sql_q180(),
+        "q181_bootstrap_ci": _sql_q181(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

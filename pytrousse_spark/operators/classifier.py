@@ -1034,3 +1034,144 @@ def roc_curve_binned_sql(
            END AS precision
     FROM cum ORDER BY bin DESC
     """
+
+
+def auc_binned_grouped(
+    df: "DataFrame",
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    num_bins: int = 4096,
+) -> "DataFrame":
+    """Per-group :func:`auc_binned` — model quality sliced by segment
+    (the fairness/regression readout: a global AUC can hide a segment
+    where the ranking inverts). Same histogram rank-sum identity per
+    group key.
+
+    Scale: per-group (lo, hi) stats broadcast onto rows (null-safe key
+    — a NULL group is a segment), ONE (group, bin)-keyed agg bounded by
+    groups x B, a group-partitioned window over the histogram frame —
+    the fact table never sorts and never shuffles beyond the bin agg.
+    Output one row per group: ``(group, n_pos, n_neg, auc, gini)``;
+    degenerate groups (one class only) carry NULL auc/gini.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    nn = df.where(s.isNotNull() & y.isNotNull())
+    stats = nn.groupBy(F.col(group_col).alias("__g")).agg(
+        F.min(s).alias("__lo"), F.max(s).alias("__hi")
+    )
+    joined = nn.join(
+        F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("__g")), "inner"
+    )
+    span = F.col("__hi") - F.col("__lo")
+    pos = (s - F.col("__lo")) / span * num_bins
+    binned = joined.select(
+        F.col(group_col),
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(F.floor(pos).cast("long"), F.lit(num_bins - 1))
+        )
+        .alias("__b"),
+        y.alias("__y"),
+    )
+    hist = binned.groupBy(group_col, "__b").agg(
+        F.sum("__y").cast("bigint").alias("__p"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("__nn"),
+    )
+    w_exc = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "__nbelow", F.coalesce(F.sum("__nn").over(w_exc), F.lit(0))
+    )
+    two_numer = F.sum(
+        F.col("__p") * (2 * F.col("__nbelow") + F.col("__nn"))
+    ).cast("bigint")
+    p_tot = F.sum("__p").cast("bigint")
+    n_tot = F.sum("__nn").cast("bigint")
+    return (
+        cum.groupBy(group_col)
+        .agg(
+            p_tot.alias("n_pos"),
+            n_tot.alias("n_neg"),
+            F.when(
+                (p_tot > 0) & (n_tot > 0),
+                F.round(
+                    two_numer.cast("double")
+                    / (2.0 * (p_tot * n_tot).cast("double")),
+                    6,
+                ),
+            ).alias("auc"),
+            F.when(
+                (p_tot > 0) & (n_tot > 0),
+                F.round(
+                    two_numer.cast("double")
+                    / (p_tot * n_tot).cast("double") - 1.0,
+                    6,
+                ),
+            ).alias("gini"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def auc_binned_grouped_sql(
+    table_expr: str,
+    group_col: str,
+    score_col: str,
+    label_expr: str,
+    num_bins: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`auc_binned_grouped`."""
+    B, g = num_bins, group_col
+    return f"""
+    WITH nn AS (
+        SELECT {g}, CAST({score_col} AS DOUBLE) AS __s,
+               CAST({label_expr} AS INT) AS __y
+        FROM ({table_expr})
+        WHERE {score_col} IS NOT NULL AND ({label_expr}) IS NOT NULL
+    ), st AS (
+        SELECT {g} AS __g, min(__s) AS __lo, max(__s) AS __hi
+        FROM nn GROUP BY 1
+    ), binned AS (
+        SELECT nn.{g},
+               CASE WHEN st.__hi = st.__lo THEN 0
+                    ELSE least(CAST(floor((__s - st.__lo)
+                                          / (st.__hi - st.__lo) * {B})
+                                    AS BIGINT), {B - 1})
+               END AS __b,
+               __y
+        FROM nn JOIN st ON nn.{g} IS NOT DISTINCT FROM st.__g
+    ), hist AS (
+        SELECT {g}, __b, CAST(sum(__y) AS BIGINT) AS __p,
+               CAST(sum(1 - __y) AS BIGINT) AS __nneg
+        FROM binned GROUP BY 1, 2
+    ), cum AS (
+        SELECT *,
+               CAST(coalesce(sum(__nneg) OVER (
+                   PARTITION BY {g} ORDER BY __b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS __nbelow
+        FROM hist
+    )
+    SELECT {g},
+           CAST(sum(__p) AS BIGINT) AS n_pos,
+           CAST(sum(__nneg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(__p) > 0 AND sum(__nneg) > 0 THEN
+             round(CAST(sum(__p * (2 * __nbelow + __nneg)) AS BIGINT)
+                   / (2.0 * CAST(sum(__p) AS BIGINT)
+                          * CAST(sum(__nneg) AS BIGINT)), 6)
+           END AS auc,
+           CASE WHEN sum(__p) > 0 AND sum(__nneg) > 0 THEN
+             round(CAST(sum(__p * (2 * __nbelow + __nneg)) AS BIGINT)
+                   / (CAST(sum(__p) AS BIGINT)
+                      * CAST(sum(__nneg) AS BIGINT)) - 1.0, 6)
+           END AS gini
+    FROM cum GROUP BY {g} ORDER BY {g}
+    """

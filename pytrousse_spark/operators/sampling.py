@@ -13,6 +13,8 @@ shuffle keyed by the group.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -424,4 +426,205 @@ def stratified_sample_sql(
       ) AS __rn
       FROM pre
     ) WHERE __rn <= {k}
+    """
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap draw: a row
+# contributes k copies to a replicate iff the PRF uniform falls in
+# [T[k-1], T[k]); mass beyond k=9 (~1.1e-6) truncates to 9 — a declared,
+# cross-engine-identical approximation of the Poisson bootstrap.
+_POIS1_CDF = [
+    0.367879441171442, 0.735758882342885, 0.919698602928606,
+    0.981011843123846, 0.996340153172656, 0.999405815182418,
+    0.999916758850712, 0.999989750803325, 0.999998874797402,
+]
+
+
+def _pois1_weight(u):
+    """CASE ladder mapping a uniform to a Poisson(1) draw (0..9)."""
+    from pyspark.sql import functions as F
+
+    expr = F.lit(9)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def _pois1_weight_sql(u_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {u_expr} < CAST({t!r} AS DOUBLE) THEN {k}"
+        for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {arms} ELSE 9 END)"
+
+
+def bootstrap_mean_ci(
+    df: "DataFrame",
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    salt: str = "",
+    alpha: float = 0.05,
+) -> "DataFrame":
+    """Percentile bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Hanley & MacGibbon 2006; Efron 1979's resample
+    re-expressed for distributed data): instead of sampling n rows with
+    replacement — which needs global coordination — every row
+    independently contributes ``Poisson(1)`` copies to each replicate.
+    Replicate weights come from a KEYED PRF (salted portable hash of
+    (row id, replicate)), so the procedure is deterministic,
+    re-runnable, and cross-engine testable — the q174 DP-noise
+    convention applied to resampling.
+
+    Exactness: replicate sums fold integer micro-units (value * 1e6
+    rounded to BIGINT, times the integer weight); each replicate mean
+    is ONE division; the CI bounds are EXACT order statistics of the
+    R replicate means (rank ``ceil(alpha/2 * R)`` and
+    ``R + 1 - ceil(alpha/2 * R)``, 1-indexed — no interpolation, so no
+    float quantile ambiguity across engines).
+
+    Scale: rows explode x R (the bootstrap's inherent cost — R is the
+    knob; 200 replicates of a 100 TB table is 200 map-side passes worth
+    of work but ZERO extra shuffle width: the only exchange is the
+    R-row replicate aggregation). The order-statistic window runs over
+    the R-row frame. NULL values are excluded (the mean's semantics).
+
+    Output one row: ``(n_rows, n_replicates, mean_point, ci_lo, ci_hi)``
+    with the point estimate = the plain mean, all rounded 6.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("bootstrap_mean_ci: alpha must be in (0, 1)")
+    if n_replicates < 2:
+        raise ValueError("bootstrap_mean_ci: need >= 2 replicates")
+    from ..functions.hashing import h60
+
+    v = F.col(value_col)
+    nn = df.where(v.isNotNull()).select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.round(v.cast("double") * F.lit(1_000_000), 0)
+        .cast("bigint")
+        .alias("__vm"),
+    )
+    reps = nn.select(
+        "__id", "__vm",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("__r"),
+    )
+    u = (
+        F.pmod(
+            h60(
+                F.concat_ws(
+                    "|", F.col("__id"), F.col("__r").cast("string"),
+                    F.lit(salt),
+                )
+            ),
+            F.lit(1 << 52),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    w = _pois1_weight(u)
+    per_rep = reps.groupBy("__r").agg(
+        F.sum(w.cast("long") * F.col("__vm")).alias("__s"),
+        F.sum(w.cast("long")).alias("__n"),
+    )
+    mean_rep = per_rep.select(
+        "__r",
+        F.when(
+            F.col("__n") > 0,
+            F.col("__s").cast("double")
+            / F.lit(1e6)
+            / F.col("__n").cast("double"),
+        ).alias("__m"),
+    ).where(F.col("__m").isNotNull())
+    k_lo = math.ceil(alpha / 2 * n_replicates)
+    k_lo = max(1, min(k_lo, n_replicates))
+    wr = Window.orderBy(F.col("__m").asc(), F.col("__r").asc())
+    ranked = mean_rep.withColumn("__rk", F.row_number().over(wr))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bounds = ranked.withColumn("__R", F.count(F.lit(1)).over(w_all)).where(
+        (F.col("__rk") == k_lo) | (F.col("__rk") == F.col("__R") + 1 - k_lo)
+    )
+    point = nn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum("__vm").cast("double") / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_point"),
+    )
+    ci = bounds.agg(
+        F.round(F.min("__m"), 6).alias("ci_lo"),
+        F.round(F.max("__m"), 6).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(n_replicates).cast("int").alias("n_replicates"),
+        "mean_point",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def bootstrap_mean_ci_sql(
+    table_expr: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    salt: str = "",
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`bootstrap_mean_ci` — identical PRF draws,
+    Poisson ladder, integer folds, and exact order-statistic bounds."""
+    from ..functions.hashing import h60_sql
+
+    h = h60_sql(
+        f"CAST({id_col} AS VARCHAR) || '|' || CAST(__r AS VARCHAR)"
+        f" || '|{salt}'"
+    )
+    u = f"((CAST(({h}) % {1 << 52} AS DOUBLE) + 0.5) / {float(1 << 52)!r})"
+    wexpr = _pois1_weight_sql(u)
+    k_lo = max(1, min(math.ceil(alpha / 2 * n_replicates), n_replicates))
+    return f"""
+    WITH nn AS (
+        SELECT CAST({id_col} AS VARCHAR) AS {id_col},
+               CAST(round(CAST({value_col} AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS __vm
+        FROM ({table_expr}) WHERE {value_col} IS NOT NULL
+    ), reps AS (
+        SELECT nn.*, r.__r
+        FROM nn CROSS JOIN (
+            SELECT range AS __r FROM range(0, {n_replicates})
+        ) r
+    ), per_rep AS (
+        SELECT __r,
+               CAST(sum(CAST({wexpr} AS BIGINT) * __vm) AS BIGINT) AS __s,
+               CAST(sum(CAST({wexpr} AS BIGINT)) AS BIGINT) AS __n
+        FROM reps GROUP BY __r
+    ), means AS (
+        SELECT __r,
+               CAST(__s AS DOUBLE) / 1e6 / CAST(__n AS DOUBLE) AS __m
+        FROM per_rep WHERE __n > 0
+    ), ranked AS (
+        SELECT __m,
+               row_number() OVER (ORDER BY __m ASC, __r ASC) AS __rk,
+               count(*) OVER () AS __R
+        FROM means
+    ), ci AS MATERIALIZED (
+        SELECT round(min(__m), 6) AS ci_lo, round(max(__m), 6) AS ci_hi
+        FROM ranked
+        WHERE __rk = {k_lo} OR __rk = __R + 1 - {k_lo}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST({n_replicates} AS INT) AS n_replicates,
+           round(CAST(sum(__vm) AS BIGINT) / 1e6
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_point,
+           (SELECT ci_lo FROM ci) AS ci_lo,
+           (SELECT ci_hi FROM ci) AS ci_hi
+    FROM nn
     """

@@ -300,3 +300,34 @@ def test_roc_curve_binned_laws(spark):
         for (x1, y1), (x2, y2) in zip(pts_xy, pts_xy[1:])
     )
     assert abs(trap - auc) < 1e-6
+
+
+def test_auc_binned_grouped_laws(spark):
+    """Per-group AUC equals the scalar AUC computed on each group's
+    slice; a NULL group key is a segment; degenerate groups carry NULL."""
+    import random
+
+    from pytrousse_spark.operators.classifier import (
+        auc_binned,
+        auc_binned_grouped,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for g, shift in (("a", 1.2), ("b", 0.3), (None, 2.0)):
+        for _ in range(600):
+            y = 1 if rng.random() < 0.4 else 0
+            rows.append((g, rng.gauss(shift if y else 0.0, 1.0), y))
+    rows.append(("onlypos", 1.0, 1))  # degenerate group
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    grouped = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in auc_binned_grouped(df, "g", "s", "y").collect()
+    }
+    for g in ("a", "b", None):
+        solo = auc_binned(df.where(
+            df["g"].eqNullSafe(g)), "s", "y").collect()[0]
+        assert grouped[g] == (solo["n_pos"], solo["n_neg"], solo["auc"]), g
+    assert grouped["onlypos"][2] is None
+    # separation ordering: stronger shift -> higher AUC
+    assert grouped[None][2] > grouped["a"][2] > grouped["b"][2]

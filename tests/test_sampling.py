@@ -191,3 +191,34 @@ def test_stratified_sample_prefilter_bounds_window_input(spark):
     # the threshold comparison must sit below the Window node
     below_window = plan.split("Window", 1)[1] if "Window" in plan else plan
     assert "conv" in below_window  # h60 bucket filter pushed under the rank
+
+
+def test_bootstrap_mean_ci_laws(spark):
+    """Poisson-bootstrap CI: deterministic per salt, contains the plain
+    mean, brackets the TRUE mean of a known population, and narrows as
+    n grows (sqrt-n law, loose factor)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.sampling import bootstrap_mean_ci
+
+    df = spark.range(2000).select(
+        F.col("id"), ((F.col("id") % 100) / 10.0).alias("v")
+    )
+    r1 = bootstrap_mean_ci(df, "v", "id", 100, "s").collect()[0]
+    r2 = bootstrap_mean_ci(df, "v", "id", 100, "s").collect()[0]
+    assert r1 == r2  # deterministic
+    assert r1["n_rows"] == 2000 and r1["n_replicates"] == 100
+    assert r1["ci_lo"] <= r1["mean_point"] <= r1["ci_hi"]
+    true_mean = sum((i % 100) / 10.0 for i in range(2000)) / 2000
+    assert r1["ci_lo"] <= true_mean <= r1["ci_hi"]
+    # width shrinks with n (4x rows -> ~2x narrower; assert looser 1.4x)
+    big = spark.range(8000).select(
+        F.col("id"), ((F.col("id") % 100) / 10.0).alias("v")
+    )
+    rb = bootstrap_mean_ci(big, "v", "id", 100, "s").collect()[0]
+    assert (rb["ci_hi"] - rb["ci_lo"]) < (r1["ci_hi"] - r1["ci_lo"]) / 1.4
+    with _pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "v", "id", 1)
+    with _pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "v", "id", 100, alpha=1.5)
