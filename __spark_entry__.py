@@ -6038,6 +6038,15 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, "text", "doc_id", 16, 8, 5, 50, hash_fn="xxhash64"
         )
 
+    def x181(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pytrousse_spark.operators.sampling import bootstrap_mean_ci
+
+        o = _t(spark, sf_dir, "orders")
+        return bootstrap_mean_ci(
+            o, "o_totalprice", "o_orderkey", n_replicates=100,
+            salt="r6", hash_fn="xxhash64",
+        )
+
     return {
         "x16_percentiles_sketch": x16,
         "x42_minhash_xxhash64": x42,
@@ -6053,6 +6062,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x100_quantiles_exact_baseline": x100,
         "x101_ivf_pq_pretrained": x101,
         "x163_winnow_xxhash64": x163,
+        "x181_bootstrap_xxhash64": x181,
     }
 
 

@@ -465,6 +465,7 @@ def bootstrap_mean_ci(
     n_replicates: int = 200,
     salt: str = "",
     alpha: float = 0.05,
+    hash_fn: str = "md5",
 ) -> "DataFrame":
     """Percentile bootstrap confidence interval for the mean via the
     POISSON bootstrap (Hanley & MacGibbon 2006; Efron 1979's resample
@@ -508,28 +509,45 @@ def bootstrap_mean_ci(
         .cast("bigint")
         .alias("__vm"),
     )
-    reps = nn.select(
+    # the q87 lesson: a single-row-group source feeds ONE task, and the
+    # R-fold explode + per-(row, rep) hash then runs on one core until
+    # the replicate shuffle — spread the staged rows first (no-op when
+    # the scan is already well-split)
+    from ..io import rebalance_undersplit
+
+    reps = rebalance_undersplit(nn).select(
         "__id", "__vm",
         F.explode(
             F.sequence(F.lit(0), F.lit(n_replicates - 1))
         ).alias("__r"),
     )
+    if hash_fn == "md5":
+        base = h60(
+            F.concat_ws(
+                "|", F.col("__id"), F.col("__r").cast("string"),
+                F.lit(salt),
+            )
+        )
+    elif hash_fn == "xxhash64":
+        # production tier (no DuckDB twin): JVM xxhash64, ~10x cheaper
+        # than the portable md5 path — the repo-wide hash_fn convention
+        base = F.abs(
+            F.xxhash64(F.col("__id"), F.col("__r"), F.lit(salt))
+        )
+    else:
+        raise ValueError("bootstrap_mean_ci: hash_fn must be md5|xxhash64")
     u = (
-        F.pmod(
-            h60(
-                F.concat_ws(
-                    "|", F.col("__id"), F.col("__r").cast("string"),
-                    F.lit(salt),
-                )
-            ),
-            F.lit(1 << 52),
-        ).cast("double")
-        + F.lit(0.5)
+        F.pmod(base, F.lit(1 << 52)).cast("double") + F.lit(0.5)
     ) / F.lit(float(1 << 52))
-    w = _pois1_weight(u)
-    per_rep = reps.groupBy("__r").agg(
-        F.sum(w.cast("long") * F.col("__vm")).alias("__s"),
-        F.sum(w.cast("long")).alias("__n"),
+    # stage the Poisson draw ONCE: the weight feeds two aggregates, and
+    # an unstaged expression re-evaluates the hash per reference
+    # (measured 24s -> ~12s at 100 replicates x 150k rows)
+    staged = reps.select(
+        "__r", "__vm", _pois1_weight(u).cast("long").alias("__w")
+    )
+    per_rep = staged.groupBy("__r").agg(
+        F.sum(F.col("__w") * F.col("__vm")).alias("__s"),
+        F.sum("__w").alias("__n"),
     )
     mean_rep = per_rep.select(
         "__r",
@@ -601,11 +619,13 @@ def bootstrap_mean_ci_sql(
         FROM nn CROSS JOIN (
             SELECT range AS __r FROM range(0, {n_replicates})
         ) r
+    ), staged AS (
+        SELECT __r, __vm, CAST({wexpr} AS BIGINT) AS __w FROM reps
     ), per_rep AS (
         SELECT __r,
-               CAST(sum(CAST({wexpr} AS BIGINT) * __vm) AS BIGINT) AS __s,
-               CAST(sum(CAST({wexpr} AS BIGINT)) AS BIGINT) AS __n
-        FROM reps GROUP BY __r
+               CAST(sum(__w * __vm) AS BIGINT) AS __s,
+               CAST(sum(__w) AS BIGINT) AS __n
+        FROM staged GROUP BY __r
     ), means AS (
         SELECT __r,
                CAST(__s AS DOUBLE) / 1e6 / CAST(__n AS DOUBLE) AS __m
