@@ -181,7 +181,6 @@ def fs_em_fit(
     m0: float = 0.8,
     u0: float = 0.1,
     iters: int = 200,
-    tol: float = 1e-9,
 ) -> dict:
     """Driver-side EM fit of the (m, u) probabilities from the
     agreement-pattern census (Winkler 1988's unsupervised fit of the

@@ -272,3 +272,28 @@ def test_dp_noisy_counts_laws(spark):
     nd = spark.createDataFrame([(None, 1), ("", 2), ("", 3)], "g string, x int")
     rows = dp_noisy_counts(nd, ["g"], 1.0, "s").collect()
     assert len(rows) == 2
+
+
+def test_dp_noisy_counts_null_group_cross_engine(spark):
+    """The NUL-byte sentinel for NULL group keys must hash identically
+    in both engines (and stay distinct from the empty string)."""
+    import duckdb
+
+    from pytrousse_spark.operators.anonymize import (
+        dp_noisy_counts,
+        dp_noisy_counts_sql,
+    )
+    from tests.conftest import assert_df_matches_sql
+
+    df = spark.createDataFrame(
+        [(None, 1), ("", 2), ("a", 3), (None, 4)], "g string, x int"
+    )
+    pdf = df.toPandas()  # noqa: F841
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM pdf")
+    assert_df_matches_sql(
+        dp_noisy_counts(df, ["g"], 2.0, "s"),
+        con,
+        dp_noisy_counts_sql("SELECT * FROM t", ["g"], 2.0, "s"),
+    )
+    con.close()
