@@ -4175,6 +4175,25 @@ def _sql_q181() -> str:
     )
 
 
+def q182_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized cosine top-k (the faiss ScalarQuantizer /
+    vector-DB int8 mode beside the PQ family q90/q101): per-vector
+    symmetric scale, BIGINT dot folds — the scales cancel in the
+    cosine, so scoring is order-free integer arithmetic (4x less data
+    motion than float32 at the same plan shape). Recall vs the exact
+    float top-k is pinned in tests (operators/quantization.sq8_cosine_topk)."""
+    from pytrousse_spark.operators.quantization import sq8_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return sq8_cosine_topk(e, 5, query_ids_below=10)
+
+
+def _sql_q182() -> str:
+    from pytrousse_spark.operators.quantization import sq8_cosine_topk_sql
+
+    return sq8_cosine_topk_sql("embeddings", 5, 64, query_ids_below=10)
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5662,6 +5681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_roc_curve": q179_roc_curve,
         "q180_auc_grouped": q180_auc_grouped,
         "q181_bootstrap_ci": q181_bootstrap_ci,
+        "q182_sq8_topk": q182_sq8_topk,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -5702,9 +5722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_stream_dedup_batch": q70_stream_dedup_batch,
         "q71_interval_roundtrip": q71_interval_roundtrip,
         "q72_pii_scrub": q72_pii_scrub,
-        "q73_repetition": q73_repetition,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q73_repetition": q73_repetition,
         "q74_surprisal": q74_surprisal,
         "q75_cross_dedup": q75_cross_dedup,
         "q76_target_mix": q76_target_mix,
@@ -6228,6 +6248,7 @@ def oracle_sql() -> dict[str, str]:
         "q179_roc_curve": _sql_q179(),
         "q180_auc_grouped": _sql_q180(),
         "q181_bootstrap_ci": _sql_q181(),
+        "q182_sq8_topk": _sql_q182(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -706,3 +706,168 @@ def pq_adc_topk_sql(
     ) WHERE rank <= {k}
     """
     )
+
+
+def sq8_encode(
+    df: "DataFrame",
+    vec_col: str = "embedding",
+    codes_col: str = "sq8_codes",
+    scale_col: str = "sq8_scale",
+) -> "DataFrame":
+    """Symmetric int8 SCALAR quantization of an embedding column — the
+    simplest production memory trick beside PQ (4x smaller than float32,
+    SIMD-friendly dot products; the faiss ScalarQuantizer / every vector
+    DB's int8 mode): per-vector ``scale = max|x| / 127``,
+    ``codes[i] = round(x[i] / scale)`` in [-127, 127].
+
+    Pure JVM array expressions (transform/aggregate — no UDF). An
+    all-zero vector gets scale 0 and all-zero codes. Key exactness
+    property exploited downstream: the int8 COSINE equals
+    ``dot_int / (sqrt(na_int) * sqrt(nb_int))`` — the per-vector scales
+    cancel, so scoring folds pure BIGINTs (order-free, cross-engine
+    exact) with two sqrts and one division at the end.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    staged = df.withColumn(scale_col, amax / F.lit(127.0))
+    codes = F.when(
+        F.col(scale_col) > 0,
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") / F.col(scale_col), 0)
+            .cast("long"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    return staged.withColumn(codes_col, codes)
+
+
+def _dot_int(a, b):
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq8_cosine_topk(
+    df: "DataFrame",
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids_below: int = 10,
+) -> "DataFrame":
+    """Brute-force cosine top-k over int8-quantized vectors — the
+    accuracy/cost readout for :func:`sq8_encode` (recall vs the exact
+    float path is pinned in tests). Same query/corpus shape and
+    tie-break as similarity.cosine_topk: queries = rows with
+    ``id < query_ids_below``, self-pairs excluded, rank by (cos desc,
+    id asc).
+
+    Scale: codes build once (map-side); the scoring join broadcasts the
+    (small) query frame; per-pair work is ONE BIGINT fold — at 100 TB
+    the same plan as the exact baseline but 4x less data motion and
+    integer arithmetic. The production ANN path composes sq8 scoring
+    under the IVF/LSH candidate generators exactly like the PQ ADC.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    enc = sq8_encode(df, vec_col).select(
+        F.col(id_col), F.col("sq8_codes").alias("__c")
+    )
+    q = enc.where(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), F.col("__c").alias("__qc")
+    )
+    pairs = enc.alias("c").join(
+        F.broadcast(q), F.col(id_col) != F.col("query_id"), "inner"
+    )
+    d = _dot_int(F.col("__qc"), F.col("__c"))
+    na = _dot_int(F.col("__qc"), F.col("__qc"))
+    nb = _dot_int(F.col("__c"), F.col("__c"))
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        d.cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .where(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sq8_cosine_topk_sql(
+    corpus: str,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids_below: int = 10,
+) -> str:
+    """DuckDB twin of :func:`sq8_cosine_topk` — identical per-vector
+    scale, rounding, BIGINT folds, and tie-break."""
+
+    def dint(a, b):
+        return (
+            f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i] * {b}[i])) AS BIGINT)"
+        )
+
+    d = dint("q.__c", "c.__c")
+    na = dint("q.__c", "q.__c")
+    nb = dint("c.__c", "c.__c")
+    return f"""
+    WITH enc AS (
+        SELECT {id_col},
+               list_max(list_transform({vec_col},
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS __sc,
+               {vec_col} AS __v
+        FROM {corpus}
+    ), coded AS (
+        SELECT {id_col},
+               CASE WHEN __sc > 0 THEN
+                 list_transform(__v,
+                     x -> CAST(round(CAST(x AS DOUBLE) / __sc, 0)
+                               AS BIGINT))
+               ELSE list_transform(__v, x -> CAST(0 AS BIGINT))
+               END AS __c
+        FROM enc
+    ), scored AS (
+        SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+               round(CASE WHEN {na} > 0 AND {nb} > 0 THEN
+                   CAST({d} AS DOUBLE)
+                   / (sqrt(CAST({na} AS DOUBLE))
+                      * sqrt(CAST({nb} AS DOUBLE)))
+               END, 6) AS cos
+        FROM coded q, coded c
+        WHERE q.{id_col} < {query_ids_below}
+          AND q.{id_col} <> c.{id_col}
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored WHERE cos IS NOT NULL
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """

@@ -214,3 +214,42 @@ def test_ivf_pq_rerank_caps_exact_work(emb):
     for r in out2.collect():
         per_q2[r["query_id"]] = per_q2.get(r["query_id"], 0) + 1
     assert all(v <= 2 for v in per_q2.values())
+
+
+def test_sq8_encode_and_recall(spark):
+    """Int8 scalar quantization: codes bounded to [-127, 127], scales
+    cancel in the cosine (pure integer folds), zero vectors handled,
+    and recall@5 vs the exact float top-k stays high on the embeddings
+    fixture (int8 is a fine-grained quantizer — expect >= 0.8)."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.quantization import (
+        sq8_cosine_topk,
+        sq8_encode,
+    )
+    from pytrousse_spark.operators.similarity import cosine_topk
+
+    e = read_parquet_df(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    enc = sq8_encode(e).select("vec_id", "sq8_scale", "sq8_codes")
+    row = enc.where(F.col("vec_id") == 0).collect()[0]
+    assert max(abs(c) for c in row["sq8_codes"]) <= 127
+    assert row["sq8_scale"] > 0
+    # zero vector -> zero scale, zero codes
+    z = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    zr = sq8_encode(z).collect()[0]
+    assert zr["sq8_scale"] == 0.0 and list(zr["sq8_codes"]) == [0, 0, 0]
+
+    q = e.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(e, q, 5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_cosine_topk(e, 5, query_ids_below=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
