@@ -227,3 +227,44 @@ def test_q167_attribution_user_keyed_join(spark):
     plan = _plan(spark, "q167_linear_attribution")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_round6_privacy_and_eval_plan_shapes(spark):
+    """Round-6 operators keep their declared shapes: the t-closeness
+    grid rides broadcasts (class/value frames — never a fact-side
+    shuffle join), the AUC/ROC family's only join is the ONE broadcast
+    stats attachment, and nothing grows a cartesian product."""
+    plan = _plan(spark, "q173_t_closeness")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stat attachments
+    assert "BroadcastHashJoin" in plan        # null-safe grid cell join
+    for name in ("q175_auc", "q179_roc_curve"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        assert "SortMergeJoin" not in plan
+    plan = _plan(spark, "q180_auc_grouped")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # per-group stats broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_q177_no_pairwise_or_range_join(spark):
+    """The scalable attribution's defining property: every join is an
+    EQUI join (user / pid / bucket keys) — no range predicate inside
+    any join condition (the pairwise operator's quadratic funnel) and
+    no cartesian product. Touch-timestamp comparisons exist only in
+    window frames, never as join conditions."""
+    plan = _plan(spark, "q177_linear_attribution_scalable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [l for l in plan.splitlines() if "Join [" in l or "Join (" in l]
+    for j in joins:
+        assert "<=" not in j and "<" not in j.replace("<=", ""), j
+
+
+def test_q182_sq8_scoring_broadcasts_queries(spark):
+    plan = _plan(spark, "q182_sq8_topk")
+    # the query frame broadcasts; scoring is expression-only on top
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
