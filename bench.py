@@ -156,6 +156,9 @@ _IDLE_BANDS_10X = {
     "q164_bpe_train": 12.0,
     "q165_quantile_normalize": 12.0,
     "q157_rolling_window_scalable": 15.0,
+    # round-6: brute-force int8 scoring is linear in the corpus
+    # (queries fixed) — the sq8 claim as a number
+    "q182_sq8_topk": 20.0,
 }
 
 
@@ -197,6 +200,7 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q164_bpe_train",
         "q165_quantile_normalize",
         "q157_rolling_window_scalable",
+        "q182_sq8_topk",
     ):
         fn = getattr(entrymod, name)
         try:
