@@ -38,12 +38,16 @@ def kaplan_meier(
     excluded. Returns one row per distinct duration carrying at least
     one OBSERVED event, ascending:
 
-    ``(t, n_risk, n_events, n_censored, survival)``
+    ``(t, n_risk, n_events, n_censored, survival, na_cumhazard)``
 
     where ``n_risk`` counts subjects with duration >= t (the risk set —
     censored subjects participate until they drop out; that is the
     whole point of the estimator), ``n_censored`` counts censorings AT
-    t, and ``survival = prod_{t_j <= t} (1 - d_j / n_j)`` rounded 6.
+    t, ``survival = prod_{t_j <= t} (1 - d_j / n_j)`` rounded 6, and
+    ``na_cumhazard`` is the NELSON-AALEN cumulative hazard
+    ``sum_{t_j <= t} d_j / n_j`` (the companion estimator — for small
+    per-step hazards ``survival ~ exp(-na_cumhazard)``), folded in
+    nano-units like the survival product.
 
     Laws (tests/test_survival.py): no censoring => survival equals the
     empirical tail fraction ``(n - cum_events) / n``; all-censored =>
@@ -83,12 +87,22 @@ def kaplan_meier(
     # d == n (everyone at risk dies at t): ln(0) = -inf; the curve hits
     # exactly 0 from there on — use a NULL term and carry a hit-zero flag
     hit_zero = F.col("n_events") == F.col("n_risk")
+    haz_term = F.round(
+        F.col("n_events").cast("double")
+        / F.col("n_risk").cast("double")
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
     staged = ev.withColumn(
         "__term", F.when(~hit_zero, term)
-    ).withColumn("__zero", hit_zero.cast("int"))
+    ).withColumn("__zero", hit_zero.cast("int")).withColumn(
+        "__hterm", haz_term
+    )
     out = staged.withColumn(
         "__lsum", F.coalesce(F.sum("__term").over(w_asc), F.lit(0))
-    ).withColumn("__anyzero", F.sum("__zero").over(w_asc))
+    ).withColumn("__anyzero", F.sum("__zero").over(w_asc)).withColumn(
+        "__hsum", F.sum("__hterm").over(w_asc)
+    )
     surv = F.when(F.col("__anyzero") > 0, F.lit(0.0)).otherwise(
         F.round(F.exp(F.col("__lsum").cast("double") / F.lit(1e9)), 6)
     )
@@ -99,6 +113,8 @@ def kaplan_meier(
             "n_events",
             "n_censored",
             surv.alias("survival"),
+            F.round(F.col("__hsum").cast("double") / F.lit(1e9), 6)
+            .alias("na_cumhazard"),
         )
         .orderBy("t")
     )
@@ -134,7 +150,10 @@ def kaplan_meier_sql(
                                     / CAST(n_risk AS DOUBLE)) * 1e9, 0)
                       AS BIGINT)
                END AS __term,
-               CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS __zero
+               CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS __zero,
+               CAST(round(CAST(n_events AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE) * 1e9, 0)
+                    AS BIGINT) AS __hterm
         FROM risk WHERE n_events > 0
     ), cum AS (
         SELECT *,
@@ -145,12 +164,17 @@ def kaplan_meier_sql(
                CAST(sum(__zero) OVER (
                    ORDER BY t ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS __anyzero
+               ) AS BIGINT) AS __anyzero,
+               CAST(sum(__hterm) OVER (
+                   ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS __hsum
         FROM ev
     )
     SELECT t, n_risk, n_events, n_censored,
            CASE WHEN __anyzero > 0 THEN 0.0
                 ELSE round(exp(CAST(__lsum AS DOUBLE) / 1e9), 6)
-           END AS survival
+           END AS survival,
+           round(CAST(__hsum AS DOUBLE) / 1e9, 6) AS na_cumhazard
     FROM cum ORDER BY t
     """

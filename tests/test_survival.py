@@ -59,3 +59,27 @@ def test_km_sql_twin(spark):
         kaplan_meier_sql("SELECT * FROM t", "dur", "e"),
     )
     con.close()
+
+
+def test_nelson_aalen_companion(spark):
+    """Nelson-Aalen cumulative hazard: sum of d/n at event times, and
+    exp(-H) tracks the KM survival (small-hazard approximation)."""
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0), (5.0, 1)]
+    df = spark.createDataFrame(rows, "dur double, e int")
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "e").collect()}
+    assert abs(out[1.0]["na_cumhazard"] - 1 / 5) < 1e-6
+    assert abs(out[3.0]["na_cumhazard"] - (1 / 5 + 1 / 3)) < 1e-6
+    assert abs(out[5.0]["na_cumhazard"] - (1 / 5 + 1 / 3 + 1.0)) < 1e-6
+    # monotone non-decreasing
+    hs = [out[t]["na_cumhazard"] for t in sorted(out)]
+    assert hs == sorted(hs)
+    # small-hazard regime: exp(-H) ~ KM survival within 2% relative
+    import math
+
+    many = spark.createDataFrame(
+        [(float(i % 50), 1 if i % 7 else 0) for i in range(3000)],
+        "dur double, e int",
+    )
+    for r in kaplan_meier(many, "dur", "e").collect()[:20]:
+        if r["survival"] > 0.5:
+            assert abs(math.exp(-r["na_cumhazard"]) - r["survival"]) < 0.02
