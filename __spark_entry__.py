@@ -4194,6 +4194,35 @@ def _sql_q182() -> str:
     return sq8_cosine_topk_sql("embeddings", 5, 64, query_ids_below=10)
 
 
+def q183_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval for a per-priority mean-price predictor
+    of order value (Vovk/Papadopoulos): the calibration-residual
+    quantile at the conformal rank ceil((n+1)(1-alpha)) read from a
+    histogram sketch — no global sort; the bin-edge rounding only
+    WIDENS, so the distribution-free >= 1-alpha coverage guarantee
+    survives, and the recounted coverage rides along
+    (operators/classifier.conformal_interval)."""
+    from pytrousse_spark.operators.classifier import conformal_interval
+
+    o = _t(spark, sf_dir, "orders")
+    means = o.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("__pred")
+    )
+    scored = o.join(F.broadcast(means), "o_orderpriority", "inner")
+    return conformal_interval(scored, "__pred", "o_totalprice", alpha=0.1)
+
+
+def _sql_q183() -> str:
+    from pytrousse_spark.operators.classifier import conformal_interval_sql
+
+    scored = (
+        "SELECT o.o_totalprice, m.__pred FROM orders o JOIN ("
+        "SELECT o_orderpriority, round(avg(o_totalprice), 4) AS __pred"
+        " FROM orders GROUP BY 1) m USING (o_orderpriority)"
+    )
+    return conformal_interval_sql(scored, "__pred", "o_totalprice", 0.1)
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5682,6 +5711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_auc_grouped": q180_auc_grouped,
         "q181_bootstrap_ci": q181_bootstrap_ci,
         "q182_sq8_topk": q182_sq8_topk,
+        "q183_conformal": q183_conformal,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -5721,9 +5751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_wav_decode": q69_wav_decode,
         "q70_stream_dedup_batch": q70_stream_dedup_batch,
         "q71_interval_roundtrip": q71_interval_roundtrip,
-        "q72_pii_scrub": q72_pii_scrub,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q72_pii_scrub": q72_pii_scrub,
         "q73_repetition": q73_repetition,
         "q74_surprisal": q74_surprisal,
         "q75_cross_dedup": q75_cross_dedup,
@@ -6249,6 +6279,7 @@ def oracle_sql() -> dict[str, str]:
         "q180_auc_grouped": _sql_q180(),
         "q181_bootstrap_ci": _sql_q181(),
         "q182_sq8_topk": _sql_q182(),
+        "q183_conformal": _sql_q183(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1175,3 +1175,172 @@ def auc_binned_grouped_sql(
            END AS gini
     FROM cum GROUP BY {g} ORDER BY {g}
     """
+
+
+def conformal_interval(
+    df: "DataFrame",
+    pred_col: str,
+    actual_col: str,
+    alpha: float = 0.1,
+    num_bins: int = 4096,
+) -> "DataFrame":
+    """Split-conformal prediction interval (Vovk/Papadopoulos; the
+    distribution-free uncertainty wrapper): from calibration residuals
+    ``r = |actual - pred|``, the half-width ``q_hat`` is the
+    ``ceil((n + 1)(1 - alpha)) / n`` empirical quantile — then
+    ``pred +- q_hat`` covers new points with probability >= 1 - alpha
+    under exchangeability, regardless of the model.
+
+    The quantile reads from a ``num_bins`` histogram (the q100/q104
+    sketch convention — no global sort): the reported ``q_hat`` is the
+    UPPER EDGE of the first bin whose cumulative count reaches the
+    conformal rank, so the finite-sample coverage guarantee is
+    PRESERVED (rounding up can only widen the interval; max
+    over-coverage is one bin's width). A verification pass recounts
+    coverage = share of calibration rows with r <= q_hat.
+
+    Scale: one stats pass (min/max residual broadcast), ONE B-bounded
+    bin agg, a B-row cumulative window, then one broadcast-scalar
+    recount — the fact table never sorts. NULL pred/actual rows are
+    excluded. Output one row:
+    ``(n, alpha, q_hat, coverage)`` rounded 6.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("conformal_interval: alpha must be in (0, 1)")
+    p = F.col(pred_col).cast("double")
+    a = F.col(actual_col).cast("double")
+    nn = df.where(p.isNotNull() & a.isNotNull()).select(
+        F.abs(a - p).alias("__r")
+    )
+    stats = nn.agg(
+        F.max("__r").alias("__hi"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    # residuals are >= 0: bin over [0, hi]
+    binned = nn.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("__hi") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(F.col("__r") / F.col("__hi") * num_bins)
+                .cast("long"),
+                F.lit(num_bins - 1),
+            )
+        )
+        .alias("__b"),
+        "__hi",
+        "__n",
+    )
+    hist = binned.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.max("__hi").alias("__hi"),
+        F.max("__n").alias("__n"),
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    # conformal rank k = ceil((n + 1) * (1 - alpha)); if k > n the
+    # interval is infinite — reported as NULL q_hat (the honest answer
+    # for tiny calibration sets)
+    k = F.ceil((F.col("__n") + 1) * F.lit(1.0 - alpha)).cast("bigint")
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__k", k
+    )
+    qrow = (
+        cum.where(F.col("__cum") >= F.col("__k"))
+        .orderBy("__b")
+        .limit(1)
+        .select(
+            ((F.col("__b") + 1).cast("double") / num_bins * F.col("__hi"))
+            .alias("__qhat"),
+            "__n",
+            "__k",
+        )
+    )
+    base = stats.select(
+        "__n",
+        F.ceil((F.col("__n") + 1) * F.lit(1.0 - alpha))
+        .cast("bigint").alias("__k"),
+    )
+    got = base.join(
+        F.broadcast(qrow.select("__qhat")), F.lit(True), "left"
+    ).select(
+        "__n",
+        "__k",
+        F.when(F.col("__k") <= F.col("__n"), F.col("__qhat")).alias(
+            "__qhat"
+        ),
+    )
+    cov = (
+        nn.crossJoin(F.broadcast(got))
+        .agg(
+            F.max("__n").alias("n"),
+            F.round(F.max("__qhat"), 6).alias("q_hat"),
+            F.round(
+                F.avg(
+                    (F.col("__r") <= F.col("__qhat")).cast("double")
+                ),
+                6,
+            ).alias("coverage"),
+        )
+    )
+    return cov.select(
+        F.col("n"),
+        F.lit(float(alpha)).alias("alpha"),
+        "q_hat",
+        F.when(F.col("q_hat").isNotNull(), F.col("coverage")).alias(
+            "coverage"
+        ),
+    )
+
+
+def conformal_interval_sql(
+    table_expr: str,
+    pred_col: str,
+    actual_col: str,
+    alpha: float = 0.1,
+    num_bins: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`conformal_interval`."""
+    B = num_bins
+    return f"""
+    WITH nn AS (
+        SELECT abs(CAST({actual_col} AS DOUBLE)
+                   - CAST({pred_col} AS DOUBLE)) AS __r
+        FROM ({table_expr})
+        WHERE {pred_col} IS NOT NULL AND {actual_col} IS NOT NULL
+    ), st AS MATERIALIZED (
+        SELECT max(__r) AS __hi, CAST(count(*) AS BIGINT) AS __n,
+               CAST(ceil((count(*) + 1) * {1.0 - alpha!r}) AS BIGINT)
+                   AS __k
+        FROM nn
+    ), binned AS (
+        SELECT CASE WHEN st.__hi = 0 THEN 0
+                    ELSE least(CAST(floor(__r / st.__hi * {B}) AS BIGINT),
+                               {B - 1})
+               END AS __b
+        FROM nn CROSS JOIN st
+    ), hist AS (
+        SELECT __b, CAST(count(*) AS BIGINT) AS __c
+        FROM binned GROUP BY __b
+    ), cum AS (
+        SELECT __b, CAST(sum(__c) OVER (
+                   ORDER BY __b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS __cum
+        FROM hist
+    ), qrow AS MATERIALIZED (
+        SELECT CASE WHEN st.__k <= st.__n THEN
+                 (SELECT min((__b + 1) / CAST({B} AS DOUBLE) * st.__hi)
+                  FROM cum WHERE __cum >= st.__k)
+               END AS __qhat
+        FROM st
+    )
+    SELECT st.__n AS n, CAST({float(alpha)!r} AS DOUBLE) AS alpha,
+           round(q.__qhat, 6) AS q_hat,
+           CASE WHEN q.__qhat IS NOT NULL THEN
+             round((SELECT avg(CASE WHEN __r <= q.__qhat THEN 1.0
+                               ELSE 0.0 END) FROM nn), 6)
+           END AS coverage
+    FROM st CROSS JOIN qrow q
+    """

@@ -331,3 +331,42 @@ def test_auc_binned_grouped_laws(spark):
     assert grouped["onlypos"][2] is None
     # separation ordering: stronger shift -> higher AUC
     assert grouped[None][2] > grouped["a"][2] > grouped["b"][2]
+
+
+def test_conformal_interval_laws(spark):
+    """Distribution-free guarantee: recounted coverage >= 1 - alpha on
+    arbitrary residual distributions (the bin-edge rounding only
+    widens); q_hat tracks the true residual quantile; degenerate
+    (k > n) inputs yield NULL q_hat; perfect predictions give q_hat at
+    the first bin edge with full coverage."""
+    import random
+
+    import pytest as _pytest
+
+    from pytrousse_spark.operators.classifier import conformal_interval
+
+    rng = random.Random(9)
+    rows = [(0.0, rng.gauss(0, 2.0)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "pred double, actual double")
+    r = conformal_interval(df, "pred", "actual", alpha=0.1).collect()[0]
+    assert r["n"] == 2000
+    assert r["coverage"] >= 0.9
+    # q_hat near the N(0,2) 90th abs-quantile (~1.645*2), inflated by
+    # at most one bin plus conformal finite-sample slack
+    assert 3.0 < r["q_hat"] < 3.8, r["q_hat"]
+
+    # perfect predictor: all residuals 0 -> hi == 0 -> bin 0, full cover
+    perf = spark.createDataFrame(
+        [(1.0, 1.0)] * 50, "pred double, actual double"
+    )
+    rp = conformal_interval(perf, "pred", "actual", alpha=0.1).collect()[0]
+    assert rp["coverage"] == 1.0
+
+    # k > n: 5 calibration points at alpha=0.1 -> infinite interval
+    tiny = spark.createDataFrame(
+        [(0.0, float(i)) for i in range(5)], "pred double, actual double"
+    )
+    rt = conformal_interval(tiny, "pred", "actual", alpha=0.1).collect()[0]
+    assert rt["q_hat"] is None and rt["coverage"] is None
+    with _pytest.raises(ValueError):
+        conformal_interval(df, "pred", "actual", alpha=0.0)
