@@ -4223,6 +4223,118 @@ def _sql_q183() -> str:
     return conformal_interval_sql(scored, "__pred", "o_totalprice", 0.1)
 
 
+def _km_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q178's time-to-convert subjects plus an experiment arm
+    (user_id parity — the deterministic arm split; the salted-hash arm
+    machinery is certified separately by q61/q148)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "__fv"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__fp"),
+    )
+    obs_end = ev.agg(F.max("ts").alias("__end"))
+    return (
+        per_user.where(F.col("__fv").isNotNull())
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.when(
+                F.col("__fp").isNotNull() & (F.col("__fp") >= F.col("__fv")),
+                F.floor(
+                    (F.unix_micros("__fp") - F.unix_micros("__fv"))
+                    / F.lit(86_400_000_000)
+                ),
+            )
+            .otherwise(
+                F.floor(
+                    (F.unix_micros("__end") - F.unix_micros("__fv"))
+                    / F.lit(86_400_000_000)
+                )
+            )
+            .cast("double")
+            .alias("dur_days"),
+            (
+                F.col("__fp").isNotNull() & (F.col("__fp") >= F.col("__fv"))
+            ).cast("int").alias("converted"),
+        )
+    )
+
+
+_KM_SUBJECTS_SQL = """
+    WITH pu AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS __fv,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS __fp
+        FROM events GROUP BY user_id
+    ), oe AS (
+        SELECT max(CAST(ts AS TIMESTAMP)) AS __end FROM events
+    )
+    SELECT CAST(user_id % 2 AS INT) AS arm,
+           CAST(CASE WHEN __fp IS NOT NULL AND __fp >= __fv
+                THEN floor(epoch_us(__fp - __fv) / 86400000000)
+                ELSE floor(epoch_us(__end - __fv) / 86400000000)
+           END AS DOUBLE) AS dur_days,
+           CASE WHEN __fp IS NOT NULL AND __fp >= __fv
+                THEN 1 ELSE 0 END AS converted
+    FROM pu CROSS JOIN oe WHERE __fv IS NOT NULL
+"""
+
+
+def q184_km_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ARM Kaplan-Meier time-to-convert curves — the A/B survival
+    readout (compare conversion speed between experiment arms with
+    censoring handled honestly); every reduction/window partitioned by
+    arm over duration-level frames
+    (operators/survival.kaplan_meier_grouped)."""
+    from pytrousse_spark.operators.survival import kaplan_meier_grouped
+
+    return kaplan_meier_grouped(
+        _km_subjects(spark, sf_dir), "arm", "dur_days", "converted"
+    )
+
+
+def _sql_q184() -> str:
+    from pytrousse_spark.operators.survival import kaplan_meier_sql
+
+    # the grouped twin: run the single-curve twin per arm and union —
+    # identical estimator semantics, arm prepended
+    arms = []
+    for a in (0, 1):
+        inner = kaplan_meier_sql(
+            f"SELECT * FROM ({_KM_SUBJECTS_SQL}) s WHERE arm = {a}",
+            "dur_days",
+            "converted",
+        )
+        arms.append(f"SELECT CAST({a} AS INT) AS arm, * FROM ({inner})")
+    return " UNION ALL ".join(arms)
+
+
+def q185_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two arms' conversion curves (Mantel
+    1966): O/E/V folds over pooled event times with exact dense-grid
+    risk sets — the significance readout for q184's curves (1-df chi2;
+    95% critical value 3.841) (operators/survival.logrank_test)."""
+    from pytrousse_spark.operators.survival import logrank_test
+
+    return logrank_test(
+        _km_subjects(spark, sf_dir), "arm", "dur_days", "converted"
+    )
+
+
+def _sql_q185() -> str:
+    from pytrousse_spark.operators.survival import logrank_test_sql
+
+    return logrank_test_sql(
+        _KM_SUBJECTS_SQL, "arm", "dur_days", "converted"
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5712,6 +5824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_bootstrap_ci": q181_bootstrap_ci,
         "q182_sq8_topk": q182_sq8_topk,
         "q183_conformal": q183_conformal,
+        "q184_km_grouped": q184_km_grouped,
+        "q185_logrank": q185_logrank,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -5749,10 +5863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_vocabulary": q66_vocabulary,
         "q67_tfidf": q67_tfidf,
         "q69_wav_decode": q69_wav_decode,
-        "q70_stream_dedup_batch": q70_stream_dedup_batch,
-        "q71_interval_roundtrip": q71_interval_roundtrip,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q70_stream_dedup_batch": q70_stream_dedup_batch,
+        "q71_interval_roundtrip": q71_interval_roundtrip,
         "q72_pii_scrub": q72_pii_scrub,
         "q73_repetition": q73_repetition,
         "q74_surprisal": q74_surprisal,
@@ -6280,6 +6394,8 @@ def oracle_sql() -> dict[str, str]:
         "q181_bootstrap_ci": _sql_q181(),
         "q182_sq8_topk": _sql_q182(),
         "q183_conformal": _sql_q183(),
+        "q184_km_grouped": _sql_q184(),
+        "q185_logrank": _sql_q185(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -178,3 +178,258 @@ def kaplan_meier_sql(
            round(CAST(__hsum AS DOUBLE) / 1e9, 6) AS na_cumhazard
     FROM cum ORDER BY t
     """
+
+
+def kaplan_meier_grouped(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Per-group Kaplan-Meier curves (compare segments/experiment arms
+    on the SAME axes): identical estimator, every reduction and window
+    partitioned by the group key (null-safe — a NULL group is a curve).
+    Output adds ``group_col`` in front of the :func:`kaplan_meier`
+    columns; all windows still run over duration-LEVEL frames."""
+    d = F.col(duration_col)
+    e = F.col(event_col)
+    g = F.col(group_col)
+    nn = df.where(d.isNotNull() & e.isNotNull())
+    lvl = nn.groupBy(g.alias(group_col), d.cast("double").alias("t")).agg(
+        F.sum(e.cast("int")).cast("bigint").alias("n_events"),
+        F.sum(1 - e.cast("int")).cast("bigint").alias("n_censored"),
+    )
+    w_desc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = lvl.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc),
+    )
+    ev = risk.where(F.col("n_events") > 0)
+    term = F.round(
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    hit_zero = F.col("n_events") == F.col("n_risk")
+    haz_term = F.round(
+        F.col("n_events").cast("double")
+        / F.col("n_risk").cast("double")
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    w_asc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        ev.withColumn("__term", F.when(~hit_zero, term))
+        .withColumn("__zero", hit_zero.cast("int"))
+        .withColumn("__hterm", haz_term)
+        .withColumn(
+            "__lsum", F.coalesce(F.sum("__term").over(w_asc), F.lit(0))
+        )
+        .withColumn("__anyzero", F.sum("__zero").over(w_asc))
+        .withColumn("__hsum", F.sum("__hterm").over(w_asc))
+    )
+    surv = F.when(F.col("__anyzero") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("__lsum").cast("double") / F.lit(1e9)), 6)
+    )
+    return out.select(
+        group_col,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        surv.alias("survival"),
+        F.round(F.col("__hsum").cast("double") / F.lit(1e9), 6)
+        .alias("na_cumhazard"),
+    ).orderBy(group_col, "t")
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Two-sample LOG-RANK test (Mantel 1966; the standard question
+    after plotting two KM curves: "are these survival experiences
+    different, accounting for censoring?"). Over the pooled event
+    times, with per-group risk sets (n1, n2) and event counts (d1, d2):
+
+    ``O1 = sum d1``,  ``E1 = sum d * n1 / n``,
+    ``V  = sum d * (n1/n) * (n2/n) * (n - d) / (n - 1)``,
+    ``chi2 = (O1 - E1)^2 / V``  (1 df).
+
+    Returns one row: ``(n1, n2, o1, e1, v, chi2)`` — chi2 only, no
+    p-value lookup (the q134/q147 convention: neither engine ships the
+    chi-square CDF; the 1-df 95% critical value is 3.841).
+
+    Exactness: risk sets are exact BIGINTs from the dense
+    (group x pooled-duration) grid (absent cells carry 0 events, so a
+    group's risk at ANY pooled time is one reverse cumulative sum —
+    the step function evaluated without an as-of join); the E1 and V
+    terms are nano-unit-floored integers, so the folds are order-free;
+    the final chi2 is three IEEE ops, rounded 6.
+
+    Scale: subjects reduce to (group, duration) counts map-side; the
+    dense grid is (distinct pooled durations) x 2 rows — the same
+    duration-level bound as the estimator. Exactly two non-NULL groups
+    required (validated cheaply on the grid frame).
+    """
+    d = F.col(duration_col)
+    e = F.col(event_col)
+    g = F.col(group_col)
+    nn = df.where(d.isNotNull() & e.isNotNull() & g.isNotNull())
+    lvl = nn.groupBy(g.alias("__g"), d.cast("double").alias("t")).agg(
+        F.sum(e.cast("int")).cast("bigint").alias("__d"),
+        F.count(F.lit(1)).cast("bigint").alias("__all"),
+    )
+    groups = lvl.select("__g").distinct()
+    times = lvl.select("t").distinct()
+    grid = times.crossJoin(groups)
+    cells = grid.join(lvl, ["__g", "t"], "left").select(
+        "__g",
+        "t",
+        F.coalesce(F.col("__d"), F.lit(0)).alias("__d"),
+        F.coalesce(F.col("__all"), F.lit(0)).alias("__all"),
+    )
+    w_desc = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = cells.withColumn("__n", F.sum("__all").over(w_desc))
+    # pivot the two groups side by side on the tiny grid: tag groups by
+    # their sort order (deterministic)
+    wg = Window.orderBy("__g")
+    tagged = (
+        groups.withColumn("__gi", F.row_number().over(wg))
+    )
+    sided = risk.join(F.broadcast(tagged), "__g").groupBy("t").agg(
+        F.max(F.when(F.col("__gi") == 1, F.col("__d"))).alias("__d1"),
+        F.max(F.when(F.col("__gi") == 2, F.col("__d"))).alias("__d2"),
+        F.max(F.when(F.col("__gi") == 1, F.col("__n"))).alias("__n1"),
+        F.max(F.when(F.col("__gi") == 2, F.col("__n"))).alias("__n2"),
+        F.count(F.lit(1)).alias("__ng"),
+    )
+    dd = F.col("__d1") + F.col("__d2")
+    ntot = F.col("__n1") + F.col("__n2")
+    e1_term = F.floor(
+        dd.cast("double") * F.col("__n1").cast("double")
+        / ntot.cast("double") * F.lit(1e9)
+    ).cast("bigint")
+    v_term = F.floor(
+        F.when(
+            ntot > 1,
+            dd.cast("double")
+            * (F.col("__n1").cast("double") / ntot.cast("double"))
+            * (F.col("__n2").cast("double") / ntot.cast("double"))
+            * ((ntot - dd).cast("double") / (ntot - 1).cast("double")),
+        ).otherwise(F.lit(0.0))
+        * F.lit(1e9)
+    ).cast("bigint")
+    agg = sided.where(dd > 0).agg(
+        F.sum("__d1").cast("bigint").alias("o1"),
+        F.sum(e1_term).alias("__e1n"),
+        F.sum(v_term).alias("__vn"),
+        F.max("__n1").cast("bigint").alias("n1"),
+        F.max("__n2").cast("bigint").alias("n2"),
+    )
+    e1 = F.col("__e1n").cast("double") / F.lit(1e9)
+    v = F.col("__vn").cast("double") / F.lit(1e9)
+    chi2 = F.when(
+        F.col("__vn") > 0,
+        (F.col("o1").cast("double") - e1) * (F.col("o1").cast("double") - e1) / v,
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "o1",
+        F.round(e1, 6).alias("e1"),
+        F.round(v, 6).alias("v"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def logrank_test_sql(
+    table_expr: str, group_col: str, duration_col: str, event_col: str
+) -> str:
+    """DuckDB twin of :func:`logrank_test` — identical dense grid,
+    reverse-cum risk sets, nano-floored folds."""
+    return f"""
+    WITH nn AS (
+        SELECT {group_col} AS __g, CAST({duration_col} AS DOUBLE) AS t,
+               CAST({event_col} AS INT) AS e
+        FROM ({table_expr})
+        WHERE {duration_col} IS NOT NULL AND {event_col} IS NOT NULL
+          AND {group_col} IS NOT NULL
+    ), lvl AS (
+        SELECT __g, t, CAST(sum(e) AS BIGINT) AS __d,
+               CAST(count(*) AS BIGINT) AS __all
+        FROM nn GROUP BY __g, t
+    ), grid AS (
+        SELECT g.__g, ts.t FROM (SELECT DISTINCT __g FROM lvl) g
+        CROSS JOIN (SELECT DISTINCT t FROM lvl) ts
+    ), cells AS (
+        SELECT grid.__g, grid.t,
+               COALESCE(lvl.__d, 0) AS __d,
+               COALESCE(lvl.__all, 0) AS __all
+        FROM grid LEFT JOIN lvl
+          ON grid.__g = lvl.__g AND grid.t = lvl.t
+    ), risk AS (
+        SELECT *, CAST(sum(__all) OVER (
+                   PARTITION BY __g ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS __n
+        FROM cells
+    ), tagged AS (
+        SELECT __g, row_number() OVER (ORDER BY __g) AS __gi
+        FROM (SELECT DISTINCT __g FROM lvl)
+    ), sided AS (
+        SELECT t,
+               max(CASE WHEN __gi = 1 THEN __d END) AS __d1,
+               max(CASE WHEN __gi = 2 THEN __d END) AS __d2,
+               max(CASE WHEN __gi = 1 THEN __n END) AS __n1,
+               max(CASE WHEN __gi = 2 THEN __n END) AS __n2
+        FROM risk JOIN tagged USING (__g)
+        GROUP BY t
+    ), terms AS (
+        SELECT *,
+               __d1 + __d2 AS __dd, __n1 + __n2 AS __nt,
+               CAST(floor(CAST(__d1 + __d2 AS DOUBLE)
+                          * CAST(__n1 AS DOUBLE)
+                          / CAST(__n1 + __n2 AS DOUBLE) * 1e9)
+                    AS BIGINT) AS __e1t,
+               CAST(floor(CASE WHEN __n1 + __n2 > 1 THEN
+                     CAST(__d1 + __d2 AS DOUBLE)
+                     * (CAST(__n1 AS DOUBLE) / CAST(__n1 + __n2 AS DOUBLE))
+                     * (CAST(__n2 AS DOUBLE) / CAST(__n1 + __n2 AS DOUBLE))
+                     * (CAST(__n1 + __n2 - __d1 - __d2 AS DOUBLE)
+                        / CAST(__n1 + __n2 - 1 AS DOUBLE))
+                   ELSE 0.0 END * 1e9) AS BIGINT) AS __vt
+        FROM sided
+    )
+    SELECT CAST(max(__n1) AS BIGINT) AS n1,
+           CAST(max(__n2) AS BIGINT) AS n2,
+           CAST(sum(__d1) AS BIGINT) AS o1,
+           round(CAST(sum(__e1t) AS BIGINT) / 1e9, 6) AS e1,
+           round(CAST(sum(__vt) AS BIGINT) / 1e9, 6) AS v,
+           CASE WHEN sum(__vt) > 0 THEN
+             round((CAST(sum(__d1) AS BIGINT)
+                    - CAST(sum(__e1t) AS BIGINT) / 1e9)
+                   * (CAST(sum(__d1) AS BIGINT)
+                      - CAST(sum(__e1t) AS BIGINT) / 1e9)
+                   / (CAST(sum(__vt) AS BIGINT) / 1e9), 6)
+           END AS chi2
+    FROM terms WHERE __dd > 0
+    """

@@ -83,3 +83,62 @@ def test_nelson_aalen_companion(spark):
     for r in kaplan_meier(many, "dur", "e").collect()[:20]:
         if r["survival"] > 0.5:
             assert abs(math.exp(-r["na_cumhazard"]) - r["survival"]) < 0.02
+
+
+def test_km_grouped_matches_per_slice(spark):
+    from pytrousse_spark.operators.survival import kaplan_meier_grouped
+
+    rows = (
+        [("a", float(1 + i % 4), 1 if i % 3 else 0) for i in range(60)]
+        + [("b", float(2 + i % 6), 1 if i % 2 else 0) for i in range(80)]
+    )
+    df = spark.createDataFrame(rows, "g string, dur double, e int")
+    grouped = {
+        (r["g"], r["t"]): (r["n_risk"], r["survival"], r["na_cumhazard"])
+        for r in kaplan_meier_grouped(df, "g", "dur", "e").collect()
+    }
+    for gv in ("a", "b"):
+        solo = {
+            r["t"]: (r["n_risk"], r["survival"], r["na_cumhazard"])
+            for r in kaplan_meier(
+                df.where(df["g"] == gv), "dur", "e"
+            ).collect()
+        }
+        assert {t: v for (g, t), v in grouped.items() if g == gv} == solo
+
+
+def test_logrank_hand_example_and_laws(spark):
+    """Textbook two-group example, hand-computed: group A durations
+    {1, 2 (event), 3+}, group B {2 (event), 3 (event), 4+}. Pooled
+    event times 1, 2, 3. Identical groups give chi2 ~ 0; a strongly
+    separated pair gives a large chi2."""
+    from pytrousse_spark.operators.survival import logrank_test
+
+    rows = [
+        ("A", 1.0, 1), ("A", 2.0, 1), ("A", 3.0, 0),
+        ("B", 2.0, 1), ("B", 3.0, 1), ("B", 4.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, dur double, e int")
+    r = logrank_test(df, "g", "dur", "e").collect()[0]
+    # t=1: n1=3, n2=3, d=1 (A) -> E1 += 1*3/6 = .5 ; V += 1*(1/2)(1/2)(5/5)=.25
+    # t=2: n1=2, n2=3, d=2    -> E1 += 2*2/5 = .8 ; V += 2*(2/5)(3/5)(3/4)=.36
+    # t=3: n1=1, n2=2, d=1 (B)-> E1 += 1*1/3 ~ .3333; V += 1*(1/3)(2/3)(2/2)=.2222
+    assert r["o1"] == 2
+    assert abs(r["e1"] - (0.5 + 0.8 + 1 / 3)) < 1e-6
+    assert abs(r["v"] - (0.25 + 0.36 + 2 / 9)) < 1e-6
+    exp_chi2 = (2 - (0.5 + 0.8 + 1 / 3)) ** 2 / (0.25 + 0.36 + 2 / 9)
+    assert abs(r["chi2"] - exp_chi2) < 1e-5
+
+    # identical arms -> tiny chi2; separated arms -> big chi2
+    same = spark.createDataFrame(
+        [("A", float(1 + i % 5), 1) for i in range(50)]
+        + [("B", float(1 + i % 5), 1) for i in range(50)],
+        "g string, dur double, e int",
+    )
+    assert logrank_test(same, "g", "dur", "e").collect()[0]["chi2"] < 1e-6
+    sep = spark.createDataFrame(
+        [("A", float(1 + i % 3), 1) for i in range(50)]
+        + [("B", float(10 + i % 3), 1) for i in range(50)],
+        "g string, dur double, e int",
+    )
+    assert logrank_test(sep, "g", "dur", "e").collect()[0]["chi2"] > 30
