@@ -4335,6 +4335,57 @@ def _sql_q185() -> str:
     )
 
 
+def q186_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between early- and
+    late-January purchase values — the exact-ECDF sibling of the PSI
+    gate (q142): D statistic + asymptotic p-value, computed with the
+    range-bucketed prefix decomposition (no global sort); the oracle
+    is the PLAIN global cumulative window, so the decomposition itself
+    is what the gate certifies (profiling.ks_two_sample)."""
+    from pytrousse_spark.profiling import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    return ks_two_sample(
+        pur.where(F.col("ts") < "2024-01-16"),
+        pur.where(F.col("ts") >= "2024-01-16"),
+        "value",
+    )
+
+
+def _sql_q186() -> str:
+    from pytrousse_spark.profiling import ks_two_sample_sql
+
+    return ks_two_sample_sql(
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'",
+        "value",
+    )
+
+
+def q187_cat_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate categorical association census (order status x
+    priority): chi-squared via the zero-cell-free identity
+    n*(S-1), Cramer's V, mutual information + normalized MI — the
+    profiler's dependence row beside the univariate entropy census
+    (q155); one joint hash-agg bounded by distinct pairs
+    (profiling.categorical_association)."""
+    from pytrousse_spark.profiling import categorical_association
+
+    o = _t(spark, sf_dir, "orders")
+    return categorical_association(o, "o_orderstatus", "o_orderpriority")
+
+
+def _sql_q187() -> str:
+    from pytrousse_spark.profiling import categorical_association_sql
+
+    return categorical_association_sql(
+        "SELECT * FROM orders", "o_orderstatus", "o_orderpriority"
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5826,6 +5877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_conformal": q183_conformal,
         "q184_km_grouped": q184_km_grouped,
         "q185_logrank": q185_logrank,
+        "q186_ks_drift": q186_ks_drift,
+        "q187_cat_association": q187_cat_association,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -5861,10 +5914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_contamination": q64_contamination,
         "q65_dup_clusters": q65_dup_clusters,
         "q66_vocabulary": q66_vocabulary,
-        "q67_tfidf": q67_tfidf,
-        "q69_wav_decode": q69_wav_decode,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q67_tfidf": q67_tfidf,
+        "q69_wav_decode": q69_wav_decode,
         "q70_stream_dedup_batch": q70_stream_dedup_batch,
         "q71_interval_roundtrip": q71_interval_roundtrip,
         "q72_pii_scrub": q72_pii_scrub,
@@ -6396,6 +6449,8 @@ def oracle_sql() -> dict[str, str]:
         "q183_conformal": _sql_q183(),
         "q184_km_grouped": _sql_q184(),
         "q185_logrank": _sql_q185(),
+        "q186_ks_drift": _sql_q186(),
+        "q187_cat_association": _sql_q187(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

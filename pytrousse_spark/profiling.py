@@ -1086,3 +1086,432 @@ def hill_tail_index_sql(table_expr: str, value_col: str, k: int = 100) -> str:
                  / sqrt(CAST(max(__m) - 1 AS DOUBLE)), 6) AS se
     FROM terms
     """
+
+
+def ks_two_sample(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    value_col: str,
+    num_buckets: int = 1024,
+    alpha: float = 0.05,
+) -> "DataFrame":
+    """Two-sample Kolmogorov-Smirnov test — the distribution-level
+    drift check beside :func:`psi_drift` (which bins; KS is the
+    exact-ECDF sup statistic and carries a p-value):
+    ``D = sup_x |F_a(x) - F_b(x)|`` evaluated at every distinct sample
+    value, with the asymptotic Kolmogorov p-value
+    ``p = 2 * sum_j (-1)^(j-1) exp(-2 j^2 lambda^2)`` at
+    ``lambda = (sqrt(ne) + 0.12 + 0.11/sqrt(ne)) * D``,
+    ``ne = na*nb/(na+nb)`` (Kolmogorov 1933; Stephens 1970 small-sample
+    correction), series truncated at j=100 (terms vanish far earlier).
+
+    Returns one row: ``(n_a, n_b, d_stat, p_value, reject)`` with
+    ``reject = p_value < alpha``.
+
+    Exactness: cumulative counts are exact BIGINTs; ECDF values divide
+    identical integers (deterministic IEEE doubles in both engines);
+    the p-value series folds nano-unit integer terms (order-free).
+
+    Scale: NO global sort or single-partition window over data-sized
+    frames — the q157 range-bucket prefix decomposition: per-(bucket,
+    distinct-value) counts, bucket totals prefix-summed over the
+    BOUNDED ``num_buckets`` grid (broadcast), within-bucket cumulative
+    windows partitioned by bucket. Max task = densest bucket, not the
+    full value range. The DuckDB twin is the PLAIN global cumulative
+    window — an independent formulation that must produce the same
+    integers (the q157 oracle convention).
+    """
+    from pyspark.sql import Window
+
+    B = num_buckets
+    a = (
+        df_a.select(F.col(value_col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select("__v", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+    )
+    b = (
+        df_b.select(F.col(value_col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select("__v", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    )
+    m = a.unionByName(b)
+    stats = m.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.sum("__a").cast("bigint").alias("__na"),
+        F.sum("__b").cast("bigint").alias("__nb"),
+    )
+    width_ok = F.col("__hi") > F.col("__lo")
+    binned = m.crossJoin(F.broadcast(stats)).select(
+        "__v",
+        "__a",
+        "__b",
+        F.when(~width_ok, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(B - 1),
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * B
+                ).cast("int"),
+            )
+        )
+        .alias("__bk"),
+    )
+    counts = binned.groupBy("__bk", "__v").agg(
+        F.sum("__a").cast("bigint").alias("__ca"),
+        F.sum("__b").cast("bigint").alias("__cb"),
+    )
+    # bucket-level exclusive prefix over the bounded grid (<= B rows)
+    wb = (
+        Window.orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    btot = (
+        counts.groupBy("__bk")
+        .agg(
+            F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
+        )
+        .select(
+            "__bk",
+            F.coalesce(F.sum("__ba").over(wb), F.lit(0))
+            .cast("bigint")
+            .alias("__offa"),
+            F.coalesce(F.sum("__bb").over(wb), F.lit(0))
+            .cast("bigint")
+            .alias("__offb"),
+        )
+    )
+    wv = (
+        Window.partitionBy("__bk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        counts.join(F.broadcast(btot), "__bk")
+        .select(
+            (F.col("__offa") + F.sum("__ca").over(wv)).alias("__cca"),
+            (F.col("__offb") + F.sum("__cb").over(wv)).alias("__ccb"),
+        )
+    )
+    d = cum.crossJoin(F.broadcast(stats)).agg(
+        F.max(
+            F.abs(
+                F.col("__cca").cast("double") / F.col("__na")
+                - F.col("__ccb").cast("double") / F.col("__nb")
+            )
+        ).alias("__d"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+    ne = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col(
+        "__d"
+    )
+    # nano-unit integer fold of the alternating Kolmogorov series
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc
+        + F.round(
+            F.when(j % 2 == 1, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            * F.exp(F.lit(-2.0) * (j * lam) * (j * lam))
+            * F.lit(1e9),
+            0,
+        ).cast("bigint"),
+    )
+    # the truncated alternating series only converges for lambda away
+    # from 0 (at lambda=0 the 100 even-count +/-1 terms cancel to 0,
+    # not the correct 1/2); Q(0.2) = 0.9999+ so clamping the region to
+    # p=1 is both numerically necessary and statistically right. The
+    # threshold compares identical IEEE doubles in both engines.
+    p = F.when(lam < F.lit(0.2), F.lit(1.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.greatest(F.lit(0.0), F.lit(2.0) * series / F.lit(1e9)),
+        )
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        (F.round(F.col("__d") * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "d_stat"
+        ),
+        (F.round(p * F.lit(1e6), 0) / F.lit(1e6)).alias("p_value"),
+        (p < F.lit(alpha)).alias("reject"),
+    )
+
+
+def ks_two_sample_sql(
+    a_subquery: str,
+    b_subquery: str,
+    value_col: str,
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`ks_two_sample` — deliberately the PLAIN
+    global cumulative-window formulation (no bucketing): the bucketed
+    Spark decomposition must reproduce these exact integers, so the
+    oracle checks the decomposition itself, not just the arithmetic."""
+    return f"""
+    WITH m AS MATERIALIZED (
+        SELECT CAST({value_col} AS DOUBLE) AS __v, 1 AS __a, 0 AS __b
+        FROM ({a_subquery}) WHERE {value_col} IS NOT NULL
+        UNION ALL
+        SELECT CAST({value_col} AS DOUBLE) AS __v, 0 AS __a, 1 AS __b
+        FROM ({b_subquery}) WHERE {value_col} IS NOT NULL
+    ), tot AS (
+        SELECT CAST(sum(__a) AS BIGINT) AS __na,
+               CAST(sum(__b) AS BIGINT) AS __nb
+        FROM m
+    ), counts AS (
+        SELECT __v, CAST(sum(__a) AS BIGINT) AS __ca,
+               CAST(sum(__b) AS BIGINT) AS __cb
+        FROM m GROUP BY 1
+    ), cum AS (
+        SELECT CAST(sum(__ca) OVER (
+                   ORDER BY __v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS __cca,
+               CAST(sum(__cb) OVER (
+                   ORDER BY __v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS __ccb
+        FROM counts
+    ), d AS (
+        SELECT max(abs(CAST(__cca AS DOUBLE) / t.__na
+                       - CAST(__ccb AS DOUBLE) / t.__nb)) AS __d,
+               max(t.__na) AS n_a, max(t.__nb) AS n_b
+        FROM cum CROSS JOIN tot t
+    ), lamb AS (
+        SELECT n_a, n_b, __d,
+               (sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))
+                + 0.12
+                + 0.11 / sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))
+               ) * __d AS __lam
+        FROM d
+    ), ser AS (
+        SELECT n_a, n_b, __d,
+               CASE WHEN __lam < CAST(0.2 AS DOUBLE)
+                    THEN CAST(1 AS DOUBLE) ELSE
+               least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                   CAST(2 AS DOUBLE) * list_sum(list_transform(
+                       range(1, 101),
+                       j -> CAST(round(
+                           (CASE WHEN j % 2 = 1 THEN CAST(1 AS DOUBLE)
+                                 ELSE CAST(-1 AS DOUBLE) END)
+                           * exp(CAST(-2 AS DOUBLE) * (j * __lam)
+                                 * (j * __lam))
+                           * 1e9, 0) AS BIGINT)
+                   )) / 1e9)) END AS __p
+        FROM lamb
+    )
+    SELECT n_a, n_b,
+           round(__d * 1e6, 0) / 1e6 AS d_stat,
+           round(__p * 1e6, 0) / 1e6 AS p_value,
+           __p < CAST({alpha} AS DOUBLE) AS reject
+    FROM ser
+    """
+
+
+def categorical_association(
+    df: "DataFrame", x_col: str, y_col: str
+) -> "DataFrame":
+    """Association census between two categorical columns — the
+    bivariate row of the profiler next to the univariate entropy
+    census: Pearson chi-squared, Cramer's V (bias-uncorrected,
+    Cramer 1946), mutual information in nats and the normalized MI
+    ``MI / sqrt(Hx * Hy)`` (Strehl & Ghosh 2002). NULL is a category
+    (the profiler's dropna=False convention).
+
+    Returns one row: ``(n, r, c, chi2, cramers_v, mi_nats, nmi)``.
+
+    Exactness: all cell/marginal counts are exact BIGINTs from one
+    joint hash-agg; chi-squared uses the zero-cell-free identity
+    ``chi2 = n * (S - 1)``, ``S = sum_cells nxy^2 / (nx * ny)`` (the
+    unobserved-cell expected counts enter through the marginals, so no
+    dense grid is materialized); S / MI / entropy terms fold as
+    nano-unit integers.
+
+    Scale: one (x, y) hash-agg bounded by distinct pairs; marginals
+    and totals are tiny broadcast frames. No melt of the full table
+    beyond the one agg.
+    """
+    m = df.select(
+        F.col(x_col).cast("string").alias("__x"),
+        F.col(y_col).cast("string").alias("__y"),
+    )
+    joint = m.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nxy")
+    )
+    # marginal keys renamed + eqNullSafe joins: NULL is a category, and
+    # a plain equality join would silently drop the NULL class (the
+    # r5-ADVICE bug family; oracle uses IS NOT DISTINCT FROM)
+    margx = (
+        joint.groupBy("__x")
+        .agg(F.sum("__nxy").alias("__nx"))
+        .withColumnRenamed("__x", "__mx")
+    )
+    margy = (
+        joint.groupBy("__y")
+        .agg(F.sum("__nxy").alias("__ny"))
+        .withColumnRenamed("__y", "__my")
+    )
+    tot = joint.agg(
+        F.sum("__nxy").cast("bigint").alias("__n"),
+        F.countDistinct("__x").alias("__r0"),
+        F.countDistinct("__y").alias("__c0"),
+        F.max(F.when(F.col("__x").isNull(), 1).otherwise(0)).alias(
+            "__xn"
+        ),
+        F.max(F.when(F.col("__y").isNull(), 1).otherwise(0)).alias(
+            "__yn"
+        ),
+    ).select(
+        "__n",
+        (F.col("__r0") + F.col("__xn")).cast("bigint").alias("__r"),
+        (F.col("__c0") + F.col("__yn")).cast("bigint").alias("__c"),
+    )
+    nd = F.col("__nxy").cast("double")
+    nxd = F.col("__nx").cast("double")
+    nyd = F.col("__ny").cast("double")
+    nnd = F.col("__n").cast("double")
+    j = (
+        joint.join(
+            F.broadcast(margx), F.col("__x").eqNullSafe(F.col("__mx"))
+        )
+        .join(F.broadcast(margy), F.col("__y").eqNullSafe(F.col("__my")))
+        .crossJoin(F.broadcast(tot))
+    )
+    s_nano = F.round(nd * nd / (nxd * nyd) * F.lit(1e9), 0).cast(
+        "bigint"
+    )
+    mi_nano = F.round(
+        (nd / nnd) * F.log(nd * nnd / (nxd * nyd)) * F.lit(1e9), 0
+    ).cast("bigint")
+    folded = j.groupBy("__n", "__r", "__c").agg(
+        F.sum(s_nano).alias("__s"), F.sum(mi_nano).alias("__mi")
+    )
+
+    def _h(marg: "DataFrame", cnt_col: str) -> "DataFrame":
+        p = F.col(cnt_col).cast("double") / F.col("__n")
+        return (
+            marg.crossJoin(F.broadcast(tot.select("__n")))
+            .select(
+                F.round(-p * F.log(p) * F.lit(1e9), 0)
+                .cast("bigint")
+                .alias("__t")
+            )
+            .agg(F.sum("__t").alias("__h"))
+        )
+
+    hx = _h(margx, "__nx").withColumnRenamed("__h", "__hx")
+    hy = _h(margy, "__ny").withColumnRenamed("__h", "__hy")
+    out = folded.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    s = F.col("__s") / F.lit(1e9)
+    mi = F.col("__mi") / F.lit(1e9)
+    hxv = F.col("__hx") / F.lit(1e9)
+    hyv = F.col("__hy") / F.lit(1e9)
+    chi2 = nnd * (s - F.lit(1.0))
+    mindim = F.least(F.col("__r"), F.col("__c")).cast("double")
+    v = F.when(
+        mindim > 1,
+        F.sqrt(
+            F.greatest(F.lit(0.0), s - F.lit(1.0))
+            / (mindim - F.lit(1.0))
+        ),
+    )
+    nmi = F.when(
+        (F.col("__hx") > 0) & (F.col("__hy") > 0),
+        mi / F.sqrt(hxv * hyv),
+    )
+    return out.select(
+        F.col("__n").alias("n"),
+        F.col("__r").alias("r"),
+        F.col("__c").alias("c"),
+        (F.round(chi2 * F.lit(1e6), 0) / F.lit(1e6)).alias("chi2"),
+        (F.round(v * F.lit(1e6), 0) / F.lit(1e6)).alias("cramers_v"),
+        (F.round(mi * F.lit(1e6), 0) / F.lit(1e6)).alias("mi_nats"),
+        (F.round(nmi * F.lit(1e6), 0) / F.lit(1e6)).alias("nmi"),
+    )
+
+
+def categorical_association_sql(
+    table_expr: str, x_col: str, y_col: str
+) -> str:
+    """DuckDB twin of :func:`categorical_association` — identical
+    joint agg, marginals, zero-cell-free chi2 identity and nano
+    folds."""
+    return f"""
+    WITH m AS MATERIALIZED (
+        SELECT CAST({x_col} AS VARCHAR) AS __x,
+               CAST({y_col} AS VARCHAR) AS __y
+        FROM ({table_expr})
+    ), joint AS MATERIALIZED (
+        SELECT __x, __y, CAST(count(*) AS BIGINT) AS __nxy
+        FROM m GROUP BY 1, 2
+    ), margx AS (
+        SELECT __x, CAST(sum(__nxy) AS BIGINT) AS __nx
+        FROM joint GROUP BY 1
+    ), margy AS (
+        SELECT __y, CAST(sum(__nxy) AS BIGINT) AS __ny
+        FROM joint GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(__nxy) AS BIGINT) AS __n,
+               CAST(count(DISTINCT __x)
+                    + max(CASE WHEN __x IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS __r,
+               CAST(count(DISTINCT __y)
+                    + max(CASE WHEN __y IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS __c
+        FROM joint
+    ), folded AS (
+        SELECT t.__n, t.__r, t.__c,
+               CAST(sum(CAST(round(
+                   CAST(j.__nxy AS DOUBLE) * j.__nxy
+                   / (CAST(x.__nx AS DOUBLE) * y.__ny) * 1e9, 0)
+                   AS BIGINT)) AS BIGINT) AS __s,
+               CAST(sum(CAST(round(
+                   (CAST(j.__nxy AS DOUBLE) / t.__n)
+                   * ln(CAST(j.__nxy AS DOUBLE) * t.__n
+                        / (CAST(x.__nx AS DOUBLE) * y.__ny))
+                   * 1e9, 0) AS BIGINT)) AS BIGINT) AS __mi
+        FROM joint j
+        JOIN margx x ON x.__x IS NOT DISTINCT FROM j.__x
+        JOIN margy y ON y.__y IS NOT DISTINCT FROM j.__y
+        CROSS JOIN tot t
+        GROUP BY 1, 2, 3
+    ), hx AS (
+        SELECT CAST(sum(CAST(round(
+                   -(CAST(__nx AS DOUBLE) / t.__n)
+                   * ln(CAST(__nx AS DOUBLE) / t.__n) * 1e9, 0)
+                   AS BIGINT)) AS BIGINT) AS __hx
+        FROM margx CROSS JOIN tot t
+    ), hy AS (
+        SELECT CAST(sum(CAST(round(
+                   -(CAST(__ny AS DOUBLE) / t.__n)
+                   * ln(CAST(__ny AS DOUBLE) / t.__n) * 1e9, 0)
+                   AS BIGINT)) AS BIGINT) AS __hy
+        FROM margy CROSS JOIN tot t
+    )
+    SELECT f.__n AS n, f.__r AS r, f.__c AS c,
+           round(CAST(f.__n AS DOUBLE) * (f.__s / 1e9 - CAST(1 AS DOUBLE))
+                 * 1e6, 0) / 1e6 AS chi2,
+           round(CASE WHEN least(f.__r, f.__c) > 1 THEN
+                 sqrt(greatest(CAST(0 AS DOUBLE),
+                               f.__s / 1e9 - CAST(1 AS DOUBLE))
+                      / (CAST(least(f.__r, f.__c) AS DOUBLE)
+                         - CAST(1 AS DOUBLE)))
+                 END * 1e6, 0) / 1e6 AS cramers_v,
+           round(f.__mi / 1e9 * 1e6, 0) / 1e6 AS mi_nats,
+           round(CASE WHEN h1.__hx > 0 AND h2.__hy > 0 THEN
+                 (f.__mi / 1e9)
+                 / sqrt((h1.__hx / 1e9) * (h2.__hy / 1e9))
+                 END * 1e6, 0) / 1e6 AS nmi
+    FROM folded f CROSS JOIN hx h1 CROSS JOIN hy h2
+    """

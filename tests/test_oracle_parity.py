@@ -131,7 +131,8 @@ def test_registry_head_round6_plan():
     families. No r2-evidence query may remain past the head."""
     names = list(entrymod.queries())
     head = names[:50]
-    assert head[:17] == [
+    n_new = 19
+    assert head[:n_new] == [
         "q169_dataset_roundtrip", "q170_rank_transform_auto",
         "q171_png_rgb_roundtrip", "q172_k_anonymity_enforce",
         "q173_t_closeness", "q174_dp_counts", "q175_auc",
@@ -139,6 +140,7 @@ def test_registry_head_round6_plan():
         "q178_kaplan_meier", "q179_roc_curve", "q180_auc_grouped",
         "q181_bootstrap_ci", "q182_sq8_topk", "q183_conformal",
         "q184_km_grouped", "q185_logrank",
+        "q186_ks_drift", "q187_cat_association",
     ]
     r2 = {
         "q40_dedup_exact", "q41_dup_census", "q42_minhash",
@@ -148,7 +150,7 @@ def test_registry_head_round6_plan():
         "q51_asof_join", "q52_range_join", "q53_group_zscore",
         "q54_near_dedup_pairs",
     }
-    assert set(head[17:33]) == r2
+    assert set(head[n_new:n_new + 16]) == r2
     newest = _driver_evidence_rounds()
     spilled = [n for n in names[50:] if newest.get(n, 99) <= 2]
     assert not spilled, f"r2-evidence queries past the head: {spilled}"

@@ -387,3 +387,88 @@ def test_q20_categorical_counts_null_as_unique_value(spark, tmp_path):
         expect = uv < 7 or uv < pdf[c].count() // 300
         assert out[c] == expect, (c, uv, out[c], expect)
     assert out["lang"] is False and out["source"] is True
+
+
+def test_ks_two_sample_laws(spark):
+    """Identical samples -> D=0/p=1; disjoint supports -> D=1/p~0;
+    a hand-computed 3x3 case gives D=1/3; the bucketed prefix
+    decomposition must agree with the plain-window oracle (that IS the
+    q186 parity check — here we pin the closed-form values)."""
+    from pytrousse_spark.profiling import ks_two_sample
+
+    a = spark.createDataFrame([(float(v),) for v in (1, 2, 3)], "v double")
+    b = spark.createDataFrame([(float(v),) for v in (2, 3, 4)], "v double")
+    row = ks_two_sample(a, b, "v").collect()[0]
+    assert row["n_a"] == 3 and row["n_b"] == 3
+    assert abs(row["d_stat"] - 1 / 3) < 1e-6
+    assert row["reject"] is False
+
+    same = ks_two_sample(a, a, "v").collect()[0]
+    assert same["d_stat"] == 0.0 and same["p_value"] == 1.0
+    assert same["reject"] is False
+
+    lo = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "v double"
+    )
+    hi = spark.createDataFrame(
+        [(float(v + 1000),) for v in range(100)], "v double"
+    )
+    far = ks_two_sample(lo, hi, "v").collect()[0]
+    assert far["d_stat"] == 1.0
+    assert far["p_value"] < 1e-4 and far["reject"] is True
+
+
+def test_ks_two_sample_bucket_decomposition_invariance(spark):
+    """D is identical for 1 bucket (plain cumulative) and many buckets
+    (the scale path) — the decomposition is exact, not approximate."""
+    from pytrousse_spark.profiling import ks_two_sample
+
+    a = spark.createDataFrame(
+        [(float(v % 37),) for v in range(300)], "v double"
+    )
+    b = spark.createDataFrame(
+        [(float((v * 7) % 41),) for v in range(250)], "v double"
+    )
+    rows = {
+        nb: ks_two_sample(a, b, "v", num_buckets=nb).collect()[0]
+        for nb in (1, 8, 1024)
+    }
+    base = rows[1]
+    for nb in (8, 1024):
+        assert rows[nb]["d_stat"] == base["d_stat"], nb
+        assert rows[nb]["p_value"] == base["p_value"], nb
+
+
+def test_categorical_association_laws(spark):
+    """Exact product design -> chi2=0, MI=0, V=0; a bijection ->
+    V=1, NMI=1, MI=H; NULL is its own category (dropna=False)."""
+    from pytrousse_spark.profiling import categorical_association
+
+    prod = spark.createDataFrame(
+        [(x, y) for x in "AB" for y in "CD" for _ in range(5)],
+        "x string, y string",
+    )
+    r = categorical_association(prod, "x", "y").collect()[0]
+    assert r["n"] == 20 and r["r"] == 2 and r["c"] == 2
+    assert r["chi2"] == 0.0 and r["mi_nats"] == 0.0
+    assert r["cramers_v"] == 0.0 and r["nmi"] == 0.0
+
+    bij = spark.createDataFrame(
+        [(x, x.lower()) for x in "ABC" for _ in range(4)],
+        "x string, y string",
+    )
+    r = categorical_association(bij, "x", "y").collect()[0]
+    assert r["cramers_v"] == 1.0 and r["nmi"] == 1.0
+    import math
+
+    assert abs(r["mi_nats"] - math.log(3)) < 1e-6
+    # chi2 for a kxk bijection = n*(k-1)
+    assert abs(r["chi2"] - 12 * 2) < 1e-6
+
+    withnull = spark.createDataFrame(
+        [("A", "C"), ("A", "C"), (None, "D"), (None, "D")],
+        "x string, y string",
+    )
+    r = categorical_association(withnull, "x", "y").collect()[0]
+    assert r["r"] == 2 and r["c"] == 2  # NULL class counted
+    assert r["cramers_v"] == 1.0
