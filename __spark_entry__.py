@@ -4386,6 +4386,55 @@ def _sql_q187() -> str:
     )
 
 
+def q188_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013)
+    over January purchase revenue: pre-period (before Jan 16) per-user
+    spend as the covariate, post-period spend as the metric, portable
+    salted-hash arms — the variance_reduction column is the shrink
+    CUPED buys; decimal-exact sufficient statistics
+    (operators/cohort.cuped_ab_test)."""
+    from pytrousse_spark.operators.cohort import cuped_ab_test
+
+    ev = _t(spark, sf_dir, "events")
+    return cuped_ab_test(
+        ev, "user_id", "event_type", "purchase", "value",
+        "2024-01-16 00:00:00",
+    )
+
+
+def _sql_q188() -> str:
+    from pytrousse_spark.operators.cohort import cuped_ab_test_sql
+
+    return cuped_ab_test_sql(
+        "events", "user_id", "event_type", "purchase", "value",
+        "2024-01-16 00:00:00",
+    )
+
+
+def q189_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the 2x2 (arm, pre/post-Jan-16)
+    panel of per-user purchase spend: the quasi-experimental
+    counterfactual readout beside the randomized CUPED gate (q188) —
+    same units/arms/cent-exact moments, textbook 2x2 SE
+    (operators/cohort.diff_in_diff)."""
+    from pytrousse_spark.operators.cohort import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    return diff_in_diff(
+        ev, "user_id", "event_type", "purchase", "value",
+        "2024-01-16 00:00:00",
+    )
+
+
+def _sql_q189() -> str:
+    from pytrousse_spark.operators.cohort import diff_in_diff_sql
+
+    return diff_in_diff_sql(
+        "events", "user_id", "event_type", "purchase", "value",
+        "2024-01-16 00:00:00",
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5879,6 +5928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_logrank": q185_logrank,
         "q186_ks_drift": q186_ks_drift,
         "q187_cat_association": q187_cat_association,
+        "q188_cuped": q188_cuped,
+        "q189_diff_in_diff": q189_diff_in_diff,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -5912,10 +5963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_group_sample": q62_group_sample,
         "q63_chunk_documents": q63_chunk_documents,
         "q64_contamination": q64_contamination,
-        "q65_dup_clusters": q65_dup_clusters,
-        "q66_vocabulary": q66_vocabulary,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q65_dup_clusters": q65_dup_clusters,
+        "q66_vocabulary": q66_vocabulary,
         "q67_tfidf": q67_tfidf,
         "q69_wav_decode": q69_wav_decode,
         "q70_stream_dedup_batch": q70_stream_dedup_batch,
@@ -6451,6 +6502,8 @@ def oracle_sql() -> dict[str, str]:
         "q185_logrank": _sql_q185(),
         "q186_ks_drift": _sql_q186(),
         "q187_cat_association": _sql_q187(),
+        "q188_cuped": _sql_q188(),
+        "q189_diff_in_diff": _sql_q189(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1162,3 +1162,460 @@ def linear_attribution_scalable(
         )
         .orderBy("channel")
     )
+
+
+def cuped_ab_test(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    metric_event: str,
+    value_col: str,
+    split_ts: str,
+    salt: str = "ab",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): per-user post-period metric ``Y`` adjusted by the
+    pre-period covariate ``X`` via ``Y' = Y - theta * (X - mean(X))``
+    with ``theta = cov(X, Y) / var(X)`` pooled over both arms — the
+    industry-standard way to shrink experiment confidence intervals
+    without touching the treatment effect (E[Y'] = E[Y] per arm since
+    theta and mean(X) are global).
+
+    Units are all users with any event; arm = portable salted-hash
+    split (the q61/q148 splitter, bit-identical in the twin); X / Y =
+    integer-cent sums of ``value_col`` over ``metric_event`` rows
+    before / at-or-after ``split_ts``.
+
+    Returns one row per arm: ``(arm, n, mean_y, mean_y_cuped, var_y,
+    var_cuped, var_reduction, theta)`` — means in original units,
+    population variances, ``var_reduction = var_cuped / var_y``
+    (the CUPED win, = 1 - corr(X,Y)^2 in the large-sample limit).
+
+    Exactness: every sufficient statistic (n, Sx, Sy, Sxx, Sxy, Syy)
+    is an exact DECIMAL(38,0) sum of integer-cent products; theta,
+    means and variances are IEEE chains over those identical integers;
+    outputs use the scaled-round convention.
+
+    Scale: ONE user-keyed agg over metric events (map-side combinable),
+    then ONE tiny per-arm moment agg — no windows, no joins on the
+    event table; the moment frame is 2 rows.
+    """
+    pu = (
+        df.groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col(type_col) == metric_event)
+                        & (F.col(ts_col) < F.lit(split_ts)),
+                        F.round(F.col(value_col) * 100, 0).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("__x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col(type_col) == metric_event)
+                        & (F.col(ts_col) >= F.lit(split_ts)),
+                        F.round(F.col(value_col) * 100, 0).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("__y"),
+        )
+        .withColumn(
+            "__arm",
+            (
+                h60(
+                    F.concat(
+                        F.lit(f"{salt}|"), F.col("__u").cast("string")
+                    )
+                )
+                % 2
+            ).cast("int"),
+        )
+    )
+    xd = F.col("__x").cast("decimal(19,0)")
+    yd = F.col("__y").cast("decimal(19,0)")
+    moments = pu.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(xd).cast("decimal(38,0)").alias("__sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("__sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("__sxy"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("__syy"),
+    )
+    g = moments.agg(
+        F.sum("__n").cast("bigint").alias("__gn"),
+        F.sum("__sx").cast("decimal(38,0)").alias("__gsx"),
+        F.sum("__sy").cast("decimal(38,0)").alias("__gsy"),
+        F.sum("__sxx").cast("decimal(38,0)").alias("__gsxx"),
+        F.sum("__sxy").cast("decimal(38,0)").alias("__gsxy"),
+    )
+    j = moments.crossJoin(F.broadcast(g))
+    gn = F.col("__gn").cast("double")
+    gsx = F.col("__gsx").cast("double")
+    gsy = F.col("__gsy").cast("double")
+    gsxx = F.col("__gsxx").cast("double")
+    gsxy = F.col("__gsxy").cast("double")
+    gvarx = gsxx / gn - (gsx / gn) * (gsx / gn)
+    gcov = gsxy / gn - (gsx / gn) * (gsy / gn)
+    theta = F.when(gvarx > 0, gcov / gvarx).otherwise(F.lit(0.0))
+    gmx = gsx / gn
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    mx = sx / n
+    my = sy / n
+    vx = sxx / n - mx * mx
+    vy = syy / n - my * my
+    cv = sxy / n - mx * my
+    my_adj = my - theta * (mx - gmx)
+    vadj = vy - F.lit(2.0) * theta * cv + theta * theta * vx
+    red = F.when(vy > 0, vadj / vy)
+    cents = F.lit(100.0)
+    c2 = F.lit(10000.0)
+    return j.select(
+        F.col("__arm").alias("arm"),
+        F.col("__n").alias("n"),
+        (F.round(my / cents * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "mean_y"
+        ),
+        (F.round(my_adj / cents * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "mean_y_cuped"
+        ),
+        (F.round(vy / c2 * F.lit(1e6), 0) / F.lit(1e6)).alias("var_y"),
+        (F.round(vadj / c2 * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "var_cuped"
+        ),
+        (F.round(red * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "var_reduction"
+        ),
+        (F.round(theta * F.lit(1e6), 0) / F.lit(1e6)).alias("theta"),
+    ).orderBy("arm")
+
+
+def cuped_ab_test_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    metric_event: str,
+    value_col: str,
+    split_ts: str,
+    salt: str = "ab",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`cuped_ab_test` — identical portable arm
+    hash, integer-cent sufficient statistics, and IEEE chains."""
+    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    return f"""
+    WITH pu AS (
+        SELECT {user_col} AS __u,
+               COALESCE(sum(CASE WHEN {type_col} = '{metric_event}'
+                    AND CAST({ts_col} AS TIMESTAMP)
+                        < TIMESTAMP '{split_ts}'
+                    THEN CAST(round({value_col} * 100, 0) AS BIGINT)
+                    END), 0) AS __x,
+               COALESCE(sum(CASE WHEN {type_col} = '{metric_event}'
+                    AND CAST({ts_col} AS TIMESTAMP)
+                        >= TIMESTAMP '{split_ts}'
+                    THEN CAST(round({value_col} * 100, 0) AS BIGINT)
+                    END), 0) AS __y
+        FROM {table} GROUP BY 1
+    ), armed AS (
+        SELECT CAST(({h} % 2) AS INT) AS __arm,
+               CAST(__x AS DECIMAL(19,0)) AS __x,
+               CAST(__y AS DECIMAL(19,0)) AS __y
+        FROM pu
+    ), moments AS MATERIALIZED (
+        SELECT __arm,
+               CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(__x) AS DECIMAL(38,0)) AS __sx,
+               CAST(sum(__y) AS DECIMAL(38,0)) AS __sy,
+               CAST(sum(__x * __x) AS DECIMAL(38,0)) AS __sxx,
+               CAST(sum(__x * __y) AS DECIMAL(38,0)) AS __sxy,
+               CAST(sum(__y * __y) AS DECIMAL(38,0)) AS __syy
+        FROM armed GROUP BY 1
+    ), g AS (
+        SELECT CAST(sum(__n) AS BIGINT) AS __gn,
+               CAST(sum(__sx) AS DECIMAL(38,0)) AS __gsx,
+               CAST(sum(__sy) AS DECIMAL(38,0)) AS __gsy,
+               CAST(sum(__sxx) AS DECIMAL(38,0)) AS __gsxx,
+               CAST(sum(__sxy) AS DECIMAL(38,0)) AS __gsxy
+        FROM moments
+    ), calc AS (
+        SELECT m.__arm, m.__n,
+               CAST(m.__sx AS DOUBLE) / CAST(m.__n AS DOUBLE) AS __mx,
+               CAST(m.__sy AS DOUBLE) / CAST(m.__n AS DOUBLE) AS __my,
+               CAST(m.__sxx AS DOUBLE) / CAST(m.__n AS DOUBLE)
+                 - (CAST(m.__sx AS DOUBLE) / CAST(m.__n AS DOUBLE))
+                   * (CAST(m.__sx AS DOUBLE) / CAST(m.__n AS DOUBLE))
+                   AS __vx,
+               CAST(m.__syy AS DOUBLE) / CAST(m.__n AS DOUBLE)
+                 - (CAST(m.__sy AS DOUBLE) / CAST(m.__n AS DOUBLE))
+                   * (CAST(m.__sy AS DOUBLE) / CAST(m.__n AS DOUBLE))
+                   AS __vy,
+               CAST(m.__sxy AS DOUBLE) / CAST(m.__n AS DOUBLE)
+                 - (CAST(m.__sx AS DOUBLE) / CAST(m.__n AS DOUBLE))
+                   * (CAST(m.__sy AS DOUBLE) / CAST(m.__n AS DOUBLE))
+                   AS __cv,
+               CASE WHEN CAST(g.__gsxx AS DOUBLE)
+                         / CAST(g.__gn AS DOUBLE)
+                       - (CAST(g.__gsx AS DOUBLE)
+                          / CAST(g.__gn AS DOUBLE))
+                         * (CAST(g.__gsx AS DOUBLE)
+                            / CAST(g.__gn AS DOUBLE)) > 0
+                    THEN (CAST(g.__gsxy AS DOUBLE)
+                          / CAST(g.__gn AS DOUBLE)
+                         - (CAST(g.__gsx AS DOUBLE)
+                            / CAST(g.__gn AS DOUBLE))
+                           * (CAST(g.__gsy AS DOUBLE)
+                              / CAST(g.__gn AS DOUBLE)))
+                         / (CAST(g.__gsxx AS DOUBLE)
+                            / CAST(g.__gn AS DOUBLE)
+                           - (CAST(g.__gsx AS DOUBLE)
+                              / CAST(g.__gn AS DOUBLE))
+                             * (CAST(g.__gsx AS DOUBLE)
+                                / CAST(g.__gn AS DOUBLE)))
+                    ELSE CAST(0 AS DOUBLE) END AS __theta,
+               CAST(g.__gsx AS DOUBLE) / CAST(g.__gn AS DOUBLE)
+                   AS __gmx
+        FROM moments m CROSS JOIN g
+    )
+    SELECT __arm AS arm, __n AS n,
+           round(__my / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS mean_y,
+           round((__my - __theta * (__mx - __gmx))
+                 / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6
+               AS mean_y_cuped,
+           round(__vy / CAST(10000 AS DOUBLE) * 1e6, 0) / 1e6 AS var_y,
+           round((__vy - CAST(2 AS DOUBLE) * __theta * __cv
+                  + __theta * __theta * __vx)
+                 / CAST(10000 AS DOUBLE) * 1e6, 0) / 1e6 AS var_cuped,
+           round(CASE WHEN __vy > 0 THEN
+                 (__vy - CAST(2 AS DOUBLE) * __theta * __cv
+                  + __theta * __theta * __vx) / __vy END * 1e6, 0)
+               / 1e6 AS var_reduction,
+           round(__theta * 1e6, 0) / 1e6 AS theta
+    FROM calc ORDER BY arm
+    """
+
+
+def diff_in_diff(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    metric_event: str,
+    value_col: str,
+    split_ts: str,
+    salt: str = "ab",
+    t_crit: float = 1.96,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Difference-in-differences estimator over the 2x2 (arm, period)
+    panel (Card & Krueger 1994 design): per-user pre / post metric
+    means per arm, ``did = (t_post - t_pre) - (c_post - c_pre)`` with
+    the independent-cell large-sample standard error
+    ``sqrt(sum_cells var_cell / n_cell)``.
+
+    Same unit / arm / metric conventions as :func:`cuped_ab_test`
+    (all users, portable salted-hash arms, integer-cent sums). The SE
+    treats the four cells as independent samples — the textbook 2x2
+    formula; with panel data it is conservative when pre/post are
+    positively correlated (docstring contract, not a bug).
+
+    Returns one row: ``(n_c, n_t, pre_c, post_c, pre_t, post_t, did,
+    se, t_stat, significant)``.
+
+    Scale: ONE user-keyed agg + ONE 2-row moment agg — the CUPED
+    shuffle budget exactly.
+    """
+    pu = (
+        df.groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col(type_col) == metric_event)
+                        & (F.col(ts_col) < F.lit(split_ts)),
+                        F.round(F.col(value_col) * 100, 0).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("__x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col(type_col) == metric_event)
+                        & (F.col(ts_col) >= F.lit(split_ts)),
+                        F.round(F.col(value_col) * 100, 0).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("__y"),
+        )
+        .withColumn(
+            "__arm",
+            (
+                h60(
+                    F.concat(
+                        F.lit(f"{salt}|"), F.col("__u").cast("string")
+                    )
+                )
+                % 2
+            ).cast("int"),
+        )
+    )
+    xd = F.col("__x").cast("decimal(19,0)")
+    yd = F.col("__y").cast("decimal(19,0)")
+    m = pu.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(xd).cast("decimal(38,0)").alias("__sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("__sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cells = m.select(
+        "__arm",
+        "__n",
+        (sx / n).alias("__mx"),
+        (sy / n).alias("__my"),
+        (sxx / n - (sx / n) * (sx / n)).alias("__vx"),
+        (syy / n - (sy / n) * (sy / n)).alias("__vy"),
+    )
+    a = F.when(F.col("__arm") == 0, 1).otherwise(0)
+    t = F.when(F.col("__arm") == 1, 1).otherwise(0)
+    agg = cells.agg(
+        F.sum(a * F.col("__n")).cast("bigint").alias("n_c"),
+        F.sum(t * F.col("__n")).cast("bigint").alias("n_t"),
+        F.sum(a * F.col("__mx")).alias("__pc"),
+        F.sum(a * F.col("__my")).alias("__qc"),
+        F.sum(t * F.col("__mx")).alias("__pt"),
+        F.sum(t * F.col("__my")).alias("__qt"),
+        F.sum(
+            (a.cast("double") * (F.col("__vx") + F.col("__vy")))
+            / F.col("__n")
+        ).alias("__sec"),
+        F.sum(
+            (t.cast("double") * (F.col("__vx") + F.col("__vy")))
+            / F.col("__n")
+        ).alias("__set"),
+    )
+    did = (
+        (F.col("__qt") - F.col("__pt")) - (F.col("__qc") - F.col("__pc"))
+    )
+    se = F.sqrt(F.col("__sec") + F.col("__set"))
+    tstat = F.when(se > 0, did / se)
+    cents = F.lit(100.0)
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_c",
+        "n_t",
+        r6(F.col("__pc") / cents).alias("pre_c"),
+        r6(F.col("__qc") / cents).alias("post_c"),
+        r6(F.col("__pt") / cents).alias("pre_t"),
+        r6(F.col("__qt") / cents).alias("post_t"),
+        r6(did / cents).alias("did"),
+        r6(se / cents).alias("se"),
+        r6(tstat).alias("t_stat"),
+        (F.abs(tstat) > F.lit(t_crit)).alias("significant"),
+    )
+
+
+def diff_in_diff_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    metric_event: str,
+    value_col: str,
+    split_ts: str,
+    salt: str = "ab",
+    t_crit: float = 1.96,
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`diff_in_diff` — identical arm hash,
+    integer-cent sufficient statistics, cell moments, and the same
+    IEEE combination shapes."""
+    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    return f"""
+    WITH pu AS (
+        SELECT {user_col} AS __u,
+               COALESCE(sum(CASE WHEN {type_col} = '{metric_event}'
+                    AND CAST({ts_col} AS TIMESTAMP)
+                        < TIMESTAMP '{split_ts}'
+                    THEN CAST(round({value_col} * 100, 0) AS BIGINT)
+                    END), 0) AS __x,
+               COALESCE(sum(CASE WHEN {type_col} = '{metric_event}'
+                    AND CAST({ts_col} AS TIMESTAMP)
+                        >= TIMESTAMP '{split_ts}'
+                    THEN CAST(round({value_col} * 100, 0) AS BIGINT)
+                    END), 0) AS __y
+        FROM {table} GROUP BY 1
+    ), armed AS (
+        SELECT CAST(({h} % 2) AS INT) AS __arm,
+               CAST(__x AS DECIMAL(19,0)) AS __x,
+               CAST(__y AS DECIMAL(19,0)) AS __y
+        FROM pu
+    ), m AS (
+        SELECT __arm,
+               CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(__x) AS DECIMAL(38,0)) AS __sx,
+               CAST(sum(__y) AS DECIMAL(38,0)) AS __sy,
+               CAST(sum(__x * __x) AS DECIMAL(38,0)) AS __sxx,
+               CAST(sum(__y * __y) AS DECIMAL(38,0)) AS __syy
+        FROM armed GROUP BY 1
+    ), cells AS (
+        SELECT __arm, __n,
+               CAST(__sx AS DOUBLE) / CAST(__n AS DOUBLE) AS __mx,
+               CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE) AS __my,
+               CAST(__sxx AS DOUBLE) / CAST(__n AS DOUBLE)
+                 - (CAST(__sx AS DOUBLE) / CAST(__n AS DOUBLE))
+                   * (CAST(__sx AS DOUBLE) / CAST(__n AS DOUBLE))
+                   AS __vx,
+               CAST(__syy AS DOUBLE) / CAST(__n AS DOUBLE)
+                 - (CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))
+                   * (CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))
+                   AS __vy
+        FROM m
+    ), agg AS (
+        SELECT
+            CAST(sum(CASE WHEN __arm = 0 THEN __n ELSE 0 END)
+                 AS BIGINT) AS n_c,
+            CAST(sum(CASE WHEN __arm = 1 THEN __n ELSE 0 END)
+                 AS BIGINT) AS n_t,
+            sum(CASE WHEN __arm = 0 THEN 1 ELSE 0 END * __mx) AS __pc,
+            sum(CASE WHEN __arm = 0 THEN 1 ELSE 0 END * __my) AS __qc,
+            sum(CASE WHEN __arm = 1 THEN 1 ELSE 0 END * __mx) AS __pt,
+            sum(CASE WHEN __arm = 1 THEN 1 ELSE 0 END * __my) AS __qt,
+            sum(CAST(CASE WHEN __arm = 0 THEN 1 ELSE 0 END AS DOUBLE)
+                * (__vx + __vy) / __n) AS __sec,
+            sum(CAST(CASE WHEN __arm = 1 THEN 1 ELSE 0 END AS DOUBLE)
+                * (__vx + __vy) / __n) AS __set
+        FROM cells
+    )
+    SELECT n_c, n_t,
+           round(__pc / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS pre_c,
+           round(__qc / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS post_c,
+           round(__pt / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS pre_t,
+           round(__qt / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS post_t,
+           round(((__qt - __pt) - (__qc - __pc))
+                 / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS did,
+           round(sqrt(__sec + __set) / CAST(100 AS DOUBLE) * 1e6, 0)
+               / 1e6 AS se,
+           round(CASE WHEN sqrt(__sec + __set) > 0 THEN
+                 ((__qt - __pt) - (__qc - __pc)) / sqrt(__sec + __set)
+                 END * 1e6, 0) / 1e6 AS t_stat,
+           abs(CASE WHEN sqrt(__sec + __set) > 0 THEN
+               ((__qt - __pt) - (__qc - __pc)) / sqrt(__sec + __set)
+               END) > CAST({t_crit} AS DOUBLE) AS significant
+    FROM agg
+    """

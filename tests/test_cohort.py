@@ -422,3 +422,141 @@ def test_linear_attribution_scalable_numeric_channel_tie(spark):
     assert fast == exact
     # the remainder (100000001 % 3 = 2 micro-units) went to channel 2
     assert fast[2][1] > fast[10][1]
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, ts timestamp"
+    )
+
+
+def test_cuped_laws(spark):
+    """Y == X -> theta = 1 and var_cuped = 0; Y independent of X ->
+    theta ~ 0 and var_reduction ~ 1; the pooled (weighted) adjusted
+    mean equals the pooled raw mean EXACTLY in expectation terms
+    (adjustment is a global-mean-centred shift)."""
+    import datetime as dt
+
+    from pytrousse_spark.operators.cohort import cuped_ab_test
+
+    pre = dt.datetime(2024, 1, 5)
+    post = dt.datetime(2024, 1, 20)
+    split = "2024-01-16 00:00:00"
+    # Y == X: every user spends the same amount in both periods
+    rows = []
+    for u in range(40):
+        amt = float(10 + (u * 7) % 23)
+        rows.append((u, "purchase", amt, pre))
+        rows.append((u, "purchase", amt, post))
+    out = {
+        r["arm"]: r
+        for r in cuped_ab_test(
+            _mk_events(spark, rows), "user_id", "event_type",
+            "purchase", "value", split,
+        ).collect()
+    }
+    for arm in (0, 1):
+        r = out[arm]
+        assert abs(r["theta"] - 1.0) < 1e-6
+        assert abs(r["var_cuped"]) < 1e-9
+        assert abs(r["var_reduction"]) < 1e-9
+        assert r["var_y"] > 0
+
+    # X carries no information: pre-spend constant, post varies
+    rows = []
+    for u in range(40):
+        rows.append((u, "purchase", 5.0, pre))
+        rows.append((u, "purchase", float(1 + (u * 13) % 17), post))
+    out = {
+        r["arm"]: r
+        for r in cuped_ab_test(
+            _mk_events(spark, rows), "user_id", "event_type",
+            "purchase", "value", split,
+        ).collect()
+    }
+    for arm in (0, 1):
+        # constant X -> var(X)=0 -> theta guarded to 0, no adjustment
+        assert out[arm]["theta"] == 0.0
+        assert out[arm]["mean_y_cuped"] == out[arm]["mean_y"]
+        assert out[arm]["var_reduction"] == 1.0
+
+
+def test_cuped_pooled_mean_preserved(spark):
+    """sum_arm n*mean_y_cuped == sum_arm n*mean_y (the adjustment is
+    centred on the GLOBAL covariate mean, so total mass is invariant) —
+    within the 1e-6 rounding of the outputs."""
+    import datetime as dt
+
+    from pytrousse_spark.operators.cohort import cuped_ab_test
+
+    pre = dt.datetime(2024, 1, 5)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    for u in range(60):
+        rows.append((u, "purchase", float(1 + (u * 11) % 29), pre))
+        rows.append((u, "purchase", float(2 + (u * 3) % 31), post))
+    out = cuped_ab_test(
+        _mk_events(spark, rows), "user_id", "event_type", "purchase",
+        "value", "2024-01-16 00:00:00",
+    ).collect()
+    raw = sum(r["n"] * r["mean_y"] for r in out)
+    adj = sum(r["n"] * r["mean_y_cuped"] for r in out)
+    assert abs(raw - adj) < 1e-3
+    # theta is the POOLED optimum: it need not shrink EVERY arm's
+    # variance (sampling noise can inflate one arm), but the weighted
+    # within-arm variance must not grow beyond the between-arm slack
+    pooled_raw = sum(r["n"] * r["var_y"] for r in out)
+    pooled_adj = sum(r["n"] * r["var_cuped"] for r in out)
+    assert pooled_adj <= pooled_raw + 1e-3 * pooled_raw
+
+
+def test_diff_in_diff_planted_effect(spark):
+    """Plant a +delta post-period shift ONLY for arm-1 users (arms
+    resolved through the same portable hash the operator uses) on top
+    of a common trend -> did recovers delta exactly; no-effect data ->
+    did = 0, not significant."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.functions.hashing import h60
+    from pytrousse_spark.operators.cohort import diff_in_diff
+
+    users = spark.range(80).select(
+        F.col("id").alias("user_id"),
+        (h60(F.concat(F.lit("ab|"), F.col("id").cast("string"))) % 2)
+        .cast("int")
+        .alias("arm"),
+    )
+    arms = {r["user_id"]: r["arm"] for r in users.collect()}
+    pre = dt.datetime(2024, 1, 5)
+    post = dt.datetime(2024, 1, 20)
+    delta = 7.5
+    trend = 3.0  # common post-period lift both arms share
+    rows = []
+    for u, a in arms.items():
+        base = float(10 + (u * 7) % 13)
+        rows.append((u, "purchase", base, pre))
+        rows.append(
+            (u, "purchase", base + trend + (delta if a == 1 else 0.0),
+             post)
+        )
+    r = diff_in_diff(
+        _mk_events(spark, rows), "user_id", "event_type", "purchase",
+        "value", "2024-01-16 00:00:00",
+    ).collect()[0]
+    assert abs(r["did"] - delta) < 1e-6
+    assert abs((r["post_c"] - r["pre_c"]) - trend) < 1e-6
+    assert r["significant"] is True
+
+    rows0 = []
+    for u, a in arms.items():
+        base = float(10 + (u * 7) % 13)
+        rows0.append((u, "purchase", base, pre))
+        rows0.append((u, "purchase", base + trend, post))
+    r0 = diff_in_diff(
+        _mk_events(spark, rows0), "user_id", "event_type", "purchase",
+        "value", "2024-01-16 00:00:00",
+    ).collect()[0]
+    assert r0["did"] == 0.0
+    assert r0["significant"] is False
