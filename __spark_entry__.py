@@ -4435,6 +4435,49 @@ def _sql_q189() -> str:
     )
 
 
+def q190_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch POSITION-BASED (U-shaped 40/20/40) attribution over
+    the q167 purchase/view frames: first and last view in the 3-day
+    window take 40% each, middles split 20% — exact integer micro-unit
+    shares conserving each purchase's value bit-for-bit
+    (operators/cohort.position_attribution)."""
+    from pytrousse_spark.operators.cohort import position_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.get_json_object("props", "$.k").cast("long").alias("campaign"),
+    )
+    return position_attribution(
+        purchases, views,
+        user_col="user_id", purchase_id_col="event_id",
+        purchase_ts_col="ts", value_col="value",
+        touch_ts_col="v_ts", channel_col="campaign",
+    )
+
+
+def _sql_q190() -> str:
+    from pytrousse_spark.operators.cohort import position_attribution_sql
+
+    p = """
+        SELECT user_id AS __u, event_id AS __pid,
+               CAST(ts AS TIMESTAMP) AS __pts,
+               CAST(round(CAST(value AS DOUBLE) * 1000000, 0) AS BIGINT)
+                   AS __vm
+        FROM events WHERE event_type = 'purchase'
+    """
+    t = """
+        SELECT user_id AS __u, CAST(ts AS TIMESTAMP) AS __tts,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS __ch
+        FROM events WHERE event_type = 'view'
+    """
+    return position_attribution_sql(p, t)
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5930,6 +5973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_cat_association": q187_cat_association,
         "q188_cuped": q188_cuped,
         "q189_diff_in_diff": q189_diff_in_diff,
+        "q190_position_attribution": q190_position_attribution,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -5961,10 +6005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_interval_join": q60_interval_join,
         "q61_hash_split": q61_hash_split,
         "q62_group_sample": q62_group_sample,
-        "q63_chunk_documents": q63_chunk_documents,
-        "q64_contamination": q64_contamination,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q63_chunk_documents": q63_chunk_documents,
+        "q64_contamination": q64_contamination,
         "q65_dup_clusters": q65_dup_clusters,
         "q66_vocabulary": q66_vocabulary,
         "q67_tfidf": q67_tfidf,
@@ -6504,6 +6548,7 @@ def oracle_sql() -> dict[str, str]:
         "q187_cat_association": _sql_q187(),
         "q188_cuped": _sql_q188(),
         "q189_diff_in_diff": _sql_q189(),
+        "q190_position_attribution": _sql_q190(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1619,3 +1619,159 @@ def diff_in_diff_sql(
                END) > CAST({t_crit} AS DOUBLE) AS significant
     FROM agg
     """
+
+
+def position_attribution(
+    purchases: "DataFrame",
+    touches: "DataFrame",
+    user_col: str,
+    purchase_id_col: str,
+    purchase_ts_col: str,
+    value_col: str,
+    touch_ts_col: str,
+    channel_col: str,
+    window_seconds: int = 3 * 86400,
+) -> "DataFrame":
+    """Multi-touch POSITION-BASED (U-shaped 40/20/40) attribution:
+    the first and last touch in the lookback window each take 40% of
+    the conversion value, the middle touches split the remaining 20%
+    equally — the standard position model between linear (q167) and
+    last-touch (q140). One touch takes 100%; two touches split 50/50.
+
+    Credit arithmetic is exact integer micro-units: the 40% shares are
+    ``(vm * 4) div 10`` (first and last), the middle pool is whatever
+    remains (so the three shares conserve ``vm`` bit-for-bit even when
+    vm is not divisible by 10), middle splits use integer division
+    with the remainder pinned to the EARLIEST middle touch (ties:
+    smallest channel). Unattributed conversions surface as channel
+    NULL with full credit — total credited value always equals total
+    conversion value (pinned law).
+
+    SCALE CAVEAT: same pairwise user-keyed join as
+    :func:`linear_attribution` — bounded per-user touch density only;
+    the q177 count-based decomposition pattern applies if a skew-immune
+    variant is needed (positions need per-conversion first/last/count,
+    all computable from the q177 windowed-count machinery).
+
+    Returns ``(channel, n_conversions, n_touches, credit)``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    p = purchases.select(
+        F.col(user_col).alias("__u"),
+        F.col(purchase_id_col).alias("__pid"),
+        F.col(purchase_ts_col).alias("__pts"),
+        F.round(F.col(value_col).cast("double") * F.lit(1_000_000), 0)
+        .cast("bigint")
+        .alias("__vm"),
+    )
+    t = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(touch_ts_col).alias("__tts"),
+        F.col(channel_col).alias("__ch"),
+    )
+    j = p.join(
+        t,
+        (p["__u"] == t["__u"])
+        & (t["__tts"] <= p["__pts"])
+        & (
+            t["__tts"]
+            >= p["__pts"] - F.expr(f"INTERVAL {window_seconds} SECOND")
+        ),
+        "left",
+    ).drop(t["__u"])
+    wpid = Window.partitionBy("__pid")
+    worder = wpid.orderBy(
+        F.col("__tts").asc_nulls_last(), F.col("__ch").asc_nulls_last()
+    )
+    staged = j.select(
+        "__pid",
+        "__vm",
+        "__ch",
+        "__tts",
+        F.count("__tts").over(wpid).alias("__nt"),
+        F.row_number().over(worder).alias("__rn"),
+    )
+    first40 = F.expr("(__vm * 4) div 10")
+    mid_pool = F.col("__vm") - F.lit(2) * first40
+    mid_n = F.col("__nt") - F.lit(2)
+    credit = (
+        F.when(F.col("__nt") == 0, F.col("__vm"))
+        .when(F.col("__nt") == 1, F.col("__vm"))
+        .when(
+            F.col("__nt") == 2,
+            F.expr("__vm div 2")
+            + F.when(F.col("__rn") == 1, F.col("__vm") % 2).otherwise(
+                F.lit(0)
+            ),
+        )
+        .when(F.col("__rn") == 1, first40)
+        .when(F.col("__rn") == F.col("__nt"), first40)
+        .otherwise(
+            F.expr("((__vm - 2 * ((__vm * 4) div 10)) div (__nt - 2))")
+            + F.when(
+                F.col("__rn") == 2, mid_pool % mid_n
+            ).otherwise(F.lit(0))
+        )
+    )
+    return (
+        staged.withColumn("__cr", credit.cast("bigint"))
+        .groupBy(F.col("__ch").alias("channel"))
+        .agg(
+            F.countDistinct("__pid").cast("bigint").alias("n_conversions"),
+            F.count("__tts").cast("bigint").alias("n_touches"),
+            F.round(F.sum("__cr") / F.lit(1e6), 6).alias("credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+def position_attribution_sql(
+    purchases_sql: str,
+    touches_sql: str,
+    window_seconds: int = 3 * 86400,
+) -> str:
+    """DuckDB twin of :func:`position_attribution` — same staged-name
+    contract as :func:`linear_attribution_sql`, identical integer
+    40/20/40 shares and remainder pinning."""
+    return f"""
+    WITH p AS ({purchases_sql}), t AS ({touches_sql}), j AS (
+        SELECT p.__pid, p.__vm, t.__ch, t.__tts
+        FROM p LEFT JOIN t
+          ON p.__u = t.__u
+         AND t.__tts <= p.__pts
+         AND t.__tts >= p.__pts - INTERVAL {window_seconds} SECOND
+    ), staged AS (
+        SELECT __pid, __vm, __ch, __tts,
+               CAST(count(__tts) OVER (PARTITION BY __pid) AS BIGINT)
+                   AS __nt,
+               row_number() OVER (
+                   PARTITION BY __pid
+                   ORDER BY __tts ASC NULLS LAST, __ch ASC NULLS LAST
+               ) AS __rn
+        FROM j
+    ), credited AS (
+        SELECT *,
+               CAST(CASE
+                   WHEN __nt = 0 THEN __vm
+                   WHEN __nt = 1 THEN __vm
+                   WHEN __nt = 2 THEN __vm // 2
+                        + CASE WHEN __rn = 1 THEN __vm % 2 ELSE 0 END
+                   WHEN __rn = 1 THEN (__vm * 4) // 10
+                   WHEN __rn = __nt THEN (__vm * 4) // 10
+                   ELSE ((__vm - 2 * ((__vm * 4) // 10)) // (__nt - 2))
+                        + CASE WHEN __rn = 2
+                               THEN (__vm - 2 * ((__vm * 4) // 10))
+                                    % (__nt - 2)
+                               ELSE 0 END
+               END AS BIGINT) AS __cr
+        FROM staged
+    )
+    SELECT __ch AS channel,
+           CAST(count(DISTINCT __pid) AS BIGINT) AS n_conversions,
+           CAST(count(__tts) AS BIGINT) AS n_touches,
+           round(CAST(sum(__cr) AS BIGINT) / 1e6, 6) AS credit
+    FROM credited
+    GROUP BY 1 ORDER BY 1
+    """

@@ -560,3 +560,59 @@ def test_diff_in_diff_planted_effect(spark):
     ).collect()[0]
     assert r0["did"] == 0.0
     assert r0["significant"] is False
+
+
+def test_position_attribution_shares_and_conservation(spark):
+    """U-shaped 40/20/40: hand-checked shares for k=1,2,4 touches;
+    total credited mass equals total conversion value bit-for-bit
+    (remainders pinned to first / earliest-middle)."""
+    import datetime as dt
+
+    from pytrousse_spark.operators.cohort import position_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    # purchase of 10.000001 (odd micro-units) with 4 touches
+    pdf = spark.createDataFrame(
+        [(1, 100, ts(0), 10.000001), (2, 200, ts(0), 5.0),
+         (3, 300, ts(0), 2.0), (4, 400, ts(0), 7.0)],
+        "user_id long, pid long, ts timestamp, value double",
+    )
+    tdf = spark.createDataFrame(
+        [
+            # user 1: 4 touches -> 40/10/10/40 (+ mid remainder to ch 21)
+            (1, ts(-40), 20), (1, ts(-30), 21), (1, ts(-20), 22),
+            (1, ts(-10), 23),
+            # user 2: 1 touch -> 100%
+            (2, ts(-5), 30),
+            # user 3: 2 touches -> 50/50
+            (3, ts(-8), 40), (3, ts(-6), 41),
+            # user 4: none -> NULL channel full credit
+        ],
+        "user_id long, ts timestamp, channel long",
+    )
+    out = {
+        r["channel"]: r["credit"]
+        for r in position_attribution(
+            pdf, tdf,
+            user_col="user_id", purchase_id_col="pid",
+            purchase_ts_col="ts", value_col="value",
+            touch_ts_col="ts", channel_col="channel",
+            window_seconds=3600,
+        ).collect()
+    }
+    vm = 10_000_001  # micro-units
+    first = (vm * 4) // 10          # 4000000
+    mid_pool = vm - 2 * first       # 2000001
+    mid_each = mid_pool // 2        # 1000000, remainder 1 -> earliest mid
+    assert out[20] == first / 1e6
+    assert out[23] == first / 1e6
+    assert out[21] == (mid_each + 1) / 1e6
+    assert out[22] == mid_each / 1e6
+    assert out[30] == 5.0
+    assert out[40] == 1.0 and out[41] == 1.0
+    assert out[None] == 7.0
+    assert abs(sum(out.values()) - (10.000001 + 5 + 2 + 7)) < 1e-9
