@@ -4478,6 +4478,44 @@ def _sql_q190() -> str:
     return position_attribution_sql(p, t)
 
 
+def q191_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the q135 co-purchase graph (Newman
+    2002): Pearson correlation of endpoint degrees over the
+    symmetrized edges — do hub parts co-occur with hubs? Completes the
+    graph family (components/PageRank/triangles) with the mixing
+    diagnostic; decimal-exact degree moments
+    (operators/graph.degree_assortativity)."""
+    from pytrousse_spark.operators.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("__i")
+    ).distinct()
+    edges = (
+        items.join(items.withColumnRenamed("__i", "__j"), "__b")
+        .where(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    return degree_assortativity(edges, "__i", "__j")
+
+
+def _sql_q191() -> str:
+    from pytrousse_spark.operators.graph import degree_assortativity_sql
+
+    edges = """
+        SELECT a.__i AS __i, b.__i AS __j
+        FROM (SELECT DISTINCT l_orderkey AS __b, l_partkey AS __i
+              FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey AS __b, l_partkey AS __i
+              FROM lineitem) b USING (__b)
+        WHERE a.__i < b.__i
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+    return degree_assortativity_sql(edges, "__i", "__j")
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -5974,6 +6012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_cuped": q188_cuped,
         "q189_diff_in_diff": q189_diff_in_diff,
         "q190_position_attribution": q190_position_attribution,
+        "q191_assortativity": q191_assortativity,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6004,9 +6043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_clean_corpus": q59_clean_corpus,
         "q60_interval_join": q60_interval_join,
         "q61_hash_split": q61_hash_split,
-        "q62_group_sample": q62_group_sample,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q62_group_sample": q62_group_sample,
         "q63_chunk_documents": q63_chunk_documents,
         "q64_contamination": q64_contamination,
         "q65_dup_clusters": q65_dup_clusters,
@@ -6549,6 +6588,7 @@ def oracle_sql() -> dict[str, str]:
         "q188_cuped": _sql_q188(),
         "q189_diff_in_diff": _sql_q189(),
         "q190_position_attribution": _sql_q190(),
+        "q191_assortativity": _sql_q191(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

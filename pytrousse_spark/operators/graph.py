@@ -266,3 +266,135 @@ def triangle_count_sql(edges_subquery: str, src_col: str, dst_col: str) -> str:
                 ELSE 0.0 END AS global_clustering
     FROM stats CROSS JOIN tri
     """
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph
+    (Newman 2002, PRL 89.208701): the Pearson correlation of the
+    endpoint degrees over the symmetrized edge list — positive means
+    hubs attach to hubs (social nets), negative means hubs attach to
+    leaves (the internet / co-occurrence graphs). The structural
+    diagnostic beside the triangle census (same edge frames).
+
+    Input edges are one row per undirected edge (any orientation,
+    duplicates are the caller's contract, as in :func:`triangle_count`);
+    the operator symmetrizes internally so j/k are exchangeable and
+    ``var_j == var_k`` by construction.
+
+    Returns one row: ``(n_nodes, n_edges, mean_degree,
+    assortativity)`` — NULL assortativity for degree-regular graphs
+    (zero variance).
+
+    Exactness: degrees and all sufficient statistics are exact
+    integers (DECIMAL(38,0) sums of degree products); the correlation
+    is a single IEEE chain over those identical integers; scaled-round
+    outputs.
+
+    Scale: one node-keyed degree agg, two degree joins onto the
+    symmetrized edges (shuffle bounded by |E|), one scalar moment
+    agg. No windows, no driver collects.
+    """
+    und = edges.select(
+        F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
+    )
+    sym = und.unionByName(
+        und.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    )
+    deg = sym.groupBy(F.col("__a").alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__d")
+    )
+    j = (
+        sym.join(deg.withColumnRenamed("__v", "__a"), "__a")
+        .withColumnRenamed("__d", "__dj")
+        .join(
+            deg.withColumnRenamed("__v", "__b").withColumnRenamed(
+                "__d", "__dk"
+            ),
+            "__b",
+        )
+    )
+    dj = F.col("__dj").cast("decimal(19,0)")
+    dk = F.col("__dk").cast("decimal(19,0)")
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m2"),
+        F.sum(dj).cast("decimal(38,0)").alias("__sj"),
+        F.sum(dj * dk).cast("decimal(38,0)").alias("__sjk"),
+        F.sum(dj * dj).cast("decimal(38,0)").alias("__sjj"),
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    m2 = F.col("__m2").cast("double")
+    sj = F.col("__sj").cast("double")
+    sjk = F.col("__sjk").cast("double")
+    sjj = F.col("__sjj").cast("double")
+    mu = sj / m2
+    var = sjj / m2 - mu * mu
+    cov = sjk / m2 - mu * mu
+    r = F.when(var > 0, cov / var)
+    return m.crossJoin(F.broadcast(nodes)).select(
+        "n_nodes",
+        (F.col("__m2") / F.lit(2)).cast("bigint").alias("n_edges"),
+        (
+            F.round(
+                F.col("__m2").cast("double")
+                / F.col("n_nodes")
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6)
+        ).alias("mean_degree"),
+        (F.round(r * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "assortativity"
+        ),
+    )
+
+
+def degree_assortativity_sql(
+    edges_subquery: str, src_col: str, dst_col: str
+) -> str:
+    """DuckDB twin of :func:`degree_assortativity` — identical
+    symmetrization, integer sufficient statistics, and IEEE chain."""
+    return f"""
+    WITH und AS MATERIALIZED (
+        SELECT {src_col} AS __a, {dst_col} AS __b FROM ({edges_subquery})
+    ), sym AS MATERIALIZED (
+        SELECT __a, __b FROM und
+        UNION ALL SELECT __b AS __a, __a AS __b FROM und
+    ), deg AS MATERIALIZED (
+        SELECT __a AS __v, CAST(count(*) AS BIGINT) AS __d
+        FROM sym GROUP BY 1
+    ), j AS (
+        SELECT CAST(da.__d AS DECIMAL(19,0)) AS __dj,
+               CAST(db.__d AS DECIMAL(19,0)) AS __dk
+        FROM sym s
+        JOIN deg da ON da.__v = s.__a
+        JOIN deg db ON db.__v = s.__b
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS __m2,
+               CAST(sum(__dj) AS DECIMAL(38,0)) AS __sj,
+               CAST(sum(__dj * __dk) AS DECIMAL(38,0)) AS __sjk,
+               CAST(sum(__dj * __dj) AS DECIMAL(38,0)) AS __sjj
+        FROM j
+    ), nodes AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+    )
+    SELECT n_nodes,
+           CAST(__m2 / 2 AS BIGINT) AS n_edges,
+           round(CAST(__m2 AS DOUBLE) / CAST(n_nodes AS DOUBLE) * 1e6,
+                 0) / 1e6 AS mean_degree,
+           round(CASE WHEN CAST(__sjj AS DOUBLE) / CAST(__m2 AS DOUBLE)
+                       - (CAST(__sj AS DOUBLE) / CAST(__m2 AS DOUBLE))
+                         * (CAST(__sj AS DOUBLE) / CAST(__m2 AS DOUBLE))
+                       > 0
+                 THEN (CAST(__sjk AS DOUBLE) / CAST(__m2 AS DOUBLE)
+                       - (CAST(__sj AS DOUBLE) / CAST(__m2 AS DOUBLE))
+                         * (CAST(__sj AS DOUBLE) / CAST(__m2 AS DOUBLE)))
+                      / (CAST(__sjj AS DOUBLE) / CAST(__m2 AS DOUBLE)
+                       - (CAST(__sj AS DOUBLE) / CAST(__m2 AS DOUBLE))
+                         * (CAST(__sj AS DOUBLE) / CAST(__m2 AS DOUBLE)))
+                 END * 1e6, 0) / 1e6 AS assortativity
+    FROM m CROSS JOIN nodes
+    """

@@ -90,3 +90,27 @@ def test_triangle_count_canonicalizes_input(spark):
     df = spark.createDataFrame(rows, "s bigint, d bigint")
     (r,) = triangle_count(df, "s", "d").collect()
     assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_degree_assortativity_known_graphs(spark):
+    """A star is maximally disassortative (r = -1); a cycle is
+    degree-regular (zero variance -> NULL); a double-star barbell is
+    strongly positive at the hub-hub edge... checked against the
+    hand-computed Newman formula for the path P4 (r = -0.5)."""
+    from pytrousse_spark.operators.graph import degree_assortativity
+
+    def g(edges):
+        df = spark.createDataFrame(edges, "s long, d long")
+        return degree_assortativity(df, "s", "d").collect()[0]
+
+    star = g([(0, i) for i in range(1, 6)])
+    assert star["n_nodes"] == 6 and star["n_edges"] == 5
+    assert star["assortativity"] == -1.0
+
+    cycle = g([(i, (i + 1) % 5) for i in range(5)])
+    assert cycle["assortativity"] is None  # 2-regular: zero variance
+    assert cycle["mean_degree"] == 2.0
+
+    # path 0-1-2-3: degrees 1,2,2,1 -> Newman r = -0.5
+    path = g([(0, 1), (1, 2), (2, 3)])
+    assert abs(path["assortativity"] + 0.5) < 1e-6
