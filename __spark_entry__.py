@@ -4516,6 +4516,26 @@ def _sql_q191() -> str:
     return degree_assortativity_sql(edges, "__i", "__j")
 
 
+def q192_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-feature PCA over lineitem (quantity, price): the
+    2x2 eigenproblem solved IN-ENGINE with sqrt-only IEEE arithmetic
+    (no driver eigensolver) from decimal-exact micro-unit moments;
+    result = first-component projection histogram + unit loadings +
+    explained-variance ratio (operators/projection.pca2)."""
+    from pytrousse_spark.operators.projection import pca2
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pca2(li, "l_quantity", "l_extendedprice")
+
+
+def _sql_q192() -> str:
+    from pytrousse_spark.operators.projection import pca2_sql
+
+    return pca2_sql(
+        "SELECT * FROM lineitem", "l_quantity", "l_extendedprice"
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6013,6 +6033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_diff_in_diff": q189_diff_in_diff,
         "q190_position_attribution": q190_position_attribution,
         "q191_assortativity": q191_assortativity,
+        "q192_pca2": q192_pca2,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6042,9 +6063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_simhash_pairs": q58_simhash_pairs,
         "q59_clean_corpus": q59_clean_corpus,
         "q60_interval_join": q60_interval_join,
-        "q61_hash_split": q61_hash_split,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q61_hash_split": q61_hash_split,
         "q62_group_sample": q62_group_sample,
         "q63_chunk_documents": q63_chunk_documents,
         "q64_contamination": q64_contamination,
@@ -6589,6 +6610,7 @@ def oracle_sql() -> dict[str, str]:
         "q189_diff_in_diff": _sql_q189(),
         "q190_position_attribution": _sql_q190(),
         "q191_assortativity": _sql_q191(),
+        "q192_pca2": _sql_q192(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -107,3 +107,46 @@ def test_projection_plan_has_no_shuffle(spark):
     proj = random_project(df, "embedding", 64, 16)
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pca2_recovers_planted_direction(spark):
+    """Points on the line y = 2x (+ tiny symmetric jitter in the
+    orthogonal direction): the first component must align with
+    (1,2)/sqrt(5) and explain ~all variance; a perfect circle-ish
+    symmetric cloud -> evr ~ 0.5; constant input -> single bin 0 with
+    NULL loadings."""
+    from pytrousse_spark.operators.projection import pca2
+
+    rows = []
+    for i in range(-50, 51):
+        t = float(i)
+        # along (1,2) with +/- jitter along (-2,1)/sqrt(5)
+        j = 0.01 if i % 2 == 0 else -0.01
+        rows.append((t - 2 * j, 2 * t + j))
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = pca2(df, "x", "y").collect()
+    ux, uy, evr = out[0]["ux"], out[0]["uy"], out[0]["evr"]
+    import math
+
+    assert abs(ux - 1 / math.sqrt(5)) < 1e-3
+    assert abs(uy - 2 / math.sqrt(5)) < 1e-3
+    assert evr > 0.999
+    # scores are mean-centred: weighted mean ~ 0
+    tot = sum(r["n"] * r["mean_score"] for r in out)
+    assert abs(tot) < 1.0
+    # symmetric: vx == vy, cxy == 0 -> axis-aligned loadings, evr 0.5
+    sym = spark.createDataFrame(
+        [(1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0)],
+        "x double, y double",
+    )
+    r = pca2(sym, "x", "y").collect()[0]
+    assert (r["ux"], r["uy"]) == (1.0, 0.0) and r["evr"] == 0.5
+
+    const = spark.createDataFrame(
+        [(3.0, 4.0)] * 5, "x double, y double"
+    )
+    rows = pca2(const, "x", "y").collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0
+    # degenerate cloud: conventional axis loading, NULL evr/score-scale
+    assert (rows[0]["ux"], rows[0]["uy"]) == (1.0, 0.0)
+    assert rows[0]["evr"] is None
