@@ -4536,6 +4536,29 @@ def _sql_q192() -> str:
     )
 
 
+def q193_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest on daily order revenue: last
+    28 days scored by MASE (Hyndman-Koehler 2006) against the
+    in-sample one-step-naive MAE — the forecast-evaluation gate
+    beside the decomposition (q139); exact cent-integer errors over
+    the gapfilled calendar spine
+    (operators/timeseries.seasonal_naive_backtest)."""
+    from pytrousse_spark.operators.timeseries import seasonal_naive_backtest
+
+    o = _t(spark, sf_dir, "orders")
+    return seasonal_naive_backtest(o, "o_orderdate", "o_totalprice")
+
+
+def _sql_q193() -> str:
+    from pytrousse_spark.operators.timeseries import (
+        seasonal_naive_backtest_sql,
+    )
+
+    return seasonal_naive_backtest_sql(
+        "SELECT * FROM orders", "o_orderdate", "o_totalprice"
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6034,6 +6057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_position_attribution": q190_position_attribution,
         "q191_assortativity": q191_assortativity,
         "q192_pca2": q192_pca2,
+        "q193_seasonal_mase": q193_seasonal_mase,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6062,9 +6086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_ivf_topk": q57_ivf_topk,
         "q58_simhash_pairs": q58_simhash_pairs,
         "q59_clean_corpus": q59_clean_corpus,
-        "q60_interval_join": q60_interval_join,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q60_interval_join": q60_interval_join,
         "q61_hash_split": q61_hash_split,
         "q62_group_sample": q62_group_sample,
         "q63_chunk_documents": q63_chunk_documents,
@@ -6611,6 +6635,7 @@ def oracle_sql() -> dict[str, str]:
         "q190_position_attribution": _sql_q190(),
         "q191_assortativity": _sql_q191(),
         "q192_pca2": _sql_q192(),
+        "q193_seasonal_mase": _sql_q193(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -942,3 +942,182 @@ def cusum_changepoints_sql(
     FROM refl
     ORDER BY {gsel}bucket
     """
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    horizon: int = 28,
+) -> DataFrame:
+    """Forecast-quality backtest of the seasonal-naive baseline
+    (forecast(t) = actual(t - season)) on the last ``horizon`` days,
+    scored by MASE (Hyndman & Koehler 2006) — the scale-free forecast
+    metric whose denominator is the in-sample MAE of the one-step
+    naive forecast. MASE < 1 beats the naive baseline; this gate is
+    the evaluation half every forecasting pipeline needs before any
+    model ships.
+
+    The series is the DAILY integer-cent sum of ``value_col``,
+    densified over the full calendar span with 0 for missing days
+    (the gapfill contract, q110).
+
+    Returns one row: ``(n_train, n_test, naive_mae, seasonal_mae,
+    mase)`` — MAEs in original units, NULL mase when the train
+    denominator is 0.
+
+    Exactness: daily sums and absolute errors are exact BIGINT cents;
+    the three outputs divide identical integers once (scaled-round).
+
+    Scale: one date-keyed agg over the raw table (map-side
+    combinable); the lag windows run on the CALENDAR-BOUNDED dense
+    spine (the q139 convention — the raw table never windows), so the
+    single-partition window is bounded by days-in-range, not rows.
+    """
+    daily = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("__d"),
+            F.round(F.col(value_col).cast("double") * 100, 0)
+            .cast("bigint")
+            .alias("__c"),
+        )
+        .where(F.col("__d").isNotNull())
+        .groupBy("__d")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    rng = daily.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    spine = rng.select(
+        F.explode(
+            F.expr("sequence(__lo, __hi, interval 1 day)")
+        ).alias("__d"),
+        F.date_sub(F.col("__hi"), horizon - 1).alias("__thr"),
+    )
+    dense = spine.join(daily, "__d", "left").select(
+        "__d", "__thr", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    w = Window.orderBy("__d")
+    staged = dense.select(
+        "__d",
+        "__thr",
+        "__c",
+        F.lag("__c", season).over(w).alias("__ls"),
+        F.lag("__c", 1).over(w).alias("__l1"),
+    )
+    agg = staged.agg(
+        F.sum(
+            F.when(
+                (F.col("__d") < F.col("__thr"))
+                & F.col("__l1").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(
+            F.when(
+                (F.col("__d") < F.col("__thr"))
+                & F.col("__l1").isNotNull(),
+                F.abs(F.col("__c") - F.col("__l1")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("__str"),
+        F.sum(
+            F.when(
+                (F.col("__d") >= F.col("__thr"))
+                & F.col("__ls").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_test"),
+        F.sum(
+            F.when(
+                (F.col("__d") >= F.col("__thr"))
+                & F.col("__ls").isNotNull(),
+                F.abs(F.col("__c") - F.col("__ls")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("__ste"),
+    )
+    ntr = F.col("n_train").cast("double")
+    nte = F.col("n_test").cast("double")
+    str_ = F.col("__str").cast("double")
+    ste = F.col("__ste").cast("double")
+    naive_mae = str_ / ntr / F.lit(100.0)
+    seas_mae = ste / nte / F.lit(100.0)
+    mase = F.when(
+        (F.col("__str") > 0) & (F.col("n_test") > 0),
+        (ste / nte) / (str_ / ntr),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_train",
+        "n_test",
+        r6(naive_mae).alias("naive_mae"),
+        r6(seas_mae).alias("seasonal_mae"),
+        r6(mase).alias("mase"),
+    )
+
+
+def seasonal_naive_backtest_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    horizon: int = 28,
+) -> str:
+    """DuckDB twin of :func:`seasonal_naive_backtest` — identical
+    daily-cent series, dense calendar spine, lags, and divisions."""
+    return f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST({ts_col} AS DATE) AS __d,
+               CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 100,
+                                   0) AS BIGINT)) AS BIGINT) AS __c
+        FROM ({table_expr}) WHERE {ts_col} IS NOT NULL
+        GROUP BY 1
+    ), rng AS (
+        SELECT min(__d) AS __lo, max(__d) AS __hi FROM daily
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(CAST(__lo AS TIMESTAMP),
+                       CAST(__hi AS TIMESTAMP), INTERVAL 1 DAY))
+                    AS DATE) AS __d,
+               __hi - {horizon - 1} AS __thr
+        FROM rng
+    ), dense AS (
+        SELECT s.__d, s.__thr, COALESCE(d.__c, 0) AS __c
+        FROM spine s LEFT JOIN daily d ON d.__d = s.__d
+    ), staged AS (
+        SELECT __d, __thr, __c,
+               lag(__c, {season}) OVER (ORDER BY __d) AS __ls,
+               lag(__c, 1) OVER (ORDER BY __d) AS __l1
+        FROM dense
+    ), agg AS (
+        SELECT
+            CAST(sum(CASE WHEN __d < __thr AND __l1 IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+            CAST(sum(CASE WHEN __d < __thr AND __l1 IS NOT NULL
+                     THEN abs(__c - __l1) ELSE 0 END) AS BIGINT)
+                AS __str,
+            CAST(sum(CASE WHEN __d >= __thr AND __ls IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN __d >= __thr AND __ls IS NOT NULL
+                     THEN abs(__c - __ls) ELSE 0 END) AS BIGINT)
+                AS __ste
+        FROM staged
+    )
+    SELECT n_train, n_test,
+           round(CAST(__str AS DOUBLE) / CAST(n_train AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS naive_mae,
+           round(CAST(__ste AS DOUBLE) / CAST(n_test AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS seasonal_mae,
+           round(CASE WHEN __str > 0 AND n_test > 0 THEN
+                 (CAST(__ste AS DOUBLE) / CAST(n_test AS DOUBLE))
+                 / (CAST(__str AS DOUBLE) / CAST(n_train AS DOUBLE))
+                 END * 1e6, 0) / 1e6 AS mase
+    FROM agg
+    """

@@ -407,3 +407,38 @@ def test_rolling_time_window_null_key_and_ts(spark):
     assert nk["2024-01-01 00:00:00"] == (1, 2.0)
     assert nk["2024-01-01 00:30:00"] == (2, 3.0)
     assert nk["2024-01-01 02:00:00"] == (1, 6.0)
+
+
+def test_seasonal_naive_backtest_laws(spark):
+    """A perfectly 7-periodic series forecasts itself exactly
+    (seasonal_mae = 0, mase = 0) while the one-step naive still errs;
+    missing days densify to 0 and count as train days."""
+    import datetime as dt
+
+    from pytrousse_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    t0 = dt.date(2024, 1, 1)
+    pattern = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    rows = [
+        (t0 + dt.timedelta(days=i), pattern[i % 7]) for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "d date, v double")
+    r = seasonal_naive_backtest(df, "d", "v", season=7, horizon=14)
+    out = r.collect()[0]
+    assert out["n_test"] == 14
+    assert out["seasonal_mae"] == 0.0 and out["mase"] == 0.0
+    assert out["naive_mae"] > 0
+
+    # drop one mid-train day -> densified to 0, horizon unchanged
+    rows_gap = [x for x in rows if x[0] != t0 + dt.timedelta(days=30)]
+    out2 = seasonal_naive_backtest(
+        spark.createDataFrame(rows_gap, "d date, v double"),
+        "d", "v", season=7, horizon=14,
+    ).collect()[0]
+    assert out2["n_train"] == out["n_train"]  # spine, not row count
+    # the gap sits in TRAIN: test-window seasonal forecasts untouched,
+    # but the one-step-naive denominator feels the 0-filled day
+    assert out2["seasonal_mae"] == 0.0
+    assert out2["naive_mae"] != out["naive_mae"]
