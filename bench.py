@@ -159,6 +159,13 @@ _IDLE_BANDS_10X = {
     # round-6: brute-force int8 scoring is linear in the corpus
     # (queries fixed) — the sq8 claim as a number
     "q182_sq8_topk": 20.0,
+    # round-6 continuation: KS's distinct-value frame, the co-purchase
+    # degree joins (edge growth ~ baskets, the q132/q135 axis), and the
+    # one-pass PCA moment scan — bands from this session's idle 10x
+    # measures (4.45 / 9.2 / 4.55 s)
+    "q186_ks_drift": 6.0,
+    "q191_assortativity": 12.0,
+    "q192_pca2": 7.0,
 }
 
 
@@ -201,6 +208,10 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q165_quantile_normalize",
         "q157_rolling_window_scalable",
         "q182_sq8_topk",
+        # round-6 continuation additions (measured idle: 4.45/9.2/4.55 s)
+        "q186_ks_drift",
+        "q191_assortativity",
+        "q192_pca2",
     ):
         fn = getattr(entrymod, name)
         try:
@@ -237,6 +248,11 @@ _IDLE_SKEW_RATIOS = {
     "q167_linear_attribution": 30.0,
     "q177_linear_attribution_scalable": 2.0,
     "q157_rolling_window_1day": 2.5,
+    # round-6 continuation: position attribution shares q167's pairwise
+    # user-keyed range join, so it inherits the same declared quadratic
+    # funnel (measured 16.5x this session); the q177 count-based
+    # decomposition is the documented escape hatch
+    "q190_position_attribution": 30.0,
 }
 
 
@@ -272,6 +288,7 @@ def _skew_stress(spark, tmp: str) -> dict:
             "q133_event_transitions",
             "q167_linear_attribution",
             "q177_linear_attribution_scalable",
+            "q190_position_attribution",
         )
     }
     cases["q157_rolling_window_1day"] = _rolling_window_1day
