@@ -4559,6 +4559,38 @@ def _sql_q193() -> str:
     )
 
 
+def q194_position_attribution_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q190's U-shaped attribution through the first/last/count
+    decomposition (operators/cohort.position_attribution_scalable) —
+    no pairwise purchase x touch materialization: per-channel windowed
+    counts + the first-build and (new) LAST-build two-bucket as-ofs.
+    The skew battery measured the pairwise form at 16.5x under 20%
+    single-user skew; this path's max task is the densest (user,
+    channel, bucket). The oracle is the SAME pairwise SQL as q190 —
+    the decomposition must reproduce it bit-for-bit."""
+    from pytrousse_spark.operators.cohort import (
+        position_attribution_scalable,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.get_json_object("props", "$.k").cast("long").alias("campaign"),
+    )
+    return position_attribution_scalable(
+        purchases, views,
+        user_col="user_id", purchase_id_col="event_id",
+        purchase_ts_col="ts", value_col="value",
+        touch_ts_col="v_ts", channel_col="campaign",
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6058,6 +6090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_assortativity": q191_assortativity,
         "q192_pca2": q192_pca2,
         "q193_seasonal_mase": q193_seasonal_mase,
+        "q194_position_attribution_scalable": q194_position_attribution_scalable,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6085,9 +6118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
         "q57_ivf_topk": q57_ivf_topk,
         "q58_simhash_pairs": q58_simhash_pairs,
-        "q59_clean_corpus": q59_clean_corpus,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q59_clean_corpus": q59_clean_corpus,
         "q60_interval_join": q60_interval_join,
         "q61_hash_split": q61_hash_split,
         "q62_group_sample": q62_group_sample,
@@ -6636,6 +6669,7 @@ def oracle_sql() -> dict[str, str]:
         "q191_assortativity": _sql_q191(),
         "q192_pca2": _sql_q192(),
         "q193_seasonal_mase": _sql_q193(),
+        "q194_position_attribution_scalable": _sql_q190(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -253,6 +253,7 @@ _IDLE_SKEW_RATIOS = {
     # funnel (measured 16.5x this session); the q177 count-based
     # decomposition is the documented escape hatch
     "q190_position_attribution": 30.0,
+    "q194_position_attribution_scalable": 2.0,
 }
 
 
@@ -289,6 +290,7 @@ def _skew_stress(spark, tmp: str) -> dict:
             "q167_linear_attribution",
             "q177_linear_attribution_scalable",
             "q190_position_attribution",
+            "q194_position_attribution_scalable",
         )
     }
     cases["q157_rolling_window_1day"] = _rolling_window_1day

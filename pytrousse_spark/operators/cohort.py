@@ -1642,16 +1642,18 @@ def position_attribution(
     ``(vm * 4) div 10`` (first and last), the middle pool is whatever
     remains (so the three shares conserve ``vm`` bit-for-bit even when
     vm is not divisible by 10), middle splits use integer division
-    with the remainder pinned to the EARLIEST middle touch (ties:
-    smallest channel). Unattributed conversions surface as channel
-    NULL with full credit — total credited value always equals total
-    conversion value (pinned law).
+    with the remainder pinned to the FIRST touch (the
+    :func:`linear_attribution` convention — ties: smallest channel).
+    Unattributed conversions surface as channel NULL with full credit
+    — total credited value always equals total conversion value
+    (pinned law).
 
-    SCALE CAVEAT: same pairwise user-keyed join as
+    SCALE CAVEAT (measured 16.5x wall under 20% single-user skew this
+    round): same pairwise user-keyed join as
     :func:`linear_attribution` — bounded per-user touch density only;
-    the q177 count-based decomposition pattern applies if a skew-immune
-    variant is needed (positions need per-conversion first/last/count,
-    all computable from the q177 windowed-count machinery).
+    :func:`position_attribution_scalable` computes the identical
+    result from the q177 windowed-count machinery (counts +
+    first/last builds, no pair materialization).
 
     Returns ``(channel, n_conversions, n_touches, credit)``.
     """
@@ -1706,13 +1708,10 @@ def position_attribution(
                 F.lit(0)
             ),
         )
-        .when(F.col("__rn") == 1, first40)
+        .when(F.col("__rn") == 1, first40 + mid_pool % mid_n)
         .when(F.col("__rn") == F.col("__nt"), first40)
         .otherwise(
             F.expr("((__vm - 2 * ((__vm * 4) div 10)) div (__nt - 2))")
-            + F.when(
-                F.col("__rn") == 2, mid_pool % mid_n
-            ).otherwise(F.lit(0))
         )
     )
     return (
@@ -1759,12 +1758,9 @@ def position_attribution_sql(
                    WHEN __nt = 2 THEN __vm // 2
                         + CASE WHEN __rn = 1 THEN __vm % 2 ELSE 0 END
                    WHEN __rn = 1 THEN (__vm * 4) // 10
+                        + (__vm - 2 * ((__vm * 4) // 10)) % (__nt - 2)
                    WHEN __rn = __nt THEN (__vm * 4) // 10
                    ELSE ((__vm - 2 * ((__vm * 4) // 10)) // (__nt - 2))
-                        + CASE WHEN __rn = 2
-                               THEN (__vm - 2 * ((__vm * 4) // 10))
-                                    % (__nt - 2)
-                               ELSE 0 END
                END AS BIGINT) AS __cr
         FROM staged
     )
@@ -1775,3 +1771,266 @@ def position_attribution_sql(
     FROM credited
     GROUP BY 1 ORDER BY 1
     """
+
+
+def _windowed_last_build(
+    probes: "DataFrame",
+    builds: "DataFrame",
+    key_cols: list[str],
+    id_cols: list[str],
+    probe_ts: str,
+    build_ts: str,
+    payload_cols: list[str],
+    w_us: int,
+) -> "DataFrame":
+    """LATEST build row in ``[probe_ts - w, probe_ts]`` per probe —
+    the mirror of :func:`_windowed_first_build` for the rn == nt
+    element of the pairwise ``(ts ASC, payload ASC NULLS LAST)``
+    ordering: max timestamp; among timestamp ties NULL payload wins,
+    else the LARGEST payload. Same two-bucket decomposition:
+
+    - candidate A: last build at or before ``t`` INSIDE bucket ``bp``
+      (an ascending union+window per (key, bucket): the last build
+      seen before the probe is the largest (ts, payload-struct) <= t);
+    - candidate B: bucket ``bx = bp - 1``'s overall MAX build (a
+      per-(key, bucket) max-struct aggregate), valid if its
+      ts >= x = t - w (everything in bucket bx is <= t by
+      construction).
+
+    A exists -> A wins (bucket bp > bx). Returns
+    ``(*id_cols, __lts, *payload_cols)`` with NULLs when empty."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    b = builds.where(F.col(build_ts).isNotNull()).withColumn(
+        "__bb", F.floor(F.col(build_ts) / F.lit(w_us)).cast("long")
+    )
+    bs = b.select(
+        *key_cols, "__bb", F.col(build_ts).alias("__ets"), *payload_cols
+    )
+    # max-struct tie order: NULL payload FIRST (is-null flag 1 beats 0
+    # under max), then the native-typed payload (largest wins)
+    ord_fields = []
+    for c in payload_cols:
+        ord_fields.append(F.col(c).isNull().cast("int").alias(f"nf_{c}"))
+        ord_fields.append(F.col(c).alias(f"pl_{c}"))
+    bs = bs.withColumn(
+        "__st", F.struct(F.col("__ets").alias("ts"), *ord_fields)
+    )
+
+    pr = probes.where(F.col(probe_ts).isNotNull()).withColumn(
+        "__bp", F.floor(F.col(probe_ts) / F.lit(w_us)).cast("long")
+    )
+    id_types = {c: dict(pr.dtypes)[c] for c in id_cols}
+
+    def _null_ids(df):
+        for c, t in id_types.items():
+            df = df.withColumn(c, F.lit(None).cast(t))
+        return df
+
+    st_type = bs.schema["__st"].dataType
+
+    # candidate A: ascending as-of inside bucket bp
+    bA = _null_ids(
+        bs.select(*key_cols, F.col("__bb").alias("__eb"), "__ets", "__st")
+        .withColumn("__tag", F.lit(0))  # builds at ts == t stay inside
+    )
+    pA = (
+        pr.select(
+            *key_cols, *id_cols,
+            F.col("__bp").alias("__eb"),
+            F.col(probe_ts).alias("__ets"),
+        )
+        .withColumn("__st", F.lit(None).cast(st_type))
+        .withColumn("__tag", F.lit(1))
+    )
+    wA = (
+        Window.partitionBy(*key_cols, "__eb")
+        # increasing ts; among equal ts builds (tag 0) first and SMALLER
+        # struct first, so last() retains the LARGEST struct <= probe
+        .orderBy(
+            F.col("__ets").asc(), F.col("__tag").asc(),
+            F.col("__st").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    candA = (
+        pA.unionByName(bA.select(*pA.columns))
+        .withColumn("__la", F.last("__st", ignorenulls=True).over(wA))
+        .where(F.col("__tag") == 1)
+        .select(*id_cols, "__la")
+    )
+
+    # candidate B: per-bucket MAX build, joined on (key, bucket bp - 1)
+    lb = bs.groupBy(*key_cols, "__bb").agg(F.max("__st").alias("__lb"))
+    cond = (pr["__bp"] - 1) == lb["__bb"]
+    for c in key_cols:
+        cond = cond & pr[c].eqNullSafe(lb[c])
+    candB = (
+        pr.join(lb, cond, "left")
+        .select(
+            *[pr[c] for c in id_cols],
+            (F.col(probe_ts) - F.lit(w_us)).alias("__x_us"),
+            "__lb",
+        )
+        .withColumn(
+            "__lb",
+            F.when(F.col("__lb.ts") >= F.col("__x_us"), F.col("__lb")),
+        )
+        .select(*id_cols, "__lb")
+    )
+    jcond = None
+    for c in id_cols:
+        term = candA[c].eqNullSafe(candB[c])
+        jcond = term if jcond is None else (jcond & term)
+    best = F.coalesce(candA["__la"], candB["__lb"])
+    return candA.join(candB, jcond, "inner").select(
+        *[candA[c] for c in id_cols],
+        best.getField("ts").alias("__lts"),
+        *[best.getField(f"pl_{c}").alias(c) for c in payload_cols],
+    )
+
+
+def position_attribution_scalable(
+    purchases: "DataFrame",
+    touches: "DataFrame",
+    user_col: str,
+    purchase_id_col: str,
+    purchase_ts_col: str,
+    value_col: str,
+    touch_ts_col: str,
+    channel_col: str,
+    window_seconds: int = 3 * 86400,
+) -> "DataFrame":
+    """:func:`position_attribution` WITHOUT the pairwise join — the
+    skew-immune / 100 TB form, exactly as q177 is to q167 (this
+    round's skew battery measured the pairwise position join at 16.5x
+    wall under 20% single-user skew). The U-shaped 40/20/40 credit of
+    a conversion depends only on (touch count, first touch, last
+    touch) plus per-channel in-window counts, all computable from the
+    q177 windowed machinery with zero pair materialization:
+
+    - per-(purchase, channel) in-window counts ``ntc`` via
+      :func:`_windowed_build_counts`; ``nt`` is their sum;
+    - the first touch (40% + the middle remainder, the
+      :func:`linear_attribution` remainder convention) via
+      :func:`_windowed_first_build`;
+    - the last touch (40%) via :func:`_windowed_last_build` (its exact
+      mirror);
+    - per-channel middle credit = ``(ntc - [ch == first_ch] -
+      [ch == last_ch]) * mid_each`` with null-safe channel equality.
+
+    Bit-identical to the pairwise rollup — the gate shares q190's
+    pairwise oracle. Max task = densest (user, channel, bucket).
+    """
+    from pyspark.sql import functions as F
+
+    w_us = window_seconds * 1_000_000
+
+    p = purchases.select(
+        F.col(user_col).alias("__u"),
+        F.col(purchase_id_col).alias("__pid"),
+        F.unix_micros(F.col(purchase_ts_col)).alias("__ptu"),
+        F.round(F.col(value_col).cast("double") * F.lit(1_000_000), 0)
+        .cast("bigint")
+        .alias("__vm"),
+    )
+    t = touches.where(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(touch_ts_col)).alias("__ttu"),
+        F.col(channel_col).alias("__ch"),
+    )
+    t = t.join(p.select("__u").distinct(), "__u", "semi")
+    p = p.localCheckpoint(eager=True)
+    t = t.localCheckpoint(eager=True)
+
+    user_channels = t.select("__u", "__ch").distinct()
+    pc = p.join(user_channels, "__u", "inner")
+    ntc = _windowed_build_counts(
+        pc, t, ["__u", "__ch"], ["__pid", "__ch"], "__ptu", "__ttu", w_us
+    ).withColumnRenamed("__wn", "__ntc").where(F.col("__ntc") > 0)
+
+    nt = ntc.groupBy("__pid").agg(F.sum("__ntc").alias("__nt"))
+
+    first = _windowed_first_build(
+        p, t, ["__u"], ["__pid"], "__ptu", "__ttu", ["__ch"], w_us
+    ).withColumnRenamed("__ch", "__fch")
+    last = _windowed_last_build(
+        p, t, ["__u"], ["__pid"], "__ptu", "__ttu", ["__ch"], w_us
+    ).withColumnRenamed("__ch", "__lch")
+
+    base = (
+        p.join(nt, "__pid", "left")
+        .withColumn("__nt", F.coalesce(F.col("__nt"), F.lit(0)))
+        .join(first.select("__pid", "__fch"), "__pid", "left")
+        .join(last.select("__pid", "__lch"), "__pid", "left")
+        .select("__pid", "__vm", "__nt", "__fch", "__lch")
+        .localCheckpoint(eager=True)
+    )
+    first40 = F.expr("(__vm * 4) div 10")
+    mid_pool = F.col("__vm") - F.lit(2) * first40
+    mid_n = F.col("__nt") - F.lit(2)
+    mid_each = F.expr(
+        "((__vm - 2 * ((__vm * 4) div 10)) div (__nt - 2))"
+    )
+
+    chtype = ntc.schema["__ch"].dataType
+    # frame A: channel touch counts + middle-unit credits
+    a = ntc.join(base, "__pid", "inner").select(
+        "__pid",
+        F.col("__ch").alias("channel"),
+        F.col("__ntc").alias("__touches"),
+        F.when(
+            F.col("__nt") >= 3,
+            (
+                F.col("__ntc")
+                - F.col("__ch").eqNullSafe(F.col("__fch")).cast("int")
+                - F.col("__ch").eqNullSafe(F.col("__lch")).cast("int")
+            )
+            * mid_each,
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__cru"),
+    )
+    # frame B: the first touch's share (100% / 50%+rem / 40%+mid-rem)
+    bframe = base.where(F.col("__nt") >= 1).select(
+        "__pid",
+        F.col("__fch").alias("channel"),
+        F.lit(0).cast("bigint").alias("__touches"),
+        F.when(F.col("__nt") == 1, F.col("__vm"))
+        .when(
+            F.col("__nt") == 2,
+            F.expr("__vm div 2") + F.col("__vm") % 2,
+        )
+        .otherwise(first40 + mid_pool % mid_n)
+        .cast("bigint")
+        .alias("__cru"),
+    )
+    # frame C: the last touch's share (50% / 40%)
+    cframe = base.where(F.col("__nt") >= 2).select(
+        "__pid",
+        F.col("__lch").alias("channel"),
+        F.lit(0).cast("bigint").alias("__touches"),
+        F.when(F.col("__nt") == 2, F.expr("__vm div 2"))
+        .otherwise(first40)
+        .cast("bigint")
+        .alias("__cru"),
+    )
+    # frame D: unattributed conversions
+    dframe = base.where(F.col("__nt") == 0).select(
+        "__pid",
+        F.lit(None).cast(chtype).alias("channel"),
+        F.lit(0).cast("bigint").alias("__touches"),
+        F.col("__vm").alias("__cru"),
+    )
+    return (
+        a.unionByName(bframe).unionByName(cframe).unionByName(dframe)
+        .groupBy("channel")
+        .agg(
+            F.countDistinct("__pid").cast("bigint").alias("n_conversions"),
+            F.sum("__touches").cast("bigint").alias("n_touches"),
+            F.round(F.sum("__cru") / F.lit(1e6), 6).alias("credit"),
+        )
+        .orderBy("channel")
+    )

@@ -607,12 +607,86 @@ def test_position_attribution_shares_and_conservation(spark):
     vm = 10_000_001  # micro-units
     first = (vm * 4) // 10          # 4000000
     mid_pool = vm - 2 * first       # 2000001
-    mid_each = mid_pool // 2        # 1000000, remainder 1 -> earliest mid
-    assert out[20] == first / 1e6
+    mid_each = mid_pool // 2        # 1000000, remainder 1 -> FIRST touch
+    assert out[20] == (first + 1) / 1e6
     assert out[23] == first / 1e6
-    assert out[21] == (mid_each + 1) / 1e6
+    assert out[21] == mid_each / 1e6
     assert out[22] == mid_each / 1e6
     assert out[30] == 5.0
     assert out[40] == 1.0 and out[41] == 1.0
     assert out[None] == 7.0
     assert abs(sum(out.values()) - (10.000001 + 5 + 2 + 7)) < 1e-9
+
+
+def test_position_attribution_scalable_equals_pairwise(spark):
+    """The first/last/count decomposition must reproduce the pairwise
+    U-shaped operator bit-for-bit on the same adversarial battery as
+    the q177 test: window-edge ties, same-ts first/last channel ties,
+    NULL user/ts/channel, empty windows, far-bucket touches."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.cohort import (
+        position_attribution,
+        position_attribution_scalable,
+    )
+
+    rng = random.Random(43)
+    base = datetime(2024, 1, 1)
+    users = [1, 2, 3, None]
+    channels = ["ad", "email", "social", None]
+    touches = []
+    for i in range(400):
+        touches.append(
+            (
+                rng.choice(users),
+                base + timedelta(minutes=rng.randrange(0, 20000)),
+                rng.choice(channels),
+            )
+        )
+    purchases = []
+    for i in range(120):
+        ts = base + timedelta(minutes=rng.randrange(0, 20000))
+        purchases.append((rng.choice(users), i, ts, rng.uniform(1, 500)))
+    w_sec = 6 * 3600
+    pts = base + timedelta(minutes=30000)
+    edge = pts - timedelta(seconds=w_sec)
+    # first-position tie at the exact window edge AND last-position tie
+    # at the purchase instant (NULL channel competes for LAST)
+    purchases.append((7, 900, pts, 100.0))
+    touches += [
+        (7, edge, "zz"), (7, edge, "aa"),
+        (7, pts, "mm"), (7, pts, None),
+    ]
+    purchases.append((1, 901, None, 50.0))
+    touches.append((1, None, "ad"))
+    purchases.append((8, 902, base + timedelta(days=40), 10.0))
+    touches.append((8, base + timedelta(days=1), "ad"))
+    # exactly-3-touch user: the middle remainder lands on the FIRST
+    purchases.append((9, 903, pts, 0.000007))
+    touches += [
+        (9, pts - timedelta(hours=3), "x1"),
+        (9, pts - timedelta(hours=2), "x2"),
+        (9, pts - timedelta(hours=1), "x3"),
+    ]
+
+    pdf = spark.createDataFrame(
+        purchases, "user_id long, pid long, ts timestamp, value double"
+    )
+    tdf = spark.createDataFrame(
+        touches, "user_id long, ts timestamp, channel string"
+    )
+    kw = dict(
+        user_col="user_id", purchase_id_col="pid", purchase_ts_col="ts",
+        value_col="value", touch_ts_col="ts", channel_col="channel",
+        window_seconds=w_sec,
+    )
+    exact = {
+        r["channel"]: (r["n_conversions"], r["n_touches"], r["credit"])
+        for r in position_attribution(pdf, tdf, **kw).collect()
+    }
+    fast = {
+        r["channel"]: (r["n_conversions"], r["n_touches"], r["credit"])
+        for r in position_attribution_scalable(pdf, tdf, **kw).collect()
+    }
+    assert fast == exact
