@@ -4591,6 +4591,26 @@ def q194_position_attribution_scalable(
     )
 
 
+def q195_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the event stream: per-purchaser
+    recency/frequency/monetary quintiles from the HISTOGRAM-SKETCH
+    rank (q156's transform — no NTILE global sort on any dimension),
+    rolled to the occupied 5x5x5 cells with cent-exact average spend
+    (operators/cohort.rfm_segments)."""
+    from pytrousse_spark.operators.cohort import rfm_segments
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_segments(ev, "user_id", "event_type", "purchase", "value")
+
+
+def _sql_q195() -> str:
+    from pytrousse_spark.operators.cohort import rfm_segments_sql
+
+    return rfm_segments_sql(
+        "events", "user_id", "event_type", "purchase", "value"
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6091,6 +6111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_pca2": q192_pca2,
         "q193_seasonal_mase": q193_seasonal_mase,
         "q194_position_attribution_scalable": q194_position_attribution_scalable,
+        "q195_rfm": q195_rfm,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6117,9 +6138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_near_dedup": q55_near_dedup,
         "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
         "q57_ivf_topk": q57_ivf_topk,
-        "q58_simhash_pairs": q58_simhash_pairs,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q58_simhash_pairs": q58_simhash_pairs,
         "q59_clean_corpus": q59_clean_corpus,
         "q60_interval_join": q60_interval_join,
         "q61_hash_split": q61_hash_split,
@@ -6670,6 +6691,7 @@ def oracle_sql() -> dict[str, str]:
         "q192_pca2": _sql_q192(),
         "q193_seasonal_mase": _sql_q193(),
         "q194_position_attribution_scalable": _sql_q190(),
+        "q195_rfm": _sql_q195(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

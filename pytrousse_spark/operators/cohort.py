@@ -2034,3 +2034,155 @@ def position_attribution_scalable(
         )
         .orderBy("channel")
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    purchase_event: str,
+    value_col: str,
+    ts_col: str = "ts",
+    num_bins: int = 4096,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing cube (Hughes 1994), built scale-first: each
+    dimension's quintile comes from the HISTOGRAM-SKETCH rank
+    transform (q156's operators/transforms.percent_rank_transform_
+    approx), not an NTILE global sort, so no dimension ever funnels
+    the user table through one sort task.
+
+    Per purchasing user: ``recency_days`` = epoch-floored days from
+    last purchase to the observation end (max event ts over the WHOLE
+    table), ``freq`` = purchase count, ``mon`` = integer-cent spend.
+    Quintile = ``least(4, floor(pct_rank * 5))`` per dimension (4 =
+    top rank; note recency ranks RAW days, so r_q 0 = most recent —
+    documented, not reversed).
+
+    Returns one row per occupied (r_q, f_q, m_q) cell: ``(r_q, f_q,
+    m_q, n_users, avg_monetary)``.
+
+    Scale: one user-keyed agg, then three sketch-rank passes (each a
+    broadcast stats + tiny CDF join — the fact frame never shuffles),
+    one bounded 125-cell agg.
+    """
+    from pyspark.sql import functions as F
+
+    from .transforms import percent_rank_transform_approx
+
+    pu = (
+        df.where(F.col(type_col) == purchase_event)
+        .groupBy(F.col(user_col).alias("__uid"))
+        .agg(
+            F.max(F.col(ts_col)).alias("__lp"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(
+                F.round(F.col(value_col) * 100, 0).cast("long")
+            )
+            .cast("bigint")
+            .alias("mon"),
+        )
+    )
+    end = df.agg(F.max(F.col(ts_col)).alias("__end"))
+    metrics = (
+        pu.crossJoin(F.broadcast(end))
+        .select(
+            "__uid",
+            F.floor(
+                (F.unix_micros("__end") - F.unix_micros("__lp"))
+                / F.lit(86_400_000_000)
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            "freq",
+            "mon",
+            F.lit(1).alias("__one"),
+        )
+    )
+    r1 = percent_rank_transform_approx(
+        metrics, "__one", "recency_days", "__rr", num_bins
+    )
+    r2 = percent_rank_transform_approx(r1, "__one", "freq", "__fr", num_bins)
+    r3 = percent_rank_transform_approx(r2, "__one", "mon", "__mr", num_bins)
+
+    def q(c: str):
+        return F.least(
+            F.lit(4), F.floor(F.col(c) * 5).cast("int")
+        ).cast("int")
+
+    return (
+        r3.select(
+            q("__rr").alias("r_q"),
+            q("__fr").alias("f_q"),
+            q("__mr").alias("m_q"),
+            "mon",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (
+                F.round(
+                    F.sum("mon").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(100.0)
+                    * F.lit(1e6),
+                    0,
+                )
+                / F.lit(1e6)
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+def rfm_segments_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    purchase_event: str,
+    value_col: str,
+    ts_col: str = "ts",
+    num_bins: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`rfm_segments` — identical metric frame,
+    three composed sketch-rank twins, quintile and cell expressions."""
+    from .transforms import percent_rank_transform_approx_sql
+
+    metrics = f"""(
+        WITH pu AS (
+            SELECT {user_col} AS __uid,
+                   max(CASE WHEN {type_col} = '{purchase_event}'
+                       THEN CAST({ts_col} AS TIMESTAMP) END) AS __lp,
+                   CAST(count(CASE WHEN {type_col} = '{purchase_event}'
+                        THEN 1 END) AS BIGINT) AS freq,
+                   CAST(sum(CASE WHEN {type_col} = '{purchase_event}'
+                        THEN CAST(round({value_col} * 100, 0) AS BIGINT)
+                        END) AS BIGINT) AS mon
+            FROM {table} GROUP BY 1
+        ), oe AS (
+            SELECT max(CAST({ts_col} AS TIMESTAMP)) AS __end
+            FROM {table}
+        )
+        SELECT __uid,
+               CAST(floor(epoch_us(__end - __lp) / 86400000000)
+                    AS BIGINT) AS recency_days,
+               freq, mon, 1 AS __one
+        FROM pu CROSS JOIN oe WHERE __lp IS NOT NULL
+    )"""
+    r1 = percent_rank_transform_approx_sql(
+        metrics, "__one", "recency_days", "__rr", num_bins
+    )
+    r2 = percent_rank_transform_approx_sql(
+        f"({r1})", "__one", "freq", "__fr", num_bins
+    )
+    r3 = percent_rank_transform_approx_sql(
+        f"({r2})", "__one", "mon", "__mr", num_bins
+    )
+    return f"""
+    SELECT CAST(least(4, floor(__rr * 5)) AS INT) AS r_q,
+           CAST(least(4, floor(__fr * 5)) AS INT) AS f_q,
+           CAST(least(4, floor(__mr * 5)) AS INT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(mon) AS BIGINT) / count(*)
+                 / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS avg_monetary
+    FROM ({r3}) GROUP BY 1, 2, 3
+    """

@@ -690,3 +690,44 @@ def test_position_attribution_scalable_equals_pairwise(spark):
         for r in position_attribution_scalable(pdf, tdf, **kw).collect()
     }
     assert fast == exact
+
+
+def test_rfm_segments_laws(spark):
+    """Total users partitions across cells; quintiles land 0-4; a
+    planted whale (many purchases, huge spend, most recent) occupies
+    the (0, 4, 4) corner — most recent, top frequency, top monetary."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import rfm_segments
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(50):
+        # older, lighter users: 1-3 purchases days ago, small spend
+        for k in range(1 + u % 3):
+            rows.append(
+                (u, "purchase", 5.0 + u % 7,
+                 t0 + dt.timedelta(days=u % 10, hours=k))
+            )
+    # the whale: 30 purchases, big spend, at the very end
+    for k in range(30):
+        rows.append(
+            (999, "purchase", 500.0, t0 + dt.timedelta(days=29, hours=k))
+        )
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, ts timestamp"
+    )
+    out = rfm_segments(df, "user_id", "event_type", "purchase", "value")
+    cells = out.collect()
+    assert sum(r["n_users"] for r in cells) == 51
+    for r in cells:
+        for c in ("r_q", "f_q", "m_q"):
+            assert 0 <= r[c] <= 4
+    # quintiles are RANK-based (~20% of users each), so the corner can
+    # include rank-adjacent regulars — but the whale must be in it, and
+    # the corner must carry the maximum average spend
+    top = max(cells, key=lambda r: r["avg_monetary"])
+    assert (top["r_q"], top["f_q"], top["m_q"]) == (0, 4, 4)
+    assert top["avg_monetary"] >= 500.0 * 30 / top["n_users"]
