@@ -4611,6 +4611,49 @@ def _sql_q195() -> str:
     )
 
 
+def q196_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect / power readout for the q148 A/B
+    design at alpha=0.05 two-sided, 80% power — the pre-readout sanity
+    check (a lift below the MDE is noise no matter the p-value);
+    injected z-quantile literals, q176 CAST rule
+    (operators/cohort.ab_power_mde)."""
+    from pytrousse_spark.operators.cohort import ab_power_mde
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_power_mde(ev, "user_id", "event_type", "view", "purchase")
+
+
+def _sql_q196() -> str:
+    from pytrousse_spark.operators.cohort import ab_power_mde_sql
+
+    return ab_power_mde_sql(
+        "events", "user_id", "event_type", "view", "purchase"
+    )
+
+
+def q197_segment_ab_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment A/B z-tests with Benjamini-Hochberg FDR control:
+    the multiple-comparisons discipline for segment-sliced
+    experiments; p-values from the A&S 7.1.26 normal-tail polynomial
+    (IDENTICAL expression text in both engines — neither has erf),
+    BH step-up over the bounded segment frame
+    (operators/cohort.segment_ab_bh)."""
+    from pytrousse_spark.operators.cohort import segment_ab_bh
+
+    ev = _t(spark, sf_dir, "events")
+    return segment_ab_bh(
+        ev, "user_id", "event_type", "view", "purchase", n_segments=4
+    )
+
+
+def _sql_q197() -> str:
+    from pytrousse_spark.operators.cohort import segment_ab_bh_sql
+
+    return segment_ab_bh_sql(
+        "events", "user_id", "event_type", "view", "purchase", 4
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6112,6 +6155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_seasonal_mase": q193_seasonal_mase,
         "q194_position_attribution_scalable": q194_position_attribution_scalable,
         "q195_rfm": q195_rfm,
+        "q196_ab_mde": q196_ab_mde,
+        "q197_segment_ab_bh": q197_segment_ab_bh,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6136,10 +6181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_sessionize": q11_sessionize,
         "q51b_asof_forward": q51b_asof_forward,
         "q55_near_dedup": q55_near_dedup,
-        "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
-        "q57_ivf_topk": q57_ivf_topk,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
+        "q57_ivf_topk": q57_ivf_topk,
         "q58_simhash_pairs": q58_simhash_pairs,
         "q59_clean_corpus": q59_clean_corpus,
         "q60_interval_join": q60_interval_join,
@@ -6692,6 +6737,8 @@ def oracle_sql() -> dict[str, str]:
         "q193_seasonal_mase": _sql_q193(),
         "q194_position_attribution_scalable": _sql_q190(),
         "q195_rfm": _sql_q195(),
+        "q196_ab_mde": _sql_q196(),
+        "q197_segment_ab_bh": _sql_q197(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

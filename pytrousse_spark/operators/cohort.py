@@ -2186,3 +2186,403 @@ def rfm_segments_sql(
                  / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS avg_monetary
     FROM ({r3}) GROUP BY 1, 2, 3
     """
+
+
+#: Abramowitz & Stegun 7.1.26 erf polynomial constants — deterministic
+#: literals injected into BOTH engines (max |error| 1.5e-7, far inside
+#: the 1e-6 output rounding).
+_AS_ERF = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_AS_P = 0.3275911
+#: two-sided 5% / 80%-power normal quantiles (z_{0.025}, z_{0.20})
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+
+
+def _phi_tail_sql(z_expr: str) -> str:
+    """One-sided upper-tail normal probability ``1 - Phi(z)`` for
+    ``z >= 0`` via the A&S 7.1.26 erf polynomial — IDENTICAL expression
+    text for both engines (the Spark side builds the same tree)."""
+    a1, a2, a3, a4, a5 = _AS_ERF
+    t = f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST({_AS_P} AS DOUBLE) * ({z_expr}) / sqrt(CAST(2 AS DOUBLE))))"
+    poly = (
+        f"((((CAST({a5} AS DOUBLE) * {t} + CAST({a4} AS DOUBLE)) * {t}"
+        f" + CAST({a3} AS DOUBLE)) * {t} + CAST({a2} AS DOUBLE)) * {t}"
+        f" + CAST({a1} AS DOUBLE)) * {t}"
+    )
+    erf = (
+        f"(CAST(1 AS DOUBLE) - {poly}"
+        f" * exp(-(({z_expr}) / sqrt(CAST(2 AS DOUBLE)))"
+        f" * (({z_expr}) / sqrt(CAST(2 AS DOUBLE)))))"
+    )
+    return f"(CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE) - {erf}))"
+
+
+def ab_power_mde(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    exposure_event: str,
+    conversion_event: str,
+    salt: str = "ab",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Experiment POWER readout for the q148 A/B design: given the
+    observed arm sizes and pooled conversion rate, the minimum
+    detectable effect at alpha = 0.05 two-sided / 80% power —
+    ``mde = (z_a + z_b) * sqrt(p(1-p) * (1/na + 1/nb))`` (Lehr-style
+    normal approximation, the standard pre-readout sanity check: an
+    observed lift below the MDE is noise regardless of its p-value).
+
+    Returns one row: ``(n_a, n_b, pooled_rate, mde_abs, mde_rel)``
+    with ``mde_rel = mde_abs / pooled_rate`` (NULL when the pooled
+    rate is 0). Same unit/arm machinery as
+    :func:`ab_test_conversion`; z quantiles are injected literals
+    (CAST-to-DOUBLE in the twin — the q176 decimal-literal rule).
+    """
+    exp = (
+        df.where(F.col(type_col) == exposure_event)
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__t0"))
+        .withColumn(
+            "__arm",
+            h60(
+                F.concat(F.lit(f"{salt}|"), F.col("__u").cast("string"))
+            )
+            % 2,
+        )
+    )
+    conv = df.where(F.col(type_col) == conversion_event).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__tc")
+    )
+    per_user = (
+        exp.join(conv, "__u", "left")
+        .groupBy("__u", "__arm")
+        .agg(
+            F.max((F.col("__tc") >= F.col("__t0")).cast("int")).alias(
+                "__c"
+            )
+        )
+        .select("__arm", F.coalesce(F.col("__c"), F.lit(0)).alias("__c"))
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum("__c").cast("bigint").alias("__conv"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    p = F.col("__conv").cast("double") / (na + nb)
+    mde = (
+        F.lit(_Z_ALPHA + _Z_BETA)
+        * F.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_a",
+        "n_b",
+        r6(p).alias("pooled_rate"),
+        r6(mde).alias("mde_abs"),
+        r6(F.when(p > 0, mde / p)).alias("mde_rel"),
+    )
+
+
+def ab_power_mde_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    exposure_event: str,
+    conversion_event: str,
+    salt: str = "ab",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`ab_power_mde`."""
+    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    zsum = _Z_ALPHA + _Z_BETA
+    return f"""
+    WITH exp AS MATERIALIZED (
+        SELECT {user_col} AS __u,
+               min(CAST({ts_col} AS TIMESTAMP)) AS __t0
+        FROM {table} WHERE {type_col} = '{exposure_event}'
+        GROUP BY 1
+    ), armed AS (
+        SELECT __u, __t0, ({h} % 2) AS __arm FROM exp
+    ), conv AS (
+        SELECT {user_col} AS __u, CAST({ts_col} AS TIMESTAMP) AS __tc
+        FROM {table} WHERE {type_col} = '{conversion_event}'
+    ), per_user AS (
+        SELECT a.__arm,
+               COALESCE(max(CASE WHEN c.__tc >= a.__t0 THEN 1 ELSE 0 END),
+                        0) AS __c
+        FROM armed a LEFT JOIN conv c ON c.__u = a.__u
+        GROUP BY a.__u, a.__arm
+    ), agg AS (
+        SELECT CAST(sum(CASE WHEN __arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN __arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(sum(__c) AS BIGINT) AS __conv
+        FROM per_user
+    )
+    SELECT n_a, n_b,
+           round(CAST(__conv AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                 * 1e6, 0) / 1e6 AS pooled_rate,
+           round(CAST({zsum} AS DOUBLE)
+                 * sqrt((CAST(__conv AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                        * (1 - CAST(__conv AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                        * (1 / CAST(n_a AS DOUBLE)
+                           + 1 / CAST(n_b AS DOUBLE)))
+                 * 1e6, 0) / 1e6 AS mde_abs,
+           round(CASE WHEN CAST(__conv AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) > 0
+                 THEN (CAST({zsum} AS DOUBLE)
+                 * sqrt((CAST(__conv AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                        * (1 - CAST(__conv AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                        * (1 / CAST(n_a AS DOUBLE)
+                           + 1 / CAST(n_b AS DOUBLE))))
+                      / (CAST(__conv AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 END * 1e6, 0) / 1e6 AS mde_rel
+    FROM agg
+    """
+
+
+def segment_ab_bh(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    exposure_event: str,
+    conversion_event: str,
+    n_segments: int = 4,
+    fdr_q: float = 0.05,
+    salt: str = "ab",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-segment A/B readout with Benjamini-Hochberg FDR control
+    (Benjamini & Hochberg 1995) — the multiple-comparisons discipline
+    every segment-sliced experiment needs: each segment runs the q148
+    pooled two-proportion z test, its two-sided p-value comes from the
+    A&S 7.1.26 normal-tail polynomial (|error| < 1.5e-7, IDENTICAL
+    expression text in both engines — no erf builtin exists in
+    either), and the BH step-up rejects segments with
+    ``p_(i) <= i/m * q`` up to the largest such rank.
+
+    Segments here are the deterministic ``user_id % n_segments``
+    partition (a stand-in for any user attribute); arms are the
+    portable salted-hash split.
+
+    Returns one row per segment: ``(segment, n_a, conv_a, n_b,
+    conv_b, z, p_value, bh_rank, reject)``. Window/rank passes run
+    over the BOUNDED segment frame (m rows), never the event table.
+    """
+    exp = (
+        df.where(F.col(type_col) == exposure_event)
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__t0"))
+        .withColumn(
+            "__arm",
+            h60(
+                F.concat(F.lit(f"{salt}|"), F.col("__u").cast("string"))
+            )
+            % 2,
+        )
+        .withColumn(
+            "segment", (F.col("__u") % n_segments).cast("int")
+        )
+    )
+    conv = df.where(F.col(type_col) == conversion_event).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__tc")
+    )
+    per_user = (
+        exp.join(conv, "__u", "left")
+        .groupBy("__u", "segment", "__arm")
+        .agg(
+            F.max((F.col("__tc") >= F.col("__t0")).cast("int")).alias(
+                "__c"
+            )
+        )
+    )
+    cells = per_user.groupBy("segment").agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(
+            F.when(F.col("__arm") == 0, F.coalesce(F.col("__c"), F.lit(0)))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(
+            F.when(F.col("__arm") == 1, F.coalesce(F.col("__c"), F.lit(0)))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_conv_b"),
+    ).withColumnRenamed("n_conv_b", "conv_b")
+    na = F.col("n_a").cast("double")
+    ca = F.col("conv_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    cb = F.col("conv_b").cast("double")
+    p1 = ca / na
+    p2 = cb / nb
+    pp = (ca + cb) / (na + nb)
+    se = F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    z = F.when((na > 0) & (nb > 0) & (se > 0), (p1 - p2) / se)
+    zc = cells.withColumn("__z", z).withColumn(
+        "__p",
+        F.when(
+            F.col("__z").isNotNull(),
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0) * F.expr(_phi_tail_sql("abs(__z)")),
+            ),
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    wseg = Window.orderBy(
+        F.col("__p").asc_nulls_last(), F.col("segment").asc()
+    )
+    m = F.count(F.when(F.col("__p").isNotNull(), 1)).over(
+        Window.partitionBy()
+    )
+    ranked = zc.withColumn("__i", F.row_number().over(wseg)).withColumn(
+        "__m", m
+    )
+    flag = (
+        F.col("__p").isNotNull()
+        & (
+            F.col("__p")
+            <= F.col("__i").cast("double")
+            / F.col("__m")
+            * F.lit(fdr_q)
+        )
+    ).cast("int")
+    kmax = F.max(F.when(flag == 1, F.col("__i"))).over(
+        Window.partitionBy()
+    )
+    out = ranked.withColumn("__k", kmax).select(
+        "segment",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.round(F.col("__z") * F.lit(1e6), 0) / F.lit(1e6)).alias("z"),
+        (F.round(F.col("__p") * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "p_value"
+        ),
+        F.col("__i").cast("int").alias("bh_rank"),
+        F.coalesce(
+            F.col("__p").isNotNull() & (F.col("__i") <= F.col("__k")),
+            F.lit(False),
+        ).alias("reject"),
+    )
+    return out.orderBy("segment")
+
+
+def segment_ab_bh_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    exposure_event: str,
+    conversion_event: str,
+    n_segments: int = 4,
+    fdr_q: float = 0.05,
+    salt: str = "ab",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`segment_ab_bh` — identical arm hash, cell
+    counts, the SAME A&S tail-polynomial text, and the same BH
+    step-up windows."""
+    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    phi = _phi_tail_sql("abs(__z)")
+    return f"""
+    WITH exp AS MATERIALIZED (
+        SELECT {user_col} AS __u,
+               min(CAST({ts_col} AS TIMESTAMP)) AS __t0
+        FROM {table} WHERE {type_col} = '{exposure_event}'
+        GROUP BY 1
+    ), armed AS (
+        SELECT __u, __t0, ({h} % 2) AS __arm,
+               CAST(__u % {n_segments} AS INT) AS segment
+        FROM exp
+    ), conv AS (
+        SELECT {user_col} AS __u, CAST({ts_col} AS TIMESTAMP) AS __tc
+        FROM {table} WHERE {type_col} = '{conversion_event}'
+    ), per_user AS (
+        SELECT a.__u, a.segment, a.__arm,
+               COALESCE(max(CASE WHEN c.__tc >= a.__t0 THEN 1 ELSE 0 END),
+                        0) AS __c
+        FROM armed a LEFT JOIN conv c ON c.__u = a.__u
+        GROUP BY 1, 2, 3
+    ), cells AS (
+        SELECT segment,
+               CAST(sum(CASE WHEN __arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN __arm = 0 THEN __c ELSE 0 END)
+                    AS BIGINT) AS conv_a,
+               CAST(sum(CASE WHEN __arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(sum(CASE WHEN __arm = 1 THEN __c ELSE 0 END)
+                    AS BIGINT) AS conv_b
+        FROM per_user GROUP BY 1
+    ), zc AS (
+        SELECT *,
+            CASE WHEN n_a > 0 AND n_b > 0
+                 AND sqrt(((CAST(conv_a AS DOUBLE) + conv_b)
+                           / (CAST(n_a AS DOUBLE) + n_b))
+                          * (1 - (CAST(conv_a AS DOUBLE) + conv_b)
+                             / (CAST(n_a AS DOUBLE) + n_b))
+                          * (1 / CAST(n_a AS DOUBLE)
+                             + 1 / CAST(n_b AS DOUBLE))) > 0
+            THEN (CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt(((CAST(conv_a AS DOUBLE) + conv_b)
+                         / (CAST(n_a AS DOUBLE) + n_b))
+                        * (1 - (CAST(conv_a AS DOUBLE) + conv_b)
+                           / (CAST(n_a AS DOUBLE) + n_b))
+                        * (1 / CAST(n_a AS DOUBLE)
+                           + 1 / CAST(n_b AS DOUBLE)))
+            END AS __z
+        FROM cells
+    ), pp AS (
+        SELECT *,
+               CASE WHEN __z IS NOT NULL THEN
+                    least(CAST(1 AS DOUBLE),
+                          CAST(2 AS DOUBLE) * {phi})
+               END AS __p
+        FROM zc
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY __p ASC NULLS LAST, segment ASC
+               ) AS __i,
+               CAST(count(CASE WHEN __p IS NOT NULL THEN 1 END)
+                    OVER () AS BIGINT) AS __m
+        FROM pp
+    ), flagged AS (
+        SELECT *,
+               max(CASE WHEN __p IS NOT NULL
+                        AND __p <= CAST(__i AS DOUBLE) / __m
+                                   * CAST({fdr_q} AS DOUBLE)
+                        THEN __i END) OVER () AS __k
+        FROM ranked
+    )
+    SELECT segment, n_a, conv_a, n_b, conv_b,
+           round(__z * 1e6, 0) / 1e6 AS z,
+           round(__p * 1e6, 0) / 1e6 AS p_value,
+           CAST(__i AS INT) AS bh_rank,
+           COALESCE(__p IS NOT NULL AND __i <= __k, FALSE) AS reject
+    FROM flagged ORDER BY segment
+    """

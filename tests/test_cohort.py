@@ -731,3 +731,84 @@ def test_rfm_segments_laws(spark):
     top = max(cells, key=lambda r: r["avg_monetary"])
     assert (top["r_q"], top["f_q"], top["m_q"]) == (0, 4, 4)
     assert top["avg_monetary"] >= 500.0 * 30 / top["n_users"]
+
+
+def test_ab_power_mde_formula(spark):
+    """MDE matches the hand formula on the realized counts and shrinks
+    with sample size (sqrt-n law within rounding)."""
+    import datetime as dt
+    import math
+
+    from pytrousse_spark.operators.cohort import ab_power_mde
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(n):
+        rows = []
+        for u in range(n):
+            rows.append((u, "view", t0))
+            if u % 4 == 0:
+                rows.append((u, "purchase", t0 + dt.timedelta(hours=1)))
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+
+    small = ab_power_mde(
+        mk(100), "user_id", "event_type", "view", "purchase"
+    ).collect()[0]
+    big = ab_power_mde(
+        mk(800), "user_id", "event_type", "view", "purchase"
+    ).collect()[0]
+    for r in (small, big):
+        p = (0.25 * (r["n_a"] + r["n_b"])) / (r["n_a"] + r["n_b"])
+        hand = (1.959964 + 0.841621) * math.sqrt(
+            p * (1 - p) * (1 / r["n_a"] + 1 / r["n_b"])
+        )
+        assert abs(r["mde_abs"] - hand) < 1e-5
+    assert big["mde_abs"] < small["mde_abs"] / 2  # ~1/sqrt(8)
+
+
+def test_segment_ab_bh_rejects_planted_segments(spark):
+    """Two segments carry a massive planted effect, two carry none:
+    BH at q=0.05 rejects exactly the planted pair; p-values agree with
+    Python's exact normal tail within the A&S 1.5e-7 bound."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.functions.hashing import h60
+    from pytrousse_spark.operators.cohort import segment_ab_bh
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = spark.range(0, 800).select(F.col("id").alias("u"))
+    arm = (h60(F.concat(F.lit("ab|"), F.col("u").cast("string"))) % 2)
+    users = base.select("u", arm.alias("arm")).collect()
+    rows = []
+    for r in users:
+        u, a = r["u"], r["arm"]
+        seg = u % 4
+        rows.append((u, "view", t0))
+        if seg in (1, 3):  # planted: arm 0 converts 85%, arm 1 15%
+            conv = (a == 0 and u % 20 != 0) or (a == 1 and u % 7 == 0)
+        else:  # null effect: both arms ~50%
+            conv = u % 2 == 0
+        if conv:
+            rows.append((u, "purchase", t0 + dt.timedelta(hours=1)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["segment"]: r
+        for r in segment_ab_bh(
+            df, "user_id", "event_type", "view", "purchase", n_segments=4
+        ).collect()
+    }
+    assert out[1]["reject"] is True and out[3]["reject"] is True
+    assert out[0]["reject"] is False and out[2]["reject"] is False
+    # A&S polynomial vs exact tail
+    for seg, r in out.items():
+        if r["z"] is None:
+            continue
+        exact = min(1.0, 2 * 0.5 * math.erfc(abs(r["z"]) / math.sqrt(2)))
+        assert abs(r["p_value"] - exact) < 5e-7 + 1e-6
