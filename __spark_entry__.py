@@ -4654,6 +4654,52 @@ def _sql_q197() -> str:
     )
 
 
+def q198_ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-per-view A/B readout with DELTA-METHOD standard errors
+    (Deng et al. KDD 2018): per-user numerator/denominator sums whose
+    within-user correlation the naive SE ignores; decimal-exact
+    moments, single IEEE chain (operators/cohort.ratio_metric_delta).
+    Completes the experimentation family: rates (q148), CUPED (q188),
+    DiD (q189), MDE (q196), FDR (q197), ratio metrics (here)."""
+    from pytrousse_spark.operators.cohort import ratio_metric_delta
+
+    ev = _t(spark, sf_dir, "events")
+    return ratio_metric_delta(
+        ev, "user_id", "event_type", "purchase", "value", "view"
+    )
+
+
+def _sql_q198() -> str:
+    from pytrousse_spark.operators.cohort import ratio_metric_delta_sql
+
+    return ratio_metric_delta_sql(
+        "events", "user_id", "event_type", "purchase", "value", "view"
+    )
+
+
+def q199_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau = 14 days over the q178
+    time-to-convert subjects: the area under the KM curve — the
+    model-free censoring-safe effect size ("average conversion-free
+    days in the first two weeks"); exact step-function integral over
+    the bounded duration frame (operators/survival.rmst)."""
+    from pytrousse_spark.operators.survival import rmst
+
+    subj = _km_subjects(spark, sf_dir).select("dur_days", "converted")
+    return rmst(subj, "dur_days", "converted", tau=14.0)
+
+
+def _sql_q199() -> str:
+    from pytrousse_spark.operators.survival import rmst_sql
+
+    return rmst_sql(
+        f"SELECT dur_days, converted FROM ({_KM_SUBJECTS_SQL}) s",
+        "dur_days",
+        "converted",
+        14.0,
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6157,6 +6203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_rfm": q195_rfm,
         "q196_ab_mde": q196_ab_mde,
         "q197_segment_ab_bh": q197_segment_ab_bh,
+        "q198_ratio_metric": q198_ratio_metric,
+        "q199_rmst": q199_rmst,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6180,9 +6228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_events_hourly": q10_events_hourly,
         "q11_sessionize": q11_sessionize,
         "q51b_asof_forward": q51b_asof_forward,
-        "q55_near_dedup": q55_near_dedup,
         # -- tail (position >50): r3 evidence (same round as the head's r3
         # -- block — oldest-first invariant holds), then r4, then r5 --------
+        "q55_near_dedup": q55_near_dedup,
         "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
         "q57_ivf_topk": q57_ivf_topk,
         "q58_simhash_pairs": q58_simhash_pairs,
@@ -6739,6 +6787,8 @@ def oracle_sql() -> dict[str, str]:
         "q195_rfm": _sql_q195(),
         "q196_ab_mde": _sql_q196(),
         "q197_segment_ab_bh": _sql_q197(),
+        "q198_ratio_metric": _sql_q198(),
+        "q199_rmst": _sql_q199(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -2586,3 +2586,220 @@ def segment_ab_bh_sql(
            COALESCE(__p IS NOT NULL AND __i <= __k, FALSE) AS reject
     FROM flagged ORDER BY segment
     """
+
+
+def ratio_metric_delta(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    num_event: str,
+    num_value_col: str,
+    den_event: str,
+    salt: str = "ab",
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Ratio-metric A/B readout with DELTA-METHOD standard errors
+    (Deng, Knoblich & Lu, KDD 2018): the metric is a ratio of per-user
+    sums — e.g. revenue per view — whose naive per-user-average SE is
+    wrong because numerator and denominator correlate within users.
+    Per arm: ``R = sum(X) / sum(Y)`` and
+    ``Var(R) ~ (var_x - 2 R cov_xy + R^2 var_y) / (n * mean_y^2)``
+    (first-order Taylor expansion around the means), then the
+    two-arm z on the difference.
+
+    X = integer-cent sum of ``num_value_col`` over ``num_event`` rows
+    per user, Y = count of ``den_event`` rows per user; units are all
+    users with any event; arms are the portable salted-hash split.
+
+    Returns one row: ``(n_a, ratio_a, se_a, n_b, ratio_b, se_b, diff,
+    z, significant)`` — ratios in original units per denominator
+    event.
+
+    Exactness / scale: the CUPED sufficient-statistic shape exactly —
+    one user-keyed agg, DECIMAL(38,0) moment sums, a 2-row moment
+    frame, single IEEE chains.
+    """
+    pu = (
+        df.groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(type_col) == num_event,
+                        F.round(F.col(num_value_col) * 100, 0).cast(
+                            "long"
+                        ),
+                    )
+                ),
+                F.lit(0),
+            ).alias("__x"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(type_col) == den_event, F.lit(1)).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            ).alias("__y"),
+        )
+        .withColumn(
+            "__arm",
+            (
+                h60(
+                    F.concat(
+                        F.lit(f"{salt}|"), F.col("__u").cast("string")
+                    )
+                )
+                % 2
+            ).cast("int"),
+        )
+    )
+    xd = F.col("__x").cast("decimal(19,0)")
+    yd = F.col("__y").cast("decimal(19,0)")
+    m = pu.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(xd).cast("decimal(38,0)").alias("__sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("__sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("__sxy"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    mx = sx / n
+    my = sy / n
+    vx = F.col("__sxx").cast("double") / n - mx * mx
+    vy = F.col("__syy").cast("double") / n - my * my
+    cv = F.col("__sxy").cast("double") / n - mx * my
+    ratio = F.when(F.col("__sy") > 0, sx / sy)
+    var_r = F.when(
+        (F.col("__sy") > 0) & (n > 0),
+        (vx - F.lit(2.0) * ratio * cv + ratio * ratio * vy)
+        / (n * (my * my)),
+    )
+    se = F.sqrt(F.greatest(F.lit(0.0), var_r))
+    cells = m.select(
+        "__arm",
+        "__n",
+        ratio.alias("__r"),
+        se.alias("__se"),
+    )
+    a = F.when(F.col("__arm") == 0, 1).otherwise(0)
+    b = F.when(F.col("__arm") == 1, 1).otherwise(0)
+    agg = cells.agg(
+        F.sum(a * F.col("__n")).cast("bigint").alias("n_a"),
+        F.sum(a * F.col("__r")).alias("__ra"),
+        F.sum(a * F.col("__se")).alias("__sea"),
+        F.sum(b * F.col("__n")).cast("bigint").alias("n_b"),
+        F.sum(b * F.col("__r")).alias("__rb"),
+        F.sum(b * F.col("__se")).alias("__seb"),
+    )
+    diff = F.col("__ra") - F.col("__rb")
+    sed = F.sqrt(
+        F.col("__sea") * F.col("__sea") + F.col("__seb") * F.col("__seb")
+    )
+    z = F.when(sed > 0, diff / sed)
+    cents = F.lit(100.0)
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_a",
+        r6(F.col("__ra") / cents).alias("ratio_a"),
+        r6(F.col("__sea") / cents).alias("se_a"),
+        "n_b",
+        r6(F.col("__rb") / cents).alias("ratio_b"),
+        r6(F.col("__seb") / cents).alias("se_b"),
+        r6(diff / cents).alias("diff"),
+        r6(z).alias("z"),
+        (F.abs(z) > F.lit(z_crit)).alias("significant"),
+    )
+
+
+def ratio_metric_delta_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    num_event: str,
+    num_value_col: str,
+    den_event: str,
+    salt: str = "ab",
+    z_crit: float = 1.96,
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`ratio_metric_delta`."""
+    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    return f"""
+    WITH pu AS (
+        SELECT {user_col} AS __u,
+               COALESCE(sum(CASE WHEN {type_col} = '{num_event}'
+                    THEN CAST(round({num_value_col} * 100, 0) AS BIGINT)
+                    END), 0) AS __x,
+               COALESCE(sum(CASE WHEN {type_col} = '{den_event}'
+                    THEN CAST(1 AS BIGINT) END), 0) AS __y
+        FROM {table} GROUP BY 1
+    ), armed AS (
+        SELECT CAST(({h} % 2) AS INT) AS __arm,
+               CAST(__x AS DECIMAL(19,0)) AS __x,
+               CAST(__y AS DECIMAL(19,0)) AS __y
+        FROM pu
+    ), m AS (
+        SELECT __arm,
+               CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(__x) AS DECIMAL(38,0)) AS __sx,
+               CAST(sum(__y) AS DECIMAL(38,0)) AS __sy,
+               CAST(sum(__x * __x) AS DECIMAL(38,0)) AS __sxx,
+               CAST(sum(__x * __y) AS DECIMAL(38,0)) AS __sxy,
+               CAST(sum(__y * __y) AS DECIMAL(38,0)) AS __syy
+        FROM armed GROUP BY 1
+    ), cells AS (
+        SELECT __arm, __n,
+            CASE WHEN __sy > 0 THEN
+                 CAST(__sx AS DOUBLE) / CAST(__sy AS DOUBLE) END AS __r,
+            sqrt(greatest(CAST(0 AS DOUBLE),
+                CASE WHEN __sy > 0 AND __n > 0 THEN
+                ((CAST(__sxx AS DOUBLE) / CAST(__n AS DOUBLE)
+                  - (CAST(__sx AS DOUBLE) / CAST(__n AS DOUBLE))
+                    * (CAST(__sx AS DOUBLE) / CAST(__n AS DOUBLE)))
+                 - CAST(2 AS DOUBLE)
+                   * (CAST(__sx AS DOUBLE) / CAST(__sy AS DOUBLE))
+                   * (CAST(__sxy AS DOUBLE) / CAST(__n AS DOUBLE)
+                      - (CAST(__sx AS DOUBLE) / CAST(__n AS DOUBLE))
+                        * (CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE)))
+                 + (CAST(__sx AS DOUBLE) / CAST(__sy AS DOUBLE))
+                   * (CAST(__sx AS DOUBLE) / CAST(__sy AS DOUBLE))
+                   * (CAST(__syy AS DOUBLE) / CAST(__n AS DOUBLE)
+                      - (CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))
+                        * (CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))))
+                / (CAST(__n AS DOUBLE)
+                   * ((CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))
+                      * (CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))))
+                END)) AS __se
+        FROM m
+    ), agg AS (
+        SELECT
+            CAST(sum(CASE WHEN __arm = 0 THEN __n ELSE 0 END) AS BIGINT)
+                AS n_a,
+            sum(CASE WHEN __arm = 0 THEN 1 ELSE 0 END * __r) AS __ra,
+            sum(CASE WHEN __arm = 0 THEN 1 ELSE 0 END * __se) AS __sea,
+            CAST(sum(CASE WHEN __arm = 1 THEN __n ELSE 0 END) AS BIGINT)
+                AS n_b,
+            sum(CASE WHEN __arm = 1 THEN 1 ELSE 0 END * __r) AS __rb,
+            sum(CASE WHEN __arm = 1 THEN 1 ELSE 0 END * __se) AS __seb
+        FROM cells
+    )
+    SELECT n_a,
+           round(__ra / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS ratio_a,
+           round(__sea / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS se_a,
+           n_b,
+           round(__rb / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS ratio_b,
+           round(__seb / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS se_b,
+           round((__ra - __rb) / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6
+               AS diff,
+           round(CASE WHEN sqrt(__sea * __sea + __seb * __seb) > 0 THEN
+                 (__ra - __rb) / sqrt(__sea * __sea + __seb * __seb)
+                 END * 1e6, 0) / 1e6 AS z,
+           abs(CASE WHEN sqrt(__sea * __sea + __seb * __seb) > 0 THEN
+               (__ra - __rb) / sqrt(__sea * __sea + __seb * __seb)
+               END) > CAST({z_crit} AS DOUBLE) AS significant
+    FROM agg
+    """

@@ -433,3 +433,103 @@ def logrank_test_sql(
            END AS chi2
     FROM terms WHERE __dd > 0
     """
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013; Uno 2014):
+    the area under the Kaplan-Meier curve up to the clinically chosen
+    horizon ``tau`` — the model-free effect size for censored
+    durations ("average event-free days within the first tau days"),
+    robust where median survival is undefined because the curve never
+    crosses 0.5.
+
+    Composes :func:`kaplan_meier` and integrates the step function
+    exactly: ``RMST = min(t_1, tau) + sum_i S(t_i) * (min(t_{i+1},
+    tau) - t_i)`` over event times ``t_i < tau`` (the leading segment
+    has S = 1 by definition). Returns one row:
+    ``(tau, n_event_times, rmst)``.
+
+    Exactness: each rectangle ``S * dt`` is one double expression over
+    the KM row's (rounded) survival and the exact duration deltas,
+    folded as nano-unit integers; the lead/fold windows run over the
+    BOUNDED distinct-duration frame (the KM convention).
+    """
+    km = kaplan_meier(df, duration_col, event_col)
+    w = Window.orderBy("t")
+    lead_t = F.lead("t").over(w)
+    first_t = F.first("t").over(
+        Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    seg = km.select(
+        "t",
+        "survival",
+        F.coalesce(lead_t, F.lit(float(tau))).alias("__nx"),
+        first_t.alias("__t1"),
+    )
+    dt = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("__nx"), F.lit(float(tau))) - F.col("t"),
+    )
+    term = F.when(
+        F.col("t") < tau,
+        F.round(F.col("survival") * dt * F.lit(1e9), 0).cast("bigint"),
+    ).otherwise(F.lit(0))
+    return seg.agg(
+        F.lit(float(tau)).alias("tau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        (
+            F.round(
+                (
+                    F.least(F.max("__t1"), F.lit(float(tau)))
+                    + F.sum(term) / F.lit(1e9)
+                )
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6)
+        ).alias("rmst"),
+    )
+
+
+def rmst_sql(
+    subjects_subquery: str,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+) -> str:
+    """DuckDB twin of :func:`rmst` — composes the KM twin, identical
+    lead/clamp/fold expressions."""
+    km = kaplan_meier_sql(subjects_subquery, duration_col, event_col)
+    return f"""
+    WITH km AS MATERIALIZED ({km}
+    ), seg AS (
+        SELECT t, survival,
+               COALESCE(lead(t) OVER (ORDER BY t),
+                        CAST({tau} AS DOUBLE)) AS __nx,
+               first_value(t) OVER (
+                   ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING
+               ) AS __t1
+        FROM km
+    )
+    SELECT CAST({tau} AS DOUBLE) AS tau,
+           CAST(count(*) AS BIGINT) AS n_event_times,
+           round((least(max(__t1), CAST({tau} AS DOUBLE))
+                  + CAST(sum(CASE WHEN t < {tau} THEN
+                        CAST(round(survival
+                             * greatest(CAST(0 AS DOUBLE),
+                                        least(__nx, CAST({tau} AS DOUBLE))
+                                        - t)
+                             * 1e9, 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) / 1e9)
+                 * 1e6, 0) / 1e6 AS rmst
+    FROM seg
+    """

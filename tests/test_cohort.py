@@ -812,3 +812,56 @@ def test_segment_ab_bh_rejects_planted_segments(spark):
             continue
         exact = min(1.0, 2 * 0.5 * math.erfc(abs(r["z"]) / math.sqrt(2)))
         assert abs(r["p_value"] - exact) < 5e-7 + 1e-6
+
+
+def test_ratio_metric_delta_laws(spark):
+    """Constant per-user ratio -> zero delta-method variance and a
+    NULL z (no detectable difference); a planted arm-level ratio shift
+    is detected with |z| large; ratios match hand sums."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.functions.hashing import h60
+    from pytrousse_spark.operators.cohort import ratio_metric_delta
+
+    t0 = dt.datetime(2024, 1, 1)
+    # every user: 2 views, purchases 10.0 -> ratio 5.0/view in both arms
+    rows = []
+    for u in range(100):
+        rows += [(u, "view", 0.0, t0), (u, "view", 0.0, t0)]
+        rows.append((u, "purchase", 10.0, t0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, ts timestamp"
+    )
+    r = ratio_metric_delta(
+        df, "user_id", "event_type", "purchase", "value", "view"
+    ).collect()[0]
+    assert r["ratio_a"] == 5.0 and r["ratio_b"] == 5.0
+    assert r["se_a"] == 0.0 and r["se_b"] == 0.0
+    assert r["z"] is None and r["significant"] is None
+
+    # planted: arm 0 spends 20 per purchase, arm 1 spends 5
+    users = spark.range(400).select(
+        F.col("id").alias("u"),
+        (h60(F.concat(F.lit("ab|"), F.col("id").cast("string"))) % 2)
+        .cast("int")
+        .alias("arm"),
+    ).collect()
+    rows2 = []
+    for rr in users:
+        u, a = rr["u"], rr["arm"]
+        nviews = 1 + u % 3
+        for k in range(nviews):
+            rows2.append((u, "view", 0.0, t0))
+        spend = 20.0 if a == 0 else 5.0
+        if u % 2 == 0:
+            rows2.append((u, "purchase", spend + u % 5, t0))
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, event_type string, value double, ts timestamp"
+    )
+    r2 = ratio_metric_delta(
+        df2, "user_id", "event_type", "purchase", "value", "view"
+    ).collect()[0]
+    assert r2["ratio_a"] > r2["ratio_b"]
+    assert r2["significant"] is True and r2["z"] > 3

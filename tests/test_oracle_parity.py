@@ -131,7 +131,7 @@ def test_registry_head_round6_plan():
     families. No r2-evidence query may remain past the head."""
     names = list(entrymod.queries())
     head = names[:50]
-    n_new = 29
+    n_new = 31
     assert head[:n_new] == [
         "q169_dataset_roundtrip", "q170_rank_transform_auto",
         "q171_png_rgb_roundtrip", "q172_k_anonymity_enforce",
@@ -146,6 +146,7 @@ def test_registry_head_round6_plan():
         "q192_pca2", "q193_seasonal_mase",
         "q194_position_attribution_scalable", "q195_rfm",
         "q196_ab_mde", "q197_segment_ab_bh",
+        "q198_ratio_metric", "q199_rmst",
     ]
     r2 = {
         "q40_dedup_exact", "q41_dup_census", "q42_minhash",

@@ -142,3 +142,32 @@ def test_logrank_hand_example_and_laws(spark):
         "g string, dur double, e int",
     )
     assert logrank_test(sep, "g", "dur", "e").collect()[0]["chi2"] > 30
+
+
+def test_rmst_hand_example_and_laws(spark):
+    """Hand-checked step integral; no censoring + tau beyond last
+    event -> RMST = mean duration; tau before the first event ->
+    RMST = tau (S = 1 throughout)."""
+    from pytrousse_spark.operators.survival import rmst
+
+    # durations 2 (event), 4 (event), 6 (censored): S=2/3 on [2,4),
+    # S=1/3 on [4, tau)
+    df = spark.createDataFrame(
+        [(2.0, 1), (4.0, 1), (6.0, 0)], "d double, e int"
+    )
+    r = rmst(df, "d", "e", tau=5.0).collect()[0]
+    # 1*2 + (2/3)*2 + (1/3)*1 = 2 + 1.333333 + 0.333333
+    expect = 2 + (2 / 3) * 2 + (1 / 3) * 1
+    assert abs(r["rmst"] - expect) < 2e-6
+    assert r["tau"] == 5.0 and r["n_event_times"] == 2
+
+    # no censoring, tau past everything: RMST == mean duration
+    df2 = spark.createDataFrame(
+        [(1.0, 1), (3.0, 1), (5.0, 1)], "d double, e int"
+    )
+    r2 = rmst(df2, "d", "e", tau=10.0).collect()[0]
+    assert abs(r2["rmst"] - 3.0) < 2e-6
+
+    # tau before the first event: curve is 1 on [0, tau]
+    r3 = rmst(df2, "d", "e", tau=0.5).collect()[0]
+    assert r3["rmst"] == 0.5
