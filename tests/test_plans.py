@@ -268,3 +268,37 @@ def test_q182_sq8_scoring_broadcasts_queries(spark):
     # the query frame broadcasts; scoring is expression-only on top
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round6_continuation_plan_shapes(spark):
+    """Scale pins for the q186-q199 additions: KS never sorts the fact
+    union globally (only the bounded bucket grid windows); the moment
+    aggregations (CUPED / DiD / PCA / ratio) broadcast their tiny stat
+    frames and never cartesian; RFM's three sketch-rank passes keep
+    the user frame off SortMergeJoin."""
+    plan = _plan(spark, "q186_ks_drift")
+    assert "CartesianProduct" not in plan
+    # stats attach via a 1-row broadcast, bucket offsets broadcast too
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    for name in ("q188_cuped", "q189_diff_in_diff", "q192_pca2",
+                 "q198_ratio_metric"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+    plan = _plan(spark, "q195_rfm")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # stats + CDF joins broadcast
+
+
+def test_q194_no_pairwise_or_range_join(spark):
+    """Same defining property as q177: the scalable position
+    attribution joins only on equi keys — no range predicates inside
+    join conditions, no cartesians, no nested-loop joins."""
+    plan = _plan(spark, "q194_position_attribution_scalable")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [l for l in plan.splitlines() if "Join [" in l or "Join (" in l]
+    for j in joins:
+        assert "<=" not in j and "<" not in j.replace("<=", ""), j
