@@ -4700,6 +4700,30 @@ def _sql_q199() -> str:
     )
 
 
+def q200_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained in-engine on
+    the documents corpus (labels = lang) and read back as the
+    resubstitution confusion matrix + accuracy — the *trained* sibling
+    of the heuristic lang_id gate (q98), the CCNet/fastText corpus-LID
+    shape (McCallum & Nigam 1998; Wenzek et al. 2020). Model = two
+    corpus aggs; scoring = one token-keyed join against the sparse
+    aggregated model (operators/classifier.naive_bayes_confusion)."""
+    from pytrousse_spark.operators.classifier import naive_bayes_confusion
+
+    d = _t(spark, sf_dir, "documents")
+    return naive_bayes_confusion(d, "text", "lang", "doc_id")
+
+
+def _sql_q200() -> str:
+    from pytrousse_spark.operators.classifier import (
+        naive_bayes_confusion_sql,
+    )
+
+    return naive_bayes_confusion_sql(
+        "SELECT * FROM documents", "text", "lang", "doc_id"
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6205,6 +6229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_segment_ab_bh": q197_segment_ab_bh,
         "q198_ratio_metric": q198_ratio_metric,
         "q199_rmst": q199_rmst,
+        "q200_naive_bayes": q200_naive_bayes,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6789,6 +6814,7 @@ def oracle_sql() -> dict[str, str]:
         "q197_segment_ab_bh": _sql_q197(),
         "q198_ratio_metric": _sql_q198(),
         "q199_rmst": _sql_q199(),
+        "q200_naive_bayes": _sql_q200(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1344,3 +1344,305 @@ def conformal_interval_sql(
            END AS coverage
     FROM st CROSS JOIN qrow q
     """
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    alpha: int = 1,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained IN the engine and read back as a
+    resubstitution confusion matrix — the classic bag-of-words baseline
+    (McCallum & Nigam 1998) that public corpus pipelines reach for when
+    the heuristic language/quality gates need a *trained* sibling
+    (CCNet's fastText LID, Wenzek et al. 2020, is this shape with
+    character n-grams).
+
+    Training is two corpus-sized aggregations: per-(class, token)
+    counts and per-class token totals; the model is the sparse
+    (class, token) weight frame plus C per-class scalars — the data
+    never moves to the driver. Scoring decomposes the multinomial
+    log-likelihood around the unseen-token default ``w0(c) =
+    ln(alpha / (n_c + V))``::
+
+        score(d, c) = ln(docs_c / docs_total)      -- prior
+                    + len(d) * w0(c)                -- every token default
+                    + sum over observed (c, t) pairs of
+                      cnt(d, t) * (w(c, t) - w0(c)) -- sparse correction
+
+    so the only big join is doc-token counts against the aggregated
+    sparse model, keyed by token — no dense C x V grid, no per-class
+    corpus scan. Prediction is the per-doc argmax with a deterministic
+    (score desc, class asc) tie-break.
+
+    Engine-exactness: every log weight is ``ln`` of a SINGLE division
+    of exact integers (deterministic across engines) rounded to
+    nano-units as BIGINT at the model row; doc scores are pure integer
+    folds of those nano weights, immune to float fold order. Rows with
+    NULL text, label, or id are dropped (documented contract).
+
+    Returns ``(actual, predicted, n, accuracy)`` — at most C^2 rows,
+    ``accuracy`` the corpus-wide diagonal share repeated per row.
+
+    Scale: token explode -> two hash aggs (map-side combine) for the
+    model; scoring is one token-keyed shuffle join (model side
+    aggregated, bounded by observed (class, token) pairs) + one
+    C-per-doc window; classes/vocab frames are 1-to-C-row broadcasts.
+    Reference parity: this is the trained sibling of the heuristic
+    lang_id gate (reference has no classifier; beyond-reference
+    LLM-pipeline surface).
+    """
+    from pyspark.sql.window import Window
+
+    a = int(alpha)
+    if a < 1:
+        raise ValueError("naive_bayes_confusion: alpha must be >= 1")
+    nn = df.where(
+        F.col(text_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    staged = nn.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__y"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    doc_tok = staged.select(
+        "__id", "__y", F.explode("__toks").alias("__tok")
+    )
+    # -- model ---------------------------------------------------------
+    pair = doc_tok.groupBy("__y", "__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nct")
+    )
+    cls = doc_tok.groupBy("__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nc")
+    )
+    priors = staged.groupBy("__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__docs")
+    )
+    vocab = doc_tok.agg(
+        F.count_distinct(F.col("__tok")).cast("bigint").alias("__v"),
+    )
+    tot = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dt")
+    )
+    classes = (
+        cls.join(priors, "__y")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__y",
+            "__nc",
+            F.round(
+                F.log(
+                    F.col("__docs").cast("double")
+                    / F.col("__dt").cast("double")
+                )
+                * F.lit(1e9),
+                0,
+            )
+            .cast("bigint")
+            .alias("__prior_nano"),
+            F.round(
+                F.log(
+                    F.lit(a).cast("double")
+                    / (F.col("__nc") + F.col("__v")).cast("double")
+                )
+                * F.lit(1e9),
+                0,
+            )
+            .cast("bigint")
+            .alias("__w0_nano"),
+        )
+    )
+    pair_w = (
+        pair.join(F.broadcast(classes.select("__y", "__nc", "__w0_nano")), "__y")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__y",
+            "__tok",
+            (
+                F.round(
+                    F.log(
+                        (F.col("__nct") + F.lit(a)).cast("double")
+                        / (F.col("__nc") + F.col("__v")).cast("double")
+                    )
+                    * F.lit(1e9),
+                    0,
+                ).cast("bigint")
+                - F.col("__w0_nano")
+            ).alias("__wadj_nano"),
+        )
+    )
+    # -- scoring -------------------------------------------------------
+    dt_cnt = doc_tok.groupBy("__id", "__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    adj = (
+        dt_cnt.join(
+            pair_w.withColumnRenamed("__y", "__c"), "__tok"
+        )
+        .groupBy("__id", "__c")
+        .agg(
+            F.sum(F.col("__cnt") * F.col("__wadj_nano"))
+            .cast("bigint")
+            .alias("__adj_nano")
+        )
+    )
+    docs = staged.select(
+        "__id", "__y", F.size("__toks").cast("bigint").alias("__len")
+    )
+    base = docs.crossJoin(
+        F.broadcast(
+            classes.select(
+                F.col("__y").alias("__c"), "__prior_nano", "__w0_nano"
+            )
+        )
+    ).select(
+        "__id",
+        "__y",
+        "__c",
+        (
+            F.col("__prior_nano") + F.col("__len") * F.col("__w0_nano")
+        ).alias("__base_nano"),
+    )
+    scored = base.join(adj, ["__id", "__c"], "left").select(
+        "__id",
+        "__y",
+        "__c",
+        (
+            F.col("__base_nano") + F.coalesce(F.col("__adj_nano"), F.lit(0))
+        ).alias("__score_nano"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__score_nano").desc(), F.col("__c").asc()
+    )
+    pred = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__id", "__y", F.col("__c").alias("__pred"))
+    )
+    conf = pred.groupBy("__y", "__pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        conf.select(
+            F.col("__y").alias("actual"),
+            F.col("__pred").alias("predicted"),
+            "n",
+            F.round(
+                F.sum(
+                    F.when(F.col("__y") == F.col("__pred"), F.col("n"))
+                    .otherwise(F.lit(0))
+                ).over(wall)
+                / F.sum("n").over(wall).cast("double")
+                * F.lit(1e6),
+                0,
+            ).alias("__accm"),
+        )
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            (F.col("__accm") / F.lit(1e6)).alias("accuracy"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+def naive_bayes_confusion_sql(
+    table_expr: str,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    alpha: int = 1,
+) -> str:
+    """DuckDB twin of :func:`naive_bayes_confusion` — identical token
+    staging, nano-unit ln weights from single exact-integer divisions,
+    integer score folds, and (score desc, class asc) argmax."""
+    a = int(alpha)
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH staged AS MATERIALIZED (
+        SELECT {id_col} AS __id, {label_col} AS __y, {toks} AS __toks
+        FROM ({table_expr})
+        WHERE {text_col} IS NOT NULL AND {label_col} IS NOT NULL
+          AND {id_col} IS NOT NULL
+    ), doc_tok AS MATERIALIZED (
+        SELECT __id, __y, unnest(__toks) AS __tok FROM staged
+    ), pair AS (
+        SELECT __y, __tok, CAST(count(*) AS BIGINT) AS __nct
+        FROM doc_tok GROUP BY __y, __tok
+    ), cls AS (
+        SELECT __y, CAST(count(*) AS BIGINT) AS __nc
+        FROM doc_tok GROUP BY __y
+    ), priors AS (
+        SELECT __y, CAST(count(*) AS BIGINT) AS __docs
+        FROM staged GROUP BY __y
+    ), vocab AS (
+        SELECT CAST(count(DISTINCT __tok) AS BIGINT) AS __v FROM doc_tok
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS __dt FROM staged
+    ), classes AS (
+        SELECT c.__y, c.__nc,
+               CAST(round(ln(CAST(p.__docs AS DOUBLE)
+                             / CAST(t.__dt AS DOUBLE)) * 1e9, 0)
+                    AS BIGINT) AS __prior_nano,
+               CAST(round(ln(CAST({a} AS DOUBLE)
+                             / CAST(c.__nc + v.__v AS DOUBLE)) * 1e9, 0)
+                    AS BIGINT) AS __w0_nano
+        FROM cls c JOIN priors p ON c.__y = p.__y
+        CROSS JOIN vocab v CROSS JOIN tot t
+    ), pair_w AS (
+        SELECT pr.__y, pr.__tok,
+               CAST(round(ln(CAST(pr.__nct + {a} AS DOUBLE)
+                             / CAST(k.__nc + v.__v AS DOUBLE)) * 1e9, 0)
+                    AS BIGINT) - k.__w0_nano AS __wadj_nano
+        FROM pair pr JOIN classes k ON pr.__y = k.__y
+        CROSS JOIN vocab v
+    ), dt_cnt AS (
+        SELECT __id, __tok, CAST(count(*) AS BIGINT) AS __cnt
+        FROM doc_tok GROUP BY __id, __tok
+    ), adj AS (
+        SELECT d.__id, pw.__y AS __c,
+               CAST(sum(d.__cnt * pw.__wadj_nano) AS BIGINT) AS __adj_nano
+        FROM dt_cnt d JOIN pair_w pw ON d.__tok = pw.__tok
+        GROUP BY d.__id, pw.__y
+    ), docs AS (
+        SELECT __id, __y, CAST(len(__toks) AS BIGINT) AS __len FROM staged
+    ), base AS (
+        SELECT d.__id, d.__y, k.__y AS __c,
+               k.__prior_nano + d.__len * k.__w0_nano AS __base_nano
+        FROM docs d CROSS JOIN classes k
+    ), scored AS (
+        SELECT b.__id, b.__y, b.__c,
+               b.__base_nano + COALESCE(a2.__adj_nano, 0) AS __score_nano
+        FROM base b LEFT JOIN adj a2
+          ON b.__id = a2.__id AND b.__c = a2.__c
+    ), pred AS (
+        SELECT __id, __y, __c AS __pred
+        FROM (
+            SELECT __id, __y, __c,
+                   row_number() OVER (
+                       PARTITION BY __id
+                       ORDER BY __score_nano DESC, __c ASC
+                   ) AS __rn
+            FROM scored
+        ) WHERE __rn = 1
+    ), conf AS (
+        SELECT __y AS actual, __pred AS predicted,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY __y, __pred
+    )
+    SELECT actual, predicted, n,
+           round(sum(CASE WHEN actual = predicted THEN n ELSE 0 END)
+                     OVER ()
+                 / CAST(sum(n) OVER () AS DOUBLE) * 1e6, 0) / 1e6
+               AS accuracy
+    FROM conf ORDER BY actual, predicted
+    """

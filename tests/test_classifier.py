@@ -370,3 +370,41 @@ def test_conformal_interval_laws(spark):
     assert rt["q_hat"] is None and rt["coverage"] is None
     with _pytest.raises(ValueError):
         conformal_interval(df, "pred", "actual", alpha=0.0)
+
+
+def test_naive_bayes_separable_and_laws(spark):
+    """NB laws: (1) fully separable vocabularies -> perfect diagonal and
+    accuracy 1.0; (2) confusion counts conserve the doc count; (3) a
+    doc symmetric between two classes tie-breaks to the smaller class
+    string; (4) NULL text/label/id rows are dropped per contract."""
+    from pytrousse_spark.operators.classifier import naive_bayes_confusion
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "apple banana cherry", "fruit"))
+    for i in range(20, 45):
+        rows.append((i, "carrot potato onion", "veg"))
+    rows.append((99, None, "fruit"))
+    rows.append((98, "apple", None))
+    rows.append((None, "apple", "fruit"))
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = naive_bayes_confusion(df, "text", "lang", "doc_id").collect()
+    by = {(r["actual"], r["predicted"]): r["n"] for r in out}
+    assert by == {("fruit", "fruit"): 20, ("veg", "veg"): 25}
+    assert all(r["accuracy"] == 1.0 for r in out)
+    assert sum(r["n"] for r in out) == 45  # NULL rows dropped
+
+    # symmetric two-class corpus: every doc scores identically under
+    # both classes -> argmax tie-break predicts the smaller label 'a'
+    sym = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "x y", "b")],
+        "doc_id int, text string, lang string",
+    )
+    so = naive_bayes_confusion(sym, "text", "lang", "doc_id").collect()
+    sby = {(r["actual"], r["predicted"]): r["n"] for r in so}
+    assert sby == {("a", "a"): 1, ("b", "a"): 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        naive_bayes_confusion(df, "text", "lang", "doc_id", alpha=0)
