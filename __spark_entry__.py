@@ -4724,6 +4724,31 @@ def _sql_q200() -> str:
     )
 
 
+def q201_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump (one-split CART weak learner) on document length
+    predicting lang='en' — the interpretable threshold rule beside the
+    logreg quality gate (q110 family): 32-bin histogram + prefix sums
+    on the bounded grid, weighted-Gini argmin with micro-unit
+    knife-edge-safe ranking (operators/classifier.decision_stump)."""
+    from pytrousse_spark.operators.classifier import decision_stump
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return decision_stump(d, "n_chars", "y", 32)
+
+
+def _sql_q201() -> str:
+    from pytrousse_spark.operators.classifier import decision_stump_sql
+
+    return decision_stump_sql(
+        "SELECT n_chars, CAST(lang = 'en' AS INT) AS y FROM documents",
+        "n_chars",
+        "y",
+        32,
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6230,6 +6255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_ratio_metric": q198_ratio_metric,
         "q199_rmst": q199_rmst,
         "q200_naive_bayes": q200_naive_bayes,
+        "q201_decision_stump": q201_decision_stump,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6815,6 +6841,7 @@ def oracle_sql() -> dict[str, str]:
         "q198_ratio_metric": _sql_q198(),
         "q199_rmst": _sql_q199(),
         "q200_naive_bayes": _sql_q200(),
+        "q201_decision_stump": _sql_q201(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

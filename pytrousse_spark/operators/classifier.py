@@ -1646,3 +1646,269 @@ def naive_bayes_confusion_sql(
                AS accuracy
     FROM conf ORDER BY actual, predicted
     """
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    num_bins: int = 32,
+) -> DataFrame:
+    """One-split decision tree (a "stump" — the weak learner of
+    Breiman's CART family and every boosting paper since Freund &
+    Schapire 1996) over a single numeric feature, trained IN the
+    engine: bin the feature into ``num_bins`` equal-width bins, take
+    prefix sums over the bounded bin grid, and pick the split that
+    minimizes the weighted Gini impurity ``2*(posL*negL/nL +
+    posR*negR/nR)``.
+
+    Returns ONE row: ``(n, split_bin, threshold, n_left, n_right,
+    pos_rate_left, pos_rate_right, gini_split, gini_root, accuracy)``
+    where ``accuracy`` is the majority-vote resubstitution accuracy of
+    the chosen split. If every value lands in one bin (e.g. a constant
+    feature) there is no valid split and the split fields are NULL —
+    the degenerate contract, not an error.
+
+    Engine-exactness: bin counts and prefix sums are exact BIGINT
+    folds; the Gini cost is doubles derived from those exact integers
+    with the identical expression shape in both engines, then rounded
+    to micro-units for the argmin so a knife-edge cost cannot rank
+    differently; ties break to the smallest bin. NULL feature/label
+    rows are dropped (documented contract).
+
+    Scale: one scan for (min, max), one scan into a num_bins-cell hash
+    agg (map-side combine), then all split search happens on the
+    broadcast-sized bin grid — nothing downstream of the two scans
+    depends on row count.
+    """
+    from pyspark.sql.window import Window
+
+    B = int(num_bins)
+    if B < 2:
+        raise ValueError("decision_stump: num_bins must be >= 2")
+    v = F.col(feature_col).cast("double")
+    y = F.col(label_col).cast("bigint")
+    nn = df.where(v.isNotNull() & y.isNotNull()).select(
+        v.alias("__v"), y.alias("__y")
+    )
+    st = nn.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__y").cast("bigint").alias("__pos"),
+    )
+    binned = nn.crossJoin(F.broadcast(st)).select(
+        F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * F.lit(B)
+                ).cast("int"),
+                F.lit(B - 1),
+            )
+        )
+        .alias("__b"),
+        "__y",
+    )
+    hist = binned.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nb"),
+        F.sum("__y").cast("bigint").alias("__pb"),
+    )
+    spark = df.sparkSession
+    dense = (
+        spark.range(B)
+        .select(F.col("id").cast("int").alias("__b"))
+        .join(F.broadcast(hist), "__b", "left")
+        .select(
+            "__b",
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("bigint").alias("__nb"),
+            F.coalesce(F.col("__pb"), F.lit(0)).cast("bigint").alias("__pb"),
+        )
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dense.select(
+        "__b",
+        F.sum("__nb").over(w).cast("bigint").alias("__cn"),
+        F.sum("__pb").over(w).cast("bigint").alias("__cp"),
+    ).where(F.col("__b") < B - 1)
+    cand = cum.crossJoin(F.broadcast(st)).select(
+        "__b",
+        "__cn",
+        "__cp",
+        "__n",
+        "__pos",
+        "__lo",
+        "__hi",
+        (
+            F.lit(2.0)
+            * (
+                (F.col("__cp") * (F.col("__cn") - F.col("__cp")))
+                .cast("double")
+                / F.col("__cn").cast("double")
+                + (
+                    (F.col("__pos") - F.col("__cp"))
+                    * (
+                        (F.col("__n") - F.col("__cn"))
+                        - (F.col("__pos") - F.col("__cp"))
+                    )
+                )
+                .cast("double")
+                / (F.col("__n") - F.col("__cn")).cast("double")
+            )
+        ).alias("__cost"),
+    ).where((F.col("__cn") > 0) & (F.col("__cn") < F.col("__n")))
+    best = cand.select(
+        F.min(
+            F.struct(
+                F.round(F.col("__cost") * F.lit(1e6), 0)
+                .cast("bigint")
+                .alias("__cm"),
+                F.col("__b").alias("__bb"),
+                F.col("__cn").alias("__bcn"),
+                F.col("__cp").alias("__bcp"),
+            )
+        ).alias("__best")
+    ).select(
+        F.col("__best.__cm").alias("__cm"),
+        F.col("__best.__bb").alias("__bb"),
+        F.col("__best.__bcn").alias("__bcn"),
+        F.col("__best.__bcp").alias("__bcp"),
+    )
+    out = F.broadcast(st).crossJoin(F.broadcast(best))
+    nl = F.col("__bcn")
+    nr = F.col("__n") - nl
+    pl = F.col("__bcp")
+    pr = F.col("__pos") - pl
+    maj = (
+        F.greatest(pl, nl - pl) + F.greatest(pr, nr - pr)
+    ).cast("double")
+    return out.select(
+        F.col("__n").alias("n"),
+        F.col("__bb").alias("split_bin"),
+        (
+            F.round(
+                (
+                    F.col("__lo")
+                    + (F.col("__bb") + 1).cast("double")
+                    * (F.col("__hi") - F.col("__lo"))
+                    / F.lit(B)
+                )
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6)
+        ).alias("threshold"),
+        nl.alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        (
+            F.round(pl.cast("double") / nl.cast("double") * F.lit(1e6), 0)
+            / F.lit(1e6)
+        ).alias("pos_rate_left"),
+        (
+            F.round(pr.cast("double") / nr.cast("double") * F.lit(1e6), 0)
+            / F.lit(1e6)
+        ).alias("pos_rate_right"),
+        (F.col("__cm") / F.lit(1e6)).alias("gini_split"),
+        (
+            F.round(
+                F.lit(2.0)
+                * (F.col("__pos") * (F.col("__n") - F.col("__pos")))
+                .cast("double")
+                / F.col("__n").cast("double")
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6)
+        ).alias("gini_root"),
+        (
+            F.round(maj / F.col("__n").cast("double") * F.lit(1e6), 0)
+            / F.lit(1e6)
+        ).alias("accuracy"),
+    )
+
+
+def decision_stump_sql(
+    table_expr: str, feature_col: str, label_col: str, num_bins: int = 32
+) -> str:
+    """DuckDB twin of :func:`decision_stump` — identical binning,
+    exact-integer prefix sums, micro-unit argmin, and tie-break."""
+    B = int(num_bins)
+    return f"""
+    WITH nn AS MATERIALIZED (
+        SELECT CAST({feature_col} AS DOUBLE) AS __v,
+               CAST({label_col} AS BIGINT) AS __y
+        FROM ({table_expr})
+        WHERE {feature_col} IS NOT NULL AND {label_col} IS NOT NULL
+    ), st AS MATERIALIZED (
+        SELECT min(__v) AS __lo, max(__v) AS __hi,
+               CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(__y) AS BIGINT) AS __pos
+        FROM nn
+    ), hist AS (
+        SELECT CASE WHEN st.__hi = st.__lo THEN 0
+                    ELSE LEAST(CAST(floor((__v - st.__lo)
+                                          / (st.__hi - st.__lo) * {B})
+                               AS INT), {B - 1}) END AS __b,
+               CAST(count(*) AS BIGINT) AS __nb,
+               CAST(sum(__y) AS BIGINT) AS __pb
+        FROM nn CROSS JOIN st
+        GROUP BY 1
+    ), dense AS (
+        SELECT CAST(g.b AS INT) AS __b,
+               CAST(COALESCE(h.__nb, 0) AS BIGINT) AS __nb,
+               CAST(COALESCE(h.__pb, 0) AS BIGINT) AS __pb
+        FROM generate_series(0, {B - 1}) AS g(b)
+        LEFT JOIN hist h ON h.__b = g.b
+    ), cum AS (
+        SELECT __b,
+               CAST(sum(__nb) OVER (ORDER BY __b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS __cn,
+               CAST(sum(__pb) OVER (ORDER BY __b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS __cp
+        FROM dense
+        QUALIFY __b < {B - 1}
+    ), cand AS (
+        SELECT c.__b, c.__cn, c.__cp,
+               2.0 * (CAST(c.__cp * (c.__cn - c.__cp) AS DOUBLE)
+                          / CAST(c.__cn AS DOUBLE)
+                      + CAST((st.__pos - c.__cp)
+                             * ((st.__n - c.__cn) - (st.__pos - c.__cp))
+                             AS DOUBLE)
+                          / CAST(st.__n - c.__cn AS DOUBLE)) AS __cost
+        FROM cum c CROSS JOIN st
+        WHERE c.__cn > 0 AND c.__cn < st.__n
+    ), best AS (
+        SELECT CAST(round(__cost * 1e6, 0) AS BIGINT) AS __cm,
+               __b AS __bb, __cn AS __bcn, __cp AS __bcp
+        FROM cand
+        ORDER BY CAST(round(__cost * 1e6, 0) AS BIGINT), __b
+        LIMIT 1
+    )
+    SELECT st.__n AS n, b.__bb AS split_bin,
+           round((st.__lo + CAST(b.__bb + 1 AS DOUBLE)
+                            * (st.__hi - st.__lo) / {B}) * 1e6, 0) / 1e6
+               AS threshold,
+           b.__bcn AS n_left,
+           CAST(st.__n - b.__bcn AS BIGINT) AS n_right,
+           round(CAST(b.__bcp AS DOUBLE)
+                 / CAST(b.__bcn AS DOUBLE) * 1e6, 0) / 1e6
+               AS pos_rate_left,
+           round(CAST(st.__pos - b.__bcp AS DOUBLE)
+                 / CAST(st.__n - b.__bcn AS DOUBLE) * 1e6, 0) / 1e6
+               AS pos_rate_right,
+           b.__cm / 1e6 AS gini_split,
+           round(2.0 * CAST(st.__pos * (st.__n - st.__pos) AS DOUBLE)
+                 / CAST(st.__n AS DOUBLE) * 1e6, 0) / 1e6 AS gini_root,
+           round(CAST(GREATEST(b.__bcp, b.__bcn - b.__bcp)
+                      + GREATEST(st.__pos - b.__bcp,
+                                 (st.__n - b.__bcn)
+                                 - (st.__pos - b.__bcp)) AS DOUBLE)
+                 / CAST(st.__n AS DOUBLE) * 1e6, 0) / 1e6 AS accuracy
+    FROM st LEFT JOIN best b ON TRUE
+    """

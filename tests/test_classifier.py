@@ -408,3 +408,37 @@ def test_naive_bayes_separable_and_laws(spark):
 
     with _pytest.raises(ValueError):
         naive_bayes_confusion(df, "text", "lang", "doc_id", alpha=0)
+
+
+def test_decision_stump_laws(spark):
+    """Stump laws: (1) a perfectly separable feature reaches gini 0 and
+    accuracy 1 with the threshold between the clusters; (2)
+    n_left + n_right conserves n; (3) a constant feature has no valid
+    split -> NULL split fields (degenerate contract, not an error);
+    (4) NULL rows dropped."""
+    from pytrousse_spark.operators.classifier import decision_stump
+
+    rows = [(float(i), 0) for i in range(50)] + [
+        (float(i), 1) for i in range(100, 150)
+    ]
+    rows += [(None, 1), (5.0, None)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    r = decision_stump(df, "x", "y", 32).collect()[0]
+    assert r["n"] == 100
+    assert r["gini_split"] == 0.0 and r["accuracy"] == 1.0
+    assert 49.0 < r["threshold"] < 101.0, r["threshold"]
+    assert r["n_left"] + r["n_right"] == r["n"]
+    assert r["pos_rate_left"] == 0.0 and r["pos_rate_right"] == 1.0
+    assert r["gini_root"] == 50.0  # 2 * 50*50/100
+
+    const = spark.createDataFrame(
+        [(1.0, i % 2) for i in range(10)], "x double, y int"
+    )
+    rc = decision_stump(const, "x", "y", 32).collect()[0]
+    assert rc["n"] == 10 and rc["split_bin"] is None
+    assert rc["threshold"] is None and rc["gini_split"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decision_stump(df, "x", "y", 1)
