@@ -4749,6 +4749,34 @@ def _sql_q201() -> str:
     )
 
 
+def q202_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between early- and
+    late-January purchase values — the location-shift sibling of the
+    q186 KS shape test, over the same split: binned-rank 2U fold (the
+    q175 AUC identity), tie-corrected variance with a HUGEINT/DECIMAL
+    tie fold, A&S normal-tail p-value
+    (profiling.mann_whitney_u)."""
+    from pytrousse_spark.profiling import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    return mann_whitney_u(
+        pur.where(F.col("ts") < "2024-01-16"),
+        pur.where(F.col("ts") >= "2024-01-16"),
+        "value",
+    )
+
+
+def _sql_q202() -> str:
+    from pytrousse_spark.profiling import mann_whitney_u_sql
+
+    base = (
+        "SELECT value FROM events WHERE event_type = 'purchase' AND ts {} "
+        "TIMESTAMP '2024-01-16'"
+    )
+    return mann_whitney_u_sql(base.format("<"), base.format(">="), "value")
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6256,6 +6284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_rmst": q199_rmst,
         "q200_naive_bayes": q200_naive_bayes,
         "q201_decision_stump": q201_decision_stump,
+        "q202_mann_whitney": q202_mann_whitney,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6842,6 +6871,7 @@ def oracle_sql() -> dict[str, str]:
         "q199_rmst": _sql_q199(),
         "q200_naive_bayes": _sql_q200(),
         "q201_decision_stump": _sql_q201(),
+        "q202_mann_whitney": _sql_q202(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

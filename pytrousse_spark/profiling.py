@@ -1515,3 +1515,218 @@ def categorical_association_sql(
                  END * 1e6, 0) / 1e6 AS nmi
     FROM folded f CROSS JOIN hx h1 CROSS JOIN hy h2
     """
+
+
+def mann_whitney_u(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    value_col: str,
+    num_bins: int = 4096,
+    alpha: float = 0.05,
+) -> "DataFrame":
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test — the
+    LOCATION-shift sibling of :func:`ks_two_sample` (which tests the
+    whole shape): nonparametric "is sample A stochastically larger
+    than sample B", the robust alternative to the t-test every
+    metrics-drift runbook reaches for when values are heavy-tailed.
+
+    Computed over a pooled ``num_bins`` equal-width histogram (rows
+    sharing a bin are ties — the binned-rank device q175's AUC gate
+    already certifies; U and AUC are the same fold:
+    ``2U = sum_i a_i * (2 * b_below_i + b_i)``, an exact BIGINT pair
+    count). The normal approximation uses the tie-corrected variance
+    ``var = n_a*n_b/12 * ((n+1) - sum(t^3 - t)/(n(n-1)))`` (Lehmann,
+    Nonparametrics 1975), with the tie fold accumulated in DECIMAL /
+    HUGEINT so a fully-tied 1e8-row bin cannot overflow; the two-sided
+    p-value comes from the shared A&S 7.1.26 normal-tail polynomial.
+
+    Returns one row: ``(n_a, n_b, u, cles, z, p_value, reject)`` —
+    ``u`` is A's U statistic (halves exact in a double), ``cles`` the
+    common-language effect size ``U/(n_a*n_b)`` (= the AUC of A vs B),
+    ``z``/``p_value`` NULL when either sample is empty or the variance
+    is 0 (all values tied in one bin).
+
+    Scale: one pooled scan for (min, max), one scan into a B-cell hash
+    agg, then a B-bounded window + one-row finalize — never a global
+    rank over rows.
+    """
+    from pyspark.sql.window import Window
+
+    from .operators.cohort import _phi_tail_sql
+
+    B = int(num_bins)
+    if B < 2:
+        raise ValueError("mann_whitney_u: num_bins must be >= 2")
+    va = F.col(value_col).cast("double")
+    pooled = (
+        df_a.where(va.isNotNull()).select(
+            va.alias("__v"), F.lit(1).alias("__ia"), F.lit(0).alias("__ib")
+        )
+    ).unionByName(
+        df_b.where(va.isNotNull()).select(
+            va.alias("__v"), F.lit(0).alias("__ia"), F.lit(1).alias("__ib")
+        )
+    )
+    stats = pooled.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    binned = pooled.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * F.lit(B)
+                ).cast("long"),
+                F.lit(B - 1),
+            )
+        )
+        .alias("__b"),
+        "__ia",
+        "__ib",
+    )
+    hist = binned.groupBy("__b").agg(
+        F.sum("__ia").cast("bigint").alias("__na"),
+        F.sum("__ib").cast("bigint").alias("__nb"),
+    )
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "__b",
+        "__na",
+        "__nb",
+        F.coalesce(F.sum("__nb").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("__bbelow"),
+    )
+    t = (F.col("__na") + F.col("__nb")).cast("decimal(38,0)")
+    fold = cum.agg(
+        F.sum("__na").cast("bigint").alias("__n1"),
+        F.sum("__nb").cast("bigint").alias("__n2"),
+        F.sum(F.col("__na") * (2 * F.col("__bbelow") + F.col("__nb")))
+        .cast("bigint")
+        .alias("__u2"),
+        F.sum(t * t * t - t).cast("decimal(38,0)").alias("__tt"),
+    )
+    n1 = F.col("__n1")
+    n2 = F.col("__n2")
+    n = n1 + n2
+    var = (
+        (n1 * n2).cast("double")
+        / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("__tt").cast("double")
+            / (n * (n - 1)).cast("double")
+        )
+    )
+    z = (F.col("__u2").cast("double") - (n1 * n2).cast("double")) / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    ok = (n1 > 0) & (n2 > 0)
+    out = fold.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        F.when(ok, F.col("__u2").cast("double") / F.lit(2.0)).alias("u"),
+        F.when(
+            ok,
+            F.round(
+                F.col("__u2").cast("double")
+                / (F.lit(2.0) * (n1 * n2).cast("double"))
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6),
+        ).alias("cles"),
+        F.when(ok & (var > 0), F.round(z * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "z"
+        ),
+        F.when(ok & (var > 0), z).alias("__zraw"),
+    )
+    p = F.lit(2.0) * F.expr(_phi_tail_sql("abs(__zraw)"))
+    return out.select(
+        "n_a",
+        "n_b",
+        "u",
+        "cles",
+        "z",
+        (F.round(p * F.lit(1e6), 0) / F.lit(1e6)).alias("p_value"),
+        (F.round(p * F.lit(1e6), 0) / F.lit(1e6) < F.lit(float(alpha))).alias(
+            "reject"
+        ),
+    )
+
+
+def mann_whitney_u_sql(
+    a_subquery: str,
+    b_subquery: str,
+    value_col: str,
+    num_bins: int = 4096,
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_u` — identical pooled
+    binning, exact 2U fold, HUGEINT tie fold, and the shared A&S
+    normal-tail polynomial."""
+    from .operators.cohort import _phi_tail_sql
+
+    B = int(num_bins)
+    phi = _phi_tail_sql("abs(__zraw)")
+    return f"""
+    WITH pooled AS MATERIALIZED (
+        SELECT CAST({value_col} AS DOUBLE) AS __v, 1 AS __ia, 0 AS __ib
+        FROM ({a_subquery}) WHERE {value_col} IS NOT NULL
+        UNION ALL
+        SELECT CAST({value_col} AS DOUBLE) AS __v, 0 AS __ia, 1 AS __ib
+        FROM ({b_subquery}) WHERE {value_col} IS NOT NULL
+    ), st AS MATERIALIZED (
+        SELECT min(__v) AS __lo, max(__v) AS __hi FROM pooled
+    ), hist AS (
+        SELECT CASE WHEN st.__hi = st.__lo THEN 0
+                    ELSE LEAST(CAST(floor((__v - st.__lo)
+                                          / (st.__hi - st.__lo) * {B})
+                               AS BIGINT), {B - 1}) END AS __b,
+               CAST(sum(__ia) AS BIGINT) AS __na,
+               CAST(sum(__ib) AS BIGINT) AS __nb
+        FROM pooled CROSS JOIN st
+        GROUP BY 1
+    ), cum AS (
+        SELECT __b, __na, __nb,
+               CAST(COALESCE(sum(__nb) OVER (ORDER BY __b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS __bbelow
+        FROM hist
+    ), fold AS (
+        SELECT CAST(sum(__na) AS BIGINT) AS __n1,
+               CAST(sum(__nb) AS BIGINT) AS __n2,
+               CAST(sum(__na * (2 * __bbelow + __nb)) AS BIGINT) AS __u2,
+               sum(CAST(__na + __nb AS HUGEINT)
+                   * (__na + __nb) * (__na + __nb)
+                   - (__na + __nb)) AS __tt
+        FROM cum
+    ), z AS (
+        SELECT __n1, __n2, __u2,
+               (CAST(__n1 * __n2 AS DOUBLE) / 12.0
+                * (CAST(__n1 + __n2 + 1 AS DOUBLE)
+                   - CAST(__tt AS DOUBLE)
+                     / CAST((__n1 + __n2) * (__n1 + __n2 - 1) AS DOUBLE)))
+                   AS __var,
+               (CAST(__u2 AS DOUBLE) - CAST(__n1 * __n2 AS DOUBLE))
+                   AS __num
+        FROM fold
+    ), zz AS (
+        SELECT *,
+               CASE WHEN __n1 > 0 AND __n2 > 0 AND __var > 0
+                    THEN __num / (2.0 * sqrt(__var)) END AS __zraw
+        FROM z
+    )
+    SELECT __n1 AS n_a, __n2 AS n_b,
+           CASE WHEN __n1 > 0 AND __n2 > 0
+                THEN CAST(__u2 AS DOUBLE) / 2.0 END AS u,
+           CASE WHEN __n1 > 0 AND __n2 > 0
+                THEN round(CAST(__u2 AS DOUBLE)
+                           / (2.0 * CAST(__n1 * __n2 AS DOUBLE))
+                           * 1e6, 0) / 1e6 END AS cles,
+           round(__zraw * 1e6, 0) / 1e6 AS z,
+           round(2.0 * {phi} * 1e6, 0) / 1e6 AS p_value,
+           round(2.0 * {phi} * 1e6, 0) / 1e6
+               < CAST({float(alpha)!r} AS DOUBLE) AS reject
+    FROM zz
+    """

@@ -472,3 +472,39 @@ def test_categorical_association_laws(spark):
     r = categorical_association(withnull, "x", "y").collect()[0]
     assert r["r"] == 2 and r["c"] == 2  # NULL class counted
     assert r["cramers_v"] == 1.0
+
+
+def test_mann_whitney_laws(spark):
+    """MW laws: (1) fully separated samples give U = 0 / cles = 0;
+    (2) identical samples give cles = 0.5 and p ~ 1; (3) a
+    hand-computed no-ties example matches the textbook z and p;
+    (4) all values tied -> variance 0 -> z/p NULL."""
+    from pytrousse_spark.profiling import mann_whitney_u
+
+    def mk(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+    r = mann_whitney_u(mk([1, 2, 3]), mk([4, 5, 6]), "value").collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["u"] == 0.0 and r["cles"] == 0.0
+    assert r["z"] < 0
+
+    same = mann_whitney_u(mk([1, 2, 3, 4]), mk([1, 2, 3, 4]), "value").collect()[0]
+    assert same["cles"] == 0.5
+    assert abs(same["z"]) < 1e-9
+    assert same["p_value"] == 1.0
+
+    # hand-computed: A={1,2}, B={3,4}: U=0, var=n1*n2*(n+1)/12=5/3,
+    # z=-2/sqrt(5/3)=-1.549193, p=2*(1-Phi(1.549193))=0.121335
+    h = mann_whitney_u(mk([1, 2]), mk([3, 4]), "value").collect()[0]
+    assert h["u"] == 0.0
+    assert abs(h["z"] - (-1.549193)) < 1e-5, h["z"]
+    assert abs(h["p_value"] - 0.121335) < 1e-4, h["p_value"]
+
+    tied = mann_whitney_u(mk([7, 7, 7]), mk([7, 7]), "value").collect()[0]
+    assert tied["cles"] == 0.5 and tied["z"] is None and tied["p_value"] is None
+
+    empty = mann_whitney_u(mk([]), mk([1.0]), "value")
+    # empty A: u/cles/z/p NULL, counts still real
+    re = empty.collect()[0]
+    assert re["n_a"] == 0 and re["u"] is None
