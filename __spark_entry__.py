@@ -4777,6 +4777,29 @@ def _sql_q202() -> str:
     return mann_whitney_u_sql(base.format("<"), base.format(">="), "value")
 
 
+def q203_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(n) ~ K*n^beta over the
+    documents corpus in doc-id ingestion order — the corpus-health
+    readout beside the Zipf fit (q105): 32 checkpoint points from two
+    bounded-grid prefix folds (first-occurrence counting via min-doc-id
+    per token — the q157 bucket-prefix device), nano-unit log-log OLS.
+    The oracle recomputes every checkpoint with PLAIN filtered
+    aggregates, certifying the decomposition
+    (operators/corpus.heaps_law_fit)."""
+    from pytrousse_spark.operators.corpus import heaps_law_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_law_fit(d, "text", "doc_id", 32)
+
+
+def _sql_q203() -> str:
+    from pytrousse_spark.operators.corpus import heaps_law_fit_sql
+
+    return heaps_law_fit_sql(
+        "SELECT * FROM documents", "text", "doc_id", 32
+    )
+
+
 def q168_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill tail-index estimate over order totals (Hill 1975): alpha
     from the top-200 order statistics via TakeOrderedAndProject + one
@@ -6285,6 +6308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_naive_bayes": q200_naive_bayes,
         "q201_decision_stump": q201_decision_stump,
         "q202_mann_whitney": q202_mann_whitney,
+        "q203_heaps_law": q203_heaps_law,
         # -- head: r2-only evidence — all sixteen q40-q54 families,
         # -- three rounds stale, quadratic baselines included ---------------
         "q40_dedup_exact": q40_dedup_exact,
@@ -6872,6 +6896,7 @@ def oracle_sql() -> dict[str, str]:
         "q200_naive_bayes": _sql_q200(),
         "q201_decision_stump": _sql_q201(),
         "q202_mann_whitney": _sql_q202(),
+        "q203_heaps_law": _sql_q203(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

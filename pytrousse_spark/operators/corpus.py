@@ -164,3 +164,235 @@ def clean_corpus_sql(
     SELECT {id_col}, n_tokens, quality FROM survivors
     WHERE {id_col} NOT IN (SELECT id_b FROM ({pairs}))
     """
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_checkpoints: int = 32,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit ``V(n) ~ K * n^beta`` (Heaps
+    1978; Herdan 1960) — the corpus-health readout beside the Zipf
+    token fit (q105): sublinear vocabulary growth (beta ~ 0.4-0.6 for
+    natural text) is what dedup'd organic corpora look like; beta near
+    1 flags boilerplate/ID-like token floods, beta near 0 flags a
+    template loop.
+
+    The growth curve is evaluated at ``num_checkpoints`` document-id
+    grid points (ingestion order): at checkpoint g, ``n`` = tokens in
+    docs with id <= g and ``V`` = distinct tokens whose FIRST
+    occurrence (min doc id per token) is <= g — so the whole curve
+    costs two bounded-grid prefix folds, never a per-doc running
+    distinct count. The log-log OLS fit runs over the checkpoint
+    frame in nano-unit integers: ``beta = (C*Sxy - Sx*Sy) /
+    (C*Sxx - Sx^2)`` with every sum an exact DECIMAL(38,0)/HUGEINT
+    fold of ``round(ln * 1e9)`` terms, fold-order-free; K and r2 are
+    closed forms of the same sums.
+
+    Returns one row: ``(points, total_tokens, vocab, beta, k, r2)``;
+    fit fields NULL when fewer than 2 usable checkpoints (empty corpus
+    or a single doc-id value).
+
+    Scale: one token explode feeding (a) a per-token min-doc-id agg
+    and (b) per-doc token counts; both reduce onto the C-bucket grid
+    by integer bucket index and prefix-sum over the BOUNDED grid —
+    no data-sized window, no global sort (the q157/q186 bucket-prefix
+    device applied to first-occurrence counting).
+    """
+    from pyspark.sql.window import Window
+
+    C = int(num_checkpoints)
+    if C < 2:
+        raise ValueError("heaps_law_fit: num_checkpoints must be >= 2")
+    nn = df.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        tx.tokens(F.col(text_col)).alias("__toks"),
+    )
+    st = nn.agg(
+        F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
+    )
+    # bucket index 0..C-1 by doc id position in [lo, hi]
+    def bucket(idc):
+        return (
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (idc - F.col("__lo")).cast("double")
+                        / (F.col("__hi") - F.col("__lo")).cast("double")
+                        * F.lit(C)
+                    ).cast("int"),
+                    F.lit(C - 1),
+                )
+            )
+        )
+
+    doc_tok = nn.select("__id", F.explode("__toks").alias("__tok"))
+    first = doc_tok.groupBy("__tok").agg(F.min("__id").alias("__fid"))
+    vper = (
+        first.crossJoin(F.broadcast(st))
+        .groupBy(bucket(F.col("__fid")).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__vb"))
+    )
+    tper = (
+        nn.select("__id", F.size("__toks").cast("bigint").alias("__len"))
+        .crossJoin(F.broadcast(st))
+        .groupBy(bucket(F.col("__id")).alias("__b"))
+        .agg(F.sum("__len").cast("bigint").alias("__tb"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(C).select(F.col("id").cast("int").alias("__b"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        grid.join(F.broadcast(vper), "__b", "left")
+        .join(F.broadcast(tper), "__b", "left")
+        .select(
+            "__b",
+            F.sum(F.coalesce(F.col("__tb"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("__n"),
+            F.sum(F.coalesce(F.col("__vb"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("__v"),
+        )
+        .where((F.col("__n") > 0) & (F.col("__v") > 0))
+    )
+    x = F.round(F.log(F.col("__n").cast("double")) * F.lit(1e9), 0).cast(
+        "decimal(38,0)"
+    )
+    y = F.round(F.log(F.col("__v").cast("double")) * F.lit(1e9), 0).cast(
+        "decimal(38,0)"
+    )
+    fold = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.max("__n").cast("bigint").alias("__ntot"),
+        F.max("__v").cast("bigint").alias("__vtot"),
+        F.sum(x).cast("decimal(38,0)").alias("__sx"),
+        F.sum(y).cast("decimal(38,0)").alias("__sy"),
+        F.sum(x * y).cast("decimal(38,0)").alias("__sxy"),
+        F.sum(x * x).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(y * y).cast("decimal(38,0)").alias("__syy"),
+    )
+    c = F.col("__c")
+    dxx = (
+        c.cast("double") * F.col("__sxx").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sx").cast("double")
+    )
+    dyy = (
+        c.cast("double") * F.col("__syy").cast("double")
+        - F.col("__sy").cast("double") * F.col("__sy").cast("double")
+    )
+    dxy = (
+        c.cast("double") * F.col("__sxy").cast("double")
+        - F.col("__sx").cast("double") * F.col("__sy").cast("double")
+    )
+    beta = dxy / dxx
+    lnk = (
+        F.col("__sy").cast("double") - beta * F.col("__sx").cast("double")
+    ) / (c.cast("double") * F.lit(1e9))
+    ok = (c >= 2) & (dxx > 0)
+    return fold.select(
+        c.alias("points"),
+        F.col("__ntot").alias("total_tokens"),
+        F.col("__vtot").alias("vocab"),
+        F.when(ok, F.round(beta * F.lit(1e6), 0) / F.lit(1e6)).alias("beta"),
+        F.when(ok, F.round(F.exp(lnk) * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "k"
+        ),
+        F.when(
+            ok & (dyy > 0),
+            F.round(dxy * dxy / (dxx * dyy) * F.lit(1e6), 0) / F.lit(1e6),
+        ).alias("r2"),
+    )
+
+
+def heaps_law_fit_sql(
+    table_expr: str,
+    text_col: str,
+    id_col: str,
+    num_checkpoints: int = 32,
+) -> str:
+    """DuckDB twin of :func:`heaps_law_fit` — deliberately the PLAIN
+    formulation: each checkpoint's (n, V) is computed by a direct
+    filtered aggregate over the corpus (count distinct tokens in docs
+    with id <= g), so the oracle certifies the bucket-prefix
+    decomposition itself, not just the fit arithmetic."""
+    C = int(num_checkpoints)
+    toks = tx.tokens_sql(text_col)
+    return f"""
+    WITH nn AS MATERIALIZED (
+        SELECT CAST({id_col} AS BIGINT) AS __id, {toks} AS __toks
+        FROM ({table_expr})
+        WHERE {text_col} IS NOT NULL AND {id_col} IS NOT NULL
+    ), st AS MATERIALIZED (
+        SELECT min(__id) AS __lo, max(__id) AS __hi FROM nn
+    ), doc_tok AS MATERIALIZED (
+        SELECT __id, unnest(__toks) AS __tok FROM nn
+    ), grid AS (
+        SELECT CAST(gs.b AS INT) AS __b
+        FROM generate_series(0, {C - 1}) AS gs(b)
+    ), pts0 AS (
+        SELECT g.__b,
+               (SELECT CAST(COALESCE(sum(len(n2.__toks)), 0) AS BIGINT)
+                FROM nn n2 CROSS JOIN st
+                WHERE CASE WHEN st.__hi = st.__lo THEN 0
+                           ELSE LEAST(CAST(floor(
+                               CAST(n2.__id - st.__lo AS DOUBLE)
+                               / CAST(st.__hi - st.__lo AS DOUBLE)
+                               * {C}) AS INT), {C - 1}) END <= g.__b
+               ) AS __n,
+               (SELECT CAST(count(DISTINCT d2.__tok) AS BIGINT)
+                FROM doc_tok d2 CROSS JOIN st
+                WHERE CASE WHEN st.__hi = st.__lo THEN 0
+                           ELSE LEAST(CAST(floor(
+                               CAST(d2.__id - st.__lo AS DOUBLE)
+                               / CAST(st.__hi - st.__lo AS DOUBLE)
+                               * {C}) AS INT), {C - 1}) END <= g.__b
+               ) AS __v
+        FROM grid g
+    ), pts AS (
+        SELECT __b, __n, __v FROM pts0 WHERE __n > 0 AND __v > 0
+    ), terms AS (
+        SELECT __n, __v,
+               CAST(round(ln(CAST(__n AS DOUBLE)) * 1e9, 0) AS HUGEINT)
+                   AS __x,
+               CAST(round(ln(CAST(__v AS DOUBLE)) * 1e9, 0) AS HUGEINT)
+                   AS __y
+        FROM pts
+    ), fold AS (
+        SELECT CAST(count(*) AS BIGINT) AS __c,
+               CAST(max(__n) AS BIGINT) AS __ntot,
+               CAST(max(__v) AS BIGINT) AS __vtot,
+               sum(__x) AS __sx, sum(__y) AS __sy,
+               sum(__x * __y) AS __sxy,
+               sum(__x * __x) AS __sxx,
+               sum(__y * __y) AS __syy
+        FROM terms
+    ), d AS (
+        SELECT *,
+               CAST(__c AS DOUBLE) * CAST(__sxx AS DOUBLE)
+                   - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE) AS __dxx,
+               CAST(__c AS DOUBLE) * CAST(__syy AS DOUBLE)
+                   - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE) AS __dyy,
+               CAST(__c AS DOUBLE) * CAST(__sxy AS DOUBLE)
+                   - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE) AS __dxy
+        FROM fold
+    )
+    SELECT __c AS points, __ntot AS total_tokens, __vtot AS vocab,
+           CASE WHEN __c >= 2 AND __dxx > 0 THEN
+             round(__dxy / __dxx * 1e6, 0) / 1e6 END AS beta,
+           CASE WHEN __c >= 2 AND __dxx > 0 THEN
+             round(exp((CAST(__sy AS DOUBLE)
+                        - (__dxy / __dxx) * CAST(__sx AS DOUBLE))
+                       / (CAST(__c AS DOUBLE) * 1e9)) * 1e6, 0) / 1e6
+           END AS k,
+           CASE WHEN __c >= 2 AND __dxx > 0 AND __dyy > 0 THEN
+             round(__dxy * __dxy / (__dxx * __dyy) * 1e6, 0) / 1e6
+           END AS r2
+    FROM d
+    """

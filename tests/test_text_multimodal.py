@@ -481,3 +481,35 @@ def test_winnow_two_stage_equals_single_expression(spark, docs):
     a = {r["doc_id"]: [(p["pos"], p["fp"]) for p in r["f"]] for r in one.collect()}
     b = {r["doc_id"]: [(p["pos"], p["fp"]) for p in r["f"]] for r in two.collect()}
     assert a == b
+
+
+def test_heaps_law_fit_laws(spark):
+    """Heaps laws: (1) every doc all-new tokens -> V = n exactly ->
+    beta = 1, K = 1, r2 = 1; (2) constant vocabulary -> beta ~ 0;
+    (3) totals are the exact corpus counts; (4) a single-doc corpus
+    collapses every checkpoint to one (n, V) point -> zero x-variance
+    -> NULL fit fields."""
+    from pytrousse_spark.operators.corpus import heaps_law_fit
+
+    fresh = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(5))) for i in range(64)],
+        "doc_id int, text string",
+    )
+    r = heaps_law_fit(fresh, "text", "doc_id", 32).collect()[0]
+    assert r["total_tokens"] == 320 and r["vocab"] == 320
+    assert r["beta"] == 1.0 and r["k"] == 1.0 and r["r2"] == 1.0
+
+    const = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(64)],
+        "doc_id int, text string",
+    )
+    rc = heaps_law_fit(const, "text", "doc_id", 32).collect()[0]
+    assert rc["vocab"] == 3 and rc["total_tokens"] == 192
+    assert abs(rc["beta"]) < 0.05, rc["beta"]
+
+    single = spark.createDataFrame(
+        [(7, "a b c")], "doc_id int, text string"
+    )
+    rs = heaps_law_fit(single, "text", "doc_id", 32).collect()[0]
+    assert rs["points"] == 32 and rs["beta"] is None and rs["k"] is None
+    assert rs["total_tokens"] == 3 and rs["vocab"] == 3
