@@ -6258,82 +6258,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness battery processes the registry in order with a 50-row
     budget (CORRECTNESS_r02-r05 cover exactly the first 50 entries).
 
-    Round-6 head (the r5 VERDICT's item 1, enforced by the freshness
-    self-check in tests/test_oracle_parity.py — which was deliberately
-    RED at round-5 judge time because the driver wrote
-    CORRECTNESS_r05.json after the final commit; this rotation is the
-    prescribed fix): first the four queries with NO driver row in any
-    CORRECTNESS_r*.json (new this round: q169-q172), then ALL sixteen
-    r2-evidence families q40-q54 (three rounds stale, including the
-    five declared-quadratic baselines), then the 30 oldest r3 families
-    in registry order (q01/q10/q11/q51b/q55-q81). The remaining r3
-    queries (q82-q100 era) head the tail — same evidence round as the
-    head's r3 block, so the oldest-first invariant holds — followed by
-    r4 then r5 evidence, newest last. Every entry, head or tail, runs
-    the identical type-faithful DuckDB-parity check in
-    tests/test_oracle_parity.py regardless of driver budget."""
+    Round-7 head (freshness self-check in tests/test_oracle_parity.py,
+    computed from the CORRECTNESS_r*.json history): new never-checked
+    gates first, then q54 (the ONE remaining r2-evidence query — it sat
+    at slot 51 in round 6 and missed the budget by one), then the
+    oldest r3 families in registry order filling the 50. The tail
+    continues r3 → r4 → r5 → r6, newest evidence last. Every entry,
+    head or tail, runs the identical type-faithful DuckDB-parity check
+    in tests/test_oracle_parity.py regardless of driver budget."""
     return {
-        # -- head: zero driver evidence (new this round) --------------------
-        "q169_dataset_roundtrip": q169_dataset_roundtrip,
-        "q170_rank_transform_auto": q170_rank_transform_auto,
-        "q171_png_rgb_roundtrip": q171_png_rgb_roundtrip,
-        "q172_k_anonymity_enforce": q172_k_anonymity_enforce,
-        "q173_t_closeness": q173_t_closeness,
-        "q174_dp_counts": q174_dp_counts,
-        "q175_auc": q175_auc,
-        "q176_record_linkage": q176_record_linkage,
-        "q177_linear_attribution_scalable": q177_linear_attribution_scalable,
-        "q178_kaplan_meier": q178_kaplan_meier,
-        "q179_roc_curve": q179_roc_curve,
-        "q180_auc_grouped": q180_auc_grouped,
-        "q181_bootstrap_ci": q181_bootstrap_ci,
-        "q182_sq8_topk": q182_sq8_topk,
-        "q183_conformal": q183_conformal,
-        "q184_km_grouped": q184_km_grouped,
-        "q185_logrank": q185_logrank,
-        "q186_ks_drift": q186_ks_drift,
-        "q187_cat_association": q187_cat_association,
-        "q188_cuped": q188_cuped,
-        "q189_diff_in_diff": q189_diff_in_diff,
-        "q190_position_attribution": q190_position_attribution,
-        "q191_assortativity": q191_assortativity,
-        "q192_pca2": q192_pca2,
-        "q193_seasonal_mase": q193_seasonal_mase,
-        "q194_position_attribution_scalable": q194_position_attribution_scalable,
-        "q195_rfm": q195_rfm,
-        "q196_ab_mde": q196_ab_mde,
-        "q197_segment_ab_bh": q197_segment_ab_bh,
-        "q198_ratio_metric": q198_ratio_metric,
-        "q199_rmst": q199_rmst,
-        "q200_naive_bayes": q200_naive_bayes,
-        "q201_decision_stump": q201_decision_stump,
-        "q202_mann_whitney": q202_mann_whitney,
-        "q203_heaps_law": q203_heaps_law,
-        # -- head: r2-only evidence — all sixteen q40-q54 families,
-        # -- three rounds stale, quadratic baselines included ---------------
-        "q40_dedup_exact": q40_dedup_exact,
-        "q41_dup_census": q41_dup_census,
-        "q42_minhash": q42_minhash,
-        "q43_lsh_pairs": q43_lsh_pairs,
-        "q44_jaccard_pairs": q44_jaccard_pairs,
-        "q45_simhash": q45_simhash,
-        "q46_embedding_neardup": q46_embedding_neardup,
-        "q46b_neardup_blas": q46b_neardup_blas,
-        "q47_cosine_topk": q47_cosine_topk,
-        "q48_text_stats": q48_text_stats,
-        "q49_media_meta": q49_media_meta,
-        "q50_frame_sample": q50_frame_sample,
-        "q51_asof_join": q51_asof_join,
-        "q52_range_join": q52_range_join,
-        "q53_group_zscore": q53_group_zscore,
+        # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
-        # -- head: oldest r3 evidence, registry order ------------------------
+        # -- head: oldest r3 evidence, registry order (fills the 50) -------
         "q01_pricing_summary": q01_pricing_summary,
         "q10_events_hourly": q10_events_hourly,
         "q11_sessionize": q11_sessionize,
         "q51b_asof_forward": q51b_asof_forward,
-        # -- tail (position >50): r3 evidence (same round as the head's r3
-        # -- block — oldest-first invariant holds), then r4, then r5 --------
         "q55_near_dedup": q55_near_dedup,
         "q56_embedding_neardup_lsh": q56_embedding_neardup_lsh,
         "q57_ivf_topk": q57_ivf_topk,
@@ -6379,7 +6319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_langid_confusion": q98_langid_confusion,
         "q99_hll_distinct": q99_hll_distinct,
         "q100_histogram_quantiles": q100_histogram_quantiles,
-        # -- tail: fresh green r4 driver rows (newest evidence, last) ------
+        # -- tail: r4 evidence, oldest-first invariant holds --------------
         "q68_pack_sequences": q68_pack_sequences,
         "q101_ivf_pq": q101_ivf_pq,
         "q102_csv_roundtrip": q102_csv_roundtrip,
@@ -6430,7 +6370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_contingency_chi2": q147_contingency_chi2,
         "q148_ab_test": q148_ab_test,
         "q149_gini": q149_gini,
-        # -- tail: fresh green r5 driver rows (newest evidence, last) ------
+        # -- tail: r5 evidence, oldest-first invariant holds --------------
         "q02_top_revenue_orders": q02_top_revenue_orders,
         "q03_nation_volume": q03_nation_volume,
         "q04_filter_agg": q04_filter_agg,
@@ -6481,6 +6421,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_cusum": q166_cusum,
         "q167_linear_attribution": q167_linear_attribution,
         "q168_hill_tail": q168_hill_tail,
+        # -- tail: r6 evidence, oldest-first invariant holds --------------
+        "q169_dataset_roundtrip": q169_dataset_roundtrip,
+        "q170_rank_transform_auto": q170_rank_transform_auto,
+        "q171_png_rgb_roundtrip": q171_png_rgb_roundtrip,
+        "q172_k_anonymity_enforce": q172_k_anonymity_enforce,
+        "q173_t_closeness": q173_t_closeness,
+        "q174_dp_counts": q174_dp_counts,
+        "q175_auc": q175_auc,
+        "q176_record_linkage": q176_record_linkage,
+        "q177_linear_attribution_scalable": q177_linear_attribution_scalable,
+        "q178_kaplan_meier": q178_kaplan_meier,
+        "q179_roc_curve": q179_roc_curve,
+        "q180_auc_grouped": q180_auc_grouped,
+        "q181_bootstrap_ci": q181_bootstrap_ci,
+        "q182_sq8_topk": q182_sq8_topk,
+        "q183_conformal": q183_conformal,
+        "q184_km_grouped": q184_km_grouped,
+        "q185_logrank": q185_logrank,
+        "q186_ks_drift": q186_ks_drift,
+        "q187_cat_association": q187_cat_association,
+        "q188_cuped": q188_cuped,
+        "q189_diff_in_diff": q189_diff_in_diff,
+        "q190_position_attribution": q190_position_attribution,
+        "q191_assortativity": q191_assortativity,
+        "q192_pca2": q192_pca2,
+        "q193_seasonal_mase": q193_seasonal_mase,
+        "q194_position_attribution_scalable": q194_position_attribution_scalable,
+        "q195_rfm": q195_rfm,
+        "q196_ab_mde": q196_ab_mde,
+        "q197_segment_ab_bh": q197_segment_ab_bh,
+        "q198_ratio_metric": q198_ratio_metric,
+        "q199_rmst": q199_rmst,
+        "q200_naive_bayes": q200_naive_bayes,
+        "q201_decision_stump": q201_decision_stump,
+        "q202_mann_whitney": q202_mann_whitney,
+        "q203_heaps_law": q203_heaps_law,
+        "q40_dedup_exact": q40_dedup_exact,
+        "q41_dup_census": q41_dup_census,
+        "q42_minhash": q42_minhash,
+        "q43_lsh_pairs": q43_lsh_pairs,
+        "q44_jaccard_pairs": q44_jaccard_pairs,
+        "q45_simhash": q45_simhash,
+        "q46_embedding_neardup": q46_embedding_neardup,
+        "q46b_neardup_blas": q46b_neardup_blas,
+        "q47_cosine_topk": q47_cosine_topk,
+        "q48_text_stats": q48_text_stats,
+        "q49_media_meta": q49_media_meta,
+        "q50_frame_sample": q50_frame_sample,
+        "q51_asof_join": q51_asof_join,
+        "q52_range_join": q52_range_join,
+        "q53_group_zscore": q53_group_zscore,
     }
 
 

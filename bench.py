@@ -437,6 +437,19 @@ def main() -> None:
     # were taken right after the 12-minute test suite and read as fake
     # regressions; the archived JSON now carries the 1/5/15-minute load
     # averages at start and end so a polluted run is self-identifying.
+    #
+    # r7 hardening: labeling was not enough — BENCH_r06 was still
+    # RECORDED at loadavg_start 4.66 (anchor read 1.102 vs the same
+    # round's idle band 0.834-0.977). Before timing anything, wait for
+    # the 1-minute load to drain below a threshold (default 2.0, i.e.
+    # ~6% of 32 cores), checking every 10 s, bounded at 5 minutes so a
+    # genuinely busy host still produces a (self-labeled) number.
+    cool_thresh = float(os.environ.get("SPARK_GRAFT_LOAD_THRESH", "2.0"))
+    cool_max = float(os.environ.get("SPARK_GRAFT_COOLDOWN_MAX_SEC", "300"))
+    waited = 0.0
+    while os.getloadavg()[0] > cool_thresh and waited < cool_max:
+        time.sleep(10)
+        waited += 10
     load_start = [round(x, 2) for x in os.getloadavg()]
 
     spark = get_spark(app_name="pytrousse-bench")
@@ -519,6 +532,7 @@ def main() -> None:
                 # recording always keeps them
                 "loadavg_start": load_start,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "cooldown_wait_sec": round(waited, 1),
                 "value": total,
                 "sf": sf,
             }

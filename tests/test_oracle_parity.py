@@ -123,40 +123,20 @@ def test_registry_head_is_never_checked_then_oldest_evidence_first():
         )
 
 
-def test_registry_head_round6_plan():
-    """Round-6 head pin (the r5 VERDICT's item 1): the four new gates
-    with zero driver evidence lead, then ALL sixteen r2-evidence
-    families q40-q54 (three rounds stale — the freshness alarm that was
-    deliberately red at round-5 judge time), then 30 oldest-r3
-    families. No r2-evidence query may remain past the head."""
-    names = list(entrymod.queries())
-    head = names[:50]
-    n_new = 31
-    assert head[:n_new] == [
-        "q169_dataset_roundtrip", "q170_rank_transform_auto",
-        "q171_png_rgb_roundtrip", "q172_k_anonymity_enforce",
-        "q173_t_closeness", "q174_dp_counts", "q175_auc",
-        "q176_record_linkage", "q177_linear_attribution_scalable",
-        "q178_kaplan_meier", "q179_roc_curve", "q180_auc_grouped",
-        "q181_bootstrap_ci", "q182_sq8_topk", "q183_conformal",
-        "q184_km_grouped", "q185_logrank",
-        "q186_ks_drift", "q187_cat_association",
-        "q188_cuped", "q189_diff_in_diff",
-        "q190_position_attribution", "q191_assortativity",
-        "q192_pca2", "q193_seasonal_mase",
-        "q194_position_attribution_scalable", "q195_rfm",
-        "q196_ab_mde", "q197_segment_ab_bh",
-        "q198_ratio_metric", "q199_rmst",
-    ]
-    r2 = {
-        "q40_dedup_exact", "q41_dup_census", "q42_minhash",
-        "q43_lsh_pairs", "q44_jaccard_pairs", "q45_simhash",
-        "q46_embedding_neardup", "q46b_neardup_blas", "q47_cosine_topk",
-        "q48_text_stats", "q49_media_meta", "q50_frame_sample",
-        "q51_asof_join", "q52_range_join", "q53_group_zscore",
-        "q54_near_dedup_pairs",
-    }
-    assert set(head[n_new:n_new + 16]) == r2
+def test_registry_head_round7_plan():
+    """Round-7 head pin: all never-checked gates lead (any count), then
+    q54_near_dedup_pairs — the single r2-evidence query left after it
+    missed round 6's 50-budget at slot 51 — then the oldest-r3 families
+    in registry order. Written against the evidence history so it stays
+    green as new gates are inserted at the top during the round."""
     newest = _driver_evidence_rounds()
-    spilled = [n for n in names[50:] if newest.get(n, 99) <= 2]
-    assert not spilled, f"r2-evidence queries past the head: {spilled}"
+    names = list(entrymod.queries())
+    checked = [n for n in names if n in newest]
+    # q54 must be the FIRST entry that has any driver evidence
+    assert checked[0] == "q54_near_dedup_pairs"
+    # every never-checked gate precedes q54
+    i54 = names.index("q54_near_dedup_pairs")
+    assert all(n not in newest for n in names[:i54])
+    # the r3 block follows q54 immediately, ascending evidence after
+    rounds = [newest[n] for n in checked]
+    assert rounds == sorted(rounds), "registry not evidence-ascending"
