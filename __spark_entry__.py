@@ -6245,6 +6245,64 @@ def _sql_q53() -> str:
     """
 
 
+
+def q204_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF table at lags 1..7 on the daily event-value series with the
+    cumulative Ljung-Box portmanteau Q and Wilson-Hilferty p at each
+    lag — the autocorrelation diagnosis beside the seasonal backtest
+    (q193) and CUSUM (q166): n^2-scaled exact-integer ACF folds in
+    DECIMAL(38)/HUGEINT, femto-unit Q cumsum, shared A&S tail
+    (operators/timeseries.acf_ljung_box)."""
+    from pytrousse_spark.operators.timeseries import acf_ljung_box
+
+    ev = _t(spark, sf_dir, "events")
+    return acf_ljung_box(ev, "ts", "value", 7)
+
+
+def _sql_q204() -> str:
+    from pytrousse_spark.operators.timeseries import acf_ljung_box_sql
+
+    return acf_ljung_box_sql("SELECT * FROM events", "ts", "value", 7)
+
+
+def q205_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based change-point test on the daily event-value
+    series — the nonparametric sibling of the CUSUM gate (q166):
+    doubled midranks keep U_t exact BIGINT on the calendar-bounded
+    spine; the single float op is one exp
+    (operators/timeseries.pettitt_test)."""
+    from pytrousse_spark.operators.timeseries import pettitt_test
+
+    ev = _t(spark, sf_dir, "events")
+    return pettitt_test(ev, "ts", "value")
+
+
+def _sql_q205() -> str:
+    from pytrousse_spark.operators.timeseries import pettitt_test_sql
+
+    return pettitt_test_sql("SELECT * FROM events", "ts", "value")
+
+
+def q206_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Sen's slope on the daily
+    event-value series — the distribution-free drift readout beside
+    Pettitt's single-shift alternative: exact-integer S and x18 tie-
+    corrected variance, order-statistic (not float-summed) Sen median,
+    continuity-corrected z through the shared A&S tail; the pair grid
+    is CALENDAR-bounded, never table-sized
+    (operators/timeseries.mann_kendall)."""
+    from pytrousse_spark.operators.timeseries import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_kendall(ev, "ts", "value")
+
+
+def _sql_q206() -> str:
+    from pytrousse_spark.operators.timeseries import mann_kendall_sql
+
+    return mann_kendall_sql("SELECT * FROM events", "ts", "value")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6267,6 +6325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head or tail, runs the identical type-faithful DuckDB-parity check
     in tests/test_oracle_parity.py regardless of driver budget."""
     return {
+        # -- head: zero driver evidence (new this round) --------------------
+        "q204_acf_ljung_box": q204_acf_ljung_box,
+        "q205_pettitt": q205_pettitt,
+        "q206_mann_kendall": q206_mann_kendall,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -6888,6 +6950,9 @@ def oracle_sql() -> dict[str, str]:
         "q201_decision_stump": _sql_q201(),
         "q202_mann_whitney": _sql_q202(),
         "q203_heaps_law": _sql_q203(),
+        "q204_acf_ljung_box": _sql_q204(),
+        "q205_pettitt": _sql_q205(),
+        "q206_mann_kendall": _sql_q206(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1121,3 +1121,630 @@ def seasonal_naive_backtest_sql(
                  END * 1e6, 0) / 1e6 AS mase
     FROM agg
     """
+
+
+def _daily_cents(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Dense calendar-spine daily integer-cent series (the q139/q193
+    convention): one date-keyed map-side-combinable agg over the raw
+    table, densified with 0 for missing days, global day index ``__i``
+    (1-based) from the bounded spine window."""
+    daily = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("__d"),
+            F.round(F.col(value_col).cast("double") * 100, 0)
+            .cast("bigint")
+            .alias("__c"),
+        )
+        .where(F.col("__d").isNotNull())
+        .groupBy("__d")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    rng = daily.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    spine = rng.select(
+        F.explode(
+            F.expr("sequence(__lo, __hi, interval 1 day)")
+        ).alias("__d")
+    )
+    dense = spine.join(daily, "__d", "left").select(
+        "__d", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    w = Window.orderBy("__d")
+    return dense.select(
+        "__d", "__c", F.row_number().over(w).alias("__i")
+    )
+
+
+_DAILY_CENTS_SQL = """
+    WITH __daily AS MATERIALIZED (
+        SELECT CAST({ts} AS DATE) AS __d,
+               CAST(sum(CAST(round(CAST({val} AS DOUBLE) * 100,
+                                   0) AS BIGINT)) AS BIGINT) AS __c
+        FROM ({table}) WHERE {ts} IS NOT NULL
+        GROUP BY 1
+    ), __rng AS (
+        SELECT min(__d) AS __lo, max(__d) AS __hi FROM __daily
+    ), __spine AS (
+        SELECT CAST(unnest(generate_series(CAST(__lo AS TIMESTAMP),
+                       CAST(__hi AS TIMESTAMP), INTERVAL 1 DAY))
+                    AS DATE) AS __d
+        FROM __rng
+    ), __dense AS (
+        SELECT s.__d, COALESCE(d.__c, 0) AS __c,
+               CAST(row_number() OVER (ORDER BY s.__d) AS BIGINT) AS __i
+        FROM __spine s LEFT JOIN __daily d ON d.__d = s.__d
+    )
+"""
+
+
+def acf_ljung_box(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of the daily series at lags 1..K with
+    the cumulative Ljung-Box portmanteau test (Ljung & Box 1978) at
+    each lag — the textbook ACF table every forecasting /
+    autocorrelation diagnosis starts from, beside the seasonal
+    backtest (q193) and CUSUM (q166) gates.
+
+    The series is the dense daily integer-cent sum (q193 convention).
+    For lag k the sample ACF uses the full-series mean and the lag-0
+    denominator (Box-Jenkins):
+
+        r_k = sum_{t<=n-k} (c_t - m)(c_{t+k} - m) / sum_t (c_t - m)^2
+
+    Exactness: multiplying through by n^2 makes BOTH sides exact
+    integers —
+
+        num_k * n^2 = n^2*P_k - n*S*(H_k + T_k) + (n-k)*S^2
+        den   * n^2 = n^2*SS - n*S^2
+
+    with P_k the lag-k cross sum, H_k/T_k the head/tail partial sums,
+    S/SS the full sum and sum of squares, all accumulated in
+    DECIMAL(38,0) (HUGEINT in the twin); r_k is ONE division of
+    identical integers. The Ljung-Box statistic
+    ``Q_k = n(n+2) * sum_{j<=k} r_j^2/(n-j)`` folds per-lag terms as
+    round(r_j^2/(n-j) * 1e15) BIGINT femto-units (fold-order-free),
+    and the p-value maps Q_k through the Wilson-Hilferty cube-root
+    chi-square→normal approximation into the shared A&S 7.1.26 tail.
+
+    Returns K rows: ``(lag, n, acf, lb_q, lb_p)``.
+
+    Scale: ONE date-keyed agg over the raw table; every window runs on
+    the CALENDAR-BOUNDED dense spine (days, not rows), and the lag
+    fan-out is K spine-sized passes stacked by an explode on the
+    bounded grid — the raw table is never windowed or shuffled twice.
+    """
+    dense = _daily_cents(df, ts_col, value_col).select(
+        "__i", F.col("__c").cast("decimal(38,0)").alias("__c")
+    )
+    tot = dense.agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__c").cast("decimal(38,0)").alias("__s"),
+        F.sum(F.col("__c") * F.col("__c"))
+        .cast("decimal(38,0)")
+        .alias("__ss"),
+    )
+    lags = dense.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    # lead() needs a literal offset, so the lag-k pairing index-joins
+    # a shifted copy on the bounded grid instead of K window passes.
+    shifted = dense.select(
+        F.col("__i").alias("__j"), F.col("__c").alias("__ck")
+    )
+    pairs = (
+        F.broadcast(lags)
+        .join(dense, how="cross")
+        .join(
+            shifted,
+            F.col("__j") == F.col("__i") + F.col("lag"),
+            "inner",
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("__c") * F.col("__ck"))
+            .cast("decimal(38,0)")
+            .alias("__p"),
+            F.sum("__c").cast("decimal(38,0)").alias("__h"),
+            F.sum("__ck").cast("decimal(38,0)").alias("__t"),
+        )
+    )
+    n = F.col("__n").cast("decimal(38,0)")
+    num = (
+        n * n * F.col("__p")
+        - n * F.col("__s") * (F.col("__h") + F.col("__t"))
+        + (n - F.col("lag").cast("decimal(38,0)"))
+        * F.col("__s")
+        * F.col("__s")
+    )
+    den = n * n * F.col("__ss") - n * F.col("__s") * F.col("__s")
+    # constant series: den = 0 -> NULL acf (DuckDB's x/0 IS NULL; Spark
+    # ANSI mode would throw, so guard explicitly)
+    r = F.when(
+        den != F.lit(0).cast("decimal(38,0)"),
+        num.cast("double") / den.cast("double"),
+    )
+    per_lag = pairs.join(F.broadcast(tot), how="cross").select(
+        "lag",
+        F.col("__n").alias("n"),
+        r.alias("__r"),
+        # femto-unit Ljung-Box term: r^2 / (n - k), fold-order-free
+        F.round(
+            r * r / (F.col("__n") - F.col("lag")).cast("double")
+            * F.lit(1e15),
+            0,
+        )
+        .cast("bigint")
+        .alias("__lbt"),
+    )
+    wcum = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nn = F.col("n").cast("double")
+    q = nn * (nn + F.lit(2.0)) * (
+        F.sum("__lbt").over(wcum).cast("double") / F.lit(1e15)
+    )
+    staged2 = per_lag.select(
+        "lag",
+        "n",
+        "__r",
+        q.alias("__q"),
+        F.col("lag").cast("double").alias("__k"),
+    )
+    # Wilson-Hilferty: z = ((Q/k)^(1/3) - (1 - 2/(9k))) / sqrt(2/(9k))
+    wh_z = (
+        "((pow(__q / __k, CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))"
+        " - (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)"
+        "    / (CAST(9 AS DOUBLE) * __k)))"
+        " / sqrt(CAST(2 AS DOUBLE) / (CAST(9 AS DOUBLE) * __k)))"
+    )
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return staged2.select(
+        "lag",
+        "n",
+        r6(F.col("__r")).alias("acf"),
+        r6(F.col("__q")).alias("lb_q"),
+        r6(
+            F.when(
+                F.expr(wh_z) >= 0, F.expr(_phi_tail_sql(wh_z))
+            ).otherwise(
+                F.lit(1.0) - F.expr(_phi_tail_sql(f"-({wh_z})"))
+            )
+        ).alias("lb_p"),
+    ).orderBy("lag")
+
+
+def acf_ljung_box_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> str:
+    """DuckDB twin of :func:`acf_ljung_box` — identical daily-cent
+    spine, integer n^2-scaled ACF folds (HUGEINT), femto-unit
+    Ljung-Box cumsum, Wilson-Hilferty + A&S tail expression text."""
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    wh_z = (
+        "((pow(__q / __k, CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))"
+        " - (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)"
+        "    / (CAST(9 AS DOUBLE) * __k)))"
+        " / sqrt(CAST(2 AS DOUBLE) / (CAST(9 AS DOUBLE) * __k)))"
+    )
+    return f"""{base}
+    , __tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(CAST(__c AS HUGEINT)) AS HUGEINT) AS __s,
+               CAST(sum(CAST(__c AS HUGEINT) * CAST(__c AS HUGEINT))
+                    AS HUGEINT) AS __ss
+        FROM __dense
+    ), __lags AS (
+        SELECT CAST(unnest(range(1, {max_lag + 1})) AS INTEGER) AS lag
+    ), __pairs AS (
+        SELECT l.lag,
+               CAST(sum(CAST(a.__c AS HUGEINT)
+                        * CAST(b.__c AS HUGEINT)) AS HUGEINT) AS __p,
+               CAST(sum(CAST(a.__c AS HUGEINT)) AS HUGEINT) AS __h,
+               CAST(sum(CAST(b.__c AS HUGEINT)) AS HUGEINT) AS __t
+        FROM __lags l
+        JOIN __dense a ON TRUE
+        JOIN __dense b ON b.__i = a.__i + l.lag
+        GROUP BY 1
+    ), __perlag AS (
+        SELECT p.lag, t.__n AS n,
+               CAST(CAST(t.__n AS HUGEINT) * CAST(t.__n AS HUGEINT)
+                        * p.__p
+                    - CAST(t.__n AS HUGEINT) * t.__s
+                        * (p.__h + p.__t)
+                    + (CAST(t.__n AS HUGEINT)
+                       - CAST(p.lag AS HUGEINT)) * t.__s * t.__s
+                    AS DOUBLE)
+               / CAST(CAST(t.__n AS HUGEINT) * CAST(t.__n AS HUGEINT)
+                          * t.__ss
+                      - CAST(t.__n AS HUGEINT) * t.__s * t.__s
+                      AS DOUBLE) AS __r
+        FROM __pairs p CROSS JOIN __tot t
+    ), __lb AS (
+        SELECT lag, n, __r,
+               CAST(round(__r * __r
+                          / CAST(n - lag AS DOUBLE) * 1e15, 0)
+                    AS BIGINT) AS __lbt
+        FROM __perlag
+    ), __staged AS (
+        SELECT lag, n, __r,
+               CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                   + CAST(2 AS DOUBLE))
+               * (CAST(CAST(sum(__lbt) OVER (ORDER BY lag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS DOUBLE) / 1e15) AS __q,
+               CAST(lag AS DOUBLE) AS __k
+        FROM __lb
+    )
+    SELECT lag, n,
+           round(__r * 1e6, 0) / 1e6 AS acf,
+           round(__q * 1e6, 0) / 1e6 AS lb_q,
+           round(CASE WHEN {wh_z} >= 0 THEN {_phi_tail_sql(wh_z)}
+                 ELSE CAST(1 AS DOUBLE)
+                      - {_phi_tail_sql(f"-({wh_z})")} END
+                 * 1e6, 0) / 1e6 AS lb_p
+    FROM __staged
+    ORDER BY lag
+    """
+
+
+def pettitt_test(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pettitt (1979) rank-based change-point test on the daily series
+    — the nonparametric sibling of the CUSUM gate (q166): no mean/
+    variance model, just ranks, so a single outlier day cannot fake a
+    shift.
+
+    Statistic via the rank identity (midranks for ties, doubled to
+    stay integer): with ``2m_i = 2*rank_min(c_i) + ties(c_i) - 1``,
+
+        U_t = sum_{i<=t} (2m_i) - t*(n+1)        (exact BIGINT)
+        K   = max_{1<=t<n} |U_t|,  t* = earliest argmax
+        p  ~= min(1, 2*exp(-6K^2 / (n^3 + n^2)))
+
+    Returns one row: ``(n, change_day, u_stat, p_value)`` where
+    ``change_day`` is the last day of the pre-change segment.
+
+    Exactness: ranks, cumulative sums and K are exact integers on both
+    engines; the only float op is ONE exp of a division of identical
+    integers. Scale: the raw table collapses in one date-keyed agg;
+    ranks and prefix sums run on the CALENDAR-BOUNDED spine.
+    """
+    dense = _daily_cents(df, ts_col, value_col)
+    wv = Window.orderBy("__c")
+    wt = Window.partitionBy("__c")
+    wd = Window.orderBy("__d")
+    ranked = dense.select(
+        "__d",
+        "__i",
+        (
+            F.lit(2) * F.rank().over(wv)
+            + F.count("*").over(wt)
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("__2m"),
+    )
+    n_ = F.max("__i").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    u = ranked.select(
+        "__d",
+        "__i",
+        n_.cast("bigint").alias("__n"),
+        (
+            F.sum("__2m").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("__i").cast("bigint") * (n_.cast("bigint") + 1)
+        ).alias("__u"),
+    ).where(F.col("__i") < F.col("__n"))
+    best = u.select(
+        "__n",
+        F.abs("__u").alias("__au"),
+        "__d",
+    )
+    agg = best.groupBy("__n").agg(
+        F.max("__au").alias("__k"),
+    )
+    arg = (
+        best.join(F.broadcast(agg), ["__n"])
+        .where(F.col("__au") == F.col("__k"))
+        .groupBy("__n", "__k")
+        .agg(F.min("__d").alias("change_day"))
+    )
+    nn = F.col("__n").cast("double")
+    kk = F.col("__k").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0)
+        * F.exp(
+            F.lit(-6.0) * kk * kk / (nn * nn * nn + nn * nn)
+        ),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return arg.select(
+        F.col("__n").alias("n"),
+        "change_day",
+        F.col("__k").cast("bigint").alias("u_stat"),
+        r6(p).alias("p_value"),
+    )
+
+
+def pettitt_test_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`pettitt_test` — identical spine, doubled
+    midranks, prefix-sum U_t, earliest-argmax convention and the one
+    exp."""
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    return f"""{base}
+    , __ranked AS (
+        SELECT __d, __i,
+               CAST(2 * rank() OVER (ORDER BY __c)
+                    + count(*) OVER (PARTITION BY __c)
+                    - 1 AS BIGINT) AS __2m,
+               CAST(max(__i) OVER () AS BIGINT) AS __n
+        FROM __dense
+    ), __u AS (
+        SELECT __d, __i, __n,
+               CAST(sum(__2m) OVER (ORDER BY __d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT)
+               - __i * (__n + 1) AS __uv
+        FROM __ranked
+    ), __best AS (
+        SELECT __n, abs(__uv) AS __au, __d
+        FROM __u WHERE __i < __n
+    ), __agg AS (
+        SELECT __n, max(__au) AS __k FROM __best GROUP BY 1
+    ), __arg AS (
+        SELECT b.__n, a.__k, min(b.__d) AS change_day
+        FROM __best b JOIN __agg a
+          ON b.__n = a.__n AND b.__au = a.__k
+        GROUP BY 1, 2
+    )
+    SELECT CAST(__n AS BIGINT) AS n, change_day,
+           CAST(__k AS BIGINT) AS u_stat,
+           round(least(CAST(1 AS DOUBLE),
+                 CAST(2 AS DOUBLE) * exp(CAST(-6 AS DOUBLE)
+                 * CAST(__k AS DOUBLE) * CAST(__k AS DOUBLE)
+                 / (CAST(__n AS DOUBLE) * CAST(__n AS DOUBLE)
+                    * CAST(__n AS DOUBLE)
+                    + CAST(__n AS DOUBLE) * CAST(__n AS DOUBLE))))
+                 * 1e6, 0) / 1e6 AS p_value
+    FROM __arg
+    """
+
+
+def mann_kendall(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test with Sen's slope (Mann 1945,
+    Kendall 1975, Sen 1968) on the daily series — the standard
+    distribution-free "is this metric drifting" readout beside
+    Pettitt's single-shift alternative.
+
+        S = sum_{i<j} sign(c_j - c_i)
+        Var(S) = [n(n-1)(2n+5) - sum_ties t(t-1)(2t+5)] / 18
+        z = (S -+ 1) / sqrt(Var)   (continuity-corrected, 0 when S=0)
+        sen = median over pairs of (c_j - c_i)/(j - i)
+
+    Returns one row: ``(n, s_stat, var_s_x18, z, p_value, sen_slope)``
+    (variance kept x18 to stay integer; z folds the /18 inside the
+    sqrt as literals).
+
+    Exactness: S, the tie fold and 18*Var are exact BIGINT; z is
+    divisions/sqrt of identical integers; two-sided p uses the shared
+    A&S 7.1.26 tail. Sen's slope picks the lower-median pair slope by
+    (slope, i, j) ordering — each slope is ONE division of exact
+    integer cents by exact day gaps, and the pick is an order
+    statistic, not a float sum, so fold order never enters.
+
+    Scale: the pair fan-out runs on the CALENDAR-BOUNDED spine
+    (days^2/2 pairs — bounded by the date range, independent of table
+    size); the raw table contributes one date-keyed agg.
+    """
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    dense = _daily_cents(df, ts_col, value_col)
+    a = dense.select(
+        F.col("__i").alias("__ia"), F.col("__c").alias("__ca")
+    )
+    b = dense.select(
+        F.col("__i").alias("__ib"), F.col("__c").alias("__cb")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("__ib") > F.col("__ia"), "inner"
+    )
+    s_and_n = pairs.agg(
+        F.sum(F.signum(F.col("__cb") - F.col("__ca")))
+        .cast("bigint")
+        .alias("s_stat"),
+        (
+            (F.lit(1) + F.sqrt(F.lit(1.0) + F.lit(8.0) * F.count("*")))
+            / F.lit(2.0)
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    ties = (
+        dense.groupBy("__c")
+        .agg(F.count("*").cast("bigint").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (F.lit(2) * F.col("__t") + 5)
+            )
+            .cast("bigint")
+            .alias("__tiefold")
+        )
+    )
+    # Sen's slope: lower median of pair slopes by (slope, ia, ib)
+    slopes = pairs.select(
+        (
+            (F.col("__cb") - F.col("__ca")).cast("double")
+            / (F.col("__ib") - F.col("__ia")).cast("double")
+            / F.lit(100.0)
+        ).alias("__sl"),
+        "__ia",
+        "__ib",
+    )
+    wsl = Window.orderBy("__sl", "__ia", "__ib")
+    cnt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sen = (
+        slopes.select(
+            "__sl",
+            F.row_number().over(wsl).alias("__rn"),
+            F.count("*").over(cnt).alias("__np"),
+        )
+        .where(
+            F.col("__rn")
+            == F.floor((F.col("__np") + 1) / 2).cast("bigint")
+        )
+        .select(F.col("__sl").alias("__sen"))
+    )
+    st = (
+        s_and_n.join(F.broadcast(ties), how="cross")
+        .join(F.broadcast(sen), how="cross")
+        .select(
+            "n",
+            "s_stat",
+            (
+                F.col("n")
+                * (F.col("n") - 1)
+                * (F.lit(2) * F.col("n") + 5)
+                - F.col("__tiefold")
+            )
+            .cast("bigint")
+            .alias("var_s_x18"),
+            "__sen",
+        )
+    )
+    # divide INSIDE the sign branches: s != 0 implies Var > 0 (a zero
+    # variance needs every value tied, which forces S = 0), and the
+    # all-tied series must reach ELSE 0 without dividing (ANSI mode
+    # throws on 0/0; pymannkendall's z = 0, p = 1 convention)
+    z_expr = (
+        "(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE)"
+        " - CAST(1 AS DOUBLE))"
+        " / sqrt(CAST(var_s_x18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+        " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE)"
+        " + CAST(1 AS DOUBLE))"
+        " / sqrt(CAST(var_s_x18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+        " ELSE CAST(0 AS DOUBLE) END)"
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return st.select(
+        "n",
+        "s_stat",
+        "var_s_x18",
+        r6(F.expr(z_expr)).alias("z"),
+        r6(
+            F.lit(2.0)
+            * F.expr(_phi_tail_sql(f"abs({z_expr})"))
+        ).alias("p_value"),
+        r6(F.col("__sen")).alias("sen_slope"),
+    )
+
+
+def mann_kendall_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`mann_kendall` — identical spine, pair
+    grid, tie fold, continuity correction, lower-median Sen pick and
+    A&S tail."""
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    # divide INSIDE the sign branches: s != 0 implies Var > 0 (a zero
+    # variance needs every value tied, which forces S = 0), and the
+    # all-tied series must reach ELSE 0 without dividing (ANSI mode
+    # throws on 0/0; pymannkendall's z = 0, p = 1 convention)
+    z_expr = (
+        "(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE)"
+        " - CAST(1 AS DOUBLE))"
+        " / sqrt(CAST(var_s_x18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+        " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE)"
+        " + CAST(1 AS DOUBLE))"
+        " / sqrt(CAST(var_s_x18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+        " ELSE CAST(0 AS DOUBLE) END)"
+    )
+    return f"""{base}
+    , __pairs AS (
+        SELECT a.__i AS __ia, a.__c AS __ca, b.__i AS __ib,
+               b.__c AS __cb
+        FROM __dense a JOIN __dense b ON b.__i > a.__i
+    ), __sn AS (
+        SELECT CAST(sum(CASE WHEN __cb > __ca THEN 1
+                        WHEN __cb < __ca THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
+               CAST((1 + sqrt(CAST(1 AS DOUBLE)
+                    + CAST(8 AS DOUBLE) * count(*)))
+                    / CAST(2 AS DOUBLE) AS BIGINT) AS n
+        FROM __pairs
+    ), __ties AS (
+        SELECT CAST(sum(__t * (__t - 1) * (2 * __t + 5)) AS BIGINT)
+               AS __tiefold
+        FROM (SELECT CAST(count(*) AS BIGINT) AS __t
+              FROM __dense GROUP BY __c)
+    ), __slopes AS (
+        SELECT CAST(__cb - __ca AS DOUBLE)
+               / CAST(__ib - __ia AS DOUBLE)
+               / CAST(100 AS DOUBLE) AS __sl,
+               __ia, __ib
+        FROM __pairs
+    ), __sen AS (
+        SELECT __sl AS __sen
+        FROM (SELECT __sl,
+                     row_number() OVER (ORDER BY __sl, __ia, __ib)
+                         AS __rn,
+                     count(*) OVER () AS __np
+              FROM __slopes)
+        WHERE __rn = (__np + 1) // 2
+    ), __st AS (
+        SELECT n, s_stat,
+               CAST(n * (n - 1) * (2 * n + 5) - __tiefold AS BIGINT)
+                   AS var_s_x18,
+               __sen
+        FROM __sn CROSS JOIN __ties CROSS JOIN __sen
+    )
+    SELECT n, s_stat, var_s_x18,
+           round({z_expr} * 1e6, 0) / 1e6 AS z,
+           round(CAST(2 AS DOUBLE)
+                 * {_phi_tail_sql(f"abs({z_expr})")}
+                 * 1e6, 0) / 1e6 AS p_value,
+           round(__sen * 1e6, 0) / 1e6 AS sen_slope
+    FROM __st
+    """

@@ -442,3 +442,115 @@ def test_seasonal_naive_backtest_laws(spark):
     # but the one-step-naive denominator feels the 0-filled day
     assert out2["seasonal_mae"] == 0.0
     assert out2["naive_mae"] != out["naive_mae"]
+
+
+# ---------------------------------------------------------------------------
+# ACF / Ljung-Box, Pettitt, Mann-Kendall laws (round 7)
+# ---------------------------------------------------------------------------
+def _daily_events(spark, values, start=dt.datetime(2024, 5, 1)):
+    rows = [
+        (i, start + dt.timedelta(days=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, ["event_id", "ts", "value"])
+
+
+def test_acf_periodic_signal_peaks_at_its_period(spark):
+    from pytrousse_spark.operators.timeseries import acf_ljung_box
+
+    # period-7 square wave over 56 days: lag-7 ACF ~ 1, lag 3/4 negative
+    vals = [100.0 if (i % 7) < 3 else 1.0 for i in range(56)]
+    rows = {
+        r["lag"]: r
+        for r in acf_ljung_box(
+            _daily_events(spark, vals), "ts", "value", 7
+        ).collect()
+    }
+    assert rows[7]["acf"] > 0.8
+    assert rows[3]["acf"] < 0
+    assert rows[7]["n"] == 56
+    # strong autocorrelation -> Ljung-Box rejects decisively
+    assert rows[7]["lb_p"] < 1e-4
+    # Q is a cumulative statistic: nondecreasing in lag
+    qs = [rows[k]["lb_q"] for k in sorted(rows)]
+    assert all(b >= a for a, b in zip(qs, qs[1:]))
+
+
+def test_acf_constant_series_is_null_and_matches_definition(spark):
+    from pytrousse_spark.operators.timeseries import acf_ljung_box
+
+    # constant series: zero variance -> 0/0 -> NULL acf, no crash
+    rows = acf_ljung_box(
+        _daily_events(spark, [5.0] * 20), "ts", "value", 3
+    ).collect()
+    assert all(r["acf"] is None for r in rows)
+
+
+def test_acf_matches_numpy_definition(spark):
+    from pytrousse_spark.operators.timeseries import acf_ljung_box
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    rows = {
+        r["lag"]: r["acf"]
+        for r in acf_ljung_box(
+            _daily_events(spark, vals), "ts", "value", 3
+        ).collect()
+    }
+    import numpy as np
+
+    c = np.array([round(v * 100) for v in vals], dtype=float)
+    m = c.mean()
+    den = ((c - m) ** 2).sum()
+    for k in (1, 2, 3):
+        ref = ((c[:-k] - m) * (c[k:] - m)).sum() / den
+        assert abs(rows[k] - ref) < 1e-6, (k, rows[k], ref)
+
+
+def test_pettitt_finds_planted_shift(spark):
+    from pytrousse_spark.operators.timeseries import pettitt_test
+
+    # 30 low days then 30 high days -> change at day 30
+    vals = [10.0] * 30 + [50.0] * 30
+    row = pettitt_test(
+        _daily_events(spark, vals), "ts", "value"
+    ).collect()[0]
+    assert row["n"] == 60
+    assert row["change_day"] == dt.date(2024, 5, 30)
+    assert row["p_value"] < 1e-6
+    # K for a clean split: every (low, high) cross pair contributes +1
+    # to U_30 -> K = 30*30 (Pettitt's U is the signed Mann-Whitney)
+    assert row["u_stat"] == 900
+
+
+def test_pettitt_noise_is_insignificant(spark):
+    from pytrousse_spark.operators.timeseries import pettitt_test
+
+    # deterministic "noise": alternating pattern has no level shift
+    vals = [float(10 + (i * 7919) % 13) for i in range(40)]
+    row = pettitt_test(
+        _daily_events(spark, vals), "ts", "value"
+    ).collect()[0]
+    assert row["p_value"] > 0.05
+
+
+def test_mann_kendall_monotone_and_flat_laws(spark):
+    from pytrousse_spark.operators.timeseries import mann_kendall
+
+    # strictly increasing: S = C(n,2), slope recovered, p ~ 0
+    n = 25
+    vals = [2.5 * i for i in range(n)]
+    row = mann_kendall(
+        _daily_events(spark, vals), "ts", "value"
+    ).collect()[0]
+    assert row["s_stat"] == n * (n - 1) // 2
+    assert abs(row["sen_slope"] - 2.5) < 1e-9
+    assert row["p_value"] < 1e-6
+    # no ties -> Var(S)*18 = n(n-1)(2n+5)
+    assert row["var_s_x18"] == n * (n - 1) * (2 * n + 5)
+
+    # constant: S = 0, z = 0, p = 1
+    row = mann_kendall(
+        _daily_events(spark, [7.0] * 10), "ts", "value"
+    ).collect()[0]
+    assert row["s_stat"] == 0 and row["z"] == 0.0
+    assert row["p_value"] == 1.0
