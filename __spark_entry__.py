@@ -6303,6 +6303,107 @@ def _sql_q206() -> str:
     return mann_kendall_sql("SELECT * FROM events", "ts", "value")
 
 
+
+def q207_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority vs the
+    fulfilled flag (Micci-Barreca 2001) — the leakage-safe mean
+    encoder every tabular pipeline needs: a row never sees its own
+    label, singleton categories stay NULL, one broadcast category agg,
+    no fact shuffle (operators/feature_prep.loo_target_encoding)."""
+    from pytrousse_spark.operators.feature_prep import loo_target_encoding
+
+    o = _t(spark, sf_dir, "orders")
+    return loo_target_encoding(
+        o, "o_orderkey", "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int"),
+    )
+
+
+def _sql_q207() -> str:
+    from pytrousse_spark.operators.feature_prep import (
+        loo_target_encoding_sql,
+    )
+
+    return loo_target_encoding_sql(
+        "SELECT * FROM orders", "o_orderkey", "o_orderpriority",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+    )
+
+
+def q208_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information value of order priority vs the
+    fulfilled flag (Siddiqi 2006): ln of one exact-integer division per
+    category, nano-unit IV fold over the bounded category frame, NULL
+    woe on zero cells (operators/feature_prep.woe_iv)."""
+    from pytrousse_spark.operators.feature_prep import woe_iv
+
+    o = _t(spark, sf_dir, "orders")
+    return woe_iv(
+        o, "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int"),
+    )
+
+
+def _sql_q208() -> str:
+    from pytrousse_spark.operators.feature_prep import woe_iv_sql
+
+    return woe_iv_sql(
+        "SELECT * FROM orders",
+        "o_orderpriority",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+    )
+
+
+def q209_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table of order total price as a
+    score for the fulfilled flag — bands come from the histogram-sketch
+    rank transform (q156's device), NOT an NTILE global sort; exact
+    integer counts, single divisions
+    (operators/feature_prep.lift_gains)."""
+    from pytrousse_spark.operators.feature_prep import lift_gains
+
+    o = _t(spark, sf_dir, "orders")
+    return lift_gains(
+        o, "o_totalprice",
+        (F.col("o_orderstatus") == "F").cast("int"), 10,
+    )
+
+
+def _sql_q209() -> str:
+    from pytrousse_spark.operators.feature_prep import lift_gains_sql
+
+    return lift_gains_sql(
+        "SELECT * FROM orders", "o_totalprice",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END", 10,
+    )
+
+
+def q210_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates (Robbins 1956, method-of-moments prior): nano-unit moment
+    folds in DECIMAL(38)/HUGEINT, degenerate priors stay NULL, one
+    key agg + a 2-number broadcast prior
+    (operators/feature_prep.eb_rate_shrinkage)."""
+    from pytrousse_spark.operators.feature_prep import eb_rate_shrinkage
+
+    ev = _t(spark, sf_dir, "events")
+    return eb_rate_shrinkage(
+        ev, "user_id", F.lit(1),
+        (F.col("event_type") == "purchase").cast("int"),
+    )
+
+
+def _sql_q210() -> str:
+    from pytrousse_spark.operators.feature_prep import (
+        eb_rate_shrinkage_sql,
+    )
+
+    return eb_rate_shrinkage_sql(
+        "SELECT * FROM events", "user_id", "1",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6329,6 +6430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_acf_ljung_box": q204_acf_ljung_box,
         "q205_pettitt": q205_pettitt,
         "q206_mann_kendall": q206_mann_kendall,
+        "q207_loo_target_encoding": q207_loo_target_encoding,
+        "q208_woe_iv": q208_woe_iv,
+        "q209_lift_gains": q209_lift_gains,
+        "q210_eb_shrinkage": q210_eb_shrinkage,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -6953,6 +7058,10 @@ def oracle_sql() -> dict[str, str]:
         "q204_acf_ljung_box": _sql_q204(),
         "q205_pettitt": _sql_q205(),
         "q206_mann_kendall": _sql_q206(),
+        "q207_loo_target_encoding": _sql_q207(),
+        "q208_woe_iv": _sql_q208(),
+        "q209_lift_gains": _sql_q209(),
+        "q210_eb_shrinkage": _sql_q210(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),
