@@ -6404,6 +6404,58 @@ def _sql_q210() -> str:
     )
 
 
+
+def q211_fastss_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance-1 neighbor pairs over customer names via
+    FastSS deletion-neighborhood signatures (Bocek 2007) — the
+    blocking-free, recall-lossless fuzzy join beside the declared-
+    blocking variant (fuzzy_join_blocked) and the set-similarity
+    prefix filter (q112). The oracle is the BRUTE-FORCE O(n^2)
+    levenshtein scan, so the gate certifies deletion-neighborhood
+    completeness itself (operators/relational.fastss_neighbors)."""
+    from pytrousse_spark.operators.relational import fastss_neighbors
+
+    c = _t(spark, sf_dir, "customer")
+    return fastss_neighbors(c, "c_custkey", "c_name")
+
+
+def _sql_q211() -> str:
+    from pytrousse_spark.operators.relational import fastss_neighbors_sql
+
+    return fastss_neighbors_sql("customer", "c_custkey", "c_name")
+
+
+_FK_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+]
+
+
+def q212_fk_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census over the five TPC-H foreign-key
+    edges: NULL-key and orphan counts + orphan rate per edge, each via
+    one pruned-parent LEFT ANTI join (AQE broadcasts the distinct-key
+    side) (operators/relational.fk_orphan_census)."""
+    from pytrousse_spark.operators.relational import fk_orphan_census
+
+    edges = [
+        (name, _t(spark, sf_dir, child), fk, _t(spark, sf_dir, parent), pk)
+        for name, child, fk, parent, pk in _FK_EDGES
+    ]
+    return fk_orphan_census(edges)
+
+
+def _sql_q212() -> str:
+    from pytrousse_spark.operators.relational import fk_orphan_census_sql
+
+    return fk_orphan_census_sql(_FK_EDGES)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6434,6 +6486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_woe_iv": q208_woe_iv,
         "q209_lift_gains": q209_lift_gains,
         "q210_eb_shrinkage": q210_eb_shrinkage,
+        "q211_fastss_neighbors": q211_fastss_neighbors,
+        "q212_fk_orphan_census": q212_fk_orphan_census,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7062,6 +7116,8 @@ def oracle_sql() -> dict[str, str]:
         "q208_woe_iv": _sql_q208(),
         "q209_lift_gains": _sql_q209(),
         "q210_eb_shrinkage": _sql_q210(),
+        "q211_fastss_neighbors": _sql_q211(),
+        "q212_fk_orphan_census": _sql_q212(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -302,3 +302,202 @@ def pareto_frontier_sql(
     SELECT x AS {x_col}, y AS {y_col}, n_rows
     FROM sweep WHERE prev IS NULL OR y > prev
     """
+
+
+def fastss_neighbors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """EXACT edit-distance-1 neighbor pairs via deletion-neighborhood
+    signatures (FastSS, Bocek et al. 2007) — the blocking-free,
+    recall-lossless alternative to :func:`fuzzy_join_blocked`: two
+    strings are within Levenshtein distance 1 only if their signature
+    sets ``S(x) = {x} ∪ {x minus one character}`` intersect
+    (substitution -> both delete the edited position; insert/delete ->
+    the shorter string IS a deletion of the longer), so an equi-join
+    on signatures finds every candidate and ``levenshtein`` verifies.
+
+    Returns distinct unordered pairs: ``(id_a, id_b, text_a, text_b,
+    dist)`` with ``id_a < id_b`` and ``dist <= 1`` (0 = exact dupes).
+
+    Zero false negatives BY CONSTRUCTION (pinned against the O(n^2)
+    scan in tests/test_relational_stateful.py); false candidates are
+    filtered by the verify.
+
+    Scale: |S(x)| = len(x) + 1 signatures per string — the explode is
+    linear in total characters; the join shuffles on the signature
+    key, and a signature's bucket only grows with genuinely
+    near-identical strings (the workload's own duplicate mass — the
+    same axis LSH bands grow on, q43). No block key to tune, no
+    quadratic block interior, no O(n^2) anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    s = df.select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.col(text_col).alias("__txt"),
+    ).where(F.col("__txt").isNotNull())
+    # S(x) = {x} ∪ single-deletion variants (guard empty strings: the
+    # descending-sequence trap — sequence(1, 0) is NOT empty)
+    sigs = s.select(
+        "__id",
+        "__txt",
+        F.explode(
+            F.concat(
+                F.array(F.col("__txt")),
+                F.when(
+                    F.length("__txt") >= 1,
+                    F.expr(
+                        "transform(sequence(1, length(__txt)), i ->"
+                        " concat(substring(__txt, 1, i - 1),"
+                        " substring(__txt, i + 1,"
+                        " length(__txt))))"
+                    ),
+                ).otherwise(F.array()),
+            )
+        ).alias("__sig"),
+    )
+    a = sigs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__txt").alias("text_a"),
+        "__sig",
+    )
+    b = sigs.select(
+        F.col("__id").alias("id_b"),
+        F.col("__txt").alias("text_b"),
+        "__sig",
+    )
+    cand = (
+        a.join(b, "__sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("text_a").alias("text_a"),
+            F.min("text_b").alias("text_b"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "dist",
+            F.levenshtein("text_a", "text_b").cast("int"),
+        )
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "text_a", "text_b", "dist")
+    )
+
+
+def fastss_neighbors_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+) -> str:
+    """DuckDB oracle for :func:`fastss_neighbors` — the BRUTE-FORCE
+    O(n^2) levenshtein scan (length-banded), NOT a signature replay:
+    the gate therefore certifies the deletion-neighborhood completeness
+    claim itself, the q161 exhaustive-oracle convention."""
+    return f"""
+    WITH s AS (
+        SELECT CAST({id_col} AS BIGINT) AS id, {text_col} AS txt
+        FROM {table} WHERE {text_col} IS NOT NULL
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.txt AS text_a, b.txt AS text_b,
+           CAST(levenshtein(a.txt, b.txt) AS INTEGER) AS dist
+    FROM s a JOIN s b
+      ON a.id < b.id
+     AND abs(length(a.txt) - length(b.txt)) <= 1
+    WHERE levenshtein(a.txt, b.txt) <= 1
+    """
+
+
+def fk_orphan_census(
+    edges: list,
+) -> DataFrame:
+    """Referential-integrity census over declared foreign-key edges —
+    the data-quality gate a warehouse runs before trusting any join:
+    per edge, how many child rows have a NULL key, how many non-NULL
+    keys have NO parent (orphans), and the orphan rate.
+
+    ``edges`` is a list of ``(edge_name, child_df, fk_col, parent_df,
+    pk_col)``. Returns one row per edge: ``(edge, n_child, n_null_fk,
+    n_orphan, orphan_rate)`` with ``orphan_rate = n_orphan / non-null
+    children`` (NULL when there are none).
+
+    Exactness: pure integer counts + one division.
+
+    Scale: each edge is one LEFT ANTI join on the key (AQE picks
+    broadcast when the parent's distinct-key projection is small —
+    the parent is pruned to its pk column before joining) plus one
+    conditional agg; edges union at the END on one-row frames.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    outs = []
+    for name, child, fk, parent, pk in edges:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        base = child.select(F.col(fk).alias("__fk"))
+        tot = base.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(
+                F.when(F.col("__fk").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_null_fk"),
+        )
+        orph = (
+            base.where(F.col("__fk").isNotNull())
+            .join(keys, F.col("__fk") == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan"))
+        )
+        row = tot.join(orph, how="cross").select(
+            F.lit(name).alias("edge"),
+            "n_child",
+            "n_null_fk",
+            "n_orphan",
+            (
+                F.round(
+                    F.when(
+                        F.col("n_child") - F.col("n_null_fk") > 0,
+                        F.col("n_orphan").cast("double")
+                        / (
+                            F.col("n_child") - F.col("n_null_fk")
+                        ).cast("double"),
+                    )
+                    * F.lit(1e6),
+                    0,
+                )
+                / F.lit(1e6)
+            ).alias("orphan_rate"),
+        )
+        outs.append(row)
+    return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+def fk_orphan_census_sql(edges: list) -> str:
+    """DuckDB twin of :func:`fk_orphan_census`; ``edges`` entries are
+    ``(edge_name, child_table, fk_col, parent_table, pk_col)``."""
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        parts.append(f"""
+        SELECT '{name}' AS edge,
+               CAST(count(*) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_fk,
+               CAST(sum(CASE WHEN c.{fk} IS NOT NULL
+                        AND p.__pk IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphan,
+               round(CASE WHEN count(*) - sum(CASE WHEN c.{fk} IS NULL
+                          THEN 1 ELSE 0 END) > 0 THEN
+                     CAST(sum(CASE WHEN c.{fk} IS NOT NULL
+                              AND p.__pk IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(count(*) - sum(CASE WHEN c.{fk} IS NULL
+                            THEN 1 ELSE 0 END) AS DOUBLE) END
+                     * 1e6, 0) / 1e6 AS orphan_rate
+        FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {parent}) p
+          ON c.{fk} = p.__pk""")
+    return "\nUNION ALL\n".join(parts)

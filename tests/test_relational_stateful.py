@@ -196,3 +196,83 @@ def test_pareto_frontier_counts_and_duplicates(spark):
         for r in pareto_frontier(df, "x", "y").collect()
     }
     assert got == {(10, 1): 2, (5, 5): 1, (1, 10): 1}
+
+
+# ---------------------------------------------------------------------------
+# FastSS deletion-neighborhood fuzzy join + FK orphan census (round 7)
+# ---------------------------------------------------------------------------
+def test_fastss_zero_false_negatives_vs_bruteforce(spark):
+    """Every edit-type within distance 1 is found; nothing farther is."""
+    from pytrousse_spark.operators.relational import fastss_neighbors
+
+    names = [
+        "kitten",      # 1
+        "mitten",      # 2: substitution of 1
+        "kitte",       # 3: deletion of 1
+        "kittens",     # 4: insertion of 1
+        "sitting",     # 5: far from all
+        "mitten",      # 6: exact dup of 2
+        "a",           # 7: single char
+        "b",           # 8: substitution of 7
+        "",            # 9: empty — distance 1 from any single char
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, n) for i, n in enumerate(names)], ["id", "nm"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fastss_neighbors(df, "id", "nm").collect()
+    }
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    want = {
+        (i + 1, j + 1): lev(a, b)
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and lev(a, b) <= 1
+    }
+    assert got == want
+    # spot checks: all three edit types + the exact dup + empty string
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(2, 6)] == 0
+    assert got[(7, 9)] == 1 and got[(8, 9)] == 1 and got[(7, 8)] == 1
+    assert (1, 5) not in got
+
+
+def test_fk_orphan_census_planted(spark):
+    from pytrousse_spark.operators.relational import fk_orphan_census
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], ["fk"]
+    )
+    row = fk_orphan_census(
+        [("c->p", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert row["edge"] == "c->p"
+    assert row["n_child"] == 5
+    assert row["n_null_fk"] == 1
+    assert row["n_orphan"] == 1
+    assert row["orphan_rate"] == 0.25
+    # clean edge: zero orphans
+    clean = spark.createDataFrame([(1,), (2,)], ["fk"])
+    row = fk_orphan_census(
+        [("ok", clean, "fk", parent, "pk")]
+    ).collect()[0]
+    assert row["n_orphan"] == 0 and row["orphan_rate"] == 0.0
