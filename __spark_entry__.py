@@ -6456,6 +6456,76 @@ def _sql_q212() -> str:
     return fk_orphan_census_sql(_FK_EDGES)
 
 
+
+def q213_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch Reading Ease census over documents with the
+    deterministic vowel-group syllable heuristic — the readability
+    dimension of corpus quality beside length/punct tiers (q86):
+    per-doc scores micro-unit-rounded before the group mean, Flesch's
+    own 50/70 band anchors (operators/corpus.readability_census)."""
+    from pytrousse_spark.operators.corpus import readability_census
+
+    d = _t(spark, sf_dir, "documents")
+    return readability_census(d, "text", "lang")
+
+
+def _sql_q213() -> str:
+    from pytrousse_spark.operators.corpus import readability_census_sql
+
+    return readability_census_sql("SELECT * FROM documents", "text", "lang")
+
+
+def q214_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel nation-stratified association between
+    the BUILDING market segment and order fulfillment — the
+    confounder-adjusted readout the pooled chi-square (q187) cannot
+    give (Simpson's-paradox-proof): nano-unit E/V/odds folds,
+    continuity-corrected df-1 chi2 through the shared A&S tail, plus
+    the MH common odds ratio (operators/cohort.cmh_test)."""
+    from pytrousse_spark.operators.cohort import cmh_test
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+    return cmh_test(
+        j, "c_nationkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int"),
+        (F.col("o_orderstatus") == "F").cast("int"),
+    )
+
+
+def _sql_q214() -> str:
+    from pytrousse_spark.operators.cohort import cmh_test_sql
+
+    return cmh_test_sql(
+        "SELECT * FROM orders o JOIN customer c"
+        " ON o.o_custkey = c.c_custkey",
+        "c_nationkey",
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+    )
+
+
+def q215_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette + Davies-Bouldin validity indices for the
+    q78 k-means fit — the "is this clustering any good" readout every
+    embedding pipeline needs beside the fit itself: per-point scores
+    micro-unit-rounded before any mean, centroid-pair distances
+    computed with the q78-proven fold in BOTH engines, oracle replays
+    the full training chain
+    (operators/clustering.cluster_quality)."""
+    from pytrousse_spark.operators.clustering import cluster_quality
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cluster_quality(e, "vec_id", "embedding", 8, 2)
+
+
+def _sql_q215() -> str:
+    from pytrousse_spark.operators.clustering import cluster_quality_sql
+
+    return cluster_quality_sql("embeddings", 8, 64, 2)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6488,6 +6558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_eb_shrinkage": q210_eb_shrinkage,
         "q211_fastss_neighbors": q211_fastss_neighbors,
         "q212_fk_orphan_census": q212_fk_orphan_census,
+        "q213_readability": q213_readability,
+        "q214_cmh": q214_cmh,
+        "q215_cluster_quality": q215_cluster_quality,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7118,6 +7191,9 @@ def oracle_sql() -> dict[str, str]:
         "q210_eb_shrinkage": _sql_q210(),
         "q211_fastss_neighbors": _sql_q211(),
         "q212_fk_orphan_census": _sql_q212(),
+        "q213_readability": _sql_q213(),
+        "q214_cmh": _sql_q214(),
+        "q215_cluster_quality": _sql_q215(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

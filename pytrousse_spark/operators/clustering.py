@@ -31,7 +31,7 @@ shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60, h60_sql
@@ -399,3 +399,248 @@ def cluster_cap_sample_sql(
 
     inner = kmeans_sql(corpus, k, dim, iters, id_col, vec_col)
     return hash_topk_per_group_sql(f"({inner})", ["cluster"], cap, id_col)
+
+
+def cluster_quality(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Internal cluster-validity readout for the q78 k-means fit:
+    SIMPLIFIED silhouette (Hruschka 2004 — centroid distances instead
+    of the O(n^2) pairwise mean, the standard large-n form) and the
+    Davies-Bouldin index (Davies & Bouldin 1979):
+
+        s_i  = (b_i - a_i) / max(a_i, b_i)
+               a_i = dist to own centroid, b_i = dist to nearest other
+        DB   = mean_i max_{j != i} (S_i + S_j) / M_ij
+               S_i = mean intra distance, M_ij = centroid distance
+
+    Returns one row per OCCUPIED cluster: ``(cluster, n,
+    mean_silhouette, intra_dist, silhouette, db_index)`` — the last
+    two are the corpus-level readouts repeated per row.
+
+    Exactness: per-point centroid distances reuse the q78 rounding
+    contract (round-6 sqdist, (d, cidx) ordering); per-point s_i and
+    a_i are micro-unit-rounded BIGINT before any group mean, so every
+    aggregate is an integer fold; centroid-pair distances M_ij are
+    Python-computed literals injected as IDENTICAL text into both
+    engines (the centroids themselves are round-6 literals, q78).
+
+    Scale: one pass over points (scalar k-way distance expression —
+    no join, centroids are literals), one cluster-keyed agg, then all
+    silhouette/DB assembly on the k-row frame.
+    """
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    dim = len(cents[0])
+    structs = [
+        F.struct(
+            F.round(_sqdist(vec_col, c), 6).alias("d"),
+            F.lit(i + 1).alias("cidx"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    arr = F.array_sort(F.array(*structs))
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        arr[0]["cidx"].alias("cluster"),
+        F.sqrt(arr[0]["d"]).alias("__a"),
+        F.sqrt(arr[1]["d"]).alias("__b"),
+    )
+    s = F.when(
+        F.greatest(F.col("__b"), F.col("__a")) > 0,
+        (F.col("__b") - F.col("__a"))
+        / F.greatest(F.col("__b"), F.col("__a")),
+    ).otherwise(F.lit(0.0))
+    staged = pts.select(
+        "cluster",
+        F.round(s * F.lit(1e6), 0).cast("bigint").alias("__sm"),
+        F.round(F.col("__a") * F.lit(1e6), 0)
+        .cast("bigint")
+        .alias("__am"),
+    )
+    per = staged.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__sm").cast("bigint").alias("__ssm"),
+        F.sum("__am").cast("bigint").alias("__sam"),
+    )
+    # centroid-pair distances computed IN-ENGINE with the same
+    # _sqdist fold the per-point distances use (proven fold-equal to
+    # the twin's list_sum by the q78 gate), then the knife-edge-safe
+    # scaled round — never a Python-side float chain
+    pair_rows = [
+        (i + 1, j + 1, cents[i], cents[j])
+        for i in range(k)
+        for j in range(k)
+        if i != j
+    ]
+    mdf = df.sparkSession.createDataFrame(
+        pair_rows, ["__ci", "__cj", "__cvi", "__cvj"]
+    ).select(
+        "__ci",
+        "__cj",
+        (
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__cvi"),
+                            F.col("__cvj"),
+                            lambda x, p: (
+                                x.cast("double") - p.cast("double")
+                            )
+                            * (x.cast("double") - p.cast("double")),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                )
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6)
+        ).alias("__m"),
+    )
+    sj = per.select(
+        F.col("cluster").alias("__cj2"),
+        (
+            F.col("__sam").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1e6)
+        ).alias("__sj"),
+    )
+    rij = (
+        per.select(
+            "cluster",
+            (
+                F.col("__sam").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(1e6)
+            ).alias("__si"),
+        )
+        .join(F.broadcast(mdf), F.col("cluster") == F.col("__ci"))
+        .join(F.broadcast(sj), F.col("__cj") == F.col("__cj2"))
+        .where(F.col("__m") > 0)
+        .groupBy("cluster")
+        .agg(
+            F.round(
+                F.max((F.col("__si") + F.col("__sj")) / F.col("__m")),
+                6,
+            ).alias("__dbi")
+        )
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    out = per.join(rij, "cluster", "left").select(
+        "cluster",
+        "n",
+        r6(
+            F.col("__ssm").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1e6)
+        ).alias("mean_silhouette"),
+        r6(
+            F.col("__sam").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1e6)
+        ).alias("intra_dist"),
+        r6(
+            F.sum("__ssm").over(tot).cast("double")
+            / F.sum("n").over(tot).cast("double")
+            / F.lit(1e6)
+        ).alias("silhouette"),
+        r6(
+            F.avg(
+                F.round(F.col("__dbi") * F.lit(1e6), 0).cast("bigint")
+            ).over(tot)
+            / F.lit(1e6)
+        ).alias("db_index"),
+    )
+    return out
+
+
+def cluster_quality_sql(
+    corpus: str,
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`cluster_quality` — SELF-CONTAINED: it
+    replays the q78 centroid CTE chain, derives the centroid-pair
+    distances M_ij from the replayed centroids with the identical
+    left-to-right sqdist fold and scaled-round (so a fit mismatch
+    between engines would hash-mismatch the gate), then the (d, cidx)
+    two-nearest ranking and micro-unit folds."""
+    parts, final_cent = kmeans_cent_ctes(
+        corpus, k, dim, iters, id_col, vec_col
+    )
+    dc = _sqdist_sql("i.cv", "j.cv", dim)
+    d = _sqdist_sql(f"e.{vec_col}", "c.cv", dim)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    __m AS (
+        SELECT i.cidx AS __ci, j.cidx AS __cj,
+               round(sqrt({dc}) * 1e6, 0) / 1e6 AS __m
+        FROM {final_cent} i JOIN {final_cent} j ON i.cidx <> j.cidx
+    ),
+    __two AS (
+        SELECT rid, cidx, d,
+               row_number() OVER (PARTITION BY rid
+                                  ORDER BY d, cidx) AS rn
+        FROM (
+            SELECT e.{id_col} AS rid, c.cidx, round({d}, 6) AS d
+            FROM {corpus} e CROSS JOIN {final_cent} c
+            WHERE e.{vec_col} IS NOT NULL
+        )
+    ), __pts AS (
+        SELECT a.cidx AS cluster,
+               sqrt(a.d) AS __a, sqrt(b.d) AS __b
+        FROM __two a JOIN __two b
+          ON a.rid = b.rid AND a.rn = 1 AND b.rn = 2
+    ), __staged AS (
+        SELECT cluster,
+               CAST(round(CASE WHEN greatest(__b, __a) > 0 THEN
+                    (__b - __a) / greatest(__b, __a)
+                    ELSE CAST(0 AS DOUBLE) END * 1e6, 0) AS BIGINT)
+                   AS __sm,
+               CAST(round(__a * 1e6, 0) AS BIGINT) AS __am
+        FROM __pts
+    ), __per AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(__sm) AS BIGINT) AS __ssm,
+               CAST(sum(__am) AS BIGINT) AS __sam
+        FROM __staged GROUP BY 1
+    ), __rij AS (
+        SELECT p.cluster,
+               round(max((CAST(p.__sam AS DOUBLE)
+                          / CAST(p.n AS DOUBLE) / 1e6
+                          + CAST(q.__sam AS DOUBLE)
+                          / CAST(q.n AS DOUBLE) / 1e6) / m.__m), 6)
+                   AS __dbi
+        FROM __per p
+        JOIN __m m ON m.__ci = p.cluster
+        JOIN __per q ON q.cluster = m.__cj
+        WHERE m.__m > 0
+        GROUP BY 1
+    )
+    SELECT CAST(p.cluster AS INT) AS cluster, p.n,
+           round(CAST(p.__ssm AS DOUBLE) / CAST(p.n AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS mean_silhouette,
+           round(CAST(p.__sam AS DOUBLE) / CAST(p.n AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS intra_dist,
+           round(CAST(CAST(sum(p.__ssm) OVER () AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(sum(p.n) OVER () AS BIGINT) AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS silhouette,
+           round(avg(CAST(round(r.__dbi * 1e6, 0) AS BIGINT))
+                     OVER ()
+                 / 1e6 * 1e6, 0) / 1e6 AS db_index
+    FROM __per p LEFT JOIN __rij r ON r.cluster = p.cluster
+    """
+    )

@@ -2803,3 +2803,202 @@ def ratio_metric_delta_sql(
                END) > CAST({z_crit} AS DOUBLE) AS significant
     FROM agg
     """
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposure: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 association test +
+    Mantel-Haenszel common odds ratio (Mantel & Haenszel 1959) — the
+    confounder-adjusted readout the pooled chi-square (q187) cannot
+    give: association between a binary exposure and a binary outcome
+    is tested WITHIN each stratum and combined, so a lurking stratum
+    variable (Simpson's paradox) cannot fake or hide an effect.
+
+    Per stratum the 2x2 is (a, b, c, d) with margins n1=a+b, n0=c+d,
+    m1=a+c, m0=b+d, n:
+
+        chi2_cmh = (|sum a - sum E| - 0.5)^2 / sum V      (df = 1)
+        E = n1*m1/n,  V = n1*n0*m1*m0 / (n^2 (n-1))
+        or_mh = sum(a*d/n) / sum(b*c/n)
+
+    Single-row output: ``(n_strata, sum_a, chi2, p_value, or_mh)``.
+    Strata with n < 2 contribute counts but no E/V mass (their V is
+    undefined); ``or_mh`` is NULL when the denominator fold is 0; the
+    continuity correction clamps at 0 (|diff| < 0.5 -> chi2 = 0).
+
+    Exactness: per-stratum cells and margin products are exact BIGINT;
+    E, V and the two odds folds are single divisions per stratum,
+    nano-unit-rounded to BIGINT before summing (fold-order-free); the
+    p-value is the df-1 identity chi2 -> z = sqrt(chi2) -> 2*(1-Phi(z))
+    through the shared A&S 7.1.26 tail.
+
+    Scale: ONE stratum-keyed conditional agg over the fact table;
+    everything after runs on the stratum-cardinality frame.
+    """
+    x = exposure.cast("int")
+    y = outcome.cast("int")
+    per = (
+        df.select(
+            F.col(stratum_col).alias("__st"),
+            x.alias("__x"),
+            y.alias("__y"),
+        )
+        .where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__st")
+        .agg(
+            F.sum(F.when((F.col("__x") == 1) & (F.col("__y") == 1), 1)
+                  .otherwise(0)).cast("bigint").alias("__a"),
+            F.sum(F.when((F.col("__x") == 1) & (F.col("__y") == 0), 1)
+                  .otherwise(0)).cast("bigint").alias("__b"),
+            F.sum(F.when((F.col("__x") == 0) & (F.col("__y") == 1), 1)
+                  .otherwise(0)).cast("bigint").alias("__c"),
+            F.sum(F.when((F.col("__x") == 0) & (F.col("__y") == 0), 1)
+                  .otherwise(0)).cast("bigint").alias("__d"),
+        )
+    )
+    n1 = F.col("__a") + F.col("__b")
+    n0 = F.col("__c") + F.col("__d")
+    m1 = F.col("__a") + F.col("__c")
+    m0 = F.col("__b") + F.col("__d")
+    n = n1 + n0
+    nano = lambda c: F.round(c * F.lit(1e9), 0).cast("bigint")  # noqa: E731
+    terms = per.select(
+        "__a",
+        F.when(
+            n >= 2, nano((n1 * m1).cast("double") / n.cast("double"))
+        )
+        .otherwise(F.lit(0))
+        .alias("__e"),
+        F.when(
+            n >= 2,
+            nano(
+                (n1 * n0 * m1 * m0).cast("double")
+                / (n * n * (n - 1)).cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("__v"),
+        nano(
+            (F.col("__a") * F.col("__d")).cast("double")
+            / n.cast("double")
+        ).alias("__ad"),
+        nano(
+            (F.col("__b") * F.col("__c")).cast("double")
+            / n.cast("double")
+        ).alias("__bc"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("__a").cast("bigint").alias("sum_a"),
+        F.sum("__e").cast("bigint").alias("__se"),
+        F.sum("__v").cast("bigint").alias("__sv"),
+        F.sum("__ad").cast("bigint").alias("__sad"),
+        F.sum("__bc").cast("bigint").alias("__sbc"),
+    )
+    chi2_expr = (
+        "(CASE WHEN __sv > 0 AND"
+        " abs(CAST(sum_a AS DOUBLE) - CAST(__se AS DOUBLE) / 1e9)"
+        " > CAST(0.5 AS DOUBLE) THEN"
+        " (abs(CAST(sum_a AS DOUBLE) - CAST(__se AS DOUBLE) / 1e9)"
+        "  - CAST(0.5 AS DOUBLE))"
+        " * (abs(CAST(sum_a AS DOUBLE) - CAST(__se AS DOUBLE) / 1e9)"
+        "    - CAST(0.5 AS DOUBLE))"
+        " / (CAST(__sv AS DOUBLE) / 1e9)"
+        " ELSE CAST(0 AS DOUBLE) END)"
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n_strata",
+        "sum_a",
+        r6(F.expr(chi2_expr)).alias("chi2"),
+        r6(
+            F.lit(2.0)
+            * F.expr(_phi_tail_sql(f"sqrt({chi2_expr})"))
+        ).alias("p_value"),
+        r6(
+            F.when(
+                F.col("__sbc") > 0,
+                F.col("__sad").cast("double")
+                / F.col("__sbc").cast("double"),
+            )
+        ).alias("or_mh"),
+    )
+
+
+def cmh_test_sql(
+    table_expr: str,
+    stratum_col: str,
+    exposure_sql: str,
+    outcome_sql: str,
+) -> str:
+    """DuckDB twin of :func:`cmh_test` — identical cell agg, nano-unit
+    E/V/odds folds, continuity clamp and A&S tail."""
+    chi2_expr = (
+        "(CASE WHEN __sv > 0 AND"
+        " abs(CAST(sum_a AS DOUBLE) - CAST(__se AS DOUBLE) / 1e9)"
+        " > CAST(0.5 AS DOUBLE) THEN"
+        " (abs(CAST(sum_a AS DOUBLE) - CAST(__se AS DOUBLE) / 1e9)"
+        "  - CAST(0.5 AS DOUBLE))"
+        " * (abs(CAST(sum_a AS DOUBLE) - CAST(__se AS DOUBLE) / 1e9)"
+        "    - CAST(0.5 AS DOUBLE))"
+        " / (CAST(__sv AS DOUBLE) / 1e9)"
+        " ELSE CAST(0 AS DOUBLE) END)"
+    )
+    return f"""
+    WITH __per AS (
+        SELECT {stratum_col} AS __st,
+               CAST(sum(CASE WHEN __x = 1 AND __y = 1 THEN 1 ELSE 0
+                        END) AS BIGINT) AS __a,
+               CAST(sum(CASE WHEN __x = 1 AND __y = 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS __b,
+               CAST(sum(CASE WHEN __x = 0 AND __y = 1 THEN 1 ELSE 0
+                        END) AS BIGINT) AS __c,
+               CAST(sum(CASE WHEN __x = 0 AND __y = 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS __d
+        FROM (SELECT {stratum_col},
+                     CAST({exposure_sql} AS INTEGER) AS __x,
+                     CAST({outcome_sql} AS INTEGER) AS __y
+              FROM ({table_expr}))
+        WHERE __x IS NOT NULL AND __y IS NOT NULL
+        GROUP BY 1
+    ), __terms AS (
+        SELECT __a,
+               CASE WHEN (__a+__b+__c+__d) >= 2 THEN
+                    CAST(round(CAST((__a+__b)*(__a+__c) AS DOUBLE)
+                         / CAST(__a+__b+__c+__d AS DOUBLE) * 1e9, 0)
+                         AS BIGINT) ELSE 0 END AS __e,
+               CASE WHEN (__a+__b+__c+__d) >= 2 THEN
+                    CAST(round(CAST((__a+__b)*(__c+__d)*(__a+__c)
+                                    *(__b+__d) AS DOUBLE)
+                         / CAST((__a+__b+__c+__d)*(__a+__b+__c+__d)
+                                *(__a+__b+__c+__d-1) AS DOUBLE)
+                         * 1e9, 0) AS BIGINT) ELSE 0 END AS __v,
+               CAST(round(CAST(__a*__d AS DOUBLE)
+                    / CAST(__a+__b+__c+__d AS DOUBLE) * 1e9, 0)
+                    AS BIGINT) AS __ad,
+               CAST(round(CAST(__b*__c AS DOUBLE)
+                    / CAST(__a+__b+__c+__d AS DOUBLE) * 1e9, 0)
+                    AS BIGINT) AS __bc
+        FROM __per
+    ), __agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(__a) AS BIGINT) AS sum_a,
+               CAST(sum(__e) AS BIGINT) AS __se,
+               CAST(sum(__v) AS BIGINT) AS __sv,
+               CAST(sum(__ad) AS BIGINT) AS __sad,
+               CAST(sum(__bc) AS BIGINT) AS __sbc
+        FROM __terms
+    )
+    SELECT n_strata, sum_a,
+           round({chi2_expr} * 1e6, 0) / 1e6 AS chi2,
+           round(CAST(2 AS DOUBLE)
+                 * {_phi_tail_sql(f"sqrt({chi2_expr})")}
+                 * 1e6, 0) / 1e6 AS p_value,
+           round(CASE WHEN __sbc > 0 THEN CAST(__sad AS DOUBLE)
+                 / CAST(__sbc AS DOUBLE) END * 1e6, 0) / 1e6 AS or_mh
+    FROM __agg
+    """

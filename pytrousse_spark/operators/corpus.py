@@ -396,3 +396,160 @@ def heaps_law_fit_sql(
            END AS r2
     FROM d
     """
+
+
+def readability_census(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group Flesch Reading Ease census (Flesch 1948) with a
+    DETERMINISTIC syllable heuristic — the readability dimension of
+    corpus quality scoring, beside length/punct/stopword tiers (q86):
+
+        fre = 206.835 - 1.015*(words/sentences)
+                      - 84.6*(syllables/words)
+
+    with ``words`` = ``[a-z]+`` runs of the lowercased text,
+    ``sentences`` = max(1, runs of ``[.!?]+``), and
+    ``syllables(word)`` = max(1, runs of ``[aeiouy]+``) — the standard
+    vowel-group approximation (true syllabification needs a
+    dictionary; this heuristic is exact BY DEFINITION here and
+    identical in both engines).
+
+    Returns one row per group: ``(group, n_docs, n_unscored,
+    avg_fre, n_difficult, n_standard, n_easy)`` where bands split at
+    fre < 50 / 50-70 / >= 70 (Flesch's own anchors), ``n_unscored``
+    counts zero-word docs (NULL fre, excluded from avg and bands).
+
+    Exactness: word/sentence/syllable counts are exact integers;
+    per-doc fre is a scalar IEEE chain on those integers (identical
+    expression text both engines), immediately micro-unit-rounded to
+    BIGINT so the group avg is a fold-order-free integer mean.
+
+    Scale: pure per-row scalar work (regexp + bounded list fold)
+    then ONE group-keyed agg — no windows, no joins, map-side
+    combinable.
+    """
+    words = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    )
+    n_words = F.size(words).cast("bigint")
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")
+        ).cast("bigint"),
+    )
+    n_syl = F.expr(
+        f"""aggregate(
+            transform(regexp_extract_all(lower({text_col}),
+                                         '[a-z]+', 0),
+                w -> greatest(CAST(1 AS BIGINT),
+                     CAST(size(regexp_extract_all(w, '[aeiouy]+', 0))
+                          AS BIGINT))),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    )
+    fre = (
+        F.lit(206.835).cast("double")
+        - F.lit(1.015).cast("double")
+        * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6).cast("double")
+        * (n_syl.cast("double") / n_words.cast("double"))
+    )
+    staged = df.select(
+        F.col(group_col).alias("group"),
+        F.when(
+            n_words > 0,
+            F.round(fre * F.lit(1e6), 0).cast("bigint"),
+        ).alias("__fm"),
+    )
+    scored = F.when(F.col("__fm").isNotNull(), 1).otherwise(0)
+    return staged.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(1 - scored).cast("bigint").alias("n_unscored"),
+        (
+            F.round(
+                F.sum("__fm").cast("double")
+                / F.sum(scored).cast("double")
+                / F.lit(1e6)
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6)
+        ).alias("avg_fre"),
+        F.sum(
+            F.when(F.col("__fm") < 50 * 1_000_000, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_difficult"),
+        F.sum(
+            F.when(
+                (F.col("__fm") >= 50 * 1_000_000)
+                & (F.col("__fm") < 70 * 1_000_000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_standard"),
+        F.sum(
+            F.when(F.col("__fm") >= 70 * 1_000_000, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_easy"),
+    )
+
+
+def readability_census_sql(
+    table_expr: str,
+    text_col: str,
+    group_col: str,
+) -> str:
+    """DuckDB twin of :func:`readability_census` — identical regexes,
+    bounded list fold, micro-unit rounding and integer band edges."""
+    return f"""
+    WITH __staged AS (
+        SELECT {group_col} AS "group",
+               CASE WHEN __w > 0 THEN
+                    CAST(round((CAST(206.835 AS DOUBLE)
+                         - CAST(1.015 AS DOUBLE)
+                           * (CAST(__w AS DOUBLE)
+                              / CAST(__se AS DOUBLE))
+                         - CAST(84.6 AS DOUBLE)
+                           * (CAST(__sy AS DOUBLE)
+                              / CAST(__w AS DOUBLE))) * 1e6, 0)
+                         AS BIGINT) END AS __fm
+        FROM (
+            SELECT {group_col},
+                   CAST(len(regexp_extract_all(lower({text_col}),
+                            '[a-z]+')) AS BIGINT) AS __w,
+                   greatest(CAST(1 AS BIGINT),
+                       CAST(len(regexp_extract_all({text_col},
+                            '[.!?]+')) AS BIGINT)) AS __se,
+                   CAST(list_sum(list_transform(
+                        regexp_extract_all(lower({text_col}),
+                                           '[a-z]+'),
+                        __wd -> greatest(CAST(1 AS BIGINT),
+                            CAST(len(regexp_extract_all(__wd,
+                                 '[aeiouy]+')) AS BIGINT))))
+                        AS BIGINT) AS __sy
+            FROM ({table_expr})
+        )
+    )
+    SELECT "group",
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN __fm IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unscored,
+           round(CAST(sum(__fm) AS BIGINT)
+                 / CAST(sum(CASE WHEN __fm IS NOT NULL THEN 1
+                            ELSE 0 END) AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS avg_fre,
+           CAST(sum(CASE WHEN __fm < 50000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_difficult,
+           CAST(sum(CASE WHEN __fm >= 50000000 AND __fm < 70000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
+           CAST(sum(CASE WHEN __fm >= 70000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_easy
+    FROM __staged
+    GROUP BY 1
+    """

@@ -121,3 +121,39 @@ def test_cluster_cap_sample_caps_and_is_deterministic(spark):
     again = {r["vec_id"] for r in
              cluster_cap_sample(df.repartition(5), k=2, iters=2, cap=2).collect()}
     assert ids == again
+
+
+# ---------------------------------------------------------------------------
+# cluster-quality indices (round 7)
+# ---------------------------------------------------------------------------
+def test_cluster_quality_separated_beats_overlapping(spark):
+    from pytrousse_spark.operators.clustering import cluster_quality
+
+    def blob(cx, cy, n, start_id):
+        # deterministic tight 2-d blob around (cx, cy)
+        return [
+            (start_id + i, [cx + (i % 5) * 0.01, cy + (i % 7) * 0.01])
+            for i in range(n)
+        ]
+
+    # far-apart blobs -> silhouette near 1, small DB index
+    far = blob(0.0, 0.0, 30, 0) + blob(100.0, 100.0, 30, 100)
+    df = spark.createDataFrame(far, ["vec_id", "embedding"])
+    rows = cluster_quality(df, "vec_id", "embedding", k=2, iters=2).collect()
+    sil_far = rows[0]["silhouette"]
+    db_far = rows[0]["db_index"]
+    assert sil_far > 0.9
+    assert db_far < 0.1
+
+    # overlapping blobs -> much worse scores
+    near = blob(0.0, 0.0, 30, 0) + blob(0.05, 0.05, 30, 100)
+    df2 = spark.createDataFrame(near, ["vec_id", "embedding"])
+    rows2 = cluster_quality(
+        df2, "vec_id", "embedding", k=2, iters=2
+    ).collect()
+    assert rows2[0]["silhouette"] < sil_far - 0.3
+    assert rows2[0]["db_index"] > db_far
+    # silhouette always in [-1, 1]; per-cluster ns partition the input
+    for r in rows + rows2:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+    assert sum(r["n"] for r in rows) == 60

@@ -181,3 +181,80 @@ def test_bigram_nll_flags_noise_over_template(spark):
     df = spark.createDataFrame(corpus, ["doc_id", "text"])
     got = {r["doc_id"]: r["nll"] for r in tx.bigram_nll(df, "text", "doc_id").collect()}
     assert got[100] > got[0]  # unseen bigrams cost more than templated ones
+
+
+# ---------------------------------------------------------------------------
+# readability census laws (round 7)
+# ---------------------------------------------------------------------------
+def test_readability_hand_scored(spark):
+    from pytrousse_spark.operators.corpus import readability_census
+
+    rows = [
+        # 4 words, 1 sentence, syllables: the=1, cat=1, sat=1, down=1
+        # fre = 206.835 - 1.015*4 - 84.6*1 = 118.175 -> easy band
+        (1, "The cat sat down.", "en"),
+        # polysyllabic monster, 3 words 1 sentence: vowel GROUPS —
+        # extraordinary=5 [e,ao,i,a,y], intelligence=5, considerable=5
+        # fre = 206.835 - 1.015*3 - 84.6*(15/3) = -219.21 -> difficult
+        (2, "extraordinary intelligence considerable", "en"),
+        # zero words -> unscored
+        (3, "1234 5678 !!!", "en"),
+        (4, "Um texto simples de teste.", "pt"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["group"]: r
+        for r in readability_census(df, "text", "lang").collect()
+    }
+    en = got["en"]
+    assert en["n_docs"] == 3 and en["n_unscored"] == 1
+    assert en["n_easy"] == 1 and en["n_difficult"] == 1
+    assert en["n_standard"] == 0
+    # avg of the two scored docs
+    fre1 = 206.835 - 1.015 * 4 - 84.6 * 1
+    fre2 = 206.835 - 1.015 * 3 - 84.6 * (15 / 3)
+    assert abs(en["avg_fre"] - (fre1 + fre2) / 2) < 1e-3
+    assert got["pt"]["n_docs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# CMH stratified test laws (round 7)
+# ---------------------------------------------------------------------------
+def test_cmh_detects_within_stratum_association(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import cmh_test
+
+    # strong association in BOTH strata, opposite marginal sizes
+    rows = []
+    for st, n_exp in (("A", 50), ("B", 20)):
+        rows += [(st, 1, 1)] * n_exp + [(st, 1, 0)] * 10
+        rows += [(st, 0, 1)] * 10 + [(st, 0, 0)] * n_exp
+    df = spark.createDataFrame(rows, ["s", "x", "y"])
+    row = cmh_test(df, "s", F.col("x"), F.col("y")).collect()[0]
+    assert row["n_strata"] == 2
+    assert row["p_value"] < 0.001
+    assert row["or_mh"] > 5
+
+
+def test_cmh_simpsons_paradox_null(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import cmh_test
+
+    # within each stratum x and y are INDEPENDENT, but stratum size
+    # imbalance creates a pooled (marginal) association — CMH must
+    # NOT reject while the pooled chi2 would
+    rows = []
+    # stratum A: mostly exposed, high base rate, independent
+    rows += [("A", 1, 1)] * 40 + [("A", 1, 0)] * 40
+    rows += [("A", 0, 1)] * 10 + [("A", 0, 0)] * 10
+    # stratum B: mostly unexposed, low base rate, independent
+    rows += [("B", 1, 1)] * 2 + [("B", 1, 0)] * 18
+    rows += [("B", 0, 1)] * 8 + [("B", 0, 0)] * 72
+    df = spark.createDataFrame(rows, ["s", "x", "y"])
+    row = cmh_test(df, "s", F.col("x"), F.col("y")).collect()[0]
+    # exact independence within strata -> chi2 ~ 0 (continuity clamp)
+    assert row["chi2"] == 0.0
+    assert row["p_value"] == 1.0
+    assert abs(row["or_mh"] - 1.0) < 1e-6
