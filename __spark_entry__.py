@@ -6526,6 +6526,52 @@ def _sql_q215() -> str:
     return cluster_quality_sql("embeddings", 8, 64, 2)
 
 
+
+def q216_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic calibration of order total price to the
+    fulfilled-flag probability via the minimax identity
+    fit(b) = max_{i<=b} min_{j>=b} avg(y over i..j) — the closed form
+    of pool-adjacent-violators on the bounded 64-bin grid, no
+    iteration, no driver fold; nano-unit interval averages make every
+    max/min an integer order statistic
+    (operators/classifier.isotonic_calibration)."""
+    from pytrousse_spark.operators.classifier import isotonic_calibration
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__yy", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return isotonic_calibration(o, "o_totalprice", "__yy", 64)
+
+
+def _sql_q216() -> str:
+    from pytrousse_spark.operators.classifier import (
+        isotonic_calibration_sql,
+    )
+
+    return isotonic_calibration_sql(
+        "SELECT *, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+        " AS __yy FROM orders",
+        "o_totalprice", "__yy", 64,
+    )
+
+
+def q217_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004) — the
+    staged tokenizer feeding the q117 micro-unit PageRank over the
+    word-adjacency graph, top-30 by (rank DESC, token) via
+    TakeOrderedAndProject (operators/corpus.textrank_keywords)."""
+    from pytrousse_spark.operators.corpus import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return textrank_keywords(d, "text", 30, 6)
+
+
+def _sql_q217() -> str:
+    from pytrousse_spark.operators.corpus import textrank_keywords_sql
+
+    return textrank_keywords_sql("SELECT * FROM documents", "text", 30, 6)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6561,6 +6607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_readability": q213_readability,
         "q214_cmh": q214_cmh,
         "q215_cluster_quality": q215_cluster_quality,
+        "q216_isotonic_calibration": q216_isotonic_calibration,
+        "q217_textrank": q217_textrank,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7194,6 +7242,8 @@ def oracle_sql() -> dict[str, str]:
         "q213_readability": _sql_q213(),
         "q214_cmh": _sql_q214(),
         "q215_cluster_quality": _sql_q215(),
+        "q216_isotonic_calibration": _sql_q216(),
+        "q217_textrank": _sql_q217(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

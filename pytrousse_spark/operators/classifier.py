@@ -24,7 +24,7 @@ T scans of a cached columnar frame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_half_away
@@ -1911,4 +1911,201 @@ def decision_stump_sql(
                                  - (st.__pos - b.__bcp)) AS DOUBLE)
                  / CAST(st.__n AS DOUBLE) * 1e6, 0) / 1e6 AS accuracy
     FROM st LEFT JOIN best b ON TRUE
+    """
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_bins: int = 64,
+) -> DataFrame:
+    """EXACT isotonic calibration map (Zadrozny & Elkan 2002) on a
+    bounded score grid — the shape-free upgrade of the fixed
+    reliability bins (calibration_bins/q160): scores are equi-width
+    binned, then the monotone-nondecreasing fit comes from the
+    MINIMAX identity (Barlow et al. 1972)
+
+        fit(b) = max_{i<=b} min_{j>=b} avg(y over bins i..j)
+
+    which is the closed form of pool-adjacent-violators — no
+    iteration, no driver-side fold, exactly the PAVA solution.
+
+    Returns one row per OCCUPIED bin: ``(bin, n, rate_raw,
+    rate_isotonic)``, ``rate_isotonic`` monotone in ``bin``.
+
+    Exactness: bin assignment is the q100 histogram convention
+    (scalar IEEE, identical text both engines); every interval average
+    ``(S_j - S_{i-1}) / (W_j - W_{i-1})`` is ONE division of exact
+    prefix-sum integers, nano-unit-rounded to BIGINT; the max/min are
+    order statistics on those integers — no float fold anywhere.
+
+    Scale: one bin-keyed agg over the fact table (shuffle bounded by
+    the grid), then the O(B^2) interval frame and two bounded windows
+    run on <= num_bins rows — the 100 TB cost is the ONE scan + tiny
+    agg; the grid never grows with data.
+    """
+    v = F.col(score_col)
+    nn = df.where(v.isNotNull() & F.col(label_col).isNotNull())
+    stats = nn.agg(
+        F.min(v).cast("double").alias("__lo"),
+        F.max(v).cast("double").alias("__hi"),
+    )
+    pos = (
+        (v.cast("double") - F.col("__lo"))
+        / (F.col("__hi") - F.col("__lo"))
+        * num_bins
+    )
+    binned = (
+        nn.join(F.broadcast(stats), how="cross")
+        .select(
+            F.when(
+                F.col("__hi") == F.col("__lo"), F.lit(0)
+            )
+            .otherwise(
+                F.least(
+                    F.floor(pos).cast("long"),
+                    F.lit(num_bins - 1),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+            F.col(label_col).cast("bigint").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__y").cast("bigint").alias("__s"),
+        )
+    )
+    word = Window.orderBy("bin")
+    pref = binned.select(
+        "bin",
+        "n",
+        "__s",
+        F.sum("n").over(
+            word.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint").alias("__cw"),
+        F.sum("__s").over(
+            word.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint").alias("__cs"),
+    )
+    lo = pref.select(
+        F.col("bin").alias("__bi"),
+        (F.col("__cw") - F.col("n")).alias("__wlo"),
+        (F.col("__cs") - F.col("__s")).alias("__slo"),
+    )
+    hi = pref.select(
+        F.col("bin").alias("__bj"),
+        F.col("__cw").alias("__whi"),
+        F.col("__cs").alias("__shi"),
+    )
+    # O(B^2) interval frame: nano-unit average of bins __bi..__bj
+    intervals = lo.join(
+        F.broadcast(hi), F.col("__bj") >= F.col("__bi"), "inner"
+    ).select(
+        "__bi",
+        "__bj",
+        F.round(
+            (F.col("__shi") - F.col("__slo")).cast("double")
+            / (F.col("__whi") - F.col("__wlo")).cast("double")
+            * F.lit(1e9),
+            0,
+        )
+        .cast("bigint")
+        .alias("__avg"),
+    )
+    # inner(i, b) = min over j >= b of avg(i, j): suffix min per i
+    wsuf = (
+        Window.partitionBy("__bi")
+        .orderBy(F.col("__bj").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = intervals.select(
+        "__bi",
+        F.col("__bj").alias("__b"),
+        F.min("__avg").over(wsuf).alias("__inner"),
+    )
+    # fit(b) = max over i <= b of inner(i, b)
+    fit = (
+        inner.where(F.col("__bi") <= F.col("__b"))
+        .groupBy("__b")
+        .agg(F.max("__inner").alias("__fit"))
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return (
+        binned.join(fit, binned["bin"] == fit["__b"], "inner")
+        .select(
+            "bin",
+            "n",
+            r6(
+                F.col("__s").cast("double") / F.col("n").cast("double")
+            ).alias("rate_raw"),
+            r6(F.col("__fit").cast("double") / F.lit(1e9)).alias(
+                "rate_isotonic"
+            ),
+        )
+    )
+
+
+def isotonic_calibration_sql(
+    table_expr: str,
+    score_col: str,
+    label_col: str,
+    num_bins: int = 64,
+) -> str:
+    """DuckDB twin of :func:`isotonic_calibration` — identical bin
+    assignment, prefix sums, nano-unit interval averages and the
+    minimax order statistics."""
+    return f"""
+    WITH __nn AS (
+        SELECT {score_col} AS __v, CAST({label_col} AS BIGINT) AS __y
+        FROM ({table_expr})
+        WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+    ), __st AS (
+        SELECT CAST(min(__v) AS DOUBLE) AS __lo,
+               CAST(max(__v) AS DOUBLE) AS __hi
+        FROM __nn
+    ), __binned AS (
+        SELECT CAST(CASE WHEN s.__hi = s.__lo THEN 0
+                    ELSE least(CAST(floor((CAST(n.__v AS DOUBLE)
+                              - s.__lo) / (s.__hi - s.__lo)
+                              * {num_bins}) AS BIGINT),
+                              {num_bins - 1}) END AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n.__y) AS BIGINT) AS __s
+        FROM __nn n CROSS JOIN __st s
+        GROUP BY 1
+    ), __pref AS (
+        SELECT bin, n, __s,
+               CAST(sum(n) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS __cw,
+               CAST(sum(__s) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS __cs
+        FROM __binned
+    ), __iv AS (
+        SELECT l.bin AS __bi, h.bin AS __bj,
+               CAST(round(CAST(h.__cs - (l.__cs - l.__s) AS DOUBLE)
+                    / CAST(h.__cw - (l.__cw - l.n) AS DOUBLE)
+                    * 1e9, 0) AS BIGINT) AS __avg
+        FROM __pref l JOIN __pref h ON h.bin >= l.bin
+    ), __inner AS (
+        SELECT __bi, __bj AS __b,
+               CAST(min(__avg) OVER (PARTITION BY __bi
+                    ORDER BY __bj DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS __inner
+        FROM __iv
+    ), __fit AS (
+        SELECT __b, CAST(max(__inner) AS BIGINT) AS __fit
+        FROM __inner WHERE __bi <= __b GROUP BY 1
+    )
+    SELECT b.bin, b.n,
+           round(CAST(b.__s AS DOUBLE) / CAST(b.n AS DOUBLE)
+                 * 1e6, 0) / 1e6 AS rate_raw,
+           round(CAST(f.__fit AS DOUBLE) / 1e9 * 1e6, 0) / 1e6
+               AS rate_isotonic
+    FROM __binned b JOIN __fit f ON b.bin = f.__b
     """

@@ -553,3 +553,107 @@ def readability_census_sql(
     FROM __staged
     GROUP BY 1
     """
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 30,
+    iters: int = 6,
+    min_len: int = 4,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau
+    2004): words are nodes, adjacency in the filtered token stream is
+    an (undirected) edge, and PageRank centrality ranks keywords —
+    built ENTIRELY by composition: the staged tokenizer
+    (functions/text.tokens, the q163 HOF-staging lesson) feeding the
+    q117 micro-unit PageRank (operators/graph.pagerank).
+
+    Filter is the deterministic stand-in for the usual POS gate:
+    tokens matching ``^[a-z]{min_len,}$``. Window = 2 (adjacent kept
+    words), self-loops dropped, duplicate edges count once (the
+    pagerank contract).
+
+    Returns the ``top_k`` rows: ``(token, rank_micro)`` by
+    (rank DESC, token) — a deterministic total order.
+
+    Exactness: inherits pagerank's integer micro-unit ranks — no
+    float folds anywhere.
+
+    Scale: tokenize/explode is map-side; the edge list dedups with
+    one shuffle bounded by distinct co-occurrences (vocabulary^2
+    worst case, corpus-sublinear in practice); each PageRank
+    iteration is one |E|-bounded join + agg; top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    from pytrousse_spark.functions.text import tokens
+    from pytrousse_spark.operators.graph import pagerank
+
+    pat = f"^[a-z]{{{min_len},}}$"
+    toks = df.select(
+        F.filter(
+            tokens(F.col(text_col)), lambda t: t.rlike(pat)
+        ).alias("__tk")
+    ).where(F.size("__tk") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__tk) - 2),"
+                " i -> struct(__tk[i] AS a, __tk[i + 1] AS b))"
+            )
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    und = pairs.where(F.col("a") != F.col("b"))
+    edges = (
+        und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, "a", "b", iters=iters)
+    return (
+        pr.select(F.col("node").alias("token"), "rank_micro")
+        .orderBy(F.desc("rank_micro"), "token")
+        .limit(top_k)
+    )
+
+
+def textrank_keywords_sql(
+    table_expr: str,
+    text_col: str,
+    top_k: int = 30,
+    iters: int = 6,
+    min_len: int = 4,
+) -> str:
+    """DuckDB twin of :func:`textrank_keywords` — identical tokenize/
+    filter/pair chain feeding the q117 pagerank replay."""
+    from pytrousse_spark.functions.text import tokens_sql
+    from pytrousse_spark.operators.graph import pagerank_sql
+
+    tk = tokens_sql(text_col)
+    pat = f"^[a-z]{{{min_len},}}$"
+    edges = f"""
+        WITH __tks AS (
+            SELECT list_filter({tk},
+                   __w -> regexp_matches(__w, '{pat}')) AS __tk
+            FROM ({table_expr})
+        ), __pairs AS (
+            -- parallel unnest zips the two shifted slices
+            SELECT unnest(list_slice(__tk, 1, len(__tk) - 1)) AS a,
+                   unnest(list_slice(__tk, 2, len(__tk))) AS b
+            FROM __tks WHERE len(__tk) >= 2
+        ), __und AS (
+            SELECT a, b FROM __pairs WHERE a <> b
+        )
+        SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM __und
+            UNION ALL
+            SELECT b AS a, a AS b FROM __und
+        )
+    """
+    inner = pagerank_sql(edges, "a", "b", iters=iters)
+    return f"""
+    SELECT node AS token, rank_micro FROM ({inner})
+    ORDER BY rank_micro DESC, token
+    LIMIT {top_k}
+    """

@@ -442,3 +442,73 @@ def test_decision_stump_laws(spark):
 
     with _pytest.raises(ValueError):
         decision_stump(df, "x", "y", 1)
+
+
+# ---------------------------------------------------------------------------
+# isotonic calibration (round 7)
+# ---------------------------------------------------------------------------
+def _pava_reference(groups):
+    """Classic pool-adjacent-violators on (weight, sum_y) blocks:
+    merge while the previous block mean >= the next block mean, then
+    expand each merged block's mean back over its original groups."""
+    merged = [list(groups[0])]
+    for w, s in groups[1:]:
+        merged.append([w, s])
+        while len(merged) > 1 and (
+            merged[-2][1] * merged[-1][0]
+            >= merged[-1][1] * merged[-2][0]
+        ):
+            w2, s2 = merged.pop()
+            merged[-1][0] += w2
+            merged[-1][1] += s2
+    res = []
+    i = 0
+    for w, s in merged:
+        acc = 0
+        while acc < w:
+            acc += groups[i][0]
+            res.append(s / w)
+            i += 1
+    return res
+
+
+def test_isotonic_equals_classic_pava(spark):
+    from pytrousse_spark.operators.classifier import isotonic_calibration
+
+    # scores 0..9 land one per bin at num_bins=10; planted rate
+    # sequence has multiple monotonicity violations
+    rates = [0.2, 0.1, 0.4, 0.3, 0.3, 0.8, 0.5, 0.6, 0.9, 0.7]
+    rows = []
+    for b, rate in enumerate(rates):
+        n = 20
+        pos = int(rate * n)
+        rows += [(float(b), 1)] * pos + [(float(b), 0)] * (n - pos)
+    df = spark.createDataFrame(rows, ["score", "y"])
+    got = sorted(
+        isotonic_calibration(df, "score", "y", 10).collect(),
+        key=lambda r: r["bin"],
+    )
+    groups = [(20, int(r * 20)) for r in rates]
+    want = _pava_reference(groups)
+    assert len(got) == 10
+    for r, w in zip(got, want):
+        assert abs(r["rate_isotonic"] - w) < 1e-6, (r, w)
+    # monotone nondecreasing
+    seq = [r["rate_isotonic"] for r in got]
+    assert all(b >= a for a, b in zip(seq, seq[1:]))
+    # PAVA conserves total mass: sum w*fit == sum y
+    mass = sum(r["n"] * r["rate_isotonic"] for r in got)
+    total = sum(int(r * 20) for r in rates)
+    assert abs(mass - total) < 1e-2
+    # already-monotone input is a fixed point
+    rows2 = []
+    for b, rate in enumerate([0.1, 0.3, 0.5, 0.9]):
+        rows2 += [(float(b), 1)] * int(rate * 10)
+        rows2 += [(float(b), 0)] * (10 - int(rate * 10))
+    df2 = spark.createDataFrame(rows2, ["score", "y"])
+    got2 = sorted(
+        isotonic_calibration(df2, "score", "y", 4).collect(),
+        key=lambda r: r["bin"],
+    )
+    for r in got2:
+        assert r["rate_isotonic"] == r["rate_raw"]

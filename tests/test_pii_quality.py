@@ -258,3 +258,31 @@ def test_cmh_simpsons_paradox_null(spark):
     assert row["chi2"] == 0.0
     assert row["p_value"] == 1.0
     assert abs(row["or_mh"] - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword laws (round 7)
+# ---------------------------------------------------------------------------
+def test_textrank_hub_outranks_leaves(spark):
+    from pytrousse_spark.operators.corpus import textrank_keywords
+
+    # 'central' is adjacent to many distinct words; leaves see only it
+    docs = [
+        (i, f"central word{chr(97 + i)}{chr(97 + i)} central"
+            f" word{chr(97 + i)}{chr(97 + i)}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = textrank_keywords(df, "text", top_k=5, iters=6).collect()
+    assert rows[0]["token"] == "central"
+    assert rows[0]["rank_micro"] > rows[1]["rank_micro"]
+    # short tokens are filtered by the min-length gate
+    df2 = spark.createDataFrame(
+        [(1, "aa bb aa bb considerable extraordinary considerable")],
+        ["doc_id", "text"],
+    )
+    toks = {
+        r["token"]
+        for r in textrank_keywords(df2, "text", top_k=10).collect()
+    }
+    assert "aa" not in toks and "considerable" in toks
