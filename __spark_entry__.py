@@ -6572,6 +6572,33 @@ def _sql_q217() -> str:
     return textrank_keywords_sql("SELECT * FROM documents", "text", 30, 6)
 
 
+
+def q218_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the click and purchase daily
+    value series at lags -7..7 — the lead-lag detector beside the
+    single-series ACF (q204): shared zero-filled calendar spine,
+    n^2-scaled exact-integer cross folds in DECIMAL(38)/HUGEINT,
+    sqrt-product denominator, NULL on zero variance
+    (operators/timeseries.cross_correlation)."""
+    from pytrousse_spark.operators.timeseries import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return cross_correlation(
+        ev, "ts", "value", "event_type", "click", "purchase", 7
+    )
+
+
+def _sql_q218() -> str:
+    from pytrousse_spark.operators.timeseries import (
+        cross_correlation_sql,
+    )
+
+    return cross_correlation_sql(
+        "SELECT * FROM events", "ts", "value", "event_type",
+        "click", "purchase", 7,
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6609,6 +6636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_cluster_quality": q215_cluster_quality,
         "q216_isotonic_calibration": q216_isotonic_calibration,
         "q217_textrank": q217_textrank,
+        "q218_cross_correlation": q218_cross_correlation,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7244,6 +7272,7 @@ def oracle_sql() -> dict[str, str]:
         "q215_cluster_quality": _sql_q215(),
         "q216_isotonic_calibration": _sql_q216(),
         "q217_textrank": _sql_q217(),
+        "q218_cross_correlation": _sql_q218(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

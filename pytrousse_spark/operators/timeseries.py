@@ -1748,3 +1748,238 @@ def mann_kendall_sql(
            round(__sen * 1e6, 0) / 1e6 AS sen_slope
     FROM __st
     """
+
+
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    type_col: str,
+    type_x: str,
+    type_y: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation function between two event types' daily
+    value series at lags -K..K — the lead-lag detector ("do clicks
+    lead purchases, and by how many days?") beside the single-series
+    ACF (q204):
+
+        ccf(k) = sum_t (x_t - xbar)(y_{t+k} - ybar)
+                 / sqrt(sum (x - xbar)^2 * sum (y - ybar)^2)
+
+    (full-series means/denominators, overlap-window numerator — the
+    standard sample CCF normalization). Positive k means ``type_x``
+    LEADS ``type_y`` by k days.
+
+    Returns ``2*max_lag + 1`` rows: ``(lag, n, ccf)``.
+
+    Exactness: both series are dense daily integer-cent sums on the
+    SHARED calendar spine (zero-filled); the numerator is the exact
+    n^2-scaled integer identity (q204's device, cross form)
+
+        num * n^2 = n^2*P_k - n*Sx*T_k - n*Sy*H_k + (n-|k|)*Sx*Sy
+
+    in DECIMAL(38)/HUGEINT; the denominator multiplies the two sqrt'd
+    exact variance integers in double (their DECIMAL product could
+    exceed 38 digits); one division ends the chain. Zero-variance
+    series yield NULL.
+
+    Scale: one date+type-keyed agg over the raw table; the lag
+    pairing is an index join on the CALENDAR-BOUNDED spine.
+    """
+    typed = df.where(
+        F.col(type_col).isin([type_x, type_y])
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.to_date(F.col(ts_col)).alias("__d"),
+        F.when(F.col(type_col) == type_x, F.lit("x"))
+        .otherwise(F.lit("y"))
+        .alias("__t"),
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("__c"),
+    )
+    daily = typed.groupBy("__d", "__t").agg(F.sum("__c").alias("__c"))
+    rng = daily.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    spine = rng.select(
+        F.explode(
+            F.expr("sequence(__lo, __hi, interval 1 day)")
+        ).alias("__d")
+    )
+    piv = (
+        spine.join(
+            daily.where(F.col("__t") == "x").select(
+                "__d", F.col("__c").alias("__x")
+            ),
+            "__d",
+            "left",
+        )
+        .join(
+            daily.where(F.col("__t") == "y").select(
+                "__d", F.col("__c").alias("__y")
+            ),
+            "__d",
+            "left",
+        )
+        .select(
+            F.row_number()
+            .over(Window.orderBy("__d"))
+            .cast("bigint")
+            .alias("__i"),
+            F.coalesce(F.col("__x"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__x"),
+            F.coalesce(F.col("__y"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__y"),
+        )
+    )
+    tot = piv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").cast("decimal(38,0)").alias("__sx"),
+        F.sum("__y").cast("decimal(38,0)").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x"))
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y"))
+        .cast("decimal(38,0)")
+        .alias("__syy"),
+    )
+    lags = piv.sparkSession.range(
+        -max_lag, max_lag + 1
+    ).select(F.col("id").cast("int").alias("lag"))
+    shifted = piv.select(
+        F.col("__i").alias("__j"), F.col("__y").alias("__yk")
+    )
+    pairs = (
+        F.broadcast(lags)
+        .join(piv.select("__i", "__x"), how="cross")
+        .join(
+            shifted,
+            F.col("__j") == F.col("__i") + F.col("lag"),
+            "inner",
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("__x") * F.col("__yk"))
+            .cast("decimal(38,0)")
+            .alias("__p"),
+            F.sum("__x").cast("decimal(38,0)").alias("__h"),
+            F.sum("__yk").cast("decimal(38,0)").alias("__t"),
+        )
+    )
+    n = F.col("__n").cast("decimal(38,0)")
+    k = F.abs(F.col("lag")).cast("decimal(38,0)")
+    num = (
+        n * n * F.col("__p")
+        - n * F.col("__sx") * F.col("__t")
+        - n * F.col("__sy") * F.col("__h")
+        + (n - k) * F.col("__sx") * F.col("__sy")
+    )
+    dx = n * n * F.col("__sxx") - n * F.col("__sx") * F.col("__sx")
+    dy = n * n * F.col("__syy") - n * F.col("__sy") * F.col("__sy")
+    den = F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return (
+        pairs.join(F.broadcast(tot), how="cross")
+        .select(
+            "lag",
+            F.col("__n").alias("n"),
+            r6(
+                F.when(
+                    (dx > 0) & (dy > 0), num.cast("double") / den
+                )
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def cross_correlation_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+    type_col: str,
+    type_x: str,
+    type_y: str,
+    max_lag: int = 7,
+) -> str:
+    """DuckDB twin of :func:`cross_correlation` — identical shared
+    spine, HUGEINT cross folds, sqrt-product denominator."""
+    return f"""
+    WITH __typed AS (
+        SELECT CAST({ts_col} AS DATE) AS __d,
+               CASE WHEN {type_col} = '{type_x}' THEN 'x'
+                    ELSE 'y' END AS __t,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __c
+        FROM ({table_expr})
+        WHERE {type_col} IN ('{type_x}', '{type_y}')
+          AND {ts_col} IS NOT NULL
+    ), __daily AS MATERIALIZED (
+        SELECT __d, __t, CAST(sum(__c) AS BIGINT) AS __c
+        FROM __typed GROUP BY 1, 2
+    ), __rng AS (
+        SELECT min(__d) AS __lo, max(__d) AS __hi FROM __daily
+    ), __spine AS (
+        SELECT CAST(unnest(generate_series(CAST(__lo AS TIMESTAMP),
+                       CAST(__hi AS TIMESTAMP), INTERVAL 1 DAY))
+                    AS DATE) AS __d
+        FROM __rng
+    ), __piv AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY s.__d) AS BIGINT)
+                   AS __i,
+               CAST(COALESCE(x.__c, 0) AS HUGEINT) AS __x,
+               CAST(COALESCE(y.__c, 0) AS HUGEINT) AS __y
+        FROM __spine s
+        LEFT JOIN (SELECT __d, __c FROM __daily WHERE __t = 'x') x
+          ON x.__d = s.__d
+        LEFT JOIN (SELECT __d, __c FROM __daily WHERE __t = 'y') y
+          ON y.__d = s.__d
+    ), __tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(__x) AS HUGEINT) AS __sx,
+               CAST(sum(__y) AS HUGEINT) AS __sy,
+               CAST(sum(__x * __x) AS HUGEINT) AS __sxx,
+               CAST(sum(__y * __y) AS HUGEINT) AS __syy
+        FROM __piv
+    ), __lags AS (
+        SELECT CAST(unnest(range({-max_lag}, {max_lag + 1}))
+                    AS INTEGER) AS lag
+    ), __pairs AS (
+        SELECT l.lag,
+               CAST(sum(a.__x * b.__y) AS HUGEINT) AS __p,
+               CAST(sum(a.__x) AS HUGEINT) AS __h,
+               CAST(sum(b.__y) AS HUGEINT) AS __t
+        FROM __lags l
+        JOIN __piv a ON TRUE
+        JOIN __piv b ON b.__i = a.__i + l.lag
+        GROUP BY 1
+    ), __num AS (
+        SELECT p.lag, t.__n AS n,
+               CAST(CAST(t.__n AS HUGEINT) * CAST(t.__n AS HUGEINT)
+                        * p.__p
+                    - CAST(t.__n AS HUGEINT) * t.__sx * p.__t
+                    - CAST(t.__n AS HUGEINT) * t.__sy * p.__h
+                    + (CAST(t.__n AS HUGEINT)
+                       - CAST(abs(p.lag) AS HUGEINT))
+                      * t.__sx * t.__sy AS DOUBLE) AS __numd,
+               CAST(CAST(t.__n AS HUGEINT) * CAST(t.__n AS HUGEINT)
+                        * t.__sxx
+                    - CAST(t.__n AS HUGEINT) * t.__sx * t.__sx
+                    AS DOUBLE) AS __dx,
+               CAST(CAST(t.__n AS HUGEINT) * CAST(t.__n AS HUGEINT)
+                        * t.__syy
+                    - CAST(t.__n AS HUGEINT) * t.__sy * t.__sy
+                    AS DOUBLE) AS __dy
+        FROM __pairs p CROSS JOIN __tot t
+    )
+    SELECT lag, n,
+           round(CASE WHEN __dx > 0 AND __dy > 0 THEN
+                 __numd / (sqrt(__dx) * sqrt(__dy)) END
+                 * 1e6, 0) / 1e6 AS ccf
+    FROM __num
+    ORDER BY lag
+    """

@@ -554,3 +554,65 @@ def test_mann_kendall_monotone_and_flat_laws(spark):
     ).collect()[0]
     assert row["s_stat"] == 0 and row["z"] == 0.0
     assert row["p_value"] == 1.0
+
+
+def test_cross_correlation_planted_lead(spark):
+    from pytrousse_spark.operators.timeseries import cross_correlation
+
+    # y is x shifted forward by 2 days -> ccf peaks at lag +2
+    base = [float(10 + (i * 7919) % 97) for i in range(40)]
+    rows = []
+    start = dt.datetime(2024, 5, 1)
+    for i, v in enumerate(base):
+        rows.append((i, start + dt.timedelta(days=i), "a", v))
+        if i >= 2:
+            rows.append(
+                (1000 + i, start + dt.timedelta(days=i), "b",
+                 base[i - 2])
+            )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value"]
+    )
+    got = {
+        r["lag"]: r["ccf"]
+        for r in cross_correlation(
+            df, "ts", "value", "event_type", "a", "b", 5
+        ).collect()
+    }
+    best = max(got, key=lambda k: got[k] if got[k] is not None else -9)
+    assert best == 2
+    # zero-filled lead-in days dilute the full-series normalization,
+    # so the peak is strong but not ~1
+    assert got[2] > 0.8
+    # lag 0 is much weaker than the true lead
+    assert got[2] - got[0] > 0.3
+
+
+def test_cross_correlation_antisymmetry(spark):
+    from pytrousse_spark.operators.timeseries import cross_correlation
+
+    rows = []
+    start = dt.datetime(2024, 5, 1)
+    for i in range(30):
+        rows.append((i, start + dt.timedelta(days=i), "a",
+                     float(1 + (i * 31) % 11)))
+        rows.append((100 + i, start + dt.timedelta(days=i), "b",
+                     float(2 + (i * 17) % 7)))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value"]
+    )
+    ab = {
+        r["lag"]: r["ccf"]
+        for r in cross_correlation(
+            df, "ts", "value", "event_type", "a", "b", 4
+        ).collect()
+    }
+    ba = {
+        r["lag"]: r["ccf"]
+        for r in cross_correlation(
+            df, "ts", "value", "event_type", "b", "a", 4
+        ).collect()
+    }
+    # ccf_xy(k) == ccf_yx(-k)
+    for k in range(-4, 5):
+        assert abs(ab[k] - ba[-k]) < 2e-6, (k, ab[k], ba[-k])
