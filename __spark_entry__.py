@@ -6599,6 +6599,65 @@ def _sql_q218() -> str:
     )
 
 
+
+def q219_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorized and trimmed means of extended price at
+    the sketch [p5, p95] — Tukey robust statistics on the q127 grouped
+    histogram quantiles (no per-group sort), micro-unit integer means
+    (profiling.winsorized_group_stats)."""
+    from pytrousse_spark.profiling import winsorized_group_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return winsorized_group_stats(li, "l_returnflag", "l_extendedprice")
+
+
+def _sql_q219() -> str:
+    from pytrousse_spark.profiling import winsorized_group_stats_sql
+
+    return winsorized_group_stats_sql(
+        "lineitem", "l_returnflag", "l_extendedprice"
+    )
+
+
+def q220_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-corrected Kendall tau-b between quantity and line
+    number — ordinal association from the CONTINGENCY GRID (one cell
+    agg + a bounded cell self-join; pair folds never touch rows), the
+    100 TB-safe design for bounded-cardinality columns
+    (profiling.kendall_tau_b)."""
+    from pytrousse_spark.profiling import kendall_tau_b
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kendall_tau_b(li, "l_quantity", "l_linenumber")
+
+
+def _sql_q220() -> str:
+    from pytrousse_spark.profiling import kendall_tau_b_sql
+
+    return kendall_tau_b_sql(
+        "SELECT * FROM lineitem", "l_quantity", "l_linenumber"
+    )
+
+
+def q221_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe approximate Spearman rank correlation between
+    quantity and extended price: two histogram-sketch rank passes
+    (q156 device — no global sort) + one exact integer Pearson of the
+    micro-unit ranks (profiling.spearman_approx)."""
+    from pytrousse_spark.profiling import spearman_approx
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_approx(li, "l_quantity", "l_extendedprice")
+
+
+def _sql_q221() -> str:
+    from pytrousse_spark.profiling import spearman_approx_sql
+
+    return spearman_approx_sql(
+        "SELECT * FROM lineitem", "l_quantity", "l_extendedprice"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6637,6 +6696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_isotonic_calibration": q216_isotonic_calibration,
         "q217_textrank": q217_textrank,
         "q218_cross_correlation": q218_cross_correlation,
+        "q219_winsorized_stats": q219_winsorized_stats,
+        "q220_kendall_tau": q220_kendall_tau,
+        "q221_spearman": q221_spearman,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7273,6 +7335,9 @@ def oracle_sql() -> dict[str, str]:
         "q216_isotonic_calibration": _sql_q216(),
         "q217_textrank": _sql_q217(),
         "q218_cross_correlation": _sql_q218(),
+        "q219_winsorized_stats": _sql_q219(),
+        "q220_kendall_tau": _sql_q220(),
+        "q221_spearman": _sql_q221(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1730,3 +1730,472 @@ def mann_whitney_u_sql(
                < CAST({float(alpha)!r} AS DOUBLE) AS reject
     FROM zz
     """
+
+
+def winsorized_group_stats(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    num_bins: int = 1024,
+) -> DataFrame:
+    """Per-group WINSORIZED and TRIMMED means (Tukey robust-statistics
+    staples) — the outlier-resistant siblings of the plain group mean,
+    beside the MAD anomaly gate (q121): cutoffs are the per-group
+    [p_lo, p_hi] HISTOGRAM-SKETCH quantiles (the q127 grouped device —
+    no per-group sort at any scale), winsorizing clamps values into
+    the cutoffs, trimming drops them.
+
+    Returns one row per group: ``(group, n, mean_raw, mean_winsor,
+    mean_trim, n_trimmed)``; ``mean_trim`` is NULL when everything
+    trims away.
+
+    Exactness: per-row clamped/raw values are micro-unit-rounded
+    BIGINT before every mean (integer folds + one division); the
+    cutoffs themselves are the sketch estimates, round-4 identical in
+    both engines.
+
+    Scale: the sketch pass is broadcast stats + one (group, bin) agg;
+    then ONE more fact pass with the 2-column cutoff frame broadcast
+    back — the fact table shuffles only for its own group agg.
+    """
+    from pytrousse_spark.operators.sketch import (
+        histogram_quantiles_grouped,
+    )
+
+    qs = histogram_quantiles_grouped(
+        df, group_col, col, [p_lo, p_hi], num_bins
+    )
+    cuts = qs.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("q") == p_lo, F.col("estimate"))
+        ).alias("__qlo"),
+        F.min(
+            F.when(F.col("q") == p_hi, F.col("estimate"))
+        ).alias("__qhi"),
+    )
+    v = F.col(col).cast("double")
+    micro = lambda c: F.round(c * F.lit(1e6), 0).cast(  # noqa: E731
+        "bigint"
+    )
+    staged = (
+        df.where(v.isNotNull())
+        .join(F.broadcast(cuts), group_col)
+        .select(
+            F.col(group_col).alias("group"),
+            micro(v).alias("__raw"),
+            micro(
+                F.least(
+                    F.greatest(v, F.col("__qlo")), F.col("__qhi")
+                )
+            ).alias("__win"),
+            F.when(
+                (v >= F.col("__qlo")) & (v <= F.col("__qhi")),
+                micro(v),
+            ).alias("__trm"),
+        )
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    kept = F.sum(
+        F.when(F.col("__trm").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return staged.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r6(
+            F.sum("__raw").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_raw"),
+        r6(
+            F.sum("__win").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
+        ).alias("mean_winsor"),
+        r6(
+            F.sum("__trm").cast("double")
+            / kept.cast("double")
+            / F.lit(1e6)
+        ).alias("mean_trim"),
+        (F.count(F.lit(1)).cast("bigint") - kept).alias("n_trimmed"),
+    )
+
+
+def winsorized_group_stats_sql(
+    table: str,
+    group_col: str,
+    col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    num_bins: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`winsorized_group_stats` — replays the
+    grouped sketch quantiles, the clamp and the micro-unit folds."""
+    from pytrousse_spark.operators.sketch import (
+        histogram_quantiles_grouped_sql,
+    )
+
+    # the sketch twin takes a bare TABLE NAME (its FROM is unparenthesized)
+    inner = histogram_quantiles_grouped_sql(
+        table, group_col, col, [p_lo, p_hi], num_bins
+    )
+    return f"""
+    WITH __qs AS (
+        {inner}
+    ), __cuts AS (
+        SELECT {group_col},
+               min(CASE WHEN q = {float(p_lo)} THEN estimate END)
+                   AS __qlo,
+               min(CASE WHEN q = {float(p_hi)} THEN estimate END)
+                   AS __qhi
+        FROM __qs GROUP BY 1
+    ), __staged AS (
+        SELECT t.{group_col} AS "group",
+               CAST(round(CAST(t.{col} AS DOUBLE) * 1e6, 0)
+                    AS BIGINT) AS __raw,
+               CAST(round(least(greatest(CAST(t.{col} AS DOUBLE),
+                                         c.__qlo), c.__qhi) * 1e6, 0)
+                    AS BIGINT) AS __win,
+               CASE WHEN CAST(t.{col} AS DOUBLE) >= c.__qlo
+                     AND CAST(t.{col} AS DOUBLE) <= c.__qhi THEN
+                    CAST(round(CAST(t.{col} AS DOUBLE) * 1e6, 0)
+                         AS BIGINT) END AS __trm
+        FROM {table} t JOIN __cuts c
+          ON t.{group_col} = c.{group_col}
+        WHERE t.{col} IS NOT NULL
+    )
+    SELECT "group",
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(__raw) AS BIGINT) / CAST(count(*) AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS mean_raw,
+           round(CAST(sum(__win) AS BIGINT) / CAST(count(*) AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS mean_winsor,
+           round(CAST(sum(__trm) AS BIGINT)
+                 / CAST(sum(CASE WHEN __trm IS NOT NULL THEN 1
+                            ELSE 0 END) AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS mean_trim,
+           CAST(count(*) - sum(CASE WHEN __trm IS NOT NULL THEN 1
+                               ELSE 0 END) AS BIGINT) AS n_trimmed
+    FROM __staged
+    GROUP BY 1
+    """
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """EXACT Kendall tau-b rank correlation between two BOUNDED-
+    CARDINALITY columns (Kendall 1945, the tie-corrected tau) — the
+    ordinal-association readout for discrete columns (grades, counts,
+    ratings) where Pearson's linearity assumption is wrong and
+    Spearman's midranks churn:
+
+        tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2))
+
+    with C/D the concordant/discordant pair counts, n0 = n(n-1)/2 and
+    n1/n2 the row/column tie folds. The significance z uses the
+    standard tau-a normal approximation
+    ``z = 3(C - D) / sqrt(n(n-1)(2n+5)/2)`` (stated: the full tie-
+    corrected variance differs negligibly off knife edges).
+
+    CONTRACT: both columns must be bounded-cardinality — the pair
+    fold runs on the CONTINGENCY GRID (cells^2 pairs), never on rows,
+    which is what makes it 100 TB-safe: one (x, y) count agg, then a
+    bounded self-join. NULL pairs are dropped.
+
+    Returns one row: ``(n, concordant, discordant, tau_b, z,
+    p_value)``; tau_b NULL when either margin is all-ties.
+
+    Exactness: every count, product and tie fold is DECIMAL(38)/
+    HUGEINT integer arithmetic; the two sqrts multiply in double.
+    """
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__c").cast("decimal(38,0)").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__c").cast("decimal(38,0)").alias("__cb"),
+    )
+    cd = (
+        a.join(F.broadcast(b), F.col("__xa") < F.col("__xb"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__ya") < F.col("__yb"),
+                    F.col("__ca") * F.col("__cb"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            .cast("decimal(38,0)")
+            .alias("__conc"),
+            F.sum(
+                F.when(
+                    F.col("__ya") > F.col("__yb"),
+                    F.col("__ca") * F.col("__cb"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            .cast("decimal(38,0)")
+            .alias("__disc"),
+        )
+    )
+    tiefold = lambda key: (  # noqa: E731
+        cells.groupBy(key)
+        .agg(F.sum("__c").cast("decimal(38,0)").alias("__t"))
+        .agg(
+            F.sum(F.col("__t") * (F.col("__t") - 1))
+            .cast("decimal(38,0)")
+            .alias("__tt"),
+            F.sum("__t").cast("decimal(38,0)").alias("__n"),
+        )
+    )
+    tx = tiefold("__x").select(
+        F.col("__tt").alias("__t1x2"), F.col("__n").alias("__n")
+    )
+    ty = tiefold("__y").select(F.col("__tt").alias("__t2x2"))
+    st = cd.join(F.broadcast(tx), how="cross").join(
+        F.broadcast(ty), how="cross"
+    )
+    # everything x2 to stay integer: n0x2 = n(n-1), tie folds already x2
+    n = F.col("__n")
+    n0x2 = n * (n - 1)
+    den = F.sqrt(
+        (n0x2 - F.col("__t1x2")).cast("double")
+    ) * F.sqrt((n0x2 - F.col("__t2x2")).cast("double"))
+    s_ = (F.col("__conc") - F.col("__disc")).cast("double")
+    z_expr = (
+        "(CAST(3 AS DOUBLE) * __s /"
+        " sqrt(CAST(__nn AS DOUBLE) * (CAST(__nn AS DOUBLE)"
+        " - CAST(1 AS DOUBLE))"
+        " * (CAST(2 AS DOUBLE) * CAST(__nn AS DOUBLE)"
+        "    + CAST(5 AS DOUBLE)) / CAST(2 AS DOUBLE)))"
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    staged = st.select(
+        n.cast("bigint").alias("n"),
+        F.col("__conc").cast("bigint").alias("concordant"),
+        F.col("__disc").cast("bigint").alias("discordant"),
+        F.when(den > 0, F.lit(2.0) * s_ / den).alias("__tb"),
+        s_.alias("__s"),
+        n.cast("bigint").alias("__nn"),
+    )
+    return staged.select(
+        "n",
+        "concordant",
+        "discordant",
+        r6(F.col("__tb")).alias("tau_b"),
+        r6(F.expr(z_expr)).alias("z"),
+        r6(
+            F.lit(2.0)
+            * F.expr(_phi_tail_sql(f"abs({z_expr})"))
+        ).alias("p_value"),
+    )
+
+
+def kendall_tau_b_sql(
+    table_expr: str,
+    x_col: str,
+    y_col: str,
+) -> str:
+    """DuckDB twin of :func:`kendall_tau_b` — identical contingency
+    grid, HUGEINT pair/tie folds, x2 scaling, sqrt-product and A&S
+    tail."""
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    z_expr = (
+        "(CAST(3 AS DOUBLE) * __s /"
+        " sqrt(CAST(__nn AS DOUBLE) * (CAST(__nn AS DOUBLE)"
+        " - CAST(1 AS DOUBLE))"
+        " * (CAST(2 AS DOUBLE) * CAST(__nn AS DOUBLE)"
+        "    + CAST(5 AS DOUBLE)) / CAST(2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH __cells AS MATERIALIZED (
+        SELECT {x_col} AS __x, {y_col} AS __y,
+               CAST(count(*) AS HUGEINT) AS __c
+        FROM ({table_expr})
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), __cd AS (
+        SELECT CAST(sum(CASE WHEN a.__y < b.__y
+                        THEN a.__c * b.__c ELSE 0 END) AS HUGEINT)
+                   AS __conc,
+               CAST(sum(CASE WHEN a.__y > b.__y
+                        THEN a.__c * b.__c ELSE 0 END) AS HUGEINT)
+                   AS __disc
+        FROM __cells a JOIN __cells b ON a.__x < b.__x
+    ), __tx AS (
+        SELECT CAST(sum(__t * (__t - 1)) AS HUGEINT) AS __t1x2,
+               CAST(sum(__t) AS HUGEINT) AS __n
+        FROM (SELECT CAST(sum(__c) AS HUGEINT) AS __t
+              FROM __cells GROUP BY __x)
+    ), __ty AS (
+        SELECT CAST(sum(__t * (__t - 1)) AS HUGEINT) AS __t2x2
+        FROM (SELECT CAST(sum(__c) AS HUGEINT) AS __t
+              FROM __cells GROUP BY __y)
+    ), __staged AS (
+        SELECT CAST(__n AS BIGINT) AS n,
+               CAST(__conc AS BIGINT) AS concordant,
+               CAST(__disc AS BIGINT) AS discordant,
+               CASE WHEN sqrt(CAST(__n * (__n - 1) - __t1x2
+                                   AS DOUBLE))
+                         * sqrt(CAST(__n * (__n - 1) - __t2x2
+                                     AS DOUBLE)) > 0 THEN
+                    CAST(2 AS DOUBLE)
+                    * CAST(__conc - __disc AS DOUBLE)
+                    / (sqrt(CAST(__n * (__n - 1) - __t1x2 AS DOUBLE))
+                       * sqrt(CAST(__n * (__n - 1) - __t2x2
+                                   AS DOUBLE))) END AS __tb,
+               CAST(__conc - __disc AS DOUBLE) AS __s,
+               CAST(__n AS BIGINT) AS __nn
+        FROM __cd CROSS JOIN __tx CROSS JOIN __ty
+    )
+    SELECT n, concordant, discordant,
+           round(__tb * 1e6, 0) / 1e6 AS tau_b,
+           round({z_expr} * 1e6, 0) / 1e6 AS z,
+           round(CAST(2 AS DOUBLE)
+                 * {_phi_tail_sql(f"abs({z_expr})")}
+                 * 1e6, 0) / 1e6 AS p_value
+    FROM __staged
+    """
+
+
+def spearman_approx(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_bins: int = 4096,
+) -> DataFrame:
+    """Scale-safe approximate Spearman rank correlation between two
+    numeric columns: each column passes through the HISTOGRAM-SKETCH
+    rank transform (the q156 device — no global sort at any scale),
+    ranks are micro-unit-rounded to integers, and the correlation is
+    the EXACT integer Pearson of those ranks:
+
+        rho = (n*Sxy - Sx*Sy)
+              / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    Returns one row: ``(n, spearman)``; NULL on zero variance.
+
+    Exactness: rank assignment is per-row scalar IEEE (identical text
+    both engines); all five moment sums fold exact DECIMAL(38)/
+    HUGEINT integers; two sqrts multiply in double, one division.
+
+    Scale: two sketch passes (broadcast stats + tiny CDF joins — the
+    fact frame never sorts or shuffles) and ONE 5-value moment agg.
+    """
+    from pytrousse_spark.operators.transforms import (
+        percent_rank_transform_approx,
+    )
+
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).alias("__vx"),
+        F.col(y_col).alias("__vy"),
+        F.lit(1).alias("__grp"),
+    )
+    rx = percent_rank_transform_approx(
+        base, "__grp", "__vx", out_col="__rx", num_bins=num_bins
+    )
+    rxy = percent_rank_transform_approx(
+        rx, "__grp", "__vy", out_col="__ry", num_bins=num_bins
+    )
+    micro = lambda c: F.round(c * F.lit(1e6), 0).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    staged = rxy.select(
+        micro(F.col("__rx")).alias("__x"),
+        micro(F.col("__ry")).alias("__y"),
+    )
+    mom = staged.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__x").cast("decimal(38,0)").alias("__sx"),
+        F.sum("__y").cast("decimal(38,0)").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x"))
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y"))
+        .cast("decimal(38,0)")
+        .alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y"))
+        .cast("decimal(38,0)")
+        .alias("__sxy"),
+    )
+    n = F.col("__n")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    den = F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return mom.select(
+        n.cast("bigint").alias("n"),
+        r6(
+            F.when((dx > 0) & (dy > 0), num.cast("double") / den)
+        ).alias("spearman"),
+    )
+
+
+def spearman_approx_sql(
+    table_expr: str,
+    x_col: str,
+    y_col: str,
+    num_bins: int = 4096,
+) -> str:
+    """DuckDB twin of :func:`spearman_approx` — replays both sketch
+    rank passes and the exact integer Pearson."""
+    from pytrousse_spark.operators.transforms import (
+        percent_rank_transform_approx_sql,
+    )
+
+    rx = percent_rank_transform_approx_sql(
+        "__spbase", "__grp", "__vx", out_col="__rx", num_bins=num_bins
+    )
+    ry = percent_rank_transform_approx_sql(
+        "__sprx", "__grp", "__vy", out_col="__ry", num_bins=num_bins
+    )
+    return f"""
+    WITH __spbase AS MATERIALIZED (
+        SELECT {x_col} AS __vx, {y_col} AS __vy, 1 AS __grp
+        FROM ({table_expr})
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    ), __sprx AS MATERIALIZED (
+        {rx}
+    ), __spr AS MATERIALIZED (
+        {ry}
+    ), __staged AS (
+        SELECT CAST(round(__rx * 1e6, 0) AS HUGEINT) AS __x,
+               CAST(round(__ry * 1e6, 0) AS HUGEINT) AS __y
+        FROM __spr
+    ), __mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS __n,
+               CAST(sum(__x) AS HUGEINT) AS __sx,
+               CAST(sum(__y) AS HUGEINT) AS __sy,
+               CAST(sum(__x * __x) AS HUGEINT) AS __sxx,
+               CAST(sum(__y * __y) AS HUGEINT) AS __syy,
+               CAST(sum(__x * __y) AS HUGEINT) AS __sxy
+        FROM __staged
+    )
+    SELECT CAST(__n AS BIGINT) AS n,
+           round(CASE WHEN __n * __sxx - __sx * __sx > 0
+                       AND __n * __syy - __sy * __sy > 0 THEN
+                 CAST(__n * __sxy - __sx * __sy AS DOUBLE)
+                 / (sqrt(CAST(__n * __sxx - __sx * __sx AS DOUBLE))
+                    * sqrt(CAST(__n * __syy - __sy * __sy
+                                AS DOUBLE))) END * 1e6, 0) / 1e6
+               AS spearman
+    FROM __mom
+    """

@@ -508,3 +508,95 @@ def test_mann_whitney_laws(spark):
     # empty A: u/cles/z/p NULL, counts still real
     re = empty.collect()[0]
     assert re["n_a"] == 0 and re["u"] is None
+
+
+# ---------------------------------------------------------------------------
+# robust stats + rank correlations (round 7)
+# ---------------------------------------------------------------------------
+def test_winsorized_mean_resists_planted_outliers(spark):
+    from pytrousse_spark.profiling import winsorized_group_stats
+
+    # 98 clean values around 100 + two monster outliers
+    rows = [("g", 100.0 + (i % 7)) for i in range(98)]
+    rows += [("g", 1e6), ("g", 2e6)]  # asymmetric so raw mean shifts
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = winsorized_group_stats(df, "k", "v").collect()[0]
+    clean_mean = sum(100.0 + (i % 7) for i in range(98)) / 98
+    # raw mean is destroyed, winsorized and trimmed are not
+    assert abs(r["mean_raw"] - clean_mean) > 100
+    assert abs(r["mean_winsor"] - clean_mean) < 5
+    assert abs(r["mean_trim"] - clean_mean) < 2
+    assert r["n"] == 100 and r["n_trimmed"] >= 2
+
+    # no outliers and wide cutoffs -> winsor == raw
+    df2 = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], ["k", "v"]
+    )
+    r2 = winsorized_group_stats(df2, "k", "v", 0.0, 1.0).collect()[0]
+    assert r2["mean_winsor"] == r2["mean_raw"]
+    assert r2["n_trimmed"] == 0
+
+
+def test_kendall_tau_b_laws(spark):
+    from pytrousse_spark.profiling import kendall_tau_b
+
+    # perfectly concordant discrete pair -> tau_b = 1
+    rows = [(i % 5, i % 5) for i in range(100)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    assert r["tau_b"] == 1.0 and r["discordant"] == 0
+    assert r["p_value"] < 0.001
+
+    # reversed -> -1
+    rows = [(i % 5, 4 - (i % 5)) for i in range(100)]
+    r = kendall_tau_b(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r["tau_b"] == -1.0 and r["concordant"] == 0
+
+    # independent grid -> tau ~ 0, insignificant
+    rows = [(i % 5, (i * 3) % 7) for i in range(210)]
+    r = kendall_tau_b(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert abs(r["tau_b"]) < 0.05
+    assert r["p_value"] > 0.1
+
+    # brute-force cross-check on a small irregular sample
+    import itertools
+
+    pts = [(1, 2), (1, 2), (2, 1), (2, 3), (3, 3), (3, 1), (4, 4),
+           (5, 2), (5, 5), (2, 2)]
+    conc = disc = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(pts, 2):
+        s = (x1 - x2) * (y1 - y2)
+        conc += s > 0
+        disc += s < 0
+    n = len(pts)
+    from collections import Counter
+
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in Counter(x for x, _ in pts).values())
+    n2 = sum(t * (t - 1) / 2 for t in Counter(y for _, y in pts).values())
+    want = (conc - disc) / ((n0 - n1) * (n0 - n2)) ** 0.5
+    r = kendall_tau_b(
+        spark.createDataFrame(pts, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r["concordant"] == conc and r["discordant"] == disc
+    assert abs(r["tau_b"] - want) < 1e-6
+
+
+def test_spearman_monotone_invariance(spark):
+    from pytrousse_spark.profiling import spearman_approx
+
+    # spearman is invariant under monotone transforms: x vs x^3
+    rows = [(float(i), float(i) ** 3) for i in range(-50, 51)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = spearman_approx(df, "x", "y").collect()[0]
+    assert r["spearman"] > 0.99
+    # anti-monotone -> -1
+    rows = [(float(i), -float(i) ** 3) for i in range(-50, 51)]
+    r = spearman_approx(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r["spearman"] < -0.99
