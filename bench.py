@@ -113,6 +113,37 @@ def _build_10x_corpus(spark, sf_dir: str, tmp: str) -> None:
     big_ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
 
 
+    # customer/orders 10x for the round-7 headroom rows: customer
+    # names REGENERATE from the shifted key (Customer#%09d), so the
+    # edit-distance-1 neighborhood structure grows linearly instead of
+    # manufacturing 10 exact copies of every name; orders shift their
+    # order key only (the isotonic/lift gates read price/status).
+    cu = read_parquet_df(spark, f"{sf_dir}/customer.parquet")
+    c_stride = cu.agg(F.max("c_custkey")).first()[0] + 1
+    c10 = [cu] + [
+        cu.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * c_stride))
+        .withColumn(
+            "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+        )
+        for i in range(1, 10)
+    ]
+    big_cu = c10[0]
+    for p in c10[1:]:
+        big_cu = big_cu.unionByName(p)
+    big_cu.write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+
+    o = read_parquet_df(spark, f"{sf_dir}/orders.parquet")
+    o_stride = o.agg(F.max("o_orderkey")).first()[0] + 1
+    o10 = [o] + [
+        o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * o_stride))
+        for i in range(1, 10)
+    ]
+    big_o = o10[0]
+    for p in o10[1:]:
+        big_o = big_o.unionByName(p)
+    big_o.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+
+
 def _build_skewed_events(spark, tmp: str) -> None:
     """Zipfian-skew variant of the 10x events table (round-4 VERDICT
     item 6): ~20% of all events collapse onto ONE user (every 5th event
@@ -166,6 +197,15 @@ _IDLE_BANDS_10X = {
     "q186_ks_drift": 6.0,
     "q191_assortativity": 12.0,
     "q192_pca2": 7.0,
+    # round-7 rows — bands from this round's idle 10x measures
+    # (7.2-7.9 / 5.3 / 1.2 / 3.3 / 3.1 / 0.9 / 5.4 s warm)
+    "q211_fastss_neighbors": 12.0,
+    "q215_cluster_quality": 9.0,
+    "q216_isotonic_calibration": 4.0,
+    "q217_textrank": 7.0,
+    "q219_winsorized_stats": 6.0,
+    "q220_kendall_tau": 3.0,
+    "q221_spearman": 9.0,
 }
 
 
@@ -212,6 +252,18 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q186_ks_drift",
         "q191_assortativity",
         "q192_pca2",
+        # round-7 additions: the FastSS signature join (candidate pairs
+        # grow with the duplicate-neighborhood mass — measured 4.1x for
+        # 10x names), the k-means validity pass, the bounded-grid
+        # isotonic fit, the word-graph TextRank, the double-sketch
+        # robust means / Spearman, and the contingency-grid tau
+        "q211_fastss_neighbors",
+        "q215_cluster_quality",
+        "q216_isotonic_calibration",
+        "q217_textrank",
+        "q219_winsorized_stats",
+        "q220_kendall_tau",
+        "q221_spearman",
     ):
         fn = getattr(entrymod, name)
         try:

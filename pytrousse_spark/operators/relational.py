@@ -334,10 +334,16 @@ def fastss_neighbors(
     """
     from pyspark.sql import functions as F
 
-    s = df.select(
-        F.col(id_col).cast("bigint").alias("__id"),
-        F.col(text_col).alias("__txt"),
-    ).where(F.col("__txt").isNotNull())
+    from ..io import rebalance_undersplit
+
+    # the q87/q181 lesson: a single-row-group parquet scan is ONE task,
+    # and the L+1-way signature explode would run on one core
+    s = rebalance_undersplit(
+        df.select(
+            F.col(id_col).cast("bigint").alias("__id"),
+            F.col(text_col).alias("__txt"),
+        ).where(F.col("__txt").isNotNull())
+    )
     # S(x) = {x} ∪ single-deletion variants (guard empty strings: the
     # descending-sequence trap — sequence(1, 0) is NOT empty)
     sigs = s.select(
