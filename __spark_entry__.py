@@ -6658,6 +6658,55 @@ def _sql_q221() -> str:
     )
 
 
+
+def q222_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis day-of-week effect test on the daily event-value
+    series — the distribution-free one-way ANOVA beside Mann-Whitney's
+    two-sample gate (q202): doubled midranks on the calendar spine,
+    nano-unit R^2/n folds, tie-corrected H through Wilson-Hilferty +
+    the shared A&S tail
+    (operators/timeseries.kruskal_wallis_dow)."""
+    from pytrousse_spark.operators.timeseries import kruskal_wallis_dow
+
+    ev = _t(spark, sf_dir, "events")
+    return kruskal_wallis_dow(ev, "ts", "value")
+
+
+def _sql_q222() -> str:
+    from pytrousse_spark.operators.timeseries import (
+        kruskal_wallis_dow_sql,
+    )
+
+    return kruskal_wallis_dow_sql("SELECT * FROM events", "ts", "value")
+
+
+def q223_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resubstitution accuracy of the majority-next-state Markov
+    predictor over per-user event sequences — the q133 transition
+    matrix turned into the simplest deployable model and scored
+    in-engine (q200 confusion-readout convention); one entity-keyed
+    shuffle, model selection on the states^2 frame
+    (operators/mining.markov_next_event_accuracy)."""
+    from pytrousse_spark.operators.mining import (
+        markov_next_event_accuracy,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_next_event_accuracy(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+def _sql_q223() -> str:
+    from pytrousse_spark.operators.mining import (
+        markov_next_event_accuracy_sql,
+    )
+
+    return markov_next_event_accuracy_sql(
+        "events", "user_id", "ts", "event_type", "event_id"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6699,6 +6748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_winsorized_stats": q219_winsorized_stats,
         "q220_kendall_tau": q220_kendall_tau,
         "q221_spearman": q221_spearman,
+        "q222_kruskal_wallis": q222_kruskal_wallis,
+        "q223_markov_accuracy": q223_markov_accuracy,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7338,6 +7389,8 @@ def oracle_sql() -> dict[str, str]:
         "q219_winsorized_stats": _sql_q219(),
         "q220_kendall_tau": _sql_q220(),
         "q221_spearman": _sql_q221(),
+        "q222_kruskal_wallis": _sql_q222(),
+        "q223_markov_accuracy": _sql_q223(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

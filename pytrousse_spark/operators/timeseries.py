@@ -1983,3 +1983,193 @@ def cross_correlation_sql(
     FROM __num
     ORDER BY lag
     """
+
+
+def kruskal_wallis_dow(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis rank test of day-of-week effect on the daily
+    series (Kruskal & Wallis 1952) — the distribution-free one-way
+    ANOVA: "does this metric genuinely differ by weekday, or is the
+    Monday dip noise?" Groups are weekday(0=Mon..6=Sun) over the dense
+    daily-cent spine; midranks handle ties:
+
+        H = 12/(n(n+1)) * sum_g R_g^2/n_g - 3(n+1)
+        H' = H / (1 - sum(t^3 - t)/(n^3 - n))     (tie correction)
+
+    p-value via Wilson-Hilferty with df = (groups present) - 1 through
+    the shared A&S tail.
+
+    Returns one row: ``(n, n_groups, h_stat, p_value)``; NULL p when
+    every value ties (correction denominator 0).
+
+    Exactness: doubled midranks keep every rank sum an exact BIGINT;
+    each group's R_g^2/n_g is ONE division nano-rounded before the
+    7-term fold; the tie fold is exact integers.
+
+    Scale: one date-keyed agg; ranks on the CALENDAR-BOUNDED spine.
+    """
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    dense = _daily_cents(df, ts_col, value_col)
+    wv = Window.orderBy("__c")
+    wt = Window.partitionBy("__c")
+    ranked = dense.select(
+        F.expr("weekday(__d)").cast("int").alias("__g"),
+        (
+            F.lit(2) * F.rank().over(wv)
+            + F.count("*").over(wt)
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("__2m"),
+        F.col("__c"),
+    )
+    per_g = ranked.groupBy("__g").agg(
+        F.sum("__2m").cast("bigint").alias("__s2"),
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+    )
+    # nano-rounded R_g^2 / n_g = (s2/2)^2 / ng = s2^2 / (4 ng)
+    terms = per_g.select(
+        F.round(
+            (F.col("__s2") * F.col("__s2")).cast("double")
+            / (F.lit(4) * F.col("__ng")).cast("double")
+            * F.lit(1e9),
+            0,
+        )
+        .cast("bigint")
+        .alias("__t"),
+        "__ng",
+    )
+    ties = (
+        dense.groupBy("__c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t") * F.col("__t") * F.col("__t")
+                - F.col("__t")
+            )
+            .cast("bigint")
+            .alias("__tiefold")
+        )
+    )
+    agg = terms.agg(
+        F.sum("__t").cast("bigint").alias("__rsum"),
+        F.sum("__ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    ).join(F.broadcast(ties), how="cross")
+    nn = F.col("n").cast("double")
+    h = (
+        F.lit(12.0)
+        / (nn * (nn + F.lit(1.0)))
+        * (F.col("__rsum").cast("double") / F.lit(1e9))
+        - F.lit(3.0) * (nn + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("__tiefold").cast("double") / (
+        nn * nn * nn - nn
+    )
+    hprime = F.when(corr > 0, h / corr)
+    staged = agg.select(
+        "n",
+        "n_groups",
+        hprime.alias("__q"),
+        (F.col("n_groups") - 1).cast("double").alias("__k"),
+    )
+    wh_z = (
+        "((pow(__q / __k, CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))"
+        " - (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)"
+        "    / (CAST(9 AS DOUBLE) * __k)))"
+        " / sqrt(CAST(2 AS DOUBLE) / (CAST(9 AS DOUBLE) * __k)))"
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return staged.select(
+        "n",
+        "n_groups",
+        r6(F.col("__q")).alias("h_stat"),
+        r6(
+            F.when(
+                F.expr(wh_z) >= 0, F.expr(_phi_tail_sql(wh_z))
+            ).otherwise(
+                F.lit(1.0) - F.expr(_phi_tail_sql(f"-({wh_z})"))
+            )
+        ).alias("p_value"),
+    )
+
+
+def kruskal_wallis_dow_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`kruskal_wallis_dow` — identical spine,
+    doubled midranks, nano-unit R^2/n fold, tie correction and WH +
+    A&S tail. Weekday alignment: Spark ``weekday`` (Mon=0) equals
+    DuckDB ``isodow - 1``."""
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    wh_z = (
+        "((pow(__q / __k, CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))"
+        " - (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)"
+        "    / (CAST(9 AS DOUBLE) * __k)))"
+        " / sqrt(CAST(2 AS DOUBLE) / (CAST(9 AS DOUBLE) * __k)))"
+    )
+    return f"""{base}
+    , __ranked AS (
+        SELECT CAST(isodow(__d) - 1 AS INTEGER) AS __g,
+               CAST(2 * rank() OVER (ORDER BY __c)
+                    + count(*) OVER (PARTITION BY __c)
+                    - 1 AS BIGINT) AS __2m
+        FROM __dense
+    ), __perg AS (
+        SELECT __g, CAST(sum(__2m) AS BIGINT) AS __s2,
+               CAST(count(*) AS BIGINT) AS __ng
+        FROM __ranked GROUP BY 1
+    ), __terms AS (
+        SELECT CAST(round(CAST(__s2 * __s2 AS DOUBLE)
+                    / CAST(4 * __ng AS DOUBLE) * 1e9, 0) AS BIGINT)
+                   AS __t,
+               __ng
+        FROM __perg
+    ), __ties AS (
+        SELECT CAST(sum(__t * __t * __t - __t) AS BIGINT) AS __tiefold
+        FROM (SELECT CAST(count(*) AS BIGINT) AS __t
+              FROM __dense GROUP BY __c)
+    ), __agg AS (
+        SELECT CAST(sum(__t) AS BIGINT) AS __rsum,
+               CAST(sum(__ng) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM __terms
+    ), __staged AS (
+        SELECT a.n, a.n_groups,
+               CASE WHEN CAST(1 AS DOUBLE)
+                         - CAST(t.__tiefold AS DOUBLE)
+                           / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)
+                              * CAST(a.n AS DOUBLE)
+                              - CAST(a.n AS DOUBLE)) > 0 THEN
+                    (CAST(12 AS DOUBLE)
+                     / (CAST(a.n AS DOUBLE)
+                        * (CAST(a.n AS DOUBLE) + CAST(1 AS DOUBLE)))
+                     * (CAST(a.__rsum AS DOUBLE) / 1e9)
+                     - CAST(3 AS DOUBLE)
+                       * (CAST(a.n AS DOUBLE) + CAST(1 AS DOUBLE)))
+                    / (CAST(1 AS DOUBLE)
+                       - CAST(t.__tiefold AS DOUBLE)
+                         / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)
+                            * CAST(a.n AS DOUBLE)
+                            - CAST(a.n AS DOUBLE))) END AS __q,
+               CAST(a.n_groups - 1 AS DOUBLE) AS __k
+        FROM __agg a CROSS JOIN __ties t
+    )
+    SELECT n, n_groups,
+           round(__q * 1e6, 0) / 1e6 AS h_stat,
+           round(CASE WHEN {wh_z} >= 0 THEN {_phi_tail_sql(wh_z)}
+                 ELSE CAST(1 AS DOUBLE)
+                      - {_phi_tail_sql(f"-({wh_z})")} END
+                 * 1e6, 0) / 1e6 AS p_value
+    FROM __staged
+    """

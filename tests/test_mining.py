@@ -147,3 +147,55 @@ def test_session_paths_splits_and_orders(spark):
         "a": (1, 1),
         "x>y": (2, 1),
     }
+
+
+def test_markov_accuracy_deterministic_chain(spark):
+    import datetime as dt
+
+    from pytrousse_spark.operators.mining import (
+        markov_next_event_accuracy,
+    )
+
+    # a -> b -> a -> b ... : the majority model is perfect
+    rows = []
+    for u in range(5):
+        for i in range(10):
+            rows.append(
+                (u, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+                 i, "a" if i % 2 == 0 else "b")
+            )
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    )
+    got = {
+        r["prev_state"]: r
+        for r in markov_next_event_accuracy(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got["a"]["model_next"] == "b" and got["a"]["accuracy"] == 1.0
+    assert got["b"]["model_next"] == "a" and got["b"]["accuracy"] == 1.0
+    assert got["a"]["overall_accuracy"] == 1.0
+
+    # 2:1 mixture: model picks the majority, accuracy = 2/3; exact
+    # ties break lexicographically
+    rows = []
+    seq = ["x", "p", "x", "p", "x", "q"] * 3  # x->p twice per x->q once
+    for i, s in enumerate(seq):
+        rows.append(
+            (1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), i, s)
+        )
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    )
+    got = {
+        r["prev_state"]: r
+        for r in markov_next_event_accuracy(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got["x"]["model_next"] == "p"
+    # accuracy is round-6
+    assert abs(got["x"]["accuracy"] - got["x"]["n_correct"]
+               / got["x"]["n_from"]) < 1e-6
+    assert got["x"]["n_correct"] * 2 >= got["x"]["n_from"]

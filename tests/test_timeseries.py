@@ -616,3 +616,28 @@ def test_cross_correlation_antisymmetry(spark):
     # ccf_xy(k) == ccf_yx(-k)
     for k in range(-4, 5):
         assert abs(ab[k] - ba[-k]) < 2e-6, (k, ab[k], ba[-k])
+
+
+def test_kruskal_wallis_planted_weekday_effect(spark):
+    from pytrousse_spark.operators.timeseries import kruskal_wallis_dow
+
+    # Mondays are 100x every other day over 10 weeks
+    rows = []
+    start = dt.datetime(2024, 5, 6)  # a Monday
+    for i in range(70):
+        day = start + dt.timedelta(days=i)
+        v = 1000.0 if day.weekday() == 0 else 10.0 + (i % 3)
+        rows.append((i, day, v))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    r = kruskal_wallis_dow(df, "ts", "value").collect()[0]
+    assert r["n"] == 70 and r["n_groups"] == 7
+    assert r["p_value"] < 0.001
+
+    # no weekday structure (period-2 pattern, coprime with 7) -> H ~ 0
+    flat = spark.createDataFrame(
+        [(i, start + dt.timedelta(days=i), float(i % 2))
+         for i in range(70)],
+        ["event_id", "ts", "value"],
+    )
+    r2 = kruskal_wallis_dow(flat, "ts", "value").collect()[0]
+    assert r2["p_value"] > 0.5
