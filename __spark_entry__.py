@@ -6707,6 +6707,34 @@ def _sql_q223() -> str:
     )
 
 
+
+def q224_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample of 500 orders by priority:
+    budget split proportional to N_h*sd_h via an integer
+    largest-remainder method (micro-unit shares, exact `div`), drawn
+    with the q109 two-stage salted-hash order (no stratum funnels one
+    window partition); id_checksum pins the exact drawn set
+    (operators/sampling.neyman_allocation_sample)."""
+    from pytrousse_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return neyman_allocation_sample(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", 500
+    )
+
+
+def _sql_q224() -> str:
+    from pytrousse_spark.operators.sampling import (
+        neyman_allocation_sample_sql,
+    )
+
+    return neyman_allocation_sample_sql(
+        "orders", "o_orderpriority", "o_totalprice", "o_orderkey", 500
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6750,6 +6778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_spearman": q221_spearman,
         "q222_kruskal_wallis": q222_kruskal_wallis,
         "q223_markov_accuracy": q223_markov_accuracy,
+        "q224_neyman_sample": q224_neyman_sample,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7391,6 +7420,7 @@ def oracle_sql() -> dict[str, str]:
         "q221_spearman": _sql_q221(),
         "q222_kruskal_wallis": _sql_q222(),
         "q223_markov_accuracy": _sql_q223(),
+        "q224_neyman_sample": _sql_q224(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -648,3 +648,265 @@ def bootstrap_mean_ci_sql(
            (SELECT ci_hi FROM ci) AS ci_hi
     FROM nn
     """
+
+
+def neyman_allocation_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+    n_total: int,
+    oversample: float = 2.5,
+    salt: str = "neyman",
+) -> DataFrame:
+    """Optimal (Neyman 1934) stratified sample allocation + the draw
+    itself, summarized per stratum — the survey-sampling upgrade of the
+    equal-k stratified sample (q109): a fixed budget ``n_total`` is
+    split proportionally to ``N_h * sd_h``, so high-variance strata get
+    more rows and a constant stratum can get zero.
+
+    Allocation is the LARGEST-REMAINDER method on micro-unit integer
+    shares (ties break by ascending stratum key) — bit-deterministic,
+    no float accumulation; an allocation larger than the stratum is
+    capped at N_h (stated; the surplus is NOT redistributed). The draw
+    is the q109 two-stage salted-hash order (map-side threshold keeps
+    ~oversample*n_h rows, exact row_number over survivors), so no
+    stratum ever funnels through one window partition.
+
+    Returns one row per stratum: ``(stratum, n_pop, sd, n_alloc,
+    n_sampled, id_checksum)`` — ``id_checksum`` is the BIGINT sum of
+    sampled ids, pinning the exact drawn set cross-engine.
+
+    Exactness: per-stratum moments fold exact integer cents
+    (DECIMAL(38)/HUGEINT); sd is one sqrt of one division; shares are
+    micro-rounded BIGINT before the integer largest-remainder split.
+    """
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast(
+        "decimal(38,0)"
+    )
+    stats = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(stratum_col).alias("__st"), cents.alias("__c"))
+        .groupBy("__st")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__c").cast("decimal(38,0)").alias("__s"),
+            F.sum(F.col("__c") * F.col("__c"))
+            .cast("decimal(38,0)")
+            .alias("__ss"),
+        )
+    )
+    nn = F.col("__n").cast("decimal(38,0)")
+    var_num = nn * F.col("__ss") - F.col("__s") * F.col("__s")
+    sd = F.when(
+        F.col("__n") > 1,
+        F.sqrt(
+            var_num.cast("double")
+            / (nn * (nn - 1)).cast("double")
+        )
+        / F.lit(100.0),
+    ).otherwise(F.lit(0.0))
+    shares = stats.select(
+        "__st",
+        "__n",
+        sd.alias("__sd"),
+        F.round(F.col("__n").cast("double") * sd * F.lit(1e6), 0)
+        .cast("bigint")
+        .alias("__sh"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # largest-remainder split of n_total over micro-unit shares
+    alloc = shares.select(
+        "__st",
+        "__n",
+        "__sd",
+        "__sh",
+        F.sum("__sh").over(tot).cast("bigint").alias("__shtot"),
+    ).select(
+        "__st",
+        "__n",
+        "__sd",
+        # exact integer division (Spark's / on BIGINT is DOUBLE
+        # division and loses exactness above 2^53; `div` matches
+        # DuckDB's //)
+        F.when(
+            F.col("__shtot") > 0,
+            F.expr(f"(CAST({n_total} AS BIGINT) * __sh) div __shtot"),
+        )
+        .cast("bigint")
+        .alias("__base"),
+        F.when(
+            F.col("__shtot") > 0,
+            (F.lit(n_total) * F.col("__sh")).cast("bigint")
+            % F.col("__shtot"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__frac"),
+    )
+    wrem = Window.orderBy(F.col("__frac").desc(), F.col("__st").asc())
+    alloc2 = alloc.select(
+        "__st",
+        "__n",
+        "__sd",
+        "__base",
+        F.row_number().over(wrem).alias("__rr"),
+        (
+            F.lit(n_total)
+            - F.sum("__base").over(tot).cast("bigint")
+        ).alias("__rem"),
+    ).select(
+        "__st",
+        "__n",
+        "__sd",
+        F.least(
+            F.col("__n"),
+            F.col("__base")
+            + F.when(F.col("__rr") <= F.col("__rem"), 1).otherwise(0),
+        )
+        .cast("bigint")
+        .alias("__k"),
+    )
+    b = _bucket(id_col, salt)
+    pre = (
+        df.where(F.col(value_col).isNotNull())
+        .join(
+            F.broadcast(alloc2),
+            F.col(stratum_col) == F.col("__st"),
+        )
+        .where(
+            (F.col("__k") > 0)
+            & (
+                b
+                < F.least(
+                    F.lit(_BUCKETS).cast("long"),
+                    F.floor(
+                        F.lit(float(oversample * _BUCKETS))
+                        * F.col("__k").cast("double")
+                        / F.col("__n").cast("double")
+                    ).cast("long")
+                    + 1,
+                )
+            )
+        )
+    )
+    w = Window.partitionBy("__st").orderBy(b.asc(), F.col(id_col).asc())
+    picked = pre.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= F.col("__k")
+    )
+    drawn = picked.groupBy("__st").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum(F.col(id_col).cast("bigint"))
+        .cast("bigint")
+        .alias("id_checksum"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return (
+        alloc2.join(drawn, "__st", "left")
+        .select(
+            F.col("__st").alias("stratum"),
+            F.col("__n").alias("n_pop"),
+            r6(F.col("__sd")).alias("sd"),
+            F.col("__k").alias("n_alloc"),
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.coalesce(F.col("id_checksum"), F.lit(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+    )
+
+
+def neyman_allocation_sample_sql(
+    table: str,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+    n_total: int,
+    oversample: float = 2.5,
+    salt: str = "neyman",
+) -> str:
+    """DuckDB twin of :func:`neyman_allocation_sample` — identical
+    moment folds, micro-share largest-remainder split, threshold and
+    hash-order draw."""
+    b = _bucket_sql(id_col, salt)
+    return f"""
+    WITH __stats AS (
+        SELECT {stratum_col} AS __st,
+               CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 100,
+                             0) AS HUGEINT)) AS HUGEINT) AS __s,
+               CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 100,
+                             0) AS HUGEINT)
+                        * CAST(round(CAST({value_col} AS DOUBLE)
+                               * 100, 0) AS HUGEINT)) AS HUGEINT)
+                   AS __ss
+        FROM {table} WHERE {value_col} IS NOT NULL
+        GROUP BY 1
+    ), __shares AS (
+        SELECT __st, __n,
+               CASE WHEN __n > 1 THEN
+                    sqrt(CAST(CAST(__n AS HUGEINT) * __ss - __s * __s
+                              AS DOUBLE)
+                         / CAST(CAST(__n AS HUGEINT)
+                                * (CAST(__n AS HUGEINT) - 1)
+                                AS DOUBLE)) / CAST(100 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS __sd
+        FROM __stats
+    ), __sh AS (
+        SELECT *, CAST(round(CAST(__n AS DOUBLE) * __sd * 1e6, 0)
+                       AS BIGINT) AS __shv,
+               CAST(sum(CAST(round(CAST(__n AS DOUBLE) * __sd * 1e6,
+                             0) AS BIGINT)) OVER () AS BIGINT)
+                   AS __shtot
+        FROM __shares
+    ), __alloc AS (
+        SELECT __st, __n, __sd,
+               CASE WHEN __shtot > 0 THEN
+                    ({n_total} * __shv) // __shtot ELSE 0 END AS __base,
+               CASE WHEN __shtot > 0 THEN
+                    ({n_total} * __shv) % __shtot ELSE 0 END AS __frac
+        FROM __sh
+    ), __alloc2 AS (
+        SELECT __st, __n, __sd,
+               CAST(least(__n, __base
+                    + CASE WHEN row_number() OVER (ORDER BY __frac
+                               DESC, __st ASC)
+                           <= {n_total}
+                              - CAST(sum(__base) OVER () AS BIGINT)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS __k
+        FROM __alloc
+    ), __pre AS (
+        SELECT t.{id_col} AS __id, a.__st, a.__k,
+               {b} AS __b
+        FROM {table} t JOIN __alloc2 a ON t.{stratum_col} = a.__st
+        WHERE t.{value_col} IS NOT NULL AND a.__k > 0
+          AND {b} < least(CAST({_BUCKETS} AS BIGINT),
+                CAST(floor({float(oversample * _BUCKETS)}
+                     * CAST(a.__k AS DOUBLE)
+                     / CAST(a.__n AS DOUBLE)) AS BIGINT) + 1)
+    ), __picked AS (
+        SELECT __st, __id FROM (
+            SELECT __st, __id, __k,
+                   row_number() OVER (PARTITION BY __st
+                       ORDER BY __b, __id) AS __rn
+            FROM __pre
+        ) WHERE __rn <= __k
+    ), __drawn AS (
+        SELECT __st, CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(CAST(__id AS BIGINT)) AS BIGINT)
+                   AS id_checksum
+        FROM __picked GROUP BY 1
+    )
+    SELECT a.__st AS stratum, a.__n AS n_pop,
+           round(a.__sd * 1e6, 0) / 1e6 AS sd,
+           a.__k AS n_alloc,
+           CAST(COALESCE(d.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(d.id_checksum, 0) AS BIGINT) AS id_checksum
+    FROM __alloc2 a LEFT JOIN __drawn d ON a.__st = d.__st
+    """

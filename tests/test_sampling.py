@@ -222,3 +222,45 @@ def test_bootstrap_mean_ci_laws(spark):
         bootstrap_mean_ci(df, "v", "id", 1)
     with _pytest.raises(ValueError):
         bootstrap_mean_ci(df, "v", "id", 100, alpha=1.5)
+
+
+def test_neyman_allocation_laws(spark):
+    from pytrousse_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    # stratum A: high variance; B: low variance; C: constant (sd 0)
+    rows = []
+    for i in range(200):
+        rows.append((i, "A", float(100 + (i * 7919) % 500)))
+    for i in range(200, 400):
+        rows.append((i, "B", float(100 + (i % 3))))
+    for i in range(400, 600):
+        rows.append((i, "C", 42.0))
+    df = spark.createDataFrame(rows, ["id", "st", "v"])
+    got = {
+        r["stratum"]: r
+        for r in neyman_allocation_sample(
+            df, "st", "v", "id", 100
+        ).collect()
+    }
+    # allocations sum exactly to the budget (largest-remainder law)
+    assert sum(r["n_alloc"] for r in got.values()) == 100
+    # every allocation is honored exactly
+    for r in got.values():
+        assert r["n_sampled"] == r["n_alloc"]
+    # high-variance stratum dominates; constant stratum gets nothing
+    assert got["A"]["n_alloc"] > got["B"]["n_alloc"]
+    assert got["C"]["n_alloc"] == 0 and got["C"]["sd"] == 0.0
+    # equal-size equal-sd strata split the budget ~evenly
+    rows2 = [(i, "X" if i % 2 == 0 else "Y", float(i % 50))
+             for i in range(400)]
+    got2 = {
+        r["stratum"]: r
+        for r in neyman_allocation_sample(
+            spark.createDataFrame(rows2, ["id", "st", "v"]),
+            "st", "v", "id", 99,
+        ).collect()
+    }
+    assert abs(got2["X"]["n_alloc"] - got2["Y"]["n_alloc"]) <= 1
+    assert got2["X"]["n_alloc"] + got2["Y"]["n_alloc"] == 99
