@@ -6735,6 +6735,27 @@ def _sql_q224() -> str:
     )
 
 
+
+def q225_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily OHLC + VWAP bars — the resample staple as
+    ONE (key, bucket)-keyed hash agg with map-side partials: open and
+    close are min_by/max_by over a fixed-width (ts, order) key, never
+    a first/last window over raw ticks
+    (operators/timeseries.ohlc_bars)."""
+    from pytrousse_spark.operators.timeseries import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_bars(ev, "event_type", "ts", "value", "event_id", "1 day")
+
+
+def _sql_q225() -> str:
+    from pytrousse_spark.operators.timeseries import ohlc_bars_sql
+
+    return ohlc_bars_sql(
+        "events", "event_type", "ts", "value", "event_id", "1 day"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6779,6 +6800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_kruskal_wallis": q222_kruskal_wallis,
         "q223_markov_accuracy": q223_markov_accuracy,
         "q224_neyman_sample": q224_neyman_sample,
+        "q225_ohlc_bars": q225_ohlc_bars,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7421,6 +7443,7 @@ def oracle_sql() -> dict[str, str]:
         "q222_kruskal_wallis": _sql_q222(),
         "q223_markov_accuracy": _sql_q223(),
         "q224_neyman_sample": _sql_q224(),
+        "q225_ohlc_bars": _sql_q225(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -2173,3 +2173,117 @@ def kruskal_wallis_dow_sql(
                  * 1e6, 0) / 1e6 AS p_value
     FROM __staged
     """
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    interval: str = "1 day",
+) -> DataFrame:
+    """Per-key OHLC + VWAP resample bars — the market-data/metrics
+    staple (open/high/low/close of ``value_col`` per time bucket, with
+    the tick count and the volume-weighted average where every tick
+    has unit volume, i.e. the plain mean kept cent-exact):
+
+    ``order_col`` breaks equal-timestamp ties so open/close are
+    deterministic (the q133 lag-window rule).
+
+    Returns ``(key, bucket, open, high, low, close, n_ticks, vwap)``.
+
+    Exactness: ticks become integer cents BEFORE any aggregation;
+    open/close are ``min_by``/``max_by`` over the (ts, order) struct —
+    order statistics, not scans; vwap is one division, round-6.
+
+    Scale: ONE (key, bucket)-keyed hash agg with map-side partials —
+    no window over the raw table at all (the naive first/last-over-
+    window formulation shuffles and sorts every tick; min_by does
+    not).
+    """
+    n, unit = _parse_interval(interval)
+    if unit not in _UNIT_SECONDS:
+        raise ValueError("ohlc_bars needs a fixed-length interval")
+    step = n * _UNIT_SECONDS[unit]
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step)).cast(
+            "long"
+        )
+        * F.lit(step)
+    )
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast(
+        "bigint"
+    )
+    # fixed-width lexicographic (ts, order) key — DuckDB's arg_min
+    # does not take a struct ordering argument, so BOTH engines order
+    # by the identical composed string
+    ordk = F.format_string(
+        "%020d|%020d",
+        F.unix_micros(F.col(ts_col)),
+        F.col(order_col).cast("bigint"),
+    )
+    staged = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        bucket.alias("bucket"),
+        cents.alias("__c"),
+        ordk.alias("__k"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    toval = lambda c: c.cast("double") / F.lit(100.0)  # noqa: E731
+    return staged.groupBy("key", "bucket").agg(
+        r6(toval(F.min_by("__c", F.col("__k")))).alias("open"),
+        r6(toval(F.max("__c"))).alias("high"),
+        r6(toval(F.min("__c"))).alias("low"),
+        r6(toval(F.max_by("__c", F.col("__k")))).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        r6(
+            F.sum("__c").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("vwap"),
+    )
+
+
+def ohlc_bars_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    interval: str = "1 day",
+) -> str:
+    """DuckDB twin of :func:`ohlc_bars` — identical epoch-floored
+    buckets, cent staging, and (ts, order) arg-min/max."""
+    n, unit = _parse_interval(interval)
+    step = n * _UNIT_SECONDS[unit]
+    return f"""
+    WITH __staged AS (
+        SELECT {key_col} AS key,
+               make_timestamp(CAST(floor(epoch({ts_col})
+                   / {step}) AS BIGINT)
+                   * {step} * 1000000) AS bucket,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __c,
+               printf('%020d|%020d', epoch_us({ts_col}),
+                      CAST({order_col} AS BIGINT)) AS __k
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+    )
+    SELECT key, bucket,
+           round(CAST(arg_min(__c, __k) AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS open,
+           round(CAST(max(__c) AS DOUBLE) / CAST(100 AS DOUBLE)
+                 * 1e6, 0) / 1e6 AS high,
+           round(CAST(min(__c) AS DOUBLE) / CAST(100 AS DOUBLE)
+                 * 1e6, 0) / 1e6 AS low,
+           round(CAST(arg_max(__c, __k) AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           round(CAST(sum(__c) AS BIGINT) / CAST(count(*) AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS vwap
+    FROM __staged
+    GROUP BY 1, 2
+    """

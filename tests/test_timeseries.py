@@ -641,3 +641,36 @@ def test_kruskal_wallis_planted_weekday_effect(spark):
     )
     r2 = kruskal_wallis_dow(flat, "ts", "value").collect()[0]
     assert r2["p_value"] > 0.5
+
+
+def test_ohlc_hand_computed(spark):
+    from pytrousse_spark.operators.timeseries import ohlc_bars
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        # key a, day 1: ticks in shuffled insert order
+        ("a", base + dt.timedelta(hours=3), 2, 30.0),
+        ("a", base + dt.timedelta(hours=1), 1, 10.0),
+        ("a", base + dt.timedelta(hours=23), 3, 20.0),
+        # equal-timestamp tie: order_col decides open
+        ("b", base, 5, 99.0),
+        ("b", base, 4, 11.0),
+        # key a, day 2: single tick
+        ("a", base + dt.timedelta(days=1), 6, 7.5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "event_id", "value"])
+    got = {
+        (r["key"], r["bucket"].day): r
+        for r in ohlc_bars(
+            df, "k", "ts", "value", "event_id", "1 day"
+        ).collect()
+    }
+    a1 = got[("a", 1)]
+    assert (a1["open"], a1["high"], a1["low"], a1["close"]) == (
+        10.0, 30.0, 10.0, 20.0,
+    )
+    assert a1["n_ticks"] == 3 and abs(a1["vwap"] - 20.0) < 1e-9
+    b = got[("b", 1)]
+    assert b["open"] == 11.0 and b["close"] == 99.0  # order_col tie-break
+    a2 = got[("a", 2)]
+    assert a2["open"] == a2["close"] == a2["high"] == a2["low"] == 7.5
