@@ -6756,6 +6756,40 @@ def _sql_q225() -> str:
     )
 
 
+
+def q226_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE of the BUILDING segment on order
+    totals with an IN-ENGINE logistic propensity model (q111's
+    batch-GD training, replayed in FULL by the oracle) on acctbal +
+    nation features — the observational companion to CUPED/DiD:
+    clipped Hajek weights, micro-unit folds
+    (operators/cohort.ipw_ate)."""
+    from pytrousse_spark.operators.cohort import ipw_ate
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+    return ipw_ate(
+        j, (F.col("c_mktsegment") == "BUILDING").cast("int"),
+        "o_totalprice",
+        F.col("c_acctbal") / 1000.0,
+        F.col("c_nationkey").cast("double") / 25.0,
+    )
+
+
+def _sql_q226() -> str:
+    from pytrousse_spark.operators.cohort import ipw_ate_sql
+
+    return ipw_ate_sql(
+        "SELECT * FROM orders o JOIN customer c"
+        " ON o.o_custkey = c.c_custkey",
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END",
+        "o_totalprice",
+        "c_acctbal / 1000.0",
+        "CAST(c_nationkey AS DOUBLE) / 25.0",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6801,6 +6835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_markov_accuracy": q223_markov_accuracy,
         "q224_neyman_sample": q224_neyman_sample,
         "q225_ohlc_bars": q225_ohlc_bars,
+        "q226_ipw_ate": q226_ipw_ate,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7444,6 +7479,7 @@ def oracle_sql() -> dict[str, str]:
         "q223_markov_accuracy": _sql_q223(),
         "q224_neyman_sample": _sql_q224(),
         "q225_ohlc_bars": _sql_q225(),
+        "q226_ipw_ate": _sql_q226(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

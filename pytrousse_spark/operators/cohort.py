@@ -3002,3 +3002,241 @@ def cmh_test_sql(
                  / CAST(__sbc AS DOUBLE) END * 1e6, 0) / 1e6 AS or_mh
     FROM __agg
     """
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat: Column,
+    outcome_col: str,
+    x1: Column,
+    x2: Column,
+    iters: int = 8,
+    lr: float = 2.0,
+    clip: float = 0.05,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Horvitz &
+    Thompson 1952; Hajek-normalized) with an IN-ENGINE logistic
+    propensity model — the observational-data companion to the
+    randomized gates (CUPED q188, DiD q189): when treatment correlates
+    with observed confounders, the naive group-mean difference is
+    biased; reweighting each unit by 1/P(treatment | x) recovers the
+    effect under unconfoundedness.
+
+    The propensity model is the q111 batch-GD logistic regression
+    (classifier.logreg_train: micro-unit integer gradient folds,
+    round-6 weight updates — the full training replays in the twin) on
+    features ``(x1, x2, x1*x2)``; propensities clip to
+    ``[clip, 1-clip]`` (stated — the standard overlap trim).
+
+        ate = sum(t*y/e)/sum(t/e) - sum((1-t)*y/(1-e))/sum((1-t)/(1-e))
+
+    Returns one row: ``(n, n_treat, naive_diff, ate)`` — ``naive_diff``
+    is the unadjusted group-mean difference for contrast.
+
+    Exactness: outcome enters as integer cents; every weighted term
+    (y*w, w) is micro-unit-rounded BIGINT before summing; the four
+    ratio divisions end the chain.
+
+    Scale: training is ``iters`` one-row aggregates (map-side
+    partials, 5 values each); scoring + the ATE fold is ONE more pass.
+    """
+    from pytrousse_spark.operators.classifier import logreg_train
+
+    feat = (
+        df.select(
+            treat.cast("double").alias("y"),
+            x1.cast("double").alias("x1"),
+            x2.cast("double").alias("x2"),
+            (x1.cast("double") * x2.cast("double")).alias("x3"),
+            F.round(F.col(outcome_col).cast("double") * 100, 0)
+            .cast("bigint")
+            .alias("__oc"),
+        )
+        .where(
+            F.col("y").isNotNull()
+            & F.col("x1").isNotNull()
+            & F.col("x2").isNotNull()
+            & F.col("__oc").isNotNull()
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = logreg_train(feat, iters=iters, lr=lr)
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    e = F.least(
+        F.lit(1.0 - clip),
+        F.greatest(
+            F.lit(clip),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+        ),
+    )
+    t = F.col("y")
+    yd = F.col("__oc").cast("double")
+    micro = lambda c: F.round(c * F.lit(1e6), 0).cast(  # noqa: E731
+        "bigint"
+    )
+    staged = feat.select(
+        t.alias("__t"),
+        F.col("__oc"),
+        micro(yd * t / e).alias("__wy1"),
+        micro(t / e).alias("__w1"),
+        micro(yd * (F.lit(1.0) - t) / (F.lit(1.0) - e)).alias("__wy0"),
+        micro((F.lit(1.0) - t) / (F.lit(1.0) - e)).alias("__w0"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__t") == 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("__t") == 1.0, F.col("__oc")).otherwise(0))
+        .cast("bigint")
+        .alias("__s1"),
+        F.sum(F.when(F.col("__t") == 0.0, F.col("__oc")).otherwise(0))
+        .cast("bigint")
+        .alias("__s0"),
+        F.sum("__wy1").cast("bigint").alias("__swy1"),
+        F.sum("__w1").cast("bigint").alias("__sw1"),
+        F.sum("__wy0").cast("bigint").alias("__swy0"),
+        F.sum("__w0").cast("bigint").alias("__sw0"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    n1 = F.col("n_treat").cast("double")
+    n0 = (F.col("n") - F.col("n_treat")).cast("double")
+    naive = (
+        F.col("__s1").cast("double") / n1
+        - F.col("__s0").cast("double") / n0
+    ) / F.lit(100.0)
+    ate = (
+        F.col("__swy1").cast("double") / F.col("__sw1").cast("double")
+        - F.col("__swy0").cast("double")
+        / F.col("__sw0").cast("double")
+    ) / F.lit(100.0)
+    return agg.select(
+        "n",
+        "n_treat",
+        r6(
+            F.when((F.col("n_treat") > 0) & (F.col("n") > F.col("n_treat")), naive)
+        ).alias("naive_diff"),
+        r6(
+            F.when((F.col("__sw1") > 0) & (F.col("__sw0") > 0), ate)
+        ).alias("ate"),
+    )
+
+
+def ipw_ate_sql(
+    table_expr: str,
+    treat_sql: str,
+    outcome_col: str,
+    x1_sql: str,
+    x2_sql: str,
+    iters: int = 8,
+    lr: float = 2.0,
+    clip: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`ipw_ate` — the ENTIRE propensity training
+    chain as materialized CTEs (the q111 replay pattern), then the
+    identical clip/weight/fold arithmetic."""
+    from pytrousse_spark.operators.classifier import _MICRO
+
+    feat = f"""
+        SELECT CAST({treat_sql} AS DOUBLE) AS y,
+               CAST({x1_sql} AS DOUBLE) AS x1,
+               CAST({x2_sql} AS DOUBLE) AS x2,
+               CAST({x1_sql} AS DOUBLE) * CAST({x2_sql} AS DOUBLE)
+                   AS x3,
+               CAST(round(CAST({outcome_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __oc
+        FROM ({table_expr})
+        WHERE {treat_sql} IS NOT NULL AND {x1_sql} IS NOT NULL
+          AND {x2_sql} IS NOT NULL AND {outcome_col} IS NOT NULL
+    """
+    ctes = [
+        f"feat AS MATERIALIZED ({feat})",
+        "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d)",
+    ]
+    xs = ["1.0", "p.x1", "p.x2", "p.x3"]
+    for tt in range(1, iters + 1):
+        prev = f"w{tt - 1}"
+        sig = (
+            "round(1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2"
+            " + w.d * f.x3))), 6)"
+        )
+        gsums = ", ".join(
+            f"CAST(sum(CAST(round(round((p.p - p.y) * {x}, 6)"
+            f" * {_MICRO}) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        ctes.append(
+            f"p{tt} AS MATERIALIZED (SELECT f.y, f.x1, f.x2, f.x3,"
+            f" {sig} AS p FROM feat f CROSS JOIN {prev} w)"
+        )
+        ctes.append(
+            f"g{tt} AS MATERIALIZED"
+            f" (SELECT CAST(count(*) AS BIGINT) AS n, {gsums}"
+            f" FROM p{tt} p)"
+        )
+        upd = ", ".join(
+            f"round(w.{wc} - {lr} * (g.g{j} / {float(_MICRO)}) / g.n,"
+            f" 6) AS {wc}"
+            for j, wc in enumerate(["a", "b", "c", "d"])
+        )
+        ctes.append(
+            f"w{tt} AS MATERIALIZED"
+            f" (SELECT {upd} FROM {prev} w CROSS JOIN g{tt} g)"
+        )
+    wf = f"w{iters}"
+    sig_final = (
+        "round(1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2"
+        " + w.d * f.x3))), 6)"
+    )
+    e = (
+        f"least(CAST({1.0 - clip} AS DOUBLE),"
+        f" greatest(CAST({clip} AS DOUBLE), {sig_final}))"
+    )
+    ctes.append(
+        f"""scored AS (
+        SELECT f.y AS __t, f.__oc,
+               CAST(round(CAST(f.__oc AS DOUBLE) * f.y / {e} * 1e6,
+                    0) AS BIGINT) AS __wy1,
+               CAST(round(f.y / {e} * 1e6, 0) AS BIGINT) AS __w1,
+               CAST(round(CAST(f.__oc AS DOUBLE) * (1.0 - f.y)
+                    / (1.0 - {e}) * 1e6, 0) AS BIGINT) AS __wy0,
+               CAST(round((1.0 - f.y) / (1.0 - {e}) * 1e6, 0)
+                    AS BIGINT) AS __w0
+        FROM feat f CROSS JOIN {wf} w)"""
+    )
+    ctes.append(
+        """agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN __t = 1.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_treat,
+               CAST(sum(CASE WHEN __t = 1.0 THEN __oc ELSE 0 END)
+                    AS BIGINT) AS __s1,
+               CAST(sum(CASE WHEN __t = 0.0 THEN __oc ELSE 0 END)
+                    AS BIGINT) AS __s0,
+               CAST(sum(__wy1) AS BIGINT) AS __swy1,
+               CAST(sum(__w1) AS BIGINT) AS __sw1,
+               CAST(sum(__wy0) AS BIGINT) AS __swy0,
+               CAST(sum(__w0) AS BIGINT) AS __sw0
+        FROM scored)"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT n, n_treat,
+           round(CASE WHEN n_treat > 0 AND n > n_treat THEN
+                 (CAST(__s1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                  - CAST(__s0 AS DOUBLE)
+                    / CAST(n - n_treat AS DOUBLE))
+                 / CAST(100 AS DOUBLE) END * 1e6, 0) / 1e6
+               AS naive_diff,
+           round(CASE WHEN __sw1 > 0 AND __sw0 > 0 THEN
+                 (CAST(__swy1 AS DOUBLE) / CAST(__sw1 AS DOUBLE)
+                  - CAST(__swy0 AS DOUBLE) / CAST(__sw0 AS DOUBLE))
+                 / CAST(100 AS DOUBLE) END * 1e6, 0) / 1e6 AS ate
+    FROM agg
+    """

@@ -865,3 +865,52 @@ def test_ratio_metric_delta_laws(spark):
     ).collect()[0]
     assert r2["ratio_a"] > r2["ratio_b"]
     assert r2["significant"] is True and r2["z"] > 3
+
+
+def test_ipw_corrects_planted_confounding(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import ipw_ate
+
+    # confounder x drives BOTH treatment assignment and the outcome;
+    # true treatment effect is +10. Naive diff is inflated by the
+    # confounder; IPW must land substantially closer to the truth.
+    rows = []
+    for i in range(4000):
+        x = (i % 100) / 100.0                # confounder in [0, 1)
+        t = 1 if ((i * 7919) % 100) < 100 * (0.2 + 0.6 * x) else 0
+        y = 100.0 + 50.0 * x + 10.0 * t      # true effect 10
+        rows.append((t, y, x))
+    df = spark.createDataFrame(rows, ["t", "y", "x"])
+    r = ipw_ate(
+        df, F.col("t"), "y", F.col("x"), F.col("x") * 0.5,
+        iters=30, lr=4.0,
+    ).collect()[0]
+    assert r["n"] == 4000
+    # confounding inflates the naive difference well above 10
+    assert r["naive_diff"] > 14
+    # a converged propensity model pulls >= 75% of the bias out
+    # (measured: naive 19.64 -> ate 10.6)
+    assert abs(r["ate"] - 10.0) < 0.25 * (r["naive_diff"] - 10.0)
+    assert r["ate"] < r["naive_diff"]
+
+
+def test_ipw_equals_naive_when_randomized(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import ipw_ate
+
+    # treatment independent of x -> propensity ~ constant -> the
+    # Hajek IPW estimate collapses to (almost) the naive difference
+    rows = []
+    for i in range(3000):
+        x = (i % 50) / 50.0
+        t = 1 if (i * 31) % 2 == 0 else 0
+        y = 40.0 + 20.0 * x + 5.0 * t
+        rows.append((t, y, x))
+    df = spark.createDataFrame(rows, ["t", "y", "x"])
+    r = ipw_ate(
+        df, F.col("t"), "y", F.col("x"), F.col("x") * 0.5, iters=8
+    ).collect()[0]
+    assert abs(r["ate"] - r["naive_diff"]) < 0.5
+    assert abs(r["ate"] - 5.0) < 0.5
