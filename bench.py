@@ -473,10 +473,27 @@ def _streaming_throughput(spark, big_dir: str, tmp: str) -> dict:
             "rows_per_sec": round(n_ev / wall, 1),
             "state_rows": store.count(),
         }
+
+        from pytrousse_spark.streaming.events import ohlc_events_stream
+
+        t0 = time.perf_counter()
+        ohlc_events_stream(
+            _ev_src(), "event_type", "value", f"{tmp}/ohlc_store"
+        )
+        wall = time.perf_counter() - t0
+        store = spark.read.parquet(f"{tmp}/ohlc_store")
+        out["ohlc_events_stream"] = {
+            "input_rows": n_ev,
+            "micro_batches": store.select("__batch").distinct().count(),
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_ev / wall, 1),
+            "state_rows": store.count(),
+        }
     except Exception as exc:
         print(f"bench streaming: maintenance sinks failed: {exc}", file=sys.stderr)
         out.setdefault("rollup_events_stream", {"error": str(exc)[:200]})
         out.setdefault("cusum_events_stream", {"error": str(exc)[:200]})
+        out.setdefault("ohlc_events_stream", {"error": str(exc)[:200]})
     return out
 
 

@@ -2202,34 +2202,11 @@ def ohlc_bars(
     window formulation shuffles and sorts every tick; min_by does
     not).
     """
-    n, unit = _parse_interval(interval)
-    if unit not in _UNIT_SECONDS:
-        raise ValueError("ohlc_bars needs a fixed-length interval")
-    step = n * _UNIT_SECONDS[unit]
-    bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step)).cast(
-            "long"
-        )
-        * F.lit(step)
-    )
-    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast(
-        "bigint"
-    )
-    # fixed-width lexicographic (ts, order) key — DuckDB's arg_min
-    # does not take a struct ordering argument, so BOTH engines order
-    # by the identical composed string
-    ordk = F.format_string(
-        "%020d|%020d",
-        F.unix_micros(F.col(ts_col)),
-        F.col(order_col).cast("bigint"),
-    )
-    staged = df.where(
-        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
-    ).select(
-        F.col(key_col).alias("key"),
-        bucket.alias("bucket"),
-        cents.alias("__c"),
-        ordk.alias("__k"),
+    # fixed-width lexicographic (ts, order) key inside _ohlc_staged —
+    # DuckDB's arg_min does not take a struct ordering argument, so
+    # BOTH engines order by the identical composed string
+    staged = _ohlc_staged(
+        df, key_col, ts_col, value_col, order_col, interval
     )
     r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
     toval = lambda c: c.cast("double") / F.lit(100.0)  # noqa: E731
@@ -2287,3 +2264,98 @@ def ohlc_bars_sql(
     FROM __staged
     GROUP BY 1, 2
     """
+
+
+def _ohlc_staged(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    interval: str,
+) -> DataFrame:
+    """Shared (key, bucket, cents, order-key) staging for the batch
+    bars and the streaming partials."""
+    n, unit = _parse_interval(interval)
+    if unit not in _UNIT_SECONDS:
+        raise ValueError("ohlc bars need a fixed-length interval")
+    step = n * _UNIT_SECONDS[unit]
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step)).cast(
+            "long"
+        )
+        * F.lit(step)
+    )
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast(
+        "bigint"
+    )
+    ordk = F.format_string(
+        "%020d|%020d",
+        F.unix_micros(F.col(ts_col)),
+        F.col(order_col).cast("bigint"),
+    )
+    return df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        bucket.alias("bucket"),
+        cents.alias("__c"),
+        ordk.alias("__k"),
+    )
+
+
+def ohlc_bucket_partials(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    interval: str = "1 day",
+) -> DataFrame:
+    """MERGEABLE per-(key, bucket) OHLC partials — every component is
+    an associative fold (arg-min/max by the composed order key, min,
+    max, count, sum), so partials from out-of-order micro-batches
+    merge to exactly the batch bars (the q166 streaming-maintenance
+    discipline; law pinned in tests/test_streaming.py)."""
+    staged = _ohlc_staged(
+        df, key_col, ts_col, value_col, order_col, interval
+    )
+    return staged.groupBy("key", "bucket").agg(
+        F.min("__k").alias("__ko"),
+        F.min_by("__c", F.col("__k")).alias("__oc"),
+        F.max("__k").alias("__kc"),
+        F.max_by("__c", F.col("__k")).alias("__cc"),
+        F.max("__c").alias("__hi"),
+        F.min("__c").alias("__lo"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__c").cast("bigint").alias("__s"),
+    )
+
+
+def ohlc_merge_partials(partials: DataFrame) -> DataFrame:
+    """Merge OHLC partials into final bars — identical output contract
+    to :func:`ohlc_bars` (same columns, same rounding)."""
+    merged = partials.groupBy("key", "bucket").agg(
+        F.min_by("__oc", F.col("__ko")).alias("__oc"),
+        F.max_by("__cc", F.col("__kc")).alias("__cc"),
+        F.max("__hi").alias("__hi"),
+        F.min("__lo").alias("__lo"),
+        F.sum("__n").cast("bigint").alias("__n"),
+        F.sum("__s").cast("bigint").alias("__s"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    toval = lambda c: c.cast("double") / F.lit(100.0)  # noqa: E731
+    return merged.select(
+        "key",
+        "bucket",
+        r6(toval(F.col("__oc"))).alias("open"),
+        r6(toval(F.col("__hi"))).alias("high"),
+        r6(toval(F.col("__lo"))).alias("low"),
+        r6(toval(F.col("__cc"))).alias("close"),
+        F.col("__n").alias("n_ticks"),
+        r6(
+            F.col("__s").cast("double")
+            / F.col("__n").cast("double")
+            / F.lit(100.0)
+        ).alias("vwap"),
+    )

@@ -308,3 +308,50 @@ def cusum_from_partials(
     return _cusum_from_buckets(
         merged, gcols, int(round(k * 1_000_000)), int(round(h * 1_000_000))
     )
+
+
+def ohlc_events_stream(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    partials_path: str,
+    interval: str = "1 day",
+) -> None:
+    """Streaming maintenance of OHLC/VWAP bars (q225's batch operator):
+    each micro-batch reduces to MERGEABLE per-(key, bucket) partials —
+    open/close ride arg-min/max of the composed (ts, order) key, so
+    out-of-order delivery cannot corrupt them — appended to a partials
+    store; :func:`ohlc_from_partials` merges to bars bit-equal to the
+    batch operator (pinned in tests/test_streaming.py). Same
+    maintenance discipline as :func:`rollup_events_stream` /
+    :func:`cusum_events_stream`."""
+    from ..operators.timeseries import ohlc_bucket_partials
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            ohlc_bucket_partials(
+                batch_df, key_col, "ts", value_col, "event_id", interval
+            )
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_path)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", partials_path + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def ohlc_from_partials(spark, partials_path: str) -> DataFrame:
+    """Bars readout over the maintained partials store — merge then
+    the batch operator's output contract."""
+    from ..io import read_parquet_df
+    from ..operators.timeseries import ohlc_merge_partials
+
+    return ohlc_merge_partials(
+        read_parquet_df(spark, partials_path).drop("__batch")
+    )

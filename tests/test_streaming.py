@@ -379,3 +379,44 @@ def test_stream_cusum_partials_equal_batch_operator(spark, tmp_path_factory):
     # more than one micro-batch actually ran
     nb = read_parquet_df(spark, store).select("__batch").distinct().count()
     assert nb >= 2
+
+
+def test_stream_ohlc_partials_equal_batch_operator(spark, tmp_path_factory):
+    """Streaming OHLC maintenance: out-of-order micro-batches (later
+    files carry EARLIER days) append mergeable partials; the merged
+    readout is BIT-equal to the batch bars — including open/close,
+    which ride arg-min/max of the composed (ts, order) key."""
+    import shutil
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.timeseries import ohlc_bars
+    from pytrousse_spark.streaming.events import (
+        ohlc_events_stream,
+        ohlc_from_partials,
+    )
+
+    d = tmp_path_factory.mktemp("ev_ohlc")
+    batch = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    a = batch.where("day(ts) >= 15")
+    b = batch.where("day(ts) < 15")
+    a.write.mode("overwrite").parquet(str(d / "f1.parquet"))
+    b.write.mode("overwrite").parquet(str(d / "f2.parquet"))
+    src = tmp_path_factory.mktemp("ev_ohlc_src")
+    for i, sub in enumerate(("f1.parquet", "f2.parquet")):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.copy(f, src / f"batch{i}-{f.name}")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path_factory.mktemp("ohlc_partials") / "store")
+    ohlc_events_stream(stream, "event_type", "value", store)
+    got = ohlc_from_partials(spark, store)
+    want = ohlc_bars(batch, "event_type", "ts", "value", "event_id")
+    norm = lambda df: sorted(
+        tuple(r) for r in df.select(sorted(df.columns)).collect()
+    )
+    assert norm(got) == norm(want)
+    nb = read_parquet_df(spark, store).select("__batch").distinct().count()
+    assert nb >= 2
