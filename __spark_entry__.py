@@ -6790,6 +6790,51 @@ def _sql_q226() -> str:
     )
 
 
+
+def q227_daily_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily view->purchase conversion rates with Wilson score
+    intervals — the monitoring line with the CI that behaves at small
+    n and extreme rates; two (day, user) DISTINCT aggs + the Wilson
+    scalar chain with CAST-to-DOUBLE z literals
+    (operators/cohort.daily_rate_wilson)."""
+    from pytrousse_spark.operators.cohort import daily_rate_wilson
+
+    ev = _t(spark, sf_dir, "events")
+    return daily_rate_wilson(
+        ev, "user_id", "event_type", "view", "purchase"
+    )
+
+
+def _sql_q227() -> str:
+    from pytrousse_spark.operators.cohort import daily_rate_wilson_sql
+
+    return daily_rate_wilson_sql(
+        "events", "user_id", "event_type", "view", "purchase"
+    )
+
+
+def q228_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV curves: cumulative purchase revenue per user
+    by cohort age, dense offsets (zero-revenue periods appear — a
+    curve with holes misreads as a drop); integer-cent folds, grid-
+    bounded cumulative window
+    (operators/cohort.cohort_ltv_curve)."""
+    from pytrousse_spark.operators.cohort import cohort_ltv_curve
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_ltv_curve(
+        ev, "user_id", "event_type", "purchase", "value"
+    )
+
+
+def _sql_q228() -> str:
+    from pytrousse_spark.operators.cohort import cohort_ltv_curve_sql
+
+    return cohort_ltv_curve_sql(
+        "events", "user_id", "event_type", "purchase", "value"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6836,6 +6881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_neyman_sample": q224_neyman_sample,
         "q225_ohlc_bars": q225_ohlc_bars,
         "q226_ipw_ate": q226_ipw_ate,
+        "q227_daily_rate_wilson": q227_daily_rate_wilson,
+        "q228_cohort_ltv": q228_cohort_ltv,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7480,6 +7527,8 @@ def oracle_sql() -> dict[str, str]:
         "q224_neyman_sample": _sql_q224(),
         "q225_ohlc_bars": _sql_q225(),
         "q226_ipw_ate": _sql_q226(),
+        "q227_daily_rate_wilson": _sql_q227(),
+        "q228_cohort_ltv": _sql_q228(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60, h60_sql
@@ -3239,4 +3239,302 @@ def ipw_ate_sql(
                   - CAST(__swy0 AS DOUBLE) / CAST(__sw0 AS DOUBLE))
                  / CAST(100 AS DOUBLE) END * 1e6, 0) / 1e6 AS ate
     FROM agg
+    """
+
+
+def daily_rate_wilson(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    exposure_event: str,
+    conversion_event: str,
+    ts_col: str = "ts",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Daily conversion-rate monitor with Wilson score intervals
+    (Wilson 1927) — the dashboard line every experiment/funnel team
+    watches, with the CI that behaves at small n and extreme rates
+    (the Wald interval collapses at p near 0/1):
+
+        center = (p + z^2/2n) / (1 + z^2/n)
+        half   = z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n)
+
+    Per day: exposed users (distinct users with the exposure event
+    that day), converted users (distinct users with BOTH events that
+    day), rate, wilson_lo, wilson_hi.
+
+    Exactness: distinct-user counts are exact; the Wilson chain is
+    per-row scalar IEEE on those integers with the z literal injected
+    CAST-to-DOUBLE (the q176 rule), identical text in both engines.
+
+    Scale: two (day, user) DISTINCT aggs (map-side pre-collapse) + one
+    day-keyed join; everything after runs on the calendar frame.
+    """
+    day = F.to_date(F.col(ts_col))
+    exp = (
+        df.where(F.col(type_col) == exposure_event)
+        .select(day.alias("day"), F.col(user_col).alias("__u"))
+        .distinct()
+    )
+    conv = (
+        df.where(F.col(type_col) == conversion_event)
+        .select(day.alias("day"), F.col(user_col).alias("__u"))
+        .distinct()
+    )
+    per = (
+        exp.join(conv, ["day", "__u"], "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conv"))
+        .join(
+            exp.groupBy("day").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exposed")
+            ),
+            "day",
+            "right",
+        )
+        .select(
+            "day",
+            "n_exposed",
+            F.coalesce(F.col("n_conv"), F.lit(0))
+            .cast("bigint")
+            .alias("n_conv"),
+        )
+    )
+    zz = f"CAST({z} AS DOUBLE)"
+    p = "(CAST(n_conv AS DOUBLE) / CAST(n_exposed AS DOUBLE))"
+    n = "CAST(n_exposed AS DOUBLE)"
+    denom = f"(CAST(1 AS DOUBLE) + {zz} * {zz} / {n})"
+    center = f"(({p} + {zz} * {zz} / (CAST(2 AS DOUBLE) * {n})) / {denom})"
+    half = (
+        f"({zz} * sqrt({p} * (CAST(1 AS DOUBLE) - {p}) / {n}"
+        f" + {zz} * {zz} / (CAST(4 AS DOUBLE) * {n} * {n})) / {denom})"
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return per.select(
+        "day",
+        "n_exposed",
+        "n_conv",
+        r6(F.expr(p)).alias("rate"),
+        r6(
+            F.greatest(F.lit(0.0), F.expr(f"{center} - {half}"))
+        ).alias("wilson_lo"),
+        r6(
+            F.least(F.lit(1.0), F.expr(f"{center} + {half}"))
+        ).alias("wilson_hi"),
+    )
+
+
+def daily_rate_wilson_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    exposure_event: str,
+    conversion_event: str,
+    ts_col: str = "ts",
+    z: float = 1.959964,
+) -> str:
+    """DuckDB twin of :func:`daily_rate_wilson` — identical distinct
+    aggs and Wilson expression text."""
+    zz = f"CAST({z} AS DOUBLE)"
+    p = "(CAST(n_conv AS DOUBLE) / CAST(n_exposed AS DOUBLE))"
+    n = "CAST(n_exposed AS DOUBLE)"
+    denom = f"(CAST(1 AS DOUBLE) + {zz} * {zz} / {n})"
+    center = f"(({p} + {zz} * {zz} / (CAST(2 AS DOUBLE) * {n})) / {denom})"
+    half = (
+        f"({zz} * sqrt({p} * (CAST(1 AS DOUBLE) - {p}) / {n}"
+        f" + {zz} * {zz} / (CAST(4 AS DOUBLE) * {n} * {n})) / {denom})"
+    )
+    return f"""
+    WITH __exp AS (
+        SELECT DISTINCT CAST({ts_col} AS DATE) AS day,
+               {user_col} AS __u
+        FROM {table} WHERE {type_col} = '{exposure_event}'
+    ), __conv AS (
+        SELECT DISTINCT CAST({ts_col} AS DATE) AS day,
+               {user_col} AS __u
+        FROM {table} WHERE {type_col} = '{conversion_event}'
+    ), __per AS (
+        SELECT e.day,
+               CAST(count(*) AS BIGINT) AS n_exposed,
+               CAST(sum(CASE WHEN c.__u IS NOT NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_conv
+        FROM __exp e LEFT JOIN __conv c
+          ON c.day = e.day AND c.__u = e.__u
+        GROUP BY 1
+    )
+    SELECT day, n_exposed, n_conv,
+           round({p} * 1e6, 0) / 1e6 AS rate,
+           round(greatest(CAST(0 AS DOUBLE), {center} - {half})
+                 * 1e6, 0) / 1e6 AS wilson_lo,
+           round(least(CAST(1 AS DOUBLE), {center} + {half})
+                 * 1e6, 0) / 1e6 AS wilson_hi
+    FROM __per
+    """
+
+
+def cohort_ltv_curve(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    purchase_event: str,
+    value_col: str,
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort LTV curve: cumulative revenue per user by cohort age —
+    the monetized companion of the retention matrix (cohort_retention):
+    users cohort by the period of their FIRST event (any type), and
+    each (cohort, age) cell reads the cohort's cumulative per-user
+    purchase revenue through that age.
+
+    Returns ``(cohort, period_offset, cohort_size, period_revenue,
+    cum_ltv)`` — ``cum_ltv`` = cumulative cents / cohort_size / 100,
+    round-6; offsets are DENSE from 0 to the cohort's max observed
+    age (zero-revenue periods appear — an LTV curve with holes
+    misreads as a drop).
+
+    Exactness: revenue folds integer cents; the cumulative sum runs on
+    the bounded (cohort, age) grid; one division per cell.
+
+    Scale: one user-keyed first-event agg, one (user, bucket) revenue
+    agg, one join of the two reduced frames, then grid-sized work.
+    """
+    if period not in _PERIOD_DAYS:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_DAYS)}")
+    div = _PERIOD_DAYS[period]
+    first = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc(period, F.min(ts_col)).cast("date").alias("cohort")
+    )
+    rev = (
+        df.where(F.col(type_col) == purchase_event)
+        .select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc(period, F.col(ts_col))
+            .cast("date")
+            .alias("__bucket"),
+            F.round(F.col(value_col).cast("double") * 100, 0)
+            .cast("bigint")
+            .alias("__c"),
+        )
+        .groupBy("__u", "__bucket")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        rev.join(first, "__u")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("__bucket"), F.col("cohort"))
+                / F.lit(div)
+            )
+            .cast("int")
+            .alias("period_offset"),
+            "__c",
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.sum("__c").cast("bigint").alias("__pc"))
+    )
+    # dense offsets 0..max per cohort (the holes rule)
+    spans = cells.groupBy("cohort").agg(
+        F.max("period_offset").alias("__mx")
+    )
+    dense = spans.select(
+        "cohort",
+        F.explode(
+            F.expr("sequence(0, greatest(__mx, 0))")
+        ).alias("period_offset"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return (
+        dense.join(cells, ["cohort", "period_offset"], "left")
+        .select(
+            "cohort",
+            "period_offset",
+            F.coalesce(F.col("__pc"), F.lit(0))
+            .cast("bigint")
+            .alias("__pc"),
+        )
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "period_offset",
+            "cohort_size",
+            r6(F.col("__pc").cast("double") / F.lit(100.0)).alias(
+                "period_revenue"
+            ),
+            r6(
+                F.sum("__pc").over(w).cast("double")
+                / F.col("cohort_size").cast("double")
+                / F.lit(100.0)
+            ).alias("cum_ltv"),
+        )
+    )
+
+
+def cohort_ltv_curve_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    purchase_event: str,
+    value_col: str,
+    ts_col: str = "ts",
+    period: str = "week",
+) -> str:
+    """DuckDB twin of :func:`cohort_ltv_curve`."""
+    div = _PERIOD_DAYS[period]
+    return f"""
+    WITH __first AS (
+        SELECT {user_col} AS __u,
+               CAST(date_trunc('{period}', min({ts_col})) AS DATE)
+                   AS cohort
+        FROM {table} GROUP BY 1
+    ), __rev AS (
+        SELECT {user_col} AS __u,
+               CAST(date_trunc('{period}', {ts_col}) AS DATE)
+                   AS __bucket,
+               CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 100,
+                             0) AS BIGINT)) AS BIGINT) AS __c
+        FROM {table} WHERE {type_col} = '{purchase_event}'
+        GROUP BY 1, 2
+    ), __sizes AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM __first GROUP BY 1
+    ), __cells AS (
+        SELECT f.cohort,
+               CAST(floor(date_diff('day', f.cohort, r.__bucket)
+                    / {div}) AS INTEGER) AS period_offset,
+               CAST(sum(r.__c) AS BIGINT) AS __pc
+        FROM __rev r JOIN __first f ON r.__u = f.__u
+        GROUP BY 1, 2
+    ), __dense AS (
+        SELECT cohort,
+               CAST(unnest(range(0, greatest(__mx, 0) + 1))
+                    AS INTEGER) AS period_offset
+        FROM (SELECT cohort, max(period_offset) AS __mx
+              FROM __cells GROUP BY 1)
+    ), __grid AS (
+        SELECT d.cohort, d.period_offset,
+               CAST(COALESCE(c.__pc, 0) AS BIGINT) AS __pc
+        FROM __dense d LEFT JOIN __cells c
+          ON c.cohort = d.cohort
+         AND c.period_offset = d.period_offset
+    )
+    SELECT g.cohort, g.period_offset, s.cohort_size,
+           round(CAST(g.__pc AS DOUBLE) / CAST(100 AS DOUBLE)
+                 * 1e6, 0) / 1e6 AS period_revenue,
+           round(CAST(CAST(sum(g.__pc) OVER (PARTITION BY g.cohort
+                      ORDER BY g.period_offset
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS DOUBLE)
+                 / CAST(s.cohort_size AS DOUBLE)
+                 / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS cum_ltv
+    FROM __grid g JOIN __sizes s ON g.cohort = s.cohort
     """

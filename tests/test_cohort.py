@@ -914,3 +914,84 @@ def test_ipw_equals_naive_when_randomized(spark):
     ).collect()[0]
     assert abs(r["ate"] - r["naive_diff"]) < 0.5
     assert abs(r["ate"] - 5.0) < 0.5
+
+
+def test_wilson_interval_laws(spark):
+    import datetime as dt
+    import math
+
+    from pytrousse_spark.operators.cohort import daily_rate_wilson
+
+    rows = []
+    base = dt.datetime(2024, 6, 1)
+    # day 1: 4 exposed, 4 converted (rate 1.0 — Wald CI would be
+    # zero-width; Wilson must pull below 1)
+    for u in range(4):
+        rows.append((u, base, "view"))
+        rows.append((u, base + dt.timedelta(minutes=5), "purchase"))
+    # day 2: 100 exposed, 25 converted
+    d2 = base + dt.timedelta(days=1)
+    for u in range(100):
+        rows.append((u, d2, "view"))
+        if u < 25:
+            rows.append((u, d2 + dt.timedelta(minutes=1), "purchase"))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    df = df.withColumn("value", df.user_id * 0.0)
+    got = {
+        r["day"].day: r
+        for r in daily_rate_wilson(
+            df, "user_id", "event_type", "view", "purchase"
+        ).collect()
+    }
+    d1 = got[1]
+    assert d1["rate"] == 1.0
+    assert d1["wilson_hi"] == 1.0 and d1["wilson_lo"] < 0.75
+    d2r = got[2]
+    assert d2r["rate"] == 0.25
+    assert d2r["wilson_lo"] < 0.25 < d2r["wilson_hi"]
+    # textbook Wilson check at z = 1.959964
+    z = 1.959964
+    p, n = 0.25, 100.0
+    den = 1 + z * z / n
+    c = (p + z * z / (2 * n)) / den
+    h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    assert abs(d2r["wilson_lo"] - (c - h)) < 1e-5
+    assert abs(d2r["wilson_hi"] - (c + h)) < 1e-5
+    # interval always contains the point rate and narrows with n
+    assert (d2r["wilson_hi"] - d2r["wilson_lo"]) < (
+        d1["wilson_hi"] - d1["wilson_lo"]
+    )
+
+
+def test_cohort_ltv_laws(spark):
+    import datetime as dt
+
+    from pytrousse_spark.operators.cohort import cohort_ltv_curve
+
+    rows = []
+    w0 = dt.datetime(2024, 6, 3)  # a Monday
+    # cohort A (week 0): 2 users; u0 buys 10 in week 0 and 20 in
+    # week 2 (week 1 silent -> dense row with 0), u1 never buys
+    rows.append((0, w0, "signup", 0.0))
+    rows.append((1, w0, "signup", 0.0))
+    rows.append((0, w0 + dt.timedelta(days=1), "purchase", 10.0))
+    rows.append((0, w0 + dt.timedelta(days=15), "purchase", 20.0))
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_type", "value"]
+    )
+    got = sorted(
+        cohort_ltv_curve(
+            df, "user_id", "event_type", "purchase", "value"
+        ).collect(),
+        key=lambda r: r["period_offset"],
+    )
+    assert [r["period_offset"] for r in got] == [0, 1, 2]
+    assert got[0]["cohort_size"] == 2
+    assert got[0]["period_revenue"] == 10.0
+    assert got[1]["period_revenue"] == 0.0  # the dense-holes rule
+    assert got[2]["period_revenue"] == 20.0
+    # cumulative per-user: 5, 5, 15
+    assert [r["cum_ltv"] for r in got] == [5.0, 5.0, 15.0]
+    # cum_ltv is nondecreasing (revenue is nonnegative)
+    seq = [r["cum_ltv"] for r in got]
+    assert all(b >= a for a, b in zip(seq, seq[1:]))
