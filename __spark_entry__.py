@@ -6835,6 +6835,49 @@ def _sql_q228() -> str:
     )
 
 
+
+def q229_numeric_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between quantity and extended price via a
+    32x32 equi-width histogram — the continuous companion of the
+    categorical MI gate (q187): every term is ln of ONE exact-integer
+    ratio (DECIMAL38/HUGEINT products), nano-rounded per cell before
+    the fold; nmi normalizes by min marginal entropy
+    (profiling.numeric_mutual_information)."""
+    from pytrousse_spark.profiling import numeric_mutual_information
+
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_mutual_information(
+        li, "l_quantity", "l_extendedprice"
+    )
+
+
+def _sql_q229() -> str:
+    from pytrousse_spark.profiling import (
+        numeric_mutual_information_sql,
+    )
+
+    return numeric_mutual_information_sql(
+        "SELECT * FROM lineitem", "l_quantity", "l_extendedprice"
+    )
+
+
+def q230_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band-parameter planner at 64 hashes / threshold
+    0.5: the S-curve FP/FN masses integrated per (bands, rows)
+    factorization with nano-unit trapezoid folds; picks (16, 4) —
+    the in-engine replacement for the banding rule of thumb behind
+    q43's LSH settings (operators/dedup.lsh_parameter_plan)."""
+    from pytrousse_spark.operators.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(spark, 64, 0.5)
+
+
+def _sql_q230() -> str:
+    from pytrousse_spark.operators.dedup import lsh_parameter_plan_sql
+
+    return lsh_parameter_plan_sql(64, 0.5)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6883,6 +6926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_ipw_ate": q226_ipw_ate,
         "q227_daily_rate_wilson": q227_daily_rate_wilson,
         "q228_cohort_ltv": q228_cohort_ltv,
+        "q229_numeric_mi": q229_numeric_mi,
+        "q230_lsh_planner": q230_lsh_planner,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7529,6 +7574,8 @@ def oracle_sql() -> dict[str, str]:
         "q226_ipw_ate": _sql_q226(),
         "q227_daily_rate_wilson": _sql_q227(),
         "q228_cohort_ltv": _sql_q228(),
+        "q229_numeric_mi": _sql_q229(),
+        "q230_lsh_planner": _sql_q230(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

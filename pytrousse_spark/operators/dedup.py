@@ -2076,3 +2076,177 @@ def winnow_overlap_pairs_sql(
     HAVING count(*) >= {min_shared}
     ORDER BY shared_fps DESC, id_a, id_b
     """
+
+
+def lsh_parameter_plan(
+    spark,
+    n_hashes: int = 64,
+    threshold: float = 0.5,
+    grid_points: int = 200,
+) -> DataFrame:
+    """MinHash-LSH band-parameter planner: for every (bands b, rows r)
+    factorization of ``n_hashes``, the S-curve candidate probability
+    ``P(s) = 1 - (1 - s^r)^b`` is integrated on a fixed s-grid to give
+    the false-positive mass below ``threshold`` and the false-negative
+    mass above it (Leskovec/Rajaraman/Ullman ch. 3 — the standard
+    banding trade-off, computed in-engine instead of a rule of thumb):
+
+        fp = integral_0^t P(s) ds      (trapezoid, uniform grid)
+        fn = integral_t^1 (1 - P(s)) ds
+
+    Returns one row per factorization: ``(bands, rows_per_band,
+    s50, fp_mass, fn_mass, cost, is_best)`` where ``s50 ~ (1/b)^(1/r)``
+    is the curve's midpoint and ``cost = fp + fn`` picks ``is_best``
+    (ties break to more bands — higher recall — then the row order).
+
+    Exactness: the s-grid and all P(s) terms are scalar IEEE chains
+    with identical expression text; each trapezoid term nano-rounds to
+    BIGINT before the fold, so the integral is an exact integer sum.
+
+    Scale: pure bounded-grid compute (factorizations x grid points) —
+    the planner costs the same at any corpus size; it reads no data.
+    """
+    from pyspark.sql import Window
+
+    configs = [
+        (b, n_hashes // b)
+        for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0
+    ]
+    cfg = spark.createDataFrame(
+        configs, ["bands", "rows_per_band"]
+    ).select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+    )
+    pts = spark.range(0, grid_points + 1).select(
+        F.col("id").cast("int").alias("__i")
+    )
+    s = F.col("__i").cast("double") / F.lit(float(grid_points))
+    prob = F.lit(1.0) - F.pow(
+        F.lit(1.0)
+        - F.pow(s, F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    nano = lambda c: F.round(c * F.lit(1e9), 0).cast(  # noqa: E731
+        "bigint"
+    )
+    # trapezoid weights: 1/2 at the ends, 1 inside; ds = 1/grid
+    wgt = F.when(
+        (F.col("__i") == 0) | (F.col("__i") == grid_points),
+        F.lit(0.5),
+    ).otherwise(F.lit(1.0))
+    staged = cfg.crossJoin(F.broadcast(pts)).select(
+        "bands",
+        "rows_per_band",
+        nano(
+            F.when(s < F.lit(float(threshold)), prob * wgt).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("__fp"),
+        nano(
+            F.when(
+                s >= F.lit(float(threshold)),
+                (F.lit(1.0) - prob) * wgt,
+            ).otherwise(F.lit(0.0))
+        ).alias("__fn"),
+    )
+    per = staged.groupBy("bands", "rows_per_band").agg(
+        F.sum("__fp").cast("bigint").alias("__sfp"),
+        F.sum("__fn").cast("bigint").alias("__sfn"),
+    )
+    ds = 1.0 / grid_points
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    fp = F.col("__sfp").cast("double") / F.lit(1e9) * F.lit(ds)
+    fn = F.col("__sfn").cast("double") / F.lit(1e9) * F.lit(ds)
+    cost_n = F.col("__sfp") + F.col("__sfn")
+    wbest = Window.orderBy(
+        F.col("__cost").asc(), F.col("bands").desc()
+    )
+    staged2 = per.select(
+        "bands",
+        "rows_per_band",
+        r6(
+            F.pow(
+                F.lit(1.0) / F.col("bands").cast("double"),
+                F.lit(1.0) / F.col("rows_per_band").cast("double"),
+            )
+        ).alias("s50"),
+        r6(fp).alias("fp_mass"),
+        r6(fn).alias("fn_mass"),
+        cost_n.alias("__cost"),
+    )
+    return staged2.select(
+        "bands",
+        "rows_per_band",
+        "s50",
+        "fp_mass",
+        "fn_mass",
+        r6(F.col("__cost").cast("double") / F.lit(1e9) * F.lit(ds)).alias(
+            "cost"
+        ),
+        (F.row_number().over(wbest) == 1).alias("is_best"),
+    )
+
+
+def lsh_parameter_plan_sql(
+    n_hashes: int = 64,
+    threshold: float = 0.5,
+    grid_points: int = 200,
+) -> str:
+    """DuckDB twin of :func:`lsh_parameter_plan` — identical grid,
+    S-curve expression text, nano trapezoid folds and best pick."""
+    configs = ", ".join(
+        f"({b}, {n_hashes // b})"
+        for b in range(1, n_hashes + 1)
+        if n_hashes % b == 0
+    )
+    ds = 1.0 / grid_points
+    prob = (
+        "(CAST(1 AS DOUBLE) - pow(CAST(1 AS DOUBLE)"
+        " - pow(CAST(__i AS DOUBLE) / CAST({gp} AS DOUBLE),"
+        " CAST(rows_per_band AS DOUBLE)),"
+        " CAST(bands AS DOUBLE)))"
+    ).format(gp=float(grid_points))
+    s = f"(CAST(__i AS DOUBLE) / CAST({float(grid_points)} AS DOUBLE))"
+    wgt = (
+        f"(CASE WHEN __i = 0 OR __i = {grid_points} THEN"
+        " CAST(0.5 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)"
+    )
+    return f"""
+    WITH __cfg(bands, rows_per_band) AS (VALUES {configs}),
+    __pts AS (
+        SELECT CAST(unnest(range(0, {grid_points + 1})) AS INTEGER)
+            AS __i
+    ), __staged AS (
+        SELECT bands, rows_per_band,
+               CAST(round(CASE WHEN {s} < CAST({float(threshold)}
+                          AS DOUBLE) THEN {prob} * {wgt}
+                          ELSE CAST(0 AS DOUBLE) END * 1e9, 0)
+                    AS BIGINT) AS __fp,
+               CAST(round(CASE WHEN {s} >= CAST({float(threshold)}
+                          AS DOUBLE) THEN
+                          (CAST(1 AS DOUBLE) - {prob}) * {wgt}
+                          ELSE CAST(0 AS DOUBLE) END * 1e9, 0)
+                    AS BIGINT) AS __fn
+        FROM __cfg CROSS JOIN __pts
+    ), __per AS (
+        SELECT bands, rows_per_band,
+               CAST(sum(__fp) AS BIGINT) AS __sfp,
+               CAST(sum(__fn) AS BIGINT) AS __sfn
+        FROM __staged GROUP BY 1, 2
+    )
+    SELECT bands, rows_per_band,
+           round(pow(CAST(1 AS DOUBLE) / CAST(bands AS DOUBLE),
+                 CAST(1 AS DOUBLE) / CAST(rows_per_band AS DOUBLE))
+                 * 1e6, 0) / 1e6 AS s50,
+           round(CAST(__sfp AS DOUBLE) / 1e9 * CAST({ds!r} AS DOUBLE)
+                 * 1e6, 0) / 1e6 AS fp_mass,
+           round(CAST(__sfn AS DOUBLE) / 1e9 * CAST({ds!r} AS DOUBLE)
+                 * 1e6, 0) / 1e6 AS fn_mass,
+           round(CAST(__sfp + __sfn AS DOUBLE) / 1e9
+                 * CAST({ds!r} AS DOUBLE) * 1e6, 0) / 1e6 AS cost,
+           (row_number() OVER (ORDER BY (__sfp + __sfn) ASC,
+                               bands DESC) = 1) AS is_best
+    FROM __per
+    """

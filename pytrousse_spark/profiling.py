@@ -2199,3 +2199,197 @@ def spearman_approx_sql(
                AS spearman
     FROM __mom
     """
+
+
+def numeric_mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_bins: int = 32,
+) -> DataFrame:
+    """Mutual information between two NUMERIC columns via a 2-D
+    equi-width histogram (the continuous companion of the categorical
+    MI gate q187) — the model-free dependence screen that catches what
+    Pearson misses (nonlinear, non-monotone association):
+
+        MI = sum_ij p_ij * ln( p_ij / (p_i * p_j) )
+
+    over the B x B occupied cells, in nats, plus the normalized form
+    ``nmi = MI / min(H(X), H(Y))`` (NULL when either marginal entropy
+    is 0 — a constant column carries no information).
+
+    Returns one row: ``(n, n_cells, mi, nmi)``.
+
+    Exactness: bin assignment is the q100 scalar convention; every MI
+    term is ``ln`` of exact integer ratios — written as
+    ``ln((c_ij * n) / (r_i * c_j))`` so the argument is ONE division
+    of exact integer products — nano-unit-rounded per cell before the
+    fold; marginal entropies fold the same way.
+
+    Scale: ONE (binx, biny) count agg (shuffle bounded by B^2);
+    marginals derive from the reduced cell frame.
+    """
+    from pyspark.sql import Window
+
+    xv, yv = F.col(x_col), F.col(y_col)
+    nn = df.where(xv.isNotNull() & yv.isNotNull())
+    stats = nn.agg(
+        F.min(xv).cast("double").alias("__xlo"),
+        F.max(xv).cast("double").alias("__xhi"),
+        F.min(yv).cast("double").alias("__ylo"),
+        F.max(yv).cast("double").alias("__yhi"),
+    )
+    def _bin(v, lo, hi):
+        return F.when(F.col(hi) == F.col(lo), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (v.cast("double") - F.col(lo))
+                    / (F.col(hi) - F.col(lo))
+                    * num_bins
+                ).cast("long"),
+                F.lit(num_bins - 1),
+            )
+        )
+    cells = (
+        nn.join(F.broadcast(stats), how="cross")
+        .select(
+            _bin(xv, "__xlo", "__xhi").alias("__bx"),
+            _bin(yv, "__ylo", "__yhi").alias("__by"),
+        )
+        .groupBy("__bx", "__by")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    wx = Window.partitionBy("__bx")
+    wy = Window.partitionBy("__by")
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = cells.select(
+        "__c",
+        F.sum("__c").over(wx).cast("bigint").alias("__r"),
+        F.sum("__c").over(wy).cast("bigint").alias("__k"),
+        F.sum("__c").over(tot).cast("bigint").alias("__n"),
+    )
+    nano = lambda c: F.round(c * F.lit(1e9), 0).cast(  # noqa: E731
+        "bigint"
+    )
+    cd = F.col("__c").cast("double")
+    nd = F.col("__n").cast("double")
+    # products widen to DECIMAL(38)/HUGEINT before the double cast —
+    # c*n and r*k exceed int64 once n passes ~3e9 rows
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mi_term = nano(
+        cd
+        / nd
+        * F.log(
+            (dec(F.col("__c")) * dec(F.col("__n"))).cast("double")
+            / (dec(F.col("__r")) * dec(F.col("__k"))).cast("double")
+        )
+    )
+    # marginal entropy terms de-duplicated: charge each cell its
+    # share so one pass suffices: H(X) = -sum_i r_i/n ln(r_i/n)
+    # = -sum_cells c/r * (r/n ln(r/n))... simpler: sum over cells of
+    # (c/n) * ln(n/r) — each cell contributes its own mass
+    hx_term = nano(
+        cd / nd * F.log(nd / F.col("__r").cast("double"))
+    )
+    hy_term = nano(
+        cd / nd * F.log(nd / F.col("__k").cast("double"))
+    )
+    agg = staged.select(
+        "__n",
+        mi_term.alias("__mi"),
+        hx_term.alias("__hx"),
+        hy_term.alias("__hy"),
+    ).groupBy("__n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("__mi").cast("bigint").alias("__smi"),
+        F.sum("__hx").cast("bigint").alias("__shx"),
+        F.sum("__hy").cast("bigint").alias("__shy"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    mi = F.col("__smi").cast("double") / F.lit(1e9)
+    hmin = F.least(F.col("__shx"), F.col("__shy")).cast("double") / F.lit(
+        1e9
+    )
+    return agg.select(
+        F.col("__n").alias("n"),
+        "n_cells",
+        r6(mi).alias("mi"),
+        r6(
+            F.when(
+                F.least(F.col("__shx"), F.col("__shy")) > 0, mi / hmin
+            )
+        ).alias("nmi"),
+    )
+
+
+def numeric_mutual_information_sql(
+    table_expr: str,
+    x_col: str,
+    y_col: str,
+    num_bins: int = 32,
+) -> str:
+    """DuckDB twin of :func:`numeric_mutual_information`."""
+    def bin_sql(v, lo, hi):
+        return (
+            f"CASE WHEN s.{hi} = s.{lo} THEN 0 ELSE "
+            f"least(CAST(floor((CAST(t.{v} AS DOUBLE) - s.{lo})"
+            f" / (s.{hi} - s.{lo}) * {num_bins}) AS BIGINT),"
+            f" {num_bins - 1}) END"
+        )
+    return f"""
+    WITH __nn AS (
+        SELECT {x_col}, {y_col} FROM ({table_expr})
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    ), __st AS (
+        SELECT CAST(min({x_col}) AS DOUBLE) AS __xlo,
+               CAST(max({x_col}) AS DOUBLE) AS __xhi,
+               CAST(min({y_col}) AS DOUBLE) AS __ylo,
+               CAST(max({y_col}) AS DOUBLE) AS __yhi
+        FROM __nn
+    ), __cells AS (
+        SELECT {bin_sql(x_col, "__xlo", "__xhi")} AS __bx,
+               {bin_sql(y_col, "__ylo", "__yhi")} AS __by,
+               CAST(count(*) AS BIGINT) AS __c
+        FROM __nn t CROSS JOIN __st s
+        GROUP BY 1, 2
+    ), __staged AS (
+        SELECT __c,
+               CAST(sum(__c) OVER (PARTITION BY __bx) AS BIGINT)
+                   AS __r,
+               CAST(sum(__c) OVER (PARTITION BY __by) AS BIGINT)
+                   AS __k,
+               CAST(sum(__c) OVER () AS BIGINT) AS __n
+        FROM __cells
+    ), __agg AS (
+        SELECT __n, CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CAST(round(CAST(__c AS DOUBLE)
+                    / CAST(__n AS DOUBLE)
+                    * ln(CAST(CAST(__c AS HUGEINT)
+                              * CAST(__n AS HUGEINT) AS DOUBLE)
+                         / CAST(CAST(__r AS HUGEINT)
+                                * CAST(__k AS HUGEINT) AS DOUBLE))
+                    * 1e9, 0)
+                    AS BIGINT)) AS BIGINT) AS __smi,
+               CAST(sum(CAST(round(CAST(__c AS DOUBLE)
+                    / CAST(__n AS DOUBLE)
+                    * ln(CAST(__n AS DOUBLE)
+                         / CAST(__r AS DOUBLE)) * 1e9, 0)
+                    AS BIGINT)) AS BIGINT) AS __shx,
+               CAST(sum(CAST(round(CAST(__c AS DOUBLE)
+                    / CAST(__n AS DOUBLE)
+                    * ln(CAST(__n AS DOUBLE)
+                         / CAST(__k AS DOUBLE)) * 1e9, 0)
+                    AS BIGINT)) AS BIGINT) AS __shy
+        FROM __staged
+        GROUP BY 1
+    )
+    SELECT __n AS n, n_cells,
+           round(CAST(__smi AS DOUBLE) / 1e9 * 1e6, 0) / 1e6 AS mi,
+           round(CASE WHEN least(__shx, __shy) > 0 THEN
+                 (CAST(__smi AS DOUBLE) / 1e9)
+                 / (CAST(least(__shx, __shy) AS DOUBLE) / 1e9) END
+                 * 1e6, 0) / 1e6 AS nmi
+    FROM __agg
+    """

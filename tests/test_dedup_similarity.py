@@ -623,3 +623,27 @@ def test_containment_pairs_no_false_negatives_brute(spark):
         and round(len(sets[a] & sets[b]) / len(sets[a]), 6) >= 0.7
     }
     assert truth <= got  # exactness: no false negatives
+
+
+def test_lsh_planner_laws(spark):
+    from pytrousse_spark.operators.dedup import lsh_parameter_plan
+
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_parameter_plan(spark, 64, 0.5).collect()
+    }
+    # all factorizations of 64 present
+    assert set(rows) == {(1, 64), (2, 32), (4, 16), (8, 8), (16, 4),
+                         (32, 2), (64, 1)}
+    # the textbook pick at t=0.5 with 64 hashes is b=16, r=4
+    # (s50 = (1/16)^(1/4) = 0.5 — the curve centers ON the threshold)
+    assert rows[(16, 4)]["is_best"]
+    assert rows[(16, 4)]["s50"] == 0.5
+    assert sum(1 for r in rows.values() if r["is_best"]) == 1
+    # extremes: many rows -> recall-poor (fn heavy); many bands ->
+    # precision-poor (fp heavy)
+    assert rows[(1, 64)]["fn_mass"] > rows[(16, 4)]["fn_mass"]
+    assert rows[(64, 1)]["fp_mass"] > rows[(16, 4)]["fp_mass"]
+    # masses are probabilities-ish: within [0, 1] after integration
+    for r in rows.values():
+        assert 0.0 <= r["fp_mass"] <= 1.0 and 0.0 <= r["fn_mass"] <= 1.0

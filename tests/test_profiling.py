@@ -604,3 +604,29 @@ def test_spearman_monotone_invariance(spark):
         spark.createDataFrame(rows, ["x", "y"]), "x", "y"
     ).collect()[0]
     assert r["spearman"] < -0.99
+
+
+def test_numeric_mi_laws(spark):
+    from pytrousse_spark.profiling import numeric_mutual_information
+
+    # y is a deterministic function of x -> nmi ~ 1 even though the
+    # relation is non-monotone (Pearson would read ~0)
+    rows = [(float(i % 64), float((i % 64 - 32) ** 2)) for i in range(6400)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = numeric_mutual_information(df, "x", "y", num_bins=64).collect()[0]
+    assert r["nmi"] > 0.95
+
+    # independent pair -> mi ~ 0
+    rows = [(float(i % 61), float((i * 31) % 53)) for i in range(6400)]
+    r = numeric_mutual_information(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y", 16
+    ).collect()[0]
+    assert r["mi"] < 0.05
+    assert 0.0 <= r["nmi"] < 0.1
+
+    # constant column -> NULL nmi, mi 0
+    rows = [(float(i % 10), 5.0) for i in range(100)]
+    r = numeric_mutual_information(
+        spark.createDataFrame(rows, ["x", "y"]), "x", "y", 16
+    ).collect()[0]
+    assert r["mi"] == 0.0 and r["nmi"] is None
