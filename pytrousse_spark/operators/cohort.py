@@ -3098,10 +3098,22 @@ def ipw_ate(
         F.sum(F.when(F.col("__t") == 0.0, F.col("__oc")).otherwise(0))
         .cast("bigint")
         .alias("__s0"),
-        F.sum("__wy1").cast("bigint").alias("__swy1"),
-        F.sum("__w1").cast("bigint").alias("__sw1"),
-        F.sum("__wy0").cast("bigint").alias("__swy0"),
-        F.sum("__w0").cast("bigint").alias("__sw0"),
+        # micro terms reach ~1e15/row (cents / clipped propensity *
+        # 1e6): the fold must widen to DECIMAL(38,0) — an int64 sum
+        # overflows near 1e4 rows of extreme weights (caught by the
+        # sf0.1 bench, invisible at sf0.01)
+        F.sum(F.col("__wy1").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__swy1"),
+        F.sum(F.col("__w1").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sw1"),
+        F.sum(F.col("__wy0").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__swy0"),
+        F.sum(F.col("__w0").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sw0"),
     )
     r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
     n1 = F.col("n_treat").cast("double")
@@ -3218,10 +3230,10 @@ def ipw_ate_sql(
                     AS BIGINT) AS __s1,
                CAST(sum(CASE WHEN __t = 0.0 THEN __oc ELSE 0 END)
                     AS BIGINT) AS __s0,
-               CAST(sum(__wy1) AS BIGINT) AS __swy1,
-               CAST(sum(__w1) AS BIGINT) AS __sw1,
-               CAST(sum(__wy0) AS BIGINT) AS __swy0,
-               CAST(sum(__w0) AS BIGINT) AS __sw0
+               CAST(sum(CAST(__wy1 AS HUGEINT)) AS HUGEINT) AS __swy1,
+               CAST(sum(CAST(__w1 AS HUGEINT)) AS HUGEINT) AS __sw1,
+               CAST(sum(CAST(__wy0 AS HUGEINT)) AS HUGEINT) AS __swy0,
+               CAST(sum(CAST(__w0 AS HUGEINT)) AS HUGEINT) AS __sw0
         FROM scored)"""
     )
     body = ",\n    ".join(ctes)
