@@ -6878,6 +6878,51 @@ def _sql_q230() -> str:
     return lsh_parameter_plan_sql(64, 0.5)
 
 
+
+def q231_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) drift distance of extended price,
+    early-month vs late-month shipments — the drift measure with UNITS
+    beside PSI (q142) and KS (q186): exact integer CDF-difference
+    prefix folds on pooled-edge bins, one unit conversion at the end
+    (profiling.wasserstein1_binned)."""
+    from pytrousse_spark.profiling import wasserstein1_binned
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.where(F.dayofmonth("l_shipdate") <= 15)
+    cur = li.where(F.dayofmonth("l_shipdate") > 15)
+    return wasserstein1_binned(ref, cur, "l_extendedprice")
+
+
+def _sql_q231() -> str:
+    from pytrousse_spark.profiling import wasserstein1_binned_sql
+
+    return wasserstein1_binned_sql(
+        "SELECT * FROM lineitem WHERE day(l_shipdate) <= 15",
+        "SELECT * FROM lineitem WHERE day(l_shipdate) > 15",
+        "l_extendedprice",
+    )
+
+
+def q232_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wang-Smith-Hyndman seasonal and trend strength of the daily
+    event-value series over the classical decomposition — the one-look
+    "is there real weekly structure" readout beside the Kruskal-Wallis
+    test (q222): micro-unit component variances in DECIMAL38/HUGEINT
+    (operators/timeseries.seasonal_strength)."""
+    from pytrousse_spark.operators.timeseries import seasonal_strength
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_strength(ev, "ts", "value", 7)
+
+
+def _sql_q232() -> str:
+    from pytrousse_spark.operators.timeseries import (
+        seasonal_strength_sql,
+    )
+
+    return seasonal_strength_sql("SELECT * FROM events", "ts", "value", 7)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6928,6 +6973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_cohort_ltv": q228_cohort_ltv,
         "q229_numeric_mi": q229_numeric_mi,
         "q230_lsh_planner": q230_lsh_planner,
+        "q231_wasserstein": q231_wasserstein,
+        "q232_seasonal_strength": q232_seasonal_strength,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7576,6 +7623,8 @@ def oracle_sql() -> dict[str, str]:
         "q228_cohort_ltv": _sql_q228(),
         "q229_numeric_mi": _sql_q229(),
         "q230_lsh_planner": _sql_q230(),
+        "q231_wasserstein": _sql_q231(),
+        "q232_seasonal_strength": _sql_q232(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -2359,3 +2359,141 @@ def ohlc_merge_partials(partials: DataFrame) -> DataFrame:
             / F.lit(100.0)
         ).alias("vwap"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal and trend STRENGTH of the daily series (Wang, Smith &
+    Hyndman 2006 — the feature-based forecasting readout):
+
+        F_s = max(0, 1 - Var(R) / Var(S + R))
+        F_t = max(0, 1 - Var(R) / Var(T + R))
+
+    over the classical decomposition (seasonal_decompose) of the dense
+    daily-cent spine, restricted to rows where the trend is defined
+    (complete centered windows). Values near 1 mean the component
+    dominates; near 0, noise does.
+
+    Returns one row: ``(n, f_seasonal, f_trend)``; NULL when a
+    denominator variance is 0 (constant component + residual).
+
+    Exactness: decomposition components are round-6 doubles identical
+    across engines (the q-decompose contract); each component value is
+    micro-unit-rounded to BIGINT, variances fold exact
+    DECIMAL(38)/HUGEINT moments, and the strengths are single
+    divisions of identical integer-derived doubles.
+
+    Scale: one date-keyed agg for the spine; decomposition windows are
+    calendar-bounded; the strength fold is one pass over the spine.
+    """
+    daily = _daily_cents(df, ts_col, value_col).select(
+        "__d", (F.col("__c").cast("double") / F.lit(100.0)).alias("__val")
+    )
+    dec = seasonal_decompose(daily, "__d", "__val", period)
+    micro = lambda c: F.round(c * F.lit(1e6), 0).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    ok = dec.where(
+        F.col("trend").isNotNull() & F.col("residual").isNotNull()
+    ).select(
+        micro(F.col("residual")).alias("__r"),
+        micro(F.col("seasonal") + F.col("residual")).alias("__sr"),
+        micro(F.col("trend") + F.col("residual")).alias("__tr"),
+    )
+    def moments(col, pre):
+        # distinct prefixes: __s{r} vs __ss{r} collide for pre 'sr'
+        return [
+            F.sum(F.col(col))
+            .cast("decimal(38,0)")
+            .alias(f"__sum_{pre}"),
+            F.sum(F.col(col) * F.col(col))
+            .cast("decimal(38,0)")
+            .alias(f"__sq_{pre}"),
+        ]
+    agg = ok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *moments("__r", "r"),
+        *moments("__sr", "sr"),
+        *moments("__tr", "tr"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    def var(pre):
+        return (
+            n * F.col(f"__sq_{pre}")
+            - F.col(f"__sum_{pre}") * F.col(f"__sum_{pre}")
+        ).cast("double")
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    fs = F.greatest(
+        F.lit(0.0), F.lit(1.0) - var("r") / var("sr")
+    )
+    ft = F.greatest(
+        F.lit(0.0), F.lit(1.0) - var("r") / var("tr")
+    )
+    return agg.select(
+        "n",
+        r6(F.when(var("sr") > 0, fs)).alias("f_seasonal"),
+        r6(F.when(var("tr") > 0, ft)).alias("f_trend"),
+    )
+
+
+def seasonal_strength_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+) -> str:
+    """DuckDB twin of :func:`seasonal_strength` — replays the spine,
+    the decomposition and the micro-unit variance folds."""
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    daily = (
+        base
+        + """ SELECT __d, CAST(__c AS DOUBLE) / CAST(100 AS DOUBLE)
+              AS __val FROM __dense"""
+    )
+    dec = seasonal_decompose_sql(daily, "__d", "__val", period)
+    return f"""
+    WITH __dec AS MATERIALIZED (
+        {dec}
+    ), __ok AS (
+        SELECT CAST(round(residual * 1e6, 0) AS HUGEINT) AS __r,
+               CAST(round((seasonal + residual) * 1e6, 0) AS HUGEINT)
+                   AS __sr,
+               CAST(round((trend + residual) * 1e6, 0) AS HUGEINT)
+                   AS __tr
+        FROM __dec
+        WHERE trend IS NOT NULL AND residual IS NOT NULL
+    ), __agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(__r) AS HUGEINT) AS __sr_,
+               CAST(sum(__r * __r) AS HUGEINT) AS __ssr_,
+               CAST(sum(__sr) AS HUGEINT) AS __ssr2,
+               CAST(sum(__sr * __sr) AS HUGEINT) AS __sssr2,
+               CAST(sum(__tr) AS HUGEINT) AS __str2,
+               CAST(sum(__tr * __tr) AS HUGEINT) AS __sstr2
+        FROM __ok
+    )
+    SELECT n,
+           round(CASE WHEN CAST(n AS HUGEINT) * __sssr2
+                           - __ssr2 * __ssr2 > 0 THEN
+                 greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+                 - CAST(CAST(n AS HUGEINT) * __ssr_ - __sr_ * __sr_
+                        AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * __sssr2
+                          - __ssr2 * __ssr2 AS DOUBLE)) END
+                 * 1e6, 0) / 1e6 AS f_seasonal,
+           round(CASE WHEN CAST(n AS HUGEINT) * __sstr2
+                           - __str2 * __str2 > 0 THEN
+                 greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+                 - CAST(CAST(n AS HUGEINT) * __ssr_ - __sr_ * __sr_
+                        AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * __sstr2
+                          - __str2 * __str2 AS DOUBLE)) END
+                 * 1e6, 0) / 1e6 AS f_trend
+    FROM __agg
+    """

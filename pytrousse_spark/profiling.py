@@ -2393,3 +2393,191 @@ def numeric_mutual_information_sql(
                  * 1e6, 0) / 1e6 AS nmi
     FROM __agg
     """
+
+
+def wasserstein1_binned(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    num_bins: int = 256,
+) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between two samples of a
+    numeric column on POOLED-EDGE equi-width bins — the drift measure
+    with UNITS (how far, in the column's own units, mass must move),
+    complementing PSI (q142: dimensionless, eps-floored) and KS (q186:
+    max CDF gap, unit-free):
+
+        W1 ~= binwidth * sum_b |CDF_ref(b) - CDF_cur(b)|
+
+    Returns one row: ``(n_ref, n_cur, lo, hi, w1)``.
+
+    Exactness: with common denominator ``n_ref * n_cur`` every CDF
+    difference is the exact integer prefix sum of
+    ``c_ref * n_cur - c_cur * n_ref`` (DECIMAL(38)/HUGEINT); the fold
+    is |integer| sums, and ONE multiply/divide converts to units.
+
+    Scale: one bin-keyed count agg per side (map-side combinable,
+    shuffle bounded by B), prefix sums on the B-row grid.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(col)
+    r = ref.where(v.isNotNull()).select(v.cast("double").alias("__v"))
+    c = cur.where(v.isNotNull()).select(v.cast("double").alias("__v"))
+    pooled = r.unionByName(c)
+    stats = pooled.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    def hist(df, name):
+        b = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * num_bins
+                ).cast("long"),
+                F.lit(num_bins - 1),
+            )
+        )
+        return (
+            df.join(F.broadcast(stats), how="cross")
+            .select(b.alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+    hr = hist(r, "__cr")
+    hc = hist(c, "__cc")
+    grid = (
+        stats.select(
+            F.explode(
+                F.expr(f"sequence(0, {num_bins - 1})")
+            ).alias("__b"),
+            "__lo",
+            "__hi",
+        )
+        .join(hr, "__b", "left")
+        .join(hc, "__b", "left")
+        .select(
+            "__b",
+            "__lo",
+            "__hi",
+            F.coalesce(F.col("__cr"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__cr"),
+            F.coalesce(F.col("__cc"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__cc"),
+        )
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wpre = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = grid.select(
+        "__b",
+        "__lo",
+        "__hi",
+        F.sum("__cr").over(tot).cast("decimal(38,0)").alias("__nr"),
+        F.sum("__cc").over(tot).cast("decimal(38,0)").alias("__nc"),
+        F.sum("__cr").over(wpre).cast("decimal(38,0)").alias("__pr"),
+        F.sum("__cc").over(wpre).cast("decimal(38,0)").alias("__pc"),
+    )
+    diff = F.abs(
+        F.col("__pr") * F.col("__nc") - F.col("__pc") * F.col("__nr")
+    )
+    agg = staged.groupBy("__nr", "__nc", "__lo", "__hi").agg(
+        F.sum(diff).cast("decimal(38,0)").alias("__sd")
+    )
+    r6 = lambda x: F.round(x * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    w1 = (
+        F.col("__sd").cast("double")
+        / (F.col("__nr") * F.col("__nc")).cast("double")
+        * (F.col("__hi") - F.col("__lo"))
+        / F.lit(float(num_bins))
+    )
+    return agg.select(
+        F.col("__nr").cast("bigint").alias("n_ref"),
+        F.col("__nc").cast("bigint").alias("n_cur"),
+        r6(F.col("__lo")).alias("lo"),
+        r6(F.col("__hi")).alias("hi"),
+        r6(
+            F.when(
+                (F.col("__nr") > 0)
+                & (F.col("__nc") > 0)
+                & (F.col("__hi") > F.col("__lo")),
+                w1,
+            ).otherwise(F.lit(0.0))
+        ).alias("w1"),
+    )
+
+
+def wasserstein1_binned_sql(
+    ref_expr: str,
+    cur_expr: str,
+    col: str,
+    num_bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`wasserstein1_binned`."""
+    return f"""
+    WITH __r AS MATERIALIZED (
+        SELECT CAST({col} AS DOUBLE) AS __v FROM ({ref_expr})
+        WHERE {col} IS NOT NULL
+    ), __c AS MATERIALIZED (
+        SELECT CAST({col} AS DOUBLE) AS __v FROM ({cur_expr})
+        WHERE {col} IS NOT NULL
+    ), __st AS (
+        SELECT min(__v) AS __lo, max(__v) AS __hi
+        FROM (SELECT __v FROM __r UNION ALL SELECT __v FROM __c)
+    ), __hr AS (
+        SELECT CASE WHEN s.__hi = s.__lo THEN 0 ELSE
+               least(CAST(floor((t.__v - s.__lo)
+                     / (s.__hi - s.__lo) * {num_bins}) AS BIGINT),
+                     {num_bins - 1}) END AS __b,
+               CAST(count(*) AS BIGINT) AS __cr
+        FROM __r t CROSS JOIN __st s GROUP BY 1
+    ), __hc AS (
+        SELECT CASE WHEN s.__hi = s.__lo THEN 0 ELSE
+               least(CAST(floor((t.__v - s.__lo)
+                     / (s.__hi - s.__lo) * {num_bins}) AS BIGINT),
+                     {num_bins - 1}) END AS __b,
+               CAST(count(*) AS BIGINT) AS __cc
+        FROM __c t CROSS JOIN __st s GROUP BY 1
+    ), __grid AS (
+        SELECT g.__b, s.__lo, s.__hi,
+               CAST(COALESCE(r.__cr, 0) AS HUGEINT) AS __cr,
+               CAST(COALESCE(c.__cc, 0) AS HUGEINT) AS __cc
+        FROM (SELECT CAST(unnest(range(0, {num_bins})) AS BIGINT)
+                  AS __b) g
+        CROSS JOIN __st s
+        LEFT JOIN __hr r ON r.__b = g.__b
+        LEFT JOIN __hc c ON c.__b = g.__b
+    ), __staged AS (
+        SELECT __b, __lo, __hi,
+               CAST(sum(__cr) OVER () AS HUGEINT) AS __nr,
+               CAST(sum(__cc) OVER () AS HUGEINT) AS __nc,
+               CAST(sum(__cr) OVER (ORDER BY __b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS __pr,
+               CAST(sum(__cc) OVER (ORDER BY __b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS __pc
+        FROM __grid
+    ), __agg AS (
+        SELECT __nr, __nc, __lo, __hi,
+               CAST(sum(abs(__pr * __nc - __pc * __nr)) AS HUGEINT)
+                   AS __sd
+        FROM __staged GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(__nr AS BIGINT) AS n_ref,
+           CAST(__nc AS BIGINT) AS n_cur,
+           round(__lo * 1e6, 0) / 1e6 AS lo,
+           round(__hi * 1e6, 0) / 1e6 AS hi,
+           round(CASE WHEN __nr > 0 AND __nc > 0 AND __hi > __lo THEN
+                 CAST(__sd AS DOUBLE)
+                 / CAST(__nr * __nc AS DOUBLE)
+                 * (__hi - __lo) / CAST({float(num_bins)} AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END * 1e6, 0) / 1e6 AS w1
+    FROM __agg
+    """

@@ -630,3 +630,25 @@ def test_numeric_mi_laws(spark):
         spark.createDataFrame(rows, ["x", "y"]), "x", "y", 16
     ).collect()[0]
     assert r["mi"] == 0.0 and r["nmi"] is None
+
+
+def test_wasserstein_laws(spark):
+    from pytrousse_spark.profiling import wasserstein1_binned
+
+    # identical samples -> 0
+    a = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], ["v"]
+    )
+    r = wasserstein1_binned(a, a, "v").collect()[0]
+    assert r["w1"] == 0.0
+    # a constant shift by d moves every unit of mass d -> w1 ~ d
+    b = spark.createDataFrame(
+        [(float(i % 100) + 30.0,) for i in range(1000)], ["v"]
+    )
+    r = wasserstein1_binned(a, b, "v").collect()[0]
+    assert abs(r["w1"] - 30.0) < 1.5  # bin-resolution slack
+    # symmetry
+    r2 = wasserstein1_binned(b, a, "v").collect()[0]
+    assert r["w1"] == r2["w1"]
+    # scale-free sanity: W1 carries the column's units (PSI does not)
+    assert r["lo"] == 0.0 and r["hi"] == 129.0

@@ -674,3 +674,45 @@ def test_ohlc_hand_computed(spark):
     assert b["open"] == 11.0 and b["close"] == 99.0  # order_col tie-break
     a2 = got[("a", 2)]
     assert a2["open"] == a2["close"] == a2["high"] == a2["low"] == 7.5
+
+
+def test_seasonal_strength_planted(spark):
+    from pytrousse_spark.operators.timeseries import seasonal_strength
+
+    start = dt.datetime(2024, 5, 6)  # Monday
+    # pure weekly signal -> f_seasonal 1, trend+residual constant ->
+    # f_trend NULL (stated)
+    rows = [
+        (i, start + dt.timedelta(days=i),
+         100.0 + (50.0 if (start + dt.timedelta(days=i)).weekday() == 0
+                  else 0.0))
+        for i in range(70)
+    ]
+    r = seasonal_strength(
+        spark.createDataFrame(rows, ["event_id", "ts", "value"]),
+        "ts", "value", 7,
+    ).collect()[0]
+    assert r["f_seasonal"] == 1.0 and r["f_trend"] is None
+
+    # pure linear trend -> f_trend 1, no seasonal structure
+    rows = [(i, start + dt.timedelta(days=i), 100.0 + 3.0 * i)
+            for i in range(70)]
+    r = seasonal_strength(
+        spark.createDataFrame(rows, ["event_id", "ts", "value"]),
+        "ts", "value", 7,
+    ).collect()[0]
+    assert r["f_trend"] == 1.0 and r["f_seasonal"] is None
+
+    # mixed: both present, both strengths high
+    rows = [
+        (i, start + dt.timedelta(days=i),
+         100.0 + 2.0 * i
+         + (40.0 if (start + dt.timedelta(days=i)).weekday() == 0
+            else 0.0))
+        for i in range(70)
+    ]
+    r = seasonal_strength(
+        spark.createDataFrame(rows, ["event_id", "ts", "value"]),
+        "ts", "value", 7,
+    ).collect()[0]
+    assert r["f_seasonal"] > 0.95 and r["f_trend"] > 0.95
