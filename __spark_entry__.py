@@ -6923,6 +6923,31 @@ def _sql_q232() -> str:
     return seasonal_strength_sql("SELECT * FROM events", "ts", "value", 7)
 
 
+
+def q233_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between even and odd vector ids — the
+    vector-native drift readout beside PSI/KS/W1: centroid cosine,
+    centroid distance and mean-norm ratio from micro-unit component
+    folds; one position-keyed agg per side, no vector joins
+    (operators/similarity.embedding_drift)."""
+    from pytrousse_spark.operators.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    )
+
+
+def _sql_q233() -> str:
+    from pytrousse_spark.operators.similarity import embedding_drift_sql
+
+    return embedding_drift_sql(
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 1",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -6975,6 +7000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_lsh_planner": q230_lsh_planner,
         "q231_wasserstein": q231_wasserstein,
         "q232_seasonal_strength": q232_seasonal_strength,
+        "q233_embedding_drift": q233_embedding_drift,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7625,6 +7651,7 @@ def oracle_sql() -> dict[str, str]:
         "q230_lsh_planner": _sql_q230(),
         "q231_wasserstein": _sql_q231(),
         "q232_seasonal_strength": _sql_q232(),
+        "q233_embedding_drift": _sql_q233(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

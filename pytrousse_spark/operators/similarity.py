@@ -595,3 +595,207 @@ def hybrid_search_rrf_sql(
     FROM fused
     ORDER BY __rrf DESC, __id LIMIT {k}
     """
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift readout between two vector samples — the
+    vector-native companion of the scalar drift gates (PSI q142, KS
+    q186, W1 q231): centroid cosine similarity (directional shift),
+    centroid Euclidean distance (location shift), and the mean-norm
+    ratio (scale shift). An embedding pipeline whose upstream model or
+    preprocessing changed shows up here before any downstream metric
+    moves.
+
+    Returns one row: ``(n_ref, n_cur, centroid_cosine, centroid_dist,
+    norm_ratio)``; cosine NULL if either centroid is zero.
+
+    Exactness: per-position component sums fold micro-unit BIGINTs
+    (one rounding per component per row); centroids are single
+    divisions of those exact sums; the cosine/distance folds run in
+    index order over the bounded dim grid (the functions/vectors
+    rule); per-row norms micro-round before the mean.
+
+    Scale: ONE (position)-keyed agg per side (shuffle bounded by dim
+    after map-side combine) + one norm agg per side; no joins over
+    vectors.
+    """
+    from pyspark.sql import functions as F
+
+    def side(df, tag):
+        nn = df.where(F.col(vec_col).isNotNull())
+        comp = (
+            nn.select(F.posexplode(vec_col).alias("pos", "__x"))
+            .select(
+                "pos",
+                F.round(F.col("__x").cast("double") * F.lit(1e6), 0)
+                .cast("bigint")
+                .alias("__xm"),
+            )
+            .groupBy("pos")
+            .agg(
+                F.sum("__xm").cast("bigint").alias(f"__s_{tag}"),
+                F.count(F.lit(1)).cast("bigint").alias(f"__n_{tag}"),
+            )
+        )
+        norm = nn.select(
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.col(vec_col),
+                            lambda x: x.cast("double")
+                            * x.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("bigint")
+            .alias("__nm")
+        ).agg(
+            F.sum("__nm").cast("bigint").alias(f"__sn_{tag}"),
+            F.count(F.lit(1)).cast("bigint").alias(f"__c_{tag}"),
+        )
+        return comp, norm
+
+    cr, nr = side(ref, "r")
+    cc, nc = side(cur, "c")
+    cent = cr.join(cc, "pos").select(
+        "pos",
+        (
+            F.col("__s_r").cast("double")
+            / F.col("__n_r").cast("double")
+        ).alias("__mr"),
+        (
+            F.col("__s_c").cast("double")
+            / F.col("__n_c").cast("double")
+        ).alias("__mc"),
+    )
+    # index-ordered folds over the bounded dim grid: nano-round each
+    # per-position term so the three sums are exact integer folds
+    nano = lambda c: F.round(c * F.lit(1e6), 0).cast(  # noqa: E731
+        "bigint"
+    )
+    folds = cent.select(
+        nano(F.col("__mr") * F.col("__mc") / F.lit(1e6)).alias("__dot"),
+        nano(F.col("__mr") * F.col("__mr") / F.lit(1e6)).alias("__rr"),
+        nano(F.col("__mc") * F.col("__mc") / F.lit(1e6)).alias("__cc2"),
+        nano(
+            (F.col("__mr") - F.col("__mc"))
+            * (F.col("__mr") - F.col("__mc"))
+            / F.lit(1e6)
+        ).alias("__dd"),
+    ).agg(
+        F.sum("__dot").cast("bigint").alias("__sdot"),
+        F.sum("__rr").cast("bigint").alias("__srr"),
+        F.sum("__cc2").cast("bigint").alias("__scc"),
+        F.sum("__dd").cast("bigint").alias("__sdd"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    out = (
+        folds.join(F.broadcast(nr), how="cross")
+        .join(F.broadcast(nc), how="cross")
+    )
+    cos = F.col("__sdot").cast("double") / (
+        F.sqrt(F.col("__srr").cast("double"))
+        * F.sqrt(F.col("__scc").cast("double"))
+    )
+    return out.select(
+        F.col("__c_r").alias("n_ref"),
+        F.col("__c_c").alias("n_cur"),
+        r6(
+            F.when((F.col("__srr") > 0) & (F.col("__scc") > 0), cos)
+        ).alias("centroid_cosine"),
+        # __sdd carries micro^2 = 1e12 scale (the /1e6 inside the
+        # fold is cancelled by nano's *1e6): distance = sqrt(sdd)/1e6
+        r6(
+            F.sqrt(F.col("__sdd").cast("double")) / F.lit(1e6)
+        ).alias("centroid_dist"),
+        r6(
+            F.when(
+                F.col("__sn_r") > 0,
+                (
+                    F.col("__sn_c").cast("double")
+                    / F.col("__c_c").cast("double")
+                )
+                / (
+                    F.col("__sn_r").cast("double")
+                    / F.col("__c_r").cast("double")
+                ),
+            )
+        ).alias("norm_ratio"),
+    )
+
+
+def embedding_drift_sql(
+    ref_expr: str,
+    cur_expr: str,
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`embedding_drift` — identical micro-unit
+    component sums, per-position nano folds and norm means."""
+    def side_sql(expr, tag):
+        return f"""
+    __comp_{tag} AS (
+        SELECT __u.pos,
+               CAST(sum(CAST(round(CAST(__u.__x AS DOUBLE) * 1e6, 0)
+                    AS BIGINT)) AS BIGINT) AS __s_{tag},
+               CAST(count(*) AS BIGINT) AS __n_{tag}
+        FROM (
+            -- parallel unnests zip: value with its 1-based position
+            SELECT unnest(t.{vec_col}) AS __x,
+                   unnest(range(1, len(t.{vec_col}) + 1)) AS pos
+            FROM ({expr}) t WHERE t.{vec_col} IS NOT NULL
+        ) __u
+        GROUP BY 1
+    ), __norm_{tag} AS (
+        SELECT CAST(sum(CAST(round(sqrt(list_sum(list_transform(
+                    t.{vec_col}, __w -> CAST(__w AS DOUBLE)
+                    * CAST(__w AS DOUBLE)))) * 1e6, 0) AS BIGINT))
+                    AS BIGINT) AS __sn_{tag},
+               CAST(count(*) AS BIGINT) AS __c_{tag}
+        FROM ({expr}) t WHERE t.{vec_col} IS NOT NULL
+    )"""
+    return f"""
+    WITH {side_sql(ref_expr, "r")},
+    {side_sql(cur_expr, "c")},
+    __cent AS (
+        SELECT r.pos,
+               CAST(r.__s_r AS DOUBLE) / CAST(r.__n_r AS DOUBLE)
+                   AS __mr,
+               CAST(c.__s_c AS DOUBLE) / CAST(c.__n_c AS DOUBLE)
+                   AS __mc
+        FROM __comp_r r JOIN __comp_c c ON r.pos = c.pos
+    ), __folds AS (
+        SELECT CAST(sum(CAST(round(__mr * __mc / 1e6 * 1e6, 0)
+                    AS BIGINT)) AS BIGINT) AS __sdot,
+               CAST(sum(CAST(round(__mr * __mr / 1e6 * 1e6, 0)
+                    AS BIGINT)) AS BIGINT) AS __srr,
+               CAST(sum(CAST(round(__mc * __mc / 1e6 * 1e6, 0)
+                    AS BIGINT)) AS BIGINT) AS __scc,
+               CAST(sum(CAST(round((__mr - __mc) * (__mr - __mc)
+                    / 1e6 * 1e6, 0) AS BIGINT)) AS BIGINT) AS __sdd
+        FROM __cent
+    )
+    SELECT n.__c_r AS n_ref, m.__c_c AS n_cur,
+           round(CASE WHEN f.__srr > 0 AND f.__scc > 0 THEN
+                 CAST(f.__sdot AS DOUBLE)
+                 / (sqrt(CAST(f.__srr AS DOUBLE))
+                    * sqrt(CAST(f.__scc AS DOUBLE))) END
+                 * 1e6, 0) / 1e6 AS centroid_cosine,
+           round(sqrt(CAST(f.__sdd AS DOUBLE)) / 1e6 * 1e6, 0) / 1e6
+               AS centroid_dist,
+           round(CASE WHEN n.__sn_r > 0 THEN
+                 (CAST(m.__sn_c AS DOUBLE) / CAST(m.__c_c AS DOUBLE))
+                 / (CAST(n.__sn_r AS DOUBLE)
+                    / CAST(n.__c_r AS DOUBLE)) END * 1e6, 0) / 1e6
+               AS norm_ratio
+    FROM __folds f CROSS JOIN __norm_r n CROSS JOIN __norm_c m
+    """

@@ -647,3 +647,32 @@ def test_lsh_planner_laws(spark):
     # masses are probabilities-ish: within [0, 1] after integration
     for r in rows.values():
         assert 0.0 <= r["fp_mass"] <= 1.0 and 0.0 <= r["fn_mass"] <= 1.0
+
+
+def test_embedding_drift_laws(spark):
+    from pytrousse_spark.operators.similarity import embedding_drift
+
+    base = [(i, [1.0 + (i % 5) * 0.1, 2.0, 3.0 - (i % 3) * 0.1])
+            for i in range(60)]
+    a = spark.createDataFrame(base, ["vec_id", "embedding"])
+    # identical samples: cosine 1, distance 0, ratio 1
+    r = embedding_drift(a, a).collect()[0]
+    assert r["centroid_cosine"] == 1.0
+    assert r["centroid_dist"] == 0.0
+    assert r["norm_ratio"] == 1.0
+    # planted shift of +2 in the first coordinate: distance ~ 2
+    b = spark.createDataFrame(
+        [(i, [v[0] + 2.0, v[1], v[2]]) for i, v in base],
+        ["vec_id", "embedding"],
+    )
+    r = embedding_drift(a, b).collect()[0]
+    assert abs(r["centroid_dist"] - 2.0) < 1e-3
+    assert r["centroid_cosine"] < 1.0
+    # planted scaling by 3: norm ratio ~ 3, direction unchanged
+    c = spark.createDataFrame(
+        [(i, [3 * v[0], 3 * v[1], 3 * v[2]]) for i, v in base],
+        ["vec_id", "embedding"],
+    )
+    r = embedding_drift(a, c).collect()[0]
+    assert abs(r["norm_ratio"] - 3.0) < 1e-3
+    assert r["centroid_cosine"] == 1.0
