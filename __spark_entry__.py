@@ -6948,6 +6948,42 @@ def _sql_q233() -> str:
     )
 
 
+def q234_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, as a histogram
+    — gaps-and-islands over the DISTINCT (user, day) reduction; the
+    engagement readout beside retention q66 and growth accounting q68
+    (operators/cohort.activity_streaks)."""
+    from pytrousse_spark.operators.cohort import activity_streaks
+
+    ev = _t(spark, sf_dir, "events")
+    return activity_streaks(ev, "user_id", "ts")
+
+
+def _sql_q234() -> str:
+    from pytrousse_spark.operators.cohort import activity_streaks_sql
+
+    return activity_streaks_sql("events", "user_id", "ts")
+
+
+def q235_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions — sweep-line (+1/-1 running
+    max) over q11's gap sessionization, computed with the bucketed
+    per-day prefix + cross-day carry decomposition; the ORACLE is the
+    plain single-global-window sweep, certifying the decomposition the
+    same way q157/q186 are certified
+    (operators/timeseries.peak_concurrency)."""
+    from pytrousse_spark.operators.timeseries import peak_concurrency
+
+    ev = _t(spark, sf_dir, "events")
+    return peak_concurrency(ev, "user_id", "ts", "event_id")
+
+
+def _sql_q235() -> str:
+    from pytrousse_spark.operators.timeseries import peak_concurrency_sql
+
+    return peak_concurrency_sql("events", "user_id", "ts", "event_id")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7001,6 +7037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_wasserstein": q231_wasserstein,
         "q232_seasonal_strength": q232_seasonal_strength,
         "q233_embedding_drift": q233_embedding_drift,
+        "q234_activity_streaks": q234_activity_streaks,
+        "q235_peak_concurrency": q235_peak_concurrency,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7652,6 +7690,8 @@ def oracle_sql() -> dict[str, str]:
         "q231_wasserstein": _sql_q231(),
         "q232_seasonal_strength": _sql_q232(),
         "q233_embedding_drift": _sql_q233(),
+        "q234_activity_streaks": _sql_q234(),
+        "q235_peak_concurrency": _sql_q235(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -3550,3 +3550,68 @@ def cohort_ltv_curve_sql(
                  / CAST(100 AS DOUBLE) * 1e6, 0) / 1e6 AS cum_ltv
     FROM __grid g JOIN __sizes s ON g.cohort = s.cohort
     """
+
+
+def activity_streaks(
+    df: DataFrame, entity_col: str, ts_col: str
+) -> DataFrame:
+    """Longest consecutive-day activity streak per entity, reported as a
+    histogram (``longest_streak`` -> ``n_users``) — the gaps-and-islands
+    engagement readout beside retention (cohort_retention) and growth
+    accounting (timeseries.cumulative_distinct).
+
+    Classic island key: within an entity's DISTINCT active days sorted
+    ascending, ``day - row_number()`` is constant across a consecutive
+    run, so one group-by on (entity, island) yields run lengths with no
+    self-join.
+
+    Scale design: events reduce to DISTINCT (entity, day) FIRST, so the
+    per-entity window runs over at most entities x calendar-days rows
+    (bounded by the date range, not event volume); the final histogram
+    is tiny. No global sort, no window over raw events.
+    """
+    days = (
+        df.select(
+            F.col(entity_col).alias("__e"),
+            F.col(ts_col).cast("date").alias("__d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__e").orderBy("__d")
+    runs = (
+        days.withColumn(
+            "__g", F.date_sub(F.col("__d"), F.row_number().over(w))
+        )
+        .groupBy("__e", "__g")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    return (
+        runs.groupBy("__e")
+        .agg(F.max("__run").alias("longest_streak"))
+        .groupBy("longest_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def activity_streaks_sql(table: str, entity_col: str, ts_col: str) -> str:
+    """DuckDB twin of :func:`activity_streaks` (date - INTEGER arithmetic
+    matches Spark's date_sub; counts cast to BIGINT per the q11 rule)."""
+    return f"""
+    WITH days AS (
+        SELECT DISTINCT {entity_col} AS __e, CAST({ts_col} AS DATE) AS __d
+        FROM {table}
+    ), runs AS (
+        SELECT __e,
+               __d - CAST(row_number() OVER (
+                   PARTITION BY __e ORDER BY __d
+               ) AS INTEGER) AS __g
+        FROM days
+    ), rl AS (
+        SELECT __e, CAST(count(*) AS BIGINT) AS __run
+        FROM runs GROUP BY __e, __g
+    ), lg AS (
+        SELECT __e, max(__run) AS longest_streak FROM rl GROUP BY __e
+    )
+    SELECT longest_streak, CAST(count(*) AS BIGINT) AS n_users
+    FROM lg GROUP BY 1
+    """

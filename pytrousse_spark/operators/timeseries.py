@@ -2497,3 +2497,127 @@ def seasonal_strength_sql(
                  * 1e6, 0) / 1e6 AS f_trend
     FROM __agg
     """
+
+
+def peak_concurrency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    gap_us: int = 1_800_000_000,
+) -> DataFrame:
+    """Per-day PEAK number of concurrently open sessions — the classic
+    sweep-line (+1 at session start, -1 at session end, running max)
+    over gap-sessionized events, with the q157/q186 bucketed-prefix
+    decomposition instead of one global ordering.
+
+    Convention: session intervals are CLOSED — at an instant where one
+    session ends and another starts, both count (starts apply before
+    ends at equal timestamps: ORDER BY ts, delta DESC). A day appears in
+    the output iff some session starts or ends on it.
+
+    Scale design: sessionization is the q11 user-keyed lag + running
+    sum (no global window); endpoint rows are 2 per session; the sweep
+    prefix runs per DAY bucket (bounded by endpoints/day), and the
+    cross-day carry is a running sum over the tiny day axis. Peak(day)
+    = carry_in + max(0, max within-day prefix) — exact, because the
+    concurrency before the day's first endpoint is exactly carry_in.
+    """
+    w_order = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w_order)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        df.withColumn("__us", us)
+        .withColumn("__ns", new_sess)
+        .withColumn("__sid", F.sum("__ns").over(w_run))
+        .groupBy(user_col, "__sid")
+        .agg(F.min("__us").alias("__s"), F.max("__us").alias("__e"))
+    )
+    pts = sess.select(
+        F.col("__s").alias("__pus"), F.lit(1).alias("__delta")
+    ).unionByName(
+        sess.select(F.col("__e").alias("__pus"), F.lit(-1).alias("__delta"))
+    )
+    pts = pts.withColumn(
+        "__day", F.to_date(F.timestamp_micros(F.col("__pus")))
+    )
+    w_day = Window.partitionBy("__day").orderBy(
+        F.col("__pus").asc(), F.col("__delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = pts.withColumn("__prefix", F.sum("__delta").over(w_day))
+    per_day = pref.groupBy("__day").agg(
+        F.max("__prefix").alias("__maxp"),
+        F.sum("__delta").alias("__tot"),
+    )
+    w_carry = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_day.withColumn(
+            "__carry", F.coalesce(F.sum("__tot").over(w_carry), F.lit(0))
+        )
+        .select(
+            F.col("__day").alias("day"),
+            (F.col("__carry") + F.greatest(F.col("__maxp"), F.lit(0)))
+            .cast("long")
+            .alias("peak_sessions"),
+        )
+    )
+
+
+def peak_concurrency_sql(
+    table: str,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    gap_us: int = 1_800_000_000,
+) -> str:
+    """DuckDB twin of :func:`peak_concurrency` — deliberately the PLAIN
+    single-global-window sweep (one running sum ordered by (ts, delta
+    DESC); peak(day) = max over the day's endpoints of
+    greatest(running_after, running_before)), so the oracle certifies
+    the bucketed-prefix decomposition against the textbook formulation,
+    exactly as q157's plain RANGE-window oracle certifies the bucketed
+    rolling window. running_before = running_after - delta, and the
+    day's first running_before IS the cross-day carry."""
+    return f"""
+    WITH base AS (
+        SELECT {user_col} AS __u, {order_col} AS __o,
+               epoch_us(CAST({ts_col} AS TIMESTAMP)) AS __us
+        FROM {table}
+    ), flagged AS (
+        SELECT __u, __o, __us,
+               CASE WHEN __us - lag(__us) OVER w > {gap_us}
+                         OR lag(__us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS __ns
+        FROM base
+        WINDOW w AS (PARTITION BY __u ORDER BY __us, __o)
+    ), numbered AS (
+        SELECT __u, __us,
+               CAST(sum(__ns) OVER (
+                   PARTITION BY __u ORDER BY __us, __o
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS __sid
+        FROM flagged
+    ), sess AS (
+        SELECT __u, __sid, min(__us) AS __s, max(__us) AS __e
+        FROM numbered GROUP BY __u, __sid
+    ), pts AS (
+        SELECT __s AS __pus, 1 AS __delta FROM sess
+        UNION ALL
+        SELECT __e AS __pus, -1 AS __delta FROM sess
+    ), run AS (
+        SELECT __pus, __delta,
+               CAST(sum(__delta) OVER (
+                   ORDER BY __pus, __delta DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS __after
+        FROM pts
+    )
+    SELECT CAST(make_timestamp(__pus) AS DATE) AS day,
+           CAST(max(greatest(__after, __after - __delta)) AS BIGINT)
+               AS peak_sessions
+    FROM run GROUP BY 1
+    """

@@ -995,3 +995,50 @@ def test_cohort_ltv_laws(spark):
     # cum_ltv is nondecreasing (revenue is nonnegative)
     seq = [r["cum_ltv"] for r in got]
     assert all(b >= a for a, b in zip(seq, seq[1:]))
+
+
+def test_activity_streaks_handcrafted(spark):
+    """Gaps-and-islands law on planted runs: user 1 has runs of 3 and 1
+    (longest 3), user 2 has runs of 2 and 2 (longest 2), user 3 one day
+    (longest 1); duplicate events within a day collapse."""
+    from datetime import datetime as ts
+
+    from pytrousse_spark.operators.cohort import activity_streaks
+
+    df = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1)),
+            (1, ts(2024, 1, 1, 23, 59)),  # dup day
+            (1, ts(2024, 1, 2)),
+            (1, ts(2024, 1, 3)),
+            (1, ts(2024, 1, 5)),
+            (2, ts(2024, 1, 1)),
+            (2, ts(2024, 1, 2)),
+            (2, ts(2024, 1, 10)),
+            (2, ts(2024, 1, 11)),
+            (3, ts(2024, 2, 1)),
+        ],
+        ["user_id", "ts"],
+    )
+    out = {
+        r["longest_streak"]: r["n_users"]
+        for r in activity_streaks(df, "user_id", "ts").collect()
+    }
+    assert out == {3: 1, 2: 1, 1: 1}
+
+
+def test_activity_streaks_conservation(spark):
+    """Histogram mass equals the number of distinct users."""
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import activity_streaks
+
+    hist = activity_streaks(ev, "user_id", "ts")
+    n_users = ev.select("user_id").distinct().count()
+    assert hist.agg(F.sum("n_users")).first()[0] == n_users
+    # streak lengths are bounded by the calendar span
+    span = ev.agg(
+        (F.datediff(F.max("ts"), F.min("ts")) + 1).alias("d")
+    ).first()["d"]
+    assert hist.agg(F.max("longest_streak")).first()[0] <= span

@@ -716,3 +716,57 @@ def test_seasonal_strength_planted(spark):
         "ts", "value", 7,
     ).collect()[0]
     assert r["f_seasonal"] > 0.95 and r["f_trend"] > 0.95
+
+
+def test_peak_concurrency_handcrafted(spark):
+    """Sweep-line laws on planted sessions: two users overlapping on
+    day 1 -> peak 2; a session ending exactly when another starts
+    counts both (closed intervals); a midnight-crossing session carries
+    +1 into the next day."""
+    from datetime import datetime as ts
+
+    from pytrousse_spark.operators.timeseries import peak_concurrency
+
+    rows = []
+    eid = 0
+
+    def ev(u, t):
+        nonlocal eid
+        rows.append((eid, u, t))
+        eid += 1
+
+    # day 1: user 1 session 10:00-10:20, user 2 session 10:10-10:30
+    ev(1, ts(2024, 1, 1, 10, 0))
+    ev(1, ts(2024, 1, 1, 10, 20))
+    ev(2, ts(2024, 1, 1, 10, 10))
+    ev(2, ts(2024, 1, 1, 10, 30))
+    # user 3 starts EXACTLY when user 2 ends -> still concurrent (peak 2)
+    ev(3, ts(2024, 1, 1, 10, 30))
+    ev(3, ts(2024, 1, 1, 10, 40))
+    # day 2->3: user 1 active 23:50-00:10 (one session, gap 20 min)
+    ev(1, ts(2024, 1, 2, 23, 50))
+    ev(1, ts(2024, 1, 3, 0, 10))
+    # day 3: user 2 session overlapping the carried one
+    ev(2, ts(2024, 1, 3, 0, 5))
+    ev(2, ts(2024, 1, 3, 0, 15))
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {
+        str(r["day"]): r["peak_sessions"]
+        for r in peak_concurrency(df, "user_id", "ts", "event_id").collect()
+    }
+    assert out["2024-01-01"] == 2
+    assert out["2024-01-02"] == 1   # only the start endpoint lands here
+    assert out["2024-01-03"] == 2   # carried session + user 2's
+
+
+def test_peak_concurrency_bounds(spark):
+    """Peak is >= 1 on every emitted day and never exceeds the number
+    of distinct users (each user has at most one open session)."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.timeseries import peak_concurrency
+    from tests.conftest import SF_DIR
+
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    out = peak_concurrency(ev, "user_id", "ts", "event_id").collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert out and all(1 <= r["peak_sessions"] <= n_users for r in out)
