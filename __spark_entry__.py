@@ -6984,6 +6984,63 @@ def _sql_q235() -> str:
     return peak_concurrency_sql("events", "user_id", "ts", "event_id")
 
 
+def q236_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within planar distance 20,000 micro-units —
+    grid-cell bucketed (9-offset equi-join, exact BIGINT distance^2,
+    zero floats); the ORACLE is the brute-force O(n^2) join, so parity
+    certifies completeness like q211's FastSS oracle. Coordinates are
+    h60-derived micro-units (a real deployment feeds GPS columns)
+    (operators/spatial.grid_radius_join)."""
+    from pytrousse_spark.functions.hashing import h60_seeded
+    from pytrousse_spark.operators.spatial import grid_radius_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (h60_seeded(F.col("c_custkey").cast("string"), "gx") % 1_000_000)
+        .alias("gx"),
+        (h60_seeded(F.col("c_custkey").cast("string"), "gy") % 1_000_000)
+        .alias("gy"),
+    )
+    return grid_radius_join(cust, "c_custkey", "gx", "gy", 20_000)
+
+
+def _sql_q236() -> str:
+    from pytrousse_spark.functions.hashing import h60_seeded_sql
+    from pytrousse_spark.operators.spatial import grid_radius_join_sql
+
+    gx = h60_seeded_sql("CAST(c_custkey AS VARCHAR)", "gx")
+    gy = h60_seeded_sql("CAST(c_custkey AS VARCHAR)", "gy")
+    pts = (
+        "(SELECT c_custkey, "
+        f"{gx} % 1000000 AS gx, {gy} % 1000000 AS gy FROM customer)"
+    )
+    return grid_radius_join_sql(pts, "c_custkey", "gx", "gy", 20_000)
+
+
+def q237_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support of ordered event-type 2-sequences <a then b> under
+    first-occurrence semantics (AprioriAll's length-2 core) — one row
+    per (user, type) BEFORE pairing, so the join is bounded by users x
+    types^2, never event volume; complements q133's adjacent
+    transitions (operators/mining.sequential_pattern_support)."""
+    from pytrousse_spark.operators.mining import sequential_pattern_support
+
+    ev = _t(spark, sf_dir, "events")
+    return sequential_pattern_support(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def _sql_q237() -> str:
+    from pytrousse_spark.operators.mining import (
+        sequential_pattern_support_sql,
+    )
+
+    return sequential_pattern_support_sql(
+        "events", "user_id", "event_type", "ts", "event_id"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7039,6 +7096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_embedding_drift": q233_embedding_drift,
         "q234_activity_streaks": q234_activity_streaks,
         "q235_peak_concurrency": q235_peak_concurrency,
+        "q236_spatial_radius_join": q236_spatial_radius_join,
+        "q237_sequential_patterns": q237_sequential_patterns,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7692,6 +7751,8 @@ def oracle_sql() -> dict[str, str]:
         "q233_embedding_drift": _sql_q233(),
         "q234_activity_streaks": _sql_q234(),
         "q235_peak_concurrency": _sql_q235(),
+        "q236_spatial_radius_join": _sql_q236(),
+        "q237_sequential_patterns": _sql_q237(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

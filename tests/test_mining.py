@@ -199,3 +199,72 @@ def test_markov_accuracy_deterministic_chain(spark):
     assert abs(got["x"]["accuracy"] - got["x"]["n_correct"]
                / got["x"]["n_from"]) < 1e-6
     assert got["x"]["n_correct"] * 2 >= got["x"]["n_from"]
+
+
+def test_sequential_pattern_support_handcrafted(spark):
+    """First-occurrence semantics: repeats after the first occurrence
+    never flip an ordering; simultaneous firsts break by order col."""
+    from datetime import datetime as ts
+
+    from pytrousse_spark.operators.mining import sequential_pattern_support
+
+    rows = [
+        # user 1: a@1, b@2, a@3 (repeat ignored) -> supports (a,b) only
+        (0, 1, "a", ts(2024, 1, 1)),
+        (1, 1, "b", ts(2024, 1, 2)),
+        (2, 1, "a", ts(2024, 1, 3)),
+        # user 2: b@1, a@2 -> supports (b,a)
+        (3, 2, "b", ts(2024, 1, 1)),
+        (4, 2, "a", ts(2024, 1, 2)),
+        # user 3: a and b at the SAME instant -> event_id 5 < 6 -> (a,b)
+        (5, 3, "a", ts(2024, 1, 1)),
+        (6, 3, "b", ts(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    out = {
+        (r["item_a"], r["item_b"]): r["n_entities"]
+        for r in sequential_pattern_support(
+            df, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_sequential_pattern_antisymmetry(spark):
+    """(a,b) and (b,a) supports sum to the co-occurrence count: every
+    entity having both items supports exactly one direction."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.mining import sequential_pattern_support
+    from tests.conftest import SF_DIR
+
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    sup = sequential_pattern_support(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+    both = (
+        ev.select("user_id", "event_type").distinct()
+        .selectExpr("user_id", "event_type AS a")
+        .join(
+            ev.select("user_id", "event_type").distinct()
+            .selectExpr("user_id", "event_type AS b"),
+            "user_id",
+        )
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    directed = (
+        sup.selectExpr(
+            "least(item_a, item_b) AS a",
+            "greatest(item_a, item_b) AS b",
+            "n_entities",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("n_entities").alias("n_dir"))
+    )
+    rows = both.join(directed, ["a", "b"], "full").collect()
+    assert rows and all(
+        (r["n_both"] or 0) == (r["n_dir"] or 0) for r in rows
+    )
