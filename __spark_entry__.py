@@ -7041,6 +7041,30 @@ def _sql_q237() -> str:
     )
 
 
+def q238_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov removal-effect attribution (Anderl 2014):
+    channel credit = drop in chain conversion probability when the
+    channel is knocked out; exact nano-unit integer value iteration
+    whose ENTIRE 60-round chain the oracle replays as unrolled CTEs
+    (the q226-IPW replay pattern); completes the attribution ladder
+    beside linear q167/q177 and position q190/q194
+    (operators/cohort.markov_attribution)."""
+    from pytrousse_spark.operators.cohort import markov_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def _sql_q238() -> str:
+    from pytrousse_spark.operators.cohort import markov_attribution_sql
+
+    return markov_attribution_sql(
+        "events", "user_id", "event_type", "ts", "event_id"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7098,6 +7122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_peak_concurrency": q235_peak_concurrency,
         "q236_spatial_radius_join": q236_spatial_radius_join,
         "q237_sequential_patterns": q237_sequential_patterns,
+        "q238_markov_attribution": q238_markov_attribution,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7753,6 +7778,7 @@ def oracle_sql() -> dict[str, str]:
         "q235_peak_concurrency": _sql_q235(),
         "q236_spatial_radius_join": _sql_q236(),
         "q237_sequential_patterns": _sql_q237(),
+        "q238_markov_attribution": _sql_q238(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -3615,3 +3615,229 @@ def activity_streaks_sql(table: str, entity_col: str, ts_col: str) -> str:
     SELECT longest_streak, CAST(count(*) AS BIGINT) AS n_users
     FROM lg GROUP BY 1
     """
+
+
+def _markov_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+    conversion: str,
+) -> DataFrame:
+    """Transition counts (src, dst, cnt, out) of the first-order
+    conversion chain: per user, events up to and including the FIRST
+    conversion event (all events for non-converters), mapped to states
+    START -> channel... -> CONV (converters) / DROP (non-converters)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    rn = df.withColumn("__rn", F.row_number().over(w))
+    conv_rn = F.min(
+        F.when(F.col(type_col) == conversion, F.col("__rn"))
+    ).over(Window.partitionBy(user_col))
+    kept = (
+        rn.withColumn("__crn", conv_rn)
+        .where(F.col("__crn").isNull() | (F.col("__rn") <= F.col("__crn")))
+        .withColumn(
+            "__state",
+            F.when(F.col("__rn") == F.col("__crn"), F.lit("CONV")).otherwise(
+                F.col(type_col)
+            ),
+        )
+    )
+    w2 = Window.partitionBy(user_col).orderBy("__rn")
+    steps = kept.select(
+        F.coalesce(F.lag("__state").over(w2), F.lit("START")).alias("src"),
+        F.col("__state").alias("dst"),
+    )
+    w3 = Window.partitionBy(user_col).orderBy(F.col("__rn").desc())
+    terminals = (
+        kept.withColumn("__last", F.row_number().over(w3))
+        .where((F.col("__last") == 1) & F.col("__crn").isNull())
+        .select(F.col("__state").alias("src"), F.lit("DROP").alias("dst"))
+    )
+    trans = (
+        steps.unionByName(terminals)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_out = Window.partitionBy("src")
+    return trans.withColumn("out", F.sum("cnt").over(w_out))
+
+
+_MARKOV_NANO = 1_000_000_000
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+    conversion: str = "purchase",
+    iters: int = 60,
+) -> DataFrame:
+    """First-order Markov removal-effect attribution (Anderl et al.
+    2014): each channel's credit is how much the chain's conversion
+    probability drops when that channel is knocked out (its value
+    forced to 0 — mass entering it never converts).
+
+    Absorption probabilities come from ``iters`` rounds of exact
+    nano-unit integer value iteration v(s) <- sum_t cnt(s,t) * v(t)
+    // out(s) with v(CONV) = 1e9, v(DROP) = 0 — floor division each
+    round, so the fixpoint is bit-reproducible and the DuckDB oracle
+    replays the ENTIRE iteration (unrolled CTEs), the q226-IPW
+    replay pattern.
+
+    Scale design: the 100 TB work is the ONE pass building transition
+    counts (two user-keyed windows + a group-by bounded by the event-
+    type vocabulary squared). The chain itself is metadata — at most
+    ``max_states`` states — collected under a hard cap and iterated
+    in exact Python integers, like the BPE merge-table collect.
+
+    Returns one row per channel: (channel, v_removed_nano,
+    removal_nano, v_full_nano), all from the START state.
+    """
+    trans_df = _markov_paths(
+        df, user_col, type_col, ts_col, order_col, conversion
+    )
+    rows = trans_df.collect()  # bounded: vocab^2 transition rows
+    if len(rows) > 64 * 64:
+        raise ValueError(
+            f"markov_attribution: {len(rows)} transition rows exceed the "
+            "metadata cap (vocabulary too large for a collected chain)"
+        )
+    cnt: dict[tuple[str, str], int] = {}
+    out: dict[str, int] = {}
+    for r in rows:
+        cnt[(r["src"], r["dst"])] = r["cnt"]
+        out[r["src"]] = r["out"]
+    srcs = sorted(out)
+    channels = sorted(s for s in srcs if s != "START")
+
+    def absorb(removed: str | None) -> int:
+        v = {s: 0 for s in srcs}
+        for _ in range(iters):
+            nv = {}
+            for s in srcs:
+                acc = 0
+                for (a, b), c in cnt.items():
+                    if a != s:
+                        continue
+                    if b == removed:
+                        val = 0
+                    elif b == "CONV":
+                        val = _MARKOV_NANO
+                    elif b == "DROP":
+                        val = 0
+                    else:
+                        val = v.get(b, 0)
+                    acc += c * val
+                nv[s] = acc // out[s]
+            if removed is not None:
+                nv[removed] = 0
+            v = nv
+        return v["START"]
+
+    v_full = absorb(None)
+    data = [
+        (c, absorb(c), v_full - absorb(c), v_full) for c in channels
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        data,
+        "channel string, v_removed_nano long, removal_nano long, "
+        "v_full_nano long",
+    )
+
+
+def markov_attribution_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+    conversion: str = "purchase",
+    iters: int = 60,
+) -> str:
+    """DuckDB twin of :func:`markov_attribution` — replays the FULL
+    nano-unit value iteration as ``iters`` unrolled CTEs over the
+    (variant, state) grid, one variant per knocked-out channel plus
+    '__FULL__'. HUGEINT sums, `//` floor division, final cast BIGINT."""
+    prev = "it0"
+    steps = []
+    for n in range(1, iters + 1):
+        steps.append(f"""
+    it{n} AS MATERIALIZED (
+        SELECT v.var, t.src AS state,
+               CAST(sum(t.cnt * (CASE
+                       WHEN t.dst = v.var THEN 0
+                       WHEN t.dst = 'CONV' THEN {_MARKOV_NANO}
+                       WHEN t.dst = 'DROP' THEN 0
+                       ELSE coalesce(pv.val, 0) END))
+                    // min(t.out) AS BIGINT) AS val
+        FROM trans t
+        CROSS JOIN variants v
+        LEFT JOIN {prev} pv ON pv.var = v.var AND pv.state = t.dst
+        GROUP BY 1, 2
+    )""")
+        prev = f"it{n}"
+    unrolled = ",".join(steps)
+    return f"""
+    WITH numbered AS (
+        SELECT {user_col} AS __u, {type_col} AS __t,
+               row_number() OVER (
+                   PARTITION BY {user_col}
+                   ORDER BY CAST({ts_col} AS TIMESTAMP), {order_col}
+               ) AS __rn
+        FROM {table}
+    ), crn AS (
+        SELECT __u,
+               min(CASE WHEN __t = '{conversion}' THEN __rn END) AS __crn
+        FROM numbered GROUP BY 1
+    ), kept AS (
+        SELECT n.__u, n.__rn, c.__crn,
+               CASE WHEN n.__rn = c.__crn THEN 'CONV' ELSE n.__t END
+                   AS __state
+        FROM numbered n JOIN crn c ON n.__u = c.__u
+        WHERE c.__crn IS NULL OR n.__rn <= c.__crn
+    ), steps_cte AS (
+        SELECT coalesce(lag(__state) OVER (
+                   PARTITION BY __u ORDER BY __rn
+               ), 'START') AS src,
+               __state AS dst
+        FROM kept
+    ), terminals AS (
+        SELECT __state AS src, 'DROP' AS dst
+        FROM (
+            SELECT __u, __state, __crn,
+                   row_number() OVER (
+                       PARTITION BY __u ORDER BY __rn DESC
+                   ) AS __lastr
+            FROM kept
+        )
+        WHERE __lastr = 1 AND __crn IS NULL
+    ), counted AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT * FROM steps_cte UNION ALL SELECT * FROM terminals)
+        GROUP BY 1, 2
+    ), trans AS MATERIALIZED (
+        SELECT src, dst, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS out
+        FROM counted
+    ), variants AS MATERIALIZED (
+        SELECT DISTINCT src AS var FROM trans WHERE src <> 'START'
+        UNION
+        SELECT '__FULL__' AS var
+    ), it0 AS (
+        SELECT v.var, s.src AS state, CAST(0 AS BIGINT) AS val
+        FROM variants v CROSS JOIN (SELECT DISTINCT src FROM trans) s
+    ),{unrolled}
+    SELECT st.var AS channel,
+           st.val AS v_removed_nano,
+           f.val - st.val AS removal_nano,
+           f.val AS v_full_nano
+    FROM {prev} st
+    JOIN {prev} f
+      ON f.var = '__FULL__' AND f.state = 'START'
+    WHERE st.var <> '__FULL__' AND st.state = 'START'
+    """

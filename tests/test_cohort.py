@@ -1042,3 +1042,68 @@ def test_activity_streaks_conservation(spark):
         (F.datediff(F.max("ts"), F.min("ts")) + 1).alias("d")
     ).first()["d"]
     assert hist.agg(F.max("longest_streak")).first()[0] <= span
+
+
+def test_markov_attribution_single_channel_chain(spark):
+    """One channel, every path converts through it: removing the only
+    channel kills ALL conversion (v_removed = 0, removal = v_full),
+    and v_full equals the exact conversion rate in nano-units."""
+    from datetime import datetime as ts
+
+    from pytrousse_spark.operators.cohort import markov_attribution
+
+    rows = [
+        # 3 users: view -> purchase; 1 user: view only (drops)
+        (0, 1, "view", ts(2024, 1, 1)),
+        (1, 1, "purchase", ts(2024, 1, 2)),
+        (2, 2, "view", ts(2024, 1, 1)),
+        (3, 2, "purchase", ts(2024, 1, 2)),
+        (4, 3, "view", ts(2024, 1, 1)),
+        (5, 3, "purchase", ts(2024, 1, 2)),
+        (6, 4, "view", ts(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    out = markov_attribution(df, "user_id", "event_type", "ts", "event_id").collect()
+    assert len(out) == 1 and out[0]["channel"] == "view"
+    # START -> view always; view -> CONV 3/4 -> v_full = 750000000 exact
+    assert out[0]["v_full_nano"] == 750_000_000
+    assert out[0]["v_removed_nano"] == 0
+    assert out[0]["removal_nano"] == 750_000_000
+
+
+def test_markov_attribution_bypass_channel(spark):
+    """Two channels where one can be bypassed: knocking out the
+    bypassable channel hurts less than knocking out the mandatory
+    one; removal effects are positive and bounded by v_full."""
+    from datetime import datetime as ts
+
+    from pytrousse_spark.operators.cohort import markov_attribution
+
+    rows = []
+    eid = 0
+
+    def path(u, *types):
+        nonlocal eid
+        for i, t in enumerate(types):
+            rows.append((eid, u, t, ts(2024, 1, 1 + i)))
+            eid += 1
+
+    # 'ad' -> 'email' -> purchase x2 ; 'ad' -> purchase x1 ;
+    # 'email' -> drop x1  (email converts only after ad)
+    path(1, "ad", "email", "purchase")
+    path(2, "ad", "email", "purchase")
+    path(3, "ad", "purchase")
+    path(4, "email")
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    out = {
+        r["channel"]: r
+        for r in markov_attribution(
+            df, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    assert set(out) == {"ad", "email"}
+    ad, em = out["ad"], out["email"]
+    assert ad["v_full_nano"] == em["v_full_nano"] > 0
+    assert 0 < em["removal_nano"] < ad["removal_nano"] <= ad["v_full_nano"]
+    # knocking out 'ad' removes all ad-originated conversions
+    assert ad["v_removed_nano"] < em["v_removed_nano"]
