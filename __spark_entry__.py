@@ -7065,6 +7065,27 @@ def _sql_q238() -> str:
     )
 
 
+def q239_granger_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger lag-1 lead-lag F-test: does yesterday's click value
+    predict today's purchase value beyond purchases' own lag? The
+    directional hypothesis test beside q218's symmetric CCF — exact
+    DECIMAL/HUGEINT sufficient statistics on the shared daily spine,
+    identical closed-form F expression in both engines, A&S normal
+    tail for p (operators/timeseries.granger_lead_lag)."""
+    from pytrousse_spark.operators.timeseries import granger_lead_lag
+
+    ev = _t(spark, sf_dir, "events")
+    return granger_lead_lag(ev, "ts", "value", "event_type", "click", "purchase")
+
+
+def _sql_q239() -> str:
+    from pytrousse_spark.operators.timeseries import granger_lead_lag_sql
+
+    return granger_lead_lag_sql(
+        "SELECT * FROM events", "ts", "value", "event_type", "click", "purchase"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7123,6 +7144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_spatial_radius_join": q236_spatial_radius_join,
         "q237_sequential_patterns": q237_sequential_patterns,
         "q238_markov_attribution": q238_markov_attribution,
+        "q239_granger_lead_lag": q239_granger_lead_lag,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7779,6 +7801,7 @@ def oracle_sql() -> dict[str, str]:
         "q236_spatial_radius_join": _sql_q236(),
         "q237_sequential_patterns": _sql_q237(),
         "q238_markov_attribution": _sql_q238(),
+        "q239_granger_lead_lag": _sql_q239(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -2621,3 +2621,246 @@ def peak_concurrency_sql(
                AS peak_sessions
     FROM run GROUP BY 1
     """
+
+
+def granger_lead_lag(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    type_col: str,
+    type_x: str,
+    type_y: str,
+) -> DataFrame:
+    """Granger-style lead-lag test at lag 1 on the shared daily spine:
+    does yesterday's ``type_x`` daily value improve the prediction of
+    today's ``type_y`` value beyond ``type_y``'s own yesterday?
+
+        restricted:    y_t ~ 1 + y_{t-1}
+        unrestricted:  y_t ~ 1 + y_{t-1} + x_{t-1}
+        F = (RSS_r - RSS_u) / (RSS_u / (m - 3)),  m = spine days - 1
+
+    (Granger 1969, the bivariate lag-1 form). The directional
+    hypothesis-test companion to q218's symmetric CCF.
+
+    Exactness: both series are dense integer-cent sums on the shared
+    calendar spine (the q218 construction); all sufficient statistics
+    fold as DECIMAL(38,0)/HUGEINT; the closed-form 2-feature solve,
+    RSS identity and F-ratio run in doubles with the IDENTICAL
+    expression text in the DuckDB twin (RSS scale factors cancel in
+    the ratio). p_normal is the two-sided normal approximation of
+    t = sqrt(F) via the shared A&S 7.1.26 tail polynomial — the same
+    approximation (and caveat) as q197's z-tests.
+
+    Scale: one date+type-keyed agg over the raw table; everything
+    after is calendar-bounded. Returns one row
+    (n, b_own, b_cross, f_stat, p_normal).
+    """
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    typed = df.where(
+        F.col(type_col).isin([type_x, type_y]) & F.col(ts_col).isNotNull()
+    ).select(
+        F.to_date(F.col(ts_col)).alias("__d"),
+        F.when(F.col(type_col) == type_x, F.lit("x"))
+        .otherwise(F.lit("y"))
+        .alias("__t"),
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("__c"),
+    )
+    daily = typed.groupBy("__d", "__t").agg(F.sum("__c").alias("__c"))
+    rng = daily.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    spine = rng.select(
+        F.explode(F.expr("sequence(__lo, __hi, interval 1 day)")).alias(
+            "__d"
+        )
+    )
+    piv = (
+        spine.join(
+            daily.where(F.col("__t") == "x").select(
+                "__d", F.col("__c").alias("__x")
+            ),
+            "__d",
+            "left",
+        )
+        .join(
+            daily.where(F.col("__t") == "y").select(
+                "__d", F.col("__c").alias("__y")
+            ),
+            "__d",
+            "left",
+        )
+        .select(
+            F.row_number().over(Window.orderBy("__d"))
+            .cast("bigint")
+            .alias("__i"),
+            F.coalesce(F.col("__x"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__x"),
+            F.coalesce(F.col("__y"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("__y"),
+        )
+    )
+    cur = piv.where(F.col("__i") >= 2).select(
+        "__i", F.col("__y").alias("__yt")
+    )
+    prev = piv.select(
+        (F.col("__i") + 1).alias("__i"),
+        F.col("__y").alias("__y1"),
+        F.col("__x").alias("__x1"),
+    )
+    rows = cur.join(prev, "__i")
+    d38 = lambda c: F.sum(c).cast("decimal(38,0)")  # noqa: E731
+    s = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        d38(F.col("__y1")).alias("s1"),
+        d38(F.col("__x1")).alias("s2"),
+        d38(F.col("__yt")).alias("sy"),
+        d38(F.col("__y1") * F.col("__y1")).alias("s11"),
+        d38(F.col("__x1") * F.col("__x1")).alias("s22"),
+        d38(F.col("__y1") * F.col("__x1")).alias("s12"),
+        d38(F.col("__y1") * F.col("__yt")).alias("s1y"),
+        d38(F.col("__x1") * F.col("__yt")).alias("s2y"),
+        d38(F.col("__yt") * F.col("__yt")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    d = {
+        k: F.col(k).cast("double")
+        for k in ("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
+    }
+    c11 = nd * d["s11"] - d["s1"] * d["s1"]
+    c22 = nd * d["s22"] - d["s2"] * d["s2"]
+    c12 = nd * d["s12"] - d["s1"] * d["s2"]
+    c1y = nd * d["s1y"] - d["s1"] * d["sy"]
+    c2y = nd * d["s2y"] - d["s2"] * d["sy"]
+    cyy = nd * d["syy"] - d["sy"] * d["sy"]
+    det = c11 * c22 - c12 * c12
+    ok = (det != 0) & (c11 != 0)
+    b1 = F.when(ok, (c1y * c22 - c2y * c12) / det)
+    b2 = F.when(ok, (c2y * c11 - c1y * c12) / det)
+    rss_u = cyy - b1 * c1y - b2 * c2y
+    rss_r = cyy - c1y * c1y / c11
+    f = F.when(
+        ok & (rss_u > 0),
+        (rss_r - rss_u) * (nd - F.lit(3.0)) / rss_u,
+    )
+    staged = s.select(
+        F.col("n"),
+        b1.alias("__b1"),
+        b2.alias("__b2"),
+        f.alias("__f"),
+    )
+    p = F.when(
+        F.col("__f") >= 0,
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0) * F.expr(_phi_tail_sql("sqrt(__f)")),
+        ),
+    )
+    return staged.select(
+        "n",
+        F.round(F.col("__b1"), 6).alias("b_own"),
+        F.round(F.col("__b2"), 6).alias("b_cross"),
+        F.round(F.col("__f"), 6).alias("f_stat"),
+        F.round(p, 6).alias("p_normal"),
+    )
+
+
+def granger_lead_lag_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+    type_col: str,
+    type_x: str,
+    type_y: str,
+) -> str:
+    """DuckDB twin of :func:`granger_lead_lag` — identical spine,
+    HUGEINT folds, identical double expression chain."""
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    return f"""
+    WITH __typed AS (
+        SELECT CAST({ts_col} AS DATE) AS __d,
+               CASE WHEN {type_col} = '{type_x}' THEN 'x'
+                    ELSE 'y' END AS __t,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __c
+        FROM ({table_expr})
+        WHERE {type_col} IN ('{type_x}', '{type_y}')
+          AND {ts_col} IS NOT NULL
+    ), __daily AS MATERIALIZED (
+        SELECT __d, __t, CAST(sum(__c) AS BIGINT) AS __c
+        FROM __typed GROUP BY 1, 2
+    ), __rng AS (
+        SELECT min(__d) AS __lo, max(__d) AS __hi FROM __daily
+    ), __spine AS (
+        SELECT CAST(unnest(generate_series(CAST(__lo AS TIMESTAMP),
+                       CAST(__hi AS TIMESTAMP), INTERVAL 1 DAY))
+                    AS DATE) AS __d
+        FROM __rng
+    ), __piv AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY s.__d) AS BIGINT)
+                   AS __i,
+               CAST(COALESCE(x.__c, 0) AS HUGEINT) AS __x,
+               CAST(COALESCE(y.__c, 0) AS HUGEINT) AS __y
+        FROM __spine s
+        LEFT JOIN (SELECT __d, __c FROM __daily WHERE __t = 'x') x
+          ON x.__d = s.__d
+        LEFT JOIN (SELECT __d, __c FROM __daily WHERE __t = 'y') y
+          ON y.__d = s.__d
+    ), __rows AS (
+        SELECT a.__y AS __yt, b.__y AS __y1, b.__x AS __x1
+        FROM __piv a JOIN __piv b ON a.__i = b.__i + 1
+        WHERE a.__i >= 2
+    ), __s AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(__y1) AS HUGEINT) AS s1,
+               CAST(sum(__x1) AS HUGEINT) AS s2,
+               CAST(sum(__yt) AS HUGEINT) AS sy,
+               CAST(sum(__y1 * __y1) AS HUGEINT) AS s11,
+               CAST(sum(__x1 * __x1) AS HUGEINT) AS s22,
+               CAST(sum(__y1 * __x1) AS HUGEINT) AS s12,
+               CAST(sum(__y1 * __yt) AS HUGEINT) AS s1y,
+               CAST(sum(__x1 * __yt) AS HUGEINT) AS s2y,
+               CAST(sum(__yt * __yt) AS HUGEINT) AS syy
+        FROM __rows
+    ), __c AS MATERIALIZED (
+        SELECT n,
+               n::DOUBLE * s11::DOUBLE - s1::DOUBLE * s1::DOUBLE AS c11,
+               n::DOUBLE * s22::DOUBLE - s2::DOUBLE * s2::DOUBLE AS c22,
+               n::DOUBLE * s12::DOUBLE - s1::DOUBLE * s2::DOUBLE AS c12,
+               n::DOUBLE * s1y::DOUBLE - s1::DOUBLE * sy::DOUBLE AS c1y,
+               n::DOUBLE * s2y::DOUBLE - s2::DOUBLE * sy::DOUBLE AS c2y,
+               n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS cyy
+        FROM __s
+    ), __b AS MATERIALIZED (
+        SELECT n, c11, c1y, c2y, cyy,
+               c11 * c22 - c12 * c12 AS det,
+               CASE WHEN c11 * c22 - c12 * c12 <> 0 AND c11 <> 0
+                    THEN (c1y * c22 - c2y * c12)
+                         / (c11 * c22 - c12 * c12) END AS __b1,
+               CASE WHEN c11 * c22 - c12 * c12 <> 0 AND c11 <> 0
+                    THEN (c2y * c11 - c1y * c12)
+                         / (c11 * c22 - c12 * c12) END AS __b2
+        FROM __c
+    ), __fcte AS MATERIALIZED (
+        SELECT n, __b1, __b2,
+               CASE WHEN det <> 0 AND c11 <> 0
+                         AND cyy - __b1 * c1y - __b2 * c2y > 0
+                    THEN ((cyy - c1y * c1y / c11)
+                          - (cyy - __b1 * c1y - __b2 * c2y))
+                         * (n::DOUBLE - 3.0)
+                         / (cyy - __b1 * c1y - __b2 * c2y)
+               END AS __f
+        FROM __b
+    )
+    SELECT n,
+           round(__b1, 6) AS b_own,
+           round(__b2, 6) AS b_cross,
+           round(__f, 6) AS f_stat,
+           round(CASE WHEN __f >= 0 THEN
+                 least(1.0, 2.0 * {_phi_tail_sql("sqrt(__f)")}) END, 6)
+               AS p_normal
+    FROM __fcte
+    """

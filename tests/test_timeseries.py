@@ -770,3 +770,51 @@ def test_peak_concurrency_bounds(spark):
     out = peak_concurrency(ev, "user_id", "ts", "event_id").collect()
     n_users = ev.select("user_id").distinct().count()
     assert out and all(1 <= r["peak_sessions"] <= n_users for r in out)
+
+
+def _granger_events(spark, causal: bool):
+    """60-day planted pair: x_t deterministic pseudo-random; y_t =
+    2*x_{t-1} + small wiggle when causal, independent wiggle when not."""
+    from datetime import datetime, timedelta
+
+    rows = []
+    eid = 0
+    x_prev = 0.0
+    for t in range(60):
+        day = datetime(2024, 1, 1) + timedelta(days=t)
+        x = float((t * 37 + 11) % 23) + 1.0
+        if causal:
+            y = 2.0 * x_prev + float((t * 13) % 5)
+        else:
+            y = float((t * 31 + 7) % 19) + 1.0
+        rows.append((eid, 1, "click", day, x)); eid += 1
+        rows.append((eid, 1, "purchase", day, y)); eid += 1
+        x_prev = x
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"]
+    )
+
+
+def test_granger_detects_planted_causation(spark):
+    from pytrousse_spark.operators.timeseries import granger_lead_lag
+
+    df = _granger_events(spark, causal=True)
+    r = granger_lead_lag(
+        df, "ts", "value", "event_type", "click", "purchase"
+    ).first()
+    assert r["n"] == 59
+    # y_t is almost exactly 2*x_{t-1}: huge F, tiny p, b_cross near 2
+    assert r["f_stat"] > 50
+    assert r["p_normal"] is not None and r["p_normal"] < 1e-4
+    assert abs(r["b_cross"] - 2.0) < 0.2
+
+
+def test_granger_null_on_independent_series(spark):
+    from pytrousse_spark.operators.timeseries import granger_lead_lag
+
+    df = _granger_events(spark, causal=False)
+    r = granger_lead_lag(
+        df, "ts", "value", "event_type", "click", "purchase"
+    ).first()
+    assert r["f_stat"] is not None and r["f_stat"] < 10
+    assert r["p_normal"] is None or r["p_normal"] > 0.001
