@@ -7086,6 +7086,45 @@ def _sql_q239() -> str:
     )
 
 
+def q240_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the q135 co-purchase graph (parts co-occurring in >= 2
+    baskets): 12 synchronous peel rounds, each one degree agg + two
+    semi-joins with per-round checkpoints (the q117 iteration
+    discipline); oracle replays the identical unrolled peel
+    (operators/graph.k_core)."""
+    from pytrousse_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("__i")
+    ).distinct()
+    edges = (
+        items.join(items.withColumnRenamed("__i", "__j"), "__b")
+        .where(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    return k_core(edges, "__i", "__j", 3)
+
+
+def _sql_q240() -> str:
+    from pytrousse_spark.operators.graph import k_core_sql
+
+    edges = """
+        SELECT __i, __j FROM (
+            SELECT a.__i, b.__i AS __j, count(*) AS __c
+            FROM (SELECT DISTINCT l_orderkey AS __b, l_partkey AS __i
+                  FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey AS __b, l_partkey AS __i
+                  FROM lineitem) b
+              ON a.__b = b.__b AND a.__i < b.__i
+            GROUP BY 1, 2
+        ) WHERE __c >= 2
+    """
+    return k_core_sql(edges, "__i", "__j", 3)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7145,6 +7184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_sequential_patterns": q237_sequential_patterns,
         "q238_markov_attribution": q238_markov_attribution,
         "q239_granger_lead_lag": q239_granger_lead_lag,
+        "q240_k_core": q240_k_core,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7802,6 +7842,7 @@ def oracle_sql() -> dict[str, str]:
         "q237_sequential_patterns": _sql_q237(),
         "q238_markov_attribution": _sql_q238(),
         "q239_granger_lead_lag": _sql_q239(),
+        "q240_k_core": _sql_q240(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

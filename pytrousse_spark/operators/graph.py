@@ -398,3 +398,117 @@ def degree_assortativity_sql(
                  END * 1e6, 0) / 1e6 AS assortativity
     FROM m CROSS JOIN nodes
     """
+
+
+def k_core(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    rounds: int = 12,
+) -> DataFrame:
+    """k-core of an undirected graph via ``rounds`` SYNCHRONOUS peeling
+    rounds (Seidman 1983; Batagelj-Zaversnik is its sequential-peel
+    sibling): each round drops every vertex whose degree in the
+    surviving subgraph is < k, all at once. The result equals the
+    exact k-core whenever the peel reaches its fixpoint within
+    ``rounds`` (tests assert convergence at the test scale factors);
+    with a fixed round count the DuckDB oracle replays the identical
+    computation, converged or not.
+
+    Scale design: each round is one degree aggregation (shuffle
+    bounded by surviving edges) + two semi-joins; lineage is cut per
+    round with an eager localCheckpoint, the q117 PageRank iteration
+    discipline. No driver collect; the peel chain depth, not edge
+    count, bounds the round cost.
+
+    Returns one row ``(k, n_core_vertices, n_core_edges)``.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("__u"), F.greatest(a, b).alias("__v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("__u").alias("__x"))
+            .unionAll(e.select(F.col("__v").alias("__x")))
+            .groupBy("__x")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        keep = deg.where(F.col("__c") >= k).select("__x")
+        e = (
+            e.join(
+                keep.withColumnRenamed("__x", "__u"), "__u", "left_semi"
+            )
+            .join(
+                keep.withColumnRenamed("__x", "__v"), "__v", "left_semi"
+            )
+            .select("__u", "__v")
+            .localCheckpoint(eager=True)
+        )
+    verts = (
+        e.select(F.col("__u").alias("__x"))
+        .unionAll(e.select(F.col("__v").alias("__x")))
+        .agg(F.count_distinct(F.col("__x")).alias("n_core_vertices"))
+    )
+    cnt = e.agg(F.count(F.lit(1)).alias("n_core_edges"))
+    return (
+        verts.crossJoin(cnt)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_core_vertices",
+            "n_core_edges",
+        )
+    )
+
+
+def k_core_sql(
+    edges_subquery: str,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    rounds: int = 12,
+) -> str:
+    """DuckDB twin of :func:`k_core` — the identical synchronous peel
+    unrolled as ``rounds`` (degree, filter) CTE pairs, MATERIALIZED so
+    the chain evaluates linearly (the q238 lesson)."""
+    parts = [
+        f"""
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT least({src_col}, {dst_col}) AS __u,
+               greatest({src_col}, {dst_col}) AS __v
+        FROM ({edges_subquery}) WHERE {src_col} <> {dst_col}
+    )"""
+    ]
+    for n in range(1, rounds + 1):
+        p = n - 1
+        parts.append(f"""
+    d{p} AS MATERIALIZED (
+        SELECT __x, CAST(count(*) AS BIGINT) AS __c
+        FROM (SELECT __u AS __x FROM e{p}
+              UNION ALL SELECT __v AS __x FROM e{p})
+        GROUP BY 1
+    )""")
+        parts.append(f"""
+    e{n} AS MATERIALIZED (
+        SELECT e.__u, e.__v
+        FROM e{p} e
+        JOIN d{p} da ON da.__x = e.__u AND da.__c >= {k}
+        JOIN d{p} db ON db.__x = e.__v AND db.__c >= {k}
+    )""")
+    last = f"e{rounds}"
+    return f"""
+    WITH {",".join(parts)}
+    SELECT CAST({k} AS INTEGER) AS k,
+           (SELECT CAST(count(DISTINCT __x) AS BIGINT)
+            FROM (SELECT __u AS __x FROM {last}
+                  UNION ALL SELECT __v AS __x FROM {last}))
+               AS n_core_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM {last})
+               AS n_core_edges
+    """

@@ -114,3 +114,51 @@ def test_degree_assortativity_known_graphs(spark):
     # path 0-1-2-3: degrees 1,2,2,1 -> Newman r = -0.5
     path = g([(0, 1), (1, 2), (2, 3)])
     assert abs(path["assortativity"] + 0.5) < 1e-6
+
+
+def test_k_core_planted_structure(spark):
+    """K4 plus a pendant path: the 3-core is exactly the K4 (4 vertices,
+    6 edges); the 2-core keeps K4 only (path vertices peel); a triangle
+    hung off the K4 survives the 2-core."""
+    from pytrousse_spark.operators.graph import k_core
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    path = [(4, 10), (10, 11), (11, 12)]
+    tri = [(1, 20), (20, 21), (21, 1)]
+    df = spark.createDataFrame(k4 + path + tri, ["s", "d"])
+    r3 = k_core(df, "s", "d", 3).first()
+    assert (r3["n_core_vertices"], r3["n_core_edges"]) == (4, 6)
+    r2 = k_core(df, "s", "d", 2).first()
+    # 2-core: K4 + triangle (path is peeled): 6 vertices, 9 edges
+    assert (r2["n_core_vertices"], r2["n_core_edges"]) == (6, 9)
+    # k above max degree -> empty core
+    r9 = k_core(df, "s", "d", 9).first()
+    assert (r9["n_core_vertices"], r9["n_core_edges"]) == (0, 0)
+
+
+def test_k_core_peel_converges_on_testdata(spark):
+    """12 rounds reach the fixpoint on the sf co-purchase graph: one
+    more round changes nothing (the exactness precondition the
+    operator documents)."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.graph import k_core
+    from tests.conftest import SF_DIR
+
+    li = read_parquet_df(spark, f"{SF_DIR}/lineitem.parquet")
+    items = li.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("__i")
+    ).distinct()
+    edges = (
+        items.join(items.withColumnRenamed("__i", "__j"), "__b")
+        .where(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    a = k_core(edges, "__i", "__j", 3, rounds=12).first()
+    b = k_core(edges, "__i", "__j", 3, rounds=13).first()
+    assert (a["n_core_vertices"], a["n_core_edges"]) == (
+        b["n_core_vertices"], b["n_core_edges"],
+    )
