@@ -7125,6 +7125,31 @@ def _sql_q240() -> str:
     return k_core_sql(edges, "__i", "__j", 3)
 
 
+def q241_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the coalition-presence
+    game (Shapley 1953; Zhao 2018) — integer factorial weights on the
+    2^K subset lattice, ONE user-keyed bitmask pass over events;
+    completes the attribution ladder: linear q167, position q190,
+    Markov removal q238, Shapley q241
+    (operators/cohort.shapley_attribution)."""
+    from pytrousse_spark.operators.cohort import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return shapley_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "purchase",
+        ["click", "error", "signup", "view"],
+    )
+
+
+def _sql_q241() -> str:
+    from pytrousse_spark.operators.cohort import shapley_attribution_sql
+
+    return shapley_attribution_sql(
+        "events", "user_id", "event_type", "ts", "event_id", "purchase",
+        ["click", "error", "signup", "view"],
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7185,6 +7210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_markov_attribution": q238_markov_attribution,
         "q239_granger_lead_lag": q239_granger_lead_lag,
         "q240_k_core": q240_k_core,
+        "q241_shapley_attribution": q241_shapley_attribution,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7843,6 +7869,7 @@ def oracle_sql() -> dict[str, str]:
         "q238_markov_attribution": _sql_q238(),
         "q239_granger_lead_lag": _sql_q239(),
         "q240_k_core": _sql_q240(),
+        "q241_shapley_attribution": _sql_q241(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -3841,3 +3841,206 @@ def markov_attribution_sql(
       ON f.var = '__FULL__' AND f.state = 'START'
     WHERE st.var <> '__FULL__' AND st.state = 'START'
     """
+
+
+def shapley_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+    conversion: str,
+    channels: list[str],
+) -> DataFrame:
+    """EXACT Shapley-value channel attribution over the coalition-
+    presence characteristic function (Shapley 1953; the marketing
+    form of Zhao et al. 2018): v(S) = number of converting users whose
+    touched-channel set is contained in S, and
+
+        phi_i = sum_{S not containing i} |S|!(K-1-|S|)!/K!
+                  * (v(S + i) - v(S))
+
+    computed entirely in INTEGERS — factorial weights stay unscaled
+    (phi_num = K! * phi in user-count units), so both engines agree
+    bit-for-bit; the micro-unit share divides once by K! * n_users
+    with floor division. Conservation law: sum_i phi_num_i =
+    K! * (v(all) - v(empty)).
+
+    Scale design: the 100 TB pass is ONE user-keyed aggregation
+    producing each user's channel bitmask + conversion flag (touches
+    counted only up to the first conversion, the q238 path rule);
+    everything after runs on the 2^K-row subset lattice (K =
+    len(channels), capped at 16) — broadcast-sized metadata.
+
+    Returns one row per channel:
+    (channel, phi_num, shapley_micro, n_users, n_converted).
+    """
+    k = len(channels)
+    if not 0 < k <= 16:
+        raise ValueError("shapley_attribution: need 1..16 channels")
+    import math
+
+    fact = math.factorial
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    rn = df.withColumn("__rn", F.row_number().over(w))
+    conv_rn = F.min(
+        F.when(F.col(type_col) == conversion, F.col("__rn"))
+    ).over(Window.partitionBy(user_col))
+    kept = rn.withColumn("__crn", conv_rn).where(
+        F.col("__crn").isNull() | (F.col("__rn") <= F.col("__crn"))
+    )
+    mask_expr = None
+    for i, ch in enumerate(channels):
+        flag = F.max(
+            F.when(
+                (F.col(type_col) == ch)
+                & (
+                    F.col("__crn").isNull()
+                    | (F.col("__rn") < F.col("__crn"))
+                ),
+                1,
+            ).otherwise(0)
+        ) * F.lit(1 << i)
+        mask_expr = flag if mask_expr is None else mask_expr + flag
+    users = kept.groupBy(F.col(user_col).alias("__u")).agg(
+        mask_expr.cast("long").alias("__m"),
+        F.max(
+            F.when(F.col("__crn").isNotNull(), 1).otherwise(0)
+        ).alias("__conv"),
+    )
+    tot = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("__conv").alias("n_converted"),
+    )
+    cm = (
+        users.where(F.col("__conv") == 1)
+        .groupBy("__m")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    spark = df.sparkSession
+    subsets = spark.createDataFrame(
+        [(s, fact(bin(s).count("1")) * fact(k - 1 - bin(s).count("1")))
+         for s in range(1 << k) if bin(s).count("1") < k]
+        + [(
+            (1 << k) - 1,
+            0,  # full set carries no marginal weight (never S in the sum)
+        )],
+        "s long, w long",
+    )
+    c_s = (
+        F.broadcast(subsets)
+        .join(cm, F.expr("(__m & s) = __m"), "left")
+        .groupBy("s", "w")
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("__cs"))
+    )
+    chan = spark.createDataFrame(
+        [(ch, 1 << i) for i, ch in enumerate(channels)],
+        "channel string, bit long",
+    )
+    pairs = (
+        F.broadcast(chan)
+        .join(c_s.alias("a"), F.expr("(s & bit) = 0"))
+        .join(
+            c_s.select(
+                F.col("s").alias("s1"), F.col("__cs").alias("__cs1")
+            ).alias("b"),
+            F.expr("s1 = (s | bit)"),
+        )
+    )
+    phi = pairs.groupBy("channel").agg(
+        F.sum(
+            F.col("w") * (F.col("__cs1") - F.col("__cs"))
+        ).cast("long").alias("phi_num")
+    )
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "phi_num",
+            F.expr(
+                f"phi_num * 1000000L div ({fact(k)}L * n_users)"
+            ).alias("shapley_micro"),
+            "n_users",
+            F.col("n_converted").cast("long").alias("n_converted"),
+        )
+    )
+
+
+def shapley_attribution_sql(
+    table: str,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_col: str,
+    conversion: str,
+    channels: list[str],
+) -> str:
+    """DuckDB twin of :func:`shapley_attribution` — identical path
+    rule, literal subset-lattice VALUES with precomputed factorial
+    weights, exact integer folds, `//` floor division."""
+    import math
+
+    k = len(channels)
+    fact = math.factorial
+    flags = " + ".join(
+        f"max(CASE WHEN __t = '{ch}' AND (__crn IS NULL OR __rn < __crn)"
+        f" THEN 1 ELSE 0 END) * {1 << i}"
+        for i, ch in enumerate(channels)
+    )
+    subset_rows = ", ".join(
+        f"({s}, {fact(bin(s).count('1')) * fact(k - 1 - bin(s).count('1')) if bin(s).count('1') < k else 0})"
+        for s in range(1 << k)
+    )
+    chan_rows = ", ".join(
+        f"('{ch}', {1 << i})" for i, ch in enumerate(channels)
+    )
+    return f"""
+    WITH numbered AS (
+        SELECT {user_col} AS __u, {type_col} AS __t,
+               row_number() OVER (
+                   PARTITION BY {user_col}
+                   ORDER BY CAST({ts_col} AS TIMESTAMP), {order_col}
+               ) AS __rn
+        FROM {table}
+    ), crn AS (
+        SELECT __u,
+               min(CASE WHEN __t = '{conversion}' THEN __rn END) AS __crn
+        FROM numbered GROUP BY 1
+    ), kept AS (
+        SELECT n.__u, n.__t, n.__rn, c.__crn
+        FROM numbered n JOIN crn c ON n.__u = c.__u
+        WHERE c.__crn IS NULL OR n.__rn <= c.__crn
+    ), users AS MATERIALIZED (
+        SELECT __u,
+               CAST({flags} AS BIGINT) AS __m,
+               max(CASE WHEN __crn IS NOT NULL THEN 1 ELSE 0 END)
+                   AS __conv
+        FROM kept GROUP BY __u
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(__conv) AS BIGINT) AS n_converted
+        FROM users
+    ), cm AS (
+        SELECT __m, CAST(count(*) AS BIGINT) AS __c
+        FROM users WHERE __conv = 1 GROUP BY 1
+    ), subsets(s, w) AS (VALUES {subset_rows}),
+    c_s AS MATERIALIZED (
+        SELECT s.s, s.w,
+               CAST(coalesce(sum(cm.__c), 0) AS BIGINT) AS __cs
+        FROM subsets s LEFT JOIN cm ON (cm.__m & s.s) = cm.__m
+        GROUP BY 1, 2
+    ), chan(channel, bit) AS (VALUES {chan_rows}),
+    phi AS (
+        SELECT ch.channel,
+               CAST(sum(a.w * (b.__cs - a.__cs)) AS BIGINT) AS phi_num
+        FROM chan ch
+        JOIN c_s a ON (a.s & ch.bit) = 0
+        JOIN c_s b ON b.s = (a.s | ch.bit)
+        GROUP BY 1
+    )
+    SELECT p.channel, p.phi_num,
+           CAST(p.phi_num * 1000000 // ({fact(k)} * t.n_users)
+                AS BIGINT) AS shapley_micro,
+           t.n_users, t.n_converted
+    FROM phi p CROSS JOIN tot t
+    """

@@ -1107,3 +1107,74 @@ def test_markov_attribution_bypass_channel(spark):
     assert 0 < em["removal_nano"] < ad["removal_nano"] <= ad["v_full_nano"]
     # knocking out 'ad' removes all ad-originated conversions
     assert ad["v_removed_nano"] < em["v_removed_nano"]
+
+
+def test_shapley_handcrafted_two_channels(spark):
+    """Hand-solved 2-channel game: v(empty)=0, v(a)=1, v(b)=1,
+    v(ab)=3 -> phi_a = phi_b = 1.5 users; phi_num = K!*phi = 3."""
+    from datetime import datetime as ts
+
+    from pytrousse_spark.operators.cohort import shapley_attribution
+
+    rows = [
+        (0, 1, "a", ts(2024, 1, 1)), (1, 1, "purchase", ts(2024, 1, 2)),
+        (2, 2, "b", ts(2024, 1, 1)), (3, 2, "purchase", ts(2024, 1, 2)),
+        (4, 3, "a", ts(2024, 1, 1)), (5, 3, "b", ts(2024, 1, 2)),
+        (6, 3, "purchase", ts(2024, 1, 3)),
+        (7, 4, "a", ts(2024, 1, 1)),  # non-converter
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    out = {
+        r["channel"]: r
+        for r in shapley_attribution(
+            df, "user_id", "event_type", "ts", "event_id", "purchase",
+            ["a", "b"],
+        ).collect()
+    }
+    assert out["a"]["phi_num"] == 3 and out["b"]["phi_num"] == 3
+    assert out["a"]["n_users"] == 4 and out["a"]["n_converted"] == 3
+    # micro share: 3 * 1e6 // (2! * 4) = 375000
+    assert out["a"]["shapley_micro"] == 375_000
+
+
+def test_shapley_conservation_on_testdata(spark):
+    """sum_i phi_num_i = K! * (v(all) - v(empty)): total credit equals
+    the converters reachable through channels, scaled by K!."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import shapley_attribution
+
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    chans = ["click", "error", "signup", "view"]
+    out = shapley_attribution(
+        ev, "user_id", "event_type", "ts", "event_id", "purchase", chans
+    ).collect()
+    assert len(out) == len(chans)
+    total_phi = sum(r["phi_num"] for r in out)
+    # v(all) = all converters; v(empty) = converters who touched no
+    # channel before converting (first event IS the purchase)
+    w = __import__("pyspark").sql.Window
+    first_purch = (
+        ev.withColumn(
+            "__rn",
+            F.row_number().over(
+                w.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .withColumn(
+            "__crn",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("__rn"))
+            ).over(w.partitionBy("user_id")),
+        )
+    )
+    v_all = first_purch.where(F.col("__crn").isNotNull()).select(
+        "user_id"
+    ).distinct().count()
+    v_empty = first_purch.where(F.col("__crn") == 1).select(
+        "user_id"
+    ).distinct().count()
+    assert total_phi == math.factorial(len(chans)) * (v_all - v_empty)
+    assert all(r["phi_num"] >= 0 for r in out)
