@@ -7150,6 +7150,28 @@ def _sql_q241() -> str:
     )
 
 
+def q242_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 disjunctive ranked retrieval over the documents
+    corpus — length-normalized, saturation-damped scoring with N and
+    avgdl computed IN-PLAN as a broadcast scalar row (no driver
+    literal); the retrieval-quality upgrade of q129's conjunctive
+    tf-idf search (functions/text.bm25_search)."""
+    from pytrousse_spark.functions.text import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(
+        d, "text", "doc_id", ["merge", "window", "shuffle"], k=25
+    )
+
+
+def _sql_q242() -> str:
+    from pytrousse_spark.functions.text import bm25_search_sql
+
+    return bm25_search_sql(
+        "documents", "text", "doc_id", ["merge", "window", "shuffle"], k=25
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7211,6 +7233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_granger_lead_lag": q239_granger_lead_lag,
         "q240_k_core": q240_k_core,
         "q241_shapley_attribution": q241_shapley_attribution,
+        "q242_bm25_search": q242_bm25_search,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7870,6 +7893,7 @@ def oracle_sql() -> dict[str, str]:
         "q239_granger_lead_lag": _sql_q239(),
         "q240_k_core": _sql_q240(),
         "q241_shapley_attribution": _sql_q241(),
+        "q242_bm25_search": _sql_q242(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

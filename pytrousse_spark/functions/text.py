@@ -1286,6 +1286,116 @@ def search_docs_sql(
     """
 
 
+def bm25_search(
+    df, text_col: str, id_col: str, terms: list[str], k: int = 20
+):
+    """Okapi BM25 ranked retrieval (Robertson 1994; Lucene-style idf)
+    — the length-normalized, saturation-damped upgrade of
+    :func:`search_docs`'s raw tf-idf, and DISJUNCTIVE (any query term
+    matches):
+
+        score(d) = sum_t ln(1 + (N - df + 0.5)/(df + 0.5))
+                   * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with k1 = 1.2, b = 0.75. Document length dl is the doc's FULL
+    token count (F.size on the staged token column — no second
+    explode); N and sum(dl) ride along as one broadcast scalar row,
+    so avgdl is computed in-plan in BOTH engines (no driver literal).
+
+    Scale shape: identical to search_docs — postings filter to query
+    terms before any shuffle, dfreq broadcasts back, top-k is
+    TakeOrderedAndProject. Floats: the IDENTICAL expression text in
+    both engines, round(6), ties to the smaller id.
+
+    Returns ``(doc_id, score)``.
+    """
+    from pyspark.sql import functions as F
+
+    uniq = sorted(set(terms))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    lens = base.select("__id", F.size("__tk").cast("long").alias("__dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__dl").cast("long").alias("__sdl"),
+    )
+    post = (
+        base.select("__id", F.explode("__tk").alias("__t"))
+        .where(F.col("__t").isin(uniq))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = post.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    nd = F.col("__n").cast("double")
+    avgdl = F.col("__sdl").cast("double") / nd
+    idf = F.log(
+        F.lit(1.0) + (nd - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    tfd = F.col("__tf").cast("double")
+    dld = F.col("__dl").cast("double")
+    tf_part = (
+        tfd * F.lit(2.2)
+        / (tfd + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * dld / avgdl))
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "__t")
+        .join(lens, "__id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("__id"))
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "score")
+    )
+
+
+def bm25_search_sql(
+    table: str, text_col: str, id_col: str, terms: list[str], k: int = 20
+) -> str:
+    """DuckDB twin of :func:`bm25_search` (identical expression text)."""
+    uniq = sorted(set(terms))
+    lits = ", ".join(f"'{t}'" for t in uniq)
+    tok = tokens_sql(text_col)
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {id_col} AS __id, {tok} AS __tk
+        FROM {table} WHERE {text_col} IS NOT NULL
+    ), lens AS MATERIALIZED (
+        SELECT __id, CAST(len(__tk) AS BIGINT) AS __dl FROM base
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(__dl) AS BIGINT) AS __sdl
+        FROM lens
+    ), post AS MATERIALIZED (
+        SELECT __id, __t, CAST(count(*) AS BIGINT) AS __tf
+        FROM (SELECT __id, unnest(__tk) AS __t FROM base)
+        WHERE __t IN ({lits})
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT __t, CAST(count(*) AS BIGINT) AS __df FROM post GROUP BY 1
+    )
+    SELECT p.__id AS {id_col},
+           round(sum(
+               ln(1.0 + (s.__n::DOUBLE - d.__df + 0.5) / (d.__df + 0.5))
+               * (p.__tf::DOUBLE * 2.2
+                  / (p.__tf::DOUBLE
+                     + 1.2 * (1.0 - 0.75
+                              + 0.75 * l.__dl::DOUBLE
+                                / (s.__sdl::DOUBLE / s.__n::DOUBLE))))
+           ), 6) AS score
+    FROM post p
+    JOIN dfreq d USING (__t)
+    JOIN lens l USING (__id)
+    CROSS JOIN stats s
+    GROUP BY p.__id
+    ORDER BY score DESC, p.__id
+    LIMIT {k}
+    """
+
+
 def phrase_search(df, text_col: str, id_col: str, phrase: list[str], k: int = 20):
     """Exact phrase search over positional postings: documents whose
     token sequence contains ``phrase`` contiguously, ranked by

@@ -513,3 +513,41 @@ def test_heaps_law_fit_laws(spark):
     rs = heaps_law_fit(single, "text", "doc_id", 32).collect()[0]
     assert rs["points"] == 32 and rs["beta"] is None and rs["k"] is None
     assert rs["total_tokens"] == 3 and rs["vocab"] == 3
+
+
+def test_bm25_laws(spark):
+    """BM25 behavior laws on a planted corpus: (1) rarer term beats
+    common term at equal tf and length; (2) between two docs with the
+    same tf of the same term, the SHORTER doc scores higher; (3) tf
+    saturation: doubling tf less than doubles the score."""
+    from pytrousse_spark.functions.text import bm25_search
+
+    docs = [
+        (1, "rare common filler filler"),
+        (2, "common filler filler filler"),
+        (3, "rare filler filler filler"),
+        (4, "rare filler filler filler filler filler filler filler"),
+        (5, "rare rare filler filler"),
+        (6, "common common common filler"),
+        (7, "filler noise words here"),
+        (8, "common noise words here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(df, "text", "doc_id", ["rare"], k=10).collect()
+    }
+    assert set(out) == {1, 3, 4, 5}
+    assert out[3] > out[4]            # shorter doc wins at equal tf
+    assert out[5] < 2 * out[3]        # saturation
+    assert out[5] > out[3]            # but more tf still helps
+    both = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(
+            df, "text", "doc_id", ["rare", "common"], k=10
+        ).collect()
+    }
+    # disjunctive: common-only docs match too
+    assert {2, 6, 8} <= set(both)
+    # doc 1 has both terms -> outranks same-length single-term doc 3
+    assert both[1] > both[3]
