@@ -7172,6 +7172,93 @@ def _sql_q242() -> str:
     )
 
 
+def q243_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period Poisson rate-ratio test on daily purchase counts
+    (first vs second half of month, exposure = observed days) — the
+    count-data inference axis beside the proportion z-tests q148/q197;
+    one conditional aggregate, identical double chain, A&S tail p
+    (operators/timeseries.poisson_rate_ratio)."""
+    from pytrousse_spark.operators.timeseries import poisson_rate_ratio
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_rate_ratio(ev, "ts", 15, "purchase")
+
+
+def _sql_q243() -> str:
+    from pytrousse_spark.operators.timeseries import poisson_rate_ratio_sql
+
+    return poisson_rate_ratio_sql("SELECT * FROM events", "ts", 15, "purchase")
+
+
+def q244_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q178's time-to-convert KM curve with Greenwood-variance 95%
+    bands — uncertainty quantification for the survival family; the
+    Greenwood increments fold nano-rounded BIGINT exactly like the
+    log-survival terms (operators/survival.kaplan_meier_ci)."""
+    from pytrousse_spark.operators.survival import kaplan_meier_ci
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "__fv"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__fp"),
+    )
+    obs_end = ev.agg(F.max("ts").alias("__end"))
+    subjects = (
+        per_user.where(F.col("__fv").isNotNull())
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("__fp").isNotNull() & (F.col("__fp") >= F.col("__fv")),
+                F.floor(
+                    (F.unix_micros("__fp") - F.unix_micros("__fv"))
+                    / F.lit(86_400_000_000)
+                ),
+            )
+            .otherwise(
+                F.floor(
+                    (F.unix_micros("__end") - F.unix_micros("__fv"))
+                    / F.lit(86_400_000_000)
+                )
+            )
+            .cast("double")
+            .alias("dur_days"),
+            (
+                F.col("__fp").isNotNull() & (F.col("__fp") >= F.col("__fv"))
+            ).cast("int").alias("converted"),
+        )
+    )
+    return kaplan_meier_ci(subjects, "dur_days", "converted")
+
+
+def _sql_q244() -> str:
+    from pytrousse_spark.operators.survival import kaplan_meier_ci_sql
+
+    subjects = """
+        WITH pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN CAST(ts AS TIMESTAMP) END) AS __fv,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS TIMESTAMP) END) AS __fp
+            FROM events GROUP BY user_id
+        ), oe AS (
+            SELECT max(CAST(ts AS TIMESTAMP)) AS __end FROM events
+        )
+        SELECT CAST(CASE WHEN __fp IS NOT NULL AND __fp >= __fv
+                    THEN floor(epoch_us(__fp - __fv) / 86400000000)
+                    ELSE floor(epoch_us(__end - __fv) / 86400000000)
+               END AS DOUBLE) AS dur_days,
+               CASE WHEN __fp IS NOT NULL AND __fp >= __fv
+                    THEN 1 ELSE 0 END AS converted
+        FROM pu CROSS JOIN oe WHERE __fv IS NOT NULL
+    """
+    return kaplan_meier_ci_sql(subjects, "dur_days", "converted")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7234,6 +7321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_k_core": q240_k_core,
         "q241_shapley_attribution": q241_shapley_attribution,
         "q242_bm25_search": q242_bm25_search,
+        "q243_poisson_rate_ratio": q243_poisson_rate_ratio,
+        "q244_km_greenwood": q244_km_greenwood,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7894,6 +7983,8 @@ def oracle_sql() -> dict[str, str]:
         "q240_k_core": _sql_q240(),
         "q241_shapley_attribution": _sql_q241(),
         "q242_bm25_search": _sql_q242(),
+        "q243_poisson_rate_ratio": _sql_q243(),
+        "q244_km_greenwood": _sql_q244(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

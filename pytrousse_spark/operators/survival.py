@@ -533,3 +533,169 @@ def rmst_sql(
                  * 1e6, 0) / 1e6 AS rmst
     FROM seg
     """
+
+
+def kaplan_meier_ci(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Kaplan-Meier curve with GREENWOOD-variance linear confidence
+    bands (Greenwood 1926):
+
+        var[S(t)] = S(t)^2 * sum_{t_j <= t} d_j / (n_j (n_j - d_j))
+        ci = clamp(S +- z * S * sqrt(gw_sum), [0, 1])
+
+    — the uncertainty-quantified companion of q178's point curve.
+
+    Exactness: the Greenwood increments fold nano-unit-rounded BIGINT
+    (order-free) exactly like the log-survival terms; a step where
+    d == n pins the curve AND both bands to 0 from there on (the
+    variance formula divides by zero there — the curve is degenerate,
+    not uncertain). Same duration-level scale shape as
+    :func:`kaplan_meier`.
+
+    Returns ``(t, n_risk, n_events, survival, ci_lo, ci_hi)``.
+    """
+    d = F.col(duration_col)
+    e = F.col(event_col)
+    nn = df.where(d.isNotNull() & e.isNotNull())
+    lvl = nn.groupBy(d.cast("double").alias("t")).agg(
+        F.sum(e.cast("int")).cast("bigint").alias("n_events"),
+        F.sum(1 - e.cast("int")).cast("bigint").alias("n_censored"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = lvl.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc),
+    )
+    ev = risk.where(F.col("n_events") > 0)
+    hit_zero = F.col("n_events") == F.col("n_risk")
+    term = F.round(
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    gw = F.round(
+        F.col("n_events").cast("double")
+        / (
+            F.col("n_risk").cast("double")
+            * (F.col("n_risk") - F.col("n_events")).cast("double")
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    staged = (
+        ev.withColumn("__term", F.when(~hit_zero, term))
+        .withColumn("__gw", F.when(~hit_zero, gw))
+        .withColumn("__zero", hit_zero.cast("int"))
+    )
+    w_asc = (
+        Window.orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        staged.withColumn(
+            "__lsum", F.coalesce(F.sum("__term").over(w_asc), F.lit(0))
+        )
+        .withColumn(
+            "__gsum", F.coalesce(F.sum("__gw").over(w_asc), F.lit(0))
+        )
+        .withColumn("__anyzero", F.sum("__zero").over(w_asc))
+    )
+    surv = F.exp(F.col("__lsum").cast("double") / F.lit(1e9))
+    half = (
+        F.lit(z)
+        * surv
+        * F.sqrt(F.col("__gsum").cast("double") / F.lit(1e9))
+    )
+    dead = F.col("__anyzero") > 0
+    return (
+        out.select(
+            "t",
+            "n_risk",
+            "n_events",
+            F.when(dead, F.lit(0.0)).otherwise(F.round(surv, 6))
+            .alias("survival"),
+            F.when(dead, F.lit(0.0)).otherwise(
+                F.round(F.greatest(F.lit(0.0), surv - half), 6)
+            ).alias("ci_lo"),
+            F.when(dead, F.lit(0.0)).otherwise(
+                F.round(F.least(F.lit(1.0), surv + half), 6)
+            ).alias("ci_hi"),
+        )
+        .orderBy("t")
+    )
+
+
+def kaplan_meier_ci_sql(
+    table_expr: str, duration_col: str, event_col: str, z: float = 1.96
+) -> str:
+    """DuckDB twin of :func:`kaplan_meier_ci`."""
+    return f"""
+    WITH nn AS (
+        SELECT CAST({duration_col} AS DOUBLE) AS t,
+               CAST({event_col} AS INT) AS e
+        FROM ({table_expr})
+        WHERE {duration_col} IS NOT NULL AND {event_col} IS NOT NULL
+    ), lvl AS (
+        SELECT t, CAST(sum(e) AS BIGINT) AS n_events,
+               CAST(sum(1 - e) AS BIGINT) AS n_censored
+        FROM nn GROUP BY t
+    ), risk AS (
+        SELECT *,
+               CAST(sum(n_events + n_censored) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_risk
+        FROM lvl
+    ), ev AS (
+        SELECT *,
+               CASE WHEN n_events < n_risk THEN
+                 CAST(round(ln(1.0 - CAST(n_events AS DOUBLE)
+                                    / CAST(n_risk AS DOUBLE)) * 1e9, 0)
+                      AS BIGINT)
+               END AS __term,
+               CASE WHEN n_events < n_risk THEN
+                 CAST(round(CAST(n_events AS DOUBLE)
+                            / (CAST(n_risk AS DOUBLE)
+                               * CAST(n_risk - n_events AS DOUBLE))
+                            * 1e9, 0) AS BIGINT)
+               END AS __gw,
+               CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS __zero
+        FROM risk WHERE n_events > 0
+    ), cum AS (
+        SELECT *,
+               CAST(coalesce(sum(__term) OVER w, 0) AS BIGINT) AS __lsum,
+               CAST(coalesce(sum(__gw) OVER w, 0) AS BIGINT) AS __gsum,
+               CAST(sum(__zero) OVER w AS BIGINT) AS __anyzero
+        FROM ev
+        WINDOW w AS (ORDER BY t ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT t, n_risk, n_events,
+           CASE WHEN __anyzero > 0 THEN 0.0
+                ELSE round(exp(CAST(__lsum AS DOUBLE) / 1e9), 6)
+           END AS survival,
+           CASE WHEN __anyzero > 0 THEN 0.0
+                ELSE round(greatest(0.0,
+                     exp(CAST(__lsum AS DOUBLE) / 1e9)
+                     - {z} * exp(CAST(__lsum AS DOUBLE) / 1e9)
+                       * sqrt(CAST(__gsum AS DOUBLE) / 1e9)), 6)
+           END AS ci_lo,
+           CASE WHEN __anyzero > 0 THEN 0.0
+                ELSE round(least(1.0,
+                     exp(CAST(__lsum AS DOUBLE) / 1e9)
+                     + {z} * exp(CAST(__lsum AS DOUBLE) / 1e9)
+                       * sqrt(CAST(__gsum AS DOUBLE) / 1e9)), 6)
+           END AS ci_hi
+    FROM cum ORDER BY t
+    """

@@ -2864,3 +2864,135 @@ def granger_lead_lag_sql(
                AS p_normal
     FROM __fcte
     """
+
+
+def poisson_rate_ratio(
+    df: DataFrame,
+    ts_col: str,
+    split_day: int = 15,
+    type_filter: str | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-period Poisson rate-ratio test on daily event counts —
+    count-data inference beside the proportion z-tests (q148/q197):
+    events with day-of-month <= ``split_day`` vs after, exposure =
+    observed distinct days per period,
+
+        RR = (c1/T1) / (c2/T2),  se = sqrt(1/c1 + 1/c2),
+        z = ln(RR)/se,  CI = exp(ln RR +- 1.96 se)
+
+    (the standard log-linear Poisson comparison, e.g. Rothman's
+    epidemiologic rate ratio). Exact BIGINT counts; the double chain is
+    the IDENTICAL expression text in both engines; p via the shared
+    A&S normal tail. Returns one row
+    (n1, days1, n2, days2, rate_ratio, ci_lo, ci_hi, z, p_normal).
+
+    Scale: ONE aggregation with conditional counts — no join, no
+    window; safe at any event volume.
+    """
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    base = df.where(F.col(ts_col).isNotNull())
+    if type_filter is not None:
+        base = base.where(F.col(type_col) == type_filter)
+    first = F.dayofmonth(F.col(ts_col)) <= split_day
+    s = base.agg(
+        F.sum(F.when(first, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~first, 1).otherwise(0)).cast("long").alias("n2"),
+        F.count_distinct(
+            F.when(first, F.to_date(F.col(ts_col)))
+        ).cast("long").alias("days1"),
+        F.count_distinct(
+            F.when(~first, F.to_date(F.col(ts_col)))
+        ).cast("long").alias("days2"),
+    )
+    ok = (
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        & (F.col("days1") > 0)
+        & (F.col("days2") > 0)
+    )
+    lrr = F.log(
+        (F.col("n1").cast("double") / F.col("days1").cast("double"))
+        / (F.col("n2").cast("double") / F.col("days2").cast("double"))
+    )
+    se = F.sqrt(
+        F.lit(1.0) / F.col("n1").cast("double")
+        + F.lit(1.0) / F.col("n2").cast("double")
+    )
+    staged = s.select(
+        "n1", "days1", "n2", "days2",
+        F.when(ok, lrr).alias("__lrr"),
+        F.when(ok, se).alias("__se"),
+    ).select(
+        "n1", "days1", "n2", "days2",
+        "__lrr", "__se",
+        (F.col("__lrr") / F.col("__se")).alias("__z"),
+    )
+    p = F.lit(2.0) * F.expr(_phi_tail_sql("abs(__z)"))
+    return staged.select(
+        "n1", "days1", "n2", "days2",
+        F.round(F.exp(F.col("__lrr")), 6).alias("rate_ratio"),
+        F.round(
+            F.exp(F.col("__lrr") - F.lit(1.96) * F.col("__se")), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.exp(F.col("__lrr") + F.lit(1.96) * F.col("__se")), 6
+        ).alias("ci_hi"),
+        F.round(F.col("__z"), 6).alias("z"),
+        F.round(F.least(F.lit(1.0), p), 6).alias("p_normal"),
+    )
+
+
+def poisson_rate_ratio_sql(
+    table_expr: str,
+    ts_col: str,
+    split_day: int = 15,
+    type_filter: str | None = None,
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`poisson_rate_ratio`."""
+    from pytrousse_spark.operators.cohort import _phi_tail_sql
+
+    flt = (
+        f" AND {type_col} = '{type_filter}'" if type_filter is not None else ""
+    )
+    return f"""
+    WITH s AS MATERIALIZED (
+        SELECT
+          CAST(sum(CASE WHEN day(CAST({ts_col} AS TIMESTAMP))
+                             <= {split_day} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN day(CAST({ts_col} AS TIMESTAMP))
+                             <= {split_day} THEN 0 ELSE 1 END)
+               AS BIGINT) AS n2,
+          CAST(count(DISTINCT CASE WHEN day(CAST({ts_col} AS TIMESTAMP))
+                                        <= {split_day}
+                    THEN CAST({ts_col} AS DATE) END) AS BIGINT) AS days1,
+          CAST(count(DISTINCT CASE WHEN day(CAST({ts_col} AS TIMESTAMP))
+                                        <= {split_day}
+                    THEN NULL ELSE CAST({ts_col} AS DATE) END)
+               AS BIGINT) AS days2
+        FROM ({table_expr})
+        WHERE {ts_col} IS NOT NULL{flt}
+    ), staged AS MATERIALIZED (
+        SELECT n1, days1, n2, days2,
+               CASE WHEN n1 > 0 AND n2 > 0 AND days1 > 0 AND days2 > 0
+                    THEN ln((n1::DOUBLE / days1::DOUBLE)
+                            / (n2::DOUBLE / days2::DOUBLE)) END AS __lrr,
+               CASE WHEN n1 > 0 AND n2 > 0 AND days1 > 0 AND days2 > 0
+                    THEN sqrt(1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)
+               END AS __se
+        FROM s
+    ), zc AS (
+        SELECT *, __lrr / __se AS __z FROM staged
+    )
+    SELECT n1, days1, n2, days2,
+           round(exp(__lrr), 6) AS rate_ratio,
+           round(exp(__lrr - 1.96 * __se), 6) AS ci_lo,
+           round(exp(__lrr + 1.96 * __se), 6) AS ci_hi,
+           round(__z, 6) AS z,
+           round(least(1.0, 2.0 * {_phi_tail_sql("abs(__z)")}), 6)
+               AS p_normal
+    FROM zc
+    """

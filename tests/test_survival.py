@@ -171,3 +171,46 @@ def test_rmst_hand_example_and_laws(spark):
     # tau before the first event: curve is 1 on [0, tau]
     r3 = rmst(df2, "d", "e", tau=0.5).collect()[0]
     assert r3["rmst"] == 0.5
+
+
+def test_km_greenwood_bands_bracket_curve(spark):
+    """CI laws: lo <= survival <= hi everywhere; bands start narrow
+    (large risk set) and only widen as the risk set thins; clamped to
+    [0, 1]; no censoring -> survival equals empirical tail."""
+    from pytrousse_spark.operators.survival import (
+        kaplan_meier,
+        kaplan_meier_ci,
+    )
+
+    rows = [(float(t), 1) for t in [1, 2, 2, 3, 5, 5, 5, 8, 9, 9]]
+    rows += [(4.0, 0), (6.0, 0), (7.0, 0)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    out = kaplan_meier_ci(df, "dur", "ev").orderBy("t").collect()
+    assert all(0.0 <= r["ci_lo"] <= r["survival"] <= r["ci_hi"] <= 1.0
+               for r in out)
+    widths = [r["ci_hi"] - r["ci_lo"] for r in out if r["survival"] > 0]
+    assert widths[0] < widths[-1]  # bands widen as the risk set thins
+    # point curve identical to kaplan_meier's survival column
+    km = {r["t"]: r["survival"]
+          for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert all(abs(km[r["t"]] - r["survival"]) < 1e-9 for r in out)
+
+
+def test_km_greenwood_hand_example(spark):
+    """Textbook check: n=4 all events at distinct times; at t1
+    S=0.75, gw = 1/(4*3) -> half-width 1.96*0.75*sqrt(1/12)."""
+    import math
+
+    from pytrousse_spark.operators.survival import kaplan_meier_ci
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1)], ["dur", "ev"]
+    )
+    out = kaplan_meier_ci(df, "dur", "ev").orderBy("t").collect()
+    r1 = out[0]
+    s, gw = 0.75, 1.0 / 12.0
+    assert abs(r1["survival"] - s) < 1e-6
+    assert abs(r1["ci_lo"] - max(0.0, s - 1.96 * s * math.sqrt(gw))) < 1e-5
+    assert abs(r1["ci_hi"] - min(1.0, s + 1.96 * s * math.sqrt(gw))) < 1e-5
+    # last step: everyone at risk dies -> curve and bands pinned to 0
+    assert out[-1]["survival"] == 0.0 == out[-1]["ci_lo"] == out[-1]["ci_hi"]

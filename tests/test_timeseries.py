@@ -818,3 +818,31 @@ def test_granger_null_on_independent_series(spark):
     ).first()
     assert r["f_stat"] is not None and r["f_stat"] < 10
     assert r["p_normal"] is None or r["p_normal"] > 0.001
+
+
+def test_poisson_rate_ratio_planted(spark):
+    """Planted 3x rate difference: 6/day for 10 days vs 2/day for 10
+    days -> RR = 3 exactly, CI excludes 1, p small; swapped halves
+    invert the ratio."""
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.timeseries import poisson_rate_ratio
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):          # days 1..10 -> first half
+        for _ in range(6):
+            rows.append((eid, 1, "purchase",
+                         datetime(2024, 1, day, 12))); eid += 1
+    for day in range(16, 26):         # days 16..25 -> second half
+        for _ in range(2):
+            rows.append((eid, 1, "purchase",
+                         datetime(2024, 1, day, 12))); eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    )
+    r = poisson_rate_ratio(df, "ts", 15, "purchase").first()
+    assert (r["n1"], r["days1"], r["n2"], r["days2"]) == (60, 10, 20, 10)
+    assert abs(r["rate_ratio"] - 3.0) < 1e-6
+    assert r["ci_lo"] > 1.0 and r["p_normal"] < 0.001
+    assert r["ci_lo"] < 3.0 < r["ci_hi"]
