@@ -7259,6 +7259,33 @@ def _sql_q244() -> str:
     return kaplan_meier_ci_sql(subjects, "dur_days", "converted")
 
 
+def q245_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (Sarwar 2001) over the
+    customer-part purchase matrix: user-keyed co-occurrence pairs
+    (the q135 wedge axis, never a cross join), exact-count cosine,
+    per-item top-5 neighbors — the recommender modality beside the
+    embedding ANN ladder (operators/similarity.item_item_cf)."""
+    from pytrousse_spark.operators.similarity import item_item_cf
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ratings = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == o.o_orderkey,
+    ).select("o_custkey", "l_partkey")
+    return item_item_cf(ratings, "o_custkey", "l_partkey", k=5, min_cooc=2)
+
+
+def _sql_q245() -> str:
+    from pytrousse_spark.operators.similarity import item_item_cf_sql
+
+    ratings = """
+        SELECT o.o_custkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """
+    return item_item_cf_sql(ratings, "o_custkey", "l_partkey", 5, 2)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7323,6 +7350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_bm25_search": q242_bm25_search,
         "q243_poisson_rate_ratio": q243_poisson_rate_ratio,
         "q244_km_greenwood": q244_km_greenwood,
+        "q245_item_item_cf": q245_item_item_cf,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -7985,6 +8013,7 @@ def oracle_sql() -> dict[str, str]:
         "q242_bm25_search": _sql_q242(),
         "q243_poisson_rate_ratio": _sql_q243(),
         "q244_km_greenwood": _sql_q244(),
+        "q245_item_item_cf": _sql_q245(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -799,3 +799,119 @@ def embedding_drift_sql(
                AS norm_ratio
     FROM __folds f CROSS JOIN __norm_r n CROSS JOIN __norm_c m
     """
+
+
+def item_item_cf(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 5,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """Item-item collaborative filtering over implicit feedback
+    (Sarwar et al. 2001; the Amazon item-to-item scheme): cosine
+    similarity between items' user-sets,
+
+        sim(i, j) = c_ij / sqrt(n_i * n_j)
+
+    with c_ij the co-occurrence count and n_i the item's user count,
+    keeping each item's top-``k`` neighbors with c_ij >= ``min_cooc``.
+
+    Exactness: c_ij / n_i are exact BIGINT counts from a DISTINCT
+    (user, item) reduction; cosine is ONE double division + sqrt per
+    pair, round 6; ranking ties break by neighbor id.
+
+    Scale design: the self-join is keyed on the user (co-occurrence
+    pairs are generated per user, bounded by sum_u basket(u)^2 — the
+    q135 wedge axis, NOT a cross join); heavy users are the skew risk
+    and production callers should cap basket size upstream (the
+    LSH-bucket lesson); per-item top-k windows run over each item's
+    candidate neighbors only. Both orientations are emitted from one
+    i<j pair table, so sim is computed once per unordered pair.
+
+    Returns ``(item, neighbor, cooc, cosine, rank)``.
+    """
+    ui = ratings.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+    ).distinct()
+    ni = ui.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    pairs = (
+        ui.join(ui.withColumnRenamed("__i", "__j"), "__u")
+        .where(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .where(F.col("cooc") >= min_cooc)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("__j").alias("__i"), F.col("__i").alias("__j"), "cooc"
+        )
+    )
+    scored = (
+        sym.join(ni, "__i")
+        .join(
+            ni.select(
+                F.col("__i").alias("__j"), F.col("__n").alias("__nj")
+            ),
+            "__j",
+        )
+        .select(
+            F.col("__i").alias("item"),
+            F.col("__j").alias("neighbor"),
+            "cooc",
+            F.round(
+                F.col("cooc").cast("double")
+                / F.sqrt(
+                    (F.col("__n") * F.col("__nj")).cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def item_item_cf_sql(
+    ratings_subquery: str,
+    user_col: str,
+    item_col: str,
+    k: int = 5,
+    min_cooc: int = 2,
+) -> str:
+    """DuckDB twin of :func:`item_item_cf`."""
+    return f"""
+    WITH ui AS MATERIALIZED (
+        SELECT DISTINCT {user_col} AS __u, {item_col} AS __i
+        FROM ({ratings_subquery})
+    ), ni AS MATERIALIZED (
+        SELECT __i, CAST(count(*) AS BIGINT) AS __n FROM ui GROUP BY 1
+    ), pairs AS MATERIALIZED (
+        SELECT a.__i, b.__i AS __j, CAST(count(*) AS BIGINT) AS cooc
+        FROM ui a JOIN ui b ON a.__u = b.__u AND a.__i < b.__i
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_cooc}
+    ), sym AS (
+        SELECT __i, __j, cooc FROM pairs
+        UNION ALL
+        SELECT __j AS __i, __i AS __j, cooc FROM pairs
+    ), scored AS (
+        SELECT s.__i AS item, s.__j AS neighbor, s.cooc,
+               round(s.cooc::DOUBLE
+                     / sqrt(CAST(a.__n * b.__n AS DOUBLE)), 6) AS cosine
+        FROM sym s
+        JOIN ni a ON a.__i = s.__i
+        JOIN ni b ON b.__i = s.__j
+    )
+    SELECT item, neighbor, cooc, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY item ORDER BY cosine DESC, neighbor
+               ) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -676,3 +676,52 @@ def test_embedding_drift_laws(spark):
     r = embedding_drift(a, c).collect()[0]
     assert abs(r["norm_ratio"] - 3.0) < 1e-3
     assert r["centroid_cosine"] == 1.0
+
+
+def test_item_item_cf_handcrafted(spark):
+    """Hand-checked cosine: items A,B share 2 of their users
+    (n_A=3, n_B=2 -> cos = 2/sqrt(6)); rank ordering and the
+    min-cooc filter behave."""
+    from pytrousse_spark.operators.similarity import item_item_cf
+
+    rows = [
+        (1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"),
+        (3, "C"), (4, "C"), (1, "D"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "i"])
+    out = {
+        (r["item"], r["neighbor"]): r
+        for r in item_item_cf(df, "u", "i", k=5, min_cooc=2).collect()
+    }
+    import math
+
+    assert abs(out[("A", "B")]["cosine"] - 2 / math.sqrt(6)) < 1e-6
+    assert out[("A", "B")]["cooc"] == 2
+    assert ("B", "A") in out            # symmetric emission
+    assert ("A", "C") not in out        # cooc 1 < min_cooc
+    assert ("A", "D") not in out
+    # symmetry of the score
+    assert out[("A", "B")]["cosine"] == out[("B", "A")]["cosine"]
+
+
+def test_item_item_cf_rank_law(spark):
+    """Per-item ranks are 1..k dense, ordered by (cosine desc, id)."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.similarity import item_item_cf
+
+    li = read_parquet_df(spark, f"{SF_DIR}/lineitem.parquet")
+    o = read_parquet_df(spark, f"{SF_DIR}/orders.parquet")
+    ratings = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == o.o_orderkey,
+    ).select("o_custkey", "l_partkey")
+    out = item_item_cf(ratings, "o_custkey", "l_partkey", 3, 2).collect()
+    assert out
+    per_item = {}
+    for r in out:
+        per_item.setdefault(r["item"], []).append(r)
+    for rs in per_item.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        key = [(-r["cosine"], r["neighbor"]) for r in rs]
+        assert key == sorted(key)
