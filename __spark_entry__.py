@@ -7286,6 +7286,38 @@ def _sql_q245() -> str:
     return item_item_cf_sql(ratings, "o_custkey", "l_partkey", 5, 2)
 
 
+def q246_aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust AIPW treatment effect (Robins 1994) on q226's
+    observational setup — propensity chain replayed in FULL plus
+    per-arm closed-form OLS outcome models computed in-plan; the
+    causal ladder's top rung: naive -> IPW q226 -> AIPW q246
+    (operators/cohort.aipw_ate)."""
+    from pytrousse_spark.operators.cohort import aipw_ate
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+    return aipw_ate(
+        j, (F.col("c_mktsegment") == "BUILDING").cast("int"),
+        "o_totalprice",
+        F.col("c_acctbal") / 1000.0,
+        F.col("c_nationkey").cast("double") / 25.0,
+    )
+
+
+def _sql_q246() -> str:
+    from pytrousse_spark.operators.cohort import aipw_ate_sql
+
+    return aipw_ate_sql(
+        "SELECT * FROM orders o JOIN customer c"
+        " ON o.o_custkey = c.c_custkey",
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END",
+        "o_totalprice",
+        "c_acctbal / 1000.0",
+        "CAST(c_nationkey AS DOUBLE) / 25.0",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7351,6 +7383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_poisson_rate_ratio": q243_poisson_rate_ratio,
         "q244_km_greenwood": q244_km_greenwood,
         "q245_item_item_cf": q245_item_item_cf,
+        "q246_aipw_ate": q246_aipw_ate,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8014,6 +8047,7 @@ def oracle_sql() -> dict[str, str]:
         "q243_poisson_rate_ratio": _sql_q243(),
         "q244_km_greenwood": _sql_q244(),
         "q245_item_item_cf": _sql_q245(),
+        "q246_aipw_ate": _sql_q246(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -3254,6 +3254,348 @@ def ipw_ate_sql(
     """
 
 
+def aipw_ate(
+    df: DataFrame,
+    treat: Column,
+    outcome_col: str,
+    x1: Column,
+    x2: Column,
+    iters: int = 8,
+    lr: float = 2.0,
+    clip: float = 0.05,
+) -> DataFrame:
+    """DOUBLY-ROBUST augmented-IPW average treatment effect (Robins,
+    Rotnitzky & Zhao 1994) — the causal ladder's top rung after naive
+    (biased), IPW q226 (propensity only):
+
+        psi = m1(x) - m0(x) + t*(y - m1(x))/e(x)
+                            - (1-t)*(y - m0(x))/(1-e(x))
+        ATE = mean(psi)
+
+    consistent if EITHER the propensity model OR the outcome model is
+    right. Propensity: the q111/q226 in-engine logistic GD chain
+    (replayed in full by the twin). Outcome models m1/m0: closed-form
+    per-arm two-feature OLS (the ols_two_feature algebra) computed
+    IN-PLAN from one conditional-sum aggregation and broadcast back —
+    no extra pass per arm.
+
+    Exactness: OLS sufficient statistics fold as DECIMAL (q130
+    convention); psi is micro-rounded BIGINT per row and folds as
+    DECIMAL(38,0) (the q226 overflow lesson); singular arm designs
+    NULL the estimate in both engines.
+
+    Returns one row: ``(n, n_treat, naive_diff, ate_aipw)``.
+    """
+    from pytrousse_spark.operators.classifier import logreg_train
+
+    feat = (
+        df.select(
+            treat.cast("double").alias("y"),
+            x1.cast("double").alias("x1"),
+            x2.cast("double").alias("x2"),
+            (x1.cast("double") * x2.cast("double")).alias("x3"),
+            F.round(F.col(outcome_col).cast("double") * 100, 0)
+            .cast("bigint")
+            .alias("__oc"),
+        )
+        .where(
+            F.col("y").isNotNull()
+            & F.col("x1").isNotNull()
+            & F.col("x2").isNotNull()
+            & F.col("__oc").isNotNull()
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = logreg_train(feat, iters=iters, lr=lr)
+
+    # features enter the OLS folds as EXACT micro-unit integers (a
+    # DECIMAL(.,4) cast of acctbal/1000-style 5-digit doubles hits the
+    # round-half boundary where Spark HALF_UPs and DuckDB half-evens —
+    # caught by q246's first parity run); with exact integer sums the
+    # closed-form doubles are bit-identical unrounded in both engines
+    mfeat = feat.select(
+        "y", "x1", "x2", "x3", "__oc",
+        F.round(F.col("x1") * F.lit(1e6), 0).cast("bigint").alias("__x1m"),
+        F.round(F.col("x2") * F.lit(1e6), 0).cast("bigint").alias("__x2m"),
+    )
+
+    def d38(c):
+        return F.sum(c.cast("decimal(38,0)")).cast("decimal(38,0)")
+
+    def arm(tv: int, suf: str):
+        cond = F.col("y") == float(tv)
+        cx1, cx2, cy = (
+            F.when(cond, F.col("__x1m")),
+            F.when(cond, F.col("__x2m")),
+            F.when(cond, F.col("__oc")),
+        )
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+            .alias(f"n{suf}"),
+            d38(cx1).alias(f"s1{suf}"),
+            d38(cx2).alias(f"s2{suf}"),
+            d38(cy).alias(f"sy{suf}"),
+            d38(cx1 * cx1).alias(f"s11{suf}"),
+            d38(cx2 * cx2).alias(f"s22{suf}"),
+            d38(cx1 * cx2).alias(f"s12{suf}"),
+            d38(cx1 * cy).alias(f"s1y{suf}"),
+            d38(cx2 * cy).alias(f"s2y{suf}"),
+        ]
+    stats = mfeat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *arm(1, "_1"),
+        *arm(0, "_0"),
+    )
+
+    def solve(suf: str):
+        nd = F.col(f"n{suf}").cast("double")
+        d = {
+            k: F.col(f"{k}{suf}").cast("double")
+            for k in ("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")
+        }
+        c11 = nd * d["s11"] - d["s1"] * d["s1"]
+        c22 = nd * d["s22"] - d["s2"] * d["s2"]
+        c12 = nd * d["s12"] - d["s1"] * d["s2"]
+        c1y = nd * d["s1y"] - d["s1"] * d["sy"]
+        c2y = nd * d["s2y"] - d["s2"] * d["sy"]
+        det = c11 * c22 - c12 * c12
+        ok = det != 0
+        b1 = F.when(ok, (c1y * c22 - c2y * c12) / det)
+        b2 = F.when(ok, (c2y * c11 - c1y * c12) / det)
+        b0 = F.when(ok, (d["sy"] - b1 * d["s1"] - b2 * d["s2"]) / nd)
+        # no rounding: the sums are exact integers, so these doubles are
+        # already bit-identical across engines (b1/b2 are in cents per
+        # MICRO-feature-unit — rounding to 6 would destroy them)
+        return (
+            b0.alias(f"b0{suf}"),
+            b1.alias(f"b1{suf}"),
+            b2.alias(f"b2{suf}"),
+        )
+    models = stats.select(
+        "n", "n_1", "sy_1", "n_0", "sy_0", *solve("_1"), *solve("_0")
+    )
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    e = F.least(
+        F.lit(1.0 - clip),
+        F.greatest(
+            F.lit(clip),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+        ),
+    )
+    yd = F.col("__oc").cast("double")
+    t = F.col("y")
+    x1md = F.col("__x1m").cast("double")
+    x2md = F.col("__x2m").cast("double")
+    m1 = F.col("b0_1") + F.col("b1_1") * x1md + F.col("b2_1") * x2md
+    m0 = F.col("b0_0") + F.col("b1_0") * x1md + F.col("b2_0") * x2md
+    psi = (
+        m1 - m0
+        + t * (yd - m1) / e
+        - (F.lit(1.0) - t) * (yd - m0) / (F.lit(1.0) - e)
+    )
+    scored = mfeat.crossJoin(F.broadcast(models)).select(
+        "n", "n_1", "sy_1", "n_0", "sy_0",
+        F.round(psi * F.lit(1e6), 0).cast("bigint").alias("__psi"),
+    )
+    agg = scored.groupBy("n", "n_1", "sy_1", "n_0", "sy_0").agg(
+        F.sum(F.col("__psi").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__spsi"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    naive = (
+        F.col("sy_1").cast("double") / F.col("n_1").cast("double")
+        - F.col("sy_0").cast("double") / F.col("n_0").cast("double")
+    ) / F.lit(100.0)
+    ate = (
+        F.col("__spsi").cast("double")
+        / F.lit(1e6)
+        / F.col("n").cast("double")
+        / F.lit(100.0)
+    )
+    return agg.select(
+        "n",
+        F.col("n_1").alias("n_treat"),
+        r6(
+            F.when((F.col("n_1") > 0) & (F.col("n_0") > 0), naive)
+        ).alias("naive_diff"),
+        r6(F.when(F.col("__spsi").isNotNull(), ate)).alias("ate_aipw"),
+    )
+
+
+def aipw_ate_sql(
+    table_expr: str,
+    treat_sql: str,
+    outcome_col: str,
+    x1_sql: str,
+    x2_sql: str,
+    iters: int = 8,
+    lr: float = 2.0,
+    clip: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`aipw_ate` — full logistic GD replay (the
+    q226 chain), per-arm DECIMAL OLS sufficient statistics, identical
+    psi expression, HUGEINT psi fold."""
+    from pytrousse_spark.operators.classifier import _MICRO
+
+    feat = f"""
+        SELECT CAST({treat_sql} AS DOUBLE) AS y,
+               CAST({x1_sql} AS DOUBLE) AS x1,
+               CAST({x2_sql} AS DOUBLE) AS x2,
+               CAST({x1_sql} AS DOUBLE) * CAST({x2_sql} AS DOUBLE)
+                   AS x3,
+               CAST(round(CAST({outcome_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __oc
+        FROM ({table_expr})
+        WHERE {treat_sql} IS NOT NULL AND {x1_sql} IS NOT NULL
+          AND {x2_sql} IS NOT NULL AND {outcome_col} IS NOT NULL
+    """
+    ctes = [
+        f"feat AS MATERIALIZED ({feat})",
+        "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d)",
+    ]
+    xs = ["1.0", "p.x1", "p.x2", "p.x3"]
+    for tt in range(1, iters + 1):
+        prev = f"w{tt - 1}"
+        sig = (
+            "round(1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2"
+            " + w.d * f.x3))), 6)"
+        )
+        gsums = ", ".join(
+            f"CAST(sum(CAST(round(round((p.p - p.y) * {x}, 6)"
+            f" * {_MICRO}) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        ctes.append(
+            f"p{tt} AS MATERIALIZED (SELECT f.y, f.x1, f.x2, f.x3,"
+            f" {sig} AS p FROM feat f CROSS JOIN {prev} w)"
+        )
+        ctes.append(
+            f"g{tt} AS MATERIALIZED"
+            f" (SELECT CAST(count(*) AS BIGINT) AS n, {gsums}"
+            f" FROM p{tt} p)"
+        )
+        upd = ", ".join(
+            f"round(w.{wc} - {lr} * (g.g{j} / {float(_MICRO)}) / g.n,"
+            f" 6) AS {wc}"
+            for j, wc in enumerate(["a", "b", "c", "d"])
+        )
+        ctes.append(
+            f"w{tt} AS MATERIALIZED"
+            f" (SELECT {upd} FROM {prev} w CROSS JOIN g{tt} g)"
+        )
+    wf = f"w{iters}"
+
+    def arm(tv: int, suf: str) -> str:
+        c = f"CASE WHEN y = {tv}.0 THEN"
+        h = "HUGEINT"
+        return f"""
+               CAST(sum(CASE WHEN y = {tv}.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n{suf},
+               CAST(sum({c} CAST(__x1m AS {h}) END) AS {h}) AS s1{suf},
+               CAST(sum({c} CAST(__x2m AS {h}) END) AS {h}) AS s2{suf},
+               CAST(sum({c} CAST(__oc AS {h}) END) AS {h}) AS sy{suf},
+               CAST(sum({c} CAST(__x1m AS {h}) * __x1m END) AS {h})
+                   AS s11{suf},
+               CAST(sum({c} CAST(__x2m AS {h}) * __x2m END) AS {h})
+                   AS s22{suf},
+               CAST(sum({c} CAST(__x1m AS {h}) * __x2m END) AS {h})
+                   AS s12{suf},
+               CAST(sum({c} CAST(__x1m AS {h}) * __oc END) AS {h})
+                   AS s1y{suf},
+               CAST(sum({c} CAST(__x2m AS {h}) * __oc END) AS {h})
+                   AS s2y{suf}"""
+
+    ctes.append(
+        """mfeat AS MATERIALIZED (
+        SELECT y, x1, x2, x3, __oc,
+               CAST(round(x1 * 1e6, 0) AS BIGINT) AS __x1m,
+               CAST(round(x2 * 1e6, 0) AS BIGINT) AS __x2m
+        FROM feat)"""
+    )
+    ctes.append(
+        f"""stats AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,{arm(1, "_1")},{arm(0, "_0")}
+        FROM mfeat)"""
+    )
+
+    def solve(suf: str) -> str:
+        nd = f"n{suf}::DOUBLE"
+        s = {
+            kk: f"{kk}{suf}::DOUBLE"
+            for kk in ("s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")
+        }
+        c11 = f"({nd} * {s['s11']} - {s['s1']} * {s['s1']})"
+        c22 = f"({nd} * {s['s22']} - {s['s2']} * {s['s2']})"
+        c12 = f"({nd} * {s['s12']} - {s['s1']} * {s['s2']})"
+        c1y = f"({nd} * {s['s1y']} - {s['s1']} * {s['sy']})"
+        c2y = f"({nd} * {s['s2y']} - {s['s2']} * {s['sy']})"
+        det = f"({c11} * {c22} - {c12} * {c12})"
+        b1 = f"CASE WHEN {det} <> 0 THEN ({c1y} * {c22} - {c2y} * {c12}) / {det} END"
+        b2 = f"CASE WHEN {det} <> 0 THEN ({c2y} * {c11} - {c1y} * {c12}) / {det} END"
+        b0 = (
+            f"CASE WHEN {det} <> 0 THEN ({s['sy']}"
+            f" - ({b1}) * {s['s1']} - ({b2}) * {s['s2']}) / {nd} END"
+        )
+        return (
+            f"{b0} AS b0{suf}, {b1} AS b1{suf}, {b2} AS b2{suf}"
+        )
+
+    ctes.append(
+        f"""models AS MATERIALIZED (
+        SELECT n, n_1, sy_1, n_0, sy_0, {solve("_1")}, {solve("_0")}
+        FROM stats)"""
+    )
+    sig_final = (
+        "round(1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2"
+        " + w.d * f.x3))), 6)"
+    )
+    e = (
+        f"least(CAST({1.0 - clip} AS DOUBLE),"
+        f" greatest(CAST({clip} AS DOUBLE), {sig_final}))"
+    )
+    m1 = "(m.b0_1 + m.b1_1 * CAST(f.__x1m AS DOUBLE)" \
+         " + m.b2_1 * CAST(f.__x2m AS DOUBLE))"
+    m0 = "(m.b0_0 + m.b1_0 * CAST(f.__x1m AS DOUBLE)" \
+         " + m.b2_0 * CAST(f.__x2m AS DOUBLE))"
+    yd = "CAST(f.__oc AS DOUBLE)"
+    psi = (
+        f"{m1} - {m0} + f.y * ({yd} - {m1}) / {e}"
+        f" - (1.0 - f.y) * ({yd} - {m0}) / (1.0 - {e})"
+    )
+    ctes.append(
+        f"""scored AS (
+        SELECT m.n, m.n_1, m.sy_1, m.n_0, m.sy_0,
+               CAST(round(({psi}) * 1e6, 0) AS BIGINT) AS __psi
+        FROM mfeat f CROSS JOIN {wf} w CROSS JOIN models m)"""
+    )
+    ctes.append(
+        """agg AS (
+        SELECT n, n_1, sy_1, n_0, sy_0,
+               CAST(sum(CAST(__psi AS HUGEINT)) AS HUGEINT) AS __spsi
+        FROM scored GROUP BY 1, 2, 3, 4, 5)"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT n, n_1 AS n_treat,
+           round(CASE WHEN n_1 > 0 AND n_0 > 0 THEN
+                 (CAST(sy_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+                  - CAST(sy_0 AS DOUBLE) / CAST(n_0 AS DOUBLE))
+                 / CAST(100 AS DOUBLE) END * 1e6, 0) / 1e6
+               AS naive_diff,
+           round(CASE WHEN __spsi IS NOT NULL THEN
+                 CAST(__spsi AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                 / CAST(100 AS DOUBLE) END * 1e6, 0) / 1e6 AS ate_aipw
+    FROM agg
+    """
+
+
 def daily_rate_wilson(
     df: DataFrame,
     user_col: str,

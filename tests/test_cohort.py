@@ -1178,3 +1178,57 @@ def test_shapley_conservation_on_testdata(spark):
     ).distinct().count()
     assert total_phi == math.factorial(len(chans)) * (v_all - v_empty)
     assert all(r["phi_num"] >= 0 for r in out)
+
+
+def test_aipw_corrects_planted_confounding(spark):
+    """q226's planted-confounding battery on the doubly-robust
+    estimator: with a CORRECT outcome model (linear in x), AIPW should
+    land at least as close to the truth (+10) as IPW alone; here the
+    outcome model is exactly linear, so AIPW nails it."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import aipw_ate, ipw_ate
+
+    rows = []
+    for i in range(4000):
+        x = (i % 100) / 100.0
+        t = 1 if ((i * 7919) % 100) < 100 * (0.2 + 0.6 * x) else 0
+        y = 100.0 + 50.0 * x + 10.0 * t      # true effect 10
+        rows.append((t, y, x))
+    df = spark.createDataFrame(rows, ["t", "y", "x"])
+    # NOTE: x2 must not be collinear with x1 (the closed-form outcome
+    # model is singular then and the estimate is NULL by design) — use
+    # x^2 as the second feature; the linear outcome model stays
+    # correctly specified (b2 = 0)
+    r = aipw_ate(
+        df, F.col("t"), "y", F.col("x"), F.col("x") * F.col("x"),
+        iters=30, lr=4.0,
+    ).collect()[0]
+    assert r["n"] == 4000
+    assert r["naive_diff"] > 14
+    # exact outcome model -> AIPW within 0.5 of the truth
+    assert abs(r["ate_aipw"] - 10.0) < 0.5
+    ipw = ipw_ate(
+        df, F.col("t"), "y", F.col("x"), F.col("x") * F.col("x"),
+        iters=30, lr=4.0,
+    ).collect()[0]
+    assert abs(r["ate_aipw"] - 10.0) <= abs(ipw["ate"] - 10.0) + 1e-6
+
+
+def test_aipw_equals_naive_when_randomized(spark):
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import aipw_ate
+
+    rows = []
+    for i in range(3000):
+        x = (i % 50) / 50.0
+        t = 1 if (i * 31) % 2 == 0 else 0
+        y = 40.0 + 20.0 * x + 5.0 * t
+        rows.append((t, y, x))
+    df = spark.createDataFrame(rows, ["t", "y", "x"])
+    r = aipw_ate(
+        df, F.col("t"), "y", F.col("x"), F.col("x") * F.col("x"), iters=8
+    ).collect()[0]
+    assert abs(r["ate_aipw"] - 5.0) < 0.5
+    assert abs(r["ate_aipw"] - r["naive_diff"]) < 0.5
