@@ -7318,6 +7318,57 @@ def _sql_q246() -> str:
     )
 
 
+def q247_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile table with the Qini cumulative curve
+    (Radcliffe 2007): acctbal as the targeting score, BUILDING
+    segment as treatment, high-value order as response — model-free
+    uplift evaluation beside the lift/gains table q209
+    (operators/feature_prep.uplift_by_band)."""
+    from pytrousse_spark.operators.feature_prep import uplift_by_band
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+    return uplift_by_band(
+        j,
+        "c_acctbal",
+        (F.col("c_mktsegment") == "BUILDING").cast("int"),
+        (F.col("o_totalprice") > 150_000).cast("int"),
+    )
+
+
+def _sql_q247() -> str:
+    from pytrousse_spark.operators.feature_prep import uplift_by_band_sql
+
+    return uplift_by_band_sql(
+        "SELECT * FROM orders o JOIN customer c"
+        " ON o.o_custkey = c.c_custkey",
+        "c_acctbal",
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END",
+        "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END",
+    )
+
+
+def q248_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type burstiness (Goh-Barabasi B) and daily Fano
+    factor — the inter-event-time shape census; gap statistics via
+    the (key, day)-bucketed decomposition (q157/q235 device) so no
+    per-key global window; gap^2 moments widened to DECIMAL38/HUGEINT
+    up front (operators/timeseries.burstiness_census)."""
+    from pytrousse_spark.operators.timeseries import burstiness_census
+
+    ev = _t(spark, sf_dir, "events")
+    return burstiness_census(ev, "event_type", "ts", "event_id")
+
+
+def _sql_q248() -> str:
+    from pytrousse_spark.operators.timeseries import burstiness_census_sql
+
+    return burstiness_census_sql(
+        "SELECT * FROM events", "event_type", "ts", "event_id"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7384,6 +7435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_km_greenwood": q244_km_greenwood,
         "q245_item_item_cf": q245_item_item_cf,
         "q246_aipw_ate": q246_aipw_ate,
+        "q247_uplift_qini": q247_uplift_qini,
+        "q248_burstiness": q248_burstiness,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8048,6 +8101,8 @@ def oracle_sql() -> dict[str, str]:
         "q244_km_greenwood": _sql_q244(),
         "q245_item_item_cf": _sql_q245(),
         "q246_aipw_ate": _sql_q246(),
+        "q247_uplift_qini": _sql_q247(),
+        "q248_burstiness": _sql_q248(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -554,3 +554,154 @@ def eb_rate_shrinkage_sql(
                  * 1e6, 0) / 1e6 AS shrunk_rate
     FROM __pn p CROSS JOIN __prior r
     """
+
+
+def uplift_by_band(
+    df: DataFrame,
+    score_col: str,
+    treat: Column,
+    target: Column,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Uplift-by-decile table with the Qini cumulative curve
+    (Radcliffe 2007) — model-free uplift EVALUATION: rows band by a
+    targeting score (the q209 sketch-rank device, pooled arms, no
+    NTILE sort), and each band contrasts treated vs control response:
+
+        uplift_c = pos_t/n_t - pos_c/n_c                 (per band)
+        qini_c   = cum_pos_t - cum_pos_c * cum_n_t/cum_n_c   (top-down)
+
+    A useful targeting score concentrates uplift in the top bands; a
+    useless one gives a flat Qini curve ending at the overall
+    treatment effect.
+
+    Exactness: band assignment is the identical scalar expression in
+    the twin; all counts exact BIGINT; uplift/qini are single
+    divisions of identical integers, round-6; empty arms yield NULL.
+
+    Scale: identical to lift_gains — broadcast sketch CDF, one
+    band-keyed agg, windows over the n_bands-row frame.
+
+    Returns ``(band, n_treat, pos_treat, n_ctrl, pos_ctrl, uplift,
+    qini)`` ordered band DESC.
+    """
+    from .transforms import percent_rank_transform_approx
+
+    base = df.select(
+        F.col(score_col).alias("__score"),
+        treat.cast("int").alias("__t"),
+        target.cast("bigint").alias("__y"),
+        F.lit(1).alias("__grp"),
+    )
+    ranked = percent_rank_transform_approx(
+        base, "__grp", "__score", out_col="__pr"
+    )
+    banded = ranked.select(
+        F.least(
+            F.lit(n_bands - 1),
+            F.floor(F.col("__pr") * n_bands).cast("int"),
+        ).alias("band"),
+        "__t",
+        "__y",
+    )
+    per = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("__t") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_treat"),
+        F.sum(F.when(F.col("__t") == 1, F.col("__y")).otherwise(0))
+        .cast("bigint").alias("pos_treat"),
+        F.sum(F.when(F.col("__t") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_ctrl"),
+        F.sum(F.when(F.col("__t") == 0, F.col("__y")).otherwise(0))
+        .cast("bigint").alias("pos_ctrl"),
+    )
+    cum = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = per.select(
+        "band", "n_treat", "pos_treat", "n_ctrl", "pos_ctrl",
+        F.sum("n_treat").over(cum).cast("bigint").alias("__cnt"),
+        F.sum("pos_treat").over(cum).cast("bigint").alias("__cpt"),
+        F.sum("n_ctrl").over(cum).cast("bigint").alias("__cnc"),
+        F.sum("pos_ctrl").over(cum).cast("bigint").alias("__cpc"),
+    )
+    _r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    uplift = F.when(
+        (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0),
+        F.col("pos_treat").cast("double") / F.col("n_treat").cast("double")
+        - F.col("pos_ctrl").cast("double") / F.col("n_ctrl").cast("double"),
+    )
+    qini = F.when(
+        F.col("__cnc") > 0,
+        F.col("__cpt").cast("double")
+        - F.col("__cpc").cast("double")
+        * F.col("__cnt").cast("double")
+        / F.col("__cnc").cast("double"),
+    )
+    return staged.select(
+        "band", "n_treat", "pos_treat", "n_ctrl", "pos_ctrl",
+        _r6(uplift).alias("uplift"),
+        _r6(qini).alias("qini"),
+    ).orderBy(F.col("band").desc())
+
+
+def uplift_by_band_sql(
+    table_expr: str,
+    score_col: str,
+    treat_sql: str,
+    target_sql: str,
+    n_bands: int = 10,
+) -> str:
+    """DuckDB twin of :func:`uplift_by_band`."""
+    from .transforms import percent_rank_transform_approx_sql
+
+    inner = percent_rank_transform_approx_sql(
+        "__ubase", "__grp", "__score", out_col="__pr"
+    )
+    return f"""
+    WITH __ubase AS MATERIALIZED (
+        SELECT {score_col} AS __score,
+               CAST({treat_sql} AS INTEGER) AS __t,
+               CAST({target_sql} AS BIGINT) AS __y,
+               1 AS __grp
+        FROM ({table_expr})
+    ), __ranked AS (
+        {inner}
+    ), __banded AS (
+        SELECT CAST(least({n_bands - 1},
+                     CAST(floor(__pr * {n_bands}) AS INTEGER))
+                    AS INTEGER) AS band,
+               __t, __y
+        FROM __ranked
+    ), __per AS (
+        SELECT band,
+               CAST(sum(CASE WHEN __t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treat,
+               CAST(sum(CASE WHEN __t = 1 THEN __y ELSE 0 END) AS BIGINT)
+                   AS pos_treat,
+               CAST(sum(CASE WHEN __t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ctrl,
+               CAST(sum(CASE WHEN __t = 0 THEN __y ELSE 0 END) AS BIGINT)
+                   AS pos_ctrl
+        FROM __banded GROUP BY 1
+    ), __staged AS (
+        SELECT band, n_treat, pos_treat, n_ctrl, pos_ctrl,
+               CAST(sum(n_treat) OVER w AS BIGINT) AS __cnt,
+               CAST(sum(pos_treat) OVER w AS BIGINT) AS __cpt,
+               CAST(sum(n_ctrl) OVER w AS BIGINT) AS __cnc,
+               CAST(sum(pos_ctrl) OVER w AS BIGINT) AS __cpc
+        FROM __per
+        WINDOW w AS (ORDER BY band DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT band, n_treat, pos_treat, n_ctrl, pos_ctrl,
+           round(CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+                 CAST(pos_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                 - CAST(pos_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
+                 END * 1e6, 0) / 1e6 AS uplift,
+           round(CASE WHEN __cnc > 0 THEN
+                 CAST(__cpt AS DOUBLE)
+                 - CAST(__cpc AS DOUBLE) * CAST(__cnt AS DOUBLE)
+                   / CAST(__cnc AS DOUBLE) END * 1e6, 0) / 1e6 AS qini
+    FROM __staged
+    ORDER BY band DESC
+    """

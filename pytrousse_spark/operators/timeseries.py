@@ -2996,3 +2996,218 @@ def poisson_rate_ratio_sql(
                AS p_normal
     FROM zc
     """
+
+
+def burstiness_census(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Per-key temporal burstiness and dispersion census — the
+    inter-event-time shape readout (Goh & Barabasi 2008) beside the
+    rate tests:
+
+        burstiness B = (sigma - mu) / (sigma + mu)   over inter-event
+                       gaps (B ~ -1 periodic, 0 Poisson, ->1 bursty)
+        fano_daily   = var / mean of per-day counts on the key's
+                       calendar span (zero days included; Fano 1 =
+                       Poisson, >1 overdispersed)
+
+    Exactness: gaps are exact BIGINT microseconds; gap and count
+    moments fold as DECIMAL(38,0)/HUGEINT (gap^2 ~ 7e24 overflows
+    int64 — widened up front); the population-variance doubles and
+    both ratios share identical expression text; keys with < 2 gaps
+    or zero variance+mean yield NULL.
+
+    Scale design: NO per-key global window. Within-day gaps use a
+    (key, day)-bucketed window; the day-boundary gaps come from a
+    lag over the per-(key, day) first/last frame (calendar-bounded)
+    — the q157/q235 prefix decomposition applied to gap statistics.
+    The Fano spine explodes one date sequence per key.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        us.alias("__us"),
+        F.to_date(F.col(ts_col)).alias("__d"),
+        F.col(order_col).alias("__o"),
+    )
+    w_kd = Window.partitionBy("__k", "__d").orderBy("__us", "__o")
+    within = base.select(
+        "__k",
+        (F.col("__us") - F.lag("__us").over(w_kd)).alias("__g"),
+    ).where(F.col("__g").isNotNull())
+    daylvl = base.groupBy("__k", "__d").agg(
+        F.min("__us").alias("__first"),
+        F.max("__us").alias("__last"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    w_days = Window.partitionBy("__k").orderBy("__d")
+    boundary = daylvl.select(
+        "__k",
+        (F.col("__first") - F.lag("__last").over(w_days)).alias("__g"),
+    ).where(F.col("__g").isNotNull())
+    gaps = within.unionByName(boundary)
+    d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    gstats = gaps.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        d38(F.col("__g")).alias("__sg"),
+        d38(F.col("__g").cast("decimal(38,0)") * F.col("__g")).alias(
+            "__sgg"
+        ),
+    )
+    rng = daylvl.groupBy("__k").agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    spine = rng.select(
+        "__k",
+        F.explode(F.expr("sequence(__lo, __hi, interval 1 day)")).alias(
+            "__d"
+        ),
+    )
+    daily = (
+        spine.join(daylvl.select("__k", "__d", "__cnt"), ["__k", "__d"], "left")
+        .select(
+            "__k", F.coalesce(F.col("__cnt"), F.lit(0)).alias("__c")
+        )
+    )
+    cstats = daily.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+        d38(F.col("__c")).alias("__sc"),
+        d38(F.col("__c").cast("decimal(38,0)") * F.col("__c")).alias(
+            "__scc"
+        ),
+    )
+    j = gstats.join(cstats, "__k")
+    ngd = F.col("n_gaps").cast("double")
+    sgd = F.col("__sg").cast("double")
+    sggd = F.col("__sgg").cast("double")
+    mu = sgd / ngd
+    sig = F.sqrt((ngd * sggd - sgd * sgd) / (ngd * ngd))
+    ndd = F.col("__nd").cast("double")
+    scd = F.col("__sc").cast("double")
+    sccd = F.col("__scc").cast("double")
+    cmu = scd / ndd
+    cvar = (ndd * sccd - scd * scd) / (ndd * ndd)
+    _r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        F.col("__k").alias(key_col),
+        "n_gaps",
+        _r6(
+            F.when(F.col("n_gaps") >= 2, sgd / ngd / F.lit(1e6))
+        ).alias("mean_gap_s"),
+        _r6(
+            F.when(
+                (F.col("n_gaps") >= 2) & (sig + mu > 0),
+                (sig - mu) / (sig + mu),
+            )
+        ).alias("burstiness"),
+        _r6(F.when(cmu > 0, cvar / cmu)).alias("fano_daily"),
+    )
+
+
+def burstiness_census_sql(
+    table_expr: str,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+) -> str:
+    """DuckDB twin of :func:`burstiness_census` — identical bucketed
+    gap decomposition, HUGEINT moment folds, identical double chain."""
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {key_col} AS __k,
+               epoch_us(CAST({ts_col} AS TIMESTAMP)) AS __us,
+               CAST({ts_col} AS DATE) AS __d,
+               {order_col} AS __o
+        FROM ({table_expr})
+        WHERE {ts_col} IS NOT NULL
+    ), within AS (
+        SELECT __k, __g FROM (
+            SELECT __k,
+                   __us - lag(__us) OVER (
+                       PARTITION BY __k, __d ORDER BY __us, __o
+                   ) AS __g
+            FROM base
+        ) WHERE __g IS NOT NULL
+    ), daylvl AS MATERIALIZED (
+        SELECT __k, __d, min(__us) AS __first, max(__us) AS __last,
+               CAST(count(*) AS BIGINT) AS __cnt
+        FROM base GROUP BY 1, 2
+    ), boundary AS (
+        SELECT __k, __g FROM (
+            SELECT __k,
+                   __first - lag(__last) OVER (
+                       PARTITION BY __k ORDER BY __d
+                   ) AS __g
+            FROM daylvl
+        ) WHERE __g IS NOT NULL
+    ), gaps AS (
+        SELECT * FROM within UNION ALL SELECT * FROM boundary
+    ), gstats AS MATERIALIZED (
+        SELECT __k, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(CAST(__g AS HUGEINT)) AS HUGEINT) AS __sg,
+               CAST(sum(CAST(__g AS HUGEINT) * __g) AS HUGEINT) AS __sgg
+        FROM gaps GROUP BY 1
+    ), rng AS (
+        SELECT __k, min(__d) AS __lo, max(__d) AS __hi
+        FROM daylvl GROUP BY 1
+    ), spine AS (
+        SELECT __k,
+               CAST(unnest(generate_series(CAST(__lo AS TIMESTAMP),
+                           CAST(__hi AS TIMESTAMP), INTERVAL 1 DAY))
+                    AS DATE) AS __d
+        FROM rng
+    ), daily AS (
+        SELECT s.__k, coalesce(d.__cnt, 0) AS __c
+        FROM spine s
+        LEFT JOIN daylvl d ON d.__k = s.__k AND d.__d = s.__d
+    ), cstats AS MATERIALIZED (
+        SELECT __k, CAST(count(*) AS BIGINT) AS __nd,
+               CAST(sum(CAST(__c AS HUGEINT)) AS HUGEINT) AS __sc,
+               CAST(sum(CAST(__c AS HUGEINT) * __c) AS HUGEINT) AS __scc
+        FROM daily GROUP BY 1
+    )
+    SELECT g.__k AS {key_col}, g.n_gaps,
+           round(CASE WHEN g.n_gaps >= 2 THEN
+                 CAST(g.__sg AS DOUBLE) / CAST(g.n_gaps AS DOUBLE) / 1e6
+                 END * 1e6, 0) / 1e6 AS mean_gap_s,
+           round(CASE WHEN g.n_gaps >= 2
+                      AND sqrt((CAST(g.n_gaps AS DOUBLE)
+                                * CAST(g.__sgg AS DOUBLE)
+                                - CAST(g.__sg AS DOUBLE)
+                                  * CAST(g.__sg AS DOUBLE))
+                               / (CAST(g.n_gaps AS DOUBLE)
+                                  * CAST(g.n_gaps AS DOUBLE)))
+                          + CAST(g.__sg AS DOUBLE)
+                            / CAST(g.n_gaps AS DOUBLE) > 0
+                 THEN (sqrt((CAST(g.n_gaps AS DOUBLE)
+                             * CAST(g.__sgg AS DOUBLE)
+                             - CAST(g.__sg AS DOUBLE)
+                               * CAST(g.__sg AS DOUBLE))
+                            / (CAST(g.n_gaps AS DOUBLE)
+                               * CAST(g.n_gaps AS DOUBLE)))
+                       - CAST(g.__sg AS DOUBLE)
+                         / CAST(g.n_gaps AS DOUBLE))
+                      / (sqrt((CAST(g.n_gaps AS DOUBLE)
+                               * CAST(g.__sgg AS DOUBLE)
+                               - CAST(g.__sg AS DOUBLE)
+                                 * CAST(g.__sg AS DOUBLE))
+                              / (CAST(g.n_gaps AS DOUBLE)
+                                 * CAST(g.n_gaps AS DOUBLE)))
+                         + CAST(g.__sg AS DOUBLE)
+                           / CAST(g.n_gaps AS DOUBLE))
+                 END * 1e6, 0) / 1e6 AS burstiness,
+           round(CASE WHEN CAST(c.__sc AS DOUBLE)
+                           / CAST(c.__nd AS DOUBLE) > 0
+                 THEN ((CAST(c.__nd AS DOUBLE) * CAST(c.__scc AS DOUBLE)
+                        - CAST(c.__sc AS DOUBLE) * CAST(c.__sc AS DOUBLE))
+                       / (CAST(c.__nd AS DOUBLE)
+                          * CAST(c.__nd AS DOUBLE)))
+                      / (CAST(c.__sc AS DOUBLE) / CAST(c.__nd AS DOUBLE))
+                 END * 1e6, 0) / 1e6 AS fano_daily
+    FROM gstats g JOIN cstats c ON g.__k = c.__k
+    """

@@ -159,3 +159,37 @@ def test_eb_shrinkage_degenerate_prior_is_null(spark):
     assert len(out) == 10
     assert all(r["shrunk_rate"] is None for r in out)
     assert all(r["raw_rate"] == 0.5 for r in out)
+
+
+def test_uplift_qini_planted_uplift_gradient(spark):
+    """Planted uplift concentrated in high scores: treated response
+    rises with score, control flat -> top band uplift > bottom band;
+    Qini at the last (cumulative-total) row equals
+    total_pos_t - total_pos_c * Nt/Nc; conservation of counts."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.feature_prep import uplift_by_band
+
+    rows = []
+    for i in range(4000):
+        score = (i % 100) / 100.0
+        t = 1 if (i * 31) % 2 == 0 else 0
+        # control converts at 10%; treated at 10% + 60% * score
+        r = ((i * 7919) % 100) / 100.0
+        y = 1 if r < (0.1 + (0.6 * score if t else 0.0)) else 0
+        rows.append((score, t, y))
+    df = spark.createDataFrame(rows, ["score", "t", "y"])
+    out = uplift_by_band(
+        df, "score", F.col("t"), F.col("y"), n_bands=5
+    ).collect()
+    assert len(out) == 5
+    by_band = {r["band"]: r for r in out}
+    assert by_band[4]["uplift"] > by_band[0]["uplift"] + 0.2
+    tot_pt = sum(r["pos_treat"] for r in out)
+    tot_pc = sum(r["pos_ctrl"] for r in out)
+    tot_nt = sum(r["n_treat"] for r in out)
+    tot_nc = sum(r["n_ctrl"] for r in out)
+    assert tot_nt + tot_nc == 4000
+    last = min(out, key=lambda r: r["band"])  # cumulative over all
+    expected_qini = tot_pt - tot_pc * tot_nt / tot_nc
+    assert abs(last["qini"] - expected_qini) < 1e-3

@@ -846,3 +846,42 @@ def test_poisson_rate_ratio_planted(spark):
     assert abs(r["rate_ratio"] - 3.0) < 1e-6
     assert r["ci_lo"] > 1.0 and r["p_normal"] < 0.001
     assert r["ci_lo"] < 3.0 < r["ci_hi"]
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    """Laws: perfectly periodic gaps -> burstiness = -1 (sigma 0);
+    a bursty key (tight clusters, long silences) -> burstiness > 0;
+    constant daily counts -> fano 0; day-boundary gaps are COUNTED
+    (n_gaps = n_events - 1 even across midnight)."""
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.timeseries import burstiness_census
+
+    rows = []
+    eid = 0
+    # key 'p': every 6 hours across 5 days -> periodic, 4/day boundary-
+    # crossing gaps included
+    t0 = datetime(2024, 1, 1)
+    for i in range(20):
+        rows.append((eid, "p", t0 + timedelta(hours=6 * i))); eid += 1
+    # key 'b': clusters of 5 events 1s apart, then 2-day silence
+    tb = datetime(2024, 1, 1)
+    for c in range(4):
+        for j in range(5):
+            rows.append((eid, "b", tb + timedelta(seconds=j))); eid += 1
+        tb += timedelta(days=2)
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts"])
+    out = {
+        r["event_type"]: r
+        for r in burstiness_census(df, "event_type", "ts", "event_id").collect()
+    }
+    p, b = out["p"], out["b"]
+    assert p["n_gaps"] == 19          # boundary gaps included
+    assert p["burstiness"] == -1.0    # sigma = 0 exactly
+    assert abs(p["mean_gap_s"] - 6 * 3600) < 1e-6
+    assert b["n_gaps"] == 19
+    # closed form for 16 gaps of 1s + 3 of ~2d: mu~27283, sigma~63000,
+    # B = (sigma-mu)/(sigma+mu) ~ 0.3956 — well above the Poisson 0 line
+    assert b["burstiness"] > 0.3      # heavy-tailed gaps
+    assert abs(b["burstiness"] - 0.395646) < 1e-3
+    assert b["fano_daily"] > 1.0      # overdispersed daily counts
