@@ -7369,6 +7369,25 @@ def _sql_q248() -> str:
     )
 
 
+def q249_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier rounds (Rosner 1983) on the daily
+    event-value series — the iterative unmasking sibling of the
+    one-shot MAD gate (q121): each round re-estimates mean/sd over
+    the remaining days and flags the most extreme one, with an EXACT
+    integer argmax |n*c - s| so no float comparison picks the day
+    (operators/timeseries.gesd_outliers)."""
+    from pytrousse_spark.operators.timeseries import gesd_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return gesd_outliers(ev, "ts", "value", k=5)
+
+
+def _sql_q249() -> str:
+    from pytrousse_spark.operators.timeseries import gesd_outliers_sql
+
+    return gesd_outliers_sql("SELECT * FROM events", "ts", "value", k=5)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7437,6 +7456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_aipw_ate": q246_aipw_ate,
         "q247_uplift_qini": q247_uplift_qini,
         "q248_burstiness": q248_burstiness,
+        "q249_gesd_outliers": q249_gesd_outliers,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8103,6 +8123,7 @@ def oracle_sql() -> dict[str, str]:
         "q246_aipw_ate": _sql_q246(),
         "q247_uplift_qini": _sql_q247(),
         "q248_burstiness": _sql_q248(),
+        "q249_gesd_outliers": _sql_q249(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

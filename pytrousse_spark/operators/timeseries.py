@@ -3211,3 +3211,181 @@ def burstiness_census_sql(
                  END * 1e6, 0) / 1e6 AS fano_daily
     FROM gstats g JOIN cstats c ON g.__k = c.__k
     """
+
+
+def gesd_outliers(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Generalized ESD outlier rounds (Rosner 1983) on the daily
+    integer-cent series — the iterative sibling of the one-shot MAD
+    gate (q121): each round recomputes mean/sd over the REMAINING
+    days, flags the most extreme day, removes it, and repeats, so a
+    masked pair of outliers (which drags the naive sd up and hides
+    its twin) is still caught on the next round.
+
+    Per round r over the remaining set S_r (|S_r| = n):
+
+        dev_i  = |n * c_i - sum(c)|          (EXACT integer argmax —
+                                              proportional to
+                                              |c_i - mean|, so the
+                                              flagged day needs no
+                                              float comparison)
+        sd     = sqrt((n*ss - s^2) / (n*(n-1)))     (sample sd)
+        r_stat = dev* / (n * sd)             (= |c* - mean| / sd)
+
+    tie on dev -> earliest day (min __d). Returns one row per round,
+    ``(round, day, value_cents, n_remaining, r_stat)`` ordered by
+    round; rounds degenerate (n < 3 or sd = 0) are cut.
+
+    Exactness: sufficient stats fold as DECIMAL(38,0) (daily cents
+    squared pass 1e15 at sf0.1 — int64 is not enough headroom); the
+    argmax and tie-break are pure integer/date comparisons; r_stat is
+    one sqrt of a division of identical exact stats, round-6.
+
+    Scale: each round is ONE map-side-combinable agg over the
+    calendar-bounded spine plus a broadcast scalar attachment; the
+    remaining set is localCheckpoint'ed per round (the q117/q130
+    lineage-cut device) so the k-round plan stays linear, and k is a
+    constant.
+    """
+    d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    remaining = _daily_cents(df, ts_col, value_col).select("__d", "__c")
+    flags = None
+    for r in range(1, k + 1):
+        remaining = remaining.localCheckpoint(eager=True)
+        stats = remaining.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            d38(F.col("__c")).alias("__s"),
+            d38(
+                F.col("__c").cast("decimal(38,0)") * F.col("__c")
+            ).alias("__ss"),
+        )
+        dev = remaining.crossJoin(F.broadcast(stats)).select(
+            "__d",
+            "__c",
+            "__n",
+            "__s",
+            "__ss",
+            F.abs(
+                F.col("__n").cast("decimal(38,0)")
+                * F.col("__c").cast("decimal(38,0)")
+                - F.col("__s")
+            ).alias("__dev"),
+        )
+        mx = dev.groupBy("__n", "__s", "__ss").agg(
+            F.max("__dev").alias("__mx")
+        )
+        nn = F.col("__n").cast("double")
+        var = (
+            nn * F.col("__ss").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double")
+        ) / (nn * (nn - F.lit(1.0)))
+        flag = (
+            dev.join(
+                F.broadcast(mx.select("__n", "__mx")), ["__n"]
+            )
+            .where(F.col("__dev") == F.col("__mx"))
+            .groupBy("__n", "__s", "__ss", "__mx")
+            .agg(
+                F.min("__d").alias("day"),
+                F.min_by("__c", "__d").cast("bigint").alias(
+                    "value_cents"
+                ),
+            )
+            .where((F.col("__n") >= 3) & (var > F.lit(0.0)))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "day",
+                "value_cents",
+                F.col("__n").alias("n_remaining"),
+                (
+                    F.round(
+                        F.col("__mx").cast("double")
+                        / (nn * F.sqrt(var))
+                        * F.lit(1e6),
+                        0,
+                    )
+                    / F.lit(1e6)
+                ).alias("r_stat"),
+            )
+        )
+        flags = flag if flags is None else flags.unionByName(flag)
+        remaining = remaining.join(
+            flag.select(F.col("day").alias("__d")), ["__d"], "left_anti"
+        )
+    return flags.orderBy("round")
+
+
+def gesd_outliers_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`gesd_outliers` — the k rounds unrolled
+    as MATERIALIZED CTEs (the q238 lesson: inlined CTEs re-run the
+    whole prefix per round), HUGEINT folds, identical integer argmax
+    and the same one-sqrt r_stat."""
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    parts = [base]
+    parts.append(
+        ", __rem_1 AS MATERIALIZED (SELECT __d, __c FROM __dense)"
+    )
+    selects = []
+    for r in range(1, k + 1):
+        parts.append(f"""
+    , __stats_{r} AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS __n,
+               sum(CAST(__c AS HUGEINT)) AS __s,
+               sum(CAST(__c AS HUGEINT) * CAST(__c AS HUGEINT))
+                   AS __ss
+        FROM __rem_{r}
+    ), __dev_{r} AS MATERIALIZED (
+        SELECT d.__d, d.__c, s.__n, s.__s, s.__ss,
+               abs(CAST(s.__n AS HUGEINT) * CAST(d.__c AS HUGEINT)
+                   - s.__s) AS __dev
+        FROM __rem_{r} d CROSS JOIN __stats_{r} s
+    ), __flag_{r} AS MATERIALIZED (
+        SELECT CAST({r} AS INTEGER) AS round,
+               min(__d) AS day,
+               CAST(min_by(__c, __d) AS BIGINT) AS value_cents,
+               any_value(__n) AS n_remaining,
+               any_value(__s) AS __s, any_value(__ss) AS __ss,
+               max(__dev) AS __mx
+        FROM __dev_{r}
+        WHERE __dev = (SELECT max(__dev) FROM __dev_{r})
+          AND __n >= 3
+          AND (CAST(__n AS DOUBLE) * CAST(__ss AS DOUBLE)
+               - CAST(__s AS DOUBLE) * CAST(__s AS DOUBLE))
+              / (CAST(__n AS DOUBLE) * (CAST(__n AS DOUBLE) - 1)) > 0
+        GROUP BY 1
+    ), __rem_{r + 1} AS MATERIALIZED (
+        SELECT d.__d, d.__c FROM __rem_{r} d
+        WHERE NOT EXISTS (SELECT 1 FROM __flag_{r} f
+                          WHERE f.day = d.__d)
+    )""")
+        selects.append(f"""
+    SELECT round, day, value_cents, n_remaining,
+           round(CAST(__mx AS DOUBLE)
+                 / (CAST(n_remaining AS DOUBLE)
+                    * sqrt((CAST(n_remaining AS DOUBLE)
+                            * CAST(__ss AS DOUBLE)
+                            - CAST(__s AS DOUBLE)
+                              * CAST(__s AS DOUBLE))
+                           / (CAST(n_remaining AS DOUBLE)
+                              * (CAST(n_remaining AS DOUBLE) - 1))))
+                 * 1e6, 0) / 1e6 AS r_stat
+    FROM __flag_{r}""")
+    return (
+        "".join(parts)
+        + "\n    SELECT * FROM ("
+        + "\n    UNION ALL".join(selects)
+        + "\n    ) ORDER BY round"
+    )

@@ -885,3 +885,40 @@ def test_burstiness_periodic_vs_bursty(spark):
     assert b["burstiness"] > 0.3      # heavy-tailed gaps
     assert abs(b["burstiness"] - 0.395646) < 1e-3
     assert b["fano_daily"] > 1.0      # overdispersed daily counts
+
+
+def test_gesd_unmasks_outlier_pair_and_cuts_degenerate_rounds(spark):
+    """Laws: (1) the flagged rounds replay a hand-run Rosner chain —
+    round 1 takes the global extreme, round 2 the MASKED twin, round
+    3 the low day; (2) after all outliers are removed the series is
+    constant (sd = 0) and the remaining rounds are CUT, not emitted
+    as NaN; (3) the argmax is integer-exact: r_stat matches the
+    closed form to 1e-6."""
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.timeseries import gesd_outliers
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0] * 30
+    vals[5], vals[6], vals[20] = 500.0, 480.0, 0.5
+    rows = [
+        (i, t0 + timedelta(days=i, hours=3), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    out = gesd_outliers(df, "ts", "value", k=5).collect()
+    assert [r["round"] for r in out] == [1, 2, 3]  # rounds 4-5 cut
+    assert [r["value_cents"] for r in out] == [50000, 48000, 50]
+    assert [str(r["day"]) for r in out] == [
+        "2024-01-06", "2024-01-07", "2024-01-21"
+    ]
+    assert [r["n_remaining"] for r in out] == [30, 29, 28]
+    # closed-form round-1 r_stat: dev*/(n*sd) on the exact cent stats
+    import math
+
+    c = [round(v * 100) for v in vals]
+    n, s = len(c), sum(c)
+    ss = sum(x * x for x in c)
+    sd = math.sqrt((n * ss - s * s) / (n * (n - 1)))
+    want = max(abs(n * x - s) for x in c) / (n * sd)
+    assert abs(out[0]["r_stat"] - want) < 1e-6
