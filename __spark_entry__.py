@@ -7388,6 +7388,46 @@ def _sql_q249() -> str:
     return gesd_outliers_sql("SELECT * FROM events", "ts", "value", k=5)
 
 
+def q250_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community census of the q135/q240 co-purchase graph (parts
+    co-occurring in >= 2 baskets) via 6 synchronous label-propagation
+    rounds (Raghavan 2007), min-label tie rule — fully deterministic,
+    no random visit order, so the oracle replays the identical
+    unrolled rounds converged or not (the q240 contract)
+    (operators/graph.label_propagation)."""
+    from pytrousse_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("__i")
+    ).distinct()
+    edges = (
+        items.join(items.withColumnRenamed("__i", "__j"), "__b")
+        .where(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    return label_propagation(edges, "__i", "__j", rounds=6)
+
+
+def _sql_q250() -> str:
+    from pytrousse_spark.operators.graph import label_propagation_sql
+
+    edges = """
+        SELECT __i, __j FROM (
+            SELECT a.__i, b.__i AS __j, count(*) AS __c
+            FROM (SELECT DISTINCT l_orderkey AS __b,
+                         l_partkey AS __i FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey AS __b,
+                         l_partkey AS __i FROM lineitem) b
+              ON a.__b = b.__b AND a.__i < b.__i
+            GROUP BY 1, 2
+        ) WHERE __c >= 2
+    """
+    return label_propagation_sql(edges, "__i", "__j", rounds=6)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7457,6 +7497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_uplift_qini": q247_uplift_qini,
         "q248_burstiness": q248_burstiness,
         "q249_gesd_outliers": q249_gesd_outliers,
+        "q250_label_propagation": q250_label_propagation,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8124,6 +8165,7 @@ def oracle_sql() -> dict[str, str]:
         "q247_uplift_qini": _sql_q247(),
         "q248_burstiness": _sql_q248(),
         "q249_gesd_outliers": _sql_q249(),
+        "q250_label_propagation": _sql_q250(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

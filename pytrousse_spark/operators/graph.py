@@ -512,3 +512,126 @@ def k_core_sql(
            (SELECT CAST(count(*) AS BIGINT) FROM {last})
                AS n_core_edges
     """
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    rounds: int = 6,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    2007) over an undirected graph: every vertex starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties broken toward the SMALLEST label, all vertices at
+    once. Fully deterministic — no random visit order — so with a
+    fixed round count the DuckDB oracle replays the identical
+    computation whether or not the propagation has converged (the
+    q240 k-core contract).
+
+    Returns the community census ``(community, n_members)`` ordered
+    by size DESC then label — communities are named by their minimum
+    surviving seed label.
+
+    Scale design: one round = one edge-keyed join (labels are
+    vertex-keyed, adjacency is edge-keyed — shuffle bounded by 2|E|)
+    + one (vertex, label) count + one per-vertex arg-max window whose
+    partition is a vertex's neighbor-label set (bounded by max
+    degree, not |V|); lineage cut per round with an eager
+    localCheckpoint (q117 discipline). No driver collect.
+    """
+    from pyspark.sql import Window
+
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("__u"), F.greatest(a, b).alias("__v")
+        )
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("__u").alias("__x"), F.col("__v").alias("__y"))
+        .unionAll(
+            e.select(
+                F.col("__v").alias("__x"), F.col("__u").alias("__y")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("__x").distinct().select(
+        "__x", F.col("__x").cast("bigint").alias("__lab")
+    )
+    w = Window.partitionBy("__x").orderBy(
+        F.col("__cnt").desc(), F.col("__lab").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("__x").alias("__y"), "__lab"
+                ),
+                "__y",
+            )
+            .groupBy("__x", "__lab")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("__x", "__lab")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("__lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community"))
+    )
+
+
+def label_propagation_sql(
+    edges_subquery: str,
+    src_col: str,
+    dst_col: str,
+    rounds: int = 6,
+) -> str:
+    """DuckDB twin of :func:`label_propagation` — the identical
+    synchronous rounds unrolled as MATERIALIZED (votes, arg-max) CTE
+    pairs (the q238 lesson), same (cnt DESC, label ASC) tie rule."""
+    parts = [
+        f"""
+    __e AS MATERIALIZED (
+        SELECT DISTINCT least({src_col}, {dst_col}) AS __u,
+               greatest({src_col}, {dst_col}) AS __v
+        FROM ({edges_subquery}) WHERE {src_col} <> {dst_col}
+    ), __adj AS MATERIALIZED (
+        SELECT __u AS __x, __v AS __y FROM __e
+        UNION ALL
+        SELECT __v AS __x, __u AS __y FROM __e
+    ), __l0 AS MATERIALIZED (
+        SELECT DISTINCT __x, CAST(__x AS BIGINT) AS __lab FROM __adj
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    __c{r} AS MATERIALIZED (
+        SELECT a.__x, l.__lab, CAST(count(*) AS BIGINT) AS __cnt
+        FROM __adj a JOIN __l{p} l ON l.__x = a.__y
+        GROUP BY 1, 2
+    ), __l{r} AS MATERIALIZED (
+        SELECT __x, __lab FROM (
+            SELECT __x, __lab,
+                   row_number() OVER (PARTITION BY __x
+                       ORDER BY __cnt DESC, __lab ASC) AS __rn
+            FROM __c{r}
+        ) WHERE __rn = 1
+    )""")
+    return f"""
+    WITH {",".join(parts)}
+    SELECT __lab AS community,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM __l{rounds}
+    GROUP BY 1
+    ORDER BY n_members DESC, community
+    """

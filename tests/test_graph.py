@@ -162,3 +162,33 @@ def test_k_core_peel_converges_on_testdata(spark):
     assert (a["n_core_vertices"], a["n_core_edges"]) == (
         b["n_core_vertices"], b["n_core_edges"],
     )
+
+
+def test_label_propagation_cliques_survive_bridge(spark):
+    """Laws: two 4-cliques joined by ONE bridge edge resolve to two
+    communities named by their minimum seed label (the bridge cannot
+    outvote 3 in-clique neighbors); a path graph collapses toward the
+    min label; output is a deterministic (size DESC, label) census."""
+    import itertools
+
+    from pytrousse_spark.operators.graph import label_propagation
+
+    edges = []
+    for grp in ([1, 2, 3, 4], [10, 11, 12, 13]):
+        edges += list(itertools.combinations(grp, 2))
+    edges.append((4, 10))
+    df = spark.createDataFrame(edges, ["s", "d"])
+    out = label_propagation(df, "s", "d", rounds=6).collect()
+    assert [(r["community"], r["n_members"]) for r in out] == [
+        (1, 4),
+        (10, 4),
+    ]
+    # self-loops and duplicate/reversed edges are canonicalized away
+    df2 = spark.createDataFrame(
+        edges + [(1, 1), (2, 1), (4, 3)], ["s", "d"]
+    )
+    out2 = label_propagation(df2, "s", "d", rounds=6).collect()
+    assert [(r["community"], r["n_members"]) for r in out2] == [
+        (1, 4),
+        (10, 4),
+    ]
