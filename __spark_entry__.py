@@ -7428,6 +7428,24 @@ def _sql_q250() -> str:
     return label_propagation_sql(edges, "__i", "__j", rounds=6)
 
 
+def q251_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily trend of event value — median pairwise
+    slope + median residual intercept with the EXPLICIT two-middle-row
+    median (no engine quantile interpolation); pairs are O(T^2) of the
+    calendar-bounded spine, never of the raw table
+    (operators/timeseries.theil_sen_trend)."""
+    from pytrousse_spark.operators.timeseries import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return theil_sen_trend(ev, "ts", "value")
+
+
+def _sql_q251() -> str:
+    from pytrousse_spark.operators.timeseries import theil_sen_trend_sql
+
+    return theil_sen_trend_sql("SELECT * FROM events", "ts", "value")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7498,6 +7516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_burstiness": q248_burstiness,
         "q249_gesd_outliers": q249_gesd_outliers,
         "q250_label_propagation": q250_label_propagation,
+        "q251_theil_sen": q251_theil_sen,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8166,6 +8185,7 @@ def oracle_sql() -> dict[str, str]:
         "q248_burstiness": _sql_q248(),
         "q249_gesd_outliers": _sql_q249(),
         "q250_label_propagation": _sql_q250(),
+        "q251_theil_sen": _sql_q251(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -3389,3 +3389,138 @@ def gesd_outliers_sql(
         + "\n    UNION ALL".join(selects)
         + "\n    ) ORDER BY round"
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend line (Theil 1950, Sen 1968) on the
+    daily integer-cent series: slope = median of all pairwise slopes
+    (c_j - c_i)/(j - i) over day-index pairs i < j, intercept =
+    median of the per-day residuals c_i - slope*i — the
+    breakdown-point-29% sibling of the OLS gate (q131): a third of
+    the days can be corrupted before the trend moves.
+
+    Exactness: pairwise slopes are single divisions of exact integer
+    deltas (identical doubles both engines); the median is selected
+    EXPLICITLY — rows (n+1)//2 and n//2+1 of the sorted multiset,
+    averaged as (m1+m2)/2.0 — not via the engines' quantile
+    interpolation, whose formulas need not agree to the last ulp;
+    round-6 on both outputs.
+
+    Scale: the pair set is O(T^2) of the CALENDAR-BOUNDED spine (a
+    decade is ~6.7M pairs), never of the raw table, which collapses
+    in the one date-keyed agg of the spine device; the two median
+    sorts run on that bounded set. Returns one row
+    ``(n_days, n_pairs, slope, intercept)``.
+    """
+    dense = _daily_cents(df, ts_col, value_col)
+    a = dense.select(
+        F.col("__i").alias("__ia"), F.col("__c").alias("__ca")
+    )
+    b = dense.select(
+        F.col("__i").alias("__ib"), F.col("__c").alias("__cb")
+    )
+    pairs = a.join(b, F.col("__ib") > F.col("__ia")).select(
+        (
+            (F.col("__cb") - F.col("__ca")).cast("double")
+            / (F.col("__ib") - F.col("__ia")).cast("double")
+        ).alias("__s")
+    )
+
+    def _median(vals: DataFrame, col: str) -> DataFrame:
+        w = Window.orderBy(F.col(col).asc())
+        n = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = vals.select(
+            F.col(col),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(n).cast("bigint").alias("__n"),
+        )
+        return ranked.where(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.floor(F.col("__n") / 2) + 1)
+        ).groupBy("__n").agg(
+            ((F.min(col) + F.max(col)) / F.lit(2.0)).alias("__med")
+        )
+
+    med_s = _median(pairs, "__s").select(
+        F.col("__med").alias("__slope"),
+        F.col("__n").alias("__npairs"),
+    )
+    resid = dense.crossJoin(F.broadcast(med_s)).select(
+        "__slope",
+        "__npairs",
+        (
+            F.col("__c").cast("double")
+            - F.col("__slope") * F.col("__i").cast("double")
+        ).alias("__r"),
+    )
+    med_r = (
+        _median(resid.select("__r"), "__r")
+        .select(
+            F.col("__n").alias("n_days"),
+            F.col("__med").alias("__icept"),
+        )
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return (
+        med_r.crossJoin(F.broadcast(med_s))
+        .select(
+            "n_days",
+            F.col("__npairs").alias("n_pairs"),
+            r6(F.col("__slope")).alias("slope"),
+            r6(F.col("__icept")).alias("intercept"),
+        )
+    )
+
+
+def theil_sen_trend_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`theil_sen_trend` — identical spine, pair
+    set, EXPLICIT two-middle-row median (no quantile_cont) and the
+    same (m1+m2)/2.0 average."""
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    return f"""{base}
+    , __pairs AS MATERIALIZED (
+        SELECT CAST(b.__c - a.__c AS DOUBLE)
+               / CAST(b.__i - a.__i AS DOUBLE) AS __s
+        FROM __dense a JOIN __dense b ON b.__i > a.__i
+    ), __rs AS (
+        SELECT __s,
+               row_number() OVER (ORDER BY __s ASC) AS __rn,
+               CAST(count(*) OVER () AS BIGINT) AS __n
+        FROM __pairs
+    ), __ms AS MATERIALIZED (
+        SELECT any_value(__n) AS __np,
+               (min(__s) + max(__s)) / 2.0 AS __slope
+        FROM __rs
+        WHERE __rn = (__n + 1) // 2 OR __rn = __n // 2 + 1
+    ), __resid AS (
+        SELECT CAST(d.__c AS DOUBLE)
+               - m.__slope * CAST(d.__i AS DOUBLE) AS __r
+        FROM __dense d CROSS JOIN __ms m
+    ), __rr AS (
+        SELECT __r,
+               row_number() OVER (ORDER BY __r ASC) AS __rn,
+               CAST(count(*) OVER () AS BIGINT) AS __n
+        FROM __resid
+    ), __mr AS (
+        SELECT any_value(__n) AS n_days,
+               (min(__r) + max(__r)) / 2.0 AS __icept
+        FROM __rr
+        WHERE __rn = (__n + 1) // 2 OR __rn = __n // 2 + 1
+    )
+    SELECT r.n_days, s.__np AS n_pairs,
+           round(s.__slope * 1e6, 0) / 1e6 AS slope,
+           round(r.__icept * 1e6, 0) / 1e6 AS intercept
+    FROM __mr r CROSS JOIN __ms s
+    """

@@ -922,3 +922,29 @@ def test_gesd_unmasks_outlier_pair_and_cuts_degenerate_rounds(spark):
     sd = math.sqrt((n * ss - s * s) / (n * (n - 1)))
     want = max(abs(n * x - s) for x in c) / (n * sd)
     assert abs(out[0]["r_stat"] - want) < 1e-6
+
+
+def test_theil_sen_shrugs_off_outliers_that_move_ols(spark):
+    """Laws: on a clean 3-cents/day trend the slope is EXACT 3.0 even
+    with two gross outliers planted (median of pairwise slopes has a
+    29% breakdown point); n_pairs = T(T-1)/2; the intercept recovers
+    the level at index 0 (median residual); odd vs even pair counts
+    both hit the explicit two-middle-row median."""
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.timeseries import theil_sen_trend
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0 + 0.03 * i for i in range(40)]
+    vals[10], vals[30] = 900.0, -500.0
+    rows = [
+        (i, t0 + timedelta(days=i, hours=1), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    out = theil_sen_trend(df, "ts", "value").collect()[0]
+    assert out["n_days"] == 40
+    assert out["n_pairs"] == 40 * 39 // 2
+    assert out["slope"] == 3.0
+    # residual at the median slope: c_i - 3*i = 1000 - 3 (1-based i)
+    assert out["intercept"] == 997.0
