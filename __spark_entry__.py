@@ -7446,6 +7446,24 @@ def _sql_q251() -> str:
     return theil_sen_trend_sql("SELECT * FROM events", "ts", "value")
 
 
+def q252_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training-pair table over documents
+    with Mikolov frequency subsampling — the word2vec data-prep stage
+    done in-engine: portable-h60 keep decisions so both engines drop
+    the SAME occurrences, vocab-sized broadcast threshold table,
+    doc-keyed band join (operators/corpus.skipgram_pairs)."""
+    from pytrousse_spark.operators.corpus import skipgram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return skipgram_pairs(docs, "doc_id", "text")
+
+
+def _sql_q252() -> str:
+    from pytrousse_spark.operators.corpus import skipgram_pairs_sql
+
+    return skipgram_pairs_sql("SELECT * FROM documents", "doc_id", "text")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7517,6 +7535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q249_gesd_outliers": q249_gesd_outliers,
         "q250_label_propagation": q250_label_propagation,
         "q251_theil_sen": q251_theil_sen,
+        "q252_skipgram_pairs": q252_skipgram_pairs,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8186,6 +8205,7 @@ def oracle_sql() -> dict[str, str]:
         "q249_gesd_outliers": _sql_q249(),
         "q250_label_propagation": _sql_q250(),
         "q251_theil_sen": _sql_q251(),
+        "q252_skipgram_pairs": _sql_q252(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

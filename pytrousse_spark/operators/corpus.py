@@ -657,3 +657,172 @@ def textrank_keywords_sql(
     ORDER BY rank_micro DESC, token
     LIMIT {top_k}
     """
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    subsample_t: float = 1e-3,
+    min_count: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Skip-gram (center, context) training-pair table with Mikolov
+    2013 frequency subsampling — the word2vec/SGNS DATA-PREP stage:
+    what the trainer consumes is exactly this table, so generating it
+    in-engine (instead of streaming text through a Python tokenizer)
+    is the 100 TB path.
+
+        p_keep(w) = min(1, sqrt(t/f_w) + t/f_w)      f_w = corpus freq
+        keep an OCCURRENCE iff h60(seed|doc#pos#tok) % 1e6
+                                < floor(p_keep * 1e6)
+        pairs: surviving occurrences of the same doc with
+               1 <= pos_ctx - pos_ctr <= window, emitted BOTH
+               directions (the symmetric-window SGNS convention);
+               positions are pre-subsample ORIGINAL positions (the
+               fixed-window variant; word2vec's compacted-sequence
+               widening is a documented difference).
+
+    Exactness: f_w and p_keep are divisions/sqrt of identical exact
+    integers -> identical doubles -> identical floor thresholds; the
+    keep decision is an integer comparison on the portable md5-based
+    h60, so BOTH engines drop the same occurrences. Counts exact
+    BIGINT.
+
+    Scale: tokens stage once (the HOF lesson, text.py:36); the
+    frequency table is vocab-sized and broadcast; the pair join is
+    doc-keyed with a +-window band filter — per-doc cost bounded by
+    doc length x window, never corpus^2. Output bounded by
+    ``min_count``.
+
+    Returns ``(center, context, n_pairs)`` ordered by n_pairs DESC,
+    center, context.
+    """
+    from pytrousse_spark.functions.hashing import h60_seeded
+    from pytrousse_spark.functions.text import tokens
+
+    staged = df.select(
+        F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__tk")
+    )
+    occ = staged.select(
+        "__doc", F.posexplode("__tk").alias("__pos", "__tok")
+    )
+    freq = occ.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    total = freq.agg(
+        F.sum("__cnt").cast("bigint").alias("__total")
+    )
+    fw = freq.crossJoin(F.broadcast(total)).select(
+        "__tok",
+        (
+            F.col("__cnt").cast("double")
+            / F.col("__total").cast("double")
+        ).alias("__f"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.sqrt(F.lit(subsample_t) / F.col("__f"))
+        + F.lit(subsample_t) / F.col("__f"),
+    )
+    thr = fw.select(
+        "__tok", F.floor(p * F.lit(1e6)).cast("bigint").alias("__thr")
+    )
+    kept = (
+        occ.join(F.broadcast(thr), "__tok")
+        .where(
+            F.pmod(
+                h60_seeded(
+                    F.concat_ws("#", F.col("__doc"), F.col("__pos"), F.col("__tok")),
+                    seed,
+                ),
+                F.lit(1_000_000),
+            )
+            < F.col("__thr")
+        )
+        .select("__doc", "__pos", "__tok")
+    )
+    ctr = kept.select(
+        "__doc", F.col("__pos").alias("__pa"), F.col("__tok").alias("__wa")
+    )
+    ctx = kept.select(
+        "__doc", F.col("__pos").alias("__pb"), F.col("__tok").alias("__wb")
+    )
+    banded = ctr.join(ctx, "__doc").where(
+        (F.col("__pb") - F.col("__pa") >= 1)
+        & (F.col("__pb") - F.col("__pa") <= window)
+    )
+    directed = banded.select(
+        F.col("__wa").alias("center"), F.col("__wb").alias("context")
+    ).unionAll(
+        banded.select(
+            F.col("__wb").alias("center"), F.col("__wa").alias("context")
+        )
+    )
+    return (
+        directed.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_count)
+        .orderBy(F.col("n_pairs").desc(), "center", "context")
+    )
+
+
+def skipgram_pairs_sql(
+    table_expr: str,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    subsample_t: float = 1e-3,
+    min_count: int = 5,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`skipgram_pairs` — parallel-unnest
+    positions, identical h60 subsample gate and band join."""
+    from pytrousse_spark.functions.hashing import h60_seeded_sql
+    from pytrousse_spark.functions.text import tokens_sql
+
+    tk = tokens_sql(text_col)
+    h = h60_seeded_sql("__doc || '#' || __pos || '#' || __tok", seed)
+    return f"""
+    WITH __staged AS MATERIALIZED (
+        SELECT {id_col} AS __doc, {tk} AS __tk FROM ({table_expr})
+    ), __occ AS MATERIALIZED (
+        SELECT __doc,
+               unnest(range(0, len(__tk))) AS __pos,
+               unnest(__tk) AS __tok
+        FROM __staged
+    ), __freq AS (
+        SELECT __tok, CAST(count(*) AS BIGINT) AS __cnt FROM __occ
+        GROUP BY 1
+    ), __thr AS MATERIALIZED (
+        SELECT __tok,
+               CAST(floor(least(CAST(1.0 AS DOUBLE),
+                    sqrt({subsample_t} / __f) + {subsample_t} / __f)
+                    * 1e6) AS BIGINT) AS __thr
+        FROM (SELECT __tok,
+                     CAST(__cnt AS DOUBLE)
+                     / CAST((SELECT sum(__cnt) FROM __freq) AS DOUBLE)
+                         AS __f
+              FROM __freq)
+    ), __kept AS MATERIALIZED (
+        SELECT __doc, __pos, __tok
+        FROM (SELECT o.__doc, o.__pos, o.__tok AS __tok, t.__thr
+              FROM __occ o JOIN __thr t ON t.__tok = o.__tok)
+        WHERE ({h}) % 1000000 < __thr
+    ), __banded AS (
+        SELECT a.__tok AS __wa, b.__tok AS __wb
+        FROM __kept a JOIN __kept b
+          ON a.__doc = b.__doc
+         AND b.__pos - a.__pos BETWEEN 1 AND {window}
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (
+        SELECT __wa AS center, __wb AS context FROM __banded
+        UNION ALL
+        SELECT __wb AS center, __wa AS context FROM __banded
+    )
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_count}
+    ORDER BY n_pairs DESC, center, context
+    """

@@ -551,3 +551,55 @@ def test_bm25_laws(spark):
     assert {2, 6, 8} <= set(both)
     # doc 1 has both terms -> outranks same-length single-term doc 3
     assert both[1] > both[3]
+
+
+def test_skipgram_pairs_window_symmetry_and_subsampling(spark):
+    """Laws: with subsample_t = 1.0 the keep probability is 1 for
+    every word (sqrt(1/f) >= 1), so the pair table is EXACT: (1)
+    symmetric (both directions emitted), (2) window-bounded (tokens 5
+    apart never pair), (3) adjacent-in-every-doc pairs count the doc
+    total. With the real t = 1e-3 the hyper-frequent filler is
+    subsampled: its self-pair count drops strictly below the exact
+    count while the output stays deterministic (same call, same
+    rows)."""
+    from pytrousse_spark.operators.corpus import skipgram_pairs
+
+    rows = [
+        (i, "alpha beta the the the the left the the the the right")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(
+            df, "doc_id", "text", window=3, subsample_t=1.0, min_count=1
+        ).collect()
+    }
+    for (a, b), n in exact.items():
+        assert exact[(b, a)] == n          # symmetry
+    assert ("left", "right") not in exact  # 5 apart > window 3
+    assert exact[("alpha", "beta")] == 200  # adjacent in every doc
+    # 'the' at positions 2-5 and 7-10: forward self-pairs within 3
+    # per doc = C(4,2)-... count directly: offsets {2,3,4,5,7,8,9,10}
+    pos = [2, 3, 4, 5, 7, 8, 9, 10]
+    fwd = sum(
+        1 for i in pos for j in pos if 1 <= j - i <= 3
+    )
+    # both directions of a self-pair land on the same (the, the) key
+    assert exact[("the", "the")] == 2 * 200 * fwd
+    sub = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(
+            df, "doc_id", "text", window=3, subsample_t=1e-3,
+            min_count=1,
+        ).collect()
+    }
+    assert sub.get(("the", "the"), 0) < exact[("the", "the")]
+    sub2 = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(
+            df, "doc_id", "text", window=3, subsample_t=1e-3,
+            min_count=1,
+        ).collect()
+    }
+    assert sub == sub2                     # deterministic keep set
