@@ -7464,6 +7464,32 @@ def _sql_q252() -> str:
     return skipgram_pairs_sql("SELECT * FROM documents", "doc_id", "text")
 
 
+def q253_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance correlation between the click and purchase daily value
+    series (Szekely 2007) beside Pearson from the same exact pivot —
+    the any-dependence detector: n^2-scaled double-centering keeps
+    every fold an exact DECIMAL38/HUGEINT integer; pairs are O(T^2) of
+    the calendar-bounded spine
+    (operators/timeseries.distance_correlation)."""
+    from pytrousse_spark.operators.timeseries import distance_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return distance_correlation(
+        ev, "ts", "value", "event_type", "click", "purchase"
+    )
+
+
+def _sql_q253() -> str:
+    from pytrousse_spark.operators.timeseries import (
+        distance_correlation_sql,
+    )
+
+    return distance_correlation_sql(
+        "SELECT * FROM events", "ts", "value", "event_type",
+        "click", "purchase",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7536,6 +7562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_label_propagation": q250_label_propagation,
         "q251_theil_sen": q251_theil_sen,
         "q252_skipgram_pairs": q252_skipgram_pairs,
+        "q253_distance_correlation": q253_distance_correlation,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8206,6 +8233,7 @@ def oracle_sql() -> dict[str, str]:
         "q250_label_propagation": _sql_q250(),
         "q251_theil_sen": _sql_q251(),
         "q252_skipgram_pairs": _sql_q252(),
+        "q253_distance_correlation": _sql_q253(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

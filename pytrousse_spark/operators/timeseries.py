@@ -3524,3 +3524,314 @@ def theil_sen_trend_sql(
            round(r.__icept * 1e6, 0) / 1e6 AS intercept
     FROM __mr r CROSS JOIN __ms s
     """
+
+
+def distance_correlation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    type_col: str,
+    type_x: str,
+    type_y: str,
+) -> DataFrame:
+    """Distance correlation (Szekely-Rizzo-Bakirov 2007) between two
+    event types' daily value series — the DEPENDENCE detector beside
+    Pearson (q130) and binned MI (q229): dCor = 0 iff the series are
+    independent, so a deterministic NON-MONOTONE map that Pearson
+    reads as ~0 still lights up.
+
+    With integer-cent series x, y on the shared spine and
+    a_ij = |x_i - x_j|, the double-centered matrix is computed at the
+    n^2 scale so EVERYTHING before the final three divisions is an
+    exact integer:
+
+        At_ij = n^2*a_ij - n*ra_i - n*ra_j + ga        (exact)
+        Sxy = sum At_ij*Bt_ij ; Sxx, Syy likewise      (exact)
+        dCor^2 = Sxy / sqrt(Sxx*Syy)       (n^12 scales cancel)
+
+    Returns one row ``(n_days, pearson_r, dcor)`` — Pearson from the
+    same exact pivot folds for contrast; NULL dcor on zero distance
+    variance, NULL pearson on zero variance; round-6.
+
+    Exactness: a_ij, row sums, grand sums and all three S folds are
+    DECIMAL(38,0)/HUGEINT integers (|S| <~ 1e34 at a decade of sf10
+    cents — inside both engines' 38-digit head-room); the doubles
+    appear only in the final sqrt/division chain with identical
+    expression text.
+
+    Scale: the pair set is O(T^2) of the CALENDAR-BOUNDED spine (the
+    q251 declaration), never of the raw table; row sums are
+    spine-sized and broadcast back onto the pairs.
+    """
+    typed = df.where(
+        F.col(type_col).isin([type_x, type_y])
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.to_date(F.col(ts_col)).alias("__d"),
+        F.when(F.col(type_col) == type_x, F.lit("x"))
+        .otherwise(F.lit("y"))
+        .alias("__t"),
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("__c"),
+    )
+    daily = typed.groupBy("__d", "__t").agg(F.sum("__c").alias("__c"))
+    rng = daily.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    spine = rng.select(
+        F.explode(
+            F.expr("sequence(__lo, __hi, interval 1 day)")
+        ).alias("__d")
+    )
+    d38 = "decimal(38,0)"
+    piv = (
+        spine.join(
+            daily.where(F.col("__t") == "x").select(
+                "__d", F.col("__c").alias("__x")
+            ),
+            "__d",
+            "left",
+        )
+        .join(
+            daily.where(F.col("__t") == "y").select(
+                "__d", F.col("__c").alias("__y")
+            ),
+            "__d",
+            "left",
+        )
+        .select(
+            F.row_number()
+            .over(Window.orderBy("__d"))
+            .cast("bigint")
+            .alias("__i"),
+            F.coalesce(F.col("__x"), F.lit(0)).cast(d38).alias("__x"),
+            F.coalesce(F.col("__y"), F.lit(0)).cast(d38).alias("__y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = piv.select(
+        F.col("__i").alias("__ia"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+    )
+    b = piv.select(
+        F.col("__i").alias("__ib"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+    )
+    pairs = a.crossJoin(b).select(
+        "__ia",
+        "__ib",
+        F.abs(F.col("__xa") - F.col("__xb")).alias("__a"),
+        F.abs(F.col("__ya") - F.col("__yb")).alias("__b"),
+    )
+    rows = pairs.groupBy("__ia").agg(
+        F.sum("__a").cast(d38).alias("__ra"),
+        F.sum("__b").cast(d38).alias("__rb"),
+    )
+    grand = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__ra").cast(d38).alias("__ga"),
+        F.sum("__rb").cast(d38).alias("__gb"),
+    )
+    ri = rows.select(
+        F.col("__ia").alias("__ri_i"),
+        F.col("__ra").alias("__ra_i"),
+        F.col("__rb").alias("__rb_i"),
+    )
+    rj = rows.select(
+        F.col("__ia").alias("__rj_j"),
+        F.col("__ra").alias("__ra_j"),
+        F.col("__rb").alias("__rb_j"),
+    )
+    cent = (
+        pairs.join(F.broadcast(ri), pairs["__ia"] == ri["__ri_i"])
+        .join(F.broadcast(rj), pairs["__ib"] == rj["__rj_j"])
+        .crossJoin(F.broadcast(grand))
+    )
+    nn = F.col("__n").cast(d38)
+    at = (
+        nn * nn * F.col("__a")
+        - nn * F.col("__ra_i")
+        - nn * F.col("__ra_j")
+        + F.col("__ga")
+    )
+    bt = (
+        nn * nn * F.col("__b")
+        - nn * F.col("__rb_i")
+        - nn * F.col("__rb_j")
+        + F.col("__gb")
+    )
+    folds = cent.select(
+        F.col("__n"),
+        at.alias("__at"),
+        bt.alias("__bt"),
+    ).groupBy("__n").agg(
+        F.sum(F.col("__at") * F.col("__bt")).cast(d38).alias("__sxy"),
+        F.sum(F.col("__at") * F.col("__at")).cast(d38).alias("__sxx"),
+        F.sum(F.col("__bt") * F.col("__bt")).cast(d38).alias("__syy"),
+    )
+    mom = piv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").cast(d38).alias("__sx"),
+        F.sum("__y").cast(d38).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).cast(d38).alias("__pxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast(d38).alias("__pyy"),
+        F.sum(F.col("__x") * F.col("__y")).cast(d38).alias("__pxy"),
+    )
+    j = folds.join(F.broadcast(mom), "__n")
+    nd = F.col("__n").cast("double")
+    pnum = nd * F.col("__pxy").cast("double") - F.col("__sx").cast(
+        "double"
+    ) * F.col("__sy").cast("double")
+    pvx = nd * F.col("__pxx").cast("double") - F.col("__sx").cast(
+        "double"
+    ) * F.col("__sx").cast("double")
+    pvy = nd * F.col("__pyy").cast("double") - F.col("__sy").cast(
+        "double"
+    ) * F.col("__sy").cast("double")
+    pearson = F.when(
+        (pvx > 0) & (pvy > 0), pnum / F.sqrt(pvx * pvy)
+    )
+    dcor = F.when(
+        (F.col("__sxx").cast("double") > 0)
+        & (F.col("__syy").cast("double") > 0),
+        F.sqrt(
+            F.col("__sxy").cast("double")
+            / F.sqrt(
+                F.col("__sxx").cast("double")
+                * F.col("__syy").cast("double")
+            )
+        ),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        F.col("__n").alias("n_days"),
+        r6(pearson).alias("pearson_r"),
+        r6(dcor).alias("dcor"),
+    )
+
+
+def distance_correlation_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+    type_col: str,
+    type_x: str,
+    type_y: str,
+) -> str:
+    """DuckDB twin of :func:`distance_correlation` — identical shared
+    spine, HUGEINT n^2-scaled double-centering and the same final
+    sqrt/division chain."""
+    return f"""
+    WITH __typed AS (
+        SELECT CAST({ts_col} AS DATE) AS __d,
+               CASE WHEN {type_col} = '{type_x}' THEN 'x'
+                    ELSE 'y' END AS __t,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __c
+        FROM ({table_expr})
+        WHERE {type_col} IN ('{type_x}', '{type_y}')
+          AND {ts_col} IS NOT NULL
+    ), __daily AS MATERIALIZED (
+        SELECT __d, __t, CAST(sum(__c) AS BIGINT) AS __c
+        FROM __typed GROUP BY 1, 2
+    ), __rng AS (
+        SELECT min(__d) AS __lo, max(__d) AS __hi FROM __daily
+    ), __spine AS (
+        SELECT CAST(unnest(generate_series(CAST(__lo AS TIMESTAMP),
+                       CAST(__hi AS TIMESTAMP), INTERVAL 1 DAY))
+                    AS DATE) AS __d
+        FROM __rng
+    ), __piv AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY s.__d) AS BIGINT)
+                   AS __i,
+               CAST(COALESCE(x.__c, 0) AS HUGEINT) AS __x,
+               CAST(COALESCE(y.__c, 0) AS HUGEINT) AS __y
+        FROM __spine s
+        LEFT JOIN (SELECT __d, __c FROM __daily WHERE __t = 'x') x
+          ON x.__d = s.__d
+        LEFT JOIN (SELECT __d, __c FROM __daily WHERE __t = 'y') y
+          ON y.__d = s.__d
+    ), __pairs AS MATERIALIZED (
+        SELECT a.__i AS __ia, b.__i AS __ib,
+               abs(a.__x - b.__x) AS __a,
+               abs(a.__y - b.__y) AS __b
+        FROM __piv a CROSS JOIN __piv b
+    ), __rows AS MATERIALIZED (
+        SELECT __ia, sum(__a) AS __ra, sum(__b) AS __rb
+        FROM __pairs GROUP BY 1
+    ), __grand AS (
+        SELECT CAST(count(*) AS BIGINT) AS __n,
+               sum(__ra) AS __ga, sum(__rb) AS __gb
+        FROM __rows
+    ), __folds AS (
+        SELECT g.__n,
+               sum(( CAST(g.__n AS HUGEINT) * CAST(g.__n AS HUGEINT)
+                     * p.__a
+                     - CAST(g.__n AS HUGEINT) * ri.__ra
+                     - CAST(g.__n AS HUGEINT) * rj.__ra + g.__ga)
+                   * ( CAST(g.__n AS HUGEINT) * CAST(g.__n AS HUGEINT)
+                     * p.__b
+                     - CAST(g.__n AS HUGEINT) * ri.__rb
+                     - CAST(g.__n AS HUGEINT) * rj.__rb + g.__gb))
+                   AS __sxy,
+               sum(( CAST(g.__n AS HUGEINT) * CAST(g.__n AS HUGEINT)
+                     * p.__a
+                     - CAST(g.__n AS HUGEINT) * ri.__ra
+                     - CAST(g.__n AS HUGEINT) * rj.__ra + g.__ga)
+                   * ( CAST(g.__n AS HUGEINT) * CAST(g.__n AS HUGEINT)
+                     * p.__a
+                     - CAST(g.__n AS HUGEINT) * ri.__ra
+                     - CAST(g.__n AS HUGEINT) * rj.__ra + g.__ga))
+                   AS __sxx,
+               sum(( CAST(g.__n AS HUGEINT) * CAST(g.__n AS HUGEINT)
+                     * p.__b
+                     - CAST(g.__n AS HUGEINT) * ri.__rb
+                     - CAST(g.__n AS HUGEINT) * rj.__rb + g.__gb)
+                   * ( CAST(g.__n AS HUGEINT) * CAST(g.__n AS HUGEINT)
+                     * p.__b
+                     - CAST(g.__n AS HUGEINT) * ri.__rb
+                     - CAST(g.__n AS HUGEINT) * rj.__rb + g.__gb))
+                   AS __syy
+        FROM __pairs p
+        JOIN __rows ri ON ri.__ia = p.__ia
+        JOIN __rows rj ON rj.__ia = p.__ib
+        CROSS JOIN __grand g
+        GROUP BY 1
+    ), __mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS __n,
+               sum(__x) AS __sx, sum(__y) AS __sy,
+               sum(__x * __x) AS __pxx, sum(__y * __y) AS __pyy,
+               sum(__x * __y) AS __pxy
+        FROM __piv
+    )
+    SELECT f.__n AS n_days,
+           round(CASE WHEN
+                     CAST(f.__n AS DOUBLE) * CAST(m.__pxx AS DOUBLE)
+                     - CAST(m.__sx AS DOUBLE) * CAST(m.__sx AS DOUBLE)
+                     > 0
+                 AND CAST(f.__n AS DOUBLE) * CAST(m.__pyy AS DOUBLE)
+                     - CAST(m.__sy AS DOUBLE) * CAST(m.__sy AS DOUBLE)
+                     > 0
+                 THEN (CAST(f.__n AS DOUBLE) * CAST(m.__pxy AS DOUBLE)
+                       - CAST(m.__sx AS DOUBLE)
+                         * CAST(m.__sy AS DOUBLE))
+                      / sqrt((CAST(f.__n AS DOUBLE)
+                              * CAST(m.__pxx AS DOUBLE)
+                              - CAST(m.__sx AS DOUBLE)
+                                * CAST(m.__sx AS DOUBLE))
+                             * (CAST(f.__n AS DOUBLE)
+                                * CAST(m.__pyy AS DOUBLE)
+                                - CAST(m.__sy AS DOUBLE)
+                                  * CAST(m.__sy AS DOUBLE)))
+                 END * 1e6, 0) / 1e6 AS pearson_r,
+           round(CASE WHEN CAST(f.__sxx AS DOUBLE) > 0
+                       AND CAST(f.__syy AS DOUBLE) > 0
+                 THEN sqrt(CAST(f.__sxy AS DOUBLE)
+                           / sqrt(CAST(f.__sxx AS DOUBLE)
+                                  * CAST(f.__syy AS DOUBLE)))
+                 END * 1e6, 0) / 1e6 AS dcor
+    FROM __folds f CROSS JOIN __mom m
+    """

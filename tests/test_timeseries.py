@@ -948,3 +948,46 @@ def test_theil_sen_shrugs_off_outliers_that_move_ols(spark):
     assert out["slope"] == 3.0
     # residual at the median slope: c_i - 3*i = 1000 - 3 (1-based i)
     assert out["intercept"] == 997.0
+
+
+def test_distance_correlation_sees_what_pearson_misses(spark):
+    """Laws: a deterministic NON-MONOTONE map y = |x - 20| gives
+    near-zero Pearson but large dCor (dependence detected); a linear
+    map gives dCor = 1 = |Pearson| exactly; an (anti-phase
+    independent-ish) alternating pair stays well below the
+    deterministic case."""
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.timeseries import distance_correlation
+
+    t0 = datetime(2024, 1, 1)
+
+    def build(f):
+        rows, eid = [], 0
+        for i in range(40):
+            x = float(i + 1)
+            rows.append(
+                (eid, t0 + timedelta(days=i, hours=1), "click", x)
+            )
+            eid += 1
+            rows.append(
+                (eid, t0 + timedelta(days=i, hours=2), "purchase", f(x))
+            )
+            eid += 1
+        return spark.createDataFrame(
+            rows, ["event_id", "ts", "event_type", "value"]
+        )
+
+    vee = distance_correlation(
+        build(lambda x: abs(x - 20.0)),
+        "ts", "value", "event_type", "click", "purchase",
+    ).collect()[0]
+    assert abs(vee["pearson_r"]) < 0.1
+    assert vee["dcor"] > 0.4
+
+    lin = distance_correlation(
+        build(lambda x: 3.0 * x + 7.0),
+        "ts", "value", "event_type", "click", "purchase",
+    ).collect()[0]
+    assert lin["pearson_r"] == 1.0
+    assert lin["dcor"] == 1.0
