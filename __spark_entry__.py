@@ -7490,6 +7490,24 @@ def _sql_q253() -> str:
     )
 
 
+def q254_unicode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Unicode hygiene census of the documents corpus —
+    mojibake (U+FFFD), C0 control contamination and UTF-8 byte/char
+    overhead in ONE map-side regexp pass + one source-keyed agg, no
+    UDF; code-point and RE2-class semantics probed identical across
+    engines (operators/quality.unicode_census)."""
+    from pytrousse_spark.operators.quality import unicode_census
+
+    docs = _t(spark, sf_dir, "documents")
+    return unicode_census(docs, "source", "text")
+
+
+def _sql_q254() -> str:
+    from pytrousse_spark.operators.quality import unicode_census_sql
+
+    return unicode_census_sql("SELECT * FROM documents", "source", "text")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7563,6 +7581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q251_theil_sen": q251_theil_sen,
         "q252_skipgram_pairs": q252_skipgram_pairs,
         "q253_distance_correlation": q253_distance_correlation,
+        "q254_unicode_census": q254_unicode_census,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8234,6 +8253,7 @@ def oracle_sql() -> dict[str, str]:
         "q251_theil_sen": _sql_q251(),
         "q252_skipgram_pairs": _sql_q252(),
         "q253_distance_correlation": _sql_q253(),
+        "q254_unicode_census": _sql_q254(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

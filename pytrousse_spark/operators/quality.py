@@ -140,3 +140,130 @@ def expect_sql(
            n_violations = 0 AS passed
     FROM rows_
     """
+
+
+_CTRL_PAT = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_NONASCII_PAT = r"[^\x00-\x7F]"
+
+
+def unicode_census(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group Unicode hygiene census of a text corpus — the
+    encoding-level quality gate an LLM ingest runs before tokenizing
+    100 TB: mojibake shows up as U+FFFD replacement characters,
+    binary-contaminated text as C0 control characters (tab/newline/CR
+    excluded), and the byte/char overhead separates CJK-heavy from
+    corrupted sources.
+
+        ascii_ratio    = 1 - nonascii_chars / total_chars
+        bytes_per_char = total_bytes / total_chars
+
+    Exactness: probed cross-engine — Spark ``length`` and DuckDB
+    ``length`` both count CODE POINTS (an astral 4-byte char is 1),
+    ``octet_length``/``strlen`` both count UTF-8 bytes, and Java and
+    RE2 agree on the three character-class counts; all folds are
+    exact BIGINT, the two ratios are single divisions of identical
+    integers, round-6, NULL on empty groups. NULL texts are excluded.
+
+    Scale: ONE map-side regexp pass + one group-keyed agg — no
+    join, no window, no UDF.
+
+    Returns ``(group, n_docs, total_chars, total_bytes,
+    nonascii_chars, ctrl_chars, replacement_chars, ascii_ratio,
+    bytes_per_char)`` ordered by group.
+    """
+    t = F.col(text_col)
+    per = df.where(t.isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.length(t).cast("bigint").alias("__ch"),
+        F.octet_length(t).cast("bigint").alias("__by"),
+        F.regexp_count(t, F.lit(_NONASCII_PAT)).cast("bigint").alias(
+            "__na"
+        ),
+        F.regexp_count(t, F.lit(_CTRL_PAT)).cast("bigint").alias(
+            "__ct"
+        ),
+        F.regexp_count(t, F.lit("�")).cast("bigint").alias(
+            "__re"
+        ),
+    )
+    agg = per.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__ch").cast("bigint").alias("total_chars"),
+        F.sum("__by").cast("bigint").alias("total_bytes"),
+        F.sum("__na").cast("bigint").alias("nonascii_chars"),
+        F.sum("__ct").cast("bigint").alias("ctrl_chars"),
+        F.sum("__re").cast("bigint").alias("replacement_chars"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    ch = F.col("total_chars").cast("double")
+    return agg.select(
+        "group",
+        "n_docs",
+        "total_chars",
+        "total_bytes",
+        "nonascii_chars",
+        "ctrl_chars",
+        "replacement_chars",
+        r6(
+            F.when(
+                F.col("total_chars") > 0,
+                F.lit(1.0)
+                - F.col("nonascii_chars").cast("double") / ch,
+            )
+        ).alias("ascii_ratio"),
+        r6(
+            F.when(
+                F.col("total_chars") > 0,
+                F.col("total_bytes").cast("double") / ch,
+            )
+        ).alias("bytes_per_char"),
+    ).orderBy("group")
+
+
+def unicode_census_sql(
+    table_expr: str,
+    group_col: str,
+    text_col: str,
+) -> str:
+    """DuckDB twin of :func:`unicode_census` — identical code-point /
+    UTF-8-byte / RE2-class counts (probed) and ratio expressions."""
+    return f"""
+    WITH __per AS (
+        SELECT {group_col} AS "group",
+               CAST(length({text_col}) AS BIGINT) AS __ch,
+               CAST(strlen({text_col}) AS BIGINT) AS __by,
+               CAST(len(regexp_extract_all({text_col},
+                    '[^\\x00-\\x7F]')) AS BIGINT) AS __na,
+               CAST(len(regexp_extract_all({text_col},
+                    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT)
+                   AS __ct,
+               CAST(len(regexp_extract_all({text_col},
+                    '\\x{{FFFD}}')) AS BIGINT) AS __re
+        FROM ({table_expr}) WHERE {text_col} IS NOT NULL
+    ), __agg AS (
+        SELECT "group",
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(__ch) AS BIGINT) AS total_chars,
+               CAST(sum(__by) AS BIGINT) AS total_bytes,
+               CAST(sum(__na) AS BIGINT) AS nonascii_chars,
+               CAST(sum(__ct) AS BIGINT) AS ctrl_chars,
+               CAST(sum(__re) AS BIGINT) AS replacement_chars
+        FROM __per GROUP BY 1
+    )
+    SELECT "group", n_docs, total_chars, total_bytes, nonascii_chars,
+           ctrl_chars, replacement_chars,
+           round(CASE WHEN total_chars > 0 THEN
+                 CAST(1.0 AS DOUBLE)
+                 - CAST(nonascii_chars AS DOUBLE)
+                   / CAST(total_chars AS DOUBLE) END * 1e6, 0) / 1e6
+               AS ascii_ratio,
+           round(CASE WHEN total_chars > 0 THEN
+                 CAST(total_bytes AS DOUBLE)
+                 / CAST(total_chars AS DOUBLE) END * 1e6, 0) / 1e6
+               AS bytes_per_char
+    FROM __agg ORDER BY "group"
+    """
