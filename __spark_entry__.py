@@ -7508,6 +7508,25 @@ def _sql_q254() -> str:
     return unicode_census_sql("SELECT * FROM documents", "source", "text")
 
 
+def q255_huber_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber IRLS robust daily trend of event value beside its own OLS
+    — per-iteration MAD rescaling, micro-unit INTEGER weights before
+    any sum (the q111 discipline) so the weighted normal equations are
+    exact DECIMAL38/HUGEINT in both engines; oracle replays every
+    iteration as MATERIALIZED CTEs
+    (operators/timeseries.huber_trend)."""
+    from pytrousse_spark.operators.timeseries import huber_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return huber_trend(ev, "ts", "value")
+
+
+def _sql_q255() -> str:
+    from pytrousse_spark.operators.timeseries import huber_trend_sql
+
+    return huber_trend_sql("SELECT * FROM events", "ts", "value")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7582,6 +7601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_skipgram_pairs": q252_skipgram_pairs,
         "q253_distance_correlation": q253_distance_correlation,
         "q254_unicode_census": q254_unicode_census,
+        "q255_huber_trend": q255_huber_trend,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8254,6 +8274,7 @@ def oracle_sql() -> dict[str, str]:
         "q252_skipgram_pairs": _sql_q252(),
         "q253_distance_correlation": _sql_q253(),
         "q254_unicode_census": _sql_q254(),
+        "q255_huber_trend": _sql_q255(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -3835,3 +3835,278 @@ def distance_correlation_sql(
                  END * 1e6, 0) / 1e6 AS dcor
     FROM __folds f CROSS JOIN __mom m
     """
+
+
+def huber_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    iters: int = 6,
+    tuning: float = 1.345,
+) -> DataFrame:
+    """Huber-loss robust trend line (Huber 1964) on the daily
+    integer-cent series, fit by IRLS with the scale RE-ESTIMATED each
+    iteration — the M-estimator between OLS (q131, breakdown 0) and
+    Theil-Sen (q251, breakdown 29%). Per iteration t:
+
+        delta_t = tuning * 1.4826 * median|r_t|     (MAD of current
+                                                     residuals)
+        w_i = 1 if r_i = 0 else min(1, delta_t/|r_i|)
+        wm_i = floor(w_i * 1e6)                     (micro-unit INT)
+        refit weighted OLS from the EXACT integer folds
+        sum(wm), sum(wm*i), sum(wm*i^2), sum(wm*y), sum(wm*i*y)
+
+    (one-shot initial-scale IRLS stalls: a tilted OLS start inflates
+    the MAD and under-downweights the outliers — measured slope -18
+    vs truth +3 on the planted-outlier test; per-iteration rescaling
+    converges to +3.)
+
+    The q111 logistic discipline: per-row weights are micro-unit
+    INTEGERS before any sum, so the weighted normal equations are
+    exact DECIMAL(38,0)/HUGEINT in both engines and every iterate's
+    (a, b) doubles are bit-identical; floats appear only in the
+    per-row weight and the closed-form solve, with identical
+    expression text.
+
+    Returns one row ``(n_days, ols_slope, ols_intercept, huber_slope,
+    huber_intercept)``, round-6; a zero MAD gives exact-fit rows
+    weight 1 and the rest 0 (the correct delta->0 limit).
+
+    Scale: per iteration, one broadcast 1-row parameter attachment +
+    one explicit-median window (q251 device) + one map-side-
+    combinable fold, all on the CALENDAR-BOUNDED spine; iters is a
+    constant.
+    """
+    d38 = "decimal(38,0)"
+    dense = _daily_cents(df, ts_col, value_col).select(
+        "__i", "__c"
+    ).localCheckpoint(eager=True)
+
+    def folds(weighted: DataFrame) -> DataFrame:
+        wm = F.col("__wm").cast(d38)
+        i_ = F.col("__i").cast(d38)
+        y_ = F.col("__c").cast(d38)
+        return weighted.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum(wm).cast(d38).alias("__sw"),
+            F.sum(wm * i_).cast(d38).alias("__swx"),
+            F.sum(wm * i_ * i_).cast(d38).alias("__swxx"),
+            F.sum(wm * y_).cast(d38).alias("__swy"),
+            F.sum(wm * i_ * y_).cast(d38).alias("__swxy"),
+        )
+
+    def solve(fd: DataFrame) -> DataFrame:
+        sw = F.col("__sw").cast("double")
+        swx = F.col("__swx").cast("double")
+        swxx = F.col("__swxx").cast("double")
+        swy = F.col("__swy").cast("double")
+        swxy = F.col("__swxy").cast("double")
+        det = sw * swxx - swx * swx
+        b = F.when(det != 0, (sw * swxy - swx * swy) / det)
+        return fd.select(
+            "__n",
+            b.alias("__b"),
+            F.when(sw > 0, (swy - b * swx) / sw).alias("__a"),
+        )
+
+    def residuals(params: DataFrame) -> DataFrame:
+        return dense.crossJoin(F.broadcast(params)).select(
+            "__i",
+            "__c",
+            (
+                F.col("__c").cast("double")
+                - F.col("__a")
+                - F.col("__b") * F.col("__i").cast("double")
+            ).alias("__rs"),
+        )
+
+    def mad_delta(resid: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.abs(F.col("__rs")).asc())
+        nw = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return (
+            resid.select(
+                F.abs(F.col("__rs")).alias("__r"),
+                F.row_number().over(w).alias("__rn"),
+                F.count(F.lit(1)).over(nw).cast("bigint").alias("__nn"),
+            )
+            .where(
+                (F.col("__rn") == F.floor((F.col("__nn") + 1) / 2))
+                | (F.col("__rn") == F.floor(F.col("__nn") / 2) + 1)
+            )
+            .agg(
+                (
+                    (F.min("__r") + F.max("__r"))
+                    / F.lit(2.0)
+                    * F.lit(tuning)
+                    * F.lit(1.4826)
+                ).alias("__delta")
+            )
+        )
+
+    ols = solve(
+        folds(dense.withColumn("__wm", F.lit(1_000_000)))
+    ).localCheckpoint(eager=True)
+    params = ols
+    for _ in range(iters):
+        resid = residuals(params)
+        delta = mad_delta(resid)
+        weighted = resid.crossJoin(F.broadcast(delta)).select(
+            "__i",
+            "__c",
+            F.floor(
+                F.when(F.abs(F.col("__rs")) == 0, F.lit(1.0))
+                .when(F.col("__delta") <= 0, F.lit(0.0))
+                .otherwise(
+                    F.least(
+                        F.lit(1.0),
+                        F.col("__delta") / F.abs(F.col("__rs")),
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("__wm"),
+        )
+        params = solve(
+            folds(weighted.where(F.col("__wm") > 0))
+        ).localCheckpoint(eager=True)
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return (
+        ols.select(
+            F.col("__n").alias("n_days"),
+            F.col("__b").alias("__ob"),
+            F.col("__a").alias("__oa"),
+        )
+        .crossJoin(
+            F.broadcast(
+                params.select(
+                    F.col("__b").alias("__hb"), F.col("__a").alias("__ha")
+                )
+            )
+        )
+        .select(
+            "n_days",
+            r6(F.col("__ob")).alias("ols_slope"),
+            r6(F.col("__oa")).alias("ols_intercept"),
+            r6(F.col("__hb")).alias("huber_slope"),
+            r6(F.col("__ha")).alias("huber_intercept"),
+        )
+    )
+
+
+def huber_trend_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+    iters: int = 6,
+    tuning: float = 1.345,
+) -> str:
+    """DuckDB twin of :func:`huber_trend` — identical OLS init,
+    per-iteration MAD delta, micro-unit weight floors and HUGEINT
+    folds, unrolled as MATERIALIZED CTEs (the q238 lesson)."""
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    solve = """
+        SELECT __n,
+               CASE WHEN CAST(__sw AS DOUBLE) * CAST(__swxx AS DOUBLE)
+                         - CAST(__swx AS DOUBLE) * CAST(__swx AS DOUBLE)
+                         <> 0
+                    THEN (CAST(__sw AS DOUBLE) * CAST(__swxy AS DOUBLE)
+                          - CAST(__swx AS DOUBLE) * CAST(__swy AS DOUBLE))
+                         / (CAST(__sw AS DOUBLE) * CAST(__swxx AS DOUBLE)
+                            - CAST(__swx AS DOUBLE)
+                              * CAST(__swx AS DOUBLE))
+               END AS __b,
+               CASE WHEN CAST(__sw AS DOUBLE) > 0
+                    THEN (CAST(__swy AS DOUBLE)
+                          - CASE WHEN CAST(__sw AS DOUBLE)
+                                      * CAST(__swxx AS DOUBLE)
+                                      - CAST(__swx AS DOUBLE)
+                                        * CAST(__swx AS DOUBLE) <> 0
+                                 THEN (CAST(__sw AS DOUBLE)
+                                       * CAST(__swxy AS DOUBLE)
+                                       - CAST(__swx AS DOUBLE)
+                                         * CAST(__swy AS DOUBLE))
+                                      / (CAST(__sw AS DOUBLE)
+                                         * CAST(__swxx AS DOUBLE)
+                                         - CAST(__swx AS DOUBLE)
+                                           * CAST(__swx AS DOUBLE))
+                            END * CAST(__swx AS DOUBLE))
+                         / CAST(__sw AS DOUBLE)
+               END AS __a
+        FROM {src}
+    """
+    fold = """
+        SELECT CAST(count(*) AS BIGINT) AS __n,
+               sum(CAST(__wm AS HUGEINT)) AS __sw,
+               sum(CAST(__wm AS HUGEINT) * CAST(__i AS HUGEINT))
+                   AS __swx,
+               sum(CAST(__wm AS HUGEINT) * CAST(__i AS HUGEINT)
+                   * CAST(__i AS HUGEINT)) AS __swxx,
+               sum(CAST(__wm AS HUGEINT) * CAST(__c AS HUGEINT))
+                   AS __swy,
+               sum(CAST(__wm AS HUGEINT) * CAST(__i AS HUGEINT)
+                   * CAST(__c AS HUGEINT)) AS __swxy
+        FROM {src}
+    """
+    parts = [base]
+    parts.append(
+        ", __f0 AS MATERIALIZED ("
+        + fold.format(
+            src="(SELECT __i, __c, 1000000 AS __wm FROM __dense)"
+        )
+        + "), __p0 AS MATERIALIZED ("
+        + solve.format(src="__f0")
+        + ")"
+    )
+    prev = "__p0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    , __r{t} AS MATERIALIZED (
+        SELECT d.__i, d.__c,
+               CAST(d.__c AS DOUBLE) - p.__a
+                   - p.__b * CAST(d.__i AS DOUBLE) AS __rs
+        FROM __dense d CROSS JOIN {prev} p
+    ), __m{t} AS MATERIALIZED (
+        SELECT {tuning} * 1.4826 * (min(__r) + max(__r)) / 2.0
+                   AS __delta
+        FROM (SELECT abs(__rs) AS __r,
+                     row_number() OVER (ORDER BY abs(__rs) ASC)
+                         AS __rn,
+                     CAST(count(*) OVER () AS BIGINT) AS __nn
+              FROM __r{t})
+        WHERE __rn = (__nn + 1) // 2 OR __rn = __nn // 2 + 1
+    )""")
+        wsrc = f"""
+        (SELECT r.__i, r.__c,
+                CAST(floor(CASE WHEN abs(r.__rs) = 0 THEN 1.0
+                     WHEN m.__delta <= 0 THEN 0.0
+                     ELSE least(CAST(1.0 AS DOUBLE),
+                          m.__delta / abs(r.__rs))
+                     END * 1e6) AS BIGINT) AS __wm
+         FROM __r{t} r CROSS JOIN __m{t} m)
+        """
+        parts.append(
+            f", __f{t} AS MATERIALIZED ("
+            + fold.format(
+                src=f"(SELECT * FROM {wsrc} WHERE __wm > 0)"
+            )
+            + f"), __p{t} AS MATERIALIZED ("
+            + solve.format(src=f"__f{t}")
+            + ")"
+        )
+        prev = f"__p{t}"
+    return (
+        "".join(parts)
+        + f"""
+    SELECT o.__n AS n_days,
+           round(o.__b * 1e6, 0) / 1e6 AS ols_slope,
+           round(o.__a * 1e6, 0) / 1e6 AS ols_intercept,
+           round(h.__b * 1e6, 0) / 1e6 AS huber_slope,
+           round(h.__a * 1e6, 0) / 1e6 AS huber_intercept
+    FROM __p0 o CROSS JOIN {prev} h
+    """
+    )

@@ -991,3 +991,39 @@ def test_distance_correlation_sees_what_pearson_misses(spark):
     ).collect()[0]
     assert lin["pearson_r"] == 1.0
     assert lin["dcor"] == 1.0
+
+
+def test_huber_trend_recovers_truth_ols_cannot(spark):
+    """Laws: on a clean 3-cents/day trend with two gross outliers the
+    per-iteration-rescaled IRLS converges to the TRUE (3.0, 997.0)
+    while its own OLS columns are wrecked (slope < -200) — the same
+    truth Theil-Sen (q251) finds; on outlier-free data Huber EQUALS
+    OLS exactly (every weight is 1: delta >= all residuals... weights
+    floor to 1e6 when |r| = 0 or min(1, d/|r|) = 1)."""
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.timeseries import huber_trend
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0 + 0.03 * i for i in range(40)]
+    vals[10], vals[30] = 900.0, -500.0
+    rows = [
+        (i, t0 + timedelta(days=i, hours=1), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    out = huber_trend(df, "ts", "value").collect()[0]
+    assert out["ols_slope"] < -200.0
+    assert out["huber_slope"] == 3.0
+    assert out["huber_intercept"] == 997.0
+
+    clean = spark.createDataFrame(
+        [
+            (i, t0 + timedelta(days=i, hours=1), 10.0 + 0.03 * i)
+            for i in range(40)
+        ],
+        ["event_id", "ts", "value"],
+    )
+    c = huber_trend(clean, "ts", "value").collect()[0]
+    assert c["huber_slope"] == c["ols_slope"] == 3.0
+    assert c["huber_intercept"] == c["ols_intercept"] == 997.0
