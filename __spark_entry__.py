@@ -7527,6 +7527,29 @@ def _sql_q255() -> str:
     return huber_trend_sql("SELECT * FROM events", "ts", "value")
 
 
+def q256_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on weekly block maxima of daily event
+    value (PWM estimators, Landwehr 1979) with 10- and 52-block return
+    levels — the full-law EVT sibling of the Hill tail gate q168; both
+    PWM folds are exact HUGEINT/DECIMAL38 integers with a provably
+    tie-safe rank weighting
+    (operators/timeseries.gumbel_block_maxima)."""
+    from pytrousse_spark.operators.timeseries import gumbel_block_maxima
+
+    ev = _t(spark, sf_dir, "events")
+    return gumbel_block_maxima(ev, "ts", "value", block_days=7)
+
+
+def _sql_q256() -> str:
+    from pytrousse_spark.operators.timeseries import (
+        gumbel_block_maxima_sql,
+    )
+
+    return gumbel_block_maxima_sql(
+        "SELECT * FROM events", "ts", "value", block_days=7
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7602,6 +7625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q253_distance_correlation": q253_distance_correlation,
         "q254_unicode_census": q254_unicode_census,
         "q255_huber_trend": q255_huber_trend,
+        "q256_gumbel_maxima": q256_gumbel_maxima,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8275,6 +8299,7 @@ def oracle_sql() -> dict[str, str]:
         "q253_distance_correlation": _sql_q253(),
         "q254_unicode_census": _sql_q254(),
         "q255_huber_trend": _sql_q255(),
+        "q256_gumbel_maxima": _sql_q256(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

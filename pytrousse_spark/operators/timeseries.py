@@ -4110,3 +4110,155 @@ def huber_trend_sql(
     FROM __p0 o CROSS JOIN {prev} h
     """
     )
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    block_days: int = 7,
+) -> DataFrame:
+    """Gumbel extreme-value fit on block maxima of the daily
+    integer-cent series, by probability-weighted moments (Landwehr
+    1979; the EVT sibling of the Hill tail-index gate q168 — Hill
+    reads the tail exponent from the top-k order statistics, this
+    fits the FULL max-domain law and prices return levels):
+
+        m_k   = max of block k (block = (i-1) // block_days)
+        B0    = sum m_(j)            B1 = sum (j-1) m_(j)   (sorted)
+        b0 = B0/n ; b1 = B1/(n(n-1))
+        beta  = (2 b1 - b0) / ln 2        (scale)
+        mu    = b0 - gamma_E * beta       (location)
+        RL_T  = mu - beta * ln(-ln(1 - 1/T))
+
+    Returns one row ``(n_blocks, mu, beta, rl_10, rl_52)`` (cents;
+    return periods in blocks), round-6; NULL fit when n_blocks < 3.
+
+    Exactness: block maxima and both PWM folds are exact integers
+    (the tie hazard is provably absent: within a tied run of equal
+    maxima the rank weights (j-1) sum to the same total whatever
+    order row_number assigns); the fit is a fixed double expression
+    of two exact integers.
+
+    Scale: ONE block-keyed max agg on the calendar-bounded spine +
+    one rank window over n_blocks rows.
+    """
+    dense = _daily_cents(df, ts_col, value_col)
+    blocks = dense.groupBy(
+        ((F.col("__i") - 1) / F.lit(block_days))
+        .cast("bigint")
+        .alias("__blk")
+    ).agg(F.max("__c").alias("__m"))
+    w = Window.orderBy(F.col("__m").asc(), F.col("__blk").asc())
+    ranked = blocks.select(
+        "__m", (F.row_number().over(w) - 1).cast("bigint").alias("__j")
+    )
+    fold = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("__m").cast("decimal(38,0)").alias("__b0"),
+        F.sum(
+            F.col("__j").cast("decimal(38,0)")
+            * F.col("__m").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("__b1"),
+    )
+    n = F.col("n_blocks").cast("double")
+    b0 = F.col("__b0").cast("double") / n
+    b1 = F.col("__b1").cast("double") / (n * (n - F.lit(1.0)))
+    beta = (F.lit(2.0) * b1 - b0) / F.lit(0.6931471805599453)
+    mu = b0 - F.lit(0.5772156649015329) * beta
+    gate = F.col("n_blocks") >= 3
+
+    def rl(T: float):
+        import math
+
+        return mu - beta * F.lit(math.log(-math.log(1.0 - 1.0 / T)))
+
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return fold.select(
+        "n_blocks",
+        r6(F.when(gate, mu)).alias("mu"),
+        r6(F.when(gate, beta)).alias("beta"),
+        r6(F.when(gate, rl(10.0))).alias("rl_10"),
+        r6(F.when(gate, rl(52.0))).alias("rl_52"),
+    )
+
+
+def gumbel_block_maxima_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+    block_days: int = 7,
+) -> str:
+    """DuckDB twin of :func:`gumbel_block_maxima` — identical blocks,
+    integer PWM folds and double fit chain (python-evaluated ln
+    constants embedded identically)."""
+    import math
+
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    ln2 = repr(0.6931471805599453)
+    gam = repr(0.5772156649015329)
+    c10 = repr(math.log(-math.log(1.0 - 1.0 / 10.0)))
+    c52 = repr(math.log(-math.log(1.0 - 1.0 / 52.0)))
+    return f"""{base}
+    , __blocks AS (
+        SELECT CAST((__i - 1) // {block_days} AS BIGINT) AS __blk,
+               max(__c) AS __m
+        FROM __dense GROUP BY 1
+    ), __ranked AS (
+        SELECT __m,
+               CAST(row_number() OVER (ORDER BY __m ASC, __blk ASC)
+                    - 1 AS BIGINT) AS __j
+        FROM __blocks
+    ), __fold AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+               sum(CAST(__m AS HUGEINT)) AS __b0,
+               sum(CAST(__j AS HUGEINT) * CAST(__m AS HUGEINT))
+                   AS __b1
+        FROM __ranked
+    )
+    SELECT n_blocks,
+           round(CASE WHEN n_blocks >= 3 THEN
+                 CAST(__b0 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                 - {gam} * ((2.0 * CAST(__b1 AS DOUBLE)
+                    / (CAST(n_blocks AS DOUBLE)
+                       * (CAST(n_blocks AS DOUBLE) - 1.0))
+                    - CAST(__b0 AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+                   / {ln2}) END * 1e6, 0) / 1e6 AS mu,
+           round(CASE WHEN n_blocks >= 3 THEN
+                 (2.0 * CAST(__b1 AS DOUBLE)
+                  / (CAST(n_blocks AS DOUBLE)
+                     * (CAST(n_blocks AS DOUBLE) - 1.0))
+                  - CAST(__b0 AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+                 / {ln2} END * 1e6, 0) / 1e6 AS beta,
+           round(CASE WHEN n_blocks >= 3 THEN
+                 (CAST(__b0 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                  - {gam} * ((2.0 * CAST(__b1 AS DOUBLE)
+                     / (CAST(n_blocks AS DOUBLE)
+                        * (CAST(n_blocks AS DOUBLE) - 1.0))
+                     - CAST(__b0 AS DOUBLE)
+                       / CAST(n_blocks AS DOUBLE)) / {ln2}))
+                 - ((2.0 * CAST(__b1 AS DOUBLE)
+                     / (CAST(n_blocks AS DOUBLE)
+                        * (CAST(n_blocks AS DOUBLE) - 1.0))
+                     - CAST(__b0 AS DOUBLE)
+                       / CAST(n_blocks AS DOUBLE)) / {ln2})
+                   * {c10} END * 1e6, 0) / 1e6 AS rl_10,
+           round(CASE WHEN n_blocks >= 3 THEN
+                 (CAST(__b0 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+                  - {gam} * ((2.0 * CAST(__b1 AS DOUBLE)
+                     / (CAST(n_blocks AS DOUBLE)
+                        * (CAST(n_blocks AS DOUBLE) - 1.0))
+                     - CAST(__b0 AS DOUBLE)
+                       / CAST(n_blocks AS DOUBLE)) / {ln2}))
+                 - ((2.0 * CAST(__b1 AS DOUBLE)
+                     / (CAST(n_blocks AS DOUBLE)
+                        * (CAST(n_blocks AS DOUBLE) - 1.0))
+                     - CAST(__b0 AS DOUBLE)
+                       / CAST(n_blocks AS DOUBLE)) / {ln2})
+                   * {c52} END * 1e6, 0) / 1e6 AS rl_52
+    FROM __fold
+    """

@@ -1027,3 +1027,52 @@ def test_huber_trend_recovers_truth_ols_cannot(spark):
     c = huber_trend(clean, "ts", "value").collect()[0]
     assert c["huber_slope"] == c["ols_slope"] == 3.0
     assert c["huber_intercept"] == c["ols_intercept"] == 997.0
+
+
+def test_gumbel_block_maxima_pwm_laws(spark):
+    """Laws: (1) location-equivariance — +C cents shifts mu and both
+    return levels by exactly C, beta unchanged; (2) scale — doubling
+    values doubles beta; (3) hand-computed PWM on a 3-block toy:
+    maxima {10, 20, 40} cents -> b0 = 7000/3, b1 = (0*1000 + 1*2000
+    + 2*4000)/(3*2), beta = (2*b1 - b0)/ln2; (4) n_blocks < 3 ->
+    NULL fit."""
+    import math
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.timeseries import gumbel_block_maxima
+
+    t0 = datetime(2024, 1, 1)
+
+    def series(vals, scale=1.0, shift=0.0):
+        rows = []
+        for i, v in enumerate(vals):
+            rows.append(
+                (i, t0 + timedelta(days=i, hours=1), v * scale + shift)
+            )
+        return spark.createDataFrame(rows, ["event_id", "ts", "value"])
+
+    # 21 days = 3 blocks with maxima 10, 20, 40 (peaks on day 1 of each)
+    vals = [10.0, 1, 1, 1, 1, 1, 1, 20.0, 1, 1, 1, 1, 1, 1,
+            40.0, 1, 1, 1, 1, 1, 1]
+    base = gumbel_block_maxima(series(vals), "ts", "value").collect()[0]
+    b0 = 7000.0 / 3
+    b1 = (0 * 1000 + 1 * 2000 + 2 * 4000) / (3.0 * 2.0)
+    beta = (2 * b1 - b0) / math.log(2.0)
+    mu = b0 - 0.5772156649015329 * beta
+    assert base["n_blocks"] == 3
+    assert abs(base["beta"] - beta) < 1e-6
+    assert abs(base["mu"] - mu) < 1e-6
+    shifted = gumbel_block_maxima(
+        series(vals, shift=100.0), "ts", "value"
+    ).collect()[0]
+    assert abs(shifted["beta"] - base["beta"]) < 1e-6
+    assert abs(shifted["mu"] - base["mu"] - 10000.0) < 1e-6
+    assert abs(shifted["rl_10"] - base["rl_10"] - 10000.0) < 1e-6
+    doubled = gumbel_block_maxima(
+        series(vals, scale=2.0), "ts", "value"
+    ).collect()[0]
+    assert abs(doubled["beta"] - 2 * base["beta"]) < 1e-6
+    short = gumbel_block_maxima(
+        series(vals[:14]), "ts", "value"
+    ).collect()[0]
+    assert short["n_blocks"] == 2 and short["mu"] is None
