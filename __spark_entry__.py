@@ -7550,6 +7550,31 @@ def _sql_q256() -> str:
     )
 
 
+def q257_triple_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-sequence support <a then b then c> over user event
+    histories via greedy subsequence matching (provably complete —
+    first a, first b after it, first c after that b) on the composed
+    (epoch-micros, event_id) string key; frontier bounded by
+    events x vocab, census by users x vocab^3
+    (operators/mining.triple_sequence_support)."""
+    from pytrousse_spark.operators.mining import triple_sequence_support
+
+    ev = _t(spark, sf_dir, "events")
+    return triple_sequence_support(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def _sql_q257() -> str:
+    from pytrousse_spark.operators.mining import (
+        triple_sequence_support_sql,
+    )
+
+    return triple_sequence_support_sql(
+        "events", "user_id", "event_type", "ts", "event_id"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7626,6 +7651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_unicode_census": q254_unicode_census,
         "q255_huber_trend": q255_huber_trend,
         "q256_gumbel_maxima": q256_gumbel_maxima,
+        "q257_triple_sequences": q257_triple_sequences,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8300,6 +8326,7 @@ def oracle_sql() -> dict[str, str]:
         "q254_unicode_census": _sql_q254(),
         "q255_huber_trend": _sql_q255(),
         "q256_gumbel_maxima": _sql_q256(),
+        "q257_triple_sequences": _sql_q257(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -268,3 +268,36 @@ def test_sequential_pattern_antisymmetry(spark):
     assert rows and all(
         (r["n_both"] or 0) == (r["n_dir"] or 0) for r in rows
     )
+
+
+def test_triple_sequence_greedy_is_complete(spark):
+    """Laws: (1) GREEDY completeness — user history [b, a, b, c]
+    supports <a,b,c> (the b BEFORE a must not poison the match: a
+    global-first-b rule would miss it); (2) <a,b,a> round-trips are
+    counted (a = c allowed); (3) adjacent repeats excluded; (4) an
+    entity is counted once however many matches it has."""
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.mining import triple_sequence_support
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: b a b c  -> supports <a,b,c> via greedy
+    for j, it in enumerate(["b", "a", "b", "c"]):
+        rows.append((j, t0 + timedelta(minutes=j), 1, it))
+    # user 2: a b a (round trip) and repeated matches of <a,b,a>
+    for j, it in enumerate(["a", "b", "a", "b", "a"]):
+        rows.append((10 + j, t0 + timedelta(minutes=j), 2, it))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    out = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["n_entities"]
+        for r in triple_sequence_support(
+            df, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    assert out[("a", "b", "c")] == 1        # greedy completeness
+    assert out[("a", "b", "a")] == 1        # counted once, a = c ok
+    assert ("a", "a", "b") not in out       # adjacent repeat excluded
+    assert ("b", "b", "a") not in out
