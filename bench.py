@@ -206,6 +206,18 @@ _IDLE_BANDS_10X = {
     "q219_winsorized_stats": 6.0,
     "q220_kendall_tau": 3.0,
     "q221_spearman": 9.0,
+    # round-7 continuation-3 rows — bands ~2x this session's idle 10x
+    # measures (6.4 / 14.4 / 5.2 / 2.3 / 4.2 / 5.1 s; 1x refs 6.5 /
+    # 4.8 / 2.3 / 1.4 / 3.7 / 3.1 s): gESD and Huber are
+    # iteration-dominated and flat, LPA tracks edge growth (3.0x for
+    # 10x baskets), skip-gram tracks the corpus (2.25x), dcor and the
+    # 3-sequence frontier stay sublinear
+    "q249_gesd_outliers": 10.0,
+    "q250_label_propagation": 22.0,
+    "q252_skipgram_pairs": 8.0,
+    "q253_distance_correlation": 4.0,
+    "q255_huber_trend": 7.0,
+    "q257_triple_sequences": 8.0,
 }
 
 
@@ -264,6 +276,16 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q219_winsorized_stats",
         "q220_kendall_tau",
         "q221_spearman",
+        # round-7 continuation-3: the iterative spine fits (gESD,
+        # Huber — expect ~flat), the LPA community rounds (edge
+        # growth), the skip-gram pair join (corpus growth) and the
+        # dcor / 3-sequence frontiers
+        "q249_gesd_outliers",
+        "q250_label_propagation",
+        "q252_skipgram_pairs",
+        "q253_distance_correlation",
+        "q255_huber_trend",
+        "q257_triple_sequences",
     ):
         fn = getattr(entrymod, name)
         try:
