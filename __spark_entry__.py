@@ -7575,6 +7575,26 @@ def _sql_q257() -> str:
     )
 
 
+def q258_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sample census completing the q252 SGNS data-prep:
+    unigram^0.75 integer mass table, portable-h60 draws per directed
+    (pair, slot), draw-to-word via a BROADCAST cumulative-range join
+    (the q165 inverse-CDF device) — the big side never shuffles
+    (operators/corpus.skipgram_negatives)."""
+    from pytrousse_spark.operators.corpus import skipgram_negatives
+
+    docs = _t(spark, sf_dir, "documents")
+    return skipgram_negatives(docs, "doc_id", "text")
+
+
+def _sql_q258() -> str:
+    from pytrousse_spark.operators.corpus import skipgram_negatives_sql
+
+    return skipgram_negatives_sql(
+        "SELECT * FROM documents", "doc_id", "text"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7652,6 +7672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_huber_trend": q255_huber_trend,
         "q256_gumbel_maxima": q256_gumbel_maxima,
         "q257_triple_sequences": q257_triple_sequences,
+        "q258_skipgram_negatives": q258_skipgram_negatives,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8327,6 +8348,7 @@ def oracle_sql() -> dict[str, str]:
         "q255_huber_trend": _sql_q255(),
         "q256_gumbel_maxima": _sql_q256(),
         "q257_triple_sequences": _sql_q257(),
+        "q258_skipgram_negatives": _sql_q258(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

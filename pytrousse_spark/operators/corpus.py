@@ -826,3 +826,264 @@ def skipgram_pairs_sql(
     HAVING count(*) >= {min_count}
     ORDER BY n_pairs DESC, center, context
     """
+
+
+def skipgram_negatives(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    subsample_t: float = 1e-3,
+    negatives: int = 5,
+    min_count: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Negative-sample census for the q252 skip-gram pair table — the
+    OTHER half of the SGNS data-prep stage (Mikolov 2013): every
+    directed training pair draws ``negatives`` words from the
+    unigram^0.75 distribution,
+
+        mass(w) = floor(count(w)^0.75 * 1e6)        (exact integer)
+        r = h60(seed+1 | doc#center_pos#context_pos#slot) % sum(mass)
+        negative = the word whose cumulative-mass range holds r
+
+    so the trainer's (center, context, negatives...) records can be
+    assembled by joining this census's draw stream with q252's pairs.
+    The positive word is NOT excluded from the draw (word2vec's own
+    convention).
+
+    Exactness: masses, the cumulative ranges and every draw are
+    integers on the portable md5-based h60 — both engines draw the
+    SAME word for the same (pair, slot); counts exact BIGINT.
+
+    Scale: the mass/cumulative table is vocab-sized and BROADCAST —
+    the draw-to-word mapping is a broadcast range join (the q165
+    inverse-CDF device), so the big side never shuffles; draws grow
+    as pairs x negatives, linear in the corpus.
+
+    Returns ``(center, negative, n_draws)`` (draws with the same
+    center aggregated across its pairs), n_draws >= min_count,
+    ordered n_draws DESC, center, negative.
+    """
+    from pytrousse_spark.functions.hashing import h60_seeded
+    from pytrousse_spark.functions.text import tokens
+
+    staged = df.select(
+        F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__tk")
+    )
+    occ = staged.select(
+        "__doc", F.posexplode("__tk").alias("__pos", "__tok")
+    )
+    freq = occ.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    total = freq.agg(F.sum("__cnt").cast("bigint").alias("__total"))
+    p = F.least(
+        F.lit(1.0),
+        F.sqrt(
+            F.lit(subsample_t)
+            / (
+                F.col("__cnt").cast("double")
+                / F.col("__total").cast("double")
+            )
+        )
+        + F.lit(subsample_t)
+        / (
+            F.col("__cnt").cast("double")
+            / F.col("__total").cast("double")
+        ),
+    )
+    thr = freq.crossJoin(F.broadcast(total)).select(
+        "__tok", F.floor(p * F.lit(1e6)).cast("bigint").alias("__thr")
+    )
+    kept = (
+        occ.join(F.broadcast(thr), "__tok")
+        .where(
+            F.pmod(
+                h60_seeded(
+                    F.concat_ws(
+                        "#", F.col("__doc"), F.col("__pos"), F.col("__tok")
+                    ),
+                    seed,
+                ),
+                F.lit(1_000_000),
+            )
+            < F.col("__thr")
+        )
+        .select("__doc", "__pos", "__tok")
+    )
+    ctr = kept.select(
+        "__doc", F.col("__pos").alias("__pa"), F.col("__tok").alias("__wa")
+    )
+    ctx = kept.select(
+        "__doc", F.col("__pos").alias("__pb"), F.col("__tok").alias("__wb")
+    )
+    banded = ctr.join(ctx, "__doc").where(
+        (F.col("__pb") - F.col("__pa") >= 1)
+        & (F.col("__pb") - F.col("__pa") <= window)
+    )
+    directed = banded.select(
+        "__doc",
+        F.col("__pa").alias("__cp"),
+        F.col("__pb").alias("__xp"),
+        F.col("__wa").alias("center"),
+    ).unionAll(
+        banded.select(
+            "__doc",
+            F.col("__pb").alias("__cp"),
+            F.col("__pa").alias("__xp"),
+            F.col("__wb").alias("center"),
+        )
+    )
+    mass = freq.select(
+        "__tok",
+        F.floor(
+            F.pow(F.col("__cnt").cast("double"), F.lit(0.75))
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("__m"),
+    )
+    from pyspark.sql import Window
+
+    wv = Window.orderBy("__tok").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = mass.select(
+        "__tok",
+        F.coalesce(F.sum("__m").over(wv), F.lit(0))
+        .cast("bigint")
+        .alias("__lo"),
+        "__m",
+    ).select(
+        "__tok", "__lo", (F.col("__lo") + F.col("__m")).alias("__hi")
+    )
+    tot_mass = mass.agg(F.sum("__m").cast("bigint").alias("__tm"))
+    draws = (
+        directed.select(
+            "__doc",
+            "__cp",
+            "__xp",
+            "center",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(negatives))
+            ).alias("__slot"),
+        )
+        .crossJoin(F.broadcast(tot_mass))
+        .select(
+            "center",
+            F.pmod(
+                h60_seeded(
+                    F.concat_ws(
+                        "#",
+                        F.col("__doc"),
+                        F.col("__cp"),
+                        F.col("__xp"),
+                        F.col("__slot"),
+                    ),
+                    seed + 1,
+                ),
+                F.col("__tm"),
+            ).alias("__r"),
+        )
+    )
+    matched = draws.join(
+        F.broadcast(cum),
+        (F.col("__r") >= F.col("__lo")) & (F.col("__r") < F.col("__hi")),
+    )
+    return (
+        matched.groupBy(
+            "center", F.col("__tok").alias("negative")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_draws"))
+        .where(F.col("n_draws") >= min_count)
+        .orderBy(F.col("n_draws").desc(), "center", "negative")
+    )
+
+
+def skipgram_negatives_sql(
+    table_expr: str,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    subsample_t: float = 1e-3,
+    negatives: int = 5,
+    min_count: int = 5,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`skipgram_negatives` — identical subsample
+    gate, band join, unigram^0.75 cumulative ranges and h60 draws."""
+    from pytrousse_spark.functions.hashing import h60_seeded_sql
+    from pytrousse_spark.functions.text import tokens_sql
+
+    tk = tokens_sql(text_col)
+    h_keep = h60_seeded_sql("__doc || '#' || __pos || '#' || __tok", seed)
+    h_draw = h60_seeded_sql(
+        "__doc || '#' || __cp || '#' || __xp || '#' || __slot", seed + 1
+    )
+    return f"""
+    WITH __staged AS MATERIALIZED (
+        SELECT {id_col} AS __doc, {tk} AS __tk FROM ({table_expr})
+    ), __occ AS MATERIALIZED (
+        SELECT __doc,
+               unnest(range(0, len(__tk))) AS __pos,
+               unnest(__tk) AS __tok
+        FROM __staged
+    ), __freq AS MATERIALIZED (
+        SELECT __tok, CAST(count(*) AS BIGINT) AS __cnt FROM __occ
+        GROUP BY 1
+    ), __thr AS MATERIALIZED (
+        SELECT __tok,
+               CAST(floor(least(CAST(1.0 AS DOUBLE),
+                    sqrt({subsample_t} / __f) + {subsample_t} / __f)
+                    * 1e6) AS BIGINT) AS __thr
+        FROM (SELECT __tok,
+                     CAST(__cnt AS DOUBLE)
+                     / CAST((SELECT sum(__cnt) FROM __freq) AS DOUBLE)
+                         AS __f
+              FROM __freq)
+    ), __kept AS MATERIALIZED (
+        SELECT __doc, __pos, __tok
+        FROM (SELECT o.__doc, o.__pos, o.__tok AS __tok, t.__thr
+              FROM __occ o JOIN __thr t ON t.__tok = o.__tok)
+        WHERE ({h_keep}) % 1000000 < __thr
+    ), __banded AS MATERIALIZED (
+        SELECT a.__doc, a.__pos AS __pa, a.__tok AS __wa,
+               b.__pos AS __pb, b.__tok AS __wb
+        FROM __kept a JOIN __kept b
+          ON a.__doc = b.__doc
+         AND b.__pos - a.__pos BETWEEN 1 AND {window}
+    ), __directed AS (
+        SELECT __doc, __pa AS __cp, __pb AS __xp, __wa AS center
+        FROM __banded
+        UNION ALL
+        SELECT __doc, __pb AS __cp, __pa AS __xp, __wb AS center
+        FROM __banded
+    ), __mass AS (
+        SELECT __tok,
+               CAST(floor(pow(CAST(__cnt AS DOUBLE), 0.75) * 1e6)
+                    AS BIGINT) AS __m
+        FROM __freq
+    ), __cum AS MATERIALIZED (
+        SELECT __tok,
+               CAST(COALESCE(sum(__m) OVER (ORDER BY __tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS __lo,
+               CAST(COALESCE(sum(__m) OVER (ORDER BY __tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) + __m AS BIGINT) AS __hi
+        FROM __mass
+    ), __draws AS MATERIALIZED (
+        SELECT center,
+               ({h_draw}) % (SELECT sum(__m) FROM __mass) AS __r
+        FROM (SELECT d.*, unnest(range(1, {negatives} + 1)) AS __slot
+              FROM __directed d)
+    )
+    SELECT center, c.__tok AS negative,
+           CAST(count(*) AS BIGINT) AS n_draws
+    FROM __draws d JOIN __cum c
+      ON d.__r >= c.__lo AND d.__r < c.__hi
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_count}
+    ORDER BY n_draws DESC, center, negative
+    """

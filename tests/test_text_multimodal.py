@@ -603,3 +603,40 @@ def test_skipgram_pairs_window_symmetry_and_subsampling(spark):
         ).collect()
     }
     assert sub == sub2                     # deterministic keep set
+
+
+def test_skipgram_negatives_conservation_and_bias(spark):
+    """Laws: (1) CONSERVATION — total draws = negatives x directed
+    pairs (every draw maps to exactly one word: the cumulative ranges
+    tile [0, sum(mass)) with no gap or overlap); (2) frequency BIAS —
+    the hyper-frequent filler word is drawn as a negative far more
+    often than any rare word (unigram^0.75 sampling); (3) the draw
+    stream is deterministic (same call twice, same census)."""
+    from pytrousse_spark.operators.corpus import (
+        skipgram_negatives,
+        skipgram_pairs,
+    )
+
+    rows = [
+        (i, "alpha beta the the the the left the the the the right")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(window=3, subsample_t=1.0, min_count=1)
+    pairs = skipgram_pairs(df, "doc_id", "text", **kw).collect()
+    n_directed = sum(r["n_pairs"] for r in pairs)
+    neg = skipgram_negatives(
+        df, "doc_id", "text", negatives=5, **kw
+    ).collect()
+    assert sum(r["n_draws"] for r in neg) == 5 * n_directed
+    by_word = {}
+    for r in neg:
+        by_word[r["negative"]] = by_word.get(r["negative"], 0) + r["n_draws"]
+    # 'the' is 8 of 12 tokens; with ^0.75 mass it must dominate draws
+    assert by_word["the"] > max(
+        v for k, v in by_word.items() if k != "the"
+    )
+    neg2 = skipgram_negatives(
+        df, "doc_id", "text", negatives=5, **kw
+    ).collect()
+    assert sorted(map(tuple, neg)) == sorted(map(tuple, neg2))
