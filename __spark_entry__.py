@@ -7595,6 +7595,35 @@ def _sql_q258() -> str:
     )
 
 
+def q259_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp RDD estimate of crossing the acctbal-5000 threshold on
+    order value — the threshold-rule causal member beside IPW/AIPW/
+    DiD/CUPED: two local linear fits inside a 3000-wide bandwidth,
+    jump at the cutoff as the effect; ONE filtered pass + one 2-group
+    agg of exact HUGEINT/DECIMAL38 cent folds
+    (operators/cohort.regression_discontinuity)."""
+    from pytrousse_spark.operators.cohort import regression_discontinuity
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+    return regression_discontinuity(
+        j, "c_acctbal", "o_totalprice", cutoff=5000.0, bandwidth=3000.0
+    )
+
+
+def _sql_q259() -> str:
+    from pytrousse_spark.operators.cohort import (
+        regression_discontinuity_sql,
+    )
+
+    return regression_discontinuity_sql(
+        "SELECT * FROM orders o JOIN customer c"
+        " ON o.o_custkey = c.c_custkey",
+        "c_acctbal", "o_totalprice", cutoff=5000.0, bandwidth=3000.0,
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7673,6 +7702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_gumbel_maxima": q256_gumbel_maxima,
         "q257_triple_sequences": q257_triple_sequences,
         "q258_skipgram_negatives": q258_skipgram_negatives,
+        "q259_regression_discontinuity": q259_regression_discontinuity,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8349,6 +8379,7 @@ def oracle_sql() -> dict[str, str]:
         "q256_gumbel_maxima": _sql_q256(),
         "q257_triple_sequences": _sql_q257(),
         "q258_skipgram_negatives": _sql_q258(),
+        "q259_regression_discontinuity": _sql_q259(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

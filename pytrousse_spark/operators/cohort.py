@@ -4386,3 +4386,168 @@ def shapley_attribution_sql(
            t.n_users, t.n_converted
     FROM phi p CROSS JOIN tot t
     """
+
+
+def regression_discontinuity(
+    df: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; Imbens & Lemieux 2008) — the causal-family member
+    for THRESHOLD rules beside IPW/AIPW (confounder reweighting) and
+    DiD (parallel trends): units just under vs just over a cutoff are
+    locally comparable, so the jump of two local linear fits AT the
+    cutoff is the treatment effect of crossing it.
+
+        side  = [cutoff <= r < cutoff+h]  vs  [cutoff-h <= r < cutoff]
+        fit   y = a + b*(r - cutoff) per side (closed-form OLS)
+        effect = a_right - a_left
+
+    Exactness: the running offset and outcome stage as exact integer
+    CENTS; the five per-side OLS folds are DECIMAL(38,0)/HUGEINT (the
+    q131/q255 device: x*y cents-squared passes int64 at sf0.1); the
+    closed forms are identical double expressions; sides with < 2
+    distinct running values or zero x-variance yield NULL.
+
+    Scale: ONE bandwidth-filtered pass + one 2-group agg — no join,
+    no window; the filter pushes to the scan.
+
+    Returns one row ``(n_left, n_right, slope_left, slope_right,
+    intercept_left, intercept_right, effect)``, round-6.
+    """
+    d38 = "decimal(38,0)"
+    cents = lambda c: F.round(  # noqa: E731
+        c.cast("double") * 100, 0
+    ).cast("bigint")
+    r = F.col(running_col).cast("double")
+    staged = df.where(
+        (r >= F.lit(cutoff - bandwidth))
+        & (r < F.lit(cutoff + bandwidth))
+        & F.col(outcome_col).isNotNull()
+    ).select(
+        F.when(r >= F.lit(cutoff), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__side"),
+        (cents(F.col(running_col)) - F.lit(int(round(cutoff * 100))))
+        .alias("__x"),
+        cents(F.col(outcome_col)).alias("__y"),
+    )
+    x = F.col("__x").cast(d38)
+    y = F.col("__y").cast(d38)
+    per = staged.groupBy("__side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(x).cast(d38).alias("__sx"),
+        F.sum(x * x).cast(d38).alias("__sxx"),
+        F.sum(y).cast(d38).alias("__sy"),
+        F.sum(x * y).cast(d38).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    det = n * sxx - sx * sx
+    b = F.when(det != 0, (n * sxy - sx * sy) / det)
+    a = F.when(F.col("__n") > 0, (sy - b * sx) / n)
+    fits = per.select(
+        "__side",
+        F.col("__n"),
+        b.alias("__b"),
+        a.alias("__a"),
+    )
+    left = fits.where(F.col("__side") == 0).select(
+        F.col("__n").alias("n_left"),
+        F.col("__b").alias("__bl"),
+        F.col("__a").alias("__al"),
+    )
+    right = fits.where(F.col("__side") == 1).select(
+        F.col("__n").alias("n_right"),
+        F.col("__b").alias("__br"),
+        F.col("__a").alias("__ar"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return left.crossJoin(F.broadcast(right)).select(
+        "n_left",
+        "n_right",
+        r6(F.col("__bl")).alias("slope_left"),
+        r6(F.col("__br")).alias("slope_right"),
+        r6(F.col("__al")).alias("intercept_left"),
+        r6(F.col("__ar")).alias("intercept_right"),
+        r6(F.col("__ar") - F.col("__al")).alias("effect"),
+    )
+
+
+def regression_discontinuity_sql(
+    table_expr: str,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> str:
+    """DuckDB twin of :func:`regression_discontinuity` — identical
+    cent staging, HUGEINT folds and closed forms."""
+    c100 = int(round(cutoff * 100))
+    return f"""
+    WITH __staged AS (
+        SELECT CASE WHEN CAST({running_col} AS DOUBLE) >= {cutoff}
+                    THEN 1 ELSE 0 END AS __side,
+               CAST(round(CAST({running_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) - {c100} AS __x,
+               CAST(round(CAST({outcome_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __y
+        FROM ({table_expr})
+        WHERE CAST({running_col} AS DOUBLE) >= {cutoff - bandwidth}
+          AND CAST({running_col} AS DOUBLE) < {cutoff + bandwidth}
+          AND {outcome_col} IS NOT NULL
+    ), __per AS (
+        SELECT __side,
+               CAST(count(*) AS BIGINT) AS __n,
+               sum(CAST(__x AS HUGEINT)) AS __sx,
+               sum(CAST(__x AS HUGEINT) * CAST(__x AS HUGEINT))
+                   AS __sxx,
+               sum(CAST(__y AS HUGEINT)) AS __sy,
+               sum(CAST(__x AS HUGEINT) * CAST(__y AS HUGEINT))
+                   AS __sxy
+        FROM __staged GROUP BY 1
+    ), __fits AS (
+        SELECT __side, __n,
+               CASE WHEN CAST(__n AS DOUBLE) * CAST(__sxx AS DOUBLE)
+                         - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE)
+                         <> 0
+                    THEN (CAST(__n AS DOUBLE) * CAST(__sxy AS DOUBLE)
+                          - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE))
+                         / (CAST(__n AS DOUBLE) * CAST(__sxx AS DOUBLE)
+                            - CAST(__sx AS DOUBLE)
+                              * CAST(__sx AS DOUBLE))
+               END AS __b,
+               CASE WHEN __n > 0
+                    THEN (CAST(__sy AS DOUBLE)
+                          - CASE WHEN CAST(__n AS DOUBLE)
+                                      * CAST(__sxx AS DOUBLE)
+                                      - CAST(__sx AS DOUBLE)
+                                        * CAST(__sx AS DOUBLE) <> 0
+                                 THEN (CAST(__n AS DOUBLE)
+                                       * CAST(__sxy AS DOUBLE)
+                                       - CAST(__sx AS DOUBLE)
+                                         * CAST(__sy AS DOUBLE))
+                                      / (CAST(__n AS DOUBLE)
+                                         * CAST(__sxx AS DOUBLE)
+                                         - CAST(__sx AS DOUBLE)
+                                           * CAST(__sx AS DOUBLE))
+                            END * CAST(__sx AS DOUBLE))
+                         / CAST(__n AS DOUBLE)
+               END AS __a
+        FROM __per
+    )
+    SELECT l.__n AS n_left, r.__n AS n_right,
+           round(l.__b * 1e6, 0) / 1e6 AS slope_left,
+           round(r.__b * 1e6, 0) / 1e6 AS slope_right,
+           round(l.__a * 1e6, 0) / 1e6 AS intercept_left,
+           round(r.__a * 1e6, 0) / 1e6 AS intercept_right,
+           round((r.__a - l.__a) * 1e6, 0) / 1e6 AS effect
+    FROM (SELECT * FROM __fits WHERE __side = 0) l
+    CROSS JOIN (SELECT * FROM __fits WHERE __side = 1) r
+    """

@@ -1232,3 +1232,45 @@ def test_aipw_equals_naive_when_randomized(spark):
     ).collect()[0]
     assert abs(r["ate_aipw"] - 5.0) < 0.5
     assert abs(r["ate_aipw"] - r["naive_diff"]) < 0.5
+
+
+def test_rdd_recovers_planted_jump_and_zero_on_continuity(spark):
+    """Laws: (1) a noise-free planted design y = 10 + 0.02*(r-c) +
+    50*[r >= c] recovers effect = EXACTLY 5000 cents and both slopes
+    = 2 cents per running-unit... slope is per running-CENT: 0.02
+    dollars/dollar = 0.02 cents/cent; (2) a continuous y (no jump)
+    gives effect 0; (3) points outside the bandwidth are ignored
+    (a huge far-away outlier changes nothing)."""
+    from pytrousse_spark.operators.cohort import regression_discontinuity
+
+    c, h = 100.0, 50.0
+
+    def build(jump, extra=None):
+        rows = []
+        for k in range(200):
+            r = 51.0 + k * 0.5            # 51..150.5
+            y = 10.0 + 0.02 * (r - c) + (jump if r >= c else 0.0)
+            rows.append((k, r, y))
+        if extra:
+            rows += extra
+        return spark.createDataFrame(rows, ["uid", "run", "out"])
+
+    got = regression_discontinuity(
+        build(50.0), "run", "out", c, h
+    ).collect()[0]
+    assert got["effect"] == 5000.0          # cents
+    assert abs(got["slope_left"] - 0.02) < 1e-6
+    assert abs(got["slope_right"] - 0.02) < 1e-6
+    assert got["intercept_left"] == 1000.0
+    assert got["intercept_right"] == 6000.0
+
+    flat = regression_discontinuity(
+        build(0.0), "run", "out", c, h
+    ).collect()[0]
+    assert flat["effect"] == 0.0
+
+    far = regression_discontinuity(
+        build(50.0, extra=[(999, 400.0, 1e9), (998, 1.0, -1e9)]),
+        "run", "out", c, h,
+    ).collect()[0]
+    assert far["effect"] == 5000.0          # bandwidth filter holds
