@@ -7624,6 +7624,37 @@ def _sql_q259() -> str:
     )
 
 
+def q260_rake_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / IPF survey calibration (Deming-Stephan): reweight the
+    ordering customers ("respondents") so their nation x segment
+    margins match the FULL customer population; weights are micro-unit
+    integers floored identically in both engines, sweeps iterate a
+    category-grid cell table, never the data
+    (operators/sampling.rake_weights)."""
+    from pytrousse_spark.operators.sampling import rake_weights
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    sample = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    )
+    return rake_weights(sample, c, "c_nationkey", "c_mktsegment")
+
+
+def _sql_q260() -> str:
+    from pytrousse_spark.operators.sampling import rake_weights_sql
+
+    return rake_weights_sql(
+        "SELECT * FROM customer WHERE c_custkey IN"
+        " (SELECT o_custkey FROM orders)",
+        "SELECT * FROM customer",
+        "c_nationkey",
+        "c_mktsegment",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7703,6 +7734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_triple_sequences": q257_triple_sequences,
         "q258_skipgram_negatives": q258_skipgram_negatives,
         "q259_regression_discontinuity": q259_regression_discontinuity,
+        "q260_rake_weights": q260_rake_weights,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8380,6 +8412,7 @@ def oracle_sql() -> dict[str, str]:
         "q257_triple_sequences": _sql_q257(),
         "q258_skipgram_negatives": _sql_q258(),
         "q259_regression_discontinuity": _sql_q259(),
+        "q260_rake_weights": _sql_q260(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -910,3 +910,174 @@ def neyman_allocation_sample_sql(
            CAST(COALESCE(d.id_checksum, 0) AS BIGINT) AS id_checksum
     FROM __alloc2 a LEFT JOIN __drawn d ON a.__st = d.__st
     """
+
+
+def rake_weights(
+    sample: DataFrame,
+    population: DataFrame,
+    row_col: str,
+    col_col: str,
+    sweeps: int = 4,
+) -> DataFrame:
+    """Survey raking / iterative proportional fitting (Deming &
+    Stephan 1940): calibrate the SAMPLE's (row, col) cell weights so
+    its weighted margins match the POPULATION's row and column
+    totals — the post-stratification fix when only the margins are
+    known (the full population cell grid may be unobservable).
+
+    One sweep = a row pass then a column pass; each pass rescales
+    every cell by target_margin / current_weighted_margin.
+
+    Cross-engine discipline: weights live as MICRO-UNIT INTEGERS
+    (1e6 = weight 1). A pass computes the weighted margin
+    T = sum(n_cell * w_micro) as an exact BIGINT, then
+
+        w' = floor( CAST(w AS DOUBLE) * (N_target * 1e6 / T) )
+
+    — the factor is a division of identical exact integers and the
+    product stays far below 2^53, so both engines floor the same
+    double and the whole chain is bit-deterministic.
+
+    Returns the cell table ``(row, col, n_sample, weight,
+    weighted_count)`` (weight = w_micro/1e6, round-6) ordered by
+    (row, col); cells absent from the sample get no weight (their
+    mass redistributes — the standard raking behavior).
+
+    Scale: two group-by aggs build the cell grid and the margin
+    targets (rows x cols cells — a CATEGORY grid, never data-sized);
+    the sweeps iterate windows over that broadcast-small grid with a
+    per-sweep localCheckpoint.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        sample.groupBy(
+            F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .withColumn("__w", F.lit(1_000_000).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    rowm = population.groupBy(F.col(row_col).alias("__r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nr")
+    )
+    colm = population.groupBy(F.col(col_col).alias("__c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nc")
+    )
+    wr = Window.partitionBy("__r")
+    wc = Window.partitionBy("__c")
+    for _ in range(sweeps):
+        cells = (
+            cells.join(F.broadcast(rowm), "__r")
+            .withColumn(
+                "__t",
+                F.sum(F.col("__n") * F.col("__w")).over(wr),
+            )
+            .select(
+                "__r",
+                "__c",
+                "__n",
+                F.floor(
+                    F.col("__w").cast("double")
+                    * (
+                        F.col("__nr").cast("double")
+                        * F.lit(1e6)
+                        / F.col("__t").cast("double")
+                    )
+                )
+                .cast("bigint")
+                .alias("__w"),
+            )
+        )
+        cells = (
+            cells.join(F.broadcast(colm), "__c")
+            .withColumn(
+                "__t",
+                F.sum(F.col("__n") * F.col("__w")).over(wc),
+            )
+            .select(
+                "__r",
+                "__c",
+                "__n",
+                F.floor(
+                    F.col("__w").cast("double")
+                    * (
+                        F.col("__nc").cast("double")
+                        * F.lit(1e6)
+                        / F.col("__t").cast("double")
+                    )
+                )
+                .cast("bigint")
+                .alias("__w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return cells.select(
+        F.col("__r").alias("row_key"),
+        F.col("__c").alias("col_key"),
+        F.col("__n").alias("n_sample"),
+        r6(F.col("__w").cast("double") / F.lit(1e6)).alias("weight"),
+        r6(
+            F.col("__n").cast("double")
+            * F.col("__w").cast("double")
+            / F.lit(1e6)
+        ).alias("weighted_count"),
+    ).orderBy("row_key", "col_key")
+
+
+def rake_weights_sql(
+    sample_expr: str,
+    population_expr: str,
+    row_col: str,
+    col_col: str,
+    sweeps: int = 4,
+) -> str:
+    """DuckDB twin of :func:`rake_weights` — identical micro-unit
+    floors, margins and sweep order, unrolled MATERIALIZED CTEs."""
+    parts = [f"""
+    WITH __cells0 AS MATERIALIZED (
+        SELECT {row_col} AS __r, {col_col} AS __c,
+               CAST(count(*) AS BIGINT) AS __n,
+               CAST(1000000 AS BIGINT) AS __w
+        FROM ({sample_expr}) GROUP BY 1, 2
+    ), __rowm AS MATERIALIZED (
+        SELECT {row_col} AS __r, CAST(count(*) AS BIGINT) AS __nr
+        FROM ({population_expr}) GROUP BY 1
+    ), __colm AS MATERIALIZED (
+        SELECT {col_col} AS __c, CAST(count(*) AS BIGINT) AS __nc
+        FROM ({population_expr}) GROUP BY 1
+    )"""]
+    prev = "__cells0"
+    for s in range(1, sweeps + 1):
+        parts.append(f"""
+    , __rw{s} AS MATERIALIZED (
+        SELECT p.__r, p.__c, p.__n,
+               CAST(floor(CAST(p.__w AS DOUBLE)
+                    * (CAST(m.__nr AS DOUBLE) * 1e6
+                       / CAST(t.__t AS DOUBLE))) AS BIGINT) AS __w
+        FROM {prev} p
+        JOIN __rowm m ON m.__r = p.__r
+        JOIN (SELECT __r, CAST(sum(__n * __w) AS BIGINT) AS __t
+              FROM {prev} GROUP BY 1) t ON t.__r = p.__r
+    ), __cw{s} AS MATERIALIZED (
+        SELECT p.__r, p.__c, p.__n,
+               CAST(floor(CAST(p.__w AS DOUBLE)
+                    * (CAST(m.__nc AS DOUBLE) * 1e6
+                       / CAST(t.__t AS DOUBLE))) AS BIGINT) AS __w
+        FROM __rw{s} p
+        JOIN __colm m ON m.__c = p.__c
+        JOIN (SELECT __c, CAST(sum(__n * __w) AS BIGINT) AS __t
+              FROM __rw{s} GROUP BY 1) t ON t.__c = p.__c
+    )""")
+        prev = f"__cw{s}"
+    return (
+        "".join(parts)
+        + f"""
+    SELECT __r AS row_key, __c AS col_key, __n AS n_sample,
+           round(CAST(__w AS DOUBLE) / 1e6 * 1e6, 0) / 1e6 AS weight,
+           round(CAST(__n AS DOUBLE) * CAST(__w AS DOUBLE) / 1e6
+                 * 1e6, 0) / 1e6 AS weighted_count
+    FROM {prev} ORDER BY row_key, col_key
+    """
+    )

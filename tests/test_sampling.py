@@ -264,3 +264,40 @@ def test_neyman_allocation_laws(spark):
     }
     assert abs(got2["X"]["n_alloc"] - got2["Y"]["n_alloc"]) <= 1
     assert got2["X"]["n_alloc"] + got2["Y"]["n_alloc"] == 99
+
+
+def test_rake_weights_match_margins(spark):
+    """Laws: after 4 sweeps the weighted COLUMN margins (last pass)
+    match the population column totals to within the micro-floor
+    granularity, and the row margins converge close; uniform
+    undersampling rakes every weight to ~population/sample; a cell
+    missing from the sample gets no row (its mass redistributes)."""
+    rows_pop, rows_smp = [], []
+    k = 0
+    # population: 2 regions x 2 segments, 100 each; sample drops
+    # region B segment Y entirely and halves everything else
+    for r in ("A", "B"):
+        for c in ("X", "Y"):
+            for i in range(100):
+                rows_pop.append((k, r, c))
+                if not (r == "B" and c == "Y") and i < 50:
+                    rows_smp.append((k, r, c))
+                k += 1
+    pop = spark.createDataFrame(rows_pop, ["uid", "reg", "seg"])
+    smp = spark.createDataFrame(rows_smp, ["uid", "reg", "seg"])
+    from pytrousse_spark.operators.sampling import rake_weights
+
+    out = rake_weights(smp, pop, "reg", "seg").collect()
+    cells = {(r["row_key"], r["col_key"]): r for r in out}
+    assert ("B", "Y") not in cells            # absent cell stays absent
+    # column margins (last pass) match population: X -> 200 and
+    # Y -> 200 (all Y mass lands on the only sampled Y cell, (A, Y))
+    colsum = {}
+    for (r, c), row in cells.items():
+        colsum[c] = colsum.get(c, 0) + row["weighted_count"]
+    assert abs(colsum["X"] - 200) < 0.01
+    assert abs(colsum["Y"] - 200) < 0.01
+    assert cells[("A", "Y")]["weighted_count"] > 199.99
+    # every sampled cell's weight >= 2 (uniform half-sampling) and the
+    # B-row mass all lands on (B, X)
+    assert cells[("B", "X")]["weighted_count"] > cells[("A", "X")]["weighted_count"]
