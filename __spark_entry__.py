@@ -7655,6 +7655,24 @@ def _sql_q260() -> str:
     )
 
 
+def q261_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness lower bound + Good-Turing unseen-token mass from
+    the frequency-of-frequencies profile — "how much vocabulary have
+    we NOT crawled" beside the Heaps growth fit q203; two exact
+    integer aggs and two closed forms, no join/window
+    (operators/corpus.vocab_richness)."""
+    from pytrousse_spark.operators.corpus import vocab_richness
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_richness(docs, "text")
+
+
+def _sql_q261() -> str:
+    from pytrousse_spark.operators.corpus import vocab_richness_sql
+
+    return vocab_richness_sql("SELECT * FROM documents", "text")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7735,6 +7753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q258_skipgram_negatives": q258_skipgram_negatives,
         "q259_regression_discontinuity": q259_regression_discontinuity,
         "q260_rake_weights": q260_rake_weights,
+        "q261_vocab_richness": q261_vocab_richness,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8413,6 +8432,7 @@ def oracle_sql() -> dict[str, str]:
         "q258_skipgram_negatives": _sql_q258(),
         "q259_regression_discontinuity": _sql_q259(),
         "q260_rake_weights": _sql_q260(),
+        "q261_vocab_richness": _sql_q261(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

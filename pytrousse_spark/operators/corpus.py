@@ -1087,3 +1087,113 @@ def skipgram_negatives_sql(
     HAVING count(*) >= {min_count}
     ORDER BY n_draws DESC, center, negative
     """
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Unseen-vocabulary estimators from the frequency-of-frequencies
+    profile — the "how much tail have we NOT crawled yet" readout
+    beside the Heaps growth fit (q203), which needs a full growth
+    curve; these need only the corpus as it stands:
+
+        F_k    = # distinct tokens seen exactly k times
+        Chao1  = V + F1^2 / (2 F2)           (Chao 1984 richness
+                                              lower bound; V + F1(F1-1)/2
+                                              when F2 = 0, the
+                                              bias-corrected form)
+        GT unseen mass = F1 / N              (Good 1953: probability
+                                              the NEXT token is novel)
+
+    Returns one row ``(total_tokens, vocab, f1, f2, chao1,
+    gt_unseen_mass)``, round-6 on the two estimates; NULL estimates
+    on an empty corpus.
+
+    Exactness: two exact integer aggs (token counts, then counts of
+    counts); both estimates are single closed forms of four exact
+    integers.
+
+    Scale: one token explode -> one (token) agg -> one tiny
+    frequency-of-frequencies agg; no join, no window.
+    """
+    from pytrousse_spark.functions.text import tokens
+
+    staged = df.select(tokens(F.col(text_col)).alias("__tk"))
+    occ = staged.select(F.explode("__tk").alias("__tok"))
+    freq = occ.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    fof = freq.agg(
+        F.sum("__cnt").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("__cnt") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    v = F.col("vocab").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    n = F.col("total_tokens").cast("double")
+    chao1 = F.when(
+        F.col("f2") > 0, v + f1 * f1 / (F.lit(2.0) * f2)
+    ).otherwise(
+        F.when(
+            F.col("total_tokens") > 0,
+            v + f1 * (f1 - F.lit(1.0)) / F.lit(2.0),
+        )
+    )
+    gt = F.when(F.col("total_tokens") > 0, f1 / n)
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return fof.select(
+        "total_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        r6(chao1).alias("chao1"),
+        r6(gt).alias("gt_unseen_mass"),
+    )
+
+
+def vocab_richness_sql(
+    table_expr: str,
+    text_col: str,
+) -> str:
+    """DuckDB twin of :func:`vocab_richness` — identical tokenize,
+    frequency-of-frequencies and closed forms."""
+    from pytrousse_spark.functions.text import tokens_sql
+
+    tk = tokens_sql(text_col)
+    return f"""
+    WITH __occ AS (
+        SELECT unnest({tk}) AS __tok FROM ({table_expr})
+    ), __freq AS (
+        SELECT __tok, CAST(count(*) AS BIGINT) AS __cnt
+        FROM __occ GROUP BY 1
+    ), __fof AS (
+        SELECT CAST(sum(__cnt) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(CASE WHEN __cnt = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN __cnt = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f2
+        FROM __freq
+    )
+    SELECT total_tokens, vocab, f1, f2,
+           round(CASE WHEN f2 > 0 THEN
+                     CAST(vocab AS DOUBLE)
+                     + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+                       / (2.0 * CAST(f2 AS DOUBLE))
+                 WHEN total_tokens > 0 THEN
+                     CAST(vocab AS DOUBLE)
+                     + CAST(f1 AS DOUBLE)
+                       * (CAST(f1 AS DOUBLE) - 1.0) / 2.0
+                 END * 1e6, 0) / 1e6 AS chao1,
+           round(CASE WHEN total_tokens > 0 THEN
+                 CAST(f1 AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                 END * 1e6, 0) / 1e6 AS gt_unseen_mass
+    FROM __fof
+    """

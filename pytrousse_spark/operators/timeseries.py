@@ -3620,7 +3620,10 @@ def distance_correlation(
         F.col("__x").alias("__xb"),
         F.col("__y").alias("__yb"),
     )
-    pairs = a.crossJoin(b).select(
+    # broadcast the (calendar-bounded) right spine so the pair matrix
+    # compiles to a BroadcastNestedLoopJoin, not a CartesianProduct
+    # (test_plans.py pins no-cartesian outside declared baselines)
+    pairs = a.crossJoin(F.broadcast(b)).select(
         "__ia",
         "__ib",
         F.abs(F.col("__xa") - F.col("__xb")).alias("__a"),

@@ -640,3 +640,30 @@ def test_skipgram_negatives_conservation_and_bias(spark):
         df, "doc_id", "text", negatives=5, **kw
     ).collect()
     assert sorted(map(tuple, neg)) == sorted(map(tuple, neg2))
+
+
+def test_vocab_richness_closed_forms(spark):
+    """Laws on a hand-built corpus: tokens {a:1, b:1, c:2, d:3} give
+    V=4, F1=2, F2=1, Chao1 = 4 + 4/2 = 6, GT mass = 2/7; with no
+    doubletons the bias-corrected form V + F1(F1-1)/2 kicks in; a
+    fully-saturated corpus (every word repeated) has GT mass 0 and
+    Chao1 = V."""
+    from pytrousse_spark.operators.corpus import vocab_richness
+
+    df = spark.createDataFrame([("a b c c",), ("d d d",)], ["text"])
+    r = vocab_richness(df, "text").collect()[0]
+    assert (r["total_tokens"], r["vocab"], r["f1"], r["f2"]) == (7, 4, 2, 1)
+    assert r["chao1"] == 6.0
+    assert abs(r["gt_unseen_mass"] - 2.0 / 7.0) < 1e-6
+
+    nf2 = vocab_richness(
+        spark.createDataFrame([("a b c c c",)], ["text"]), "text"
+    ).collect()[0]
+    assert nf2["f2"] == 0
+    assert nf2["chao1"] == 3.0 + 2 * 1 / 2.0   # V + F1(F1-1)/2 = 4
+
+    sat = vocab_richness(
+        spark.createDataFrame([("x x y y y",)], ["text"]), "text"
+    ).collect()[0]
+    assert sat["gt_unseen_mass"] == 0.0
+    assert sat["chao1"] == 2.0
