@@ -7673,6 +7673,55 @@ def _sql_q261() -> str:
     return vocab_richness_sql("SELECT * FROM documents", "text")
 
 
+def q262_fairness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the acctbal>5000 "approval" rule against
+    the has-high-value-order label, per market segment: selection
+    rate / TPR / FPR with demographic-parity ratios and equalized-odds
+    gaps vs the deterministically-picked largest reference group; ONE
+    conditional agg + a broadcast 1-row reference
+    (operators/classifier.fairness_census)."""
+    from pytrousse_spark.operators.classifier import fairness_census
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    lab = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(
+            (F.col("o_totalprice") > 150_000).cast("int")
+        ).alias("__hi")
+    )
+    j = c.join(lab, "c_custkey", "left").select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.coalesce(F.col("__hi"), F.lit(0)).alias("__hi"),
+    )
+    return fairness_census(
+        j,
+        "c_mktsegment",
+        (F.col("c_acctbal") > 5000).cast("int"),
+        F.col("__hi"),
+    )
+
+
+def _sql_q262() -> str:
+    from pytrousse_spark.operators.classifier import fairness_census_sql
+
+    return fairness_census_sql(
+        """
+        SELECT c.c_mktsegment, c.c_acctbal,
+               COALESCE(l.__hi, 0) AS __hi
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey AS c_custkey,
+                          max(CASE WHEN o_totalprice > 150000
+                              THEN 1 ELSE 0 END) AS __hi
+                   FROM orders GROUP BY 1) l
+          ON l.c_custkey = c.c_custkey
+        """,
+        "c_mktsegment",
+        "CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END",
+        "__hi",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7754,6 +7803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_regression_discontinuity": q259_regression_discontinuity,
         "q260_rake_weights": q260_rake_weights,
         "q261_vocab_richness": q261_vocab_richness,
+        "q262_fairness_census": q262_fairness_census,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8433,6 +8483,7 @@ def oracle_sql() -> dict[str, str]:
         "q259_regression_discontinuity": _sql_q259(),
         "q260_rake_weights": _sql_q260(),
         "q261_vocab_richness": _sql_q261(),
+        "q262_fairness_census": _sql_q262(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -2109,3 +2109,146 @@ def isotonic_calibration_sql(
                AS rate_isotonic
     FROM __binned b JOIN __fit f ON b.bin = f.__b
     """
+
+
+def fairness_census(
+    df: DataFrame,
+    group_col: str,
+    decision: Column,
+    label: Column,
+) -> DataFrame:
+    """Group-fairness audit of a decision rule (Hardt et al. 2016;
+    Feldman et al. 2015) — the census a model gate runs before
+    shipping a classifier trained on engine-prepared data: per
+    protected group, the selection rate (demographic parity), TPR
+    (equal opportunity) and FPR, plus ratios/gaps against a REFERENCE
+    group chosen deterministically as the largest (ties -> smallest
+    group key):
+
+        dp_ratio = sel_g / sel_ref       ("80% rule" reads this)
+        tpr_gap  = tpr_g - tpr_ref       (equalized odds reads both)
+        fpr_gap  = fpr_g - fpr_ref
+
+    Exactness: all counts exact BIGINT from ONE conditional agg;
+    rates and ratios are single divisions of identical integers,
+    round-6, NULL where a denominator is empty (no positives, no
+    negatives, or a zero reference selection rate).
+
+    Scale: one group-keyed agg + a broadcast 1-row reference
+    attachment; no window over data, no join on the fact side.
+    """
+    per = df.select(
+        F.col(group_col).alias("group"),
+        decision.cast("int").alias("__d"),
+        label.cast("int").alias("__y"),
+    ).groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__d").cast("bigint").alias("__sel"),
+        F.sum(F.col("__y")).cast("bigint").alias("__pos"),
+        F.sum(F.col("__d") * F.col("__y")).cast("bigint").alias("__tp"),
+        F.sum(F.col("__d") * (1 - F.col("__y")))
+        .cast("bigint")
+        .alias("__fp"),
+    )
+    ref = (
+        per.orderBy(F.col("n").desc(), F.col("group").asc())
+        .limit(1)
+        .select(
+            F.col("__sel").alias("__rsel"),
+            F.col("n").alias("__rn"),
+            F.col("__tp").alias("__rtp"),
+            F.col("__pos").alias("__rpos"),
+            F.col("__fp").alias("__rfp"),
+            (F.col("n") - F.col("__pos")).alias("__rneg"),
+        )
+    )
+    j = per.crossJoin(F.broadcast(ref))
+    nn = F.col("n").cast("double")
+    sel = F.col("__sel").cast("double") / nn
+    tpr = F.when(
+        F.col("__pos") > 0,
+        F.col("__tp").cast("double") / F.col("__pos").cast("double"),
+    )
+    neg = F.col("n") - F.col("__pos")
+    fpr = F.when(
+        neg > 0, F.col("__fp").cast("double") / neg.cast("double")
+    )
+    rsel = F.col("__rsel").cast("double") / F.col("__rn").cast("double")
+    rtpr = F.when(
+        F.col("__rpos") > 0,
+        F.col("__rtp").cast("double") / F.col("__rpos").cast("double"),
+    )
+    rfpr = F.when(
+        F.col("__rneg") > 0,
+        F.col("__rfp").cast("double") / F.col("__rneg").cast("double"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        "group",
+        "n",
+        F.col("__sel").alias("n_selected"),
+        F.col("__pos").alias("n_positive"),
+        r6(sel).alias("selection_rate"),
+        r6(tpr).alias("tpr"),
+        r6(fpr).alias("fpr"),
+        r6(F.when(rsel > 0, sel / rsel)).alias("dp_ratio"),
+        r6(tpr - rtpr).alias("tpr_gap"),
+        r6(fpr - rfpr).alias("fpr_gap"),
+    ).orderBy("group")
+
+
+def fairness_census_sql(
+    table_expr: str,
+    group_col: str,
+    decision_sql: str,
+    label_sql: str,
+) -> str:
+    """DuckDB twin of :func:`fairness_census` — identical conditional
+    agg, deterministic reference pick and ratio expressions."""
+    return f"""
+    WITH __per AS MATERIALIZED (
+        SELECT {group_col} AS "group",
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST({decision_sql} AS INTEGER)) AS BIGINT)
+                   AS __sel,
+               CAST(sum(CAST({label_sql} AS INTEGER)) AS BIGINT)
+                   AS __pos,
+               CAST(sum(CAST({decision_sql} AS INTEGER)
+                        * CAST({label_sql} AS INTEGER)) AS BIGINT)
+                   AS __tp,
+               CAST(sum(CAST({decision_sql} AS INTEGER)
+                        * (1 - CAST({label_sql} AS INTEGER)))
+                    AS BIGINT) AS __fp
+        FROM ({table_expr}) GROUP BY 1
+    ), __ref AS (
+        SELECT __sel AS __rsel, n AS __rn, __tp AS __rtp,
+               __pos AS __rpos, __fp AS __rfp, n - __pos AS __rneg
+        FROM __per ORDER BY n DESC, "group" ASC LIMIT 1
+    )
+    SELECT "group", n, __sel AS n_selected, __pos AS n_positive,
+           round(CAST(__sel AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1e6, 0) / 1e6 AS selection_rate,
+           round(CASE WHEN __pos > 0 THEN CAST(__tp AS DOUBLE)
+                      / CAST(__pos AS DOUBLE) END * 1e6, 0) / 1e6
+               AS tpr,
+           round(CASE WHEN n - __pos > 0 THEN CAST(__fp AS DOUBLE)
+                      / CAST(n - __pos AS DOUBLE) END * 1e6, 0) / 1e6
+               AS fpr,
+           round(CASE WHEN CAST(__rsel AS DOUBLE)
+                           / CAST(__rn AS DOUBLE) > 0
+                 THEN (CAST(__sel AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(__rsel AS DOUBLE) / CAST(__rn AS DOUBLE))
+                 END * 1e6, 0) / 1e6 AS dp_ratio,
+           round((CASE WHEN __pos > 0 THEN CAST(__tp AS DOUBLE)
+                       / CAST(__pos AS DOUBLE) END
+                  - CASE WHEN __rpos > 0 THEN CAST(__rtp AS DOUBLE)
+                         / CAST(__rpos AS DOUBLE) END)
+                 * 1e6, 0) / 1e6 AS tpr_gap,
+           round((CASE WHEN n - __pos > 0 THEN CAST(__fp AS DOUBLE)
+                       / CAST(n - __pos AS DOUBLE) END
+                  - CASE WHEN __rneg > 0 THEN CAST(__rfp AS DOUBLE)
+                         / CAST(__rneg AS DOUBLE) END)
+                 * 1e6, 0) / 1e6 AS fpr_gap
+    FROM __per CROSS JOIN __ref
+    ORDER BY "group"
+    """

@@ -512,3 +512,57 @@ def test_isotonic_equals_classic_pava(spark):
     )
     for r in got2:
         assert r["rate_isotonic"] == r["rate_raw"]
+
+
+def test_fairness_census_perfect_vs_biased_rule(spark):
+    """Laws: (1) a PERFECT decision rule has TPR 1 / FPR 0 in every
+    group and dp_ratio = base-rate ratio; (2) a rule that approves
+    everyone in group A and no one in group B reads dp_ratio 0 for B
+    (A is the larger reference) with tpr_gap -1; (3) counts are
+    exact; groups with no positives get NULL tpr."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.classifier import fairness_census
+
+    rows = []
+    uid = 0
+    # group A: 60 rows, 30 positive; group B: 40 rows, 10 positive
+    for g, n, pos in (("A", 60, 30), ("B", 40, 10)):
+        for i in range(n):
+            rows.append((uid, g, 1 if i < pos else 0))
+            uid += 1
+    df = spark.createDataFrame(rows, ["uid", "grp", "y"])
+
+    perfect = {
+        r["group"]: r
+        for r in fairness_census(
+            df, "grp", F.col("y"), F.col("y")
+        ).collect()
+    }
+    assert perfect["A"]["tpr"] == 1.0 and perfect["A"]["fpr"] == 0.0
+    assert perfect["B"]["tpr"] == 1.0 and perfect["B"]["fpr"] == 0.0
+    # selection = base rate: A 0.5, B 0.25 -> dp_ratio(B) = 0.5
+    assert perfect["A"]["dp_ratio"] == 1.0
+    assert perfect["B"]["dp_ratio"] == 0.5
+
+    biased = {
+        r["group"]: r
+        for r in fairness_census(
+            df, "grp", (F.col("grp") == "A").cast("int"), F.col("y")
+        ).collect()
+    }
+    assert biased["A"]["selection_rate"] == 1.0
+    assert biased["B"]["selection_rate"] == 0.0
+    assert biased["B"]["dp_ratio"] == 0.0
+    assert biased["B"]["tpr_gap"] == -1.0
+
+    nopos = spark.createDataFrame(
+        [(1, "A", 0), (2, "A", 0), (3, "B", 1)], ["uid", "grp", "y"]
+    )
+    rows2 = {
+        r["group"]: r
+        for r in fairness_census(
+            nopos, "grp", F.lit(1), F.col("y")
+        ).collect()
+    }
+    assert rows2["A"]["tpr"] is None
