@@ -7722,6 +7722,29 @@ def _sql_q262() -> str:
     )
 
 
+def q263_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate + perplexity of the user-behavior Markov chain —
+    the predictability readout above the q133 transition matrix:
+    stationary distribution by integer-div power iteration (exact
+    micro-unit vectors both engines, q224 div lesson), one log2 fold;
+    ONE entity-keyed lag shuffle, iteration on the states^2 matrix
+    (operators/mining.markov_entropy_rate)."""
+    from pytrousse_spark.operators.mining import markov_entropy_rate
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_entropy_rate(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+def _sql_q263() -> str:
+    from pytrousse_spark.operators.mining import markov_entropy_rate_sql
+
+    return markov_entropy_rate_sql(
+        "events", "user_id", "ts", "event_type", "event_id"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7804,6 +7827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_rake_weights": q260_rake_weights,
         "q261_vocab_richness": q261_vocab_richness,
         "q262_fairness_census": q262_fairness_census,
+        "q263_markov_entropy": q263_markov_entropy,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8484,6 +8508,7 @@ def oracle_sql() -> dict[str, str]:
         "q260_rake_weights": _sql_q260(),
         "q261_vocab_richness": _sql_q261(),
         "q262_fairness_census": _sql_q262(),
+        "q263_markov_entropy": _sql_q263(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -301,3 +301,42 @@ def test_triple_sequence_greedy_is_complete(spark):
     assert out[("a", "b", "a")] == 1        # counted once, a = c ok
     assert ("a", "a", "b") not in out       # adjacent repeat excluded
     assert ("b", "b", "a") not in out
+
+
+def test_markov_entropy_rate_cycle_zero_uniform_one_bit(spark):
+    """Laws: a deterministic a->b->c->a cycle has entropy rate 0 and
+    perplexity 1; an 'aabb'-repeat chain (every 2-state transition
+    equally likely from each state) reads ~1 bit; H is bounded by
+    log2(n_states)."""
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.mining import markov_entropy_rate
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(5):
+        for k in range(30):
+            rows.append((eid, t0 + timedelta(minutes=k), u, "abc"[k % 3]))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    cyc = markov_entropy_rate(
+        df, "user_id", "ts", "event_type", "event_id"
+    ).collect()[0]
+    assert cyc["entropy_rate_bits"] == 0.0
+    assert cyc["perplexity"] == 1.0
+    assert cyc["n_states"] == 3
+
+    rows2, eid = [], 0
+    for u in range(4):
+        for k, ch in enumerate("aabb" * 20):
+            rows2.append((eid, t0 + timedelta(minutes=k), u, ch))
+            eid += 1
+    df2 = spark.createDataFrame(
+        rows2, ["event_id", "ts", "user_id", "event_type"]
+    )
+    uni = markov_entropy_rate(
+        df2, "user_id", "ts", "event_type", "event_id"
+    ).collect()[0]
+    assert 0.95 < uni["entropy_rate_bits"] <= 1.0
