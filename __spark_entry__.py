@@ -7745,6 +7745,37 @@ def _sql_q263() -> str:
     )
 
 
+def q264_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects of the BUILDING segment on order
+    value — WHERE in the distribution the effect lives, vs the
+    single-number ATE gates (q226/q246): type-1 inverse CDFs from the
+    distinct-value cumulative frame (q186 KS device), integer rank
+    probes, all-integer output
+    (operators/cohort.quantile_treatment_effects)."""
+    from pytrousse_spark.operators.cohort import quantile_treatment_effects
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+    return quantile_treatment_effects(
+        j, (F.col("c_mktsegment") == "BUILDING").cast("int"),
+        "o_totalprice",
+    )
+
+
+def _sql_q264() -> str:
+    from pytrousse_spark.operators.cohort import (
+        quantile_treatment_effects_sql,
+    )
+
+    return quantile_treatment_effects_sql(
+        "SELECT * FROM orders o JOIN customer c"
+        " ON o.o_custkey = c.c_custkey",
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END",
+        "o_totalprice",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7828,6 +7859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q261_vocab_richness": q261_vocab_richness,
         "q262_fairness_census": q262_fairness_census,
         "q263_markov_entropy": q263_markov_entropy,
+        "q264_qte": q264_qte,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8509,6 +8541,7 @@ def oracle_sql() -> dict[str, str]:
         "q261_vocab_richness": _sql_q261(),
         "q262_fairness_census": _sql_q262(),
         "q263_markov_entropy": _sql_q263(),
+        "q264_qte": _sql_q264(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -4551,3 +4551,152 @@ def regression_discontinuity_sql(
     FROM (SELECT * FROM __fits WHERE __side = 0) l
     CROSS JOIN (SELECT * FROM __fits WHERE __side = 1) r
     """
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    treat: Column,
+    outcome_col: str,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974; Koenker 2005 reads
+    them as quantile-regression at a binary regressor): the
+    treated-vs-control outcome gap at each decile — WHERE in the
+    distribution the effect lives, which the single-number ATE
+    family (q226 IPW / q246 AIPW) integrates away.
+
+        QTE(q) = F_T^{-1}(q) - F_C^{-1}(q)     (type-1 inverse CDF:
+                                                value at rank
+                                                ceil(q*n), a pure
+                                                integer selection)
+
+    Exactness: outcomes stage as integer cents; each arm's CDF is a
+    cumulative-count window over its DISTINCT-value frame (the q186
+    KS device — never a row-level sort); the target rank
+    ceil(d*n/10) is exact integer arithmetic (`div`, the q224
+    lesson) and the quantile is the min value whose cumulative count
+    reaches it. Everything through the output is integers.
+
+    Scale: one (arm, cents) agg collapses the raw table; the window
+    runs on the distinct-value frame; the rank probe is a broadcast
+    join of 9 rows against it.
+
+    Returns ``(decile, n_treat, n_ctrl, q_treat, q_ctrl, qte)``
+    in cents, ordered by decile; arms with no rows yield no output.
+    """
+    cents = F.round(F.col(outcome_col).cast("double") * 100, 0).cast(
+        "bigint"
+    )
+    staged = df.where(F.col(outcome_col).isNotNull()).select(
+        treat.cast("int").alias("__t"), cents.alias("__c")
+    )
+    dist = staged.groupBy("__t", "__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k")
+    )
+    w = Window.partitionBy("__t").orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("__t")
+    frame = dist.select(
+        "__t",
+        "__c",
+        F.sum("__k").over(w).cast("bigint").alias("__cum"),
+        F.sum("__k").over(wn).cast("bigint").alias("__n"),
+    )
+    deciles = (
+        frame.select("__t", "__n")
+        .distinct()
+        .select(
+            "__t",
+            "__n",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_bands - 1))
+            ).alias("decile"),
+        )
+        .select(
+            "__t",
+            "__n",
+            "decile",
+            F.expr(f"(decile * __n + {n_bands} - 1) div {n_bands}")
+            .cast("bigint")
+            .alias("__r"),
+        )
+    )
+    picked = (
+        frame.join(F.broadcast(deciles), ["__t", "__n"])
+        .where(F.col("__cum") >= F.col("__r"))
+        .groupBy("__t", "__n", "decile")
+        .agg(F.min("__c").alias("__v"))
+    )
+    t_ = picked.where(F.col("__t") == 1).select(
+        "decile",
+        F.col("__n").alias("n_treat"),
+        F.col("__v").alias("q_treat"),
+    )
+    c_ = picked.where(F.col("__t") == 0).select(
+        "decile",
+        F.col("__n").alias("n_ctrl"),
+        F.col("__v").alias("q_ctrl"),
+    )
+    return (
+        t_.join(c_, "decile")
+        .select(
+            "decile",
+            "n_treat",
+            "n_ctrl",
+            "q_treat",
+            "q_ctrl",
+            (F.col("q_treat") - F.col("q_ctrl")).alias("qte"),
+        )
+        .orderBy("decile")
+    )
+
+
+def quantile_treatment_effects_sql(
+    table_expr: str,
+    treat_sql: str,
+    outcome_col: str,
+    n_bands: int = 10,
+) -> str:
+    """DuckDB twin of :func:`quantile_treatment_effects` — identical
+    distinct-value CDF frame, integer rank probes and min-value
+    selection."""
+    return f"""
+    WITH __staged AS (
+        SELECT CAST({treat_sql} AS INTEGER) AS __t,
+               CAST(round(CAST({outcome_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __c
+        FROM ({table_expr}) WHERE {outcome_col} IS NOT NULL
+    ), __dist AS (
+        SELECT __t, __c, CAST(count(*) AS BIGINT) AS __k
+        FROM __staged GROUP BY 1, 2
+    ), __frame AS MATERIALIZED (
+        SELECT __t, __c,
+               CAST(sum(__k) OVER (PARTITION BY __t ORDER BY __c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS __cum,
+               CAST(sum(__k) OVER (PARTITION BY __t) AS BIGINT) AS __n
+        FROM __dist
+    ), __deciles AS (
+        SELECT __t, __n, d.decile,
+               CAST((d.decile * __n + {n_bands} - 1) // {n_bands}
+                    AS BIGINT) AS __r
+        FROM (SELECT DISTINCT __t, __n FROM __frame) a
+        CROSS JOIN (SELECT CAST(unnest(range(1, {n_bands}))
+                           AS INTEGER) AS decile) d
+    ), __picked AS (
+        SELECT f.__t, f.__n, d.decile, min(f.__c) AS __v
+        FROM __frame f
+        JOIN __deciles d
+          ON d.__t = f.__t AND d.__n = f.__n AND f.__cum >= d.__r
+        GROUP BY 1, 2, 3
+    )
+    SELECT t.decile,
+           t.__n AS n_treat, c.__n AS n_ctrl,
+           t.__v AS q_treat, c.__v AS q_ctrl,
+           t.__v - c.__v AS qte
+    FROM (SELECT * FROM __picked WHERE __t = 1) t
+    JOIN (SELECT * FROM __picked WHERE __t = 0) c
+      ON c.decile = t.decile
+    ORDER BY t.decile
+    """

@@ -1274,3 +1274,33 @@ def test_rdd_recovers_planted_jump_and_zero_on_continuity(spark):
         "run", "out", c, h,
     ).collect()[0]
     assert far["effect"] == 5000.0          # bandwidth filter holds
+
+
+def test_qte_localizes_where_the_effect_lives(spark):
+    """Laws: (1) location shift — treated = control + 500 cents gives
+    QTE = 500 at EVERY decile; (2) planted heterogeneity — shifting
+    only the top half of treated outcomes gives QTE 0 at low deciles
+    and 1000 at the 7th-9th; (3) type-1 quantiles are exact integer
+    selections (no interpolation artifacts)."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import quantile_treatment_effects
+
+    ctrl = [(0, float(10 + i)) for i in range(100)]     # 10..109
+    shift = [(1, float(10 + i + 5)) for i in range(100)]
+    df = spark.createDataFrame(ctrl + shift, ["t", "y"])
+    out = quantile_treatment_effects(
+        df, F.col("t"), "y"
+    ).collect()
+    assert len(out) == 9
+    assert all(r["qte"] == 500 for r in out)
+    assert out[0]["n_treat"] == 100 and out[0]["n_ctrl"] == 100
+
+    het = [(1, float(10 + i + (10 if i >= 50 else 0))) for i in range(100)]
+    df2 = spark.createDataFrame(ctrl + het, ["t", "y"])
+    got = {
+        r["decile"]: r["qte"]
+        for r in quantile_treatment_effects(df2, F.col("t"), "y").collect()
+    }
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0
+    assert got[7] == 1000 and got[8] == 1000 and got[9] == 1000
