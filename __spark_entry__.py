@@ -7776,6 +7776,44 @@ def _sql_q264() -> str:
     )
 
 
+def q265_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive operating point (Elkan 2001): the acctbal cutoff
+    maximizing 100*TP - 25*FP against the has-high-value-order label —
+    the deployable-threshold chooser above the q160/q175 diagnostics;
+    reverse-cumulative counts on the distinct-score frame, exact
+    BIGINT utilities, highest-threshold tie rule
+    (operators/classifier.optimal_threshold)."""
+    from pytrousse_spark.operators.classifier import optimal_threshold
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    lab = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max((F.col("o_totalprice") > 150_000).cast("int")).alias("__hi")
+    )
+    j = c.join(lab, "c_custkey", "left").select(
+        "c_acctbal", F.coalesce(F.col("__hi"), F.lit(0)).alias("__hi")
+    )
+    return optimal_threshold(j, "c_acctbal", F.col("__hi"))
+
+
+def _sql_q265() -> str:
+    from pytrousse_spark.operators.classifier import optimal_threshold_sql
+
+    return optimal_threshold_sql(
+        """
+        SELECT c.c_acctbal, COALESCE(l.__hi, 0) AS __hi
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey AS c_custkey,
+                          max(CASE WHEN o_totalprice > 150000
+                              THEN 1 ELSE 0 END) AS __hi
+                   FROM orders GROUP BY 1) l
+          ON l.c_custkey = c.c_custkey
+        """,
+        "c_acctbal",
+        "__hi",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7860,6 +7898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_fairness_census": q262_fairness_census,
         "q263_markov_entropy": q263_markov_entropy,
         "q264_qte": q264_qte,
+        "q265_optimal_threshold": q265_optimal_threshold,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8542,6 +8581,7 @@ def oracle_sql() -> dict[str, str]:
         "q262_fairness_census": _sql_q262(),
         "q263_markov_entropy": _sql_q263(),
         "q264_qte": _sql_q264(),
+        "q265_optimal_threshold": _sql_q265(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

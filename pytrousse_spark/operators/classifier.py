@@ -2252,3 +2252,142 @@ def fairness_census_sql(
     FROM __per CROSS JOIN __ref
     ORDER BY "group"
     """
+
+
+def optimal_threshold(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+    utility_tp: int = 100,
+    utility_fp: int = -25,
+) -> DataFrame:
+    """Expected-utility decision threshold (Elkan 2001 cost-sensitive
+    rule, swept empirically): for the rule "select iff score >= v",
+    pick the v maximizing
+
+        U(v) = utility_tp * TP(v) + utility_fp * FP(v)
+
+    over every observed score — the operating-point chooser that
+    turns the q160 calibration / q175 AUC diagnostics into a
+    deployable cutoff. Ties in utility break toward the HIGHEST
+    threshold (selecting fewer).
+
+    Exactness: scores stage as integer cents; TP/FP at each candidate
+    are reverse-cumulative counts over the DISTINCT-score frame (the
+    q186/q264 device); utilities are exact BIGINT (integer utility
+    weights); the argmax is an integer join-back (q205 pettitt
+    pattern).
+
+    Scale: one (score, label) agg collapses the raw table; the sweep
+    is a window over the distinct-score frame; no row-level sort.
+
+    Returns one row ``(threshold_cents, n_selected, tp, fp, utility,
+    n_pos, n_neg)``; empty input yields no row.
+    """
+    cents = F.round(F.col(score_col).cast("double") * 100, 0).cast(
+        "bigint"
+    )
+    staged = df.where(F.col(score_col).isNotNull()).select(
+        cents.alias("__s"), label.cast("int").alias("__y")
+    )
+    dist = staged.groupBy("__s").agg(
+        F.sum("__y").cast("bigint").alias("__p"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("__q"),
+    )
+    w = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    frame = dist.select(
+        "__s",
+        F.sum("__p").over(w).cast("bigint").alias("__tp"),
+        F.sum("__q").over(w).cast("bigint").alias("__fp"),
+        F.sum("__p").over(wn).cast("bigint").alias("n_pos"),
+        F.sum("__q").over(wn).cast("bigint").alias("n_neg"),
+    ).select(
+        "__s",
+        "__tp",
+        "__fp",
+        "n_pos",
+        "n_neg",
+        (
+            F.lit(int(utility_tp)) * F.col("__tp")
+            + F.lit(int(utility_fp)) * F.col("__fp")
+        )
+        .cast("bigint")
+        .alias("utility"),
+    )
+    best = frame.groupBy("n_pos", "n_neg").agg(
+        F.max("utility").alias("__u")
+    )
+    return (
+        frame.join(F.broadcast(best), ["n_pos", "n_neg"])
+        .where(F.col("utility") == F.col("__u"))
+        .groupBy("n_pos", "n_neg", "utility")
+        .agg(
+            F.max("__s").alias("threshold_cents"),
+            F.max_by("__tp", "__s").cast("bigint").alias("tp"),
+            F.max_by("__fp", "__s").cast("bigint").alias("fp"),
+        )
+        .select(
+            "threshold_cents",
+            (F.col("tp") + F.col("fp")).alias("n_selected"),
+            "tp",
+            "fp",
+            "utility",
+            "n_pos",
+            "n_neg",
+        )
+    )
+
+
+def optimal_threshold_sql(
+    table_expr: str,
+    score_col: str,
+    label_sql: str,
+    utility_tp: int = 100,
+    utility_fp: int = -25,
+) -> str:
+    """DuckDB twin of :func:`optimal_threshold` — identical
+    distinct-score frame, reverse cumulative counts, integer
+    utilities and the same highest-threshold tie rule."""
+    return f"""
+    WITH __staged AS (
+        SELECT CAST(round(CAST({score_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __s,
+               CAST({label_sql} AS INTEGER) AS __y
+        FROM ({table_expr}) WHERE {score_col} IS NOT NULL
+    ), __dist AS (
+        SELECT __s, CAST(sum(__y) AS BIGINT) AS __p,
+               CAST(sum(1 - __y) AS BIGINT) AS __q
+        FROM __staged GROUP BY 1
+    ), __frame AS MATERIALIZED (
+        SELECT __s,
+               CAST(sum(__p) OVER (ORDER BY __s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS __tp,
+               CAST(sum(__q) OVER (ORDER BY __s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS __fp,
+               CAST(sum(__p) OVER () AS BIGINT) AS n_pos,
+               CAST(sum(__q) OVER () AS BIGINT) AS n_neg
+        FROM __dist
+    ), __u AS (
+        SELECT *, CAST({int(utility_tp)} * __tp
+                       + {int(utility_fp)} * __fp AS BIGINT)
+                      AS utility
+        FROM __frame
+    )
+    SELECT max(__s) AS threshold_cents,
+           CAST(max_by(__tp, __s) + max_by(__fp, __s) AS BIGINT)
+               AS n_selected,
+           CAST(max_by(__tp, __s) AS BIGINT) AS tp,
+           CAST(max_by(__fp, __s) AS BIGINT) AS fp,
+           any_value(utility) AS utility,
+           any_value(n_pos) AS n_pos, any_value(n_neg) AS n_neg
+    FROM __u
+    WHERE utility = (SELECT max(utility) FROM __u)
+    GROUP BY utility
+    """

@@ -566,3 +566,42 @@ def test_fairness_census_perfect_vs_biased_rule(spark):
         ).collect()
     }
     assert rows2["A"]["tpr"] is None
+
+
+def test_optimal_threshold_separable_and_cost_tradeoff(spark):
+    """Laws: (1) perfectly separable scores put the threshold at the
+    lowest positive score with utility = utility_tp * P and fp = 0;
+    (2) making false positives free (utility_fp = 0) moves the
+    threshold DOWN to sweep in every positive, ties broken to the
+    HIGHEST threshold; (3) utilities are exact integers."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.classifier import optimal_threshold
+
+    rows = [(float(i), 0) for i in range(50)] + [
+        (float(100 + i), 1) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    sep = optimal_threshold(df, "score", F.col("y")).collect()[0]
+    assert sep["threshold_cents"] == 10000     # lowest positive score
+    assert sep["tp"] == 30 and sep["fp"] == 0
+    assert sep["utility"] == 100 * 30
+
+    free = optimal_threshold(
+        df, "score", F.col("y"), utility_tp=100, utility_fp=0
+    ).collect()[0]
+    # every threshold <= 10000 gives utility 3000; tie -> highest
+    assert free["threshold_cents"] == 10000
+    assert free["utility"] == 3000
+
+    # overlapping scores: positives at 10..39, negatives at 0..29 with
+    # cost -150 per fp: cutting at 30 keeps 10 clean positives
+    ov = [(float(i), 1) for i in range(10, 40)] + [
+        (float(i), 0) for i in range(30)
+    ]
+    got = optimal_threshold(
+        spark.createDataFrame(ov, ["score", "y"]),
+        "score", F.col("y"), utility_tp=100, utility_fp=-150,
+    ).collect()[0]
+    assert got["threshold_cents"] == 3000
+    assert got["fp"] == 0 and got["tp"] == 10
