@@ -328,6 +328,9 @@ _IDLE_SKEW_RATIOS = {
     # decomposition is the documented escape hatch
     "q190_position_attribution": 30.0,
     "q194_position_attribution_scalable": 2.0,
+    # round-7 continuation-3 (bands ~2x first idle measures)
+    "q257_triple_sequences": 2.5,
+    "q263_markov_entropy": 2.0,
 }
 
 
@@ -365,6 +368,12 @@ def _skew_stress(spark, tmp: str) -> dict:
             "q177_linear_attribution_scalable",
             "q190_position_attribution",
             "q194_position_attribution_scalable",
+            # round-7 continuation-3: the greedy 3-sequence frontier
+            # (entity-keyed joins — the hot user's frontier grows
+            # linearly, events x vocab, never pairwise) and the
+            # entropy-rate lag shuffle (q133's axis)
+            "q257_triple_sequences",
+            "q263_markov_entropy",
         )
     }
     cases["q157_rolling_window_1day"] = _rolling_window_1day
