@@ -7814,6 +7814,30 @@ def _sql_q265() -> str:
     )
 
 
+def q266_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitor at 5 equally-spaced looks with
+    O'Brien-Fleming boundaries — the peeking-safe experiment readout
+    above the fixed-horizon z-test q148: parity-split arms, exact
+    epoch-micro cuts, pooled two-proportion z per look vs the
+    wide-early boundary (operators/cohort.sequential_ab_looks)."""
+    from pytrousse_spark.operators.cohort import sequential_ab_looks
+
+    ev = _t(spark, sf_dir, "events")
+    return sequential_ab_looks(
+        ev, "user_id", "ts",
+        (F.col("event_type") == "purchase").cast("int"),
+    )
+
+
+def _sql_q266() -> str:
+    from pytrousse_spark.operators.cohort import sequential_ab_looks_sql
+
+    return sequential_ab_looks_sql(
+        "SELECT * FROM events", "user_id", "ts",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7899,6 +7923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q263_markov_entropy": q263_markov_entropy,
         "q264_qte": q264_qte,
         "q265_optimal_threshold": q265_optimal_threshold,
+        "q266_sequential_ab": q266_sequential_ab,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8582,6 +8607,7 @@ def oracle_sql() -> dict[str, str]:
         "q263_markov_entropy": _sql_q263(),
         "q264_qte": _sql_q264(),
         "q265_optimal_threshold": _sql_q265(),
+        "q266_sequential_ab": _sql_q266(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

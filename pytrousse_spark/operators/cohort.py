@@ -4700,3 +4700,238 @@ def quantile_treatment_effects_sql(
       ON c.decile = t.decile
     ORDER BY t.decile
     """
+
+
+def sequential_ab_looks(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    convert: Column,
+    looks: int = 5,
+    obf_c: float = 2.04,
+) -> DataFrame:
+    """Group-sequential A/B monitoring at equally-spaced interim looks
+    with O'Brien-Fleming-style boundaries (O'Brien & Fleming 1979;
+    Pocock 1977 is the flat alternative) — the peeking-safe monitor
+    the fixed-horizon z-test (q148) cannot be: the boundary
+
+        b_k = obf_c * sqrt(K / k)
+
+    is wide early and narrows to ~obf_c at the final look, so
+    repeatedly checking does not inflate the false-positive rate
+    (obf_c ~= 2.04 is the two-sided alpha = 0.05 critical constant
+    for K = 5 equally-spaced looks, embedded as a literal parameter).
+
+    Arms split by the user id's parity (the q61 deterministic-split
+    device); per look k, the cut is min_ts + ((max_ts - min_ts) * k)
+    div K in exact epoch micros; a user enters arm counts when their
+    FIRST event is inside the cut and converts when their first
+    CONVERTING event is.
+
+    Exactness: one user-level (first-event, first-conversion) agg;
+    per-look arm counts are exact integers; z is the pooled
+    two-proportion statistic of identical integers, round-6, NULL on
+    a degenerate look (an empty arm or pooled p in {0, 1}).
+
+    Scale: ONE user-keyed agg collapses events; the look expansion is
+    users x K with a broadcast 2-row cut table; no window.
+
+    Returns ``(look, n_treat, conv_treat, n_ctrl, conv_ctrl, z,
+    boundary, crossed)`` ordered by look.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    users = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            us.alias("__us"),
+            convert.cast("int").alias("__cv"),
+        )
+        .groupBy("__u")
+        .agg(
+            F.min("__us").alias("__first"),
+            F.min(F.when(F.col("__cv") == 1, F.col("__us"))).alias(
+                "__conv"
+            ),
+        )
+        .select(
+            (F.pmod(F.col("__u"), F.lit(2)) == 1)
+            .cast("int")
+            .alias("__t"),
+            "__first",
+            "__conv",
+        )
+    )
+    rng = df.where(F.col(ts_col).isNotNull()).agg(
+        F.min(us).alias("__lo"), F.max(us).alias("__hi")
+    )
+    cuts = rng.select(
+        F.explode(F.sequence(F.lit(1), F.lit(looks))).alias("look"),
+        "__lo",
+        "__hi",
+    ).select(
+        "look",
+        (
+            F.col("__lo")
+            + F.expr(f"((__hi - __lo) * look) div {looks}")
+        ).alias("__cut"),
+    )
+    per = (
+        users.crossJoin(F.broadcast(cuts))
+        .where(F.col("__first") <= F.col("__cut"))
+        .groupBy("look")
+        .agg(
+            F.sum(F.col("__t")).cast("bigint").alias("n_treat"),
+            F.sum(
+                F.col("__t")
+                * F.when(
+                    F.col("__conv") <= F.col("__cut"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv_treat"),
+            F.sum(1 - F.col("__t")).cast("bigint").alias("n_ctrl"),
+            F.sum(
+                (1 - F.col("__t"))
+                * F.when(
+                    F.col("__conv") <= F.col("__cut"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv_ctrl"),
+        )
+    )
+    nt = F.col("n_treat").cast("double")
+    nc = F.col("n_ctrl").cast("double")
+    xt = F.col("conv_treat").cast("double")
+    xc = F.col("conv_ctrl").cast("double")
+    pp = (xt + xc) / (nt + nc)
+    z = F.when(
+        (F.col("n_treat") > 0)
+        & (F.col("n_ctrl") > 0)
+        & (pp > 0)
+        & (pp < 1),
+        (xt / nt - xc / nc)
+        / F.sqrt(pp * (1 - pp) * (1 / nt + 1 / nc)),
+    )
+    import math
+
+    bnd = {
+        k: obf_c * math.sqrt(looks / k) for k in range(1, looks + 1)
+    }
+    boundary = F.element_at(
+        F.create_map(
+            *[
+                x
+                for k in range(1, looks + 1)
+                for x in (F.lit(k), F.lit(round(bnd[k], 6)))
+            ]
+        ),
+        F.col("look"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return per.select(
+        "look",
+        "n_treat",
+        "conv_treat",
+        "n_ctrl",
+        "conv_ctrl",
+        r6(z).alias("z"),
+        boundary.alias("boundary"),
+        F.when(z.isNotNull(), (F.abs(r6(z)) > boundary))
+        .cast("int")
+        .alias("crossed"),
+    ).orderBy("look")
+
+
+def sequential_ab_looks_sql(
+    table_expr: str,
+    user_col: str,
+    ts_col: str,
+    convert_sql: str,
+    looks: int = 5,
+    obf_c: float = 2.04,
+) -> str:
+    """DuckDB twin of :func:`sequential_ab_looks` — identical cuts,
+    arm counts, pooled z and the python-literal boundary table."""
+    import math
+
+    bvals = ", ".join(
+        f"({k}, {round(obf_c * math.sqrt(looks / k), 6)})"
+        for k in range(1, looks + 1)
+    )
+    return f"""
+    WITH __users AS MATERIALIZED (
+        SELECT CASE WHEN ({user_col} % 2 + 2) % 2 = 1
+                    THEN 1 ELSE 0 END AS __t,
+               min(epoch_us(CAST({ts_col} AS TIMESTAMP))) AS __first,
+               min(CASE WHEN CAST({convert_sql} AS INTEGER) = 1
+                   THEN epoch_us(CAST({ts_col} AS TIMESTAMP)) END)
+                   AS __conv
+        FROM ({table_expr}) WHERE {ts_col} IS NOT NULL
+        GROUP BY {user_col}
+    ), __rng AS (
+        SELECT min(epoch_us(CAST({ts_col} AS TIMESTAMP))) AS __lo,
+               max(epoch_us(CAST({ts_col} AS TIMESTAMP))) AS __hi
+        FROM ({table_expr}) WHERE {ts_col} IS NOT NULL
+    ), __cuts AS (
+        SELECT CAST(l.look AS INTEGER) AS look,
+               r.__lo + ((r.__hi - r.__lo) * l.look) // {looks}
+                   AS __cut
+        FROM (SELECT unnest(range(1, {looks} + 1)) AS look) l
+        CROSS JOIN __rng r
+    ), __per AS (
+        SELECT c.look,
+               CAST(sum(u.__t) AS BIGINT) AS n_treat,
+               CAST(sum(u.__t * CASE WHEN u.__conv <= c.__cut
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conv_treat,
+               CAST(sum(1 - u.__t) AS BIGINT) AS n_ctrl,
+               CAST(sum((1 - u.__t) * CASE WHEN u.__conv <= c.__cut
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conv_ctrl
+        FROM __users u JOIN __cuts c ON u.__first <= c.__cut
+        GROUP BY 1
+    ), __b(look, boundary) AS (VALUES {bvals})
+    SELECT p.look, p.n_treat, p.conv_treat, p.n_ctrl, p.conv_ctrl,
+           round(CASE WHEN p.n_treat > 0 AND p.n_ctrl > 0
+                  AND CAST(p.conv_treat + p.conv_ctrl AS DOUBLE)
+                      / CAST(p.n_treat + p.n_ctrl AS DOUBLE) > 0
+                  AND CAST(p.conv_treat + p.conv_ctrl AS DOUBLE)
+                      / CAST(p.n_treat + p.n_ctrl AS DOUBLE) < 1
+                 THEN (CAST(p.conv_treat AS DOUBLE)
+                       / CAST(p.n_treat AS DOUBLE)
+                       - CAST(p.conv_ctrl AS DOUBLE)
+                         / CAST(p.n_ctrl AS DOUBLE))
+                      / sqrt((CAST(p.conv_treat + p.conv_ctrl
+                                   AS DOUBLE)
+                              / CAST(p.n_treat + p.n_ctrl AS DOUBLE))
+                             * (1 - CAST(p.conv_treat + p.conv_ctrl
+                                         AS DOUBLE)
+                                    / CAST(p.n_treat + p.n_ctrl
+                                           AS DOUBLE))
+                             * (1.0 / CAST(p.n_treat AS DOUBLE)
+                                + 1.0 / CAST(p.n_ctrl AS DOUBLE)))
+                 END * 1e6, 0) / 1e6 AS z,
+           CAST(b.boundary AS DOUBLE) AS boundary,
+           CAST(CASE WHEN p.n_treat > 0 AND p.n_ctrl > 0
+                  AND CAST(p.conv_treat + p.conv_ctrl AS DOUBLE)
+                      / CAST(p.n_treat + p.n_ctrl AS DOUBLE) > 0
+                  AND CAST(p.conv_treat + p.conv_ctrl AS DOUBLE)
+                      / CAST(p.n_treat + p.n_ctrl AS DOUBLE) < 1
+                THEN (abs(round((CAST(p.conv_treat AS DOUBLE)
+                       / CAST(p.n_treat AS DOUBLE)
+                       - CAST(p.conv_ctrl AS DOUBLE)
+                         / CAST(p.n_ctrl AS DOUBLE))
+                      / sqrt((CAST(p.conv_treat + p.conv_ctrl
+                                   AS DOUBLE)
+                              / CAST(p.n_treat + p.n_ctrl AS DOUBLE))
+                             * (1 - CAST(p.conv_treat + p.conv_ctrl
+                                         AS DOUBLE)
+                                    / CAST(p.n_treat + p.n_ctrl
+                                           AS DOUBLE))
+                             * (1.0 / CAST(p.n_treat AS DOUBLE)
+                                + 1.0 / CAST(p.n_ctrl AS DOUBLE)))
+                      * 1e6, 0) / 1e6) > b.boundary)
+                END AS INTEGER) AS crossed
+    FROM __per p JOIN __b b ON b.look = p.look
+    ORDER BY p.look
+    """

@@ -1304,3 +1304,53 @@ def test_qte_localizes_where_the_effect_lives(spark):
     }
     assert got[1] == 0 and got[2] == 0 and got[3] == 0
     assert got[7] == 1000 and got[8] == 1000 and got[9] == 1000
+
+
+def test_sequential_ab_obf_boundary_behavior(spark):
+    """Laws: (1) a strong planted uplift (treated users convert,
+    controls never) crosses at the FINAL look and the boundary is
+    monotone DECREASING (wide early); (2) identical arms never cross;
+    (3) per-look counts are exact: users enter when their first event
+    is inside the cut."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.cohort import sequential_ab_looks
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 200 users spread evenly over 100 days; odd users (treated)
+    # convert on their second event, even users never
+    for u in range(200):
+        day = (u * 100) // 200
+        rows.append((eid, t0 + timedelta(days=day), u, "view")); eid += 1
+        rows.append(
+            (eid, t0 + timedelta(days=day, hours=2), u,
+             "purchase" if u % 2 == 1 else "view")
+        ); eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    out = sequential_ab_looks(
+        df, "user_id", "ts",
+        (F.col("event_type") == "purchase").cast("int"),
+    ).collect()
+    assert [r["look"] for r in out] == [1, 2, 3, 4, 5]
+    bs = [r["boundary"] for r in out]
+    assert bs == sorted(bs, reverse=True)        # wide early
+    assert out[-1]["crossed"] == 1               # full data crosses
+    assert out[-1]["conv_ctrl"] == 0
+    assert out[-1]["n_treat"] == 100 and out[-1]["n_ctrl"] == 100
+
+    null_rows = [
+        (i, t0 + timedelta(hours=i), i % 50, "view") for i in range(500)
+    ]
+    null_df = spark.createDataFrame(
+        null_rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    null_out = sequential_ab_looks(
+        null_df, "user_id", "ts",
+        (F.col("event_type") == "purchase").cast("int"),
+    ).collect()
+    assert all(r["crossed"] is None or r["crossed"] == 0 for r in null_out)
