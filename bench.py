@@ -520,11 +520,35 @@ def _streaming_throughput(spark, big_dir: str, tmp: str) -> dict:
             "rows_per_sec": round(n_ev / wall, 1),
             "state_rows": store.count(),
         }
+        from pytrousse_spark.streaming.events import unicode_census_stream
+
+        # documents stream was already staged for the near-dup row
+        doc_schema = spark.read.parquet(f"{tmp}/stream_in").schema
+        n_docs = spark.read.parquet(f"{tmp}/stream_in").count()
+        t0 = time.perf_counter()
+        unicode_census_stream(
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/stream_in"),
+            "source",
+            "text",
+            f"{tmp}/uc_store",
+        )
+        wall = time.perf_counter() - t0
+        store = spark.read.parquet(f"{tmp}/uc_store")
+        out["unicode_census_stream"] = {
+            "input_rows": n_docs,
+            "micro_batches": store.select("__batch").distinct().count(),
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_docs / wall, 1),
+            "state_rows": store.count(),
+        }
     except Exception as exc:
         print(f"bench streaming: maintenance sinks failed: {exc}", file=sys.stderr)
         out.setdefault("rollup_events_stream", {"error": str(exc)[:200]})
         out.setdefault("cusum_events_stream", {"error": str(exc)[:200]})
         out.setdefault("ohlc_events_stream", {"error": str(exc)[:200]})
+        out.setdefault("unicode_census_stream", {"error": str(exc)[:200]})
     return out
 
 

@@ -146,35 +146,17 @@ _CTRL_PAT = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
 _NONASCII_PAT = r"[^\x00-\x7F]"
 
 
-def unicode_census(
+def unicode_census_partials(
     df: DataFrame,
     group_col: str,
     text_col: str,
 ) -> DataFrame:
-    """Per-group Unicode hygiene census of a text corpus — the
-    encoding-level quality gate an LLM ingest runs before tokenizing
-    100 TB: mojibake shows up as U+FFFD replacement characters,
-    binary-contaminated text as C0 control characters (tab/newline/CR
-    excluded), and the byte/char overhead separates CJK-heavy from
-    corrupted sources.
-
-        ascii_ratio    = 1 - nonascii_chars / total_chars
-        bytes_per_char = total_bytes / total_chars
-
-    Exactness: probed cross-engine — Spark ``length`` and DuckDB
-    ``length`` both count CODE POINTS (an astral 4-byte char is 1),
-    ``octet_length``/``strlen`` both count UTF-8 bytes, and Java and
-    RE2 agree on the three character-class counts; all folds are
-    exact BIGINT, the two ratios are single divisions of identical
-    integers, round-6, NULL on empty groups. NULL texts are excluded.
-
-    Scale: ONE map-side regexp pass + one group-keyed agg — no
-    join, no window, no UDF.
-
-    Returns ``(group, n_docs, total_chars, total_bytes,
-    nonascii_chars, ctrl_chars, replacement_chars, ascii_ratio,
-    bytes_per_char)`` ordered by group.
-    """
+    """Mergeable per-group partials of :func:`unicode_census` — six
+    exact BIGINT counters, so any partition of the corpus (micro-
+    batches, shards, days) sums to the same census: the streaming
+    maintenance twin (streaming/events.unicode_census_stream) appends
+    these per micro-batch and the readout is bit-equal to the batch
+    operator."""
     t = F.col(text_col)
     per = df.where(t.isNotNull()).select(
         F.col(group_col).alias("group"),
@@ -186,17 +168,32 @@ def unicode_census(
         F.regexp_count(t, F.lit(_CTRL_PAT)).cast("bigint").alias(
             "__ct"
         ),
-        F.regexp_count(t, F.lit("�")).cast("bigint").alias(
+        F.regexp_count(t, F.lit("\ufffd")).cast("bigint").alias(
             "__re"
         ),
     )
-    agg = per.groupBy("group").agg(
+    return per.groupBy("group").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("__ch").cast("bigint").alias("total_chars"),
         F.sum("__by").cast("bigint").alias("total_bytes"),
         F.sum("__na").cast("bigint").alias("nonascii_chars"),
         F.sum("__ct").cast("bigint").alias("ctrl_chars"),
         F.sum("__re").cast("bigint").alias("replacement_chars"),
+    )
+
+
+def unicode_census_merge(partials: DataFrame) -> DataFrame:
+    """Merge :func:`unicode_census_partials` frames (sum the six
+    counters per group) and emit the census output contract."""
+    agg = partials.groupBy("group").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+        F.sum("total_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("nonascii_chars").cast("bigint").alias("nonascii_chars"),
+        F.sum("ctrl_chars").cast("bigint").alias("ctrl_chars"),
+        F.sum("replacement_chars")
+        .cast("bigint")
+        .alias("replacement_chars"),
     )
     r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
     ch = F.col("total_chars").cast("double")
@@ -222,6 +219,42 @@ def unicode_census(
             )
         ).alias("bytes_per_char"),
     ).orderBy("group")
+
+
+def unicode_census(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group Unicode hygiene census of a text corpus — the
+    encoding-level quality gate an LLM ingest runs before tokenizing
+    100 TB: mojibake shows up as U+FFFD replacement characters,
+    binary-contaminated text as C0 control characters (tab/newline/CR
+    excluded), and the byte/char overhead separates CJK-heavy from
+    corrupted sources.
+
+        ascii_ratio    = 1 - nonascii_chars / total_chars
+        bytes_per_char = total_bytes / total_chars
+
+    Exactness: probed cross-engine — Spark ``length`` and DuckDB
+    ``length`` both count CODE POINTS (an astral 4-byte char is 1),
+    ``octet_length``/``strlen`` both count UTF-8 bytes, and Java and
+    RE2 agree on the three character-class counts; all folds are
+    exact BIGINT, the two ratios are single divisions of identical
+    integers, round-6, NULL on empty groups. NULL texts are excluded.
+
+    Scale: ONE map-side regexp pass + one group-keyed agg — no
+    join, no window, no UDF. Composed as merge(partials(df)) so the
+    batch census and the streaming maintenance readout
+    (streaming/events.unicode_census_stream) share one code path.
+
+    Returns ``(group, n_docs, total_chars, total_bytes,
+    nonascii_chars, ctrl_chars, replacement_chars, ascii_ratio,
+    bytes_per_char)`` ordered by group.
+    """
+    return unicode_census_merge(
+        unicode_census_partials(df, group_col, text_col)
+    )
 
 
 def unicode_census_sql(

@@ -355,3 +355,48 @@ def ohlc_from_partials(spark, partials_path: str) -> DataFrame:
     return ohlc_merge_partials(
         read_parquet_df(spark, partials_path).drop("__batch")
     )
+
+
+def unicode_census_stream(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+    partials_path: str,
+) -> None:
+    """Streaming maintenance of the Unicode hygiene census (q254's
+    batch operator): each micro-batch reduces to the six MERGEABLE
+    per-group BIGINT counters (operators/quality.
+    unicode_census_partials) appended to a partials store —
+    order-independent pure sums, so late/duplicate-batch delivery
+    cannot corrupt anything except by double-append (the same
+    at-least-once contract as :func:`rollup_events_stream`);
+    :func:`unicode_census_from_partials` merges to a readout
+    bit-equal to the batch census (pinned in tests)."""
+    from ..operators.quality import unicode_census_partials
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            unicode_census_partials(batch_df, group_col, text_col)
+            .withColumn("__batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_path)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", partials_path + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def unicode_census_from_partials(spark, partials_path: str) -> DataFrame:
+    """Census readout over the maintained partials store — merge then
+    the batch operator's output contract."""
+    from ..io import read_parquet_df
+    from ..operators.quality import unicode_census_merge
+
+    return unicode_census_merge(
+        read_parquet_df(spark, partials_path).drop("__batch")
+    )

@@ -420,3 +420,45 @@ def test_stream_ohlc_partials_equal_batch_operator(spark, tmp_path_factory):
     assert norm(got) == norm(want)
     nb = read_parquet_df(spark, store).select("__batch").distinct().count()
     assert nb >= 2
+
+
+def test_stream_unicode_census_partials_bit_equal(spark, tmp_path_factory):
+    """The streamed Unicode-census partials (foreachBatch appends of
+    six mergeable BIGINT counters) merge to a readout BIT-EQUAL to the
+    batch q254 census over the same corpus — out-of-order micro-batch
+    split included (pure sums are order-free)."""
+    import shutil
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.quality import unicode_census
+    from pytrousse_spark.streaming.events import (
+        unicode_census_from_partials,
+        unicode_census_stream,
+    )
+
+    batch = read_parquet_df(spark, f"{SF_DIR}/documents.parquet")
+    d = tmp_path_factory.mktemp("docs_uc")
+    a = batch.where("doc_id % 2 = 0")
+    b = batch.where("doc_id % 2 = 1")
+    a.write.mode("overwrite").parquet(str(d / "f1.parquet"))
+    b.write.mode("overwrite").parquet(str(d / "f2.parquet"))
+    src = tmp_path_factory.mktemp("docs_uc_src")
+    # reversed copy order -> out-of-order arrival relative to doc_id
+    for i, sub in enumerate(("f2.parquet", "f1.parquet")):
+        for f in (d / sub).glob("*.parquet"):
+            shutil.copy(f, src / f"batch{i}-{f.name}")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    store = str(tmp_path_factory.mktemp("uc_partials") / "store")
+    unicode_census_stream(stream, "source", "text", store)
+    got = unicode_census_from_partials(spark, store).collect()
+    want = unicode_census(batch, "source", "text").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    nb = (
+        read_parquet_df(spark, store)
+        .select("__batch").distinct().count()
+    )
+    assert nb >= 2
