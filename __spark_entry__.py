@@ -7838,6 +7838,27 @@ def _sql_q266() -> str:
     )
 
 
+def q267_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard matrix — set overlap beside
+    the exact-match contamination gate q64 and the frequency-weighted
+    JS distance q152; one DISTINCT (source, token) reduction, a
+    token-keyed pair join bounded by vocab x sources^2, broadcast
+    sizes, inclusion-exclusion union
+    (operators/corpus.source_vocab_overlap)."""
+    from pytrousse_spark.operators.corpus import source_vocab_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_vocab_overlap(docs, "source", "text")
+
+
+def _sql_q267() -> str:
+    from pytrousse_spark.operators.corpus import source_vocab_overlap_sql
+
+    return source_vocab_overlap_sql(
+        "SELECT * FROM documents", "source", "text"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7924,6 +7945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_qte": q264_qte,
         "q265_optimal_threshold": q265_optimal_threshold,
         "q266_sequential_ab": q266_sequential_ab,
+        "q267_source_vocab_overlap": q267_source_vocab_overlap,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8608,6 +8630,7 @@ def oracle_sql() -> dict[str, str]:
         "q264_qte": _sql_q264(),
         "q265_optimal_threshold": _sql_q265(),
         "q266_sequential_ab": _sql_q266(),
+        "q267_source_vocab_overlap": _sql_q267(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1197,3 +1197,118 @@ def vocab_richness_sql(
                  END * 1e6, 0) / 1e6 AS gt_unseen_mass
     FROM __fof
     """
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources — the
+    "which crawls are telling us the same things" diagnostic beside
+    the document-level contamination gate (q64, exact text match) and
+    the JS token-distribution distance (q152, frequency-weighted):
+    this one reads SET overlap of the vocabularies,
+
+        jaccard(a, b) = |V_a ∩ V_b| / |V_a ∪ V_b|
+
+    with the union by inclusion-exclusion from exact counts.
+
+    Scale: one DISTINCT (source, token) reduction; intersections come
+    from a token-keyed self-join of that reduced frame (bounded by
+    vocab x sources^2, never corpus size); vocab sizes broadcast back
+    onto the pair grid.
+
+    Returns ``(source_a, source_b, vocab_a, vocab_b, shared,
+    jaccard)`` for a < b, ordered by the pair.
+    """
+    from pytrousse_spark.functions.text import tokens
+
+    st = (
+        df.select(
+            F.col(group_col).alias("__s"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .distinct()
+    )
+    a = st.select(F.col("__s").alias("source_a"), "__tok")
+    b = st.select(F.col("__s").alias("source_b"), "__tok")
+    shared = (
+        a.join(b, "__tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    sizes = st.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__v")
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    va = F.col("vocab_a").cast("double")
+    vb = F.col("vocab_b").cast("double")
+    sh = F.col("shared").cast("double")
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__s").alias("source_a"),
+                    F.col("__v").alias("vocab_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__s").alias("source_b"),
+                    F.col("__v").alias("vocab_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "shared",
+            r6(sh / (va + vb - sh)).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_vocab_overlap_sql(
+    table_expr: str,
+    group_col: str,
+    text_col: str,
+) -> str:
+    """DuckDB twin of :func:`source_vocab_overlap` — identical
+    distinct reduction, pair join and inclusion-exclusion."""
+    from pytrousse_spark.functions.text import tokens_sql
+
+    tk = tokens_sql(text_col)
+    return f"""
+    WITH __st AS MATERIALIZED (
+        SELECT DISTINCT {group_col} AS __s, unnest({tk}) AS __tok
+        FROM ({table_expr})
+    ), __shared AS (
+        SELECT a.__s AS source_a, b.__s AS source_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM __st a JOIN __st b
+          ON a.__tok = b.__tok AND a.__s < b.__s
+        GROUP BY 1, 2
+    ), __sizes AS (
+        SELECT __s, CAST(count(*) AS BIGINT) AS __v
+        FROM __st GROUP BY 1
+    )
+    SELECT s.source_a, s.source_b,
+           sa.__v AS vocab_a, sb.__v AS vocab_b, s.shared,
+           round(CAST(s.shared AS DOUBLE)
+                 / (CAST(sa.__v AS DOUBLE) + CAST(sb.__v AS DOUBLE)
+                    - CAST(s.shared AS DOUBLE)) * 1e6, 0) / 1e6
+               AS jaccard
+    FROM __shared s
+    JOIN __sizes sa ON sa.__s = s.source_a
+    JOIN __sizes sb ON sb.__s = s.source_b
+    ORDER BY source_a, source_b
+    """

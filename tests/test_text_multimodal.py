@@ -667,3 +667,28 @@ def test_vocab_richness_closed_forms(spark):
     ).collect()[0]
     assert sat["gt_unseen_mass"] == 0.0
     assert sat["chao1"] == 2.0
+
+
+def test_source_vocab_overlap_inclusion_exclusion(spark):
+    """Laws: hand-built vocabularies A={a,b,c}, B={b,c,d}, C={x} give
+    shared(A,B)=2, jaccard=2/4; disjoint pairs get NO row (inner join
+    semantics — absent means 0 overlap); repeated tokens inside one
+    source count once (DISTINCT reduction)."""
+    from pytrousse_spark.operators.corpus import source_vocab_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("A", "a b c a a b"),
+            ("B", "b c d"),
+            ("C", "x x x"),
+        ],
+        ["source", "text"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_vocab_overlap(df, "source", "text").collect()
+    }
+    ab = out[("A", "B")]
+    assert (ab["vocab_a"], ab["vocab_b"], ab["shared"]) == (3, 3, 2)
+    assert ab["jaccard"] == 0.5
+    assert ("A", "C") not in out and ("B", "C") not in out
