@@ -576,6 +576,19 @@ def main() -> None:
         waited += 10
     load_start = [round(x, 2) for x in os.getloadavg()]
 
+    # fixed single-core CPU probe (20M integer adds): host-speed drift
+    # between rounds is otherwise invisible in the archived JSON — the
+    # r7 finding was a stable 1.15x anchor ratio on an IDLE host with
+    # code and data untouched since the 0.83-0.93 r5-era idle band,
+    # i.e. the box itself got slower; this number lets a future reader
+    # normalize anchors across rounds instead of chasing phantom
+    # regressions.
+    _t0 = time.perf_counter()
+    _x = 0
+    for _i in range(20_000_000):
+        _x += _i
+    cpu_probe = round(time.perf_counter() - _t0, 3)
+
     spark = get_spark(app_name="pytrousse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -655,6 +668,7 @@ def main() -> None:
                 # load fields sit in the TAIL so the driver's truncated
                 # recording always keeps them
                 "loadavg_start": load_start,
+                "cpu_probe_sec": cpu_probe,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "cooldown_wait_sec": round(waited, 1),
                 "value": total,
