@@ -7859,6 +7859,34 @@ def _sql_q267() -> str:
     )
 
 
+def q268_log_odds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Fightin' words" token divergence (Monroe 2008) between the
+    even- and odd-doc_id halves of the corpus — the informative-
+    Dirichlet-prior log-odds z that fixes raw log-odds exploding on
+    rare tokens; exact BIGINT counts, identical z chain, top-30 by
+    |z| via TakeOrderedAndProject
+    (operators/corpus.log_odds_tokens)."""
+    from pytrousse_spark.operators.corpus import log_odds_tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__half",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even")).otherwise(
+            F.lit("odd")
+        ),
+    )
+    return log_odds_tokens(docs, "__half", "text", "even", "odd")
+
+
+def _sql_q268() -> str:
+    from pytrousse_spark.operators.corpus import log_odds_tokens_sql
+
+    return log_odds_tokens_sql(
+        "SELECT *, CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END"
+        " AS __half FROM documents",
+        "__half", "text", "even", "odd",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7946,6 +7974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q265_optimal_threshold": q265_optimal_threshold,
         "q266_sequential_ab": q266_sequential_ab,
         "q267_source_vocab_overlap": q267_source_vocab_overlap,
+        "q268_log_odds_tokens": q268_log_odds_tokens,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8631,6 +8660,7 @@ def oracle_sql() -> dict[str, str]:
         "q265_optimal_threshold": _sql_q265(),
         "q266_sequential_ab": _sql_q266(),
         "q267_source_vocab_overlap": _sql_q267(),
+        "q268_log_odds_tokens": _sql_q268(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1312,3 +1312,152 @@ def source_vocab_overlap_sql(
     JOIN __sizes sb ON sb.__s = s.source_b
     ORDER BY source_a, source_b
     """
+
+
+def log_odds_tokens(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    group_a: str,
+    group_b: str,
+    top_k: int = 30,
+    alpha_scale: float = 0.01,
+) -> DataFrame:
+    """"Fightin' words" token divergence (Monroe, Colaresi & Quinn
+    2008): which tokens mark corpus A against corpus B, by the
+    log-odds-ratio with an informative Dirichlet prior — the
+    shrinkage fix for raw log-odds exploding on rare tokens (the
+    failure mode of plain TF-IDF contrast):
+
+        alpha_w = alpha_scale * (total count of w in A+B)
+        d_w  = ln((y_aw + a_w)/(n_a + a0 - y_aw - a_w))
+             - ln((y_bw + a_w)/(n_b + a0 - y_bw - a_w))
+        var  = 1/(y_aw + a_w) + 1/(y_bw + a_w)
+        z_w  = d_w / sqrt(var)
+
+    Returns the ``top_k`` tokens by |z| (ties -> token asc),
+    ``(token, count_a, count_b, z)`` — positive z marks group A.
+
+    Exactness: all counts exact BIGINT; alpha terms are
+    double-of-identical-integers; the z chain is the identical
+    expression in both engines, round-6; TakeOrderedAndProject
+    top-k, no global sort.
+
+    Scale: one token explode -> one (group, token) agg pivoted to
+    two count columns; the prior joins from the same frame; output
+    bounded by top_k.
+    """
+    from pytrousse_spark.functions.text import tokens
+
+    occ = df.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.when(F.col(group_col) == group_a, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("__g"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    cnt = occ.groupBy("__tok").agg(
+        F.sum(F.when(F.col("__g") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("count_a"),
+        F.sum(F.when(F.col("__g") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("count_b"),
+    )
+    tot = cnt.agg(
+        F.sum("count_a").cast("bigint").alias("__na"),
+        F.sum("count_b").cast("bigint").alias("__nb"),
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    aw = (
+        F.lit(alpha_scale)
+        * (F.col("count_a") + F.col("count_b")).cast("double")
+    )
+    a0 = F.lit(alpha_scale) * (
+        F.col("__na") + F.col("__nb")
+    ).cast("double")
+    ya = F.col("count_a").cast("double")
+    yb = F.col("count_b").cast("double")
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    d = F.log((ya + aw) / (na + a0 - ya - aw)) - F.log(
+        (yb + aw) / (nb + a0 - yb - aw)
+    )
+    z = d / F.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw))
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    scored = j.select(
+        F.col("__tok").alias("token"),
+        "count_a",
+        "count_b",
+        r6(z).alias("z"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("z")).desc(), F.col("token").asc()
+    ).limit(top_k)
+
+
+def log_odds_tokens_sql(
+    table_expr: str,
+    group_col: str,
+    text_col: str,
+    group_a: str,
+    group_b: str,
+    top_k: int = 30,
+    alpha_scale: float = 0.01,
+) -> str:
+    """DuckDB twin of :func:`log_odds_tokens` — identical counts,
+    prior and z chain."""
+    from pytrousse_spark.functions.text import tokens_sql
+
+    tk = tokens_sql(text_col)
+    return f"""
+    WITH __occ AS (
+        SELECT CASE WHEN {group_col} = '{group_a}' THEN 'a'
+                    ELSE 'b' END AS __g,
+               unnest({tk}) AS __tok
+        FROM ({table_expr})
+        WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ), __cnt AS (
+        SELECT __tok,
+               CAST(sum(CASE WHEN __g = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS count_a,
+               CAST(sum(CASE WHEN __g = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS count_b
+        FROM __occ GROUP BY 1
+    ), __tot AS (
+        SELECT CAST(sum(count_a) AS BIGINT) AS __na,
+               CAST(sum(count_b) AS BIGINT) AS __nb
+        FROM __cnt
+    )
+    SELECT __tok AS token, count_a, count_b,
+           round((ln((CAST(count_a AS DOUBLE)
+                      + {alpha_scale}
+                        * CAST(count_a + count_b AS DOUBLE))
+                     / (CAST(__na AS DOUBLE)
+                        + {alpha_scale}
+                          * CAST(__na + __nb AS DOUBLE)
+                        - CAST(count_a AS DOUBLE)
+                        - {alpha_scale}
+                          * CAST(count_a + count_b AS DOUBLE)))
+                  - ln((CAST(count_b AS DOUBLE)
+                        + {alpha_scale}
+                          * CAST(count_a + count_b AS DOUBLE))
+                       / (CAST(__nb AS DOUBLE)
+                          + {alpha_scale}
+                            * CAST(__na + __nb AS DOUBLE)
+                          - CAST(count_b AS DOUBLE)
+                          - {alpha_scale}
+                            * CAST(count_a + count_b AS DOUBLE))))
+                 / sqrt(1.0 / (CAST(count_a AS DOUBLE)
+                               + {alpha_scale}
+                                 * CAST(count_a + count_b AS DOUBLE))
+                        + 1.0 / (CAST(count_b AS DOUBLE)
+                                 + {alpha_scale}
+                                   * CAST(count_a + count_b
+                                          AS DOUBLE)))
+                 * 1e6, 0) / 1e6 AS z
+    FROM __cnt CROSS JOIN __tot
+    ORDER BY abs(z) DESC, token ASC
+    LIMIT {top_k}
+    """

@@ -692,3 +692,30 @@ def test_source_vocab_overlap_inclusion_exclusion(spark):
     assert (ab["vocab_a"], ab["vocab_b"], ab["shared"]) == (3, 3, 2)
     assert ab["jaccard"] == 0.5
     assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_log_odds_tokens_marks_the_planted_marker(spark):
+    """Laws: a token flooding group A and absent from B gets the most
+    POSITIVE z, its B-side mirror the most negative; a token with
+    identical counts in both groups (balanced corpus sizes) gets z
+    exactly 0 at round-6; the prior keeps a hapax (1 occurrence in A
+    only) from outranking the flood marker (raw log-odds would tie
+    them at infinity)."""
+    from pytrousse_spark.operators.corpus import log_odds_tokens
+
+    rows = []
+    for i in range(30):
+        rows.append(("A", "common words here aaamarker aaamarker"))
+        rows.append(("B", "common words here bbbmarker bbbmarker"))
+    rows.append(("A", "common words here zzzhapax"))
+    rows.append(("B", "common words here filler"))
+    df = spark.createDataFrame(rows, ["grp", "text"])
+    out = log_odds_tokens(df, "grp", "text", "A", "B", top_k=10).collect()
+    by_tok = {r["token"]: r["z"] for r in out}
+    top = out[0]["token"]
+    assert top in ("aaamarker", "bbbmarker")
+    assert by_tok["aaamarker"] > 0 and by_tok["bbbmarker"] < 0
+    assert abs(by_tok["aaamarker"] + by_tok["bbbmarker"]) < 1e-6  # symmetry
+    assert by_tok.get("common", 0.0) != by_tok["aaamarker"]
+    if "zzzhapax" in by_tok:
+        assert abs(by_tok["zzzhapax"]) < by_tok["aaamarker"]
