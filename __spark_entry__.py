@@ -7887,6 +7887,79 @@ def _sql_q268() -> str:
     )
 
 
+_Q269_QUERIES = {
+    "q1": ["merge", "window", "shuffle"],
+    "q2": ["vector", "scan"],
+    "q3": ["sort", "limit", "partition"],
+}
+
+
+def q269_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the q242 BM25 engine against a conjunctive
+    phrase-containment relevance oracle, over three fixed multi-term
+    queries — the measured-retrieval eval harness: DCG/IDCG discounts
+    on integer ranks, ideal capped at min(R, k)
+    (operators/classifier.ndcg_at_k)."""
+    from pytrousse_spark.functions.text import bm25_search, tokens
+    from pytrousse_spark.operators.classifier import ndcg_at_k
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", tokens(F.col("text")).alias("__tk")
+    )
+    rank_parts, rel_parts = [], []
+    for qname, terms in _Q269_QUERIES.items():
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        rank_parts.append(
+            bm25_search(d, "text", "doc_id", terms, k=10).select(
+                F.lit(qname).alias("query"),
+                "doc_id",
+                F.row_number().over(w).cast("int").alias("rank"),
+            )
+        )
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(F.col("__tk"), t)
+        rel_parts.append(
+            staged.where(cond).select(
+                F.lit(qname).alias("query"), "doc_id"
+            )
+        )
+    ranking = rank_parts[0]
+    for p in rank_parts[1:]:
+        ranking = ranking.unionByName(p)
+    relevance = rel_parts[0]
+    for p in rel_parts[1:]:
+        relevance = relevance.unionByName(p)
+    return ndcg_at_k(ranking, relevance, k=10)
+
+
+def _sql_q269() -> str:
+    from pytrousse_spark.functions.text import bm25_search_sql, tokens_sql
+    from pytrousse_spark.operators.classifier import ndcg_at_k_sql
+
+    tk = tokens_sql("text")
+    rank_parts, rel_parts = [], []
+    for qname, terms in _Q269_QUERIES.items():
+        inner = bm25_search_sql("documents", "text", "doc_id", terms, k=10)
+        rank_parts.append(
+            f"""SELECT '{qname}' AS "query", doc_id,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS INTEGER) AS rank
+                FROM ({inner})"""
+        )
+        conds = " AND ".join(
+            f"list_contains({tk}, '{t}')" for t in terms
+        )
+        rel_parts.append(
+            f"""SELECT '{qname}' AS "query", doc_id
+                FROM documents WHERE {conds}"""
+        )
+    ranking = " UNION ALL ".join(rank_parts)
+    relevance = " UNION ALL ".join(rel_parts)
+    return ndcg_at_k_sql(ranking, relevance, k=10)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7975,6 +8048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q266_sequential_ab": q266_sequential_ab,
         "q267_source_vocab_overlap": q267_source_vocab_overlap,
         "q268_log_odds_tokens": q268_log_odds_tokens,
+        "q269_ndcg_bm25": q269_ndcg_bm25,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8661,6 +8735,7 @@ def oracle_sql() -> dict[str, str]:
         "q266_sequential_ab": _sql_q266(),
         "q267_source_vocab_overlap": _sql_q267(),
         "q268_log_odds_tokens": _sql_q268(),
+        "q269_ndcg_bm25": _sql_q269(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

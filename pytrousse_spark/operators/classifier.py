@@ -2391,3 +2391,125 @@ def optimal_threshold_sql(
     WHERE utility = (SELECT max(utility) FROM __u)
     GROUP BY utility
     """
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k retrieval-quality evaluation (Jarvelin & Kekalainen
+    2002) of a ranking against binary relevance — the eval harness
+    that turns the BM25 engine (q242) into a measured system:
+
+        DCG@k  = sum_{rank <= k, doc relevant} 1/log2(rank + 1)
+        IDCG@k = sum_{i=1..min(R, k)} 1/log2(i + 1)
+        NDCG   = DCG/IDCG            (NULL when R = 0)
+
+    ``ranking``: (query, doc_id, rank) — rank 1-based, any ranks
+    beyond k are ignored; ``relevance``: (query, doc_id) the full
+    relevant set (R may exceed k — the ideal is capped, the standard
+    convention).
+
+    Exactness: relevance hits are integer joins; the discount logs
+    are identical expressions of small integers; round-6.
+
+    Scale: one rank-filtered semi-join per side + a per-query
+    sequence explode bounded by k; no window over data.
+
+    Returns ``(query, n_relevant, hits_at_k, dcg, idcg, ndcg)``
+    ordered by query.
+    """
+    hits = (
+        ranking.where(F.col("rank") <= k)
+        .join(relevance, ["query", "doc_id"], "left_semi")
+        .groupBy("query")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits_at_k"),
+            F.sum(
+                1.0 / F.log2(F.col("rank").cast("double") + 1.0)
+            ).alias("__dcg"),
+        )
+    )
+    rtot = relevance.groupBy("query").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    ideal = rtot.select(
+        "query",
+        "n_relevant",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.col("n_relevant"), F.lit(k))
+            )
+        ).alias("__i"),
+    ).groupBy("query", "n_relevant").agg(
+        F.sum(
+            1.0 / F.log2(F.col("__i").cast("double") + 1.0)
+        ).alias("__idcg")
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return (
+        ideal.join(hits, "query", "left")
+        .select(
+            "query",
+            "n_relevant",
+            F.coalesce(F.col("hits_at_k"), F.lit(0))
+            .cast("bigint")
+            .alias("hits_at_k"),
+            r6(F.coalesce(F.col("__dcg"), F.lit(0.0))).alias("dcg"),
+            r6(F.col("__idcg")).alias("idcg"),
+            r6(
+                F.when(
+                    F.col("n_relevant") > 0,
+                    F.coalesce(F.col("__dcg"), F.lit(0.0))
+                    / F.col("__idcg"),
+                )
+            ).alias("ndcg"),
+        )
+        .orderBy("query")
+    )
+
+
+def ndcg_at_k_sql(
+    ranking_expr: str,
+    relevance_expr: str,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ndcg_at_k` — identical discounts, caps
+    and NULL conventions; subqueries must yield (query, doc_id, rank)
+    and (query, doc_id)."""
+    return f"""
+    WITH __rank AS ({ranking_expr}),
+    __rel AS ({relevance_expr}),
+    __hits AS (
+        SELECT r."query",
+               CAST(count(*) AS BIGINT) AS hits_at_k,
+               sum(1.0 / log2(CAST(r.rank AS DOUBLE) + 1.0)) AS __dcg
+        FROM __rank r
+        WHERE r.rank <= {k}
+          AND EXISTS (SELECT 1 FROM __rel e
+                      WHERE e."query" = r."query"
+                        AND e.doc_id = r.doc_id)
+        GROUP BY 1
+    ), __rtot AS (
+        SELECT "query", CAST(count(*) AS BIGINT) AS n_relevant
+        FROM __rel GROUP BY 1
+    ), __ideal AS (
+        SELECT "query", n_relevant,
+               sum(1.0 / log2(CAST(__i AS DOUBLE) + 1.0)) AS __idcg
+        FROM (SELECT "query", n_relevant,
+                     unnest(range(1, least(n_relevant, {k}) + 1))
+                         AS __i
+              FROM __rtot)
+        GROUP BY 1, 2
+    )
+    SELECT i."query", i.n_relevant,
+           CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+           round(COALESCE(h.__dcg, 0.0) * 1e6, 0) / 1e6 AS dcg,
+           round(i.__idcg * 1e6, 0) / 1e6 AS idcg,
+           round(CASE WHEN i.n_relevant > 0
+                 THEN COALESCE(h.__dcg, 0.0) / i.__idcg
+                 END * 1e6, 0) / 1e6 AS ndcg
+    FROM __ideal i LEFT JOIN __hits h ON h."query" = i."query"
+    ORDER BY i."query"
+    """

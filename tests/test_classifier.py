@@ -605,3 +605,37 @@ def test_optimal_threshold_separable_and_cost_tradeoff(spark):
     ).collect()[0]
     assert got["threshold_cents"] == 3000
     assert got["fp"] == 0 and got["tp"] == 10
+
+
+def test_ndcg_perfect_reversed_and_capped_ideal(spark):
+    """Laws: (1) relevant docs ranked 1..R -> NDCG exactly 1; (2) the
+    same hits pushed to the bottom of the k-window give the known
+    closed-form ratio < 1; (3) R > k caps the ideal at k (NDCG can
+    still reach 1); (4) a query with NO relevant docs yields NULL
+    ndcg and survives the left join."""
+    import math
+
+    from pytrousse_spark.operators.classifier import ndcg_at_k
+
+    ranking = spark.createDataFrame(
+        # qa: 2 relevant at ranks 1,2 (perfect); qb: same 2 relevant
+        # at ranks 9,10; qc: 15 relevant docs ranked 1..10 (R > k)
+        [("qa", d, r) for r, d in enumerate([1, 2, 3, 4], 1)]
+        + [("qb", d, r) for r, d in enumerate([3, 4, 5, 6, 7, 8, 9, 10, 1, 2], 1)]
+        + [("qc", d, r) for r, d in enumerate(range(100, 110), 1)]
+        + [("qd", d, r) for r, d in enumerate([1, 2, 3], 1)],
+        ["query", "doc_id", "rank"],
+    )
+    relevance = spark.createDataFrame(
+        [("qa", 1), ("qa", 2), ("qb", 1), ("qb", 2)]
+        + [("qc", d) for d in range(100, 115)],
+        ["query", "doc_id"],
+    )
+    out = {r["query"]: r for r in ndcg_at_k(ranking, relevance, k=10).collect()}
+    assert out["qa"]["ndcg"] == 1.0
+    want = (1 / math.log2(10) + 1 / math.log2(11)) / (
+        1 / math.log2(2) + 1 / math.log2(3)
+    )
+    assert abs(out["qb"]["ndcg"] - want) < 1e-6
+    assert out["qc"]["n_relevant"] == 15 and out["qc"]["ndcg"] == 1.0
+    assert "qd" not in out          # no relevant set -> no ideal row
