@@ -7960,6 +7960,24 @@ def _sql_q269() -> str:
     return ndcg_at_k_sql(ranking, relevance, k=10)
 
 
+def q270_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimator calibration audit over the documents corpus:
+    exact n-gram Jaccard pairs >= 0.1 vs their 16-permutation
+    signature estimates, binned — the measured evidence behind the
+    LSH-candidates/exact-verify dedup design; all folds exact
+    micro-unit integers (operators/dedup.minhash_calibration)."""
+    from pytrousse_spark.operators.dedup import minhash_calibration
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_calibration(d, "text", "doc_id")
+
+
+def _sql_q270() -> str:
+    from pytrousse_spark.operators.dedup import minhash_calibration_sql
+
+    return minhash_calibration_sql("documents", "text", "doc_id")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8049,6 +8067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q267_source_vocab_overlap": q267_source_vocab_overlap,
         "q268_log_odds_tokens": q268_log_odds_tokens,
         "q269_ndcg_bm25": q269_ndcg_bm25,
+        "q270_minhash_calibration": q270_minhash_calibration,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8736,6 +8755,7 @@ def oracle_sql() -> dict[str, str]:
         "q267_source_vocab_overlap": _sql_q267(),
         "q268_log_odds_tokens": _sql_q268(),
         "q269_ndcg_bm25": _sql_q269(),
+        "q270_minhash_calibration": _sql_q270(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -2250,3 +2250,162 @@ def lsh_parameter_plan_sql(
                                bands DESC) = 1) AS is_best
     FROM __per
     """
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.1,
+    n_bins: int = 5,
+) -> DataFrame:
+    """MinHash-estimator calibration audit (Broder 1997's unbiasedness
+    claim, MEASURED on this corpus): for every exact-Jaccard pair
+    >= ``min_jaccard``, compare the signature estimate (matching
+    components / num_perm) against the exact similarity, binned by
+    the exact value — the evidence table behind the near-dedup
+    stack's "LSH candidates, exact verify" design (q42/q43/q54): it
+    shows HOW tight the 16-permutation estimate actually is where the
+    thresholds live.
+
+    Exactness: the estimate is matches * (1e6/num_perm) EXACT
+    micro-units (num_perm must divide 1e6); the exact side is
+    round(jaccard * 1e6) micro-units; every per-bin fold (sums,
+    abs-error sums, max) is exact BIGINT, so no float-sum order can
+    drift. Means divide at the end, round-6.
+
+    Scale: the pair set is the EXACT verifier's output (inverted-
+    index join, the declared-quadratic-worst-case baseline — this is
+    an audit gate, not a production path); signatures attach by two
+    id-keyed joins; the bin census is n_bins rows.
+
+    Returns ``(bin_lo, n_pairs, mean_exact, mean_est, mean_abs_err,
+    max_abs_err)`` ordered by bin_lo; bins are equal-width on
+    [min_jaccard rounded down to a bin edge, 1].
+    """
+    assert 1_000_000 % num_perm == 0
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=shingle_n, threshold=min_jaccard
+    )
+    sigs = with_minhash_signature(
+        df, text_col, out_col="__sig", num_perm=num_perm,
+        shingle_n=shingle_n,
+    ).select(F.col(id_col).alias("__sid"), "__sig")
+    a = sigs.select(
+        F.col("__sid").alias("id_a"), F.col("__sig").alias("__siga")
+    )
+    b = sigs.select(
+        F.col("__sid").alias("id_b"), F.col("__sig").alias("__sigb")
+    )
+    matches = sum(
+        (
+            F.element_at("__siga", p) == F.element_at("__sigb", p)
+        ).cast("int")
+        for p in range(1, num_perm + 1)
+    )
+    unit = 1_000_000 // num_perm
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.round(F.col("jaccard") * 1e6, 0)
+            .cast("bigint")
+            .alias("__je"),
+            (matches * F.lit(unit)).cast("bigint").alias("__es"),
+        )
+        .select(
+            "__je",
+            "__es",
+            F.abs(F.col("__je") - F.col("__es")).alias("__ae"),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    F.col("__je") * n_bins / F.lit(1_000_000)
+                ).cast("int"),
+            ).alias("__bin"),
+        )
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    n = F.col("n_pairs").cast("double")
+    return (
+        scored.groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("__je").cast("bigint").alias("__sje"),
+            F.sum("__es").cast("bigint").alias("__ses"),
+            F.sum("__ae").cast("bigint").alias("__sae"),
+            F.max("__ae").cast("bigint").alias("__mae"),
+        )
+        .select(
+            r6(F.col("__bin").cast("double") / F.lit(float(n_bins)))
+            .alias("bin_lo"),
+            "n_pairs",
+            r6(F.col("__sje").cast("double") / n / F.lit(1e6)).alias(
+                "mean_exact"
+            ),
+            r6(F.col("__ses").cast("double") / n / F.lit(1e6)).alias(
+                "mean_est"
+            ),
+            r6(F.col("__sae").cast("double") / n / F.lit(1e6)).alias(
+                "mean_abs_err"
+            ),
+            r6(F.col("__mae").cast("double") / F.lit(1e6)).alias(
+                "max_abs_err"
+            ),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+def minhash_calibration_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.1,
+    n_bins: int = 5,
+) -> str:
+    """DuckDB twin of :func:`minhash_calibration` — identical exact
+    pairs, signature estimates and integer micro-unit folds."""
+    inner = ngram_jaccard_pairs_sql(
+        table, text_col, id_col, shingle_n, min_jaccard
+    )
+    sig = minhash_signature_sql(text_col, num_perm, shingle_n)
+    unit = 1_000_000 // num_perm
+    match_sum = " + ".join(
+        f"CASE WHEN a.__sig[{p}] = b.__sig[{p}] THEN 1 ELSE 0 END"
+        for p in range(1, num_perm + 1)
+    )
+    return f"""
+    WITH __pairs AS MATERIALIZED ({inner}),
+    __sigs AS MATERIALIZED (
+        SELECT {id_col} AS __sid, {sig} AS __sig FROM {table}
+    ), __scored AS (
+        SELECT CAST(round(p.jaccard * 1e6, 0) AS BIGINT) AS __je,
+               CAST(({match_sum}) * {unit} AS BIGINT) AS __es
+        FROM __pairs p
+        JOIN __sigs a ON a.__sid = p.id_a
+        JOIN __sigs b ON b.__sid = p.id_b
+    ), __binned AS (
+        SELECT __je, __es, abs(__je - __es) AS __ae,
+               CAST(least({n_bins - 1},
+                    CAST(floor(__je * {n_bins} / 1000000.0)
+                         AS BIGINT)) AS INTEGER) AS __bin
+        FROM __scored
+    )
+    SELECT round(CAST(__bin AS DOUBLE) / {float(n_bins)} * 1e6, 0)
+               / 1e6 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(__je) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS mean_exact,
+           round(CAST(sum(__es) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS mean_est,
+           round(CAST(sum(__ae) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1e6 * 1e6, 0) / 1e6 AS mean_abs_err,
+           round(CAST(max(__ae) AS DOUBLE) / 1e6 * 1e6, 0) / 1e6
+               AS max_abs_err
+    FROM __binned GROUP BY __bin ORDER BY bin_lo
+    """

