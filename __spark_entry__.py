@@ -7978,6 +7978,42 @@ def _sql_q270() -> str:
     return minhash_calibration_sql("documents", "text", "doc_id")
 
 
+def q271_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy three-way Brier decomposition of the q160 quality scorer
+    against the lang='en' label — reliability (miscalibration) vs
+    resolution (discrimination) vs irreducible uncertainty, plus the
+    within-bin variance residual; micro-unit staging, HUGEINT folds,
+    nano-unit outer sums (fold-order-free)
+    (operators/classifier.brier_decomposition)."""
+    from pytrousse_spark.operators.classifier import brier_decomposition
+
+    d = _t(spark, sf_dir, "documents")
+    z = (F.col("n_chars").cast("double") - F.lit(300.0)) / F.lit(80.0)
+    p = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    scored = d.select(
+        p.alias("p"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return brier_decomposition(scored, "p", "y")
+
+
+def _sql_q271() -> str:
+    from pytrousse_spark.operators.classifier import (
+        brier_decomposition_sql,
+    )
+
+    return brier_decomposition_sql(
+        """
+        SELECT 0.5 + ((CAST(n_chars AS DOUBLE) - 300.0) / 80.0)
+               / (2.0 * (1.0 + abs((CAST(n_chars AS DOUBLE) - 300.0)
+                                   / 80.0))) AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+        """,
+        "p",
+        "y",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8068,6 +8104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_log_odds_tokens": q268_log_odds_tokens,
         "q269_ndcg_bm25": q269_ndcg_bm25,
         "q270_minhash_calibration": q270_minhash_calibration,
+        "q271_brier_decomposition": q271_brier_decomposition,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8756,6 +8793,7 @@ def oracle_sql() -> dict[str, str]:
         "q268_log_odds_tokens": _sql_q268(),
         "q269_ndcg_bm25": _sql_q269(),
         "q270_minhash_calibration": _sql_q270(),
+        "q271_brier_decomposition": _sql_q271(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -2513,3 +2513,212 @@ def ndcg_at_k_sql(
     FROM __ideal i LEFT JOIN __hits h ON h."query" = i."query"
     ORDER BY i."query"
     """
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    num_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) three-way Brier decomposition over equal-width
+    probability bins — the one-row verdict above the q160 reliability
+    diagram:
+
+        Brier = REL - RES + UNC
+        REL = sum_b n_b (pbar_b - obar_b)^2 / N   (miscalibration)
+        RES = sum_b n_b (obar_b - obar)^2 / N     (discrimination)
+        UNC = obar (1 - obar)                     (irreducible)
+
+    (The identity holds exactly for WITHIN-BIN-CONSTANT forecasts; for
+    binned continuous forecasts the within-bin variance WBV =
+    sum (p - pbar_b)^2 / N and within-bin covariance WBC =
+    sum_b n_b cov_b(p, y) / N separate, so the row reports both and
+    the law tests assert the EXACT identity
+    brier = rel - res + unc + wbv - 2*wbc.)
+
+    Exactness: the q160 discipline — probabilities stage as micro-unit
+    BIGINTs, so N, per-bin counts, sums of p, y, p^2 and py are exact
+    integer folds (p^2 in DECIMAL38/HUGEINT: micro^2 = 1e12/row); the
+    decomposition evaluates in doubles from those exact integers with
+    identical expression text, round-6.
+
+    Scale: one scan + one num_bins-cell hash agg + one tiny fold.
+
+    Returns one row ``(n, brier, reliability, resolution,
+    uncertainty, within_bin_var, within_bin_cov, base_rate)``.
+    """
+    if num_bins < 2:
+        raise ValueError("brier_decomposition: num_bins must be >= 2")
+    d38 = "decimal(38,0)"
+    pm = F.round(F.col(prob_col).cast("double") * 1e6, 0).cast("bigint")
+    staged = df.where(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.lit(num_bins - 1),
+            F.floor(pm * num_bins / F.lit(1_000_000)).cast("int"),
+        ).alias("__b"),
+        pm.alias("__pm"),
+        F.col(label_col).cast("bigint").alias("__y"),
+    )
+    per = staged.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__pm").cast(d38).alias("__sp"),
+        F.sum(
+            F.col("__pm").cast(d38) * F.col("__pm").cast(d38)
+        ).cast(d38).alias("__spp"),
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum(F.col("__pm") * F.col("__y")).cast(d38).alias("__spy"),
+    )
+    nb = F.col("__n").cast("double")
+    pbar = F.col("__sp").cast("double") / nb / F.lit(1e6)
+    obar_b = F.col("__sy").cast("double") / nb
+    cells = per.select(
+        "__n",
+        "__sy",
+        "__sp",
+        "__spp",
+        "__spy",
+        (nb * (pbar - obar_b) * (pbar - obar_b)).alias("__reln"),
+        (
+            F.col("__spp").cast("double") / F.lit(1e12)
+            - F.lit(2.0)
+            * F.col("__spy").cast("double")
+            / F.lit(1e6)
+            + F.col("__sy").cast("double")
+        ).alias("__brin"),
+        (
+            F.col("__spp").cast("double") / F.lit(1e12)
+            - nb * pbar * pbar
+        ).alias("__wbvn"),
+        (
+            F.col("__spy").cast("double") / F.lit(1e6)
+            - nb * pbar * obar_b
+        ).alias("__wbcn"),
+        obar_b.alias("__ob"),
+    )
+    nano = lambda c: F.round(c * F.lit(1e9), 0).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    tot = cells.select(
+        "__n",
+        "__sy",
+        nano(F.col("__reln")).alias("__reln"),
+        nano(F.col("__brin")).alias("__brin"),
+        nano(F.col("__wbvn")).alias("__wbvn"),
+        nano(F.col("__wbcn")).alias("__wbcn"),
+        nano(
+            F.col("__n").cast("double") * F.col("__ob") * F.col("__ob")
+        ).alias("__so2n"),
+    ).agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__sy").cast("bigint").alias("__ty"),
+        (F.sum("__reln").cast("double") / F.lit(1e9)).alias("__rel"),
+        (F.sum("__brin").cast("double") / F.lit(1e9)).alias("__bri"),
+        (F.sum("__wbvn").cast("double") / F.lit(1e9)).alias("__wbv"),
+        (F.sum("__wbcn").cast("double") / F.lit(1e9)).alias("__wbc"),
+        (F.sum("__so2n").cast("double") / F.lit(1e9)).alias("__so2"),
+    )
+    n = F.col("n").cast("double")
+    obar = F.col("__ty").cast("double") / n
+    res = F.col("__so2") / n - obar * obar
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return tot.select(
+        "n",
+        r6(F.col("__bri") / n).alias("brier"),
+        r6(F.col("__rel") / n).alias("reliability"),
+        r6(res).alias("resolution"),
+        r6(obar * (F.lit(1.0) - obar)).alias("uncertainty"),
+        r6(F.col("__wbv") / n).alias("within_bin_var"),
+        r6(F.col("__wbc") / n).alias("within_bin_cov"),
+        r6(obar).alias("base_rate"),
+    )
+
+
+def brier_decomposition_sql(
+    table_expr: str,
+    prob_col: str,
+    label_col: str,
+    num_bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`brier_decomposition` — identical
+    micro-unit staging, HUGEINT folds and double chain."""
+    return f"""
+    WITH __staged AS (
+        SELECT LEAST({num_bins - 1},
+                     CAST(floor(CAST(round(CAST({prob_col} AS DOUBLE)
+                          * 1e6, 0) AS BIGINT) * {num_bins}
+                          / 1000000) AS INTEGER)) AS __b,
+               CAST(round(CAST({prob_col} AS DOUBLE) * 1e6, 0)
+                    AS BIGINT) AS __pm,
+               CAST({label_col} AS BIGINT) AS __y
+        FROM ({table_expr})
+        WHERE {prob_col} IS NOT NULL AND {label_col} IS NOT NULL
+    ), __per AS (
+        SELECT __b,
+               CAST(count(*) AS BIGINT) AS __n,
+               sum(CAST(__pm AS HUGEINT)) AS __sp,
+               sum(CAST(__pm AS HUGEINT) * CAST(__pm AS HUGEINT))
+                   AS __spp,
+               CAST(sum(__y) AS BIGINT) AS __sy,
+               sum(CAST(__pm AS HUGEINT) * CAST(__y AS HUGEINT))
+                   AS __spy
+        FROM __staged GROUP BY 1
+    ), __cells AS (
+        SELECT __n, __sy,
+               CAST(__n AS DOUBLE)
+               * (CAST(__sp AS DOUBLE) / CAST(__n AS DOUBLE) / 1e6
+                  - CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))
+               * (CAST(__sp AS DOUBLE) / CAST(__n AS DOUBLE) / 1e6
+                  - CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))
+                   AS __reln,
+               CAST(__spp AS DOUBLE) / 1e12
+               - 2.0 * CAST(__spy AS DOUBLE) / 1e6
+               + CAST(__sy AS DOUBLE) AS __brin,
+               CAST(__spp AS DOUBLE) / 1e12
+               - CAST(__n AS DOUBLE)
+                 * (CAST(__sp AS DOUBLE) / CAST(__n AS DOUBLE) / 1e6)
+                 * (CAST(__sp AS DOUBLE) / CAST(__n AS DOUBLE) / 1e6)
+                   AS __wbvn,
+               CAST(__spy AS DOUBLE) / 1e6
+               - CAST(__n AS DOUBLE)
+                 * (CAST(__sp AS DOUBLE) / CAST(__n AS DOUBLE) / 1e6)
+                 * (CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE))
+                   AS __wbcn,
+               CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE) AS __ob
+        FROM __per
+    ), __tot AS (
+        SELECT CAST(sum(__n) AS BIGINT) AS n,
+               CAST(sum(__sy) AS BIGINT) AS __ty,
+               CAST(sum(CAST(round(__reln * 1e9, 0) AS HUGEINT))
+                    AS DOUBLE) / 1e9 AS __rel,
+               CAST(sum(CAST(round(__brin * 1e9, 0) AS HUGEINT))
+                    AS DOUBLE) / 1e9 AS __bri,
+               CAST(sum(CAST(round(__wbvn * 1e9, 0) AS HUGEINT))
+                    AS DOUBLE) / 1e9 AS __wbv,
+               CAST(sum(CAST(round(__wbcn * 1e9, 0) AS HUGEINT))
+                    AS DOUBLE) / 1e9 AS __wbc,
+               CAST(sum(CAST(round(CAST(__n AS DOUBLE) * __ob * __ob
+                    * 1e9, 0) AS HUGEINT)) AS DOUBLE) / 1e9 AS __so2
+        FROM __cells
+    )
+    SELECT n,
+           round(__bri / CAST(n AS DOUBLE) * 1e6, 0) / 1e6 AS brier,
+           round(__rel / CAST(n AS DOUBLE) * 1e6, 0) / 1e6
+               AS reliability,
+           round((__so2 / CAST(n AS DOUBLE)
+                  - (CAST(__ty AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(__ty AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * 1e6, 0) / 1e6 AS resolution,
+           round((CAST(__ty AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(__ty AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 1e6, 0) / 1e6 AS uncertainty,
+           round(__wbv / CAST(n AS DOUBLE) * 1e6, 0) / 1e6
+               AS within_bin_var,
+           round(__wbc / CAST(n AS DOUBLE) * 1e6, 0) / 1e6
+               AS within_bin_cov,
+           round(CAST(__ty AS DOUBLE) / CAST(n AS DOUBLE) * 1e6, 0)
+               / 1e6 AS base_rate
+    FROM __tot
+    """

@@ -639,3 +639,49 @@ def test_ndcg_perfect_reversed_and_capped_ideal(spark):
     assert abs(out["qb"]["ndcg"] - want) < 1e-6
     assert out["qc"]["n_relevant"] == 15 and out["qc"]["ndcg"] == 1.0
     assert "qd" not in out          # no relevant set -> no ideal row
+
+
+def test_brier_decomposition_identity_and_extremes(spark):
+    """Laws: (1) the identity brier = reliability - resolution +
+    uncertainty + within_bin_var holds to round-6 tolerance; (2) a
+    PERFECT sharp forecaster (p = y exactly) has brier 0, reliability
+    0, resolution = uncertainty; (3) the constant base-rate forecast
+    has resolution 0 and brier = uncertainty (+ its own tiny
+    reliability if the rate is off-grid)."""
+    from pytrousse_spark.operators.classifier import brier_decomposition
+
+    rows = [(1.0, 1)] * 30 + [(0.0, 0)] * 70
+    perfect = brier_decomposition(
+        spark.createDataFrame(rows, ["p", "y"]), "p", "y"
+    ).collect()[0]
+    assert perfect["brier"] == 0.0
+    assert perfect["reliability"] == 0.0
+    assert abs(perfect["resolution"] - perfect["uncertainty"]) < 1e-6
+    assert abs(perfect["uncertainty"] - 0.3 * 0.7) < 1e-6
+
+    const = brier_decomposition(
+        spark.createDataFrame(
+            [(0.3, 1)] * 30 + [(0.3, 0)] * 70, ["p", "y"]
+        ),
+        "p",
+        "y",
+    ).collect()[0]
+    assert const["resolution"] == 0.0
+    assert abs(const["brier"] - const["uncertainty"]) < 1e-6
+
+    mixed = brier_decomposition(
+        spark.createDataFrame(
+            [(0.82, 1)] * 40 + [(0.78, 0)] * 10 + [(0.1, 0)] * 45
+            + [(0.15, 1)] * 5,
+            ["p", "y"],
+        ),
+        "p",
+        "y",
+    ).collect()[0]
+    lhs = mixed["brier"]
+    rhs = (
+        mixed["reliability"] - mixed["resolution"]
+        + mixed["uncertainty"] + mixed["within_bin_var"]
+        - 2 * mixed["within_bin_cov"]
+    )
+    assert abs(lhs - rhs) < 5e-6
