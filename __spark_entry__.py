@@ -8014,6 +8014,34 @@ def _sql_q271() -> str:
     )
 
 
+def q272_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between two document
+    quality heuristics (chars > 300 vs whitespace tokens > 40) — the
+    annotation-pipeline interchangeability gate; ONE conditional agg
+    builds the exact 2x2 table (operators/classifier.cohens_kappa)."""
+    from pytrousse_spark.functions.text import token_count
+    from pytrousse_spark.operators.classifier import cohens_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    return cohens_kappa(
+        d,
+        (F.col("n_chars") > 300).cast("int"),
+        (token_count(F.col("text")) > 40).cast("int"),
+    )
+
+
+def _sql_q272() -> str:
+    from pytrousse_spark.functions.text import tokens_sql
+    from pytrousse_spark.operators.classifier import cohens_kappa_sql
+
+    tk = tokens_sql("text")
+    return cohens_kappa_sql(
+        "SELECT * FROM documents",
+        "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END",
+        f"CASE WHEN len({tk}) > 40 THEN 1 ELSE 0 END",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8105,6 +8133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q269_ndcg_bm25": q269_ndcg_bm25,
         "q270_minhash_calibration": q270_minhash_calibration,
         "q271_brier_decomposition": q271_brier_decomposition,
+        "q272_cohens_kappa": q272_cohens_kappa,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8794,6 +8823,7 @@ def oracle_sql() -> dict[str, str]:
         "q269_ndcg_bm25": _sql_q269(),
         "q270_minhash_calibration": _sql_q270(),
         "q271_brier_decomposition": _sql_q271(),
+        "q272_cohens_kappa": _sql_q272(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

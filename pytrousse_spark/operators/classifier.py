@@ -2722,3 +2722,118 @@ def brier_decomposition_sql(
                / 1e6 AS base_rate
     FROM __tot
     """
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: Column,
+    rater_b: Column,
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) chance-corrected agreement between
+    two binary raters/rules — the label-quality gate before trusting
+    two annotation pipelines (or a heuristic vs a model) as
+    interchangeable: raw agreement is inflated whenever both raters
+    mostly say the same class; kappa subtracts the agreement their
+    marginals would produce by chance:
+
+        po    = (n11 + n00) / n
+        pe    = (ma1*mb1 + ma0*mb0) / n^2
+        kappa = (po - pe) / (1 - pe)      (NULL when pe = 1 — a
+                                           constant pair of raters)
+
+    Exactness: ONE conditional agg builds the exact 2x2 BIGINT table;
+    po/pe/kappa are identical double chains of those integers,
+    round-6.
+
+    Scale: one scan, one 4-counter map-side agg; no join, no window.
+
+    Returns one row ``(n, n11, n10, n01, n00, po, pe, kappa)``.
+    """
+    a = rater_a.cast("int")
+    b = rater_b.cast("int")
+    t = df.select(a.alias("__a"), b.alias("__b")).where(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__a") * F.col("__b")).cast("bigint").alias("n11"),
+        F.sum(F.col("__a") * (1 - F.col("__b")))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum((1 - F.col("__a")) * F.col("__b"))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum((1 - F.col("__a")) * (1 - F.col("__b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (n * n)
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        r6(po).alias("po"),
+        r6(pe).alias("pe"),
+        r6(F.when(pe != 1.0, (po - pe) / (1.0 - pe))).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(
+    table_expr: str,
+    rater_a_sql: str,
+    rater_b_sql: str,
+) -> str:
+    """DuckDB twin of :func:`cohens_kappa` — identical 2x2 counts and
+    double chain."""
+    return f"""
+    WITH __t AS (
+        SELECT CAST({rater_a_sql} AS INTEGER) AS __a,
+               CAST({rater_b_sql} AS INTEGER) AS __b
+        FROM ({table_expr})
+    ), __agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(__a * __b) AS BIGINT) AS n11,
+               CAST(sum(__a * (1 - __b)) AS BIGINT) AS n10,
+               CAST(sum((1 - __a) * __b) AS BIGINT) AS n01,
+               CAST(sum((1 - __a) * (1 - __b)) AS BIGINT) AS n00
+        FROM __t WHERE __a IS NOT NULL AND __b IS NOT NULL
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1e6, 0) / 1e6 AS po,
+           round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                  + CAST(n01 + n00 AS DOUBLE)
+                    * CAST(n10 + n00 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 * 1e6, 0) / 1e6 AS pe,
+           round(CASE WHEN (CAST(n11 + n10 AS DOUBLE)
+                            * CAST(n11 + n01 AS DOUBLE)
+                            + CAST(n01 + n00 AS DOUBLE)
+                              * CAST(n10 + n00 AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                           <> 1.0
+                 THEN (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(n11 + n10 AS DOUBLE)
+                          * CAST(n11 + n01 AS DOUBLE)
+                          + CAST(n01 + n00 AS DOUBLE)
+                            * CAST(n10 + n00 AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                      / (1.0 - (CAST(n11 + n10 AS DOUBLE)
+                                * CAST(n11 + n01 AS DOUBLE)
+                                + CAST(n01 + n00 AS DOUBLE)
+                                  * CAST(n10 + n00 AS DOUBLE))
+                               / (CAST(n AS DOUBLE)
+                                  * CAST(n AS DOUBLE)))
+                 END * 1e6, 0) / 1e6 AS kappa
+    FROM __agg
+    """

@@ -685,3 +685,30 @@ def test_brier_decomposition_identity_and_extremes(spark):
         - 2 * mixed["within_bin_cov"]
     )
     assert abs(lhs - rhs) < 5e-6
+
+
+def test_cohens_kappa_identity_independence_complement(spark):
+    """Laws: identical raters -> kappa 1; a rater vs its complement ->
+    kappa strictly negative; statistically independent raters with
+    50/50 marginals -> kappa 0 exactly on a balanced 2x2; constant
+    raters (pe = 1) -> NULL."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.classifier import cohens_kappa
+
+    rows = [(i, i % 2, (i // 2) % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+
+    same = cohens_kappa(df, F.col("a"), F.col("a")).collect()[0]
+    assert same["kappa"] == 1.0 and same["po"] == 1.0
+
+    comp = cohens_kappa(
+        df, F.col("a"), (1 - F.col("a")).cast("int")
+    ).collect()[0]
+    assert comp["kappa"] < 0
+
+    indep = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert indep["kappa"] == 0.0 and indep["pe"] == 0.5
+
+    const = cohens_kappa(df, F.lit(1), F.lit(1)).collect()[0]
+    assert const["kappa"] is None
