@@ -8042,6 +8042,40 @@ def _sql_q272() -> str:
     )
 
 
+def q273_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T revenue-inequality index across customers with the
+    between/within-NATION decomposition — the additively-decomposable
+    concentration readout Gini q149 cannot give; pico-unit x*ln(x)
+    folds keep the one data-sized float sum fold-order-free
+    (operators/cohort.theil_index)."""
+    from pytrousse_spark.operators.cohort import theil_index
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("o_totalprice").alias("__rev"))
+        .join(c, "c_custkey")
+    )
+    return theil_index(rev, "c_nationkey", "__rev")
+
+
+def _sql_q273() -> str:
+    from pytrousse_spark.operators.cohort import theil_index_sql
+
+    return theil_index_sql(
+        """
+        SELECT c.c_nationkey, r.__rev
+        FROM (SELECT o_custkey AS c_custkey,
+                     sum(o_totalprice) AS __rev
+              FROM orders GROUP BY 1) r
+        JOIN customer c ON c.c_custkey = r.c_custkey
+        """,
+        "c_nationkey",
+        "__rev",
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8134,6 +8168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q270_minhash_calibration": q270_minhash_calibration,
         "q271_brier_decomposition": q271_brier_decomposition,
         "q272_cohens_kappa": q272_cohens_kappa,
+        "q273_theil_index": q273_theil_index,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8824,6 +8859,7 @@ def oracle_sql() -> dict[str, str]:
         "q270_minhash_calibration": _sql_q270(),
         "q271_brier_decomposition": _sql_q271(),
         "q272_cohens_kappa": _sql_q272(),
+        "q273_theil_index": _sql_q273(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

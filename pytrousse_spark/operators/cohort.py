@@ -4935,3 +4935,169 @@ def sequential_ab_looks_sql(
     FROM __per p JOIN __b b ON b.look = p.look
     ORDER BY p.look
     """
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index with the between/within-group
+    decomposition (Theil 1967) — the concentration readout the Gini
+    gate (q149) cannot give: Theil is ADDITIVELY DECOMPOSABLE, so
+    "how much revenue inequality is across nations vs inside them"
+    is an exact identity, not a narrative:
+
+        T        = sum_i (x_i/X) ln(x_i/mu)         (mu = X/N)
+        T_betw   = sum_g (X_g/X) ln(mu_g/mu)
+        T_within = sum_g (X_g/X) T_g
+        T = T_betw + T_within                        (exact identity,
+                                                      pinned by law)
+
+    Non-positive values are excluded (ln domain), their count
+    reported.
+
+    Exactness: x stages as integer cents; the only data-sized float
+    fold sum(x ln x) rounds each term to PICO-units (1e-12) and sums
+    as DECIMAL(38,0)/HUGEINT — fold-order-free, with accumulated
+    rounding < 1e-7 at 1e5 rows (under the round-6 output grid); all
+    other inputs (N, X, per-group N_g, X_g) are exact integers and
+    the ln/ratio chain is identical expression text.
+
+    Scale: one group-keyed agg over the staged rows + one tiny
+    all-groups fold; no join on the fact side, no window.
+
+    Returns one row ``(n, n_excluded, n_groups, theil, theil_between,
+    theil_within)``, round-6; NULL indices when no positive rows.
+    """
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast(
+        "bigint"
+    )
+    staged = df.select(
+        F.col(group_col).alias("__g"), cents.alias("__x")
+    )
+    excluded = staged.where(
+        F.col("__x").isNull() | (F.col("__x") <= 0)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_excluded"))
+    pos = staged.where(F.col("__x") > 0)
+    xlx = F.round(
+        F.col("__x").cast("double")
+        * F.log(F.col("__x").cast("double"))
+        * F.lit(1e12),
+        0,
+    ).cast(d38)
+    per = pos.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").cast(d38).alias("__sx"),
+        F.sum(xlx).cast(d38).alias("__sxl"),
+    )
+    tot = per.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("__sx").cast(d38).alias("__tx"),
+        F.sum("__sxl").cast(d38).alias("__txl"),
+    )
+    # T = [sum x ln x]/X - ln(X/N); T_g likewise per group
+    j = per.crossJoin(F.broadcast(tot))
+    xg = F.col("__sx").cast("double")
+    xt = F.col("__tx").cast("double")
+    ng = F.col("__n").cast("double")
+    nt = F.col("n").cast("double")
+    mu_g = xg / ng
+    mu = xt / nt
+    t_g = (
+        F.col("__sxl").cast("double") / F.lit(1e12) / xg
+        - F.log(mu_g)
+    )
+    betw_term = (xg / xt) * F.log(mu_g / mu)
+    with_term = (xg / xt) * t_g
+    nano = lambda c: F.round(c * F.lit(1e9), 0).cast(d38)  # noqa: E731
+    folds = j.select(
+        "n",
+        "n_groups",
+        "__tx",
+        "__txl",
+        nano(betw_term).alias("__bt"),
+        nano(with_term).alias("__wt"),
+    ).groupBy("n", "n_groups", "__tx", "__txl").agg(
+        (F.sum("__bt").cast("double") / F.lit(1e9)).alias("__betw"),
+        (F.sum("__wt").cast("double") / F.lit(1e9)).alias("__with"),
+    )
+    t_all = (
+        F.col("__txl").cast("double") / F.lit(1e12)
+        / F.col("__tx").cast("double")
+        - F.log(
+            F.col("__tx").cast("double") / F.col("n").cast("double")
+        )
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return folds.crossJoin(F.broadcast(excluded)).select(
+        "n",
+        "n_excluded",
+        "n_groups",
+        r6(t_all).alias("theil"),
+        r6(F.col("__betw")).alias("theil_between"),
+        r6(F.col("__with")).alias("theil_within"),
+    )
+
+
+def theil_index_sql(
+    table_expr: str,
+    group_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`theil_index` — identical cent staging,
+    pico-unit x*ln(x) folds and decomposition chain."""
+    return f"""
+    WITH __staged AS (
+        SELECT {group_col} AS __g,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __x
+        FROM ({table_expr})
+    ), __excluded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_excluded
+        FROM __staged WHERE __x IS NULL OR __x <= 0
+    ), __per AS MATERIALIZED (
+        SELECT __g,
+               CAST(count(*) AS BIGINT) AS __n,
+               sum(CAST(__x AS HUGEINT)) AS __sx,
+               sum(CAST(round(CAST(__x AS DOUBLE)
+                        * ln(CAST(__x AS DOUBLE)) * 1e12, 0)
+                        AS HUGEINT)) AS __sxl
+        FROM __staged WHERE __x > 0
+        GROUP BY 1
+    ), __tot AS (
+        SELECT CAST(sum(__n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               sum(__sx) AS __tx,
+               sum(__sxl) AS __txl
+        FROM __per
+    ), __folds AS (
+        SELECT t.n, t.n_groups, t.__tx, t.__txl,
+               CAST(sum(CAST(round(
+                   (CAST(p.__sx AS DOUBLE) / CAST(t.__tx AS DOUBLE))
+                   * ln((CAST(p.__sx AS DOUBLE)
+                         / CAST(p.__n AS DOUBLE))
+                        / (CAST(t.__tx AS DOUBLE)
+                           / CAST(t.n AS DOUBLE)))
+                   * 1e9, 0) AS HUGEINT)) AS DOUBLE) / 1e9 AS __betw,
+               CAST(sum(CAST(round(
+                   (CAST(p.__sx AS DOUBLE) / CAST(t.__tx AS DOUBLE))
+                   * (CAST(p.__sxl AS DOUBLE) / 1e12
+                      / CAST(p.__sx AS DOUBLE)
+                      - ln(CAST(p.__sx AS DOUBLE)
+                           / CAST(p.__n AS DOUBLE)))
+                   * 1e9, 0) AS HUGEINT)) AS DOUBLE) / 1e9 AS __with
+        FROM __per p CROSS JOIN __tot t
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT f.n, e.n_excluded, f.n_groups,
+           round((CAST(f.__txl AS DOUBLE) / 1e12
+                  / CAST(f.__tx AS DOUBLE)
+                  - ln(CAST(f.__tx AS DOUBLE) / CAST(f.n AS DOUBLE)))
+                 * 1e6, 0) / 1e6 AS theil,
+           round(f.__betw * 1e6, 0) / 1e6 AS theil_between,
+           round(f.__with * 1e6, 0) / 1e6 AS theil_within
+    FROM __folds f CROSS JOIN __excluded e
+    """

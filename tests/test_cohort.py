@@ -1354,3 +1354,46 @@ def test_sequential_ab_obf_boundary_behavior(spark):
         (F.col("event_type") == "purchase").cast("int"),
     ).collect()
     assert all(r["crossed"] is None or r["crossed"] == 0 for r in null_out)
+
+
+def test_theil_decomposition_identity_and_limits(spark):
+    """Laws: (1) perfect equality -> theil 0 (all components 0);
+    (2) the decomposition identity theil = between + within holds to
+    round-6 tolerance on a heterogeneous table; (3) equal group MEANS
+    with unequal insides -> between 0, theil = within; (4) all
+    inequality across groups (constant inside) -> within 0; (5)
+    non-positive rows are excluded and counted."""
+    from pytrousse_spark.operators.cohort import theil_index
+
+    eq = spark.createDataFrame(
+        [(g, 50.0) for g in ("a", "b") for _ in range(10)],
+        ["g", "v"],
+    )
+    r = theil_index(eq, "g", "v").collect()[0]
+    assert r["theil"] == 0.0
+    assert r["theil_between"] == 0.0 and r["theil_within"] == 0.0
+
+    het = spark.createDataFrame(
+        [("a", 10.0), ("a", 90.0), ("b", 20.0), ("b", 20.0),
+         ("b", 200.0), ("c", 5.0), ("c", -3.0), ("c", 0.0)],
+        ["g", "v"],
+    )
+    h = theil_index(het, "g", "v").collect()[0]
+    assert h["n_excluded"] == 2
+    assert abs(h["theil"] - (h["theil_between"] + h["theil_within"])) < 3e-6
+    assert h["theil"] > 0
+
+    same_means = spark.createDataFrame(
+        [("a", 50.0), ("a", 150.0), ("b", 100.0), ("b", 100.0)],
+        ["g", "v"],
+    )
+    sm = theil_index(same_means, "g", "v").collect()[0]
+    assert sm["theil_between"] == 0.0
+    assert abs(sm["theil"] - sm["theil_within"]) < 2e-6
+
+    across = spark.createDataFrame(
+        [("a", 10.0)] * 5 + [("b", 1000.0)] * 5, ["g", "v"]
+    )
+    ac = theil_index(across, "g", "v").collect()[0]
+    assert ac["theil_within"] == 0.0
+    assert abs(ac["theil"] - ac["theil_between"]) < 2e-6
