@@ -8084,20 +8084,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registration order is DELIBERATE, not numeric: the driver's
-    correctness battery processes the registry in order with a 50-row
-    budget (CORRECTNESS_r02-r05 cover exactly the first 50 entries).
+def _evidence_rounds() -> dict[str, int]:
+    """Newest driver-evidence round per query name, read from the
+    CORRECTNESS_r*.json files the driver writes next to this file."""
+    import glob as _glob
+    import json as _json
+    import re as _re
 
-    Round-7 head (freshness self-check in tests/test_oracle_parity.py,
-    computed from the CORRECTNESS_r*.json history): new never-checked
-    gates first, then q54 (the ONE remaining r2-evidence query — it sat
-    at slot 51 in round 6 and missed the budget by one), then the
-    oldest r3 families in registry order filling the 50. The tail
-    continues r3 → r4 → r5 → r6, newest evidence last. Every entry,
-    head or tail, runs the identical type-faithful DuckDB-parity check
-    in tests/test_oracle_parity.py regardless of driver budget."""
-    return {
+    newest: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (ValueError, OSError):
+            continue
+        for name in data:
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+def _freshness_rotate(
+    base: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Self-rotating registry head (round-8 fix for VERDICT r7 item 1):
+    the driver's correctness battery consumes the FIRST 50 entries, so
+    the registry must lead with every never-driver-checked query (in
+    base registration order), then all checked queries strictly
+    ascending by their newest evidence round (ties keep base order).
+    Rounds 6 and 7 both hand-rotated this head and both times the
+    freshness tests went red after the driver's JSON landed; computing
+    the order from the evidence history at call time makes staleness
+    structurally impossible."""
+    newest = _evidence_rounds()
+    pos = {n: i for i, n in enumerate(base)}
+    order = sorted(base, key=lambda n: (newest.get(n, 0), pos[n]))
+    return {n: base[n] for n in order}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry of every implemented query/operator (SURVEY.md §2 plus
+    the beyond-reference LLM-pipeline families). Iteration order is the
+    driver's check order and is computed by `_freshness_rotate`:
+    never-checked gates first, then oldest driver evidence first, so
+    the 50-row driver budget always lands on the least-certified slots.
+    Every entry, head or tail, runs the identical type-faithful
+    DuckDB-parity check in tests/test_oracle_parity.py regardless of
+    driver budget. The literal below keeps the historical (round-7)
+    registration order; rotation happens at return time."""
+    base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- head: zero driver evidence (new this round) --------------------
         "q204_acf_ljung_box": q204_acf_ljung_box,
         "q205_pettitt": q205_pettitt,
@@ -8375,6 +8414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_range_join": q52_range_join,
         "q53_group_zscore": q53_group_zscore,
     }
+    return _freshness_rotate(base)
 
 
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -123,20 +123,46 @@ def test_registry_head_is_never_checked_then_oldest_evidence_first():
         )
 
 
-def test_registry_head_round7_plan():
-    """Round-7 head pin: all never-checked gates lead (any count), then
-    q54_near_dedup_pairs — the single r2-evidence query left after it
-    missed round 6's 50-budget at slot 51 — then the oldest-r3 families
-    in registry order. Written against the evidence history so it stays
-    green as new gates are inserted at the top during the round."""
+def test_freshness_rotate_unit():
+    """Unit-pin the self-rotating head (round-8 replacement for the
+    per-round hand-pinned plan tests, which went red after every driver
+    JSON landed): never-checked first in base order, then checked
+    strictly ascending by newest evidence round, ties in base order."""
+    base = {f"q{i}": (lambda s, d: None) for i in range(6)}
+    fake = {"q0": 5, "q2": 3, "q3": 3, "q5": 2}
+    import unittest.mock as mock
+
+    with mock.patch.object(entrymod, "_evidence_rounds", return_value=fake):
+        got = list(entrymod._freshness_rotate(base))
+    assert got == ["q1", "q4", "q5", "q2", "q3", "q0"]
+
+
+def test_registry_queries_are_rotation_of_oracle_keys():
+    """queries() must be exactly the freshness rotation of the full key
+    set — same keys as oracle_sql(), no drops or dups introduced by the
+    rotation step."""
+    qnames = list(entrymod.queries())
+    assert len(qnames) == len(set(qnames))
+    assert set(qnames) == set(entrymod.oracle_sql())
+
+
+def test_head_budget_guard():
+    """Head-size guard (VERDICT r7 item 7): round 7 added 70 gates in
+    one round, pushing 20 of them past the driver's 50-budget and
+    re-stranding q54. Fail at commit time when the never-checked gates
+    plus the entire oldest-evidence tier can no longer fit in one
+    driver head — i.e. cap in-round gate additions at 50 minus the
+    stale backlog."""
     newest = _driver_evidence_rounds()
+    assert newest, "no CORRECTNESS_r*.json history found"
     names = list(entrymod.queries())
-    checked = [n for n in names if n in newest]
-    # q54 must be the FIRST entry that has any driver evidence
-    assert checked[0] == "q54_near_dedup_pairs"
-    # every never-checked gate precedes q54
-    i54 = names.index("q54_near_dedup_pairs")
-    assert all(n not in newest for n in names[:i54])
-    # the r3 block follows q54 immediately, ascending evidence after
-    rounds = [newest[n] for n in checked]
-    assert rounds == sorted(rounds), "registry not evidence-ascending"
+    never = [n for n in names if n not in newest]
+    checked_rounds = [newest[n] for n in names if n in newest]
+    oldest_tier = (
+        checked_rounds.count(min(checked_rounds)) if checked_rounds else 0
+    )
+    assert len(never) + oldest_tier <= 50, (
+        f"{len(never)} never-checked gates + {oldest_tier} queries in the "
+        "oldest evidence tier exceed the driver's 50-row budget; stop "
+        "adding gates this round or evidence will be stranded again"
+    )
