@@ -3666,7 +3666,9 @@ def q157_rolling_window_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pytrousse_spark.operators.timeseries import rolling_time_window
 
     ev = _t(spark, sf_dir, "events")
-    out = rolling_time_window(ev, "user_id", "ts", "value", "1 hour")
+    out = rolling_time_window(
+        ev, "user_id", "ts", "value", "1 hour", strategy="bucketed"
+    )
     return out.select("event_id", "user_id", "ts", "roll_n", "roll_avg")
 
 
@@ -8076,6 +8078,121 @@ def _sql_q273() -> str:
     )
 
 
+def q274_unicode_census_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q254's Unicode hygiene census where the ENGINE side actually
+    executes the Structured Streaming maintenance path (r7 VERDICT
+    item 5 — the five measured sinks previously had only batch twins
+    driver-gated): the documents table is re-staged as a multi-file
+    source, read with readStream + maxFilesPerTrigger so the
+    availableNow run processes SEVERAL micro-batches, each appending
+    the six mergeable per-group BIGINT counters via foreachBatch
+    (streaming/events.unicode_census_stream); the readout merges the
+    partials store (unicode_census_from_partials) and must hash-match
+    the SAME batch-census DuckDB oracle as q254 — at-least-once,
+    order-independent partials pinned by the driver itself.
+
+    The tiny merged readout (one row per source) is re-materialized as
+    a local DataFrame so the staging directory can be cleaned up
+    before returning; the streaming job has already run to completion
+    by then (availableNow terminates)."""
+    import shutil
+    import tempfile
+
+    from pytrousse_spark.streaming.events import (
+        unicode_census_from_partials,
+        unicode_census_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="pytrousse_uc_stream_gate_")
+    try:
+        src = os.path.join(tmp, "src")
+        store = os.path.join(tmp, "store")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        unicode_census_stream(stream, "source", "text", store)
+        out = unicode_census_from_partials(spark, store)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q275_png_palette_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PALETTED PNG codec round trip (r7 VERDICT item 8 — color
+    type 3, the first of the two honest multimodal increments left):
+    each document id becomes a genuine 16x12 color-type-3 PNG (PLTE
+    chunk of the deterministic 40-entry test palette, 1-byte indices
+    filtered through all five standard filter types), decoded back by
+    the pure-stdlib chunk-walk/inflate/unfilter/palette-map path; the
+    decoded RGB checksum must equal the oracle's closed form over the
+    index formula and palette formula (operators/multimodal.py)."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta,
+        synthesize_png_palette_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
+    media = synthesize_png_palette_column(d, "doc_id", width=16, height=12)
+    return decode_png_meta(media, "media", "doc_id")
+
+
+def _sql_q275() -> str:
+    # palette entry channel c of index i = (i*37 + 11c + 5) % 256;
+    # index of pixel (x, y) = (doc_id*7 + 3x + 5y) % 40
+    return """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(12 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(3 AS INT) AS color_type,
+           CAST((SELECT SUM((((doc_id * 7 + 3 * x.i + 5 * y.j) % 40)
+                             * 37 + 11 * ch.c + 5) % 256)
+                 FROM generate_series(0, 15) AS x(i),
+                      generate_series(0, 11) AS y(j),
+                      generate_series(0, 2) AS ch(c)) AS BIGINT)
+               AS pixel_sum
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150)
+    """
+
+
+def q276_png_rgba_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RGBA PNG codec round trip (r7 VERDICT item 8 — color type
+    6, the alpha half): q171's generator/decoder extended to 4-byte
+    pixels (the a/c filter neighbors move one 4-byte pixel left — the
+    exact spot a stride bug would corrupt), closed-form channel
+    checksum over all four channels (operators/multimodal.py)."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta,
+        synthesize_png_rgba_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
+    media = synthesize_png_rgba_column(d, "doc_id", width=16, height=12)
+    return decode_png_meta(media, "media", "doc_id")
+
+
+def _sql_q276() -> str:
+    return """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(12 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(6 AS INT) AS color_type,
+           CAST((SELECT SUM((doc_id * 7 + 3 * x.i + 5 * y.j + 11 * ch.c)
+                            % 256)
+                 FROM generate_series(0, 15) AS x(i),
+                      generate_series(0, 11) AS y(j),
+                      generate_series(0, 3) AS ch(c)) AS BIGINT)
+               AS pixel_sum
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150)
+    """
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8208,6 +8325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q271_brier_decomposition": q271_brier_decomposition,
         "q272_cohens_kappa": q272_cohens_kappa,
         "q273_theil_index": q273_theil_index,
+        "q274_unicode_census_streamed": q274_unicode_census_streamed,
+        "q275_png_palette_roundtrip": q275_png_palette_roundtrip,
+        "q276_png_rgba_roundtrip": q276_png_rgba_roundtrip,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -8900,6 +9020,11 @@ def oracle_sql() -> dict[str, str]:
         "q271_brier_decomposition": _sql_q271(),
         "q272_cohens_kappa": _sql_q272(),
         "q273_theil_index": _sql_q273(),
+        # the streamed gate's oracle IS the batch census SQL — the
+        # stream's merged partials must reproduce it bit-for-bit
+        "q274_unicode_census_streamed": _sql_q254(),
+        "q275_png_palette_roundtrip": _sql_q275(),
+        "q276_png_rgba_roundtrip": _sql_q276(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

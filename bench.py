@@ -312,22 +312,26 @@ def _headroom_10x(spark, big_dir: str) -> dict:
 # the headroom battery.
 _IDLE_SKEW_RATIOS = {
     "q11_sessionize": 1.5,
-    "q85_rolling_window": 8.0,
     "q157_rolling_window_scalable": 1.5,
     "q133_event_transitions": 1.5,
-    # round-6 finding: the pairwise range join IS quadratic in the hot
-    # user (measured 18.8 / 24.0 across cooldown re-runs — real, not
-    # load); it is now the declared funnel with q177 as the registered
-    # fix, so the band reflects the measured behavior
-    "q167_linear_attribution": 30.0,
+    # round-8: the pairwise attribution forms and q85's plain window are
+    # RETIRED from per-round re-measurement — their quadratic/funnel
+    # behavior is established evidence (r5-r7: q85 4.4-9.15x, linear
+    # 18.8-26.8x, position 16.5-20.4x; PLANS.md). The q167/q190 names
+    # now default to strategy="auto" (cohort._route_attribution), which
+    # probes max per-user pair mass and routes the skewed table to the
+    # scalable twins, so their bands are the scalable-path bands plus
+    # probe noise.
+    "q167_linear_attribution": 2.5,
     "q177_linear_attribution_scalable": 2.0,
     "q157_rolling_window_1day": 2.5,
-    # round-6 continuation: position attribution shares q167's pairwise
-    # user-keyed range join, so it inherits the same declared quadratic
-    # funnel (measured 16.5x this session); the q177 count-based
-    # decomposition is the documented escape hatch
-    "q190_position_attribution": 30.0,
+    "q190_position_attribution": 2.5,
     "q194_position_attribution_scalable": 2.0,
+    # auto-routed rolling window measures a MIXED-path ratio by design:
+    # benign routes to the plain window (cheapest plan), skewed routes
+    # to the bucketed decomposition (skew-immune but ~3 exchanges), so
+    # the ratio compares different physical plans on different tables
+    "q157_rolling_window_auto": 5.0,
     # round-7 continuation-3 (bands ~2x first idle measures)
     "q257_triple_sequences": 2.5,
     "q263_markov_entropy": 2.0,
@@ -342,7 +346,22 @@ def _rolling_window_1day(spark, d):
     from pytrousse_spark.operators.timeseries import rolling_time_window
 
     ev = read_parquet_df(spark, f"{d}/events.parquet")
-    return rolling_time_window(ev, "user_id", "ts", "value", "1 day").select(
+    return rolling_time_window(
+        ev, "user_id", "ts", "value", "1 day", strategy="bucketed"
+    ).select("event_id", "user_id", "ts", "roll_n", "roll_avg")
+
+
+def _rolling_window_auto(spark, d):
+    """The DEFAULT-named rolling window (strategy="auto", r7 VERDICT
+    item 2): the density probe routes the benign table to the plain
+    RANGE window and the 20%-skew table to the bucketed decomposition,
+    so a user reaching for the obvious name never hits the per-key sort
+    funnel. The ratio intentionally mixes physical plans."""
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.timeseries import rolling_time_window
+
+    ev = read_parquet_df(spark, f"{d}/events.parquet")
+    return rolling_time_window(ev, "user_id", "ts", "value", "1 hour").select(
         "event_id", "user_id", "ts", "roll_n", "roll_avg"
     )
 
@@ -361,9 +380,11 @@ def _skew_stress(spark, tmp: str) -> dict:
         name: getattr(entrymod, name)
         for name in (
             "q11_sessionize",
-            "q85_rolling_window",
             "q157_rolling_window_scalable",  # bucketed fix for q85's funnel
             "q133_event_transitions",
+            # round-8: these two names now default to strategy="auto" —
+            # the battery certifies the DEFAULT routes around the skew
+            # funnel (pairwise re-measurement retired; see PLANS.md)
             "q167_linear_attribution",
             "q177_linear_attribution_scalable",
             "q190_position_attribution",
@@ -377,6 +398,7 @@ def _skew_stress(spark, tmp: str) -> dict:
         )
     }
     cases["q157_rolling_window_1day"] = _rolling_window_1day
+    cases["q157_rolling_window_auto"] = _rolling_window_auto
 
     def _run(fn) -> dict:
         row: dict[str, float] = {}
@@ -639,12 +661,27 @@ def main() -> None:
     # numbers, BASELINE.md §1); ratio < 2.0 is the driver's gate.
     anchor_sum = None
     anchor_ratio = None
+    anchor_ratio_norm = None
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_r01.json")) as f:
             r1 = json.load(f)["parsed"]["queries"]
         if all(timings.get(k, -1) >= 0 for k in r1):
             anchor_sum = round(sum(timings[k] for k in r1), 3)
             anchor_ratio = round(anchor_sum / sum(r1.values()), 3)
+            # probe-normalized anchor (r7 VERDICT item 3): the r7 driver
+            # run is the pinned (probe, anchor) pair — cpu_probe_sec
+            # 0.756 alongside anchor_r1_ratio 1.189 (BENCH_r07.json).
+            # normalized = ratio * (PROBE_R7 / probe): a slower host
+            # (bigger probe) scales the ratio down proportionally, so
+            # normalized values are comparable ACROSS HOST-SPEED DRIFT
+            # for every round >= 7. No probe exists from the r1 era, so
+            # this normalizes to the r7 host, not to r1 absolute speed:
+            # read it against r7's own 1.189, not against 1.0.
+            _PROBE_R7 = 0.756
+            if cpu_probe > 0:
+                anchor_ratio_norm = round(
+                    anchor_ratio * (_PROBE_R7 / cpu_probe), 3
+                )
     except (OSError, KeyError, ValueError):
         pass
 
@@ -665,6 +702,7 @@ def main() -> None:
                 "n_failed": sum(1 for v in timings.values() if v < 0),
                 "anchor_r1_sum_sec": anchor_sum,
                 "anchor_r1_ratio": anchor_ratio,
+                "anchor_r1_ratio_normalized": anchor_ratio_norm,
                 # load fields sit in the TAIL so the driver's truncated
                 # recording always keeps them
                 "loadavg_start": load_start,

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from .hashing import h60, h60_sql
 
+from pytrousse_spark.functions.sqlutil import sql_quote
+
 #: tiny per-language stopword lists for the n-gram/stopword language heuristic.
 #: Ordered dict — ties resolve to the earlier language (deterministic).
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -1260,7 +1262,7 @@ def search_docs_sql(
 ) -> str:
     """DuckDB twin of :func:`search_docs`."""
     uniq = sorted(set(terms))
-    lits = ", ".join(f"'{t}'" for t in uniq)
+    lits = ", ".join(sql_quote(t) for t in uniq)
     tok = tokens_sql(text_col)
     return f"""
     WITH post AS (
@@ -1357,7 +1359,7 @@ def bm25_search_sql(
 ) -> str:
     """DuckDB twin of :func:`bm25_search` (identical expression text)."""
     uniq = sorted(set(terms))
-    lits = ", ".join(f"'{t}'" for t in uniq)
+    lits = ", ".join(sql_quote(t) for t in uniq)
     tok = tokens_sql(text_col)
     return f"""
     WITH base AS MATERIALIZED (
@@ -1448,7 +1450,7 @@ def phrase_search_sql(
     logic (DuckDB positions are 1-based; only relative offsets matter)."""
     toks = tokens_sql(text_col)
     uniq = sorted(set(phrase))
-    lits = ", ".join(f"'{t}'" for t in uniq)
+    lits = ", ".join(sql_quote(t) for t in uniq)
     joins = []
     for i, term in enumerate(phrase[1:], start=1):
         joins.append(

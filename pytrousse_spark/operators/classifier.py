@@ -2411,6 +2411,13 @@ def ndcg_at_k(
     relevant set (R may exceed k — the ideal is capped, the standard
     convention).
 
+    The output covers the UNION of queries seen in either input (r7
+    ADVICE fix — previously a query present in ``ranking`` with zero
+    relevant docs silently vanished from the eval): a zero-relevance
+    query emits ``(n_relevant=0, hits_at_k=0, dcg=0, idcg=0,
+    ndcg=NULL)``, so the documented R=0 NULL branch is reachable and
+    the eval's query count matches the harness's.
+
     Exactness: relevance hits are integer joins; the discount logs
     are identical expressions of small integers; round-6.
 
@@ -2434,22 +2441,36 @@ def ndcg_at_k(
     rtot = relevance.groupBy("query").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_relevant")
     )
+    # query universe = union of both inputs' query sets, so ranked
+    # queries with zero relevant docs still emit an (R=0, ndcg NULL)
+    # row instead of disappearing from the eval
+    universe = (
+        ranking.select("query").union(relevance.select("query")).distinct()
+    )
+    rtotu = universe.join(rtot, "query", "left").select(
+        "query",
+        F.coalesce(F.col("n_relevant"), F.lit(0))
+        .cast("bigint")
+        .alias("n_relevant"),
+    )
+    # the explode stays on the R>0 frame only: Spark's sequence(1, 0)
+    # would yield a DESCENDING [1, 0] sequence, not an empty one
     ideal = rtot.select(
         "query",
-        "n_relevant",
         F.explode(
             F.sequence(
                 F.lit(1), F.least(F.col("n_relevant"), F.lit(k))
             )
         ).alias("__i"),
-    ).groupBy("query", "n_relevant").agg(
+    ).groupBy("query").agg(
         F.sum(
             1.0 / F.log2(F.col("__i").cast("double") + 1.0)
         ).alias("__idcg")
     )
     r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
     return (
-        ideal.join(hits, "query", "left")
+        rtotu.join(ideal, "query", "left")
+        .join(hits, "query", "left")
         .select(
             "query",
             "n_relevant",
@@ -2457,7 +2478,7 @@ def ndcg_at_k(
             .cast("bigint")
             .alias("hits_at_k"),
             r6(F.coalesce(F.col("__dcg"), F.lit(0.0))).alias("dcg"),
-            r6(F.col("__idcg")).alias("idcg"),
+            r6(F.coalesce(F.col("__idcg"), F.lit(0.0))).alias("idcg"),
             r6(
                 F.when(
                     F.col("n_relevant") > 0,
@@ -2494,24 +2515,34 @@ def ndcg_at_k_sql(
     ), __rtot AS (
         SELECT "query", CAST(count(*) AS BIGINT) AS n_relevant
         FROM __rel GROUP BY 1
+    ), __universe AS (
+        SELECT DISTINCT "query" FROM __rank
+        UNION
+        SELECT DISTINCT "query" FROM __rel
+    ), __rtotu AS (
+        SELECT u."query",
+               CAST(COALESCE(t.n_relevant, 0) AS BIGINT) AS n_relevant
+        FROM __universe u LEFT JOIN __rtot t ON t."query" = u."query"
     ), __ideal AS (
-        SELECT "query", n_relevant,
+        SELECT "query",
                sum(1.0 / log2(CAST(__i AS DOUBLE) + 1.0)) AS __idcg
-        FROM (SELECT "query", n_relevant,
+        FROM (SELECT "query",
                      unnest(range(1, least(n_relevant, {k}) + 1))
                          AS __i
               FROM __rtot)
-        GROUP BY 1, 2
+        GROUP BY 1
     )
-    SELECT i."query", i.n_relevant,
+    SELECT u."query", u.n_relevant,
            CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
            round(COALESCE(h.__dcg, 0.0) * 1e6, 0) / 1e6 AS dcg,
-           round(i.__idcg * 1e6, 0) / 1e6 AS idcg,
-           round(CASE WHEN i.n_relevant > 0
+           round(COALESCE(i.__idcg, 0.0) * 1e6, 0) / 1e6 AS idcg,
+           round(CASE WHEN u.n_relevant > 0
                  THEN COALESCE(h.__dcg, 0.0) / i.__idcg
                  END * 1e6, 0) / 1e6 AS ndcg
-    FROM __ideal i LEFT JOIN __hits h ON h."query" = i."query"
-    ORDER BY i."query"
+    FROM __rtotu u
+    LEFT JOIN __ideal i ON i."query" = u."query"
+    LEFT JOIN __hits h ON h."query" = u."query"
+    ORDER BY u."query"
     """
 
 

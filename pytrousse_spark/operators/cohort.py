@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h60, h60_sql
 
+from pytrousse_spark.functions.sqlutil import sql_quote
+
 _PERIOD_DAYS = {"day": 1, "week": 7}
 
 
@@ -440,7 +442,7 @@ def ab_test_conversion_sql(
 ) -> str:
     """DuckDB twin of :func:`ab_test_conversion` — identical portable
     md5 arm hash, conversion rule, and z expression shapes."""
-    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    h = h60_sql(f"{sql_quote(salt + '|')} || CAST(__u AS VARCHAR)")
     return f"""
     WITH exp AS MATERIALIZED (
         SELECT {user_col} AS __u,
@@ -571,7 +573,7 @@ def unordered_funnel_sql(
 ) -> str:
     """DuckDB twin of :func:`unordered_funnel`."""
     uniq = list(dict.fromkeys(steps))
-    lits = ", ".join(f"'{s}'" for s in uniq)
+    lits = ", ".join(sql_quote(s) for s in uniq)
     limit = (
         float(window_hours * 3600)
         if window_hours is not None
@@ -601,6 +603,57 @@ def unordered_funnel_sql(
     """
 
 
+def _route_attribution(
+    purchases: "DataFrame",
+    touches: "DataFrame",
+    user_col: str,
+    strategy: str,
+    max_pair_mass: int,
+) -> str:
+    """Strategy router shared by :func:`linear_attribution` and
+    :func:`position_attribution` (round-7 VERDICT item 2 — the
+    transforms.percent_rank_transform rank-router pattern applied to
+    the attribution pair joins).
+
+    ``"auto"`` runs ONE cheap density probe: per-user touch counts and
+    per-user purchase counts (both map-side-combinable aggs whose
+    output is bounded by distinct users), joined on user, and reads the
+    MAXIMUM per-user pair mass ``touches_u * purchases_u`` — exactly
+    the number of candidate pairs the pairwise range join materializes
+    inside that user's single join partition. Above ``max_pair_mass``
+    the quadratic-per-hot-user join is the measured 16-27x skew funnel
+    (BENCH_r06/r07 skew batteries), so the router picks the
+    count-decomposition twin; below it the pairwise form is the
+    cheaper plan (fewer exchanges). The routing rule is pinned on
+    benign + zipfian frames in tests/test_cohort.py.
+    """
+    from pyspark.sql import functions as F
+
+    if strategy not in ("exact", "scalable", "auto"):
+        raise ValueError(
+            "attribution: strategy must be exact|scalable|auto"
+        )
+    if strategy != "auto":
+        return strategy
+    tc = (
+        touches.where(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.count(F.lit(1)).alias("__tc"))
+    )
+    pc = (
+        purchases.where(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.count(F.lit(1)).alias("__pc"))
+    )
+    row = (
+        tc.join(pc, "__u")
+        .agg(F.max(F.col("__tc") * F.col("__pc")).alias("__mass"))
+        .first()
+    )
+    mass = row["__mass"] if row and row["__mass"] is not None else 0
+    return "scalable" if mass > max_pair_mass else "exact"
+
+
 def linear_attribution(
     purchases: "DataFrame",
     touches: "DataFrame",
@@ -611,6 +664,8 @@ def linear_attribution(
     touch_ts_col: str,
     channel_col: str,
     window_seconds: int = 3 * 86400,
+    strategy: str = "auto",
+    auto_max_pair_mass: int = 4_000_000,
 ) -> "DataFrame":
     """Multi-touch LINEAR attribution: every touch in the lookback
     window before a conversion shares the conversion's value EQUALLY —
@@ -625,20 +680,36 @@ def linear_attribution(
     total credited value always equals total conversion value (pinned
     law in tests/test_cohort.py).
 
-    SCALE CAVEAT (round-6 skew battery): the user-keyed equi-join
-    materializes touches x purchases PER USER in one join partition —
-    measured 18-24x wall degradation when one user owns ~20% of events
-    (the candidate pairs are quadratic in the hot user). Use this exact
-    pairwise form only when per-user touch density is bounded; for
-    skewed or dense users use :func:`linear_attribution_scalable`,
-    which computes the identical result (bit-for-bit, same oracle)
-    from bucketed window COUNTS with no pair materialization.
+    ``strategy`` routes between the two bit-identical physical forms
+    (round-7 VERDICT item 2 — a user reaching for the obvious name must
+    not get the quadratic-per-hot-user join on skewed data):
+
+    - ``"exact"`` — the pairwise user-keyed range join below: fewest
+      exchanges, but it materializes touches x purchases PER USER in
+      one join partition (measured 18-27x wall degradation when one
+      user owns ~20% of events, BENCH_r06/r07 skew batteries);
+    - ``"scalable"`` — delegate to :func:`linear_attribution_scalable`
+      (bucketed window counts, no pair materialization, max task =
+      densest (user, channel, bucket));
+    - ``"auto"`` (default) — :func:`_route_attribution` probes the
+      maximum per-user pair mass with one tiny agg-join job and picks
+      ``scalable`` iff it exceeds ``auto_max_pair_mass``.
 
     Returns ``(channel, n_conversions, n_touches, credit)`` where
     ``credit`` is micro-units / 1e6 rounded 6.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+
+    routed = _route_attribution(
+        purchases, touches, user_col, strategy, auto_max_pair_mass
+    )
+    if routed == "scalable":
+        return linear_attribution_scalable(
+            purchases, touches, user_col, purchase_id_col,
+            purchase_ts_col, value_col, touch_ts_col, channel_col,
+            window_seconds,
+        )
 
     p = purchases.select(
         F.col(user_col).alias("__u"),
@@ -1312,7 +1383,7 @@ def cuped_ab_test_sql(
 ) -> str:
     """DuckDB twin of :func:`cuped_ab_test` — identical portable arm
     hash, integer-cent sufficient statistics, and IEEE chains."""
-    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    h = h60_sql(f"{sql_quote(salt + '|')} || CAST(__u AS VARCHAR)")
     return f"""
     WITH pu AS (
         SELECT {user_col} AS __u,
@@ -1545,7 +1616,7 @@ def diff_in_diff_sql(
     """DuckDB twin of :func:`diff_in_diff` — identical arm hash,
     integer-cent sufficient statistics, cell moments, and the same
     IEEE combination shapes."""
-    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    h = h60_sql(f"{sql_quote(salt + '|')} || CAST(__u AS VARCHAR)")
     return f"""
     WITH pu AS (
         SELECT {user_col} AS __u,
@@ -1631,6 +1702,8 @@ def position_attribution(
     touch_ts_col: str,
     channel_col: str,
     window_seconds: int = 3 * 86400,
+    strategy: str = "auto",
+    auto_max_pair_mass: int = 4_000_000,
 ) -> "DataFrame":
     """Multi-touch POSITION-BASED (U-shaped 40/20/40) attribution:
     the first and last touch in the lookback window each take 40% of
@@ -1648,17 +1721,28 @@ def position_attribution(
     — total credited value always equals total conversion value
     (pinned law).
 
-    SCALE CAVEAT (measured 16.5x wall under 20% single-user skew this
-    round): same pairwise user-keyed join as
-    :func:`linear_attribution` — bounded per-user touch density only;
-    :func:`position_attribution_scalable` computes the identical
-    result from the q177 windowed-count machinery (counts +
-    first/last builds, no pair materialization).
+    ``strategy`` = ``"exact"`` | ``"scalable"`` | ``"auto"`` (default),
+    exactly as :func:`linear_attribution`: the pairwise user-keyed join
+    measured 16-20x wall under 20% single-user skew (BENCH_r06/r07),
+    so ``"auto"`` probes the max per-user pair mass
+    (:func:`_route_attribution`) and routes to
+    :func:`position_attribution_scalable` above
+    ``auto_max_pair_mass`` — identical results bit-for-bit.
 
     Returns ``(channel, n_conversions, n_touches, credit)``.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+
+    routed = _route_attribution(
+        purchases, touches, user_col, strategy, auto_max_pair_mass
+    )
+    if routed == "scalable":
+        return position_attribution_scalable(
+            purchases, touches, user_col, purchase_id_col,
+            purchase_ts_col, value_col, touch_ts_col, channel_col,
+            window_seconds,
+        )
 
     p = purchases.select(
         F.col(user_col).alias("__u"),
@@ -2300,7 +2384,7 @@ def ab_power_mde_sql(
     ts_col: str = "ts",
 ) -> str:
     """DuckDB twin of :func:`ab_power_mde`."""
-    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    h = h60_sql(f"{sql_quote(salt + '|')} || CAST(__u AS VARCHAR)")
     zsum = _Z_ALPHA + _Z_BETA
     return f"""
     WITH exp AS MATERIALIZED (
@@ -2505,7 +2589,7 @@ def segment_ab_bh_sql(
     """DuckDB twin of :func:`segment_ab_bh` — identical arm hash, cell
     counts, the SAME A&S tail-polynomial text, and the same BH
     step-up windows."""
-    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    h = h60_sql(f"{sql_quote(salt + '|')} || CAST(__u AS VARCHAR)")
     phi = _phi_tail_sql("abs(__z)")
     return f"""
     WITH exp AS MATERIALIZED (
@@ -2727,7 +2811,7 @@ def ratio_metric_delta_sql(
     ts_col: str = "ts",
 ) -> str:
     """DuckDB twin of :func:`ratio_metric_delta`."""
-    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    h = h60_sql(f"{sql_quote(salt + '|')} || CAST(__u AS VARCHAR)")
     return f"""
     WITH pu AS (
         SELECT {user_col} AS __u,
@@ -4111,7 +4195,7 @@ def markov_attribution_sql(
         steps.append(f"""
     it{n} AS MATERIALIZED (
         SELECT v.var, t.src AS state,
-               CAST(sum(t.cnt * (CASE
+               CAST(sum(CAST(t.cnt AS HUGEINT) * (CASE
                        WHEN t.dst = v.var THEN 0
                        WHEN t.dst = 'CONV' THEN {_MARKOV_NANO}
                        WHEN t.dst = 'DROP' THEN 0

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from ..functions import text as tx
 from . import dedup as dd
 
+from pytrousse_spark.functions.sqlutil import sql_quote
+
 
 def gate_documents(
     df: DataFrame,
@@ -153,7 +155,7 @@ def clean_corpus_sql(
       FROM {table}
     ), kept AS (
       SELECT * FROM stats
-      WHERE lang_guess = '{lang}' AND quality >= {min_quality}
+      WHERE lang_guess = {sql_quote(lang)} AND quality >= {min_quality}
         AND n_tokens BETWEEN {min_tokens} AND {max_tokens}
     ), survivors AS (
       SELECT k.{id_col}, k.{text_col}, k.n_tokens, k.quality
@@ -635,7 +637,7 @@ def textrank_keywords_sql(
     edges = f"""
         WITH __tks AS (
             SELECT list_filter({tk},
-                   __w -> regexp_matches(__w, '{pat}')) AS __tk
+                   __w -> regexp_matches(__w, {sql_quote(pat)})) AS __tk
             FROM ({table_expr})
         ), __pairs AS (
             -- parallel unnest zips the two shifted slices
@@ -1413,11 +1415,11 @@ def log_odds_tokens_sql(
     tk = tokens_sql(text_col)
     return f"""
     WITH __occ AS (
-        SELECT CASE WHEN {group_col} = '{group_a}' THEN 'a'
+        SELECT CASE WHEN {group_col} = {sql_quote(group_a)} THEN 'a'
                     ELSE 'b' END AS __g,
                unnest({tk}) AS __tok
         FROM ({table_expr})
-        WHERE {group_col} IN ('{group_a}', '{group_b}')
+        WHERE {group_col} IN ({sql_quote(group_a)}, {sql_quote(group_b)})
     ), __cnt AS (
         SELECT __tok,
                CAST(sum(CASE WHEN __g = 'a' THEN 1 ELSE 0 END)

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h60, h60_sql
 
+from pytrousse_spark.functions.sqlutil import sql_quote
+
 #: hash buckets per unit probability — 1e6 gives ppm-resolution fractions.
 _BUCKETS = 1_000_000
 
@@ -30,7 +32,7 @@ def _bucket(id_col: str, salt: str):
 
 
 def _bucket_sql(id_col: str, salt: str) -> str:
-    h = h60_sql(f"'{salt}|' || CAST({id_col} AS VARCHAR)")
+    h = h60_sql(f"{sql_quote(salt + '|')} || CAST({id_col} AS VARCHAR)")
     return f"({h} % {_BUCKETS})"
 
 
@@ -86,7 +88,7 @@ def weighted_sample_sql(
     select_cols: str = "*",
 ) -> str:
     """DuckDB twin of :func:`weighted_sample` (same hash → uniform → key)."""
-    h = h60_sql(f"'{salt}|' || CAST({id_col} AS VARCHAR)")
+    h = h60_sql(f"{sql_quote(salt + '|')} || CAST({id_col} AS VARCHAR)")
     return f"""
     SELECT {select_cols},
            round(-ln(({h} + 1) / {_H60_SPACE_F:.1f})

@@ -611,8 +611,9 @@ def test_ndcg_perfect_reversed_and_capped_ideal(spark):
     """Laws: (1) relevant docs ranked 1..R -> NDCG exactly 1; (2) the
     same hits pushed to the bottom of the k-window give the known
     closed-form ratio < 1; (3) R > k caps the ideal at k (NDCG can
-    still reach 1); (4) a query with NO relevant docs yields NULL
-    ndcg and survives the left join."""
+    still reach 1); (4) a query ranked but with NO relevant docs emits
+    an explicit (n_relevant=0, ndcg NULL) row — r7 ADVICE fix: it
+    used to vanish from the eval entirely."""
     import math
 
     from pytrousse_spark.operators.classifier import ndcg_at_k
@@ -638,7 +639,12 @@ def test_ndcg_perfect_reversed_and_capped_ideal(spark):
     )
     assert abs(out["qb"]["ndcg"] - want) < 1e-6
     assert out["qc"]["n_relevant"] == 15 and out["qc"]["ndcg"] == 1.0
-    assert "qd" not in out          # no relevant set -> no ideal row
+    # zero-relevance query: explicit row, NULL ndcg (the documented
+    # R = 0 branch is now reachable)
+    assert out["qd"]["n_relevant"] == 0
+    assert out["qd"]["hits_at_k"] == 0
+    assert out["qd"]["dcg"] == 0.0 and out["qd"]["idcg"] == 0.0
+    assert out["qd"]["ndcg"] is None
 
 
 def test_brier_decomposition_identity_and_extremes(spark):

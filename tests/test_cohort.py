@@ -1397,3 +1397,58 @@ def test_theil_decomposition_identity_and_limits(spark):
     ac = theil_index(across, "g", "v").collect()[0]
     assert ac["theil_within"] == 0.0
     assert abs(ac["theil"] - ac["theil_between"]) < 2e-6
+
+
+def test_attribution_strategy_router(spark):
+    """r7 VERDICT item 2: linear/position attribution default to
+    strategy="auto", which probes the max per-user pair mass
+    (touches_u * purchases_u) and routes to the scalable twin above the
+    bound. Routing rule pinned on a benign and a zipfian frame; the
+    routed results stay bit-identical to the pairwise form."""
+    from pytrousse_spark.operators.cohort import (
+        _route_attribution,
+        linear_attribution,
+        position_attribution,
+    )
+
+    def frame(hot_touches):
+        ts = "2024-01-01 00:0{}:00"
+        prows = [(u, f"p{u}", ts.format(5), 10.0) for u in range(4)]
+        trows = [(u, ts.format(1), f"ch{u % 2}") for u in range(4)]
+        trows += [(0, ts.format(2), "ch1")] * hot_touches
+        p = spark.createDataFrame(
+            prows, "u int, pid string, ts string, v double"
+        ).withColumn("ts", __import__("pyspark").sql.functions.col("ts").cast("timestamp"))
+        t = spark.createDataFrame(
+            trows, "u int, ts string, ch string"
+        ).withColumn("ts", __import__("pyspark").sql.functions.col("ts").cast("timestamp"))
+        return p, t
+
+    p, t = frame(hot_touches=0)
+    assert _route_attribution(p, t, "u", "auto", 4_000_000) == "exact"
+    assert _route_attribution(p, t, "u", "auto", 0) == "scalable"
+    assert _route_attribution(p, t, "u", "scalable", 0) == "scalable"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _route_attribution(p, t, "u", "nope", 0)
+
+    # zipfian: one user owns nearly all touches -> pair mass exceeds a
+    # small bound and auto picks the scalable twin
+    p, t = frame(hot_touches=40)
+    assert _route_attribution(p, t, "u", "auto", 30) == "scalable"
+
+    kw = dict(
+        user_col="u", purchase_id_col="pid", purchase_ts_col="ts",
+        value_col="v", touch_ts_col="ts", channel_col="ch",
+    )
+    for fn in (linear_attribution, position_attribution):
+        exact = {
+            (r["channel"],): (r["n_conversions"], r["n_touches"], r["credit"])
+            for r in fn(p, t, strategy="exact", **kw).collect()
+        }
+        routed = {
+            (r["channel"],): (r["n_conversions"], r["n_touches"], r["credit"])
+            for r in fn(p, t, strategy="auto", auto_max_pair_mass=30,
+                        **kw).collect()
+        }
+        assert exact == routed and exact

@@ -652,3 +652,27 @@ def test_wasserstein_laws(spark):
     assert r["w1"] == r2["w1"]
     # scale-free sanity: W1 carries the column's units (PSI does not)
     assert r["lo"] == 0.0 and r["hi"] == 129.0
+
+
+def test_categorical_boundary_exact_recheck(spark):
+    """r7 VERDICT item 4: a column planted exactly AT the count//300
+    categorical boundary must classify by pandas `nunique` semantics
+    (distinct < count // 300), not by HLL estimation noise. 90,000 rows
+    -> boundary 300: 299 distinct IS categorical, 300 and 301 are NOT."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.profiling import profile
+
+    n = 90_000
+    df = spark.range(n).select(
+        F.concat(F.lit("v"), (F.col("id") % 299).cast("string")).alias("c299"),
+        F.concat(F.lit("v"), (F.col("id") % 300).cast("string")).alias("c300"),
+        F.concat(F.lit("v"), (F.col("id") % 301).cast("string")).alias("c301"),
+    )
+    prof = profile(df)
+    assert prof.stats["c299"].distinct == 299
+    assert prof.stats["c300"].distinct == 300
+    assert prof.stats["c301"].distinct == 301
+    cats = prof.str_categorical_cols
+    assert "c299" in cats
+    assert "c300" not in cats and "c301" not in cats

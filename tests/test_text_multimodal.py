@@ -186,16 +186,69 @@ def test_png_malformed_raises(spark):
 
 def test_png_unsupported_color_type_returns_metadata_only(spark):
     import struct as st
-    import zlib
+
+    import pytest as _pt
 
     from pytrousse_spark.operators.multimodal import PNG_SIG, _png_chunk, decode_png
 
-    # color_type 3 (palette) and 6 (RGBA) stay honestly unsupported
-    for ct in (3, 6):
-        ihdr = st.pack(">IIBBBBB", 4, 4, 8, ct, 0, 0, 0)
+    # gray+alpha (4) and 16-bit depth stay honestly unsupported
+    for ct, depth in ((4, 8), (0, 16), (2, 16)):
+        ihdr = st.pack(">IIBBBBB", 4, 4, depth, ct, 0, 0, 0)
         png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
         m = decode_png(png)
         assert m["color_type"] == ct and m["pixels"] is None
+
+    # a paletted PNG without its PLTE chunk is malformed, not metadata
+    ihdr = st.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with _pt.raises(ValueError, match="PLTE"):
+        decode_png(png)
+
+
+def test_png_palette_and_rgba_roundtrip_exact_channels(spark):
+    """r7 VERDICT item 8: color types 3 (palette -> flat RGB through
+    PLTE) and 6 (RGBA, a/c filter neighbors one 4-byte pixel left)
+    round-trip bit-exactly through the pure-stdlib codec; out-of-range
+    palette indices raise."""
+    import pytest as _pt
+
+    from pytrousse_spark.operators.multimodal import (
+        PNG_TEST_PALETTE_SIZE,
+        _test_palette,
+        decode_png,
+        encode_png_palette,
+        encode_png_rgba,
+    )
+
+    pal = _test_palette()
+    W, H, i = 16, 12, 7
+    idx = [
+        [(i * 7 + 3 * x + 5 * y) % PNG_TEST_PALETTE_SIZE for x in range(W)]
+        for y in range(H)
+    ]
+    m = decode_png(encode_png_palette(idx, pal))
+    assert (m["width"], m["height"], m["color_type"]) == (W, H, 3)
+    want = [ch for row in idx for j in row for ch in pal[j]]
+    assert m["pixels"] == want
+
+    rgba = [
+        [
+            tuple((i * 7 + 3 * x + 5 * y + 11 * c) % 256 for c in range(4))
+            for x in range(W)
+        ]
+        for y in range(H)
+    ]
+    m6 = decode_png(encode_png_rgba(rgba))
+    assert (m6["color_type"], len(m6["pixels"])) == (6, W * H * 4)
+    assert m6["pixels"] == [ch for row in rgba for px in row for ch in px]
+
+    # palette index beyond the PLTE table must raise, not wrap
+    bad = [[PNG_TEST_PALETTE_SIZE + 3] * 4] * 4
+    payload = encode_png_palette(bad, pal[:4])
+    with _pt.raises(ValueError, match="palette index"):
+        decode_png(payload)
+    with _pt.raises(ValueError, match="palette"):
+        encode_png_palette(idx, [])
 
 
 def test_png_rgb_roundtrip_exact_channels(spark):
@@ -719,3 +772,26 @@ def test_log_odds_tokens_marks_the_planted_marker(spark):
     assert by_tok.get("common", 0.0) != by_tok["aaamarker"]
     if "zzzhapax" in by_tok:
         assert abs(by_tok["zzzhapax"]) < by_tok["aaamarker"]
+
+
+def test_sql_quote_escapes_and_twins_stay_valid():
+    """r7 ADVICE: caller-supplied literals reaching the DuckDB twins
+    must escape embedded quotes — a term like o'brien previously
+    produced malformed SQL (and an injection surface)."""
+    import duckdb
+
+    from pytrousse_spark.functions.sqlutil import sql_quote
+    from pytrousse_spark.functions.text import search_docs_sql
+
+    assert sql_quote("plain") == "'plain'"
+    assert sql_quote("o'brien") == "'o''brien'"
+    assert sql_quote("''") == "''''''"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW docs AS SELECT * FROM (VALUES "
+        "(1, 'the o''brien paper'), (2, 'unrelated text')) t(doc_id, body)"
+    )
+    sql = search_docs_sql("docs", "body", "doc_id", ["o'brien"], k=5)
+    got = con.execute(sql).fetchall()
+    assert any(r[0] == 1 for r in got)

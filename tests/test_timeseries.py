@@ -236,7 +236,9 @@ def test_rolling_time_window_hand_computed(spark):
     df = spark.createDataFrame(rows, "event_id int, k int, ts timestamp, value double")
     got = {
         r["event_id"]: r
-        for r in rolling_time_window(df, "k", "ts", "value", "1 hour").collect()
+        for r in rolling_time_window(
+            df, "k", "ts", "value", "1 hour", strategy="bucketed"
+        ).collect()
     }
     assert got[1]["roll_n"] == 1 and got[1]["roll_avg"] == 10.0
     assert got[2]["roll_n"] == 2 and got[2]["roll_avg"] == 15.0
@@ -279,9 +281,9 @@ def test_rolling_time_window_matches_plain_window_on_events(spark):
             ),
         ).alias("ra"),
     )
-    got = rolling_time_window(ev, "user_id", "ts", "value", "1 hour").select(
-        "event_id", "roll_n", "roll_avg"
-    )
+    got = rolling_time_window(
+        ev, "user_id", "ts", "value", "1 hour", strategy="bucketed"
+    ).select("event_id", "roll_n", "roll_avg")
     j = got.join(ref, "event_id")
     bad = j.where(
         (F.col("roll_n") != F.col("rn"))
@@ -393,7 +395,9 @@ def test_rolling_time_window_null_key_and_ts(spark):
     ]
     df = spark.createDataFrame(rows, "k string, ts string, value double")
     df = df.withColumn("ts", df["ts"].cast("timestamp"))
-    out = rolling_time_window(df, "k", "ts", "value", "1 hour").collect()
+    out = rolling_time_window(
+        df, "k", "ts", "value", "1 hour", strategy="bucketed"
+    ).collect()
     assert len(out) == 5  # no row loss
     null_ts = [r for r in out if r["ts"] is None]
     assert len(null_ts) == 1
@@ -1076,3 +1080,75 @@ def test_gumbel_block_maxima_pwm_laws(spark):
         series(vals[:14]), "ts", "value"
     ).collect()[0]
     assert short["n_blocks"] == 2 and short["mu"] is None
+
+
+def test_rolling_time_window_strategy_router(spark):
+    """r7 VERDICT item 2: strategy="window"|"bucketed"|"auto" must be
+    bit-identical, and "auto" must route on the max-per-key density
+    probe — window below the bound (plan has no Join), bucketed above
+    it (plan joins the per-bucket offsets back to events)."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.timeseries import rolling_time_window
+    from tests.conftest import SF_DIR
+
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    kw = dict(key_col="user_id", ts_col="ts", value_col="value",
+              window="1 hour")
+    plain = rolling_time_window(ev, strategy="window", **kw)
+    buck = rolling_time_window(ev, strategy="bucketed", **kw)
+    cols = ["event_id", "roll_n", "roll_avg"]
+    j = plain.select(*cols).withColumnRenamed("roll_n", "pn").withColumnRenamed(
+        "roll_avg", "pa"
+    ).join(buck.select(*cols), "event_id")
+    bad = j.where(
+        ~F.col("pn").eqNullSafe(F.col("roll_n"))
+        | ~F.col("pa").eqNullSafe(F.col("roll_avg"))
+    ).count()
+    assert bad == 0 and j.count() == ev.count()
+
+    # routing rule: benign density -> window (no Join in the plan)
+    auto_lo = rolling_time_window(ev, strategy="auto", **kw)
+    assert "Join" not in auto_lo._jdf.queryExecution().optimizedPlan().toString()
+    # force the bound below the densest key -> bucketed (offsets join)
+    auto_hi = rolling_time_window(ev, strategy="auto",
+                                  auto_max_key_rows=1, **kw)
+    assert "Join" in auto_hi._jdf.queryExecution().optimizedPlan().toString()
+
+    # the plain path honors the NULL-ts passthrough / NULL-key contract
+    rows = [
+        (None, "2024-01-01 00:00:00", 2.0),
+        (None, "2024-01-01 00:30:00", 4.0),
+        ("u", None, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    out = {r["value"]: r for r in rolling_time_window(
+        df, "k", "ts", "value", "1 hour", strategy="window"
+    ).collect()}
+    assert len(out) == 3
+    assert out[9.0]["roll_n"] is None and out[9.0]["roll_avg"] is None
+    assert out[4.0]["roll_n"] == 2 and out[4.0]["roll_avg"] == 3.0
+
+    with __import__("pytest").raises(ValueError):
+        rolling_time_window(ev, strategy="nope", **kw)
+
+
+def test_distance_correlation_overflow_guard(spark):
+    """r7 ADVICE: the exact n^2-scaled folds must refuse loudly (same
+    failure in both engines) instead of Spark silently NULLing on
+    DECIMAL(38,0) overflow — a short series of enormous daily values
+    crosses 64*T^6*D^2 >= 1e38 and raises."""
+    import pytest as _pt
+
+    from pytrousse_spark.operators.timeseries import distance_correlation
+
+    rows = []
+    for d in range(1, 31):
+        rows.append((f"2024-01-{d:02d} 00:00:00", "x", 1.0e15 + d))
+        rows.append((f"2024-01-{d:02d} 00:00:00", "y", 2.0e15 - d))
+    df = spark.createDataFrame(rows, "ts string, t string, v double")
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    with _pt.raises(ValueError, match="overflow DECIMAL"):
+        distance_correlation(df, "ts", "v", "t", "x", "y")
