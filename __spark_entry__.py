@@ -8160,6 +8160,88 @@ def _sql_q275() -> str:
     """
 
 
+def q277_dirichlet_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai-Lafferty
+    2001) over the documents corpus — the language-modeling member of
+    the retrieval trio beside BM25 (q242) and tf-idf (q129): every
+    document scores (absent terms draw smoothed collection mass) via
+    the K + matched - Qe*ln(dl+mu) decomposition, with the collection
+    LM (cf_t/|C|) and the (K, Qe) scalars computed IN-PLAN as broadcast
+    rows (functions/text.dirichlet_ql_search)."""
+    from pytrousse_spark.functions.text import dirichlet_ql_search
+
+    d = _t(spark, sf_dir, "documents")
+    return dirichlet_ql_search(
+        d, "text", "doc_id", ["merge", "window", "shuffle"], mu=2000.0,
+        k=25,
+    )
+
+
+def _sql_q277() -> str:
+    from pytrousse_spark.functions.text import dirichlet_ql_search_sql
+
+    return dirichlet_ql_search_sql(
+        "documents", "text", "doc_id", ["merge", "window", "shuffle"],
+        mu=2000.0, k=25,
+    )
+
+
+def q278_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding ISOTROPY census — effective
+    variance-carrying directions (participation ratio over the
+    per-dimension variances), expected-random-cosine anisotropy
+    ||mu||^2/E||x||^2 (Ethayarajh 2019 common-direction pathology) and
+    RMS norm, all from ONE (label, position)-keyed exact-integer agg +
+    a labels x dim fold (operators/similarity.embedding_isotropy) —
+    the embedding-quality gate before ANN/dedup trusts the vectors."""
+    from pytrousse_spark.operators.similarity import embedding_isotropy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_isotropy(emb, "embedding", "label")
+
+
+def _sql_q278() -> str:
+    from pytrousse_spark.operators.similarity import embedding_isotropy_sql
+
+    return embedding_isotropy_sql(
+        "SELECT * FROM embeddings", "embedding", "label"
+    )
+
+
+def q279_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN propensity-score matching ATT of the BUILDING segment on
+    order totals (Rosenbaum-Rubin 1983) — the matching member of the
+    causal family beside IPW q226 / AIPW q246, sharing their exact
+    logistic-GD propensity chain (replayed in FULL by the oracle);
+    treated/control reduce to bounded micro-quantized score LEVELS, the
+    nearest control level comes from the two-sided as-of device, and
+    every fold is exact-integer (operators/cohort.propensity_matching)."""
+    from pytrousse_spark.operators.cohort import propensity_matching
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+    return propensity_matching(
+        j, (F.col("c_mktsegment") == "BUILDING").cast("int"),
+        "o_totalprice",
+        F.col("c_acctbal") / 1000.0,
+        F.col("c_nationkey").cast("double") / 25.0,
+    )
+
+
+def _sql_q279() -> str:
+    from pytrousse_spark.operators.cohort import propensity_matching_sql
+
+    return propensity_matching_sql(
+        "SELECT * FROM orders o JOIN customer c"
+        " ON o.o_custkey = c.c_custkey",
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END",
+        "o_totalprice",
+        "c_acctbal / 1000.0",
+        "CAST(c_nationkey AS DOUBLE) / 25.0",
+    )
+
+
 def q276_png_rgba_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RGBA PNG codec round trip (r7 VERDICT item 8 — color type
     6, the alpha half): q171's generator/decoder extended to 4-byte
@@ -8328,6 +8410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_unicode_census_streamed": q274_unicode_census_streamed,
         "q275_png_palette_roundtrip": q275_png_palette_roundtrip,
         "q276_png_rgba_roundtrip": q276_png_rgba_roundtrip,
+        "q277_dirichlet_ql_search": q277_dirichlet_ql_search,
+        "q278_embedding_isotropy": q278_embedding_isotropy,
+        "q279_propensity_matching": q279_propensity_matching,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9025,6 +9110,9 @@ def oracle_sql() -> dict[str, str]:
         "q274_unicode_census_streamed": _sql_q254(),
         "q275_png_palette_roundtrip": _sql_q275(),
         "q276_png_rgba_roundtrip": _sql_q276(),
+        "q277_dirichlet_ql_search": _sql_q277(),
+        "q278_embedding_isotropy": _sql_q278(),
+        "q279_propensity_matching": _sql_q279(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1398,6 +1398,155 @@ def bm25_search_sql(
     """
 
 
+def dirichlet_ql_search(
+    df, text_col: str, id_col: str, terms: list[str],
+    mu: float = 2000.0, k: int = 20,
+):
+    """Dirichlet-smoothed query-likelihood ranked retrieval (Zhai &
+    Lafferty 2001) — the language-modeling member of the retrieval trio
+    beside Okapi BM25 (:func:`bm25_search`) and raw tf-idf
+    (:func:`search_docs`):
+
+        score(d) = sum_t ln( (tf_td + mu * cf_t/|C|) / (dl_d + mu) )
+
+    i.e. the log-likelihood of the query under each document's
+    Dirichlet-smoothed unigram LM. Unlike BM25, EVERY document scores
+    (absent terms draw the smoothed collection mass), so the standard
+    decomposition keeps the scan shape linear:
+
+        score(d) = K + sum_{t in d} ln(1 + tf_td / (mu * p_t))
+                   - Qe * ln(dl_d + mu)
+
+    with p_t = cf_t/|C|, K = sum_t ln(mu * p_t) a doc-independent
+    constant (kept so the score IS the true log-likelihood), and Qe
+    the count of effective query terms. Query terms absent from the
+    ENTIRE collection (cf = 0) are dropped — p_t = 0 has no defined
+    likelihood — a data-derived decision both engines make identically.
+
+    Scale shape: postings filter to query terms before any shuffle,
+    per-term collection frequencies and the (K, Qe, |C|) scalars ride
+    as broadcast one-row frames, the per-doc fold is lens LEFT JOIN
+    matched-postings (all-doc scoring without an explode over
+    non-matching tokens), top-k is TakeOrderedAndProject. Floats: the
+    IDENTICAL ln/div expression text both engines, round(6), ties to
+    the smaller id.
+
+    Returns ``(doc_id, score)``.
+    """
+    from pyspark.sql import functions as F
+
+    uniq = sorted(set(terms))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    lens = base.select("__id", F.size("__tk").cast("long").alias("__dl"))
+    post = (
+        base.select("__id", F.explode("__tk").alias("__t"))
+        .where(F.col("__t").isin(uniq))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    cf = post.groupBy("__t").agg(F.sum("__tf").cast("long").alias("__cf"))
+    ctot = lens.agg(F.sum("__dl").cast("long").alias("__c"))
+    # K and Qe over the cf>0 terms only; one broadcast row
+    consts = (
+        cf.crossJoin(F.broadcast(ctot))
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(float(mu))
+                    * F.col("__cf").cast("double")
+                    / F.col("__c").cast("double")
+                )
+            ).alias("__k"),
+            F.count(F.lit(1)).cast("long").alias("__qe"),
+        )
+    )
+    match_term = F.log(
+        F.lit(1.0)
+        + F.col("__tf").cast("double")
+        / (
+            F.lit(float(mu))
+            * F.col("__cf").cast("double")
+            / F.col("__c").cast("double")
+        )
+    )
+    matched = (
+        post.join(F.broadcast(cf), "__t")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("__id")
+        .agg(F.sum(match_term).alias("__m"))
+    )
+    scored = (
+        lens.join(matched, "__id", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "__id",
+            F.round(
+                F.coalesce(F.col("__k"), F.lit(0.0))
+                + F.coalesce(F.col("__m"), F.lit(0.0))
+                - F.coalesce(F.col("__qe"), F.lit(0)).cast("double")
+                * F.log(F.col("__dl").cast("double") + F.lit(float(mu))),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("__id"))
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "score")
+    )
+
+
+def dirichlet_ql_search_sql(
+    table: str, text_col: str, id_col: str, terms: list[str],
+    mu: float = 2000.0, k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`dirichlet_ql_search` (identical ln/div
+    expression text, same OOV-drop rule)."""
+    uniq = sorted(set(terms))
+    lits = ", ".join(sql_quote(t) for t in uniq)
+    tok = tokens_sql(text_col)
+    muf = float(mu)
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {id_col} AS __id, {tok} AS __tk
+        FROM {table} WHERE {text_col} IS NOT NULL
+    ), lens AS MATERIALIZED (
+        SELECT __id, CAST(len(__tk) AS BIGINT) AS __dl FROM base
+    ), post AS MATERIALIZED (
+        SELECT __id, __t, CAST(count(*) AS BIGINT) AS __tf
+        FROM (SELECT __id, unnest(__tk) AS __t FROM base)
+        WHERE __t IN ({lits})
+        GROUP BY 1, 2
+    ), cf AS (
+        SELECT __t, CAST(sum(__tf) AS BIGINT) AS __cf FROM post GROUP BY 1
+    ), ctot AS (
+        SELECT CAST(sum(__dl) AS BIGINT) AS __c FROM lens
+    ), consts AS (
+        SELECT sum(ln({muf} * f.__cf::DOUBLE / t.__c::DOUBLE)) AS __k,
+               CAST(count(*) AS BIGINT) AS __qe
+        FROM cf f CROSS JOIN ctot t
+    ), matched AS (
+        SELECT p.__id,
+               sum(ln(1.0 + p.__tf::DOUBLE
+                      / ({muf} * f.__cf::DOUBLE / t.__c::DOUBLE)))
+                   AS __m
+        FROM post p JOIN cf f USING (__t) CROSS JOIN ctot t
+        GROUP BY 1
+    )
+    SELECT l.__id AS {id_col},
+           round(COALESCE(c.__k, 0.0) + COALESCE(m.__m, 0.0)
+                 - COALESCE(c.__qe, 0)::DOUBLE
+                   * ln(l.__dl::DOUBLE + {muf}), 6) AS score
+    FROM lens l
+    LEFT JOIN matched m USING (__id)
+    CROSS JOIN consts c
+    ORDER BY score DESC, l.__id
+    LIMIT {k}
+    """
+
+
 def phrase_search(df, text_col: str, id_col: str, phrase: list[str], k: int = 20):
     """Exact phrase search over positional postings: documents whose
     token sequence contains ``phrase`` contiguously, ranked by

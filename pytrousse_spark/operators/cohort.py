@@ -3338,6 +3338,390 @@ def ipw_ate_sql(
     """
 
 
+def propensity_matching(
+    df: DataFrame,
+    treat: Column,
+    outcome_col: str,
+    x1: Column,
+    x2: Column,
+    iters: int = 8,
+    lr: float = 2.0,
+    clip: float = 0.05,
+    caliper: float | None = None,
+) -> DataFrame:
+    """1-nearest-neighbor PROPENSITY-SCORE MATCHING ATT (Rosenbaum &
+    Rubin 1983) — the matching member of the causal family beside IPW
+    q226 / AIPW q246 / DiD / RDD / QTE: each treated unit is compared
+    to the control units at the nearest propensity score, estimating
+    the effect ON THE TREATED without weight blow-up at extreme
+    propensities.
+
+    The propensity model is the q111/q226 in-engine logistic GD chain
+    on ``(x1, x2, x1*x2)`` (the oracle replays the full training);
+    scores round 6 and clip to ``[clip, 1-clip]``, then quantize to
+    micro-units ``em = round(e*1e6)`` — at most ~(1-2*clip)*1e6 + 1
+    DISTINCT LEVELS, which is the whole scale story:
+
+    - treated AND control units each reduce to per-``em`` levels
+      ``(n, sum_cents)`` in one hash agg (map-side combine; matching
+      ties at the same score share one match anyway);
+    - the nearest control level at-or-below / at-or-above each treated
+      level comes from the union+ordered-window as-of device over the
+      BOUNDED level frame (never data-sized — the global window is
+      over <= ~1e6 rows by construction);
+    - the nearer side wins (ties to the below match); with-replacement
+      matching, every tied control at the matched score contributes
+      through the level mean;
+    - optional ``caliper`` (propensity units): treated levels whose
+      nearest control is farther than the caliper stay UNMATCHED and
+      are excluded from the ATT (reported in ``n_matched``).
+
+    Exactness: outcomes are integer cents; each matched level
+    contributes ``round((s_t/n_t - s_c/n_c) * n_t * 1e4)`` micro-unit
+    BIGINTs (one rounding per level), so the ATT fold is an exact
+    integer sum; the final division ends the chain, round 6.
+
+    Returns one row: ``(n, n_treat, n_matched, naive_diff, att)``.
+    """
+    from pytrousse_spark.operators.classifier import logreg_train
+
+    feat = (
+        df.select(
+            treat.cast("double").alias("y"),
+            x1.cast("double").alias("x1"),
+            x2.cast("double").alias("x2"),
+            (x1.cast("double") * x2.cast("double")).alias("x3"),
+            F.round(F.col(outcome_col).cast("double") * 100, 0)
+            .cast("bigint")
+            .alias("__oc"),
+        )
+        .where(
+            F.col("y").isNotNull()
+            & F.col("x1").isNotNull()
+            & F.col("x2").isNotNull()
+            & F.col("__oc").isNotNull()
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = logreg_train(feat, iters=iters, lr=lr)
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    e = F.least(
+        F.lit(1.0 - clip),
+        F.greatest(
+            F.lit(clip),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+        ),
+    )
+    scored = feat.select(
+        "y",
+        "__oc",
+        F.round(e * F.lit(1e6), 0).cast("bigint").alias("__em"),
+    )
+    levels = scored.groupBy("__em", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__oc").cast("bigint").alias("__s"),
+    )
+    ctrl = levels.where(F.col("y") == 0.0).select(
+        "__em",
+        F.col("__n").alias("__nc"),
+        F.col("__s").alias("__sc"),
+    )
+    trt = levels.where(F.col("y") == 1.0).select(
+        "__em",
+        F.col("__n").alias("__nt"),
+        F.col("__s").alias("__st"),
+    )
+    m_type = "struct<em:bigint,nc:bigint,sc:bigint>"
+    build = ctrl.select(
+        "__em",
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col("__em").alias("em"),
+            F.col("__nc").alias("nc"),
+            F.col("__sc").alias("sc"),
+        ).alias("__m"),
+        F.lit(None).cast("bigint").alias("__nt"),
+        F.lit(None).cast("bigint").alias("__st"),
+    )
+    probe = trt.select(
+        "__em",
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(m_type).alias("__m"),
+        "__nt",
+        "__st",
+    )
+    union = build.unionByName(probe)
+    # the level frame is bounded (micro-quantized clipped scores), so
+    # the two global as-of windows never see data-sized partitions
+    w_back = (
+        Window.orderBy(F.col("__em").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.orderBy(F.col("__em").desc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        union.withColumn("__b", F.last("__m", ignorenulls=True).over(w_back))
+        .withColumn("__f", F.last("__m", ignorenulls=True).over(w_fwd))
+        .where(F.col("__tag") == 1)
+    )
+    d_b = F.col("__em") - F.col("__b.em")
+    d_f = F.col("__f.em") - F.col("__em")
+    use_back = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | (d_b <= d_f)
+    )
+    sel = F.when(use_back, F.col("__b")).otherwise(F.col("__f"))
+    dist = F.when(use_back, d_b).otherwise(d_f)
+    picked = matched.select(
+        "__nt",
+        "__st",
+        sel.alias("__c"),
+        dist.alias("__d"),
+    )
+    if caliper is not None:
+        cal_micro = int(round(caliper * 1e6))
+        picked = picked.withColumn(
+            "__c",
+            F.when(F.col("__d") <= F.lit(cal_micro), F.col("__c")),
+        )
+    contrib = F.round(
+        (
+            F.col("__st").cast("double") / F.col("__nt").cast("double")
+            - F.col("__c.sc").cast("double")
+            / F.col("__c.nc").cast("double")
+        )
+        * F.col("__nt").cast("double")
+        * F.lit(1e4),
+        0,
+    ).cast("bigint")
+    folds = picked.agg(
+        F.sum(
+            F.when(F.col("__c").isNotNull(), F.col("__nt")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("__nm"),
+        F.sum(F.when(F.col("__c").isNotNull(), contrib))
+        .cast("bigint")
+        .alias("__sum"),
+    )
+    base = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("y") == 1.0, F.col("__oc")).otherwise(0))
+        .cast("bigint")
+        .alias("__s1"),
+        F.sum(F.when(F.col("y") == 0.0, F.col("__oc")).otherwise(0))
+        .cast("bigint")
+        .alias("__s0"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return base.crossJoin(F.broadcast(folds)).select(
+        "n",
+        "n_treat",
+        F.coalesce(F.col("__nm"), F.lit(0)).alias("n_matched"),
+        r6(
+            F.when(
+                (F.col("n_treat") > 0) & (F.col("n") > F.col("n_treat")),
+                (
+                    F.col("__s1").cast("double")
+                    / F.col("n_treat").cast("double")
+                    - F.col("__s0").cast("double")
+                    / (F.col("n") - F.col("n_treat")).cast("double")
+                )
+                / F.lit(100.0),
+            )
+        ).alias("naive_diff"),
+        r6(
+            F.when(
+                F.col("__nm") > 0,
+                F.col("__sum").cast("double")
+                / (F.col("__nm").cast("double") * F.lit(1e6)),
+            )
+        ).alias("att"),
+    )
+
+
+def propensity_matching_sql(
+    table_expr: str,
+    treat_sql: str,
+    outcome_col: str,
+    x1_sql: str,
+    x2_sql: str,
+    iters: int = 8,
+    lr: float = 2.0,
+    clip: float = 0.05,
+    caliper: float | None = None,
+) -> str:
+    """DuckDB twin of :func:`propensity_matching` — the full logistic
+    training chain as materialized CTEs (the q226 replay pattern), then
+    the identical level-quantize / two-sided as-of / nearer-wins /
+    exact-fold arithmetic."""
+    from pytrousse_spark.operators.classifier import _MICRO
+
+    feat = f"""
+        SELECT CAST({treat_sql} AS DOUBLE) AS y,
+               CAST({x1_sql} AS DOUBLE) AS x1,
+               CAST({x2_sql} AS DOUBLE) AS x2,
+               CAST({x1_sql} AS DOUBLE) * CAST({x2_sql} AS DOUBLE)
+                   AS x3,
+               CAST(round(CAST({outcome_col} AS DOUBLE) * 100, 0)
+                    AS BIGINT) AS __oc
+        FROM ({table_expr})
+        WHERE {treat_sql} IS NOT NULL AND {x1_sql} IS NOT NULL
+          AND {x2_sql} IS NOT NULL AND {outcome_col} IS NOT NULL
+    """
+    ctes = [
+        f"feat AS MATERIALIZED ({feat})",
+        "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d)",
+    ]
+    xs = ["1.0", "p.x1", "p.x2", "p.x3"]
+    for tt in range(1, iters + 1):
+        prev = f"w{tt - 1}"
+        sig = (
+            "round(1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2"
+            " + w.d * f.x3))), 6)"
+        )
+        gsums = ", ".join(
+            f"CAST(sum(CAST(round(round((p.p - p.y) * {x}, 6)"
+            f" * {_MICRO}) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        ctes.append(
+            f"p{tt} AS MATERIALIZED (SELECT f.y, f.x1, f.x2, f.x3,"
+            f" {sig} AS p FROM feat f CROSS JOIN {prev} w)"
+        )
+        ctes.append(
+            f"g{tt} AS MATERIALIZED"
+            f" (SELECT CAST(count(*) AS BIGINT) AS n, {gsums}"
+            f" FROM p{tt} p)"
+        )
+        upd = ", ".join(
+            f"round(w.{wc} - {lr} * (g.g{j} / {float(_MICRO)}) / g.n,"
+            f" 6) AS {wc}"
+            for j, wc in enumerate(["a", "b", "c", "d"])
+        )
+        ctes.append(
+            f"w{tt} AS MATERIALIZED"
+            f" (SELECT {upd} FROM {prev} w CROSS JOIN g{tt} g)"
+        )
+    wf = f"w{iters}"
+    sig_final = (
+        "round(1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2"
+        " + w.d * f.x3))), 6)"
+    )
+    e = (
+        f"least(CAST({1.0 - clip} AS DOUBLE),"
+        f" greatest(CAST({clip} AS DOUBLE), {sig_final}))"
+    )
+    cal_pred = (
+        f"AND __d <= {int(round(caliper * 1e6))}"
+        if caliper is not None
+        else ""
+    )
+    ctes.append(
+        f"""scored AS MATERIALIZED (
+        SELECT f.y, f.__oc,
+               CAST(round({e} * 1e6, 0) AS BIGINT) AS __em
+        FROM feat f CROSS JOIN {wf} w)"""
+    )
+    ctes.append(
+        """levels AS MATERIALIZED (
+        SELECT __em, y, CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(__oc) AS BIGINT) AS __s
+        FROM scored GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        """un AS (
+        SELECT __em, 0 AS __tag, __em AS c_em, __n AS __nc, __s AS __sc,
+               CAST(NULL AS BIGINT) AS __nt, CAST(NULL AS BIGINT) AS __st
+        FROM levels WHERE y = 0.0
+        UNION ALL
+        SELECT __em, 1 AS __tag, CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), __n, __s
+        FROM levels WHERE y = 1.0)"""
+    )
+    ctes.append(
+        """__nn AS (
+        SELECT *,
+               last_value(c_em IGNORE NULLS) OVER wb AS __bem,
+               last_value(__nc IGNORE NULLS) OVER wb AS __bnc,
+               last_value(__sc IGNORE NULLS) OVER wb AS __bsc,
+               last_value(c_em IGNORE NULLS) OVER wf AS __fem,
+               last_value(__nc IGNORE NULLS) OVER wf AS __fnc,
+               last_value(__sc IGNORE NULLS) OVER wf AS __fsc
+        FROM un
+        WINDOW wb AS (ORDER BY __em ASC, __tag ASC
+                      ROWS UNBOUNDED PRECEDING),
+               wf AS (ORDER BY __em DESC, __tag ASC
+                      ROWS UNBOUNDED PRECEDING))"""
+    )
+    ctes.append(
+        """picked AS (
+        SELECT __nt, __st,
+               CASE WHEN __bem IS NOT NULL AND (__fem IS NULL
+                         OR __em - __bem <= __fem - __em)
+                    THEN __bnc ELSE __fnc END AS __cn,
+               CASE WHEN __bem IS NOT NULL AND (__fem IS NULL
+                         OR __em - __bem <= __fem - __em)
+                    THEN __bsc ELSE __fsc END AS __cs,
+               CASE WHEN __bem IS NOT NULL AND (__fem IS NULL
+                         OR __em - __bem <= __fem - __em)
+                    THEN __em - __bem ELSE __fem - __em END AS __d
+        FROM __nn WHERE __tag = 1)"""
+    )
+    ctes.append(
+        f"""folds AS (
+        SELECT CAST(sum(CASE WHEN __cn IS NOT NULL {cal_pred}
+                        THEN __nt ELSE 0 END) AS BIGINT) AS __nm,
+               CAST(sum(CASE WHEN __cn IS NOT NULL {cal_pred}
+                        THEN CAST(round((CAST(__st AS DOUBLE)
+                                  / CAST(__nt AS DOUBLE)
+                                  - CAST(__cs AS DOUBLE)
+                                  / CAST(__cn AS DOUBLE))
+                                 * CAST(__nt AS DOUBLE) * 1e4, 0)
+                             AS BIGINT) END) AS BIGINT) AS __sum
+        FROM picked)"""
+    )
+    ctes.append(
+        """base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_treat,
+               CAST(sum(CASE WHEN y = 1.0 THEN __oc ELSE 0 END)
+                    AS BIGINT) AS __s1,
+               CAST(sum(CASE WHEN y = 0.0 THEN __oc ELSE 0 END)
+                    AS BIGINT) AS __s0
+        FROM scored)"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT n, n_treat,
+           COALESCE(__nm, 0) AS n_matched,
+           round(CASE WHEN n_treat > 0 AND n > n_treat THEN
+                 (CAST(__s1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                  - CAST(__s0 AS DOUBLE)
+                    / CAST(n - n_treat AS DOUBLE))
+                 / CAST(100 AS DOUBLE) END * 1e6, 0) / 1e6
+               AS naive_diff,
+           round(CASE WHEN __nm > 0 THEN
+                 CAST(__sum AS DOUBLE)
+                 / (CAST(__nm AS DOUBLE) * 1e6) END * 1e6, 0) / 1e6
+               AS att
+    FROM base CROSS JOIN folds
+    """
+
+
 def aipw_ate(
     df: DataFrame,
     treat: Column,

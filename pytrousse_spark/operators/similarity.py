@@ -801,6 +801,189 @@ def embedding_drift_sql(
     """
 
 
+def embedding_isotropy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Within-sample embedding ISOTROPY census — the single-sample
+    spectral-diagonal companion of :func:`embedding_drift` (which is a
+    two-sample location/scale readout): per group,
+
+        participation_ratio = (sum_p var_p)^2 / sum_p var_p^2
+        anisotropy          = ||mu||^2 / E||x||^2
+        rms_norm            = sqrt(E||x||^2)
+
+    ``participation_ratio`` in [1, dim] is the effective number of
+    variance-carrying directions read from the PER-DIMENSION variances
+    (dim = perfectly isotropic diagonal, 1 = all variance on one axis);
+    ``anisotropy`` in [0, 1] approximates the expected cosine of two
+    random vectors (Ethayarajh 2019's common-direction pathology: an
+    embedding column dominated by a shared mean direction dedups and
+    clusters badly). An embedding pipeline whose vectors collapse
+    toward a cone shows up here before any ANN metric moves.
+
+    Exactness: component sums fold micro-unit BIGINTs and squares fold
+    pico-unit (1e12) DECIMAL(38,0)/HUGEINT — one rounding per component
+    per row, order-free; the per-dimension var/mu terms are doubles
+    from those exact integers, pico-rounded BIGINT per position, then
+    summed over the bounded dim grid (order-free again); the three
+    final formulas are identical expression text, round 6.
+
+    Scale: ONE (group, position)-keyed agg (shuffle bounded by
+    groups x dim after map-side combine) + one groups x dim fold; no
+    joins over vectors, nothing data-sized leaves the first agg.
+
+    Returns one row per group: ``(group?, n, dim,
+    participation_ratio, anisotropy, rms_norm)``.
+    """
+    gcols = [group_col] if group_col else []
+    nn = df.where(F.col(vec_col).isNotNull())
+    xm = F.round(F.col("__x").cast("double") * F.lit(1e6), 0).cast(
+        "bigint"
+    )
+    x2p = F.round(
+        F.col("__x").cast("double") * F.col("__x").cast("double")
+        * F.lit(1e12),
+        0,
+    ).cast("decimal(38,0)")
+    comp = (
+        nn.select(
+            *gcols, F.posexplode(vec_col).alias("pos", "__x")
+        )
+        .select(*gcols, "pos", xm.alias("__xm"), x2p.alias("__x2"))
+        .groupBy(*gcols, "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__xm").cast("bigint").alias("__s"),
+            F.sum("__x2").cast("decimal(38,0)").alias("__q"),
+        )
+    )
+    mu = F.col("__s").cast("double") / (
+        F.col("__n").cast("double") * F.lit(1e6)
+    )
+    ex2 = F.col("__q").cast("double") / (
+        F.col("__n").cast("double") * F.lit(1e12)
+    )
+    var = ex2 - mu * mu
+    pico = lambda c: F.round(c * F.lit(1e12), 0).cast(  # noqa: E731
+        "bigint"
+    )
+    folds = comp.groupBy(*gcols).agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("dim"),
+        F.sum(pico(var)).cast("bigint").alias("__sv"),
+        F.sum(pico(var * var)).cast("bigint").alias("__sv2"),
+        F.sum(pico(mu * mu)).cast("bigint").alias("__sm2"),
+        F.sum(pico(ex2)).cast("bigint").alias("__se2"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    svd = F.col("__sv").cast("double")
+    out = folds.select(
+        *gcols,
+        "n",
+        "dim",
+        r6(
+            F.when(
+                F.col("__sv2") > 0,
+                svd * svd / F.lit(1e12) / F.col("__sv2").cast("double"),
+            )
+        ).alias("participation_ratio"),
+        r6(
+            F.when(
+                F.col("__se2") > 0,
+                F.col("__sm2").cast("double")
+                / F.col("__se2").cast("double"),
+            )
+        ).alias("anisotropy"),
+        r6(
+            F.sqrt(F.col("__se2").cast("double") / F.lit(1e12))
+        ).alias("rms_norm"),
+    )
+    return out.orderBy(*gcols) if gcols else out
+
+
+def embedding_isotropy_sql(
+    table_expr: str,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`embedding_isotropy` — identical staging
+    rounds, integer folds and final expression text."""
+    gsel = f"{group_col}, " if group_col else ""
+    gby = f"GROUP BY {group_col}, pos" if group_col else "GROUP BY pos"
+    gby2 = f"GROUP BY {group_col}" if group_col else ""
+    order = f"ORDER BY {group_col}" if group_col else ""
+    return f"""
+    WITH __ex AS (
+        -- parallel unnests zip: value with its 0-based position
+        SELECT {gsel}
+               unnest({vec_col}) AS __x,
+               unnest(range(0, len({vec_col}))) AS pos
+        FROM ({table_expr})
+        WHERE {vec_col} IS NOT NULL
+    ), __st AS (
+        SELECT {gsel} pos,
+               CAST(round(CAST(__x AS DOUBLE) * 1e6, 0) AS BIGINT)
+                   AS __xm,
+               CAST(round(CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE)
+                          * 1e12, 0) AS HUGEINT) AS __x2
+        FROM __ex
+    ), __comp AS (
+        SELECT {gsel} pos,
+               CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(__xm) AS BIGINT) AS __s,
+               CAST(sum(__x2) AS HUGEINT) AS __q
+        FROM __st {gby}
+    ), __folds AS (
+        SELECT {gsel}
+               CAST(max(__n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS dim,
+               CAST(sum(CAST(round((CAST(__q AS DOUBLE)
+                        / (CAST(__n AS DOUBLE) * 1e12)
+                        - (CAST(__s AS DOUBLE)
+                           / (CAST(__n AS DOUBLE) * 1e6))
+                          * (CAST(__s AS DOUBLE)
+                             / (CAST(__n AS DOUBLE) * 1e6))) * 1e12, 0)
+                    AS BIGINT)) AS BIGINT) AS __sv,
+               CAST(sum(CAST(round((CAST(__q AS DOUBLE)
+                        / (CAST(__n AS DOUBLE) * 1e12)
+                        - (CAST(__s AS DOUBLE)
+                           / (CAST(__n AS DOUBLE) * 1e6))
+                          * (CAST(__s AS DOUBLE)
+                             / (CAST(__n AS DOUBLE) * 1e6)))
+                       * (CAST(__q AS DOUBLE)
+                        / (CAST(__n AS DOUBLE) * 1e12)
+                        - (CAST(__s AS DOUBLE)
+                           / (CAST(__n AS DOUBLE) * 1e6))
+                          * (CAST(__s AS DOUBLE)
+                             / (CAST(__n AS DOUBLE) * 1e6)))
+                       * 1e12, 0) AS BIGINT)) AS BIGINT) AS __sv2,
+               CAST(sum(CAST(round((CAST(__s AS DOUBLE)
+                          / (CAST(__n AS DOUBLE) * 1e6))
+                         * (CAST(__s AS DOUBLE)
+                            / (CAST(__n AS DOUBLE) * 1e6)) * 1e12, 0)
+                    AS BIGINT)) AS BIGINT) AS __sm2,
+               CAST(sum(CAST(round(CAST(__q AS DOUBLE)
+                          / (CAST(__n AS DOUBLE) * 1e12) * 1e12, 0)
+                    AS BIGINT)) AS BIGINT) AS __se2
+        FROM __comp {gby2}
+    )
+    SELECT {gsel} n, dim,
+           round(CASE WHEN __sv2 > 0 THEN
+                 CAST(__sv AS DOUBLE) * CAST(__sv AS DOUBLE) / 1e12
+                 / CAST(__sv2 AS DOUBLE) END * 1e6, 0) / 1e6
+               AS participation_ratio,
+           round(CASE WHEN __se2 > 0 THEN
+                 CAST(__sm2 AS DOUBLE) / CAST(__se2 AS DOUBLE) END
+                 * 1e6, 0) / 1e6 AS anisotropy,
+           round(sqrt(CAST(__se2 AS DOUBLE) / 1e12) * 1e6, 0) / 1e6
+               AS rms_norm
+    FROM __folds
+    {order}
+    """
+
+
 def item_item_cf(
     ratings: DataFrame,
     user_col: str,

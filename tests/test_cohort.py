@@ -1452,3 +1452,52 @@ def test_attribution_strategy_router(spark):
                         **kw).collect()
         }
         assert exact == routed and exact
+
+
+def test_propensity_matching_laws(spark):
+    """Laws: (1) treatment independent of covariates -> one score
+    level, ATT == naive_diff exactly; (2) confounded cells -> naive is
+    biased but matching recovers the planted within-cell effect (same-x
+    units share the same quantized score, so every treated matches its
+    own cell's controls); (3) caliper 0 -> only exact-score matches
+    count, a cell with no controls goes unmatched."""
+    from pytrousse_spark.operators.cohort import propensity_matching
+
+    def run(rows, **kw):
+        df = spark.createDataFrame(
+            rows, "t int, y double, x1 double, x2 double"
+        )
+        return propensity_matching(
+            df,
+            __import__("pyspark").sql.functions.col("t"),
+            "y",
+            __import__("pyspark").sql.functions.col("x1"),
+            __import__("pyspark").sql.functions.col("x2"),
+            **kw,
+        ).collect()[0]
+
+    # (1) identical covariates everywhere
+    rows = [(1, 110.0, 0.5, 0.5)] * 10 + [(0, 100.0, 0.5, 0.5)] * 20
+    r = run(rows)
+    assert r["n_matched"] == r["n_treat"] == 10
+    assert r["att"] == r["naive_diff"] == 10.0
+
+    # (2) confounding: cell B is richer AND more treated; effect = +10
+    # in both cells
+    rows = (
+        [(1, 110.0, 0.0, 0.0)] * 2 + [(0, 100.0, 0.0, 0.0)] * 18
+        + [(1, 510.0, 1.0, 1.0)] * 18 + [(0, 500.0, 1.0, 1.0)] * 2
+    )
+    r = run(rows)
+    assert r["n_matched"] == r["n_treat"] == 20
+    assert abs(r["att"] - 10.0) < 1e-6
+    assert r["naive_diff"] > 100.0  # the bias matching removes
+
+    # (3) caliper 0: cell B has NO controls -> its treated unmatched
+    rows = (
+        [(1, 110.0, 0.0, 0.0)] * 5 + [(0, 100.0, 0.0, 0.0)] * 5
+        + [(1, 510.0, 1.0, 1.0)] * 5
+    )
+    r = run(rows, caliper=0.0)
+    assert r["n_treat"] == 10 and r["n_matched"] == 5
+    assert abs(r["att"] - 10.0) < 1e-6

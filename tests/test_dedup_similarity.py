@@ -756,3 +756,45 @@ def test_minhash_calibration_identical_docs_and_estimator_sanity(spark):
     assert all(0.0 <= r["mean_est"] <= 1.0 for r in out)
     again = minhash_calibration(df, "text", "doc_id").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_embedding_isotropy_laws(spark):
+    """Laws: (1) equal per-dim variance + zero mean -> participation
+    ratio == dim, anisotropy == 0; (2) all variance on one axis ->
+    PR == 1; (3) all vectors identical -> zero variance (PR NULL),
+    anisotropy == 1, rms_norm == |v|."""
+    from pytrousse_spark.operators.similarity import embedding_isotropy
+
+    dim = 4
+    iso_rows = []
+    for p in range(dim):
+        for s in (1.0, -1.0):
+            v = [0.0] * dim
+            v[p] = 0.5 * s
+            iso_rows.append((v,))
+    iso = embedding_isotropy(
+        spark.createDataFrame(iso_rows, "embedding array<double>"),
+        "embedding",
+    ).collect()[0]
+    assert iso["n"] == 2 * dim and iso["dim"] == dim
+    assert abs(iso["participation_ratio"] - dim) < 1e-4
+    assert iso["anisotropy"] == 0.0
+
+    one_axis = embedding_isotropy(
+        spark.createDataFrame(
+            [([0.5, 0.0, 0.0, 0.0],), ([-0.5, 0.0, 0.0, 0.0],)],
+            "embedding array<double>",
+        ),
+        "embedding",
+    ).collect()[0]
+    assert abs(one_axis["participation_ratio"] - 1.0) < 1e-4
+
+    const = embedding_isotropy(
+        spark.createDataFrame(
+            [([0.3, 0.4, 0.0],)] * 5, "embedding array<double>"
+        ),
+        "embedding",
+    ).collect()[0]
+    assert const["participation_ratio"] is None
+    assert const["anisotropy"] == 1.0
+    assert abs(const["rms_norm"] - 0.5) < 1e-6

@@ -795,3 +795,41 @@ def test_sql_quote_escapes_and_twins_stay_valid():
     sql = search_docs_sql("docs", "body", "doc_id", ["o'brien"], k=5)
     got = con.execute(sql).fetchall()
     assert any(r[0] == 1 for r in got)
+
+
+def test_dirichlet_ql_search_laws(spark):
+    """Zhai-Lafferty query likelihood: (1) hand-computed score on a
+    2-doc corpus; (2) a doc containing the query term outranks an
+    equal-length doc without it; (3) an OOV query term (cf = 0) is
+    dropped — scores identical with and without it."""
+    import math
+
+    from pytrousse_spark.functions.text import dirichlet_ql_search
+
+    rows = [
+        (1, "spark merge engine"),          # dl 3, tf(merge)=1
+        (2, "pandas panel frame"),          # dl 3, tf(merge)=0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    mu = 10.0
+    out = {
+        r["doc_id"]: r["score"]
+        for r in dirichlet_ql_search(
+            df, "text", "doc_id", ["merge"], mu=mu, k=10
+        ).collect()
+    }
+    # collection: |C| = 6, cf(merge) = 1, p = 1/6
+    p = 1.0 / 6.0
+    want1 = math.log((1 + mu * p) / (3 + mu))
+    want2 = math.log((0 + mu * p) / (3 + mu))
+    assert abs(out[1] - round(want1, 6)) < 1e-6
+    assert abs(out[2] - round(want2, 6)) < 1e-6
+    assert out[1] > out[2]
+
+    with_oov = {
+        r["doc_id"]: r["score"]
+        for r in dirichlet_ql_search(
+            df, "text", "doc_id", ["merge", "zzzunseen"], mu=mu, k=10
+        ).collect()
+    }
+    assert with_oov == out
