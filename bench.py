@@ -320,12 +320,17 @@ _IDLE_SKEW_RATIOS = {
     # 18.8-26.8x, position 16.5-20.4x; PLANS.md). The q167/q190 names
     # now default to strategy="auto" (cohort._route_attribution), which
     # probes max per-user pair mass and routes the skewed table to the
-    # scalable twins, so their bands are the scalable-path bands plus
-    # probe noise.
-    "q167_linear_attribution": 2.5,
+    # scalable twins. The auto rows measure a MIXED-PATH ratio by
+    # design: benign rides the cheap pairwise plan (~2-4s incl. probe),
+    # skewed rides the skew-immune count decomposition (~12-20s — the
+    # r7 scalable twins' own skewed wall), so the expected idle ratio
+    # is scalable_skewed/pairwise_benign ~ 4-6, NOT the <=2 a
+    # single-plan row would show; what the row certifies is the
+    # ABSENCE of the 27x pairwise funnel under the default name.
+    "q167_linear_attribution": 6.0,
     "q177_linear_attribution_scalable": 2.0,
     "q157_rolling_window_1day": 2.5,
-    "q190_position_attribution": 2.5,
+    "q190_position_attribution": 6.0,
     "q194_position_attribution_scalable": 2.0,
     # auto-routed rolling window measures a MIXED-path ratio by design:
     # benign routes to the plain window (cheapest plan), skewed routes

@@ -5569,3 +5569,4 @@ def theil_index_sql(
            round(f.__with * 1e6, 0) / 1e6 AS theil_within
     FROM __folds f CROSS JOIN __excluded e
     """
+
