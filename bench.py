@@ -218,6 +218,14 @@ _IDLE_BANDS_10X = {
     "q253_distance_correlation": 4.0,
     "q255_huber_trend": 7.0,
     "q257_triple_sequences": 8.0,
+    # round-8 rows — bands ~2x this session's idle 10x measures
+    # (3.4 / 1.7 / 10.0 s; 1x refs 4.2 / 1.9 / 9.4 s): all three are
+    # ~FLAT at 10x — QL is postings-bounded like BM25, isotropy is one
+    # (group, pos) agg, matching is GD-iteration-dominated with a
+    # bounded level match
+    "q277_dirichlet_ql_search": 7.0,
+    "q278_embedding_isotropy": 4.0,
+    "q279_propensity_matching": 20.0,
 }
 
 
@@ -286,6 +294,12 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q253_distance_correlation",
         "q255_huber_trend",
         "q257_triple_sequences",
+        # round-8 additions: LM retrieval (postings growth), the
+        # embedding-isotropy scan, and the matching pipeline's
+        # GD-iteration + bounded-level match
+        "q277_dirichlet_ql_search",
+        "q278_embedding_isotropy",
+        "q279_propensity_matching",
     ):
         fn = getattr(entrymod, name)
         try:
