@@ -642,8 +642,31 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # r8 finding (PLANS.md "anchor creep diagnosed"): queries ran in
+    # ONE sorted pass, so the r1-anchor set — 46 names that sort LATE
+    # ("q46" > "q2xx" lexicographically) — inherited the JVM heap/GC
+    # pressure of the ~250 queries before them, and the anchor ratio
+    # crept up exactly as the suite grew (r5 0.97 -> r7 1.19 -> 1.90
+    # in-run this round vs 1.38 on a fresh JVM). BENCH_r01 measured
+    # those queries in a 46-query session; comparability requires the
+    # same conditions, so the anchor block now runs FIRST (right after
+    # warmup), then everything else in sorted order. Each query still
+    # runs exactly once; only the order changed.
+    anchor_first: list[str] = []
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH_r01.json")
+        ) as f:
+            anchor_first = [
+                k for k in sorted(json.load(f)["parsed"]["queries"])
+                if k in qs
+            ]
+    except (OSError, KeyError, ValueError):
+        pass
+    rest = [k for k in sorted(qs) if k not in set(anchor_first)]
+
     t_all = time.perf_counter()
-    for name in sorted(qs):
+    for name in anchor_first + rest:
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -708,31 +731,40 @@ def main() -> None:
     # line, so the big per-query map goes FIRST and every summary scalar
     # (total, anchor ratio, sf) goes LAST — a truncated tail still shows
     # the headline numbers.
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "headroom_10x": headroom,
-                "skew_stress": skew,
-                "streaming": streaming,
-                "metric": "headline_queries_wall_clock",
-                "unit": "sec",
-                "n_queries": len(timings),
-                "n_failed": sum(1 for v in timings.values() if v < 0),
-                "anchor_r1_sum_sec": anchor_sum,
-                "anchor_r1_ratio": anchor_ratio,
-                "anchor_r1_ratio_normalized": anchor_ratio_norm,
-                # load fields sit in the TAIL so the driver's truncated
-                # recording always keeps them
-                "loadavg_start": load_start,
-                "cpu_probe_sec": cpu_probe,
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "cooldown_wait_sec": round(waited, 1),
-                "value": total,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "queries": timings,
+        "headroom_10x": headroom,
+        "skew_stress": skew,
+        "streaming": streaming,
+        "metric": "headline_queries_wall_clock",
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+        "anchor_r1_sum_sec": anchor_sum,
+        "anchor_r1_ratio": anchor_ratio,
+        "anchor_r1_ratio_normalized": anchor_ratio_norm,
+        # load fields sit in the TAIL so the driver's truncated
+        # recording always keeps them
+        "loadavg_start": load_start,
+        "cpu_probe_sec": cpu_probe,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cooldown_wait_sec": round(waited, 1),
+        "value": total,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # the driver archives only a 2000-char TAIL of the line above, so
+    # per-query history is lost round-over-round (the r8 anchor-creep
+    # diagnosis had no r7 per-query walls to diff against). Persist the
+    # FULL payload locally; committed per round as BENCH_LOCAL_full.json.
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH_LOCAL_full.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
