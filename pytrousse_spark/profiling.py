@@ -213,7 +213,12 @@ def profile(df: DataFrame, metadata_cols: frozenset[str] = frozenset()) -> Colum
         c, dt = f_.name, f_.dataType
         col = F.col(f"`{c}`")
         exprs.append(F.count(col).alias(f"{c}__cnt"))
-        exprs.append(F.approx_count_distinct(col, 0.01).alias(f"{c}__dst"))
+        # rsd 0.02, not 0.01: the high-precision HLL costs 14.4s vs
+        # 3.3s on a 16-column 600k-row frame (measured r8, PLANS.md) and
+        # the only precision-sensitive consumer — the categorical
+        # boundary classifier — is protected by the exact re-check
+        # below (band 4 sigma = 8%)
+        exprs.append(F.approx_count_distinct(col, 0.02).alias(f"{c}__dst"))
         if _is_numeric_type(dt):
             d = col.cast("double")
             exprs.append(F.min(d).alias(f"{c}__min"))
@@ -232,21 +237,21 @@ def profile(df: DataFrame, metadata_cols: frozenset[str] = frozenset()) -> Colum
     total = row["__total"]
 
     # Exact re-check near the categorical boundaries (r7 VERDICT item 3
-    # of "What's wrong"): the HLL estimate (rsd 0.01) feeds the
+    # of "What's wrong"): the HLL estimate (rsd 0.02) feeds the
     # `distinct < 7 or distinct < count // 300` classifier, so a column
     # whose true cardinality sits AT a boundary (299 vs 301 around
     # count // 300) can misclassify on estimation noise. For any column
-    # whose estimate lands within ±5% of either boundary, re-read the
-    # exact countDistinct — ONE extra aggregation batching every such
-    # column (rare in practice: boundaries are data-dependent points).
-    # The common case stays one pass.
+    # whose estimate lands within ±8% (4 sigma at rsd 0.02) of either
+    # boundary, re-read the exact countDistinct — ONE extra aggregation
+    # batching every such column (rare in practice: boundaries are
+    # data-dependent points). The common case stays one pass.
     recheck: list[str] = []
     for f_ in df.schema.fields:
         c = f_.name
         cnt = row[f"{c}__cnt"]
         est = min(row[f"{c}__dst"], cnt) if cnt > 0 else 0
         for bound in (7, cnt // CATEG_COL_THRESHOLD):
-            if bound > 0 and abs(est - bound) <= 0.05 * bound:
+            if bound > 0 and abs(est - bound) <= 0.08 * bound:
                 recheck.append(c)
                 break
     if recheck:
