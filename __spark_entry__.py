@@ -8307,6 +8307,45 @@ def _sql_q280() -> str:
     return bradley_terry_sql(duels, "winner", "loser", iters=20)
 
 
+def q281_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over q135's co-purchase graph
+    (parts co-occurring in >= 2 order baskets): top-25 missing edges by
+    the hub-discounted common-neighbor score sum 1/ln(deg z), apexes
+    generated at the common neighbor (wedge join bounded by
+    sum deg^2 under the documented apex cap), adjacent pairs dropped
+    via anti-join (operators/graph.adamic_adar)."""
+    from pytrousse_spark.operators.graph import adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("__bk"), F.col("l_partkey").alias("__i")
+    ).distinct()
+    edges = (
+        items.join(items.withColumnRenamed("__i", "__j"), "__bk")
+        .where(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    return adamic_adar(edges, "__i", "__j", top_k=25)
+
+
+def _sql_q281() -> str:
+    from pytrousse_spark.operators.graph import adamic_adar_sql
+
+    edges = """
+        SELECT __i, __j FROM (
+            SELECT a.__i, b.__i AS __j
+            FROM (SELECT DISTINCT l_orderkey AS __bk, l_partkey AS __i
+                  FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey AS __bk, l_partkey AS __i
+                  FROM lineitem) b
+              ON a.__bk = b.__bk AND a.__i < b.__i
+        ) GROUP BY __i, __j HAVING count(*) >= 2
+    """
+    return adamic_adar_sql(edges, "__i", "__j", top_k=25)
+
+
 def q276_png_rgba_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RGBA PNG codec round trip (r7 VERDICT item 8 — color type
     6, the alpha half): q171's generator/decoder extended to 4-byte
@@ -8479,6 +8518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q278_embedding_isotropy": q278_embedding_isotropy,
         "q279_propensity_matching": q279_propensity_matching,
         "q280_bradley_terry": q280_bradley_terry,
+        "q281_adamic_adar": q281_adamic_adar,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9180,6 +9220,7 @@ def oracle_sql() -> dict[str, str]:
         "q278_embedding_isotropy": _sql_q278(),
         "q279_propensity_matching": _sql_q279(),
         "q280_bradley_terry": _sql_q280(),
+        "q281_adamic_adar": _sql_q281(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

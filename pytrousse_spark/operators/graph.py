@@ -635,3 +635,146 @@ def label_propagation_sql(
     GROUP BY 1
     ORDER BY n_members DESC, community
     """
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    top_k: int = 50,
+    max_apex_degree: int = 10_000,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003; the standard
+    common-neighbor score of Liben-Nowell & Kleinberg 2003) — the
+    missing-edge recommender over any co-occurrence graph, beside the
+    structure censuses (triangles, k-core, communities):
+
+        score(x, y) = sum_{z in N(x) ∩ N(y)} 1 / ln(deg z)
+
+    for NON-adjacent pairs x < y, ranked by score. Rare shared
+    neighbors count more than hubs — the whole point vs a raw
+    common-neighbor count (also returned).
+
+    Scale design: wedges generate at their APEX z (the common
+    neighbor), so the join is bounded by sum deg(z)^2 — the hub axis.
+    Apexes with degree above ``max_apex_degree`` are EXCLUDED
+    (documented cap, not a silent truncation: a hub's per-wedge
+    contribution 1/ln(deg) is the score's smallest term, and the cap
+    is what makes the operator safe on power-law graphs; set it to the
+    graph's max degree to disable). Already-adjacent pairs drop via
+    one anti-join against the canonical edge list; top-k is
+    TakeOrderedAndProject.
+
+    Exactness: per-apex terms ``1/ln(deg)`` nano-round to BIGINT
+    before the per-pair sum (one rounding per wedge — fold-order-free
+    exact integers), final score /1e9 rounded 6; ties rank by
+    (x, y).
+
+    Returns ``(x, y, common_neighbors, score)``.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("__a"), F.greatest(a, b).alias("__b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbrs = und.select(
+        F.col("__a").alias("__z"), F.col("__b").alias("__n")
+    ).unionAll(
+        und.select(F.col("__b").alias("__z"), F.col("__a").alias("__n"))
+    )
+    deg = nbrs.groupBy("__z").agg(F.count(F.lit(1)).alias("__d"))
+    apex = (
+        nbrs.join(
+            deg.where(
+                (F.col("__d") >= 2)
+                & (F.col("__d") <= F.lit(max_apex_degree))
+            ),
+            "__z",
+        )
+        .select(
+            "__z",
+            "__n",
+            F.round(
+                F.lit(1.0) / F.log(F.col("__d").cast("double"))
+                * F.lit(1e9),
+                0,
+            ).cast("bigint").alias("__t"),
+        )
+    )
+    left = apex.select("__z", F.col("__n").alias("__x"), "__t")
+    right = apex.select("__z", F.col("__n").alias("__y"))
+    pairs = (
+        left.join(right, "__z")
+        .where(F.col("__x") < F.col("__y"))
+        .groupBy("__x", "__y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum("__t").cast("bigint").alias("__s"),
+        )
+    )
+    non_adj = pairs.join(
+        und.select(
+            F.col("__a").alias("__x"), F.col("__b").alias("__y")
+        ),
+        ["__x", "__y"],
+        "left_anti",
+    )
+    return (
+        non_adj.select(
+            F.col("__x").alias("x"),
+            F.col("__y").alias("y"),
+            "common_neighbors",
+            F.round(F.col("__s").cast("double") / F.lit(1e9), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), "x", "y")
+        .limit(top_k)
+    )
+
+
+def adamic_adar_sql(
+    edges_subquery: str,
+    src_col: str,
+    dst_col: str,
+    top_k: int = 50,
+    max_apex_degree: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`adamic_adar` — identical
+    canonicalization, apex cap, nano-rounded terms and tie order."""
+    return f"""
+    WITH __und AS MATERIALIZED (
+        SELECT DISTINCT least({src_col}, {dst_col}) AS __a,
+                        greatest({src_col}, {dst_col}) AS __b
+        FROM ({edges_subquery}) WHERE {src_col} <> {dst_col}
+    ), __nbrs AS MATERIALIZED (
+        SELECT __a AS __z, __b AS __n FROM __und
+        UNION ALL
+        SELECT __b, __a FROM __und
+    ), __deg AS (
+        SELECT __z, CAST(count(*) AS BIGINT) AS __d
+        FROM __nbrs GROUP BY 1
+    ), __apex AS MATERIALIZED (
+        SELECT n.__z, n.__n,
+               CAST(round(1.0 / ln(CAST(d.__d AS DOUBLE)) * 1e9, 0)
+                    AS BIGINT) AS __t
+        FROM __nbrs n JOIN __deg d ON d.__z = n.__z
+        WHERE d.__d >= 2 AND d.__d <= {max_apex_degree}
+    ), __pairs AS (
+        SELECT l.__n AS __x, r.__n AS __y,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(l.__t) AS BIGINT) AS __s
+        FROM __apex l JOIN __apex r ON l.__z = r.__z AND l.__n < r.__n
+        GROUP BY 1, 2
+    )
+    SELECT p.__x AS x, p.__y AS y, p.common_neighbors,
+           round(CAST(p.__s AS DOUBLE) / 1e9, 6) AS score
+    FROM __pairs p
+    ANTI JOIN __und u ON u.__a = p.__x AND u.__b = p.__y
+    ORDER BY score DESC, x, y
+    LIMIT {top_k}
+    """

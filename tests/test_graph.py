@@ -192,3 +192,38 @@ def test_label_propagation_cliques_survive_bridge(spark):
         (1, 4),
         (10, 4),
     ]
+
+
+def test_adamic_adar_laws(spark):
+    """Laws: (1) hand graph — path a-b-c predicts (a, c) with score
+    1/ln(2); (2) adjacent pairs never appear; (3) richer shared
+    neighborhood outscores a single hub neighbor; (4) the apex cap
+    excludes hub-mediated pairs."""
+    import math
+
+    from pytrousse_spark.operators.graph import adamic_adar
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["s", "d"])
+    out = adamic_adar(path, "s", "d", top_k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["x"], r["y"], r["common_neighbors"]) == (1, 3, 1)
+    assert abs(r["score"] - round(1.0 / math.log(2.0), 6)) < 1e-6
+
+    # square 1-2-3-4-1 plus center 5 wired to 1 and 3: pair (1, 3) has
+    # common neighbors {2, 4, 5}; pair (2, 4) has {1, 3} (deg 3 each);
+    # no output row may be an existing edge
+    sq = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1), (5, 3)], ["s", "d"]
+    )
+    rows = adamic_adar(sq, "s", "d", top_k=10).collect()
+    edges = {(1, 2), (2, 3), (3, 4), (1, 4), (1, 5), (3, 5)}
+    assert all((r["x"], r["y"]) not in edges for r in rows)
+    got = {(r["x"], r["y"]): r for r in rows}
+    assert got[(1, 3)]["common_neighbors"] == 3
+    assert got[(2, 4)]["common_neighbors"] == 2
+    assert got[(1, 3)]["score"] > got[(2, 4)]["score"]
+
+    # cap below the path's apex degree (2) -> no predictions at all
+    none = adamic_adar(path, "s", "d", top_k=10, max_apex_degree=1)
+    assert none.count() == 0
