@@ -8346,6 +8346,92 @@ def _sql_q281() -> str:
     return adamic_adar_sql(edges, "__i", "__j", top_k=25)
 
 
+def q282_aalen_johansen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen competing-risks cumulative incidence: per user,
+    days from first view to WHICHEVER comes first of a subsequent
+    purchase (cause 'convert') or a subsequent error (cause 'abandon'),
+    censored at the observation end when neither occurs — the
+    two-cause upgrade of q178's single-cause KM (1 - KM per cause
+    would overstate both; AJ conserves incidence mass: sum CIF + S = 1
+    pinned in tests). Same subject reduction, duration-level windows
+    only (operators/survival.aalen_johansen)."""
+    from pytrousse_spark.operators.survival import aalen_johansen
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "__fv"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__fp"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("__fe"),
+    )
+    obs_end = ev.agg(F.max("ts").alias("__end"))
+    vp = F.col("__fp").isNotNull() & (F.col("__fp") >= F.col("__fv"))
+    ve = F.col("__fe").isNotNull() & (F.col("__fe") >= F.col("__fv"))
+    p_first = vp & (~ve | (F.col("__fp") <= F.col("__fe")))
+    e_first = ve & (~vp | (F.col("__fe") < F.col("__fp")))
+    evt_ts = F.when(p_first, F.col("__fp")).when(e_first, F.col("__fe"))
+    days = lambda c: F.floor(  # noqa: E731
+        (F.unix_micros(c) - F.unix_micros("__fv"))
+        / F.lit(86_400_000_000)
+    ).cast("double")
+    subjects = (
+        per_user.where(F.col("__fv").isNotNull())
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(evt_ts.isNotNull(), days(evt_ts))
+            .otherwise(days(F.col("__end")))
+            .alias("dur_days"),
+            F.when(p_first, F.lit("convert"))
+            .when(e_first, F.lit("abandon"))
+            .alias("cause"),
+        )
+    )
+    return aalen_johansen(subjects, "dur_days", "cause")
+
+
+def _sql_q282() -> str:
+    from pytrousse_spark.operators.survival import aalen_johansen_sql
+
+    subjects = """
+        WITH pu AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN CAST(ts AS TIMESTAMP) END) AS __fv,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS TIMESTAMP) END) AS __fp,
+                   min(CASE WHEN event_type = 'error'
+                            THEN CAST(ts AS TIMESTAMP) END) AS __fe
+            FROM events GROUP BY user_id
+        ), oe AS (
+            SELECT max(CAST(ts AS TIMESTAMP)) AS __end FROM events
+        ), st AS (
+            SELECT __fv, __fp, __fe, __end,
+                   (__fp IS NOT NULL AND __fp >= __fv) AS vp,
+                   (__fe IS NOT NULL AND __fe >= __fv) AS ve
+            FROM pu CROSS JOIN oe WHERE __fv IS NOT NULL
+        ), cl AS (
+            SELECT *,
+                   (vp AND (NOT ve OR __fp <= __fe)) AS p_first,
+                   (ve AND (NOT vp OR __fe < __fp)) AS e_first
+            FROM st
+        )
+        SELECT CAST(floor(epoch_us(
+                   (CASE WHEN p_first THEN __fp
+                         WHEN e_first THEN __fe
+                         ELSE __end END) - __fv) / 86400000000)
+               AS DOUBLE) AS dur_days,
+               CASE WHEN p_first THEN 'convert'
+                    WHEN e_first THEN 'abandon' END AS cause
+        FROM cl
+    """
+    return aalen_johansen_sql(subjects, "dur_days", "cause")
+
+
 def q276_png_rgba_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RGBA PNG codec round trip (r7 VERDICT item 8 — color type
     6, the alpha half): q171's generator/decoder extended to 4-byte
@@ -8519,6 +8605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q279_propensity_matching": q279_propensity_matching,
         "q280_bradley_terry": q280_bradley_terry,
         "q281_adamic_adar": q281_adamic_adar,
+        "q282_aalen_johansen": q282_aalen_johansen,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9221,6 +9308,7 @@ def oracle_sql() -> dict[str, str]:
         "q279_propensity_matching": _sql_q279(),
         "q280_bradley_terry": _sql_q280(),
         "q281_adamic_adar": _sql_q281(),
+        "q282_aalen_johansen": _sql_q282(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

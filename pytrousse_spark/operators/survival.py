@@ -699,3 +699,217 @@ def kaplan_meier_ci_sql(
            END AS ci_hi
     FROM cum ORDER BY t
     """
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING RISKS
+    (Aalen & Johansen 1978) — the estimator Kaplan-Meier cannot
+    replace when more than one event type removes subjects (churn vs
+    convert, error vs purchase): treating cause B as censoring when
+    estimating cause A overstates A's incidence (1 - KM is biased);
+    the AJ estimator allocates incidence mass per cause,
+
+        CIF_k(t) = sum_{t_j <= t} S(t_j-) * d_kj / n_j
+
+    with ``S`` the ALL-CAUSE Kaplan-Meier survival and ``S(t_j-)`` its
+    left limit (the value just before t_j).
+
+    Input: one row per subject — ``duration_col`` (time to first event
+    or to censoring) and ``cause_col`` (the event type; NULL =
+    right-censored). Returns one row per (event time, cause) carrying
+    at least one event of that cause, ascending (t, cause):
+
+    ``(t, cause, n_risk, n_events, cif, overall_survival)``
+
+    Identity law (tests/test_survival.py): at every event time,
+    ``sum_k CIF_k(t) + S(t) == 1`` to round-6 tolerance — incidence
+    mass is conserved across causes.
+
+    Exactness: the :func:`kaplan_meier` discipline — the all-cause
+    survival rides nano-rounded ``ln(1 - d/n)`` integer cumsums with
+    the hit-zero carry; ``S(t-)`` is the EXCLUSIVE prefix of the same
+    integers, rounded 6 BEFORE entering each CIF term; CIF terms
+    nano-round to BIGINT before their per-cause cumsum. All windows
+    run over the duration-level frame (one row per distinct event
+    time), never subjects.
+    """
+    d = F.col(duration_col)
+    cz = F.col(cause_col)
+    nn = df.where(d.isNotNull()).select(
+        d.cast("double").alias("t"), cz.cast("string").alias("__cz")
+    )
+    lvl = nn.groupBy("t").agg(
+        F.count("__cz").cast("bigint").alias("__dtot"),
+        F.sum(F.when(F.col("__cz").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cens"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = lvl.withColumn(
+        "n_risk", F.sum(F.col("__dtot") + F.col("__cens")).over(w_desc)
+    )
+    ev = risk.where(F.col("__dtot") > 0)
+    hit_zero = F.col("__dtot") == F.col("n_risk")
+    term = F.round(
+        F.log(
+            F.lit(1.0)
+            - F.col("__dtot").cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    staged = ev.withColumn(
+        "__term", F.when(~hit_zero, term)
+    ).withColumn("__zero", hit_zero.cast("int"))
+    w_incl = (
+        Window.orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_excl = (
+        Window.orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        staged.withColumn(
+            "__ls_i", F.coalesce(F.sum("__term").over(w_incl), F.lit(0))
+        )
+        .withColumn("__z_i", F.sum("__zero").over(w_incl))
+        .withColumn(
+            "__ls_e", F.coalesce(F.sum("__term").over(w_excl), F.lit(0))
+        )
+        .withColumn(
+            "__z_e", F.coalesce(F.sum("__zero").over(w_excl), F.lit(0))
+        )
+    )
+    s_incl = F.when(F.col("__z_i") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("__ls_i").cast("double") / F.lit(1e9)), 6)
+    )
+    s_prev = F.when(F.col("__z_e") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("__ls_e").cast("double") / F.lit(1e9)), 6)
+    )
+    tlevel = cum.select(
+        "t",
+        "n_risk",
+        s_incl.alias("__s"),
+        s_prev.alias("__sp"),
+    )
+    bycause = (
+        nn.where(F.col("__cz").isNotNull())
+        .groupBy("t", F.col("__cz").alias("cause"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    joined = bycause.join(tlevel, "t").withColumn(
+        "__ct",
+        F.round(
+            F.col("__sp")
+            * F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+            * F.lit(1e9),
+            0,
+        ).cast("bigint"),
+    )
+    w_cause = (
+        Window.partitionBy("cause")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        joined.withColumn("__cs", F.sum("__ct").over(w_cause))
+        .select(
+            "t",
+            "cause",
+            "n_risk",
+            "n_events",
+            F.round(F.col("__cs").cast("double") / F.lit(1e9), 6).alias(
+                "cif"
+            ),
+            F.col("__s").alias("overall_survival"),
+        )
+        .orderBy("t", "cause")
+    )
+
+
+def aalen_johansen_sql(
+    table_expr: str, duration_col: str, cause_col: str
+) -> str:
+    """DuckDB twin of :func:`aalen_johansen` — identical duration-level
+    reduction, exclusive-prefix left-limit survival, nano-rounded CIF
+    terms and per-cause cumsums."""
+    return f"""
+    WITH nn AS (
+        SELECT CAST({duration_col} AS DOUBLE) AS t,
+               CAST({cause_col} AS VARCHAR) AS __cz
+        FROM ({table_expr})
+        WHERE {duration_col} IS NOT NULL
+    ), lvl AS (
+        SELECT t,
+               CAST(count(__cz) AS BIGINT) AS __dtot,
+               CAST(sum(CASE WHEN __cz IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS __cens
+        FROM nn GROUP BY t
+    ), risk AS (
+        SELECT *,
+               CAST(sum(__dtot + __cens) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_risk
+        FROM lvl
+    ), ev AS (
+        SELECT *,
+               CASE WHEN __dtot < n_risk THEN
+                 CAST(round(ln(1.0 - CAST(__dtot AS DOUBLE)
+                                    / CAST(n_risk AS DOUBLE)) * 1e9, 0)
+                      AS BIGINT)
+               END AS __term,
+               CASE WHEN __dtot = n_risk THEN 1 ELSE 0 END AS __zero
+        FROM risk WHERE __dtot > 0
+    ), cum AS (
+        SELECT *,
+               CAST(coalesce(sum(__term) OVER w_i, 0) AS BIGINT)
+                   AS __ls_i,
+               CAST(sum(__zero) OVER w_i AS BIGINT) AS __z_i,
+               CAST(coalesce(sum(__term) OVER w_e, 0) AS BIGINT)
+                   AS __ls_e,
+               CAST(coalesce(sum(__zero) OVER w_e, 0) AS BIGINT)
+                   AS __z_e
+        FROM ev
+        WINDOW w_i AS (ORDER BY t ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_e AS (ORDER BY t ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), tlevel AS (
+        SELECT t, n_risk,
+               CASE WHEN __z_i > 0 THEN 0.0
+                    ELSE round(exp(CAST(__ls_i AS DOUBLE) / 1e9), 6)
+               END AS __s,
+               CASE WHEN __z_e > 0 THEN 0.0
+                    ELSE round(exp(CAST(__ls_e AS DOUBLE) / 1e9), 6)
+               END AS __sp
+        FROM cum
+    ), bycause AS (
+        SELECT t, __cz AS cause, CAST(count(*) AS BIGINT) AS n_events
+        FROM nn WHERE __cz IS NOT NULL GROUP BY 1, 2
+    ), terms AS (
+        SELECT b.t, b.cause, l.n_risk, b.n_events, l.__s,
+               CAST(round(l.__sp * CAST(b.n_events AS DOUBLE)
+                          / CAST(l.n_risk AS DOUBLE) * 1e9, 0)
+                    AS BIGINT) AS __ct
+        FROM bycause b JOIN tlevel l ON l.t = b.t
+    )
+    SELECT t, cause, n_risk, n_events,
+           round(CAST(sum(__ct) OVER (
+               PARTITION BY cause ORDER BY t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 1e9, 6) AS cif,
+           __s AS overall_survival
+    FROM terms
+    ORDER BY t, cause
+    """

@@ -214,3 +214,57 @@ def test_km_greenwood_hand_example(spark):
     assert abs(r1["ci_hi"] - min(1.0, s + 1.96 * s * math.sqrt(gw))) < 1e-5
     # last step: everyone at risk dies -> curve and bands pinned to 0
     assert out[-1]["survival"] == 0.0 == out[-1]["ci_lo"] == out[-1]["ci_hi"]
+
+
+def test_aalen_johansen_laws(spark):
+    """Laws: (1) mass conservation — sum_k CIF_k(t) + S(t) == 1 at
+    every event time (round-6); (2) single cause, no censoring -> CIF
+    equals the empirical CDF and 1 - KM survival; (3) a competing
+    cause REDUCES the other cause's CIF vs treating it as censoring
+    is wrong — here we pin the textbook 4-subject hand computation."""
+    from pytrousse_spark.operators.survival import (
+        aalen_johansen,
+        kaplan_meier,
+    )
+
+    # (2) single cause, complete observation
+    rows = [(1.0, "a"), (2.0, "a"), (2.0, "a"), (4.0, "a")]
+    df = spark.createDataFrame(rows, "t double, cause string")
+    out = aalen_johansen(df, "t", "cause").collect()
+    cif = {r["t"]: r["cif"] for r in out}
+    assert cif == {1.0: 0.25, 2.0: 0.75, 4.0: 1.0}
+    km = {
+        r["t"]: r["survival"]
+        for r in kaplan_meier(
+            spark.createDataFrame(
+                [(t, 1) for t, _ in rows], "t double, e int"
+            ),
+            "t",
+            "e",
+        ).collect()
+    }
+    for t, c in cif.items():
+        assert abs((1.0 - km[t]) - c) < 2e-6
+
+    # (1)+(3) two causes + censoring, hand-computed:
+    # t=1: n=5, conv d=1 -> S(1-)=1, CIF_c(1)=0.2, S(1)=0.8
+    # t=2: n=4, aband d=1 -> CIF_a(2)=0.8*1/4=0.2, S(2)=0.6
+    # t=3: censored only (n=3 -> 2)
+    # t=4: n=2, conv d=1 -> CIF_c(4)=0.2+0.6*0.5=0.5, S(4)=0.3
+    rows2 = [
+        (1.0, "conv"), (2.0, "aband"), (3.0, None), (4.0, "conv"),
+        (5.0, None),
+    ]
+    df2 = spark.createDataFrame(rows2, "t double, cause string")
+    out2 = aalen_johansen(df2, "t", "cause").collect()
+    got = {(r["t"], r["cause"]): r for r in out2}
+    assert abs(got[(1.0, "conv")]["cif"] - 0.2) < 1e-6
+    assert abs(got[(2.0, "aband")]["cif"] - 0.2) < 1e-6
+    assert abs(got[(4.0, "conv")]["cif"] - 0.5) < 1e-6
+    assert abs(got[(4.0, "conv")]["overall_survival"] - 0.3) < 1e-6
+    # mass conservation at the last event time
+    s4 = got[(4.0, "conv")]["overall_survival"]
+    cifs = {}
+    for (t, c), r in got.items():
+        cifs[c] = max(cifs.get(c, 0.0), r["cif"])
+    assert abs(sum(cifs.values()) + s4 - 1.0) < 1e-5
