@@ -8432,6 +8432,69 @@ def _sql_q282() -> str:
     return aalen_johansen_sql(subjects, "dur_days", "cause")
 
 
+def q283_group_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-SOURCE-out jackknife of corpus mean quality — the
+    data-ablation readout ('which source pulls the corpus metric, with
+    a group-correlation-respecting SE'): per-source influence,
+    pseudo-values and the delete-a-group jackknife standard error from
+    global-minus-group exact-integer algebra, no per-group re-scan
+    (operators/sampling.group_jackknife over functions/text
+    quality_score)."""
+    from pytrousse_spark.operators.sampling import group_jackknife
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", tx.quality_score(F.col("text")).alias("__q")
+    )
+    return group_jackknife(d, "source", "__q")
+
+
+def _sql_q283() -> str:
+    from pytrousse_spark.functions.text import quality_score_sql
+    from pytrousse_spark.operators.sampling import group_jackknife_sql
+
+    staged = (
+        f"SELECT source, {quality_score_sql('text')} AS __q"
+        " FROM documents"
+    )
+    return group_jackknife_sql(staged, "source", "__q")
+
+
+def q284_ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming-executed driver gate (q274's pattern on the
+    STATEFUL numeric sink): the events table re-stages as a multi-file
+    source, the REAL availableNow foreachBatch stream appends mergeable
+    per-(type, day) OHLC/VWAP partials (open/close ride arg-min/max of
+    the composed (ts, order) key, so out-of-order micro-batches cannot
+    corrupt them), and the merged readout must hash-match q225's batch
+    bars oracle (streaming/events.ohlc_events_stream)."""
+    import shutil
+    import tempfile
+
+    from pytrousse_spark.streaming.events import (
+        ohlc_events_stream,
+        ohlc_from_partials,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pytrousse_ohlc_stream_gate_")
+    try:
+        src = os.path.join(tmp, "src")
+        store = os.path.join(tmp, "store")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        staged = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ohlc_events_stream(stream, "event_type", "value", store, "1 day")
+        out = ohlc_from_partials(spark, store)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q276_png_rgba_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RGBA PNG codec round trip (r7 VERDICT item 8 — color type
     6, the alpha half): q171's generator/decoder extended to 4-byte
@@ -8606,6 +8669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q280_bradley_terry": q280_bradley_terry,
         "q281_adamic_adar": q281_adamic_adar,
         "q282_aalen_johansen": q282_aalen_johansen,
+        "q283_group_jackknife": q283_group_jackknife,
+        "q284_ohlc_streamed": q284_ohlc_streamed,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9309,6 +9374,8 @@ def oracle_sql() -> dict[str, str]:
         "q280_bradley_terry": _sql_q280(),
         "q281_adamic_adar": _sql_q281(),
         "q282_aalen_johansen": _sql_q282(),
+        "q283_group_jackknife": _sql_q283(),
+        "q284_ohlc_streamed": _sql_q225(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

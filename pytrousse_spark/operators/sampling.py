@@ -1083,3 +1083,177 @@ def rake_weights_sql(
     FROM {prev} ORDER BY row_key, col_key
     """
     )
+
+
+def group_jackknife(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+) -> "DataFrame":
+    """Leave-one-GROUP-out (delete-a-group) jackknife of the mean
+    (Quenouille 1956 / Tukey 1958; the grouped form survey statistics
+    and data-ablation studies use) — "which SOURCE moves the corpus
+    metric, and what is the uncertainty of the whole thing once
+    group-level correlation is respected":
+
+        theta_(g)  = mean over all rows OUTSIDE group g
+        pseudo_g   = G * theta - (G - 1) * theta_(g)
+        se_jack    = sqrt( (G-1)/G * sum_g (theta_(g) - thetabar_.)^2 )
+
+    with G the group count and ``thetabar_.`` the mean of the
+    leave-one-out estimates. ``influence_g = theta - theta_(g)`` is the
+    signed per-group ablation effect (positive: the group PULLS the
+    metric up).
+
+    Scale design: leave-one-out estimates come from GLOBAL-MINUS-GROUP
+    algebra over exact integer folds — one micro-unit hash agg per
+    group plus one global fold, NO per-group re-scan, nothing
+    data-sized after the agg. The jackknife variance folds
+    pico-rounded squared deviations over the G-row frame (exact
+    integers, order-free).
+
+    Exactness: values stage as micro-unit BIGINTs (one rounding per
+    row); every theta is a single division of exact integers, rounded
+    6 only on OUTPUT; the variance terms round to pico-unit BIGINTs
+    before the G-row sum; identical expression text both engines.
+
+    Returns one row per group, ordered:
+    ``(group, n_rows, theta_loo, influence, pseudo_value, se_jack)``
+    — ``se_jack`` (and the global mean inside ``influence``) repeat on
+    every row, the grouped-readout convention.
+    """
+    from pyspark.sql import functions as F
+
+    vm = F.round(F.col(value_col).cast("double") * F.lit(1e6), 0).cast(
+        "bigint"
+    )
+    staged = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("grp"), vm.alias("__vm"))
+    per_g = staged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__vm").cast("bigint").alias("__s"),
+    )
+    tot = per_g.agg(
+        F.sum("__n").cast("bigint").alias("__nt"),
+        F.sum("__s").cast("bigint").alias("__st"),
+        F.count(F.lit(1)).cast("bigint").alias("__g"),
+    )
+    loo = per_g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "__n",
+        "__g",
+        (
+            (F.col("__st") - F.col("__s")).cast("double")
+            / ((F.col("__nt") - F.col("__n")).cast("double") * F.lit(1e6))
+        ).alias("__tl"),
+        (
+            F.col("__st").cast("double")
+            / (F.col("__nt").cast("double") * F.lit(1e6))
+        ).alias("__th"),
+    )
+    # fold-order-free mean of the G leave-one-out estimates: each is
+    # nano-rounded once, summed as integers, divided by G
+    loo = loo.withColumn(
+        "__tln", F.round(F.col("__tl") * F.lit(1e9), 0).cast("bigint")
+    )
+    mean_loo = loo.agg(
+        (
+            F.sum("__tln").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+        ).alias("__tbar")
+    )
+    dev = loo.crossJoin(F.broadcast(mean_loo)).withColumn(
+        "__d2",
+        F.round(
+            (F.col("__tl") - F.col("__tbar"))
+            * (F.col("__tl") - F.col("__tbar"))
+            * F.lit(1e12),
+            0,
+        ).cast("bigint"),
+    )
+    var = dev.agg(
+        F.sum("__d2").cast("bigint").alias("__sd2"),
+        F.max("__g").alias("__gg"),
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return (
+        dev.crossJoin(F.broadcast(var))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("__n").alias("n_rows"),
+            r6(F.col("__tl")).alias("theta_loo"),
+            r6(F.col("__th") - F.col("__tl")).alias("influence"),
+            r6(
+                F.col("__g").cast("double") * F.col("__th")
+                - (F.col("__g") - F.lit(1)).cast("double") * F.col("__tl")
+            ).alias("pseudo_value"),
+            r6(
+                F.sqrt(
+                    (F.col("__gg") - F.lit(1)).cast("double")
+                    / F.col("__gg").cast("double")
+                    * (F.col("__sd2").cast("double") / F.lit(1e12))
+                )
+            ).alias("se_jack"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def group_jackknife_sql(
+    table_expr: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`group_jackknife` — identical staging
+    rounds, global-minus-group algebra and pico-rounded variance
+    folds."""
+    return f"""
+    WITH __st AS (
+        SELECT {group_col} AS grp,
+               CAST(round(CAST({value_col} AS DOUBLE) * 1e6, 0)
+                    AS BIGINT) AS __vm
+        FROM ({table_expr})
+        WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+    ), __pg AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS __n,
+               CAST(sum(__vm) AS BIGINT) AS __s
+        FROM __st GROUP BY 1
+    ), __tot AS (
+        SELECT CAST(sum(__n) AS BIGINT) AS __nt,
+               CAST(sum(__s) AS BIGINT) AS __st,
+               CAST(count(*) AS BIGINT) AS __g
+        FROM __pg
+    ), __loo AS (
+        SELECT p.grp, p.__n, t.__g,
+               CAST(t.__st - p.__s AS DOUBLE)
+                 / (CAST(t.__nt - p.__n AS DOUBLE) * 1e6) AS __tl,
+               CAST(t.__st AS DOUBLE)
+                 / (CAST(t.__nt AS DOUBLE) * 1e6) AS __th
+        FROM __pg p CROSS JOIN __tot t
+    ), __m AS (
+        SELECT CAST(sum(CAST(round(__tl * 1e9, 0) AS BIGINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1e9) AS __tbar
+        FROM __loo
+    ), __dev AS (
+        SELECT l.*,
+               CAST(round((l.__tl - m.__tbar) * (l.__tl - m.__tbar)
+                          * 1e12, 0) AS BIGINT) AS __d2
+        FROM __loo l CROSS JOIN __m m
+    ), __v AS (
+        SELECT CAST(sum(__d2) AS BIGINT) AS __sd2,
+               CAST(max(__g) AS BIGINT) AS __gg
+        FROM __dev
+    )
+    SELECT d.grp AS {group_col},
+           d.__n AS n_rows,
+           round(d.__tl * 1e6, 0) / 1e6 AS theta_loo,
+           round((d.__th - d.__tl) * 1e6, 0) / 1e6 AS influence,
+           round((CAST(d.__g AS DOUBLE) * d.__th
+                  - CAST(d.__g - 1 AS DOUBLE) * d.__tl) * 1e6, 0) / 1e6
+               AS pseudo_value,
+           round(sqrt(CAST(v.__gg - 1 AS DOUBLE)
+                      / CAST(v.__gg AS DOUBLE)
+                      * (CAST(v.__sd2 AS DOUBLE) / 1e12)) * 1e6, 0)
+               / 1e6 AS se_jack
+    FROM __dev d CROSS JOIN __v v
+    ORDER BY {group_col}
+    """

@@ -301,3 +301,40 @@ def test_rake_weights_match_margins(spark):
     # every sampled cell's weight >= 2 (uniform half-sampling) and the
     # B-row mass all lands on (B, X)
     assert cells[("B", "X")]["weighted_count"] > cells[("A", "X")]["weighted_count"]
+
+
+def test_group_jackknife_hand_computed(spark):
+    """Delete-a-group jackknife on 3 groups with known algebra:
+    influence is the signed pull of each group on the global mean,
+    pseudo-values average back to the jackknife point estimate, and
+    se matches the closed-form (G-1)/G * sum dev^2 fold. An all-equal
+    frame has zero influence and zero SE."""
+    from pytrousse_spark.operators.sampling import group_jackknife
+
+    rows = (
+        [("a", 1.0)] * 2 + [("b", 2.0)] * 2 + [("c", 6.0)] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in group_jackknife(df, "g", "v").collect()}
+    # global mean 3.0; leave-a: (2*2+6*2)/4 = 4, leave-b: 3.5, leave-c: 1.5
+    assert out["a"]["theta_loo"] == 4.0
+    assert out["b"]["theta_loo"] == 3.5
+    assert out["c"]["theta_loo"] == 1.5
+    assert out["a"]["influence"] == -1.0
+    assert out["c"]["influence"] == 1.5
+    # pseudo = G*theta - (G-1)*theta_loo
+    assert out["a"]["pseudo_value"] == 3 * 3.0 - 2 * 4.0
+    assert out["c"]["pseudo_value"] == 3 * 3.0 - 2 * 1.5
+    import math
+
+    tbar = (4.0 + 3.5 + 1.5) / 3
+    sd2 = sum((t - tbar) ** 2 for t in (4.0, 3.5, 1.5))
+    want_se = math.sqrt(2 / 3 * sd2)
+    assert abs(out["a"]["se_jack"] - round(want_se, 6)) < 2e-6
+    assert out["a"]["se_jack"] == out["b"]["se_jack"] == out["c"]["se_jack"]
+
+    flat = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 5.0)], "g string, v double"
+    )
+    fout = group_jackknife(flat, "g", "v").collect()
+    assert all(r["influence"] == 0.0 and r["se_jack"] == 0.0 for r in fout)
