@@ -8495,6 +8495,33 @@ def q284_ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q285_embedding_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-2 polynomial-kernel MMD drift between the even- and
+    odd-id halves of the embeddings table — the covariance-sensitive
+    drift gate beside q233's centroid readout (a rotation of the cloud
+    around an unchanged mean is invisible to centroid cosine/distance
+    but lights up the second-moment Frobenius term). Closed moment
+    form, no pairwise kernel sums; n*d^2 map expansion into a
+    d^2-cell agg (operators/similarity.embedding_mmd_poly2)."""
+    from pytrousse_spark.operators.similarity import embedding_mmd_poly2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    return embedding_mmd_poly2(ref, cur, "vec_id", "embedding")
+
+
+def _sql_q285() -> str:
+    from pytrousse_spark.operators.similarity import embedding_mmd_poly2_sql
+
+    return embedding_mmd_poly2_sql(
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 1",
+        "vec_id",
+        "embedding",
+    )
+
+
 def q276_png_rgba_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RGBA PNG codec round trip (r7 VERDICT item 8 — color type
     6, the alpha half): q171's generator/decoder extended to 4-byte
@@ -8671,6 +8698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q282_aalen_johansen": q282_aalen_johansen,
         "q283_group_jackknife": q283_group_jackknife,
         "q284_ohlc_streamed": q284_ohlc_streamed,
+        "q285_embedding_mmd": q285_embedding_mmd,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9376,6 +9404,7 @@ def oracle_sql() -> dict[str, str]:
         "q282_aalen_johansen": _sql_q282(),
         "q283_group_jackknife": _sql_q283(),
         "q284_ohlc_streamed": _sql_q225(),
+        "q285_embedding_mmd": _sql_q285(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

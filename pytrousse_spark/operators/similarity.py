@@ -1098,3 +1098,208 @@ def item_item_cf_sql(
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def embedding_mmd_poly2(
+    ref: DataFrame,
+    cur: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Second-order MMD drift between two embedding samples — the
+    COVARIANCE-sensitive companion of :func:`embedding_drift` (which
+    reads centroids/norms and is blind to a rotation of the embedding
+    cloud around an unchanged mean). With the degree-2 polynomial
+    kernel ``k(x, y) = (x.y + 1)^2``, the squared maximum mean
+    discrepancy has the closed MOMENT form
+
+        MMD^2 = ||M_r - M_c||_F^2 + 2 ||mu_r - mu_c||^2
+
+    where ``mu`` is the mean vector and ``M = E[x x^T]`` the second
+    moment matrix — no pairwise sample kernel sums, just first and
+    second moments per side.
+
+    Scale design: each row expands to its d^2 second-moment cells via
+    a SELF-JOIN of the exploded (id, pos, x) frame on the row id
+    (documented cost axis: n * d^2 map work into a (pos_a, pos_b)-keyed
+    agg with map-side combine — bounded output d^2 cells; d is the
+    embedding width, a compile-time constant of the pipeline). Nothing
+    row-scaled survives the agg.
+
+    Exactness: per-row products pico-round (1e12) to integers summed
+    as DECIMAL(38,0)/HUGEINT; component sums micro-round; the per-cell
+    mean differences square into pico-rounded BIGINTs before the
+    d^2-cell fold (order-free); identical final expression text,
+    round 6.
+
+    Returns one row:
+    ``(n_ref, n_cur, mean_shift2, cov_shift_fro2, mmd2_poly2)``.
+    """
+
+    def moments(df: DataFrame, tag: str):
+        ex = df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(vec_col).alias("__p", "__x"),
+        )
+        ex = ex.select(
+            "__id",
+            "__p",
+            F.col("__x").cast("double").alias("__x"),
+        )
+        firsts = ex.groupBy("__p").agg(
+            F.sum(
+                F.round(F.col("__x") * F.lit(1e6), 0).cast("bigint")
+            ).cast("bigint").alias(f"__s_{tag}"),
+            F.count(F.lit(1)).cast("bigint").alias(f"__n_{tag}"),
+        )
+        right = ex.select(
+            F.col("__id").alias("__id2"),
+            F.col("__p").alias("__q"),
+            F.col("__x").alias("__y"),
+        )
+        seconds = (
+            ex.join(right, F.col("__id") == F.col("__id2"))
+            .select(
+                "__p",
+                "__q",
+                F.round(F.col("__x") * F.col("__y") * F.lit(1e12), 0)
+                .cast("decimal(38,0)")
+                .alias("__xy"),
+            )
+            .groupBy("__p", "__q")
+            .agg(F.sum("__xy").cast("decimal(38,0)").alias(f"__m_{tag}"))
+        )
+        return firsts, seconds
+
+    fr, sr = moments(ref, "r")
+    fc, sc = moments(cur, "c")
+    pico = lambda c: F.round(c * F.lit(1e12), 0).cast(  # noqa: E731
+        "bigint"
+    )
+    mu = (
+        fr.join(fc, "__p")
+        .select(
+            pico(
+                (
+                    F.col("__s_r").cast("double")
+                    / (F.col("__n_r").cast("double") * F.lit(1e6))
+                    - F.col("__s_c").cast("double")
+                    / (F.col("__n_c").cast("double") * F.lit(1e6))
+                )
+                ** F.lit(2)
+            ).alias("__d2"),
+            F.col("__n_r").alias("__nr"),
+            F.col("__n_c").alias("__nc"),
+        )
+        .agg(
+            F.sum("__d2").cast("bigint").alias("__mu2"),
+            F.max("__nr").alias("n_ref"),
+            F.max("__nc").alias("n_cur"),
+        )
+    )
+    cov = (
+        sr.join(sc, ["__p", "__q"])
+        .crossJoin(F.broadcast(mu.select("n_ref", "n_cur")))
+        .select(
+            pico(
+                (
+                    F.col("__m_r").cast("double")
+                    / (F.col("n_ref").cast("double") * F.lit(1e12))
+                    - F.col("__m_c").cast("double")
+                    / (F.col("n_cur").cast("double") * F.lit(1e12))
+                )
+                ** F.lit(2)
+            ).alias("__f2")
+        )
+        .agg(F.sum("__f2").cast("bigint").alias("__fro2"))
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return mu.crossJoin(F.broadcast(cov)).select(
+        "n_ref",
+        "n_cur",
+        r6(F.col("__mu2").cast("double") / F.lit(1e12)).alias(
+            "mean_shift2"
+        ),
+        r6(F.col("__fro2").cast("double") / F.lit(1e12)).alias(
+            "cov_shift_fro2"
+        ),
+        r6(
+            F.col("__fro2").cast("double") / F.lit(1e12)
+            + F.lit(2.0) * F.col("__mu2").cast("double") / F.lit(1e12)
+        ).alias("mmd2_poly2"),
+    )
+
+
+def embedding_mmd_poly2_sql(
+    ref_expr: str,
+    cur_expr: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`embedding_mmd_poly2` — identical staging
+    rounds, moment folds and final expression."""
+
+    def side(expr: str, tag: str) -> str:
+        return f"""
+    __ex_{tag} AS MATERIALIZED (
+        SELECT {id_col} AS __id,
+               unnest(range(0, len({vec_col}))) AS __p,
+               unnest({vec_col}) AS __x
+        FROM ({expr}) WHERE {vec_col} IS NOT NULL
+    ),
+    __f_{tag} AS (
+        SELECT __p,
+               CAST(sum(CAST(round(CAST(__x AS DOUBLE) * 1e6, 0)
+                    AS BIGINT)) AS BIGINT) AS __s,
+               CAST(count(*) AS BIGINT) AS __n
+        FROM __ex_{tag} GROUP BY 1
+    ),
+    __m_{tag} AS (
+        SELECT a.__p, b.__p AS __q,
+               CAST(sum(CAST(round(CAST(a.__x AS DOUBLE)
+                                   * CAST(b.__x AS DOUBLE) * 1e12, 0)
+                    AS HUGEINT)) AS HUGEINT) AS __m
+        FROM __ex_{tag} a JOIN __ex_{tag} b ON a.__id = b.__id
+        GROUP BY 1, 2
+    )"""
+
+    return f"""
+    WITH {side(ref_expr, 'r')},
+    {side(cur_expr, 'c')},
+    __mu AS (
+        SELECT CAST(sum(CAST(round(
+                   (CAST(r.__s AS DOUBLE) / (CAST(r.__n AS DOUBLE) * 1e6)
+                    - CAST(c.__s AS DOUBLE)
+                      / (CAST(c.__n AS DOUBLE) * 1e6))
+                   * (CAST(r.__s AS DOUBLE) / (CAST(r.__n AS DOUBLE) * 1e6)
+                      - CAST(c.__s AS DOUBLE)
+                        / (CAST(c.__n AS DOUBLE) * 1e6))
+                   * 1e12, 0) AS BIGINT)) AS BIGINT) AS __mu2,
+               CAST(max(r.__n) AS BIGINT) AS n_ref,
+               CAST(max(c.__n) AS BIGINT) AS n_cur
+        FROM __f_r r JOIN __f_c c ON c.__p = r.__p
+    ),
+    __cov AS (
+        SELECT CAST(sum(CAST(round(
+                   (CAST(m1.__m AS DOUBLE) / (CAST(u.n_ref AS DOUBLE) * 1e12)
+                    - CAST(m2.__m AS DOUBLE)
+                      / (CAST(u.n_cur AS DOUBLE) * 1e12))
+                   * (CAST(m1.__m AS DOUBLE)
+                      / (CAST(u.n_ref AS DOUBLE) * 1e12)
+                      - CAST(m2.__m AS DOUBLE)
+                        / (CAST(u.n_cur AS DOUBLE) * 1e12))
+                   * 1e12, 0) AS BIGINT)) AS BIGINT) AS __fro2
+        FROM __m_r m1
+        JOIN __m_c m2 ON m2.__p = m1.__p AND m2.__q = m1.__q
+        CROSS JOIN __mu u
+    )
+    SELECT u.n_ref, u.n_cur,
+           round(CAST(u.__mu2 AS DOUBLE) / 1e12 * 1e6, 0) / 1e6
+               AS mean_shift2,
+           round(CAST(v.__fro2 AS DOUBLE) / 1e12 * 1e6, 0) / 1e6
+               AS cov_shift_fro2,
+           round((CAST(v.__fro2 AS DOUBLE) / 1e12
+                  + 2.0 * CAST(u.__mu2 AS DOUBLE) / 1e12) * 1e6, 0) / 1e6
+               AS mmd2_poly2
+    FROM __mu u CROSS JOIN __cov v
+    """

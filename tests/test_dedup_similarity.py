@@ -798,3 +798,42 @@ def test_embedding_isotropy_laws(spark):
     assert const["participation_ratio"] is None
     assert const["anisotropy"] == 1.0
     assert abs(const["rms_norm"] - 0.5) < 1e-6
+
+
+def test_embedding_mmd_poly2_laws(spark):
+    """Laws: (1) identical samples -> every component 0; (2) a pure
+    mean shift moves mean_shift2 by ||delta||^2; (3) a covariance
+    ROTATION around an unchanged zero mean is invisible to the
+    centroid readout but lights cov_shift_fro2 — the operator's reason
+    to exist."""
+    from pytrousse_spark.operators.similarity import (
+        embedding_drift,
+        embedding_mmd_poly2,
+    )
+
+    base = [(i, [0.5 * (1 if i % 2 else -1), 0.0]) for i in range(8)]
+    ref = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    same = embedding_mmd_poly2(ref, ref).collect()[0]
+    assert (same["mean_shift2"], same["cov_shift_fro2"], same["mmd2_poly2"]) == (
+        0.0, 0.0, 0.0,
+    )
+
+    shifted = spark.createDataFrame(
+        [(i, [v[0] + 0.3, v[1] + 0.4]) for i, v in base],
+        "vec_id long, embedding array<double>",
+    )
+    sh = embedding_mmd_poly2(ref, shifted).collect()[0]
+    assert abs(sh["mean_shift2"] - 0.25) < 1e-5  # 0.3^2 + 0.4^2
+
+    # rotate the variance axis: +-0.5 on dim 0 -> +-0.5 on dim 1.
+    # both clouds have mean (0, 0): centroids cannot see it.
+    rot = spark.createDataFrame(
+        [(i, [0.0, 0.5 * (1 if i % 2 else -1)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    mm = embedding_mmd_poly2(ref, rot).collect()[0]
+    assert mm["mean_shift2"] == 0.0
+    # M_ref = diag(0.25, 0), M_rot = diag(0, 0.25) -> fro2 = 2 * 0.25^2
+    assert abs(mm["cov_shift_fro2"] - 0.125) < 1e-5
+    drift = embedding_drift(ref, rot).collect()[0]
+    assert drift["centroid_dist"] == 0.0  # blind to the rotation
