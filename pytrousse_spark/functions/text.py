@@ -1204,6 +1204,14 @@ def zipf_fit_sql(table: str, text_col: str, id_col: str, top_r: int = 1000) -> s
     """
 
 
+def _require_terms(terms: list[str], fn: str) -> None:
+    """Both engines must fail identically on an empty query: the SQL
+    twins would otherwise emit `WHERE __t IN ()` (a DuckDB syntax
+    error) while the Spark side silently returns degenerate rows."""
+    if not list(terms):
+        raise ValueError(f"{fn}: the query term list must be non-empty")
+
+
 def search_docs(df, text_col: str, id_col: str, terms: list[str], k: int = 20):
     """Conjunctive keyword search with TF-IDF ranking — the inverted-index
     query path of the corpus engine.
@@ -1224,6 +1232,7 @@ def search_docs(df, text_col: str, id_col: str, terms: list[str], k: int = 20):
     """
     from pyspark.sql import functions as F
 
+    _require_terms(terms, "search_docs")
     n_terms = len(set(terms))
     n_docs = df.where(F.col(text_col).isNotNull()).count()
     post = (
@@ -1261,6 +1270,7 @@ def search_docs_sql(
     table: str, text_col: str, id_col: str, terms: list[str], k: int = 20
 ) -> str:
     """DuckDB twin of :func:`search_docs`."""
+    _require_terms(terms, "search_docs_sql")
     uniq = sorted(set(terms))
     lits = ", ".join(sql_quote(t) for t in uniq)
     tok = tokens_sql(text_col)
@@ -1313,6 +1323,7 @@ def bm25_search(
     """
     from pyspark.sql import functions as F
 
+    _require_terms(terms, "bm25_search")
     uniq = sorted(set(terms))
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
@@ -1358,6 +1369,7 @@ def bm25_search_sql(
     table: str, text_col: str, id_col: str, terms: list[str], k: int = 20
 ) -> str:
     """DuckDB twin of :func:`bm25_search` (identical expression text)."""
+    _require_terms(terms, "bm25_search_sql")
     uniq = sorted(set(terms))
     lits = ", ".join(sql_quote(t) for t in uniq)
     tok = tokens_sql(text_col)
@@ -1435,6 +1447,7 @@ def dirichlet_ql_search(
     """
     from pyspark.sql import functions as F
 
+    _require_terms(terms, "dirichlet_ql_search")
     uniq = sorted(set(terms))
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
@@ -1504,6 +1517,7 @@ def dirichlet_ql_search_sql(
 ) -> str:
     """DuckDB twin of :func:`dirichlet_ql_search` (identical ln/div
     expression text, same OOV-drop rule)."""
+    _require_terms(terms, "dirichlet_ql_search_sql")
     uniq = sorted(set(terms))
     lits = ", ".join(sql_quote(t) for t in uniq)
     tok = tokens_sql(text_col)
@@ -1564,6 +1578,7 @@ def phrase_search(df, text_col: str, id_col: str, phrase: list[str], k: int = 20
 
     Returns ``(doc_id, n_occurrences)``.
     """
+    _require_terms(phrase, "phrase_search")
     from pyspark.sql import functions as F
 
     if not phrase:
@@ -1598,6 +1613,7 @@ def phrase_search_sql(
     """DuckDB twin of :func:`phrase_search` — identical positional-join
     logic (DuckDB positions are 1-based; only relative offsets matter)."""
     toks = tokens_sql(text_col)
+    _require_terms(phrase, "phrase_search_sql")
     uniq = sorted(set(phrase))
     lits = ", ".join(sql_quote(t) for t in uniq)
     joins = []

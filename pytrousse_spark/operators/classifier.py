@@ -2934,14 +2934,27 @@ def bradley_terry(
     comp = comp.join(
         keep.withColumnRenamed("item", "__w"), "__w", "semi"
     ).join(keep.withColumnRenamed("item", "__l"), "__l", "semi")
-    # the ONE distributed reduction: directed pair counts
-    rows = comp.collect()
-    if len(rows) > 2_000_000:
-        raise ValueError(
-            "bradley_terry: more than 2,000,000 observed directed "
-            f"pairs ({len(rows)}) — the driver-side MM loop is bounded "
-            "by the pair table; reduce the item universe"
-        )
+    # the ONE distributed reduction: directed pair counts. Guard the
+    # pair-table size with a distributed count BEFORE collect() — an
+    # oversized table must never materialize on the driver just to be
+    # rejected (the guard exists precisely because the MM loop is
+    # driver-side; pre-filter low-count pairs or shrink the item
+    # universe to get under it). Persist so the guard count and the
+    # collect share one computation of the aggregation.
+    comp = comp.persist()
+    try:
+        n_pairs = comp.count()
+        if n_pairs > 2_000_000:
+            raise ValueError(
+                "bradley_terry: more than 2,000,000 observed directed "
+                f"pairs ({n_pairs}) — the MM loop runs driver-side over "
+                "the pair table (a distributed-join formulation measured "
+                "3.3 s/iteration of pure job overhead); pre-filter "
+                "low-count pairs or reduce the item universe"
+            )
+        rows = comp.collect()
+    finally:
+        comp.unpersist()
     spark = comparisons.sparkSession
     if not rows:
         return spark.createDataFrame(

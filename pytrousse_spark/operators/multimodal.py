@@ -363,6 +363,15 @@ def encode_png_palette(
     up to 256 (r, g, b) entries."""
     if not 1 <= len(palette) <= 256:
         raise ValueError("PNG palette must have 1..256 entries")
+    # validate at ENCODE time with the decoder's strictness: an
+    # out-of-range index would otherwise encode silently into a PNG
+    # decode_png later rejects with "palette index out of range"
+    top = max((max(row) for row in index_rows if row), default=0)
+    if top >= len(palette):
+        raise ValueError(
+            f"palette index out of range at encode time: index {top} "
+            f"with a {len(palette)}-entry palette"
+        )
     h = len(index_rows)
     w = len(index_rows[0]) if h else 0
     return _encode_png(

@@ -250,6 +250,14 @@ def profile(df: DataFrame, metadata_cols: frozenset[str] = frozenset()) -> Colum
         c = f_.name
         cnt = row[f"{c}__cnt"]
         est = min(row[f"{c}__dst"], cnt) if cnt > 0 else 0
+        # small-cardinality columns (est <= 10) ALWAYS re-check: the
+        # ±8% band around the 7-boundary is ±0.56, i.e. it only caught
+        # an estimate of exactly 7, while an estimate off by >4 sigma
+        # near the categorical threshold misclassified silently — and
+        # an exact distinct over <=10-ish values is nearly free.
+        if 0 < est <= 10:
+            recheck.append(c)
+            continue
         for bound in (7, cnt // CATEG_COL_THRESHOLD):
             if bound > 0 and abs(est - bound) <= 0.08 * bound:
                 recheck.append(c)

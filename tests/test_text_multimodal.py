@@ -242,9 +242,19 @@ def test_png_palette_and_rgba_roundtrip_exact_channels(spark):
     assert (m6["color_type"], len(m6["pixels"])) == (6, W * H * 4)
     assert m6["pixels"] == [ch for row in rgba for px in row for ch in px]
 
-    # palette index beyond the PLTE table must raise, not wrap
+    # palette index beyond the PLTE table raises AT ENCODE TIME (r8
+    # ADVICE item 3: match the decoder's strictness instead of
+    # encoding a payload decode_png later rejects) ...
     bad = [[PNG_TEST_PALETTE_SIZE + 3] * 4] * 4
-    payload = encode_png_palette(bad, pal[:4])
+    with _pt.raises(ValueError, match="palette index"):
+        encode_png_palette(bad, pal[:4])
+    # ... and the DECODER still rejects a hostile payload built by
+    # bypassing the encoder's validation (foreign-encoder PNGs).
+    from pytrousse_spark.operators.multimodal import _encode_png
+
+    payload = _encode_png(
+        [bytes(row) for row in bad], 4, 4, 3, 1, palette=pal[:4]
+    )
     with _pt.raises(ValueError, match="palette index"):
         decode_png(payload)
     with _pt.raises(ValueError, match="palette"):
@@ -833,3 +843,24 @@ def test_dirichlet_ql_search_laws(spark):
         ).collect()
     }
     assert with_oov == out
+
+
+def test_search_empty_terms_raise_in_both_engines():
+    """r8 ADVICE item 2: an empty query term list must fail identically
+    in both engines — the SQL twins would otherwise emit
+    `WHERE __t IN ()` (a DuckDB syntax error) while the Spark side
+    silently returned degenerate rows."""
+    import pytest as _pt
+
+    from pytrousse_spark.functions import text as T
+
+    for fn_name in (
+        "search_docs", "search_docs_sql",
+        "bm25_search", "bm25_search_sql",
+        "dirichlet_ql_search", "dirichlet_ql_search_sql",
+        "phrase_search", "phrase_search_sql",
+    ):
+        fn = getattr(T, fn_name)
+        with _pt.raises(ValueError, match="non-empty"):
+            fn("tbl" if fn_name.endswith("_sql") else None,
+               "text", "doc_id", [])
