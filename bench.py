@@ -334,27 +334,35 @@ _IDLE_SKEW_RATIOS = {
     # 18.8-26.8x, position 16.5-20.4x; PLANS.md). The q167/q190 names
     # now default to strategy="auto" (cohort._route_attribution), which
     # probes max per-user pair mass and routes the skewed table to the
-    # scalable twins. The auto rows measure a MIXED-PATH ratio by
-    # design: benign rides the cheap pairwise plan (~2-4s incl. probe),
-    # skewed rides the skew-immune count decomposition (~12-20s — the
-    # r7 scalable twins' own skewed wall), so the expected idle ratio
-    # is scalable_skewed/pairwise_benign ~ 4-6, NOT the <=2 a
-    # single-plan row would show; what the row certifies is the
-    # ABSENCE of the 27x pairwise funnel under the default name.
-    "q167_linear_attribution": 6.0,
+    # scalable twins.
+    #
+    # round-9 (r8 VERDICT item 2): the auto rows' skewed/benign "ratio"
+    # is a MIXED-PATH artifact (benign rides the cheap pairwise plan,
+    # skewed rides the count decomposition), so a 6.0-band there would
+    # mask a real regression of up to 6x. The binding measurement for
+    # the auto rows is now `ratio_vs_scalable` — auto-on-skewed vs the
+    # scalable twin's OWN skewed wall on the SAME table (_AUTO_TWINS
+    # below, band <= 2.0, i.e. routing + probe never costs more than 2x
+    # the routed plan) — plus the probe overhead reported separately.
+    # The mixed ratio is still recorded but carries no band.
     "q177_linear_attribution_scalable": 2.0,
     "q157_rolling_window_1day": 2.5,
-    "q190_position_attribution": 6.0,
     "q194_position_attribution_scalable": 2.0,
-    # auto-routed rolling window measures a MIXED-path ratio by design:
-    # benign routes to the plain window (cheapest plan), skewed routes
-    # to the bucketed decomposition (skew-immune but ~3 exchanges), so
-    # the ratio compares different physical plans on different tables
-    "q157_rolling_window_auto": 5.0,
     # round-7 continuation-3 (bands ~2x first idle measures)
     "q257_triple_sequences": 2.5,
     "q263_markov_entropy": 2.0,
 }
+
+# r8 VERDICT item 2: auto-routed rows compare against their scalable
+# twin's skewed wall (same table, same routed physical plan) — the
+# honest degradation measure; the difference is the router's probe
+# cost. Band: auto must stay within 2x of the twin it routes to.
+_AUTO_TWINS = {
+    "q167_linear_attribution": "q177_linear_attribution_scalable",
+    "q190_position_attribution": "q194_position_attribution_scalable",
+    "q157_rolling_window_auto": "q157_rolling_window_scalable",
+}
+_AUTO_VS_SCALABLE_BAND = 2.0
 
 
 def _rolling_window_1day(spark, d):
@@ -444,6 +452,39 @@ def _skew_stress(spark, tmp: str) -> dict:
             row = {"error": str(exc)[:120]}
             print(f"bench skew: {name} failed: {exc}", file=sys.stderr)
         out[name] = row
+
+    # r8 VERDICT item 2: score each auto-routed row against the routed
+    # plan (its scalable twin's skewed wall on the SAME table), not the
+    # mixed-path skewed/benign artifact; the gap over the twin is the
+    # router's probe cost, reported as seconds and as a fraction of the
+    # skewed wall (r8 item 3's <10% target for the fused probe).
+    for auto, twin in _AUTO_TWINS.items():
+        a, t = out.get(auto), out.get(twin)
+        if not (
+            isinstance(a, dict) and isinstance(t, dict)
+            and isinstance(a.get("skewed"), (int, float))
+            and isinstance(t.get("skewed"), (int, float))
+            and t["skewed"] > 0
+        ):
+            continue
+        ratio = round(a["skewed"] / t["skewed"], 2)
+        if ratio > _AUTO_VS_SCALABLE_BAND:
+            print(
+                f"bench skew: {auto} vs-scalable ratio {ratio} > "
+                f"{_AUTO_VS_SCALABLE_BAND}; cooling down and re-running "
+                "the auto row once",
+                file=sys.stderr,
+            )
+            time.sleep(20)
+            rerun = _run(cases[auto])
+            a = {"first": a, **rerun}
+            out[auto] = a
+            ratio = round(a["skewed"] / t["skewed"], 2)
+        a["ratio_vs_scalable"] = ratio
+        a["probe_overhead_sec"] = round(a["skewed"] - t["skewed"], 3)
+        a["probe_overhead_pct"] = round(
+            100.0 * (a["skewed"] - t["skewed"]) / a["skewed"], 1
+        )
     return out
 
 
@@ -727,6 +768,78 @@ def main() -> None:
     except (OSError, KeyError, ValueError):
         pass
 
+    # r8 VERDICT item 4: the normalization constant rested on ONE idle
+    # (probe, anchor) pair. Every run appends its pair to an UNTRACKED
+    # local history (bench_runs/probe_history.json — survives because
+    # runs never clobber the committed reference, item 6 below); the
+    # payload carries the history plus the median probe over IDLE runs
+    # (load1 at start <= the cooldown threshold), the firmer constant a
+    # future round can re-pin against (rule recorded in PLANS.md).
+    runs_dir = os.path.join(os.path.dirname(__file__), "bench_runs")
+    probe_history: list[dict] = []
+    try:
+        os.makedirs(runs_dir, exist_ok=True)
+        hist_path = os.path.join(runs_dir, "probe_history.json")
+        try:
+            with open(hist_path) as f:
+                probe_history = json.load(f)
+        except (OSError, ValueError):
+            probe_history = []
+        probe_history.append(
+            {
+                "probe": cpu_probe,
+                "anchor": anchor_ratio,
+                "load1_start": load_start[0],
+                "unix_ts": int(time.time()),
+            }
+        )
+        with open(hist_path, "w") as f:
+            json.dump(probe_history, f, indent=1)
+    except OSError:
+        pass
+    idle_probes = sorted(
+        h["probe"]
+        for h in probe_history
+        if h.get("probe") and (h.get("load1_start") or 0.0) <= cool_thresh
+    )
+    probe_idle_median = (
+        round(
+            (
+                idle_probes[len(idle_probes) // 2]
+                if len(idle_probes) % 2
+                else (
+                    idle_probes[len(idle_probes) // 2 - 1]
+                    + idle_probes[len(idle_probes) // 2]
+                )
+                / 2.0
+            ),
+            3,
+        )
+        if idle_probes
+        else None
+    )
+
+    # r8 VERDICT item 5: the 10-40% idle-to-idle swings concentrate in
+    # the declared exact-baseline rows (oracle anchors, not production
+    # paths) — split the headline total so the production paths can be
+    # tracked apart from them. The combined `value` stays the driver's
+    # gate for round-over-round continuity.
+    _DECLARED_BASELINES = {
+        "q46_embedding_neardup",
+        "q46b_neardup_blas",
+        "q47_cosine_topk",
+        "x46_neardup_blas_raw",
+        "x100_quantiles_exact_baseline",
+    }
+    value_baselines = round(
+        sum(v for k, v in timings.items() if k in _DECLARED_BASELINES and v > 0),
+        3,
+    )
+    value_production = round(
+        sum(v for k, v in timings.items() if k not in _DECLARED_BASELINES and v > 0),
+        3,
+    )
+
     # Key order is deliberate: the driver records only the TAIL of this
     # line, so the big per-query map goes FIRST and every summary scalar
     # (total, anchor ratio, sf) goes LAST — a truncated tail still shows
@@ -740,15 +853,19 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        "probe_history": probe_history,
         "anchor_r1_sum_sec": anchor_sum,
         "anchor_r1_ratio": anchor_ratio,
         "anchor_r1_ratio_normalized": anchor_ratio_norm,
+        "probe_idle_median": probe_idle_median,
         # load fields sit in the TAIL so the driver's truncated
         # recording always keeps them
         "loadavg_start": load_start,
         "cpu_probe_sec": cpu_probe,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cooldown_wait_sec": round(waited, 1),
+        "value_production": value_production,
+        "value_baselines": value_baselines,
         "value": total,
         "sf": sf,
     }
@@ -756,15 +873,35 @@ def main() -> None:
     # the driver archives only a 2000-char TAIL of the line above, so
     # per-query history is lost round-over-round (the r8 anchor-creep
     # diagnosis had no r7 per-query walls to diff against). Persist the
-    # FULL payload locally; committed per round as BENCH_LOCAL_full.json.
+    # FULL payload locally — r8 VERDICT item 6: runs write an UNTRACKED
+    # timestamped file under bench_runs/ so a driver/iteration run never
+    # dirties the tree or silently swaps the committed reference's
+    # identity; `--commit-reference` (or SPARK_GRAFT_COMMIT_REFERENCE=1)
+    # explicitly refreshes the tracked BENCH_LOCAL_full.json snapshot.
     try:
         with open(
-            os.path.join(os.path.dirname(__file__), "BENCH_LOCAL_full.json"),
+            os.path.join(
+                runs_dir, f"BENCH_LOCAL_{int(time.time())}.json"
+            ),
             "w",
         ) as f:
             json.dump(payload, f, indent=1)
     except OSError:
         pass
+    if (
+        "--commit-reference" in sys.argv
+        or os.environ.get("SPARK_GRAFT_COMMIT_REFERENCE") == "1"
+    ):
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(__file__), "BENCH_LOCAL_full.json"
+                ),
+                "w",
+            ) as f:
+                json.dump(payload, f, indent=1)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

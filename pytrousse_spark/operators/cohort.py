@@ -609,23 +609,33 @@ def _route_attribution(
     user_col: str,
     strategy: str,
     max_pair_mass: int,
+    density_hint: int | None = None,
 ) -> str:
     """Strategy router shared by :func:`linear_attribution` and
     :func:`position_attribution` (round-7 VERDICT item 2 — the
     transforms.percent_rank_transform rank-router pattern applied to
     the attribution pair joins).
 
-    ``"auto"`` runs ONE cheap density probe: per-user touch counts and
-    per-user purchase counts (both map-side-combinable aggs whose
-    output is bounded by distinct users), joined on user, and reads the
-    MAXIMUM per-user pair mass ``touches_u * purchases_u`` — exactly
-    the number of candidate pairs the pairwise range join materializes
-    inside that user's single join partition. Above ``max_pair_mass``
-    the quadratic-per-hot-user join is the measured 16-27x skew funnel
+    ``"auto"`` runs ONE cheap density probe fused into a single job
+    (round-8 VERDICT item 3 — the previous agg-join-agg shape was two
+    shuffle stages plus a join, ~27% of the skewed attribution wall):
+    both inputs project to tagged ``(user,)`` rows, union, and ONE
+    user-keyed agg (map-side-combinable conditional counts, output
+    bounded by distinct users) reads the MAXIMUM per-user pair mass
+    ``touches_u * purchases_u`` — exactly the number of candidate
+    pairs the pairwise range join materializes inside that user's
+    single join partition. Above ``max_pair_mass`` the
+    quadratic-per-hot-user join is the measured 16-27x skew funnel
     (BENCH_r06/r07 skew batteries), so the router picks the
     count-decomposition twin; below it the pairwise form is the
     cheaper plan (fewer exchanges). The routing rule is pinned on
     benign + zipfian frames in tests/test_cohort.py.
+
+    ``density_hint``: a precomputed max per-user pair mass. When given,
+    the probe is SKIPPED entirely — pipelines calling attribution
+    repeatedly on the same inputs pay for one probe (or carry the
+    number from their own profiling) instead of re-scanning both
+    inputs per call.
     """
     from pyspark.sql import functions as F
 
@@ -635,18 +645,21 @@ def _route_attribution(
         )
     if strategy != "auto":
         return strategy
-    tc = (
-        touches.where(F.col(user_col).isNotNull())
-        .groupBy(F.col(user_col).alias("__u"))
-        .agg(F.count(F.lit(1)).alias("__tc"))
-    )
-    pc = (
-        purchases.where(F.col(user_col).isNotNull())
-        .groupBy(F.col(user_col).alias("__u"))
-        .agg(F.count(F.lit(1)).alias("__pc"))
+    if density_hint is not None:
+        return "scalable" if density_hint > max_pair_mass else "exact"
+    tagged = touches.where(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("__u"), F.lit(1).alias("__t")
+    ).unionByName(
+        purchases.where(F.col(user_col).isNotNull()).select(
+            F.col(user_col).alias("__u"), F.lit(0).alias("__t")
+        )
     )
     row = (
-        tc.join(pc, "__u")
+        tagged.groupBy("__u")
+        .agg(
+            F.count(F.when(F.col("__t") == 1, 1)).alias("__tc"),
+            F.count(F.when(F.col("__t") == 0, 1)).alias("__pc"),
+        )
         .agg(F.max(F.col("__tc") * F.col("__pc")).alias("__mass"))
         .first()
     )
@@ -666,6 +679,7 @@ def linear_attribution(
     window_seconds: int = 3 * 86400,
     strategy: str = "auto",
     auto_max_pair_mass: int = 4_000_000,
+    auto_density_hint: int | None = None,
 ) -> "DataFrame":
     """Multi-touch LINEAR attribution: every touch in the lookback
     window before a conversion shares the conversion's value EQUALLY —
@@ -692,8 +706,10 @@ def linear_attribution(
       (bucketed window counts, no pair materialization, max task =
       densest (user, channel, bucket));
     - ``"auto"`` (default) — :func:`_route_attribution` probes the
-      maximum per-user pair mass with one tiny agg-join job and picks
-      ``scalable`` iff it exceeds ``auto_max_pair_mass``.
+      maximum per-user pair mass with ONE fused union-agg job and picks
+      ``scalable`` iff it exceeds ``auto_max_pair_mass``. Pass
+      ``auto_density_hint`` (a precomputed max pair mass) to skip the
+      probe when calling attribution repeatedly on the same inputs.
 
     Returns ``(channel, n_conversions, n_touches, credit)`` where
     ``credit`` is micro-units / 1e6 rounded 6.
@@ -702,7 +718,8 @@ def linear_attribution(
     from pyspark.sql.window import Window
 
     routed = _route_attribution(
-        purchases, touches, user_col, strategy, auto_max_pair_mass
+        purchases, touches, user_col, strategy, auto_max_pair_mass,
+        density_hint=auto_density_hint,
     )
     if routed == "scalable":
         return linear_attribution_scalable(
@@ -1704,6 +1721,7 @@ def position_attribution(
     window_seconds: int = 3 * 86400,
     strategy: str = "auto",
     auto_max_pair_mass: int = 4_000_000,
+    auto_density_hint: int | None = None,
 ) -> "DataFrame":
     """Multi-touch POSITION-BASED (U-shaped 40/20/40) attribution:
     the first and last touch in the lookback window each take 40% of
@@ -1735,7 +1753,8 @@ def position_attribution(
     from pyspark.sql.window import Window
 
     routed = _route_attribution(
-        purchases, touches, user_col, strategy, auto_max_pair_mass
+        purchases, touches, user_col, strategy, auto_max_pair_mass,
+        density_hint=auto_density_hint,
     )
     if routed == "scalable":
         return position_attribution_scalable(

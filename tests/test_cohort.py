@@ -1437,6 +1437,12 @@ def test_attribution_strategy_router(spark):
     p, t = frame(hot_touches=40)
     assert _route_attribution(p, t, "u", "auto", 30) == "scalable"
 
+    # r8 VERDICT item 3: a precomputed density hint skips the probe
+    # entirely and routes on the hint alone (r9: probe is also fused
+    # into one union-tagged agg job)
+    assert _route_attribution(p, t, "u", "auto", 30, density_hint=10) == "exact"
+    assert _route_attribution(p, t, "u", "auto", 30, density_hint=31) == "scalable"
+
     kw = dict(
         user_col="u", purchase_id_col="pid", purchase_ts_col="ts",
         value_col="v", touch_ts_col="ts", channel_col="ch",
