@@ -8555,6 +8555,42 @@ def _sql_q276() -> str:
     """
 
 
+def q286_png_gray16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-BIT grayscale PNG codec round trip (r8 VERDICT item 8 —
+    the depth axis the 8-bit family left uncovered): each document id
+    becomes a genuine bit-depth-16 color-type-0 PNG (2-byte big-endian
+    samples, filters cycling all five types with a/c neighbors one
+    2-byte SAMPLE left — the exact spot a byte-level-vs-sample-level
+    filter bug would corrupt), decoded back by the same chunk-walk
+    path; the decoded 16-bit sample checksum must equal the oracle's
+    closed form over (id*131 + 257x + 263y) mod 65536
+    (operators/multimodal.py: encode_png_gray16 / decode_png)."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta,
+        synthesize_png_gray16_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
+    media = synthesize_png_gray16_column(d, "doc_id", width=16, height=12)
+    return decode_png_meta(media, "media", "doc_id")
+
+
+def _sql_q286() -> str:
+    return """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(12 AS INT) AS height,
+           CAST(16 AS INT) AS bit_depth,
+           CAST(0 AS INT) AS color_type,
+           CAST((SELECT SUM((doc_id * 131 + 257 * x.i + 263 * y.j)
+                            % 65536)
+                 FROM generate_series(0, 15) AS x(i),
+                      generate_series(0, 11) AS y(j)) AS BIGINT)
+               AS pixel_sum
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150)
+    """
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8699,6 +8735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q283_group_jackknife": q283_group_jackknife,
         "q284_ohlc_streamed": q284_ohlc_streamed,
         "q285_embedding_mmd": q285_embedding_mmd,
+        "q286_png_gray16_roundtrip": q286_png_gray16_roundtrip,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9405,6 +9442,7 @@ def oracle_sql() -> dict[str, str]:
         "q283_group_jackknife": _sql_q283(),
         "q284_ohlc_streamed": _sql_q225(),
         "q285_embedding_mmd": _sql_q285(),
+        "q286_png_gray16_roundtrip": _sql_q286(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

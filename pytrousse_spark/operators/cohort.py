@@ -3387,7 +3387,11 @@ def propensity_matching(
     - the nearest control level at-or-below / at-or-above each treated
       level comes from the union+ordered-window as-of device over the
       BOUNDED level frame (never data-sized — the global window is
-      over <= ~1e6 rows by construction);
+      over <= ~1e6 rows by construction). The bound is the QUANTIZATION
+      GRID itself, not ``clip``: even at clip=0 the clipped-score range
+      holds at most 1e6 + 1 distinct micro-unit levels per arm, so the
+      single-task as-of sort worst case is ~2e6 narrow rows (~10^2 MB)
+      — a documented floor, no range-partitioning needed at any clip;
     - the nearer side wins (ties to the below match); with-replacement
       matching, every tied control at the matched score contributes
       through the level mean;

@@ -191,8 +191,9 @@ def test_png_unsupported_color_type_returns_metadata_only(spark):
 
     from pytrousse_spark.operators.multimodal import PNG_SIG, _png_chunk, decode_png
 
-    # gray+alpha (4) and 16-bit depth stay honestly unsupported
-    for ct, depth in ((4, 8), (0, 16), (2, 16)):
+    # gray+alpha (4) and 16-bit COLOR stay honestly unsupported
+    # (16-bit GRAYSCALE graduated to supported in r9)
+    for ct, depth in ((4, 8), (2, 16), (6, 16)):
         ihdr = st.pack(">IIBBBBB", 4, 4, depth, ct, 0, 0, 0)
         png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
         m = decode_png(png)
@@ -864,3 +865,35 @@ def test_search_empty_terms_raise_in_both_engines():
         with _pt.raises(ValueError, match="non-empty"):
             fn("tbl" if fn_name.endswith("_sql") else None,
                "text", "doc_id", [])
+
+
+def test_png_gray16_roundtrip_exact_samples(spark):
+    """16-bit grayscale (color type 0, depth 16) encode -> decode
+    recovers every 2-byte sample exactly; 12 rows cycle all five
+    filters with the a/c neighbors one SAMPLE (2 bytes) left — the r8
+    VERDICT item-8 depth increment. Out-of-range samples raise at
+    encode time; 16-bit COLOR stays metadata-only."""
+    import pytest as _pt
+
+    from pytrousse_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray16,
+    )
+
+    W, H, i = 16, 12, 7
+    rows = [
+        [(i * 131 + 257 * x + 263 * y) % 65536 for x in range(W)]
+        for y in range(H)
+    ]
+    m = decode_png(encode_png_gray16(rows))
+    assert (m["width"], m["height"], m["bit_depth"], m["color_type"]) == (
+        W, H, 16, 0,
+    )
+    assert [m["pixels"][r * W : (r + 1) * W] for r in range(H)] == rows
+    # both bytes of the samples genuinely vary (the closed-form guard)
+    assert max(m["pixels"]) > 255
+
+    with _pt.raises(ValueError, match="0..65535"):
+        encode_png_gray16([[65536]])
+    with _pt.raises(ValueError, match="0..65535"):
+        encode_png_gray16([[-1]])
