@@ -8591,6 +8591,116 @@ def _sql_q286() -> str:
     """
 
 
+def q287_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
+    customer→supplier purchase graph (edges = distinct pairs from
+    orders⋈lineitem): hub customers buy from authoritative suppliers,
+    authoritative suppliers sell to hub customers — the query-time
+    companion to q117's PageRank. 6 iterations, each half = one
+    edge-keyed join + one hash agg + a broadcast max-normalization in
+    integer micro-units; the DuckDB twin replays the chain
+    bit-for-bit (operators/graph.hits)."""
+    from pytrousse_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, "src", "dst", iters=6)
+
+
+def _sql_q287() -> str:
+    from pytrousse_spark.operators.graph import hits_sql
+
+    return hits_sql(
+        "SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,"
+        " 's:' || CAST(l_suppkey AS VARCHAR) AS dst"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        "src",
+        "dst",
+        iters=6,
+    )
+
+
+def q288_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's continuity-corrected test (1947) comparing two
+    PAIRED English-detection classifiers on the documents corpus —
+    truth = the labeled lang column, A = the full stopword lang-id
+    heuristic (q98's classifier), B = a crude ' the '-containment
+    rule: only the discordant pairs (A right / B wrong and the
+    reverse) carry evidence, the comparison an unpaired accuracy
+    z-test gets wrong. ONE full-scan hash agg of conditional counts
+    (operators/classifier.mcnemar_test)."""
+    from pytrousse_spark.operators.classifier import mcnemar_test
+
+    d = _t(spark, sf_dir, "documents")
+    return mcnemar_test(
+        d,
+        (F.col("lang") == "en"),
+        (tx.lang_id(F.col("text")) == "en"),
+        (
+            F.instr(
+                F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")),
+                " the ",
+            )
+            > 0
+        ),
+    )
+
+
+def _sql_q288() -> str:
+    from pytrousse_spark.functions.text import lang_id_sql
+    from pytrousse_spark.operators.classifier import mcnemar_test_sql
+
+    return mcnemar_test_sql(
+        "documents",
+        "(lang = 'en')",
+        f"(({lang_id_sql('text')}) = 'en')",
+        "(position(' the ' IN ' ' || lower(text) || ' ') > 0)",
+    )
+
+
+def q289_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Lei et al. 2018) for the
+    per-quantity train-mean price model over lineitem: 6:2:2
+    train/calibration/test by the portable salted id hash (q61's
+    device), conformal half-width = the ceil((n+1)(1-alpha))-th
+    smallest calibration |residual| selected over integer-cent
+    RESIDUAL LEVELS (one hash agg + a bounded level window — no
+    data-sized sort, the propensity-matching level pattern), test
+    coverage >= 1 - alpha in expectation — the distribution-free
+    guarantee an eval pipeline reports beside point error
+    (operators/classifier.split_conformal)."""
+    from pytrousse_spark.operators.classifier import split_conformal
+
+    li = _t(spark, sf_dir, "lineitem")
+    return split_conformal(
+        li,
+        F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+        "l_quantity",
+        "l_extendedprice",
+        alpha=0.1,
+    )
+
+
+def _sql_q289() -> str:
+    from pytrousse_spark.operators.classifier import split_conformal_sql
+
+    return split_conformal_sql(
+        "lineitem",
+        "l_orderkey * 8 + l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        alpha=0.1,
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8736,6 +8846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q284_ohlc_streamed": q284_ohlc_streamed,
         "q285_embedding_mmd": q285_embedding_mmd,
         "q286_png_gray16_roundtrip": q286_png_gray16_roundtrip,
+        "q287_hits": q287_hits,
+        "q288_mcnemar": q288_mcnemar,
+        "q289_conformal": q289_conformal,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9443,6 +9556,9 @@ def oracle_sql() -> dict[str, str]:
         "q284_ohlc_streamed": _sql_q225(),
         "q285_embedding_mmd": _sql_q285(),
         "q286_png_gray16_roundtrip": _sql_q286(),
+        "q287_hits": _sql_q287(),
+        "q288_mcnemar": _sql_q288(),
+        "q289_conformal": _sql_q289(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -3097,3 +3097,262 @@ def bradley_terry_sql(
     FROM __stats s JOIN {prev} p ON p.__i = s.__i
     ORDER BY rank
     """
+
+
+def mcnemar_test(
+    df: DataFrame,
+    truth: "F.Column",
+    pred_a: "F.Column",
+    pred_b: "F.Column",
+) -> DataFrame:
+    """McNemar's test (1947, continuity-corrected) for PAIRED classifier
+    comparison — the right test when two classifiers score the SAME
+    examples (accuracy-vs-accuracy z-tests ignore the pairing): only the
+    DISCORDANT pairs carry information. b = examples A got right and B
+    got wrong, c = the reverse; the statistic is
+
+        chi2 = (|b - c| - 1)^2 / (b + c)        (1 df)
+
+    NULL rows (truth or either prediction) are excluded — a prediction
+    opt-out must not count as a disagreement. Statistic is reported (not
+    a p-value — no erf in either engine's common surface); b + c = 0
+    yields NULL (no discordance, no evidence either way).
+
+    Scale: ONE full-scan hash agg of four conditional counts — no
+    shuffle beyond the single-row reduce. Returns
+    ``(n, acc_a, acc_b, b_discordant, c_discordant, mcnemar_chi2)``.
+    """
+    ok = truth.isNotNull() & pred_a.isNotNull() & pred_b.isNotNull()
+    ca = (pred_a == truth).cast("int")
+    cb = (pred_b == truth).cast("int")
+    agg = df.where(ok).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(ca).cast("bigint").alias("__na"),
+        F.sum(cb).cast("bigint").alias("__nb"),
+        F.sum(((ca == 1) & (cb == 0)).cast("int")).cast("bigint").alias(
+            "b_discordant"
+        ),
+        F.sum(((ca == 0) & (cb == 1)).cast("int")).cast("bigint").alias(
+            "c_discordant"
+        ),
+    )
+    bc = F.col("b_discordant") + F.col("c_discordant")
+    diff = F.abs(F.col("b_discordant") - F.col("c_discordant"))
+    return agg.select(
+        "n",
+        F.round(F.col("__na").cast("double") / F.col("n"), 6).alias("acc_a"),
+        F.round(F.col("__nb").cast("double") / F.col("n"), 6).alias("acc_b"),
+        "b_discordant",
+        "c_discordant",
+        F.when(
+            bc > 0,
+            F.round(
+                F.pow(diff.cast("double") - F.lit(1.0), 2)
+                / bc.cast("double"),
+                6,
+            ),
+        ).alias("mcnemar_chi2"),
+    )
+
+
+def mcnemar_test_sql(
+    table: str, truth_expr: str, pred_a_expr: str, pred_b_expr: str
+) -> str:
+    """DuckDB twin of :func:`mcnemar_test` (identical conditional-count
+    and statistic expression text)."""
+    return f"""
+    WITH base AS (
+        SELECT CASE WHEN ({pred_a_expr}) = ({truth_expr})
+                    THEN 1 ELSE 0 END AS ca,
+               CASE WHEN ({pred_b_expr}) = ({truth_expr})
+                    THEN 1 ELSE 0 END AS cb
+        FROM {table}
+        WHERE ({truth_expr}) IS NOT NULL
+          AND ({pred_a_expr}) IS NOT NULL
+          AND ({pred_b_expr}) IS NOT NULL
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN ca = 1 AND cb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b_discordant,
+               CAST(sum(CASE WHEN ca = 0 AND cb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_discordant
+        FROM base
+    )
+    SELECT n,
+           round(CAST(na AS DOUBLE) / n, 6) AS acc_a,
+           round(CAST(nb AS DOUBLE) / n, 6) AS acc_b,
+           b_discordant,
+           c_discordant,
+           CASE WHEN b_discordant + c_discordant > 0
+                THEN round(pow(CAST(abs(b_discordant - c_discordant)
+                                    AS DOUBLE) - 1.0, 2)
+                           / CAST(b_discordant + c_discordant AS DOUBLE), 6)
+           END AS mcnemar_chi2
+    FROM agg
+    """
+
+
+def split_conformal(
+    df: DataFrame,
+    id_expr: "F.Column",
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    salt: str = "conformal",
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    2018) for a per-group-mean regressor — the distribution-free
+    finite-sample coverage guarantee every model-eval pipeline should
+    report alongside point error:
+
+    1. rows split train/calibration/test 6:2:2 by the salted portable
+       id hash (the q61 device — partitioning-stable, both engines);
+    2. the model is the TRAIN-split per-``group_col`` mean of
+       ``value_col`` in integer cents (micro-exact, fold-order-free);
+    3. the conformal half-width q is the k-th smallest calibration
+       |residual| with k = ceil((n_cal + 1) * (1 - alpha)) — selected
+       WITHOUT a data-sized sort: residuals hash-agg to integer-cent
+       LEVELS (bounded like the propensity-matching level frame), and
+       one window over the level counts finds the k-th order statistic;
+    4. test-split coverage = share of |y - yhat| <= q — the
+       finite-sample guarantee says >= 1 - alpha in expectation.
+
+    Groups unseen in train drop from calibration/test (no model).
+    Returns one row ``(n_train, n_cal, n_test, q_half_width_cents,
+    coverage)``.
+    """
+    from .sampling import _bucket
+
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    base = (
+        df.where(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            cents.alias("__y"),
+            (_bucket_expr(id_expr, salt) % 10).alias("__b"),
+        )
+    )
+    train = base.where(F.col("__b") <= 5)
+    model = train.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt"),
+        F.sum("__y").cast("bigint").alias("__st"),
+    )
+    # prediction = integer-rounded train group mean in cents
+    pred = F.round(F.col("__st") / F.col("__nt"), 0).cast("bigint")
+    scored = (
+        base.where(F.col("__b") >= 6)
+        .join(F.broadcast(model), "__g")
+        .select(
+            "__b",
+            F.abs(F.col("__y") - pred).alias("__r"),
+        )
+    )
+    cal = scored.where(F.col("__b") <= 7)
+    n_cal_row = cal.agg(F.count(F.lit(1)).cast("bigint").alias("__nc"))
+    levels = (
+        cal.groupBy("__r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    w = Window.orderBy("__r").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = levels.select(
+        "__r", F.sum("__c").over(w).alias("__cum")
+    )
+    q_row = (
+        ranked.crossJoin(F.broadcast(n_cal_row))
+        .where(
+            F.col("__cum")
+            >= F.ceil(
+                (F.col("__nc") + 1) * F.lit(float(1.0 - alpha))
+            ).cast("bigint")
+        )
+        .agg(F.min("__r").alias("__q"))
+    )
+    test = scored.where(F.col("__b") >= 8)
+    return (
+        test.crossJoin(F.broadcast(q_row))
+        .agg(
+            F.max(F.lit(None).cast("bigint")).alias("__drop"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.avg((F.col("__r") <= F.col("__q")).cast("double")), 6
+            ).alias("coverage"),
+            F.max("__q").alias("q_half_width_cents"),
+        )
+        .crossJoin(F.broadcast(train.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train")
+        )))
+        .crossJoin(F.broadcast(n_cal_row.select(
+            F.col("__nc").alias("n_cal")
+        )))
+        .select(
+            "n_train", "n_cal", "n_test", "q_half_width_cents", "coverage"
+        )
+    )
+
+
+def _bucket_expr(id_expr: "F.Column", salt: str):
+    """Portable 0..9 bucket from the salted h60 of an id expression."""
+    from ..functions.hashing import h60
+
+    return h60(F.concat(F.lit(f"{salt}|"), id_expr.cast("string"))) % 10
+
+
+def split_conformal_sql(
+    table: str,
+    id_expr: str,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    salt: str = "conformal",
+) -> str:
+    """DuckDB twin of :func:`split_conformal` (same hash split, same
+    integer-cent model and level-ranked order statistic)."""
+    from ..functions.hashing import h60_sql
+
+    salted = f"'{salt}|' || CAST({id_expr} AS VARCHAR)"
+    b = f"({h60_sql(salted)} % 10)"
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT {group_col} AS g,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y,
+               {b} AS b
+        FROM {table}
+        WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+    ), model AS MATERIALIZED (
+        SELECT g, CAST(count(*) AS BIGINT) AS nt,
+               CAST(sum(y) AS BIGINT) AS st
+        FROM base WHERE b <= 5 GROUP BY g
+    ), scored AS MATERIALIZED (
+        SELECT base.b,
+               abs(base.y - CAST(round(m.st / m.nt, 0) AS BIGINT)) AS r
+        FROM base JOIN model m ON base.g = m.g
+        WHERE base.b >= 6
+    ), ncal AS (
+        SELECT CAST(count(*) AS BIGINT) AS nc FROM scored WHERE b <= 7
+    ), levels AS (
+        SELECT r, CAST(count(*) AS BIGINT) AS c
+        FROM scored WHERE b <= 7 GROUP BY r
+    ), ranked AS (
+        SELECT r, sum(c) OVER (ORDER BY r
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+        FROM levels
+    ), q AS (
+        SELECT min(r) AS q FROM ranked CROSS JOIN ncal
+        WHERE cum >= CAST(ceil((nc + 1) * {float(1.0 - alpha)!r}) AS BIGINT)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base WHERE b <= 5)
+               AS n_train,
+           (SELECT nc FROM ncal) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           max(q.q) AS q_half_width_cents,
+           round(avg(CASE WHEN s.r <= q.q THEN 1.0 ELSE 0.0 END), 6)
+               AS coverage
+    FROM scored s CROSS JOIN q
+    WHERE s.b >= 8
+    """

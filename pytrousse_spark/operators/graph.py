@@ -778,3 +778,145 @@ def adamic_adar_sql(
     ORDER BY score DESC, x, y
     LIMIT {top_k}
     """
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list — the bipartite-flavored companion of :func:`pagerank`: a good
+    HUB points at good authorities, a good AUTHORITY is pointed at by
+    good hubs. Duplicate edges count once — callers pre-distinct.
+
+    Arithmetic: scores live in integer micro-units; each half-iteration
+    is ONE edge-keyed join + ONE hash agg (bounded by |E|), then a
+    MAX-normalization (max-norm is a standard HITS scaling — any
+    positive rescale leaves the fixed point's direction unchanged) as
+    one broadcast scalar: ``round(raw * 1e6 / max_raw)`` — a single
+    IEEE multiply+divide+round per node, the q117 exact-replay recipe,
+    so the DuckDB twin reproduces every score bit-for-bit. Eager
+    checkpoints per iteration truncate lineage.
+
+    Returns ``(node, hub_micro, auth_micro)`` for every node.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("node", F.lit(_MICRO).cast("bigint").alias("h"))
+    a = nodes.select("node", F.lit(0).cast("bigint").alias("a"))
+    for _ in range(iters):
+        a_raw = (
+            e.join(
+                h.select(F.col("node").alias("src"), "h"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        amax = a_raw.agg(F.max("raw").alias("mx"))
+        a = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.coalesce(
+                    F.round(
+                        F.col("raw") * F.lit(1e6) / F.col("mx"), 0
+                    ).cast("bigint"),
+                    F.lit(0),
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(
+                a.select(F.col("node").alias("dst"), "a"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hmax = h_raw.agg(F.max("raw").alias("mx"))
+        h = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.coalesce(
+                    F.round(
+                        F.col("raw") * F.lit(1e6) / F.col("mx"), 0
+                    ).cast("bigint"),
+                    F.lit(0),
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        h.join(a, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_micro"),
+            F.col("a").alias("auth_micro"),
+        )
+    )
+
+
+def hits_sql(
+    edges_subquery: str, src_col: str, dst_col: str, iters: int = 6
+) -> str:
+    """DuckDB twin of :func:`hits` — unrolled MATERIALIZED CTEs per
+    half-iteration (the q111/pagerank lesson), identical
+    multiply/divide/round expression text."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT {src_col} AS src, {dst_col} AS dst"
+        f" FROM ({edges_subquery}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e"
+        " UNION SELECT dst FROM e)",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({_MICRO} AS BIGINT) AS h"
+        " FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""araw{t} AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS raw
+        FROM e JOIN h{t - 1} p ON e.src = p.node GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+        SELECT n.node,
+               coalesce(CAST(round(r.raw * 1000000.0
+                                   / (SELECT max(raw) FROM araw{t}), 0)
+                             AS BIGINT), 0) AS a
+        FROM nodes n LEFT JOIN araw{t} r ON n.node = r.node
+    )"""
+        )
+        ctes.append(
+            f"""hraw{t} AS MATERIALIZED (
+        SELECT e.src AS node, CAST(sum(p.a) AS BIGINT) AS raw
+        FROM e JOIN a{t} p ON e.dst = p.node GROUP BY e.src
+    )"""
+        )
+        ctes.append(
+            f"""h{t} AS MATERIALIZED (
+        SELECT n.node,
+               coalesce(CAST(round(r.raw * 1000000.0
+                                   / (SELECT max(raw) FROM hraw{t}), 0)
+                             AS BIGINT), 0) AS h
+        FROM nodes n LEFT JOIN hraw{t} r ON n.node = r.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT h.node, h.h AS hub_micro, a.a AS auth_micro
+    FROM h{iters} h JOIN a{iters} a ON h.node = a.node"""
+    )

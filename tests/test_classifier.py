@@ -762,3 +762,74 @@ def test_bradley_terry_laws(spark):
     assert "champ" not in out
     assert out["a"]["n_games"] == 4  # champ duels removed from counts
     assert out["a"]["bt_score"] == out["b"]["bt_score"]
+
+
+def test_mcnemar_laws(spark):
+    """Symmetry (swapping A and B swaps b/c, same statistic), perfect
+    agreement -> NULL statistic, and the continuity-corrected value on
+    a hand-computed frame."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.classifier import mcnemar_test
+
+    # truth, a, b: 4 discordant-A-right, 1 discordant-B-right, 3 ties
+    rows = (
+        [(1, 1, 0)] * 4 + [(1, 0, 1)] * 1 + [(1, 1, 1)] * 2 + [(0, 0, 0)]
+    )
+    df = spark.createDataFrame(rows, "t int, a int, b int")
+    r = mcnemar_test(
+        df, F.col("t"), F.col("a"), F.col("b")
+    ).collect()[0]
+    assert (r["b_discordant"], r["c_discordant"]) == (4, 1)
+    assert r["mcnemar_chi2"] == round((abs(4 - 1) - 1) ** 2 / 5, 6)
+    swapped = mcnemar_test(
+        df, F.col("t"), F.col("b"), F.col("a")
+    ).collect()[0]
+    assert (swapped["b_discordant"], swapped["c_discordant"]) == (1, 4)
+    assert swapped["mcnemar_chi2"] == r["mcnemar_chi2"]
+    # perfect agreement: no discordance, NULL statistic
+    same = mcnemar_test(
+        df, F.col("t"), F.col("a"), F.col("a")
+    ).collect()[0]
+    assert same["mcnemar_chi2"] is None
+    assert same["b_discordant"] == same["c_discordant"] == 0
+
+
+def test_split_conformal_coverage_guarantee(spark):
+    """On sf-dir lineitem the test-split coverage must sit at or above
+    ~(1 - alpha) (finite-sample guarantee, small tolerance for the
+    test-split draw), the half-width must be monotone DECREASING in
+    alpha, and the Spark result must equal the DuckDB twin exactly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark import read_parquet_df
+    from pytrousse_spark.operators.classifier import (
+        split_conformal,
+        split_conformal_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    li = read_parquet_df(spark, f"{SF_DIR}/lineitem.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    ident = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    got = {}
+    for alpha in (0.1, 0.3):
+        r = split_conformal(
+            li, ident, "l_quantity", "l_extendedprice", alpha=alpha
+        ).collect()[0]
+        w = con.execute(
+            split_conformal_sql(
+                "lineitem", "l_orderkey * 8 + l_linenumber",
+                "l_quantity", "l_extendedprice", alpha=alpha,
+            )
+        ).fetchall()[0]
+        assert tuple(r) == tuple(w)
+        assert r["coverage"] >= (1 - alpha) - 0.03
+        got[alpha] = r["q_half_width_cents"]
+    assert got[0.3] < got[0.1]

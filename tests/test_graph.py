@@ -227,3 +227,42 @@ def test_adamic_adar_laws(spark):
     # cap below the path's apex degree (2) -> no predictions at all
     none = adamic_adar(path, "s", "d", top_k=10, max_apex_degree=1)
     assert none.count() == 0
+
+
+def test_hits_laws_and_oracle_parity(spark):
+    """HITS on a planted hub/authority structure: the authority every
+    hub points at maxes out; symmetric hubs tie exactly; the DuckDB
+    unrolled twin reproduces every micro-unit score bit-for-bit."""
+    import duckdb
+
+    from pytrousse_spark.operators.graph import hits, hits_sql
+
+    rows = [
+        ("u1", "v1"), ("u1", "v2"), ("u2", "v1"), ("u2", "v2"),
+        ("u3", "v2"), ("u3", "v3"),
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits(e, "src", "dst", iters=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges AS SELECT * FROM (VALUES "
+        + ",".join(f"('{a}','{b}')" for a, b in rows)
+        + ") t(src, dst)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            hits_sql("SELECT src, dst FROM edges", "src", "dst", iters=4)
+        ).fetchall()
+    }
+    assert got == want
+    # v2 is pointed at by every hub -> max authority; u1/u2 symmetric
+    assert got["v2"][1] == 1_000_000
+    assert got["u1"] == got["u2"]
+    assert got["u1"][0] == 1_000_000
+    # pure sources have 0 authority; pure sinks have 0 hub
+    assert all(got[u][1] == 0 for u in ("u1", "u2", "u3"))
+    assert all(got[v][0] == 0 for v in ("v1", "v2", "v3"))
