@@ -8701,6 +8701,47 @@ def _sql_q289() -> str:
     )
 
 
+def q290_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAM7-INTERLACED PNG codec round trip (r8 VERDICT item 8's
+    second half): each document id becomes a genuine interlace-
+    method-1 grayscale PNG — seven progressive passes, each an
+    independent sub-image with its own filter bytes and prior line —
+    decoded by scattering every pass back to (x0 + k·dx, y0 + r·dy).
+    The oracle checks BOTH the plain pixel sum AND a position-WEIGHTED
+    checksum sum(P·(y·w + x + 1)): a scatter bug that merely permutes
+    pixels passes the former and fails the latter
+    (operators/multimodal.py: encode_png_gray_adam7 /
+    _deinterlace_adam7 / decode_png_meta_weighted)."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta_weighted,
+        synthesize_png_adam7_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
+    media = synthesize_png_adam7_column(d, "doc_id", width=24, height=16)
+    return decode_png_meta_weighted(media, "media", "doc_id")
+
+
+def _sql_q290() -> str:
+    return """
+    SELECT doc_id,
+           CAST(24 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(0 AS INT) AS color_type,
+           CAST((SELECT SUM((doc_id * 7 + 3 * x.i + 5 * y.j) % 256)
+                 FROM generate_series(0, 23) AS x(i),
+                      generate_series(0, 15) AS y(j)) AS BIGINT)
+               AS pixel_sum,
+           CAST((SELECT SUM(((doc_id * 7 + 3 * x.i + 5 * y.j) % 256)
+                            * (y.j * 24 + x.i + 1))
+                 FROM generate_series(0, 23) AS x(i),
+                      generate_series(0, 15) AS y(j)) AS BIGINT)
+               AS pos_weighted_sum
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150)
+    """
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -8849,6 +8890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q287_hits": q287_hits,
         "q288_mcnemar": q288_mcnemar,
         "q289_conformal": q289_conformal,
+        "q290_png_adam7_roundtrip": q290_png_adam7_roundtrip,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9559,6 +9601,7 @@ def oracle_sql() -> dict[str, str]:
         "q287_hits": _sql_q287(),
         "q288_mcnemar": _sql_q288(),
         "q289_conformal": _sql_q289(),
+        "q290_png_adam7_roundtrip": _sql_q290(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -291,6 +291,85 @@ def _filter_scanlines(
     return raw
 
 
+def _unfilter_line(
+    f: int, line: bytes, prior: bytes, bpp: int
+) -> bytearray:
+    """Reverse one PNG scanline filter (shared by the sequential and
+    Adam7 decode paths; `prior` is the reconstructed line above within
+    the SAME interlace pass, or zeros for a pass's first line)."""
+    stride = len(line)
+    cur = bytearray(stride)
+    for i in range(stride):
+        x = line[i]
+        a = cur[i - bpp] if i >= bpp else 0
+        bb = prior[i]
+        c = prior[i - bpp] if i >= bpp else 0
+        if f == 0:
+            v = x
+        elif f == 1:
+            v = x + a
+        elif f == 2:
+            v = x + bb
+        elif f == 3:
+            v = x + ((a + bb) >> 1)
+        elif f == 4:
+            p = a + bb - c
+            pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+            v = x + pred
+        else:
+            raise ValueError(f"unknown filter {f}")
+        cur[i] = v & 0xFF
+    return cur
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, dx, dy, pass_width, pass_height) per NON-EMPTY pass."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int, bpp: int) -> list[int]:
+    """Reconstruct the full byte grid from Adam7-interlaced filtered
+    data: each non-empty pass is an independent sub-image (its own
+    filter bytes and `prior` line), whose pixels scatter back to
+    (x0 + k*dx, y0 + r*dy). Returns the flat byte list in full-image
+    scanline order, exactly as the sequential path produces."""
+    grid = bytearray(w * h * bpp)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+        sub_stride = pw * bpp
+        prior = bytes(sub_stride)
+        for r in range(ph):
+            if pos + 1 + sub_stride > len(raw):
+                raise ValueError("IDAT length mismatch")
+            f = raw[pos]
+            line = raw[pos + 1 : pos + 1 + sub_stride]
+            pos += 1 + sub_stride
+            cur = _unfilter_line(f, line, prior, bpp)
+            y = y0 + r * dy
+            for k in range(pw):
+                x = x0 + k * dx
+                base = (y * w + x) * bpp
+                grid[base : base + bpp] = cur[k * bpp : (k + 1) * bpp]
+            prior = bytes(cur)
+    if pos != len(raw):
+        raise ValueError("IDAT length mismatch")
+    return list(grid)
+
+
 def _encode_png(
     rows_bytes: list[bytes],
     w: int,
@@ -299,12 +378,28 @@ def _encode_png(
     bpp: int,
     palette: list[tuple[int, int, int]] | None = None,
     bit_depth: int = 8,
+    interlace: int = 0,
 ) -> bytes:
     import struct as st
     import zlib
 
-    raw = _filter_scanlines(rows_bytes, w * bpp, bpp)
-    ihdr = st.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    if interlace == 1:
+        raw = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            sub_rows = [
+                bytes(
+                    b
+                    for k in range(pw)
+                    for b in rows_bytes[y0 + r * dy][
+                        (x0 + k * dx) * bpp : (x0 + k * dx + 1) * bpp
+                    ]
+                )
+                for r in range(ph)
+            ]
+            raw += _filter_scanlines(sub_rows, pw * bpp, bpp)
+    else:
+        raw = _filter_scanlines(rows_bytes, w * bpp, bpp)
+    ihdr = st.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
     plte = (
         _png_chunk(
             b"PLTE", bytes(ch for entry in palette for ch in entry)
@@ -328,6 +423,20 @@ def encode_png_gray(rows: list[list[int]]) -> bytes:
     h = len(rows)
     w = len(rows[0]) if h else 0
     return _encode_png([bytes(row) for row in rows], w, h, 0, 1)
+
+
+def encode_png_gray_adam7(rows: list[list[int]]) -> bytes:
+    """A REAL, viewer-openable ADAM7-INTERLACED 8-bit grayscale PNG
+    (interlace method 1): the seven progressive passes are encoded as
+    independent sub-images, each with its own scanline filters (cycling
+    all five types) and its own `prior` line — the layout a progressive
+    renderer streams. The decoder scatters each pass back to
+    (x0 + k·dx, y0 + r·dy); a placement bug is invisible to a plain
+    pixel SUM, which is why the q290 gate checks a position-WEIGHTED
+    checksum too."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    return _encode_png([bytes(row) for row in rows], w, h, 0, 1, interlace=1)
 
 
 def encode_png_gray16(rows: list[list[int]]) -> bytes:
@@ -440,7 +549,8 @@ def decode_png(b: bytes) -> dict:
             "color_type": color_type, "pixels": None}
     # supported (color_type, depth) grid: the full 8-bit family plus
     # 16-bit GRAYSCALE (r8 VERDICT item 8 — filter neighbors one
-    # 2-byte sample left; 16-bit color/Adam7 stay honestly unsupported)
+    # 2-byte sample left; 16-bit color stays honestly unsupported).
+    # Both interlace methods decode (Adam7 via _deinterlace_adam7).
     if (color_type, bit_depth) not in (
         (0, 8), (2, 8), (3, 8), (6, 8), (0, 16),
     ):
@@ -450,37 +560,21 @@ def decode_png(b: bytes) -> dict:
     bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color_type] * (bit_depth // 8)
     stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length mismatch")
-    pixels: list[int] = []
-    prior = bytes(stride)
-    for r in range(h):
-        f = raw[r * (stride + 1)]
-        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
-        cur = bytearray(stride)
-        for i in range(stride):
-            x = line[i]
-            a = cur[i - bpp] if i >= bpp else 0
-            bb = prior[i]
-            c = prior[i - bpp] if i >= bpp else 0
-            if f == 0:
-                v = x
-            elif f == 1:
-                v = x + a
-            elif f == 2:
-                v = x + bb
-            elif f == 3:
-                v = x + ((a + bb) >> 1)
-            elif f == 4:
-                p = a + bb - c
-                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                v = x + pred
-            else:
-                raise ValueError(f"unknown filter {f}")
-            cur[i] = v & 0xFF
-        pixels.extend(cur)
-        prior = bytes(cur)
+    if _inter == 1:
+        pixels = _deinterlace_adam7(raw, w, h, bpp)
+    elif _inter == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT length mismatch")
+        pixels = []
+        prior = bytes(stride)
+        for r in range(h):
+            f = raw[r * (stride + 1)]
+            line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+            cur = _unfilter_line(f, line, prior, bpp)
+            pixels.extend(cur)
+            prior = bytes(cur)
+    else:
+        raise ValueError(f"unknown interlace method {_inter}")
     if color_type == 3:
         n_entries = len(plte) // 3
         mapped: list[int] = []
@@ -674,3 +768,62 @@ def decode_png_meta(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(parse, schema=out_schema)
+
+
+def decode_png_meta_weighted(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`decode_png_meta` plus a POSITION-WEIGHTED checksum
+    ``sum(pixel_i * (i + 1))`` over the flat channel list — the
+    placement-sensitive invariant the Adam7 gate needs (a scatter bug
+    that permutes pixels preserves the plain sum but not this one)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + [f for f in PNG_META_SCHEMA.fields[1:]]
+        + [T.StructField("pos_weighted_sum", T.LongType())]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in (id_col, "width", "height", "bit_depth",
+                                   "color_type", "pixel_sum",
+                                   "pos_weighted_sum")}
+            for did, blob in zip(batch[id_col], batch[media_col]):
+                m = decode_png(bytes(blob))
+                out[id_col].append(did)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["bit_depth"].append(m["bit_depth"])
+                out["color_type"].append(m["color_type"])
+                px = m["pixels"]
+                out["pixel_sum"].append(sum(px) if px is not None else None)
+                out["pos_weighted_sum"].append(
+                    sum(v * (i + 1) for i, v in enumerate(px))
+                    if px is not None
+                    else None
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(parse, schema=out_schema)
+
+
+def synthesize_png_adam7_column(
+    df: DataFrame, id_col: str = "doc_id", width: int = 24, height: int = 16
+) -> DataFrame:
+    """(id, media) with a REAL Adam7-interlaced grayscale PNG per row;
+    pixel(x, y) = (id*7 + 3x + 5y) mod 256 (the q95 formula — same
+    closed forms, different wire layout). Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for did in batch[id_col]:
+                i = int(did)
+                rows = [
+                    [(i * 7 + 3 * x + 5 * y) % 256 for x in range(width)]
+                    for y in range(height)
+                ]
+                payloads.append(encode_png_gray_adam7(rows))
+            yield pd.DataFrame({id_col: batch[id_col], "media": payloads})
+
+    return df.select(id_col).mapInPandas(gen, schema=f"{id_col} long, media binary")

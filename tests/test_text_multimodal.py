@@ -897,3 +897,36 @@ def test_png_gray16_roundtrip_exact_samples(spark):
         encode_png_gray16([[65536]])
     with _pt.raises(ValueError, match="0..65535"):
         encode_png_gray16([[-1]])
+
+
+def test_png_adam7_roundtrip_and_placement(spark):
+    """Adam7 interlaced encode -> decode equals the sequential decode
+    exactly over a sweep of dimensions (1x1 up through sizes where
+    some passes are empty), and the position-weighted checksum
+    distinguishes a transposed image whose plain sum is identical —
+    the invariant the q290 gate rides."""
+    import itertools
+
+    from pytrousse_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+        encode_png_gray_adam7,
+    )
+
+    for W, H in itertools.product((1, 2, 3, 5, 8, 13, 24), (1, 2, 5, 8, 16)):
+        rows = [
+            [(917 + 3 * x + 5 * y) % 256 for x in range(W)]
+            for y in range(H)
+        ]
+        seq = decode_png(encode_png_gray(rows))
+        inter = decode_png(encode_png_gray_adam7(rows))
+        assert inter["pixels"] == seq["pixels"], (W, H)
+
+    rows = [[(3 * x + 5 * y) % 256 for x in range(8)] for y in range(8)]
+    t = [[rows[x][y] for x in range(8)] for y in range(8)]
+    a = decode_png(encode_png_gray_adam7(rows))["pixels"]
+    b = decode_png(encode_png_gray_adam7(t))["pixels"]
+    assert sum(a) == sum(b)
+    assert sum(v * (i + 1) for i, v in enumerate(a)) != sum(
+        v * (i + 1) for i, v in enumerate(b)
+    )
