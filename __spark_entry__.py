@@ -8701,6 +8701,125 @@ def _sql_q289() -> str:
     )
 
 
+def q291_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the retrieval
+    trio's rankings — BM25 (q242), Dirichlet QL (q277) and conjunctive
+    tf-idf (q129) — for the same query over documents: the standard
+    production combiner that reads only ranks, never the incomparable
+    raw scores. Per-term reciprocals round to integer nanos so the
+    cross-list fold is exact in both engines
+    (functions/text.rrf_fuse)."""
+    from pytrousse_spark.functions.text import (
+        bm25_search,
+        dirichlet_ql_search,
+        rrf_fuse,
+        search_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    terms = ["merge", "window", "shuffle"]
+    return rrf_fuse(
+        [
+            bm25_search(d, "text", "doc_id", terms, k=25),
+            dirichlet_ql_search(d, "text", "doc_id", terms, mu=2000.0, k=25),
+            search_docs(d, "text", "doc_id", terms, k=25),
+        ],
+        "doc_id",
+        k_const=60,
+        top_k=20,
+    )
+
+
+def _sql_q291() -> str:
+    from pytrousse_spark.functions.text import (
+        bm25_search_sql,
+        dirichlet_ql_search_sql,
+        rrf_fuse_sql,
+        search_docs_sql,
+    )
+
+    terms = ["merge", "window", "shuffle"]
+    return rrf_fuse_sql(
+        [
+            bm25_search_sql("documents", "text", "doc_id", terms, k=25),
+            dirichlet_ql_search_sql(
+                "documents", "text", "doc_id", terms, mu=2000.0, k=25
+            ),
+            search_docs_sql("documents", "text", "doc_id", terms, k=25),
+        ],
+        "doc_id",
+        k_const=60,
+        top_k=20,
+    )
+
+
+def q292_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over a three-'annotator' language
+    labeling of the documents corpus — the labeled lang column, the
+    stopword lang-id heuristic (q98's classifier), and a crude
+    marker-word rule — the inter-annotator reliability statistic that
+    handles any rater count and missing ratings, beside Cohen's kappa
+    (q272) which cannot. Long-format ratings union, unit-keyed
+    coincidence self-join bounded by raters^2, exact micro-unit folds
+    (operators/classifier.krippendorff_alpha)."""
+    from pytrousse_spark.operators.classifier import krippendorff_alpha
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    crude = (
+        F.when(
+            F.instr(
+                F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")),
+                " the ",
+            )
+            > 0,
+            F.lit("en"),
+        )
+        .when(
+            F.instr(
+                F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")),
+                " und ",
+            )
+            > 0,
+            F.lit("de"),
+        )
+        .otherwise(F.lit("other"))
+    )
+    ratings = (
+        d.select(F.col("doc_id").alias("u"), F.col("lang").alias("v"))
+        .unionByName(
+            d.select(
+                F.col("doc_id").alias("u"),
+                tx.lang_id(F.col("text")).alias("v"),
+            )
+        )
+        .unionByName(d.select(F.col("doc_id").alias("u"), crude.alias("v")))
+    )
+    return krippendorff_alpha(ratings, "u", "v")
+
+
+def _sql_q292() -> str:
+    from pytrousse_spark.functions.text import lang_id_sql
+    from pytrousse_spark.operators.classifier import krippendorff_alpha_sql
+
+    crude = (
+        "CASE WHEN position(' the ' IN ' ' || lower(text) || ' ') > 0"
+        " THEN 'en'"
+        " WHEN position(' und ' IN ' ' || lower(text) || ' ') > 0"
+        " THEN 'de' ELSE 'other' END"
+    )
+    sub = (
+        "SELECT doc_id AS u, lang AS v FROM documents"
+        " WHERE text IS NOT NULL"
+        " UNION ALL "
+        f"SELECT doc_id AS u, ({lang_id_sql('text')}) AS v FROM documents"
+        " WHERE text IS NOT NULL"
+        " UNION ALL "
+        f"SELECT doc_id AS u, {crude} AS v FROM documents"
+        " WHERE text IS NOT NULL"
+    )
+    return krippendorff_alpha_sql(sub, "u", "v")
+
+
 def q290_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADAM7-INTERLACED PNG codec round trip (r8 VERDICT item 8's
     second half): each document id becomes a genuine interlace-
@@ -8891,6 +9010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q288_mcnemar": q288_mcnemar,
         "q289_conformal": q289_conformal,
         "q290_png_adam7_roundtrip": q290_png_adam7_roundtrip,
+        "q291_rrf_fusion": q291_rrf_fusion,
+        "q292_krippendorff_alpha": q292_krippendorff_alpha,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9602,6 +9723,8 @@ def oracle_sql() -> dict[str, str]:
         "q288_mcnemar": _sql_q288(),
         "q289_conformal": _sql_q289(),
         "q290_png_adam7_roundtrip": _sql_q290(),
+        "q291_rrf_fusion": _sql_q291(),
+        "q292_krippendorff_alpha": _sql_q292(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -1847,3 +1847,98 @@ def smoothed_sampling_weights_sql(
     ORDER BY weight DESC, key
     LIMIT {k}
     """
+
+
+def rrf_fuse(
+    frames: list,
+    id_col: str,
+    k_const: int = 60,
+    top_k: int = 20,
+):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked lists — the standard production combiner over heterogeneous
+    retrievers (here: the BM25 / Dirichlet-QL / tf-idf trio), robust
+    because it reads only RANKS, never the incomparable raw scores:
+
+        rrf(d) = sum_r 1 / (k + rank_r(d))      (k = 60 canonical)
+
+    Each input frame is ``(id, score)``; rank = row_number by
+    (score desc, id). Per-term reciprocals are rounded to integer
+    NANO-units (one IEEE division + round each) so the cross-list sum
+    is an exact integer fold — bit-identical in both engines
+    regardless of accumulation order. Documents absent from a list
+    contribute nothing for it (the RRF convention).
+
+    Scale: every input is already a top-k frame (tiny); ranking is a
+    window over <= top_k rows per list, the fuse one hash agg.
+    Returns ``(id, rrf_nano, n_lists)`` — top_k rows by
+    (rrf desc, id).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not frames:
+        raise ValueError("rrf_fuse: need at least one ranked frame")
+    tagged = None
+    for i, fr in enumerate(frames):
+        t = fr.select(
+            F.col(id_col).alias("__id"),
+            F.col("score").alias("__s"),
+            F.lit(i).alias("__src"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    w = Window.partitionBy("__src").orderBy(
+        F.col("__s").desc(), F.col("__id")
+    )
+    ranked = tagged.select(
+        "__id", F.row_number().over(w).alias("__r")
+    )
+    return (
+        ranked.groupBy("__id")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1e9) / (F.lit(float(k_const)) + F.col("__r")), 0
+                ).cast("bigint")
+            ).alias("rrf_nano"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_nano").desc(), F.col("__id"))
+        .limit(top_k)
+        .select(F.col("__id").alias(id_col), "rrf_nano", "n_lists")
+    )
+
+
+def rrf_fuse_sql(
+    subqueries: list[str],
+    id_col: str,
+    k_const: int = 60,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`: each subquery must yield
+    ``(id, score)``; identical rank/reciprocal/fold expression text."""
+    if not subqueries:
+        raise ValueError("rrf_fuse_sql: need at least one ranked subquery")
+    parts = [
+        f"SELECT {id_col} AS __id, score AS __s, {i} AS __src FROM ({q})"
+        for i, q in enumerate(subqueries)
+    ]
+    union = "\n        UNION ALL\n        ".join(parts)
+    return f"""
+    WITH tagged AS MATERIALIZED (
+        {union}
+    ), ranked AS (
+        SELECT __id,
+               row_number() OVER (PARTITION BY __src
+                                  ORDER BY __s DESC, __id) AS __r
+        FROM tagged
+    )
+    SELECT __id AS {id_col},
+           CAST(sum(CAST(round(1000000000.0 / ({float(k_const)!r} + __r), 0)
+                         AS BIGINT)) AS BIGINT) AS rrf_nano,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM ranked
+    GROUP BY __id
+    ORDER BY rrf_nano DESC, __id
+    LIMIT {top_k}
+    """

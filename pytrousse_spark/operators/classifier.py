@@ -3356,3 +3356,149 @@ def split_conformal_sql(
     FROM scored s CROSS JOIN q
     WHERE s.b >= 8
     """
+
+
+def krippendorff_alpha(
+    ratings: DataFrame, unit_col: str, value_col: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric; Krippendorff 2004) over a
+    LONG ratings frame ``(unit, value)`` — one row per rating — the
+    inter-annotator reliability standard that, unlike Cohen's kappa
+    (q272), handles ANY number of raters, missing ratings, and unit-
+    varying rater counts: the workhorse QA statistic of labeling
+    pipelines. alpha = 1 - D_o/D_e with D_o the observed within-unit
+    disagreement from the coincidence matrix and D_e the chance
+    disagreement from its margins.
+
+    Exactness: per-unit coincidence contributions
+    ``(n_uc*n_uk - [c=k]*n_uc) / (m_u - 1)`` round once to integer
+    MICRO-units (identical expression both engines), so every
+    downstream sum is an exact integer fold; the margin products ride
+    DECIMAL(38)/HUGEINT (they square ~1e10 micro totals), and the one
+    final division happens in double, round 6. Chance disagreement
+    uses the identity sum_{c!=k} n_c n_k = (sum n_c)^2 - sum n_c^2 —
+    no margin self-join, no cartesian.
+
+    Scale: one (unit, value) hash agg, a unit-keyed self-join bounded
+    by (distinct values per unit)^2 <= raters^2, then aggs over the
+    CATEGORY-BOUNDED coincidence matrix. Units with a single rating
+    are excluded (no pairable values — the standard rule).
+
+    Returns one row ``(n_units, n_ratings, n_categories, alpha)``
+    (alpha NULL when D_e = 0: a single category observed).
+    """
+    cnt = (
+        ratings.where(
+            F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(unit_col).alias("__u"),
+            F.col(value_col).cast("string").alias("__v"),
+        )
+        .groupBy("__u", "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    mu = cnt.groupBy("__u").agg(F.sum("__n").alias("__m"))
+    c = cnt.join(mu, "__u").where(F.col("__m") >= 2)
+    a = c.select("__u", F.col("__v").alias("__c"), F.col("__n").alias("__nc"), "__m")
+    b = c.select("__u", F.col("__v").alias("__k"), F.col("__n").alias("__nk"))
+    pair = a.join(b, "__u").select(
+        "__c",
+        "__k",
+        F.round(
+            F.lit(1e6)
+            * (
+                F.col("__nc") * F.col("__nk")
+                - F.when(F.col("__c") == F.col("__k"), F.col("__nc")).otherwise(
+                    F.lit(0)
+                )
+            )
+            / (F.col("__m") - 1),
+            0,
+        )
+        .cast("bigint")
+        .alias("__o"),
+    )
+    coin = pair.groupBy("__c", "__k").agg(F.sum("__o").alias("__o"))
+    margins = coin.groupBy("__c").agg(F.sum("__o").alias("__mc"))
+    stats = margins.agg(
+        F.sum("__mc").alias("__t"),
+        F.sum(
+            F.col("__mc").cast("decimal(38,0)") * F.col("__mc")
+        ).alias("__sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )
+    do = coin.where(F.col("__c") != F.col("__k")).agg(
+        F.coalesce(F.sum("__o"), F.lit(0)).alias("__do")
+    )
+    meta = c.agg(
+        F.countDistinct("__u").cast("bigint").alias("n_units"),
+        F.sum("__n").cast("bigint").alias("n_ratings"),
+    )
+    de = (
+        F.col("__t").cast("decimal(38,0)") * F.col("__t") - F.col("__sq")
+    ).cast("double")
+    num = (
+        (F.col("__t") - F.lit(1_000_000)).cast("decimal(38,0)")
+        * F.col("__do")
+    ).cast("double")
+    return (
+        meta.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(do))
+        .select(
+            "n_units",
+            "n_ratings",
+            "n_categories",
+            F.when(de > 0, F.round(F.lit(1.0) - num / de, 6)).alias("alpha"),
+        )
+    )
+
+
+def krippendorff_alpha_sql(
+    ratings_subquery: str, unit_col: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`krippendorff_alpha` (identical micro
+    rounding, HUGEINT margin products, one final double division)."""
+    return f"""
+    WITH cnt AS MATERIALIZED (
+        SELECT {unit_col} AS u, CAST({value_col} AS VARCHAR) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ({ratings_subquery})
+        WHERE {unit_col} IS NOT NULL AND {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), mu AS (
+        SELECT u, CAST(sum(n) AS BIGINT) AS m FROM cnt GROUP BY u
+    ), c AS MATERIALIZED (
+        SELECT cnt.u, cnt.v, cnt.n, mu.m
+        FROM cnt JOIN mu USING (u) WHERE mu.m >= 2
+    ), coin AS MATERIALIZED (
+        SELECT a.v AS c, b.v AS k,
+               CAST(sum(CAST(round(1000000.0
+                   * (a.n * b.n
+                      - CASE WHEN a.v = b.v THEN a.n ELSE 0 END)
+                   / (a.m - 1), 0) AS BIGINT)) AS BIGINT) AS o
+        FROM c a JOIN c b ON a.u = b.u
+        GROUP BY 1, 2
+    ), margins AS (
+        SELECT c, CAST(sum(o) AS BIGINT) AS mc FROM coin GROUP BY c
+    ), stats AS (
+        SELECT CAST(sum(mc) AS BIGINT) AS t,
+               sum(CAST(mc AS HUGEINT) * mc) AS sq,
+               CAST(count(*) AS BIGINT) AS n_categories
+        FROM margins
+    ), dis AS (
+        SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS do_
+        FROM coin WHERE c <> k
+    ), meta AS (
+        SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+               CAST(sum(n) AS BIGINT) AS n_ratings
+        FROM c
+    )
+    SELECT m.n_units, m.n_ratings, s.n_categories,
+           CASE WHEN CAST(CAST(s.t AS HUGEINT) * s.t - s.sq AS DOUBLE) > 0
+                THEN round(1.0
+                     - CAST(CAST(s.t - 1000000 AS HUGEINT) * d.do_ AS DOUBLE)
+                       / CAST(CAST(s.t AS HUGEINT) * s.t - s.sq AS DOUBLE), 6)
+           END AS alpha
+    FROM meta m CROSS JOIN stats s CROSS JOIN dis d
+    """

@@ -833,3 +833,67 @@ def test_split_conformal_coverage_guarantee(spark):
         assert r["coverage"] >= (1 - alpha) - 0.03
         got[alpha] = r["q_half_width_cents"]
     assert got[0.3] < got[0.1]
+
+
+def test_krippendorff_alpha_textbook_and_laws(spark):
+    """Pinned against an independent exact-Fraction computation of the
+    textbook nominal formula on Krippendorff's 4-coder missing-data
+    example; perfect agreement -> alpha exactly 1; single-rating units
+    excluded; Spark == DuckDB twin exactly."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from pytrousse_spark.operators.classifier import (
+        krippendorff_alpha,
+        krippendorff_alpha_sql,
+    )
+
+    data = {
+        1: [1, 1, 1], 2: [2, 2, 2, 2], 3: [3, 3, 3, 3], 4: [3, 3, 3, 3],
+        5: [2, 2, 2, 2], 6: [1, 2, 3, 4], 7: [4, 4, 4, 4],
+        8: [1, 1, 2, 1], 9: [2, 2, 2, 2], 10: [5, 5, 5], 11: [1, 1],
+        12: [3],  # single rating -> excluded
+    }
+    rows = [(u, v) for u, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "u int, v int")
+    r = krippendorff_alpha(df, "u", "v").collect()[0]
+
+    # independent exact computation (pairable units only)
+    from collections import Counter
+
+    pair_units = {u: vs for u, vs in data.items() if len(vs) >= 2}
+    cats = sorted({v for vs in pair_units.values() for v in vs})
+    o = {(c, k): Fraction(0) for c in cats for k in cats}
+    for vs in pair_units.values():
+        m, n = len(vs), Counter(vs)
+        for c in cats:
+            for k in cats:
+                o[(c, k)] += Fraction(
+                    n[c] * n[k] - (n[c] if c == k else 0), m - 1
+                )
+    n_tot = sum(o.values())
+    marg = {c: sum(o[(c, k)] for k in cats) for c in cats}
+    do = sum(v for (c, k), v in o.items() if c != k)
+    de = sum(
+        marg[c] * marg[k] for c in cats for k in cats if c != k
+    ) / (n_tot - 1)
+    want = float(1 - do / de)
+    assert abs(r["alpha"] - round(want, 6)) <= 2e-6
+    assert r["n_units"] == 11 and r["n_ratings"] == 40
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ratings AS SELECT * FROM (VALUES "
+        + ",".join(f"({u},{v})" for u, v in rows)
+        + ") t(u, v)"
+    )
+    w = con.execute(
+        krippendorff_alpha_sql("SELECT u, v FROM ratings", "u", "v")
+    ).fetchall()[0]
+    assert tuple(r) == tuple(w)
+
+    perf = spark.createDataFrame(
+        [(u, 1 + u % 3) for u in range(30) for _ in range(3)], "u int, v int"
+    )
+    assert krippendorff_alpha(perf, "u", "v").collect()[0]["alpha"] == 1.0

@@ -930,3 +930,43 @@ def test_png_adam7_roundtrip_and_placement(spark):
     assert sum(v * (i + 1) for i, v in enumerate(a)) != sum(
         v * (i + 1) for i, v in enumerate(b)
     )
+
+
+def test_rrf_fusion_laws(spark):
+    """A document ranked first in every list maxes the fused score; a
+    document in only one list scores below one in two; exact integer
+    nano folds make the Spark and DuckDB results identical."""
+    import duckdb
+
+    from pytrousse_spark.functions.text import rrf_fuse, rrf_fuse_sql
+
+    l1 = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id int, score double"
+    )
+    l2 = spark.createDataFrame(
+        [(1, 3.0), (3, 2.0), (4, 1.0)], "doc_id int, score double"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_nano"], r["n_lists"])
+        for r in rrf_fuse([l1, l2], "doc_id", k_const=60, top_k=10).collect()
+    }
+    # doc 1 is rank 1 in both lists
+    assert got[1][0] == 2 * round(1e9 / 61) and got[1][1] == 2
+    # doc 3 (ranks 3 and 2) beats doc 2 and doc 4 (one list each)
+    assert got[3][0] > got[2][0] and got[3][0] > got[4][0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l1(doc_id INT, score DOUBLE)")
+    con.execute("INSERT INTO l1 VALUES (1, 9.0), (2, 5.0), (3, 1.0)")
+    con.execute("CREATE TABLE l2(doc_id INT, score DOUBLE)")
+    con.execute("INSERT INTO l2 VALUES (1, 3.0), (3, 2.0), (4, 1.0)")
+    w = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            rrf_fuse_sql(
+                ["SELECT doc_id, score FROM l1",
+                 "SELECT doc_id, score FROM l2"],
+                "doc_id", k_const=60, top_k=10,
+            )
+        ).fetchall()
+    }
+    assert got == w
