@@ -658,6 +658,22 @@ def main() -> None:
         waited += 10
     load_start = [round(x, 2) for x in os.getloadavg()]
 
+    # page-cache indicator (r9 finding): a run after the cache is
+    # dropped reads every parquet cold from disk and the anchors read
+    # ~2x WITHOUT the pure-CPU probe moving (observed: buff/cache 1 GB
+    # -> anchor 2.48 at probe 0.71 vs warm-cache 1.20 at 0.725). The
+    # cached-bytes figure makes cold-I/O runs self-identifying the way
+    # loadavg identifies busy-CPU runs.
+    cached_gb_start = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Cached:"):
+                    cached_gb_start = round(int(line.split()[1]) / 1048576, 2)
+                    break
+    except OSError:
+        pass
+
     # fixed single-core CPU probe (20M integer adds): host-speed drift
     # between rounds is otherwise invisible in the archived JSON — the
     # r7 finding was a stable 1.15x anchor ratio on an IDLE host with
@@ -844,6 +860,22 @@ def main() -> None:
     # line, so the big per-query map goes FIRST and every summary scalar
     # (total, anchor ratio, sf) goes LAST — a truncated tail still shows
     # the headline numbers.
+    # end-of-run CPU probe (r9 finding): host speed drifts up to ~2x on
+    # ~10-minute scales (same 20M-add loop read 0.71s at one run's
+    # start and 1.38s forty minutes later, %steal visible), so a
+    # single start-probe can certify a run whose tail ran on a slow
+    # host. The pair brackets the run; normalized_mean uses their mean.
+    _t0 = time.perf_counter()
+    _x = 0
+    for _i in range(20_000_000):
+        _x += _i
+    cpu_probe_end = round(time.perf_counter() - _t0, 3)
+    anchor_ratio_norm_mean = None
+    if anchor_ratio is not None and cpu_probe > 0 and cpu_probe_end > 0:
+        anchor_ratio_norm_mean = round(
+            anchor_ratio * (0.756 / ((cpu_probe + cpu_probe_end) / 2.0)), 3
+        )
+
     payload = {
         "queries": timings,
         "headroom_10x": headroom,
@@ -861,7 +893,10 @@ def main() -> None:
         # load fields sit in the TAIL so the driver's truncated
         # recording always keeps them
         "loadavg_start": load_start,
+        "cached_gb_start": cached_gb_start,
         "cpu_probe_sec": cpu_probe,
+        "cpu_probe_end_sec": cpu_probe_end,
+        "anchor_r1_ratio_normalized_mean": anchor_ratio_norm_mean,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cooldown_wait_sec": round(waited, 1),
         "value_production": value_production,
