@@ -226,6 +226,15 @@ _IDLE_BANDS_10X = {
     "q277_dirichlet_ql_search": 7.0,
     "q278_embedding_isotropy": 4.0,
     "q279_propensity_matching": 20.0,
+    # round-9 rows — bands ~2x this round's 10x measures (23.2 / 8.9 /
+    # 6.6 s; 1x refs 10.5-14.9 / 4.6-5.4 / 3.7-4.0 s): all three run
+    # SUB-2x wall at 10x data — HITS because the distinct (customer,
+    # supplier) edge set saturates, conformal because the level frame
+    # is residual-bounded, alpha because the coincidence matrix is
+    # category-bounded
+    "q287_hits": 46.0,
+    "q289_conformal": 18.0,
+    "q292_krippendorff_alpha": 13.0,
 }
 
 
@@ -300,6 +309,11 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q277_dirichlet_ql_search",
         "q278_embedding_isotropy",
         "q279_propensity_matching",
+        # round-9 additions: iterative graph (HITS edge saturation),
+        # the conformal level-selection, and the coincidence-join alpha
+        "q287_hits",
+        "q289_conformal",
+        "q292_krippendorff_alpha",
     ):
         fn = getattr(entrymod, name)
         try:
