@@ -8820,6 +8820,70 @@ def _sql_q292() -> str:
     return krippendorff_alpha_sql(sub, "u", "v")
 
 
+def q293_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987) over hash-split arms of
+    per-user event value — the 'are these the SAME within ±delta'
+    readout a failed difference test cannot give, completing the A/B
+    family beside CUPED (q188), sequential looks (q266) and the rate
+    tests. ONE user-keyed agg + a 2-row Welch moment fold, exact
+    DECIMAL sufficient statistics (operators/cohort.tost_equivalence).
+    delta=400 on this table sits well inside the equivalence region
+    (the two arms ARE the same population split by hash)."""
+    from pytrousse_spark.operators.cohort import tost_equivalence
+
+    ev = _t(spark, sf_dir, "events")
+    return tost_equivalence(ev, "user_id", "value", delta=400.0)
+
+
+def _sql_q293() -> str:
+    from pytrousse_spark.operators.cohort import tost_equivalence_sql
+
+    return tost_equivalence_sql("events", "user_id", "value", delta=400.0)
+
+
+def q294_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (1950) over THREE paired English-detection
+    classifiers on documents — the k-classifier extension of McNemar
+    (q288 is exactly the k=2, continuity-corrected case): stopword
+    lang-id, ' the '-containment, and an ASCII-share rule, all scored
+    against the labeled lang column in ONE conditional-count scan;
+    only rows where the classifiers disagree carry evidence
+    (operators/classifier.cochran_q)."""
+    from pytrousse_spark.operators.classifier import cochran_q
+
+    d = _t(spark, sf_dir, "documents")
+    pad = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    return cochran_q(
+        d,
+        (F.col("lang") == "en"),
+        [
+            (tx.lang_id(F.col("text")) == "en"),
+            (F.instr(pad, " the ") > 0),
+            (
+                F.length(F.regexp_replace(F.col("text"), r"[\x00-\x7F]", ""))
+                * 50
+                < F.length(F.col("text"))
+            ),
+        ],
+    )
+
+
+def _sql_q294() -> str:
+    from pytrousse_spark.functions.text import lang_id_sql
+    from pytrousse_spark.operators.classifier import cochran_q_sql
+
+    return cochran_q_sql(
+        "documents",
+        "(lang = 'en')",
+        [
+            f"(({lang_id_sql('text')}) = 'en')",
+            "(position(' the ' IN ' ' || lower(text) || ' ') > 0)",
+            "(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 50"
+            " < length(text))",
+        ],
+    )
+
+
 def q290_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADAM7-INTERLACED PNG codec round trip (r8 VERDICT item 8's
     second half): each document id becomes a genuine interlace-
@@ -9012,6 +9076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q290_png_adam7_roundtrip": q290_png_adam7_roundtrip,
         "q291_rrf_fusion": q291_rrf_fusion,
         "q292_krippendorff_alpha": q292_krippendorff_alpha,
+        "q293_tost_equivalence": q293_tost_equivalence,
+        "q294_cochran_q": q294_cochran_q,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9725,6 +9791,8 @@ def oracle_sql() -> dict[str, str]:
         "q290_png_adam7_roundtrip": _sql_q290(),
         "q291_rrf_fusion": _sql_q291(),
         "q292_krippendorff_alpha": _sql_q292(),
+        "q293_tost_equivalence": _sql_q293(),
+        "q294_cochran_q": _sql_q294(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

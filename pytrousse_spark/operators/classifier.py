@@ -3502,3 +3502,114 @@ def krippendorff_alpha_sql(
            END AS alpha
     FROM meta m CROSS JOIN stats s CROSS JOIN dis d
     """
+
+
+def cochran_q(
+    df: DataFrame,
+    truth: "F.Column",
+    preds: list,
+) -> DataFrame:
+    """Cochran's Q test (1950) — the k-classifier extension of McNemar
+    (:func:`mcnemar_test` is exactly the k=2 case): do k paired
+    classifiers share one accuracy, or does at least one differ?
+
+        Q = k(k-1) * sum_j (G_j - T/k)^2 / (k*T - sum_i L_i^2)
+
+    with G_j classifier j's correct count, L_i the number of
+    classifiers correct on example i, T = sum G_j = sum L_i;
+    chi-square with k-1 df under H0 (statistic reported, not a
+    p-value — the q288 convention). Rows where every classifier agrees
+    (L_i = 0 or k) contribute nothing — like McNemar, only
+    disagreement carries evidence.
+
+    Exactness: G_j, T and sum L_i^2 are exact integer folds (ONE
+    full-scan agg); the numerator's k * G_j - T differences stay
+    integer; one final double division, round 6.
+
+    Returns one row ``(n, k, correct_counts, q_stat)`` —
+    ``correct_counts`` the per-classifier G_j array (input order),
+    q_stat NULL when the denominator is 0 (total agreement).
+    """
+    k = len(preds)
+    if k < 2:
+        raise ValueError("cochran_q: need at least 2 classifiers")
+    ok = truth.isNotNull()
+    for p in preds:
+        ok = ok & p.isNotNull()
+    cs = [(p == truth).cast("int").alias(f"__c{j}") for j, p in enumerate(preds)]
+    base = df.where(ok).select(*cs)
+    li = sum(F.col(f"__c{j}") for j in range(k))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.col(f"__c{j}")).cast("bigint").alias(f"__g{j}")
+            for j in range(k)
+        ],
+        F.sum(li * li).cast("bigint").alias("__sl2"),
+    )
+    t = sum(F.col(f"__g{j}") for j in range(k))
+    num = sum(
+        (F.lit(k) * F.col(f"__g{j}") - t) * (F.lit(k) * F.col(f"__g{j}") - t)
+        for j in range(k)
+    )
+    den = F.lit(k) * t - F.col("__sl2")
+    return agg.select(
+        "n",
+        F.lit(k).alias("k"),
+        F.array(*[F.col(f"__g{j}") for j in range(k)]).alias(
+            "correct_counts"
+        ),
+        F.when(
+            den > 0,
+            F.round(
+                F.lit(float(k - 1)) * num.cast("double")
+                / (F.lit(float(k)) * den.cast("double")),
+                6,
+            ),
+        ).alias("q_stat"),
+    )
+
+
+def cochran_q_sql(
+    table: str, truth_expr: str, pred_exprs: list[str]
+) -> str:
+    """DuckDB twin of :func:`cochran_q` (identical integer folds and
+    final division; note Q = (k-1) * sum(kG-T)^2 / (k * (kT - sumL^2))
+    — the k(k-1)/... form multiplied out identically)."""
+    k = len(pred_exprs)
+    if k < 2:
+        raise ValueError("cochran_q_sql: need at least 2 classifiers")
+    cs = ", ".join(
+        f"CASE WHEN ({p}) = ({truth_expr}) THEN 1 ELSE 0 END AS c{j}"
+        for j, p in enumerate(pred_exprs)
+    )
+    nn = " AND ".join(
+        [f"({truth_expr}) IS NOT NULL"]
+        + [f"({p}) IS NOT NULL" for p in pred_exprs]
+    )
+    li = " + ".join(f"c{j}" for j in range(k))
+    gs = ", ".join(
+        f"CAST(sum(c{j}) AS BIGINT) AS g{j}" for j in range(k)
+    )
+    t = " + ".join(f"g{j}" for j in range(k))
+    num = " + ".join(
+        f"({k} * g{j} - ({t})) * ({k} * g{j} - ({t}))" for j in range(k)
+    )
+    arr = ", ".join(f"g{j}" for j in range(k))
+    return f"""
+    WITH base AS (
+        SELECT {cs} FROM {table} WHERE {nn}
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, {gs},
+               CAST(sum(({li}) * ({li})) AS BIGINT) AS sl2
+        FROM base
+    )
+    SELECT n, CAST({k} AS INT) AS k,
+           [{arr}] AS correct_counts,
+           CASE WHEN {k} * ({t}) - sl2 > 0
+                THEN round({float(k - 1)!r} * CAST({num} AS DOUBLE)
+                           / ({float(k)!r} * CAST({k} * ({t}) - sl2
+                                                  AS DOUBLE)), 6)
+           END AS q_stat
+    FROM agg
+    """

@@ -5593,3 +5593,160 @@ def theil_index_sql(
     FROM __folds f CROSS JOIN __excluded e
     """
 
+
+
+def tost_equivalence(
+    df: "DataFrame",
+    user_col: str,
+    value_col: str,
+    delta: float,
+    salt: str = "ab",
+) -> "DataFrame":
+    """TOST equivalence test (Schuirmann 1987, two one-sided tests) —
+    the A/B readout for "are these arms the SAME within ±delta", the
+    question a failed difference test cannot answer (absence of
+    evidence is not evidence of absence). Arms come from the portable
+    salted-hash split (the q61/q148 device); the unit is a user's
+    integer-cent value sum.
+
+    Both one-sided statistics test the difference against the margin:
+
+        t_lower = (diff + delta) / se       (H0: diff <= -delta)
+        t_upper = (delta - diff) / se       (H0: diff >= +delta)
+
+    with Welch se = sqrt(v_a/n_a + v_b/n_b) over population variances.
+    Equivalence holds at ~alpha 0.05 when min(t_lower, t_upper) >=
+    1.645 (the normal critical value — statistics are reported, not
+    p-values, the q288 convention; the z approximation is the
+    large-sample TOST, documented).
+
+    Exactness: per-arm sufficient statistics (n, S, SS) are exact
+    DECIMAL(38,0) folds of integer cents; the IEEE chain runs once
+    over those identical integers in both engines, round 6.
+
+    Scale: ONE user-keyed agg (map-side combinable) + ONE 2-row moment
+    agg. Returns one row ``(n_a, n_b, mean_a, mean_b, diff, se,
+    t_lower, t_upper, equivalent)``.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import h60
+
+    arm = (
+        h60(F.concat(F.lit(f"{salt}|"), F.col(user_col).cast("string")))
+        % 2
+    ).alias("__arm")
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    per_user = (
+        df.where(F.col(user_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.sum(cents).alias("__y"))
+        .select(
+            (
+                h60(F.concat(F.lit(f"{salt}|"), F.col("__u").cast("string")))
+                % 2
+            ).alias("__arm"),
+            "__y",
+        )
+    )
+    mom = per_user.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__y").cast("decimal(38,0)").alias("__s"),
+        F.sum(F.col("__y").cast("decimal(38,0)") * F.col("__y")).alias("__ss"),
+    )
+    a = mom.where(F.col("__arm") == 0).select(
+        F.col("__n").alias("n_a"), F.col("__s").alias("__sa"),
+        F.col("__ss").alias("__ssa"),
+    )
+    b = mom.where(F.col("__arm") == 1).select(
+        F.col("__n").alias("n_b"), F.col("__s").alias("__sb"),
+        F.col("__ss").alias("__ssb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("__sa").cast("double") / na / F.lit(100.0)
+    mb = F.col("__sb").cast("double") / nb / F.lit(100.0)
+    va = (
+        F.col("__ssa").cast("double") / na
+        - F.pow(F.col("__sa").cast("double") / na, 2)
+    ) / F.lit(10000.0)
+    vb = (
+        F.col("__ssb").cast("double") / nb
+        - F.pow(F.col("__sb").cast("double") / nb, 2)
+    ) / F.lit(10000.0)
+    diff = mb - ma
+    se = F.sqrt(va / na + vb / nb)
+    t_lo = (diff + F.lit(float(delta))) / se
+    t_up = (F.lit(float(delta)) - diff) / se
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(ma, 6).alias("mean_a"),
+            F.round(mb, 6).alias("mean_b"),
+            F.round(diff, 6).alias("diff"),
+            F.round(se, 6).alias("se"),
+            F.round(t_lo, 6).alias("t_lower"),
+            F.round(t_up, 6).alias("t_upper"),
+            (F.least(t_lo, t_up) >= F.lit(1.645)).alias("equivalent"),
+        )
+    )
+
+
+def tost_equivalence_sql(
+    table: str, user_col: str, value_col: str, delta: float,
+    salt: str = "ab",
+) -> str:
+    """DuckDB twin of :func:`tost_equivalence` (same hash arms, same
+    DECIMAL folds and IEEE chain)."""
+    from ..functions.hashing import h60_sql
+
+    h = h60_sql(f"'{salt}|' || CAST(__u AS VARCHAR)")
+    return f"""
+    WITH per_user AS MATERIALIZED (
+        SELECT {user_col} AS __u,
+               CAST(sum(CAST(round(CAST({value_col} AS DOUBLE) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS __y
+        FROM {table}
+        WHERE {user_col} IS NOT NULL AND {value_col} IS NOT NULL
+        GROUP BY 1
+    ), armed AS (
+        SELECT ({h} % 2) AS __arm, __y FROM per_user
+    ), mom AS (
+        SELECT __arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(__y) AS HUGEINT) AS s,
+               CAST(sum(CAST(__y AS HUGEINT) * __y) AS HUGEINT) AS ss
+        FROM armed GROUP BY 1
+    ), w AS (
+        SELECT
+            (SELECT n FROM mom WHERE __arm = 0) AS n_a,
+            (SELECT n FROM mom WHERE __arm = 1) AS n_b,
+            (SELECT s FROM mom WHERE __arm = 0) AS sa,
+            (SELECT s FROM mom WHERE __arm = 1) AS sb,
+            (SELECT ss FROM mom WHERE __arm = 0) AS ssa,
+            (SELECT ss FROM mom WHERE __arm = 1) AS ssb
+    ), calc AS (
+        SELECT n_a, n_b,
+               CAST(sa AS DOUBLE) / n_a / 100.0 AS ma,
+               CAST(sb AS DOUBLE) / n_b / 100.0 AS mb,
+               (CAST(ssa AS DOUBLE) / n_a
+                - pow(CAST(sa AS DOUBLE) / n_a, 2)) / 10000.0 AS va,
+               (CAST(ssb AS DOUBLE) / n_b
+                - pow(CAST(sb AS DOUBLE) / n_b, 2)) / 10000.0 AS vb
+        FROM w
+    )
+    SELECT n_a, n_b,
+           round(ma, 6) AS mean_a,
+           round(mb, 6) AS mean_b,
+           round(mb - ma, 6) AS diff,
+           round(sqrt(va / n_a + vb / n_b), 6) AS se,
+           round((mb - ma + {float(delta)!r}) / sqrt(va / n_a + vb / n_b), 6)
+               AS t_lower,
+           round(({float(delta)!r} - (mb - ma)) / sqrt(va / n_a + vb / n_b), 6)
+               AS t_upper,
+           least((mb - ma + {float(delta)!r}) / sqrt(va / n_a + vb / n_b),
+                 ({float(delta)!r} - (mb - ma))
+                 / sqrt(va / n_a + vb / n_b)) >= 1.645 AS equivalent
+    FROM calc
+    """

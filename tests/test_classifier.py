@@ -897,3 +897,53 @@ def test_krippendorff_alpha_textbook_and_laws(spark):
         [(u, 1 + u % 3) for u in range(30) for _ in range(3)], "u int, v int"
     )
     assert krippendorff_alpha(perf, "u", "v").collect()[0]["alpha"] == 1.0
+
+
+def test_cochran_q_textbook_and_mcnemar_identity(spark):
+    """Q matches an independent computation of the textbook formula;
+    k=2 reduces exactly to the UNCORRECTED McNemar (b-c)^2/(b+c);
+    total agreement -> NULL; Spark == DuckDB twin."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.classifier import (
+        cochran_q,
+        cochran_q_sql,
+        mcnemar_test,
+    )
+
+    rows = (
+        [(1, 1, 0, 1)] * 6 + [(1, 0, 1, 1)] * 2 + [(1, 1, 1, 0)] * 3
+        + [(1, 1, 1, 1)] * 5 + [(1, 0, 0, 0)] * 4
+    )
+    df = spark.createDataFrame(rows, "t int, a int, b int, c int")
+    preds = [F.col("a"), F.col("b"), F.col("c")]
+    r = cochran_q(df, F.col("t"), preds).collect()[0]
+
+    G = [sum(x[j + 1] == x[0] for x in rows) for j in range(3)]
+    L = [sum(x[j + 1] == x[0] for j in range(3)) for x in rows]
+    T, k = sum(G), 3
+    want = (k - 1) * sum((k * g - T) ** 2 for g in G) / (
+        k * (k * T - sum(v * v for v in L))
+    )
+    assert r["q_stat"] == round(want, 6)
+    assert list(r["correct_counts"]) == G
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ",".join(map(str, rows)) + ") x(t, a, b, c)"
+    )
+    w = con.execute(cochran_q_sql("d", "t", ["a", "b", "c"])).fetchall()[0]
+    assert (r["n"], r["k"], list(r["correct_counts"]), r["q_stat"]) == (
+        w[0], w[1], list(w[2]), w[3],
+    )
+
+    r2 = cochran_q(df, F.col("t"), preds[:2]).collect()[0]
+    m = mcnemar_test(df, F.col("t"), F.col("a"), F.col("b")).collect()[0]
+    b_, c_ = m["b_discordant"], m["c_discordant"]
+    assert r2["q_stat"] == round((b_ - c_) ** 2 / (b_ + c_), 6)
+
+    same = cochran_q(df, F.col("t"), [F.col("a"), F.col("a")]).collect()[0]
+    assert same["q_stat"] is None

@@ -1507,3 +1507,38 @@ def test_propensity_matching_laws(spark):
     r = run(rows, caliper=0.0)
     assert r["n_treat"] == 10 and r["n_matched"] == 5
     assert abs(r["att"] - 10.0) < 1e-6
+
+
+def test_tost_equivalence_laws(spark):
+    """Hash arms of the same population ARE equivalent at a margin well
+    above the noise floor and are NOT at a tiny margin; t statistics
+    are monotone in delta; Spark == DuckDB twin exactly."""
+    import duckdb
+
+    from pytrousse_spark import read_parquet_df
+    from pytrousse_spark.operators.cohort import (
+        tost_equivalence,
+        tost_equivalence_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = read_parquet_df(spark, f"{SF_DIR}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/events.parquet')"
+    )
+    # sf0.001 has only ~15 users, so the noise floor is wide: the
+    # clearly-equivalent margin is ~2000 here (vs ~400 at sf0.01)
+    wide = tost_equivalence(ev, "user_id", "value", delta=2000.0).collect()[0]
+    w = con.execute(
+        tost_equivalence_sql("events", "user_id", "value", delta=2000.0)
+    ).fetchall()[0]
+    assert tuple(wide) == tuple(w)
+    assert wide["equivalent"] is True
+    narrow = tost_equivalence(ev, "user_id", "value", delta=1.0).collect()[0]
+    assert narrow["equivalent"] is False
+    assert narrow["t_lower"] < wide["t_lower"]
+    assert narrow["t_upper"] < wide["t_upper"]
+    # diff and se do not depend on delta
+    assert (narrow["diff"], narrow["se"]) == (wide["diff"], wide["se"])
