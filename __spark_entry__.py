@@ -689,52 +689,65 @@ def q20_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     row = d.agg(*aggs)
 
-    def census(c: str):
-        nulls = F.col(f"{c}__nulls").cast("long")
-        dst = F.col(f"{c}__distinct").cast("long")
-        tot = F.col("__total").cast("long")
-        cnt = tot - nulls
+    # r9 VERDICT item 6 (q20 drift): the old census inlined every
+    # derived expression PER COLUMN into one giant struct array —
+    # `trivial` re-inlined `constant` which re-inlined `uv`, 5x over —
+    # and Catalyst analysis of that tree dominated the wall (~0.9 s of
+    # the 1.4 s gate at sf0.1; the agg itself is 0.6 s). Explode a
+    # MINIMAL per-column struct first, then write each derived
+    # expression ONCE over the 5-row frame.
+    def raw(c: str):
         pr = (
-            F.round(F.col(f"{c}__pr"), 6)
+            F.col(f"{c}__pr")
             if c in string_cols
             else F.lit(None).cast("double")
         )
-        # reference's len(Series.unique()) counts NaN as one extra value
-        # (dropna=False) — dataset.py:526 — so nulls add 1 to the unique
-        # count while the //300 denominator stays the non-null count()
-        uv = dst + (nulls > 0).cast("long")
-        categ = (uv < 7) | (uv < F.floor(cnt / 300).cast("long"))
-        constant = (dst + (nulls > 0).cast("long") == 1) | (tot == 0)
-        trivial = (nulls.cast("double") > 0.999 * tot.cast("double")) | constant
-        if c in numeric_cols:
-            klass = F.lit("numerical")
-        elif c in string_cols:
-            klass = (
-                F.when((F.col(f"{c}__pr") == 1.0) & (cnt > 0), "numerical")
-                .when(
-                    (F.col(f"{c}__pr") > 0.0) & (F.col(f"{c}__pr") < 1.0),
-                    "mixed",
-                )
-                .otherwise("string")
-            )
-        else:
-            klass = F.lit("other")
+        klass0 = (
+            "numerical"
+            if c in numeric_cols
+            else ("string" if c in string_cols else "other")
+        )
         return F.struct(
             F.lit(c).alias("col_name"),
-            nulls.alias("n_nulls"),
-            dst.alias("n_distinct"),
-            F.round(nulls.cast("double") / tot.cast("double"), 6).alias(
-                "null_ratio"
-            ),
-            pr.alias("parse_ratio"),
-            categ.alias("is_categorical"),
-            constant.alias("is_constant"),
-            trivial.alias("is_trivial"),
-            klass.alias("col_class"),
+            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            pr.alias("__pr"),
+            F.lit(klass0).alias("__k0"),
         )
 
-    structs = F.array(*[census(c) for c in d.columns])
-    return row.select(F.explode(structs).alias("s")).select("s.*")
+    per = row.select(
+        F.explode(F.array(*[raw(c) for c in d.columns])).alias("s"),
+        F.col("__total").cast("long").alias("__tot"),
+    ).select("s.*", "__tot")
+    nulls, dst, tot = F.col("n_nulls"), F.col("n_distinct"), F.col("__tot")
+    cnt = tot - nulls
+    pr = F.col("__pr")
+    # reference's len(Series.unique()) counts NaN as one extra value
+    # (dropna=False) — dataset.py:526 — so nulls add 1 to the unique
+    # count while the //300 denominator stays the non-null count()
+    uv = dst + (nulls > 0).cast("long")
+    constant = (uv == 1) | (tot == 0)
+    return per.select(
+        "col_name",
+        "n_nulls",
+        "n_distinct",
+        F.round(nulls.cast("double") / tot.cast("double"), 6).alias(
+            "null_ratio"
+        ),
+        F.round(pr, 6).alias("parse_ratio"),
+        ((uv < 7) | (uv < F.floor(cnt / 300).cast("long"))).alias(
+            "is_categorical"
+        ),
+        constant.alias("is_constant"),
+        (
+            (nulls.cast("double") > 0.999 * tot.cast("double")) | constant
+        ).alias("is_trivial"),
+        F.when(F.col("__k0") != "string", F.col("__k0"))
+        .when((pr == 1.0) & (cnt > 0), "numerical")
+        .when((pr > 0.0) & (pr < 1.0), "mixed")
+        .otherwise("string")
+        .alias("col_class"),
+    )
 
 
 def _sql_q20() -> str:

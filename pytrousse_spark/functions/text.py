@@ -1581,8 +1581,6 @@ def phrase_search(df, text_col: str, id_col: str, phrase: list[str], k: int = 20
     _require_terms(phrase, "phrase_search")
     from pyspark.sql import functions as F
 
-    if not phrase:
-        raise ValueError("phrase must be non-empty")
     base = df.select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
     )

@@ -3223,8 +3223,6 @@ def split_conformal(
     Returns one row ``(n_train, n_cal, n_test, q_half_width_cents,
     coverage)``.
     """
-    from .sampling import _bucket
-
     cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
     base = (
         df.where(
@@ -3526,8 +3524,9 @@ def cochran_q(
     full-scan agg); the numerator's k * G_j - T differences stay
     integer; one final double division, round 6.
 
-    Returns one row ``(n, k, correct_counts, q_stat)`` —
-    ``correct_counts`` the per-classifier G_j array (input order),
+    Returns one row ``(n, k, g0..g{k-1}, q_stat)`` — ``gj`` classifier
+    j's correct count G_j (input order; flat scalar columns, never an
+    array — gate outputs must stay sortable by a plain pandas canon),
     q_stat NULL when the denominator is 0 (total agreement).
     """
     k = len(preds)
@@ -3556,9 +3555,7 @@ def cochran_q(
     return agg.select(
         "n",
         F.lit(k).alias("k"),
-        F.array(*[F.col(f"__g{j}") for j in range(k)]).alias(
-            "correct_counts"
-        ),
+        *[F.col(f"__g{j}").alias(f"g{j}") for j in range(k)],
         F.when(
             den > 0,
             F.round(
@@ -3595,7 +3592,7 @@ def cochran_q_sql(
     num = " + ".join(
         f"({k} * g{j} - ({t})) * ({k} * g{j} - ({t}))" for j in range(k)
     )
-    arr = ", ".join(f"g{j}" for j in range(k))
+    gsel = ", ".join(f"g{j}" for j in range(k))
     return f"""
     WITH base AS (
         SELECT {cs} FROM {table} WHERE {nn}
@@ -3604,8 +3601,7 @@ def cochran_q_sql(
                CAST(sum(({li}) * ({li})) AS BIGINT) AS sl2
         FROM base
     )
-    SELECT n, CAST({k} AS INT) AS k,
-           [{arr}] AS correct_counts,
+    SELECT n, CAST({k} AS INT) AS k, {gsel},
            CASE WHEN {k} * ({t}) - sl2 > 0
                 THEN round({float(k - 1)!r} * CAST({num} AS DOUBLE)
                            / ({float(k)!r} * CAST({k} * ({t}) - sl2

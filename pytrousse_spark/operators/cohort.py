@@ -647,23 +647,38 @@ def _route_attribution(
         return strategy
     if density_hint is not None:
         return "scalable" if density_hint > max_pair_mass else "exact"
-    tagged = touches.where(F.col(user_col).isNotNull()).select(
-        F.col(user_col).alias("__u"), F.lit(1).alias("__t")
-    ).unionByName(
-        purchases.where(F.col(user_col).isNotNull()).select(
-            F.col(user_col).alias("__u"), F.lit(0).alias("__t")
+
+    def _max_pair_mass() -> int:
+        tagged = touches.where(F.col(user_col).isNotNull()).select(
+            F.col(user_col).alias("__u"), F.lit(1).alias("__t")
+        ).unionByName(
+            purchases.where(F.col(user_col).isNotNull()).select(
+                F.col(user_col).alias("__u"), F.lit(0).alias("__t")
+            )
         )
-    )
-    row = (
-        tagged.groupBy("__u")
-        .agg(
-            F.count(F.when(F.col("__t") == 1, 1)).alias("__tc"),
-            F.count(F.when(F.col("__t") == 0, 1)).alias("__pc"),
+        row = (
+            tagged.groupBy("__u")
+            .agg(
+                F.count(F.when(F.col("__t") == 1, 1)).alias("__tc"),
+                F.count(F.when(F.col("__t") == 0, 1)).alias("__pc"),
+            )
+            .agg(F.max(F.col("__tc") * F.col("__pc")).alias("__mass"))
+            .first()
         )
-        .agg(F.max(F.col("__tc") * F.col("__pc")).alias("__mass"))
-        .first()
+        return row["__mass"] if row and row["__mass"] is not None else 0
+
+    # memoized per semantic (purchases, touches) pair (r9 VERDICT item
+    # 5): a pipeline running linear + position attribution over the
+    # same inputs pays ONE density probe, not two — the same saving
+    # auto_density_hint gives callers explicitly, made automatic.
+    from ._probe import cached_probe
+
+    mass = cached_probe(
+        "attribution_pair_mass",
+        (purchases, touches),
+        (user_col,),
+        _max_pair_mass,
     )
-    mass = row["__mass"] if row and row["__mass"] is not None else 0
     return "scalable" if mass > max_pair_mass else "exact"
 
 

@@ -630,18 +630,26 @@ def rolling_time_window(
             "rolling_time_window: strategy must be window|bucketed|auto"
         )
     if strategy == "auto":
-        prof = (
-            df.where(F.col(ts_col).isNotNull())
-            .groupBy(key_col)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .agg(F.max("__c").alias("__mx"))
-            .first()
+        from ._probe import cached_probe
+
+        def _max_key_rows() -> int:
+            prof = (
+                df.where(F.col(ts_col).isNotNull())
+                .groupBy(key_col)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .agg(F.max("__c").alias("__mx"))
+                .first()
+            )
+            return prof["__mx"] or 0
+
+        # memoized per semantic input frame (r9 VERDICT item 5): a
+        # pipeline re-windowing the same frame pays ONE probe job, not
+        # one per call; a stale hit can only flip between bit-identical
+        # physical forms (see _probe module docstring).
+        mx = cached_probe(
+            "rolling_max_key_rows", (df,), (key_col, ts_col), _max_key_rows
         )
-        strategy = (
-            "bucketed"
-            if (prof["__mx"] or 0) > auto_max_key_rows
-            else "window"
-        )
+        strategy = "bucketed" if mx > auto_max_key_rows else "window"
     if strategy == "window":
         wp = (
             Window.partitionBy(key_col)

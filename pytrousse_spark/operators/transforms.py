@@ -253,6 +253,12 @@ def percent_rank_transform(
             "percent_rank_transform: strategy must be exact|sketch|auto"
         )
     if strategy == "auto":
+        # NOT memoized via operators/_probe.cached_probe: unlike the
+        # rolling-window/attribution routers, exact and sketch are NOT
+        # bit-identical (sketch is a histogram CDF approximation), so a
+        # stale probe on a mutated-under-same-plan input could silently
+        # change RESULTS, not just the physical form. The probe re-runs
+        # per call; callers wanting to amortize pass strategy explicitly.
         prof = (
             df.where(F.col(value_col).isNotNull())
             .groupBy(group_col)

@@ -92,9 +92,27 @@ def assert_df_matches_sql(spark_df, duck_con, sql, float_round=6, check_types=Tr
     """Order-insensitive comparison of a Spark DataFrame vs DuckDB SQL result,
     mirroring the driver's row-count + schema + value-hash check, plus a
     declared-type parity check (serialization-faithful, see
-    assert_types_match_sql)."""
+    assert_types_match_sql).
+
+    ARRAY/MAP/STRUCT outputs are REJECTED, not normalized: the driver's
+    canonicalizer is a plain pandas sort_values, which crashes on list
+    cells (`TypeError: unhashable type: 'list'` — the q294 r9 red row).
+    This harness must be at least as strict as the driver so local green
+    implies driver green; flatten complex outputs to scalar columns."""
     import math
 
+    from pyspark.sql import types as _T
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (_T.ArrayType, _T.MapType, _T.StructType))
+    ]
+    assert not complex_cols, (
+        "array/map/struct output columns are not driver-canonicalizable "
+        f"(pandas sort_values crashes on list cells): {complex_cols}; "
+        "flatten to scalar columns in BOTH engines"
+    )
     if check_types:
         assert_types_match_sql(spark_df, duck_con, sql)
     sdata = spark_df.collect()
@@ -112,8 +130,11 @@ def assert_df_matches_sql(spark_df, duck_con, sql, float_round=6, check_types=Tr
             if math.isnan(v):
                 return "NaN"
             return round(v, float_round)
-        if isinstance(v, (list, tuple)):
-            return tuple(norm(x) for x in v)
+        if isinstance(v, (list, tuple, dict, set)):
+            raise AssertionError(
+                "list/map cell reached the canon — the driver's pandas "
+                f"sort_values cannot handle it: {v!r}"
+            )
         return v
 
     def key(values):

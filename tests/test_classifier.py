@@ -928,7 +928,7 @@ def test_cochran_q_textbook_and_mcnemar_identity(spark):
         k * (k * T - sum(v * v for v in L))
     )
     assert r["q_stat"] == round(want, 6)
-    assert list(r["correct_counts"]) == G
+    assert [r["g0"], r["g1"], r["g2"]] == G
 
     con = duckdb.connect()
     con.execute(
@@ -936,8 +936,8 @@ def test_cochran_q_textbook_and_mcnemar_identity(spark):
         + ",".join(map(str, rows)) + ") x(t, a, b, c)"
     )
     w = con.execute(cochran_q_sql("d", "t", ["a", "b", "c"])).fetchall()[0]
-    assert (r["n"], r["k"], list(r["correct_counts"]), r["q_stat"]) == (
-        w[0], w[1], list(w[2]), w[3],
+    assert (r["n"], r["k"], r["g0"], r["g1"], r["g2"], r["q_stat"]) == (
+        w[0], w[1], w[2], w[3], w[4], w[5],
     )
 
     r2 = cochran_q(df, F.col("t"), preds[:2]).collect()[0]

@@ -55,6 +55,31 @@ def test_no_cartesian_outside_declared_baselines(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_no_gate_output_is_array_map_or_struct(spark):
+    """Registry-wide structural guard (r9 VERDICT item 1): the driver's
+    oracle canonicalizer does a plain pandas sort_values over all output
+    columns and CRASHES on list cells (`TypeError: unhashable type:
+    'list'` — q294's r9 red row, the first array-typed gate output ever
+    registered). No gate may emit ArrayType/MapType/StructType; flatten
+    to scalar columns in both engines instead (cochran_q's g0..gk-1)."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        schema = fn(spark, SF_DIR).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "gate outputs with driver-uncanonicalizable complex columns: "
+        f"{offenders}"
+    )
+
+
 def test_column_pruning_reaches_scan(spark):
     plan = _plan(spark, "q04_filter_agg")
     # ReadSchema shows only the columns the query touches, not the table
