@@ -8897,6 +8897,305 @@ def _sql_q294() -> str:
     )
 
 
+def q297_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U + Cliff's delta comparing click vs purchase
+    order values — the nonparametric two-sample location test with its
+    effect size, level-decomposed (integer-cent level frame + ONE
+    window over levels, never a data-sized sort); tie-corrected z
+    (operators/classifier.mann_whitney_u)."""
+    from pytrousse_spark.operators.classifier import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "event_type", "value", "click", "purchase")
+
+
+def _sql_q297() -> str:
+    from pytrousse_spark.operators.classifier import mann_whitney_u_sql
+
+    return mann_whitney_u_sql(
+        "events", "event_type", "value", "click", "purchase"
+    )
+
+
+def q298_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across ALL FIVE event types' order values —
+    integer-cent group moments in one map-side agg (sum of squares in
+    DECIMAL(38)), then the F and eta-squared as single double
+    expressions (operators/classifier.anova_oneway); q299 gates its
+    equal-variance assumption on the same frame."""
+    from pytrousse_spark.operators.classifier import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "event_type", "value")
+
+
+def _sql_q298() -> str:
+    from pytrousse_spark.operators.classifier import anova_oneway_sql
+
+    return anova_oneway_sql("events", "event_type", "value")
+
+
+def q299_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity chi2 over the SAME five event-
+    type groups as q298 — the assumption check in front of ANOVA,
+    from the identical integer-cent moment frame
+    (operators/classifier.bartlett_test)."""
+    from pytrousse_spark.operators.classifier import bartlett_test
+
+    ev = _t(spark, sf_dir, "events")
+    return bartlett_test(ev, "event_type", "value")
+
+
+def _sql_q299() -> str:
+    from pytrousse_spark.operators.classifier import bartlett_test_sql
+
+    return bartlett_test_sql("events", "event_type", "value")
+
+
+def q300_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over THREE deterministic English-detection raters
+    (q294's classifier panel re-cast as annotators) each rating every
+    document en/other — the fixed-rater-count agreement statistic
+    completing the trio: Cohen (q272, 2 raters), Fleiss (fixed r),
+    Krippendorff (q292, variable r)
+    (operators/classifier.fleiss_kappa)."""
+    from pytrousse_spark.functions import text as tx
+    from pytrousse_spark.operators.classifier import fleiss_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    pad = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    preds = [
+        (tx.lang_id(F.col("text")) == "en"),
+        (F.instr(pad, " the ") > 0),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[\x00-\x7F]", ""))
+            * 50
+            < F.length(F.col("text"))
+        ),
+    ]
+    parts = [
+        d.select(
+            F.col("doc_id").alias("unit"),
+            F.when(p, "en").otherwise("other").alias("rating"),
+        )
+        for p in preds
+    ]
+    ratings = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return fleiss_kappa(ratings, "unit", "rating", raters=3)
+
+
+def _sql_q300() -> str:
+    from pytrousse_spark.functions.text import lang_id_sql
+    from pytrousse_spark.operators.classifier import fleiss_kappa_sql
+
+    preds = [
+        f"(({lang_id_sql('text')}) = 'en')",
+        "(position(' the ' IN ' ' || lower(text) || ' ') > 0)",
+        "(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 50"
+        " < length(text))",
+    ]
+    parts = " UNION ALL ".join(
+        f"SELECT doc_id AS unit, CASE WHEN {p} THEN 'en' ELSE 'other' END"
+        f" AS rating FROM documents"
+        for p in preds
+    )
+    return fleiss_kappa_sql(f"({parts})", "unit", "rating", raters=3)
+
+
+def q301_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the English share of the
+    corpus TREND with document size? — scores = 128-char size buckets
+    (capped at 4), outcome = labeled lang = 'en'; one score-level agg,
+    exact integer folds (operators/classifier.cochran_armitage_trend)."""
+    from pytrousse_spark.operators.classifier import cochran_armitage_trend
+
+    d = _t(spark, sf_dir, "documents")
+    return cochran_armitage_trend(
+        d,
+        F.least(F.floor(F.col("n_chars") / 128), F.lit(4)),
+        (F.col("lang") == "en"),
+    )
+
+
+def _sql_q301() -> str:
+    from pytrousse_spark.operators.classifier import (
+        cochran_armitage_trend_sql,
+    )
+
+    return cochran_armitage_trend_sql(
+        "documents",
+        "least(CAST(floor(n_chars / 128) AS BIGINT), 4)",
+        "(lang = 'en')",
+    )
+
+
+def q302_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson lag-1 autocorrelation pooled over per-user event
+    value series (ordered by ts with event_id tie-break — deterministic
+    lag): the mean cancels in the difference numerator, so the whole
+    statistic is exact integer-cent arithmetic — per-key lag windows,
+    one moment agg, one division
+    (operators/timeseries.durbin_watson)."""
+    from pytrousse_spark.operators.timeseries import durbin_watson
+
+    ev = _t(spark, sf_dir, "events")
+    return durbin_watson(ev, "user_id", "ts", "value", "event_id")
+
+
+def _sql_q302() -> str:
+    from pytrousse_spark.operators.timeseries import durbin_watson_sql
+
+    return durbin_watson_sql("events", "user_id", "ts", "value", "event_id")
+
+
+def q303_mrr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the q242 BM25 engine on the q269 harness (same three
+    fixed queries, same conjunctive containment relevance oracle) —
+    the first-hit retrieval metric beside q269's NDCG: 1/rank folds in
+    integer micro-units (operators/classifier.mrr_at_k)."""
+    from pytrousse_spark.functions.text import bm25_search, tokens
+    from pytrousse_spark.operators.classifier import mrr_at_k
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    rank_parts, rel_parts = [], []
+    for qname, terms in _Q269_QUERIES.items():
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        rank_parts.append(
+            bm25_search(d, "text", "doc_id", terms, k=10).select(
+                F.lit(qname).alias("query"),
+                "doc_id",
+                F.row_number().over(w).cast("int").alias("rank"),
+            )
+        )
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(F.col("__tk"), t)
+        rel_parts.append(
+            staged.where(cond).select(F.lit(qname).alias("query"), "doc_id")
+        )
+    ranking = rank_parts[0]
+    for p in rank_parts[1:]:
+        ranking = ranking.unionByName(p)
+    relevance = rel_parts[0]
+    for p in rel_parts[1:]:
+        relevance = relevance.unionByName(p)
+    return mrr_at_k(ranking, relevance, k=10)
+
+
+def _sql_q303() -> str:
+    from pytrousse_spark.functions.text import bm25_search_sql, tokens_sql
+    from pytrousse_spark.operators.classifier import mrr_at_k_sql
+
+    tk = tokens_sql("text")
+    rank_parts, rel_parts = [], []
+    for qname, terms in _Q269_QUERIES.items():
+        inner = bm25_search_sql("documents", "text", "doc_id", terms, k=10)
+        rank_parts.append(
+            f"""SELECT '{qname}' AS "query", doc_id,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS INTEGER) AS rank
+                FROM ({inner})"""
+        )
+        conds = " AND ".join(f"list_contains({tk}, '{t}')" for t in terms)
+        rel_parts.append(
+            f"""SELECT '{qname}' AS "query", doc_id
+                FROM documents WHERE {conds}"""
+        )
+    ranking = " UNION ALL ".join(rank_parts)
+    relevance = " UNION ALL ".join(rel_parts)
+    return mrr_at_k_sql(ranking, relevance, k=10)
+
+
+def q295_png_rgb48_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-BIT TRUECOLOR PNG codec round trip (r9 VERDICT item 8's
+    named gap — 16-bit COLOR was the grid's last metadata-only depth
+    cell): each document id becomes a genuine bit-depth-16 color-type-2
+    PNG (6-byte pixels, big-endian samples, filters cycling all five
+    types with a/c neighbors one 6-byte PIXEL left — multi-byte samples
+    COMPOSED with multi-channel pixels), decoded back by the same
+    chunk-walk path; both the plain and the position-weighted checksum
+    must equal the oracle's closed form over
+    (id*131 + 257x + 263y + 4099c) mod 65536
+    (operators/multimodal.py: encode_png_rgb48 / decode_png)."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta_weighted,
+        synthesize_png_rgb48_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
+    media = synthesize_png_rgb48_column(d, "doc_id", width=12, height=10)
+    return decode_png_meta_weighted(media, "media", "doc_id")
+
+
+def _sql_q295() -> str:
+    return """
+    SELECT doc_id,
+           CAST(12 AS INT) AS width,
+           CAST(10 AS INT) AS height,
+           CAST(16 AS INT) AS bit_depth,
+           CAST(2 AS INT) AS color_type,
+           CAST((SELECT SUM((doc_id * 131 + 257 * x.i + 263 * y.j
+                             + 4099 * c.k) % 65536)
+                 FROM generate_series(0, 11) AS x(i),
+                      generate_series(0, 9) AS y(j),
+                      generate_series(0, 2) AS c(k)) AS BIGINT)
+               AS pixel_sum,
+           CAST((SELECT SUM(((doc_id * 131 + 257 * x.i + 263 * y.j
+                              + 4099 * c.k) % 65536)
+                            * ((y.j * 12 + x.i) * 3 + c.k + 1))
+                 FROM generate_series(0, 11) AS x(i),
+                      generate_series(0, 9) AS y(j),
+                      generate_series(0, 2) AS c(k)) AS BIGINT)
+               AS pos_weighted_sum
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150)
+    """
+
+
+def q296_png_graya_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GRAYSCALE+ALPHA PNG codec round trip (color type 4 — the
+    last 8-bit color type the decodable grid lacked): each document id
+    becomes a genuine 2-byte-per-pixel gray+alpha PNG (a/c filter
+    neighbors one 2-byte PIXEL left — same byte offset as q286's
+    16-bit gray but for a CHANNEL, not depth, reason, so confusing the
+    two layouts corrupts exactly one of the twin gates), decoded by the
+    same chunk-walk path; plain + position-weighted checksums against
+    the closed form (id*7 + 3x + 5y + 11c) mod 256
+    (operators/multimodal.py: encode_png_graya / decode_png)."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta_weighted,
+        synthesize_png_graya_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
+    media = synthesize_png_graya_column(d, "doc_id", width=16, height=12)
+    return decode_png_meta_weighted(media, "media", "doc_id")
+
+
+def _sql_q296() -> str:
+    return """
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(12 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(4 AS INT) AS color_type,
+           CAST((SELECT SUM((doc_id * 7 + 3 * x.i + 5 * y.j + 11 * c.k)
+                            % 256)
+                 FROM generate_series(0, 15) AS x(i),
+                      generate_series(0, 11) AS y(j),
+                      generate_series(0, 1) AS c(k)) AS BIGINT)
+               AS pixel_sum,
+           CAST((SELECT SUM(((doc_id * 7 + 3 * x.i + 5 * y.j + 11 * c.k)
+                             % 256)
+                            * ((y.j * 16 + x.i) * 2 + c.k + 1))
+                 FROM generate_series(0, 15) AS x(i),
+                      generate_series(0, 11) AS y(j),
+                      generate_series(0, 1) AS c(k)) AS BIGINT)
+               AS pos_weighted_sum
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150)
+    """
+
+
 def q290_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADAM7-INTERLACED PNG codec round trip (r8 VERDICT item 8's
     second half): each document id becomes a genuine interlace-
@@ -9091,6 +9390,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q292_krippendorff_alpha": q292_krippendorff_alpha,
         "q293_tost_equivalence": q293_tost_equivalence,
         "q294_cochran_q": q294_cochran_q,
+        "q295_png_rgb48_roundtrip": q295_png_rgb48_roundtrip,
+        "q296_png_graya_roundtrip": q296_png_graya_roundtrip,
+        "q297_mann_whitney": q297_mann_whitney,
+        "q298_anova_f": q298_anova_f,
+        "q299_bartlett": q299_bartlett,
+        "q300_fleiss_kappa": q300_fleiss_kappa,
+        "q301_cochran_armitage": q301_cochran_armitage,
+        "q302_durbin_watson": q302_durbin_watson,
+        "q303_mrr_bm25": q303_mrr_bm25,
         # -- head: r2 evidence (q54 missed the r6 50-budget at slot 51) --
         "q54_near_dedup_pairs": q54_near_dedup_pairs,
         # -- head: oldest r3 evidence, registry order (fills the 50) -------
@@ -9806,6 +10114,15 @@ def oracle_sql() -> dict[str, str]:
         "q292_krippendorff_alpha": _sql_q292(),
         "q293_tost_equivalence": _sql_q293(),
         "q294_cochran_q": _sql_q294(),
+        "q295_png_rgb48_roundtrip": _sql_q295(),
+        "q296_png_graya_roundtrip": _sql_q296(),
+        "q297_mann_whitney": _sql_q297(),
+        "q298_anova_f": _sql_q298(),
+        "q299_bartlett": _sql_q299(),
+        "q300_fleiss_kappa": _sql_q300(),
+        "q301_cochran_armitage": _sql_q301(),
+        "q302_durbin_watson": _sql_q302(),
+        "q303_mrr_bm25": _sql_q303(),
         "q52_range_join": _sql_q52(),
         "q53_group_zscore": _sql_q53(),
         "q54_near_dedup_pairs": _sql_q54(),

@@ -3609,3 +3609,710 @@ def cochran_q_sql(
            END AS q_stat
     FROM agg
     """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    g1,
+    g2,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum; Mann & Whitney 1947) plus
+    Cliff's delta effect size for two independent groups — the
+    nonparametric two-sample location test (the k=2 companion of the
+    q201 Kruskal-Wallis battery, but exact on ties and with the effect
+    size the rank-sum alone hides).
+
+    Scale shape — NO data-sized sort: values fold to integer-CENT
+    LEVELS in one map-side-combinable hash agg (the split_conformal /
+    propensity-matching level-frame discipline), then ONE window over
+    the level frame (bounded by distinct cents, never rows) yields the
+    below-level cumulative. From level counts c1, c2 per level:
+
+        wins   = sum c1(l) * cum2_below(l)      (x1 > x2 pairs)
+        ties   = sum c1(l) * c2(l)
+        U1     = wins + ties/2
+        delta  = (wins - losses) / (n1*n2)      (Cliff 1993)
+        z      = (U1 - n1*n2/2) / sqrt(var)     (tie-corrected:
+                 var = n1*n2/12 * (N+1 - sum(t^3-t)/(N(N-1))))
+
+    Exactness: wins/losses/ties and sum(t^3-t) are exact integer folds
+    (the cube rides DECIMAL(38) — t^3 overflows BIGINT once a level
+    holds ~2M rows); the final z/delta are single double expressions
+    over those integers, so the DuckDB twin replays them bit-for-bit.
+    z is reported WITHOUT continuity correction (documented choice;
+    q288 McNemar carries the corrected convention for the paired case).
+
+    Returns one row ``(n1, n2, u1, z, cliffs_delta)`` — z and delta
+    NULL when a group is empty or the variance is 0 (all values tied).
+    """
+    y = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([g1, g2])
+    ).select(
+        (F.col(group_col) == F.lit(g1)).alias("__g"), y.alias("__y")
+    )
+    lv = base.groupBy("__y").agg(
+        F.count(F.when(F.col("__g"), 1)).cast("bigint").alias("__c1"),
+        F.count(F.when(~F.col("__g"), 1)).cast("bigint").alias("__c2"),
+    )
+    # window over LEVELS (bounded by distinct cents), not rows
+    w = Window.orderBy("__y").rowsBetween(Window.unboundedPreceding, -1)
+    lv2 = lv.select(
+        "__c1",
+        "__c2",
+        F.coalesce(F.sum("__c2").over(w), F.lit(0)).alias("__b2"),
+        F.coalesce(F.sum("__c1").over(w), F.lit(0)).alias("__b1"),
+    )
+    # cube in DECIMAL(38) from the start — t^3 overflows BIGINT once a
+    # level holds ~2M rows (the 100 TB case, not the test case)
+    td = (F.col("__c1") + F.col("__c2")).cast("decimal(38,0)")
+    agg = lv2.agg(
+        F.sum("__c1").cast("bigint").alias("n1"),
+        F.sum("__c2").cast("bigint").alias("n2"),
+        F.sum(F.col("__c1") * F.col("__b2")).cast("bigint").alias("__w"),
+        F.sum(F.col("__c2") * F.col("__b1")).cast("bigint").alias("__l"),
+        F.sum(F.col("__c1") * F.col("__c2")).cast("bigint").alias("__t"),
+        F.sum(td * td * td - td).cast("decimal(38,0)").alias("__tt"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nn = n1 + n2
+    u1 = (
+        F.col("__w").cast("double") + F.col("__t").cast("double") / F.lit(2.0)
+    )
+    var = (
+        n1 * n2 / F.lit(12.0)
+        * (
+            nn + F.lit(1.0)
+            - F.col("__tt").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.when((n1 > 0) & (n2 > 0), F.round(u1, 6)).alias("u1"),
+        F.when(
+            var > 0,
+            F.round((u1 - n1 * n2 / F.lit(2.0)) / F.sqrt(var), 6),
+        ).alias("z"),
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            F.round(
+                (F.col("__w") - F.col("__l")).cast("double") / (n1 * n2), 6
+            ),
+        ).alias("cliffs_delta"),
+    )
+
+
+def mann_whitney_u_sql(
+    table: str, group_col: str, value_col: str, g1, g2
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_u` (identical level folds,
+    window, and final double expressions)."""
+    from ..functions.sqlutil import sql_quote
+
+    q1, q2 = sql_quote(g1), sql_quote(g2)
+    return f"""
+    WITH base AS (
+        SELECT ({group_col} = {q1}) AS g,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y
+        FROM {table}
+        WHERE {value_col} IS NOT NULL AND {group_col} IN ({q1}, {q2})
+    ), lv AS (
+        SELECT y,
+               CAST(count(*) FILTER (WHERE g) AS BIGINT) AS c1,
+               CAST(count(*) FILTER (WHERE NOT g) AS BIGINT) AS c2
+        FROM base GROUP BY y
+    ), lv2 AS (
+        SELECT c1, c2,
+               CAST(coalesce(sum(c2) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS b2,
+               CAST(coalesce(sum(c1) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS b1
+        FROM lv
+    ), agg AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 * b2) AS BIGINT) AS w,
+               CAST(sum(c2 * b1) AS BIGINT) AS l,
+               CAST(sum(c1 * c2) AS BIGINT) AS t,
+               CAST(sum(CAST((c1 + c2) AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                        - (c1 + c2)) AS HUGEINT) AS tt
+        FROM lv2
+    )
+    SELECT n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(CAST(w AS DOUBLE) + CAST(t AS DOUBLE) / 2.0, 6)
+           END AS u1,
+           CASE WHEN CAST(n1 AS DOUBLE) * n2 / 12.0
+                     * (n1 + n2 + 1.0
+                        - CAST(tt AS DOUBLE)
+                          / (CAST(n1 + n2 AS DOUBLE)
+                             * (n1 + n2 - 1.0))) > 0
+                THEN round((CAST(w AS DOUBLE) + CAST(t AS DOUBLE) / 2.0
+                            - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                           / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                                  * (n1 + n2 + 1.0
+                                     - CAST(tt AS DOUBLE)
+                                       / (CAST(n1 + n2 AS DOUBLE)
+                                          * (n1 + n2 - 1.0)))), 6)
+           END AS z,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(CAST(w - l AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * n2), 6)
+           END AS cliffs_delta
+    FROM agg
+    """
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F statistic (Fisher) across the groups of
+    ``group_col`` — the parametric companion of the Kruskal-Wallis
+    battery: does at least one group mean differ?
+
+        F = (SSB / (k-1)) / (SSW / (N-k)),  eta^2 = SSB / (SSB+SSW)
+
+    Exactness: per-group count / sum / sum-of-squares fold in integer
+    CENTS in ONE map-side-combinable agg (sum of squares rides
+    DECIMAL(38) — cents^2 sums overflow BIGINT near ~1e9 rows); SSB and
+    SSW are then single double expressions over k group rows, so the
+    DuckDB twin replays them bit-for-bit. Two-stage agg, output bounded
+    by k; no window, no join.
+
+    Returns one row ``(k, n, f_stat, eta_sq)`` — NULL F when k < 2,
+    N <= k, or SSW = 0 (all groups constant).
+    """
+    y = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    g = (
+        df.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), y.alias("__y"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__y").cast("bigint").alias("__s"),
+            F.sum(
+                F.col("__y").cast("decimal(38,0)")
+                * F.col("__y").cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("__q"),
+        )
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__s").cast("bigint").alias("__st"),
+        F.sum("__q").cast("decimal(38,0)").alias("__qt"),
+        F.sum(
+            F.col("__s").cast("double") * F.col("__s").cast("double")
+            / F.col("__n").cast("double")
+        ).alias("__sb"),
+    )
+    ssb = F.col("__sb") - (
+        F.col("__st").cast("double") * F.col("__st").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssw = F.col("__qt").cast("double") - F.col("__sb")
+    # total SS written as qt - st^2/n DIRECTLY (not ssb + ssw): the twin
+    # uses this form and (a-b)+(c-a) != c-b bitwise in IEEE
+    sst = F.col("__qt").cast("double") - (
+        F.col("__st").cast("double") * F.col("__st").cast("double")
+        / F.col("n").cast("double")
+    )
+    kk, nn = F.col("k").cast("double"), F.col("n").cast("double")
+    return agg.select(
+        "k",
+        "n",
+        F.when(
+            (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0),
+            F.round(
+                (ssb / (kk - F.lit(1.0))) / (ssw / (nn - kk)), 6
+            ),
+        ).alias("f_stat"),
+        F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"),
+    )
+
+
+def anova_oneway_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`anova_oneway` (identical integer-cent
+    moments and double expressions)."""
+    return f"""
+    WITH g AS (
+        SELECT {group_col} AS gg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+        FROM (
+            SELECT {group_col},
+                   CAST(round(CAST({value_col} AS DOUBLE) * 100, 0)
+                        AS BIGINT) AS y
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+        ) GROUP BY {group_col}
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS st,
+               CAST(sum(q) AS HUGEINT) AS qt,
+               sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS sb
+        FROM g
+    )
+    SELECT k, n,
+           CASE WHEN k >= 2 AND n > k
+                     AND CAST(qt AS DOUBLE) - sb > 0
+                THEN round(((sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                                  / CAST(n AS DOUBLE)) / (k - 1.0))
+                           / ((CAST(qt AS DOUBLE) - sb) / (n - CAST(k AS DOUBLE))), 6)
+           END AS f_stat,
+           CASE WHEN CAST(qt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0
+                THEN round((sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                           / (CAST(qt AS DOUBLE)
+                              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                                / CAST(n AS DOUBLE)), 6)
+           END AS eta_sq
+    FROM agg
+    """
+
+
+def bartlett_test(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity (Bartlett 1937) across
+    the groups of ``group_col`` — the assumption gate in front of
+    :func:`anova_oneway` (ANOVA's F is only calibrated when group
+    variances agree):
+
+        chi2 = [(N-k) ln s_p^2 - sum (n_g-1) ln s_g^2] / C,
+        C    = 1 + (sum 1/(n_g-1) - 1/(N-k)) / (3(k-1))
+
+    with s_g^2 the unbiased group variances and s_p^2 their pooled
+    value. Exactness: the SAME integer-cent moment frame as
+    anova_oneway (one map-side agg, sums of squares in DECIMAL(38));
+    variances and logs are then single double expressions over k group
+    rows — ln() of identical doubles is identical in both engines, and
+    round 6 absorbs any last-ulp libm difference. Groups with n_g < 2
+    are EXCLUDED (no variance); chi2 NULL when k < 2 after exclusion
+    or any remaining group variance is 0.
+
+    Returns one row ``(k, n, chi2)`` over the INCLUDED groups.
+    """
+    y = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    g = (
+        df.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), y.alias("__y"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__y").cast("bigint").alias("__s"),
+            F.sum(
+                F.col("__y").cast("decimal(38,0)")
+                * F.col("__y").cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("__q"),
+        )
+        .where(F.col("__n") >= 2)
+    )
+    nd = F.col("__n").cast("double")
+    v = (
+        F.col("__q").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum((nd - F.lit(1.0)) * v).alias("__sw"),
+        F.sum(F.when(v > 0, (nd - F.lit(1.0)) * F.log(v))).alias("__sl"),
+        F.min(v).alias("__vmin"),
+        F.sum(F.lit(1.0) / (nd - F.lit(1.0))).alias("__ih"),
+    )
+    kk, nn = F.col("k").cast("double"), F.col("n").cast("double")
+    sp2 = F.col("__sw") / (nn - kk)
+    c = F.lit(1.0) + (
+        F.col("__ih") - F.lit(1.0) / (nn - kk)
+    ) / (F.lit(3.0) * (kk - F.lit(1.0)))
+    return agg.select(
+        "k",
+        "n",
+        F.when(
+            (F.col("k") >= 2) & (F.col("__vmin") > 0),
+            F.round(
+                ((nn - kk) * F.log(sp2) - F.col("__sl")) / c, 6
+            ),
+        ).alias("chi2"),
+    )
+
+
+def bartlett_test_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`bartlett_test` (identical moments,
+    variance, and log expressions)."""
+    return f"""
+    WITH g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+        FROM (
+            SELECT {group_col} AS gg,
+                   CAST(round(CAST({value_col} AS DOUBLE) * 100, 0)
+                        AS BIGINT) AS y
+            FROM {table}
+            WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+        ) GROUP BY gg
+        HAVING count(*) >= 2
+    ), v AS (
+        SELECT n,
+               (CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS v
+        FROM g
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               sum((CAST(n AS DOUBLE) - 1.0) * v) AS sw,
+               sum(CASE WHEN v > 0
+                        THEN (CAST(n AS DOUBLE) - 1.0) * ln(v) END) AS sl,
+               min(v) AS vmin,
+               sum(1.0 / (CAST(n AS DOUBLE) - 1.0)) AS ih
+        FROM v
+    )
+    SELECT k, n,
+           CASE WHEN k >= 2 AND vmin > 0
+                THEN round(((CAST(n AS DOUBLE) - k)
+                            * ln(sw / (CAST(n AS DOUBLE) - k)) - sl)
+                           / (1.0 + (ih - 1.0 / (CAST(n AS DOUBLE) - k))
+                                    / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
+           END AS chi2
+    FROM agg
+    """
+
+
+def fleiss_kappa(
+    ratings: DataFrame, unit_col: str, value_col: str, raters: int
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) over a LONG ratings frame
+    ``(unit, value)`` with a FIXED rater count per unit — the
+    multi-rater agreement statistic between Cohen's kappa (q272, two
+    raters) and Krippendorff's alpha (q292, variable raters): chance-
+    corrected agreement when every unit receives exactly ``raters``
+    categorical ratings.
+
+        P_i   = (sum_j n_ij^2 - r) / (r(r-1))
+        kappa = (mean_i P_i - sum_j p_j^2) / (1 - sum_j p_j^2),
+        p_j   = sum_i n_ij / (N r)
+
+    Units whose rating count differs from ``raters`` are EXCLUDED
+    (Fleiss requires constant r; Krippendorff is the variable-r tool —
+    deliberate, documented division of labor). Exactness: sum_i sum_j
+    n_ij^2 and the category totals are exact integer folds; the margin
+    squares ride DECIMAL(38); kappa is one double expression, replayed
+    bit-for-bit by the twin. Scale: one (unit, value) hash agg, one
+    unit-count agg, aggs bounded by units x categories; no join wider
+    than unit keys.
+
+    Returns one row ``(n_units, n_raters, n_categories, kappa)`` —
+    kappa NULL when P_e = 1 (a single category observed).
+    """
+    if raters < 2:
+        raise ValueError("fleiss_kappa: raters must be >= 2")
+    cnt = (
+        ratings.where(
+            F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(unit_col).alias("__u"),
+            F.col(value_col).cast("string").alias("__v"),
+        )
+        .groupBy("__u", "__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    mu = cnt.groupBy("__u").agg(F.sum("__n").cast("bigint").alias("__m"))
+    ok = cnt.join(
+        mu.where(F.col("__m") == raters).select("__u"), "__u"
+    )
+    cat = ok.groupBy("__v").agg(F.sum("__n").cast("bigint").alias("__cj"))
+    sq = ok.agg(
+        F.sum(F.col("__n") * F.col("__n")).cast("bigint").alias("__s2"),
+        (F.count_distinct(F.col("__u"))).cast("bigint").alias("n_units"),
+    )
+    cj = F.col("__cj").cast("decimal(38,0)")
+    mg = cat.agg(
+        F.sum(cj * cj).cast("decimal(38,0)").alias("__m2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )
+    agg = sq.crossJoin(F.broadcast(mg))
+    r = float(raters)
+    nu = F.col("n_units").cast("double")
+    pbar = (
+        F.col("__s2").cast("double") - nu * F.lit(r)
+    ) / (nu * F.lit(r * (r - 1.0)))
+    pe = F.col("__m2").cast("double") / (
+        nu * F.lit(r) * nu * F.lit(r)
+    )
+    return agg.select(
+        "n_units",
+        F.lit(raters).alias("n_raters"),
+        "n_categories",
+        F.when(
+            (F.col("n_units") > 0) & (pe < 1.0),
+            F.round((pbar - pe) / (F.lit(1.0) - pe), 6),
+        ).alias("kappa"),
+    )
+
+
+def fleiss_kappa_sql(
+    table: str, unit_col: str, value_col: str, raters: int
+) -> str:
+    """DuckDB twin of :func:`fleiss_kappa` (identical folds and final
+    expression)."""
+    if raters < 2:
+        raise ValueError("fleiss_kappa_sql: raters must be >= 2")
+    r = float(raters)
+    return f"""
+    WITH cnt AS (
+        SELECT {unit_col} AS u, CAST({value_col} AS VARCHAR) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {table}
+        WHERE {unit_col} IS NOT NULL AND {value_col} IS NOT NULL
+        GROUP BY 1, 2
+    ), ok AS (
+        SELECT * FROM cnt
+        WHERE u IN (
+            SELECT u FROM cnt GROUP BY u HAVING sum(n) = {raters}
+        )
+    ), sq AS (
+        SELECT CAST(sum(n * n) AS BIGINT) AS s2,
+               CAST(count(DISTINCT u) AS BIGINT) AS n_units
+        FROM ok
+    ), cat AS (
+        SELECT v, CAST(sum(n) AS BIGINT) AS cj FROM ok GROUP BY v
+    ), mg AS (
+        SELECT CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS m2,
+               CAST(count(*) AS BIGINT) AS n_categories
+        FROM cat
+    )
+    SELECT n_units,
+           CAST({raters} AS INT) AS n_raters,
+           n_categories,
+           CASE WHEN n_units > 0
+                     AND CAST(m2 AS DOUBLE)
+                         / (CAST(n_units AS DOUBLE) * {r!r}
+                            * CAST(n_units AS DOUBLE) * {r!r}) < 1.0
+                THEN round(((CAST(s2 AS DOUBLE)
+                             - CAST(n_units AS DOUBLE) * {r!r})
+                            / (CAST(n_units AS DOUBLE) * {r * (r - 1.0)!r})
+                            - CAST(m2 AS DOUBLE)
+                              / (CAST(n_units AS DOUBLE) * {r!r}
+                                 * CAST(n_units AS DOUBLE) * {r!r}))
+                           / (1.0 - CAST(m2 AS DOUBLE)
+                                    / (CAST(n_units AS DOUBLE) * {r!r}
+                                       * CAST(n_units AS DOUBLE) * {r!r})), 6)
+           END AS kappa
+    FROM sq CROSS JOIN mg
+    """
+
+
+def cochran_armitage_trend(
+    df: DataFrame, score_expr: "F.Column", success_expr: "F.Column"
+) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954, Armitage 1955): does
+    a binary outcome's success rate TREND monotonically across ordered
+    integer scores? — the dose-response companion of the chi-square
+    independence family (a plain chi2 sees "different", this sees
+    "increasing").
+
+        z = [sum s_g r_g - pbar sum s_g n_g]
+            / sqrt(pbar (1-pbar) (sum s_g^2 n_g - (sum s_g n_g)^2 / N))
+
+    with r_g successes of n_g trials at score s_g, pbar = R/N.
+    Exactness: every fold (s*r, s*n, s^2*n sums — products ride
+    DECIMAL(38)) is exact integer arithmetic over ONE
+    map-side-combinable score-level agg (output bounded by distinct
+    scores); z is a single double expression, twin-replayable
+    bit-for-bit. NULL-score / NULL-outcome rows drop.
+
+    Returns one row ``(k, n, n_success, z_trend)`` — z NULL when the
+    score variance is 0 (single score level) or pbar is 0/1.
+    """
+    base = df.where(
+        score_expr.isNotNull() & success_expr.isNotNull()
+    ).select(
+        score_expr.cast("bigint").alias("__s"),
+        success_expr.cast("int").alias("__r"),
+    )
+    lv = base.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__r").cast("bigint").alias("__rr"),
+    )
+    sd = F.col("__s").cast("decimal(38,0)")
+    agg = lv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__rr").cast("bigint").alias("n_success"),
+        F.sum(sd * F.col("__rr").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("__sr"),
+        F.sum(sd * F.col("__n").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("__sn"),
+        F.sum(sd * sd * F.col("__n").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("__ssn"),
+    )
+    nn = F.col("n").cast("double")
+    pbar = F.col("n_success").cast("double") / nn
+    num = F.col("__sr").cast("double") - pbar * F.col("__sn").cast("double")
+    varg = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.col("__ssn").cast("double")
+            - F.col("__sn").cast("double")
+              * F.col("__sn").cast("double") / nn
+        )
+    )
+    return agg.select(
+        "k",
+        "n",
+        "n_success",
+        F.when(varg > 0, F.round(num / F.sqrt(varg), 6)).alias("z_trend"),
+    )
+
+
+def cochran_armitage_trend_sql(
+    table: str, score_expr: str, success_expr: str
+) -> str:
+    """DuckDB twin of :func:`cochran_armitage_trend`."""
+    return f"""
+    WITH lv AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(r) AS BIGINT) AS rr
+        FROM (
+            SELECT CAST({score_expr} AS BIGINT) AS s,
+                   CAST({success_expr} AS INT) AS r
+            FROM {table}
+            WHERE ({score_expr}) IS NOT NULL
+                  AND ({success_expr}) IS NOT NULL
+        ) GROUP BY s
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(rr) AS BIGINT) AS n_success,
+               CAST(sum(CAST(s AS HUGEINT) * rr) AS HUGEINT) AS sr,
+               CAST(sum(CAST(s AS HUGEINT) * n) AS HUGEINT) AS sn,
+               CAST(sum(CAST(s AS HUGEINT) * s * n) AS HUGEINT) AS ssn
+        FROM lv
+    )
+    SELECT k, n, n_success,
+           CASE WHEN (CAST(n_success AS DOUBLE) / n)
+                     * (1.0 - CAST(n_success AS DOUBLE) / n)
+                     * (CAST(ssn AS DOUBLE)
+                        - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                          / CAST(n AS DOUBLE)) > 0
+                THEN round((CAST(sr AS DOUBLE)
+                            - (CAST(n_success AS DOUBLE) / n)
+                              * CAST(sn AS DOUBLE))
+                           / sqrt((CAST(n_success AS DOUBLE) / n)
+                                  * (1.0 - CAST(n_success AS DOUBLE) / n)
+                                  * (CAST(ssn AS DOUBLE)
+                                     - CAST(sn AS DOUBLE)
+                                       * CAST(sn AS DOUBLE)
+                                       / CAST(n AS DOUBLE))), 6)
+           END AS z_trend
+    FROM agg
+    """
+
+
+def mrr_at_k(
+    ranking: DataFrame, relevance: DataFrame, k: int
+) -> DataFrame:
+    """Mean Reciprocal Rank at k — the first-hit retrieval metric next
+    to :func:`ndcg_at_k` (graded list quality) and recall: MRR rewards
+    putting ONE relevant document early, the metric of
+    known-item/navigational search and RAG context windows.
+
+    ``ranking``: (query, doc_id, rank) with rank 1-based;
+    ``relevance``: (query, doc_id) binary relevant pairs. Per query the
+    first relevant rank r <= k contributes 1/r; queries in ``ranking``
+    with NO relevant doc in the top k contribute 0 (they stay in the
+    denominator — the standard convention).
+
+    Exactness: 1/r folds as round(1e6/r) integer MICRO-units (the
+    summation-order-proof house pattern), one final division, round 6.
+    Scale: a query+doc semi-style inner join, a per-query min, two tiny
+    aggs; everything bounded by |ranking| <= queries x k.
+
+    Returns one row ``(n_queries, n_hit, mrr)``.
+    """
+    if k < 1:
+        raise ValueError("mrr_at_k: k must be >= 1")
+    nq = ranking.agg(
+        F.count_distinct(F.col("query")).cast("bigint").alias("n_queries")
+    )
+    hits_ = (
+        ranking.where(F.col("rank") <= k)
+        .join(relevance.select("query", "doc_id").distinct(),
+              ["query", "doc_id"])
+        .groupBy("query")
+        .agg(F.min("rank").alias("__r"))
+    )
+    s = hits_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.coalesce(
+            F.sum(
+                F.round(F.lit(1e6) / F.col("__r"), 0).cast("bigint")
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("__mu"),
+    )
+    return nq.crossJoin(F.broadcast(s)).select(
+        "n_queries",
+        "n_hit",
+        F.when(
+            F.col("n_queries") > 0,
+            F.round(
+                F.col("__mu").cast("double")
+                / F.lit(1e6)
+                / F.col("n_queries").cast("double"),
+                6,
+            ),
+        ).alias("mrr"),
+    )
+
+
+def mrr_at_k_sql(
+    ranking_subquery: str, relevance_subquery: str, k: int
+) -> str:
+    """DuckDB twin of :func:`mrr_at_k` (identical micro-unit folds)."""
+    if k < 1:
+        raise ValueError("mrr_at_k_sql: k must be >= 1")
+    return f"""
+    WITH ranking AS MATERIALIZED ({ranking_subquery}),
+    relevance AS MATERIALIZED ({relevance_subquery}),
+    nq AS (
+        SELECT CAST(count(DISTINCT query) AS BIGINT) AS n_queries
+        FROM ranking
+    ), h AS (
+        SELECT r.query, min(r.rank) AS rr
+        FROM ranking r
+        JOIN (SELECT DISTINCT query, doc_id FROM relevance) v
+          ON r.query = v.query AND r.doc_id = v.doc_id
+        WHERE r.rank <= {k}
+        GROUP BY r.query
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hit,
+               CAST(coalesce(sum(CAST(round(1e6 / rr, 0) AS BIGINT)), 0)
+                    AS BIGINT) AS mu
+        FROM h
+    )
+    SELECT n_queries, n_hit,
+           CASE WHEN n_queries > 0
+                THEN round(CAST(mu AS DOUBLE) / 1e6
+                           / CAST(n_queries AS DOUBLE), 6)
+           END AS mrr
+    FROM nq CROSS JOIN s
+    """

@@ -797,8 +797,11 @@ def hits(
     positive rescale leaves the fixed point's direction unchanged) as
     one broadcast scalar: ``round(raw * 1e6 / max_raw)`` — a single
     IEEE multiply+divide+round per node, the q117 exact-replay recipe,
-    so the DuckDB twin reproduces every score bit-for-bit. Eager
-    checkpoints per iteration truncate lineage.
+    so the DuckDB twin reproduces every score bit-for-bit. LAZY
+    (eager=False) localCheckpoints per half-iteration truncate lineage
+    without a blocking job each — the checkpoint materializes inside
+    the next half-iteration's job (r9 self-advice follow-up: measured
+    14.3 -> 13.0 s best-of-3 on the q287 frame at sf0.1 vs eager).
 
     Returns ``(node, hub_micro, auth_micro)`` for every node.
     """
@@ -834,7 +837,7 @@ def hits(
                     F.lit(0),
                 ).alias("a"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         h_raw = (
             e.join(
@@ -856,7 +859,7 @@ def hits(
                     F.lit(0),
                 ).alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         h.join(a, "node")

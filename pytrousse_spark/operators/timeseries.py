@@ -4366,3 +4366,111 @@ def gumbel_block_maxima_sql(
                    * {c52} END * 1e6, 0) / 1e6 AS rl_52
     FROM __fold
     """
+
+
+def durbin_watson(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Durbin-Watson statistic (Durbin & Watson 1950) pooled over
+    per-key time series — lag-1 autocorrelation evidence in the
+    mean-adjusted values (d ~ 2 independent, d -> 0 positive
+    autocorrelation, d -> 4 negative):
+
+        d = sum (y_t - y_{t-1})^2 / sum (y_t - ybar)^2
+
+    The global mean CANCELS in the numerator (differences of demeaned
+    values equal differences of raw values), so the whole statistic is
+    exact integer arithmetic: numerator = one lag window per key in
+    integer CENTS (the diff squares ride DECIMAL(38)); denominator =
+    Q - S^2/N from ONE moment agg; ONE final double division, round 6
+    — twin-replayable bit-for-bit, no broadcast of the mean needed.
+    Lag ordering is (ts, tiebreak) per key — pass ``tiebreak_col`` when
+    timestamps can tie, or the lag (and d) is nondeterministic.
+
+    Scale: windows partition by KEY (no global sort); the moment agg is
+    map-side combinable. First observation per key has no lag and drops
+    from the numerator only.
+
+    Returns one row ``(n, n_diffs, dw)`` — dw NULL when the value
+    variance is 0.
+    """
+    y = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(key_col).alias("__k"), *order, y.alias("__y"))
+    w = Window.partitionBy("__k").orderBy(*order)
+    lagged = base.select(
+        "__y", F.lag("__y").over(w).alias("__p")
+    )
+    d = (F.col("__y") - F.col("__p")).cast("decimal(38,0)")
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("__p").cast("bigint").alias("n_diffs"),
+        F.sum(d * d).cast("decimal(38,0)").alias("__num"),
+        F.sum("__y").cast("bigint").alias("__s"),
+        F.sum(
+            F.col("__y").cast("decimal(38,0)")
+            * F.col("__y").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__q"),
+    )
+    nn = F.col("n").cast("double")
+    den = F.col("__q").cast("double") - (
+        F.col("__s").cast("double") * F.col("__s").cast("double") / nn
+    )
+    return agg.select(
+        "n",
+        "n_diffs",
+        F.when(
+            den > 0, F.round(F.col("__num").cast("double") / den, 6)
+        ).alias("dw"),
+    )
+
+
+def durbin_watson_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`durbin_watson` (identical lag order,
+    integer-cent folds, and final division)."""
+    tb = f", {tiebreak_col}" if tiebreak_col else ""
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS k,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y,
+               lag(CAST(round(CAST({value_col} AS DOUBLE) * 100, 0)
+                        AS BIGINT))
+                   OVER (PARTITION BY {key_col}
+                         ORDER BY {ts_col}{tb}) AS p
+        FROM {table}
+        WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(p) AS BIGINT) AS n_diffs,
+               CAST(sum(CAST(y - p AS HUGEINT) * (y - p)) AS HUGEINT)
+                   AS num,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+        FROM base
+    )
+    SELECT n, n_diffs,
+           CASE WHEN CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0
+                THEN round(CAST(num AS DOUBLE)
+                           / (CAST(q AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE)), 6)
+           END AS dw
+    FROM agg
+    """

@@ -947,3 +947,288 @@ def test_cochran_q_textbook_and_mcnemar_identity(spark):
 
     same = cochran_q(df, F.col("t"), [F.col("a"), F.col("a")]).collect()[0]
     assert same["q_stat"] is None
+
+
+def test_mann_whitney_brute_force_and_twin(spark):
+    """U, tie-corrected z, and Cliff's delta match an O(n^2) brute
+    force on the cent grid; Spark == DuckDB twin; empty-group and
+    all-tied degenerate cases go NULL."""
+    import math
+    import random
+    from collections import Counter
+
+    import duckdb
+
+    from pytrousse_spark.operators.classifier import (
+        mann_whitney_u,
+        mann_whitney_u_sql,
+    )
+
+    random.seed(3)
+    xs = [round(random.gauss(10, 2), 2) for _ in range(40)]
+    ys = [round(random.gauss(11, 2), 2) for _ in range(35)]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+
+    xc = [round(v * 100) for v in xs]
+    yc = [round(v * 100) for v in ys]
+    wins = sum(1 for a in xc for b in yc if a > b)
+    loss = sum(1 for a in xc for b in yc if a < b)
+    ties = sum(1 for a in xc for b in yc if a == b)
+    u1 = wins + ties / 2
+    n1, n2 = len(xc), len(yc)
+    nn = n1 + n2
+    tt = sum(t ** 3 - t for t in Counter(xc + yc).values())
+    var = n1 * n2 / 12 * ((nn + 1) - tt / (nn * (nn - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert abs(r["u1"] - u1) < 1e-9
+    assert abs(r["z"] - round(z, 6)) <= 2e-6
+    assert abs(r["cliffs_delta"] - round((wins - loss) / (n1 * n2), 6)) <= 2e-6
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{g}',{v})" for g, v in rows)
+        + ") x(g, v)"
+    )
+    w = con.execute(mann_whitney_u_sql("t", "g", "v", "a", "b")).fetchall()[0]
+    assert tuple(r) == tuple(w)
+
+    tied = spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("b", 1.0)] * 5, "g string, v double"
+    )
+    rt = mann_whitney_u(tied, "g", "v", "a", "b").collect()[0]
+    assert rt["z"] is None and rt["u1"] == 12.5  # ties/2 only
+    empty = mann_whitney_u(tied, "g", "v", "a", "zz").collect()[0]
+    assert empty["u1"] is None and empty["cliffs_delta"] is None
+
+
+def test_anova_bartlett_brute_force_and_twin(spark):
+    """One-way F / eta^2 and Bartlett's chi2 match textbook formulas
+    computed independently on the cent grid; Spark == DuckDB twins;
+    n_g<2 groups drop from Bartlett only."""
+    import math
+    import random
+
+    import duckdb
+
+    from pytrousse_spark.operators.classifier import (
+        anova_oneway,
+        anova_oneway_sql,
+        bartlett_test,
+        bartlett_test_sql,
+    )
+
+    random.seed(7)
+    groups = {
+        "a": [round(random.gauss(10, 2), 2) for _ in range(40)],
+        "b": [round(random.gauss(11, 2), 2) for _ in range(35)],
+        "c": [round(random.gauss(9, 3), 2) for _ in range(30)],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+
+    cents = {g: [round(v * 100) for v in vs] for g, vs in groups.items()}
+    allv = [v for vs in cents.values() for v in vs]
+    n, k = len(allv), len(cents)
+    gm = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in cents.values())
+    ssw = sum(
+        sum((v - sum(vs) / len(vs)) ** 2 for v in vs)
+        for vs in cents.values()
+    )
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r["k"], r["n"]) == (k, n)
+    assert abs(r["f_stat"] - round(f_ref, 6)) <= 1e-4
+    assert abs(r["eta_sq"] - round(ssb / (ssb + ssw), 6)) <= 1e-6
+
+    b = bartlett_test(df, "g", "v").collect()[0]
+    vars_ = {
+        g: sum((v - sum(vs) / len(vs)) ** 2 for v in vs) / (len(vs) - 1)
+        for g, vs in cents.items()
+    }
+    sp2 = sum((len(vs) - 1) * vars_[g] for g, vs in cents.items()) / (n - k)
+    chi = (n - k) * math.log(sp2) - sum(
+        (len(vs) - 1) * math.log(vars_[g]) for g, vs in cents.items()
+    )
+    corr = 1 + (
+        sum(1 / (len(vs) - 1) for vs in cents.values()) - 1 / (n - k)
+    ) / (3 * (k - 1))
+    assert abs(b["chi2"] - round(chi / corr, 6)) <= 1e-4
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{g}',{v})" for g, v in rows)
+        + ") x(g, v)"
+    )
+    wa = con.execute(anova_oneway_sql("t", "g", "v")).fetchall()[0]
+    assert tuple(r) == tuple(wa)
+    wb = con.execute(bartlett_test_sql("t", "g", "v")).fetchall()[0]
+    assert tuple(b) == tuple(wb)
+
+    # a singleton group drops from Bartlett (no variance), stays in ANOVA
+    df2 = df.unionByName(
+        spark.createDataFrame([("solo", 5.0)], "g string, v double")
+    )
+    assert bartlett_test(df2, "g", "v").collect()[0]["k"] == k
+    assert anova_oneway(df2, "g", "v").collect()[0]["k"] == k + 1
+
+
+def test_fleiss_kappa_textbook_and_twin(spark):
+    """kappa matches an independent computation on a mixed-agreement
+    panel; units with a deviant rating count are excluded; perfect
+    agreement -> 1; Spark == DuckDB twin."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from pytrousse_spark.operators.classifier import (
+        fleiss_kappa,
+        fleiss_kappa_sql,
+    )
+
+    pats = [["x", "x", "y"], ["y", "y", "y"], ["x", "y", "z"]]
+    units = [(u, c) for u in range(12) for c in pats[u % 3]]
+    df = spark.createDataFrame(units, "u int, v string")
+    r = fleiss_kappa(df, "u", "v", 3).collect()[0]
+
+    mat = defaultdict(Counter)
+    for u, c in units:
+        mat[u][c] += 1
+    rr, nu = 3, len(mat)
+    pbar = sum(
+        (sum(n * n for n in d.values()) - rr) / (rr * (rr - 1))
+        for d in mat.values()
+    ) / nu
+    pj = Counter()
+    for d in mat.values():
+        pj.update(d)
+    pe = sum((v / (nu * rr)) ** 2 for v in pj.values())
+    assert r["n_units"] == nu and r["n_raters"] == 3
+    assert abs(r["kappa"] - round((pbar - pe) / (1 - pe), 6)) <= 2e-6
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE rt AS SELECT * FROM (VALUES "
+        + ",".join(f"({u},'{c}')" for u, c in units)
+        + ") x(u, v)"
+    )
+    w = con.execute(fleiss_kappa_sql("rt", "u", "v", 3)).fetchall()[0]
+    assert tuple(r) == tuple(w)
+
+    # a unit with 4 ratings is excluded, not miscounted
+    df2 = df.unionByName(spark.createDataFrame([(0, "x")], "u int, v string"))
+    assert fleiss_kappa(df2, "u", "v", 3).collect()[0]["n_units"] == nu - 1
+
+    perfect = spark.createDataFrame(
+        [(u, c) for u in range(6) for c in ["x" if u % 2 else "y"] * 3],
+        "u int, v string",
+    )
+    assert fleiss_kappa(perfect, "u", "v", 3).collect()[0]["kappa"] == 1.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match=">= 2"):
+        fleiss_kappa(df, "u", "v", 1)
+
+
+def test_cochran_armitage_brute_force_and_twin(spark):
+    """z matches the textbook trend statistic computed independently;
+    a flat (single-score) design goes NULL; Spark == DuckDB twin."""
+    import math
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.classifier import (
+        cochran_armitage_trend,
+        cochran_armitage_trend_sql,
+    )
+
+    random.seed(11)
+    data = [
+        (s, 1 if random.random() < 0.2 + 0.1 * s else 0)
+        for s in (0, 1, 2, 3)
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(data, "s int, r int")
+    res = cochran_armitage_trend(
+        df, F.col("s"), F.col("r") == 1
+    ).collect()[0]
+
+    n = len(data)
+    rt = sum(r for _, r in data)
+    pbar = rt / n
+    sr = sum(s * r for s, r in data)
+    sn = sum(s for s, _ in data)
+    ssn = sum(s * s for s, _ in data)
+    z = (sr - pbar * sn) / math.sqrt(
+        pbar * (1 - pbar) * (ssn - sn * sn / n)
+    )
+    assert (res["k"], res["n"], res["n_success"]) == (4, n, rt)
+    assert abs(res["z_trend"] - round(z, 6)) <= 2e-6
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(map(str, data))
+        + ") x(s, r)"
+    )
+    w = con.execute(
+        cochran_armitage_trend_sql("t", "s", "(r = 1)")
+    ).fetchall()[0]
+    assert tuple(res) == tuple(w)
+
+    flat = spark.createDataFrame([(1, 1), (1, 0)], "s int, r int")
+    assert (
+        cochran_armitage_trend(flat, F.col("s"), F.col("r") == 1)
+        .collect()[0]["z_trend"]
+        is None
+    )
+
+
+def test_mrr_at_k_conventions_and_twin(spark):
+    """First-hit reciprocal ranks in micro-units; no-hit queries stay
+    in the denominator; rank > k hits don't count; Spark == DuckDB."""
+    import duckdb
+
+    from pytrousse_spark.operators.classifier import mrr_at_k, mrr_at_k_sql
+
+    rank_rows = [
+        ("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+        ("q2", 4, 1), ("q2", 5, 2), ("q3", 6, 1),
+    ]
+    rel_rows = [("q1", 2), ("q1", 3), ("q2", 9)]
+    rk = spark.createDataFrame(rank_rows, "query string, doc_id int, rank int")
+    rl = spark.createDataFrame(rel_rows, "query string, doc_id int")
+    r = mrr_at_k(rk, rl, 2).collect()[0]
+    # q1 first hit at rank 2 -> 0.5; q2/q3 no hit in top 2 -> 0
+    assert (r["n_queries"], r["n_hit"]) == (3, 1)
+    assert abs(r["mrr"] - round(0.5 / 3, 6)) <= 2e-6
+    # at k=3 q1's min RELEVANT rank is still 2
+    assert mrr_at_k(rk, rl, 3).collect()[0]["mrr"] == round(0.5 / 3, 6)
+
+    con = duckdb.connect()
+    rsq = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"('{q}',{d},{rr})" for q, d, rr in rank_rows)
+        + ') x("query", doc_id, rank)'
+    )
+    vsq = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"('{q}',{d})" for q, d in rel_rows)
+        + ') x("query", doc_id)'
+    )
+    w = con.execute(mrr_at_k_sql(rsq, vsq, 2)).fetchall()[0]
+    assert tuple(r) == tuple(w)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match=">= 1"):
+        mrr_at_k(rk, rl, 0)

@@ -191,9 +191,10 @@ def test_png_unsupported_color_type_returns_metadata_only(spark):
 
     from pytrousse_spark.operators.multimodal import PNG_SIG, _png_chunk, decode_png
 
-    # gray+alpha (4) and 16-bit COLOR stay honestly unsupported
-    # (16-bit GRAYSCALE graduated to supported in r9)
-    for ct, depth in ((4, 8), (2, 16), (6, 16)):
+    # r10: the byte-aligned grid is fully decodable — only SUB-BYTE
+    # depths (1/2/4-bit packed) remain honestly metadata-only, plus the
+    # spec-invalid 16-bit palette
+    for ct, depth in ((0, 1), (0, 2), (0, 4), (3, 4), (3, 16)):
         ihdr = st.pack(">IIBBBBB", 4, 4, depth, ct, 0, 0, 0)
         png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
         m = decode_png(png)
@@ -872,7 +873,8 @@ def test_png_gray16_roundtrip_exact_samples(spark):
     recovers every 2-byte sample exactly; 12 rows cycle all five
     filters with the a/c neighbors one SAMPLE (2 bytes) left — the r8
     VERDICT item-8 depth increment. Out-of-range samples raise at
-    encode time; 16-bit COLOR stays metadata-only."""
+    encode time. (16-bit COLOR graduated to supported in r10 —
+    test_png_rgb48_and_graya_roundtrip_exact_channels.)"""
     import pytest as _pt
 
     from pytrousse_spark.operators.multimodal import (
@@ -897,6 +899,72 @@ def test_png_gray16_roundtrip_exact_samples(spark):
         encode_png_gray16([[65536]])
     with _pt.raises(ValueError, match="0..65535"):
         encode_png_gray16([[-1]])
+
+
+def test_png_rgb48_and_graya_roundtrip_exact_channels(spark):
+    """r9 VERDICT item 8's last grid cells: 16-bit TRUECOLOR (color
+    type 2, depth 16, a/c filter neighbors one 6-byte PIXEL left) and
+    8-bit GRAY+ALPHA (type 4, neighbors one 2-byte PIXEL left)
+    round-trip every channel exactly through the pure-stdlib codec;
+    out-of-range 16-bit samples raise at encode time; both also decode
+    through the Adam7 path (interlace composes with the new cells)."""
+    import pytest as _pt
+
+    from pytrousse_spark.operators.multimodal import (
+        _encode_png,
+        decode_png,
+        encode_png_graya,
+        encode_png_rgb48,
+    )
+
+    W, H, i = 12, 10, 7
+    rgb_rows = [
+        [
+            tuple((i * 131 + 257 * x + 263 * y + 4099 * c) % 65536
+                  for c in range(3))
+            for x in range(W)
+        ]
+        for y in range(H)
+    ]
+    m = decode_png(encode_png_rgb48(rgb_rows))
+    assert (m["width"], m["height"], m["bit_depth"], m["color_type"]) == (
+        W, H, 16, 2,
+    )
+    flat = [ch for row in rgb_rows for px in row for ch in px]
+    assert m["pixels"] == flat
+    assert max(m["pixels"]) > 255  # both bytes genuinely vary
+
+    ga_rows = [
+        [
+            tuple((i * 7 + 3 * x + 5 * y + 11 * c) % 256 for c in range(2))
+            for x in range(W)
+        ]
+        for y in range(H)
+    ]
+    g = decode_png(encode_png_graya(ga_rows))
+    assert (g["width"], g["height"], g["bit_depth"], g["color_type"]) == (
+        W, H, 8, 4,
+    )
+    assert g["pixels"] == [ch for row in ga_rows for px in row for ch in px]
+
+    # interlace composes: Adam7-encode the same gray+alpha bytes and
+    # the 16-bit color bytes; decode must equal the sequential decode
+    ga_bytes = [bytes(ch for px in row for ch in px) for row in ga_rows]
+    adam_ga = decode_png(_encode_png(ga_bytes, W, H, 4, 2, interlace=1))
+    assert adam_ga["pixels"] == g["pixels"]
+    rgb_bytes = [
+        bytes(b for px in row for v in px for b in ((v >> 8) & 0xFF, v & 0xFF))
+        for row in rgb_rows
+    ]
+    adam_rgb = decode_png(
+        _encode_png(rgb_bytes, W, H, 2, 6, bit_depth=16, interlace=1)
+    )
+    assert adam_rgb["pixels"] == m["pixels"]
+
+    with _pt.raises(ValueError, match="0..65535"):
+        encode_png_rgb48([[(0, 0, 65536)]])
+    with _pt.raises(ValueError, match="0..65535"):
+        encode_png_rgb48([[(-1, 0, 0)]])
 
 
 def test_png_adam7_roundtrip_and_placement(spark):

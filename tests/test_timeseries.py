@@ -1152,3 +1152,64 @@ def test_distance_correlation_overflow_guard(spark):
     df = df.withColumn("ts", df["ts"].cast("timestamp"))
     with _pt.raises(ValueError, match="overflow DECIMAL"):
         distance_correlation(df, "ts", "v", "t", "x", "y")
+
+
+def test_durbin_watson_brute_force_and_twin(spark):
+    """DW matches an independent per-key lag computation on the cent
+    grid (smooth series -> d near 0, i.i.d. -> d near 2); the tie-break
+    column makes the lag deterministic; constant series go NULL;
+    Spark == DuckDB twin."""
+    import math
+    import random
+
+    import duckdb
+
+    from pytrousse_spark.operators.timeseries import (
+        durbin_watson,
+        durbin_watson_sql,
+    )
+
+    random.seed(5)
+    seq = [
+        ("u1", i, round(math.sin(i / 3) * 10 + 20, 2)) for i in range(30)
+    ] + [("u2", i, round(random.random() * 5, 2)) for i in range(20)]
+    df = spark.createDataFrame(seq, "k string, t int, v double")
+    r = durbin_watson(df, "k", "t", "v").collect()[0]
+
+    by_key: dict = {}
+    for k_, t, v in seq:
+        by_key.setdefault(k_, []).append((t, round(v * 100)))
+    num, vals = 0, []
+    for vs in by_key.values():
+        vs.sort()
+        ys = [y for _, y in vs]
+        vals += ys
+        num += sum((ys[i] - ys[i - 1]) ** 2 for i in range(1, len(ys)))
+    m = sum(vals) / len(vals)
+    den = sum((y - m) ** 2 for y in vals)
+    assert (r["n"], r["n_diffs"]) == (len(vals), len(vals) - 2)
+    assert abs(r["dw"] - round(num / den, 6)) <= 1e-5
+    # a smooth series dominates: strong positive autocorrelation
+    assert r["dw"] < 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{k_}',{t},{v})" for k_, t, v in seq)
+        + ") x(k, t, v)"
+    )
+    w = con.execute(durbin_watson_sql("t", "k", "t", "v")).fetchall()[0]
+    assert tuple(r) == tuple(w)
+
+    const = spark.createDataFrame(
+        [("u", i, 3.0) for i in range(5)], "k string, t int, v double"
+    )
+    assert durbin_watson(const, "k", "t", "v").collect()[0]["dw"] is None
+
+    # i.i.d. noise: DW concentrates near 2
+    noisy = spark.createDataFrame(
+        [("u", i, round(random.gauss(0, 1), 3)) for i in range(400)],
+        "k string, t int, v double",
+    )
+    d2 = durbin_watson(noisy, "k", "t", "v").collect()[0]["dw"]
+    assert 1.6 < d2 < 2.4
