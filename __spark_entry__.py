@@ -8973,14 +8973,16 @@ def q300_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.length(F.col("text"))
         ),
     ]
-    parts = [
-        d.select(
-            F.col("doc_id").alias("unit"),
-            F.when(p, "en").otherwise("other").alias("rating"),
-        )
-        for p in preds
-    ]
-    ratings = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # ONE corpus scan (not one per rater): all three ratings compute in
+    # a single projection and explode to the long frame
+    ratings = d.select(
+        F.col("doc_id").alias("unit"),
+        F.explode(
+            F.array(
+                *[F.when(p, "en").otherwise("other") for p in preds]
+            )
+        ).alias("rating"),
+    )
     return fleiss_kappa(ratings, "unit", "rating", raters=3)
 
 

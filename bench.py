@@ -314,6 +314,12 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q287_hits",
         "q289_conformal",
         "q292_krippendorff_alpha",
+        # round-10 additions: the two new rows with a real scale axis —
+        # Mann-Whitney's cent-level frame (levels saturate; the window
+        # is level-bounded) and Durbin-Watson's per-key lag windows
+        # (events growth)
+        "q297_mann_whitney",
+        "q302_durbin_watson",
     ):
         fn = getattr(entrymod, name)
         try:
@@ -451,6 +457,11 @@ def _skew_stress(spark, tmp: str) -> dict:
     out: dict[str, dict] = {}
     for name, fn in cases.items():
         try:
+            # cold labels must be honest: q167's probe would otherwise
+            # warm q190's "cold" run through the semantic probe cache
+            from pytrousse_spark.operators import _probe as _pc
+
+            _pc.clear()
             row = _run(fn)
             band = _IDLE_SKEW_RATIOS.get(name)
             if band is not None and row["ratio"] > 2 * band:

@@ -3781,10 +3781,13 @@ def anova_oneway(
 
     Exactness: per-group count / sum / sum-of-squares fold in integer
     CENTS in ONE map-side-combinable agg (sum of squares rides
-    DECIMAL(38) — cents^2 sums overflow BIGINT near ~1e9 rows); SSB and
-    SSW are then single double expressions over k group rows, so the
-    DuckDB twin replays them bit-for-bit. Two-stage agg, output bounded
-    by k; no window, no join.
+    DECIMAL(38) — cents^2 sums overflow BIGINT near ~1e9 rows). The
+    between-group term s_g^2/n_g is NOT an integer, so it rounds ONCE
+    per group to integer MICRO-cents^2 (the krippendorff per-unit
+    convention) before the cross-group fold — a double SUM across
+    groups would be fold-order-nondeterministic between engines. The
+    final F/eta^2 are single double expressions over exact integers.
+    Two-stage agg, output bounded by k; no window, no join.
 
     Returns one row ``(k, n, f_stat, eta_sq)`` — NULL F when k < 2,
     N <= k, or SSW = 0 (all groups constant).
@@ -3809,21 +3812,25 @@ def anova_oneway(
         F.sum("__s").cast("bigint").alias("__st"),
         F.sum("__q").cast("decimal(38,0)").alias("__qt"),
         F.sum(
-            F.col("__s").cast("double") * F.col("__s").cast("double")
-            / F.col("__n").cast("double")
-        ).alias("__sb"),
+            F.round(
+                F.col("__s").cast("double") * F.col("__s").cast("double")
+                / F.col("__n").cast("double") * F.lit(1e6),
+                0,
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__sb6"),
     )
-    ssb = F.col("__sb") - (
+    sb = F.col("__sb6").cast("double") / F.lit(1e6)
+    ssb = sb - (
         F.col("__st").cast("double") * F.col("__st").cast("double")
         / F.col("n").cast("double")
     )
-    ssw = F.col("__qt").cast("double") - F.col("__sb")
+    ssw = F.col("__qt").cast("double") - sb
     # total SS written as qt - st^2/n DIRECTLY (not ssb + ssw): the twin
     # uses this form and (a-b)+(c-a) != c-b bitwise in IEEE
     sst = F.col("__qt").cast("double") - (
         F.col("__st").cast("double") * F.col("__st").cast("double")
         / F.col("n").cast("double")
-    )
+    )  # qt - st^2/n directly — the twin's form
     kk, nn = F.col("k").cast("double"), F.col("n").cast("double")
     return agg.select(
         "k",
@@ -3859,22 +3866,27 @@ def anova_oneway_sql(table: str, group_col: str, value_col: str) -> str:
                CAST(sum(n) AS BIGINT) AS n,
                CAST(sum(s) AS BIGINT) AS st,
                CAST(sum(q) AS HUGEINT) AS qt,
-               sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                   / CAST(n AS DOUBLE)) AS sb
+               CAST(sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   / CAST(n AS DOUBLE) * 1e6, 0)
+                             AS HUGEINT)) AS HUGEINT) AS sb6
         FROM g
     )
     SELECT k, n,
            CASE WHEN k >= 2 AND n > k
-                     AND CAST(qt AS DOUBLE) - sb > 0
-                THEN round(((sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
-                                  / CAST(n AS DOUBLE)) / (k - 1.0))
-                           / ((CAST(qt AS DOUBLE) - sb) / (n - CAST(k AS DOUBLE))), 6)
+                     AND CAST(qt AS DOUBLE) - CAST(sb6 AS DOUBLE) / 1e6 > 0
+                THEN round(((CAST(sb6 AS DOUBLE) / 1e6
+                             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                               / CAST(n AS DOUBLE)) / (k - 1.0))
+                           / ((CAST(qt AS DOUBLE)
+                               - CAST(sb6 AS DOUBLE) / 1e6)
+                              / (n - CAST(k AS DOUBLE))), 6)
            END AS f_stat,
            CASE WHEN CAST(qt AS DOUBLE)
                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
                        / CAST(n AS DOUBLE) > 0
-                THEN round((sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
-                                 / CAST(n AS DOUBLE))
+                THEN round((CAST(sb6 AS DOUBLE) / 1e6
+                            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                              / CAST(n AS DOUBLE))
                            / (CAST(qt AS DOUBLE)
                               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
                                 / CAST(n AS DOUBLE)), 6)
@@ -3896,12 +3908,15 @@ def bartlett_test(
 
     with s_g^2 the unbiased group variances and s_p^2 their pooled
     value. Exactness: the SAME integer-cent moment frame as
-    anova_oneway (one map-side agg, sums of squares in DECIMAL(38));
-    variances and logs are then single double expressions over k group
-    rows — ln() of identical doubles is identical in both engines, and
-    round 6 absorbs any last-ulp libm difference. Groups with n_g < 2
-    are EXCLUDED (no variance); chi2 NULL when k < 2 after exclusion
-    or any remaining group variance is 0.
+    anova_oneway (one map-side agg, sums of squares in DECIMAL(38)).
+    The cross-group folds are NOT left as double sums (fold-order-
+    nondeterministic between engines): each group's (n-1)s^2, (n-1)
+    ln(s^2) and 1/(n-1) terms round ONCE to integer micro/nano units
+    (the krippendorff per-unit convention) — which also absorbs any
+    last-ulp libm ln() difference — and the integer sums feed one
+    final double expression. Groups with n_g < 2 are EXCLUDED (no
+    variance); chi2 NULL when k < 2 after exclusion or any remaining
+    group variance is 0.
 
     Returns one row ``(k, n, chi2)`` over the INCLUDED groups.
     """
@@ -3928,15 +3943,28 @@ def bartlett_test(
     agg = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("__n").cast("bigint").alias("n"),
-        F.sum((nd - F.lit(1.0)) * v).alias("__sw"),
-        F.sum(F.when(v > 0, (nd - F.lit(1.0)) * F.log(v))).alias("__sl"),
+        F.sum(
+            F.round((nd - F.lit(1.0)) * v * F.lit(1e6), 0)
+            .cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__sw6"),
+        F.sum(
+            F.when(
+                v > 0,
+                F.round(
+                    (nd - F.lit(1.0)) * F.log(v) * F.lit(1e6), 0
+                ).cast("decimal(38,0)"),
+            )
+        ).cast("decimal(38,0)").alias("__sl6"),
         F.min(v).alias("__vmin"),
-        F.sum(F.lit(1.0) / (nd - F.lit(1.0))).alias("__ih"),
+        F.sum(
+            F.round(F.lit(1e12) / (nd - F.lit(1.0)), 0).cast("bigint")
+        ).cast("bigint").alias("__ih12"),
     )
     kk, nn = F.col("k").cast("double"), F.col("n").cast("double")
-    sp2 = F.col("__sw") / (nn - kk)
+    sp2 = F.col("__sw6").cast("double") / F.lit(1e6) / (nn - kk)
     c = F.lit(1.0) + (
-        F.col("__ih") - F.lit(1.0) / (nn - kk)
+        F.col("__ih12").cast("double") / F.lit(1e12)
+        - F.lit(1.0) / (nn - kk)
     ) / (F.lit(3.0) * (kk - F.lit(1.0)))
     return agg.select(
         "k",
@@ -3944,7 +3972,12 @@ def bartlett_test(
         F.when(
             (F.col("k") >= 2) & (F.col("__vmin") > 0),
             F.round(
-                ((nn - kk) * F.log(sp2) - F.col("__sl")) / c, 6
+                (
+                    (nn - kk) * F.log(sp2)
+                    - F.col("__sl6").cast("double") / F.lit(1e6)
+                )
+                / c,
+                6,
             ),
         ).alias("chi2"),
     )
@@ -3976,18 +4009,25 @@ def bartlett_test_sql(table: str, group_col: str, value_col: str) -> str:
     ), agg AS (
         SELECT CAST(count(*) AS BIGINT) AS k,
                CAST(sum(n) AS BIGINT) AS n,
-               sum((CAST(n AS DOUBLE) - 1.0) * v) AS sw,
-               sum(CASE WHEN v > 0
-                        THEN (CAST(n AS DOUBLE) - 1.0) * ln(v) END) AS sl,
+               CAST(sum(CAST(round((CAST(n AS DOUBLE) - 1.0) * v * 1e6, 0)
+                             AS HUGEINT)) AS HUGEINT) AS sw6,
+               CAST(sum(CASE WHEN v > 0
+                             THEN CAST(round((CAST(n AS DOUBLE) - 1.0)
+                                             * ln(v) * 1e6, 0)
+                                       AS HUGEINT) END) AS HUGEINT) AS sl6,
                min(v) AS vmin,
-               sum(1.0 / (CAST(n AS DOUBLE) - 1.0)) AS ih
+               CAST(sum(CAST(round(1e12 / (CAST(n AS DOUBLE) - 1.0), 0)
+                             AS BIGINT)) AS BIGINT) AS ih12
         FROM v
     )
     SELECT k, n,
            CASE WHEN k >= 2 AND vmin > 0
                 THEN round(((CAST(n AS DOUBLE) - k)
-                            * ln(sw / (CAST(n AS DOUBLE) - k)) - sl)
-                           / (1.0 + (ih - 1.0 / (CAST(n AS DOUBLE) - k))
+                            * ln(CAST(sw6 AS DOUBLE) / 1e6
+                                 / (CAST(n AS DOUBLE) - k))
+                            - CAST(sl6 AS DOUBLE) / 1e6)
+                           / (1.0 + (CAST(ih12 AS DOUBLE) / 1e12
+                                     - 1.0 / (CAST(n AS DOUBLE) - k))
                                     / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
            END AS chi2
     FROM agg
