@@ -235,6 +235,12 @@ _IDLE_BANDS_10X = {
     "q287_hits": 46.0,
     "q289_conformal": 18.0,
     "q292_krippendorff_alpha": 13.0,
+    # round-10 rows — bands ~2x this round's 10x measures (1.07 /
+    # 1.21 s on a ~1.0-probe host): both are ~FLAT at 10x — the
+    # Mann-Whitney level frame saturates at distinct cents, the DW
+    # windows are key-partitioned with map-side moment partials
+    "q297_mann_whitney": 2.5,
+    "q302_durbin_watson": 3.0,
 }
 
 

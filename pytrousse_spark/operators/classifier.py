@@ -4074,20 +4074,22 @@ def fleiss_kappa(
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
     mu = cnt.groupBy("__u").agg(F.sum("__n").cast("bigint").alias("__m"))
-    ok = cnt.join(
-        mu.where(F.col("__m") == raters).select("__u"), "__u"
-    )
+    keep = mu.where(F.col("__m") == raters)
+    ok = cnt.join(keep.select("__u"), "__u")
+    # n_units reads off the per-unit frame (already one row per unit) —
+    # a count_distinct alongside the regular sum would plan an Expand
+    # over the whole (unit, value) frame (the q20 multi-distinct lesson)
+    uq = keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_units"))
     cat = ok.groupBy("__v").agg(F.sum("__n").cast("bigint").alias("__cj"))
     sq = ok.agg(
         F.sum(F.col("__n") * F.col("__n")).cast("bigint").alias("__s2"),
-        (F.count_distinct(F.col("__u"))).cast("bigint").alias("n_units"),
     )
     cj = F.col("__cj").cast("decimal(38,0)")
     mg = cat.agg(
         F.sum(cj * cj).cast("decimal(38,0)").alias("__m2"),
         F.count(F.lit(1)).cast("bigint").alias("n_categories"),
     )
-    agg = sq.crossJoin(F.broadcast(mg))
+    agg = sq.crossJoin(F.broadcast(uq)).crossJoin(F.broadcast(mg))
     r = float(raters)
     nu = F.col("n_units").cast("double")
     pbar = (
