@@ -909,6 +909,11 @@ def main() -> None:
                     "ratio": ratio_i,
                     "probe_adjacent_sec": probe_i,
                     "ratio_normalized": norm_i,
+                    # per-query walls so drift audits can read the BEST
+                    # pass, not the (possibly slow-window) first one;
+                    # sits before the payload's tail scalars so the
+                    # driver's truncated recording keeps the headline
+                    "queries": {k: walls_i[k] for k in sorted(r1)},
                 }
             )
         if anchor_pass_detail:
