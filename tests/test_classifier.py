@@ -1232,3 +1232,56 @@ def test_mrr_at_k_conventions_and_twin(spark):
 
     with _pt.raises(ValueError, match=">= 1"):
         mrr_at_k(rk, rl, 0)
+
+
+def test_round10_stats_invariance_laws(spark):
+    """Exact invariance laws for the round-10 statistics:
+    - Mann-Whitney: U1(a,b) + U1(b,a) == n1*n2 (complement law),
+      delta antisymmetric under group swap, U invariant under a
+      constant value shift (integer-cent arithmetic makes these exact);
+    - ANOVA F / eta^2 and Bartlett chi2 invariant under value shift;
+    - Durbin-Watson invariant under value shift (the mean cancels in
+      the numerator BY CONSTRUCTION — this law is the design)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.classifier import (
+        anova_oneway,
+        bartlett_test,
+        mann_whitney_u,
+    )
+    from pytrousse_spark.operators.timeseries import durbin_watson
+
+    random.seed(13)
+    rows = [
+        (g, i, round(random.gauss(10 + 2 * (g == "b"), 2 + (g == "c")), 2))
+        for g in ("a", "b", "c")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    shifted = df.withColumn("v", F.col("v") + F.lit(137.0))
+
+    mw = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    mw_sw = mann_whitney_u(df, "g", "v", "b", "a").collect()[0]
+    assert mw["u1"] + mw_sw["u1"] == mw["n1"] * mw["n2"]
+    assert mw["cliffs_delta"] == -mw_sw["cliffs_delta"]
+    assert abs(mw["z"] + mw_sw["z"]) <= 2e-6
+    mw_sh = mann_whitney_u(shifted, "g", "v", "a", "b").collect()[0]
+    assert (mw["u1"], mw["cliffs_delta"]) == (mw_sh["u1"], mw_sh["cliffs_delta"])
+
+    av, av_sh = (
+        anova_oneway(d, "g", "v").collect()[0] for d in (df, shifted)
+    )
+    assert abs(av["f_stat"] - av_sh["f_stat"]) <= 1e-4
+    assert abs(av["eta_sq"] - av_sh["eta_sq"]) <= 1e-6
+
+    ba, ba_sh = (
+        bartlett_test(d, "g", "v").collect()[0] for d in (df, shifted)
+    )
+    assert abs(ba["chi2"] - ba_sh["chi2"]) <= 1e-4
+
+    dw, dw_sh = (
+        durbin_watson(d, "g", "t", "v").collect()[0] for d in (df, shifted)
+    )
+    assert abs(dw["dw"] - dw_sh["dw"]) <= 1e-6
