@@ -191,11 +191,14 @@ def test_png_unsupported_color_type_returns_metadata_only(spark):
 
     from pytrousse_spark.operators.multimodal import PNG_SIG, _png_chunk, decode_png
 
-    # r10: the byte-aligned grid is fully decodable — only SUB-BYTE
-    # depths (1/2/4-bit packed) remain honestly metadata-only, plus the
-    # spec-invalid 16-bit palette
-    for ct, depth in ((0, 1), (0, 2), (0, 4), (3, 4), (3, 16)):
-        ihdr = st.pack(">IIBBBBB", 4, 4, depth, ct, 0, 0, 0)
+    # r10: the whole spec grid decodes sequentially (sub-byte included);
+    # what remains metadata-only is spec-INVALID combinations (16-bit /
+    # 3-bit palette, sub-byte truecolor) and INTERLACED sub-byte
+    # (bit-level pass scatter — pinned in the sub-byte round-trip test)
+    for ct, depth, inter in (
+        (3, 16, 0), (3, 3, 0), (2, 4, 0), (0, 1, 1), (0, 2, 1),
+    ):
+        ihdr = st.pack(">IIBBBBB", 4, 4, depth, ct, 0, 0, inter)
         png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
         m = decode_png(png)
         assert m["color_type"] == ct and m["pixels"] is None
@@ -1038,3 +1041,58 @@ def test_rrf_fusion_laws(spark):
         ).fetchall()
     }
     assert got == w
+
+
+def test_png_subbyte_roundtrip_all_depths(spark):
+    """r10 codec increment beyond the gate budget (gate slot next
+    round): 1/2/4-bit grayscale and paletted PNGs round-trip every
+    sample through the pure-stdlib codec — filters run over the PACKED
+    bytes (the spec's sub-byte rule), trailing pad bits drop, widths
+    that don't fill the last byte are exercised. Interlaced sub-byte
+    stays honestly metadata-only; out-of-range samples and oversized
+    palettes raise at encode time."""
+    import pytest as _pt
+
+    from pytrousse_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray_packed,
+        encode_png_palette_packed,
+    )
+
+    # widths chosen so the final byte pads for every depth
+    for depth, w in ((1, 13), (2, 9), (4, 7)):
+        rows = [
+            [(3 * x + 5 * y + 1) % (1 << depth) for x in range(w)]
+            for y in range(11)
+        ]
+        m = decode_png(encode_png_gray_packed(rows, depth))
+        assert (m["width"], m["height"], m["bit_depth"], m["color_type"]) \
+            == (w, 11, depth, 0)
+        assert m["pixels"] == [v for row in rows for v in row], depth
+
+        pal = [
+            ((i * 37 + 5) % 256, (i * 37 + 16) % 256, (i * 37 + 27) % 256)
+            for i in range(1 << depth)
+        ]
+        p = decode_png(encode_png_palette_packed(rows, pal, depth))
+        assert (p["bit_depth"], p["color_type"]) == (depth, 3)
+        want = [ch for row in rows for v in row for ch in pal[v]]
+        assert p["pixels"] == want, depth
+
+    with _pt.raises(ValueError, match="0..3"):
+        encode_png_gray_packed([[4]], 2)
+    with _pt.raises(ValueError, match="1..4"):
+        encode_png_palette_packed([[0]], [(0, 0, 0)] * 5, 2)
+    with _pt.raises(ValueError, match="must be 1, 2 or 4"):
+        encode_png_gray_packed([[0]], 3)
+
+    # interlaced sub-byte: metadata-only (bit-level pass scatter is the
+    # one remaining undecoded layout)
+    import struct as st
+
+    from pytrousse_spark.operators.multimodal import PNG_SIG, _png_chunk
+
+    ihdr = st.pack(">IIBBBBB", 4, 4, 1, 0, 0, 0, 1)
+    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    m = decode_png(png)
+    assert m["bit_depth"] == 1 and m["pixels"] is None
