@@ -472,8 +472,94 @@ def _pack_bits(row: list[int], bit_depth: int) -> bytes:
     return bytes(out)
 
 
+def _unpack_bits(data, n: int, bit_depth: int) -> list[int]:
+    """Inverse of :func:`_pack_bits`: the first ``n`` MSB-first samples
+    of a packed scanline; trailing pad bits discard."""
+    mask = (1 << bit_depth) - 1
+    per_byte = 8 // bit_depth
+    return [
+        (data[x // per_byte] >> (8 - bit_depth * (x % per_byte + 1))) & mask
+        for x in range(n)
+    ]
+
+
+def _deinterlace_adam7_subbyte(
+    raw: bytes, w: int, h: int, bit_depth: int
+) -> list[int]:
+    """Adam7 reconstruction for SUB-BYTE depths: each pass packs ITS OWN
+    scanlines (pad bits per pass row, filters at 1 byte/pixel over the
+    packed bytes), so reconstruction must unfilter pass-local bytes,
+    unpack pass-local samples, then scatter SAMPLES (not bytes) back to
+    (x0 + k*dx, y0 + r*dy). Returns the flat sample list in full-image
+    scanline order — the layout the sequential path produces."""
+    grid = [0] * (w * h)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+        sub_stride = (pw * bit_depth + 7) // 8
+        prior = bytes(sub_stride)
+        for r in range(ph):
+            if pos + 1 + sub_stride > len(raw):
+                raise ValueError("IDAT length mismatch")
+            f = raw[pos]
+            line = raw[pos + 1 : pos + 1 + sub_stride]
+            pos += 1 + sub_stride
+            cur = _unfilter_line(f, line, prior, 1)
+            samples = _unpack_bits(cur, pw, bit_depth)
+            y = y0 + r * dy
+            for k in range(pw):
+                grid[y * w + x0 + k * dx] = samples[k]
+            prior = bytes(cur)
+    if pos != len(raw):
+        raise ValueError("IDAT length mismatch")
+    return grid
+
+
+def _encode_png_packed(
+    sample_rows: list[list[int]],
+    bit_depth: int,
+    color_type: int,
+    palette: list[tuple[int, int, int]] | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """Shared sub-byte PNG writer: pack samples MSB-first per scanline
+    (per PASS for Adam7 — each pass pads and filters its own packed
+    rows), filter over the packed bytes at 1 byte/pixel, emit chunks."""
+    import struct as st
+    import zlib
+
+    h = len(sample_rows)
+    w = len(sample_rows[0]) if h else 0
+    if interlace == 1:
+        raw = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            sub_rows = [
+                _pack_bits(
+                    [sample_rows[y0 + r * dy][x0 + k * dx] for k in range(pw)],
+                    bit_depth,
+                )
+                for r in range(ph)
+            ]
+            raw += _filter_scanlines(sub_rows, (pw * bit_depth + 7) // 8, 1)
+    else:
+        packed = [_pack_bits(row, bit_depth) for row in sample_rows]
+        raw = _filter_scanlines(packed, (w * bit_depth + 7) // 8, 1)
+    ihdr = st.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    plte = (
+        _png_chunk(b"PLTE", bytes(ch for entry in palette for ch in entry))
+        if palette is not None
+        else b""
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + plte
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png_gray_packed(
-    rows: list[list[int]], bit_depth: int
+    rows: list[list[int]], bit_depth: int, interlace: int = 0
 ) -> bytes:
     """A REAL, viewer-openable SUB-BYTE grayscale PNG (color type 0 at
     bit depth 1, 2 or 4 — bilevel/4-level/16-level images, the PNG
@@ -481,8 +567,9 @@ def encode_png_gray_packed(
     into bytes, the final byte of each scanline zero-pads, and the
     standard filters run over the PACKED bytes at 1 byte/pixel (the
     spec's sub-byte filtering rule — a decoder that unfilters at the
-    sample level corrupts every non-None row). Round 10; sequential
-    (interlace 0) only — interlaced sub-byte stays metadata-only."""
+    sample level corrupts every non-None row). ``interlace=1`` writes
+    the Adam7 layout: each pass packs, pads and filters its OWN
+    scanlines (round 10 — the last undecoded layout closed)."""
     if bit_depth not in (1, 2, 4):
         raise ValueError("sub-byte PNG bit depth must be 1, 2 or 4")
     top = max((max(row) for row in rows if row), default=0)
@@ -491,32 +578,19 @@ def encode_png_gray_packed(
         raise ValueError(
             f"{bit_depth}-bit PNG samples must be in 0..{(1 << bit_depth) - 1}"
         )
-    h = len(rows)
-    w = len(rows[0]) if h else 0
-    packed = [_pack_bits(row, bit_depth) for row in rows]
-    import struct as st
-    import zlib
-
-    stride = (w * bit_depth + 7) // 8
-    raw = _filter_scanlines(packed, stride, 1)
-    ihdr = st.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0, 0)
-    return (
-        PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return _encode_png_packed(rows, bit_depth, 0, interlace=interlace)
 
 
 def encode_png_palette_packed(
     index_rows: list[list[int]],
     palette: list[tuple[int, int, int]],
     bit_depth: int,
+    interlace: int = 0,
 ) -> bytes:
     """A REAL, viewer-openable SUB-BYTE PALETTED PNG (color type 3 at
     bit depth 1/2/4 — GIF-era indexed images): packed palette indices
     plus a PLTE chunk; the palette may hold at most 2^depth entries.
-    Round 10; sequential only (see :func:`encode_png_gray_packed`)."""
+    ``interlace=1`` writes Adam7 (see :func:`encode_png_gray_packed`)."""
     if bit_depth not in (1, 2, 4):
         raise ValueError("sub-byte PNG bit depth must be 1, 2 or 4")
     if not 1 <= len(palette) <= (1 << bit_depth):
@@ -530,24 +604,8 @@ def encode_png_palette_packed(
             f"palette index out of range at encode time: index {top} "
             f"with a {len(palette)}-entry palette"
         )
-    h = len(index_rows)
-    w = len(index_rows[0]) if h else 0
-    packed = [_pack_bits(row, bit_depth) for row in index_rows]
-    import struct as st
-    import zlib
-
-    stride = (w * bit_depth + 7) // 8
-    raw = _filter_scanlines(packed, stride, 1)
-    ihdr = st.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
-    plte = _png_chunk(
-        b"PLTE", bytes(ch for entry in palette for ch in entry)
-    )
-    return (
-        PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + plte
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + _png_chunk(b"IEND", b"")
+    return _encode_png_packed(
+        index_rows, bit_depth, 3, palette=palette, interlace=interlace
     )
 
 
@@ -684,9 +742,10 @@ def decode_png(b: bytes) -> dict:
     # supported (color_type, depth) grid: the WHOLE grid PNG defines —
     # color types 0/2/3/4/6 at 8-bit, 0/2/4/6 at 16-bit (r9 VERDICT
     # item 8 closed 16-bit color and gray+alpha), and the SUB-BYTE
-    # depths 1/2/4 for gray and palette (r10 — sequential only:
-    # interlaced sub-byte needs bit-level pass scatter and stays
-    # metadata-only, pinned by test). Palette is <=8-bit-index by spec.
+    # depths 1/2/4 for gray and palette (r10; both interlace methods —
+    # Adam7 sub-byte via bit-level pass scatter,
+    # _deinterlace_adam7_subbyte). Every LEGAL layout decodes; the
+    # grid check now only rejects spec-invalid combinations.
     if (color_type, bit_depth) not in (
         (0, 8), (2, 8), (3, 8), (4, 8), (6, 8),
         (0, 16), (2, 16), (4, 16), (6, 16),
@@ -695,16 +754,17 @@ def decode_png(b: bytes) -> dict:
         return meta
     if color_type == 3 and plte is None:
         raise ValueError("paletted PNG without PLTE chunk")
-    if bit_depth < 8:
-        if _inter == 1:
-            return meta  # interlaced sub-byte: honest metadata-only
+    subbyte = bit_depth < 8
+    if subbyte:
         bpp = 1  # spec: filters treat sub-byte rows at 1 byte/pixel
         stride = (w * bit_depth + 7) // 8
     else:
         bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type] * (bit_depth // 8)
         stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if _inter == 1:
+    if _inter == 1 and subbyte:
+        pixels = _deinterlace_adam7_subbyte(raw, w, h, bit_depth)
+    elif _inter == 1:
         pixels = _deinterlace_adam7(raw, w, h, bpp)
     elif _inter == 0:
         if len(raw) != h * (stride + 1):
@@ -719,18 +779,17 @@ def decode_png(b: bytes) -> dict:
             prior = bytes(cur)
     else:
         raise ValueError(f"unknown interlace method {_inter}")
-    if bit_depth < 8:
+    if subbyte and _inter == 0:
         # unpack MSB-first packed samples per scanline; trailing pad
-        # bits in the last byte of each row are discarded
-        mask = (1 << bit_depth) - 1
-        per_byte = 8 // bit_depth
+        # bits in the last byte of each row are discarded (the Adam7
+        # sub-byte path already scattered samples, not bytes)
         unpacked: list[int] = []
         for r in range(h):
-            row = pixels[r * stride : (r + 1) * stride]
-            for x in range(w):
-                b = row[x // per_byte]
-                shift = 8 - bit_depth * (x % per_byte + 1)
-                unpacked.append((b >> shift) & mask)
+            unpacked.extend(
+                _unpack_bits(
+                    pixels[r * stride : (r + 1) * stride], w, bit_depth
+                )
+            )
         pixels = unpacked
     if color_type == 3:
         n_entries = len(plte) // 3

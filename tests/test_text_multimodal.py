@@ -191,14 +191,11 @@ def test_png_unsupported_color_type_returns_metadata_only(spark):
 
     from pytrousse_spark.operators.multimodal import PNG_SIG, _png_chunk, decode_png
 
-    # r10: the whole spec grid decodes sequentially (sub-byte included);
-    # what remains metadata-only is spec-INVALID combinations (16-bit /
-    # 3-bit palette, sub-byte truecolor) and INTERLACED sub-byte
-    # (bit-level pass scatter — pinned in the sub-byte round-trip test)
-    for ct, depth, inter in (
-        (3, 16, 0), (3, 3, 0), (2, 4, 0), (0, 1, 1), (0, 2, 1),
-    ):
-        ihdr = st.pack(">IIBBBBB", 4, 4, depth, ct, 0, 0, inter)
+    # r10: EVERY legal PNG layout decodes (sub-byte included, both
+    # interlace methods); only spec-INVALID combinations return
+    # metadata (16-bit / 3-bit palette, sub-byte truecolor/alpha)
+    for ct, depth in ((3, 16), (3, 3), (2, 4), (4, 4), (6, 2)):
+        ihdr = st.pack(">IIBBBBB", 4, 4, depth, ct, 0, 0, 0)
         png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
         m = decode_png(png)
         assert m["color_type"] == ct and m["pixels"] is None
@@ -1086,13 +1083,48 @@ def test_png_subbyte_roundtrip_all_depths(spark):
     with _pt.raises(ValueError, match="must be 1, 2 or 4"):
         encode_png_gray_packed([[0]], 3)
 
-    # interlaced sub-byte: metadata-only (bit-level pass scatter is the
-    # one remaining undecoded layout)
-    import struct as st
 
-    from pytrousse_spark.operators.multimodal import PNG_SIG, _png_chunk
+def test_png_subbyte_adam7_equals_sequential(spark):
+    """Interlaced SUB-BYTE decode (bit-level pass scatter — the last
+    PNG layout to land): Adam7-encoded 1/2/4-bit images decode equal
+    to the sequential decode across a dimension sweep that includes
+    empty passes and pad-bit widths, for gray AND palette; and the
+    transposed-image placement trap (equal plain sums) distinguishes."""
+    import itertools
 
-    ihdr = st.pack(">IIBBBBB", 4, 4, 1, 0, 0, 0, 1)
-    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
-    m = decode_png(png)
-    assert m["bit_depth"] == 1 and m["pixels"] is None
+    from pytrousse_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray_packed,
+        encode_png_palette_packed,
+    )
+
+    for depth in (1, 2, 4):
+        for w, h in itertools.product((1, 3, 7, 9, 13), (1, 2, 5, 8)):
+            rows = [
+                [(3 * x + 5 * y + 1) % (1 << depth) for x in range(w)]
+                for y in range(h)
+            ]
+            seq = decode_png(encode_png_gray_packed(rows, depth))
+            inter = decode_png(
+                encode_png_gray_packed(rows, depth, interlace=1)
+            )
+            assert inter["pixels"] == seq["pixels"], (depth, w, h)
+        pal = [
+            ((i * 37 + 5) % 256, (i * 37 + 16) % 256, (i * 37 + 27) % 256)
+            for i in range(1 << depth)
+        ]
+        rows = [
+            [(3 * x + 5 * y) % (1 << depth) for x in range(9)]
+            for y in range(8)
+        ]
+        ps = decode_png(encode_png_palette_packed(rows, pal, depth))
+        pi = decode_png(
+            encode_png_palette_packed(rows, pal, depth, interlace=1)
+        )
+        assert pi["pixels"] == ps["pixels"], depth
+
+    rows = [[(x + 2 * y) % 2 for x in range(8)] for y in range(8)]
+    t = [[rows[x][y] for x in range(8)] for y in range(8)]
+    a = decode_png(encode_png_gray_packed(rows, 1, interlace=1))["pixels"]
+    b = decode_png(encode_png_gray_packed(t, 1, interlace=1))["pixels"]
+    assert sum(a) == sum(b) and a != b
