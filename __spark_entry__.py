@@ -9198,6 +9198,100 @@ def _sql_q296() -> str:
     """
 
 
+def q304_png_subbyte_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-BYTE GRAYSCALE PNG codec round trip (r10 VERDICT item 2's
+    reserved gate — the r10 decode/encode work was pytest-only): bit
+    depth cycles 1/2/4 by doc_id%3, interlace alternates
+    sequential/Adam7 by doc_id%2, and width 21 leaves every scanline's
+    last byte partially filled at all three depths, so pad-bit
+    retention, LSB-first unpacking, sample-level (instead of packed-
+    byte) unfiltering, or an Adam7 bit-scatter transposition each move
+    the position-weighted checksum. Oracle: closed form over
+    (id*7 + 3x + 5y) mod 2^depth
+    (operators/multimodal.py: encode_png_gray_packed / decode_png /
+    _deinterlace_adam7_subbyte)."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta_weighted,
+        synthesize_png_subbyte_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
+    media = synthesize_png_subbyte_column(d, "doc_id", width=21, height=14)
+    return decode_png_meta_weighted(media, "media", "doc_id")
+
+
+def _sql_q304() -> str:
+    return """
+    SELECT doc_id,
+           CAST(21 AS INT) AS width,
+           CAST(14 AS INT) AS height,
+           CAST(d AS INT) AS bit_depth,
+           CAST(0 AS INT) AS color_type,
+           CAST((SELECT SUM((doc_id * 7 + 3 * x.i + 5 * y.j) % (1 << d))
+                 FROM generate_series(0, 20) AS x(i),
+                      generate_series(0, 13) AS y(j)) AS BIGINT)
+               AS pixel_sum,
+           CAST((SELECT SUM(((doc_id * 7 + 3 * x.i + 5 * y.j) % (1 << d))
+                            * (y.j * 21 + x.i + 1))
+                 FROM generate_series(0, 20) AS x(i),
+                      generate_series(0, 13) AS y(j)) AS BIGINT)
+               AS pos_weighted_sum
+    FROM (SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INT)
+                      WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS d
+          FROM documents ORDER BY doc_id LIMIT 150)
+    """
+
+
+def q305_png_palette_subbyte_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUB-BYTE PALETTED PNG codec round trip (color type 3 at depths
+    1/2/4 — the GIF-era indexed layouts): packed palette INDICES
+    unfilter at 1 byte/pixel, unpack MSB-first, then map through a
+    2^depth-entry PLTE to flat RGB; interlace alternates by doc_id%2.
+    The oracle composes the index formula (id*7 + 3x + 5y) mod 2^depth
+    through the deterministic palette formula (i*37 + 11c + 5) mod 256,
+    so an index/entry transposition, a truncated PLTE, or unpacking
+    drift all move both checksums
+    (operators/multimodal.py: encode_png_palette_packed / decode_png)."""
+    from pytrousse_spark.operators.multimodal import (
+        decode_png_meta_weighted,
+        synthesize_png_palette_subbyte_column,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(150)
+    media = synthesize_png_palette_subbyte_column(d, "doc_id", width=21, height=14)
+    return decode_png_meta_weighted(media, "media", "doc_id")
+
+
+def _sql_q305() -> str:
+    return """
+    SELECT doc_id,
+           CAST(21 AS INT) AS width,
+           CAST(14 AS INT) AS height,
+           CAST(d AS INT) AS bit_depth,
+           CAST(3 AS INT) AS color_type,
+           CAST((SELECT SUM((((doc_id * 7 + 3 * x.i + 5 * y.j) % (1 << d))
+                             * 37 + 11 * c.k + 5) % 256)
+                 FROM generate_series(0, 20) AS x(i),
+                      generate_series(0, 13) AS y(j),
+                      generate_series(0, 2) AS c(k)) AS BIGINT)
+               AS pixel_sum,
+           CAST((SELECT SUM(((((doc_id * 7 + 3 * x.i + 5 * y.j) % (1 << d))
+                              * 37 + 11 * c.k + 5) % 256)
+                            * ((y.j * 21 + x.i) * 3 + c.k + 1))
+                 FROM generate_series(0, 20) AS x(i),
+                      generate_series(0, 13) AS y(j),
+                      generate_series(0, 2) AS c(k)) AS BIGINT)
+               AS pos_weighted_sum
+    FROM (SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INT)
+                      WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS d
+          FROM documents ORDER BY doc_id LIMIT 150)
+    """
+
+
 def q290_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADAM7-INTERLACED PNG codec round trip (r8 VERDICT item 8's
     second half): each document id becomes a genuine interlace-
@@ -9247,15 +9341,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _evidence_rounds() -> dict[str, int]:
-    """Newest driver-evidence round per query name, read from the
-    CORRECTNESS_r*.json files the driver writes next to this file."""
+def _row_is_evidence(row: object) -> bool:
+    """A CORRECTNESS row counts as driver evidence only if it is GREEN
+    (all three matches true, no error) or a weak-but-passing rows-only
+    check for a query with no oracle (err == "no_oracle" with a real
+    spark row count — the driver's documented fallback for non-SQL-
+    expressible ops). RED / errored rows are NOT evidence: round 9's
+    q294 failed red, was fixed in round 10, yet its mere presence in
+    CORRECTNESS_r09.json made the rotor treat it as round-9-fresh and
+    defer re-certification behind ~150 older green rows (VERDICT r10
+    item 1). A failed check proves the query needs re-checking, not
+    that it was checked."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return (
+        not row.get("err")
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    )
+
+
+def _evidence_rounds(here: str | None = None) -> dict[str, int]:
+    """Newest GREEN driver-evidence round per query name, read from the
+    CORRECTNESS_r*.json files the driver writes next to this file.
+    Rows failing `_row_is_evidence` are skipped entirely, so a query
+    whose only driver rows are red sorts as never-checked (head of the
+    rotation queue)."""
     import glob as _glob
     import json as _json
     import re as _re
 
     newest: dict[str, int] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     for path in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -9266,7 +9387,9 @@ def _evidence_rounds() -> dict[str, int]:
                 data = _json.load(fh)
         except (ValueError, OSError):
             continue
-        for name in data:
+        for name, row in data.items():
+            if not _row_is_evidence(row):
+                continue
             newest[name] = max(newest.get(name, 0), rnd)
     return newest
 
@@ -9394,6 +9517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q294_cochran_q": q294_cochran_q,
         "q295_png_rgb48_roundtrip": q295_png_rgb48_roundtrip,
         "q296_png_graya_roundtrip": q296_png_graya_roundtrip,
+        "q304_png_subbyte_roundtrip": q304_png_subbyte_roundtrip,
+        "q305_png_palette_subbyte_roundtrip": q305_png_palette_subbyte_roundtrip,
         "q297_mann_whitney": q297_mann_whitney,
         "q298_anova_f": q298_anova_f,
         "q299_bartlett": q299_bartlett,
@@ -10118,6 +10243,8 @@ def oracle_sql() -> dict[str, str]:
         "q294_cochran_q": _sql_q294(),
         "q295_png_rgb48_roundtrip": _sql_q295(),
         "q296_png_graya_roundtrip": _sql_q296(),
+        "q304_png_subbyte_roundtrip": _sql_q304(),
+        "q305_png_palette_subbyte_roundtrip": _sql_q305(),
         "q297_mann_whitney": _sql_q297(),
         "q298_anova_f": _sql_q298(),
         "q299_bartlett": _sql_q299(),

@@ -484,11 +484,35 @@ def _skew_stress(spark, tmp: str) -> dict:
             print(f"bench skew: {name} failed: {exc}", file=sys.stderr)
         out[name] = row
 
-    # r8 VERDICT item 2: score each auto-routed row against the routed
-    # plan (its scalable twin's skewed wall on the SAME table), not the
-    # mixed-path skewed/benign artifact; the gap over the twin is the
-    # router's probe cost, reported as seconds and as a fraction of the
-    # skewed wall (r8 item 3's <10% target for the fused probe).
+    def _rerun_auto(name: str) -> dict:
+        return _run(cases[name])
+
+    def _warm_auto(name: str) -> float:
+        # ADVICE r10 item 2: the cold loop clears the probe cache before
+        # EVERY case, so by this point only the LAST case's probe
+        # survives — without priming, earlier auto rows pay a cold
+        # density probe inside their "warm" measurement (and the next
+        # row free-rides on it). One untimed run first, so "warm"
+        # genuinely measures the memoized path for every row.
+        cases[name](spark, f"{tmp}/skewdir").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return _timed_noop(cases[name], spark, f"{tmp}/skewdir")
+
+    return _score_auto_rows(out, _rerun_auto, _warm_auto)
+
+
+def _score_auto_rows(out, rerun_fn, warm_fn, cooldown: float = 20.0) -> dict:
+    """Auto-router scoring over a measured skew battery (r8 VERDICT
+    item 2): score each auto-routed row against the routed plan (its
+    scalable twin's skewed wall on the SAME table), not the mixed-path
+    skewed/benign artifact; the gap over the twin is the router's probe
+    cost, reported as seconds and as a fraction of the skewed wall (r8
+    item 3's <10% target for the fused probe). ``rerun_fn``/``warm_fn``
+    are injectable and EVERY call is guarded — a transient Spark failure
+    degrades that row to its first measurement / missing warm fields
+    instead of aborting the bench payload the gate reads (r10 VERDICT
+    item 4; pinned by tests/test_bench_resilience.py)."""
     for auto, twin in _AUTO_TWINS.items():
         a, t = out.get(auto), out.get(twin)
         if not (
@@ -506,9 +530,9 @@ def _skew_stress(spark, tmp: str) -> dict:
                 "the auto row once",
                 file=sys.stderr,
             )
-            time.sleep(20)
+            time.sleep(cooldown)
             try:
-                rerun = _run(cases[auto])
+                rerun = rerun_fn(auto)
             except Exception as exc:  # keep the first measurement (r9 ADVICE)
                 print(
                     f"bench skew: {auto} rerun failed, keeping first "
@@ -529,7 +553,7 @@ def _skew_stress(spark, tmp: str) -> dict:
             100.0 * (a["skewed"] - t["skewed"]) / a["skewed"], 1
         )
         try:
-            warm = _timed_noop(cases[auto], spark, f"{tmp}/skewdir")
+            warm = warm_fn(auto)
         except Exception as exc:
             print(
                 f"bench skew: {auto} warm re-measure failed: {exc}",

@@ -1,0 +1,144 @@
+"""Bounded-partition exclusive prefix sums over an integer level frame
+(r10 VERDICT item 8 / the builder's own mann_whitney backlog note).
+
+The level-frame discipline (mann_whitney, split_conformal, the
+propensity/conformal family) folds row-sized data into one row per
+distinct integer level, then needs, per level, the sum of one or more
+count columns over all STRICTLY SMALLER levels. The obvious plan —
+``Window.orderBy(level)`` — is bounded by value-domain cardinality,
+not rows, but a genuinely unbounded continuous domain (distinct cents
+~ distinct rows) would funnel the whole frame through ONE sort task.
+
+This module's construction keeps the arithmetic exact-integer and
+bit-identical while bounding EVERY window partition: a fixed 3-level
+bucket hierarchy
+
+    b1 = level >> 20      (same-b1 slice: <= 2^20 distinct levels)
+    b2 = level >> 40      (same-b2 slice: <= 2^20 distinct b1 buckets)
+    b3 = level >> 60      (same-b3 slice: <= 2^20 distinct b2 buckets)
+
+so the only window WITHOUT a PARTITION BY runs over the b3 frame —
+at most 16 rows for the whole 64-bit signed domain (arithmetic shift
+is monotone and sign-preserving, so negative levels order correctly).
+Then
+
+    below(l) = cum_in_b1(l) + below_b1(b1) + below_b2(b2) + below_b3(b3)
+
+where each term is an exclusive running sum inside its own bounded
+partition, and the three bucket frames attach back by plain keyed
+joins (never a data-sized broadcast). All sums are integer folds —
+the decomposition reproduces the single-window plan bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: levels per bucket = 2^20 — the single-sort-task budget used across
+#: the skew-immune operators (rolling_time_window's convention).
+_SHIFT = 20
+
+
+def exclusive_prefix_sums(
+    lv: DataFrame, order_col: str, sum_cols: Sequence[str]
+) -> DataFrame:
+    """Return ``lv`` plus, for each ``c`` in ``sum_cols``, a column
+    ``__below_{c}`` holding the exact integer sum of ``c`` over all rows
+    whose ``order_col`` is strictly smaller. ``order_col`` must be an
+    integer level key that is UNIQUE per row (the level-frame contract:
+    the frame is the output of a ``groupBy(level)``)."""
+    b1 = F.shiftright(F.col(order_col), _SHIFT)
+    b2 = F.shiftright(F.col(order_col), 2 * _SHIFT)
+    b3 = F.shiftright(F.col(order_col), 3 * _SHIFT)
+    base = lv.select("*", b1.alias("__pb1"), b2.alias("__pb2"), b3.alias("__pb3"))
+
+    # in-bucket exclusive cumulative (partition <= 2^20 levels)
+    w1 = (
+        Window.partitionBy("__pb1")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = base.select(
+        "*",
+        *[
+            F.coalesce(F.sum(c).over(w1), F.lit(0)).alias(f"__in1_{c}")
+            for c in sum_cols
+        ],
+    )
+
+    # b1 totals; exclusive running offset among same-b2 siblings
+    # (parent buckets re-derive by shifting — no nondeterministic first())
+    t1 = base.groupBy("__pb1").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    ).select(
+        "*",
+        F.shiftright(F.col("__pb1"), _SHIFT).alias("__pb2"),
+    )
+    w2 = (
+        Window.partitionBy("__pb2")
+        .orderBy("__pb1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o1 = t1.select(
+        "__pb1",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(w2), F.lit(0)).alias(f"__o1_{c}")
+            for c in sum_cols
+        ],
+    )
+
+    # b2 totals; exclusive running offset among same-b3 siblings
+    t2 = t1.groupBy("__pb2").agg(
+        *[F.sum(f"__t_{c}").alias(f"__t_{c}") for c in sum_cols]
+    ).select(
+        "*",
+        F.shiftright(F.col("__pb2"), _SHIFT).alias("__pb3"),
+    )
+    w3 = (
+        Window.partitionBy("__pb3")
+        .orderBy("__pb2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o2 = t2.select(
+        "__pb2",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(w3), F.lit(0)).alias(f"__o2_{c}")
+            for c in sum_cols
+        ],
+    )
+
+    # b3 totals; global exclusive offset — frame <= 16 rows for the
+    # whole 64-bit signed domain, the ONLY partition-free window
+    t3 = t2.groupBy("__pb3").agg(
+        *[F.sum(f"__t_{c}").alias(f"__t_{c}") for c in sum_cols]
+    )
+    w4 = Window.orderBy("__pb3").rowsBetween(Window.unboundedPreceding, -1)
+    o3 = t3.select(
+        "__pb3",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(w4), F.lit(0)).alias(f"__o3_{c}")
+            for c in sum_cols
+        ],
+    )
+
+    out = (
+        cur.join(o1, "__pb1")
+        .join(o2, "__pb2")
+        .join(o3, "__pb3")
+        .select(
+            *lv.columns,
+            *[
+                (
+                    F.col(f"__in1_{c}")
+                    + F.col(f"__o1_{c}")
+                    + F.col(f"__o2_{c}")
+                    + F.col(f"__o3_{c}")
+                ).alias(f"__below_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    return out

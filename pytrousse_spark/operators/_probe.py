@@ -10,7 +10,16 @@ identical after normalization, e.g. two ``spark.read.parquet(p)`` of
 the same path) plus the probe's parameters, and verifies hits with
 ``sameSemantics`` so a hash collision can never return the wrong
 probe. Entries are (weakly-sized) plan objects, not data; the LRU is
-bounded at 64.
+bounded at 64 per application.
+
+Lifetime & concurrency (r10 ADVICE item 3): the cache is SCOPED PER
+SPARK APPLICATION — entries key under ``sparkContext.applicationId``,
+and touching the cache from a newer application drops every older
+application's entries, so DataFrames (and their SparkSession) from a
+stopped session are released instead of lingering until LRU eviction
+with ``sameSemantics`` raising on every hit. All mutations hold a
+``threading.Lock`` so multi-threaded drivers can't corrupt the
+OrderedDict mid-resize.
 
 SAFETY: every cached value is a ROUTING density statistic, never a
 query result — the routed physical forms are bit-identical by
@@ -23,15 +32,27 @@ answer. That is exactly the trade a hint parameter makes explicit;
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from typing import Callable, Sequence
 
 _MAX_ENTRIES = 64
-_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_CACHES: "dict[str, OrderedDict[tuple, tuple]]" = {}
+_LOCK = threading.Lock()
 
 
 def clear() -> None:
-    _CACHE.clear()
+    with _LOCK:
+        _CACHES.clear()
+
+
+def _cache_for(app: str) -> "OrderedDict[tuple, tuple]":
+    """The current application's LRU; caches left by any OTHER
+    application are dropped (their JVM-side plans are dead — holding
+    them only pins stopped sessions)."""
+    for stale in [a for a in _CACHES if a != app]:
+        del _CACHES[stale]
+    return _CACHES.setdefault(app, OrderedDict())
 
 
 def cached_probe(
@@ -40,25 +61,33 @@ def cached_probe(
     params: tuple,
     compute: Callable[[], int],
 ) -> int:
-    """Return ``compute()`` memoized on (kind, semantic plan of every
-    input frame, params). Falls back to an uncached call if the
-    semantic-hash API is unavailable (never raises on cache machinery).
+    """Return ``compute()`` memoized on (application, kind, semantic
+    plan of every input frame, params). Falls back to an uncached call
+    if the semantic-hash API is unavailable (never raises on cache
+    machinery).
     """
     try:
+        app = dfs[0].sparkSession.sparkContext.applicationId
         key = (kind, tuple(df.semanticHash() for df in dfs), params)
     except Exception:
         return compute()
-    hit = _CACHE.get(key)
+    with _LOCK:
+        cache = _cache_for(app)
+        hit = cache.get(key)
     if hit is not None:
         old_dfs, value = hit
         try:
             if all(o.sameSemantics(d) for o, d in zip(old_dfs, dfs)):
-                _CACHE.move_to_end(key)
+                with _LOCK:
+                    if key in cache:
+                        cache.move_to_end(key)
                 return value
         except Exception:
             pass
     value = compute()
-    _CACHE[key] = (tuple(dfs), value)
-    while len(_CACHE) > _MAX_ENTRIES:
-        _CACHE.popitem(last=False)
+    with _LOCK:
+        cache = _cache_for(app)
+        cache[key] = (tuple(dfs), value)
+        while len(cache) > _MAX_ENTRIES:
+            cache.popitem(last=False)
     return value

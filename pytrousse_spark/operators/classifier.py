@@ -3626,9 +3626,12 @@ def mann_whitney_u(
 
     Scale shape — NO data-sized sort: values fold to integer-CENT
     LEVELS in one map-side-combinable hash agg (the split_conformal /
-    propensity-matching level-frame discipline), then ONE window over
-    the level frame (bounded by distinct cents, never rows) yields the
-    below-level cumulative. From level counts c1, c2 per level:
+    propensity-matching level-frame discipline), then the below-level
+    cumulatives come from the BOUNDED hierarchical prefix construction
+    (operators/_prefix.py, r10 VERDICT item 8): every window partition
+    holds at most 2^20 rows even when the value domain's distinct cents
+    grow with the data, so no single task ever sorts the whole level
+    frame. From level counts c1, c2 per level:
 
         wins   = sum c1(l) * cum2_below(l)      (x1 > x2 pairs)
         ties   = sum c1(l) * c2(l)
@@ -3658,13 +3661,17 @@ def mann_whitney_u(
         F.count(F.when(F.col("__g"), 1)).cast("bigint").alias("__c1"),
         F.count(F.when(~F.col("__g"), 1)).cast("bigint").alias("__c2"),
     )
-    # window over LEVELS (bounded by distinct cents), not rows
-    w = Window.orderBy("__y").rowsBetween(Window.unboundedPreceding, -1)
-    lv2 = lv.select(
+    # strictly-below cumulatives over LEVELS via the bounded hierarchy
+    # (_prefix.exclusive_prefix_sums) — bit-identical to the plain
+    # Window.orderBy(level) form, but no partition ever exceeds 2^20
+    # rows even for an unbounded-cardinality value domain
+    from ._prefix import exclusive_prefix_sums
+
+    lv2 = exclusive_prefix_sums(lv, "__y", ("__c1", "__c2")).select(
         "__c1",
         "__c2",
-        F.coalesce(F.sum("__c2").over(w), F.lit(0)).alias("__b2"),
-        F.coalesce(F.sum("__c1").over(w), F.lit(0)).alias("__b1"),
+        F.col("__below___c2").alias("__b2"),
+        F.col("__below___c1").alias("__b1"),
     )
     # cube in DECIMAL(38) from the start — t^3 overflows BIGINT once a
     # level holds ~2M rows (the 100 TB case, not the test case)

@@ -705,11 +705,13 @@ def decode_png(b: bytes) -> dict:
     filters) for 8-bit GRAYSCALE (color type 0), TRUECOLOR RGB (2),
     PALETTE (3 — indices unfilter at 1 byte/pixel, then map through the
     PLTE entries to flat RGB), GRAY+ALPHA (4) and RGBA (6, a/c
-    neighbors one 4-byte pixel left) — at BOTH 8 and 16 bits per
-    sample where the spec allows (palette is 8-bit-index-only).
-    Sub-byte depths return metadata with ``pixels=None`` (honest
-    partial support: 1/2/4-bit packing and pillow/ffmpeg formats stay
-    stubbed); malformed payloads raise. ``pixels`` is the flat CHANNEL
+    neighbors one 4-byte pixel left) — at 8 and 16 bits per sample
+    AND the sub-byte depths 1/2/4 for gray and palette (MSB-first
+    unpacking after 1-byte/pixel unfiltering; Adam7 sub-byte via
+    bit-level pass scatter). Every LEGAL (color type, depth, interlace)
+    layout decodes; only spec-INVALID combinations return metadata with
+    ``pixels=None``, and only non-PNG formats (pillow/ffmpeg) stay
+    stubbed. Malformed payloads raise. ``pixels`` is the flat CHANNEL
     list (w*h gray, w*h*2 gray+alpha, w*h*3 RGB — palette included —
     or w*h*4 RGBA; 16-bit samples reassembled big-endian).
     """
@@ -1080,6 +1082,77 @@ def decode_png_meta_weighted(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(parse, schema=out_schema)
+
+
+def synthesize_png_subbyte_column(
+    df: DataFrame, id_col: str = "doc_id", width: int = 21, height: int = 14
+) -> DataFrame:
+    """(id, media) with a REAL SUB-BYTE grayscale PNG per row sweeping
+    the whole family the r10 codec added: bit depth cycles 1/2/4 by
+    ``id % 3``, interlace alternates sequential/Adam7 by ``id % 2``,
+    and pixel(x, y) = (id*7 + 3x + 5y) mod 2^depth — the q95 formula
+    folded into each depth's sample range so an external oracle can
+    replay the checksum in closed form. The default width 21 leaves the
+    last byte of every scanline PARTIALLY filled at all three depths
+    (21 bits / 42 bits / 84 bits per row), so a decoder that keeps pad
+    bits or packs LSB-first moves the sums. Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for did in batch[id_col]:
+                i = int(did)
+                depth = (1, 2, 4)[i % 3]
+                rows = [
+                    [
+                        (i * 7 + 3 * x + 5 * y) % (1 << depth)
+                        for x in range(width)
+                    ]
+                    for y in range(height)
+                ]
+                payloads.append(
+                    encode_png_gray_packed(rows, depth, interlace=i % 2)
+                )
+            yield pd.DataFrame({id_col: batch[id_col], "media": payloads})
+
+    return df.select(id_col).mapInPandas(gen, schema=f"{id_col} long, media binary")
+
+
+def synthesize_png_palette_subbyte_column(
+    df: DataFrame, id_col: str = "doc_id", width: int = 21, height: int = 14
+) -> DataFrame:
+    """(id, media) with a REAL SUB-BYTE PALETTED PNG per row: bit depth
+    cycles 1/2/4 by ``id % 3``, interlace alternates by ``id % 2``, the
+    palette is the first 2^depth entries of the deterministic
+    :func:`_test_palette` formula ((i*37 + 11c + 5) mod 256), and the
+    packed palette index of pixel (x, y) = (id*7 + 3x + 5y) mod
+    2^depth. The decoded output is palette-EXPANDED flat RGB, so the
+    oracle's closed form composes the index formula through the palette
+    formula — an index/entry transposition or a PLTE truncation bug
+    moves both checksums. Arrow-batched."""
+    pal_full = _test_palette()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for did in batch[id_col]:
+                i = int(did)
+                depth = (1, 2, 4)[i % 3]
+                rows = [
+                    [
+                        (i * 7 + 3 * x + 5 * y) % (1 << depth)
+                        for x in range(width)
+                    ]
+                    for y in range(height)
+                ]
+                payloads.append(
+                    encode_png_palette_packed(
+                        rows, pal_full[: 1 << depth], depth, interlace=i % 2
+                    )
+                )
+            yield pd.DataFrame({id_col: batch[id_col], "media": payloads})
+
+    return df.select(id_col).mapInPandas(gen, schema=f"{id_col} long, media binary")
 
 
 def synthesize_png_adam7_column(

@@ -64,27 +64,11 @@ def test_type_gate_rejects_hugeint(spark, duck01):
 
 
 def _driver_evidence_rounds() -> dict[str, int]:
-    """Newest round with a driver CORRECTNESS row, per query, from the
-    CORRECTNESS_r*.json history at the repo root."""
-    import glob
-    import json
-    import os
-    import re
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    newest: dict[str, int] = {}
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            data = json.load(open(path))
-        except (ValueError, OSError):
-            continue
-        for name in data:
-            newest[name] = max(newest.get(name, 0), rnd)
-    return newest
+    """Newest GREEN driver-evidence round per query — delegate to the
+    registry's own reader so the tests can never drift from the rotor
+    (the r10 red-rows-count-as-evidence bug lived exactly in such a
+    duplicated copy of this logic)."""
+    return entrymod._evidence_rounds()
 
 
 def test_registry_head_is_never_checked_then_oldest_evidence_first():
@@ -137,6 +121,80 @@ def test_freshness_rotate_unit():
     assert got == ["q1", "q4", "q5", "q2", "q3", "q0"]
 
 
+def test_red_driver_row_is_not_evidence(tmp_path):
+    """VERDICT r10 item 1: the rotor must treat a RED/errored driver row
+    as never-checked, not as fresh evidence. Plant a fixture CORRECTNESS
+    history where qA is green in r1, red in r2, and qB is green in r2:
+    qA's evidence must stay at round 1 (the red row adds nothing), and
+    in the rotation qA must sort AHEAD of qB."""
+    import json
+
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    red = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": None, "oracle_rows": None,
+        "err": "TypeError: unhashable type: 'list'",
+    }
+    mismatch = {
+        "rows_match": True, "schema_match": True, "hash_match": False,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    weak = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": 990, "oracle_rows": None, "err": "no_oracle",
+    }
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps({"qA": green, "qC": green, "qD": weak})
+    )
+    (tmp_path / "CORRECTNESS_r2.json").write_text(
+        json.dumps({"qA": red, "qB": green, "qC": mismatch, "qE": red})
+    )
+    newest = entrymod._evidence_rounds(here=str(tmp_path))
+    # red row does NOT advance qA past its round-1 green evidence
+    assert newest == {"qA": 1, "qB": 2, "qC": 1, "qD": 1}
+    # qE (only ever red) is never-checked → heads the rotation
+    base = {n: (lambda s, d: None) for n in ["qA", "qB", "qC", "qD", "qE"]}
+    import unittest.mock as mock
+
+    with mock.patch.object(entrymod, "_evidence_rounds", return_value=newest):
+        got = list(entrymod._freshness_rotate(base))
+    assert got == ["qE", "qA", "qC", "qD", "qB"]
+
+
+def test_row_is_evidence_unit():
+    """Pin the evidence predicate cell-by-cell: only fully-green rows
+    and passing no-oracle weak checks count."""
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "err": None, "spark_rows": 5, "oracle_rows": 5}
+    assert entrymod._row_is_evidence(ok)
+    for k in ("rows_match", "schema_match", "hash_match"):
+        assert not entrymod._row_is_evidence({**ok, k: False})
+        assert not entrymod._row_is_evidence({**ok, k: None})
+    assert not entrymod._row_is_evidence({**ok, "err": "boom"})
+    assert entrymod._row_is_evidence(
+        {"err": "no_oracle", "spark_rows": 0, "rows_match": None,
+         "schema_match": None, "hash_match": None}
+    )
+    assert not entrymod._row_is_evidence(
+        {"err": "no_oracle", "spark_rows": None}
+    )
+    assert not entrymod._row_is_evidence("not-a-dict")
+
+
+def test_q294_heads_current_rotation():
+    """q294_cochran_q is red in CORRECTNESS_r09 and absent from every
+    other round's head; with the green-only rotor it must lead the live
+    registry so the driver re-certifies it this round (VERDICT r10
+    item 1's done-criterion)."""
+    newest = _driver_evidence_rounds()
+    if "q294_cochran_q" in newest:
+        pytest.skip("q294 has green driver evidence now — retire this pin")
+    assert list(entrymod.queries())[0] == "q294_cochran_q"
+
+
 def test_registry_queries_are_rotation_of_oracle_keys():
     """queries() must be exactly the freshness rotation of the full key
     set — same keys as oracle_sql(), no drops or dups introduced by the
@@ -147,22 +205,27 @@ def test_registry_queries_are_rotation_of_oracle_keys():
 
 
 def test_head_budget_guard():
-    """Head-size guard (VERDICT r7 item 7): round 7 added 70 gates in
-    one round, pushing 20 of them past the driver's 50-budget and
-    re-stranding q54. Fail at commit time when the never-checked gates
-    plus the entire oldest-evidence tier can no longer fit in one
-    driver head — i.e. cap in-round gate additions at 50 minus the
-    stale backlog."""
+    """Head-size guard (VERDICT r7 item 7, recalibrated r11): round 7
+    added 70 gates in one round, pushing 20 of them past the driver's
+    50-budget and re-stranding q54. With the registry at a steady 300
+    queries the evidence tiers are exactly 50 rows each, so the old
+    `never + oldest_tier <= 50` form is unsatisfiable the moment ANY
+    new gate or red-row retry exists. The real invariants: (a) every
+    never-checked query (new gate or red retry) must fit in — and by
+    rotation will occupy — the head this round; (b) per-round gate
+    additions stay small (VERDICT r10 item 3 caps them at ~8) so the
+    rotor still burns ≥40 oldest-tier rows per round and the whole
+    registry re-certifies in ~6 rounds."""
     newest = _driver_evidence_rounds()
     assert newest, "no CORRECTNESS_r*.json history found"
     names = list(entrymod.queries())
     never = [n for n in names if n not in newest]
-    checked_rounds = [newest[n] for n in names if n in newest]
-    oldest_tier = (
-        checked_rounds.count(min(checked_rounds)) if checked_rounds else 0
+    assert len(never) <= 50, (
+        f"{len(never)} never-checked gates exceed the driver's 50-row "
+        "budget; some will be stranded with zero evidence"
     )
-    assert len(never) + oldest_tier <= 50, (
-        f"{len(never)} never-checked gates + {oldest_tier} queries in the "
-        "oldest evidence tier exceed the driver's 50-row budget; stop "
-        "adding gates this round or evidence will be stranded again"
+    assert len(never) <= 10, (
+        f"{len(never)} never-checked gates this round; the re-certification "
+        "cadence (VERDICT r10 item 3) caps additions at ~8 so ≥40 oldest-"
+        "tier rows still rotate through the head each round"
     )

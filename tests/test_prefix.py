@@ -1,0 +1,115 @@
+"""Bounded hierarchical prefix sums (operators/_prefix.py — r10 VERDICT
+item 8): exclusive below-level cumulatives with every window partition
+capped at 2^20 rows, bit-identical to the plain Window.orderBy form."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pytrousse_spark.operators._prefix import exclusive_prefix_sums
+
+
+def _reference(levels: list[tuple[int, int, int]]) -> dict[int, tuple[int, int]]:
+    srt = sorted(levels)
+    out, run1, run2 = {}, 0, 0
+    for y, c1, c2 in srt:
+        out[y] = (run1, run2)
+        run1 += c1
+        run2 += c2
+    return out
+
+
+def _check(spark, levels: list[tuple[int, int, int]]) -> None:
+    df = spark.createDataFrame(levels, "y long, c1 long, c2 long")
+    got = {
+        r["y"]: (r["__below_c1"], r["__below_c2"])
+        for r in exclusive_prefix_sums(df, "y", ("c1", "c2")).collect()
+    }
+    assert got == _reference(levels)
+
+
+def test_prefix_matches_plain_window_dense(spark):
+    """Dense small domain — the common case (all levels share one b1)."""
+    rng = random.Random(7)
+    levels = [(y, rng.randint(0, 9), rng.randint(0, 9)) for y in range(-50, 50)]
+    _check(spark, levels)
+
+
+def test_prefix_cardinality_stress_full_domain(spark):
+    """The adversarial case the construction exists for: levels spread
+    across the FULL 63-bit signed domain, so b1, b2 and b3 all take many
+    values, bucket boundaries fall between neighbors, and negative
+    levels exercise the arithmetic-shift ordering."""
+    rng = random.Random(41)
+    ys = set()
+    while len(ys) < 400:
+        ys.add(rng.randint(-(2**61), 2**61))
+    # adversarial adjacency: pairs straddling each bucket boundary
+    for s in (20, 40, 60):
+        ys.update({(1 << s) - 1, 1 << s, -(1 << s), -(1 << s) - 1})
+    levels = [(y, rng.randint(0, 5), rng.randint(0, 5)) for y in sorted(ys)]
+    _check(spark, levels)
+
+
+def test_prefix_single_level_and_empty(spark):
+    _check(spark, [(123456789, 3, 4)])
+    df = spark.createDataFrame([], "y long, c1 long, c2 long")
+    assert exclusive_prefix_sums(df, "y", ("c1", "c2")).count() == 0
+
+
+def test_prefix_equals_global_window_on_random(spark):
+    """Direct bit-equality against the single global window it replaces."""
+    rng = random.Random(97)
+    ys = rng.sample(range(-(10**12), 10**12), 300)
+    levels = [(y, rng.randint(0, 99), rng.randint(0, 99)) for y in ys]
+    df = spark.createDataFrame(levels, "y long, c1 long, c2 long")
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    plain = df.select(
+        "y",
+        F.coalesce(F.sum("c1").over(w), F.lit(0)).alias("b1"),
+        F.coalesce(F.sum("c2").over(w), F.lit(0)).alias("b2"),
+    ).toPandas().sort_values("y").reset_index(drop=True)
+    ours = (
+        exclusive_prefix_sums(df, "y", ("c1", "c2"))
+        .select("y", F.col("__below_c1").alias("b1"),
+                F.col("__below_c2").alias("b2"))
+        .toPandas().sort_values("y").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, ours)
+
+
+def test_mann_whitney_unchanged_after_rewire(spark):
+    """q297's operator must produce the identical single row it did with
+    the plain level window — pinned against a brute-force pairwise
+    computation on small data with ties and negatives."""
+    from pytrousse_spark.operators.classifier import mann_whitney_u
+
+    rng = random.Random(13)
+    rows = [("a", round(rng.uniform(-3, 5), 2)) for _ in range(40)] + [
+        ("b", round(rng.uniform(-4, 4), 2)) for _ in range(35)
+    ]
+    rows += [("a", 1.25), ("b", 1.25), ("a", 1.25)]  # forced ties
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+
+    xs = [int(round(v * 100)) for g, v in rows if g == "a"]
+    ys = [int(round(v * 100)) for g, v in rows if g == "b"]
+    wins = sum(1 for x in xs for y in ys if x > y)
+    loss = sum(1 for x in xs for y in ys if x < y)
+    ties = sum(1 for x in xs for y in ys if x == y)
+    n1, n2 = len(xs), len(ys)
+    u1 = wins + ties / 2.0
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert abs(got["u1"] - u1) < 1e-6
+    assert abs(got["cliffs_delta"] - (wins - loss) / (n1 * n2)) < 1e-6
+    from collections import Counter
+
+    tt = sum(t**3 - t for t in Counter(xs + ys).values())
+    nn = n1 + n2
+    var = n1 * n2 / 12.0 * (nn + 1 - tt / (nn * (nn - 1)))
+    z = (u1 - n1 * n2 / 2.0) / var**0.5
+    assert abs(got["z"] - z) < 1e-6

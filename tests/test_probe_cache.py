@@ -46,7 +46,59 @@ def test_cached_probe_lru_bound(spark):
     df = spark.range(3)
     for i in range(_probe._MAX_ENTRIES + 10):
         _probe.cached_probe("bound", (df,), (i,), lambda: i)
-    assert len(_probe._CACHE) <= _probe._MAX_ENTRIES
+    app = spark.sparkContext.applicationId
+    assert len(_probe._CACHES[app]) <= _probe._MAX_ENTRIES
+    _probe.clear()
+
+
+def test_probe_cache_scoped_per_application(spark):
+    """r10 ADVICE item 3: entries from another (stopped) application
+    must be dropped the first time the live application touches the
+    cache — stale DataFrames may not linger until LRU eviction."""
+    from collections import OrderedDict
+
+    _probe.clear()
+    df = spark.range(5)
+    _probe.cached_probe("scope", (df,), (1,), lambda: 7)
+    app = spark.sparkContext.applicationId
+    assert set(_probe._CACHES) == {app}
+    # plant a dead application's cache; the next call must evict it
+    with _probe._LOCK:
+        _probe._CACHES["application_dead_123"] = OrderedDict(
+            {("k", (0,), ()): ((df,), 9)}
+        )
+    assert _probe.cached_probe("scope", (df,), (1,), lambda: 99) == 7
+    assert set(_probe._CACHES) == {app}
+    _probe.clear()
+
+
+def test_probe_cache_thread_safety(spark):
+    """Concurrent cached_probe calls from many threads (multi-threaded
+    driver) must neither corrupt the LRU nor raise."""
+    import threading
+
+    _probe.clear()
+    df = spark.range(7)
+    errs: list[Exception] = []
+
+    def worker(t: int) -> None:
+        try:
+            for i in range(50):
+                v = _probe.cached_probe(
+                    "mt", (df,), (i % 8,), lambda i=i: i % 8
+                )
+                assert v == i % 8
+        except Exception as exc:  # pragma: no cover - failure path
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    app = spark.sparkContext.applicationId
+    assert len(_probe._CACHES[app]) <= _probe._MAX_ENTRIES
     _probe.clear()
 
 
