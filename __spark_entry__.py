@@ -9292,6 +9292,140 @@ def _sql_q305() -> str:
     """
 
 
+def _paired_user_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user paired frame for q306: x = the user's average click
+    value, y = average purchase value, both derived as exact integer-
+    cent folds (sum of cents / count, rounded once) so the Spark and
+    DuckDB sides round identically — a raw double avg would be
+    fold-order-nondeterministic between engines."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value").cast("double") * 100, 0).cast("bigint")
+
+    def _avg(t: str):
+        s = F.sum(F.when(F.col("event_type") == t, F.col("__c")))
+        n = F.count(F.when(F.col("event_type") == t, 1))
+        return F.round(s.cast("double") / n.cast("double"), 0) / F.lit(100.0)
+
+    return (
+        ev.where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select("user_id", "event_type", c.alias("__c"))
+        .groupBy("user_id")
+        .agg(_avg("click").alias("x"), _avg("purchase").alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+
+
+_SQL_PAIRED_USER_AVGS = """
+    SELECT user_id,
+           round(CAST(sum(CASE WHEN event_type = 'click' THEN c END)
+                      AS DOUBLE)
+                 / CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+                        AS DOUBLE), 0) / 100.0 AS x,
+           round(CAST(sum(CASE WHEN event_type = 'purchase' THEN c END)
+                      AS DOUBLE)
+                 / CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        AS DOUBLE), 0) / 100.0 AS y
+    FROM (SELECT user_id, event_type,
+                 CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS c
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'purchase'))
+    GROUP BY user_id
+    HAVING x IS NOT NULL AND y IS NOT NULL
+"""
+
+
+def q306_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank over PAIRED per-user click vs purchase
+    average order values — the within-subject companion of q297's
+    Mann-Whitney (which treats the groups as independent): does the
+    typical user's click-vs-purchase value difference center on zero?
+    Zero differences drop, |d| ties take average ranks via the bounded
+    prefix hierarchy, tie-corrected z
+    (operators/classifier.wilcoxon_signed_rank)."""
+    from pytrousse_spark.operators.classifier import wilcoxon_signed_rank
+
+    return wilcoxon_signed_rank(_paired_user_avgs(spark, sf_dir), "x", "y")
+
+
+def _sql_q306() -> str:
+    from pytrousse_spark.operators.classifier import wilcoxon_signed_rank_sql
+
+    return wilcoxon_signed_rank_sql(
+        f"({_SQL_PAIRED_USER_AVGS}) AS pairs", "x", "y"
+    )
+
+
+def q307_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test across three paired 'treatments' — each user's
+    average click / view / purchase value, complete blocks only (users
+    observed under all three) — the continuous-response complement of
+    q294's Cochran Q: within-user ranking (k-bounded window
+    partitions), doubled-rank exact integer folds, Conover tie
+    correction (operators/classifier.friedman_test)."""
+    from pytrousse_spark.operators.classifier import friedman_test
+
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value").cast("double") * 100, 0).cast("bigint")
+    per = (
+        ev.where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view", "purchase")
+        )
+        .select("user_id", "event_type", c.alias("__c"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            (
+                F.round(
+                    F.sum("__c").cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    0,
+                )
+                / F.lit(100.0)
+            ).alias("v")
+        )
+    )
+    return friedman_test(per, "user_id", "event_type", "v")
+
+
+def _sql_q307() -> str:
+    from pytrousse_spark.operators.classifier import friedman_test_sql
+
+    per = """
+    SELECT user_id, event_type,
+           round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 0)
+               / 100.0 AS v
+    FROM (SELECT user_id, event_type,
+                 CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS c
+          FROM events
+          WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view', 'purchase'))
+    GROUP BY user_id, event_type
+    """
+    return friedman_test_sql(f"({per}) AS per", "user_id", "event_type", "v")
+
+
+def q308_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe robust variance-homogeneity F over the SAME five
+    event-type groups as q298/q299 — Levene's test with median centers,
+    the heavy-tail-robust alternative to q299's Bartlett: exact
+    per-group medians from the (group, cent-level) frame (no per-group
+    value buffering), half-cent integer deviations, ANOVA-recipe folds
+    (operators/classifier.brown_forsythe)."""
+    from pytrousse_spark.operators.classifier import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    return brown_forsythe(ev, "event_type", "value")
+
+
+def _sql_q308() -> str:
+    from pytrousse_spark.operators.classifier import brown_forsythe_sql
+
+    return brown_forsythe_sql("events", "event_type", "value")
+
+
 def q290_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADAM7-INTERLACED PNG codec round trip (r8 VERDICT item 8's
     second half): each document id becomes a genuine interlace-
@@ -9519,6 +9653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q296_png_graya_roundtrip": q296_png_graya_roundtrip,
         "q304_png_subbyte_roundtrip": q304_png_subbyte_roundtrip,
         "q305_png_palette_subbyte_roundtrip": q305_png_palette_subbyte_roundtrip,
+        "q306_wilcoxon_signed_rank": q306_wilcoxon_signed_rank,
+        "q307_friedman": q307_friedman,
+        "q308_brown_forsythe": q308_brown_forsythe,
         "q297_mann_whitney": q297_mann_whitney,
         "q298_anova_f": q298_anova_f,
         "q299_bartlett": q299_bartlett,
@@ -10245,6 +10382,9 @@ def oracle_sql() -> dict[str, str]:
         "q296_png_graya_roundtrip": _sql_q296(),
         "q304_png_subbyte_roundtrip": _sql_q304(),
         "q305_png_palette_subbyte_roundtrip": _sql_q305(),
+        "q306_wilcoxon_signed_rank": _sql_q306(),
+        "q307_friedman": _sql_q307(),
+        "q308_brown_forsythe": _sql_q308(),
         "q297_mann_whitney": _sql_q297(),
         "q298_anova_f": _sql_q298(),
         "q299_bartlett": _sql_q299(),

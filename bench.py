@@ -453,10 +453,38 @@ def _skew_stress(spark, tmp: str) -> dict:
     cases["q157_rolling_window_1day"] = _rolling_window_1day
     cases["q157_rolling_window_auto"] = _rolling_window_auto
 
-    def _run(fn) -> dict:
+    # r10 VERDICT item 7: the auto/twin rows feed the probe-overhead
+    # signal, and at their 3-5 s scale single readings are noise-bound
+    # (q157_auto's overhead read -15.7% and +31.9% in consecutive r10
+    # runs). Those rows measure as MEDIAN-OF-3; the rest of the battery
+    # stays single-shot (its signal is the coarse skew RATIO).
+    median3 = set(_AUTO_TWINS) | set(_AUTO_TWINS.values())
+
+    def _run(fn, reps: int = 1) -> dict:
+        from pytrousse_spark.operators import _probe as _pc
+
         row: dict[str, float] = {}
         for label, d in (("benign", tmp), ("skewed", f"{tmp}/skewdir")):
-            row[label] = _timed_noop(fn, spark, d)
+            walls = []
+            for _ in range(reps):
+                if reps > 1:
+                    # each rep must stay COLD: without this, reps 2-3
+                    # hit the memoized probe and the median mixes
+                    # cold/warm, understating the cold overhead
+                    _pc.clear()
+                walls.append(_timed_noop(fn, spark, d))
+            walls.sort()
+            row[label] = walls[len(walls) // 2]
+            if reps > 1:
+                # half-spread = this row's own measurement noise floor;
+                # _score_auto_rows flags overheads smaller than the
+                # combined floors as statistically zero (r10 VERDICT
+                # item 7: the warm overhead's TRUE value is ~0, so its
+                # sign can never stabilize — the honest stable signal
+                # is "within noise", not the sign)
+                row[f"{label}_spread"] = round(
+                    (walls[-1] - walls[0]) / 2.0, 3
+                )
         row["ratio"] = round(row["skewed"] / row["benign"], 2)
         return row
 
@@ -468,7 +496,8 @@ def _skew_stress(spark, tmp: str) -> dict:
             from pytrousse_spark.operators import _probe as _pc
 
             _pc.clear()
-            row = _run(fn)
+            reps = 3 if name in median3 else 1
+            row = _run(fn, reps=reps)
             band = _IDLE_SKEW_RATIOS.get(name)
             if band is not None and row["ratio"] > 2 * band:
                 print(
@@ -477,7 +506,7 @@ def _skew_stress(spark, tmp: str) -> dict:
                     file=sys.stderr,
                 )
                 time.sleep(20)
-                rerun = _run(fn)
+                rerun = _run(fn, reps=reps)
                 row = {"first": row, **{f"{k}": v for k, v in rerun.items()}}
         except Exception as exc:
             row = {"error": str(exc)[:120]}
@@ -485,7 +514,7 @@ def _skew_stress(spark, tmp: str) -> dict:
         out[name] = row
 
     def _rerun_auto(name: str) -> dict:
-        return _run(cases[name])
+        return _run(cases[name], reps=3 if name in median3 else 1)
 
     def _warm_auto(name: str) -> float:
         # ADVICE r10 item 2: the cold loop clears the probe cache before
@@ -493,11 +522,17 @@ def _skew_stress(spark, tmp: str) -> dict:
         # survives — without priming, earlier auto rows pay a cold
         # density probe inside their "warm" measurement (and the next
         # row free-rides on it). One untimed run first, so "warm"
-        # genuinely measures the memoized path for every row.
+        # genuinely measures the memoized path for every row; then
+        # median-of-3 timed reps (r10 VERDICT item 7 — the warm signal
+        # was noise-bound at the 3-5 s scale).
         cases[name](spark, f"{tmp}/skewdir").write.format("noop").mode(
             "overwrite"
         ).save()
-        return _timed_noop(cases[name], spark, f"{tmp}/skewdir")
+        walls = sorted(
+            _timed_noop(cases[name], spark, f"{tmp}/skewdir")
+            for _ in range(3)
+        )
+        return walls[1], round((walls[-1] - walls[0]) / 2.0, 3)
 
     return _score_auto_rows(out, _rerun_auto, _warm_auto)
 
@@ -552,6 +587,15 @@ def _score_auto_rows(out, rerun_fn, warm_fn, cooldown: float = 20.0) -> dict:
         a["probe_overhead_pct_cold"] = round(
             100.0 * (a["skewed"] - t["skewed"]) / a["skewed"], 1
         )
+        # noise floor = both sides' median-of-3 half-spreads; overheads
+        # under it are statistically zero (r10 VERDICT item 7 — the
+        # stable cross-run signal, since the warm overhead's true value
+        # is ~0 and its SIGN is pure noise)
+        base_noise = a.get("skewed_spread", 0.0) + t.get("skewed_spread", 0.0)
+        if "skewed_spread" in a or "skewed_spread" in t:
+            a["cold_overhead_within_noise"] = (
+                abs(a["probe_overhead_sec_cold"]) <= base_noise
+            )
         try:
             warm = warm_fn(auto)
         except Exception as exc:
@@ -561,12 +605,20 @@ def _score_auto_rows(out, rerun_fn, warm_fn, cooldown: float = 20.0) -> dict:
             )
             warm = None
         if warm is not None:
+            warm_spread = None
+            if isinstance(warm, tuple):
+                warm, warm_spread = warm
             a["skewed_warm"] = warm
             a["ratio_vs_scalable_warm"] = round(warm / t["skewed"], 2)
             a["probe_overhead_sec"] = round(warm - t["skewed"], 3)
             a["probe_overhead_pct"] = round(
                 100.0 * (warm - t["skewed"]) / warm, 1
             )
+            if warm_spread is not None:
+                a["skewed_warm_spread"] = warm_spread
+                a["warm_overhead_within_noise"] = abs(
+                    a["probe_overhead_sec"]
+                ) <= warm_spread + t.get("skewed_spread", 0.0)
         else:
             a["probe_overhead_sec"] = a["probe_overhead_sec_cold"]
             a["probe_overhead_pct"] = a["probe_overhead_pct_cold"]

@@ -3777,6 +3777,425 @@ def mann_whitney_u_sql(
     """
 
 
+def wilcoxon_signed_rank(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) for PAIRED samples —
+    the within-pair companion of :func:`mann_whitney_u` (which assumes
+    independent groups): is the median of the per-pair differences
+    zero? Zero differences drop (the classical convention), ties in
+    |d| take average ranks, and z carries the tie correction.
+
+    Scale shape — NO data-sized sort: differences fold to integer-CENT
+    |d| LEVELS in one map-side agg; average ranks come from the bounded
+    hierarchical prefix construction (operators/_prefix.py) over the
+    level frame. The whole statistic stays exact-integer by carrying
+    DOUBLED ranks: avg_rank(l) = below(l) + (t_l + 1)/2, so
+
+        2*W+ = sum_l  cp_l * (2*below(l) + t_l + 1)
+
+    is an exact BIGINT fold (cp_l = positive-difference count at
+    level l, t_l = total count); the tie cube sum(t^3 - t) rides
+    DECIMAL(38). Final z is one double expression:
+
+        z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - sum(t^3-t)/48)
+
+    Returns one row ``(n, w_plus, z)`` — n excludes zero differences;
+    z NULL when n = 0 or the variance term is 0 (all |d| tied... which
+    with a single level still has positive variance unless n = 0, but
+    the guard mirrors the twin exactly).
+    """
+    d = (
+        F.round(F.col(x_col).cast("double") * 100, 0)
+        - F.round(F.col(y_col).cast("double") * 100, 0)
+    ).cast("bigint")
+    base = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(d.alias("__d"))
+        .where(F.col("__d") != 0)
+    )
+    lv = base.groupBy(F.abs(F.col("__d")).alias("__a")).agg(
+        F.count(F.when(F.col("__d") > 0, 1)).cast("bigint").alias("__cp"),
+        F.count(F.lit(1)).cast("bigint").alias("__t"),
+    )
+    from ._prefix import exclusive_prefix_sums
+
+    lv2 = exclusive_prefix_sums(lv, "__a", ("__t",))
+    td = F.col("__t").cast("decimal(38,0)")
+    agg = lv2.agg(
+        F.sum("__t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("__cp")
+            * (F.lit(2) * F.col("__below___t") + F.col("__t") + F.lit(1))
+        ).cast("bigint").alias("__w2"),
+        F.sum(td * td * td - td).cast("decimal(38,0)").alias("__tt"),
+    )
+    nn = F.col("n").cast("double")
+    wp = F.col("__w2").cast("double") / F.lit(2.0)
+    var = (
+        nn * (nn + F.lit(1.0)) * (F.lit(2.0) * nn + F.lit(1.0)) / F.lit(24.0)
+        - F.col("__tt").cast("double") / F.lit(48.0)
+    )
+    return agg.select(
+        "n",
+        F.when(F.col("n") > 0, F.round(wp, 6)).alias("w_plus"),
+        F.when(
+            (F.col("n") > 0) & (var > 0),
+            F.round(
+                (wp - nn * (nn + F.lit(1.0)) / F.lit(4.0)) / F.sqrt(var), 6
+            ),
+        ).alias("z"),
+    )
+
+
+def wilcoxon_signed_rank_sql(table: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`wilcoxon_signed_rank` (identical level
+    folds — plain window over |d| levels — and double expressions)."""
+    return f"""
+    WITH base AS (
+        SELECT CAST(round(CAST({x_col} AS DOUBLE) * 100, 0)
+                    - round(CAST({y_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS d
+        FROM {table}
+        WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+    ), lv AS (
+        SELECT abs(d) AS a,
+               CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS cp,
+               CAST(count(*) AS BIGINT) AS t
+        FROM base WHERE d <> 0 GROUP BY abs(d)
+    ), lv2 AS (
+        SELECT cp, t,
+               CAST(coalesce(sum(t) OVER (ORDER BY a
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS below
+        FROM lv
+    ), agg AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(cp * (2 * below + t + 1)) AS BIGINT) AS w2,
+               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tt
+        FROM lv2
+    )
+    SELECT n,
+           CASE WHEN n > 0 THEN round(CAST(w2 AS DOUBLE) / 2.0, 6)
+           END AS w_plus,
+           CASE WHEN n > 0
+                     AND CAST(n AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0)
+                         / 24.0 - CAST(tt AS DOUBLE) / 48.0 > 0
+                THEN round((CAST(w2 AS DOUBLE) / 2.0
+                            - CAST(n AS DOUBLE) * (n + 1.0) / 4.0)
+                           / sqrt(CAST(n AS DOUBLE) * (n + 1.0)
+                                  * (2.0 * n + 1.0) / 24.0
+                                  - CAST(tt AS DOUBLE) / 48.0), 6)
+           END AS z
+    FROM agg
+    """
+
+
+def friedman_test(
+    df: DataFrame, subject_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Friedman test (Friedman 1937) — k paired treatments over n
+    subjects (the CONTINUOUS-response complement of :func:`cochran_q`,
+    which handles binary outcomes): rank the k values WITHIN each
+    subject (ties to average ranks) and test whether any treatment's
+    mean rank departs. Tie-corrected via Conover's form.
+
+    Contract: at most one observation per (subject, treatment); only
+    COMPLETE blocks count (subjects observed under every treatment —
+    incomplete subjects are filtered, the classical requirement).
+
+    Scale shape: within-subject ranking is a window PARTITIONED BY
+    subject — every partition holds exactly k rows, so no funnel at
+    any data size; k itself attaches as a broadcast scalar (the
+    fleiss_kappa pattern). Exact integers throughout by carrying
+    DOUBLED ranks R2 = 2*rank + ties - 1 (= 2 * average rank):
+
+        chi2 = (k-1) * sum_j (R2_j - n(k+1))^2
+               / (sum_ij R2_ij^2 - n k (k+1)^2)
+
+    (the 1/4 factors cancel; the square sum rides DECIMAL(38)).
+    Returns one row ``(k, n, chi2)`` — NULL chi2 when n = 0, k < 2, or
+    every subject's ranks are fully tied (denominator 0).
+    """
+    base = df.where(
+        F.col(subject_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(subject_col).alias("__s"),
+        F.col(treatment_col).alias("__tr"),
+        F.round(F.col(value_col).cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("__y"),
+    )
+    kdf = base.agg(
+        F.countDistinct("__tr").cast("bigint").alias("__k")
+    )
+    # complete blocks only: subjects with exactly k DISTINCT treatments
+    # and k rows (duplicate cells would corrupt the rank sums)
+    subj = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.countDistinct("__tr").alias("__cd"),
+    )
+    complete = (
+        subj.crossJoin(F.broadcast(kdf))
+        .where((F.col("__c") == F.col("__k")) & (F.col("__cd") == F.col("__k")))
+        .select("__s")
+    )
+    rows = base.join(complete, "__s")
+    wr = Window.partitionBy("__s").orderBy("__y")
+    we = Window.partitionBy("__s", "__y")
+    r2 = (
+        F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(we) - F.lit(1)
+    ).cast("bigint")
+    ranked = rows.select("__s", "__tr", r2.alias("__r2"))
+    byt = ranked.groupBy("__tr").agg(
+        F.sum("__r2").cast("bigint").alias("__rj2"),
+        F.sum(
+            F.col("__r2").cast("decimal(38,0)")
+            * F.col("__r2").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__q"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    agg = byt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("__n").cast("bigint").alias("n"),
+        F.sum(
+            F.col("__rj2").cast("decimal(38,0)")
+            * F.col("__rj2").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__sj"),
+        F.sum("__rj2").cast("bigint").alias("__st"),
+        F.sum("__q").cast("decimal(38,0)").alias("__a4"),
+    )
+    kk = F.col("k").cast("double")
+    nn = F.col("n").cast("double")
+    # sum_j (R2_j - n(k+1))^2 = sum R2_j^2 - 2n(k+1) sum R2_j + k n^2 (k+1)^2
+    num = (
+        F.col("__sj").cast("double")
+        - F.lit(2.0) * nn * (kk + F.lit(1.0)) * F.col("__st").cast("double")
+        + kk * nn * nn * (kk + F.lit(1.0)) * (kk + F.lit(1.0))
+    )
+    den = F.col("__a4").cast("double") - nn * kk * (kk + F.lit(1.0)) * (
+        kk + F.lit(1.0)
+    )
+    return agg.select(
+        "k",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+        F.when(
+            (F.col("k") >= 2) & (F.col("n") > 0) & (den > 0),
+            F.round((kk - F.lit(1.0)) * num / den, 6),
+        ).alias("chi2"),
+    )
+
+
+def friedman_test_sql(
+    table: str, subject_col: str, treatment_col: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`friedman_test` (identical doubled-rank
+    integer folds and double expressions)."""
+    return f"""
+    WITH base AS (
+        SELECT {subject_col} AS s, {treatment_col} AS tr,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y
+        FROM {table}
+        WHERE {subject_col} IS NOT NULL AND {treatment_col} IS NOT NULL
+              AND {value_col} IS NOT NULL
+    ), kv AS (
+        SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k FROM base
+    ), complete AS (
+        SELECT s FROM base, kv
+        GROUP BY s, kv.k
+        HAVING count(*) = kv.k AND count(DISTINCT tr) = kv.k
+    ), ranked AS (
+        SELECT b.tr,
+               CAST(2 * rank() OVER (PARTITION BY b.s ORDER BY b.y)
+                    + count(*) OVER (PARTITION BY b.s, b.y) - 1
+                    AS BIGINT) AS r2
+        FROM base b JOIN complete c ON b.s = c.s
+    ), byt AS (
+        SELECT tr,
+               CAST(sum(r2) AS BIGINT) AS rj2,
+               CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS q,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ranked GROUP BY tr
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(CAST(rj2 AS HUGEINT) * rj2) AS HUGEINT) AS sj,
+               CAST(sum(rj2) AS BIGINT) AS st,
+               CAST(sum(q) AS HUGEINT) AS a4
+        FROM byt
+    )
+    SELECT k,
+           coalesce(n, 0) AS n,
+           CASE WHEN k >= 2 AND n > 0
+                     AND CAST(a4 AS DOUBLE)
+                         - CAST(n AS DOUBLE) * k * (k + 1.0) * (k + 1.0) > 0
+                THEN round((k - 1.0)
+                           * (CAST(sj AS DOUBLE)
+                              - 2.0 * n * (k + 1.0) * CAST(st AS DOUBLE)
+                              + CAST(k AS DOUBLE) * n * CAST(n AS DOUBLE)
+                                * (k + 1.0) * (k + 1.0))
+                           / (CAST(a4 AS DOUBLE)
+                              - CAST(n AS DOUBLE) * k * (k + 1.0)
+                                * (k + 1.0)), 6)
+           END AS chi2
+    FROM agg
+    """
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Brown-Forsythe robust variance-homogeneity test (Brown &
+    Forsythe 1974 — Levene's test with MEDIAN centers): one-way ANOVA
+    F over the absolute deviations from each group's median. The
+    robust companion of :func:`bartlett_test`, which assumes normality
+    and overreacts to heavy tails.
+
+    Scale shape: the exact per-group median comes from the (group,
+    cent-level) frame — per-group cumulative counts over levels (a
+    window PARTITIONED BY group over its distinct levels, never rows),
+    then the two middle order statistics read off as conditional mins;
+    no ``percentile``-style per-group value buffering. Deviations stay
+    exact integers by working in HALF-cents: 2*median is always an
+    integer (lo + hi middle levels), so z2 = \\|2y - m2\\| is a BIGINT,
+    and the ANOVA folds over z2 reuse the :func:`anova_oneway` recipe
+    (DECIMAL(38) squares; per-group between-term rounded once to
+    micro-units). F is scale-invariant so the half-cent unit cancels.
+
+    Returns one row ``(k, n, f_stat)`` — NULL F when k < 2, N <= k, or
+    within-group deviation SS is 0.
+    """
+    y = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), y.alias("__y"))
+    lv = base.groupBy("__g", "__y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy("__y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("__g")
+    lv2 = lv.select(
+        "__g",
+        "__y",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wtot).alias("__n"),
+    )
+    lo_pos = F.floor((F.col("__n") + 1) / 2)
+    hi_pos = F.floor((F.col("__n") + 2) / 2)
+    med = lv2.groupBy("__g").agg(
+        (
+            F.min(F.when(F.col("__cum") >= lo_pos, F.col("__y")))
+            + F.min(F.when(F.col("__cum") >= hi_pos, F.col("__y")))
+        ).cast("bigint").alias("__m2")
+    )
+    z2 = base.join(F.broadcast(med), "__g").select(
+        "__g",
+        F.abs(F.lit(2) * F.col("__y") - F.col("__m2")).alias("__z"),
+    )
+    g = z2.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__z").cast("bigint").alias("__s"),
+        F.sum(
+            F.col("__z").cast("decimal(38,0)")
+            * F.col("__z").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__q"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__s").cast("bigint").alias("__st"),
+        F.sum("__q").cast("decimal(38,0)").alias("__qt"),
+        F.sum(
+            F.round(
+                F.col("__s").cast("double") * F.col("__s").cast("double")
+                / F.col("__n").cast("double") * F.lit(1e6),
+                0,
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__sb6"),
+    )
+    sb = F.col("__sb6").cast("double") / F.lit(1e6)
+    ssb = sb - (
+        F.col("__st").cast("double") * F.col("__st").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssw = F.col("__qt").cast("double") - sb
+    kk, nn = F.col("k").cast("double"), F.col("n").cast("double")
+    return agg.select(
+        "k",
+        "n",
+        F.when(
+            (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0),
+            F.round((ssb / (kk - F.lit(1.0))) / (ssw / (nn - kk)), 6),
+        ).alias("f_stat"),
+    )
+
+
+def brown_forsythe_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB twin of :func:`brown_forsythe` (identical half-cent
+    median construction, integer deviation folds, and F expression)."""
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS g,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y
+        FROM {table}
+        WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+    ), lv AS (
+        SELECT g, y, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY g, y
+    ), lv2 AS (
+        SELECT g, y,
+               sum(c) OVER (PARTITION BY g ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(c) OVER (PARTITION BY g) AS n
+        FROM lv
+    ), med AS (
+        SELECT g,
+               CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN y END)
+                    + min(CASE WHEN cum >= (n + 2) // 2 THEN y END)
+                    AS BIGINT) AS m2
+        FROM lv2 GROUP BY g
+    ), z AS (
+        SELECT b.g, abs(2 * b.y - m.m2) AS z
+        FROM base b JOIN med m ON b.g = m.g
+    ), grp AS (
+        SELECT g,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS s,
+               CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS q
+        FROM z GROUP BY g
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS st,
+               CAST(sum(q) AS HUGEINT) AS qt,
+               CAST(sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   / CAST(n AS DOUBLE) * 1e6, 0)
+                             AS HUGEINT)) AS HUGEINT) AS sb6
+        FROM grp
+    )
+    SELECT k, n,
+           CASE WHEN k >= 2 AND n > k
+                     AND CAST(qt AS DOUBLE) - CAST(sb6 AS DOUBLE) / 1e6 > 0
+                THEN round(((CAST(sb6 AS DOUBLE) / 1e6
+                             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                               / CAST(n AS DOUBLE)) / (k - 1.0))
+                           / ((CAST(qt AS DOUBLE)
+                               - CAST(sb6 AS DOUBLE) / 1e6)
+                              / (n - CAST(k AS DOUBLE))), 6)
+           END AS f_stat
+    FROM agg
+    """
+
+
 def anova_oneway(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

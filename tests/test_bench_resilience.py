@@ -125,3 +125,39 @@ def test_error_rows_are_skipped_without_crash(bench):
         out, lambda n: {}, lambda n: 1.0, cooldown=0
     )
     assert "ratio_vs_scalable" not in scored[a0]
+
+
+def test_warm_tuple_records_noise_floor(bench):
+    """warm_fn returning (median, half-spread) must record the spread
+    and flag an overhead under the combined noise floor as
+    statistically zero."""
+    out = _battery(bench, auto_skewed=1.5)
+    for auto, twin in bench._AUTO_TWINS.items():
+        out[auto]["skewed_spread"] = 0.2
+        out[twin]["skewed_spread"] = 0.1
+    scored = bench._score_auto_rows(
+        out, lambda n: {}, lambda n: (1.1, 0.3), cooldown=0
+    )
+    for auto in bench._AUTO_TWINS:
+        row = scored[auto]
+        assert row["skewed_warm"] == 1.1
+        assert row["skewed_warm_spread"] == 0.3
+        # cold overhead 0.5 > 0.3 combined cold floor -> NOT within noise
+        assert row["cold_overhead_within_noise"] is False
+        # warm overhead 0.1 <= 0.3 + 0.1 -> within noise
+        assert row["warm_overhead_within_noise"] is True
+
+
+def test_float_warm_still_supported(bench):
+    """Plain-float warm_fn keeps the legacy fields and adds no
+    spread/noise keys."""
+    out = _battery(bench, auto_skewed=1.5)
+    scored = bench._score_auto_rows(
+        out, lambda n: {}, lambda n: 1.2, cooldown=0
+    )
+    for auto in bench._AUTO_TWINS:
+        row = scored[auto]
+        assert row["skewed_warm"] == 1.2
+        assert "skewed_warm_spread" not in row
+        assert "warm_overhead_within_noise" not in row
+        assert "cold_overhead_within_noise" not in row

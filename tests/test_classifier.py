@@ -1285,3 +1285,160 @@ def test_round10_stats_invariance_laws(spark):
         durbin_watson(d, "g", "t", "v").collect()[0] for d in (df, shifted)
     )
     assert abs(dw["dw"] - dw_sh["dw"]) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# round-11 nonparametric completions: Wilcoxon signed-rank (paired),
+# Friedman (k paired, continuous — the Cochran-Q complement), and
+# Brown-Forsythe (robust variance homogeneity — the Bartlett complement)
+# ---------------------------------------------------------------------------
+
+
+def _avg_ranks(vals):
+    """Textbook average ranks with ties (1-based)."""
+    srt = sorted(vals)
+    ranks = {}
+    i = 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j] == srt[i]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        ranks[srt[i]] = avg
+        i = j
+    return [ranks[v] for v in vals]
+
+
+def test_wilcoxon_signed_rank_brute_force(spark):
+    """Pin against the textbook computation on data with zero diffs,
+    |d| ties (same magnitude both signs), and negatives."""
+    import random
+
+    from pytrousse_spark.operators.classifier import wilcoxon_signed_rank
+
+    rng = random.Random(5)
+    pairs = [
+        (round(rng.uniform(0, 9), 2), round(rng.uniform(0, 9), 2))
+        for _ in range(60)
+    ]
+    pairs += [(2.5, 2.5), (3.0, 3.0)]          # zero diffs must drop
+    pairs += [(4.0, 3.5), (3.5, 4.0)]           # |d| tie across signs
+    df = spark.createDataFrame(pairs, "x double, y double")
+    got = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+
+    ds = [
+        int(round(x * 100)) - int(round(y * 100))
+        for x, y in pairs
+        if round(x * 100) != round(y * 100)
+    ]
+    ranks = _avg_ranks([abs(d) for d in ds])
+    w_plus = sum(r for d, r in zip(ds, ranks) if d > 0)
+    n = len(ds)
+    assert got["n"] == n
+    assert abs(got["w_plus"] - w_plus) < 1e-6
+    from collections import Counter
+
+    tt = sum(t**3 - t for t in Counter(abs(d) for d in ds).values())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tt / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / var**0.5
+    assert abs(got["z"] - z) < 1e-6
+
+
+def test_wilcoxon_signed_rank_all_zero_diffs(spark):
+    from pytrousse_spark.operators.classifier import wilcoxon_signed_rank
+
+    df = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "x double, y double")
+    got = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert got["w_plus"] is None and got["z"] is None
+
+
+def test_friedman_brute_force(spark):
+    """Pin against the tie-corrected Conover form on complete blocks
+    with within-subject ties; an incomplete subject must be filtered."""
+    import random
+
+    from pytrousse_spark.operators.classifier import friedman_test
+
+    rng = random.Random(11)
+    rows = []
+    k, n = 4, 25
+    data = {}
+    for s in range(n):
+        vals = [round(rng.uniform(0, 5), 2) for _ in range(k)]
+        if s % 7 == 0:
+            vals[1] = vals[0]  # forced within-subject tie
+        data[s] = vals
+        rows += [(s, f"t{j}", v) for j, v in enumerate(vals)]
+    rows.append((999, "t0", 1.23))  # incomplete subject -> filtered
+    df = spark.createDataFrame(rows, "s long, tr string, v double")
+    got = friedman_test(df, "s", "tr", "v").collect()[0]
+    assert got["k"] == k and got["n"] == n
+
+    # textbook: average ranks within each subject (on cents)
+    rj = [0.0] * k
+    a = 0.0
+    for s in range(n):
+        cents = [int(round(v * 100)) for v in data[s]]
+        ranks = _avg_ranks(cents)
+        for j, r in enumerate(ranks):
+            rj[j] += r
+            a += r * r
+    c = n * k * (k + 1) ** 2 / 4.0
+    num = sum((r - n * (k + 1) / 2.0) ** 2 for r in rj)
+    chi2 = (k - 1) * num / (a - c)
+    assert abs(got["chi2"] - chi2) < 1e-5
+
+
+def test_friedman_no_complete_blocks(spark):
+    from pytrousse_spark.operators.classifier import friedman_test
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "s long, tr string, v double"
+    )
+    got = friedman_test(df, "s", "tr", "v").collect()[0]
+    assert got["n"] == 0 and got["chi2"] is None
+
+
+def test_brown_forsythe_brute_force(spark):
+    """Pin against the direct median-deviation ANOVA on groups with
+    even/odd sizes (both median branches) and heavy tails."""
+    import random
+    import statistics
+
+    from pytrousse_spark.operators.classifier import brown_forsythe
+
+    rng = random.Random(23)
+    rows = []
+    groups = {"a": 31, "b": 40, "c": 27}
+    data = {}
+    for g, sz in groups.items():
+        vals = [round(rng.gauss(5, 1 + 2 * (g == "c")), 2) for _ in range(sz)]
+        vals[0] = round(vals[0] + 40, 2)  # heavy tail
+        data[g] = vals
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = brown_forsythe(df, "g", "v").collect()[0]
+    assert got["k"] == 3 and got["n"] == sum(groups.values())
+
+    zs, zg = [], {}
+    for g, vals in data.items():
+        cents = [int(round(v * 100)) for v in vals]
+        m2 = int(round(2 * statistics.median(cents)))
+        zg[g] = [abs(2 * c - m2) for c in cents]
+        zs += zg[g]
+    ntot, ktot = len(zs), len(groups)
+    gm = sum(zs) / ntot
+    ssb = sum(len(z) * (sum(z) / len(z) - gm) ** 2 for z in zg.values())
+    ssw = sum((x - sum(z) / len(z)) ** 2 for z in zg.values() for x in z)
+    f = (ssb / (ktot - 1)) / (ssw / (ntot - ktot))
+    assert abs(got["f_stat"] - f) < 1e-3
+
+
+def test_brown_forsythe_constant_groups(spark):
+    from pytrousse_spark.operators.classifier import brown_forsythe
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("b", 2.0)] * 5, "g string, v double"
+    )
+    got = brown_forsythe(df, "g", "v").collect()[0]
+    assert got["f_stat"] is None  # zero within-group deviation SS
