@@ -2294,18 +2294,31 @@ def optimal_threshold(
         F.sum("__y").cast("bigint").alias("__p"),
         F.sum(1 - F.col("__y")).cast("bigint").alias("__q"),
     )
-    w = Window.orderBy(F.col("__s").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    # reverse-inclusive cumulatives over score LEVELS without a global
+    # descending sort: TP(s) = n_pos - strictly-below(s), with the
+    # strictly-below sums from the bounded prefix hierarchy (_prefix,
+    # r10 VERDICT item 8's class) and the totals attached as a
+    # broadcast scalar instead of a whole-frame window
+    from ._prefix import exclusive_prefix_sums
+
+    totals = dist.agg(
+        F.sum("__p").cast("bigint").alias("n_pos"),
+        F.sum("__q").cast("bigint").alias("n_neg"),
     )
-    wn = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    frame = dist.select(
-        "__s",
-        F.sum("__p").over(w).cast("bigint").alias("__tp"),
-        F.sum("__q").over(w).cast("bigint").alias("__fp"),
-        F.sum("__p").over(wn).cast("bigint").alias("n_pos"),
-        F.sum("__q").over(wn).cast("bigint").alias("n_neg"),
+    frame = (
+        exclusive_prefix_sums(dist, "__s", ("__p", "__q"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__s",
+            (F.col("n_pos") - F.col("__below___p"))
+            .cast("bigint")
+            .alias("__tp"),
+            (F.col("n_neg") - F.col("__below___q"))
+            .cast("bigint")
+            .alias("__fp"),
+            "n_pos",
+            "n_neg",
+        )
     ).select(
         "__s",
         "__tp",
@@ -3255,9 +3268,14 @@ def split_conformal(
         cal.groupBy("__r")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
     )
-    w = Window.orderBy("__r").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = levels.select(
-        "__r", F.sum("__c").over(w).alias("__cum")
+    # inclusive rank cumulative over residual LEVELS via the bounded
+    # hierarchy (_prefix, r10 VERDICT item 8's class): bit-identical to
+    # Window.orderBy(__r), but an unbounded-cardinality residual domain
+    # can't funnel the level frame through one sort task
+    from ._prefix import exclusive_prefix_sums
+
+    ranked = exclusive_prefix_sums(levels, "__r", ("__c",)).select(
+        "__r", (F.col("__below___c") + F.col("__c")).alias("__cum")
     )
     q_row = (
         ranked.crossJoin(F.broadcast(n_cal_row))
