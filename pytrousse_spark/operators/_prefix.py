@@ -43,19 +43,45 @@ _SHIFT = 20
 
 
 def exclusive_prefix_sums(
-    lv: DataFrame, order_col: str, sum_cols: Sequence[str]
+    lv: DataFrame,
+    order_col: str,
+    sum_cols: Sequence[str],
+    materialize: bool = True,
 ) -> DataFrame:
     """Return ``lv`` plus, for each ``c`` in ``sum_cols``, a column
     ``__below_{c}`` holding the exact integer sum of ``c`` over all rows
     whose ``order_col`` is strictly smaller. ``order_col`` must be an
     integer level key that is UNIQUE per row (the level-frame contract:
-    the frame is the output of a ``groupBy(level)``)."""
-    b1 = F.shiftright(F.col(order_col), _SHIFT)
-    b2 = F.shiftright(F.col(order_col), 2 * _SHIFT)
-    b3 = F.shiftright(F.col(order_col), 3 * _SHIFT)
-    base = lv.select("*", b1.alias("__pb1"), b2.alias("__pb2"), b3.alias("__pb3"))
+    the frame is the output of a ``groupBy(level)``).
 
-    # in-bucket exclusive cumulative (partition <= 2^20 levels)
+    Physical shape (one LINEAR lineage, not four sibling branches): the
+    in-bucket window establishes hashpartitioning(__pb1); the b1-totals
+    agg is computed FROM the window's output so it rides that
+    partitioning with no new exchange, and each further tier likewise
+    aggregates its parent window's output. The level frame therefore
+    shuffles once going down; the offset chain folds bucket-side
+    (o3 <= 16 rows broadcasts into o2, o2 into o1) and the final join
+    lands back on the SAME hashpartitioning(__pb1) the first window
+    created, so the diamond's shared stages reuse their shuffle output
+    instead of re-scanning the source (the round-11 plan audit caught
+    the sibling-branch version scanning the input 6x).
+
+    ``materialize=True`` (default) additionally lazy-localCheckpoints
+    the level frame: Catalyst's ReuseExchange fires inconsistently on
+    the diamond (the same audit saw one caller reuse cleanly and
+    another re-scan its source once per tier because column pruning
+    rewrote each branch's agg chain differently), and at 100 TB the
+    source scan is the dominant cost — the checkpoint makes ONE scan a
+    structural guarantee rather than optimizer luck. The checkpointed
+    frame is the (small) level frame, never the raw data; the graph.py
+    iterative operators established the lazy-localCheckpoint
+    convention."""
+    if materialize:
+        lv = lv.localCheckpoint(eager=False)
+    b1 = F.shiftright(F.col(order_col), _SHIFT)
+    base = lv.select("*", b1.alias("__pb1"))
+
+    # tier 1: in-bucket exclusive cumulative (partition <= 2^20 levels)
     w1 = (
         Window.partitionBy("__pb1")
         .orderBy(order_col)
@@ -69,14 +95,11 @@ def exclusive_prefix_sums(
         ],
     )
 
-    # b1 totals; exclusive running offset among same-b2 siblings
-    # (parent buckets re-derive by shifting — no nondeterministic first())
-    t1 = base.groupBy("__pb1").agg(
+    # tier 2: b1 totals FROM cur (rides w1's partitioning — no
+    # exchange), then exclusive offsets among same-b2 siblings
+    t1 = cur.groupBy("__pb1").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
-    ).select(
-        "*",
-        F.shiftright(F.col("__pb1"), _SHIFT).alias("__pb2"),
-    )
+    ).select("*", F.shiftright(F.col("__pb1"), _SHIFT).alias("__pb2"))
     w2 = (
         Window.partitionBy("__pb2")
         .orderBy("__pb1")
@@ -84,19 +107,20 @@ def exclusive_prefix_sums(
     )
     o1 = t1.select(
         "__pb1",
+        "__pb2",
+        *[F.col(f"__t_{c}") for c in sum_cols],
         *[
-            F.coalesce(F.sum(f"__t_{c}").over(w2), F.lit(0)).alias(f"__o1_{c}")
+            F.coalesce(F.sum(f"__t_{c}").over(w2), F.lit(0)).alias(
+                f"__o1_{c}"
+            )
             for c in sum_cols
         ],
     )
 
-    # b2 totals; exclusive running offset among same-b3 siblings
-    t2 = t1.groupBy("__pb2").agg(
+    # tier 3: b2 totals FROM o1 (no exchange), offsets among same-b3
+    t2 = o1.groupBy("__pb2").agg(
         *[F.sum(f"__t_{c}").alias(f"__t_{c}") for c in sum_cols]
-    ).select(
-        "*",
-        F.shiftright(F.col("__pb2"), _SHIFT).alias("__pb3"),
-    )
+    ).select("*", F.shiftright(F.col("__pb2"), _SHIFT).alias("__pb3"))
     w3 = (
         Window.partitionBy("__pb3")
         .orderBy("__pb2")
@@ -104,41 +128,63 @@ def exclusive_prefix_sums(
     )
     o2 = t2.select(
         "__pb2",
+        "__pb3",
+        *[F.col(f"__t_{c}") for c in sum_cols],
         *[
-            F.coalesce(F.sum(f"__t_{c}").over(w3), F.lit(0)).alias(f"__o2_{c}")
+            F.coalesce(F.sum(f"__t_{c}").over(w3), F.lit(0)).alias(
+                f"__o2_{c}"
+            )
             for c in sum_cols
         ],
     )
 
-    # b3 totals; global exclusive offset — frame <= 16 rows for the
-    # whole 64-bit signed domain, the ONLY partition-free window
-    t3 = t2.groupBy("__pb3").agg(
+    # tier 4: b3 totals FROM o2 (no exchange); global exclusive offset —
+    # frame <= 16 rows for the whole 64-bit signed domain, the ONLY
+    # partition-free window
+    t3 = o2.groupBy("__pb3").agg(
         *[F.sum(f"__t_{c}").alias(f"__t_{c}") for c in sum_cols]
     )
     w4 = Window.orderBy("__pb3").rowsBetween(Window.unboundedPreceding, -1)
     o3 = t3.select(
         "__pb3",
         *[
-            F.coalesce(F.sum(f"__t_{c}").over(w4), F.lit(0)).alias(f"__o3_{c}")
+            F.coalesce(F.sum(f"__t_{c}").over(w4), F.lit(0)).alias(
+                f"__o3_{c}"
+            )
             for c in sum_cols
         ],
     )
 
-    out = (
-        cur.join(o1, "__pb1")
-        .join(o2, "__pb2")
-        .join(o3, "__pb3")
+    # fold the offset chain bucket-side BEFORE touching the level frame
+    o23 = (
+        o2.join(F.broadcast(o3), "__pb3")
         .select(
-            *lv.columns,
+            "__pb2",
             *[
-                (
-                    F.col(f"__in1_{c}")
-                    + F.col(f"__o1_{c}")
-                    + F.col(f"__o2_{c}")
-                    + F.col(f"__o3_{c}")
-                ).alias(f"__below_{c}")
+                (F.col(f"__o2_{c}") + F.col(f"__o3_{c}")).alias(
+                    f"__o23_{c}"
+                )
                 for c in sum_cols
             ],
         )
+    )
+    offs = (
+        o1.join(o23, "__pb2")
+        .select(
+            "__pb1",
+            *[
+                (F.col(f"__o1_{c}") + F.col(f"__o23_{c}")).alias(
+                    f"__off_{c}"
+                )
+                for c in sum_cols
+            ],
+        )
+    )
+    out = cur.join(offs, "__pb1").select(
+        *lv.columns,
+        *[
+            (F.col(f"__in1_{c}") + F.col(f"__off_{c}")).alias(f"__below_{c}")
+            for c in sum_cols
+        ],
     )
     return out
