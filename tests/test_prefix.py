@@ -113,3 +113,35 @@ def test_mann_whitney_unchanged_after_rewire(spark):
     var = n1 * n2 / 12.0 * (nn + 1 - tt / (nn * (nn - 1)))
     z = (u1 - n1 * n2 / 2.0) / var**0.5
     assert abs(got["z"] - z) < 1e-6
+
+
+def test_prefix_property_random_domains(spark):
+    """Property pin across structured random domains: clustered,
+    sparse-huge, negative-heavy, and boundary-straddling level sets all
+    reproduce the brute-force exclusive prefix sums exactly."""
+    import random
+
+    rng = random.Random(2024)
+    # (generator, target distinct count) — each target must stay below
+    # the generator's achievable distinct count or the sampling loop
+    # never terminates: the boundary cluster yields exactly 27 values
+    # (the 0/±1 bases overlap into {-3..3}, plus 5 around each of
+    # ±2^20 and ±2^40)
+    domains = [
+        (lambda: rng.randint(-5, 5), 11),                     # dense tiny
+        (lambda: rng.randint(-(2**63) + 1, 2**63 - 1), 120),  # full 64-bit
+        (
+            lambda: rng.choice(
+                [0, 1, -1, 2**20, -(2**20), 2**40, -(2**40)]
+            )
+            + rng.randint(-2, 2),
+            24,
+        ),                                                    # boundary cluster
+        (lambda: rng.randint(0, 2**62) * rng.choice([1, -1]), 120),
+    ]
+    for gen, target in domains:
+        ys = set()
+        while len(ys) < target:
+            ys.add(gen())
+        levels = [(y, rng.randint(0, 7), rng.randint(0, 7)) for y in ys]
+        _check(spark, levels)
