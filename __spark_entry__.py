@@ -9407,6 +9407,37 @@ def _sql_q307() -> str:
     return friedman_test_sql(f"({per}) AS per", "user_id", "event_type", "v")
 
 
+def q309_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises drift criterion between early- and
+    late-January purchase values — the INTEGRAL-squared ECDF distance
+    on q186's exact frame (KS reacts to the worst single gap; CvM
+    accumulates every gap, the body-wide mix-drift signal): pooled
+    cent-level frame, cumulatives from the bounded prefix hierarchy,
+    per-level pico-unit rounding into a DECIMAL(38) order-free fold
+    (profiling.cramer_von_mises)."""
+    from pytrousse_spark.profiling import cramer_von_mises
+
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    return cramer_von_mises(
+        pur.where(F.col("ts") < "2024-01-16"),
+        pur.where(F.col("ts") >= "2024-01-16"),
+        "value",
+    )
+
+
+def _sql_q309() -> str:
+    from pytrousse_spark.profiling import cramer_von_mises_sql
+
+    return cramer_von_mises_sql(
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'",
+        "value",
+    )
+
+
 def q308_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe robust variance-homogeneity F over the SAME five
     event-type groups as q298/q299 — Levene's test with median centers,
@@ -9656,6 +9687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q306_wilcoxon_signed_rank": q306_wilcoxon_signed_rank,
         "q307_friedman": q307_friedman,
         "q308_brown_forsythe": q308_brown_forsythe,
+        "q309_cramer_von_mises": q309_cramer_von_mises,
         "q297_mann_whitney": q297_mann_whitney,
         "q298_anova_f": q298_anova_f,
         "q299_bartlett": q299_bartlett,
@@ -10385,6 +10417,7 @@ def oracle_sql() -> dict[str, str]:
         "q306_wilcoxon_signed_rank": _sql_q306(),
         "q307_friedman": _sql_q307(),
         "q308_brown_forsythe": _sql_q308(),
+        "q309_cramer_von_mises": _sql_q309(),
         "q297_mann_whitney": _sql_q297(),
         "q298_anova_f": _sql_q298(),
         "q299_bartlett": _sql_q299(),

@@ -520,7 +520,7 @@ def _skew_stress(spark, tmp: str) -> dict:
     def _rerun_auto(name: str) -> dict:
         return _run(cases[name], reps=3 if name in median3 else 1)
 
-    def _warm_auto(name: str) -> float:
+    def _warm_auto(name: str) -> tuple:
         # ADVICE r10 item 2: the cold loop clears the probe cache before
         # EVERY case, so by this point only the LAST case's probe
         # survives — without priming, earlier auto rows pay a cold

@@ -1289,6 +1289,157 @@ def ks_two_sample(
     )
 
 
+def cramer_von_mises(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    value_col: str,
+    crit: float = 0.461,
+) -> "DataFrame":
+    """Two-sample Cramér-von Mises criterion (Anderson 1962) — the
+    INTEGRAL-squared ECDF distance beside :func:`ks_two_sample`'s sup
+    distance: KS reacts to the single worst gap, CvM accumulates every
+    gap, so body-wide drift that never spikes (the common training-
+    data-mix failure) moves CvM first. Computational form over the
+    pooled distinct levels (no gaps or adjacency needed — the sum runs
+    over observations, weighting each level by its multiplicity):
+
+        T = n_a*n_b / N^2 * sum_l (c_a + c_b)(F_a(l) - F_b(l))^2
+
+    Values quantize to integer CENTS (the mann_whitney/level-frame
+    convention), cumulatives come from the bounded prefix hierarchy
+    (operators/_prefix.py — no data-sized sort at any cardinality; the
+    level frame is lazy-localCheckpointed ONCE and shared with the
+    totals agg). Exactness: cumulative counts are exact BIGINTs; the
+    per-level term is ONE double expression over identical integers,
+    rounded once to pico-units into a DECIMAL(38) order-free fold
+    (the anova_oneway between-term convention).
+
+    Returns one row ``(n_a, n_b, t_stat, reject)`` with ``reject =
+    t_stat > crit`` (0.461 is the asymptotic 5% critical value from
+    Anderson & Darling 1952's table); t_stat NULL when either sample
+    is empty.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    a = df_a.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    b = df_b.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    lv = (
+        a.unionByName(b)
+        .groupBy("__y")
+        .agg(
+            F.sum("__a").cast("bigint").alias("__c1"),
+            F.sum("__b").cast("bigint").alias("__c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from .operators._prefix import exclusive_prefix_sums
+
+    lv2 = exclusive_prefix_sums(lv, "__y", ("__c1", "__c2"), materialize=False)
+    tot = lv.agg(
+        F.sum("__c1").cast("bigint").alias("n_a"),
+        F.sum("__c2").cast("bigint").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # guard the divisions: an empty side yields t_stat NULL downstream,
+    # but ANSI mode would throw on the per-level x/0 before we get there
+    d = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("__below___c1") + F.col("__c1")).cast("double") / na
+        - (F.col("__below___c2") + F.col("__c2")).cast("double") / nb,
+    ).otherwise(F.lit(0.0))
+    term12 = F.round(
+        (F.col("__c1") + F.col("__c2")).cast("double") * d * d * F.lit(1e12),
+        0,
+    ).cast("decimal(38,0)")
+    agg = (
+        lv2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(term12).cast("decimal(38,0)").alias("__t12"),
+        )
+    )
+    t = (
+        na * nb / ((na + nb) * (na + nb))
+        * F.col("__t12").cast("double") / F.lit(1e12)
+    )
+    return agg.select(
+        F.coalesce(F.col("n_a"), F.lit(0).cast("bigint")).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0).cast("bigint")).alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(t, 6)
+        ).alias("t_stat"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), t > F.lit(float(crit))
+        ).alias("reject"),
+    )
+
+
+def cramer_von_mises_sql(
+    a_subquery: str,
+    b_subquery: str,
+    value_col: str,
+    crit: float = 0.461,
+) -> str:
+    """DuckDB twin of :func:`cramer_von_mises` — the PLAIN global
+    cumulative-window formulation (the q157 oracle convention: an
+    independent plan that must reproduce the same integers)."""
+    return f"""
+    WITH pooled AS (
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y, 1 AS a, 0 AS b
+        FROM ({a_subquery}) WHERE {value_col} IS NOT NULL
+        UNION ALL
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT),
+               0, 1
+        FROM ({b_subquery}) WHERE {value_col} IS NOT NULL
+    ), lv AS (
+        SELECT y, CAST(sum(a) AS BIGINT) AS c1, CAST(sum(b) AS BIGINT) AS c2
+        FROM pooled GROUP BY y
+    ), cum AS (
+        SELECT c1, c2,
+               CAST(sum(c1) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc1,
+               CAST(sum(c2) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc2
+        FROM lv
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+               CAST(sum(c2) AS BIGINT) AS n_b
+        FROM lv
+    ), agg AS (
+        SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+               CAST(sum(CAST(round(CAST(c1 + c2 AS DOUBLE)
+                        * (CAST(cc1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(cc2 AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        * (CAST(cc1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(cc2 AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        * 1e12, 0) AS HUGEINT)) AS HUGEINT) AS t12
+        FROM cum, tot
+    )
+    SELECT coalesce(n_a, 0) AS n_a,
+           coalesce(n_b, 0) AS n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN round(CAST(n_a AS DOUBLE) * n_b
+                           / ((CAST(n_a AS DOUBLE) + n_b)
+                              * (CAST(n_a AS DOUBLE) + n_b))
+                           * CAST(t12 AS DOUBLE) / 1e12, 6)
+           END AS t_stat,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(n_a AS DOUBLE) * n_b
+                     / ((CAST(n_a AS DOUBLE) + n_b)
+                        * (CAST(n_a AS DOUBLE) + n_b))
+                     * CAST(t12 AS DOUBLE) / 1e12 > {float(crit)}
+           END AS reject
+    FROM agg
+    """
+
+
 def ks_two_sample_sql(
     a_subquery: str,
     b_subquery: str,

@@ -676,3 +676,44 @@ def test_categorical_boundary_exact_recheck(spark):
     cats = prof.str_categorical_cols
     assert "c299" in cats
     assert "c300" not in cats and "c301" not in cats
+
+
+def test_cramer_von_mises_brute_force(spark):
+    """Pin the two-sample CvM criterion against the textbook pooled-ECDF
+    computation on data with cross-sample ties."""
+    import random
+
+    from pytrousse_spark.profiling import cramer_von_mises
+
+    rng = random.Random(31)
+    xs = [round(rng.uniform(0, 8), 2) for _ in range(70)]
+    ys = [round(rng.uniform(1, 9), 2) for _ in range(55)]
+    ys += xs[:5]  # forced cross-sample ties
+    df_a = spark.createDataFrame([(v,) for v in xs], "value double")
+    df_b = spark.createDataFrame([(v,) for v in ys], "value double")
+    got = cramer_von_mises(df_a, df_b, "value").collect()[0]
+
+    ca, cb = [int(round(v * 100)) for v in xs], [int(round(v * 100)) for v in ys]
+    n, m = len(ca), len(cb)
+    pooled = sorted(set(ca + cb))
+    t = 0.0
+    for lvl in pooled:
+        f1 = sum(1 for v in ca if v <= lvl) / n
+        f2 = sum(1 for v in cb if v <= lvl) / m
+        mult = sum(1 for v in ca + cb if v == lvl)
+        t += mult * (f1 - f2) ** 2
+    t *= n * m / (n + m) ** 2
+    assert got["n_a"] == n and got["n_b"] == m
+    assert abs(got["t_stat"] - t) < 1e-5
+    assert got["reject"] == (t > 0.461)
+
+
+def test_cramer_von_mises_identical_and_empty(spark):
+    from pytrousse_spark.profiling import cramer_von_mises
+
+    df = spark.createDataFrame([(float(i),) for i in range(30)], "value double")
+    same = cramer_von_mises(df, df, "value").collect()[0]
+    assert same["t_stat"] == 0.0 and same["reject"] is False
+    empty = spark.createDataFrame([], "value double")
+    row = cramer_von_mises(df, empty, "value").collect()[0]
+    assert row["n_b"] == 0 and row["t_stat"] is None and row["reject"] is None
