@@ -9438,6 +9438,37 @@ def _sql_q309() -> str:
     )
 
 
+def q310_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between early-
+    and late-January purchase values — completing q186/q309's drift
+    trio with the AREA between the ECDFs in dollars (the number a mix
+    rebalancing is judged by): adjacency from the hierarchical bounded
+    lead (operators/_prefix.next_level), cumulatives from the bounded
+    prefix hierarchy, per-level micro-unit rounding into a DECIMAL(38)
+    order-free fold (profiling.wasserstein_1d)."""
+    from pytrousse_spark.profiling import wasserstein_1d
+
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    return wasserstein_1d(
+        pur.where(F.col("ts") < "2024-01-16"),
+        pur.where(F.col("ts") >= "2024-01-16"),
+        "value",
+    )
+
+
+def _sql_q310() -> str:
+    from pytrousse_spark.profiling import wasserstein_1d_sql
+
+    return wasserstein_1d_sql(
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'",
+        "value",
+    )
+
+
 def q308_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe robust variance-homogeneity F over the SAME five
     event-type groups as q298/q299 — Levene's test with median centers,
@@ -9688,6 +9719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q307_friedman": q307_friedman,
         "q308_brown_forsythe": q308_brown_forsythe,
         "q309_cramer_von_mises": q309_cramer_von_mises,
+        "q310_wasserstein": q310_wasserstein,
         "q297_mann_whitney": q297_mann_whitney,
         "q298_anova_f": q298_anova_f,
         "q299_bartlett": q299_bartlett,
@@ -10418,6 +10450,7 @@ def oracle_sql() -> dict[str, str]:
         "q307_friedman": _sql_q307(),
         "q308_brown_forsythe": _sql_q308(),
         "q309_cramer_von_mises": _sql_q309(),
+        "q310_wasserstein": _sql_q310(),
         "q297_mann_whitney": _sql_q297(),
         "q298_anova_f": _sql_q298(),
         "q299_bartlett": _sql_q299(),

@@ -188,3 +188,62 @@ def exclusive_prefix_sums(
         ],
     )
     return out
+
+
+def next_level(
+    lv: DataFrame,
+    order_col: str,
+    materialize: bool = True,
+) -> DataFrame:
+    """Return ``lv`` plus ``__next`` = the smallest ``order_col``
+    strictly greater than this row's (NULL for the global maximum) —
+    the adjacency a Wasserstein-style integral over a level frame
+    needs, with every window partition bounded exactly like
+    :func:`exclusive_prefix_sums`: in-bucket ``lead`` partitioned by
+    b1, bucket-boundary rows patched from a bucket-min frame whose own
+    adjacency comes from the same construction one tier up (b2, then
+    the <=16-row b3 frame).
+    """
+    if materialize:
+        lv = lv.localCheckpoint(eager=False)
+    base = lv.select(
+        "*", F.shiftright(F.col(order_col), _SHIFT).alias("__pb1")
+    )
+
+    # tier-1 lead within b1 (partition <= 2^20 levels)
+    wl1 = Window.partitionBy("__pb1").orderBy(order_col)
+    cur = base.select("*", F.lead(order_col).over(wl1).alias("__n1"))
+
+    # b1 bucket mins FROM cur (rides wl1's partitioning)
+    m1 = cur.groupBy("__pb1").agg(F.min(order_col).alias("__m")).select(
+        "*", F.shiftright(F.col("__pb1"), _SHIFT).alias("__pb2")
+    )
+    # tier-2 lead of bucket mins within b2
+    wl2 = Window.partitionBy("__pb2").orderBy("__pb1")
+    m1n = m1.select("*", F.lead("__m").over(wl2).alias("__n2"))
+    # b2 mins FROM m1n; tier-3 lead within b3
+    m2 = m1n.groupBy("__pb2").agg(F.min("__m").alias("__m")).select(
+        "*", F.shiftright(F.col("__pb2"), _SHIFT).alias("__pb3")
+    )
+    wl3 = Window.partitionBy("__pb3").orderBy("__pb2")
+    m2n = m2.select("*", F.lead("__m").over(wl3).alias("__n3"))
+    # b3 mins FROM m2n; global lead over the <=16-row frame
+    m3 = m2n.groupBy("__pb3").agg(F.min("__m").alias("__m"))
+    wl4 = Window.orderBy("__pb3")
+    m3n = m3.select("__pb3", F.lead("__m").over(wl4).alias("__n4"))
+
+    # fold boundary successors inward: a b2-last bucket-min row takes
+    # the next b3's min, then a b1-last row takes the next b2's min
+    m2f = (
+        m2n.join(F.broadcast(m3n), "__pb3")
+        .select("__pb2", F.coalesce("__n3", "__n4").alias("__nb2"))
+    )
+    m1f = (
+        m1n.join(m2f, "__pb2")
+        .select("__pb1", F.coalesce("__n2", "__nb2").alias("__nb1"))
+    )
+    out = cur.join(m1f, "__pb1").select(
+        *lv.columns,
+        F.coalesce("__n1", "__nb1").alias("__next"),
+    )
+    return out

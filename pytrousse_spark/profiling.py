@@ -1378,6 +1378,138 @@ def cramer_von_mises(
     )
 
 
+def wasserstein_1d(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    value_col: str,
+) -> "DataFrame":
+    """Exact 1-D Wasserstein-1 distance (earth mover's distance)
+    between two samples — completing the drift trio: KS (q186) is the
+    worst single ECDF gap, Cramér-von Mises (q309) the squared gap
+    mass, W1 the AREA between the ECDFs, ``∫|F_a - F_b| dx``, in the
+    value's own units (the "how many dollars does the distribution
+    move" number mixture rebalancing is judged by).
+
+    Computational form over distinct cent levels: F_a - F_b is
+    constant on [l, next(l)), so
+
+        W1 = sum_l |cum_a(l)/n_a - cum_b(l)/n_b| * (next(l) - l)
+
+    with cumulatives from the bounded prefix hierarchy and the
+    adjacency from :func:`operators._prefix.next_level` (hierarchical
+    lead — every window partition bounded, no global sort). The level
+    frame is lazy-localCheckpointed once and shared by the lead, the
+    prefix sums, and the totals agg. The per-level term is ONE double
+    expression rounded to micro-cent units into a DECIMAL(38)
+    order-free fold; the result divides back to value units.
+
+    Returns one row ``(n_a, n_b, w1)`` — NULL w1 when either sample is
+    empty.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    a = df_a.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    b = df_b.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    lv = (
+        a.unionByName(b)
+        .groupBy("__y")
+        .agg(
+            F.sum("__a").cast("bigint").alias("__c1"),
+            F.sum("__b").cast("bigint").alias("__c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from .operators._prefix import exclusive_prefix_sums, next_level
+
+    nxt = next_level(lv, "__y", materialize=False)
+    lv2 = exclusive_prefix_sums(nxt, "__y", ("__c1", "__c2"))
+    tot = lv.agg(
+        F.sum("__c1").cast("bigint").alias("n_a"),
+        F.sum("__c2").cast("bigint").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("__below___c1") + F.col("__c1")).cast("double") / na
+        - (F.col("__below___c2") + F.col("__c2")).cast("double") / nb,
+    ).otherwise(F.lit(0.0))
+    gap = (F.col("__next") - F.col("__y")).cast("double")
+    term6 = F.round(F.abs(d) * gap * F.lit(1e6), 0).cast("decimal(38,0)")
+    # totals come from their OWN row, never max()-ed off the gap frame:
+    # a single-distinct-level input has no gaps at all, yet its counts
+    # are real and its W1 is a legitimate 0
+    w6 = (
+        lv2.crossJoin(F.broadcast(tot))
+        .where(F.col("__next").isNotNull())
+        .agg(F.sum(term6).cast("decimal(38,0)").alias("__w6"))
+    )
+    return w6.crossJoin(F.broadcast(tot)).select(
+        F.coalesce(F.col("n_a"), F.lit(0).cast("bigint")).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0).cast("bigint")).alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.coalesce(
+                    F.col("__w6").cast("double"), F.lit(0.0)
+                ) / F.lit(1e8),
+                6,
+            ),
+        ).alias("w1"),
+    )
+
+
+def wasserstein_1d_sql(
+    a_subquery: str, b_subquery: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`wasserstein_1d` — plain global lead +
+    cumulative windows (the independent-plan oracle convention)."""
+    return f"""
+    WITH pooled AS (
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y, 1 AS a, 0 AS b
+        FROM ({a_subquery}) WHERE {value_col} IS NOT NULL
+        UNION ALL
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT),
+               0, 1
+        FROM ({b_subquery}) WHERE {value_col} IS NOT NULL
+    ), lv AS (
+        SELECT y, CAST(sum(a) AS BIGINT) AS c1, CAST(sum(b) AS BIGINT) AS c2
+        FROM pooled GROUP BY y
+    ), cum AS (
+        SELECT y, c1, c2,
+               CAST(sum(c1) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc1,
+               CAST(sum(c2) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc2,
+               lead(y) OVER (ORDER BY y) AS nxt
+        FROM lv
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+               CAST(sum(c2) AS BIGINT) AS n_b
+        FROM lv
+    ), agg AS (
+        SELECT CAST(sum(CAST(round(abs(CAST(cc1 AS DOUBLE)
+                                       / CAST(n_a AS DOUBLE)
+                                       - CAST(cc2 AS DOUBLE)
+                                         / CAST(n_b AS DOUBLE))
+                        * CAST(nxt - y AS DOUBLE) * 1e6, 0) AS HUGEINT))
+                    AS HUGEINT) AS w6
+        FROM cum, tot WHERE nxt IS NOT NULL
+    )
+    SELECT coalesce(tot.n_a, 0) AS n_a,
+           coalesce(tot.n_b, 0) AS n_b,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN round(coalesce(CAST(w6 AS DOUBLE), 0.0) / 1e8, 6)
+           END AS w1
+    FROM agg, tot
+    """
+
+
 def cramer_von_mises_sql(
     a_subquery: str,
     b_subquery: str,

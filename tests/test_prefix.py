@@ -145,3 +145,35 @@ def test_prefix_property_random_domains(spark):
             ys.add(gen())
         levels = [(y, rng.randint(0, 7), rng.randint(0, 7)) for y in ys]
         _check(spark, levels)
+
+
+def test_next_level_matches_plain_lead(spark):
+    """next_level must equal the global lead() it replaces, including
+    across every bucket boundary and at the global max (NULL)."""
+    from pytrousse_spark.operators._prefix import next_level
+
+    rng = random.Random(61)
+    ys = set()
+    while len(ys) < 300:
+        ys.add(rng.randint(-(2**61), 2**61))
+    for s in (20, 40, 60):
+        ys.update({(1 << s) - 1, 1 << s, (1 << s) + 1,
+                   -(1 << s), -(1 << s) - 1})
+    levels = sorted(ys)
+    df = spark.createDataFrame([(y, 1, 1) for y in levels],
+                               "y long, c1 long, c2 long")
+    got = {r["y"]: r["__next"] for r in next_level(df, "y").collect()}
+    want = {y: (levels[i + 1] if i + 1 < len(levels) else None)
+            for i, y in enumerate(levels)}
+    assert got == want
+
+
+def test_next_level_single_and_dense(spark):
+    from pytrousse_spark.operators._prefix import next_level
+
+    df = spark.createDataFrame([(42, 1, 1)], "y long, c1 long, c2 long")
+    assert next_level(df, "y").collect()[0]["__next"] is None
+    dense = spark.createDataFrame([(y, 1, 1) for y in range(-10, 10)],
+                                  "y long, c1 long, c2 long")
+    got = {r["y"]: r["__next"] for r in next_level(dense, "y").collect()}
+    assert got == {y: (y + 1 if y < 9 else None) for y in range(-10, 10)}

@@ -717,3 +717,53 @@ def test_cramer_von_mises_identical_and_empty(spark):
     empty = spark.createDataFrame([], "value double")
     row = cramer_von_mises(df, empty, "value").collect()[0]
     assert row["n_b"] == 0 and row["t_stat"] is None and row["reject"] is None
+
+
+def test_wasserstein_1d_brute_force(spark):
+    """Pin W1 against scipy-free brute force: sort both samples' cents,
+    integrate |F_a - F_b| over the pooled support."""
+    import random
+
+    from pytrousse_spark.profiling import wasserstein_1d
+
+    rng = random.Random(43)
+    xs = [round(rng.uniform(0, 10), 2) for _ in range(80)]
+    ys = [round(rng.uniform(2, 12), 2) for _ in range(60)] + xs[:4]
+    df_a = spark.createDataFrame([(v,) for v in xs], "value double")
+    df_b = spark.createDataFrame([(v,) for v in ys], "value double")
+    got = wasserstein_1d(df_a, df_b, "value").collect()[0]
+
+    ca = sorted(int(round(v * 100)) for v in xs)
+    cb = sorted(int(round(v * 100)) for v in ys)
+    levels = sorted(set(ca + cb))
+    w1 = 0.0
+    for lvl, nxt in zip(levels, levels[1:]):
+        fa = sum(1 for v in ca if v <= lvl) / len(ca)
+        fb = sum(1 for v in cb if v <= lvl) / len(cb)
+        w1 += abs(fa - fb) * (nxt - lvl)
+    w1 /= 100.0  # cents -> value units
+    assert got["n_a"] == len(ca) and got["n_b"] == len(cb)
+    assert abs(got["w1"] - w1) < 1e-5
+
+
+def test_wasserstein_1d_shift_law_and_edges(spark):
+    """W1 between X and X+c must be exactly |c|; identical samples give
+    0; a single shared level gives 0 with REAL counts; an empty side
+    gives NULL."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.profiling import wasserstein_1d
+
+    df = spark.createDataFrame(
+        [(float(i % 13) + 0.25,) for i in range(50)], "value double"
+    )
+    shifted = df.select((F.col("value") + 2.5).alias("value"))
+    got = wasserstein_1d(df, shifted, "value").collect()[0]
+    assert abs(got["w1"] - 2.5) < 1e-9
+    assert wasserstein_1d(df, df, "value").collect()[0]["w1"] == 0.0
+    one = spark.createDataFrame([(3.0,), (3.0,)], "value double")
+    row = wasserstein_1d(one, one, "value").collect()[0]
+    assert row["n_a"] == 2 and row["n_b"] == 2 and row["w1"] == 0.0
+    empty = spark.createDataFrame([], "value double")
+    row = wasserstein_1d(df, empty, "value").collect()[0]
+    assert row["n_b"] == 0 and row["w1"] is None
