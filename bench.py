@@ -239,11 +239,10 @@ _IDLE_BANDS_10X = {
     # 1.21 s on a ~1.0-probe host): both are ~FLAT at 10x — the
     # Mann-Whitney level frame saturates at distinct cents, the DW
     # windows are key-partitioned with map-side moment partials
-    # r11: the level cumulatives moved to the bounded prefix hierarchy
-    # with a lazy-localCheckpointed level frame (one guaranteed source
-    # scan at any scale, ~+1.5 s fixed materialization cost at bench
-    # scale) — idle sf0.1 steady walls measured 2.4-3.0 s post-change
-    "q297_mann_whitney": 4.5,
+    # r11: the level cumulatives ride the auto-routed prefix helper
+    # (checkpointed level frame + count-based window/hierarchy router);
+    # idle sf0.1 steady walls 1.5-2.1 s post-routing, 10x reads 1.56
+    "q297_mann_whitney": 3.0,
     "q302_durbin_watson": 3.0,
 }
 

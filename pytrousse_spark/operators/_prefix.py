@@ -41,12 +41,33 @@ from pyspark.sql import functions as F
 #: the skew-immune operators (rolling_time_window's convention).
 _SHIFT = 20
 
+#: auto-route threshold: a level frame at or under one bucket's budget
+#: sorts fine in a single task, and the plain global window costs ~3
+#: stages where the hierarchy costs ~12 (q309/q310 measured 7-11 s vs
+#: KS's 2 s at sf0.1 before routing) — the rolling_time_window
+#: strategy="auto" convention applied to the level-frame helpers.
+_AUTO_MAX_LEVELS = 1 << _SHIFT
+
+
+def _route(lv: DataFrame, strategy: str) -> str:
+    """Resolve strategy='auto' by COUNTING the (checkpointed) level
+    frame — one cheap job against materialized partitions; both routes
+    are bit-identical, so this only ever trades plan shape."""
+    if strategy not in ("auto", "window", "hierarchy"):
+        raise ValueError(
+            "level-frame strategy must be auto|window|hierarchy"
+        )
+    if strategy != "auto":
+        return strategy
+    return "window" if lv.count() <= _AUTO_MAX_LEVELS else "hierarchy"
+
 
 def exclusive_prefix_sums(
     lv: DataFrame,
     order_col: str,
     sum_cols: Sequence[str],
     materialize: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Return ``lv`` plus, for each ``c`` in ``sum_cols``, a column
     ``__below_{c}`` holding the exact integer sum of ``c`` over all rows
@@ -75,9 +96,27 @@ def exclusive_prefix_sums(
     structural guarantee rather than optimizer luck. The checkpointed
     frame is the (small) level frame, never the raw data; the graph.py
     iterative operators established the lazy-localCheckpoint
-    convention."""
+    convention.
+
+    ``strategy``: ``"auto"`` (default) counts the checkpointed level
+    frame and picks ``"window"`` (the plain global cumulative — one
+    sort task, ~3 stages, correct whenever the frame fits one task's
+    budget) at or under 2^20 levels, else ``"hierarchy"`` (the bounded
+    construction below). Both routes are exact-integer bit-identical;
+    the router only trades plan shape, never values."""
     if materialize:
         lv = lv.localCheckpoint(eager=False)
+    if _route(lv, strategy) == "window":
+        w = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return lv.select(
+            "*",
+            *[
+                F.coalesce(F.sum(c).over(w), F.lit(0)).alias(f"__below_{c}")
+                for c in sum_cols
+            ],
+        )
     b1 = F.shiftright(F.col(order_col), _SHIFT)
     base = lv.select("*", b1.alias("__pb1"))
 
@@ -194,6 +233,7 @@ def next_level(
     lv: DataFrame,
     order_col: str,
     materialize: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Return ``lv`` plus ``__next`` = the smallest ``order_col``
     strictly greater than this row's (NULL for the global maximum) —
@@ -202,10 +242,15 @@ def next_level(
     :func:`exclusive_prefix_sums`: in-bucket ``lead`` partitioned by
     b1, bucket-boundary rows patched from a bucket-min frame whose own
     adjacency comes from the same construction one tier up (b2, then
-    the <=16-row b3 frame).
+    the <=16-row b3 frame). ``strategy`` routes exactly like
+    :func:`exclusive_prefix_sums` (plain global ``lead`` at or under
+    2^20 levels; bit-identical either way).
     """
     if materialize:
         lv = lv.localCheckpoint(eager=False)
+    if _route(lv, strategy) == "window":
+        w = Window.orderBy(order_col)
+        return lv.select("*", F.lead(order_col).over(w).alias("__next"))
     base = lv.select(
         "*", F.shiftright(F.col(order_col), _SHIFT).alias("__pb1")
     )

@@ -1425,7 +1425,12 @@ def wasserstein_1d(
     from .operators._prefix import exclusive_prefix_sums, next_level
 
     nxt = next_level(lv, "__y", materialize=False)
-    lv2 = exclusive_prefix_sums(nxt, "__y", ("__c1", "__c2"))
+    # materialize=False: nxt derives cheaply from the already-
+    # checkpointed lv (in the routed common case it is ONE window),
+    # so a second checkpoint job would cost more than it saves
+    lv2 = exclusive_prefix_sums(
+        nxt, "__y", ("__c1", "__c2"), materialize=False
+    )
     tot = lv.agg(
         F.sum("__c1").cast("bigint").alias("n_a"),
         F.sum("__c2").cast("bigint").alias("n_b"),

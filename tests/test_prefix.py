@@ -24,12 +24,18 @@ def _reference(levels: list[tuple[int, int, int]]) -> dict[int, tuple[int, int]]
 
 
 def _check(spark, levels: list[tuple[int, int, int]]) -> None:
+    """Both physical routes must reproduce the brute-force reference —
+    the auto router only ever trades plan shape, never values."""
     df = spark.createDataFrame(levels, "y long, c1 long, c2 long")
-    got = {
-        r["y"]: (r["__below_c1"], r["__below_c2"])
-        for r in exclusive_prefix_sums(df, "y", ("c1", "c2")).collect()
-    }
-    assert got == _reference(levels)
+    want = _reference(levels)
+    for strategy in ("window", "hierarchy"):
+        got = {
+            r["y"]: (r["__below_c1"], r["__below_c2"])
+            for r in exclusive_prefix_sums(
+                df, "y", ("c1", "c2"), strategy=strategy
+            ).collect()
+        }
+        assert got == want, strategy
 
 
 def test_prefix_matches_plain_window_dense(spark):
@@ -162,10 +168,14 @@ def test_next_level_matches_plain_lead(spark):
     levels = sorted(ys)
     df = spark.createDataFrame([(y, 1, 1) for y in levels],
                                "y long, c1 long, c2 long")
-    got = {r["y"]: r["__next"] for r in next_level(df, "y").collect()}
     want = {y: (levels[i + 1] if i + 1 < len(levels) else None)
             for i, y in enumerate(levels)}
-    assert got == want
+    for strategy in ("window", "hierarchy"):
+        got = {
+            r["y"]: r["__next"]
+            for r in next_level(df, "y", strategy=strategy).collect()
+        }
+        assert got == want, strategy
 
 
 def test_next_level_single_and_dense(spark):
