@@ -247,6 +247,23 @@ _IDLE_BANDS_10X = {
 }
 
 
+#: per-query failure reasons, persisted in the payload (r11 VERDICT
+#: item 1: a -1.0 wall with the exception only on stderr left the
+#: q28 bench flake undiagnosable — no artifact captured the cause).
+_QUERY_ERRORS: dict = {}
+
+
+def _record_err(key: str, exc: BaseException) -> None:
+    """Store a truncated failure reason under ``key`` (mirrors the
+    CORRECTNESS row shape) AND print it to stderr; later failures of
+    the same key append a counter so reruns don't overwrite the
+    first cause."""
+    if key in _QUERY_ERRORS:
+        key = f"{key}#{sum(1 for k in _QUERY_ERRORS if k.split('#')[0] == key.split('#')[0])}"
+    _QUERY_ERRORS[key] = {"err": str(exc)[:200]}
+    print(f"bench: {key} failed: {exc}", file=sys.stderr)
+
+
 def _timed_noop(fn, spark, d) -> float:
     t0 = time.perf_counter()
     fn(spark, d).write.format("noop").mode("overwrite").save()
@@ -346,7 +363,7 @@ def _headroom_10x(spark, big_dir: str) -> dict:
                 out[name] = t
         except Exception as exc:
             out[name] = -1.0
-            print(f"bench headroom: {name} failed: {exc}", file=sys.stderr)
+            _record_err(f"headroom:{name}", exc)
     return out
 
 
@@ -804,7 +821,7 @@ def _run_anchor_pass(spark, sf_dir: str, qs: dict, names: list) -> tuple:
             walls[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:
             walls[name] = -1.0
-            print(f"bench: anchor rerun {name} failed: {exc}", file=sys.stderr)
+            _record_err(f"anchor_rerun:{name}", exc)
     return probe, walls
 
 
@@ -904,7 +921,7 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            _record_err(name, exc)
     total = round(time.perf_counter() - t_all, 3)
 
     # anchor pass 2 of 3 — middle of the run, outside t_all so the
@@ -1127,6 +1144,10 @@ def main() -> None:
         "anchor_r1_ratio_normalized_mean": anchor_ratio_norm_mean,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cooldown_wait_sec": round(waited, 1),
+        # failure reasons sit in the TAIL (usually {}) so the driver's
+        # truncated recording keeps them when a query DOES fail —
+        # r11's undiagnosable q28 -1.0 class
+        "query_errors": _QUERY_ERRORS,
         "value_production": value_production,
         "value_baselines": value_baselines,
         "value": total,

@@ -28,6 +28,16 @@ where each term is an exclusive running sum inside its own bounded
 partition, and the three bucket frames attach back by plain keyed
 joins (never a data-sized broadcast). All sums are integer folds —
 the decomposition reproduces the single-window plan bit-for-bit.
+
+Round 12: both helpers take ``group_cols`` — partition keys threaded
+through EVERY tier (windows partition by (group..., bucket), bucket
+frames join back on (group..., bucket)), so a per-group drift table
+(wasserstein_1d_by_group's mixture-rebalancing report) runs one plan
+for all groups instead of a driver-side loop. The grouped tier-4
+window partitions by the group keys alone (<= 16 rows per group), and
+the <=16-row-per-group bucket frames attach by plain keyed joins —
+broadcast only in the ungrouped case, where the frame is globally
+tiny.
 """
 
 from __future__ import annotations
@@ -49,17 +59,42 @@ _SHIFT = 20
 _AUTO_MAX_LEVELS = 1 << _SHIFT
 
 
-def _route(lv: DataFrame, strategy: str) -> str:
+def _route(
+    lv: DataFrame, strategy: str, group_cols: Sequence[str] = ()
+) -> str:
     """Resolve strategy='auto' by COUNTING the (checkpointed) level
     frame — one cheap job against materialized partitions; both routes
-    are bit-identical, so this only ever trades plan shape."""
+    are bit-identical, so this only ever trades plan shape. With
+    ``group_cols`` the deciding count is the LARGEST group's level
+    count (the per-partition sort budget is per group)."""
     if strategy not in ("auto", "window", "hierarchy"):
         raise ValueError(
             "level-frame strategy must be auto|window|hierarchy"
         )
     if strategy != "auto":
         return strategy
+    if group_cols:
+        row = (
+            lv.groupBy(*group_cols)
+            .count()
+            .agg(F.max("count").alias("__mx"))
+            .first()
+        )
+        mx = (row[0] if row is not None else 0) or 0
+        return "window" if mx <= _AUTO_MAX_LEVELS else "hierarchy"
     return "window" if lv.count() <= _AUTO_MAX_LEVELS else "hierarchy"
+
+
+def route_for(lv: DataFrame, group_cols: Sequence[str] = ()) -> str:
+    """Count ``lv`` ONCE and return the resolved strategy string, for
+    callers that feed the same level frame through more than one helper
+    (wasserstein_1d chains :func:`next_level` into
+    :func:`exclusive_prefix_sums`): with per-call ``strategy="auto"``
+    the second call would count its INPUT — the first helper's
+    lead-window/join output — executing that whole plan once before the
+    real computation does. Route in the caller against the checkpointed
+    level frame and pass the result to every helper in the chain."""
+    return _route(lv, "auto", group_cols)
 
 
 def exclusive_prefix_sums(
@@ -68,24 +103,27 @@ def exclusive_prefix_sums(
     sum_cols: Sequence[str],
     materialize: bool = True,
     strategy: str = "auto",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Return ``lv`` plus, for each ``c`` in ``sum_cols``, a column
     ``__below_{c}`` holding the exact integer sum of ``c`` over all rows
-    whose ``order_col`` is strictly smaller. ``order_col`` must be an
-    integer level key that is UNIQUE per row (the level-frame contract:
-    the frame is the output of a ``groupBy(level)``).
+    whose ``order_col`` is strictly smaller — WITHIN the same
+    ``group_cols`` tuple when given. ``order_col`` must be an integer
+    level key that is UNIQUE per row within its group (the level-frame
+    contract: the frame is the output of a ``groupBy(group..., level)``).
 
     Physical shape (one LINEAR lineage, not four sibling branches): the
-    in-bucket window establishes hashpartitioning(__pb1); the b1-totals
-    agg is computed FROM the window's output so it rides that
+    in-bucket window establishes hashpartitioning(group..., __pb1); the
+    b1-totals agg is computed FROM the window's output so it rides that
     partitioning with no new exchange, and each further tier likewise
     aggregates its parent window's output. The level frame therefore
     shuffles once going down; the offset chain folds bucket-side
-    (o3 <= 16 rows broadcasts into o2, o2 into o1) and the final join
-    lands back on the SAME hashpartitioning(__pb1) the first window
-    created, so the diamond's shared stages reuse their shuffle output
-    instead of re-scanning the source (the round-11 plan audit caught
-    the sibling-branch version scanning the input 6x).
+    (o3 joins into o2, o2 into o1 — broadcast only in the ungrouped
+    case where o3 is <=16 rows total) and the final join lands back on
+    the SAME hashpartitioning the first window created, so the
+    diamond's shared stages reuse their shuffle output instead of
+    re-scanning the source (the round-11 plan audit caught the
+    sibling-branch version scanning the input 6x).
 
     ``materialize=True`` (default) additionally lazy-localCheckpoints
     the level frame: Catalyst's ReuseExchange fires inconsistently on
@@ -99,15 +137,18 @@ def exclusive_prefix_sums(
     convention.
 
     ``strategy``: ``"auto"`` (default) counts the checkpointed level
-    frame and picks ``"window"`` (the plain global cumulative — one
-    sort task, ~3 stages, correct whenever the frame fits one task's
+    frame (the largest group's level count when grouped) and picks
+    ``"window"`` (the plain per-group cumulative — one sort task per
+    group, ~3 stages, correct whenever each group fits one task's
     budget) at or under 2^20 levels, else ``"hierarchy"`` (the bounded
     construction below). Both routes are exact-integer bit-identical;
     the router only trades plan shape, never values."""
+    gc = list(group_cols)
     if materialize:
         lv = lv.localCheckpoint(eager=False)
-    if _route(lv, strategy) == "window":
-        w = Window.orderBy(order_col).rowsBetween(
+    if _route(lv, strategy, gc) == "window":
+        wbase = Window.partitionBy(*gc) if gc else Window
+        w = wbase.orderBy(order_col).rowsBetween(
             Window.unboundedPreceding, -1
         )
         return lv.select(
@@ -122,7 +163,7 @@ def exclusive_prefix_sums(
 
     # tier 1: in-bucket exclusive cumulative (partition <= 2^20 levels)
     w1 = (
-        Window.partitionBy("__pb1")
+        Window.partitionBy(*gc, "__pb1")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -136,15 +177,16 @@ def exclusive_prefix_sums(
 
     # tier 2: b1 totals FROM cur (rides w1's partitioning — no
     # exchange), then exclusive offsets among same-b2 siblings
-    t1 = cur.groupBy("__pb1").agg(
+    t1 = cur.groupBy(*gc, "__pb1").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
     ).select("*", F.shiftright(F.col("__pb1"), _SHIFT).alias("__pb2"))
     w2 = (
-        Window.partitionBy("__pb2")
+        Window.partitionBy(*gc, "__pb2")
         .orderBy("__pb1")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     o1 = t1.select(
+        *gc,
         "__pb1",
         "__pb2",
         *[F.col(f"__t_{c}") for c in sum_cols],
@@ -157,15 +199,16 @@ def exclusive_prefix_sums(
     )
 
     # tier 3: b2 totals FROM o1 (no exchange), offsets among same-b3
-    t2 = o1.groupBy("__pb2").agg(
+    t2 = o1.groupBy(*gc, "__pb2").agg(
         *[F.sum(f"__t_{c}").alias(f"__t_{c}") for c in sum_cols]
     ).select("*", F.shiftright(F.col("__pb2"), _SHIFT).alias("__pb3"))
     w3 = (
-        Window.partitionBy("__pb3")
+        Window.partitionBy(*gc, "__pb3")
         .orderBy("__pb2")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     o2 = t2.select(
+        *gc,
         "__pb2",
         "__pb3",
         *[F.col(f"__t_{c}") for c in sum_cols],
@@ -177,14 +220,16 @@ def exclusive_prefix_sums(
         ],
     )
 
-    # tier 4: b3 totals FROM o2 (no exchange); global exclusive offset —
-    # frame <= 16 rows for the whole 64-bit signed domain, the ONLY
-    # partition-free window
-    t3 = o2.groupBy("__pb3").agg(
+    # tier 4: b3 totals FROM o2 (no exchange); per-group exclusive
+    # offset — frame <= 16 rows per group for the whole 64-bit signed
+    # domain; partition-free only in the ungrouped case
+    t3 = o2.groupBy(*gc, "__pb3").agg(
         *[F.sum(f"__t_{c}").alias(f"__t_{c}") for c in sum_cols]
     )
-    w4 = Window.orderBy("__pb3").rowsBetween(Window.unboundedPreceding, -1)
+    w4base = Window.partitionBy(*gc) if gc else Window
+    w4 = w4base.orderBy("__pb3").rowsBetween(Window.unboundedPreceding, -1)
     o3 = t3.select(
+        *gc,
         "__pb3",
         *[
             F.coalesce(F.sum(f"__t_{c}").over(w4), F.lit(0)).alias(
@@ -195,9 +240,11 @@ def exclusive_prefix_sums(
     )
 
     # fold the offset chain bucket-side BEFORE touching the level frame
+    o3j = o3 if gc else F.broadcast(o3)
     o23 = (
-        o2.join(F.broadcast(o3), "__pb3")
+        o2.join(o3j, [*gc, "__pb3"])
         .select(
+            *gc,
             "__pb2",
             *[
                 (F.col(f"__o2_{c}") + F.col(f"__o3_{c}")).alias(
@@ -208,8 +255,9 @@ def exclusive_prefix_sums(
         )
     )
     offs = (
-        o1.join(o23, "__pb2")
+        o1.join(o23, [*gc, "__pb2"])
         .select(
+            *gc,
             "__pb1",
             *[
                 (F.col(f"__o1_{c}") + F.col(f"__o23_{c}")).alias(
@@ -219,7 +267,7 @@ def exclusive_prefix_sums(
             ],
         )
     )
-    out = cur.join(offs, "__pb1").select(
+    out = cur.join(offs, [*gc, "__pb1"]).select(
         *lv.columns,
         *[
             (F.col(f"__in1_{c}") + F.col(f"__off_{c}")).alias(f"__below_{c}")
@@ -234,60 +282,68 @@ def next_level(
     order_col: str,
     materialize: bool = True,
     strategy: str = "auto",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Return ``lv`` plus ``__next`` = the smallest ``order_col``
-    strictly greater than this row's (NULL for the global maximum) —
-    the adjacency a Wasserstein-style integral over a level frame
-    needs, with every window partition bounded exactly like
+    strictly greater than this row's within the same ``group_cols``
+    tuple (NULL for each group's maximum) — the adjacency a
+    Wasserstein-style integral over a level frame needs, with every
+    window partition bounded exactly like
     :func:`exclusive_prefix_sums`: in-bucket ``lead`` partitioned by
-    b1, bucket-boundary rows patched from a bucket-min frame whose own
-    adjacency comes from the same construction one tier up (b2, then
-    the <=16-row b3 frame). ``strategy`` routes exactly like
-    :func:`exclusive_prefix_sums` (plain global ``lead`` at or under
-    2^20 levels; bit-identical either way).
+    (group..., b1), bucket-boundary rows patched from a bucket-min
+    frame whose own adjacency comes from the same construction one
+    tier up (b2, then the <=16-row-per-group b3 frame). ``strategy``
+    routes exactly like :func:`exclusive_prefix_sums` (plain per-group
+    ``lead`` at or under 2^20 levels; bit-identical either way).
     """
+    gc = list(group_cols)
     if materialize:
         lv = lv.localCheckpoint(eager=False)
-    if _route(lv, strategy) == "window":
-        w = Window.orderBy(order_col)
+    if _route(lv, strategy, gc) == "window":
+        wbase = Window.partitionBy(*gc) if gc else Window
+        w = wbase.orderBy(order_col)
         return lv.select("*", F.lead(order_col).over(w).alias("__next"))
     base = lv.select(
         "*", F.shiftright(F.col(order_col), _SHIFT).alias("__pb1")
     )
 
     # tier-1 lead within b1 (partition <= 2^20 levels)
-    wl1 = Window.partitionBy("__pb1").orderBy(order_col)
+    wl1 = Window.partitionBy(*gc, "__pb1").orderBy(order_col)
     cur = base.select("*", F.lead(order_col).over(wl1).alias("__n1"))
 
     # b1 bucket mins FROM cur (rides wl1's partitioning)
-    m1 = cur.groupBy("__pb1").agg(F.min(order_col).alias("__m")).select(
-        "*", F.shiftright(F.col("__pb1"), _SHIFT).alias("__pb2")
-    )
+    m1 = cur.groupBy(*gc, "__pb1").agg(
+        F.min(order_col).alias("__m")
+    ).select("*", F.shiftright(F.col("__pb1"), _SHIFT).alias("__pb2"))
     # tier-2 lead of bucket mins within b2
-    wl2 = Window.partitionBy("__pb2").orderBy("__pb1")
+    wl2 = Window.partitionBy(*gc, "__pb2").orderBy("__pb1")
     m1n = m1.select("*", F.lead("__m").over(wl2).alias("__n2"))
     # b2 mins FROM m1n; tier-3 lead within b3
-    m2 = m1n.groupBy("__pb2").agg(F.min("__m").alias("__m")).select(
+    m2 = m1n.groupBy(*gc, "__pb2").agg(F.min("__m").alias("__m")).select(
         "*", F.shiftright(F.col("__pb2"), _SHIFT).alias("__pb3")
     )
-    wl3 = Window.partitionBy("__pb3").orderBy("__pb2")
+    wl3 = Window.partitionBy(*gc, "__pb3").orderBy("__pb2")
     m2n = m2.select("*", F.lead("__m").over(wl3).alias("__n3"))
-    # b3 mins FROM m2n; global lead over the <=16-row frame
-    m3 = m2n.groupBy("__pb3").agg(F.min("__m").alias("__m"))
-    wl4 = Window.orderBy("__pb3")
-    m3n = m3.select("__pb3", F.lead("__m").over(wl4).alias("__n4"))
+    # b3 mins FROM m2n; per-group lead over the <=16-row frame
+    m3 = m2n.groupBy(*gc, "__pb3").agg(F.min("__m").alias("__m"))
+    wl4base = Window.partitionBy(*gc) if gc else Window
+    wl4 = wl4base.orderBy("__pb3")
+    m3n = m3.select(
+        *gc, "__pb3", F.lead("__m").over(wl4).alias("__n4")
+    )
 
     # fold boundary successors inward: a b2-last bucket-min row takes
     # the next b3's min, then a b1-last row takes the next b2's min
+    m3j = m3n if gc else F.broadcast(m3n)
     m2f = (
-        m2n.join(F.broadcast(m3n), "__pb3")
-        .select("__pb2", F.coalesce("__n3", "__n4").alias("__nb2"))
+        m2n.join(m3j, [*gc, "__pb3"])
+        .select(*gc, "__pb2", F.coalesce("__n3", "__n4").alias("__nb2"))
     )
     m1f = (
-        m1n.join(m2f, "__pb2")
-        .select("__pb1", F.coalesce("__n2", "__nb2").alias("__nb1"))
+        m1n.join(m2f, [*gc, "__pb2"])
+        .select(*gc, "__pb1", F.coalesce("__n2", "__nb2").alias("__nb1"))
     )
-    out = cur.join(m1f, "__pb1").select(
+    out = cur.join(m1f, [*gc, "__pb1"]).select(
         *lv.columns,
         F.coalesce("__n1", "__nb1").alias("__next"),
     )

@@ -2290,10 +2290,14 @@ def optimal_threshold(
     staged = df.where(F.col(score_col).isNotNull()).select(
         cents.alias("__s"), label.cast("int").alias("__y")
     )
+    # checkpoint the level frame HERE (not inside the helper) so the
+    # totals agg below reads the same materialized frame — totals off
+    # the pre-checkpoint lineage would run the raw-table agg twice
+    # (the cramer_von_mises pattern)
     dist = staged.groupBy("__s").agg(
         F.sum("__y").cast("bigint").alias("__p"),
         F.sum(1 - F.col("__y")).cast("bigint").alias("__q"),
-    )
+    ).localCheckpoint(eager=False)
     # reverse-inclusive cumulatives over score LEVELS without a global
     # descending sort: TP(s) = n_pos - strictly-below(s), with the
     # strictly-below sums from the bounded prefix hierarchy (_prefix,
@@ -2306,7 +2310,7 @@ def optimal_threshold(
         F.sum("__q").cast("bigint").alias("n_neg"),
     )
     frame = (
-        exclusive_prefix_sums(dist, "__s", ("__p", "__q"))
+        exclusive_prefix_sums(dist, "__s", ("__p", "__q"), materialize=False)
         .crossJoin(F.broadcast(totals))
         .select(
             "__s",
@@ -3692,14 +3696,21 @@ def mann_whitney_u(
         F.col("__below___c1").alias("__b1"),
     )
     # cube in DECIMAL(38) from the start — t^3 overflows BIGINT once a
-    # level holds ~2M rows (the 100 TB case, not the test case)
+    # level holds ~2M rows (the 100 TB case, not the test case); the
+    # U folds likewise ride DECIMAL(38,0): w/l/t are bounded by n1*n2,
+    # past int64 once both sides exceed ~3e9 rows (the wilcoxon fix's
+    # class — the twin carries them as HUGEINT)
     td = (F.col("__c1") + F.col("__c2")).cast("decimal(38,0)")
+    c1d = F.col("__c1").cast("decimal(38,0)")
+    c2d = F.col("__c2").cast("decimal(38,0)")
     agg = lv2.agg(
         F.sum("__c1").cast("bigint").alias("n1"),
         F.sum("__c2").cast("bigint").alias("n2"),
-        F.sum(F.col("__c1") * F.col("__b2")).cast("bigint").alias("__w"),
-        F.sum(F.col("__c2") * F.col("__b1")).cast("bigint").alias("__l"),
-        F.sum(F.col("__c1") * F.col("__c2")).cast("bigint").alias("__t"),
+        F.sum(c1d * F.col("__b2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("__w"),
+        F.sum(c2d * F.col("__b1").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("__l"),
+        F.sum(c1d * c2d).cast("decimal(38,0)").alias("__t"),
         F.sum(td * td * td - td).cast("decimal(38,0)").alias("__tt"),
     )
     n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
@@ -3763,9 +3774,9 @@ def mann_whitney_u_sql(
     ), agg AS (
         SELECT CAST(sum(c1) AS BIGINT) AS n1,
                CAST(sum(c2) AS BIGINT) AS n2,
-               CAST(sum(c1 * b2) AS BIGINT) AS w,
-               CAST(sum(c2 * b1) AS BIGINT) AS l,
-               CAST(sum(c1 * c2) AS BIGINT) AS t,
+               CAST(sum(CAST(c1 AS HUGEINT) * b2) AS HUGEINT) AS w,
+               CAST(sum(CAST(c2 AS HUGEINT) * b1) AS HUGEINT) AS l,
+               CAST(sum(CAST(c1 AS HUGEINT) * c2) AS HUGEINT) AS t,
                CAST(sum(CAST((c1 + c2) AS HUGEINT) * (c1 + c2) * (c1 + c2)
                         - (c1 + c2)) AS HUGEINT) AS tt
         FROM lv2
@@ -3840,12 +3851,21 @@ def wilcoxon_signed_rank(
 
     lv2 = exclusive_prefix_sums(lv, "__a", ("__t",))
     td = F.col("__t").cast("decimal(38,0)")
+    # 2*W+ is bounded by n(n+1) and each level term by ~2n^2 — both
+    # overflow int64 past ~3e9 nonzero-difference pairs, reachable at
+    # the 100 TB target, so the fold rides DECIMAL(38,0) like the tie
+    # cube (the twin carries it as HUGEINT); n coalesces to 0 on
+    # empty/all-zero-diff input, matching friedman/cramer_von_mises
     agg = lv2.agg(
-        F.sum("__t").cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum("__t").cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("n"),
         F.sum(
-            F.col("__cp")
-            * (F.lit(2) * F.col("__below___t") + F.col("__t") + F.lit(1))
-        ).cast("bigint").alias("__w2"),
+            F.col("__cp").cast("decimal(38,0)")
+            * (
+                F.lit(2) * F.col("__below___t") + F.col("__t") + F.lit(1)
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("__w2"),
         F.sum(td * td * td - td).cast("decimal(38,0)").alias("__tt"),
     )
     nn = F.col("n").cast("double")
@@ -3888,8 +3908,9 @@ def wilcoxon_signed_rank_sql(table: str, x_col: str, y_col: str) -> str:
                     AS BIGINT) AS below
         FROM lv
     ), agg AS (
-        SELECT CAST(sum(t) AS BIGINT) AS n,
-               CAST(sum(cp * (2 * below + t + 1)) AS BIGINT) AS w2,
+        SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+               CAST(sum(CAST(cp AS HUGEINT) * (2 * below + t + 1))
+                    AS HUGEINT) AS w2,
                CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tt
         FROM lv2
     )

@@ -3,12 +3,14 @@
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side plumbing — schema, partition-friendly batch shape,
 Arrow-batched ``mapInPandas`` signatures — is real and tested. Codec
-status: WAV (``decode_wav_meta``) and 8-bit grayscale + truecolor RGB8 PNG
+status: WAV (``decode_wav_meta``, RIFF walker) and PNG
 (``decode_png``/``decode_png_meta`` — chunk walk, IDAT inflate, all five
-scanline filters at 1 and 3 bytes/pixel) are REAL pure-stdlib decoders;
-palette/alpha/16-bit PNG, general image formats, and video remain STUBBED (codec libraries are not in this container): pass
-``decoder="fake"`` for a deterministic stand-in, or get a clear
-``NotImplementedError`` naming the missing dependency.
+scanline filters) are REAL pure-stdlib decoders covering EVERY legal PNG
+layout: 1/2/4/8/16-bit grayscale, palette (including sub-byte depths),
+gray+alpha, RGB8/RGB48, RGBA, sequential and Adam7 interlaced. Non-PNG
+image formats and video remain STUBBED (pillow/ffmpeg are not in this
+container): pass ``decoder="fake"`` for a deterministic stand-in, or get
+a clear ``NotImplementedError`` naming the missing dependency.
 """
 
 from __future__ import annotations

@@ -1422,14 +1422,22 @@ def wasserstein_1d(
         )
         .localCheckpoint(eager=False)
     )
-    from .operators._prefix import exclusive_prefix_sums, next_level
+    from .operators._prefix import (
+        exclusive_prefix_sums,
+        next_level,
+        route_for,
+    )
 
-    nxt = next_level(lv, "__y", materialize=False)
+    # route ONCE against the checkpointed level frame: per-call "auto"
+    # would have exclusive_prefix_sums count its input — next_level's
+    # lead-window/join output — executing that plan a full extra time
+    strat = route_for(lv)
+    nxt = next_level(lv, "__y", materialize=False, strategy=strat)
     # materialize=False: nxt derives cheaply from the already-
     # checkpointed lv (in the routed common case it is ONE window),
     # so a second checkpoint job would cost more than it saves
     lv2 = exclusive_prefix_sums(
-        nxt, "__y", ("__c1", "__c2"), materialize=False
+        nxt, "__y", ("__c1", "__c2"), materialize=False, strategy=strat
     )
     tot = lv.agg(
         F.sum("__c1").cast("bigint").alias("n_a"),
@@ -1512,6 +1520,179 @@ def wasserstein_1d_sql(
                 THEN round(coalesce(CAST(w6 AS DOUBLE), 0.0) / 1e8, 6)
            END AS w1
     FROM agg, tot
+    """
+
+
+def wasserstein_1d_by_group(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    value_col: str,
+    group_col: str,
+) -> "DataFrame":
+    """Per-group exact 1-D Wasserstein-1 drift table — the
+    mixture-rebalancing report (r11 backlog): for every value of
+    ``group_col`` (source / domain / event type), the W1 distance
+    between that group's ``df_a`` and ``df_b`` value distributions, in
+    ONE Spark plan for all groups instead of a driver-side loop over
+    :func:`wasserstein_1d`.
+
+    Construction mirrors :func:`wasserstein_1d` exactly, with the
+    group key threaded through every tier: the pooled level frame is
+    ``groupBy(group, cent)``; adjacency and cumulatives come from the
+    grouped bounded prefix helpers (``operators/_prefix.py`` with
+    ``group_cols`` — every window partitioned by (group, bucket), the
+    final tier <= 16 rows per group); per-group totals attach by a
+    keyed join that rides the level frame's existing group-hash
+    partitioning. Routed ONCE per call on the largest group's level
+    count (both routes bit-identical).
+
+    NULL groups are excluded (a drift table is keyed by a real group
+    value). Returns one row per group present in EITHER side:
+    ``(group, n_a, n_b, w1)`` — ``w1`` NULL when that group is empty
+    on either side, 0 when both sides coincide; the output group
+    column is named ``group``.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    a = (
+        df_a.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            cents.alias("__y"),
+            F.lit(1).alias("__a"),
+            F.lit(0).alias("__b"),
+        )
+    )
+    b = (
+        df_b.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            cents.alias("__y"),
+            F.lit(0).alias("__a"),
+            F.lit(1).alias("__b"),
+        )
+    )
+    lv = (
+        a.unionByName(b)
+        .groupBy("__g", "__y")
+        .agg(
+            F.sum("__a").cast("bigint").alias("__c1"),
+            F.sum("__b").cast("bigint").alias("__c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from .operators._prefix import (
+        exclusive_prefix_sums,
+        next_level,
+        route_for,
+    )
+
+    gc = ("__g",)
+    strat = route_for(lv, gc)
+    nxt = next_level(lv, "__y", materialize=False, strategy=strat, group_cols=gc)
+    lv2 = exclusive_prefix_sums(
+        nxt,
+        "__y",
+        ("__c1", "__c2"),
+        materialize=False,
+        strategy=strat,
+        group_cols=gc,
+    )
+    tot = lv.groupBy("__g").agg(
+        F.sum("__c1").cast("bigint").alias("n_a"),
+        F.sum("__c2").cast("bigint").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("__below___c1") + F.col("__c1")).cast("double") / na
+        - (F.col("__below___c2") + F.col("__c2")).cast("double") / nb,
+    ).otherwise(F.lit(0.0))
+    gap = (F.col("__next") - F.col("__y")).cast("double")
+    term6 = F.round(F.abs(d) * gap * F.lit(1e6), 0).cast("decimal(38,0)")
+    # per-group integral: totals join by group key (rides the level
+    # frame's group-hash partitioning — the groups frame is one row
+    # per group, never broadcast-assumed small); a group whose frame
+    # has a single distinct level contributes no gap rows, so the
+    # LEFT join back onto tot keeps it with a legitimate w1 = 0
+    w6 = (
+        lv2.join(tot, "__g")
+        .where(F.col("__next").isNotNull())
+        .groupBy("__g")
+        .agg(F.sum(term6).cast("decimal(38,0)").alias("__w6"))
+    )
+    return tot.join(w6, "__g", "left").select(
+        F.col("__g").alias("group"),
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.coalesce(F.col("__w6").cast("double"), F.lit(0.0))
+                / F.lit(1e8),
+                6,
+            ),
+        ).alias("w1"),
+    )
+
+
+def wasserstein_1d_by_group_sql(
+    a_subquery: str, b_subquery: str, value_col: str, group_col: str
+) -> str:
+    """DuckDB twin of :func:`wasserstein_1d_by_group` — plain
+    group-partitioned lead + cumulative windows (the independent-plan
+    oracle convention)."""
+    return f"""
+    WITH pooled AS (
+        SELECT {group_col} AS g,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y, 1 AS a, 0 AS b
+        FROM ({a_subquery})
+        WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+        UNION ALL
+        SELECT {group_col},
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT),
+               0, 1
+        FROM ({b_subquery})
+        WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+    ), lv AS (
+        SELECT g, y,
+               CAST(sum(a) AS BIGINT) AS c1, CAST(sum(b) AS BIGINT) AS c2
+        FROM pooled GROUP BY g, y
+    ), cum AS (
+        SELECT g, y, c1, c2,
+               CAST(sum(c1) OVER (PARTITION BY g ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc1,
+               CAST(sum(c2) OVER (PARTITION BY g ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc2,
+               lead(y) OVER (PARTITION BY g ORDER BY y) AS nxt
+        FROM lv
+    ), tot AS (
+        SELECT g, CAST(sum(c1) AS BIGINT) AS n_a,
+               CAST(sum(c2) AS BIGINT) AS n_b
+        FROM lv GROUP BY g
+    ), agg AS (
+        SELECT cum.g,
+               CAST(sum(CAST(round(abs(
+                        CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                             THEN CAST(cc1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                  - CAST(cc2 AS DOUBLE) / CAST(n_b AS DOUBLE)
+                             ELSE 0.0 END)
+                        * CAST(nxt - y AS DOUBLE) * 1e6, 0) AS HUGEINT))
+                    AS HUGEINT) AS w6
+        FROM cum JOIN tot ON cum.g = tot.g
+        WHERE nxt IS NOT NULL GROUP BY cum.g
+    )
+    SELECT tot.g AS "group", tot.n_a, tot.n_b,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN round(coalesce(CAST(w6 AS DOUBLE), 0.0) / 1e8, 6)
+           END AS w1
+    FROM tot LEFT JOIN agg ON tot.g = agg.g
     """
 
 
