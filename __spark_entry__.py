@@ -9469,6 +9469,69 @@ def _sql_q310() -> str:
     )
 
 
+def q311_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group drift REPORT (the r11 backlog's mixture-rebalancing
+    table): all three distribution distances — KS sup-gap, Cramér-von
+    Mises squared-gap mass, exact Wasserstein-1 area — between early-
+    and late-January event values, PER event type, in one plan sharing
+    one pooled (group, cent-level) frame, one GROUPED bounded-prefix
+    pass and one grouped bounded-lead pass (operators/_prefix.py with
+    group_cols threaded through every tier; profiling.drift_by_group).
+    """
+    from pytrousse_spark.profiling import drift_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return drift_by_group(
+        ev.where(F.col("ts") < "2024-01-16"),
+        ev.where(F.col("ts") >= "2024-01-16"),
+        "value",
+        "event_type",
+    )
+
+
+def _sql_q311() -> str:
+    from pytrousse_spark.profiling import drift_by_group_sql
+
+    return drift_by_group_sql(
+        "SELECT * FROM events"
+        " WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+        "SELECT * FROM events"
+        " WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'",
+        "value",
+        "event_type",
+    )
+
+
+def q312_grouped_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE exact Wasserstein-1 drift of document lengths between
+    English and non-English docs — the standalone grouped-W1 operator
+    (profiling.wasserstein_1d_by_group) on a DIFFERENT table/grouping
+    than q311's report: group keys ride the grouped bounded-prefix
+    helpers, per-group totals attach by keyed join, and a group empty
+    on either side yields NULL w1 (sources with no non-English docs
+    exercise that path at sf0.01)."""
+    from pytrousse_spark.profiling import wasserstein_1d_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return wasserstein_1d_by_group(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        "n_chars",
+        "source",
+    )
+
+
+def _sql_q312() -> str:
+    from pytrousse_spark.profiling import wasserstein_1d_by_group_sql
+
+    return wasserstein_1d_by_group_sql(
+        "SELECT * FROM documents WHERE lang = 'en'",
+        "SELECT * FROM documents WHERE lang <> 'en'",
+        "n_chars",
+        "source",
+    )
+
+
 def q308_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe robust variance-homogeneity F over the SAME five
     event-type groups as q298/q299 — Levene's test with median centers,
@@ -9720,6 +9783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q308_brown_forsythe": q308_brown_forsythe,
         "q309_cramer_von_mises": q309_cramer_von_mises,
         "q310_wasserstein": q310_wasserstein,
+        "q311_drift_by_group": q311_drift_by_group,
+        "q312_grouped_wasserstein": q312_grouped_wasserstein,
         "q297_mann_whitney": q297_mann_whitney,
         "q298_anova_f": q298_anova_f,
         "q299_bartlett": q299_bartlett,
@@ -10451,6 +10516,8 @@ def oracle_sql() -> dict[str, str]:
         "q308_brown_forsythe": _sql_q308(),
         "q309_cramer_von_mises": _sql_q309(),
         "q310_wasserstein": _sql_q310(),
+        "q311_drift_by_group": _sql_q311(),
+        "q312_grouped_wasserstein": _sql_q312(),
         "q297_mann_whitney": _sql_q297(),
         "q298_anova_f": _sql_q298(),
         "q299_bartlett": _sql_q299(),

@@ -1639,6 +1639,205 @@ def wasserstein_1d_by_group(
     )
 
 
+def drift_by_group(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    value_col: str,
+    group_col: str,
+) -> "DataFrame":
+    """Per-group drift REPORT — all three distribution distances (KS
+    sup-gap, Cramér-von Mises squared-gap mass, exact Wasserstein-1
+    area) for every ``group_col`` value in ONE Spark plan sharing one
+    pooled (group, cent-level) frame, one grouped bounded-prefix pass,
+    and one grouped bounded-lead pass: the mixture-rebalancing view
+    ("which sources drifted, and how — a spike, body-wide, or by
+    distance in value units") that corpus-level
+    :func:`ks_two_sample`/:func:`cramer_von_mises`/:func:`wasserstein_1d`
+    answer only for the whole corpus.
+
+    Exactness follows the corpus-level trio: cumulative counts are
+    exact BIGINTs off the grouped hierarchy; the CvM and W1 per-level
+    terms round once into DECIMAL(38) order-free folds (pico- and
+    micro-unit respectively); KS takes the plain max of |F_a - F_b|
+    over levels (identical IEEE doubles in both engines — identical
+    integer inputs, one expression) rounded to 1e-6.
+
+    Returns one row per non-NULL group present in EITHER side:
+    ``(group, n_a, n_b, ks_d, cvm_t, w1)`` — all three distances NULL
+    when that group is empty on either side.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    a = (
+        df_a.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            cents.alias("__y"),
+            F.lit(1).alias("__a"),
+            F.lit(0).alias("__b"),
+        )
+    )
+    b = (
+        df_b.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            cents.alias("__y"),
+            F.lit(0).alias("__a"),
+            F.lit(1).alias("__b"),
+        )
+    )
+    lv = (
+        a.unionByName(b)
+        .groupBy("__g", "__y")
+        .agg(
+            F.sum("__a").cast("bigint").alias("__c1"),
+            F.sum("__b").cast("bigint").alias("__c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from .operators._prefix import (
+        exclusive_prefix_sums,
+        next_level,
+        route_for,
+    )
+
+    gc = ("__g",)
+    strat = route_for(lv, gc)
+    nxt = next_level(lv, "__y", materialize=False, strategy=strat, group_cols=gc)
+    lv2 = exclusive_prefix_sums(
+        nxt,
+        "__y",
+        ("__c1", "__c2"),
+        materialize=False,
+        strategy=strat,
+        group_cols=gc,
+    )
+    tot = lv.groupBy("__g").agg(
+        F.sum("__c1").cast("bigint").alias("n_a"),
+        F.sum("__c2").cast("bigint").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("__below___c1") + F.col("__c1")).cast("double") / na
+        - (F.col("__below___c2") + F.col("__c2")).cast("double") / nb,
+    ).otherwise(F.lit(0.0))
+    gap = (F.col("__next") - F.col("__y")).cast("double")
+    term12 = F.round(
+        (F.col("__c1") + F.col("__c2")).cast("double") * d * d * F.lit(1e12),
+        0,
+    ).cast("decimal(38,0)")
+    term6 = F.round(F.abs(d) * gap * F.lit(1e6), 0).cast("decimal(38,0)")
+    # one agg computes all three folds per group; the W1 term gates on
+    # gap existence INSIDE the sum (each group's max level has no
+    # successor), so no second pass over the frame
+    folds = (
+        lv2.join(tot, "__g")
+        .groupBy("__g")
+        .agg(
+            F.max(F.abs(d)).alias("__ks"),
+            F.sum(term12).cast("decimal(38,0)").alias("__t12"),
+            F.sum(
+                F.when(F.col("__next").isNotNull(), term6)
+            ).cast("decimal(38,0)").alias("__w6"),
+        )
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    t = (
+        na * nb / ((na + nb) * (na + nb))
+        * F.col("__t12").cast("double") / F.lit(1e12)
+    )
+    return tot.join(folds, "__g", "left").select(
+        F.col("__g").alias("group"),
+        "n_a",
+        "n_b",
+        F.when(
+            both, F.round(F.col("__ks") * F.lit(1e6), 0) / F.lit(1e6)
+        ).alias("ks_d"),
+        F.when(both, F.round(t, 6)).alias("cvm_t"),
+        F.when(
+            both,
+            F.round(
+                F.coalesce(F.col("__w6").cast("double"), F.lit(0.0))
+                / F.lit(1e8),
+                6,
+            ),
+        ).alias("w1"),
+    )
+
+
+def drift_by_group_sql(
+    a_subquery: str, b_subquery: str, value_col: str, group_col: str
+) -> str:
+    """DuckDB twin of :func:`drift_by_group` — plain group-partitioned
+    cumulative/lead windows, identical folds."""
+    return f"""
+    WITH pooled AS (
+        SELECT {group_col} AS g,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y, 1 AS a, 0 AS b
+        FROM ({a_subquery})
+        WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+        UNION ALL
+        SELECT {group_col},
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT),
+               0, 1
+        FROM ({b_subquery})
+        WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+    ), lv AS (
+        SELECT g, y,
+               CAST(sum(a) AS BIGINT) AS c1, CAST(sum(b) AS BIGINT) AS c2
+        FROM pooled GROUP BY g, y
+    ), cum AS (
+        SELECT g, y, c1, c2,
+               CAST(sum(c1) OVER (PARTITION BY g ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc1,
+               CAST(sum(c2) OVER (PARTITION BY g ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc2,
+               lead(y) OVER (PARTITION BY g ORDER BY y) AS nxt
+        FROM lv
+    ), tot AS (
+        SELECT g, CAST(sum(c1) AS BIGINT) AS n_a,
+               CAST(sum(c2) AS BIGINT) AS n_b
+        FROM lv GROUP BY g
+    ), terms AS (
+        SELECT cum.g, cum.c1, cum.c2, cum.nxt, cum.y,
+               CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                    THEN CAST(cc1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         - CAST(cc2 AS DOUBLE) / CAST(n_b AS DOUBLE)
+                    ELSE 0.0 END AS d
+        FROM cum JOIN tot ON cum.g = tot.g
+    ), agg AS (
+        SELECT g,
+               max(abs(d)) AS ks,
+               CAST(sum(CAST(round(CAST(c1 + c2 AS DOUBLE) * d * d * 1e12,
+                                   0) AS HUGEINT)) AS HUGEINT) AS t12,
+               CAST(sum(CASE WHEN nxt IS NOT NULL
+                        THEN CAST(round(abs(d) * CAST(nxt - y AS DOUBLE)
+                                        * 1e6, 0) AS HUGEINT) END)
+                    AS HUGEINT) AS w6
+        FROM terms GROUP BY g
+    )
+    SELECT tot.g AS "group", tot.n_a, tot.n_b,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN round(ks * 1e6, 0) / 1e6 END AS ks_d,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN round(CAST(tot.n_a AS DOUBLE) * tot.n_b
+                           / (CAST(tot.n_a + tot.n_b AS DOUBLE)
+                              * (tot.n_a + tot.n_b))
+                           * CAST(t12 AS DOUBLE) / 1e12, 6) END AS cvm_t,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN round(coalesce(CAST(w6 AS DOUBLE), 0.0) / 1e8, 6)
+           END AS w1
+    FROM tot LEFT JOIN agg ON tot.g = agg.g
+    """
+
+
 def wasserstein_1d_by_group_sql(
     a_subquery: str, b_subquery: str, value_col: str, group_col: str
 ) -> str:

@@ -187,3 +187,90 @@ def test_next_level_single_and_dense(spark):
                                   "y long, c1 long, c2 long")
     got = {r["y"]: r["__next"] for r in next_level(dense, "y").collect()}
     assert got == {y: (y + 1 if y < 9 else None) for y in range(-10, 10)}
+
+
+def _grouped_levels(rng, groups):
+    """Per-group level sets: full-domain spread + bucket-boundary
+    straddlers, with DIFFERENT levels per group so cross-group bleed
+    would be caught (a shared level with different counts per group)."""
+    rows = []
+    for gi, g in enumerate(groups):
+        ys = set()
+        while len(ys) < 80:
+            ys.add(rng.randint(-(2**61), 2**61))
+        for s in (20, 40, 60):
+            ys.update({(1 << s) - 1, 1 << s, -(1 << s), -(1 << s) - 1})
+        rows += [
+            (g, y, rng.randint(0, 5) + gi, rng.randint(0, 5))
+            for y in sorted(ys)
+        ]
+    return rows
+
+
+def test_prefix_grouped_matches_per_group_reference(spark):
+    """Grouped hierarchy == per-group brute force, both strategies —
+    group keys threaded through every tier must isolate groups exactly
+    (shared levels appear in several groups with different counts)."""
+    from pytrousse_spark.operators._prefix import exclusive_prefix_sums
+
+    rng = random.Random(303)
+    rows = _grouped_levels(rng, ["a", "b", "c"])
+    df = spark.createDataFrame(rows, "g string, y long, c1 long, c2 long")
+    want = {}
+    for g in ("a", "b", "c"):
+        ref = _reference([(y, c1, c2) for gg, y, c1, c2 in rows if gg == g])
+        want.update({(g, y): v for y, v in ref.items()})
+    for strategy in ("window", "hierarchy"):
+        got = {
+            (r["g"], r["y"]): (r["__below_c1"], r["__below_c2"])
+            for r in exclusive_prefix_sums(
+                df, "y", ("c1", "c2"), strategy=strategy, group_cols=("g",)
+            ).collect()
+        }
+        assert got == want, strategy
+
+
+def test_next_level_grouped_matches_per_group_lead(spark):
+    """Grouped next_level == per-group lead: each group's max is NULL
+    (never the next group's min), bucket boundaries patch within the
+    group only."""
+    from pytrousse_spark.operators._prefix import next_level
+
+    rng = random.Random(404)
+    rows = _grouped_levels(rng, ["a", "b"])
+    df = spark.createDataFrame(rows, "g string, y long, c1 long, c2 long")
+    want = {}
+    for g in ("a", "b"):
+        ys = sorted(y for gg, y, _, _ in rows if gg == g)
+        want.update({
+            (g, y): (ys[i + 1] if i + 1 < len(ys) else None)
+            for i, y in enumerate(ys)
+        })
+    for strategy in ("window", "hierarchy"):
+        got = {
+            (r["g"], r["y"]): r["__next"]
+            for r in next_level(
+                df, "y", strategy=strategy, group_cols=("g",)
+            ).collect()
+        }
+        assert got == want, strategy
+
+
+def test_grouped_route_counts_largest_group(spark):
+    """Auto routing with groups decides on the LARGEST group's level
+    count, not the total frame size."""
+    from pytrousse_spark.operators import _prefix
+
+    rows = [("a", y, 1, 1) for y in range(6)] + [
+        ("b", y, 1, 1) for y in range(4)
+    ]
+    df = spark.createDataFrame(rows, "g string, y long, c1 long, c2 long")
+    assert _prefix.route_for(df, ("g",)) == "window"
+    # shrink the budget so the 6-level group trips the hierarchy even
+    # though no single group exceeds the real 2^20 budget
+    orig = _prefix._AUTO_MAX_LEVELS
+    _prefix._AUTO_MAX_LEVELS = 5
+    try:
+        assert _prefix.route_for(df, ("g",)) == "hierarchy"
+    finally:
+        _prefix._AUTO_MAX_LEVELS = orig

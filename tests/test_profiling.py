@@ -767,3 +767,80 @@ def test_wasserstein_1d_shift_law_and_edges(spark):
     empty = spark.createDataFrame([], "value double")
     row = wasserstein_1d(df, empty, "value").collect()[0]
     assert row["n_b"] == 0 and row["w1"] is None
+
+
+def test_drift_by_group_matches_corpus_level_per_group(spark):
+    """Each group's row in the drift report must equal the corpus-level
+    trio run on that group's filtered frames (the report is one shared
+    plan, never an approximation), and single-group laws hold: zero
+    drift on identical frames, NULL distances on an empty side."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.profiling import (
+        cramer_von_mises,
+        drift_by_group,
+        ks_two_sample,
+        wasserstein_1d,
+        wasserstein_1d_by_group,
+    )
+
+    rng = random.Random(77)
+    rows_a, rows_b = [], []
+    for g, lo, hi in (("x", 0, 10), ("y", 2, 12), ("z", -4, 4)):
+        rows_a += [(g, round(rng.uniform(lo, hi), 2)) for _ in range(60)]
+        rows_b += [(g, round(rng.uniform(lo + 1, hi + 1), 2)) for _ in range(50)]
+    # group only on side a -> NULL distances; NULL group -> excluded
+    rows_a += [("only_a", 1.0), (None, 9.9)]
+    df_a = spark.createDataFrame(rows_a, "g string, value double")
+    df_b = spark.createDataFrame(rows_b, "g string, value double")
+
+    rep = {r["group"]: r for r in drift_by_group(df_a, df_b, "value", "g").collect()}
+    assert set(rep) == {"x", "y", "z", "only_a"}
+    assert rep["only_a"]["n_b"] == 0
+    assert rep["only_a"]["ks_d"] is None
+    assert rep["only_a"]["cvm_t"] is None
+    assert rep["only_a"]["w1"] is None
+
+    gw = {
+        r["group"]: r
+        for r in wasserstein_1d_by_group(df_a, df_b, "value", "g").collect()
+    }
+    for g in ("x", "y", "z"):
+        fa = df_a.where(F.col("g") == g)
+        fb = df_b.where(F.col("g") == g)
+        ks = ks_two_sample(fa, fb, "value").collect()[0]
+        cvm = cramer_von_mises(fa, fb, "value").collect()[0]
+        w1 = wasserstein_1d(fa, fb, "value").collect()[0]
+        assert rep[g]["n_a"] == ks["n_a"] and rep[g]["n_b"] == ks["n_b"]
+        assert rep[g]["ks_d"] == ks["d_stat"], g
+        assert rep[g]["cvm_t"] == cvm["t_stat"], g
+        assert rep[g]["w1"] == w1["w1"], g
+        assert gw[g]["w1"] == w1["w1"], g
+
+
+def test_grouped_wasserstein_shift_law(spark):
+    """Per-group W1 between X and X+c_g must be exactly |c_g| for each
+    group's own shift — groups with different shifts in one frame."""
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.profiling import wasserstein_1d_by_group
+
+    base = spark.createDataFrame(
+        [(g, float(i % 11) + 0.5) for g in ("p", "q") for i in range(40)],
+        "g string, value double",
+    )
+    shifted = base.select(
+        "g",
+        (
+            F.col("value")
+            + F.when(F.col("g") == "p", F.lit(1.25)).otherwise(F.lit(3.5))
+        ).alias("value"),
+    )
+    got = {
+        r["group"]: r["w1"]
+        for r in wasserstein_1d_by_group(base, shifted, "value", "g").collect()
+    }
+    assert abs(got["p"] - 1.25) < 1e-9
+    assert abs(got["q"] - 3.5) < 1e-9
