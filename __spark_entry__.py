@@ -9502,6 +9502,60 @@ def _sql_q311() -> str:
     )
 
 
+def q314_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling drift criterion between early- and
+    late-January purchase values — the TAIL-WEIGHTED member of the
+    q186/q309/q310 drift family (each ECDF gap divided by B(N-B), so
+    contamination/truncation drift out in the tails moves it first):
+    tie-adjusted Scholz-Stephens 1987 eq. 7 at k=2 over the pooled
+    cent-level frame, mid-rank halves carried as DOUBLED exact
+    integers, bounded-prefix cumulatives, per-level pico-unit rounding
+    into a DECIMAL(38) order-free fold
+    (profiling.anderson_darling_2s)."""
+    from pytrousse_spark.profiling import anderson_darling_2s
+
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    return anderson_darling_2s(
+        pur.where(F.col("ts") < "2024-01-16"),
+        pur.where(F.col("ts") >= "2024-01-16"),
+        "value",
+    )
+
+
+def _sql_q314() -> str:
+    from pytrousse_spark.profiling import anderson_darling_2s_sql
+
+    return anderson_darling_2s_sql(
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'",
+        "value",
+    )
+
+
+def q313_repeated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-median robust daily trend of event value — the
+    50%-breakdown upgrade of q251's Theil-Sen AND its scale fix (the
+    r11 backlog's last calendar-quadratic): the inner medians run in
+    windows PARTITIONED BY day (exactly T-1 rows each), so no O(T^2)
+    global sort remains — the only global sort is over the T per-day
+    medians (operators/timeseries.repeated_median_trend)."""
+    from pytrousse_spark.operators.timeseries import repeated_median_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return repeated_median_trend(ev, "ts", "value")
+
+
+def _sql_q313() -> str:
+    from pytrousse_spark.operators.timeseries import (
+        repeated_median_trend_sql,
+    )
+
+    return repeated_median_trend_sql("SELECT * FROM events", "ts", "value")
+
+
 def q312_grouped_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SOURCE exact Wasserstein-1 drift of document lengths between
     English and non-English docs — the standalone grouped-W1 operator
@@ -9785,6 +9839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q310_wasserstein": q310_wasserstein,
         "q311_drift_by_group": q311_drift_by_group,
         "q312_grouped_wasserstein": q312_grouped_wasserstein,
+        "q313_repeated_median": q313_repeated_median,
+        "q314_anderson_darling": q314_anderson_darling,
         "q297_mann_whitney": q297_mann_whitney,
         "q298_anova_f": q298_anova_f,
         "q299_bartlett": q299_bartlett,
@@ -10518,6 +10574,8 @@ def oracle_sql() -> dict[str, str]:
         "q310_wasserstein": _sql_q310(),
         "q311_drift_by_group": _sql_q311(),
         "q312_grouped_wasserstein": _sql_q312(),
+        "q313_repeated_median": _sql_q313(),
+        "q314_anderson_darling": _sql_q314(),
         "q297_mann_whitney": _sql_q297(),
         "q298_anova_f": _sql_q298(),
         "q299_bartlett": _sql_q299(),

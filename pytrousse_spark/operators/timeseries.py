@@ -3600,6 +3600,192 @@ def theil_sen_trend_sql(
     """
 
 
+def repeated_median_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Siegel repeated-median robust trend (Siegel 1982) on the daily
+    integer-cent series — the 50%-breakdown upgrade of Theil-Sen
+    (q251, breakdown 29%) AND its scale fix: Theil-Sen's single median
+    sorts all O(T^2) pairwise slopes through ONE global window, which
+    funnels a decade's ~13M ordered pairs into one sort task; the
+    repeated median
+
+        slope = median_i ( median_{j != i} (c_j - c_i)/(j - i) )
+
+    computes each inner median in a window PARTITIONED BY i (every
+    partition exactly T-1 rows — calendar-bounded), so the only global
+    sort left runs over the T per-day medians, the same budget class
+    as the spine itself. Intercept = median of the per-day residuals
+    c_i - slope*i (the Theil-Sen convention).
+
+    Exactness: pairwise slopes are single divisions of exact integer
+    deltas (identical doubles both engines); EVERY median — inner,
+    outer, residual — is selected explicitly as the average of sorted
+    rows (n+1)//2 and n//2+1 (no engine quantile interpolation);
+    round-6 on both outputs.
+
+    Returns one row ``(n_days, n_pairs, slope, intercept)`` with
+    ``n_pairs = T*(T-1)`` ordered pairs; no row for an empty input.
+    """
+    dense = _daily_cents(df, ts_col, value_col).localCheckpoint(
+        eager=False
+    )
+    a = dense.select(
+        F.col("__i").alias("__ia"), F.col("__c").alias("__ca")
+    )
+    b = dense.select(
+        F.col("__i").alias("__ib"), F.col("__c").alias("__cb")
+    )
+    pairs = a.join(b, F.col("__ib") != F.col("__ia")).select(
+        "__ia",
+        (
+            (F.col("__cb") - F.col("__ca")).cast("double")
+            / (F.col("__ib") - F.col("__ia")).cast("double")
+        ).alias("__s"),
+    )
+    # inner median per day i: window partitioned by i, exactly T-1
+    # rows per partition — no global sort of the pair set
+    wr = Window.partitionBy("__ia").orderBy(F.col("__s").asc())
+    wn = Window.partitionBy("__ia")
+    ranked = pairs.select(
+        "__ia",
+        "__s",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("__n"),
+    )
+    inner = (
+        ranked.where(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.floor(F.col("__n") / 2) + 1)
+        )
+        .groupBy("__ia")
+        .agg(
+            ((F.min("__s") + F.max("__s")) / F.lit(2.0)).alias("__mi"),
+            F.max("__n").alias("__npp"),
+        )
+    )
+
+    def _median(vals: DataFrame, col: str) -> DataFrame:
+        w = Window.orderBy(F.col(col).asc())
+        n = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = vals.select(
+            F.col(col),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(n).cast("bigint").alias("__n"),
+        )
+        return ranked.where(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.floor(F.col("__n") / 2) + 1)
+        ).groupBy("__n").agg(
+            ((F.min(col) + F.max(col)) / F.lit(2.0)).alias("__med")
+        )
+
+    # outer median over the T inner medians (calendar-bounded frame);
+    # n_pairs folds from the per-day partition sizes
+    npairs = inner.agg(
+        F.sum("__npp").cast("bigint").alias("__npairs")
+    )
+    med_s = (
+        _median(inner.select("__mi"), "__mi")
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            F.col("__med").alias("__slope"),
+            "__npairs",
+        )
+    )
+    resid = dense.crossJoin(F.broadcast(med_s)).select(
+        "__slope",
+        "__npairs",
+        (
+            F.col("__c").cast("double")
+            - F.col("__slope") * F.col("__i").cast("double")
+        ).alias("__r"),
+    )
+    med_r = (
+        _median(resid.select("__r"), "__r")
+        .select(
+            F.col("__n").alias("n_days"),
+            F.col("__med").alias("__icept"),
+        )
+    )
+    r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
+    return (
+        med_r.crossJoin(F.broadcast(med_s))
+        .select(
+            "n_days",
+            F.col("__npairs").alias("n_pairs"),
+            r6(F.col("__slope")).alias("slope"),
+            r6(F.col("__icept")).alias("intercept"),
+        )
+    )
+
+
+def repeated_median_trend_sql(
+    table_expr: str,
+    ts_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`repeated_median_trend` — identical spine,
+    ordered-pair set, per-i EXPLICIT two-middle-row inner medians,
+    outer/residual medians with the same device."""
+    base = _DAILY_CENTS_SQL.format(
+        table=table_expr, ts=ts_col, val=value_col
+    )
+    return f"""{base}
+    , __pairs AS (
+        SELECT a.__i AS __ia,
+               CAST(b.__c - a.__c AS DOUBLE)
+               / CAST(b.__i - a.__i AS DOUBLE) AS __s
+        FROM __dense a JOIN __dense b ON b.__i <> a.__i
+    ), __rs AS (
+        SELECT __ia, __s,
+               row_number() OVER (PARTITION BY __ia ORDER BY __s ASC)
+                   AS __rn,
+               CAST(count(*) OVER (PARTITION BY __ia) AS BIGINT) AS __n
+        FROM __pairs
+    ), __inner AS MATERIALIZED (
+        SELECT __ia, (min(__s) + max(__s)) / 2.0 AS __mi,
+               max(__n) AS __npp
+        FROM __rs
+        WHERE __rn = (__n + 1) // 2 OR __rn = __n // 2 + 1
+        GROUP BY __ia
+    ), __np AS (
+        SELECT CAST(sum(__npp) AS BIGINT) AS __npairs FROM __inner
+    ), __ri AS (
+        SELECT __mi,
+               row_number() OVER (ORDER BY __mi ASC) AS __rn,
+               CAST(count(*) OVER () AS BIGINT) AS __n
+        FROM __inner
+    ), __ms AS MATERIALIZED (
+        SELECT (min(__mi) + max(__mi)) / 2.0 AS __slope
+        FROM __ri
+        WHERE __rn = (__n + 1) // 2 OR __rn = __n // 2 + 1
+    ), __resid AS (
+        SELECT CAST(d.__c AS DOUBLE)
+               - m.__slope * CAST(d.__i AS DOUBLE) AS __r
+        FROM __dense d CROSS JOIN __ms m
+    ), __rr AS (
+        SELECT __r,
+               row_number() OVER (ORDER BY __r ASC) AS __rn,
+               CAST(count(*) OVER () AS BIGINT) AS __n
+        FROM __resid
+    ), __mr AS (
+        SELECT any_value(__n) AS n_days,
+               (min(__r) + max(__r)) / 2.0 AS __icept
+        FROM __rr
+        WHERE __rn = (__n + 1) // 2 OR __rn = __n // 2 + 1
+    )
+    SELECT r.n_days, p.__npairs AS n_pairs,
+           round(s.__slope * 1e6, 0) / 1e6 AS slope,
+           round(r.__icept * 1e6, 0) / 1e6 AS intercept
+    FROM __mr r CROSS JOIN __ms s CROSS JOIN __np p
+    """
+
+
 def distance_correlation(
     df: DataFrame,
     ts_col: str,

@@ -1639,6 +1639,181 @@ def wasserstein_1d_by_group(
     )
 
 
+def anderson_darling_2s(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    value_col: str,
+) -> "DataFrame":
+    """Two-sample Anderson-Darling criterion, tie-adjusted (Scholz &
+    Stephens 1987 eq. 7 at k=2, reducing to Pettitt 1976 without
+    ties) — the TAIL-WEIGHTED member of the drift family: KS reacts to
+    the worst single ECDF gap, CvM to the gap mass, W1 to the gap
+    area; AD divides each gap by B(N-B), so drift out in the tails
+    (the contamination / truncation failure modes) moves it first.
+
+    Computational form over pooled distinct cent levels with mid-rank
+    cumulatives (exact halves carried as DOUBLED integers):
+
+        A2 = (N-1)/(n_a*n_b) * sum_l (t_l/N) * Q_l^2 / (D_l(2N-D_l) - N*t_l)
+
+    with D_l = 2*B_l = doubled mid-rank pooled cumulative and
+    Q_l = N*(2*cum_a - c_a) - n_a*(2*cum_pooled - t), both single
+    double expressions over identical exact integers in both engines
+    (cumulatives from the bounded prefix hierarchy, level frame
+    lazy-localCheckpointed once and shared with the totals agg); the
+    per-level term rounds once to pico-units into a DECIMAL(38)
+    order-free fold. E[A2] = 1 under H0; calibration tables are
+    external (Scholz-Stephens table 1).
+
+    Returns one row ``(n_a, n_b, a2)`` — a2 NULL when either sample is
+    empty or the pooled sample is a single level (denominator 0).
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    a = df_a.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    b = df_b.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    lv = (
+        a.unionByName(b)
+        .groupBy("__y")
+        .agg(
+            F.sum("__a").cast("bigint").alias("__c1"),
+            F.sum("__b").cast("bigint").alias("__c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from .operators._prefix import exclusive_prefix_sums
+
+    lv2 = exclusive_prefix_sums(lv, "__y", ("__c1", "__c2"), materialize=False)
+    tot = lv.agg(
+        F.sum("__c1").cast("bigint").alias("n_a"),
+        F.sum("__c2").cast("bigint").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    t = (F.col("__c1") + F.col("__c2")).cast("double")
+    # doubled mid-rank cumulatives: exact integers, identical doubles
+    d2 = (
+        F.lit(2.0)
+        * (
+            F.col("__below___c1")
+            + F.col("__below___c2")
+            + F.col("__c1")
+            + F.col("__c2")
+        ).cast("double")
+        - t
+    )
+    q = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        nn
+        * (
+            F.lit(2.0)
+            * (F.col("__below___c1") + F.col("__c1")).cast("double")
+            - F.col("__c1").cast("double")
+        )
+        - na * d2,
+    ).otherwise(F.lit(0.0))
+    den = d2 * (F.lit(2.0) * nn - d2) - nn * t
+    # den = 0 only when the pooled frame is ONE level (t = N); the
+    # term is gated to 0 there so the fold stays finite under ANSI
+    term12 = F.round(
+        F.when(
+            den > 0, t / nn * q * q / den
+        ).otherwise(F.lit(0.0))
+        * F.lit(1e12),
+        0,
+    ).cast("decimal(38,0)")
+    agg = (
+        lv2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(F.when(den > 0, F.lit(1)).otherwise(F.lit(0))).alias(
+                "__any"
+            ),
+            F.sum(term12).cast("decimal(38,0)").alias("__t12"),
+        )
+    )
+    a2 = (
+        (na + nb - F.lit(1.0)) / (na * nb)
+        * F.col("__t12").cast("double") / F.lit(1e12)
+    )
+    return agg.select(
+        F.coalesce(F.col("n_a"), F.lit(0).cast("bigint")).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0).cast("bigint")).alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("__any") == 1),
+            F.round(a2, 6),
+        ).alias("a2"),
+    )
+
+
+def anderson_darling_2s_sql(
+    a_subquery: str, b_subquery: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`anderson_darling_2s` — plain global
+    cumulative windows, identical doubled-integer mid-rank form."""
+    return f"""
+    WITH pooled AS (
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y, 1 AS a, 0 AS b
+        FROM ({a_subquery}) WHERE {value_col} IS NOT NULL
+        UNION ALL
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT),
+               0, 1
+        FROM ({b_subquery}) WHERE {value_col} IS NOT NULL
+    ), lv AS (
+        SELECT y, CAST(sum(a) AS BIGINT) AS c1, CAST(sum(b) AS BIGINT) AS c2
+        FROM pooled GROUP BY y
+    ), cum AS (
+        SELECT c1, c2,
+               CAST(sum(c1) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc1,
+               CAST(sum(c1 + c2) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ccp
+        FROM lv
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+               CAST(sum(c2) AS BIGINT) AS n_b
+        FROM lv
+    ), terms AS (
+        SELECT CAST(c1 + c2 AS DOUBLE) AS t,
+               2.0 * CAST(ccp AS DOUBLE) - CAST(c1 + c2 AS DOUBLE) AS d2,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN CAST(n_a + n_b AS DOUBLE)
+                         * (2.0 * CAST(cc1 AS DOUBLE) - CAST(c1 AS DOUBLE))
+                         - CAST(n_a AS DOUBLE)
+                           * (2.0 * CAST(ccp AS DOUBLE)
+                              - CAST(c1 + c2 AS DOUBLE))
+                    ELSE 0.0 END AS q,
+               CAST(n_a + n_b AS DOUBLE) AS nn
+        FROM cum, tot
+    ), agg AS (
+        SELECT max(CASE WHEN d2 * (2.0 * nn - d2) - nn * t > 0
+                        THEN 1 ELSE 0 END) AS any_den,
+               CAST(sum(CAST(round(
+                    CASE WHEN d2 * (2.0 * nn - d2) - nn * t > 0
+                         THEN t / nn * q * q
+                              / (d2 * (2.0 * nn - d2) - nn * t)
+                         ELSE 0.0 END * 1e12, 0) AS HUGEINT))
+                    AS HUGEINT) AS t12
+        FROM terms
+    )
+    SELECT coalesce(tot.n_a, 0) AS n_a,
+           coalesce(tot.n_b, 0) AS n_b,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0 AND any_den = 1
+                THEN round(CAST(tot.n_a + tot.n_b - 1 AS DOUBLE)
+                           / (CAST(tot.n_a AS DOUBLE) * tot.n_b)
+                           * CAST(t12 AS DOUBLE) / 1e12, 6)
+           END AS a2
+    FROM agg, tot
+    """
+
+
 def drift_by_group(
     df_a: "DataFrame",
     df_b: "DataFrame",

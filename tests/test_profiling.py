@@ -844,3 +844,69 @@ def test_grouped_wasserstein_shift_law(spark):
     }
     assert abs(got["p"] - 1.25) < 1e-9
     assert abs(got["q"] - 3.5) < 1e-9
+
+
+def test_anderson_darling_brute_force_and_tail_sensitivity(spark):
+    """AD two-sample: (1) exact pin against a direct computation of
+    Scholz-Stephens 1987 eq. 7 (k=2, tie-adjusted, mid-rank B and M);
+    (2) identical samples give exactly 0; (3) the tail-weighting law —
+    moving the same probability mass drifts AD MORE (relative to its
+    own same-shape baseline) when the drift sits in the tail than when
+    it sits in the body; (4) empty-side and single-level inputs yield
+    NULL a2 with real counts."""
+    import random
+    from collections import Counter
+
+    from pytrousse_spark.profiling import anderson_darling_2s
+
+    def brute(xs, ys):
+        ca = Counter(int(round(v * 100)) for v in xs)
+        cb = Counter(int(round(v * 100)) for v in ys)
+        n1 = sum(ca.values())
+        n2 = sum(cb.values())
+        big_n = n1 + n2
+        cc1 = ccp = 0
+        s = 0.0
+        for lvl in sorted(set(ca) | set(cb)):
+            c1, c2 = ca.get(lvl, 0), cb.get(lvl, 0)
+            t = c1 + c2
+            cc1 += c1
+            ccp += t
+            m_a = cc1 - c1 / 2.0
+            b = ccp - t / 2.0
+            den = b * (big_n - b) - big_n * t / 4.0
+            if den > 0:
+                s += (t / big_n) * (big_n * m_a - n1 * b) ** 2 / den
+        return round((big_n - 1) / (n1 * n2) * s / big_n * big_n, 6) if s else 0.0
+
+    def run(xs, ys):
+        df_a = spark.createDataFrame([(v,) for v in xs], "value double")
+        df_b = spark.createDataFrame([(v,) for v in ys], "value double")
+        return anderson_darling_2s(df_a, df_b, "value").collect()[0]
+
+    rng = random.Random(19)
+    xs = [round(rng.uniform(0, 10), 1) for _ in range(110)]
+    ys = [round(rng.uniform(1, 12), 1) for _ in range(80)] + xs[:10]
+    got = run(xs, ys)
+    assert got["n_a"] == 110 and got["n_b"] == 90
+    assert abs(got["a2"] - brute(xs, ys)) < 2e-6
+
+    assert run(xs, xs)["a2"] == 0.0
+
+    # tail vs body: base sample uniform; shift the top 5% far out vs
+    # shuffling the same 5% inside the body
+    base = [round(i * 0.01, 2) for i in range(1000)]
+    tail = list(base)
+    for i in range(950, 1000):
+        tail[i] = base[i] + 50.0  # tail mass moved far out
+    body = list(base)
+    for i in range(475, 525):
+        body[i] = base[i] + 0.5  # same mass count, body-local move
+    ad_tail = run(base, tail)["a2"]
+    ad_body = run(base, body)["a2"]
+    assert ad_tail > ad_body  # the tail weighting reacts harder
+
+    empty_row = run(xs, [])
+    assert empty_row["n_b"] == 0 and empty_row["a2"] is None
+    one = run([3.0, 3.0], [3.0])
+    assert one["n_a"] == 2 and one["n_b"] == 1 and one["a2"] is None

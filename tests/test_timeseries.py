@@ -954,6 +954,88 @@ def test_theil_sen_shrugs_off_outliers_that_move_ols(spark):
     assert out["intercept"] == 997.0
 
 
+def test_repeated_median_brute_force_and_breakdown(spark):
+    """Siegel repeated median: (1) exact brute-force pin of the
+    median-of-per-day-medians on an irregular series with planted
+    outliers; (2) the 50%-breakdown law Theil-Sen cannot satisfy —
+    with 45% of days corrupted the slope still reads EXACTLY 3
+    cents/day; n_pairs counts ORDERED pairs T(T-1)."""
+    import statistics
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.timeseries import (
+        repeated_median_trend,
+        theil_sen_trend,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def run(vals):
+        rows = [
+            (i, t0 + timedelta(days=i, hours=1), float(v))
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+        return repeated_median_trend(df, "ts", "value").collect()[0]
+
+    def brute(vals):
+        c = [int(round(v * 100)) for v in vals]
+        t = len(c)
+
+        def med(xs):
+            s = sorted(xs)
+            n = len(s)
+            return (s[(n + 1) // 2 - 1] + s[n // 2]) / 2.0
+
+        inner = [
+            med([(c[j] - c[i]) / (j - i) for j in range(t) if j != i])
+            for i in range(t)
+        ]
+        slope = med(inner)
+        icept = med([c[i] - slope * (i + 1) for i in range(t)])
+        return round(slope, 6), round(icept, 6)
+
+    import random
+
+    rng = random.Random(5)
+    vals = [10.0 + 0.03 * i + rng.choice([0, 0, 0.01, -0.01]) for i in range(37)]
+    vals[5], vals[20] = 400.0, -77.0
+    out = run(vals)
+    bs, bi = brute(vals)
+    assert out["n_days"] == 37 and out["n_pairs"] == 37 * 36
+    assert abs(out["slope"] - bs) < 1e-9
+    assert abs(out["intercept"] - bi) < 1e-9
+
+    # breakdown law: corrupt the LAST 45% of days with a huge monotone
+    # ramp (so pairwise slopes to the corrupted block are all positive
+    # — a symmetric corruption would let Theil-Sen's pair median hide
+    # between cancelling signs); the repeated median holds the exact
+    # 3 cents/day while Theil-Sen's pair median lands in the ramp
+    clean = [10.0 + 0.03 * i for i in range(40)]
+    corrupted = list(clean)
+    for k in range(18):
+        corrupted[22 + k] = 5000.0 + 17.0 * k
+    out = run(corrupted)
+    assert out["slope"] == 3.0
+    rows = [
+        (i, t0 + timedelta(days=i, hours=1), float(v))
+        for i, v in enumerate(corrupted)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    ts = theil_sen_trend(df, "ts", "value").collect()[0]
+    assert abs(ts["slope"] - 3.0) > 1.0  # Theil-Sen has already broken
+
+    # statistics.median cross-check of the inner-median device on a
+    # tiny even-pair-count series (T=4 -> 3 slopes per day, odd; T=5
+    # -> 4 slopes, even middles averaged)
+    for t in (4, 5):
+        vs = [1.0 + 0.07 * i * i for i in range(t)]
+        out = run(vs)
+        bs, bi = brute(vs)
+        assert abs(out["slope"] - bs) < 1e-9
+        assert abs(out["intercept"] - bi) < 1e-9
+
+
 def test_distance_correlation_sees_what_pearson_misses(spark):
     """Laws: a deterministic NON-MONOTONE map y = |x - 20| gives
     near-zero Pearson but large dCor (dependence detected); a linear
