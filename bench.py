@@ -244,6 +244,17 @@ _IDLE_BANDS_10X = {
     # idle sf0.1 steady walls 1.5-2.1 s post-routing, 10x reads 1.56
     "q297_mann_whitney": 3.0,
     "q302_durbin_watson": 3.0,
+    # round-12 rows — bands ~2x this round's idle 10x measures
+    # (q309 1.3-2.1 / q310 1.4-1.5 / q311 2.6-3.3 / q314 2.2-2.8 /
+    # q306 1.8-2.1 s; 1x refs 1.2-4.6 s): the whole level-frame drift
+    # family is ~FLAT at 10x — pooled cent levels saturate, the
+    # grouped report rides (group, level) frames that saturate per
+    # group, and every cumulative is auto-routed prefix
+    "q306_wilcoxon_signed_rank": 4.5,
+    "q309_cramer_von_mises": 5.0,
+    "q310_wasserstein": 4.0,
+    "q311_drift_by_group": 7.0,
+    "q314_anderson_darling": 6.0,
 }
 
 
@@ -340,6 +351,15 @@ def _headroom_10x(spark, big_dir: str) -> dict:
         "q287_hits",
         "q289_conformal",
         "q292_krippendorff_alpha",
+        # round-12 additions: the level-frame drift family — pooled
+        # cent levels saturate at 10x, so the claim under test is
+        # FLATNESS (the grouped report additionally exercises the
+        # group-keyed hierarchy/window router at scale)
+        "q306_wilcoxon_signed_rank",
+        "q309_cramer_von_mises",
+        "q310_wasserstein",
+        "q311_drift_by_group",
+        "q314_anderson_darling",
         # round-10 additions: the two new rows with a real scale axis —
         # Mann-Whitney's cent-level frame (levels saturate; the window
         # is level-bounded) and Durbin-Watson's per-key lag windows

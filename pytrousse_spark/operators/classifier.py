@@ -3267,10 +3267,18 @@ def split_conformal(
         )
     )
     cal = scored.where(F.col("__b") <= 7)
-    n_cal_row = cal.agg(F.count(F.lit(1)).cast("bigint").alias("__nc"))
+    # checkpoint the level frame HERE and read n_cal off it (sum of the
+    # per-level counts == the calibration row count): aggregating the
+    # pre-checkpoint cal lineage would run the scored join a second
+    # time for one scalar (the optimal_threshold fix's class)
     levels = (
         cal.groupBy("__r")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    n_cal_row = levels.agg(
+        F.coalesce(F.sum("__c").cast("bigint"), F.lit(0).cast("bigint"))
+        .alias("__nc")
     )
     # inclusive rank cumulative over residual LEVELS via the bounded
     # hierarchy (_prefix, r10 VERDICT item 8's class): bit-identical to
@@ -3278,7 +3286,9 @@ def split_conformal(
     # can't funnel the level frame through one sort task
     from ._prefix import exclusive_prefix_sums
 
-    ranked = exclusive_prefix_sums(levels, "__r", ("__c",)).select(
+    ranked = exclusive_prefix_sums(
+        levels, "__r", ("__c",), materialize=False
+    ).select(
         "__r", (F.col("__below___c") + F.col("__c")).alias("__cum")
     )
     q_row = (
