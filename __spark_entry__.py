@@ -9471,13 +9471,13 @@ def _sql_q310() -> str:
 
 def q311_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group drift REPORT (the r11 backlog's mixture-rebalancing
-    table): all three distribution distances — KS sup-gap, Cramér-von
-    Mises squared-gap mass, exact Wasserstein-1 area — between early-
-    and late-January event values, PER event type, in one plan sharing
-    one pooled (group, cent-level) frame, one GROUPED bounded-prefix
-    pass and one grouped bounded-lead pass (operators/_prefix.py with
-    group_cols threaded through every tier; profiling.drift_by_group).
-    """
+    table): all four distribution distances — KS sup-gap, Cramér-von
+    Mises squared-gap mass, tail-weighted Anderson-Darling, exact
+    Wasserstein-1 area — between early- and late-January event values,
+    PER event type, in one plan sharing one pooled (group, cent-level)
+    frame, one GROUPED bounded-prefix pass and one grouped
+    bounded-lead pass (operators/_prefix.py with group_cols threaded
+    through every tier; profiling.drift_by_group)."""
     from pytrousse_spark.profiling import drift_by_group
 
     ev = _t(spark, sf_dir, "events")
@@ -9527,6 +9527,37 @@ def _sql_q314() -> str:
     from pytrousse_spark.profiling import anderson_darling_2s_sql
 
     return anderson_darling_2s_sql(
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'",
+        "value",
+    )
+
+
+def q315_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D energy distance (Székely-Rizzo) between early- and
+    late-January purchase values — the kernel-free distance whose
+    multivariate form backs the embedding MMD gate (q285), here in its
+    exact ECDF form 2*∫(F_a-F_b)² dx on the q310 level frame: one
+    route decision, hierarchical bounded lead for adjacency, bounded
+    prefix cumulatives, micro-unit DECIMAL(38) fold; T = n_a*n_b/N*D²
+    (profiling.energy_distance)."""
+    from pytrousse_spark.profiling import energy_distance
+
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    return energy_distance(
+        pur.where(F.col("ts") < "2024-01-16"),
+        pur.where(F.col("ts") >= "2024-01-16"),
+        "value",
+    )
+
+
+def _sql_q315() -> str:
+    from pytrousse_spark.profiling import energy_distance_sql
+
+    return energy_distance_sql(
         "SELECT * FROM events WHERE event_type = 'purchase'"
         " AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
         "SELECT * FROM events WHERE event_type = 'purchase'"
@@ -9841,6 +9872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q312_grouped_wasserstein": q312_grouped_wasserstein,
         "q313_repeated_median": q313_repeated_median,
         "q314_anderson_darling": q314_anderson_darling,
+        "q315_energy_distance": q315_energy_distance,
         "q297_mann_whitney": q297_mann_whitney,
         "q298_anova_f": q298_anova_f,
         "q299_bartlett": q299_bartlett,
@@ -10576,6 +10608,7 @@ def oracle_sql() -> dict[str, str]:
         "q312_grouped_wasserstein": _sql_q312(),
         "q313_repeated_median": _sql_q313(),
         "q314_anderson_darling": _sql_q314(),
+        "q315_energy_distance": _sql_q315(),
         "q297_mann_whitney": _sql_q297(),
         "q298_anova_f": _sql_q298(),
         "q299_bartlett": _sql_q299(),

@@ -1820,26 +1820,30 @@ def drift_by_group(
     value_col: str,
     group_col: str,
 ) -> "DataFrame":
-    """Per-group drift REPORT — all three distribution distances (KS
-    sup-gap, Cramér-von Mises squared-gap mass, exact Wasserstein-1
-    area) for every ``group_col`` value in ONE Spark plan sharing one
-    pooled (group, cent-level) frame, one grouped bounded-prefix pass,
+    """Per-group drift REPORT — all four distribution distances (KS
+    sup-gap, Cramér-von Mises squared-gap mass, tail-weighted
+    Anderson-Darling, exact Wasserstein-1 area) for every
+    ``group_col`` value in ONE Spark plan sharing one pooled
+    (group, cent-level) frame, one grouped bounded-prefix pass,
     and one grouped bounded-lead pass: the mixture-rebalancing view
-    ("which sources drifted, and how — a spike, body-wide, or by
-    distance in value units") that corpus-level
-    :func:`ks_two_sample`/:func:`cramer_von_mises`/:func:`wasserstein_1d`
-    answer only for the whole corpus.
+    ("which sources drifted, and how — a spike, body-wide, in the
+    tails, or by distance in value units") that the corpus-level
+    operators (:func:`ks_two_sample`, :func:`cramer_von_mises`,
+    :func:`anderson_darling_2s`, :func:`wasserstein_1d`) answer only
+    for the whole corpus.
 
-    Exactness follows the corpus-level trio: cumulative counts are
-    exact BIGINTs off the grouped hierarchy; the CvM and W1 per-level
-    terms round once into DECIMAL(38) order-free folds (pico- and
-    micro-unit respectively); KS takes the plain max of |F_a - F_b|
-    over levels (identical IEEE doubles in both engines — identical
-    integer inputs, one expression) rounded to 1e-6.
+    Exactness follows the corpus-level operators: cumulative counts
+    are exact BIGINTs off the grouped hierarchy; the CvM/AD/W1
+    per-level terms round once into DECIMAL(38) order-free folds
+    (pico-, pico- and micro-unit respectively; AD carries mid-rank
+    halves as doubled exact integers); KS takes the plain max of
+    |F_a - F_b| over levels (identical IEEE doubles in both engines)
+    rounded to 1e-6.
 
     Returns one row per non-NULL group present in EITHER side:
-    ``(group, n_a, n_b, ks_d, cvm_t, w1)`` — all three distances NULL
-    when that group is empty on either side.
+    ``(group, n_a, n_b, ks_d, cvm_t, ad_a2, w1)`` — all four
+    distances NULL when that group is empty on either side (AD
+    additionally NULL when the group's pooled frame is one level).
     """
     cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
     a = (
@@ -1906,7 +1910,37 @@ def drift_by_group(
         0,
     ).cast("decimal(38,0)")
     term6 = F.round(F.abs(d) * gap * F.lit(1e6), 0).cast("decimal(38,0)")
-    # one agg computes all three folds per group; the W1 term gates on
+    # AD per-level term (anderson_darling_2s's doubled mid-rank form,
+    # per group): identical exact integers -> identical doubles
+    nn = na + nb
+    tl = (F.col("__c1") + F.col("__c2")).cast("double")
+    d2 = (
+        F.lit(2.0)
+        * (
+            F.col("__below___c1")
+            + F.col("__below___c2")
+            + F.col("__c1")
+            + F.col("__c2")
+        ).cast("double")
+        - tl
+    )
+    qn = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        nn
+        * (
+            F.lit(2.0)
+            * (F.col("__below___c1") + F.col("__c1")).cast("double")
+            - F.col("__c1").cast("double")
+        )
+        - na * d2,
+    ).otherwise(F.lit(0.0))
+    aden = d2 * (F.lit(2.0) * nn - d2) - nn * tl
+    aterm12 = F.round(
+        F.when(aden > 0, tl / nn * qn * qn / aden).otherwise(F.lit(0.0))
+        * F.lit(1e12),
+        0,
+    ).cast("decimal(38,0)")
+    # one agg computes all four folds per group; the W1 term gates on
     # gap existence INSIDE the sum (each group's max level has no
     # successor), so no second pass over the frame
     folds = (
@@ -1915,6 +1949,10 @@ def drift_by_group(
         .agg(
             F.max(F.abs(d)).alias("__ks"),
             F.sum(term12).cast("decimal(38,0)").alias("__t12"),
+            F.max(F.when(aden > 0, F.lit(1)).otherwise(F.lit(0))).alias(
+                "__anyden"
+            ),
+            F.sum(aterm12).cast("decimal(38,0)").alias("__a12"),
             F.sum(
                 F.when(F.col("__next").isNotNull(), term6)
             ).cast("decimal(38,0)").alias("__w6"),
@@ -1925,6 +1963,10 @@ def drift_by_group(
         na * nb / ((na + nb) * (na + nb))
         * F.col("__t12").cast("double") / F.lit(1e12)
     )
+    a2 = (
+        (na + nb - F.lit(1.0)) / (na * nb)
+        * F.col("__a12").cast("double") / F.lit(1e12)
+    )
     return tot.join(folds, "__g", "left").select(
         F.col("__g").alias("group"),
         "n_a",
@@ -1933,6 +1975,9 @@ def drift_by_group(
             both, F.round(F.col("__ks") * F.lit(1e6), 0) / F.lit(1e6)
         ).alias("ks_d"),
         F.when(both, F.round(t, 6)).alias("cvm_t"),
+        F.when(both & (F.col("__anyden") == 1), F.round(a2, 6)).alias(
+            "ad_a2"
+        ),
         F.when(
             both,
             F.round(
@@ -1985,13 +2030,32 @@ def drift_by_group_sql(
                CASE WHEN tot.n_a > 0 AND tot.n_b > 0
                     THEN CAST(cc1 AS DOUBLE) / CAST(n_a AS DOUBLE)
                          - CAST(cc2 AS DOUBLE) / CAST(n_b AS DOUBLE)
-                    ELSE 0.0 END AS d
+                    ELSE 0.0 END AS d,
+               CAST(c1 + c2 AS DOUBLE) AS t,
+               2.0 * CAST(cc1 + cc2 AS DOUBLE)
+                   - CAST(c1 + c2 AS DOUBLE) AS d2,
+               CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                    THEN CAST(n_a + n_b AS DOUBLE)
+                         * (2.0 * CAST(cc1 AS DOUBLE) - CAST(c1 AS DOUBLE))
+                         - CAST(n_a AS DOUBLE)
+                           * (2.0 * CAST(cc1 + cc2 AS DOUBLE)
+                              - CAST(c1 + c2 AS DOUBLE))
+                    ELSE 0.0 END AS qn,
+               CAST(n_a + n_b AS DOUBLE) AS nn
         FROM cum JOIN tot ON cum.g = tot.g
     ), agg AS (
         SELECT g,
                max(abs(d)) AS ks,
-               CAST(sum(CAST(round(CAST(c1 + c2 AS DOUBLE) * d * d * 1e12,
+               CAST(sum(CAST(round(t * d * d * 1e12,
                                    0) AS HUGEINT)) AS HUGEINT) AS t12,
+               max(CASE WHEN d2 * (2.0 * nn - d2) - nn * t > 0
+                        THEN 1 ELSE 0 END) AS any_den,
+               CAST(sum(CAST(round(
+                    CASE WHEN d2 * (2.0 * nn - d2) - nn * t > 0
+                         THEN t / nn * qn * qn
+                              / (d2 * (2.0 * nn - d2) - nn * t)
+                         ELSE 0.0 END * 1e12, 0) AS HUGEINT))
+                    AS HUGEINT) AS a12,
                CAST(sum(CASE WHEN nxt IS NOT NULL
                         THEN CAST(round(abs(d) * CAST(nxt - y AS DOUBLE)
                                         * 1e6, 0) AS HUGEINT) END)
@@ -2006,10 +2070,164 @@ def drift_by_group_sql(
                            / (CAST(tot.n_a + tot.n_b AS DOUBLE)
                               * (tot.n_a + tot.n_b))
                            * CAST(t12 AS DOUBLE) / 1e12, 6) END AS cvm_t,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0 AND any_den = 1
+                THEN round(CAST(tot.n_a + tot.n_b - 1 AS DOUBLE)
+                           / (CAST(tot.n_a AS DOUBLE) * tot.n_b)
+                           * CAST(a12 AS DOUBLE) / 1e12, 6) END AS ad_a2,
            CASE WHEN tot.n_a > 0 AND tot.n_b > 0
                 THEN round(coalesce(CAST(w6 AS DOUBLE), 0.0) / 1e8, 6)
            END AS w1
     FROM tot LEFT JOIN agg ON tot.g = agg.g
+    """
+
+
+def energy_distance(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    value_col: str,
+) -> "DataFrame":
+    """Exact 1-D energy distance (Székely & Rizzo 2004) — the
+    kernel-free two-sample distance whose multivariate form backs the
+    embedding-drift MMD: in one dimension
+
+        D^2 = 2*E|X-Y| - E|X-X'| - E|Y-Y'| = 2 * INT (F_a - F_b)^2 dx
+
+    (the unweighted integral-squared gap in VALUE units — the Cramér
+    distance's scale-carrying sibling of CvM's rank-weighted mass),
+    and the test statistic T = n_a*n_b/N * D^2 with D^2 = 0 iff the
+    distributions coincide.
+
+    Computational form mirrors :func:`wasserstein_1d` exactly — the
+    integrand is constant on [l, next(l)) — with per-level term
+    2*(F_a-F_b)^2 * gap: adjacency from the hierarchical bounded lead,
+    cumulatives from the bounded prefix hierarchy, ONE route decision
+    per call, per-level micro-unit rounding into a DECIMAL(38)
+    order-free fold; the result divides back to value units.
+
+    Returns one row ``(n_a, n_b, energy, t_stat)`` — both NULL when
+    either sample is empty; a point mass at a vs a point mass at b
+    reads exactly 2*|a-b|.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    a = df_a.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    b = df_b.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    lv = (
+        a.unionByName(b)
+        .groupBy("__y")
+        .agg(
+            F.sum("__a").cast("bigint").alias("__c1"),
+            F.sum("__b").cast("bigint").alias("__c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from .operators._prefix import (
+        exclusive_prefix_sums,
+        next_level,
+        route_for,
+    )
+
+    strat = route_for(lv)
+    nxt = next_level(lv, "__y", materialize=False, strategy=strat)
+    lv2 = exclusive_prefix_sums(
+        nxt, "__y", ("__c1", "__c2"), materialize=False, strategy=strat
+    )
+    tot = lv.agg(
+        F.sum("__c1").cast("bigint").alias("n_a"),
+        F.sum("__c2").cast("bigint").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("__below___c1") + F.col("__c1")).cast("double") / na
+        - (F.col("__below___c2") + F.col("__c2")).cast("double") / nb,
+    ).otherwise(F.lit(0.0))
+    gap = (F.col("__next") - F.col("__y")).cast("double")
+    term6 = F.round(
+        F.lit(2.0) * d * d * gap * F.lit(1e6), 0
+    ).cast("decimal(38,0)")
+    e6 = (
+        lv2.crossJoin(F.broadcast(tot))
+        .where(F.col("__next").isNotNull())
+        .agg(F.sum(term6).cast("decimal(38,0)").alias("__e6"))
+    )
+    energy = F.coalesce(F.col("__e6").cast("double"), F.lit(0.0)) / F.lit(
+        1e8
+    )
+    return e6.crossJoin(F.broadcast(tot)).select(
+        F.coalesce(F.col("n_a"), F.lit(0).cast("bigint")).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0).cast("bigint")).alias("n_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(energy, 6)
+        ).alias("energy"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(na * nb / (na + nb) * energy, 6),
+        ).alias("t_stat"),
+    )
+
+
+def energy_distance_sql(
+    a_subquery: str, b_subquery: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`energy_distance` — plain global lead +
+    cumulative windows, identical per-level fold."""
+    return f"""
+    WITH pooled AS (
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y, 1 AS a, 0 AS b
+        FROM ({a_subquery}) WHERE {value_col} IS NOT NULL
+        UNION ALL
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT),
+               0, 1
+        FROM ({b_subquery}) WHERE {value_col} IS NOT NULL
+    ), lv AS (
+        SELECT y, CAST(sum(a) AS BIGINT) AS c1, CAST(sum(b) AS BIGINT) AS c2
+        FROM pooled GROUP BY y
+    ), cum AS (
+        SELECT y, c1, c2,
+               CAST(sum(c1) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc1,
+               CAST(sum(c2) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc2,
+               lead(y) OVER (ORDER BY y) AS nxt
+        FROM lv
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+               CAST(sum(c2) AS BIGINT) AS n_b
+        FROM lv
+    ), agg AS (
+        SELECT CAST(sum(CAST(round(2.0
+                        * (CASE WHEN n_a > 0 AND n_b > 0
+                                THEN CAST(cc1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                     - CAST(cc2 AS DOUBLE)
+                                       / CAST(n_b AS DOUBLE)
+                                ELSE 0.0 END)
+                        * (CASE WHEN n_a > 0 AND n_b > 0
+                                THEN CAST(cc1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                     - CAST(cc2 AS DOUBLE)
+                                       / CAST(n_b AS DOUBLE)
+                                ELSE 0.0 END)
+                        * CAST(nxt - y AS DOUBLE) * 1e6, 0) AS HUGEINT))
+                    AS HUGEINT) AS e6
+        FROM cum, tot WHERE nxt IS NOT NULL
+    )
+    SELECT coalesce(tot.n_a, 0) AS n_a,
+           coalesce(tot.n_b, 0) AS n_b,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN round(coalesce(CAST(e6 AS DOUBLE), 0.0) / 1e8, 6)
+           END AS energy,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN round(CAST(tot.n_a AS DOUBLE) * tot.n_b
+                           / CAST(tot.n_a + tot.n_b AS DOUBLE)
+                           * coalesce(CAST(e6 AS DOUBLE), 0.0) / 1e8, 6)
+           END AS t_stat
+    FROM agg, tot
     """
 
 

@@ -779,6 +779,7 @@ def test_drift_by_group_matches_corpus_level_per_group(spark):
     from pyspark.sql import functions as F
 
     from pytrousse_spark.profiling import (
+        anderson_darling_2s,
         cramer_von_mises,
         drift_by_group,
         ks_two_sample,
@@ -801,6 +802,7 @@ def test_drift_by_group_matches_corpus_level_per_group(spark):
     assert rep["only_a"]["n_b"] == 0
     assert rep["only_a"]["ks_d"] is None
     assert rep["only_a"]["cvm_t"] is None
+    assert rep["only_a"]["ad_a2"] is None
     assert rep["only_a"]["w1"] is None
 
     gw = {
@@ -812,10 +814,12 @@ def test_drift_by_group_matches_corpus_level_per_group(spark):
         fb = df_b.where(F.col("g") == g)
         ks = ks_two_sample(fa, fb, "value").collect()[0]
         cvm = cramer_von_mises(fa, fb, "value").collect()[0]
+        ad = anderson_darling_2s(fa, fb, "value").collect()[0]
         w1 = wasserstein_1d(fa, fb, "value").collect()[0]
         assert rep[g]["n_a"] == ks["n_a"] and rep[g]["n_b"] == ks["n_b"]
         assert rep[g]["ks_d"] == ks["d_stat"], g
         assert rep[g]["cvm_t"] == cvm["t_stat"], g
+        assert rep[g]["ad_a2"] == ad["a2"], g
         assert rep[g]["w1"] == w1["w1"], g
         assert gw[g]["w1"] == w1["w1"], g
 
@@ -910,3 +914,54 @@ def test_anderson_darling_brute_force_and_tail_sensitivity(spark):
     assert empty_row["n_b"] == 0 and empty_row["a2"] is None
     one = run([3.0, 3.0], [3.0])
     assert one["n_a"] == 2 and one["n_b"] == 1 and one["a2"] is None
+
+
+def test_energy_distance_laws(spark):
+    """Energy distance (exact 1-D ECDF form): (1) brute-force pin of
+    2*sum (F_a-F_b)^2 * gap over pooled cent levels; (2) the E|X-Y|
+    identity — D2 equals 2E|XY| - E|XX'| - E|YY'| computed pairwise;
+    (3) two point masses read exactly 2*|a-b|; (4) identical samples
+    give 0 with a real t_stat 0; (5) empty side gives NULLs."""
+    import random
+
+    from pytrousse_spark.profiling import energy_distance
+
+    def run(xs, ys):
+        df_a = spark.createDataFrame([(v,) for v in xs], "value double")
+        df_b = spark.createDataFrame([(v,) for v in ys], "value double")
+        return energy_distance(df_a, df_b, "value").collect()[0]
+
+    rng = random.Random(23)
+    xs = [round(rng.uniform(0, 8), 2) for _ in range(70)]
+    ys = [round(rng.uniform(1, 9), 2) for _ in range(55)] + xs[:5]
+
+    ca = sorted(int(round(v * 100)) for v in xs)
+    cb = sorted(int(round(v * 100)) for v in ys)
+    levels = sorted(set(ca + cb))
+    d2 = 0.0
+    for lvl, nxt in zip(levels, levels[1:]):
+        fa = sum(1 for v in ca if v <= lvl) / len(ca)
+        fb = sum(1 for v in cb if v <= lvl) / len(cb)
+        d2 += 2.0 * (fa - fb) ** 2 * (nxt - lvl)
+    d2 /= 100.0
+    got = run(xs, ys)
+    assert got["n_a"] == len(ca) and got["n_b"] == len(cb)
+    assert abs(got["energy"] - d2) < 1e-5
+
+    # pairwise identity on cents (exact expectations over the sample)
+    def mean_abs(u, v):
+        return sum(abs(x - y) for x in u for y in v) / (len(u) * len(v))
+
+    ident = (
+        2 * mean_abs(ca, cb) - mean_abs(ca, ca) - mean_abs(cb, cb)
+    ) / 100.0
+    assert abs(got["energy"] - ident) < 1e-5
+
+    point = run([5.0] * 7, [9.5] * 4)
+    assert point["energy"] == 9.0  # 2 * |9.5 - 5.0|
+
+    same = run(xs, xs)
+    assert same["energy"] == 0.0 and same["t_stat"] == 0.0
+
+    nullrow = run(xs, [])
+    assert nullrow["energy"] is None and nullrow["t_stat"] is None
