@@ -9566,6 +9566,40 @@ def _sql_q315() -> str:
     )
 
 
+def q316_grouped_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Mann-Whitney U + Cliff's delta between early- and
+    late-January event values, PER event type — the SIGNIFICANCE
+    companion of q311's distance report (did each group's location
+    shift clear noise, and by what effect size): one plan for all
+    groups on the pooled (group, cent-level) frame, grouped bounded
+    prefix cumulatives, exact DECIMAL(38,0) win/tie folds
+    (operators/classifier.mann_whitney_by_group)."""
+    from pytrousse_spark.operators.classifier import mann_whitney_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_by_group(
+        ev.where(F.col("ts") < "2024-01-16"),
+        ev.where(F.col("ts") >= "2024-01-16"),
+        "value",
+        "event_type",
+    )
+
+
+def _sql_q316() -> str:
+    from pytrousse_spark.operators.classifier import (
+        mann_whitney_by_group_sql,
+    )
+
+    return mann_whitney_by_group_sql(
+        "SELECT * FROM events"
+        " WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+        "SELECT * FROM events"
+        " WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'",
+        "value",
+        "event_type",
+    )
+
+
 def q313_repeated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Siegel repeated-median robust daily trend of event value — the
     50%-breakdown upgrade of q251's Theil-Sen AND its scale fix (the
@@ -9873,6 +9907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q313_repeated_median": q313_repeated_median,
         "q314_anderson_darling": q314_anderson_darling,
         "q315_energy_distance": q315_energy_distance,
+        "q316_grouped_mann_whitney": q316_grouped_mann_whitney,
         "q297_mann_whitney": q297_mann_whitney,
         "q298_anova_f": q298_anova_f,
         "q299_bartlett": q299_bartlett,
@@ -10609,6 +10644,7 @@ def oracle_sql() -> dict[str, str]:
         "q313_repeated_median": _sql_q313(),
         "q314_anderson_darling": _sql_q314(),
         "q315_energy_distance": _sql_q315(),
+        "q316_grouped_mann_whitney": _sql_q316(),
         "q297_mann_whitney": _sql_q297(),
         "q298_anova_f": _sql_q298(),
         "q299_bartlett": _sql_q299(),

@@ -3816,6 +3816,179 @@ def mann_whitney_u_sql(
     """
 
 
+def mann_whitney_by_group(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group Mann-Whitney U + Cliff's delta between two frames —
+    the SIGNIFICANCE companion of profiling.drift_by_group's distance
+    report (drift says how far each group's distribution moved; this
+    says whether the location shift clears noise, with the effect
+    size): one plan for all groups, one pooled (group, cent-level)
+    frame, below-level cumulatives from the GROUPED bounded prefix
+    hierarchy (operators/_prefix.py group_cols — every window
+    partitioned by (group, bucket)).
+
+    Arithmetic per group is :func:`mann_whitney_u`'s exactly — exact
+    integer wins/ties/losses folds in DECIMAL(38,0) (int64 passes at
+    ~3e9 rows per side), tie cube in DECIMAL(38), one double
+    expression each for z (tie-corrected, no continuity correction)
+    and delta. NULL groups are excluded.
+
+    Returns one row per non-NULL group present in EITHER frame:
+    ``(group, n_a, n_b, u1, z, cliffs_delta)`` — u1/delta NULL when a
+    side is empty, z additionally NULL when the variance is 0.
+    """
+    y = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    a = (
+        df_a.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            y.alias("__y"),
+            F.lit(1).alias("__a"),
+            F.lit(0).alias("__b"),
+        )
+    )
+    b = (
+        df_b.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            y.alias("__y"),
+            F.lit(0).alias("__a"),
+            F.lit(1).alias("__b"),
+        )
+    )
+    lv = (
+        a.unionByName(b)
+        .groupBy("__g", "__y")
+        .agg(
+            F.sum("__a").cast("bigint").alias("__c1"),
+            F.sum("__b").cast("bigint").alias("__c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from ._prefix import exclusive_prefix_sums
+
+    lv2 = exclusive_prefix_sums(
+        lv, "__y", ("__c1", "__c2"), materialize=False, group_cols=("__g",)
+    )
+    td = (F.col("__c1") + F.col("__c2")).cast("decimal(38,0)")
+    c1d = F.col("__c1").cast("decimal(38,0)")
+    c2d = F.col("__c2").cast("decimal(38,0)")
+    agg = lv2.groupBy("__g").agg(
+        F.sum("__c1").cast("bigint").alias("n_a"),
+        F.sum("__c2").cast("bigint").alias("n_b"),
+        F.sum(c1d * F.col("__below___c2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("__w"),
+        F.sum(c2d * F.col("__below___c1").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("__l"),
+        F.sum(c1d * c2d).cast("decimal(38,0)").alias("__t"),
+        F.sum(td * td * td - td).cast("decimal(38,0)").alias("__tt"),
+    )
+    n1, n2 = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = n1 + n2
+    u1 = (
+        F.col("__w").cast("double") + F.col("__t").cast("double") / F.lit(2.0)
+    )
+    var = (
+        n1 * n2 / F.lit(12.0)
+        * (
+            nn + F.lit(1.0)
+            - F.col("__tt").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        F.col("__g").alias("group"),
+        "n_a",
+        "n_b",
+        F.when((n1 > 0) & (n2 > 0), F.round(u1, 6)).alias("u1"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (var > 0),
+            F.round((u1 - n1 * n2 / F.lit(2.0)) / F.sqrt(var), 6),
+        ).alias("z"),
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            F.round(
+                (F.col("__w") - F.col("__l")).cast("double") / (n1 * n2), 6
+            ),
+        ).alias("cliffs_delta"),
+    )
+
+
+def mann_whitney_by_group_sql(
+    a_subquery: str, b_subquery: str, value_col: str, group_col: str
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_by_group` — group-partitioned
+    cumulative windows, identical folds and double expressions."""
+    return f"""
+    WITH pooled AS (
+        SELECT {group_col} AS g,
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y, 1 AS a, 0 AS b
+        FROM ({a_subquery})
+        WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+        UNION ALL
+        SELECT {group_col},
+               CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT),
+               0, 1
+        FROM ({b_subquery})
+        WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+    ), lv AS (
+        SELECT g, y,
+               CAST(sum(a) AS BIGINT) AS c1, CAST(sum(b) AS BIGINT) AS c2
+        FROM pooled GROUP BY g, y
+    ), lv2 AS (
+        SELECT g, c1, c2,
+               CAST(coalesce(sum(c2) OVER (PARTITION BY g ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS b2,
+               CAST(coalesce(sum(c1) OVER (PARTITION BY g ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS b1
+        FROM lv
+    ), agg AS (
+        SELECT g,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(CAST(c1 AS HUGEINT) * b2) AS HUGEINT) AS w,
+               CAST(sum(CAST(c2 AS HUGEINT) * b1) AS HUGEINT) AS l,
+               CAST(sum(CAST(c1 AS HUGEINT) * c2) AS HUGEINT) AS t,
+               CAST(sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                        - (c1 + c2)) AS HUGEINT) AS tt
+        FROM lv2 GROUP BY g
+    )
+    SELECT g AS "group", n1 AS n_a, n2 AS n_b,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(CAST(w AS DOUBLE) + CAST(t AS DOUBLE) / 2.0, 6)
+           END AS u1,
+           CASE WHEN n1 > 0 AND n2 > 0
+                     AND CAST(n1 AS DOUBLE) * n2 / 12.0
+                         * (n1 + n2 + 1.0
+                            - CAST(tt AS DOUBLE)
+                              / (CAST(n1 + n2 AS DOUBLE)
+                                 * (n1 + n2 - 1.0))) > 0
+                THEN round((CAST(w AS DOUBLE) + CAST(t AS DOUBLE) / 2.0
+                            - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                           / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                                  * (n1 + n2 + 1.0
+                                     - CAST(tt AS DOUBLE)
+                                       / (CAST(n1 + n2 AS DOUBLE)
+                                          * (n1 + n2 - 1.0)))), 6)
+           END AS z,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(CAST(w - l AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * n2), 6)
+           END AS cliffs_delta
+    FROM agg
+    """
+
+
 def wilcoxon_signed_rank(
     df: DataFrame, x_col: str, y_col: str
 ) -> DataFrame:

@@ -1442,3 +1442,55 @@ def test_brown_forsythe_constant_groups(spark):
     )
     got = brown_forsythe(df, "g", "v").collect()[0]
     assert got["f_stat"] is None  # zero within-group deviation SS
+
+
+def test_mann_whitney_by_group_equals_corpus_level_per_group(spark):
+    """Each group's row must equal mann_whitney_u run on that group's
+    two filtered frames (relabelled as the two-group framing the
+    corpus operator expects); empty-side groups yield NULL u1/z/delta;
+    NULL groups are excluded."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pytrousse_spark.operators.classifier import (
+        mann_whitney_by_group,
+        mann_whitney_u,
+    )
+
+    rng = random.Random(37)
+    rows_a, rows_b = [], []
+    for g, lo, hi in (("x", 0, 10), ("y", 3, 13), ("z", -5, 5)):
+        rows_a += [(g, round(rng.uniform(lo, hi), 2)) for _ in range(55)]
+        rows_b += [(g, round(rng.uniform(lo + 1, hi + 1), 2)) for _ in range(45)]
+    rows_a += [("x", 1.25), ("x", 1.25)]  # forced cross-frame ties
+    rows_b += [("x", 1.25)]
+    rows_a += [("only_a", 2.0), (None, 7.7)]
+    df_a = spark.createDataFrame(rows_a, "g string, value double")
+    df_b = spark.createDataFrame(rows_b, "g string, value double")
+
+    rep = {
+        r["group"]: r
+        for r in mann_whitney_by_group(df_a, df_b, "value", "g").collect()
+    }
+    assert set(rep) == {"x", "y", "z", "only_a"}
+    oa = rep["only_a"]
+    assert oa["n_b"] == 0
+    assert oa["u1"] is None and oa["z"] is None and oa["cliffs_delta"] is None
+
+    for g in ("x", "y", "z"):
+        both = (
+            df_a.where(F.col("g") == g).select(
+                F.lit("a").alias("side"), "value"
+            )
+        ).unionByName(
+            df_b.where(F.col("g") == g).select(
+                F.lit("b").alias("side"), "value"
+            )
+        )
+        want = mann_whitney_u(both, "side", "value", "a", "b").collect()[0]
+        got = rep[g]
+        assert got["n_a"] == want["n1"] and got["n_b"] == want["n2"], g
+        assert got["u1"] == want["u1"], g
+        assert got["z"] == want["z"], g
+        assert got["cliffs_delta"] == want["cliffs_delta"], g
