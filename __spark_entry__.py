@@ -9600,6 +9600,36 @@ def _sql_q316() -> str:
     )
 
 
+def q317_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kuiper test between early- and late-January purchase
+    values — the cyclic-safe KS sibling (V = D+ + D-, equal power
+    across the support; the phase/hour-of-day drift detector KS's
+    median-concentrated power misses): exact pooled cent-level frame,
+    bounded-prefix cumulatives, nano-unit Kuiper-series fold with the
+    lam<0.4 clamp (profiling.kuiper_two_sample)."""
+    from pytrousse_spark.profiling import kuiper_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    return kuiper_two_sample(
+        pur.where(F.col("ts") < "2024-01-16"),
+        pur.where(F.col("ts") >= "2024-01-16"),
+        "value",
+    )
+
+
+def _sql_q317() -> str:
+    from pytrousse_spark.profiling import kuiper_two_sample_sql
+
+    return kuiper_two_sample_sql(
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'",
+        "value",
+    )
+
+
 def q313_repeated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Siegel repeated-median robust daily trend of event value — the
     50%-breakdown upgrade of q251's Theil-Sen AND its scale fix (the
@@ -9908,6 +9938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q314_anderson_darling": q314_anderson_darling,
         "q315_energy_distance": q315_energy_distance,
         "q316_grouped_mann_whitney": q316_grouped_mann_whitney,
+        "q317_kuiper": q317_kuiper,
         "q297_mann_whitney": q297_mann_whitney,
         "q298_anova_f": q298_anova_f,
         "q299_bartlett": q299_bartlett,
@@ -10645,6 +10676,7 @@ def oracle_sql() -> dict[str, str]:
         "q314_anderson_darling": _sql_q314(),
         "q315_energy_distance": _sql_q315(),
         "q316_grouped_mann_whitney": _sql_q316(),
+        "q317_kuiper": _sql_q317(),
         "q297_mann_whitney": _sql_q297(),
         "q298_anova_f": _sql_q298(),
         "q299_bartlett": _sql_q299(),

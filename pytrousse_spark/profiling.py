@@ -1639,6 +1639,187 @@ def wasserstein_1d_by_group(
     )
 
 
+def kuiper_two_sample(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    value_col: str,
+    alpha: float = 0.05,
+) -> "DataFrame":
+    """Two-sample Kuiper test (Kuiper 1960) — the CYCLIC-safe sibling
+    of KS: V = D+ + D- (the largest gap ABOVE plus the largest gap
+    BELOW) instead of the single largest absolute gap, which makes the
+    statistic equally sensitive across the whole support (KS
+    concentrates power at the median; Kuiper catches tail shifts and
+    is invariant to cyclic shifts — the hour-of-day / phase drift
+    case).
+
+    Computational form on the exact pooled cent-level frame with
+    bounded-prefix cumulatives (the CvM/AD device — no binned grid
+    needed since no adjacency is used): D+ = max(0, max_l (F_a-F_b)),
+    D- = max(0, max_l (F_b-F_a)) — the 0 guards cover the sup over
+    the region outside the observed support. p-value from the
+    asymptotic Kuiper series (Stephens 1970, the Numerical-Recipes
+    form) Q = 2*sum_j (4 j^2 lam^2 - 1) exp(-2 j^2 lam^2) with
+    lam = (sqrt(ne) + 0.155 + 0.24/sqrt(ne)) * V, truncated at 100
+    terms via a nano-unit integer fold (identical in both engines);
+    lam < 0.4 clamps to p = 1 (Q(0.4) = 0.9999+, and the truncated
+    series diverges at 0 — the ks_two_sample convention).
+
+    Returns one row ``(n_a, n_b, v_stat, p_value, reject)`` — NULLs
+    when either sample is empty.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
+    a = df_a.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    b = df_b.where(F.col(value_col).isNotNull()).select(
+        cents.alias("__y"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    lv = (
+        a.unionByName(b)
+        .groupBy("__y")
+        .agg(
+            F.sum("__a").cast("bigint").alias("__c1"),
+            F.sum("__b").cast("bigint").alias("__c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from .operators._prefix import exclusive_prefix_sums
+
+    lv2 = exclusive_prefix_sums(lv, "__y", ("__c1", "__c2"), materialize=False)
+    tot = lv.agg(
+        F.sum("__c1").cast("bigint").alias("n_a"),
+        F.sum("__c2").cast("bigint").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("__below___c1") + F.col("__c1")).cast("double") / na
+        - (F.col("__below___c2") + F.col("__c2")).cast("double") / nb,
+    ).otherwise(F.lit(0.0))
+    agg = (
+        lv2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.greatest(F.max(d), F.lit(0.0)).alias("__dp"),
+            F.greatest(F.max(-d), F.lit(0.0)).alias("__dm"),
+        )
+    )
+    v = F.col("__dp") + F.col("__dm")
+    ne = na * nb / (na + nb)
+    lam = (
+        F.sqrt(ne) + F.lit(0.155) + F.lit(0.24) / F.sqrt(ne)
+    ) * v
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc
+        + F.round(
+            (F.lit(4.0) * (j * lam) * (j * lam) - F.lit(1.0))
+            * F.exp(F.lit(-2.0) * (j * lam) * (j * lam))
+            * F.lit(1e9),
+            0,
+        ).cast("bigint"),
+    )
+    p = F.when(lam < F.lit(0.4), F.lit(1.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.greatest(F.lit(0.0), F.lit(2.0) * series / F.lit(1e9)),
+        )
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        F.coalesce(F.col("n_a"), F.lit(0).cast("bigint")).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0).cast("bigint")).alias("n_b"),
+        F.when(both, F.round(v * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "v_stat"
+        ),
+        F.when(both, F.round(p * F.lit(1e6), 0) / F.lit(1e6)).alias(
+            "p_value"
+        ),
+        F.when(both, p < F.lit(float(alpha))).alias("reject"),
+    )
+
+
+def kuiper_two_sample_sql(
+    a_subquery: str,
+    b_subquery: str,
+    value_col: str,
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`kuiper_two_sample` — plain global
+    cumulative windows, identical series fold."""
+    return f"""
+    WITH pooled AS (
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT)
+                   AS y, 1 AS a, 0 AS b
+        FROM ({a_subquery}) WHERE {value_col} IS NOT NULL
+        UNION ALL
+        SELECT CAST(round(CAST({value_col} AS DOUBLE) * 100, 0) AS BIGINT),
+               0, 1
+        FROM ({b_subquery}) WHERE {value_col} IS NOT NULL
+    ), lv AS (
+        SELECT y, CAST(sum(a) AS BIGINT) AS c1, CAST(sum(b) AS BIGINT) AS c2
+        FROM pooled GROUP BY y
+    ), cum AS (
+        SELECT CAST(sum(c1) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc1,
+               CAST(sum(c2) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc2
+        FROM lv
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+               CAST(sum(c2) AS BIGINT) AS n_b
+        FROM lv
+    ), d AS (
+        SELECT max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+               greatest(max(CASE WHEN t.n_a > 0 AND t.n_b > 0
+                            THEN CAST(cc1 AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                                 - CAST(cc2 AS DOUBLE) / CAST(t.n_b AS DOUBLE)
+                            ELSE 0.0 END), CAST(0 AS DOUBLE)) AS dp,
+               greatest(max(CASE WHEN t.n_a > 0 AND t.n_b > 0
+                            THEN CAST(cc2 AS DOUBLE) / CAST(t.n_b AS DOUBLE)
+                                 - CAST(cc1 AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                            ELSE 0.0 END), CAST(0 AS DOUBLE)) AS dm
+        FROM cum CROSS JOIN tot t
+    ), lamb AS (
+        SELECT n_a, n_b, dp + dm AS v,
+               (sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))
+                + 0.155
+                + 0.24 / sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))
+               ) * (dp + dm) AS lam
+        FROM d WHERE n_a > 0 AND n_b > 0
+    ), ser AS (
+        SELECT n_a, n_b, v,
+               CASE WHEN lam < CAST(0.4 AS DOUBLE)
+                    THEN CAST(1 AS DOUBLE) ELSE
+               least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                   CAST(2 AS DOUBLE) * list_sum(list_transform(
+                       range(1, 101),
+                       j -> CAST(round(
+                           (CAST(4 AS DOUBLE) * (j * lam) * (j * lam)
+                            - CAST(1 AS DOUBLE))
+                           * exp(CAST(-2 AS DOUBLE) * (j * lam)
+                                 * (j * lam))
+                           * 1e9, 0) AS BIGINT)
+                   )) / 1e9)) END AS p
+        FROM lamb
+    )
+    SELECT coalesce(t.n_a, 0) AS n_a,
+           coalesce(t.n_b, 0) AS n_b,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0
+                THEN round(s.v * 1e6, 0) / 1e6 END AS v_stat,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0
+                THEN round(s.p * 1e6, 0) / 1e6 END AS p_value,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0
+                THEN s.p < CAST({alpha} AS DOUBLE) END AS reject
+    FROM tot t LEFT JOIN ser s ON TRUE
+    """
+
+
 def anderson_darling_2s(
     df_a: "DataFrame",
     df_b: "DataFrame",

@@ -965,3 +965,63 @@ def test_energy_distance_laws(spark):
 
     nullrow = run(xs, [])
     assert nullrow["energy"] is None and nullrow["t_stat"] is None
+
+
+def test_kuiper_two_sample_laws(spark):
+    """Kuiper V = D+ + D-: (1) brute-force pin of both one-sided sups
+    and the asymptotic series p; (2) symmetry kuiper(a,b) == kuiper(b,a);
+    (3) V >= KS's D on the same pair (V sums the one-sided sups);
+    (4) identical samples give V = 0 / p = 1; (5) empty side NULLs."""
+    import math
+    import random
+
+    from pytrousse_spark.profiling import kuiper_two_sample, ks_two_sample
+
+    def run(xs, ys):
+        df_a = spark.createDataFrame([(v,) for v in xs], "value double")
+        df_b = spark.createDataFrame([(v,) for v in ys], "value double")
+        return kuiper_two_sample(df_a, df_b, "value").collect()[0]
+
+    rng = random.Random(29)
+    xs = [round(rng.uniform(0, 9), 2) for _ in range(90)]
+    ys = [round(rng.uniform(1.5, 11), 2) for _ in range(70)] + xs[:6]
+
+    ca = sorted(int(round(v * 100)) for v in xs)
+    cb = sorted(int(round(v * 100)) for v in ys)
+    levels = sorted(set(ca + cb))
+    dp = dm = 0.0
+    for lvl in levels:
+        fa = sum(1 for v in ca if v <= lvl) / len(ca)
+        fb = sum(1 for v in cb if v <= lvl) / len(cb)
+        dp = max(dp, fa - fb)
+        dm = max(dm, fb - fa)
+    v = dp + dm
+    ne = len(ca) * len(cb) / (len(ca) + len(cb))
+    lam = (math.sqrt(ne) + 0.155 + 0.24 / math.sqrt(ne)) * v
+    if lam < 0.4:
+        p = 1.0
+    else:
+        s = sum(
+            round(
+                (4 * (j * lam) ** 2 - 1) * math.exp(-2 * (j * lam) ** 2) * 1e9
+            )
+            for j in range(1, 101)
+        )
+        p = min(1.0, max(0.0, 2 * s / 1e9))
+    got = run(xs, ys)
+    assert got["n_a"] == len(ca) and got["n_b"] == len(cb)
+    assert abs(got["v_stat"] - v) < 2e-6
+    assert abs(got["p_value"] - p) < 2e-6
+
+    rev = run(ys, xs)
+    assert rev["v_stat"] == got["v_stat"] and rev["p_value"] == got["p_value"]
+
+    df_a = spark.createDataFrame([(x,) for x in xs], "value double")
+    df_b = spark.createDataFrame([(y,) for y in ys], "value double")
+    ks = ks_two_sample(df_a, df_b, "value").collect()[0]
+    assert got["v_stat"] >= ks["d_stat"] - 1e-9
+
+    same = run(xs, xs)
+    assert same["v_stat"] == 0.0 and same["p_value"] == 1.0
+    nullrow = run(xs, [])
+    assert nullrow["v_stat"] is None and nullrow["reject"] is None
