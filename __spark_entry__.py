@@ -9471,13 +9471,14 @@ def _sql_q310() -> str:
 
 def q311_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group drift REPORT (the r11 backlog's mixture-rebalancing
-    table): all four distribution distances — KS sup-gap, Cramér-von
-    Mises squared-gap mass, tail-weighted Anderson-Darling, exact
-    Wasserstein-1 area — between early- and late-January event values,
-    PER event type, in one plan sharing one pooled (group, cent-level)
-    frame, one GROUPED bounded-prefix pass and one grouped
-    bounded-lead pass (operators/_prefix.py with group_cols threaded
-    through every tier; profiling.drift_by_group)."""
+    table): all six distribution distances — KS sup-gap, Kuiper
+    V = D+ + D-, Cramér-von Mises squared-gap mass, tail-weighted
+    Anderson-Darling, exact Wasserstein-1 area, energy distance —
+    between early- and late-January event values, PER event type, in
+    one plan sharing one pooled (group, cent-level) frame, one
+    GROUPED bounded-prefix pass and one grouped bounded-lead pass
+    (operators/_prefix.py with group_cols threaded through every
+    tier; profiling.drift_by_group)."""
     from pytrousse_spark.profiling import drift_by_group
 
     ev = _t(spark, sf_dir, "events")

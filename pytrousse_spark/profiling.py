@@ -2001,30 +2001,33 @@ def drift_by_group(
     value_col: str,
     group_col: str,
 ) -> "DataFrame":
-    """Per-group drift REPORT — all four distribution distances (KS
-    sup-gap, Cramér-von Mises squared-gap mass, tail-weighted
-    Anderson-Darling, exact Wasserstein-1 area) for every
-    ``group_col`` value in ONE Spark plan sharing one pooled
-    (group, cent-level) frame, one grouped bounded-prefix pass,
-    and one grouped bounded-lead pass: the mixture-rebalancing view
-    ("which sources drifted, and how — a spike, body-wide, in the
-    tails, or by distance in value units") that the corpus-level
-    operators (:func:`ks_two_sample`, :func:`cramer_von_mises`,
-    :func:`anderson_darling_2s`, :func:`wasserstein_1d`) answer only
-    for the whole corpus.
+    """Per-group drift REPORT — all six distribution distances (KS
+    sup-gap, Kuiper V = D+ + D-, Cramér-von Mises squared-gap mass,
+    tail-weighted Anderson-Darling, exact Wasserstein-1 area, energy
+    distance 2∫(F_a-F_b)²dx) for every ``group_col`` value in ONE
+    Spark plan sharing one pooled (group, cent-level) frame, one
+    grouped bounded-prefix pass, and one grouped bounded-lead pass:
+    the mixture-rebalancing view ("which sources drifted, and how — a
+    spike, a phase shift, body-wide, in the tails, or by distance in
+    value units") that the corpus-level operators
+    (:func:`ks_two_sample`, :func:`kuiper_two_sample`,
+    :func:`cramer_von_mises`, :func:`anderson_darling_2s`,
+    :func:`wasserstein_1d`, :func:`energy_distance`) answer only for
+    the whole corpus.
 
     Exactness follows the corpus-level operators: cumulative counts
-    are exact BIGINTs off the grouped hierarchy; the CvM/AD/W1
+    are exact BIGINTs off the grouped hierarchy; the CvM/AD/W1/energy
     per-level terms round once into DECIMAL(38) order-free folds
-    (pico-, pico- and micro-unit respectively; AD carries mid-rank
-    halves as doubled exact integers); KS takes the plain max of
-    |F_a - F_b| over levels (identical IEEE doubles in both engines)
-    rounded to 1e-6.
+    (pico-, pico-, micro- and micro-unit respectively; AD carries
+    mid-rank halves as doubled exact integers); KS/Kuiper take plain
+    maxes of signed ECDF gaps over levels (identical IEEE doubles in
+    both engines) rounded to 1e-6.
 
     Returns one row per non-NULL group present in EITHER side:
-    ``(group, n_a, n_b, ks_d, cvm_t, ad_a2, w1)`` — all four
-    distances NULL when that group is empty on either side (AD
-    additionally NULL when the group's pooled frame is one level).
+    ``(group, n_a, n_b, ks_d, kuiper_v, cvm_t, ad_a2, w1, energy)`` —
+    all six distances NULL when that group is empty on either side
+    (AD additionally NULL when the group's pooled frame is one
+    level).
     """
     cents = F.round(F.col(value_col).cast("double") * 100, 0).cast("bigint")
     a = (
@@ -2121,14 +2124,19 @@ def drift_by_group(
         * F.lit(1e12),
         0,
     ).cast("decimal(38,0)")
-    # one agg computes all four folds per group; the W1 term gates on
-    # gap existence INSIDE the sum (each group's max level has no
-    # successor), so no second pass over the frame
+    eterm6 = F.round(
+        F.lit(2.0) * d * d * gap * F.lit(1e6), 0
+    ).cast("decimal(38,0)")
+    # one agg computes all six folds per group; the W1/energy terms
+    # gate on gap existence INSIDE the sum (each group's max level has
+    # no successor), so no second pass over the frame
     folds = (
         lv2.join(tot, "__g")
         .groupBy("__g")
         .agg(
             F.max(F.abs(d)).alias("__ks"),
+            F.greatest(F.max(d), F.lit(0.0)).alias("__dp"),
+            F.greatest(F.max(-d), F.lit(0.0)).alias("__dm"),
             F.sum(term12).cast("decimal(38,0)").alias("__t12"),
             F.max(F.when(aden > 0, F.lit(1)).otherwise(F.lit(0))).alias(
                 "__anyden"
@@ -2137,6 +2145,9 @@ def drift_by_group(
             F.sum(
                 F.when(F.col("__next").isNotNull(), term6)
             ).cast("decimal(38,0)").alias("__w6"),
+            F.sum(
+                F.when(F.col("__next").isNotNull(), eterm6)
+            ).cast("decimal(38,0)").alias("__e6"),
         )
     )
     both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
@@ -2155,6 +2166,12 @@ def drift_by_group(
         F.when(
             both, F.round(F.col("__ks") * F.lit(1e6), 0) / F.lit(1e6)
         ).alias("ks_d"),
+        F.when(
+            both,
+            F.round(
+                (F.col("__dp") + F.col("__dm")) * F.lit(1e6), 0
+            ) / F.lit(1e6),
+        ).alias("kuiper_v"),
         F.when(both, F.round(t, 6)).alias("cvm_t"),
         F.when(both & (F.col("__anyden") == 1), F.round(a2, 6)).alias(
             "ad_a2"
@@ -2167,6 +2184,14 @@ def drift_by_group(
                 6,
             ),
         ).alias("w1"),
+        F.when(
+            both,
+            F.round(
+                F.coalesce(F.col("__e6").cast("double"), F.lit(0.0))
+                / F.lit(1e8),
+                6,
+            ),
+        ).alias("energy"),
     )
 
 
@@ -2227,6 +2252,8 @@ def drift_by_group_sql(
     ), agg AS (
         SELECT g,
                max(abs(d)) AS ks,
+               greatest(max(d), CAST(0 AS DOUBLE)) AS dp,
+               greatest(max(-d), CAST(0 AS DOUBLE)) AS dm,
                CAST(sum(CAST(round(t * d * d * 1e12,
                                    0) AS HUGEINT)) AS HUGEINT) AS t12,
                max(CASE WHEN d2 * (2.0 * nn - d2) - nn * t > 0
@@ -2240,12 +2267,19 @@ def drift_by_group_sql(
                CAST(sum(CASE WHEN nxt IS NOT NULL
                         THEN CAST(round(abs(d) * CAST(nxt - y AS DOUBLE)
                                         * 1e6, 0) AS HUGEINT) END)
-                    AS HUGEINT) AS w6
+                    AS HUGEINT) AS w6,
+               CAST(sum(CASE WHEN nxt IS NOT NULL
+                        THEN CAST(round(2.0 * d * d
+                                        * CAST(nxt - y AS DOUBLE)
+                                        * 1e6, 0) AS HUGEINT) END)
+                    AS HUGEINT) AS e6
         FROM terms GROUP BY g
     )
     SELECT tot.g AS "group", tot.n_a, tot.n_b,
            CASE WHEN tot.n_a > 0 AND tot.n_b > 0
                 THEN round(ks * 1e6, 0) / 1e6 END AS ks_d,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN round((dp + dm) * 1e6, 0) / 1e6 END AS kuiper_v,
            CASE WHEN tot.n_a > 0 AND tot.n_b > 0
                 THEN round(CAST(tot.n_a AS DOUBLE) * tot.n_b
                            / (CAST(tot.n_a + tot.n_b AS DOUBLE)
@@ -2257,7 +2291,10 @@ def drift_by_group_sql(
                            * CAST(a12 AS DOUBLE) / 1e12, 6) END AS ad_a2,
            CASE WHEN tot.n_a > 0 AND tot.n_b > 0
                 THEN round(coalesce(CAST(w6 AS DOUBLE), 0.0) / 1e8, 6)
-           END AS w1
+           END AS w1,
+           CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+                THEN round(coalesce(CAST(e6 AS DOUBLE), 0.0) / 1e8, 6)
+           END AS energy
     FROM tot LEFT JOIN agg ON tot.g = agg.g
     """
 

@@ -782,7 +782,9 @@ def test_drift_by_group_matches_corpus_level_per_group(spark):
         anderson_darling_2s,
         cramer_von_mises,
         drift_by_group,
+        energy_distance,
         ks_two_sample,
+        kuiper_two_sample,
         wasserstein_1d,
         wasserstein_1d_by_group,
     )
@@ -801,9 +803,11 @@ def test_drift_by_group_matches_corpus_level_per_group(spark):
     assert set(rep) == {"x", "y", "z", "only_a"}
     assert rep["only_a"]["n_b"] == 0
     assert rep["only_a"]["ks_d"] is None
+    assert rep["only_a"]["kuiper_v"] is None
     assert rep["only_a"]["cvm_t"] is None
     assert rep["only_a"]["ad_a2"] is None
     assert rep["only_a"]["w1"] is None
+    assert rep["only_a"]["energy"] is None
 
     gw = {
         r["group"]: r
@@ -813,14 +817,18 @@ def test_drift_by_group_matches_corpus_level_per_group(spark):
         fa = df_a.where(F.col("g") == g)
         fb = df_b.where(F.col("g") == g)
         ks = ks_two_sample(fa, fb, "value").collect()[0]
+        kp = kuiper_two_sample(fa, fb, "value").collect()[0]
         cvm = cramer_von_mises(fa, fb, "value").collect()[0]
         ad = anderson_darling_2s(fa, fb, "value").collect()[0]
         w1 = wasserstein_1d(fa, fb, "value").collect()[0]
+        en = energy_distance(fa, fb, "value").collect()[0]
         assert rep[g]["n_a"] == ks["n_a"] and rep[g]["n_b"] == ks["n_b"]
         assert rep[g]["ks_d"] == ks["d_stat"], g
+        assert rep[g]["kuiper_v"] == kp["v_stat"], g
         assert rep[g]["cvm_t"] == cvm["t_stat"], g
         assert rep[g]["ad_a2"] == ad["a2"], g
         assert rep[g]["w1"] == w1["w1"], g
+        assert rep[g]["energy"] == en["energy"], g
         assert gw[g]["w1"] == w1["w1"], g
 
 
