@@ -1836,11 +1836,16 @@ def q99_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     keys = d.select(F.explode(word_shingles(F.col("text"), 3)).alias("k"))
-    regs = hll_registers(keys, "k", p=12)
+    # the registers' per-bucket MAX rank is dedup-invariant, so both the
+    # sketch and the exact count can read ONE materialized distinct pass
+    # instead of two full explode+shingle scans (r12: the registers scan
+    # and the distinct scan each re-tokenized the corpus)
+    dk = keys.distinct().localCheckpoint(eager=False)
+    regs = hll_registers(dk, "k", p=12)
     est = hll_estimate_row(
         [(r["bucket"], r["r"]) for r in regs.collect()], p=12
     )
-    exact = keys.distinct().count()
+    exact = dk.count()
     rel = round(abs(est["estimate"] - exact) / exact, 4)
     return spark.createDataFrame(
         [(est["estimate"], est["zero_registers"], exact, rel)],
@@ -2536,8 +2541,14 @@ def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to an iterative graph algorithm."""
     from pytrousse_spark.operators.graph import pagerank
 
+    from pytrousse_spark.io import rebalance_undersplit
+
     o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
+    # spread the 600k-row join probe (single-row-group bench input —
+    # no-op at real scale); checkpoint the distinct pair frame so the
+    # two union directions read it once instead of re-running the
+    # join+distinct per branch
+    l = rebalance_undersplit(_t(spark, sf_dir, "lineitem"))
     pairs = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .select(
@@ -2545,6 +2556,7 @@ def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -8615,8 +8627,12 @@ def q287_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (operators/graph.hits)."""
     from pytrousse_spark.operators.graph import hits
 
+    from pytrousse_spark.io import rebalance_undersplit
+
     o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
+    # spread the 600k-row join probe (single-row-group bench input — a
+    # no-op at real scale)
+    l = rebalance_undersplit(_t(spark, sf_dir, "lineitem"))
     edges = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .select(

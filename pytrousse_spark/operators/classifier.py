@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_half_away
 from ..functions.text import LANG_STOPWORDS, tokens, tokens_sql
+from ..io import rebalance_undersplit
 
 #: feature scaling constants (shared by both engines).
 _LEN_DIV = 100.0
@@ -146,9 +147,12 @@ def logreg_quality_gate(
 ) -> DataFrame:
     """One-row result: trained weights + confusion counts + accuracy,
     everything derived inside the engine (weights re-enter as literals)."""
-    feat = quality_features(df, text_col, label_col).localCheckpoint(
-        eager=False
-    )
+    # rebalance BEFORE the feature projection: the tokenize/regexp work
+    # happens during the checkpoint materialization, and a single-row-
+    # group input would run it all on one core (no-op at real scale)
+    feat = quality_features(
+        rebalance_undersplit(df), text_col, label_col
+    ).localCheckpoint(eager=False)
     w = logreg_train(feat, iters=iters, lr=lr)
     p = _sigma(w)
     pred = (p >= 0.5).cast("long")
@@ -1399,10 +1403,12 @@ def naive_bayes_confusion(
     a = int(alpha)
     if a < 1:
         raise ValueError("naive_bayes_confusion: alpha must be >= 1")
-    nn = df.where(
-        F.col(text_col).isNotNull()
-        & F.col(label_col).isNotNull()
-        & F.col(id_col).isNotNull()
+    nn = rebalance_undersplit(
+        df.where(
+            F.col(text_col).isNotNull()
+            & F.col(label_col).isNotNull()
+            & F.col(id_col).isNotNull()
+        )
     )
     staged = nn.select(
         F.col(id_col).alias("__id"),
@@ -1413,16 +1419,22 @@ def naive_bayes_confusion(
         "__id", "__y", F.explode("__toks").alias("__tok")
     )
     # -- model ---------------------------------------------------------
+    # ONE tokenize+explode pass builds the sparse (class, token) model
+    # frame; checkpoint it (model-sized, bounded by observed pairs) and
+    # derive the per-class totals and vocabulary FROM it — the r12 plan
+    # audit measured cls/vocab as two further full tokenize passes of
+    # the corpus (identical values: per-class token mass is the sum of
+    # its pair counts; V is the distinct token count of the pair frame)
     pair = doc_tok.groupBy("__y", "__tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("__nct")
-    )
-    cls = doc_tok.groupBy("__y").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__nc")
+    ).localCheckpoint(eager=False)
+    cls = pair.groupBy("__y").agg(
+        F.sum("__nct").cast("bigint").alias("__nc")
     )
     priors = staged.groupBy("__y").agg(
         F.count(F.lit(1)).cast("bigint").alias("__docs")
     )
-    vocab = doc_tok.agg(
+    vocab = pair.agg(
         F.count_distinct(F.col("__tok")).cast("bigint").alias("__v"),
     )
     tot = staged.agg(
@@ -1456,7 +1468,7 @@ def naive_bayes_confusion(
             .cast("bigint")
             .alias("__w0_nano"),
         )
-    )
+    ).localCheckpoint(eager=False)
     pair_w = (
         pair.join(F.broadcast(classes.select("__y", "__nc", "__w0_nano")), "__y")
         .crossJoin(F.broadcast(vocab))

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h60, h60_sql
 from ..functions.rounding import round_half_away
 from ..functions.vectors import cosine, cosine_sql
+from ..io import rebalance_undersplit
 
 
 # ---------------------------------------------------------------------------
@@ -112,7 +113,10 @@ def kmeans_fit(
     (k lists of rounded doubles).  A cluster that captures no rows keeps
     its previous centroid (classic empty-cell rule, mirrored in the SQL
     twin via a left join back to the prior centroids)."""
-    src = df.where(F.col(vec_col).isNotNull())
+    # the k x d assignment fold re-runs over the source every Lloyd
+    # iteration; a single-row-group bench input serializes it on one
+    # core (no-op at real scale)
+    src = rebalance_undersplit(df.where(F.col(vec_col).isNotNull()))
     cents = _init_centroids(src, id_col, vec_col, k)
     for _ in range(iters):
         assigned = src.select(
@@ -443,7 +447,7 @@ def cluster_quality(
         for i, c in enumerate(cents)
     ]
     arr = F.array_sort(F.array(*structs))
-    pts = df.where(F.col(vec_col).isNotNull()).select(
+    pts = rebalance_undersplit(df.where(F.col(vec_col).isNotNull())).select(
         arr[0]["cidx"].alias("cluster"),
         F.sqrt(arr[0]["d"]).alias("__a"),
         F.sqrt(arr[1]["d"]).alias("__b"),
@@ -460,11 +464,14 @@ def cluster_quality(
         .cast("bigint")
         .alias("__am"),
     )
+    # the k-row frame feeds the sj broadcast, the rij main side and the
+    # final join — checkpoint it so the full-corpus distance pass runs
+    # once, not once per consumer
     per = staged.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("__sm").cast("bigint").alias("__ssm"),
         F.sum("__am").cast("bigint").alias("__sam"),
-    )
+    ).localCheckpoint(eager=False)
     # centroid-pair distances computed IN-ENGINE with the same
     # _sqdist fold the per-point distances use (proven fold-equal to
     # the twin's list_sum by the q78 gate), then the knife-edge-safe

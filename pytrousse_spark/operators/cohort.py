@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60, h60_sql
+from ..io import rebalance_undersplit
 
 from pytrousse_spark.functions.sqlutil import sql_quote
 
@@ -2217,10 +2218,19 @@ def rfm_segments(
             F.lit(1).alias("__one"),
         )
     )
+    # each rank pass embeds its input in TWO broadcast subtrees (stats,
+    # CDF) plus the fact side; chaining three passes on unmaterialized
+    # lineage compounds to ~3^3 re-executions of the user agg (the r12
+    # plan audit measured 400 source scans in the q195 plan). Checkpoint
+    # the per-user frame and each pass's output — always the reduced
+    # per-purchaser frame, never the event table.
+    metrics = metrics.localCheckpoint(eager=False)
     r1 = percent_rank_transform_approx(
         metrics, "__one", "recency_days", "__rr", num_bins
-    )
-    r2 = percent_rank_transform_approx(r1, "__one", "freq", "__fr", num_bins)
+    ).localCheckpoint(eager=False)
+    r2 = percent_rank_transform_approx(
+        r1, "__one", "freq", "__fr", num_bins
+    ).localCheckpoint(eager=False)
     r3 = percent_rank_transform_approx(r2, "__one", "mon", "__mr", num_bins)
 
     def q(c: str):
@@ -3176,8 +3186,11 @@ def ipw_ate(
             & F.col("x2").isNotNull()
             & F.col("__oc").isNotNull()
         )
-        .localCheckpoint(eager=False)
     )
+    # the single-row-group bench inputs land the whole staged frame in
+    # ONE scan partition, serializing every iterative training aggregate
+    # on one core; spread it before checkpointing (no-op at real scale)
+    feat = rebalance_undersplit(feat).localCheckpoint(eager=False)
     w = logreg_train(feat, iters=iters, lr=lr)
     z = (
         F.lit(w[0])
@@ -3439,8 +3452,11 @@ def propensity_matching(
             & F.col("x2").isNotNull()
             & F.col("__oc").isNotNull()
         )
-        .localCheckpoint(eager=False)
     )
+    # the single-row-group bench inputs land the whole staged frame in
+    # ONE scan partition, serializing every iterative training aggregate
+    # on one core; spread it before checkpointing (no-op at real scale)
+    feat = rebalance_undersplit(feat).localCheckpoint(eager=False)
     w = logreg_train(feat, iters=iters, lr=lr)
     z = (
         F.lit(w[0])
@@ -3810,8 +3826,11 @@ def aipw_ate(
             & F.col("x2").isNotNull()
             & F.col("__oc").isNotNull()
         )
-        .localCheckpoint(eager=False)
     )
+    # the single-row-group bench inputs land the whole staged frame in
+    # ONE scan partition, serializing every iterative training aggregate
+    # on one core; spread it before checkpointing (no-op at real scale)
+    feat = rebalance_undersplit(feat).localCheckpoint(eager=False)
     w = logreg_train(feat, iters=iters, lr=lr)
 
     # features enter the OLS folds as EXACT micro-unit integers (a

@@ -58,6 +58,13 @@ def fs_link_pairs(
     no shuffle beyond the join, no UDFs. Skewed blocks are ordinary
     join skew (salt or AQE as usual).
     """
+    from ..io import rebalance_undersplit
+
+    # when the planner broadcasts the right side, the pair expansion
+    # (x block-mates per probe row) runs on the PROBE side's scan
+    # partitioning — a single-row-group bench input serializes the
+    # whole candidate-pair score pass on one core (no-op at real scale)
+    left = rebalance_undersplit(left)
     if not compares:
         raise ValueError("fs_link_pairs: compares must be non-empty")
     if lower > upper:

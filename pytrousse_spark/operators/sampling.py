@@ -1130,10 +1130,16 @@ def group_jackknife(
     staged = df.where(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("grp"), vm.alias("__vm"))
+    # the G-row frame feeds FOUR chained broadcast-scalar subtrees (tot,
+    # mean_loo, var, final) — without a checkpoint each broadcast
+    # re-executes the full data-sized agg (measured r12: 16 source scans
+    # in the q283 plan, the staged quality_score expression 16x). Lazy
+    # localCheckpoint makes the data pass a one-scan guarantee; the
+    # checkpointed frame is G rows, never the raw data.
     per_g = staged.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         F.sum("__vm").cast("bigint").alias("__s"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per_g.agg(
         F.sum("__n").cast("bigint").alias("__nt"),
         F.sum("__s").cast("bigint").alias("__st"),

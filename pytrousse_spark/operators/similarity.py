@@ -1137,12 +1137,15 @@ def embedding_mmd_poly2(
     """
 
     def moments(df: DataFrame, tag: str):
-        ex = df.where(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("__id"),
-            F.posexplode(vec_col).alias("__p", "__x"),
-        )
-        ex = ex.select(
-            "__id",
+        from ..io import rebalance_undersplit
+
+        # the d^2 expansion below multiplies per-row work by the squared
+        # embedding width; a single-row-group bench input would run it
+        # all on one core (no-op at real scale)
+        nn = rebalance_undersplit(df.where(F.col(vec_col).isNotNull()))
+        ex = nn.select(
+            F.posexplode(vec_col).alias("__p", "__x")
+        ).select(
             "__p",
             F.col("__x").cast("double").alias("__x"),
         )
@@ -1151,23 +1154,44 @@ def embedding_mmd_poly2(
                 F.round(F.col("__x") * F.lit(1e6), 0).cast("bigint")
             ).cast("bigint").alias(f"__s_{tag}"),
             F.count(F.lit(1)).cast("bigint").alias(f"__n_{tag}"),
+        ).localCheckpoint(eager=False)
+        # second moments WITHOUT the (id-keyed self-join -> n*d-row
+        # shuffle -> n*d^2 join output -> second shuffle) the r12 plan
+        # audit measured: the outer product is ROW-LOCAL, so a chain of
+        # two codegen'd posexplode generators (each element row carries
+        # the original array) yields the same (p, q, x*y) cells with NO
+        # shuffle before the d^2-cell hash agg — map-side combine bounds
+        # the only exchange at d^2 x tasks. Upper triangle only: M is
+        # symmetric and the per-cell pico-rounded integers identical, so
+        # the (p,q)/(q,p) sums are the same exact value (the cov fold
+        # reweights). Same per-pair rounding, same DECIMAL(38,0)
+        # order-free sum — bit-identical cells.
+        e1 = nn.select(
+            F.col(vec_col).alias("__v"),
+            F.posexplode(vec_col).alias("__p", "__x"),
         )
-        right = ex.select(
-            F.col("__id").alias("__id2"),
-            F.col("__p").alias("__q"),
-            F.col("__x").alias("__y"),
-        )
-        seconds = (
-            ex.join(right, F.col("__id") == F.col("__id2"))
+        cells = (
+            e1.select(
+                "__p",
+                F.col("__x").cast("double").alias("__x"),
+                F.posexplode("__v").alias("__q", "__y"),
+            )
+            .where(F.col("__q") >= F.col("__p"))
             .select(
                 "__p",
                 "__q",
-                F.round(F.col("__x") * F.col("__y") * F.lit(1e12), 0)
+                F.round(
+                    F.col("__x") * F.col("__y").cast("double") * F.lit(1e12),
+                    0,
+                )
                 .cast("decimal(38,0)")
                 .alias("__xy"),
             )
-            .groupBy("__p", "__q")
+        )
+        seconds = (
+            cells.groupBy("__p", "__q")
             .agg(F.sum("__xy").cast("decimal(38,0)").alias(f"__m_{tag}"))
+            .localCheckpoint(eager=False)
         )
         return firsts, seconds
 
@@ -1197,18 +1221,27 @@ def embedding_mmd_poly2(
             F.max("__nc").alias("n_cur"),
         )
     )
+    # the moment frames hold the upper triangle only; each off-diagonal
+    # pico-rounded term appears in the full d^2 fold exactly twice with
+    # the identical integer value, so weighting AFTER the rounding is
+    # the same exact sum
     cov = (
         sr.join(sc, ["__p", "__q"])
         .crossJoin(F.broadcast(mu.select("n_ref", "n_cur")))
         .select(
-            pico(
-                (
-                    F.col("__m_r").cast("double")
-                    / (F.col("n_ref").cast("double") * F.lit(1e12))
-                    - F.col("__m_c").cast("double")
-                    / (F.col("n_cur").cast("double") * F.lit(1e12))
+            (
+                pico(
+                    (
+                        F.col("__m_r").cast("double")
+                        / (F.col("n_ref").cast("double") * F.lit(1e12))
+                        - F.col("__m_c").cast("double")
+                        / (F.col("n_cur").cast("double") * F.lit(1e12))
+                    )
+                    ** F.lit(2)
                 )
-                ** F.lit(2)
+                * F.when(F.col("__p") == F.col("__q"), F.lit(1)).otherwise(
+                    F.lit(2)
+                )
             ).alias("__f2")
         )
         .agg(F.sum("__f2").cast("bigint").alias("__fro2"))

@@ -3428,9 +3428,14 @@ def spearman_approx(
         F.col(y_col).alias("__vy"),
         F.lit(1).alias("__grp"),
     )
+    # chaining two rank passes on unmaterialized lineage compounds each
+    # pass's two broadcast subtrees into ~9 re-executions of the source
+    # scan (r12 plan audit: 50 scans); checkpoint the staged projection
+    # and the first pass's output so the fact scan runs once
+    base = base.localCheckpoint(eager=False)
     rx = percent_rank_transform_approx(
         base, "__grp", "__vx", out_col="__rx", num_bins=num_bins
-    )
+    ).localCheckpoint(eager=False)
     rxy = percent_rank_transform_approx(
         rx, "__grp", "__vy", out_col="__ry", num_bins=num_bins
     )
