@@ -13,6 +13,43 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _dlit(v: float) -> str:
+    """SQL text of one double literal, bit-exact: ``repr(float)`` is the
+    shortest round-tripping decimal and both Python's and the JVM's
+    string→double parses are correctly rounded, so the parsed literal is
+    the identical IEEE double."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v in (float("inf"), float("-inf")):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return repr(v) + "D"
+
+
+def lit_doubles(vals) -> Column:
+    """``array<double>`` literal built in ONE py4j call via SQL text.
+
+    The per-element ``F.array(*[F.lit(x) ...])`` form costs two JVM
+    round-trips per element — ~0.6 s of driver time per 1k-element
+    codebook/centroid matrix, re-paid on every expression build (guide
+    §1: measured 6.2 s of py4j socket time in one IVF-PQ plan build).
+    Parses to the same CreateArray(Literal...) tree (``sameSemantics``
+    with the per-element form; pinned in tests/test_vectors.py)."""
+    return F.expr("array(" + ",".join(_dlit(v) for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """``array<array<double>>`` literal in ONE py4j call (see
+    :func:`lit_doubles`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(v) for v in row) + ")" for row in rows
+        )
+        + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]·b[i] in double precision, index order."""
     return F.aggregate(

@@ -21,13 +21,16 @@ with ``sameSemantics`` raising on every hit. All mutations hold a
 ``threading.Lock`` so multi-threaded drivers can't corrupt the
 OrderedDict mid-resize.
 
-SAFETY: every cached value is a ROUTING density statistic, never a
-query result — the routed physical forms are bit-identical by
-contract (the percent_rank/attribution/rolling-window router
-convention), so a stale hit (file overwritten under an identical
-plan) can only pick the *other equally-correct* plan, never a wrong
-answer. That is exactly the trade a hint parameter makes explicit;
-``clear()`` exists for tests and long-lived drivers.
+SAFETY: cached values are either ROUTING density statistics (a stale
+hit can only pick the *other equally-correct* bit-identical physical
+form — the percent_rank/attribution/rolling-window router
+convention) or DETERMINISTIC-TRAINING artifacts (``kmeans_fit``
+centroids — a pure function of the input frame's content, the
+``__spark_entry__._pq_books`` trained-artifact discipline with
+stricter keying). Either way a hit requires the same application AND
+a ``sameSemantics`` plan, i.e. the same data under the per-session
+table-cache invariant; ``clear()`` exists for tests and long-lived
+drivers.
 """
 
 from __future__ import annotations

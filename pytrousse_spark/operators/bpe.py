@@ -113,14 +113,15 @@ def bpe_train(
             ).alias("__p"),
             "__f",
         )
-        best = (
+        from ._collect import bounded_collect
+
+        best = bounded_collect(
             pairs.groupBy(
                 F.col("__p.lhs").alias("lhs"), F.col("__p.rhs").alias("rhs")
             )
             .agg(F.sum("__f").cast("bigint").alias("cnt"))
             .orderBy(F.desc("cnt"), "lhs", "rhs")
             .limit(1)
-            .collect()
         )
         if not best:  # corpus with no multi-char words at all
             break

@@ -115,11 +115,13 @@ def logreg_train(
     contributions are rounded micro-units (exact integer sums), then the
     driver-side update rounds weights to 6 half-away — the identical
     arithmetic the SQL twin's CTE chain performs."""
+    from ._collect import bounded_first
+
     w = [0.0, 0.0, 0.0, 0.0]
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
     for _ in range(iters):
         p = _sigma(w)
-        row = feat.agg(
+        row = bounded_first(feat.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             *[
                 F.sum(_micro(F.round((p - F.col("y")) * xs[j], 6)))
@@ -127,7 +129,7 @@ def logreg_train(
                 .alias(f"g{j}")
                 for j in range(4)
             ],
-        ).first()
+        ))
         n = row["n"]
         w = [
             round_half_away(

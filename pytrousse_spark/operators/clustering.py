@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h60, h60_sql
 from ..functions.rounding import round_half_away
-from ..functions.vectors import cosine, cosine_sql
+from ..functions.vectors import cosine, cosine_sql, lit_doubles
 from ..io import rebalance_undersplit
 
 
@@ -45,7 +45,7 @@ from ..io import rebalance_undersplit
 # ---------------------------------------------------------------------------
 def _sqdist(vec_col: str, cent: list[float]) -> Column:
     """Σ (v[i] − c[i])² in double precision, index order, vs a literal."""
-    lit = F.array(*[F.lit(float(x)) for x in cent])
+    lit = lit_doubles(cent)
     return F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -88,7 +88,9 @@ def _init_centroids(
     """Deterministic seed: the k rows with smallest (h60(id), id) — both
     engines recompute the same pick; components rounded like every later
     iteration so iteration 1 sees identical literals."""
-    rows = (
+    from ._collect import bounded_collect
+
+    rows = bounded_collect(
         df.where(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
@@ -97,7 +99,6 @@ def _init_centroids(
         )
         .orderBy("h", "id")
         .limit(k)
-        .collect()
     )
     return [[round_half_away(float(x), 6) for x in r["v"]] for r in rows]
 
@@ -112,7 +113,36 @@ def kmeans_fit(
     """Run ``iters`` Lloyd iterations; return the final centroid matrix
     (k lists of rounded doubles).  A cluster that captures no rows keeps
     its previous centroid (classic empty-cell rule, mirrored in the SQL
-    twin via a left join back to the prior centroids)."""
+    twin via a left join back to the prior centroids).
+
+    The trained matrix is memoized per (application, semantic input
+    plan, id/vec/k/iters) — the ``__spark_entry__._pq_books``
+    trained-artifact discipline with stricter keying
+    (``semanticHash`` + ``sameSemantics``, see ``_probe``): training is
+    a pure deterministic function of the input frame, so consumers of
+    the same fit (the kmeans readout, cluster quality, cluster-cap,
+    SemDeDup) share one ~(2·iters+1)-job training chain per session
+    instead of re-running it each. Within one application a
+    semantically identical plan reads identical data — the same
+    invariant the per-session table cache already relies on.
+    """
+    from ._probe import cached_probe
+
+    return cached_probe(
+        "kmeans_cents",
+        (df,),
+        (id_col, vec_col, k, iters),
+        lambda: _kmeans_fit_uncached(df, id_col, vec_col, k, iters),
+    )
+
+
+def _kmeans_fit_uncached(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+) -> list[list[float]]:
     # the k x d assignment fold re-runs over the source every Lloyd
     # iteration; a single-row-group bench input serializes it on one
     # core (no-op at real scale)
@@ -124,11 +154,12 @@ def kmeans_fit(
             F.col(vec_col).alias("v"),
         )
         # update: hash-agg partials shuffle only (cluster, pos) pairs
-        rows = (
+        from ._collect import bounded_collect
+
+        rows = bounded_collect(
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}
         for r in rows:

@@ -23,6 +23,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.vectors import lit_doubles
+
 
 def _sign(salt: str, j: int, i: int) -> int:
     """±1 from the portable h60 parity (same 60-bit md5 truncation as
@@ -40,7 +42,7 @@ def rp_signs(in_dim: int, out_dim: int, salt: str = "rp") -> list[list[int]]:
 
 def _fold(vec: Column, signs: list[int]) -> Column:
     """Σ signs[i]·vec[i] as an index-ordered double fold (JVM-side)."""
-    s = F.array(*[F.lit(float(x)) for x in signs])
+    s = lit_doubles(signs)
     return F.aggregate(
         F.zip_with(vec, s, lambda x, y: x.cast("double") * y),
         F.lit(0.0),

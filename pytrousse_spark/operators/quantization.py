@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.rounding import round_half_away
+from ..functions.vectors import lit_double_matrix, lit_doubles
 
 #: refuse to collect more query vectors than this for LUT precompute
 MAX_QUERY_COLLECT = 10_000
@@ -78,7 +79,7 @@ def pq_codebooks(
 def _sub_dist2(sub_vec: Column, cv: list[float]) -> Column:
     """Squared L2 distance, left-to-right double fold, (x-y)*(x-y) form
     (same IEEE ops as the DuckDB twin)."""
-    lit = F.array(*[F.lit(x) for x in cv])
+    lit = lit_doubles(cv)
     return F.aggregate(
         F.zip_with(
             sub_vec,
@@ -102,7 +103,7 @@ def _nearest_code(sub_col: Column, book: list[tuple[int, list[float]]]) -> Colum
     ``sub_col`` must be a STAGED column reference (HOF lambdas re-evaluate
     embedded expressions per element).
     """
-    cb_lit = F.array(*[F.array(*[F.lit(x) for x in cv]) for _, cv in book])
+    cb_lit = lit_double_matrix([cv for _, cv in book])
 
     def entry(cv: Column, i: Column) -> Column:
         d2 = F.aggregate(
@@ -171,7 +172,9 @@ def pq_codebooks_kmeans(
     # init: ONE collect serves all subspaces (the same k hash-min rows,
     # sliced driver-side), rounded like every later iteration — identical
     # to clustering._init_centroids run per sliced frame
-    seed_rows = (
+    from ._collect import bounded_collect
+
+    seed_rows = bounded_collect(
         src.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
@@ -179,7 +182,6 @@ def pq_codebooks_kmeans(
         )
         .orderBy("h", "id")
         .limit(num_cent)
-        .collect()
     )
     books: list[list[list[float]]] = [
         [
@@ -222,10 +224,9 @@ def pq_codebooks_kmeans(
                 F.posexplode("st.v").alias("pos", "x"),
             )
         )
-        means = (
+        means = bounded_collect(
             ex.groupBy("s", "cluster", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
         )
         got: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:

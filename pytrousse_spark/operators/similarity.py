@@ -13,7 +13,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_sql
+from ..functions.vectors import cosine_sql, lit_double_matrix, lit_doubles
 
 
 def _deterministic_planes(num_planes: int, dim: int, seed: int) -> list[list[float]]:
@@ -106,7 +106,7 @@ def hyperplane_signature(
     (public SimHash-for-vectors construction)."""
     bits = []
     for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(p) for p in plane])
+        lit_plane = lit_doubles(plane)
         d = F.aggregate(
             F.zip_with(vec, lit_plane, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
@@ -259,7 +259,9 @@ def _ivf_centroids(
     index, vector), ...] ordered by (hash, id)."""
     from ..functions.hashing import h60
 
-    rows = (
+    from ._collect import bounded_collect
+
+    rows = bounded_collect(
         corpus.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
@@ -267,7 +269,6 @@ def _ivf_centroids(
         )
         .orderBy("h", "id")
         .limit(num_cells)
-        .collect()
     )
     return [(i + 1, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
 
@@ -293,14 +294,14 @@ def _cell_rank_array(
     """
     import math
 
-    cb_lit = F.array(*[F.array(*[F.lit(x) for x in cv]) for _, cv in cents])
+    cb_lit = lit_double_matrix([cv for _, cv in cents])
     norms = []
     for _, cv in cents:
         acc = 0.0
         for x in cv:
             acc += x * x
         norms.append(math.sqrt(acc))
-    cn_lit = F.array(*[F.lit(v) for v in norms])
+    cn_lit = lit_doubles(norms)
     # cents are ordered with idx == position + 1 (both builders emit them
     # that way); the transform index therefore reconstructs the cell id
     assert [idx for idx, _ in cents] == list(range(1, len(cents) + 1))

@@ -3319,50 +3319,63 @@ def gesd_outliers(
     argmax and tie-break are pure integer/date comparisons; r_stat is
     one sqrt of a division of identical exact stats, round-6.
 
-    Scale: each round is ONE map-side-combinable agg over the
-    calendar-bounded spine plus a broadcast scalar attachment; the
-    remaining set is localCheckpoint'ed per round (the q117/q130
-    lineage-cut device) so the k-round plan stays linear, and k is a
-    constant.
+    Scale: each round is ONE job — the sufficient stats and the
+    integer argmax ride full-frame windows over the CALENDAR-BOUNDED
+    spine (the huber/q251 single-task-window device: rows = spine
+    days, never events), the flagged day re-enters as a literal
+    anti-filter, and the remaining set is lazily localCheckpoint'ed
+    per round so the k-round plan stays linear (r12 optimization
+    round: the broadcast-stats form paid ~3 AQE-split jobs per round
+    for identical arithmetic). k is a constant.
     """
-    d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast(  # noqa: E731
-        "decimal(38,0)"
+    import math
+
+    from pyspark.sql import types as T
+
+    from ._collect import bounded_first
+
+    spark = df.sparkSession
+    nw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     remaining = _daily_cents(df, ts_col, value_col).select("__d", "__c")
-    flags = None
+    out_schema = T.StructType(
+        [
+            T.StructField("round", T.IntegerType(), False),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("n_remaining", T.LongType(), True),
+            T.StructField("r_stat", T.DoubleType(), True),
+        ]
+    )
+    flag_frames = []
     for r in range(1, k + 1):
-        remaining = remaining.localCheckpoint(eager=True)
-        stats = remaining.agg(
-            F.count(F.lit(1)).cast("bigint").alias("__n"),
-            d38(F.col("__c")).alias("__s"),
-            d38(
-                F.col("__c").cast("decimal(38,0)") * F.col("__c")
-            ).alias("__ss"),
-        )
-        dev = remaining.crossJoin(F.broadcast(stats)).select(
-            "__d",
-            "__c",
-            "__n",
-            "__s",
-            "__ss",
-            F.abs(
-                F.col("__n").cast("decimal(38,0)")
-                * F.col("__c").cast("decimal(38,0)")
-                - F.col("__s")
-            ).alias("__dev"),
-        )
-        mx = dev.groupBy("__n", "__s", "__ss").agg(
-            F.max("__dev").alias("__mx")
-        )
-        nn = F.col("__n").cast("double")
-        var = (
-            nn * F.col("__ss").cast("double")
-            - F.col("__s").cast("double") * F.col("__s").cast("double")
-        ) / (nn * (nn - F.lit(1.0)))
-        flag = (
-            dev.join(
-                F.broadcast(mx.select("__n", "__mx")), ["__n"]
+        remaining = remaining.localCheckpoint(eager=False)
+        row = bounded_first(
+            remaining.select(
+                "__d",
+                "__c",
+                F.count(F.lit(1)).over(nw).cast("bigint").alias("__n"),
+                F.sum(F.col("__c").cast("decimal(38,0)"))
+                .over(nw)
+                .cast("decimal(38,0)")
+                .alias("__s"),
+                F.sum(
+                    F.col("__c").cast("decimal(38,0)") * F.col("__c")
+                )
+                .over(nw)
+                .cast("decimal(38,0)")
+                .alias("__ss"),
             )
+            .withColumn(
+                "__dev",
+                F.abs(
+                    F.col("__n").cast("decimal(38,0)")
+                    * F.col("__c").cast("decimal(38,0)")
+                    - F.col("__s")
+                ),
+            )
+            .withColumn("__mx", F.max("__dev").over(nw))
             .where(F.col("__dev") == F.col("__mx"))
             .groupBy("__n", "__s", "__ss", "__mx")
             .agg(
@@ -3371,27 +3384,37 @@ def gesd_outliers(
                     "value_cents"
                 ),
             )
-            .where((F.col("__n") >= 3) & (var > F.lit(0.0)))
-            .select(
+        )
+        if row is None:
+            break
+        n = int(row["__n"])
+        # decimal→double casts are correctly rounded in both the engine
+        # and Python, and +,-,*,/,sqrt are IEEE-identical, so computing
+        # the pre-round value driver-side reproduces the in-plan doubles
+        # bit-for-bit; only the half-up round stays in-engine
+        nn = float(n)
+        s_d, ss_d = float(row["__s"]), float(row["__ss"])
+        var = (nn * ss_d - s_d * s_d) / (nn * (nn - 1.0))
+        if not (n >= 3 and var > 0.0):
+            break
+        pre = float(row["__mx"]) / (nn * math.sqrt(var)) * 1e6
+        flag_frames.append(
+            spark.range(1).select(
                 F.lit(r).cast("int").alias("round"),
-                "day",
-                "value_cents",
-                F.col("__n").alias("n_remaining"),
-                (
-                    F.round(
-                        F.col("__mx").cast("double")
-                        / (nn * F.sqrt(var))
-                        * F.lit(1e6),
-                        0,
-                    )
-                    / F.lit(1e6)
-                ).alias("r_stat"),
+                F.lit(row["day"]).alias("day"),
+                F.lit(int(row["value_cents"])).cast("bigint").alias(
+                    "value_cents"
+                ),
+                F.lit(n).cast("bigint").alias("n_remaining"),
+                (F.round(F.lit(pre), 0) / F.lit(1e6)).alias("r_stat"),
             )
         )
-        flags = flag if flags is None else flags.unionByName(flag)
-        remaining = remaining.join(
-            flag.select(F.col("day").alias("__d")), ["__d"], "left_anti"
-        )
+        remaining = remaining.where(F.col("__d") != F.lit(row["day"]))
+    if not flag_frames:
+        return spark.createDataFrame([], out_schema)
+    flags = flag_frames[0]
+    for f in flag_frames[1:]:
+        flags = flags.unionByName(f)
     return flags.orderBy("round")
 
 
@@ -4162,15 +4185,20 @@ def huber_trend(
     huber_intercept)``, round-6; a zero MAD gives exact-fit rows
     weight 1 and the rest 0 (the correct delta->0 limit).
 
-    Scale: per iteration, one broadcast 1-row parameter attachment +
-    one explicit-median window (q251 device) + one map-side-
-    combinable fold, all on the CALENDAR-BOUNDED spine; iters is a
-    constant.
+    Scale: per iteration ONE job — the explicit-median windows (q251
+    device, calendar-bounded frame) and the map-side-combinable
+    weighted fold run in the same plan, and the iterate's (a, b)
+    doubles re-enter the next iteration as literals (the q111
+    "weights re-enter as literals" discipline; r12 optimization round
+    — the broadcast-parameter form paid 3-4 AQE-split jobs per
+    iteration for identical arithmetic). iters is a constant.
     """
+    from ._collect import bounded_first
+
     d38 = "decimal(38,0)"
     dense = _daily_cents(df, ts_col, value_col).select(
         "__i", "__c"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def folds(weighted: DataFrame) -> DataFrame:
         wm = F.col("__wm").cast(d38)
@@ -4199,50 +4227,61 @@ def huber_trend(
             F.when(sw > 0, (swy - b * swx) / sw).alias("__a"),
         )
 
-    def residuals(params: DataFrame) -> DataFrame:
-        return dense.crossJoin(F.broadcast(params)).select(
+    def _dlit(v) -> F.Column:
+        return (
+            F.lit(None).cast("double") if v is None else F.lit(float(v))
+        )
+
+    def residuals(a, b) -> DataFrame:
+        # parameters as literals: exact IEEE doubles round-trip the
+        # driver unchanged, so this is the broadcast attach bit-for-bit
+        return dense.select(
             "__i",
             "__c",
             (
                 F.col("__c").cast("double")
-                - F.col("__a")
-                - F.col("__b") * F.col("__i").cast("double")
+                - _dlit(a)
+                - _dlit(b) * F.col("__i").cast("double")
             ).alias("__rs"),
         )
 
-    def mad_delta(resid: DataFrame) -> DataFrame:
+    def with_delta(resid: DataFrame) -> DataFrame:
+        # the same two-middle-ranks MAD as the former mad_delta agg,
+        # attached by full-frame window (identical value set feeding
+        # identical min/max) so the weight pass shares ONE job with it
         w = Window.orderBy(F.abs(F.col("__rs")).asc())
         nw = Window.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
+        qual = (
+            F.col("__rn") == F.floor((F.col("__nn") + 1) / 2)
+        ) | (F.col("__rn") == F.floor(F.col("__nn") / 2) + 1)
         return (
             resid.select(
-                F.abs(F.col("__rs")).alias("__r"),
+                "__i",
+                "__c",
+                "__rs",
                 F.row_number().over(w).alias("__rn"),
                 F.count(F.lit(1)).over(nw).cast("bigint").alias("__nn"),
             )
-            .where(
-                (F.col("__rn") == F.floor((F.col("__nn") + 1) / 2))
-                | (F.col("__rn") == F.floor(F.col("__nn") / 2) + 1)
-            )
-            .agg(
+            .withColumn("__rq", F.when(qual, F.abs(F.col("__rs"))))
+            .withColumn(
+                "__delta",
                 (
-                    (F.min("__r") + F.max("__r"))
+                    (F.min("__rq").over(nw) + F.max("__rq").over(nw))
                     / F.lit(2.0)
                     * F.lit(tuning)
                     * F.lit(1.4826)
-                ).alias("__delta")
+                ),
             )
         )
 
-    ols = solve(
-        folds(dense.withColumn("__wm", F.lit(1_000_000)))
-    ).localCheckpoint(eager=True)
-    params = ols
+    ols = bounded_first(
+        solve(folds(dense.withColumn("__wm", F.lit(1_000_000))))
+    )
+    a, b = ols["__a"], ols["__b"]
     for _ in range(iters):
-        resid = residuals(params)
-        delta = mad_delta(resid)
-        weighted = resid.crossJoin(F.broadcast(delta)).select(
+        weighted = with_delta(residuals(a, b)).select(
             "__i",
             "__c",
             F.floor(
@@ -4259,30 +4298,16 @@ def huber_trend(
             .cast("bigint")
             .alias("__wm"),
         )
-        params = solve(
-            folds(weighted.where(F.col("__wm") > 0))
-        ).localCheckpoint(eager=True)
+        it = bounded_first(solve(folds(weighted.where(F.col("__wm") > 0))))
+        a, b = it["__a"], it["__b"]
     r6 = lambda c: F.round(c * F.lit(1e6), 0) / F.lit(1e6)  # noqa: E731
-    return (
-        ols.select(
-            F.col("__n").alias("n_days"),
-            F.col("__b").alias("__ob"),
-            F.col("__a").alias("__oa"),
-        )
-        .crossJoin(
-            F.broadcast(
-                params.select(
-                    F.col("__b").alias("__hb"), F.col("__a").alias("__ha")
-                )
-            )
-        )
-        .select(
-            "n_days",
-            r6(F.col("__ob")).alias("ols_slope"),
-            r6(F.col("__oa")).alias("ols_intercept"),
-            r6(F.col("__hb")).alias("huber_slope"),
-            r6(F.col("__ha")).alias("huber_intercept"),
-        )
+    spark = df.sparkSession
+    return spark.range(1).select(
+        F.lit(int(ols["__n"] or 0)).cast("bigint").alias("n_days"),
+        r6(_dlit(ols["__b"])).alias("ols_slope"),
+        r6(_dlit(ols["__a"])).alias("ols_intercept"),
+        r6(_dlit(b)).alias("huber_slope"),
+        r6(_dlit(a)).alias("huber_intercept"),
     )
 
 
