@@ -2010,6 +2010,173 @@ def _windowed_last_build(
     )
 
 
+def _windowed_first_last_build(
+    probes: "DataFrame",
+    builds: "DataFrame",
+    key_cols: list[str],
+    id_cols: list[str],
+    probe_ts: str,
+    build_ts: str,
+    payload_cols: list[str],
+    w_us: int,
+) -> "DataFrame":
+    """:func:`_windowed_first_build` AND :func:`_windowed_last_build`
+    fused into ONE event-level union+window pass (r12 optimization
+    round, guide §2.4 "remove shuffles outright"): the two helpers
+    build the identical ``(ts, nf_payload, payload)`` struct and differ
+    only in window ordering and which bucket each probe reads, so one
+    union frame — builds once, probes twice (FIRST role at bucket
+    ``bp-1`` / ``ets = t-w``, LAST role at bucket ``bp`` / ``ets = t``)
+    — carries BOTH as-ofs as two window functions over one exchange,
+    and one per-(key, bucket) agg carries both candidate-B sides
+    (min-struct read at ``bp``, max-struct read at ``bp-1``).
+
+    Tie/NULL semantics are exactly the parents': FIRST = min (ts,
+    payload) with NULL payload last; LAST = max with NULL payload
+    first; builds at the frame edges stay inside. Equality with the
+    two-pass form is pinned in tests/test_cohort.py.
+
+    Returns ``(*id_cols, f_<payload>..., l_<payload>...)`` — payloads
+    only (the q194 consumer never reads the timestamps); NULLs when
+    the respective window is empty.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    b = builds.where(F.col(build_ts).isNotNull()).withColumn(
+        "__bb", F.floor(F.col(build_ts) / F.lit(w_us)).cast("long")
+    )
+    ord_fields = []
+    for c in payload_cols:
+        ord_fields.append(F.col(c).isNull().cast("int").alias(f"nf_{c}"))
+        ord_fields.append(F.col(c).alias(f"pl_{c}"))
+    bs = b.select(
+        *key_cols, "__bb", F.col(build_ts).alias("__ets"), *payload_cols
+    ).withColumn("__st", F.struct(F.col("__ets").alias("ts"), *ord_fields))
+
+    pr = probes.where(F.col(probe_ts).isNotNull()).withColumn(
+        "__bp", F.floor(F.col(probe_ts) / F.lit(w_us)).cast("long")
+    )
+    id_types = {c: dict(pr.dtypes)[c] for c in id_cols}
+
+    def _null_ids(df):
+        for c, t in id_types.items():
+            df = df.withColumn(c, F.lit(None).cast(t))
+        return df
+
+    st_type = bs.schema["__st"].dataType
+
+    # shared union frame: builds once (role NULL), probes twice
+    bEv = _null_ids(
+        bs.select(*key_cols, F.col("__bb").alias("__eb"), "__ets", "__st")
+        .withColumn("__tag", F.lit(0))
+        .withColumn("__role", F.lit(None).cast("int"))
+    )
+    pF = (
+        pr.select(
+            *key_cols, *id_cols,
+            (F.col("__bp") - 1).alias("__eb"),
+            (F.col(probe_ts) - F.lit(w_us)).alias("__ets"),
+        )
+        .withColumn("__st", F.lit(None).cast(st_type))
+        .withColumn("__tag", F.lit(1))
+        .withColumn("__role", F.lit(0))
+    )
+    pL = (
+        pr.select(
+            *key_cols, *id_cols,
+            F.col("__bp").alias("__eb"),
+            F.col(probe_ts).alias("__ets"),
+        )
+        .withColumn("__st", F.lit(None).cast(st_type))
+        .withColumn("__tag", F.lit(1))
+        .withColumn("__role", F.lit(1))
+    )
+    ev = pF.unionByName(pL).unionByName(bEv.select(*pF.columns))
+    # FIRST as-of: decreasing ts, builds (tag 0) first / LARGER struct
+    # first at ties, so last() retains the smallest (ts, payload) >= x
+    wF = (
+        Window.partitionBy(*key_cols, "__eb")
+        .orderBy(
+            F.col("__ets").desc(), F.col("__tag").asc(), F.col("__st").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # LAST as-of: increasing ts, builds first / SMALLER struct first at
+    # ties, so last() retains the largest (ts, payload) <= t
+    wL = (
+        Window.partitionBy(*key_cols, "__eb")
+        .orderBy(
+            F.col("__ets").asc(), F.col("__tag").asc(), F.col("__st").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cand_a = (
+        ev.withColumn("__fa", F.last("__st", ignorenulls=True).over(wF))
+        .withColumn("__la", F.last("__st", ignorenulls=True).over(wL))
+        .where(F.col("__tag") == 1)
+        .groupBy(*id_cols)
+        .agg(
+            F.max(F.when(F.col("__role") == 0, F.col("__fa"))).alias("__fa"),
+            F.max(F.when(F.col("__role") == 1, F.col("__la"))).alias("__la"),
+        )
+    )
+
+    # candidate B both sides from ONE per-bucket agg: probes exploded to
+    # their two read buckets, one equi-join, re-grouped per probe
+    mm = bs.groupBy(*key_cols, "__bb").agg(
+        F.min("__st").alias("__fb"), F.max("__st").alias("__lb")
+    )
+    pq = pr.select(
+        *key_cols, *id_cols,
+        F.col(probe_ts).alias("__pt_us"),
+        F.explode(
+            F.array(
+                F.struct(F.col("__bp").alias("__qb"), F.lit(0).alias("__role")),
+                F.struct(
+                    (F.col("__bp") - 1).alias("__qb"), F.lit(1).alias("__role")
+                ),
+            )
+        ).alias("__q"),
+    ).select(
+        *key_cols, *id_cols, "__pt_us",
+        F.col("__q.__qb").alias("__qb"), F.col("__q.__role").alias("__role"),
+    )
+    jc = pq["__qb"] == mm["__bb"]
+    for c in key_cols:
+        jc = jc & pq[c].eqNullSafe(mm[c])
+    cand_b = (
+        pq.join(mm, jc, "left")
+        .select(
+            *[pq[c] for c in id_cols],
+            F.when(
+                (F.col("__role") == 0)
+                & (F.col("__fb.ts") <= F.col("__pt_us")),
+                F.col("__fb"),
+            ).alias("__fbv"),
+            F.when(
+                (F.col("__role") == 1)
+                & (F.col("__lb.ts") >= F.col("__pt_us") - F.lit(w_us)),
+                F.col("__lb"),
+            ).alias("__lbv"),
+        )
+        .groupBy(*id_cols)
+        .agg(F.max("__fbv").alias("__fb"), F.max("__lbv").alias("__lb"))
+    )
+
+    jcond = None
+    for c in id_cols:
+        term = cand_a[c].eqNullSafe(cand_b[c])
+        jcond = term if jcond is None else (jcond & term)
+    best_f = F.coalesce(cand_a["__fa"], cand_b["__fb"])
+    best_l = F.coalesce(cand_a["__la"], cand_b["__lb"])
+    return cand_a.join(cand_b, jcond, "inner").select(
+        *[cand_a[c] for c in id_cols],
+        *[best_f.getField(f"pl_{c}").alias(f"f_{c}") for c in payload_cols],
+        *[best_l.getField(f"pl_{c}").alias(f"l_{c}") for c in payload_cols],
+    )
+
+
 def position_attribution_scalable(
     purchases: "DataFrame",
     touches: "DataFrame",
@@ -2071,18 +2238,20 @@ def position_attribution_scalable(
 
     nt = ntc.groupBy("__pid").agg(F.sum("__ntc").alias("__nt"))
 
-    first = _windowed_first_build(
+    # first+last in ONE fused union+window pass (was two passes over
+    # the touch frame; r12 optimization round — guide §2.4)
+    fl = _windowed_first_last_build(
         p, t, ["__u"], ["__pid"], "__ptu", "__ttu", ["__ch"], w_us
-    ).withColumnRenamed("__ch", "__fch")
-    last = _windowed_last_build(
-        p, t, ["__u"], ["__pid"], "__ptu", "__ttu", ["__ch"], w_us
-    ).withColumnRenamed("__ch", "__lch")
+    ).select(
+        "__pid",
+        F.col("f___ch").alias("__fch"),
+        F.col("l___ch").alias("__lch"),
+    )
 
     base = (
         p.join(nt, "__pid", "left")
         .withColumn("__nt", F.coalesce(F.col("__nt"), F.lit(0)))
-        .join(first.select("__pid", "__fch"), "__pid", "left")
-        .join(last.select("__pid", "__lch"), "__pid", "left")
+        .join(fl, "__pid", "left")
         .select("__pid", "__vm", "__nt", "__fch", "__lch")
         .localCheckpoint(eager=True)
     )

@@ -444,7 +444,15 @@ def k_core(
             .groupBy("__x")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        keep = deg.where(F.col("__c") >= k).select("__x")
+        # keep feeds BOTH semi-joins; without its own checkpoint each
+        # broadcast build re-runs the degree agg, doubling every round
+        # (the wave-1 duplicate-subtree class). Lazy: it materializes
+        # inside the first build's job.
+        keep = (
+            deg.where(F.col("__c") >= k)
+            .select("__x")
+            .localCheckpoint(eager=False)
+        )
         e = (
             e.join(
                 keep.withColumnRenamed("__x", "__u"), "__u", "left_semi"
@@ -584,7 +592,10 @@ def label_propagation(
             votes.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select("__x", "__lab")
-            .localCheckpoint(eager=True)
+            # lazy: each round's frame is consumed exactly once (the
+            # next round's join), so the checkpoint materializes inside
+            # that job instead of paying a blocking job per round
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("__lab").alias("community"))

@@ -1542,3 +1542,83 @@ def test_tost_equivalence_laws(spark):
     assert narrow["t_upper"] < wide["t_upper"]
     # diff and se do not depend on delta
     assert (narrow["diff"], narrow["se"]) == (wide["diff"], wide["se"])
+
+
+def test_windowed_first_last_fused_equals_two_pass(spark):
+    """The fused single-pass first+last as-of (r12 optimization round)
+    must reproduce _windowed_first_build/_windowed_last_build payloads
+    row-for-row on the adversarial battery: bucket-boundary straddlers,
+    same-ts payload ties (NULL competing), empty windows, NULL keys."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pytrousse_spark.operators.cohort import (
+        _windowed_first_build,
+        _windowed_first_last_build,
+        _windowed_last_build,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    base = datetime(2024, 3, 1)
+    users = [1, 2, 3, None]
+    chans = ["a", "b", "zz", None]
+    builds = [
+        (
+            rng.choice(users),
+            base + timedelta(minutes=rng.randrange(0, 30000)),
+            rng.choice(chans),
+        )
+        for _ in range(500)
+    ]
+    probes = [
+        (
+            rng.choice(users),
+            i,
+            base + timedelta(minutes=rng.randrange(0, 30000)),
+        )
+        for i in range(150)
+    ]
+    w_sec = 6 * 3600
+    # exact-edge ties: two builds at x = t - w and two at t, NULL chan
+    pts = base + timedelta(minutes=40000)
+    probes.append((7, 900, pts))
+    builds += [
+        (7, pts - timedelta(seconds=w_sec), "q1"),
+        (7, pts - timedelta(seconds=w_sec), None),
+        (7, pts, "q9"),
+        (7, pts, None),
+    ]
+    # empty-window probe
+    probes.append((8, 901, base + timedelta(days=60)))
+
+    pdf = spark.createDataFrame(
+        probes, "u long, pid long, ts timestamp"
+    ).select("u", "pid", F.unix_micros("ts").alias("ptu"))
+    bdf = spark.createDataFrame(
+        builds, "u long, ts timestamp, ch string"
+    ).select("u", F.unix_micros("ts").alias("btu"), "ch")
+    w_us = w_sec * 1_000_000
+
+    first = {
+        r["pid"]: r["ch"]
+        for r in _windowed_first_build(
+            pdf, bdf, ["u"], ["pid"], "ptu", "btu", ["ch"], w_us
+        ).collect()
+    }
+    last = {
+        r["pid"]: r["ch"]
+        for r in _windowed_last_build(
+            pdf, bdf, ["u"], ["pid"], "ptu", "btu", ["ch"], w_us
+        ).collect()
+    }
+    fused = {
+        r["pid"]: (r["f_ch"], r["l_ch"])
+        for r in _windowed_first_last_build(
+            pdf, bdf, ["u"], ["pid"], "ptu", "btu", ["ch"], w_us
+        ).collect()
+    }
+    assert set(fused) == set(first) == set(last)
+    for pid, (f, l) in fused.items():
+        assert f == first[pid], f"first mismatch pid={pid}"
+        assert l == last[pid], f"last mismatch pid={pid}"
