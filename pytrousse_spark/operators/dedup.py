@@ -267,9 +267,16 @@ def ngram_jaccard_pairs(
     verification stage.
     """
     from ..functions.text import shingles_from_tokens, tokens
+    from ..io import rebalance_undersplit
 
+    # the shingle pass feeds THREE subtrees (sizes + both join sides);
+    # checkpoint it so tokenize+explode runs once, spread first so the
+    # per-row shingling parallelizes on single-row-group bench inputs
+    # (no-op at real scale; r12 optimization round)
     shingled = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        rebalance_undersplit(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        )
         .withColumn("__tk", tokens(F.col(text_col)))
         .select(
             "__id",
@@ -277,6 +284,7 @@ def ngram_jaccard_pairs(
                 F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
             ).alias("__sh"),
         )
+        .localCheckpoint(eager=False)
     )
     sizes = shingled.groupBy("__id").agg(F.count(F.lit(1)).alias("__size"))
     l, r = shingled.alias("l"), shingled.alias("r")
@@ -1262,15 +1270,22 @@ def _neardup_exact_np(
         all_ids, all_mat, all_norms = b.value
         for batch in batches:
             qids = batch["id"].to_numpy()
+            if len(qids) == 0:
+                continue
             qmat = np.array(batch["v"].tolist(), dtype=np.float64)
             qnorms = np.sqrt(np.add.accumulate(qmat * qmat, axis=1)[:, -1])
-            for lo in range(0, len(qids), 64):  # bound prods tensor memory
-                qs, qv, qn = qids[lo:lo + 64], qmat[lo:lo + 64], qnorms[lo:lo + 64]
-                prods = qv[:, None, :] * all_mat[None, :, :]
-                # in-place sequential accumulate: same fold order, half the
-                # allocations of a fresh output tensor
-                np.add.accumulate(prods, axis=2, out=prods)
-                dots = prods[:, :, -1]
+            dim = qmat.shape[1]
+            # working set is (block, n) instead of the former
+            # (block, n, dim) products tensor + axis-2 accumulate —
+            # the dim-ascending in-place adds perform the IDENTICAL
+            # IEEE operation sequence (acc_d = acc_{d-1} + q_d*x_d),
+            # so raw cosines stay bit-equal to the expression fold
+            # (r12 optimization round; ~3x less memory traffic)
+            for lo in range(0, len(qids), 512):
+                qs, qv, qn = qids[lo:lo + 512], qmat[lo:lo + 512], qnorms[lo:lo + 512]
+                dots = qv[:, 0:1] * all_mat[None, :, 0]
+                for d in range(1, dim):
+                    dots += qv[:, d:d + 1] * all_mat[None, :, d]
                 denom = qn[:, None] * all_norms[None, :]
                 with np.errstate(invalid="ignore", divide="ignore"):
                     cos = dots / denom
