@@ -3266,12 +3266,25 @@ def split_conformal(
         )
     )
     train = base.where(F.col("__b") <= 5)
-    model = train.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__nt"),
-        F.sum("__y").cast("bigint").alias("__st"),
+    # the per-group model is tiny (one row per distinct group value);
+    # checkpoint it so the train-split scan runs ONCE — it otherwise
+    # re-executes inside every consumer below (the scored join for
+    # cal+test AND the n_train readout), and n_train is derived from
+    # the model itself (sum of the per-group counts == the train row
+    # count, exactly) instead of a second raw-table aggregate
+    model = (
+        train.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nt"),
+            F.sum("__y").cast("bigint").alias("__st"),
+        )
+        .localCheckpoint(eager=False)
     )
     # prediction = integer-rounded train group mean in cents
     pred = F.round(F.col("__st") / F.col("__nt"), 0).cast("bigint")
+    # scored feeds BOTH the calibration levels and the test coverage agg;
+    # lazily checkpoint the (bucket, residual) projection so the base
+    # scan + model join execute once, not once per consumer
     scored = (
         base.where(F.col("__b") >= 6)
         .join(F.broadcast(model), "__g")
@@ -3279,6 +3292,7 @@ def split_conformal(
             "__b",
             F.abs(F.col("__y") - pred).alias("__r"),
         )
+        .localCheckpoint(eager=False)
     )
     cal = scored.where(F.col("__b") <= 7)
     # checkpoint the level frame HERE and read n_cal off it (sum of the
@@ -3326,8 +3340,9 @@ def split_conformal(
             ).alias("coverage"),
             F.max("__q").alias("q_half_width_cents"),
         )
-        .crossJoin(F.broadcast(train.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_train")
+        .crossJoin(F.broadcast(model.agg(
+            F.coalesce(F.sum("__nt"), F.lit(0))
+            .cast("bigint").alias("n_train")
         )))
         .crossJoin(F.broadcast(n_cal_row.select(
             F.col("__nc").alias("n_cal")
@@ -3431,6 +3446,11 @@ def krippendorff_alpha(
     Returns one row ``(n_units, n_ratings, n_categories, alpha)``
     (alpha NULL when D_e = 0: a single category observed).
     """
+    # the (unit, value) reduction is the LAST time the caller's ratings
+    # subtree (often an expensive multi-annotator union over raw text)
+    # needs to run — checkpoint it, and the pairable frame c too: c
+    # otherwise re-executes the whole build for each of its three
+    # consumers (both self-join sides and the meta agg)
     cnt = (
         ratings.where(
             F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
@@ -3441,9 +3461,14 @@ def krippendorff_alpha(
         )
         .groupBy("__u", "__v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .localCheckpoint(eager=False)
     )
     mu = cnt.groupBy("__u").agg(F.sum("__n").alias("__m"))
-    c = cnt.join(mu, "__u").where(F.col("__m") >= 2)
+    c = (
+        cnt.join(mu, "__u")
+        .where(F.col("__m") >= 2)
+        .localCheckpoint(eager=False)
+    )
     a = c.select("__u", F.col("__v").alias("__c"), F.col("__n").alias("__nc"), "__m")
     b = c.select("__u", F.col("__v").alias("__k"), F.col("__n").alias("__nk"))
     pair = a.join(b, "__u").select(

@@ -2040,6 +2040,10 @@ def winnow_overlap_pairs(
                 F.array_distinct(F.expr("transform(__fps, x -> x.fp)"))
             ).alias("__fp"),
         )
+        # the winnowing pass (an md5 per k-gram of every document) feeds
+        # THREE subtrees — the df census and both posting join sides;
+        # checkpoint the compact (id, fp) rows so it runs exactly once
+        .localCheckpoint(eager=False)
     )
     dfc = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))
     posting = fp.join(

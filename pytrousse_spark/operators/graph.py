@@ -300,15 +300,19 @@ def degree_assortativity(
     symmetrized edges (shuffle bounded by |E|), one scalar moment
     agg. No windows, no driver collects.
     """
+    # checkpoint the caller's edge build (often an expensive co-occurrence
+    # self-join) and the degree table: und feeds both union branches of
+    # sym, and deg feeds three consumers (two joins + the node census) —
+    # the triangle_count discipline applied here
     und = edges.select(
         F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
-    )
+    ).localCheckpoint(eager=False)
     sym = und.unionByName(
         und.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
     )
     deg = sym.groupBy(F.col("__a").alias("__v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__d")
-    )
+    ).localCheckpoint(eager=False)
     j = (
         sym.join(deg.withColumnRenamed("__v", "__a"), "__a")
         .withColumnRenamed("__d", "__dj")

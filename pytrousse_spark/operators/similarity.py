@@ -1015,16 +1015,27 @@ def item_item_cf(
 
     Returns ``(item, neighbor, cooc, cosine, rank)``.
     """
-    ui = ratings.select(
-        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
-    ).distinct()
-    ni = ui.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    # checkpoint the reduced frames: ui feeds three subtrees (ni + both
+    # self-join sides) and would re-run the caller's ratings build each
+    # time; pairs feeds BOTH orientations of the union, which would
+    # execute the per-user self-join + aggregation twice
+    ui = (
+        ratings.select(
+            F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ni = ui.groupBy("__i").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).localCheckpoint(eager=False)
     pairs = (
         ui.join(ui.withColumnRenamed("__i", "__j"), "__u")
         .where(F.col("__i") < F.col("__j"))
         .groupBy("__i", "__j")
         .agg(F.count(F.lit(1)).alias("cooc"))
         .where(F.col("cooc") >= min_cooc)
+        .localCheckpoint(eager=False)
     )
     sym = pairs.unionByName(
         pairs.select(

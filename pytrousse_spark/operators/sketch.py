@@ -710,17 +710,34 @@ def count_min_self_join_size(
 
     Returns one row: ``(cm_estimate, exact_f2, ratio)``.
     """
-    cm = count_min_build(df.select(col), col, w=w, d=d, hash_fn=hash_fn)
+    # ONE scan serves both estimates: the gate already pays the exact
+    # keys-bounded groupBy, and the sketch grid is derivable from it —
+    # a cell's count is the sum of its keys' row counts (integer sums
+    # commute, bit-identical to hashing every raw row), so the d hash
+    # evaluations run once per DISTINCT key instead of once per row
+    keyed = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    cm = (
+        keyed.select(
+            "__n",
+            F.posexplode(_cell_cols(F.col(col), w, d, hash_fn)).alias(
+                "j", "pos"
+            ),
+        )
+        .groupBy("j", "pos")
+        .agg(F.sum("__n").alias("c"))
+    )
     est = (
         cm.groupBy("j")
         .agg(F.sum(F.col("c") * F.col("c")).alias("__ip"))
         .agg(F.min("__ip").alias("cm_estimate"))
     )
-    exact = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(F.sum(F.col("__n") * F.col("__n")).alias("exact_f2"))
+    exact = keyed.agg(
+        F.sum(F.col("__n") * F.col("__n")).alias("exact_f2")
     )
     return est.crossJoin(exact).select(
         "cm_estimate",

@@ -329,11 +329,14 @@ def percent_rank_transform_approx(
 
     v = F.col(value_col)
     nn = df.where(v.isNotNull())
+    # groups-bounded; feeds the binned broadcast on BOTH executions of
+    # binned (histogram build + final probe side) — checkpoint so the
+    # stats scan runs once instead of once per consumer
     stats = nn.groupBy(F.col(group_col).alias("__g")).agg(
         F.min(value_col).cast("double").alias("__lo"),
         F.max(value_col).cast("double").alias("__hi"),
         F.count(F.lit(1)).alias("__n"),
-    )
+    ).localCheckpoint(eager=False)
     span = F.col("__hi") - F.col("__lo")
     pos = (v.cast("double") - F.col("__lo")) / span * num_bins
     binned = nn.join(
@@ -480,11 +483,13 @@ def quantile_normalize(
     )
     v = F.col(value_col)
     nn = df.where(v.isNotNull())
+    # one row; feeds gbinned, the cdf-bucket expansion AND the final
+    # projection — checkpoint so its scan runs once
     gstats = nn.agg(
         F.min(value_col).cast("double").alias("__glo"),
         F.max(value_col).cast("double").alias("__ghi"),
         F.count(F.lit(1)).cast("bigint").alias("__gn"),
-    )
+    ).localCheckpoint(eager=False)
     span = F.col("__ghi") - F.col("__glo")
     gpos = (v.cast("double") - F.col("__glo")) / span * value_bins
     gbinned = nn.crossJoin(F.broadcast(gstats)).select(
@@ -504,15 +509,56 @@ def quantile_normalize(
             (F.coalesce(F.sum("__gc").over(wb), F.lit(0)) + F.col("__gc"))
             .alias("__cum_hi"),
         )
+        .localCheckpoint(eager=False)
     )
     m = F.col("__qr") * F.col("__gn")
+    # mass-range lookup as a broadcast HASH join, not a nested loop: key
+    # both sides by the rank bucket k = floor(qr * B) and keep the exact
+    # range predicate as the join filter. Each cdf bin expands to every
+    # k its cumulative mass interval (cum_lo, cum_hi] can reach (integer
+    # DIV bounds, widened ±1 to absorb the double rounding of qr*B vs
+    # qr*gn), so candidates-per-row drop from all B bins to ~1-2; the
+    # disjoint intervals still guarantee at most one true match, which
+    # preserves the left-join semantics row for row.
+    B = int(value_bins)
+    gx = (
+        gcdf.crossJoin(F.broadcast(gstats))
+        .select(
+            "__gb",
+            "__cum_lo",
+            "__cum_hi",
+            F.explode(
+                F.sequence(
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.expr(
+                            f"(__cum_lo * CAST({B} AS BIGINT)) div __gn"
+                        )
+                        - F.lit(1),
+                    ).cast("int"),
+                    F.least(
+                        F.lit(B).cast("bigint"),
+                        F.expr(
+                            f"(__cum_hi * CAST({B} AS BIGINT)) div __gn"
+                        )
+                        + F.lit(1),
+                    ).cast("int"),
+                )
+            ).alias("__mk"),
+        )
+    )
+    mk_row = F.floor(F.col("__qr") * F.lit(float(B))).cast("int")
     joined = (
         ranked.crossJoin(F.broadcast(gstats))
+        .withColumn("__mkr", mk_row)
         .join(
-            F.broadcast(gcdf),
-            (m > F.col("__cum_lo")) & (m <= F.col("__cum_hi")),
+            F.broadcast(gx),
+            (F.col("__mkr") == F.col("__mk"))
+            & (m > F.col("__cum_lo"))
+            & (m <= F.col("__cum_hi")),
             "left",
         )
+        .drop("__mkr", "__mk")
     )
     width = span / F.lit(value_bins)
     interp = F.col("__glo") + (
