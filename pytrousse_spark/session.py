@@ -54,6 +54,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # managed-table warehouse outside the repo (bucketed-table support)
         .config("spark.sql.warehouse.dir", "/tmp/pytrousse_warehouse")
+        # Long-lived sessions (the bench runs ~330 queries in one JVM)
+        # accumulate storage blocks from materialized localCheckpoints:
+        # the ContextCleaner only unpersists them after a JVM GC proves
+        # the RDDs unreachable, and the default periodic-GC interval
+        # (30min) exceeds the whole session, so blocks pile up and
+        # squeeze execution memory. A shorter interval lets the cleaner
+        # drain between queries; scale-neutral (production drivers with
+        # many-query sessions want exactly this) and env-overridable.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
