@@ -1705,12 +1705,15 @@ def decision_stump(
     nn = df.where(v.isNotNull() & y.isNotNull()).select(
         v.alias("__v"), y.alias("__y")
     )
+    # one row; feeds the binning pass, the candidate costs AND the
+    # output projection — checkpoint so the stats scan runs once (the
+    # audited plan re-ran it per consumer: 8 raw scans total)
     st = nn.agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         F.sum("__y").cast("bigint").alias("__pos"),
-    )
+    ).localCheckpoint(eager=False)
     binned = nn.crossJoin(F.broadcast(st)).select(
         F.when(
             F.col("__hi") == F.col("__lo"), F.lit(0)
@@ -1731,7 +1734,7 @@ def decision_stump(
     hist = binned.groupBy("__b").agg(
         F.count(F.lit(1)).cast("bigint").alias("__nb"),
         F.sum("__y").cast("bigint").alias("__pb"),
-    )
+    ).localCheckpoint(eager=False)  # <= num_bins rows
     spark = df.sparkSession
     dense = (
         spark.range(B)

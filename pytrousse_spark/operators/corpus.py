@@ -213,9 +213,11 @@ def heaps_law_fit(
         F.col(id_col).cast("bigint").alias("__id"),
         tx.tokens(F.col(text_col)).alias("__toks"),
     )
+    # one row (id range); column pruning keeps its scan tokenize-free,
+    # and the checkpoint stops it re-running per consumer
     st = nn.agg(
         F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
-    )
+    ).localCheckpoint(eager=False)
     # bucket index 0..C-1 by doc id position in [lo, hi]
     def bucket(idc):
         return (
@@ -232,18 +234,28 @@ def heaps_law_fit(
             )
         )
 
+    # ONE tokenize+explode pass serves BOTH prefix folds (the audited
+    # plan tokenized the corpus twice — once for first occurrences,
+    # once for per-doc counts): bucket the exploded tokens immediately
+    # (the bucket index is a nondecreasing function of doc id, so
+    # bucket(min id) == min(bucket(id)) — first occurrences survive the
+    # regrouping exactly), reduce to the vocab x C frame, checkpoint
+    # it, and read both V(bucket) and token mass off that.
     doc_tok = nn.select("__id", F.explode("__toks").alias("__tok"))
-    first = doc_tok.groupBy("__tok").agg(F.min("__id").alias("__fid"))
+    tb = (
+        doc_tok.crossJoin(F.broadcast(st))
+        .groupBy(F.col("__tok"), bucket(F.col("__id")).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
     vper = (
-        first.crossJoin(F.broadcast(st))
-        .groupBy(bucket(F.col("__fid")).alias("__b"))
+        tb.groupBy("__tok")
+        .agg(F.min("__b").alias("__fb"))
+        .groupBy(F.col("__fb").alias("__b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__vb"))
     )
-    tper = (
-        nn.select("__id", F.size("__toks").cast("bigint").alias("__len"))
-        .crossJoin(F.broadcast(st))
-        .groupBy(bucket(F.col("__id")).alias("__b"))
-        .agg(F.sum("__len").cast("bigint").alias("__tb"))
+    tper = tb.groupBy("__b").agg(
+        F.sum("__c").cast("bigint").alias("__tb")
     )
     spark = df.sparkSession
     grid = spark.range(C).select(F.col("id").cast("int").alias("__b"))

@@ -705,7 +705,11 @@ def adamic_adar(
     ).unionAll(
         und.select(F.col("__b").alias("__z"), F.col("__a").alias("__n"))
     )
-    deg = nbrs.groupBy("__z").agg(F.count(F.lit(1)).alias("__d"))
+    deg = nbrs.groupBy("__z").agg(
+        F.count(F.lit(1)).alias("__d")
+    ).localCheckpoint(eager=False)
+    # the wedge-input frame feeds BOTH sides of the apex self-join —
+    # checkpoint it so the nbrs x deg join runs once, not twice
     apex = (
         nbrs.join(
             deg.where(
@@ -723,6 +727,7 @@ def adamic_adar(
                 0,
             ).cast("bigint").alias("__t"),
         )
+        .localCheckpoint(eager=False)
     )
     left = apex.select("__z", F.col("__n").alias("__x"), "__t")
     right = apex.select("__z", F.col("__n").alias("__y"))

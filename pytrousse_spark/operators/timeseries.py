@@ -1645,7 +1645,14 @@ def mann_kendall(
     """
     from pytrousse_spark.operators.cohort import _phi_tail_sql
 
-    dense = _daily_cents(df, ts_col, value_col)
+    # the daily frame is CALENDAR-bounded (tens of rows) but its subtree
+    # is a full raw-table aggregation — without a checkpoint it re-runs
+    # for every consumer (both pair sides x two pair readers + ties:
+    # 20 raw scans in the audited plan); the pair grid is days^2/2,
+    # also bounded, and feeds two aggregates
+    dense = _daily_cents(df, ts_col, value_col).localCheckpoint(
+        eager=False
+    )
     a = dense.select(
         F.col("__i").alias("__ia"), F.col("__c").alias("__ca")
     )
@@ -1654,7 +1661,7 @@ def mann_kendall(
     )
     pairs = a.join(
         F.broadcast(b), F.col("__ib") > F.col("__ia"), "inner"
-    )
+    ).localCheckpoint(eager=False)
     s_and_n = pairs.agg(
         F.sum(F.signum(F.col("__cb") - F.col("__ca")))
         .cast("bigint")
