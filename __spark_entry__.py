@@ -7931,9 +7931,11 @@ def q269_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pytrousse_spark.operators.classifier import ndcg_at_k
 
     d = _t(spark, sf_dir, "documents")
+    # tokenized once for all three relevance oracles (r12: was one
+    # tokenize pass per query)
     staged = d.select(
         "doc_id", tokens(F.col("text")).alias("__tk")
-    )
+    ).localCheckpoint(eager=False)
     rank_parts, rel_parts = [], []
     for qname, terms in _Q269_QUERIES.items():
         w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -9075,7 +9077,9 @@ def q303_mrr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pytrousse_spark.operators.classifier import mrr_at_k
 
     d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    staged = d.select(
+        "doc_id", tokens(F.col("text")).alias("__tk")
+    ).localCheckpoint(eager=False)  # one tokenize for all 3 oracles
     rank_parts, rel_parts = [], []
     for qname, terms in _Q269_QUERIES.items():
         w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -1234,15 +1234,27 @@ def search_docs(df, text_col: str, id_col: str, terms: list[str], k: int = 20):
 
     _require_terms(terms, "search_docs")
     n_terms = len(set(terms))
-    n_docs = df.where(F.col(text_col).isNotNull()).count()
-    post = (
-        df.select(
-            F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
+    uniq = list(set(terms))
+    # ONE tokenize pass: keep only the query-term tokens per doc and
+    # checkpoint the (id, matched-tokens) rows — the posting subtree
+    # otherwise re-tokenizes the corpus for each consumer (df census +
+    # scoring), and the n_docs count rides the same materialization
+    staged = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.filter(
+                tokens(F.col(text_col)), lambda t: t.isin(uniq)
+            ).alias("__qt"),
         )
-        .select("__id", F.explode("__tk").alias("__t"))
-        .where(F.col("__t").isin(list(set(terms))))
+        .localCheckpoint(eager=False)
+    )
+    n_docs = staged.count()
+    post = (
+        staged.select("__id", F.explode("__qt").alias("__t"))
         .groupBy("__id", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = post.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     scored = (
@@ -1325,19 +1337,29 @@ def bm25_search(
 
     _require_terms(terms, "bm25_search")
     uniq = sorted(set(terms))
+    # ONE tokenize pass: stage (id, doc length, matched tokens) and
+    # checkpoint it — the audited plan re-tokenized the corpus four
+    # times (lens for stats, lens for scoring, postings for the df
+    # census, postings for scoring); everything below reads the
+    # doc-sized staged rows or the tiny checkpointed posting frame
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
     )
-    lens = base.select("__id", F.size("__tk").cast("long").alias("__dl"))
-    stats = lens.agg(
+    staged = base.select(
+        "__id",
+        F.size("__tk").cast("long").alias("__dl"),
+        F.filter("__tk", lambda t: t.isin(uniq)).alias("__qt"),
+    ).localCheckpoint(eager=False)
+    lens = staged.select("__id", "__dl")
+    stats = staged.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__dl").cast("long").alias("__sdl"),
     )
     post = (
-        base.select("__id", F.explode("__tk").alias("__t"))
-        .where(F.col("__t").isin(uniq))
+        staged.select("__id", F.explode("__qt").alias("__t"))
         .groupBy("__id", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = post.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     nd = F.col("__n").cast("double")
@@ -1449,15 +1471,23 @@ def dirichlet_ql_search(
 
     _require_terms(terms, "dirichlet_ql_search")
     uniq = sorted(set(terms))
+    # ONE tokenize pass (the bm25_search staging applied here): the
+    # audited plan re-tokenized the corpus for lens x2 (collection
+    # total + all-doc scoring) and postings x2 (cf census + matching)
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk")
     )
-    lens = base.select("__id", F.size("__tk").cast("long").alias("__dl"))
+    staged = base.select(
+        "__id",
+        F.size("__tk").cast("long").alias("__dl"),
+        F.filter("__tk", lambda t: t.isin(uniq)).alias("__qt"),
+    ).localCheckpoint(eager=False)
+    lens = staged.select("__id", "__dl")
     post = (
-        base.select("__id", F.explode("__tk").alias("__t"))
-        .where(F.col("__t").isin(uniq))
+        staged.select("__id", F.explode("__qt").alias("__t"))
         .groupBy("__id", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
     )
     cf = post.groupBy("__t").agg(F.sum("__tf").cast("long").alias("__cf"))
     ctot = lens.agg(F.sum("__dl").cast("long").alias("__c"))

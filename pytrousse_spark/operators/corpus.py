@@ -719,12 +719,15 @@ def skipgram_pairs(
     staged = df.select(
         F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__tk")
     )
+    # occ feeds the frequency table AND the subsample filter, freq
+    # feeds the total AND the threshold — checkpoint both so the
+    # tokenize+explode pass runs once (was 3x in the audited plan)
     occ = staged.select(
         "__doc", F.posexplode("__tk").alias("__pos", "__tok")
-    )
+    ).localCheckpoint(eager=False)
     freq = occ.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
-    )
+    ).localCheckpoint(eager=False)
     total = freq.agg(
         F.sum("__cnt").cast("bigint").alias("__total")
     )
@@ -756,6 +759,8 @@ def skipgram_pairs(
             < F.col("__thr")
         )
         .select("__doc", "__pos", "__tok")
+        # feeds BOTH sides of the window self-join
+        .localCheckpoint(eager=False)
     )
     ctr = kept.select(
         "__doc", F.col("__pos").alias("__pa"), F.col("__tok").alias("__wa")
@@ -767,13 +772,22 @@ def skipgram_pairs(
         (F.col("__pb") - F.col("__pa") >= 1)
         & (F.col("__pb") - F.col("__pa") <= window)
     )
+    # both directions from ONE execution of the window join (the
+    # unionAll form ran it twice): same multiset of (center, context)
     directed = banded.select(
-        F.col("__wa").alias("center"), F.col("__wb").alias("context")
-    ).unionAll(
-        banded.select(
-            F.col("__wb").alias("center"), F.col("__wa").alias("context")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__wa").alias("center"),
+                    F.col("__wb").alias("context"),
+                ),
+                F.struct(
+                    F.col("__wb").alias("center"),
+                    F.col("__wa").alias("context"),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.center", "__p.context")
     return (
         directed.groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
@@ -885,12 +899,15 @@ def skipgram_negatives(
     staged = df.select(
         F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__tk")
     )
+    # same staging discipline as skipgram_pairs: occ feeds freq + the
+    # subsample filter; freq feeds total/threshold/mass/cumulative —
+    # checkpoint both so the corpus tokenizes once (was 4x audited)
     occ = staged.select(
         "__doc", F.posexplode("__tk").alias("__pos", "__tok")
-    )
+    ).localCheckpoint(eager=False)
     freq = occ.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
-    )
+    ).localCheckpoint(eager=False)
     total = freq.agg(F.sum("__cnt").cast("bigint").alias("__total"))
     p = F.least(
         F.lit(1.0),
@@ -925,6 +942,8 @@ def skipgram_negatives(
             < F.col("__thr")
         )
         .select("__doc", "__pos", "__tok")
+        # feeds BOTH sides of the window self-join
+        .localCheckpoint(eager=False)
     )
     ctr = kept.select(
         "__doc", F.col("__pos").alias("__pa"), F.col("__tok").alias("__wa")
@@ -936,18 +955,28 @@ def skipgram_negatives(
         (F.col("__pb") - F.col("__pa") >= 1)
         & (F.col("__pb") - F.col("__pa") <= window)
     )
+    # both directions from ONE execution of the window join
     directed = banded.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__pa").alias("__cp"),
+                    F.col("__pb").alias("__xp"),
+                    F.col("__wa").alias("center"),
+                ),
+                F.struct(
+                    F.col("__pb").alias("__cp"),
+                    F.col("__pa").alias("__xp"),
+                    F.col("__wb").alias("center"),
+                ),
+            )
+        ).alias("__d"),
         "__doc",
-        F.col("__pa").alias("__cp"),
-        F.col("__pb").alias("__xp"),
-        F.col("__wa").alias("center"),
-    ).unionAll(
-        banded.select(
-            "__doc",
-            F.col("__pb").alias("__cp"),
-            F.col("__pa").alias("__xp"),
-            F.col("__wb").alias("center"),
-        )
+    ).select(
+        "__doc",
+        F.col("__d.__cp").alias("__cp"),
+        F.col("__d.__xp").alias("__xp"),
+        F.col("__d.center").alias("center"),
     )
     mass = freq.select(
         "__tok",
@@ -999,11 +1028,39 @@ def skipgram_negatives(
                 ),
                 F.col("__tm"),
             ).alias("__r"),
+            F.col("__tm"),
         )
     )
-    matched = draws.join(
-        F.broadcast(cum),
-        (F.col("__r") >= F.col("__lo")) & (F.col("__r") < F.col("__hi")),
+    # draw-to-word mapping as a broadcast HASH join, not a nested loop
+    # over the vocab-sized cumulative table (the q165 inverse-CDF
+    # device, pure-integer form): key both sides by the draw bucket
+    # r div w with w = ceil(total_mass / 1024); each cumulative range
+    # [lo, hi) expands to exactly the buckets it overlaps, the exact
+    # range predicate stays as the join filter, and every draw matches
+    # precisely one word as before.
+    _K = 1024
+    _w = f"CAST(((__tm + {_K} - 1) div {_K}) AS BIGINT)"
+    gx = (
+        cum.crossJoin(F.broadcast(tot_mass))
+        .select(
+            "__tok",
+            "__lo",
+            "__hi",
+            F.explode(
+                F.sequence(
+                    F.expr(f"__lo div {_w}"),
+                    F.expr(f"(__hi - 1) div {_w}"),
+                )
+            ).alias("__kb"),
+        )
+    )
+    matched = draws.withColumn(
+        "__kbr", F.expr(f"__r div {_w}")
+    ).join(
+        F.broadcast(gx),
+        (F.col("__kbr") == F.col("__kb"))
+        & (F.col("__r") >= F.col("__lo"))
+        & (F.col("__r") < F.col("__hi")),
     )
     return (
         matched.groupBy(

@@ -867,7 +867,11 @@ def hits(
                     F.lit(0),
                 ).alias("a"),
             )
-            .localCheckpoint(eager=False)
+            # NOT checkpointed: the normalized frame has one consumer
+            # per half-iteration, so inlining it into that consumer's
+            # job drops one scheduled job per half-iteration (12 over
+            # the run); the expensive part stays behind a_raw's
+            # checkpoint either way.
         )
         h_raw = (
             e.join(
@@ -890,7 +894,7 @@ def hits(
                     F.lit(0),
                 ).alias("h"),
             )
-            .localCheckpoint(eager=False)
+            # NOT checkpointed — same as the authority frame above
         )
     return (
         h.join(a, "node")

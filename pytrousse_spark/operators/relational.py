@@ -445,20 +445,32 @@ def fk_orphan_census(
     for name, child, fk, parent, pk in edges:
         keys = parent.select(F.col(pk).alias("__pk")).distinct()
         base = child.select(F.col(fk).alias("__fk"))
-        tot = base.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_child"),
-            F.sum(
-                F.when(F.col("__fk").isNull(), 1).otherwise(0)
+        # ONE child scan per edge: the distinct-key LEFT join preserves
+        # child-row multiplicity exactly (at most one parent match), so
+        # the total/NULL census and the orphan count (non-NULL fk with
+        # no parent) fold in the same aggregation — the audited plan
+        # paid two child scans per edge through the separate anti join
+        row = (
+            base.join(keys, F.col("__fk") == F.col("__pk"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(
+                    F.when(F.col("__fk").isNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_null_fk"),
+                F.sum(
+                    F.when(
+                        F.col("__fk").isNotNull()
+                        & F.col("__pk").isNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_orphan"),
             )
-            .cast("bigint")
-            .alias("n_null_fk"),
         )
-        orph = (
-            base.where(F.col("__fk").isNotNull())
-            .join(keys, F.col("__fk") == F.col("__pk"), "left_anti")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan"))
-        )
-        row = tot.join(orph, how="cross").select(
+        row = row.select(
             F.lit(name).alias("edge"),
             "n_child",
             "n_null_fk",
