@@ -1218,13 +1218,17 @@ def conformal_interval(
         raise ValueError("conformal_interval: alpha must be in (0, 1)")
     p = F.col(pred_col).cast("double")
     a = F.col(actual_col).cast("double")
+    # the residual projection feeds the stats scan, the histogram AND
+    # the coverage recount — checkpoint it (1 double per row) so the
+    # caller's scoring subtree (often a join) runs once, and the 1-row
+    # stats frame so ITS scan runs once across its two consumers
     nn = df.where(p.isNotNull() & a.isNotNull()).select(
         F.abs(a - p).alias("__r")
-    )
+    ).localCheckpoint(eager=False)
     stats = nn.agg(
         F.max("__r").alias("__hi"),
         F.count(F.lit(1)).cast("bigint").alias("__n"),
-    )
+    ).localCheckpoint(eager=False)
     # residuals are >= 0: bin over [0, hi]
     binned = nn.crossJoin(F.broadcast(stats)).select(
         F.when(F.col("__hi") == 0, F.lit(0))
@@ -1967,7 +1971,7 @@ def isotonic_calibration(
     stats = nn.agg(
         F.min(v).cast("double").alias("__lo"),
         F.max(v).cast("double").alias("__hi"),
-    )
+    ).localCheckpoint(eager=False)  # one row
     pos = (
         (v.cast("double") - F.col("__lo"))
         / (F.col("__hi") - F.col("__lo"))
@@ -1994,6 +1998,10 @@ def isotonic_calibration(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("__y").cast("bigint").alias("__s"),
         )
+        # <= num_bins rows; feeds the prefix frame (twice, via the
+        # lo/hi projections) AND the output join — checkpoint so the
+        # raw binning scan runs once, not 3x
+        .localCheckpoint(eager=False)
     )
     word = Window.orderBy("bin")
     pref = binned.select(
@@ -4762,10 +4770,15 @@ def fleiss_kappa(
         )
         .groupBy("__u", "__v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        # unit x value bounded; the caller's ratings build (often a
+        # multi-annotator union over raw text) must run only once
+        .localCheckpoint(eager=False)
     )
     mu = cnt.groupBy("__u").agg(F.sum("__n").cast("bigint").alias("__m"))
     keep = mu.where(F.col("__m") == raters)
-    ok = cnt.join(keep.select("__u"), "__u")
+    ok = cnt.join(keep.select("__u"), "__u").localCheckpoint(
+        eager=False
+    )  # feeds the category margins AND the square fold
     # n_units reads off the per-unit frame (already one row per unit) —
     # a count_distinct alongside the regular sum would plan an Expand
     # over the whole (unit, value) frame (the q20 multi-distinct lesson)

@@ -5291,12 +5291,14 @@ def quantile_treatment_effects(
         Window.unboundedPreceding, 0
     )
     wn = Window.partitionBy("__t")
+    # distinct-value-bounded; feeds the decile targets AND the rank
+    # probe join — checkpoint so the raw agg + windows run once
     frame = dist.select(
         "__t",
         "__c",
         F.sum("__k").over(w).cast("bigint").alias("__cum"),
         F.sum("__k").over(wn).cast("bigint").alias("__n"),
-    )
+    ).localCheckpoint(eager=False)
     deciles = (
         frame.select("__t", "__n")
         .distinct()
@@ -5321,6 +5323,8 @@ def quantile_treatment_effects(
         .where(F.col("__cum") >= F.col("__r"))
         .groupBy("__t", "__n", "decile")
         .agg(F.min("__c").alias("__v"))
+        # <= 2 x (n_bands - 1) rows; feeds both arm projections
+        .localCheckpoint(eager=False)
     )
     t_ = picked.where(F.col("__t") == 1).select(
         "decile",
@@ -5681,11 +5685,13 @@ def theil_index(
         * F.lit(1e12),
         0,
     ).cast(d38)
+    # groups-bounded; feeds the total fold AND the decomposition join —
+    # checkpoint so the fact-side agg runs once
     per = pos.groupBy("__g").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         F.sum("__x").cast(d38).alias("__sx"),
         F.sum(xlx).cast(d38).alias("__sxl"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per.agg(
         F.sum("__n").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),

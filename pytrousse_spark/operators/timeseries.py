@@ -1212,6 +1212,9 @@ def _daily_cents(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
         .where(F.col("__d").isNotNull())
         .groupBy("__d")
         .agg(F.sum("__c").alias("__c"))
+        # days-bounded; feeds the range scalar AND the spine join —
+        # without this the raw-table agg runs twice per spine build
+        .localCheckpoint(eager=False)
     )
     rng = daily.agg(
         F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
@@ -1225,9 +1228,12 @@ def _daily_cents(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
         "__d", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
     )
     w = Window.orderBy("__d")
+    # every spine operator consumes the indexed frame several times
+    # (pair sides, residual passes, tie folds) — checkpoint once here
+    # so each caller pays exactly ONE raw-table aggregation
     return dense.select(
         "__d", "__c", F.row_number().over(w).alias("__i")
-    )
+    ).localCheckpoint(eager=False)
 
 
 _DAILY_CENTS_SQL = """
@@ -1650,9 +1656,7 @@ def mann_kendall(
     # for every consumer (both pair sides x two pair readers + ties:
     # 20 raw scans in the audited plan); the pair grid is days^2/2,
     # also bounded, and feeds two aggregates
-    dense = _daily_cents(df, ts_col, value_col).localCheckpoint(
-        eager=False
-    )
+    dense = _daily_cents(df, ts_col, value_col)  # checkpointed inside
     a = dense.select(
         F.col("__i").alias("__ia"), F.col("__c").alias("__ca")
     )
@@ -1880,7 +1884,11 @@ def cross_correlation(
         .cast("bigint")
         .alias("__c"),
     )
-    daily = typed.groupBy("__d", "__t").agg(F.sum("__c").alias("__c"))
+    # days x 2 rows; feeds the range scalar AND both pivot joins —
+    # checkpoint so the raw agg runs once per call
+    daily = typed.groupBy("__d", "__t").agg(
+        F.sum("__c").alias("__c")
+    ).localCheckpoint(eager=False)
     rng = daily.agg(
         F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
     )
@@ -1916,6 +1924,9 @@ def cross_correlation(
             .cast("decimal(38,0)")
             .alias("__y"),
         )
+        # calendar-bounded; feeds the moment agg AND both lag-join
+        # sides — checkpoint so the spine build runs once
+        .localCheckpoint(eager=False)
     )
     tot = piv.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
@@ -2782,6 +2793,8 @@ def granger_lead_lag(
             .cast("decimal(38,0)")
             .alias("__y"),
         )
+        # calendar-bounded; feeds the current AND lagged projections
+        .localCheckpoint(eager=False)
     )
     cur = piv.where(F.col("__i") >= 2).select(
         "__i", F.col("__y").alias("__yt")
@@ -3551,10 +3564,12 @@ def theil_sen_trend(
             ((F.min(col) + F.max(col)) / F.lit(2.0)).alias("__med")
         )
 
+    # one row; feeds the residual pass AND the output — checkpoint so
+    # the pair join + median sort run once, not twice
     med_s = _median(pairs, "__s").select(
         F.col("__med").alias("__slope"),
         F.col("__n").alias("__npairs"),
-    )
+    ).localCheckpoint(eager=False)
     resid = dense.crossJoin(F.broadcast(med_s)).select(
         "__slope",
         "__npairs",
@@ -3659,9 +3674,7 @@ def repeated_median_trend(
     Returns one row ``(n_days, n_pairs, slope, intercept)`` with
     ``n_pairs = T*(T-1)`` ordered pairs; no row for an empty input.
     """
-    dense = _daily_cents(df, ts_col, value_col).localCheckpoint(
-        eager=False
-    )
+    dense = _daily_cents(df, ts_col, value_col)  # checkpointed inside
     a = dense.select(
         F.col("__i").alias("__ia"), F.col("__c").alias("__ca")
     )
@@ -3875,7 +3888,11 @@ def distance_correlation(
         .cast("bigint")
         .alias("__c"),
     )
-    daily = typed.groupBy("__d", "__t").agg(F.sum("__c").alias("__c"))
+    # days x 2 rows; feeds the range scalar AND both pivot joins —
+    # checkpoint so the raw agg runs once per call
+    daily = typed.groupBy("__d", "__t").agg(
+        F.sum("__c").alias("__c")
+    ).localCheckpoint(eager=False)
     rng = daily.agg(
         F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
     )

@@ -1176,12 +1176,14 @@ def ks_two_sample(
         .select("__v", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
     )
     m = a.unionByName(b)
+    # one row; feeds the binning pass, the cumulative join AND the
+    # final D fold — checkpoint so its scan runs once
     stats = m.agg(
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
         F.sum("__a").cast("bigint").alias("__na"),
         F.sum("__b").cast("bigint").alias("__nb"),
-    )
+    ).localCheckpoint(eager=False)
     width_ok = F.col("__hi") > F.col("__lo")
     binned = m.crossJoin(F.broadcast(stats)).select(
         "__v",
@@ -1200,10 +1202,13 @@ def ks_two_sample(
         )
         .alias("__bk"),
     )
+    # value-level bounded (the decomposition's own working set); feeds
+    # the bucket offsets AND the in-bucket cumulative — checkpoint so
+    # the raw union + binning runs once, not twice
     counts = binned.groupBy("__bk", "__v").agg(
         F.sum("__a").cast("bigint").alias("__ca"),
         F.sum("__b").cast("bigint").alias("__cb"),
-    )
+    ).localCheckpoint(eager=False)
     # bucket-level exclusive prefix over the bounded grid (<= B rows)
     wb = (
         Window.orderBy("__bk")
@@ -2666,9 +2671,11 @@ def categorical_association(
         F.col(x_col).cast("string").alias("__x"),
         F.col(y_col).cast("string").alias("__y"),
     )
+    # distinct-pair bounded; feeds both marginals, the total AND the
+    # scoring join — checkpoint so the raw scan runs once, not 4x
     joint = m.groupBy("__x", "__y").agg(
         F.count(F.lit(1)).cast("bigint").alias("__nxy")
-    )
+    ).localCheckpoint(eager=False)
     # marginal keys renamed + eqNullSafe joins: NULL is a category, and
     # a plain equality join would silently drop the NULL class (the
     # r5-ADVICE bug family; oracle uses IS NOT DISTINCT FROM)
@@ -3750,9 +3757,11 @@ def wasserstein1_binned(
     r = ref.where(v.isNotNull()).select(v.cast("double").alias("__v"))
     c = cur.where(v.isNotNull()).select(v.cast("double").alias("__v"))
     pooled = r.unionByName(c)
+    # one row; feeds both histogram passes AND the grid — checkpoint
+    # so the pooled two-table scan runs once, not 3x
     stats = pooled.agg(
         F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
-    )
+    ).localCheckpoint(eager=False)
     def hist(df, name):
         b = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
             F.least(
