@@ -327,3 +327,24 @@ def test_q194_no_pairwise_or_range_join(spark):
     joins = [l for l in plan.splitlines() if "Join [" in l or "Join (" in l]
     for j in joins:
         assert "<=" not in j and "<" not in j.replace("<=", ""), j
+
+
+def test_r12_inverse_cdf_lookups_are_hash_joins(spark):
+    """r12 optimization pins: the two mass-range lookups that were
+    BroadcastNestedLoopJoins over every bin now key on a rank/draw
+    bucket and compile to broadcast HASH joins (the exact range
+    predicate survives as the join filter, so results are pinned
+    row-identical by the oracle-parity suite; this test pins the plan
+    shape so a regression back to the nested loop is caught)."""
+    # q165: the pooled inverse-CDF lookup joins on the rank bucket __mk
+    plan = _plan(spark, "q165_quantile_normalize")
+    hash_lines = [
+        l for l in plan.splitlines() if "BroadcastHashJoin" in l
+    ]
+    assert any("__mk" in l for l in hash_lines), plan[:2000]
+    # q258: the unigram^0.75 draw->word mapping joins on __kb
+    plan = _plan(spark, "q258_skipgram_negatives")
+    hash_lines = [
+        l for l in plan.splitlines() if "BroadcastHashJoin" in l
+    ]
+    assert any("__kb" in l for l in hash_lines), plan[:2000]
