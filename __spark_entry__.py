@@ -540,11 +540,19 @@ def _sql_q15() -> str:
 
 
 def q16_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (profiling-adjacent agg)."""
+    """Exact interpolated percentiles per group (profiling-adjacent agg).
+
+    p50/p90 come from ONE ``percentile(col, array(...))`` buffer instead
+    of two independent ``percentile`` aggregates over the same column
+    (r13, guide §1.2): the exact-percentile aggregate buffers every
+    value per group, so two scalar calls built two identical
+    value-count maps per group and shuffled both. Same function, same
+    interpolation — element extraction only."""
     li = _t(spark, sf_dir, "lineitem")
+    pp = F.expr("percentile(l_extendedprice, array(0.5, 0.9))")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(pp[0], 4).alias("p50"),
+        F.round(pp[1], 4).alias("p90"),
         F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
     )
 
@@ -1836,16 +1844,17 @@ def q99_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     keys = d.select(F.explode(word_shingles(F.col("text"), 3)).alias("k"))
-    # the registers' per-bucket MAX rank is dedup-invariant, so both the
-    # sketch and the exact count can read ONE materialized distinct pass
-    # instead of two full explode+shingle scans (r12: the registers scan
-    # and the distinct scan each re-tokenized the corpus)
-    dk = keys.distinct().localCheckpoint(eager=False)
-    regs = hll_registers(dk, "k", p=12)
-    est = hll_estimate_row(
-        [(r["bucket"], r["r"]) for r in regs.collect()], p=12
-    )
-    exact = dk.count()
+    # ONE job end to end (r12 VERDICT item 3, guide §2.2): the distinct
+    # pass feeds a single register agg that ALSO counts rows per bucket,
+    # so exact = sum(c) over the 4096 collected registers — no second
+    # aggregation over (and no checkpoint of) the corpus-sized distinct
+    # shingle set (r12 shape: distinct checkpoint + registers agg +
+    # separate count() job).
+    dk = keys.distinct()
+    regs = hll_registers(dk, "k", p=12, with_count=True)
+    rows = regs.collect()
+    est = hll_estimate_row([(r["bucket"], r["r"]) for r in rows], p=12)
+    exact = sum(r["c"] for r in rows)
     rel = round(abs(est["estimate"] - exact) / exact, 4)
     return spark.createDataFrame(
         [(est["estimate"], est["zero_registers"], exact, rel)],

@@ -369,6 +369,9 @@ def _headroom_10x(spark, big_dir: str) -> dict:
     ):
         fn = getattr(entrymod, name)
         try:
+            from pytrousse_spark.operators import _probe as _pc
+
+            _pc.clear()  # self-contained rows (r12 VERDICT item 1)
             t = _timed_noop(fn, spark, big_dir)
             band = _IDLE_BANDS_10X.get(name)
             if band is not None and t > 2 * band:
@@ -378,6 +381,7 @@ def _headroom_10x(spark, big_dir: str) -> dict:
                     file=sys.stderr,
                 )
                 time.sleep(20)
+                _pc.clear()
                 out[name] = {"first": t, "rerun": _timed_noop(fn, spark, big_dir)}
             else:
                 out[name] = t
@@ -830,9 +834,12 @@ def _run_anchor_pass(spark, sf_dir: str, qs: dict, names: list) -> tuple:
     a host that drifts ~2x on 10-minute scales (r9's recorded 2.918 vs
     1.20-1.39 idle truth); three passes spread across the run, scored
     by MINIMUM, make one slow-host window unable to poison the gate."""
+    from pytrousse_spark.operators import _probe as _pc
+
     probe = _micro_probe()
     walls: dict[str, float] = {}
     for name in names:
+        _pc.clear()  # each timed query self-contained (r12 VERDICT item 1)
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode(
@@ -934,7 +941,16 @@ def main() -> None:
     # host-speed reading.
     probe_pass1 = _micro_probe()
     t_all = time.perf_counter()
+    from pytrousse_spark.operators import _probe as _probe_cache
+
     for name in anchor_first + rest:
+        # Each timed query must be self-contained (r12 VERDICT item 1):
+        # drop memoized router probes and trained artifacts (kmeans
+        # centroids) left by earlier queries, so e.g. q79/q82/q215 pay
+        # their own training instead of riding q78's. Runs OUTSIDE the
+        # per-query timer; the intra-query memo (one training shared by
+        # several consumers inside one query) is untouched.
+        _probe_cache.clear()
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from .hashing import h60, h60_sql
 
 from pytrousse_spark.functions.sqlutil import sql_quote
+from pytrousse_spark.io import stage_unbounded
 
 #: tiny per-language stopword lists for the n-gram/stopword language heuristic.
 #: Ordered dict — ties resolve to the earlier language (deterministic).
@@ -1043,9 +1044,17 @@ def bigram_nll(df, text_col: str, id_col: str):
     uni = base.select(F.explode_outer("__tk").alias("w")).where(
         F.col("w").isNotNull()
     )
-    unigrams = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    # vocab-bounded: the v_size count below materializes it, and the
+    # conditional-probability join reads it back — ONE unigram pass
+    # (the pre-r13 plan re-tokenized the corpus for uni, for the
+    # v_size count, and twice through bi: 4 tokenize passes total)
+    unigrams = uni.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    ).localCheckpoint(eager=False)
     v_size = unigrams.count()
-    bi = (
+    # per-bigram rows feed the count agg AND the final per-doc join:
+    # recomputable persist (corpus-sized; r12 VERDICT item 6 class)
+    bi = stage_unbounded(
         base.select("__id", F.explode_outer(bigrams_arr).alias("b"))
         .where(F.col("b").isNotNull())
         .select("__id", "b.w1", "b.w2")
@@ -1247,6 +1256,11 @@ def search_docs(df, text_col: str, id_col: str, terms: list[str], k: int = 20):
                 tokens(F.col(text_col)), lambda t: t.isin(uniq)
             ).alias("__qt"),
         )
+        # QUERY-FILTERED arrays (only the <= |terms| matched tokens per
+        # doc survive): a REDUCED frame, not token-granularity — the r13
+        # persist experiment cost q269/q303 ~30% (columnar cache encode
+        # of array cells vs the checkpoint's raw-row store), so the
+        # cheaper localCheckpoint stays (measured trade, OPTIMIZATION_r13)
         .localCheckpoint(eager=False)
     )
     n_docs = staged.count()
@@ -1349,6 +1363,8 @@ def bm25_search(
         "__id",
         F.size("__tk").cast("long").alias("__dl"),
         F.filter("__tk", lambda t: t.isin(uniq)).alias("__qt"),
+        # query-filtered arrays -> reduced frame; persist measured ~30%
+        # slower here (see search_docs note), checkpoint stays
     ).localCheckpoint(eager=False)
     lens = staged.select("__id", "__dl")
     stats = staged.agg(
@@ -1481,6 +1497,8 @@ def dirichlet_ql_search(
         "__id",
         F.size("__tk").cast("long").alias("__dl"),
         F.filter("__tk", lambda t: t.isin(uniq)).alias("__qt"),
+        # query-filtered arrays -> reduced frame; persist measured ~30%
+        # slower here (see search_docs note), checkpoint stays
     ).localCheckpoint(eager=False)
     lens = staged.select("__id", "__dl")
     post = (

@@ -128,6 +128,28 @@ def rebalance_undersplit(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def stage_unbounded(df: DataFrame) -> DataFrame:
+    """Multi-consumer staging for frames whose size SCALES WITH THE INPUT
+    (per-token/per-occurrence/per-residual rows): spill-safe, RECOMPUTABLE
+    persist instead of ``localCheckpoint`` (r12 VERDICT item 6 / ADVICE
+    item 1). Both materialize once and serve every consumer from storage,
+    but a localCheckpoint block is non-recomputable — losing an executor
+    (or evicting under pressure) fails the job, and the pinned working
+    set grows with the corpus. ``persist(MEMORY_AND_DISK)`` keeps the
+    lineage: blocks spill, evict and recompute, so fault tolerance and
+    storage pressure stay bounded at 100 TB. Bounded reduced frames
+    (vocab/levels/groups-sized) keep the cheaper lazy localCheckpoint —
+    that convention is unchanged.
+
+    Blocks are released by the ContextCleaner once the plan is
+    unreachable (same lifecycle the localCheckpoint blocks had); the
+    session's 2-min periodic GC drains them between queries.
+    """
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def read_parquet(
     spark: SparkSession, path: str, metadata_cols: tuple[str, ...] = ()
 ) -> Dataset:

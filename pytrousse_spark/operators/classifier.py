@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import round_half_away
 from ..functions.text import LANG_STOPWORDS, tokens, tokens_sql
-from ..io import rebalance_undersplit
+from ..io import rebalance_undersplit, stage_unbounded
 
 #: feature scaling constants (shared by both engines).
 _LEN_DIV = 100.0
@@ -152,9 +152,9 @@ def logreg_quality_gate(
     # rebalance BEFORE the feature projection: the tokenize/regexp work
     # happens during the checkpoint materialization, and a single-row-
     # group input would run it all on one core (no-op at real scale)
-    feat = quality_features(
-        rebalance_undersplit(df), text_col, label_col
-    ).localCheckpoint(eager=False)
+    feat = stage_unbounded(
+        quality_features(rebalance_undersplit(df), text_col, label_col)
+    )  # row-sized feature frame: recomputable persist (r12 VERDICT item 6)
     w = logreg_train(feat, iters=iters, lr=lr)
     p = _sigma(w)
     pred = (p >= 0.5).cast("long")
@@ -1222,9 +1222,11 @@ def conformal_interval(
     # the coverage recount — checkpoint it (1 double per row) so the
     # caller's scoring subtree (often a join) runs once, and the 1-row
     # stats frame so ITS scan runs once across its two consumers
-    nn = df.where(p.isNotNull() & a.isNotNull()).select(
-        F.abs(a - p).alias("__r")
-    ).localCheckpoint(eager=False)
+    nn = stage_unbounded(
+        df.where(p.isNotNull() & a.isNotNull()).select(
+            F.abs(a - p).alias("__r")
+        )
+    )  # per-row residuals: recomputable persist (r12 VERDICT item 6)
     stats = nn.agg(
         F.max("__r").alias("__hi"),
         F.count(F.lit(1)).cast("bigint").alias("__n"),
@@ -3296,15 +3298,14 @@ def split_conformal(
     # scored feeds BOTH the calibration levels and the test coverage agg;
     # lazily checkpoint the (bucket, residual) projection so the base
     # scan + model join execute once, not once per consumer
-    scored = (
+    scored = stage_unbounded(
         base.where(F.col("__b") >= 6)
         .join(F.broadcast(model), "__g")
         .select(
             "__b",
             F.abs(F.col("__y") - pred).alias("__r"),
         )
-        .localCheckpoint(eager=False)
-    )
+    )  # per-row residuals: recomputable persist (r12 VERDICT item 6)
     cal = scored.where(F.col("__b") <= 7)
     # checkpoint the level frame HERE and read n_cal off it (sum of the
     # per-level counts == the calibration row count): aggregating the

@@ -952,7 +952,17 @@ def _windowed_build_counts(
         )
     )
 
-    # -- step 3a: in-bucket inclusive count at t (bucket __bp) ----------
+    # -- step 3: the in-bucket inclusive count at t (bucket __bp) and
+    # the in-bucket STRICT count at x = t - w (bucket __bp - 1), FUSED
+    # into ONE union+window pass (r13 optimization round, guide §2.4):
+    # the two as-ofs share partitioning (key, bucket) and ordering
+    # (__ets asc), and their opposite tie rules are one 3-level tag —
+    #   tag 0 = probe at x  (builds at ets == x sort AFTER it -> strict)
+    #   tag 1 = builds      (__cin is a RANGE-frame count, so every
+    #                        build tied on __ets carries the same value)
+    #   tag 2 = probe at t  (builds at ets == t sort BEFORE it -> incl.)
+    # so one exchange+sort carries builds ONCE (was: builds shuffled and
+    # windowed twice, once per tie rule). Signs fold into the final agg.
     wb_in = (
         Window.partitionBy(*key_cols, "__eb")
         .orderBy("__ets")
@@ -962,35 +972,20 @@ def _windowed_build_counts(
         *key_cols, F.col("__bb").alias("__eb"),
         F.col(build_ts).alias("__ets"),
     ).withColumn("__cin", F.count(F.lit(1)).over(wb_in))
-    bev_inc = _null_ids(
-        bev.withColumn("__tag", F.lit(0))  # builds BEFORE probes at ties
-    )
-    pev_inc = (
+    bev_f = _null_ids(
+        bev.withColumn("__tag", F.lit(1))
+    ).withColumn("__sign", F.lit(0))
+    pev_t = (
         pr.select(
             *key_cols, *extra_ids,
             F.col("__bp").alias("__eb"),
             F.col(probe_ts).alias("__ets"),
         )
         .withColumn("__cin", F.lit(None).cast("long"))
-        .withColumn("__tag", F.lit(1))
+        .withColumn("__tag", F.lit(2))
+        .withColumn("__sign", F.lit(1))
     )
-    w_ev = (
-        Window.partitionBy(*key_cols, "__eb")
-        .orderBy(F.col("__ets").asc(), F.col("__tag").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    inc = (
-        pev_inc.unionByName(bev_inc.select(*pev_inc.columns))
-        .withColumn("__m", F.last("__cin", ignorenulls=True).over(w_ev))
-        .where(F.col("__tag") == 1)
-        .select(*id_cols, F.coalesce(F.col("__m"), F.lit(0)).alias("__comp"))
-    )
-
-    # -- step 3b: in-bucket STRICT count at x = t - w (bucket __bp - 1) -
-    bev_exc = _null_ids(
-        bev.withColumn("__tag", F.lit(1))  # builds AFTER probe at ties
-    )
-    pev_exc = (
+    pev_x = (
         pr.select(
             *key_cols, *extra_ids,
             (F.col("__bp") - 1).alias("__eb"),
@@ -998,19 +993,27 @@ def _windowed_build_counts(
         )
         .withColumn("__cin", F.lit(None).cast("long"))
         .withColumn("__tag", F.lit(0))
+        .withColumn("__sign", F.lit(-1))
     )
-    exc = (
-        pev_exc.unionByName(bev_exc.select(*pev_exc.columns))
+    w_ev = (
+        Window.partitionBy(*key_cols, "__eb")
+        .orderBy(F.col("__ets").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inc_exc = (
+        pev_t.unionByName(pev_x)
+        .unionByName(bev_f.select(*pev_t.columns))
         .withColumn("__m", F.last("__cin", ignorenulls=True).over(w_ev))
-        .where(F.col("__tag") == 0)
+        .where(F.col("__tag") != 1)
         .select(
             *id_cols,
-            (-F.coalesce(F.col("__m"), F.lit(0))).alias("__comp"),
+            (F.col("__sign") * F.coalesce(F.col("__m"), F.lit(0)))
+            .alias("__comp"),
         )
     )
 
     return (
-        offs.unionByName(inc).unionByName(exc)
+        offs.unionByName(inc_exc)
         .groupBy(*id_cols)
         .agg(F.sum("__comp").cast("bigint").alias("__wn"))
     )

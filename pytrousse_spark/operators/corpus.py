@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
+from ..io import stage_unbounded
 from . import dedup as dd
 
 from pytrousse_spark.functions.sqlutil import sql_quote
@@ -722,9 +723,11 @@ def skipgram_pairs(
     # occ feeds the frequency table AND the subsample filter, freq
     # feeds the total AND the threshold — checkpoint both so the
     # tokenize+explode pass runs once (was 3x in the audited plan)
-    occ = staged.select(
-        "__doc", F.posexplode("__tk").alias("__pos", "__tok")
-    ).localCheckpoint(eager=False)
+    occ = stage_unbounded(
+        staged.select(
+            "__doc", F.posexplode("__tk").alias("__pos", "__tok")
+        )
+    )  # per-occurrence rows: recomputable persist, not a checkpoint
     freq = occ.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
     ).localCheckpoint(eager=False)
@@ -759,9 +762,10 @@ def skipgram_pairs(
             < F.col("__thr")
         )
         .select("__doc", "__pos", "__tok")
-        # feeds BOTH sides of the window self-join
-        .localCheckpoint(eager=False)
     )
+    # feeds BOTH sides of the window self-join; per-occurrence rows ->
+    # recomputable persist (stage_unbounded), not a checkpoint
+    kept = stage_unbounded(kept)
     ctr = kept.select(
         "__doc", F.col("__pos").alias("__pa"), F.col("__tok").alias("__wa")
     )
@@ -902,9 +906,11 @@ def skipgram_negatives(
     # same staging discipline as skipgram_pairs: occ feeds freq + the
     # subsample filter; freq feeds total/threshold/mass/cumulative —
     # checkpoint both so the corpus tokenizes once (was 4x audited)
-    occ = staged.select(
-        "__doc", F.posexplode("__tk").alias("__pos", "__tok")
-    ).localCheckpoint(eager=False)
+    occ = stage_unbounded(
+        staged.select(
+            "__doc", F.posexplode("__tk").alias("__pos", "__tok")
+        )
+    )  # per-occurrence rows: recomputable persist, not a checkpoint
     freq = occ.groupBy("__tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
     ).localCheckpoint(eager=False)
@@ -942,9 +948,10 @@ def skipgram_negatives(
             < F.col("__thr")
         )
         .select("__doc", "__pos", "__tok")
-        # feeds BOTH sides of the window self-join
-        .localCheckpoint(eager=False)
     )
+    # feeds BOTH sides of the window self-join; per-occurrence rows ->
+    # recomputable persist (stage_unbounded), not a checkpoint
+    kept = stage_unbounded(kept)
     ctr = kept.select(
         "__doc", F.col("__pos").alias("__pa"), F.col("__tok").alias("__wa")
     )

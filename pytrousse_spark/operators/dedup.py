@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60_sql, hash_expr
+from ..io import stage_unbounded
 from ..functions.text import tokens, word_shingles, word_shingles_sql
 
 
@@ -284,8 +285,9 @@ def ngram_jaccard_pairs(
                 F.array_distinct(shingles_from_tokens(F.col("__tk"), n))
             ).alias("__sh"),
         )
-        .localCheckpoint(eager=False)
     )
+    # per-shingle rows: recomputable persist (r12 VERDICT item 6)
+    shingled = stage_unbounded(shingled)
     sizes = shingled.groupBy("__id").agg(F.count(F.lit(1)).alias("__size"))
     l, r = shingled.alias("l"), shingled.alias("r")
     common = (
@@ -577,8 +579,9 @@ def near_dedup_pairs(
             id_col,
             shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh"),
         )
-        .localCheckpoint(eager=False)
     )
+    # per-doc shingle arrays (corpus-sized): recomputable persist
+    sh = stage_unbounded(sh)
     cands = minhash_lsh_pairs(
         df, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn,
@@ -825,14 +828,13 @@ def cross_dedup(
     # instead of three times (measured ~2x on q75 at sf0.1). The frame
     # carries only (id, shingles) — the reference text itself still never
     # shuffles or materializes.
-    ref_sh = (
+    ref_sh = stage_unbounded(
         reference.withColumn("__tk", tokens(F.col(text_col)))
         .select(
             id_col,
             shingles_from_tokens(F.col("__tk"), shingle_n).alias("__sh"),
         )
-        .localCheckpoint(eager=False)
-    )
+    )  # per-doc shingle arrays: recomputable persist
     ref_fp = ref_sh.select(
         fingerprint_from_shingles(F.col("__sh")).alias("__fp")
     ).distinct()
@@ -840,9 +842,9 @@ def cross_dedup(
     # stage1 feeds three consumers (band keys, shingle sets, the final
     # anti-join) with different prunings — without materialization the whole
     # fingerprint anti-join subtree (including the reference fingerprint
-    # scan) executes three times. Lazy localCheckpoint: computed once at the
-    # first action, then read back; the incoming side is the small one.
-    stage1 = stage1.localCheckpoint(eager=False)
+    # scan) executes three times. Recomputable persist: computed once at the
+    # first action, then read back; carries text, so it scales with input.
+    stage1 = stage_unbounded(stage1)
     near = cross_near_dedup_pairs(
         stage1, reference, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_n=shingle_n,
@@ -2040,11 +2042,12 @@ def winnow_overlap_pairs(
                 F.array_distinct(F.expr("transform(__fps, x -> x.fp)"))
             ).alias("__fp"),
         )
-        # the winnowing pass (an md5 per k-gram of every document) feeds
-        # THREE subtrees — the df census and both posting join sides;
-        # checkpoint the compact (id, fp) rows so it runs exactly once
-        .localCheckpoint(eager=False)
     )
+    # the winnowing pass (an md5 per k-gram of every document) feeds
+    # THREE subtrees — the df census and both posting join sides; stage
+    # the compact per-fingerprint rows as a recomputable persist so it
+    # runs once without pinning a corpus-sized non-recomputable block
+    fp = stage_unbounded(fp)
     dfc = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))
     posting = fp.join(
         F.broadcast(dfc.where(F.col("__df") <= max_df).select("__fp")),

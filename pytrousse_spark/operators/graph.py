@@ -868,10 +868,15 @@ def hits(
                 ).alias("a"),
             )
             # NOT checkpointed: the normalized frame has one consumer
-            # per half-iteration, so inlining it into that consumer's
-            # job drops one scheduled job per half-iteration (12 over
-            # the run); the expensive part stays behind a_raw's
-            # checkpoint either way.
+            # per half-iteration (EXCEPT the final iteration's `a`,
+            # which feeds both h_raw and the closing h-a join — that
+            # one normalization re-executes twice, a deliberate trade:
+            # it is a bounded nodes-left-join + max over the
+            # checkpointed a_raw, cheaper than one more scheduled
+            # job per half-iteration; r12 ADVICE item 5), so inlining
+            # it into that consumer's job drops one scheduled job per
+            # half-iteration (12 over the run); the expensive part
+            # stays behind a_raw's checkpoint either way.
         )
         h_raw = (
             e.join(

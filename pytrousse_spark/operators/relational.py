@@ -454,17 +454,27 @@ def fk_orphan_census(
             base.join(keys, F.col("__fk") == F.col("__pk"), "left")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_child"),
-                F.sum(
-                    F.when(F.col("__fk").isNull(), 1).otherwise(0)
+                # COALESCE(..., 0): SUM over an empty child is NULL —
+                # the r12 rewrite silently changed the empty-child edge
+                # from the COUNT path's 0 (r12 ADVICE item 2); the SQL
+                # twin mirrors the same guard
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__fk").isNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("bigint")
                 .alias("n_null_fk"),
-                F.sum(
-                    F.when(
-                        F.col("__fk").isNotNull()
-                        & F.col("__pk").isNull(),
-                        1,
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__fk").isNotNull()
+                            & F.col("__pk").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("bigint")
                 .alias("n_orphan"),
@@ -502,11 +512,11 @@ def fk_orphan_census_sql(edges: list) -> str:
         parts.append(f"""
         SELECT '{name}' AS edge,
                CAST(count(*) AS BIGINT) AS n_child,
-               CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_null_fk,
-               CAST(sum(CASE WHEN c.{fk} IS NOT NULL
-                        AND p.__pk IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_orphan,
+               CAST(COALESCE(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END),
+                    0) AS BIGINT) AS n_null_fk,
+               CAST(COALESCE(sum(CASE WHEN c.{fk} IS NOT NULL
+                        AND p.__pk IS NULL THEN 1 ELSE 0 END),
+                    0) AS BIGINT) AS n_orphan,
                round(CASE WHEN count(*) - sum(CASE WHEN c.{fk} IS NULL
                           THEN 1 ELSE 0 END) > 0 THEN
                      CAST(sum(CASE WHEN c.{fk} IS NOT NULL

@@ -27,6 +27,13 @@ def get_spark(
     - Arrow on, so the few pandas-UDF escape hatches batch via Arrow.
     - Session timezone pinned to UTC so results are reproducible and match
       external oracles (DuckDB) regardless of host timezone.
+    - ``spark.cleaner.periodicGC.interval`` defaults to 2min, which forces
+      a periodic driver ``System.gc()``. That is the right trade for
+      many-query batch drivers (it drains dead localCheckpoint storage
+      blocks between queries — the r12 finding), but it DOES impose
+      periodic GC pauses; a latency-sensitive caller should set
+      ``SPARK_GRAFT_PERIODIC_GC=30min`` to restore Spark's default
+      (r12 ADVICE item 3).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (

@@ -181,3 +181,51 @@ def test_attribution_probe_shared_across_flavors(spark):
     assert r1 == r2
     assert r3 == "scalable"  # any positive mass exceeds a 0 budget
     _probe.clear()
+
+
+def test_bench_main_loop_is_memo_free(spark):
+    """r12 VERDICT item 1: the bench's timed loops must clear the probe
+    cache before every query, so no query's wall rides another query's
+    trained artifact (q79/q82/q215 riding q78's kmeans training).
+
+    Two pins: (1) functional — a poisoned kmeans_cents entry IS live
+    until cleared, and clear() forces a retrain to the true value, i.e.
+    the bench's per-query clear is sufficient to restore honesty;
+    (2) source tripwire — bench.py's main timed loop and anchor passes
+    actually call clear() before starting each query's timer."""
+    import os
+    import re
+
+    from pytrousse_spark.io import read_parquet_df
+    from pytrousse_spark.operators.clustering import kmeans_fit
+
+    emb = read_parquet_df(spark, f"{SF_DIR}/embeddings.parquet")
+    _probe.clear()
+    true_cents = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1)
+
+    # plant a poisoned entry under the exact key kmeans_fit uses
+    poisoned = [[9.9] * len(true_cents[0]) for _ in true_cents]
+    app = spark.sparkContext.applicationId
+    key = ("kmeans_cents", (emb.semanticHash(),), ("vec_id", "embedding", 4, 1))
+    with _probe._LOCK:
+        _probe._CACHES.setdefault(app, __import__("collections").OrderedDict())[
+            key
+        ] = ((emb,), poisoned)
+    assert kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1) == poisoned
+    # the bench's discipline: clear between queries -> retrains honestly
+    _probe.clear()
+    assert kmeans_fit(emb, "vec_id", "embedding", k=4, iters=1) == true_cents
+    _probe.clear()
+
+    # source tripwire: every timed loop in bench.py clears first
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "bench.py")) as f:
+        src = f.read()
+    # main loop
+    assert re.search(
+        r"_probe_cache\.clear\(\)\s*\n\s*t0 = time\.perf_counter\(\)", src
+    ), "bench main loop no longer clears the probe cache per query"
+    # anchor passes
+    assert re.search(
+        r"_pc\.clear\(\).*\n\s*t0 = time\.perf_counter\(\)", src
+    ), "bench anchor pass no longer clears the probe cache per query"
