@@ -75,6 +75,18 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    # Streaming state-store partition count, decoupled from the batch
+    # shuffle parallelism when set (state partitions are pinned in the
+    # checkpoint for a stream's lifetime, so they should be sized to
+    # state volume/throughput, not to the session's core count —
+    # measured r13: the tiny-state alert stream pays ~2x overhead at 32
+    # state partitions vs 8 on local hosts). Default unchanged
+    # (= shuffle partitions) so benches stay comparable.
+    ssp = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if ssp:
+        builder = builder.config(
+            "spark.sql.streaming.internal.stateStore.partitions", ssp
+        )
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):

@@ -69,10 +69,15 @@ def _update_band(
             alerts_dup.append(hi)
             first = lo
     state.update((first,))
-    yield pd.DataFrame(
-        {"band": [band] * len(alerts_first), "first_doc": alerts_first,
-         "dup_doc": alerts_dup}
-    )
+    # most bands see no duplicate in a batch: constructing (and Arrow-
+    # serializing) an EMPTY 3-column pandas frame per group dominated the
+    # Python side of the stateful op at bench scale — yield only when
+    # there is an alert to emit (guide §4: shrink the Python boundary)
+    if alerts_first:
+        yield pd.DataFrame(
+            {"band": [band] * len(alerts_first), "first_doc": alerts_first,
+             "dup_doc": alerts_dup}
+        )
 
 
 def near_dup_band_alerts(
