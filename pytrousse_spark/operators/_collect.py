@@ -24,6 +24,7 @@ reserved for the sequential training/readout loops.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Any, Iterator
 
@@ -31,20 +32,29 @@ from pyspark.sql import DataFrame, Row
 
 
 _AQE_KEY = "spark.sql.adaptive.enabled"
+# r12 VERDICT item 4 hardening: the AQE toggle is a session-global conf,
+# so two interleaved bounded_* calls could restore each other's "false"
+# and leave AQE off for the rest of the session. The lock serializes the
+# flip/restore window (bounded collects are sub-second driver actions, so
+# contention is negligible). A concurrent planner NOT using this helper
+# still plans without AQE during the window — callers run these loops
+# sequentially on the driver by design (module docstring).
+_AQE_LOCK = threading.Lock()
 
 
 @contextmanager
 def _no_aqe(df: DataFrame) -> Iterator[None]:
     spark = df.sparkSession
-    try:
-        prev = spark.conf.get(_AQE_KEY)
-    except Exception:
-        prev = "true"
-    spark.conf.set(_AQE_KEY, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(_AQE_KEY, prev)
+    with _AQE_LOCK:
+        try:
+            prev = spark.conf.get(_AQE_KEY)
+        except Exception:
+            prev = "true"
+        spark.conf.set(_AQE_KEY, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(_AQE_KEY, prev)
 
 
 def bounded_first(df: DataFrame) -> Row | None:

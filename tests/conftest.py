@@ -14,7 +14,12 @@ SF_DIR = os.environ.get("PYTROUSSE_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="pytrousse-tests", shuffle_partitions=8)
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_TEST_NO_AQE") == "1":
+        extra["spark.sql.adaptive.enabled"] = "false"
+    s = get_spark(
+        app_name="pytrousse-tests", shuffle_partitions=8, extra_conf=extra
+    )
     yield s
 
 

@@ -221,11 +221,13 @@ def test_bench_main_loop_is_memo_free(spark):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "bench.py")) as f:
         src = f.read()
-    # main loop
+    # main loop: clear() must precede the query timer (hygiene lines
+    # like clearCache() may sit between them)
     assert re.search(
-        r"_probe_cache\.clear\(\)\s*\n\s*t0 = time\.perf_counter\(\)", src
+        r"_probe_cache\.clear\(\)(.|\n){0,400}?t0 = time\.perf_counter\(\)",
+        src,
     ), "bench main loop no longer clears the probe cache per query"
     # anchor passes
     assert re.search(
-        r"_pc\.clear\(\).*\n\s*t0 = time\.perf_counter\(\)", src
+        r"_pc\.clear\(\)(.|\n){0,400}?t0 = time\.perf_counter\(\)", src
     ), "bench anchor pass no longer clears the probe cache per query"
